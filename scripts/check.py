@@ -1,62 +1,66 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate: run each oracle SQL
-in DuckDB against the testdata parquet, load the Spark result parquet
-written by graft.Verify, and compare values (columns sorted by name,
-rows sorted, exact equality). Usage:
+"""Local stand-in for the driver's correctness gate: compare each
+Verify.scala parquet dump against its DuckDB oracle (sort columns by
+name, sort rows, compare cell-by-cell with small float tolerance).
 
-    sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
-    python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
 """
-import sys, os, json, glob
+import json, sys, glob, os
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def norm(v):
-    if isinstance(v, float):
-        return repr(v)
-    return str(v)
-
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
+def load_oracle(con, sf_dir, sql):
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
-        oracles = json.load(f)
-    n_pass = n_fail = 0
-    for name, sql in sorted(oracles.items()):
-        spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
-        if not spark_files:
-            print(f"FAIL {name}: no spark output")
-            n_fail += 1
-            continue
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"create or replace view {t} as select * from '{p}'")
+    return con.execute(sql).df()
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    if not os.path.exists(f"{out_dir}/oracle_sql.json"):
+        out_dir, sf_dir = sf_dir, out_dir  # accept either arg order
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not pq:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         try:
-            odf = con.execute(sql).fetchdf()
+            spark_df = canon(pd.concat([pd.read_parquet(p) for p in sorted(pq)]))
+            duck_df = canon(load_oracle(con, sf_dir, sql))
         except Exception as e:
-            print(f"FAIL {name}: oracle error {e}")
-            n_fail += 1
-            continue
-        sdf = con.execute(
-            f"SELECT * FROM read_parquet({spark_files!r})").fetchdf()
-        ocols, scols = sorted(odf.columns), sorted(sdf.columns)
-        if ocols != scols:
-            print(f"FAIL {name}: columns oracle={ocols} spark={scols}")
-            n_fail += 1
-            continue
-        o = sorted(tuple(norm(v) for v in row) for row in odf[ocols].itertuples(index=False))
-        s = sorted(tuple(norm(v) for v in row) for row in sdf[ocols].itertuples(index=False))
-        if len(o) != len(s):
-            print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}")
-            n_fail += 1
-        elif o != s:
-            diffs = [(a, b) for a, b in zip(o, s) if a != b][:3]
-            print(f"FAIL {name}: value mismatch, first diffs {diffs}")
-            n_fail += 1
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+            n_bad += 1; continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+            n_bad += 1; continue
+        bad_cols = []
+        for c in spark_df.columns:
+            a, b = spark_df[c].reset_index(drop=True), duck_df[c].reset_index(drop=True)
+            try:
+                pd.testing.assert_series_equal(a, b, check_dtype=False,
+                                               check_exact=False, rtol=1e-9, atol=1e-9)
+            except AssertionError:
+                bad_cols.append(c)
+        if bad_cols:
+            print(f"FAIL {name}: value mismatch in {bad_cols}")
+            n_bad += 1
         else:
-            print(f"PASS {name} ({len(o)} rows)")
-            n_pass += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
-    return 1 if n_fail else 0
+            print(f"ok   {name} ({len(spark_df)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail ==")
+    sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()

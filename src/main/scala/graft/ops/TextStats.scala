@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines — north-star
+  * extension (BASELINE.json): language ID, quality scoring, token
+  * counting, document fingerprinting. Everything is built from
+  * codegen'd array/string expressions (no UDFs) and integer-exact
+  * arithmetic so oracles reproduce values exactly.
+  */
+object TextStats {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: the heuristic scores languages by
+    * stopword hits and takes a deterministic argmax.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "un"),
+    "es" -> Seq("el", "los", "las", "y", "una"),
+    "zh" -> Seq("的", "了", "和", "是", "在")
+  )
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Language-ID: stopword-hit argmax with fixed precedence order on
+    * ties (the declaration order of [[stopwords]]). Emits the score of
+    * the winning language too.
+    */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val withScores = stopwords.foldLeft(
+      docs.select(col(idCol).as("doc_id"), toks.as("toks"))) {
+      case (df, (lang, words)) => df.withColumn(s"c_$lang", hits(col("toks"), words))
+    }
+    val langs = stopwords.map(_._1)
+    val best = langs.map(l => col(s"c_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit(langs.head)) { (l, acc) =>
+      when(col(s"c_$l") === best, lit(l)).otherwise(acc)
+    }
+    withScores.select(col("doc_id"), pred.as("pred_lang"), best.as("n_hits"))
+  }
+
+  /** Quality metrics: token counts, distinct ratio, average word
+    * length, stopword ratio — the length/ratio family used for corpus
+    * filtering. Ratios are exact-integer divisions (deterministic).
+    */
+  def quality(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val en = stopwords.head._2
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("distinct_ratio"),
+      ((length(col(textCol)) - size(t) + 1).cast("double") / size(t)).as("avg_word_len"),
+      (hits(t, en).cast("double") / size(t)).as("stopword_ratio"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish byte-budget
+    * estimate (ceil(chars/4), the usual ~4-chars-per-token rule).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).as("n_ws_tokens"),
+      size(array_distinct(tokens(col(textCol)))).as("n_distinct_tokens"),
+      ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est"))
+
+  /** Document fingerprints: whole-document content hash (md5 of the
+    * whitespace-normalized text) and a rolling shingle fingerprint —
+    * the lexicographic minimum md5 over word-3-gram shingles (a
+    * 1-permutation MinHash, the standard near-dup fingerprint).
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val shingleMin = array_min(
+      transform(sequence(lit(1), greatest(size(t) - 2, lit(1))),
+        i => md5(concat_ws(" ", slice(t, i, lit(3))))))
+    docs.select(
+      col(idCol).as("doc_id"),
+      md5(regexp_replace(col(textCol), "\\s+", " ")).as("content_fp"),
+      shingleMin.as("shingle_fp"))
+  }
+}
