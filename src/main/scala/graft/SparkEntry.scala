@@ -19,8 +19,8 @@ object SparkEntry {
     CdcQueries.captureDiff(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CdcQueries.queries ++ AnalyticsQueries.queries
+    CdcQueries.queries ++ AnalyticsQueries.queries ++ ExtensionQueries.queries
 
   def oracleSql: Map[String, String] =
-    CdcQueries.oracle ++ AnalyticsQueries.oracle
+    CdcQueries.oracle ++ AnalyticsQueries.oracle ++ ExtensionQueries.oracle
 }

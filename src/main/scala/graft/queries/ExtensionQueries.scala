@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star training-data-pipeline queries (BASELINE.json): dedup
+  * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
+  * ANN similarity search, text analysis, multimodal plumbing — each
+  * with a DuckDB oracle in portable SQL (md5 + list lambdas).
+  *
+  * Determinism rules shared by both sides (see the graft.ops package):
+  * integer-exact arithmetic wherever possible; dot products fold
+  * left-to-right; cosine ranking keys quantized to floor(cos*10000).
+  */
+object ExtensionQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d)).orderBy("text_hash")
+
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, d), 0.8).orderBy("doc_a", "doc_b")
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(docs(s, d), numHashes = 16, bands = 4).orderBy("doc_a", "doc_b")
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(docs(s, d)).orderBy("doc_id")
+
+  def embedNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDup(embs(s, d), threshold = 0.3, planes = 4)
+      .orderBy("vec_a", "vec_b")
+
+  /** Exact ANN baseline: every 50th vector queries the full corpus. */
+  def annTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's bucket. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5, planes = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    TextStats.languageId(docs(s, d)).orderBy("doc_id")
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextStats.quality(docs(s, d)).orderBy("doc_id")
+
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    TextStats.tokenCounts(docs(s, d)).orderBy("doc_id")
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    TextStats.fingerprint(docs(s, d)).orderBy("doc_id")
+
+  /** Binary-column decode plumbing (stub codec, real mapPartitions
+    * path): text bytes as the opaque payload.
+    */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val withBin = docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.decodeMeta(withBin, "payload")
+      .select("doc_id", "n_bytes", "width", "height", "n_frames")
+      .orderBy("doc_id")
+  }
+
+  /** Frame-sampling plumbing: every 7th (stub) frame of each payload. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val withBin = docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.sampleFrames(withBin, "payload", everyK = 7)
+      .select("doc_id", "frame_idx", "frame_hash")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) AS ts,
+        |         len(list_distinct(string_split(text,' '))) AS n
+        |  FROM documents),
+        |pref AS (SELECT doc_id, ts, n,
+        |    ts[1:(n - CAST(ceil(0.8*n) AS INT) + 1)] AS prefix FROM toks),
+        |pa AS (SELECT doc_id, unnest(prefix) AS tok FROM pref),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pa a JOIN pa b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |    len(list_intersect(x.ts, y.ts)) AS inter, x.n AS n_a, y.n AS n_b
+        |  FROM cand JOIN toks x ON cand.doc_a = x.doc_id
+        |            JOIN toks y ON cand.doc_b = y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE)/(n_a+n_b-inter) AS jaccard
+        |FROM j WHERE CAST(inter AS DOUBLE)/(n_a+n_b-inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS ts FROM documents),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(1,17), k ->
+        |    list_aggregate(list_transform(ts, t -> md5(k::VARCHAR || ':' || t)), 'min')) AS mh
+        |  FROM toks),
+        |banded AS (
+        |  SELECT doc_id, b, md5(array_to_string(mh[(b-1)*4+1:(b-1)*4+4], '|')) AS band_key
+        |  FROM sig, unnest(range(1,5)) AS u(b)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t FROM documents),
+        |bits AS (SELECT doc_id, b,
+        |    strpos('0123456789abcdef', substr(md5(t), CAST(b//4 AS INT)+1, 1)) - 1 AS hexval
+        |  FROM tok, unnest(range(0,32)) AS u(b)),
+        |w AS (SELECT doc_id, b,
+        |    CASE WHEN CAST(floor(hexval / pow(2, 3 - b % 4)) AS BIGINT) % 2 = 1
+        |         THEN 1 ELSE -1 END AS w FROM bits),
+        |s AS (SELECT doc_id, b, sum(w) AS s FROM w GROUP BY doc_id, b)
+        |SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |eb AS (SELECT vec_id, v,
+        |  list_reduce(list_transform(range(0,4), p -> CASE WHEN
+        |    list_reduce(list_transform(range(1,65), d ->
+        |      CAST(((1103515245*(p*64+(d-1))+12345) % 2147483648) % 7 - 3 AS DOUBLE) * v[d]),
+        |      (x,y)->x+y) > 0
+        |    THEN CAST(pow(2,p) AS BIGINT) ELSE 0 END), (x,y)->x+y) AS bucket FROM e),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_reduce(list_transform(range(1,65), i -> a.v[i]*b.v[i]), (x,y)->x+y) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> b.v[i]*b.v[i]), (x,y)->x+y))) AS cos
+        |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, CAST(floor(cos*10000) AS BIGINT) AS cos_q
+        |FROM p WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(floor(10000 * (
+        |    list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+        |    (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+        |     sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos_q,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, cos_q FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |eb AS (SELECT vec_id, v,
+        |  list_reduce(list_transform(range(0,4), p -> CASE WHEN
+        |    list_reduce(list_transform(range(1,65), d ->
+        |      CAST(((1103515245*(p*64+(d-1))+12345) % 2147483648) % 7 - 3 AS DOUBLE) * v[d]),
+        |      (x,y)->x+y) > 0
+        |    THEN CAST(pow(2,p) AS BIGINT) ELSE 0 END), (x,y)->x+y) AS bucket FROM e),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(floor(10000 * (
+        |    list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+        |    (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+        |     sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+        |  FROM eb q JOIN eb c ON q.bucket = c.bucket
+        |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos_q,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, cos_q FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_lang_id" ->
+      """WITH c AS (SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','to'], t))) AS c_en,
+        |  len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ein'], t))) AS c_de,
+        |  len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et','un'], t))) AS c_fr,
+        |  len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','y','una'], t))) AS c_es,
+        |  len(list_filter(string_split(text,' '), t -> list_contains(['的','了','和','是','在'], t))) AS c_zh
+        |  FROM documents),
+        |b AS (SELECT doc_id, c_en, c_de, c_fr, c_es, c_zh,
+        |  greatest(c_en, c_de, c_fr, c_es, c_zh) AS best FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN c_en = best THEN 'en' WHEN c_de = best THEN 'de'
+        |       WHEN c_fr = best THEN 'fr' WHEN c_es = best THEN 'es'
+        |       WHEN c_zh = best THEN 'zh' ELSE 'en' END AS pred_lang,
+        |  best AS n_hits
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS distinct_ratio,
+        |  CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text,' ')) AS avg_word_len,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |      t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_ws_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS ts FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(text, '\s+', ' ', 'g')) AS content_fp,
+        |  list_aggregate(list_transform(range(1, greatest(len(ts)-2, 1)+1),
+        |    i -> md5(array_to_string(ts[i:i+2], ' '))), 'min') AS shingle_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) * 31) % 480 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    octet_length(encode(text)) % 30 + 1 AS n_frames FROM documents)
+        |SELECT doc_id, frame_idx,
+        |  md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+        |FROM m, unnest(range(0, n_frames, 7)) AS u(frame_idx)
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"     -> (dedupExact _),
+    "q_dedup_ngram"     -> (dedupNgram _),
+    "q_dedup_minhash"   -> (dedupMinhash _),
+    "q_dedup_simhash"   -> (dedupSimhash _),
+    "q_embed_neardup"   -> (embedNearDup _),
+    "q_ann_topk"        -> (annTopK _),
+    "q_ann_lsh"         -> (annLsh _),
+    "q_lang_id"         -> (langId _),
+    "q_text_quality"    -> (textQuality _),
+    "q_token_counts"    -> (tokenCounts _),
+    "q_fingerprint"     -> (fingerprint _),
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_frame_sample"    -> (frameSample _)
+  )
+}
