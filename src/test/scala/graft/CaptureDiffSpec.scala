@@ -1,0 +1,70 @@
+package graft
+
+import graft.core.{AuditSchema, CaptureDiff}
+import org.apache.spark.sql.functions._
+
+/** Event classification + image contract of snapshot-diff capture
+  * (SURVEY.md §2.9, §5.2).
+  */
+class CaptureDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixed = lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+
+  test("classifies insert/update/delete with correct images") {
+    val oldSnap = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("id", "name", "v")
+    val newSnap = Seq((2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0))
+      .toDF("id", "name", "v")
+    val out = CaptureDiff.capture(oldSnap, newSnap, Seq("id"), clock = fixed)
+      .select("id", "name", "v", "audit_event", "audit_pk")
+      .as[(Int, String, Double, String, Long)].collect().sortBy(_._1)
+
+    assert(out.toSeq === Seq(
+      (1, "a", 10.0, "delete", 1L),  // pre-image (OLD.*)
+      (3, "c", 99.0, "update", 2L),  // post-image (NEW.*), no pre-image
+      (4, "d", 40.0, "insert", 3L))) // post-image
+  }
+
+  test("no-op updates are suppressed; audit_pk dense from base") {
+    val s1 = Seq((1, "a"), (2, "b")).toDF("id", "x")
+    val s2 = Seq((1, "a"), (2, "B")).toDF("id", "x")
+    val out = CaptureDiff.capture(s1, s2, Seq("id"), clock = fixed, basePk = 100L)
+    val rows = out.select("id", "audit_event", "audit_pk")
+      .as[(Int, String, Long)].collect()
+    assert(rows.toSeq === Seq((2, "update", 101L)))
+  }
+
+  test("null-safe change detection: null -> value and value -> null are updates, " +
+    "null -> null is not") {
+    val s1 = Seq((1, Option.empty[String]), (2, Some("x")), (3, Option.empty[String]))
+      .toDF("id", "x")
+    val s2 = Seq((1, Some("y")), (2, Option.empty[String]), (3, Option.empty[String]))
+      .toDF("id", "x")
+    val ev = CaptureDiff.classify(s1, s2, Seq("id"))
+      .select("id", "audit_event").as[(Int, String)].collect().sortBy(_._1)
+    assert(ev.toSeq === Seq((1, "update"), (2, "update"))) // id=3 suppressed
+  }
+
+  test("identical snapshots produce zero events") {
+    val s = Seq((1, "a"), (2, "b")).toDF("id", "x")
+    assert(CaptureDiff.classify(s, s, Seq("id")).isEmpty)
+  }
+
+  test("composite primary keys") {
+    val s1 = Seq((1, 1, "a"), (1, 2, "b")).toDF("k1", "k2", "x")
+    val s2 = Seq((1, 2, "b2"), (2, 1, "c")).toDF("k1", "k2", "x")
+    val ev = CaptureDiff.classify(s1, s2, Seq("k1", "k2"))
+      .select("k1", "k2", "audit_event").as[(Int, Int, String)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(ev.toSeq === Seq((1, 1, "delete"), (1, 2, "update"), (2, 1, "insert")))
+  }
+
+  test("output is a well-formed audit schema") {
+    val s1 = Seq((1, "a")).toDF("id", "x")
+    val s2 = Seq((2, "b")).toDF("id", "x")
+    val out = CaptureDiff.capture(s1, s2, Seq("id"), clock = fixed)
+    assert(AuditSchema.isAuditSchema(out.schema))
+    assert(AuditSchema.sourceColumns(out.schema) === Seq("id", "x"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+
+/** North-star ops: semantic unit tests against hand-computed expected
+  * values (the sf0.01 oracle compare covers scale; this covers edges).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the mat"),   // exact dup of 1
+    (3L, "the cat sat on that mat"),  // near dup
+    (4L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, canonical id = min doc_id") {
+    val out = Dedup.exact(docs).select("canonical_id", "n_copies")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("ngram jaccard finds the exact pair at threshold 1.0 and the " +
+    "near pair at 0.5") {
+    val strict = Dedup.ngramJaccard(docs, 1.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(strict.toSeq === Seq((1L, 2L)))
+    val loose = Dedup.ngramJaccard(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().sorted
+    // {the,cat,sat,on,mat} vs {the,cat,sat,on,that,mat}: J = 5/6 ≈ .83
+    assert(loose.toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhash LSH catches exact dups in every band; simhash of " +
+    "identical docs is identical") {
+    val pairs = Dedup.minhashLsh(docs, numHashes = 16, bands = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.contains((1L, 2L)))
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(4L))
+  }
+
+  test("cosine/dot on known vectors; bruteForceTopK ranks correctly") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (50L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, k = 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    // nearest to (1,0): 50 (cos≈.9988), then 1 (cos≈.9939), then 2 (0)
+    assert(top.toSeq === Seq((50L, 1), (1L, 2), (2L, 3)))
+  }
+
+  test("lshBucket is deterministic and in range [0, 2^planes)") {
+    val emb = Seq((0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(-0.5f)))
+      .toDF("vec_id", "embedding")
+    val b = emb.select(
+      Similarity.lshBucket(transform(col("embedding"), x => x.cast("double")),
+        planes = 4, dim = 64).as("b"))
+      .as[Long].collect()
+    assert(b.forall(x => x >= 0 && x < 16))
+    // opposite vectors land in complementary buckets (every plane flips)
+    assert(b(0) + b(1) === 15L)
+  }
+
+  test("languageId picks the stopword argmax with fixed tie precedence") {
+    val d = Seq(
+      (1L, "the cat and the dog"),      // en
+      (2L, "der hund und die katze"),   // de
+      (3L, "xyz qqq zzz")               // no hits -> first lang (en) wins tie
+    ).toDF("doc_id", "text")
+    val out = TextStats.languageId(d)
+      .select("doc_id", "pred_lang", "n_hits").as[(Long, String, Int)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "en", 3), (2L, "de", 3), (3L, "en", 0)))
+  }
+
+  test("quality + tokenCounts arithmetic on a known doc") {
+    val d = Seq((1L, "the the cat")).toDF("doc_id", "text")
+    val q = TextStats.quality(d)
+      .select("n_chars", "n_tokens", "n_distinct", "stopword_ratio")
+      .as[(Int, Int, Int, Double)].head()
+    assert(q === ((11, 3, 2, 2.0 / 3)))
+    val t = TextStats.tokenCounts(d)
+      .select("n_ws_tokens", "n_distinct_tokens", "n_bpe_est")
+      .as[(Int, Int, Long)].head()
+    assert(t === ((3, 2, 3L))) // ceil(11/4) = 3
+  }
+
+  test("fingerprint: identical docs share both fingerprints; shingle " +
+    "fp survives trailing-whitespace normalization differences") {
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d f"))
+      .toDF("doc_id", "text")
+    val fp = TextStats.fingerprint(d)
+      .select("doc_id", "content_fp", "shingle_fp")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(fp(0)._2 === fp(1)._2); assert(fp(0)._3 === fp(1)._3)
+    assert(fp(0)._2 !== fp(2)._2)
+  }
+
+  test("multimodal: RDD decode path agrees with the expression twin " +
+    "(same stub math, two execution paths)") {
+    val d = Seq((1L, "abc"), (2L, "a longer payload here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val viaRdd = Multimodal.decodeMeta(d, "payload")
+      .select("doc_id", "n_bytes", "width", "height", "n_frames")
+      .as[(Long, Long, Int, Int, Int)].collect().sortBy(_._1)
+    val viaExpr = d.select(col("doc_id") +: Multimodal.metaColumns(col("payload")): _*)
+      .as[(Long, Long, Int, Int, Int)].collect().sortBy(_._1)
+    assert(viaRdd.toSeq === viaExpr.toSeq)
+  }
+
+  test("sampleFrames explodes every k-th frame with deterministic hashes") {
+    val d = Seq((1L, "0123456789")).toDF("doc_id", "text") // 10 bytes -> 11 frames
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val frames = Multimodal.sampleFrames(d, "payload", everyK = 5)
+      .select("frame_idx").as[Int].collect().sorted
+    assert(frames.toSeq === Seq(0, 5, 10))
+  }
+}
