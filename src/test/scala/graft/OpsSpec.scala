@@ -51,7 +51,7 @@ class OpsSpec extends SparkSpec {
       (50L, Array(1.0f, 0.05f))
     ).toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(
-      emb.filter(col("vec_id") === 0), emb, k = 3)
+      emb.filter(col("vec_id") === 0), emb, k = 3, dim = 2)
       .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
     // nearest to (1,0): 50 (cos≈.9988), then 1 (cos≈.9939), then 2 (0)
     assert(top.toSeq === Seq((50L, 1), (1L, 2), (2L, 3)))
