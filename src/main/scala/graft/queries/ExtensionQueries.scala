@@ -25,8 +25,13 @@ object ExtensionQueries {
   def dedupNgram(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(docs(s, d), 0.8).orderBy("doc_a", "doc_b")
 
+  /** 16 minhashes in 2 bands of 8: collision probability ~ 1-(1-j^8)^2,
+    * a sharp knee near j=0.85 — the high-precision regime a dedup pass
+    * wants (wider bands on a highly-self-similar corpus flood the
+    * candidate set with sub-threshold pairs).
+    */
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLsh(docs(s, d), numHashes = 16, bands = 4).orderBy("doc_a", "doc_b")
+    Dedup.minhashLsh(docs(s, d), numHashes = 16, bands = 2).orderBy("doc_a", "doc_b")
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d)).orderBy("doc_id")
@@ -110,8 +115,8 @@ object ExtensionQueries {
         |    list_aggregate(list_transform(ts, t -> md5(k::VARCHAR || ':' || t)), 'min')) AS mh
         |  FROM toks),
         |banded AS (
-        |  SELECT doc_id, b, md5(array_to_string(mh[(b-1)*4+1:(b-1)*4+4], '|')) AS band_key
-        |  FROM sig, unnest(range(1,5)) AS u(b)),
+        |  SELECT doc_id, b, md5(array_to_string(mh[(b-1)*8+1:(b-1)*8+8], '|')) AS band_key
+        |  FROM sig, unnest(range(1,3)) AS u(b)),
         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM banded a JOIN banded b
         |    ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id)
