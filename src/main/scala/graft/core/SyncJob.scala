@@ -71,12 +71,35 @@ object SyncJob {
             pkCol: String = AuditSchema.PkCol): DataFrame =
     log.filter(col(pkCol) > lit(wm))
 
+  /** Column names of an existing CSV sink (header row), or None if the
+    * sink is empty/absent.
+    */
+  def sinkColumns(spark: SparkSession, sinkDir: String): Option[Seq[String]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(sinkDir)
+    if (!fs.exists(path)) return None
+    val files = fs.listStatus(path).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".csv"))
+    if (files.isEmpty) None
+    else Some(spark.read.options(CsvOptions).csv(sinkDir).columns.toSeq)
+  }
+
   /** One sync run for one table: read watermark from the sink, append
     * everything above it. Returns the number of rows delivered.
     * Idempotent: re-running with no new audit rows appends nothing.
+    *
+    * Fails fast if the sink's header no longer matches the log schema —
+    * the reference's wished-for drift check (README.md:210-212 known
+    * issue; todo README.md:222; SURVEY.md §1.2).
     */
   def syncTable(spark: SparkSession, log: DataFrame, sinkDir: String,
                 singleFile: Boolean = false): Long = {
+    sinkColumns(spark, sinkDir).foreach { cols =>
+      require(cols == log.columns.toSeq,
+        s"schema drift: sink $sinkDir has columns ${cols.mkString(",")} " +
+          s"but the audit log has ${log.columns.mkString(",")}")
+    }
     val wm    = watermark(spark, sinkDir)
     val fresh = above(log, wm)
     val n     = fresh.count()
@@ -98,16 +121,47 @@ object SyncJob {
   def syncAll(spark: SparkSession,
               logs: Map[String, DataFrame],
               sinkRoot: String,
-              include: Option[Set[String]] = None,
-              wipe: Boolean = false): Map[String, Long] = {
+              include: Option[Set[String]] = None): Map[String, Long] = {
     val selected = logs.filter { case (name, _) =>
       AuditSchema.isAuditTable(name) && include.forall(_.contains(name))
     }
     selected.map { case (name, log) =>
-      val delivered = syncTable(spark, log, s"$sinkRoot/$name")
-      // wipe AFTER the rows are safely in the sink, like the reference
-      // (write+close at :256-260 precedes delete at :262-264)
-      name -> delivered
+      name -> syncTable(spark, log, s"$sinkRoot/$name")
     }
+  }
+
+  /** The reference's "wipe" (`-w`) on a directory-backed parquet audit
+    * log: compact the log down to its single newest row
+    * (cdc_audit_sync_mysql.php:284-319). Spark rewrites immutable
+    * files, so this is compute-retained-set -> write-aside -> atomic
+    * swap; the reference's 100-row/1 s lock batching has no analog
+    * (SURVEY.md §4). Returns the number of rows retained (1, or 0 for
+    * an empty log).
+    */
+  def wipeLogDir(spark: SparkSession, logDir: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(logDir)
+    if (!fs.exists(dir)) return 0L
+    val log  = spark.read.parquet(logDir)
+    val kept = Retention.keepLastGlobal(log)
+    val tmp  = new org.apache.hadoop.fs.Path(logDir + ".wipe.tmp")
+    kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    fs.delete(dir, true)
+    fs.rename(tmp, dir)
+    n
+  }
+
+  /** Sync then wipe, for directory-backed audit logs — rows reach the
+    * sink BEFORE the log is compacted, preserving the reference's
+    * ordering (write+close at sync:256-260 precedes delete at
+    * :262-264).
+    */
+  def syncAndWipe(spark: SparkSession, logDir: String, sinkDir: String,
+                  singleFile: Boolean = false): (Long, Long) = {
+    val delivered = syncTable(spark, spark.read.parquet(logDir), sinkDir, singleFile)
+    val retained  = wipeLogDir(spark, logDir)
+    (delivered, retained)
   }
 }

@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.core.AuditSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source constructors for audit logs (SURVEY.md §2.1 S1-S5).
+  *
+  * Two physical homes for an audit table:
+  *
+  *  - **Parquet directory** (the lake-side log this engine writes):
+  *    `spark.read.parquet` — Catalyst pushes the watermark predicate
+  *    into the scan (row-group min/max pruning on `audit_pk`, which is
+  *    sorted by construction, makes incremental reads O(new data)).
+  *  - **JDBC** (the reference's home: a MySQL `<table>_audit` table
+  *    filled by the generated triggers, BASELINE.json
+  *    `spark_approach`): `spark.read.jdbc` with the watermark filter —
+  *    Spark pushes `audit_pk > wm` into the remote WHERE clause,
+  *    reproducing the reference's single pushed-down range scan
+  *    (`SELECT * WHERE audit_pk > :wm`, cdc_audit_sync_mysql.php:243).
+  *    For parallel extraction, partition on `audit_pk` bounds.
+  *
+  * (JDBC paths compile against the public DataFrameReader API; this
+  * container has no database to integration-test against — the parquet
+  * path is the tested one.)
+  */
+object AuditSource {
+
+  /** Parquet-backed audit log. */
+  def parquet(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Incremental parquet read above a watermark — filter sits on the
+    * scan, so parquet stats prune whole row groups.
+    */
+  def parquetAbove(spark: SparkSession, dir: String, wm: Long): DataFrame =
+    parquet(spark, dir).filter(col(AuditSchema.PkCol) > lit(wm))
+
+  /** JDBC audit-table read with the watermark pushed into the remote
+    * query, single-partition (the reference's exact access pattern).
+    */
+  def jdbcAbove(spark: SparkSession, url: String, table: String, wm: Long,
+                props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+      .filter(col(AuditSchema.PkCol) > lit(wm)) // pushed to remote WHERE
+
+  /** Parallel JDBC extraction: `numPartitions` range-partitioned
+    * sub-queries on `audit_pk` — how the single-node reference pattern
+    * scales out to a cluster pull.
+    */
+  def jdbcAboveParallel(spark: SparkSession, url: String, table: String,
+                        wm: Long, upper: Long, numPartitions: Int,
+                        props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, AuditSchema.PkCol,
+        lowerBound = wm + 1, upperBound = upper, numPartitions = numPartitions,
+        connectionProperties = props)
+      .filter(col(AuditSchema.PkCol) > lit(wm))
+
+  /** Table-set discovery over a directory of per-table logs: the
+    * sync-side catalog scan + audit filter (S2/P4) for the lake layout
+    * `<root>/<table>_audit/...`.
+    */
+  def discoverAuditDirs(spark: SparkSession, root: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(AuditSchema.isAuditTable).toSeq.sorted
+  }
+}

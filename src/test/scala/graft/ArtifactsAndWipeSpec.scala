@@ -1,0 +1,98 @@
+package graft
+
+import graft.codegen.{AuditArtifacts, ColumnMeta}
+import graft.core.SyncJob
+import graft.sources.AuditSource
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Generator file artifacts (S8-S10), directory wipe, drift check,
+  * source discovery.
+  */
+class ArtifactsAndWipeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cols = Seq(
+    ColumnMeta("id", "int(11)", nullable = false, isPrimaryKey = true),
+    ColumnMeta("v", "text", nullable = true))
+
+  test("generateAll bootstraps, cleans stale files, writes one artifact " +
+    "per selected source table") {
+    val out = tmpDir("gen")
+    Files.writeString(Paths.get(out, "old_table.audit.sql"), "stale")
+    val written = AuditArtifacts.generateAll(out,
+      Map("person" -> cols, "person_audit" -> cols, "acct" -> cols))
+    assert(written.map(_.getFileName.toString).sorted ===
+      Seq("acct.audit.sql", "person.audit.sql"))
+    assert(!Files.exists(Paths.get(out, "old_table.audit.sql")))
+    val content = Files.readString(Paths.get(out, "person.audit.sql"))
+    assert(content.contains("create table if not exists `person_audit`"))
+    assert(content.contains("CREATE TRIGGER `person_after_delete`"))
+  }
+
+  test("cleanStale with include list deletes ONLY included tables' files " +
+    "(the reference's intent, not its prefix-compare bug — SURVEY.md §7.4.6)") {
+    val out = tmpDir("gen2")
+    Files.writeString(Paths.get(out, "a.audit.sql"), "x")
+    Files.writeString(Paths.get(out, "b.audit.sql"), "x")
+    val deleted = AuditArtifacts.cleanStale(out, include = Some(Set("a")))
+    assert(deleted === Seq("a.audit.sql"))
+    assert(Files.exists(Paths.get(out, "b.audit.sql")))
+  }
+
+  private def mkLogDir(pks: Range): String = {
+    val dir = tmpDir("log")
+    pks.map(i => (i, s"row$i", "insert"))
+      .toDF("id", "x", "audit_event")
+      .withColumn("audit_timestamp", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .withColumn("audit_pk", col("id").cast("long"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("wipeLogDir compacts the log to its single max-pk row " +
+    "(wipe post-condition, sync:304-308)") {
+    val dir = mkLogDir(1 to 50)
+    assert(SyncJob.wipeLogDir(spark, dir) === 1L)
+    val after = spark.read.parquet(dir).select("audit_pk").as[Long].collect()
+    assert(after.toSeq === Seq(50L))
+  }
+
+  test("syncAndWipe: rows reach the sink before the log is compacted") {
+    val dir = mkLogDir(1 to 20)
+    val sink = tmpDir("sink")
+    val (delivered, retained) = SyncJob.syncAndWipe(spark, dir, sink, singleFile = true)
+    assert(delivered === 20L && retained === 1L)
+    // sink has all 20; a re-sync from the compacted log delivers nothing
+    assert(SyncJob.watermark(spark, sink) === 20L)
+    val (d2, r2) = SyncJob.syncAndWipe(spark, dir, sink, singleFile = true)
+    assert(d2 === 0L && r2 === 1L)
+  }
+
+  test("syncTable fails fast on sink schema drift (README.md:222 intent)") {
+    val dir = mkLogDir(1 to 5)
+    val sink = tmpDir("sink2")
+    SyncJob.syncTable(spark, spark.read.parquet(dir), sink, singleFile = true)
+    val drifted = spark.read.parquet(dir)
+      .withColumnRenamed("x", "renamed")
+    intercept[IllegalArgumentException] {
+      SyncJob.syncTable(spark, drifted, sink, singleFile = true)
+    }
+  }
+
+  test("discoverAuditDirs finds audit-table dirs by substring, sorted") {
+    val root = tmpDir("root")
+    Files.createDirectories(Paths.get(root, "b_audit"))
+    Files.createDirectories(Paths.get(root, "a_audit"))
+    Files.createDirectories(Paths.get(root, "plain"))
+    assert(AuditSource.discoverAuditDirs(spark, root) === Seq("a_audit", "b_audit"))
+  }
+
+  test("parquetAbove pushes the watermark filter to the scan") {
+    val dir = mkLogDir(1 to 100)
+    val df = AuditSource.parquetAbove(spark, dir, 90L)
+    assert(df.count() === 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("audit_pk"))
+  }
+}
