@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over the change/event stream —
+  * the Structured Streaming extension surface (SURVEY.md §2.8: windows
+  * and stateful ops are "built-in for extensions"; this is that
+  * extension, exercised by StreamingOpsSpec with MemoryStream).
+  *
+  * Scale notes: all operators are keyed by user/table so state
+  * partitions horizontally; watermarks bound state size (late events
+  * beyond the watermark are dropped, which the CORE pipeline never
+  * needs — audit_pk ordering makes late data impossible by
+  * construction — but generic event analytics does).
+  */
+object EventStreamOps {
+
+  /** Tumbling-window per-event-type counts with a watermark: the
+    * standard streaming aggregation. Emits (window, event_type, n).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String = "ts",
+                     window_ : String = "10 minutes",
+                     lateness: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** One user's live session state. */
+  case class SessionState(nEvents: Long, lastEventId: Long)
+  /** Emitted when a session closes (gap exceeded) or times out. */
+  case class SessionOut(userId: Long, nEvents: Long, lastEventId: Long)
+  /** Minimal event shape for the stateful pipeline. */
+  case class Ev(userId: Long, eventId: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: a
+    * session closes when the incoming event's id gap exceeds
+    * `maxGap` (the batch twin is AnalyticsQueries.sessionize — same
+    * semantics, checkpointable state here).
+    *
+    * @param idleTimeout when Some(duration), idle users' sessions are
+    *        flushed via ProcessingTimeTimeout (production setting;
+    *        tests use None so micro-batches stay deterministic and the
+    *        trigger loop stops when the source drains)
+    */
+  def sessionizeStream(events: Dataset[Ev], maxGap: Long = 100L,
+                       idleTimeout: Option[String] = None): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(userId, s.nEvents, s.lastEventId)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            evs.toSeq.sortBy(_.eventId).foreach { e =>
+              cur match {
+                case Some(s) if e.eventId - s.lastEventId <= maxGap =>
+                  cur = Some(SessionState(s.nEvents + 1, e.eventId))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.nEvents, s.lastEventId)
+                  cur = Some(SessionState(1L, e.eventId))
+                case None =>
+                  cur = Some(SessionState(1L, e.eventId))
+              }
+            }
+            cur.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming per-key latest-state view (the CDC "current state"
+    * materialization as a stream): groupBy key + max_by(audit_pk),
+    * output mode Update/Complete. One stateful aggregation, partition
+    * by key.
+    */
+  def latestStateStream(audit: DataFrame, keys: Seq[String],
+                        pkCol: String = "audit_pk"): DataFrame = {
+    val others = audit.schema.fieldNames.filterNot(keys.contains)
+    audit.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(pkCol)).as("__row"))
+      .select(keys.map(col) ++ others.map(c => col(s"__row.$c")): _*)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.streaming.EventStreamOps
+import graft.streaming.EventStreamOps.{Ev, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming event operators driven through MemoryStream. */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowedCounts: tumbling windows + watermark aggregate correctly " +
+    "under AvailableNow-style processing") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val q = EventStreamOps.windowedCounts(df, window_ = "10 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+      mem.addData((t(1), "click"), (t(2), "click"), (t(3), "view"), (t(12), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select(col("window.start").cast("string"), col("event_type"), col("n"))
+        .as[(String, String, Long)].collect().sorted
+      assert(rows.toSeq === Seq(
+        ("2020-01-01 10:00:00", "click", 2L),
+        ("2020-01-01 10:00:00", "view", 1L),
+        ("2020-01-01 10:10:00", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: closes a session when the id gap exceeds " +
+    "maxGap, keeps the live one in state") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreamOps.sessionizeStream(mem.toDS(), maxGap = 10L)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events 1,5,8 (one session) then 100 -> closes first session
+      // user 2: single event, stays open in state
+      mem.addData(Ev(1, 1), Ev(1, 5), Ev(1, 8), Ev(2, 50))
+      q.processAllAvailable()
+      mem.addData(Ev(1, 100))
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[SessionOut].collect()
+      assert(closed.toSeq === Seq(SessionOut(1L, 3L, 8L)))
+    } finally q.stop()
+  }
+
+  test("latestStateStream matches the batch latest-state result on the " +
+    "same (bounded) input") {
+    val audit = Seq(
+      (1L, "a1", 1L), (1L, "a2", 3L), (2L, "b1", 2L)
+    ).toDF("user_id", "x", "audit_pk")
+    val out = EventStreamOps.latestStateStream(audit, Seq("user_id"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "a2", 3L), (2L, "b1", 2L)))
+  }
+}
