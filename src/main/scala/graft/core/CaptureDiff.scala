@@ -68,7 +68,11 @@ object CaptureDiff {
                pk: Seq[String]): DataFrame = {
     val o = oldSnap.alias("o")
     val n = newSnap.alias("n")
-    val joinCond = pk.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    // plain equality, not null-safe: PKs are non-null by definition
+    // (the presence tests below already rely on that), and an
+    // equi-join keeps the plan bucket-join compatible (co-located
+    // snapshots join without an Exchange — see AuditLake)
+    val joinCond = pk.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
     val joined = o.join(n, joinCond, "full_outer")
 
     val cols    = oldSnap.schema.fieldNames.toSeq
