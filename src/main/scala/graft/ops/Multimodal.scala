@@ -69,6 +69,45 @@ object Multimodal {
       (n % 30 + 1).cast("int").as("n_frames"))
   }
 
+  /** Resize plumbing: a metadata-level resize-to-fit (max edge) that
+    * preserves the stubbed aspect ratio with integer arithmetic —
+    * deterministic in any engine. A real implementation would resize
+    * pixels in the per-partition decode pass; the dimension math here
+    * is the part the pipeline schema depends on.
+    */
+  def resizeMeta(df: DataFrame, maxEdge: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scaleNum = lit(maxEdge)
+    df.withColumn("out_width",
+        when(longest <= maxEdge, col("width"))
+          .otherwise((col("width") * scaleNum / longest).cast("int")))
+      .withColumn("out_height",
+        when(longest <= maxEdge, col("height"))
+          .otherwise((col("height") * scaleNum / longest).cast("int")))
+  }
+
+  /** STUB feature extraction: a deterministic 4-dim feature vector
+    * from the payload bytes (prime-modular arithmetic on the length —
+    * a real extractor would run the model in the mapPartitions pass).
+    * Expression form, so it composes with [[metaColumns]].
+    */
+  def featureColumns(bin: Column, dims: Int = 4): Seq[Column] = {
+    val primes = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+    val n = length(bin).cast("long")
+    (0 until dims).map(d =>
+      (((n * primes(d % primes.length)) % 1000L).cast("double") / 1000.0)
+        .as(s"f$d"))
+  }
+
+  /** RDD twin of [[featureColumns]] — same math in the per-partition
+    * decode pass (where a real model would batch-infer).
+    */
+  def featureStub(bytes: Array[Byte], dims: Int = 4): Seq[Double] = {
+    val primes = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+    val n = bytes.length.toLong
+    (0 until dims).map(d => ((n * primes(d % primes.length)) % 1000L).toDouble / 1000.0)
+  }
+
   /** Frame-sampling plumbing: explode a video-ish payload into
     * `n_frames` (stubbed) frame descriptors — demonstrates the
     * row-explosion path (sample every k-th frame) without a codec.

@@ -117,6 +117,23 @@ class OpsSpec extends SparkSpec {
     assert(viaRdd.toSeq === viaExpr.toSeq)
   }
 
+  test("resizeMeta preserves small media, scales the long edge to fit") {
+    val d = Seq((1L, 320, 240), (2L, 1280, 480)).toDF("doc_id", "width", "height")
+    val out = Multimodal.resizeMeta(d, maxEdge = 640)
+      .select("doc_id", "out_width", "out_height")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 320, 240), (2L, 640, 240)))
+  }
+
+  test("featureColumns and featureStub agree (expression vs decode-pass math)") {
+    val d = Seq((1L, "abcdef")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val viaExpr = d.select(Multimodal.featureColumns(col("payload")): _*)
+      .as[(Double, Double, Double, Double)].head()
+    val viaStub = Multimodal.featureStub("abcdef".getBytes)
+    assert(Seq(viaExpr._1, viaExpr._2, viaExpr._3, viaExpr._4) === viaStub)
+  }
+
   test("sampleFrames explodes every k-th frame with deterministic hashes") {
     val d = Seq((1L, "0123456789")).toDF("doc_id", "text") // 10 bytes -> 11 frames
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
