@@ -1,0 +1,123 @@
+package graft
+
+import graft.core.{CaptureDiff, Replay}
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+/** Property tests over seeded random inputs (SURVEY.md §5.3):
+  * capture/replay round-trips and capture compositionality over random
+  * DML histories; dedup physical-path equivalence on random corpora.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixed = lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+
+  private case class Tbl(rows: Map[Int, (Int, String)])
+
+  private def genTable(ids: Range, seed: Long): Map[Int, (Int, String)] = {
+    val rnd = new scala.util.Random(seed)
+    ids.map(i => i -> (rnd.nextInt(100), s"s${rnd.nextInt(20)}")).toMap
+  }
+
+  private def mutate(t: Map[Int, (Int, String)], seed: Long,
+                     nextId: Int): Map[Int, (Int, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val survivors = t.filterNot(_ => rnd.nextDouble() < 0.2)
+    val updated = survivors.map { case (k, (a, b)) =>
+      if (rnd.nextDouble() < 0.3) k -> (rnd.nextInt(100), b) else k -> (a, b)
+    }
+    val inserts = (nextId until nextId + rnd.nextInt(20))
+      .map(i => i -> (rnd.nextInt(100), s"new$i"))
+    updated ++ inserts
+  }
+
+  private def toDf(t: Map[Int, (Int, String)]) =
+    t.toSeq.map { case (k, (a, b)) => (k, a, b) }.toDF("id", "a", "b")
+
+  private def replayOnto(base: Map[Int, (Int, String)],
+                         log: org.apache.spark.sql.DataFrame) = {
+    val baseDf = toDf(base)
+      .withColumn("audit_event", lit("insert"))
+      .withColumn("audit_timestamp", fixed)
+      .withColumn("audit_pk", lit(0L))
+    Replay.toState(baseDf.unionByName(log), Seq("id"))
+      .as[(Int, Int, String)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+  }
+
+  test("property: replay(s1, capture(s1,s2)) == s2 across random DML " +
+    "histories (10 seeds)") {
+    for (seed <- 1L to 10L) {
+      val s1 = genTable(1 to 150, seed)
+      val s2 = mutate(s1, seed * 31, 1000)
+      val diff = CaptureDiff.capture(toDf(s1), toDf(s2), Seq("id"), clock = fixed)
+      assert(replayOnto(s1, diff) === s2, s"seed=$seed")
+    }
+  }
+
+  test("property: composing capture(s1,s2) + capture(s2,s3) replays to " +
+    "the same state as capture(s1,s3) (5 seeds)") {
+    for (seed <- 11L to 15L) {
+      val s1 = genTable(1 to 120, seed)
+      val s2 = mutate(s1, seed * 7, 2000)
+      val s3 = mutate(s2, seed * 13, 3000)
+      val d12 = CaptureDiff.capture(toDf(s1), toDf(s2), Seq("id"), clock = fixed)
+      val n12 = d12.count()
+      // second leg sequenced above the first (watermark resume)
+      val d23 = CaptureDiff.capture(toDf(s2), toDf(s3), Seq("id"),
+        clock = fixed, basePk = n12)
+      val viaChain  = replayOnto(s1, d12.unionByName(d23))
+      val viaDirect = replayOnto(s1,
+        CaptureDiff.capture(toDf(s1), toDf(s3), Seq("id"), clock = fixed))
+      assert(viaChain === s3, s"chain seed=$seed")
+      assert(viaDirect === s3, s"direct seed=$seed")
+    }
+  }
+
+  test("property: sequenced audit_pk stays dense across capture " +
+    "re-runs with watermark offsets") {
+    val s1 = genTable(1 to 80, 99L)
+    val s2 = mutate(s1, 100L, 500)
+    val s3 = mutate(s2, 101L, 600)
+    val d12 = CaptureDiff.capture(toDf(s1), toDf(s2), Seq("id"), clock = fixed)
+    val n12 = d12.count()
+    val d23 = CaptureDiff.capture(toDf(s2), toDf(s3), Seq("id"), clock = fixed,
+      basePk = n12)
+    val pks = d12.unionByName(d23).select("audit_pk").as[Long].collect().sorted
+    assert(pks.toSeq === (1L to pks.length))
+  }
+
+  test("ngramJaccard: prefix path (vocab > 64) and bitmask path " +
+    "(vocab <= 64) agree with a naive all-pairs computation") {
+    val rnd = new scala.util.Random(7)
+    // large vocab -> forces the PPJoin prefix path
+    val bigVocab = (1 to 120).map(i => s"w$i")
+    val docsBig = (1L to 40L).map { id =>
+      val n = 5 + rnd.nextInt(15)
+      (id, rnd.shuffle(bigVocab).take(n).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    def naive(df: org.apache.spark.sql.DataFrame, t: Double) = {
+      val toks = df.as[(Long, String)].collect()
+        .map { case (id, s) => id -> s.split(" ").toSet }.sortBy(_._1)
+      (for {
+        (ia, sa) <- toks; (ib, sb) <- toks if ia < ib
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= t
+      } yield (ia, ib)).toSeq.sorted
+    }
+    val sparkPairs = Dedup.ngramJaccard(docsBig, 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(sparkPairs === naive(docsBig, 0.3))
+
+    // small vocab -> bitmask path, same contract
+    val smallVocab = (1 to 30).map(i => s"v$i")
+    val docsSmall = (1L to 40L).map { id =>
+      val n = 3 + rnd.nextInt(10)
+      (id, rnd.shuffle(smallVocab).take(n).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sparkSmall = Dedup.ngramJaccard(docsSmall, 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(sparkSmall === naive(docsSmall, 0.3))
+  }
+}
