@@ -29,4 +29,15 @@ object Replay {
       .filter(col(AuditSchema.EventCol) =!= "delete")
       .select(AuditSchema.sourceColumns(log.schema).map(col): _*)
   }
+
+  /** Time travel: the table state as of sequence point `asOfPk` —
+    * replay of the log prefix `audit_pk <= asOfPk`. The prefix filter
+    * sits on the scan (parquet stats prune everything after the
+    * as-of point, since the log is written in pk order), then the
+    * same single hash-aggregate as [[toState]]. This is the
+    * capability the audit log exists for (README.md:29-41: "recreate
+    * the source table as it appeared at any given point in time").
+    */
+  def stateAsOf(log: DataFrame, pk: Seq[String], asOfPk: Long): DataFrame =
+    toState(log.filter(col(AuditSchema.PkCol) <= asOfPk), pk)
 }

@@ -94,6 +94,24 @@ object CdcQueries {
     Replay.toState(log, Seq("user_id")).orderBy("user_id")
   }
 
+  /** Time travel (README.md:29-41): state of the event-log fold as of
+    * the log's midpoint sequence number — half the history replayed,
+    * the rest pruned at the scan.
+    */
+  def stateAsOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val log = ev.select(
+      col("user_id"), col("value"), col("props"),
+      when(col("event_type") === "error", lit("delete"))
+        .otherwise(lit("update")).as(AuditSchema.EventCol),
+      col("ts").as(AuditSchema.TimestampCol),
+      col("event_id").as(AuditSchema.PkCol))
+    // explicit floor: Spark's double->long cast truncates but DuckDB's
+    // CAST rounds — floor() makes both sides identical on odd maxima
+    val mid = ev.agg(floor(max(col("event_id")) / 2).cast("long")).head().getLong(0)
+    Replay.stateAsOf(log, Seq("user_id"), mid).orderBy("user_id")
+  }
+
   /** Per-key wipe statistics: what a per-key retention pass would
     * delete vs keep (W1 per-key variant).
     */
@@ -159,7 +177,19 @@ object CdcQueries {
         |WHERE rn = 1 AND audit_event <> 'delete' ORDER BY user_id""".stripMargin,
     "q_retention_wipe" ->
       """SELECT user_id, count(*) - 1 AS n_wiped, max(event_id) AS kept_pk
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_state_asof" ->
+      """WITH prefix AS (
+        |  SELECT user_id, value, props,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS audit_event,
+        |    event_id
+        |  FROM events
+        |  WHERE event_id <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events))
+        |SELECT user_id, value, props FROM (
+        |  SELECT user_id, value, props, audit_event,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM prefix) t
+        |WHERE rn = 1 AND audit_event <> 'delete' ORDER BY user_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -170,6 +200,7 @@ object CdcQueries {
     "q_keep_last"      -> (keepLast _),
     "q_latest_state"   -> (latestState _),
     "q_replay"         -> (replay _),
-    "q_retention_wipe" -> (retentionWipe _)
+    "q_retention_wipe" -> (retentionWipe _),
+    "q_state_asof"     -> (stateAsOf _)
   )
 }
