@@ -15,14 +15,15 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * Two implementations (SURVEY.md §4, §7.4.1):
   *
   *  - [[assign]] — scale path. Global range-sort on the order columns,
-  *    then `zipWithIndex`-style per-partition offsets: Spark's
-  *    `RDD.zipWithIndex` runs one lightweight count job over the sorted
-  *    partitions to compute cumulative offsets, then stamps indexes
-  *    per-partition in parallel. No single-partition bottleneck — this
-  *    is exactly the "per-partition counts -> cumulative offsets"
-  *    design the survey calls for, and it scales to 100 TB because the
-  *    sort is a range-partitioned exchange (N-way parallel) and the
-  *    stamping is embarrassingly parallel.
+  *    then `RDD.zipWithIndex` per-partition offsets: one lightweight
+  *    count job over the sorted partitions computes cumulative
+  *    offsets, then indexes stamp per-partition in parallel. No
+  *    single-partition bottleneck. The RDD hop is deliberate: a pure
+  *    Catalyst formulation (spark_partition_id + offset join) is
+  *    UNSOUND under AQE, which may coalesce the range exchange
+  *    differently in the count job and the stamping job, silently
+  *    remapping partition ids between the two — zipWithIndex walks one
+  *    materialized RDD, so its two jobs always agree.
   *
   *  - [[assignWindowed]] — small-data path with whole-stage-codegen:
   *    `row_number()` over an un-partitioned window. Spark plans this as
