@@ -107,6 +107,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_q")
   }
 
+  /** IVF-Flat ANN top-k: an inverted-file index with a deterministic
+    * coarse quantizer.
+    *
+    * Structure (the real IVF pipeline): pick centroids; assign every
+    * corpus vector to its nearest centroid (the posting lists); a
+    * query probes its own nearest centroid's list only (nprobe=1) and
+    * ranks candidates exactly. Production systems train the centroids
+    * with k-means and probe several lists; here the quantizer is the
+    * deterministic subset `id % centroidStride == 0` so the oracle can
+    * reproduce the index bit-for-bit — the dataflow (build lists =
+    * one broadcast-assign pass + one shuffle on centroid_id; search =
+    * equi-join on centroid_id) is exactly the 100 TB shape, and
+    * nearest-centroid assignment uses the same quantized-cosine
+    * ranking as the search itself.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroidStride: Int = 37, dim: Int = 64,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cent = corpus.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
+
+    def nearestCentroid(df: DataFrame, id: String, v: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(id))
+        .orderBy(col("c_cos").desc, col("centroid_id"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("c_cos", floor(cosineD(col(v), col("centv"), dim) * 10000).cast("long"))
+        .withColumn("c_rn", row_number().over(w))
+        .filter(col("c_rn") === 1)
+        .drop("centv", "c_cos", "c_rn")
+    }
+
+    val c = nearestCentroid(
+      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")),
+      "neighbor_id", "cv")
+    val q = nearestCentroid(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),
+      "query_id", "qv")
+
+    val scored = c.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_q", floor(cosineD(col("qv"), col("cv"), dim) * 10000).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_q")
+  }
+
   /** LSH-bucketed ANN top-k: candidates are bucket-mates only. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Int = 8, dim: Int = 64,
