@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation building blocks (SCALING.md "Skew"): AQE handles
+  * sort-merge-join skew automatically, but aggregation hot keys and
+  * broadcast-side fan-out still need manual salting at 100 TB. Both
+  * forms here are deterministic (salt = pmod(hash(...), k), no RNG) so
+  * results are reproducible and oracle-comparable.
+  */
+object Skew {
+
+  /** Two-phase (salted) aggregation: groupBy(keys + salt) partial ->
+    * groupBy(keys) final. A hot key's rows spread over `salts`
+    * reducers in phase 1 instead of melting one task. Supports the
+    * algebraic aggregates the CDC pipeline uses (count/sum/min/max —
+    * pass the phase-2 merge for each phase-1 column).
+    *
+    * The salt derives from a deterministic hash of `saltSource` (e.g.
+    * a unique row id) — NOT from rand(), so re-runs and retries agree.
+    */
+  def twoPhaseAgg(df: DataFrame, keys: Seq[String], saltSource: Column,
+                  salts: Int,
+                  phase1: Seq[Column], phase2: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(phase1.head, phase1.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(phase2.head, phase2.tail: _*)
+  }
+
+  /** Salted equi-join for a skewed LEFT side against a small RIGHT
+    * side: the right side is replicated `salts` times (it is small —
+    * that is why it is the dimension side), the left side picks one
+    * replica deterministically, so a hot join key's rows land on
+    * `salts` different reducers.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltSource: Column, salts: Int): DataFrame = {
+    val l = large.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(s, keys :+ "__salt").drop("__salt")
+  }
+}

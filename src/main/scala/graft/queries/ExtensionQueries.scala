@@ -93,7 +93,54 @@ object ExtensionQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Column profiling (exact): long/string columns only in the oracle
+    * set — numeric-to-string casts format identically for integers and
+    * strings in both engines (doubles would not).
+    */
+  def profile(s: SparkSession, d: String): DataFrame =
+    Profile.exact(Tables.lineitem(s, d),
+      Seq("l_orderkey", "l_returnflag", "l_linestatus")).orderBy("col_name")
+
+  /** HLL profiling (scale path) — no SQL oracle (sketches are
+    * engine-specific); the driver records a rows-only check.
+    */
+  def profileApprox(s: SparkSession, d: String): DataFrame =
+    Profile.approx(Tables.lineitem(s, d),
+      Seq("l_orderkey", "l_returnflag", "l_partkey")).orderBy("col_name")
+
+  /** Deterministic salted two-phase aggregation: same result as a
+    * plain GROUP BY (the oracle computes that), hot keys spread over 8
+    * phase-1 reducers. min/max/count only — fully order-independent.
+    */
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    Skew.twoPhaseAgg(
+      Tables.events(s, d), Seq("event_type"), col("event_id"), salts = 8,
+      phase1 = Seq(count(lit(1)).as("pc"), min(col("value")).as("pmin"),
+        max(col("value")).as("pmax")),
+      phase2 = Seq(sum(col("pc")).as("n"), min(col("pmin")).as("min_value"),
+        max(col("pmax")).as("max_value")))
+      .orderBy("event_type")
+
   val oracle: Map[String, String] = Map(
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(l_orderkey) AS n_nonnull, count(DISTINCT l_orderkey) AS n_distinct,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_val, CAST(max(l_orderkey) AS VARCHAR) AS max_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*), count(l_returnflag), count(DISTINCT l_returnflag),
+        |    CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', count(*), count(l_linestatus), count(DISTINCT l_linestatus),
+        |    CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n, min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
         |  count(*) AS n_copies
@@ -293,6 +340,9 @@ object ExtensionQueries {
     "q_token_counts"    -> (tokenCounts _),
     "q_fingerprint"     -> (fingerprint _),
     "q_multimodal_meta" -> (multimodalMeta _),
-    "q_frame_sample"    -> (frameSample _)
+    "q_frame_sample"    -> (frameSample _),
+    "q_profile"         -> (profile _),
+    "q_profile_approx"  -> (profileApprox _), // rows-only (no oracle)
+    "q_salted_agg"      -> (saltedAgg _)
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.{Profile, Skew}
+import org.apache.spark.sql.functions._
+
+/** Salted aggregation/join equivalence and profile correctness. */
+class SkewProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def skewed = (1 to 5000).map { i =>
+    // 80% of rows share one hot key
+    (if (i % 5 == 0) s"k${i % 50}" else "HOT", i.toLong, i * 1.5)
+  }.toDF("k", "id", "v")
+
+  test("twoPhaseAgg == direct groupBy for count/sum/min/max on a hot key") {
+    val direct = skewed.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    val salted = Skew.twoPhaseAgg(skewed, Seq("k"), col("id"), salts = 16,
+      phase1 = Seq(count(lit(1)).as("pc"), sum(col("id")).as("ps"),
+        min(col("v")).as("pmn"), max(col("v")).as("pmx")),
+      phase2 = Seq(sum(col("pc")).as("n"), sum(col("ps")).as("s"),
+        min(col("pmn")).as("mn"), max(col("pmx")).as("mx")))
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(salted.toSeq === direct.toSeq)
+  }
+
+  test("saltedJoin == plain join against a small dimension") {
+    val dim = Seq(("HOT", "hot!"), ("k5", "five")).toDF("k", "label")
+    val plain = skewed.join(dim, Seq("k")).select("k", "id", "label")
+      .as[(String, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val salted = Skew.saltedJoin(skewed, dim, Seq("k"), col("id"), salts = 8)
+      .select("k", "id", "label")
+      .as[(String, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("Profile.exact computes counts/nulls/distincts/min/max per column") {
+    val df = Seq((1, Some("a")), (2, Some("b")), (3, None), (4, Some("a")))
+      .toDF("id", "s")
+    val p = Profile.exact(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect().sortBy(_._1)
+    assert(p.toSeq === Seq(
+      ("id", 4L, 4L, 4L, "1", "4"),
+      ("s", 4L, 3L, 2L, "a", "b")))
+  }
+
+  test("Profile.approx keeps the same shape with estimated distincts") {
+    val df = Seq.tabulate(1000)(i => (i, s"v${i % 97}")).toDF("id", "s")
+    val p = Profile.approx(df, Seq("s")).collect().head
+    assert(p.getString(0) === "s" && p.getLong(1) === 1000L)
+    val est = p.getLong(3)
+    assert(est > 80 && est < 115) // HLL at 5% rsd around 97
+  }
+}
