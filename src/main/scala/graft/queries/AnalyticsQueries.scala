@@ -123,8 +123,8 @@ object AnalyticsQueries {
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
   }
 
-  /** Set ops: BUILDING-segment customers EXCEPT big spenders, plus the
-    * INTERSECT count — §2.6 coverage (set semantics in both engines).
+  /** Set op: BUILDING-segment customers EXCEPT big spenders — §2.6
+    * coverage (set semantics match in both engines).
     */
   def setOps(s: SparkSession, dir: String): DataFrame = {
     val building = Tables.customer(s, dir)
@@ -133,6 +133,19 @@ object AnalyticsQueries {
       .filter(col("o_totalprice") > 300000.0)
       .select(col("o_custkey").as("c_custkey"))
     building.except(bigSpenders).orderBy("c_custkey")
+  }
+
+  /** Set op: INTERSECT of the same two sets, via a three-branch union
+    * pipeline (unionByName is how multi-branch capture streams merge,
+    * SURVEY.md §2.6).
+    */
+  def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bigSpenders = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(bigSpenders).orderBy("c_custkey")
   }
 
   /** Sessionization (batch): per-user runs of events whose event_id
@@ -181,6 +194,11 @@ object AnalyticsQueries {
     "q_set_ops" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
         |ORDER BY c_custkey""".stripMargin,
     "q_sessionize" ->
@@ -251,6 +269,7 @@ object AnalyticsQueries {
     "q_anti_join"           -> (noHighValueOrder _),
     "q_rollup_revenue"      -> (revenueRollup _),
     "q_set_ops"             -> (setOps _),
+    "q_set_intersect"       -> (setIntersect _),
     "q_sessionize"          -> (sessionize _),
     "q_big_orders"          -> (bigOrders _)
   )
