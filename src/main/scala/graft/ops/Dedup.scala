@@ -138,6 +138,27 @@ object Dedup {
       k => array_min(transform(tokens,
         t => md5(concat(k.cast("string"), lit(":"), t)))))
 
+  /** Dictionary-precomputed twin of [[minhashSignature]] for a known
+    * small vocabulary: the driver hashes vocab x numHashes once
+    * (java.security MD5 produces the same lowercase hex as Spark's
+    * md5), executors do literal-map lookups instead of per-row md5 —
+    * the same small-domain dictionary encoding as the jaccard bitmask
+    * path. Values are bit-identical to [[minhashSignature]].
+    */
+  def minhashSignatureDict(tokens: Column, numHashes: Int,
+                           vocab: Array[String]): Column = {
+    val mdHex = { (s: String) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val maps = (1 to numHashes).map { k =>
+      typedlit(vocab.map(t => t -> mdHex(s"$k:$t")).toMap)
+    }
+    array(maps.map(m =>
+      array_min(transform(tokens, t => element_at(m, t)))): _*)
+  }
+
   /** MinHash + LSH banding: signature of `numHashes`, split into
     * `bands` bands; docs sharing any band key are candidate near-dups.
     * One shuffle on (band index, band key) — never all-pairs.
@@ -146,9 +167,15 @@ object Dedup {
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val rows = numHashes / bands
-    val sig = docs.select(
-      col(idCol).as("doc_id"),
-      minhashSignature(tokenSet(col(textCol)), numHashes).as("mh"))
+    // small global vocabulary -> precompute the hash dictionary on the
+    // driver (same adaptive strategy as ngramJaccard's bitmask path)
+    val vocabProbe = docs.select(explode(tokenSet(col(textCol))).as("tok"))
+      .distinct().limit(257).collect().map(_.getString(0))
+    val signature =
+      if (vocabProbe.length <= 256)
+        minhashSignatureDict(tokenSet(col(textCol)), numHashes, vocabProbe)
+      else minhashSignature(tokenSet(col(textCol)), numHashes)
+    val sig = docs.select(col(idCol).as("doc_id"), signature.as("mh"))
     // one pass: explode the band index alongside the signature (no
     // rejoin), then hash each band's slice
     val banded = sig.select(
