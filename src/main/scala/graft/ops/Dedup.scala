@@ -259,11 +259,15 @@ object Dedup {
     val e = emb.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("bucket", Similarity.lshBucket(col("v"), planes, dim))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
+      .withColumn("nrm", Similarity.norm(col("v"), dim))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", Similarity.cosineD(col("va"), col("vb"), dim))
+      .withColumn("cos",
+        Similarity.dotD(col("va"), col("vb"), dim) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"),
         floor(col("cos") * 10000).cast("long").as("cos_q"))

@@ -87,6 +87,18 @@ object Similarity {
   private def asDouble(vec: Column): Column =
     transform(vec, x => x.cast("double"))
 
+  /** Per-vector norm, hoisted: computing `sqrt(v.v)` once per VECTOR
+    * instead of inside every pair's cosine cuts the pair-join flops 3x
+    * (and the codegen size with it). `dot/(sqrt(a.a)*sqrt(b.b))` and
+    * `dot/(norm_a*norm_b)` are the same doubles — per-vector sqrt is
+    * deterministic — so oracle parity is unaffected.
+    */
+  def norm(v: Column, dim: Int): Column = sqrt(dotD(v, v, dim))
+
+  /** Quantized cosine from precomputed norms. */
+  def cosQ(a: Column, b: Column, na: Column, nb: Column, dim: Int): Column =
+    floor(dotD(a, b, dim) / (na * nb) * 10000).cast("long")
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ranked by (cos desc, id asc). The query
     * side is broadcast — corpus never shuffles.
@@ -96,9 +108,11 @@ object Similarity {
                      vecCol: String = "embedding",
                      dim: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv"), dim))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv"), dim))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_q", floor(cosineD(col("qv"), col("cv"), dim) * 10000).cast("long"))
+      .withColumn("cos_q", cosQ(col("qv"), col("cv"), col("qn"), col("cn"), dim))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_q").desc, col("neighbor_id"))
@@ -128,28 +142,31 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val cent = corpus.filter(col(idCol) % centroidStride === 0)
       .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
+      .withColumn("centn", norm(col("centv"), dim))
 
-    def nearestCentroid(df: DataFrame, id: String, v: String): DataFrame = {
+    def nearestCentroid(df: DataFrame, id: String, v: String, n: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(id))
         .orderBy(col("c_cos").desc, col("centroid_id"))
       df.crossJoin(broadcast(cent))
-        .withColumn("c_cos", floor(cosineD(col(v), col("centv"), dim) * 10000).cast("long"))
+        .withColumn("c_cos", cosQ(col(v), col("centv"), col(n), col("centn"), dim))
         .withColumn("c_rn", row_number().over(w))
         .filter(col("c_rn") === 1)
-        .drop("centv", "c_cos", "c_rn")
+        .drop("centv", "centn", "c_cos", "c_rn")
     }
 
     val c = nearestCentroid(
-      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")),
-      "neighbor_id", "cv")
+      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", norm(col("cv"), dim)),
+      "neighbor_id", "cv", "cn")
     val q = nearestCentroid(
-      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),
-      "query_id", "qv")
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", norm(col("qv"), dim)),
+      "query_id", "qv", "qn")
 
     val scored = c.join(broadcast(q), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_q", floor(cosineD(col("qv"), col("cv"), dim) * 10000).cast("long"))
+      .withColumn("cos_q", cosQ(col("qv"), col("cv"), col("qn"), col("cn"), dim))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_q").desc, col("neighbor_id"))
@@ -165,11 +182,13 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), planes, dim))
+      .withColumn("qn", norm(col("qv"), dim))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes, dim))
+      .withColumn("cn", norm(col("cv"), dim))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_q", floor(cosineD(col("qv"), col("cv"), dim) * 10000).cast("long"))
+      .withColumn("cos_q", cosQ(col("qv"), col("cv"), col("qn"), col("cn"), dim))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_q").desc, col("neighbor_id"))
