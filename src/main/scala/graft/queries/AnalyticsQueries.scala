@@ -182,7 +182,52 @@ object AnalyticsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** TPC-H Q14-shaped conditional aggregation: share of revenue from
+    * ECONOMY parts — `sum(CASE WHEN ...)` / `sum(...)`, one broadcast
+    * join, exact decimal accumulation.
+    */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir).select("p_partkey", "p_type")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .as("rev"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "ECONOMY", col("rev"))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") * 100.0 /
+          sum(col("rev")).cast("double")).as("economy_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q7-shaped: yearly revenue trend — date-part extraction feeding a
+    * group key (year(l_shipdate)), partial-agg before the tiny shuffle.
+    */
+  def yearlyRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(year(col("l_shipdate")).as("ship_year"),
+        (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .as("rev"))
+      .groupBy("ship_year")
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("ship_year")
+
   val oracle: Map[String, String] = Map(
+    "q14_promo_revenue" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS economy_pct,
+        |  count(*) AS n_items
+        |FROM lineitem, part WHERE l_partkey = p_partkey""".stripMargin,
+    "q7_yearly_revenue" ->
+      """SELECT year(l_shipdate) AS ship_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY 1 ORDER BY ship_year""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
@@ -265,6 +310,8 @@ object AnalyticsQueries {
     "q1_pricing_summary"    -> (pricingSummary _),
     "q3_top_revenue"        -> (topRevenue _),
     "q5_revenue_by_nation"  -> (revenueByNation _),
+    "q14_promo_revenue"     -> (promoRevenue _),
+    "q7_yearly_revenue"     -> (yearlyRevenue _),
     "q_window_top_events"   -> (topEventsPerUser _),
     "q_anti_join"           -> (noHighValueOrder _),
     "q_rollup_revenue"      -> (revenueRollup _),
