@@ -31,6 +31,34 @@ object Skew {
       .agg(phase2.head, phase2.tail: _*)
   }
 
+  /** Binned range join: `facts` rows against `bands` intervals
+    * (`lo <= v < hi`). A naive interval join is a broadcast
+    * nested-loop (every row probes every band — O(n*m)); binning turns
+    * it into an equi-join: each band explodes into the fixed-width
+    * bins it overlaps, each fact row computes its single bin, and the
+    * residual interval predicate runs only on bin-mates. Each matching
+    * (row, band) pair appears in exactly one bin — the row's — so no
+    * dedup pass is needed. This is the standard range-join
+    * optimization (cf. engine range-join hints), expressed in plain
+    * DataFrame ops.
+    *
+    * @param binWidth tuning knob: >= the typical band width keeps the
+    *        per-band explode to O(1) bins
+    */
+  def binnedRangeJoin(facts: DataFrame, valueCol: String,
+                      bands: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    val binned = bands.withColumn("__bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    facts
+      .withColumn("__bin", floor(col(valueCol) / binWidth).cast("long"))
+      .join(broadcast(binned), Seq("__bin"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** Salted equi-join for a skewed LEFT side against a small RIGHT
     * side: the right side is replicated `salts` times (it is small —
     * that is why it is the dimension side), the left side picks one

@@ -121,7 +121,32 @@ object ExtensionQueries {
         max(col("pmax")).as("max_value")))
       .orderBy("event_type")
 
+  /** Range join: events bucketed into value bands via the binned
+    * range-join (equi-join on bins + residual predicate — see
+    * [[graft.ops.Skew.binnedRangeJoin]]); oracle computes the same
+    * thing with a plain interval join.
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq.tabulate(10)(i => (s"band_$i", i * 50.0, (i + 1) * 50.0))
+      .toDF("band", "lo", "hi")
+    Skew.binnedRangeJoin(
+        Tables.events(s, d).select("event_id", "value"), "value",
+        bands, "lo", "hi", binWidth = 50.0)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .orderBy("band")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH bands AS (
+        |  SELECT 'band_' || CAST(i AS VARCHAR) AS band, i*50.0 AS lo, (i+1)*50.0 AS hi
+        |  FROM unnest(range(0,10)) AS u(i))
+        |SELECT band, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
     "q_profile" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
@@ -343,6 +368,7 @@ object ExtensionQueries {
     "q_frame_sample"    -> (frameSample _),
     "q_profile"         -> (profile _),
     "q_profile_approx"  -> (profileApprox _), // rows-only (no oracle)
-    "q_salted_agg"      -> (saltedAgg _)
+    "q_salted_agg"      -> (saltedAgg _),
+    "q_range_join"      -> (rangeJoin _)
   )
 }

@@ -36,6 +36,20 @@ class SkewProfileSpec extends SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("binnedRangeJoin == naive interval join, incl. bands wider than " +
+    "the bin and boundary values") {
+    val facts = Seq((1L, 0.0), (2L, 49.99), (3L, 50.0), (4L, 120.0), (5L, 250.0))
+      .toDF("id", "v")
+    val bands = Seq(("a", 0.0, 50.0), ("b", 50.0, 200.0), ("wide", 0.0, 300.0))
+      .toDF("band", "lo", "hi")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "band").as[(Long, String)].collect().sorted.toSeq
+    val naive = canon(facts.join(bands, col("v") >= col("lo") && col("v") < col("hi")))
+    val binned = canon(Skew.binnedRangeJoin(facts, "v", bands, "lo", "hi", 50.0))
+    assert(binned === naive)
+    assert(naive.contains((3L, "b")) && !naive.contains((2L, "b"))) // boundary
+  }
+
   test("Profile.exact computes counts/nulls/distincts/min/max per column") {
     val df = Seq((1, Some("a")), (2, Some("b")), (3, None), (4, Some("a")))
       .toDF("id", "s")
