@@ -56,10 +56,13 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val vocab = docs.select(explode(tokenSet(col(textCol))).as("tok"))
-      .distinct().orderBy("tok").collect().map(_.getString(0))
-    if (vocab.length <= 64)
-      ngramJaccardBitmask(docs, threshold, vocab, idCol, textCol)
+    // bounded probe: pull at most 65 distinct tokens — if that returns
+    // <= 64 rows it IS the whole vocabulary; otherwise never collect
+    // the (possibly huge) token domain to the driver
+    val vocabProbe = docs.select(explode(tokenSet(col(textCol))).as("tok"))
+      .distinct().limit(65).collect().map(_.getString(0))
+    if (vocabProbe.length <= 64)
+      ngramJaccardBitmask(docs, threshold, vocabProbe.sorted, idCol, textCol)
     else
       ngramJaccardPrefix(docs, threshold, idCol, textCol)
   }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.core.{AuditSeq, CaptureDiff, Retention, SyncJob}
+import graft.ops.{Dedup, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Boundary behavior: empty inputs, initial loads, full deletes. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixed = lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+
+  test("capture from an empty old snapshot = initial load (all inserts)") {
+    val empty = Seq.empty[(Int, String)].toDF("id", "x")
+    val snap = Seq((1, "a"), (2, "b")).toDF("id", "x")
+    val out = CaptureDiff.capture(empty, snap, Seq("id"), clock = fixed)
+      .select("id", "audit_event", "audit_pk").as[(Int, String, Long)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1, "insert", 1L), (2, "insert", 2L)))
+  }
+
+  test("capture into an empty new snapshot = full delete (pre-images)") {
+    val empty = Seq.empty[(Int, String)].toDF("id", "x")
+    val snap = Seq((1, "a"), (2, "b")).toDF("id", "x")
+    val out = CaptureDiff.capture(snap, empty, Seq("id"), clock = fixed)
+      .select("id", "x", "audit_event").as[(Int, String, String)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1, "a", "delete"), (2, "b", "delete")))
+  }
+
+  test("capture of two empty snapshots and AuditSeq over empty input") {
+    val empty = Seq.empty[(Int, String)].toDF("id", "x")
+    assert(CaptureDiff.capture(empty, empty, Seq("id"), clock = fixed).isEmpty)
+    assert(AuditSeq.assign(empty, Seq(col("id"))).isEmpty)
+  }
+
+  test("sync of an empty log delivers nothing and leaves no sink files") {
+    val sink = tmpDir("esink")
+    val emptyLog = Seq.empty[(Int, String, String, java.sql.Timestamp, Long)]
+      .toDF("id", "x", "audit_event", "audit_timestamp", "audit_pk")
+    assert(SyncJob.syncTable(spark, emptyLog, sink, singleFile = true) === 0L)
+    assert(SyncJob.watermark(spark, sink) === -1L)
+  }
+
+  test("retention on empty and single-row logs") {
+    val one = Seq((1, "a", 5L)).toDF("id", "x", "audit_pk")
+    assert(Retention.keepLastGlobal(one).count() === 1)
+    val empty = Seq.empty[(Int, String, Long)].toDF("id", "x", "audit_pk")
+    assert(Retention.keepLastGlobal(empty).isEmpty)
+    assert(Retention.keepLastPerKey(empty, Seq("id")).isEmpty)
+  }
+
+  test("dedup and text ops on an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(empty).isEmpty)
+    assert(Dedup.ngramJaccard(empty, 0.8).isEmpty)
+    assert(Dedup.minhashLsh(empty).isEmpty)
+    assert(TextStats.languageId(empty).isEmpty)
+  }
+
+  test("single-document corpus yields no pairs anywhere") {
+    val one = Seq((1L, "only doc here")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccard(one, 0.5).isEmpty)
+    assert(Dedup.minhashLsh(one).isEmpty)
+    assert(Dedup.simhash(one).count() === 1)
+  }
+}
