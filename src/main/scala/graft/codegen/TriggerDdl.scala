@@ -127,8 +127,12 @@ object TriggerDdl {
     */
   def spliceBody(statement: String, auditTable: String): String = {
     var s = statement.trim
-    if (s.toLowerCase.startsWith("begin")) s = s.substring("begin".length)
-    if (s.toLowerCase.endsWith("end")) s = s.substring(0, s.length - "end".length)
+    // word-boundary matches only: a body like `begin_maintenance()` or
+    // one ending in an identifier containing "end" must not be mangled
+    if (s.matches("(?is)^begin\\b.*"))
+      s = s.substring("begin".length)
+    if (s.matches("(?is).*(^|[\\s;])end$"))
+      s = s.substring(0, s.length - "end".length)
     s.split("\n", -1)
       .filterNot(_.contains(auditTable))
       .mkString("\n")

@@ -148,8 +148,17 @@ object SyncJob {
     val tmp  = new org.apache.hadoop.fs.Path(logDir + ".wipe.tmp")
     kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
-    fs.delete(dir, true)
-    fs.rename(tmp, dir)
+    // swap via rename-aside: the live log path is never absent without
+    // a recoverable copy (delete-then-rename would lose the log if the
+    // process died in between)
+    val old = new org.apache.hadoop.fs.Path(logDir + ".wipe.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(dir, old)
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // roll back
+      sys.error(s"wipe swap failed for $logDir; original log restored")
+    }
+    fs.delete(old, true)
     n
   }
 

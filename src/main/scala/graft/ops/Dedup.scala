@@ -58,7 +58,10 @@ object Dedup {
                    textCol: String = "text"): DataFrame = {
     // bounded probe: pull at most 65 distinct tokens — if that returns
     // <= 64 rows it IS the whole vocabulary; otherwise never collect
-    // the (possibly huge) token domain to the driver
+    // the (possibly huge) token domain to the driver. The probe and
+    // the main job must see the same input (standard snapshot-read
+    // assumption; a source mutating between the two jobs could expose
+    // a token missing from the dictionary)
     val vocabProbe = docs.select(explode(tokenSet(col(textCol))).as("tok"))
       .distinct().limit(65).collect().map(_.getString(0))
     if (vocabProbe.length <= 64)
@@ -120,11 +123,13 @@ object Dedup {
       .select(pa("doc_id").as("doc_a"), pb("doc_b_").as("doc_b"))
       .distinct()
 
-    // The token-array side is one row per doc — broadcast both rejoins
-    // so candidate pairs never shuffle again.
+    // The token-array rejoins are plain equi-joins on doc id: AQE
+    // broadcasts them when the corpus is small and shuffles when it is
+    // not (a forced broadcast of the whole corpus' token arrays would
+    // OOM at scale).
     val x = toks.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"), col("n").as("n_a"))
     val y = toks.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"), col("n").as("n_b"))
-    cand.join(broadcast(x), "doc_a").join(broadcast(y), "doc_b")
+    cand.join(x, "doc_a").join(y, "doc_b")
       .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
@@ -169,6 +174,8 @@ object Dedup {
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
     // small global vocabulary -> precompute the hash dictionary on the
     // driver (same adaptive strategy as ngramJaccard's bitmask path)
@@ -207,6 +214,15 @@ object Dedup {
     */
   private def distinctPairs(pairs: DataFrame, ids: DataFrame): DataFrame = {
     val idCol = ids.columns.head
+    // encoding applies to integral ids only — casting strings would
+    // throw under ANSI (or compare lexicographically and corrupt the
+    // encoding); everything else takes the plain distinct
+    val integral = ids.schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (!integral) return pairs.distinct()
     val stats = ids.agg(
       max(col(idCol)).cast("long").as("mx"),
       min(col(idCol)).cast("long").as("mn")).head()
@@ -271,8 +287,12 @@ object Dedup {
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos",
         Similarity.dotD(col("va"), col("vb"), dim) / (col("na") * col("nb")))
-      .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"),
-        floor(col("cos") * 10000).cast("long").as("cos_q"))
+      .withColumn("cos_q", floor(col("cos") * 10000).cast("long"))
+      // threshold on the QUANTIZED score, not the raw double, so a
+      // last-ulp accumulation difference near the threshold cannot
+      // flip pair membership across engines (the whole point of the
+      // quantization — the oracle filters identically)
+      .filter(col("cos_q") >= math.floor(threshold * 10000).toLong)
+      .select("vec_a", "vec_b", "cos_q")
   }
 }

@@ -23,19 +23,23 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Declared schema of decoded media metadata. */
+  /** Declared schema of decoded media metadata (nullable: a null
+    * payload decodes to null meta, matching the expression twin).
+    */
   val mediaMetaSchema: StructType = StructType(Seq(
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false)
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true)
   ))
 
   /** STUB decode: deterministic fake features of a media payload.
     * A real implementation would be `??? // decode via codec lib`;
-    * the fake keeps tests runnable and reproducible.
+    * the fake keeps tests runnable and reproducible. Null payloads
+    * yield null meta — same null semantics as [[metaColumns]].
     */
   def decodeStub(bytes: Array[Byte]): Row = {
+    if (bytes == null) return Row(null, null, null, null)
     val n = bytes.length.toLong
     Row(n, (n % 640).toInt, ((n * 31) % 480).toInt, (n % 30 + 1).toInt)
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the quality/inspection pass a
@@ -11,36 +11,41 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** Long-format profile: one row per profiled column. Exact distinct
-    * counts (oracle-comparable); use [[approx]] at scale.
+  /** One-scan long-format profile: ALL columns' aggregates in a single
+    * `agg` (one pass over the table; the multiple distinct counts plan
+    * as one Expand), then the single result row unpivots into one row
+    * per column on the driver side of the plan.
     */
-  def exact(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val per = cols.map { c =>
-      df.agg(
-        lit(c).as("col_name"),
-        count(lit(1)).as("n_rows"),
-        count(col(c)).as("n_nonnull"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_val"),
-        max(col(c)).cast("string").as("max_val"))
+  private def profile(df: DataFrame, cols: Seq[String],
+                      distinctAgg: String => Column,
+                      distinctName: String): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        distinctAgg(c).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
     }
-    per.reduce(_ unionByName _)
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as(distinctName),
+        col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
-  /** HLL++ estimated distincts: identical shape, no distinct shuffle —
-    * sketch estimates differ per engine, so this variant is checked
-    * rows-only by the driver (no SQL oracle).
+  /** Exact distinct counts (oracle-comparable); use [[approx]] at
+    * scale — multiple exact distincts in one pass cost an Expand of
+    * the input (rows x profiled columns).
     */
-  def approx(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
-    val per = cols.map { c =>
-      df.agg(
-        lit(c).as("col_name"),
-        count(lit(1)).as("n_rows"),
-        count(col(c)).as("n_nonnull"),
-        approx_count_distinct(col(c), rsd).as("n_distinct_est"),
-        min(col(c)).cast("string").as("min_val"),
-        max(col(c)).cast("string").as("max_val"))
-    }
-    per.reduce(_ unionByName _)
-  }
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    profile(df, cols, c => countDistinct(col(c)), "n_distinct")
+
+  /** HLL++ estimated distincts: identical shape, no Expand and no
+    * distinct shuffle — sketch estimates differ per engine, so this
+    * variant is checked rows-only by the driver (no SQL oracle).
+    */
+  def approx(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    profile(df, cols, c => approx_count_distinct(col(c), rsd), "n_distinct_est")
 }

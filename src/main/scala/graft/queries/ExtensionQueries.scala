@@ -229,7 +229,8 @@ object ExtensionQueries {
         |   sqrt(list_reduce(list_transform(range(1,65), i -> b.v[i]*b.v[i]), (x,y)->x+y))) AS cos
         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, CAST(floor(cos*10000) AS BIGINT) AS cos_q
-        |FROM p WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+        |FROM p WHERE CAST(floor(cos*10000) AS BIGINT) >= 3000
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

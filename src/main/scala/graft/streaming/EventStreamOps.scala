@@ -37,8 +37,14 @@ object EventStreamOps {
 
   /** Custom stateful sessionization via flatMapGroupsWithState: a
     * session closes when the incoming event's id gap exceeds
-    * `maxGap` (the batch twin is AnalyticsQueries.sessionize — same
-    * semantics, checkpointable state here).
+    * `maxGap`. Matches the batch twin (AnalyticsQueries.sessionize)
+    * when events arrive in id order ACROSS batches — the CDC
+    * contract, since audit_pk is assigned at capture time and the log
+    * is consumed in order. Events are sorted within each batch; an
+    * id older than the live session's last id (cross-batch disorder)
+    * extends that session rather than re-sorting history — a stream
+    * that needs full disorder tolerance should buffer on event time
+    * with a watermark instead.
     *
     * @param idleTimeout when Some(duration), idle users' sessions are
     *        flushed via ProcessingTimeTimeout (production setting;

@@ -105,16 +105,20 @@ class OpsSpec extends SparkSpec {
   }
 
   test("multimodal: RDD decode path agrees with the expression twin " +
-    "(same stub math, two execution paths)") {
-    val d = Seq((1L, "abc"), (2L, "a longer payload here"))
+    "(same stub math, two execution paths), null payloads included") {
+    val d = Seq((1L, Some("abc")), (2L, Some("a longer payload here")),
+      (3L, Option.empty[String]))
       .toDF("doc_id", "text")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     val viaRdd = Multimodal.decodeMeta(d, "payload")
       .select("doc_id", "n_bytes", "width", "height", "n_frames")
-      .as[(Long, Long, Int, Int, Int)].collect().sortBy(_._1)
+      .as[(Long, Option[Long], Option[Int], Option[Int], Option[Int])]
+      .collect().sortBy(_._1)
     val viaExpr = d.select(col("doc_id") +: Multimodal.metaColumns(col("payload")): _*)
-      .as[(Long, Long, Int, Int, Int)].collect().sortBy(_._1)
+      .as[(Long, Option[Long], Option[Int], Option[Int], Option[Int])]
+      .collect().sortBy(_._1)
     assert(viaRdd.toSeq === viaExpr.toSeq)
+    assert(viaRdd.find(_._1 == 3L).get._2 === None) // null payload -> null meta
   }
 
   test("resizeMeta preserves small media, scales the long edge to fit") {

@@ -63,6 +63,12 @@ class TriggerDdlSpec extends AnyFunSuite {
     assert(TriggerDdl.spliceBody("BEGIN\nfoo;\nEND", "t_audit") === "foo;")
     assert(TriggerDdl.spliceBody("foo;", "t_audit") === "foo;")
     assert(TriggerDdl.spliceBody("BEGIN\ninsert into t_audit;\nEND", "t_audit") === "")
+    // word boundaries: identifiers that merely contain begin/end
+    // survive intact
+    assert(TriggerDdl.spliceBody("begin_maintenance()", "t_audit") ===
+      "begin_maintenance()")
+    assert(TriggerDdl.spliceBody("update t set day = 'weekend'", "t_audit") ===
+      "update t set day = 'weekend'")
   }
 
   test("fromStructType maps Spark types to MySQL") {
