@@ -144,16 +144,20 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
       .withColumn("centn", norm(col("centv"), dim))
 
-    def nearestCentroid(df: DataFrame, id: String, v: String, n: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(id))
-        .orderBy(col("c_cos").desc, col("centroid_id"))
+    // argmax as a hash-aggregate, not a window: max_by over
+    // struct(cos, -centroid_id) picks (highest cos, then lowest
+    // centroid id) deterministically, with map-side partials reducing
+    // the vector x centroid cross product BEFORE any shuffle — at
+    // scale this removes the per-vector sort the window would need
+    def nearestCentroid(df: DataFrame, id: String, v: String, n: String): DataFrame =
       df.crossJoin(broadcast(cent))
         .withColumn("c_cos", cosQ(col(v), col("centv"), col(n), col("centn"), dim))
-        .withColumn("c_rn", row_number().over(w))
-        .filter(col("c_rn") === 1)
-        .drop("centv", "centn", "c_cos", "c_rn")
-    }
+        .groupBy(col(id))
+        .agg(
+          max_by(col("centroid_id"),
+            struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
+          first(col(v)).as(v),
+          first(col(n)).as(n))
 
     val c = nearestCentroid(
       corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
