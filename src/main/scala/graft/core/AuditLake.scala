@@ -36,4 +36,27 @@ object AuditLake {
   def captureBucketed(spark: SparkSession, oldTable: String, newTable: String,
                       pk: Seq[String]): DataFrame =
     CaptureDiff.classify(spark.table(oldTable), spark.table(newTable), pk)
+
+  /** Write an audit log as a Hive-partitioned directory tree — the
+    * 100 TB layout (SCALING.md): one partition per derived key (e.g.
+    * the capture date), so retention drops whole directories and any
+    * time-bounded read prunes partitions before touching a file.
+    * `audit_pk` ordering within each partition keeps parquet min/max
+    * stats tight for the watermark filter.
+    */
+  def writePartitionedLog(log: DataFrame, dir: String,
+                          partitionCol: String): Unit =
+    log.sortWithinPartitions(AuditSchema.PkCol)
+      .write.mode("append")
+      .partitionBy(partitionCol)
+      .parquet(dir)
+
+  /** Read the partitioned log with a partition-value filter — Catalyst
+    * prunes non-matching partition directories at planning time (the
+    * scan's `PartitionFilters`, pinned by PartitionedLogSpec).
+    */
+  def readPartition(spark: SparkSession, dir: String,
+                    partitionCol: String, value: String): DataFrame =
+    spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col(partitionCol) === value)
 }
