@@ -174,6 +174,25 @@ object Dedup {
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
+    val banded = minhashBands(docs, numHashes, bands, idCol, textCol)
+    val other = banded
+      .withColumnRenamed("doc_id", "doc_b_")
+    val pairs = banded.join(other,
+        banded("band_key") === other("band_key") &&
+          banded("b") === other("b") &&
+          banded("doc_id") < other("doc_b_"))
+      .select(banded("doc_id").as("doc_a"), col("doc_b_").as("doc_b"))
+    distinctPairs(pairs, banded.select(col("doc_id")))
+  }
+
+  /** The LSH band index of a corpus: (doc_id, b, band_key) — `bands`
+    * rows per document. Persist this as the dedup INDEX for
+    * [[minhashLshIncremental]]: continuous ingestion then never
+    * re-hashes the indexed corpus.
+    */
+  def minhashBands(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
@@ -188,20 +207,38 @@ object Dedup {
     val sig = docs.select(col(idCol).as("doc_id"), signature.as("mh"))
     // one pass: explode the band index alongside the signature (no
     // rejoin), then hash each band's slice
-    val banded = sig.select(
+    sig.select(
         col("doc_id"), col("mh"),
         explode(sequence(lit(1), lit(bands))).as("b"))
       .select(col("doc_id"), col("b"),
         md5(concat_ws("|",
           slice(col("mh"), (col("b") - 1) * rows + 1, lit(rows)))).as("band_key"))
-    val other = banded
-      .withColumnRenamed("doc_id", "doc_b_")
-    val pairs = banded.join(other,
-        banded("band_key") === other("band_key") &&
-          banded("b") === other("b") &&
-          banded("doc_id") < other("doc_b_"))
-      .select(banded("doc_id").as("doc_a"), col("doc_b_").as("doc_b"))
-    distinctPairs(pairs, sig.select(col("doc_id")))
+  }
+
+  /** Incremental near-dup: candidate pairs that INVOLVE a new document
+    * — new x indexed plus new x new — against a precomputed band index
+    * ([[minhashBands]] of the existing corpus). The indexed corpus is
+    * never re-hashed and only its band rows matching a new band key
+    * participate in the join: ingestion cost is O(new docs + matching
+    * postings), not O(corpus). Pairs are normalized (doc_a < doc_b)
+    * and deduped.
+    */
+  def minhashLshIncremental(newDocs: DataFrame, indexedBands: DataFrame,
+                            numHashes: Int = 16, bands: Int = 4,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val nb = minhashBands(newDocs, numHashes, bands, idCol, textCol)
+    val all = indexedBands.select("doc_id", "b", "band_key")
+      .unionByName(nb)
+      .withColumnRenamed("doc_id", "doc_o_")
+    val pairs = nb.join(all,
+        nb("band_key") === all("band_key") && nb("b") === all("b") &&
+          nb("doc_id") =!= all("doc_o_"))
+      .select(least(nb("doc_id"), col("doc_o_")).as("doc_a"),
+        greatest(nb("doc_id"), col("doc_o_")).as("doc_b"))
+    distinctPairs(pairs,
+      nb.select(col("doc_id"))
+        .unionByName(indexedBands.select(col("doc_id"))))
   }
 
   /** Distinct over (doc_a, doc_b) pairs. When ids are small enough

@@ -43,6 +43,20 @@ class OpsSpec extends SparkSpec {
     assert(sh(1L) !== sh(4L))
   }
 
+  test("incremental minhash == full minhash restricted to pairs that " +
+    "touch a new doc") {
+    val indexed = docs.filter(col("doc_id") <= 2)
+    val fresh = docs.filter(col("doc_id") > 2)
+    val index = Dedup.minhashBands(indexed)
+    val incr = Dedup.minhashLshIncremental(fresh, index)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val full = Dedup.minhashLsh(docs).as[(Long, Long)].collect()
+      .filter { case (a, b) => a > 2 || b > 2 }.sorted.toSeq
+    assert(incr === full)
+    // and the exact-dup pair (1,2) is NOT re-reported (both indexed)
+    assert(!incr.contains((1L, 2L)))
+  }
+
   test("cosine/dot on known vectors; bruteForceTopK ranks correctly") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
