@@ -95,4 +95,24 @@ object AuditSchema {
     require(a == b,
       s"audit schema drift: sink has ${a.mkString(",")} but source derives ${b.mkString(",")}")
   }
+
+  /** Additive schema evolution — the improvement the reference wishes
+    * for (schema drift silently breaks it, README.md:210-212,224):
+    * a derived schema is an ADDITIVE evolution of the existing one
+    * when every existing source column survives with its type and new
+    * source columns only append (audit cols stay last by
+    * construction). Returns the new columns; throws for any other
+    * drift (renames, type changes, drops stay fail-fast — silent
+    * guessing is how the reference broke).
+    */
+  def additiveEvolution(existing: StructType, derived: StructType): Seq[StructField] = {
+    val oldSrc = existing.fields.dropRight(3).toSeq
+    val newSrc = derived.fields.dropRight(3).toSeq
+    require(isAuditSchema(existing) && isAuditSchema(derived),
+      "both schemas must be audit schemas")
+    require(newSrc.take(oldSrc.length).map(f => (f.name, f.dataType)) ==
+      oldSrc.map(f => (f.name, f.dataType)),
+      "non-additive drift: existing columns changed or moved — manual migration required")
+    newSrc.drop(oldSrc.length)
+  }
 }

@@ -99,4 +99,41 @@ object CaptureDiff {
       .filter(!inOld || !inNew || changed) // suppress no-op updates
       .select(image :+ event.as(AuditSchema.EventCol): _*)
   }
+
+  /** Capture WITH update pre-images — the deliberate extension beyond
+    * the reference (which only stores post-images on update,
+    * cdc_audit_gen_mysql.php:490; SURVEY.md §7.4.2): each non-key
+    * column gains an `old_<col>` twin holding the pre-image on
+    * update/delete events (null on insert). Snapshot-diff capture has
+    * the pre-image for free — the reference's trigger model simply
+    * chose not to keep it — so this closes its data-loss gap for
+    * consumers that need before/after auditing.
+    */
+  def classifyWithPreImages(oldSnap: DataFrame, newSnap: DataFrame,
+                            pk: Seq[String]): DataFrame = {
+    val o = oldSnap.alias("o")
+    val n = newSnap.alias("n")
+    val joinCond = pk.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
+    val joined = o.join(n, joinCond, "full_outer")
+
+    val cols   = oldSnap.schema.fieldNames.toSeq
+    val nonKey = cols.filterNot(pk.contains)
+    val inOld = pk.map(k => col(s"o.$k").isNotNull).reduce(_ && _)
+    val inNew = pk.map(k => col(s"n.$k").isNotNull).reduce(_ && _)
+    val changed =
+      if (nonKey.isEmpty) lit(false)
+      else nonKey.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+    val event = when(!inOld, lit("insert"))
+      .when(!inNew, lit("delete"))
+      .otherwise(lit("update"))
+    val image = cols.map { c =>
+      when(event === "delete", col(s"o.$c")).otherwise(col(s"n.$c")).as(c)
+    }
+    val preImages = nonKey.map { c =>
+      when(event === "insert", lit(null)).otherwise(col(s"o.$c")).as(s"old_$c")
+    }
+    joined
+      .filter(!inOld || !inNew || changed)
+      .select(image ++ preImages :+ event.as(AuditSchema.EventCol): _*)
+  }
 }

@@ -51,6 +51,22 @@ object CdcQueries {
       .drop(AuditSchema.TimestampCol)
   }
 
+  /** Snapshot-diff capture WITH update/delete pre-images (`old_*`
+    * columns) — the extension closing the reference's update-history
+    * gap (SURVEY.md §7.4.2). Same snapshot pair as q_capture_diff.
+    */
+  def capturePreImage(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val oldSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+    val newSnap = base.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    CaptureDiff.classifyWithPreImages(oldSnap, newSnap, Seq("o_orderkey"))
+      .orderBy("o_orderkey", "audit_event")
+  }
+
   /** Watermark incremental read (S5/P6): events above max(pk)/2,
     * with the watermark computed as a broadcast scalar join (no
     * driver-side collect).
@@ -178,6 +194,32 @@ object CdcQueries {
     "q_retention_wipe" ->
       """SELECT user_id, count(*) - 1 AS n_wiped, max(event_id) AS kept_pk
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_capture_preimage" ->
+      """WITH s_old AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |s_new AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 <> 0)
+        |SELECT
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_orderkey ELSE n.o_orderkey END AS o_orderkey,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey ELSE n.o_custkey END AS o_custkey,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END AS o_totalprice,
+        |  CASE WHEN o.o_orderkey IS NULL THEN NULL ELSE o.o_custkey END AS old_o_custkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN NULL ELSE o.o_orderstatus END AS old_o_orderstatus,
+        |  CASE WHEN o.o_orderkey IS NULL THEN NULL ELSE o.o_totalprice END AS old_o_totalprice,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN n.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS audit_event
+        |FROM s_old o FULL OUTER JOIN s_new n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_custkey IS DISTINCT FROM n.o_custkey
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |ORDER BY o_orderkey, audit_event""".stripMargin,
     "q_state_asof" ->
       """WITH prefix AS (
         |  SELECT user_id, value, props,
@@ -195,6 +237,7 @@ object CdcQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_audit_log"      -> (auditLog _),
     "q_capture_diff"   -> (captureDiff _),
+    "q_capture_preimage" -> (capturePreImage _),
     "q_sync_watermark" -> (syncWatermark _),
     "q_agg_probe"      -> (aggProbe _),
     "q_keep_last"      -> (keepLast _),

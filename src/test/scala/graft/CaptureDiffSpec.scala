@@ -60,6 +60,35 @@ class CaptureDiffSpec extends SparkSpec {
     assert(ev.toSeq === Seq((1, 1, "delete"), (1, 2, "update"), (2, 1, "insert")))
   }
 
+  test("classifyWithPreImages: old_* columns carry the pre-image on " +
+    "update/delete, null on insert (extension beyond the reference)") {
+    val s1 = Seq((1, "a"), (2, "b")).toDF("id", "x")
+    val s2 = Seq((1, "a2"), (3, "c")).toDF("id", "x")
+    val out = CaptureDiff.classifyWithPreImages(s1, s2, Seq("id"))
+      .select("id", "x", "old_x", "audit_event")
+      .as[(Int, String, String, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1, "a2", "a", "update"),   // post-image + pre-image
+      (2, "b", "b", "delete"),    // pre-image in both
+      (3, "c", null, "insert")))  // no pre-image exists
+  }
+
+  test("additiveEvolution accepts appended columns, rejects other drift") {
+    import org.apache.spark.sql.types._
+    val v1 = AuditSchema.derive(StructType(Seq(
+      StructField("id", IntegerType), StructField("x", StringType))))
+    val v2 = AuditSchema.derive(StructType(Seq(
+      StructField("id", IntegerType), StructField("x", StringType),
+      StructField("y", DoubleType))))
+    assert(AuditSchema.additiveEvolution(v1, v2).map(_.name) === Seq("y"))
+    assert(AuditSchema.additiveEvolution(v1, v1).isEmpty)
+    val renamed = AuditSchema.derive(StructType(Seq(
+      StructField("id", IntegerType), StructField("renamed", StringType))))
+    intercept[IllegalArgumentException] {
+      AuditSchema.additiveEvolution(v1, renamed)
+    }
+  }
+
   test("output is a well-formed audit schema") {
     val s1 = Seq((1, "a")).toDF("id", "x")
     val s2 = Seq((2, "b")).toDF("id", "x")
