@@ -213,7 +213,26 @@ object AnalyticsQueries {
         count(lit(1)).as("n_items"))
       .orderBy("ship_year")
 
+  /** JSON extraction: parse the event payload's `k` field and
+    * aggregate per user — the semi-structured-column surface
+    * (get_json_object stays codegen'd; no UDF).
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("user_id")
+
   val oracle: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q14_promo_revenue" ->
       """SELECT
         |  CAST(sum(CASE WHEN p_type = 'ECONOMY'
@@ -318,6 +337,7 @@ object AnalyticsQueries {
     "q_set_ops"             -> (setOps _),
     "q_set_intersect"       -> (setIntersect _),
     "q_sessionize"          -> (sessionize _),
-    "q_big_orders"          -> (bigOrders _)
+    "q_big_orders"          -> (bigOrders _),
+    "q_json_extract"        -> (jsonExtract _)
   )
 }
