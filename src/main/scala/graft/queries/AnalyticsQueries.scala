@@ -227,7 +227,27 @@ object AnalyticsQueries {
         max(col("k")).as("max_k"))
       .orderBy("user_id")
 
+  /** Pivot: per-user event counts spread over event-type columns —
+    * `.pivot` with an explicit value list (deterministic column set;
+    * without it Spark runs a distinct scan first).
+    */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   val oracle: Map[String, String] = Map(
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_json_extract" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -338,6 +358,7 @@ object AnalyticsQueries {
     "q_set_intersect"       -> (setIntersect _),
     "q_sessionize"          -> (sessionize _),
     "q_big_orders"          -> (bigOrders _),
-    "q_json_extract"        -> (jsonExtract _)
+    "q_json_extract"        -> (jsonExtract _),
+    "q_pivot_events"        -> (pivotEvents _)
   )
 }
