@@ -239,7 +239,27 @@ object AnalyticsQueries {
       .na.fill(0L)
       .orderBy("user_id")
 
+  /** Ordered aggregates: exact median / p90 per event type (Spark's
+    * exact `percentile` and DuckDB's `quantile_cont` both linearly
+    * interpolate — identical doubles). `approx_percentile` is the
+    * 100 TB variant (sketch-based, no sort), left un-oracled like HLL.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val oracle: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS med,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_pivot_events" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,
@@ -359,6 +379,7 @@ object AnalyticsQueries {
     "q_sessionize"          -> (sessionize _),
     "q_big_orders"          -> (bigOrders _),
     "q_json_extract"        -> (jsonExtract _),
-    "q_pivot_events"        -> (pivotEvents _)
+    "q_pivot_events"        -> (pivotEvents _),
+    "q_percentiles"         -> (percentiles _)
   )
 }
