@@ -1,0 +1,84 @@
+package graft
+
+import graft.codegen.{AuditArtifacts, TriggerDdl}
+import graft.core._
+import graft.streaming.StreamingSync
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The complete reference workflow, end to end, on one table:
+  * generate DDL artifacts -> capture two snapshot diffs -> sequence
+  * with watermark resume -> land in a partitioned parquet log ->
+  * stream-sync to CSV exactly once -> replay the log back to the
+  * final table state. Every stage is the real operator, no mocks.
+  */
+class EndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixed = lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+
+  test("generate -> capture -> sequence -> log -> stream-sync -> replay " +
+    "round-trips to the final state") {
+    // three table versions: base, v2 (update+delete+insert), v3 (more)
+    val v1 = (1 to 100).map(i => (i, s"name$i", i * 10.0))
+    val v2 = v1.filterNot(_._1 % 10 == 0) // delete multiples of 10
+      .map { case (id, n, v) => if (id % 7 == 0) (id, n, v + 1.0) else (id, n, v) }
+      .:+((101, "name101", 1010.0))
+    val v3 = v2.map { case (id, n, v) => if (id % 3 == 0) (id, s"$n!", v) else (id, n, v) }
+    def df(s: Seq[(Int, String, Double)]) = s.toDF("id", "name", "v")
+
+    // 1. generator artifacts (the reference's entry point 1)
+    val ddlDir = tmpDir("e2e-ddl")
+    AuditArtifacts.writeTable(ddlDir, "acct",
+      TriggerDdl.fromStructType(df(v1).schema, pk = Seq("id")))
+    assert(Files.readString(Paths.get(ddlDir, "acct.audit.sql"))
+      .contains("create table if not exists `acct_audit`"))
+
+    // 2. capture the two diffs, sequencing the second above the first
+    val d12 = CaptureDiff.capture(df(v1), df(v2), Seq("id"), clock = fixed)
+    val n12 = d12.count()
+    val d23 = CaptureDiff.capture(df(v2), df(v3), Seq("id"), clock = fixed,
+      basePk = n12)
+
+    // 3. land both batches in a partitioned audit log
+    val logDir = tmpDir("e2e-log")
+    AuditLake.writePartitionedLog(d12.withColumn("batch", lit("b1")), logDir, "batch")
+    AuditLake.writePartitionedLog(d23.withColumn("batch", lit("b2")), logDir, "batch")
+    val log = spark.read.parquet(logDir).drop("batch")
+    assert(AuditSchema.isAuditSchema(log.schema))
+    val pks = log.select("audit_pk").as[Long].collect().sorted
+    assert(pks.toSeq === (1L to pks.length)) // dense across batches
+
+    // 4. stream-sync the log to CSV, exactly once across two runs.
+    // Partitioned reads append the partition column AFTER audit_pk —
+    // re-order it ahead of the audit columns in the explicit stream
+    // schema so the audit-cols-last invariant holds.
+    val readSchema = spark.read.parquet(logDir).schema
+    val (auditF, dataF) = readSchema.fields.partition(f =>
+      AuditSchema.AuditCols.contains(f.name))
+    val streamSchema = org.apache.spark.sql.types.StructType(dataF ++ auditF)
+    val sink = tmpDir("e2e-sink"); val cp = tmpDir("e2e-cp")
+    StreamingSync.runOnce(spark, logDir, streamSchema, sink, cp)
+    StreamingSync.runOnce(spark, logDir, streamSchema, sink, cp) // no-op re-run
+    val delivered = Files.walk(Paths.get(sink)).iterator().asScala
+      .filter(p => p.toString.endsWith(".csv") && Files.isRegularFile(p))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .count(l => l.nonEmpty && !l.startsWith("id,"))
+    assert(delivered === pks.length)
+
+    // 5. replay the full log -> exactly the v3 state
+    val replayed = Replay.toState(log, Seq("id"))
+      .as[(Int, String, Double)].collect().toSet
+    // keys never touched after v1 are absent from a pure diff log, so
+    // seed the replay with the v1 baseline as insert events (pk 0)
+    val baseline = df(v1)
+      .withColumn("audit_event", lit("insert"))
+      .withColumn("audit_timestamp", fixed)
+      .withColumn("audit_pk", lit(0L))
+    val full = Replay.toState(baseline.unionByName(log), Seq("id"))
+      .as[(Int, String, Double)].collect().toSet
+    assert(full === v3.toSet)
+    assert(replayed.subsetOf(full))
+  }
+}
