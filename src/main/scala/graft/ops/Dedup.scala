@@ -175,13 +175,17 @@ object Dedup {
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val banded = minhashBands(docs, numHashes, bands, idCol, textCol)
-    val other = banded
-      .withColumnRenamed("doc_id", "doc_b_")
-    val pairs = banded.join(other,
-        banded("band_key") === other("band_key") &&
-          banded("b") === other("b") &&
-          banded("doc_id") < other("doc_b_"))
-      .select(banded("doc_id").as("doc_a"), col("doc_b_").as("doc_b"))
+    // explicit aliases: self-join via dataframe("col") on a renamed copy
+    // of the same plan resolves only through Spark's plan-id
+    // disambiguation (and logs a trivially-true-predicate warning);
+    // alias-qualified columns are unambiguous by construction
+    val l = banded.alias("l")
+    val r = banded.withColumnRenamed("doc_id", "doc_b_").alias("r")
+    val pairs = l.join(r,
+        col("l.band_key") === col("r.band_key") &&
+          col("l.b") === col("r.b") &&
+          col("l.doc_id") < col("r.doc_b_"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_b_").as("doc_b"))
     distinctPairs(pairs, banded.select(col("doc_id")))
   }
 
@@ -228,14 +232,17 @@ object Dedup {
                             idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
     val nb = minhashBands(newDocs, numHashes, bands, idCol, textCol)
+    val n = nb.alias("n")
     val all = indexedBands.select("doc_id", "b", "band_key")
       .unionByName(nb)
       .withColumnRenamed("doc_id", "doc_o_")
-    val pairs = nb.join(all,
-        nb("band_key") === all("band_key") && nb("b") === all("b") &&
-          nb("doc_id") =!= all("doc_o_"))
-      .select(least(nb("doc_id"), col("doc_o_")).as("doc_a"),
-        greatest(nb("doc_id"), col("doc_o_")).as("doc_b"))
+      .alias("i")
+    val pairs = n.join(all,
+        col("n.band_key") === col("i.band_key") &&
+          col("n.b") === col("i.b") &&
+          col("n.doc_id") =!= col("i.doc_o_"))
+      .select(least(col("n.doc_id"), col("i.doc_o_")).as("doc_a"),
+        greatest(col("n.doc_id"), col("i.doc_o_")).as("doc_b"))
     distinctPairs(pairs,
       nb.select(col("doc_id"))
         .unionByName(indexedBands.select(col("doc_id"))))

@@ -43,8 +43,10 @@ object Profile {
     profile(df, cols, c => countDistinct(col(c)), "n_distinct")
 
   /** HLL++ estimated distincts: identical shape, no Expand and no
-    * distinct shuffle — sketch estimates differ per engine, so this
-    * variant is checked rows-only by the driver (no SQL oracle).
+    * distinct shuffle — sketch estimates differ per engine, so the
+    * driver-visible query projects the estimate column away (the exact
+    * columns are oracled; the estimate is bounds-checked in
+    * SkewProfileSpec).
     */
   def approx(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     profile(df, cols, c => approx_count_distinct(col(c), rsd), "n_distinct_est")

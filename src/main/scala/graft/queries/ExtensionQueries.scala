@@ -101,12 +101,15 @@ object ExtensionQueries {
     Profile.exact(Tables.lineitem(s, d),
       Seq("l_orderkey", "l_returnflag", "l_linestatus")).orderBy("col_name")
 
-  /** HLL profiling (scale path) — no SQL oracle (sketches are
-    * engine-specific); the driver records a rows-only check.
+  /** HLL profiling (scale path): the sketch estimate itself is
+    * engine-specific, so the driver-visible projection keeps only the
+    * oracle-exact columns; the estimate's accuracy is bounds-checked
+    * in SkewProfileSpec (±3·rsd of the exact distinct count).
     */
   def profileApprox(s: SparkSession, d: String): DataFrame =
     Profile.approx(Tables.lineitem(s, d),
-      Seq("l_orderkey", "l_returnflag", "l_partkey")).orderBy("col_name")
+      Seq("l_orderkey", "l_returnflag", "l_partkey"))
+      .drop("n_distinct_est").orderBy("col_name")
 
   /** Deterministic salted two-phase aggregation: same result as a
     * plain GROUP BY (the oracle computes that), hot keys spread over 8
@@ -162,6 +165,21 @@ object ExtensionQueries {
         |    CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
         |  FROM lineitem)
         |ORDER BY col_name""".stripMargin,
+    "q_profile_approx" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(l_orderkey) AS n_nonnull,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_val, CAST(max(l_orderkey) AS VARCHAR) AS max_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(*), count(l_partkey),
+        |    CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*), count(l_returnflag),
+        |    CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n, min(value) AS min_value,
         |  max(value) AS max_value
@@ -212,7 +230,8 @@ object ExtensionQueries {
         |    CASE WHEN CAST(floor(hexval / pow(2, 3 - b % 4)) AS BIGINT) % 2 = 1
         |         THEN 1 ELSE -1 END AS w FROM bits),
         |s AS (SELECT doc_id, b, sum(w) AS s FROM w GROUP BY doc_id, b)
-        |SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_embed_neardup" ->
       """WITH e AS (
@@ -368,7 +387,7 @@ object ExtensionQueries {
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_frame_sample"    -> (frameSample _),
     "q_profile"         -> (profile _),
-    "q_profile_approx"  -> (profileApprox _), // rows-only (no oracle)
+    "q_profile_approx"  -> (profileApprox _),
     "q_salted_agg"      -> (saltedAgg _),
     "q_range_join"      -> (rangeJoin _)
   )

@@ -67,4 +67,15 @@ class SkewProfileSpec extends SparkSpec {
     val est = p.getLong(3)
     assert(est > 80 && est < 115) // HLL at 5% rsd around 97
   }
+
+  test("Profile.approx estimate lands within ±3·rsd of the exact count") {
+    // the driver-visible q_profile_approx drops the estimate column
+    // (engine-specific); this is the accuracy gate for the sketch itself
+    val rsd = 0.05
+    val df = Seq.tabulate(5000)(i => (i, s"v${i % 997}")).toDF("id", "s")
+    val exact = 997.0
+    val est = Profile.approx(df, Seq("s"), rsd).collect().head.getLong(3)
+    assert(math.abs(est - exact) / exact <= 3 * rsd,
+      s"HLL estimate $est outside ±${3 * rsd} of $exact")
+  }
 }
