@@ -38,9 +38,24 @@ object SyncJob {
     "timestampFormat" -> "yyyy-MM-dd HH:mm:ss"
   )
 
+  /** Sidecar state file holding the delivered watermark: one line,
+    * `<max audit_pk>,<csv part-file count at write time>`. The
+    * underscore prefix keeps Spark's readers from treating it as data.
+    */
+  val WatermarkFile = "_watermark"
+
   /** Read the sink-side watermark: greatest `audit_pk` already
     * delivered, or `initial` (-1 like the reference's "no file yet"
     * path) when the sink is empty/absent.
+    *
+    * O(1) path (the reference's intent — it reads only the file tail,
+    * cdc_audit_sync_mysql.php:364-386): a `_watermark` sidecar written
+    * after each successful append. The sidecar records the csv
+    * part-file count at write time; a count mismatch means an append
+    * committed without its sidecar update (crash window) — then, and
+    * for pre-sidecar sinks, fall back to the full aggregation scan,
+    * which is always correct. Sync cost is therefore O(new rows), not
+    * O(delivered history).
     */
   def watermark(spark: SparkSession, sinkDir: String,
                 pkCol: String = AuditSchema.PkCol,
@@ -52,15 +67,44 @@ object SyncJob {
     val files = fs.listStatus(path).filter(f =>
       f.isFile && f.getPath.getName.endsWith(".csv"))
     if (files.isEmpty) return initial
-    val sink = spark.read
-      .options(CsvOptions)
-      .option("inferSchema", "false")
-      .csv(sinkDir)
-    // audit_pk is by contract the LAST column
-    // (cdc_audit_sync_mysql.php:352 / AuditSchema invariant)
-    val last = sink.columns.last
-    val row = sink.agg(max(col(last).cast("long"))).head()
-    if (row.isNullAt(0)) initial else row.getLong(0)
+    readSidecar(fs, path) match {
+      case Some((wm, cnt)) if cnt == files.length => wm
+      case _ =>
+        val sink = spark.read
+          .options(CsvOptions)
+          .option("inferSchema", "false")
+          .csv(sinkDir)
+        // audit_pk is by contract the LAST column
+        // (cdc_audit_sync_mysql.php:352 / AuditSchema invariant)
+        val last = sink.columns.last
+        val row = sink.agg(max(col(last).cast("long"))).head()
+        if (row.isNullAt(0)) initial else row.getLong(0)
+    }
+  }
+
+  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                          sinkPath: org.apache.hadoop.fs.Path): Option[(Long, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(sinkPath, WatermarkFile)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val text = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      text.split(",") match {
+        case Array(wm, cnt) => Some((wm.toLong, cnt.toInt))
+        case _ => None
+      }
+    } catch { case _: Exception => None } // corrupt sidecar -> full scan
+    finally in.close()
+  }
+
+  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                           sinkPath: org.apache.hadoop.fs.Path, wm: Long): Unit = {
+    val csvCount = fs.listStatus(sinkPath).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".csv"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(sinkPath, WatermarkFile), true)
+    try out.write(s"$wm,$csvCount\n".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Rows of `log` above the watermark — the incremental read. The
@@ -102,11 +146,19 @@ object SyncJob {
     }
     val wm    = watermark(spark, sinkDir)
     val fresh = above(log, wm)
-    val n     = fresh.count()
+    // one job for both the row count and the new watermark
+    val stats = fresh.agg(count(lit(1)), max(col(AuditSchema.PkCol).cast("long"))).head()
+    val n     = stats.getLong(0)
     if (n > 0) {
       val ordered = fresh.orderBy(col(AuditSchema.PkCol))
       val out     = if (singleFile) ordered.coalesce(1) else ordered
       out.write.mode("append").options(CsvOptions).csv(sinkDir)
+      // advance the O(1) watermark sidecar only after the append
+      // commits; a crash in between leaves a count mismatch, which the
+      // next run detects and repairs with a full scan
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      writeSidecar(fs, new org.apache.hadoop.fs.Path(sinkDir), stats.getLong(1))
     }
     n
   }
@@ -132,33 +184,51 @@ object SyncJob {
 
   /** The reference's "wipe" (`-w`) on a directory-backed parquet audit
     * log: compact the log down to its single newest row
-    * (cdc_audit_sync_mysql.php:284-319). Spark rewrites immutable
-    * files, so this is compute-retained-set -> write-aside -> atomic
-    * swap; the reference's 100-row/1 s lock batching has no analog
-    * (SURVEY.md §4). Returns the number of rows retained (1, or 0 for
-    * an empty log).
+    * (cdc_audit_sync_mysql.php:284-319).
+    *
+    * Concurrent-writer safety, matching the reference's bounded delete
+    * (it removes only rows at-or-below the max it probed, so live
+    * trigger writes survive, :267-283): the wipe operates on a
+    * SNAPSHOT of the directory's part files — it reads exactly those
+    * files, moves the kept-row file in FIRST, then deletes only the
+    * snapshotted files. Any file another writer appends after the
+    * listing is never read, never deleted, and never raced (names are
+    * unique). The old implementation swapped the whole directory, so a
+    * concurrent append between read and rename was silently dropped.
+    *
+    * Crash window: dying between the kept-file move and the snapshot
+    * deletes leaves extra already-delivered rows behind — benign (the
+    * next wipe removes them); the newest row is never without a live
+    * file. Returns the number of rows retained (1, or 0 for an empty
+    * log). `afterSnapshot` is a test seam fired between the listing
+    * and the deletes (to exercise a concurrent append).
     */
-  def wipeLogDir(spark: SparkSession, logDir: String): Long = {
+  def wipeLogDir(spark: SparkSession, logDir: String,
+                 afterSnapshot: () => Unit = () => ()): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(logDir)
     if (!fs.exists(dir)) return 0L
-    val log  = spark.read.parquet(logDir)
+    val snapshot = fs.listStatus(dir).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    if (snapshot.isEmpty) return 0L
+    val log  = spark.read.parquet(snapshot.map(_.toString): _*)
     val kept = Retention.keepLastGlobal(log)
     val tmp  = new org.apache.hadoop.fs.Path(logDir + ".wipe.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
-    // swap via rename-aside: the live log path is never absent without
-    // a recoverable copy (delete-then-rename would lose the log if the
-    // process died in between)
-    val old = new org.apache.hadoop.fs.Path(logDir + ".wipe.old")
-    if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(dir, old)
-    if (!fs.rename(tmp, dir)) {
-      fs.rename(old, dir) // roll back
-      sys.error(s"wipe swap failed for $logDir; original log restored")
-    }
-    fs.delete(old, true)
+    afterSnapshot()
+    // move the kept row in BEFORE deleting its sources: the log is
+    // never missing its newest row, whatever happens mid-wipe
+    fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(dir, "wipe-kept-" + f.getPath.getName))
+      }
+    snapshot.foreach(p => fs.delete(p, false))
+    fs.delete(tmp, true)
     n
   }
 

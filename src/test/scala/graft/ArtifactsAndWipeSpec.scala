@@ -58,6 +58,50 @@ class ArtifactsAndWipeSpec extends SparkSpec {
     assert(after.toSeq === Seq(50L))
   }
 
+  test("wipeLogDir keeps a file appended concurrently with the wipe " +
+    "(reference's bounded delete: live trigger writes survive, sync:267-283)") {
+    val dir = mkLogDir(1 to 30)
+    val n = SyncJob.wipeLogDir(spark, dir, afterSnapshot = () => {
+      // a concurrent writer lands rows AFTER the wipe's file listing
+      Seq((99, "late", "insert"))
+        .toDF("id", "x", "audit_event")
+        .withColumn("audit_timestamp", lit(java.sql.Timestamp.valueOf("2020-01-02 00:00:00")))
+        .withColumn("audit_pk", lit(99L))
+        .write.mode("append").parquet(dir)
+    })
+    assert(n === 1L)
+    val after = spark.read.parquet(dir).select("audit_pk").as[Long].collect().sorted
+    // kept max-of-snapshot row AND the concurrently appended row
+    assert(after.toSeq === Seq(30L, 99L))
+  }
+
+  test("watermark is answered from the _watermark sidecar without " +
+    "re-reading the delivered CSV; count mismatch falls back to a scan") {
+    val dir = mkLogDir(1 to 15)
+    val sink = tmpDir("sinkwm")
+    SyncJob.syncTable(spark, spark.read.parquet(dir), sink, singleFile = true)
+    val sidecar = Paths.get(sink, SyncJob.WatermarkFile)
+    assert(Files.exists(sidecar))
+    assert(Files.readString(sidecar).trim === "15,1")
+    // tampering below bypasses Hadoop's LocalFileSystem checksum — drop
+    // the crc sidecar-of-the-sidecar so the reads see the new bytes
+    def plant(text: String): Unit = {
+      Files.writeString(sidecar, text)
+      Files.deleteIfExists(Paths.get(sink, "." + SyncJob.WatermarkFile + ".crc"))
+    }
+    // prove the O(1) path is taken: plant a bogus watermark with the
+    // CORRECT file count — if the sidecar is trusted, its value wins
+    // (no CSV scan could produce 999)
+    plant("999,1\n")
+    assert(SyncJob.watermark(spark, sink) === 999L)
+    // stale count (simulated crashed append) -> full scan repairs
+    plant("999,7\n")
+    assert(SyncJob.watermark(spark, sink) === 15L)
+    // corrupt sidecar -> full scan
+    plant("garbage\n")
+    assert(SyncJob.watermark(spark, sink) === 15L)
+  }
+
   test("syncAndWipe: rows reach the sink before the log is compacted") {
     val dir = mkLogDir(1 to 20)
     val sink = tmpDir("sink")
