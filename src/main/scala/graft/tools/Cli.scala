@@ -15,8 +15,59 @@ import org.apache.spark.sql.SparkSession
   * [[graft.sources.AuditSource]]).
   */
 object Cli {
-  def parse(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+
+  /** Flag parsing that handles BARE flags: a `-x` followed by another
+    * flag (or nothing) parses as `-x -> "true"` instead of swallowing
+    * the next flag as its value (the old pairwise sliding did exactly
+    * that for `-w -t a,b`).
+    */
+  def parse(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("-")) {
+        val hasValue = i + 1 < args.length && !args(i + 1).startsWith("-")
+        if (hasValue) { m(a) = args(i + 1); i += 2 }
+        else { m(a) = "true"; i += 1 }
+      } else i += 1 // stray positional: ignored, like the reference's getopt
+    }
+    m.toMap
+  }
+
+  /** Reference-parity leveled logger (gen:120-123 `-v`, `-o` redirect;
+    * log() at gen:256-263): 0 = errors only, 1 = +warnings (default),
+    * 2 = +info, 3 = +debug with source file:line appended.
+    */
+  final class Logger(val verbosity: Int, out: java.io.PrintStream,
+                     owned: Boolean) extends AutoCloseable {
+    def error(msg: String): Unit = log(0, msg)
+    def warn(msg: String): Unit  = log(1, msg)
+    def info(msg: String): Unit  = log(2, msg)
+    def debug(msg: String): Unit =
+      if (verbosity >= 3) {
+        val e = Thread.currentThread.getStackTrace()(2)
+        out.println(s"$msg  -- ${e.getFileName} : ${e.getLineNumber}")
+      }
+    private def log(level: Int, msg: String): Unit =
+      if (level <= verbosity) out.println(msg)
+    def close(): Unit = if (owned) out.close()
+  }
+
+  /** Build the run's logger from `-v N` and `--log FILE` (the
+    * reference's `-o FILE` redirect — `-o` itself stays the GenTool
+    * output dir for backward compatibility; `-m`, the reference's
+    * flag, is also accepted there).
+    */
+  def logger(opts: Map[String, String]): Logger = {
+    val v = opts.get("-v").filter(_ != "true").map(_.toInt).getOrElse(1)
+    opts.get("--log") match {
+      case Some(f) => new Logger(v,
+        new java.io.PrintStream(new java.io.FileOutputStream(f), true, "UTF-8"),
+        owned = true)
+      case None => new Logger(v, System.out, owned = false)
+    }
+  }
 
   /** (session, ownedByUs): only stop sessions this process created —
     * under tests getOrCreate returns the suite's shared session.
@@ -40,36 +91,43 @@ object Cli {
 
 /** Generate per-table audit DDL + trigger SQL artifacts from parquet
   * schemas. Usage:
-  * `runMain graft.tools.GenTool --data <dir-of-parquet> -o <outDir>
-  *  [-t tbl1,tbl2] [--prefix p_]`
+  * `runMain graft.tools.GenTool --data <dir-of-parquet> -m <outDir>
+  *  [-t tbl1,tbl2] [--prefix p_] [-v 0..3] [--log FILE]`
+  * (`-o <outDir>` is accepted as an alias of `-m` for compatibility.)
   */
 object GenTool {
   def main(args: Array[String]): Unit = {
     val opts = Cli.parse(args)
     val data = opts("--data")
-    val out  = opts("-o")
+    val out  = opts.getOrElse("-m", opts("-o"))
     val prefix = opts.getOrElse("--prefix", "")
+    val log = Cli.logger(opts)
     val (spark, owned) = Cli.session()
     try {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
+      log.debug(s"listing parquet tables under $data")
       val tables = fs.listStatus(new org.apache.hadoop.fs.Path(data))
         .map(_.getPath.getName).filter(_.endsWith(".parquet"))
         .map(_.stripSuffix(".parquet")).sorted
       val metas = tables.map { t =>
+        log.info(s"[gen] reading schema of $t")
         val schema = spark.read.parquet(s"$data/$t.parquet").schema
         t -> TriggerDdl.fromStructType(schema)
       }.toMap
       val written = AuditArtifacts.generateAll(out, metas, Cli.include(opts), prefix)
-      written.foreach(p => println(s"[gen] wrote $p"))
-    } finally if (owned) spark.stop()
+      written.foreach(p => log.warn(s"[gen] wrote $p"))
+    } finally {
+      if (owned) spark.stop()
+      log.close()
+    }
   }
 }
 
 /** Incrementally sync parquet audit-log directories to CSV sinks.
   * Usage:
   * `runMain graft.tools.SyncTool --logs <root> --sink <root>
-  *  [-t tbl1,tbl2] [-w true]`
+  *  [-t tbl1,tbl2] [-w] [-v 0..3] [--log FILE]`
   * Log layout: parquet files under `<logs>/<table>_audit/`
   * (discovered by the `_audit` substring rule, P4).
   */
@@ -80,21 +138,27 @@ object SyncTool {
     val sinkRoot = opts("--sink")
     val wipe = opts.get("-w").exists(_.toBoolean)
     val inc = Cli.include(opts)
+    val log = Cli.logger(opts)
     val (spark, owned) = Cli.session()
     try {
       val tables = AuditSource.discoverAuditDirs(spark, logsRoot)
         .filter(t => inc.forall(_.contains(t)))
+      log.info(s"[sync] syncing ${tables.size} audit table(s)")
       tables.foreach { t =>
         val logDir = s"$logsRoot/$t"
         val sink   = s"$sinkRoot/$t"
+        log.debug(s"log dir $logDir -> sink $sink")
         if (wipe) {
           val (d, r) = SyncJob.syncAndWipe(spark, logDir, sink)
-          println(s"[sync] $t: delivered $d rows, wiped to $r")
+          log.warn(s"[sync] $t: delivered $d rows, wiped to $r")
         } else {
           val d = SyncJob.syncTable(spark, spark.read.parquet(logDir), sink)
-          println(s"[sync] $t: delivered $d rows")
+          log.warn(s"[sync] $t: delivered $d rows")
         }
       }
-    } finally if (owned) spark.stop()
+    } finally {
+      if (owned) spark.stop()
+      log.close()
+    }
   }
 }

@@ -15,6 +15,39 @@ class CliSpec extends SparkSpec {
     assert(Cli.include(Map.empty) === None)
   }
 
+  test("bare flags parse as true instead of swallowing the next flag; " +
+    "stray positionals are ignored") {
+    assert(Cli.parse(Array("-w", "-t", "a,b")) ===
+      Map("-w" -> "true", "-t" -> "a,b"))
+    assert(Cli.parse(Array("--logs", "/l", "-w")) ===
+      Map("--logs" -> "/l", "-w" -> "true"))
+    assert(Cli.parse(Array("stray", "-v", "2", "orphan")) === Map("-v" -> "2"))
+  }
+
+  test("leveled logging: -v thresholds match the reference's 0-3 scale, " +
+    "debug appends source location, --log redirects to a file") {
+    def capture(v: Int)(f: Cli.Logger => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val log = new Cli.Logger(v, new java.io.PrintStream(bos, true, "UTF-8"),
+        owned = false)
+      f(log); bos.toString("UTF-8")
+    }
+    def emitAll(l: Cli.Logger): Unit = {
+      l.error("E"); l.warn("W"); l.info("I"); l.debug("D")
+    }
+    assert(capture(0)(emitAll) === "E\n")
+    assert(capture(1)(emitAll) === "E\nW\n")           // the default
+    assert(capture(2)(emitAll) === "E\nW\nI\n")
+    val dbg = capture(3)(emitAll)
+    assert(dbg.startsWith("E\nW\nI\nD  -- CliSpec.scala : "))
+    // --log FILE redirect; bare -v (no value) falls back to default 1
+    val f = Paths.get(tmpDir("clilog"), "run.log").toString
+    val log = Cli.logger(Map("--log" -> f, "-v" -> "true"))
+    assert(log.verbosity === 1)
+    log.warn("to-file"); log.close()
+    assert(Files.readString(Paths.get(f)).trim === "to-file")
+  }
+
   test("GenTool writes DDL artifacts for parquet tables, honoring -t") {
     val data = tmpDir("gendata"); val out = tmpDir("genout")
     Seq((1, "x")).toDF("id", "v").write.mode("overwrite").parquet(s"$data/alpha.parquet")
