@@ -285,6 +285,65 @@ object Dedup {
     } else pairs.distinct()
   }
 
+  /** Connected components over a near-dup candidate-pair edge list:
+    * every document is labeled with the MINIMUM doc id reachable
+    * through the pair graph (`cluster_id`). This is the O(n)-sized
+    * product a dedup pass actually keeps — the pair list itself is
+    * O(c²) per near-dup cluster (measured: 5000 highly-self-similar
+    * docs produce 2.6M minhash pairs), which no downstream step wants
+    * to materialize twice.
+    *
+    * Algorithm: min-label propagation to fixpoint — each round every
+    * node takes the min of its own label and its neighbors' labels
+    * (one equi-join + one hash-agg per round, both with map-side
+    * partials), converging in O(graph diameter) rounds; near-dup
+    * graphs are dense cliques, so 2-3 rounds in practice. Labels are
+    * materialized per round (lineage cut) and the loop stops when a
+    * round changes nothing. The driver loop runs aggregate jobs only —
+    * never collects labels. At extreme diameters the published
+    * alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) halves
+    * round count; plain propagation is the right default for dedup
+    * graphs.
+    *
+    * `docs` supplies the node set, so singleton documents (no pairs)
+    * appear with `cluster_id = doc_id`.
+    */
+  def connectedComponents(pairs: DataFrame, docs: DataFrame,
+                          idCol: String = "doc_id",
+                          maxRounds: Int = 25): DataFrame = {
+    val aCol = pairs.columns(0)
+    val bCol = pairs.columns(1)
+    // undirected edge list, both directions
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = docs.select(col(idCol).as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    labels.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val neighborLabels = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(neighborLabels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist()
+      // convergence = no label moved this round (aggregate, no collect)
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** 32-bit SimHash fingerprint per document, from md5 hex digits of
     * each distinct token: bit b of the hash contributes +1/-1, the
     * fingerprint keeps the sign of each bit-sum. Pure integer

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines — north-star
+  * extension. Inclusion is a pure function of the row id (an md5-hex
+  * slot), NOT an RNG: re-runs, retries, and other engines agree on the
+  * exact sample (`rand()`-based sampling can't be oracle-checked and
+  * breaks retry idempotency; Spark's own `sample()` is seed-stable but
+  * partition-layout-dependent).
+  *
+  * Scale: both variants are one scan with the inclusion predicate
+  * fully codegen'd; `capPerStratum` adds one tiny per-stratum count
+  * aggregate broadcast back — no data shuffle.
+  */
+object Sampling {
+
+  /** Slot in [0, 65536): the first 4 hex digits of md5 of the id.
+    * Engine-portable — md5 hex is identical everywhere, and the hex →
+    * int conversion is exact.
+    */
+  def hashSlot(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Keep rows whose slot falls under `fraction` of the slot space —
+    * a deterministic Bernoulli(fraction) sample keyed on `idCol`.
+    */
+  def bernoulli(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    df.filter(hashSlot(col(idCol)) < math.floor(fraction * 65536).toLong)
+  }
+
+  /** Downsample over-represented strata to ~`cap` rows each: stratum
+    * fraction = min(1, cap / stratum_count). The balancing pass every
+    * training-data pipeline runs before mixing sources — small strata
+    * pass through whole, big ones thin deterministically.
+    */
+  def capPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                    cap: Long): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val frac = least(lit(1.0), lit(cap.toDouble) / col("_n"))
+    df.join(broadcast(counts), Seq(stratumCol))
+      .filter(hashSlot(col(idCol)) < floor(frac * 65536).cast("long"))
+      .select(df.columns.map(col): _*) // original column order, _n gone
+  }
+}

@@ -93,4 +93,23 @@ object TextStats {
       md5(regexp_replace(col(textCol), "\\s+", " ")).as("content_fp"),
       shingleMin.as("shingle_fp"))
   }
+
+  /** PII scrubbing + whitespace normalization — the redaction pass a
+    * training corpus runs before ingestion. Replacement order matters
+    * and is part of the contract: emails first (their local part may
+    * contain digit runs), then phone-shaped digit groups, then any
+    * bare digit run of 9+ (ids/SSNs/cards), then whitespace collapse.
+    * Patterns stay in the RE2-compatible subset (character classes,
+    * bounded/unbounded repeats — no backreferences or lookaround) so
+    * SQL engines reproduce them exactly; everything is codegen'd
+    * `regexp_replace`, embarrassingly parallel at any scale.
+    */
+  def scrub(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email,
+      "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>")
+    val ids = regexp_replace(phone, "[0-9]{9,}", "<ID>")
+    trim(regexp_replace(ids, "\\s+", " "))
+  }
 }

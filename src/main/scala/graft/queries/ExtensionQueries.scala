@@ -36,6 +36,15 @@ object ExtensionQueries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d)).orderBy("doc_id")
 
+  /** Near-dup CLUSTER assignment — the O(n) product of a dedup pass
+    * (the pair list is O(c²) per cluster): connected components over
+    * the verified 0.8-Jaccard pair graph, every doc labeled with the
+    * min reachable doc id.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(Dedup.ngramJaccard(docs(s, d), 0.8), docs(s, d))
+      .orderBy("doc_id")
+
   /** 4 tables × 12 planes, measured against sf0.1 ground truth (14922
     * true pairs at cos>=0.3 over 2000 clustered vectors): 184k
     * candidates at recall 0.19, vs the r1 single 4-plane table's 156k
@@ -73,6 +82,17 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic stratified downsampling: cap every event_type at
+    * ~300 rows via md5-slot inclusion (pure function of event_id — no
+    * RNG, so the oracle reproduces the exact sample).
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Sampling.capPerStratum(
+        Tables.events(s, d).select("event_id", "event_type", "value"),
+        "event_type", "event_id", cap = 300)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+
   def langId(s: SparkSession, d: String): DataFrame =
     TextStats.languageId(docs(s, d)).orderBy("doc_id")
 
@@ -84,6 +104,21 @@ object ExtensionQueries {
 
   def fingerprint(s: SparkSession, d: String): DataFrame =
     TextStats.fingerprint(docs(s, d)).orderBy("doc_id")
+
+  /** PII scrub: the synthetic corpus has no PII, so the query plants a
+    * deterministic email/phone/id preamble (a pure function of doc_id,
+    * identical in the oracle) and proves the redaction fires: every
+    * row must come back changed, with the planted tokens gone.
+    */
+  def scrub(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        TextStats.scrub(concat(
+          lit("contact user"), col("doc_id"), lit("@example.com  tel 555-123-4567 acct 90010000"),
+          col("doc_id"), lit(" "), col("text"))).as("clean_text"))
+      .withColumn("redacted",
+        col("clean_text").contains("<EMAIL>") &&
+          col("clean_text").contains("<PHONE>") && col("clean_text").contains("<ID>"))
+      .orderBy("doc_id")
 
   /** Binary-column decode plumbing (stub codec, real mapPartitions
     * path): text bytes as the opaque payload.
@@ -217,6 +252,35 @@ object ExtensionQueries {
       """SELECT event_type, count(*) AS n, min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_scrub" ->
+      """WITH s AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          'contact user' || CAST(doc_id AS VARCHAR) ||
+        |          '@example.com  tel 555-123-4567 acct 90010000' ||
+        |          CAST(doc_id AS VARCHAR) || ' ' || text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+        |      '[0-9]{9,}', '<ID>', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text,
+        |  (clean_text LIKE '%<EMAIL>%' AND clean_text LIKE '%<PHONE>%'
+        |   AND clean_text LIKE '%<ID>%') AS redacted
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH cnt AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |s AS (SELECT e.event_id, e.event_type, e.value,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(e.event_id AS VARCHAR)),1,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(e.event_id AS VARCHAR)),2,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(e.event_id AS VARCHAR)),3,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(e.event_id AS VARCHAR)),4,1))-1) AS slot,
+        |    CAST(floor(least(1.0, 300.0/c.n)*65536) AS BIGINT) AS thr
+        |  FROM events e JOIN cnt c USING (event_type))
+        |SELECT event_id, event_type, value FROM s
+        |WHERE slot < thr ORDER BY event_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
         |  count(*) AS n_copies
@@ -239,6 +303,30 @@ object ExtensionQueries {
         |  CAST(inter AS DOUBLE)/(n_a+n_b-inter) AS jaccard
         |FROM j WHERE CAST(inter AS DOUBLE)/(n_a+n_b-inter) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) AS ts,
+        |         len(list_distinct(string_split(text,' '))) AS n
+        |  FROM documents),
+        |pref AS (SELECT doc_id, ts, n,
+        |    ts[1:(n - CAST(ceil(0.8*n) AS INT) + 1)] AS prefix FROM toks),
+        |pa AS (SELECT doc_id, unnest(prefix) AS tok FROM pref),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pa a JOIN pa b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |    len(list_intersect(x.ts, y.ts)) AS inter, x.n AS n_a, y.n AS n_b
+        |  FROM cand JOIN toks x ON cand.doc_a = x.doc_id
+        |            JOIN toks y ON cand.doc_b = y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM j
+        |  WHERE CAST(inter AS DOUBLE)/(n_a+n_b-inter) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       """WITH toks AS (
         |  SELECT doc_id, list_distinct(string_split(text,' ')) AS ts FROM documents),
@@ -406,6 +494,7 @@ object ExtensionQueries {
     "q_dedup_ngram"     -> (dedupNgram _),
     "q_dedup_minhash"   -> (dedupMinhash _),
     "q_dedup_simhash"   -> (dedupSimhash _),
+    "q_dedup_clusters"  -> (dedupClusters _),
     "q_embed_neardup"   -> (embedNearDup _),
     "q_ann_topk"        -> (annTopK _),
     "q_ann_lsh"         -> (annLsh _),
@@ -414,11 +503,13 @@ object ExtensionQueries {
     "q_text_quality"    -> (textQuality _),
     "q_token_counts"    -> (tokenCounts _),
     "q_fingerprint"     -> (fingerprint _),
+    "q_scrub"           -> (scrub _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_frame_sample"    -> (frameSample _),
     "q_profile"         -> (profile _),
     "q_profile_approx"  -> (profileApprox _),
     "q_salted_agg"      -> (saltedAgg _),
+    "q_sample_stratified" -> (sampleStratified _),
     "q_range_join"      -> (rangeJoin _)
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 /** North-star ops: semantic unit tests against hand-computed expected
@@ -41,6 +41,55 @@ class OpsSpec extends SparkSpec {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(sh(1L) === sh(2L))
     assert(sh(1L) !== sh(4L))
+  }
+
+  test("scrub redacts emails, phones, long digit runs, and collapses " +
+    "whitespace — in that order") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.org  now"),
+      (2L, "call 555-123-4567 or 555 987 6543"),
+      (3L, "ssn 123456789 card 4111111111111111"),
+      (4L, "clean   text    here"),
+      (5L, "short 12345678 stays") // 8 digits: below the id threshold
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextStats.scrub(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "mail <EMAIL> now")
+    assert(out(2L) === "call <PHONE> or <PHONE>")
+    assert(out(3L) === "ssn <ID> card <ID>")
+    assert(out(4L) === "clean text here")
+    assert(out(5L) === "short 12345678 stays")
+  }
+
+  test("deterministic sampling: bernoulli is a pure function of the id; " +
+    "capPerStratum thins big strata to ~cap and passes small ones whole") {
+    val df = (1 to 2000).map(i => (i.toLong, if (i <= 1850) "big" else "small"))
+      .toDF("id", "k")
+    val s1 = Sampling.bernoulli(df, "id", 0.25).as[(Long, String)].collect().toSet
+    val s2 = Sampling.bernoulli(df, "id", 0.25).as[(Long, String)].collect().toSet
+    assert(s1 === s2)                       // identical across runs
+    assert(s1.size > 380 && s1.size < 620)  // ~500 of 2000
+    // a lower fraction's sample NESTS inside a higher one (slot order)
+    val s3 = Sampling.bernoulli(df, "id", 0.1).as[(Long, String)].collect().toSet
+    assert(s3.subsetOf(s1))
+    val capped = Sampling.capPerStratum(df, "k", "id", cap = 200)
+      .as[(Long, String)].collect()
+    val byK = capped.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byK("small") === 150)            // under cap: kept whole
+    assert(byK("big") > 120 && byK("big") < 280) // ~200 of 1850
+  }
+
+  test("connectedComponents: chains collapse to min label, singletons " +
+    "stay their own cluster, converges past a 3-hop diameter") {
+    val pairs = Seq(
+      (2L, 5L), (5L, 9L), (9L, 11L),   // chain 2-5-9-11 (diameter 3)
+      (7L, 8L)                          // separate pair
+    ).toDF("doc_a", "doc_b")
+    val nodes = Seq(2L, 5L, 7L, 8L, 9L, 11L, 42L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, nodes)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(cc.toSeq === Seq(
+      (2L, 2L), (5L, 2L), (7L, 7L), (8L, 7L), (9L, 2L), (11L, 2L), (42L, 42L)))
   }
 
   test("incremental minhash == full minhash restricted to pairs that " +
