@@ -192,10 +192,17 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               centroidStride: Int = 37, dim: Int = 64,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val cent = corpus.filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
-      .withColumn("centn", norm(col("centv"), dim))
+              vecCol: String = "embedding",
+              centroids: Option[DataFrame] = None): DataFrame = {
+    // default: the deterministic stride quantizer (oracle-reproducible);
+    // pass `centroids` = [[kmeans]] output for a trained index — same
+    // dataflow, tighter posting lists
+    val cent = centroids
+      .map(_.select(col("centroid_id"), col("centv"))
+        .withColumn("centn", norm(col("centv"), dim)))
+      .getOrElse(corpus.filter(col(idCol) % centroidStride === 0)
+        .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
+        .withColumn("centn", norm(col("centv"), dim)))
 
     // argmax as a hash-aggregate, not a window: max_by over
     // struct(cos, -centroid_id) picks (highest cos, then lowest
@@ -230,6 +237,55 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos_q")
+  }
+
+  /** Spherical-k-means centroid training for the IVF index (Lloyd's
+    * algorithm): assign every vector to its max-cosine centroid
+    * (broadcast-cross + `max_by` hash-agg — the same shuffle-free
+    * argmax dataflow as [[ivfTopK]]'s probe), then recompute each
+    * centroid as the element-wise mean of its members; repeat.
+    *
+    * Deterministic: init = the k lowest-id vectors, assignment ranks
+    * by the quantized cosine with id tiebreaks. NOT oracle-portable —
+    * the mean's floating-point sum order varies across engines and
+    * partitionings — so this trains the index (a model parameter, spec-
+    * verified) rather than backing a driver query; [[ivfTopK]] keeps
+    * its stride quantizer as the oracle-reproducible default.
+    *
+    * Scale: per round, one broadcast-cross assignment reduced map-side
+    * and one mean hash-agg (both partial-agg friendly); centroids (k x
+    * dim doubles) are the only persisted state. Clusters that lose all
+    * members drop out (standard Lloyd behavior).
+    *
+    * Returns (centroid_id, centv) for [[ivfTopK]]'s `centroids` param.
+    */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int = 5, dim: Int = 64,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 0, "k and iters must be positive")
+    val vecs = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", norm(col("v"), dim)).persist()
+    var cent = vecs.orderBy(col("vid")).limit(k)
+      .select(col("vid").as("centroid_id"), col("v").as("centv"),
+        col("vn").as("centn")).persist()
+    cent.count()
+    for (_ <- 1 to iters) {
+      val assigned = vecs.crossJoin(broadcast(cent))
+        .withColumn("c_cos", cosQ(col("v"), col("centv"), col("vn"), col("centn"), dim))
+        .groupBy(col("vid"))
+        .agg(max_by(col("centroid_id"),
+            struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
+          first(col("v")).as("v"))
+      val next = assigned.groupBy("centroid_id")
+        .agg(array((1 to dim).map(i => avg(element_at(col("v"), i))): _*).as("centv"))
+        .withColumn("centn", norm(col("centv"), dim))
+        .persist()
+      next.count()
+      cent.unpersist()
+      cent = next
+    }
+    vecs.unpersist()
+    cent.select("centroid_id", "centv")
   }
 
   /** Banded multi-table LSH ANN top-k: a candidate is any corpus
