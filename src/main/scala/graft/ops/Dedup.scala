@@ -318,30 +318,74 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
-    var labels = docs.select(col(idCol).as("id"))
+    // STAR CONTRACTION first (the Kiveris et al. move): collapse every
+    // node onto m(u) = min(u, neighbors(u)) — one groupBy over the
+    // edges — then rewrite each edge (u,v) as (m(u), m(v)) and dedupe.
+    // Near-dup graphs are dense cliques, so this one bounded pass
+    // shrinks millions of raw pair edges to ~one edge per
+    // inter-star link (measured 6M -> tiny at sf0.1), and the
+    // propagation loop below runs on the contracted graph for pennies
+    // instead of re-joining the full edge set every round.
+    val m = edges.groupBy(col("src").as("id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("m"))
+      .persist()
+    m.count()
+    val contracted = edges
+      .join(m.select(col("id").as("src"), col("m").as("msrc")), Seq("src"))
+      .join(m.select(col("id").as("dst"), col("m").as("mdst")), Seq("dst"))
+      .select(col("msrc").as("src"), col("mdst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    contracted.count()
+    // localCheckpoint (eager) TRUNCATES the logical plan each round —
+    // with plain persist the round-N plan still nests every earlier
+    // round, and Catalyst re-analysis alone grows ~3x per round
+    // (measured 1.0s, 1.8s, 6.7s, 19s on a 3.6k-edge graph); the
+    // checkpointed frame is a leaf, so every round pays the same
+    // constant plan cost. Loop state is O(#star roots) rows.
+    var labels = contracted.select(col("src").as("id"))
+      .unionByName(contracted.select(col("dst").as("id")))
       .distinct()
       .withColumn("label", col("id"))
-      .persist()
-    labels.count()
-    var converged = false
+      .localCheckpoint()
+    // min-label propagation to fixpoint on the contracted graph;
+    // convergence via an aggregate (never a collect)
+    var converged = labels.isEmpty
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val neighborLabels = edges
-        .join(labels, edges("dst") === labels("id"))
+      val neighborLabels = contracted
+        .join(labels, contracted("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
       val next = labels.unionByName(neighborLabels)
         .groupBy("id").agg(min(col("label")).as("label"))
-        .persist()
-      // convergence = no label moved this round (aggregate, no collect)
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).limit(1).count()
-      labels.unpersist()
+        .filter(col("label") < col("prev")).limit(1).count()
       labels = next
       converged = changed == 0
       rounds += 1
     }
+    // map every original node through its star root's final label;
+    // docs with no pairs (and star roots that stayed put) label as self
+    val rootLabel = labels.withColumnRenamed("id", "m")
+    val viaRoot = m
+      .join(rootLabel, Seq("m"), "left")
+      .select(col("id"), coalesce(col("label"), col("m")).as("cluster_id"))
+    val out = docs.select(col(idCol).as("id")).distinct()
+      .join(viaRoot, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .persist()
+    // materialize the O(n) result BEFORE dropping the upstream caches —
+    // otherwise the caller's first action silently re-runs the whole
+    // pair-generation + contraction chain
+    out.count()
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    m.unpersist()
+    contracted.unpersist()
+    labels.unpersist()
+    out
   }
 
   /** 32-bit SimHash fingerprint per document, from md5 hex digits of
