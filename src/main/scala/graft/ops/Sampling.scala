@@ -31,6 +31,23 @@ object Sampling {
     df.filter(hashSlot(col(idCol)) < math.floor(fraction * 65536).toLong)
   }
 
+  /** Leakage-safe train/test split: the split key is the GROUP (e.g.
+    * the near-dup cluster_id from [[Dedup.connectedComponents]], or a
+    * user id), so near-duplicate documents can never straddle the
+    * boundary — splitting by row leaks test content into training via
+    * its near-dups. Returns the input plus a `split` column
+    * ("test" when the group's slot < testFraction of the slot space).
+    * Deterministic like everything here: a pure function of the group.
+    */
+  def splitByGroup(df: DataFrame, groupCol: String,
+                   testFraction: Double): DataFrame = {
+    require(testFraction >= 0 && testFraction <= 1,
+      s"testFraction $testFraction out of [0,1]")
+    df.withColumn("split",
+      when(hashSlot(col(groupCol)) < math.floor(testFraction * 65536).toLong,
+        lit("test")).otherwise(lit("train")))
+  }
+
   /** Downsample over-represented strata to ~`cap` rows each: stratum
     * fraction = min(1, cap / stratum_count). The balancing pass every
     * training-data pipeline runs before mixing sources — small strata

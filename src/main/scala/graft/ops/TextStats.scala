@@ -94,6 +94,34 @@ object TextStats {
       shingleMin.as("shingle_fp"))
   }
 
+  /** Corpus n-gram statistics: the `k` most frequent word n-grams with
+    * total occurrences and document frequency — the corpus-stats pass
+    * behind vocabulary building and contamination screening. One
+    * explode + one hash-agg (map-side partials carry (ngram, count)
+    * pairs); the top-k sort runs on the AGGREGATED result (one row per
+    * distinct n-gram), never on raw data. Ties break on the n-gram
+    * string so the result is deterministic across engines.
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be >= 1")
+    val t = tokens(col(textCol))
+    // guard short docs explicitly: sequence(1, size-n+1) would emit a
+    // DESCENDING range when size < n (Spark generates start-down-to-
+    // stop), fabricating grams — empty array drops the row instead
+    val grams = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("doc_id"), explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** PII scrubbing + whitespace normalization — the redaction pass a
     * training corpus runs before ingestion. Replacement order matters
     * and is part of the contract: emails first (their local part may

@@ -93,6 +93,21 @@ object ExtensionQueries {
       .select("event_id", "event_type", "value")
       .orderBy("event_id")
 
+  /** Leakage-safe split keyed on user_id: all of a user's events land
+    * on the same side of the train/test boundary.
+    */
+  def splitGroups(s: SparkSession, d: String): DataFrame =
+    Sampling.splitByGroup(
+        Tables.events(s, d).select("event_id", "user_id"),
+        "user_id", testFraction = 0.2)
+      .orderBy("event_id")
+
+  /** Corpus bigram stats: top 50 by occurrence count (doc frequency
+    * alongside), ties broken on the bigram.
+    */
+  def ngramStats(s: SparkSession, d: String): DataFrame =
+    TextStats.topNgrams(docs(s, d), n = 2, k = 50)
+
   def langId(s: SparkSession, d: String): DataFrame =
     TextStats.languageId(docs(s, d)).orderBy("doc_id")
 
@@ -252,6 +267,25 @@ object ExtensionQueries {
       """SELECT event_type, count(*) AS n, min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_split_groups" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN
+        |    (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)),1,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)),2,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)),3,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)),4,1))-1)
+        |    < CAST(floor(0.2*65536) AS BIGINT)
+        |  THEN 'test' ELSE 'train' END AS split
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_ngram_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)), i -> array_to_string(ts[i:i+1], ' '))) AS ngram
+        |  FROM toks WHERE len(ts) >= 2),
+        |a AS (SELECT ngram, count(*) AS n_occurrences,
+        |    count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1)
+        |SELECT ngram, n_occurrences, n_docs FROM a
+        |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
     "q_scrub" ->
       """WITH s AS (SELECT doc_id,
         |  trim(regexp_replace(
@@ -510,6 +544,8 @@ object ExtensionQueries {
     "q_profile_approx"  -> (profileApprox _),
     "q_salted_agg"      -> (saltedAgg _),
     "q_sample_stratified" -> (sampleStratified _),
+    "q_split_groups"    -> (splitGroups _),
+    "q_ngram_stats"     -> (ngramStats _),
     "q_range_join"      -> (rangeJoin _)
   )
 }

@@ -88,6 +88,22 @@ object EventStreamOps {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same document id
+    * (or content hash) as they stream in. State holds one entry per
+    * seen key and is GARBAGE-COLLECTED by the event-time watermark —
+    * `dropDuplicatesWithinWatermark` keeps a key only until the
+    * watermark passes it, so state is bounded by the lateness window,
+    * not corpus size; a plain `dropDuplicates` on an unbounded stream
+    * would grow state forever. This is the ingestion-time twin of the
+    * batch [[graft.ops.Dedup.exact]].
+    */
+  def streamingDedup(docs: DataFrame, keyCols: Seq[String],
+                     tsCol: String = "ts",
+                     lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming per-key latest-state view (the CDC "current state"
     * materialization as a stream): groupBy key + max_by(audit_pk),
     * output mode Update/Complete. One stateful aggregation, partition

@@ -79,6 +79,28 @@ class OpsSpec extends SparkSpec {
     assert(byK("big") > 120 && byK("big") < 280) // ~200 of 1850
   }
 
+  test("splitByGroup keeps every group on one side of the boundary") {
+    val df = (1 to 3000).map(i => (i.toLong, (i % 100).toLong)).toDF("id", "grp")
+    val split = Sampling.splitByGroup(df, "grp", 0.2)
+      .select("grp", "split").as[(Long, String)].collect()
+    val sides = split.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sides.values.forall(_.size == 1)) // no group straddles
+    val testGroups = sides.count(_._2 == Set("test"))
+    assert(testGroups > 8 && testGroups < 35) // ~20 of 100 groups
+  }
+
+  test("topNgrams counts occurrences and doc frequency with " +
+    "deterministic ties; docs shorter than n contribute nothing") {
+    val d = Seq(
+      (1L, "a b a b c"),   // bigrams: "a b" x2, "b a", "b c"
+      (2L, "a b"),          // "a b"
+      (3L, "z")             // too short for bigrams
+    ).toDF("doc_id", "text")
+    val out = TextStats.topNgrams(d, n = 2, k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
+  }
+
   test("connectedComponents: chains collapse to min label, singletons " +
     "stay their own cluster, converges past a 3-hop diameter") {
     val pairs = Seq(

@@ -32,6 +32,27 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops re-deliveries within the watermark and " +
+    "emits each key once") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreamOps.streamingDedup(df, Seq("doc_id"))
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+      mem.addData((t(1), 1L, "a"), (t(1), 1L, "a dup"), (t(2), 2L, "b"))
+      q.processAllAvailable()
+      // re-delivery of doc 1 in a LATER batch, still inside the window
+      mem.addData((t(3), 1L, "a again"), (t(4), 3L, "c"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("doc_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionizeStream: closes a session when the id gap exceeds " +
     "maxGap, keeps the live one in state") {
     implicit val sc = spark.sqlContext
