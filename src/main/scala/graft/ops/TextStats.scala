@@ -122,6 +122,39 @@ object TextStats {
       .limit(k)
   }
 
+  /** Benchmark-contamination screen: flag corpus documents sharing at
+    * least `minShared` word n-grams with any document of a (small)
+    * benchmark set — the decontamination pass run before training so
+    * eval data does not leak into the corpus.
+    *
+    * Dataflow for scale: the BENCHMARK side is the small one by
+    * definition, so its exploded n-gram set is broadcast; the corpus
+    * streams through one explode + broadcast-hash-join + count
+    * aggregate, never shuffling full documents. Output is one row per
+    * contaminated (doc, benchmark doc) pair with the shared-gram
+    * count; clean docs produce no row.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    n: Int = 3, minShared: Int = 2,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, outId: String): DataFrame = {
+      val t = tokens(col(textCol))
+      val g = when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      // distinct n-grams per doc: shared-gram counts are set overlaps,
+      // not occurrence products
+      df.select(col(idCol).as(outId), explode(array_distinct(g)).as("ngram"))
+    }
+    grams(corpus, "doc_id")
+      .join(broadcast(grams(benchmark, "bench_id")), Seq("ngram"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** PII scrubbing + whitespace normalization — the redaction pass a
     * training corpus runs before ingestion. Replacement order matters
     * and is part of the contract: emails first (their local part may

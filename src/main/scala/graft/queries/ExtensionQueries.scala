@@ -108,6 +108,19 @@ object ExtensionQueries {
   def ngramStats(s: SparkSession, d: String): DataFrame =
     TextStats.topNgrams(docs(s, d), n = 2, k = 50)
 
+  /** Decontamination screen: every 100th doc plays the benchmark set;
+    * corpus docs sharing >= 2 distinct trigrams with a benchmark doc
+    * are flagged with the overlap count.
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    TextStats.contamination(
+        all.filter(col("doc_id") % 100 =!= 0),
+        all.filter(col("doc_id") % 100 === 0),
+        n = 3, minShared = 2)
+      .orderBy("doc_id", "bench_id")
+  }
+
   def langId(s: SparkSession, d: String): DataFrame =
     TextStats.languageId(docs(s, d)).orderBy("doc_id")
 
@@ -286,6 +299,18 @@ object ExtensionQueries {
         |    count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1)
         |SELECT ngram, n_occurrences, n_docs FROM a
         |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+    "q_contamination" ->
+      """WITH g AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(ts)-1),
+        |      i -> array_to_string(ts[i:i+2], ' ')))) AS ngram
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents)
+        |  WHERE len(ts) >= 3),
+        |c AS (SELECT doc_id, ngram FROM g WHERE doc_id % 100 <> 0),
+        |b AS (SELECT doc_id AS bench_id, ngram FROM g WHERE doc_id % 100 = 0)
+        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM c JOIN b USING (ngram)
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
     "q_scrub" ->
       """WITH s AS (SELECT doc_id,
         |  trim(regexp_replace(
@@ -546,6 +571,7 @@ object ExtensionQueries {
     "q_sample_stratified" -> (sampleStratified _),
     "q_split_groups"    -> (splitGroups _),
     "q_ngram_stats"     -> (ngramStats _),
+    "q_contamination"   -> (contamination _),
     "q_range_join"      -> (rangeJoin _)
   )
 }

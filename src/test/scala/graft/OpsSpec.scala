@@ -101,6 +101,20 @@ class OpsSpec extends SparkSpec {
     assert(out === Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
   }
 
+  test("contamination flags docs sharing >= minShared distinct trigrams " +
+    "with a benchmark doc, counts set overlap not occurrences") {
+    val corpus = Seq(
+      (1L, "the quick brown fox runs"),            // shares 2 trigrams
+      (2L, "a quick brown fox appears"),           // shares 1 -> clean
+      (3L, "totally unrelated words here"),
+      (4L, "the quick brown the quick brown fox")  // repeats: still 2 DISTINCT
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val out = TextStats.contamination(corpus, bench, n = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 100L, 2L), (4L, 100L, 2L)))
+  }
+
   test("connectedComponents: chains collapse to min label, singletons " +
     "stay their own cluster, converges past a 3-hop diameter") {
     val pairs = Seq(

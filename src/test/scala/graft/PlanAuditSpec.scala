@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.{Dedup, Sampling, Similarity, TextStats}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan pins for the scale claims in SCALING.md: these
+  * assert the plan SHAPE (broadcast vs shuffle, partial aggregation,
+  * no cartesian products), not timings — the properties that decide
+  * whether an operator survives a 100x scale-up.
+  */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private val docs = (1 to 200)
+    .map(i => (i.toLong, s"tok${i % 7} tok${i % 11} tok${i % 13} tok${i % 3}"))
+    .toDF("doc_id", "text")
+
+  private val embs = (1 to 100)
+    .map(i => (i.toLong, Array.tabulate(8)(d => (i * 31 + d * 7) % 17 - 8f)))
+    .toDF("vec_id", "embedding")
+
+  test("exact dedup aggregates with map-side partials (two-phase " +
+    "HashAggregate around one Exchange)") {
+    val p = plan(Dedup.exact(docs))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert("Exchange".r.findAllIn(p).length === 1, p)
+  }
+
+  test("embedding near-dup candidate generation is an equi-join on " +
+    "(table, bucket) — no cartesian product anywhere in the plan") {
+    val p = plan(Dedup.embeddingNearDup(embs, 0.5, planes = 4, tables = 2, dim = 8))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("capPerStratum broadcasts the per-stratum counts, never " +
+    "shuffling the data side") {
+    val df = (1 to 500).map(i => (i.toLong, s"k${i % 5}")).toDF("id", "k")
+    val p = plan(Sampling.capPerStratum(df, "k", "id", 50))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("contamination broadcasts the benchmark n-gram side") {
+    val p = plan(TextStats.contamination(docs, docs.limit(5), n = 2, minShared = 1))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("brute-force ANN broadcasts the query side; the corpus side " +
+    "has no Exchange (corpus never shuffles)") {
+    val q = embs.filter(col("vec_id") % 50 === 0)
+    val p = plan(Similarity.bruteForceTopK(q, embs, k = 3, dim = 8))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the only Exchange allowed is the window's partitioning of the
+    // (already-reduced) scored candidates by query_id
+    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("query_id")), s"unexpected exchanges $exchanges\n$p")
+  }
+
+  test("topNgrams sorts only the aggregated n-gram set (TakeOrdered " +
+    "over the aggregate, not a global sort of raw grams)") {
+    val p = plan(TextStats.topNgrams(docs, n = 2, k = 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("scrub and languageId are pure projections: single stage, " +
+    "no Exchange at all") {
+    val p1 = plan(docs.select(TextStats.scrub(col("text"))))
+    assert(!p1.contains("Exchange"), p1)
+    val p2 = plan(TextStats.languageId(docs))
+    assert(!p2.contains("Exchange"), p2)
+  }
+}
