@@ -64,4 +64,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.minhashLsh(one).isEmpty)
     assert(Dedup.simhash(one).count() === 1)
   }
+
+  test("connectedComponents with no pairs labels every doc as itself; " +
+    "empty docs yield an empty result") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val nodes = Seq(3L, 8L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(noPairs, nodes)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(cc.toSeq === Seq((3L, 3L), (8L, 8L)))
+    val emptyDocs = Seq.empty[Long].toDF("doc_id")
+    assert(Dedup.connectedComponents(noPairs, emptyDocs).isEmpty)
+  }
+
+  test("contamination against an empty benchmark flags nothing") {
+    val corpus = Seq((1L, "some words in a row here")).toDF("doc_id", "text")
+    val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextStats.contamination(corpus, noBench).isEmpty)
+  }
+
+  test("splitByGroup at fraction extremes sends everything one way; " +
+    "scrub propagates null text as null") {
+    import graft.ops.Sampling
+    val df = (1 to 50).map(i => (i.toLong, (i % 5).toLong)).toDF("id", "grp")
+    assert(Sampling.splitByGroup(df, "grp", 0.0)
+      .filter(col("split") === "test").isEmpty)
+    assert(Sampling.splitByGroup(df, "grp", 1.0)
+      .filter(col("split") === "train").isEmpty)
+    val withNull = Seq((1L, Option("a  b")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = withNull.select(TextStats.scrub(col("text")).as("c"))
+      .as[Option[String]].collect()
+    assert(out.toSet === Set(Some("a b"), None))
+  }
 }
