@@ -388,6 +388,51 @@ object Dedup {
     out
   }
 
+  /** Incremental embedding near-dup: candidate pairs that INVOLVE a
+    * new vector — new x indexed plus new x new — against a PERSISTED
+    * band index ([[Similarity.lshBands]] of the existing corpus, the
+    * embedding twin of [[minhashLshIncremental]]). The indexed corpus
+    * is never re-hashed; only its band rows matching a new band key
+    * join, so ingestion cost is O(new vectors + matching postings).
+    * Verification joins vectors back by id from the combined corpus;
+    * pairs normalize (least, greatest) and dedupe after the threshold
+    * filter like [[embeddingNearDup]].
+    */
+  def embeddingNearDupIncremental(newEmb: DataFrame, indexedEmb: DataFrame,
+                                  indexedBands: DataFrame, threshold: Double,
+                                  planes: Int = 12, tables: Int = 4,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding",
+                                  dim: Int = 64): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v"), dim))
+    val eNew = prep(newEmb)
+    val eAll = prep(newEmb.unionByName(indexedEmb))
+    val nb = Similarity.lshBands(eNew.select(col("vec_id"), col("v")),
+      "vec_id", "v", tables, planes, dim)
+    val all = indexedBands.select("vec_id", "t", "bucket")
+      .unionByName(nb)
+      .withColumnRenamed("vec_id", "vec_o_")
+      .alias("i")
+    val n = nb.alias("n")
+    val rawPairs = n.join(all,
+        col("n.t") === col("i.t") &&
+          col("n.bucket") === col("i.bucket") &&
+          col("n.vec_id") =!= col("i.vec_o_"))
+      .select(least(col("n.vec_id"), col("i.vec_o_")).as("vec_a"),
+        greatest(col("n.vec_id"), col("i.vec_o_")).as("vec_b"))
+    val ea = eAll.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val eb = eAll.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    rawPairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .withColumn("cos",
+        Similarity.dotD(col("va"), col("vb"), dim) / (col("na") * col("nb")))
+      .withColumn("cos_q", floor(col("cos") * 10000).cast("long"))
+      .filter(col("cos_q") >= math.floor(threshold * 10000).toLong)
+      .select("vec_a", "vec_b", "cos_q")
+      .distinct()
+  }
+
   /** 32-bit SimHash fingerprint per document, from md5 hex digits of
     * each distinct token: bit b of the hash contributes +1/-1, the
     * fingerprint keeps the sign of each bit-sum. Pure integer

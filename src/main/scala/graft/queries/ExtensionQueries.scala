@@ -56,6 +56,23 @@ object ExtensionQueries {
     Dedup.embeddingNearDup(embs(s, d), threshold = 0.3, planes = 12, tables = 4)
       .orderBy("vec_a", "vec_b")
 
+  /** Incremental ingestion: every 10th vector arrives "new" against a
+    * band index of the rest — pairs involving a new vector only, same
+    * geometry as q_embed_neardup.
+    */
+  def embedNearDupIncr(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val fresh = e.filter(col("vec_id") % 10 === 0)
+    val indexed = e.filter(col("vec_id") % 10 =!= 0)
+    val index = Similarity.lshBands(
+      indexed.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
+      "vec_id", "v", tables = 4, planes = 12, dim = 64)
+    Dedup.embeddingNearDupIncremental(fresh, indexed, index,
+        threshold = 0.3, planes = 12, tables = 4)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Exact ANN baseline: every 50th vector queries the full corpus. */
   def annTopK(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
@@ -429,6 +446,24 @@ object ExtensionQueries {
         |SELECT vec_a, vec_b, CAST(floor(cos*10000) AS BIGINT) AS cos_q
         |FROM p WHERE CAST(floor(cos*10000) AS BIGINT) >= 3000
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_embed_neardup_incr" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |eb AS (
+        |  ${bandsSql(tables = 4, planes = 12, dim = 64)}),
+        |nb AS (SELECT * FROM eb WHERE vec_id % 10 = 0),
+        |cand AS (SELECT DISTINCT least(n.vec_id, o.vec_id) AS vec_a,
+        |    greatest(n.vec_id, o.vec_id) AS vec_b
+        |  FROM nb n JOIN eb o
+        |    ON n.t = o.t AND n.bucket = o.bucket AND n.vec_id <> o.vec_id),
+        |p AS (SELECT vec_a, vec_b,
+        |  list_reduce(list_transform(range(1,65), i -> a.v[i]*b.v[i]), (x,y)->x+y) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> b.v[i]*b.v[i]), (x,y)->x+y))) AS cos
+        |  FROM cand JOIN e a ON cand.vec_a = a.vec_id JOIN e b ON cand.vec_b = b.vec_id)
+        |SELECT vec_a, vec_b, CAST(floor(cos*10000) AS BIGINT) AS cos_q
+        |FROM p WHERE CAST(floor(cos*10000) AS BIGINT) >= 3000
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -555,6 +590,7 @@ object ExtensionQueries {
     "q_dedup_simhash"   -> (dedupSimhash _),
     "q_dedup_clusters"  -> (dedupClusters _),
     "q_embed_neardup"   -> (embedNearDup _),
+    "q_embed_neardup_incr" -> (embedNearDupIncr _),
     "q_ann_topk"        -> (annTopK _),
     "q_ann_lsh"         -> (annLsh _),
     "q_ann_ivf"         -> (annIvf _),

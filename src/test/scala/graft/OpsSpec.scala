@@ -156,6 +156,29 @@ class OpsSpec extends SparkSpec {
     assert(top.toSeq === Seq((50L, 1), (1L, 2), (2L, 3)))
   }
 
+  test("incremental embedding near-dup == full near-dup restricted to " +
+    "pairs that touch a new vector") {
+    val emb = (1 to 80).map { i =>
+      // clustered: four base directions with deterministic jitter
+      val base = Array.tabulate(8)(d => if (d == i % 4) 10f else 0f)
+      (i.toLong, base.zipWithIndex.map { case (b, d) => b + ((i * 3 + d) % 7) * 0.1f })
+    }.toDF("vec_id", "embedding")
+    val indexed = emb.filter(col("vec_id") <= 60)
+    val fresh = emb.filter(col("vec_id") > 60)
+    val index = graft.ops.Similarity.lshBands(
+      indexed.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
+      "vec_id", "v", tables = 2, planes = 4, dim = 8)
+    val incr = Dedup.embeddingNearDupIncremental(fresh, indexed, index,
+        threshold = 0.8, planes = 4, tables = 2, dim = 8)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().sorted.toSeq
+    val full = Dedup.embeddingNearDup(emb, 0.8, planes = 4, tables = 2, dim = 8)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => a > 60 || b > 60 }.sorted.toSeq
+    assert(incr === full)
+    assert(incr.nonEmpty) // the clusters guarantee cross-boundary pairs
+  }
+
   test("kmeans recovers planted clusters and improves the IVF index " +
     "over the stride quantizer") {
     // three tight clusters around orthogonal directions in R^4
