@@ -120,4 +120,57 @@ class PropertySpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().sorted.toSeq
     assert(sparkSmall === naive(docsSmall, 0.3))
   }
+
+  test("connectedComponents matches a driver-side union-find on random " +
+    "graphs (chains, cliques, singletons mixed)") {
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 20
+      val ids = (1L to n.toLong)
+      val pairs = (1 to n).flatMap { _ =>
+        val a = 1L + rnd.nextInt(n); val b = 1L + rnd.nextInt(n)
+        if (a == b) None else Some((math.min(a, b), math.max(a, b)))
+      }
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = ids.map(i => i -> find(i)).toMap
+      val got = Dedup.connectedComponents(
+          pairs.toDF("doc_a", "doc_b"), ids.toDF("doc_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("bernoulli samples nest across fractions and capPerStratum " +
+    "equals bernoulli at the stratum's own rate") {
+    import graft.ops.Sampling
+    val df = (1L to 4000L).map(i => (i, s"s${i % 3}")).toDF("id", "k")
+    val fracs = Seq(0.05, 0.2, 0.6, 1.0)
+    val samples = fracs.map(f =>
+      f -> Sampling.bernoulli(df, "id", f).select("id").as[Long].collect().toSet)
+    samples.sliding(2).foreach { case Seq((fa, sa), (fb, sb)) =>
+      assert(sa.subsetOf(sb), s"$fa not nested in $fb")
+    }
+    assert(samples.last._2.size === 4000) // fraction 1.0 keeps all
+    // capPerStratum(cap) == per-stratum bernoulli(min(1, cap/count))
+    val capped = Sampling.capPerStratum(df, "k", "id", cap = 400)
+      .select("id").as[Long].collect().toSet
+    val manual = df.as[(Long, String)].collect().toSeq
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        val frac = math.min(1.0, 400.0 / rows.length)
+        val thr = math.floor(frac * 65536).toLong
+        rows.map(_._1).filter { id =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+          val hex = md.map("%02x".format(_)).mkString.take(4)
+          java.lang.Long.parseLong(hex, 16) < thr
+        }
+      }.toSet
+    assert(capped === manual)
+  }
 }
