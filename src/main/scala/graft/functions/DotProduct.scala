@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst dot product over two double arrays: a single
+  * generated `for` loop instead of the dim-term unrolled `a[1]*b[1] +
+  * ...` expression chain the ops previously built.
+  *
+  * Why a custom Expression (revising SURVEY.md §7.3's "none needed"):
+  * SQL higher-order functions (`zip_with`+`aggregate`) are interpreted
+  * per element, and the unrolled-chain workaround generates O(dim)
+  * Java source per call site — janino compilation costs seconds per
+  * plan and a composite expression can cross the JVM's 64 KB method
+  * limit, silently de-codegening the stage. The loop form generates a
+  * few lines regardless of dim, stays inside whole-stage codegen, and
+  * accumulates left-to-right exactly like the chain (and like the
+  * oracle's `list_reduce`), so values are bit-identical.
+  *
+  * Null semantics match the chain: a null INPUT array yields null
+  * (BinaryExpression's null-safe wrapper); a null ELEMENT in either
+  * array yields null (the chain's `element_at` null would poison the
+  * sum). Lengths may differ — the loop runs over the shorter prefix,
+  * like `zip_with`.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  // Seq[DataType] satisfies ExpectsInputTypes' Seq[AbstractDataType]
+  // covariantly (AbstractDataType itself is private[sql])
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null elements nullify the sum
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Column-level entry point. */
+  def apply(a: Column, b: Column): Column =
+    GraftSqlShim.column(
+      DotProduct(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+}

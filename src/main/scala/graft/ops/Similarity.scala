@@ -35,16 +35,17 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Unrolled dot product for a known dimension: a flat `a[1]*b[1] +
-    * ... + a[d]*b[d]` chain of codegen'd expressions. Bit-identical to
-    * [[dot]] (same left-to-right association; the fold's `0.0 + x`
-    * seed is an IEEE no-op), but stays inside whole-stage codegen —
-    * measured severalfold faster on pair joins.
+  /** Codegen'd dot product: a native Catalyst expression generating a
+    * single `for` loop ([[graft.functions.DotProduct]]). Bit-identical
+    * to [[dot]] and to the previously-used unrolled `a[1]*b[1] + ...`
+    * chain (same left-to-right accumulation; the fold's `0.0 + x` seed
+    * is an IEEE no-op), but the generated code is a few lines
+    * regardless of `dim` — no janino blowup, no 64 KB hazard. `dim` is
+    * kept for call-site documentation; the loop runs over the arrays'
+    * actual (shorter) length.
     */
   def dotD(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
+    graft.functions.DotProduct(a, b)
 
   /** Cosine similarity of two double arrays (generic form). */
   def cosine(a: Column, b: Column): Column =

@@ -179,6 +179,35 @@ class OpsSpec extends SparkSpec {
     assert(incr.nonEmpty) // the clusters guarantee cross-boundary pairs
   }
 
+  test("native DotProduct == HOF fold == unrolled chain, bit-for-bit; " +
+    "null element nullifies; length mismatch uses the shorter prefix") {
+    val vecs = (1 to 50).map { i =>
+      (i.toLong,
+        Array.tabulate(16)(d => (i * 31 + d * 17) % 23 * 0.37 - 3.1),
+        Array.tabulate(16)(d => (i * 13 + d * 29) % 19 * 0.53 - 2.7))
+    }.toDF("id", "a", "b")
+    val unrolled = (1 to 16).map(i =>
+      element_at(col("a"), i) * element_at(col("b"), i)).reduce(_ + _)
+    val rows = vecs.select(
+        graft.functions.DotProduct(col("a"), col("b")).as("native"),
+        Similarity.dot(col("a"), col("b")).as("hof"),
+        unrolled.as("chain"))
+      .as[(Double, Double, Double)].collect()
+    rows.foreach { case (n, h, c) =>
+      assert(java.lang.Double.doubleToLongBits(n) === java.lang.Double.doubleToLongBits(h))
+      assert(java.lang.Double.doubleToLongBits(n) === java.lang.Double.doubleToLongBits(c))
+    }
+    // null element -> null result (matches the chain's element_at null)
+    val withNull = Seq((Array[java.lang.Double](1.0, null, 3.0),
+      Array[java.lang.Double](1.0, 1.0, 1.0))).toDF("a", "b")
+    assert(withNull.select(graft.functions.DotProduct(col("a").cast("array<double>"),
+      col("b").cast("array<double>"))).collect().head.isNullAt(0))
+    // shorter prefix, like zip_with
+    val uneven = Seq((Array(2.0, 3.0), Array(10.0, 10.0, 99.0))).toDF("a", "b")
+    assert(uneven.select(graft.functions.DotProduct(col("a"), col("b")))
+      .as[Double].collect().head === 50.0)
+  }
+
   test("kmeans recovers planted clusters and improves the IVF index " +
     "over the stride quantizer") {
     // three tight clusters around orthogonal directions in R^4
