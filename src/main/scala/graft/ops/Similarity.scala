@@ -120,22 +120,14 @@ object Similarity {
   def lshBands(vecs: DataFrame, idName: String, vecName: String,
                tables: Int, planes: Int, dim: Int): DataFrame = {
     require(tables >= 1 && planes >= 1, "tables and planes must be >= 1")
-    // codegen-size discipline: each plane's ~dim-term projection is its
-    // own column in the Project BELOW the explode, so whole-stage
-    // codegen splits them into separate methods; the explode generator
-    // only sums attribute references (Generate between the two keeps
-    // CollapseProject from re-inlining the projections into one
-    // tables·planes·dim-term expression, which breaks janino's 64 KB
-    // method limit and de-codegens the stage)
-    val bitCols = for { t <- 0 until tables; p <- 0 until planes }
-      yield planeBit(col(vecName), t * planes + p, p, dim).as(s"_bit_${t}_$p")
-    val withBits = vecs.select(col(idName) +: bitCols: _*)
-    val entries = (0 until tables).map { t =>
-      struct(lit(t).as("t"),
-        (0 until planes).map(p => col(s"_bit_${t}_$p")).reduce(_ + _).as("bucket"))
-    }
-    withBits.select(col(idName), explode(array(entries: _*)).as("tb"))
-      .select(col(idName), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // ONE native expression computes every table's bucket (constant
+    // coefficient matrix as a codegen reference object) — the earlier
+    // form projected tables·planes separate unrolled plane-bit columns
+    // below the explode, correct but a janino-compile tax per plan;
+    // see graft.functions.HyperplaneBuckets for the parity argument
+    vecs.select(col(idName),
+        posexplode(graft.functions.HyperplaneBuckets(
+          col(vecName), tables, planes, dim)).as(Seq("t", "bucket")))
   }
 
   private def asDouble(vec: Column): Column =

@@ -238,6 +238,23 @@ class OpsSpec extends SparkSpec {
     assert(out.forall { case (q, n) => q % 3 === n % 3 }) // cluster purity
   }
 
+  test("native HyperplaneBuckets == chain-form lshBucket per table on " +
+    "random vectors") {
+    val vecs = (1 to 60).map { i =>
+      (i.toLong, Array.tabulate(16)(d => ((i * 13 + d * 7) % 11 - 5) * 0.7))
+    }.toDF("vec_id", "v")
+    val tables = 3; val planes = 5
+    val native = vecs.select(col("vec_id"),
+        graft.functions.HyperplaneBuckets(col("v"), tables, planes, 16).as("bk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val chain = vecs.select(col("vec_id") +: (0 until tables).map(t =>
+        Similarity.lshBucket(col("v"), planes, 16, t * planes).as(s"b$t")): _*)
+      .as[(Long, Long, Long, Long)].collect()
+    chain.foreach { case (id, b0, b1, b2) =>
+      assert(native(id) === Seq(b0, b1, b2), s"vec $id")
+    }
+  }
+
   test("lshBucket is deterministic and in range [0, 2^planes)") {
     // non-constant values so no plane's sparse +/-1 projection is
     // exactly zero (a constant vector zeroes any plane with equally
