@@ -433,31 +433,18 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash fingerprint per document, from md5 hex digits of
-    * each distinct token: bit b of the hash contributes +1/-1, the
-    * fingerprint keeps the sign of each bit-sum. Pure integer
-    * arithmetic over hex characters — engine-portable.
+  /** 32-bit SimHash fingerprint per document, from the leading 32 md5
+    * bits of each distinct token: bit b contributes +1/-1, the
+    * fingerprint keeps the sign of each bit-sum. Computed by the
+    * native [[graft.functions.SimHash32]] expression — a pure
+    * projection, zero exchanges (previously an explode(token x 32) +
+    * two hash-aggregates; the oracle still computes that formulation
+    * over md5 hex digits, which is bit-for-bit the same value).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(tokenSet(col(textCol))).as("t"))
-    val bits = tok
-      .select(col("doc_id"), md5(col("t")).as("h"),
-        explode(sequence(lit(0), lit(31))).as("b"))
-      .withColumn("hexval",
-        instr(lit("0123456789abcdef"),
-          substring(col("h"), (col("b") / 4).cast("int") + 1, lit(1))) - 1)
-      .withColumn("w",
-        when((floor(col("hexval") /
-          pow(lit(2), lit(3) - col("b") % 4)).cast("long") % 2) === 1, 1)
-          .otherwise(-1))
-    bits.groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("w")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0,
-        pow(lit(2), col("b")).cast("long")).otherwise(0L)).as("simhash"))
-  }
+              textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.SimHash32(tokenSet(col(textCol))).as("simhash"))
 
   /** Embedding-cosine near-dup pairs, candidate-limited to banded
     * multi-table hyperplane LSH (see [[Similarity.lshBands]]): a pair

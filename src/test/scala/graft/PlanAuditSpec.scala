@@ -69,11 +69,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("scrub and languageId are pure projections: single stage, " +
-    "no Exchange at all") {
+  test("scrub, languageId, and simhash are pure projections: single " +
+    "stage, no Exchange at all") {
     val p1 = plan(docs.select(TextStats.scrub(col("text"))))
     assert(!p1.contains("Exchange"), p1)
     val p2 = plan(TextStats.languageId(docs))
     assert(!p2.contains("Exchange"), p2)
+    // previously explode(token x 32 bits) + two hash-aggregates
+    val p3 = plan(Dedup.simhash(docs))
+    assert(!p3.contains("Exchange") && !p3.contains("Generate"), p3)
   }
 }
