@@ -83,16 +83,14 @@ object TextStats {
     * 1-permutation MinHash, the standard near-dup fingerprint).
     */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
-    val shingleMin = array_min(
-      transform(sequence(lit(1), greatest(size(t) - 2, lit(1))),
-        i => md5(concat_ws(" ", slice(t, i, lit(3))))))
+                  textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
       md5(regexp_replace(col(textCol), "\\s+", " ")).as("content_fp"),
-      shingleMin.as("shingle_fp"))
-  }
+      // native one-pass shingle minimum (the transform/sequence lambda
+      // form is interpreted per shingle; same values — see the
+      // expression's parity note)
+      graft.functions.ShingleMinHash(tokens(col(textCol))).as("shingle_fp"))
 
   /** Corpus n-gram statistics: the `k` most frequent word n-grams with
     * total occurrences and document frequency — the corpus-stats pass
