@@ -138,6 +138,21 @@ object ExtensionQueries {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** End-to-end curation pass: keep one canonical doc per exact-dup
+    * group (min doc_id by content hash), then gate on quality
+    * (length and lexical-diversity thresholds) — the compose-the-ops
+    * pipeline a corpus build actually runs.
+    */
+  def curation(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val canon = Dedup.exact(all).select(col("canonical_id").as("doc_id"))
+    TextStats.quality(all)
+      .join(canon, Seq("doc_id"))
+      .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3)
+      .select("doc_id", "n_tokens", "n_distinct")
+      .orderBy("doc_id")
+  }
+
   def langId(s: SparkSession, d: String): DataFrame =
     TextStats.languageId(docs(s, d)).orderBy("doc_id")
 
@@ -297,6 +312,17 @@ object ExtensionQueries {
       """SELECT event_type, count(*) AS n, min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_curation" ->
+      """WITH canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT d.doc_id,
+        |  len(string_split(d.text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(d.text,' '))) AS n_distinct
+        |FROM documents d JOIN canon USING (doc_id)
+        |WHERE len(string_split(d.text,' ')) >= 20
+        |  AND CAST(len(list_distinct(string_split(d.text,' '))) AS DOUBLE)
+        |      / len(string_split(d.text,' ')) >= 0.3
+        |ORDER BY doc_id""".stripMargin,
     "q_split_groups" ->
       """SELECT event_id, user_id,
         |  CASE WHEN
@@ -608,6 +634,7 @@ object ExtensionQueries {
     "q_split_groups"    -> (splitGroups _),
     "q_ngram_stats"     -> (ngramStats _),
     "q_contamination"   -> (contamination _),
+    "q_curation"        -> (curation _),
     "q_range_join"      -> (rangeJoin _)
   )
 }

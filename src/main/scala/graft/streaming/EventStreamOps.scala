@@ -104,6 +104,24 @@ object EventStreamOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup suppression: fingerprint each arriving doc
+    * with the native one-pass SimHash ([[graft.functions.SimHash32]])
+    * and keep the first document per fingerprint within the watermark
+    * window — near-identical re-posts (same distinct-token set) drop
+    * in-stream. Same bounded-state argument as [[streamingDedup]]:
+    * one entry per fingerprint until the watermark passes it.
+    */
+  def streamingNearDedup(docs: DataFrame, textCol: String = "text",
+                         tsCol: String = "ts",
+                         lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("simhash",
+        graft.functions.SimHash32(
+          org.apache.spark.sql.functions.array_distinct(
+            split(col(textCol), " "))))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("simhash"))
+
   /** Streaming per-key latest-state view (the CDC "current state"
     * materialization as a stream): groupBy key + max_by(audit_pk),
     * output mode Update/Complete. One stateful aggregation, partition

@@ -53,6 +53,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDedup keeps the first doc per simhash: token-set " +
+    "duplicates drop across batches, distinct docs pass") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreamOps.streamingNearDedup(df)
+      .writeStream.format("memory").queryName("sneardedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+      mem.addData((t(1), 1L, "the cat sat here"), (t(2), 2L, "dogs bark loud"))
+      q.processAllAvailable()
+      // same token SET as doc 1 (reordered + repeated) -> same simhash
+      mem.addData((t(3), 3L, "here the cat sat sat"), (t(4), 4L, "novel words only"))
+      q.processAllAvailable()
+      val ids = spark.table("sneardedup").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("sessionizeStream: closes a session when the id gap exceeds " +
     "maxGap, keeps the live one in state") {
     implicit val sc = spark.sqlContext
