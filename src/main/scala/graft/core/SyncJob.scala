@@ -144,9 +144,15 @@ object SyncJob {
         s"schema drift: sink $sinkDir has columns ${cols.mkString(",")} " +
           s"but the audit log has ${log.columns.mkString(",")}")
     }
-    val wm    = watermark(spark, sinkDir)
-    val fresh = above(log, wm)
-    // one job for both the row count and the new watermark
+    val wm = watermark(spark, sinkDir)
+    // SNAPSHOT the batch (eager localCheckpoint): the stats aggregate
+    // and the sink write are separate actions, and against a LIVE
+    // source (the JDBC poller's table) a second evaluation could see
+    // rows the recorded watermark doesn't cover — delivered-but-
+    // uncovered rows would re-deliver on the next poll. One
+    // materialization feeds both actions, so sidecar and sink always
+    // agree.
+    val fresh = above(log, wm).localCheckpoint()
     val stats = fresh.agg(count(lit(1)), max(col(AuditSchema.PkCol).cast("long"))).head()
     val n     = stats.getLong(0)
     if (n > 0) {
@@ -220,12 +226,17 @@ object SyncJob {
     val n = spark.read.parquet(tmp.toString).count()
     afterSnapshot()
     // move the kept row in BEFORE deleting its sources: the log is
-    // never missing its newest row, whatever happens mid-wipe
+    // never missing its newest row, whatever happens mid-wipe. Hadoop
+    // rename reports failure via `false`, not an exception — abort the
+    // wipe (sources untouched, tmp left for inspection) rather than
+    // proceed to deletes that would drop the newest row.
     fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .foreach { f =>
-        fs.rename(f.getPath,
-          new org.apache.hadoop.fs.Path(dir, "wipe-kept-" + f.getPath.getName))
+        val target = new org.apache.hadoop.fs.Path(dir, "wipe-kept-" + f.getPath.getName)
+        if (!fs.rename(f.getPath, target))
+          sys.error(s"wipe aborted: could not move kept file ${f.getPath} " +
+            s"to $target; log untouched")
       }
     snapshot.foreach(p => fs.delete(p, false))
     fs.delete(tmp, true)

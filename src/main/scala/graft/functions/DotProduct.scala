@@ -20,11 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * accumulates left-to-right exactly like the chain (and like the
   * oracle's `list_reduce`), so values are bit-identical.
   *
-  * Null semantics match the chain: a null INPUT array yields null
+  * Null semantics match the baselines: a null INPUT array yields null
   * (BinaryExpression's null-safe wrapper); a null ELEMENT in either
   * array yields null (the chain's `element_at` null would poison the
-  * sum). Lengths may differ — the loop runs over the shorter prefix,
-  * like `zip_with`.
+  * sum); a LENGTH MISMATCH also yields null — `zip_with` pads the
+  * shorter side with nulls, which nullifies its fold, and a
+  * shorter-prefix sum would instead fabricate a plausible-looking
+  * value from malformed vectors.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
@@ -39,7 +41,8 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -56,11 +59,14 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

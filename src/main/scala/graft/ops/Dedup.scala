@@ -366,25 +366,32 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // a truncated propagation would return WRONG cluster ids for long
+    // chains — fail loudly instead of silently mislabeling (raise
+    // maxRounds for graphs whose contracted diameter exceeds it)
+    if (!converged) {
+      edges.unpersist(); m.unpersist(); contracted.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds; " +
+          "the contracted graph's diameter exceeds maxRounds — raise it")
+    }
     // map every original node through its star root's final label;
     // docs with no pairs (and star roots that stayed put) label as self
     val rootLabel = labels.withColumnRenamed("id", "m")
     val viaRoot = m
       .join(rootLabel, Seq("m"), "left")
       .select(col("id"), coalesce(col("label"), col("m")).as("cluster_id"))
+    // eager localCheckpoint materializes the O(n) result as a leaf so
+    // EVERY upstream cache can be dropped — the caller neither re-runs
+    // the pair-generation chain nor inherits persisted frames to clean
     val out = docs.select(col(idCol).as("id")).distinct()
       .join(viaRoot, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      .persist()
-    // materialize the O(n) result BEFORE dropping the upstream caches —
-    // otherwise the caller's first action silently re-runs the whole
-    // pair-generation + contraction chain
-    out.count()
+      .localCheckpoint()
     edges.unpersist()
     m.unpersist()
     contracted.unpersist()
-    labels.unpersist()
     out
   }
 

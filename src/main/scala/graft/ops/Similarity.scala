@@ -57,14 +57,12 @@ object Similarity {
 
   /** Deterministic hyperplane-LSH bucket id in [0, 2^planes).
     *
-    * Hyperplane p's coefficient for dimension d is the integer
-    * `((1103515245*((planeOffset+p)*dim+d) + 12345) mod 2^31) mod 7 - 3`
-    * — an LCG step reduced to [-3,3], reproducible in any engine with
-    * 64-bit integer arithmetic (no RNG state, no floats until the
-    * projection itself). Bit p of the bucket = sign of the projection
-    * onto plane p. `planeOffset` selects an independent plane set per
-    * LSH table (table t passes `t * planes`) so multi-table banding
-    * ([[lshBands]]) draws disjoint hyperplanes.
+    * Coefficients come from [[planeCoeffs]] (sparse Achlioptas ±1/0,
+    * LCG mod 6 — see there for the exact reproduction formula). Bit p
+    * of the bucket = sign of the projection onto plane p (zero terms
+    * skipped, ascending dimension order). `planeOffset` selects an
+    * independent plane set per LSH table (table t passes `t * planes`)
+    * so multi-table banding ([[lshBands]]) draws disjoint hyperplanes.
     */
   def lshBucket(v: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
     (0 until planes).map(p => planeBit(v, planeOffset + p, p, dim)).reduce(_ + _)

@@ -115,10 +115,10 @@ object EventStreamOps {
                          tsCol: String = "ts",
                          lateness: String = "10 minutes"): DataFrame =
     docs
+      // SAME tokenization as the batch twin (Dedup.simhash) — shared
+      // helper, not a re-implementation, so fingerprints cannot drift
       .withColumn("simhash",
-        graft.functions.SimHash32(
-          org.apache.spark.sql.functions.array_distinct(
-            split(col(textCol), " "))))
+        graft.functions.SimHash32(graft.ops.Dedup.tokenSet(col(textCol))))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(Seq("simhash"))
 

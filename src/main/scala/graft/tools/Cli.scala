@@ -19,7 +19,10 @@ object Cli {
   /** Flag parsing that handles BARE flags: a `-x` followed by another
     * flag (or nothing) parses as `-x -> "true"` instead of swallowing
     * the next flag as its value (the old pairwise sliding did exactly
-    * that for `-w -t a,b`).
+    * that for `-w -t a,b`). Known limit, like getopt without an option
+    * spec: a VALUE that itself starts with `-` (e.g. a negative
+    * number) cannot be distinguished from a flag — none of the current
+    * tools take such values.
     */
   def parse(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.LinkedHashMap[String, String]()

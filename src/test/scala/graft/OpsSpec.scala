@@ -180,7 +180,7 @@ class OpsSpec extends SparkSpec {
   }
 
   test("native DotProduct == HOF fold == unrolled chain, bit-for-bit; " +
-    "null element nullifies; length mismatch uses the shorter prefix") {
+    "null element and length mismatch both nullify") {
     val vecs = (1 to 50).map { i =>
       (i.toLong,
         Array.tabulate(16)(d => (i * 31 + d * 17) % 23 * 0.37 - 3.1),
@@ -202,10 +202,10 @@ class OpsSpec extends SparkSpec {
       Array[java.lang.Double](1.0, 1.0, 1.0))).toDF("a", "b")
     assert(withNull.select(graft.functions.DotProduct(col("a").cast("array<double>"),
       col("b").cast("array<double>"))).collect().head.isNullAt(0))
-    // shorter prefix, like zip_with
+    // length mismatch -> null, matching zip_with's null padding
     val uneven = Seq((Array(2.0, 3.0), Array(10.0, 10.0, 99.0))).toDF("a", "b")
     assert(uneven.select(graft.functions.DotProduct(col("a"), col("b")))
-      .as[Double].collect().head === 50.0)
+      .collect().head.isNullAt(0))
   }
 
   test("kmeans recovers planted clusters and improves the IVF index " +
