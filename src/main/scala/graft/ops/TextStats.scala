@@ -120,6 +120,31 @@ object TextStats {
       .limit(k)
   }
 
+  /** Context-window chunking: split each document into token windows
+    * of `size` advancing by `stride` (overlapping when stride < size)
+    * — the packing pass that turns documents into model-ready
+    * sequences. One explode, no shuffle; the final short window is
+    * kept (standard practice) and every token appears in at least one
+    * chunk. Emits (doc_id, chunk_idx, chunk_text, n_tokens).
+    */
+  def chunk(docs: DataFrame, chunkSize: Int, stride: Int,
+            idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride ($stride) <= chunkSize ($chunkSize)")
+    val t = tokens(col(textCol))
+    // window starts: 0, stride, 2*stride, ... while start < n_tokens
+    val starts = sequence(lit(0),
+      greatest(ceil(size(t).cast("double") / stride).cast("int") - 1, lit(0)))
+    docs.select(col(idCol).as("doc_id"), t.as("_toks"),
+        posexplode(starts).as(Seq("chunk_idx", "_start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("_toks"), col("_start") * stride + 1, lit(chunkSize))).as("chunk_text"),
+        least(lit(chunkSize),
+          size(col("_toks")) - col("_start") * stride).as("n_tokens"))
+  }
+
   /** Benchmark-contamination screen: flag corpus documents sharing at
     * least `minShared` word n-grams with any document of a (small)
     * benchmark set — the decontamination pass run before training so

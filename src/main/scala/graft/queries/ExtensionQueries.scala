@@ -165,6 +165,15 @@ object ExtensionQueries {
   def fingerprint(s: SparkSession, d: String): DataFrame =
     TextStats.fingerprint(docs(s, d)).orderBy("doc_id")
 
+  /** Context-window chunking: 32-token windows advancing by 24
+    * (8-token overlap), final short window kept.
+    */
+  def chunks(s: SparkSession, d: String): DataFrame =
+    TextStats.chunk(docs(s, d), chunkSize = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"), col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** PII scrub: the synthetic corpus has no PII, so the query plants a
     * deterministic email/phone/id preamble (a pure function of doc_id,
     * identical in the oracle) and proves the redaction fires: every
@@ -354,6 +363,14 @@ object ExtensionQueries {
         |FROM c JOIN b USING (ngram)
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_id, bench_id""".stripMargin,
+    "q_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(ts[i*24+1 : i*24+32], ' ') AS chunk_text,
+        |    least(32, len(ts) - i*24) AS n_tokens
+        |  FROM toks, unnest(range(0, CAST(ceil(len(ts)/24.0) AS BIGINT))) AS u(i))
+        |SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_scrub" ->
       """WITH s AS (SELECT doc_id,
         |  trim(regexp_replace(
@@ -625,6 +642,7 @@ object ExtensionQueries {
     "q_token_counts"    -> (tokenCounts _),
     "q_fingerprint"     -> (fingerprint _),
     "q_scrub"           -> (scrub _),
+    "q_chunks"          -> (chunks _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_frame_sample"    -> (frameSample _),
     "q_profile"         -> (profile _),

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.{Dedup, Sampling, TextStats}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: scrub -> dedup (exact + near-dup
+  * clusters) -> leakage-safe split -> chunk, composed over one
+  * synthetic corpus with planted PII, exact dups, and near dups —
+  * asserting the invariants a training-data build relies on across
+  * operator BOUNDARIES (each op's own semantics are unit-tested
+  * elsewhere).
+  */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 near-dup families x 10 docs (one-token variations), 5 exact dups
+  // of doc 1, plus planted PII in every text
+  private def corpus = {
+    val families = for {
+      f <- 0 until 3
+      i <- 0 until 10
+    } yield (f * 100L + i,
+      s"contact f$f@example.com " +
+        (0 until 12).map(k => s"fam${f}tok$k").mkString(" ") + s" var$i")
+    val exactDups = (0 until 5).map(j => (500L + j, families.head._2))
+    (families ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("scrub -> dedup -> split -> chunk composes with conserved " +
+    "invariants across operator boundaries") {
+    val raw = corpus
+    val n = raw.count()
+
+    // 1. scrub first: no raw emails survive; row count conserved
+    val clean = raw.select(col("doc_id"), TextStats.scrub(col("text")).as("text"))
+    assert(clean.count() === n)
+    assert(clean.filter(col("text").rlike("@example\\.com")).isEmpty)
+    assert(clean.filter(col("text").contains("<EMAIL>")).count() === n)
+
+    // 2. exact dedup on the SCRUBBED text: the 5 copies of doc 1 and
+    // doc 1 itself collapse to one canonical group of 6
+    val exact = Dedup.exact(clean)
+    val dupGroup = exact.filter(col("n_copies") === 6).collect()
+    assert(dupGroup.length === 1 && dupGroup.head.getAs[Long]("canonical_id") === 0L)
+
+    // 3. near-dup clusters over 0.7-Jaccard pairs: each family (and
+    // the exact dups of its member) lands in ONE cluster labeled by
+    // its min doc id
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccard(clean, 0.7), clean)
+    val byCluster = clusters.as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.keySet === Set(0L, 100L, 200L))
+    assert(byCluster(0L) === ((0L until 10L).toSet ++ (500L until 505L).toSet))
+    assert(byCluster(100L) === (100L until 110L).toSet)
+
+    // 4. leakage-safe split keyed on the CLUSTER: no cluster straddles
+    val splitDf = Sampling.splitByGroup(
+      clean.join(clusters, Seq("doc_id")), "cluster_id", 0.5)
+    val sides = splitDf.select("cluster_id", "split").as[(Long, String)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sides.values.forall(_.size == 1))
+
+    // 5. chunking conserves tokens (stride == size: no overlap)
+    val chunked = TextStats.chunk(clean, chunkSize = 8, stride = 8)
+    val chunkTokens = chunked.agg(sum(col("n_tokens"))).as[Long].head()
+    val docTokens = clean.select(size(split(col("text"), " ")).cast("long"))
+      .as[Long].collect().sum
+    assert(chunkTokens === docTokens)
+  }
+}

@@ -101,6 +101,22 @@ class OpsSpec extends SparkSpec {
     assert(out === Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
   }
 
+  test("chunk: overlapping windows cover every token, final short " +
+    "window kept, short doc yields one chunk") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b")                                      // shorter than size
+    ).toDF("doc_id", "text")
+    val out = TextStats.chunk(d, chunkSize = 4, stride = 3)
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(out.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0, "w1 w2 w3 w4", 4),
+      (1L, 1, "w4 w5 w6 w7", 4),
+      (1L, 2, "w7 w8 w9 w10", 4),
+      (1L, 3, "w10", 1)))
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, "a b", 2)))
+  }
+
   test("contamination flags docs sharing >= minShared distinct trigrams " +
     "with a benchmark doc, counts set overlap not occurrences") {
     val corpus = Seq(
