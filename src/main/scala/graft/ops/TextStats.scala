@@ -133,16 +133,20 @@ object TextStats {
     require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
       s"need 1 <= stride ($stride) <= chunkSize ($chunkSize)")
     val t = tokens(col(textCol))
-    // window starts: 0, stride, 2*stride, ... while start < n_tokens
-    val starts = sequence(lit(0),
-      greatest(ceil(size(t).cast("double") / stride).cast("int") - 1, lit(0)))
+    // chunk indices 0..ceil(n/stride)-1; window i covers tokens
+    // [i*stride+1, i*stride+chunkSize]. A null text propagates null
+    // through size/ceil/sequence, so explode emits NOTHING for it —
+    // matching the oracle's empty range(0, NULL). (No empty-array
+    // guard needed: Spark's split never returns an empty array.)
+    val idxs = sequence(lit(0),
+      ceil(size(t).cast("double") / stride).cast("int") - 1)
     docs.select(col(idCol).as("doc_id"), t.as("_toks"),
-        posexplode(starts).as(Seq("chunk_idx", "_start")))
+        explode(idxs).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
         concat_ws(" ",
-          slice(col("_toks"), col("_start") * stride + 1, lit(chunkSize))).as("chunk_text"),
+          slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkSize))).as("chunk_text"),
         least(lit(chunkSize),
-          size(col("_toks")) - col("_start") * stride).as("n_tokens"))
+          size(col("_toks")) - col("chunk_idx") * stride).as("n_tokens"))
   }
 
   /** Benchmark-contamination screen: flag corpus documents sharing at

@@ -82,6 +82,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextStats.contamination(corpus, noBench).isEmpty)
   }
 
+  test("chunk drops null-text docs entirely (matching the oracle's " +
+    "empty range) instead of fabricating a chunk") {
+    val d = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = TextStats.chunk(d, chunkSize = 2, stride = 2)
+      .select("doc_id").as[Long].collect()
+    assert(out.toSeq.sorted === Seq(1L, 1L)) // two chunks of doc 1, none of doc 2
+  }
+
   test("splitByGroup at fraction extremes sends everything one way; " +
     "scrub propagates null text as null") {
     import graft.ops.Sampling
