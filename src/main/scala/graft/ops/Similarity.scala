@@ -230,6 +230,27 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_q")
   }
 
+  /** Deterministic int8 embedding quantization — the 4x storage
+    * compression an embedding lake applies before indexing: per-vector
+    * max-abs scale, q[d] = floor(v[d] / scale * 127) in [-127, 127]
+    * (floor, not round: round's tie-breaking differs across engines;
+    * floor is bit-deterministic everywhere). Dequantization is
+    * q * scale / 127 with error <= scale/127 per element. Zero vectors
+    * are dropped (no finite scale exists). One scan, no shuffle.
+    * Emits (vec_id, scale, qvec).
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   dim: Int = 64): DataFrame = {
+    val v = asDouble(col(vecCol))
+    emb.select(col(idCol).as("vec_id"), v.as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"),
+          x => floor(x / col("scale") * 127).cast("long")).as("qvec"))
+  }
+
   /** Spherical-k-means centroid training for the IVF index (Lloyd's
     * algorithm): assign every vector to its max-cosine centroid
     * (broadcast-cross + `max_by` hash-agg — the same shuffle-free

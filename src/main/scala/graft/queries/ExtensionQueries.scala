@@ -73,6 +73,15 @@ object ExtensionQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Int8 quantization, flattened to (vec_id, dim_idx, q) rows so the
+    * hash gate pins every quantized element exactly.
+    */
+  def embedQuantize(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(embs(s, d))
+      .select(col("vec_id"), posexplode(col("qvec")).as(Seq("dim_idx", "q")))
+      .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"), col("q"))
+      .orderBy("vec_id", "dim_idx")
+
   /** Exact ANN baseline: every 50th vector queries the full corpus. */
   def annTopK(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
@@ -507,6 +516,16 @@ object ExtensionQueries {
         |SELECT vec_a, vec_b, CAST(floor(cos*10000) AS BIGINT) AS cos_q
         |FROM p WHERE CAST(floor(cos*10000) AS BIGINT) >= 3000
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx FROM e)
+        |SELECT vec_id, d - 1 AS dim_idx,
+        |  CAST(floor(v[d] / mx * 127) AS BIGINT) AS q
+        |FROM m, unnest(range(1, 65)) AS u(d)
+        |WHERE mx > 0
+        |ORDER BY vec_id, dim_idx""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -634,6 +653,7 @@ object ExtensionQueries {
     "q_dedup_clusters"  -> (dedupClusters _),
     "q_embed_neardup"   -> (embedNearDup _),
     "q_embed_neardup_incr" -> (embedNearDupIncr _),
+    "q_embed_quantize"  -> (embedQuantize _),
     "q_ann_topk"        -> (annTopK _),
     "q_ann_lsh"         -> (annLsh _),
     "q_ann_ivf"         -> (annIvf _),

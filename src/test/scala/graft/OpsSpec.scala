@@ -254,6 +254,24 @@ class OpsSpec extends SparkSpec {
     assert(out.forall { case (q, n) => q % 3 === n % 3 }) // cluster purity
   }
 
+  test("quantizeInt8: values in [-127,127], dequantization error " +
+    "bounded by scale/127, zero vectors dropped") {
+    val emb = Seq(
+      (1L, Array(3.0f, -1.5f, 0.25f, -3.0f)),
+      (2L, Array(0f, 0f, 0f, 0f))  // zero vector: no finite scale
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb, dim = 4)
+      .as[(Long, Double, Seq[Long])].collect()
+    assert(out.length === 1)
+    val (id, scale, q) = out.head
+    assert(id === 1L && scale === 3.0)
+    assert(q.forall(x => x >= -127 && x <= 127))
+    val orig = Seq(3.0, -1.5, 0.25, -3.0)
+    q.zip(orig).foreach { case (qi, v) =>
+      assert(math.abs(qi * scale / 127 - v) <= scale / 127 + 1e-12)
+    }
+  }
+
   test("native HyperplaneBuckets == chain-form lshBucket per table on " +
     "random vectors") {
     val vecs = (1 to 60).map { i =>
