@@ -235,17 +235,20 @@ object Similarity {
     * max-abs scale, q[d] = floor(v[d] / scale * 127) in [-127, 127]
     * (floor, not round: round's tie-breaking differs across engines;
     * floor is bit-deterministic everywhere). Dequantization is
-    * q * scale / 127 with error <= scale/127 per element. Zero vectors
-    * are dropped (no finite scale exists). One scan, no shuffle.
-    * Emits (vec_id, scale, qvec).
+    * q * scale / 127 with error <= scale/127 per element. Vectors
+    * without a finite positive scale — all-zero, or containing
+    * NaN/Inf — are dropped. One scan, no shuffle (the per-vector
+    * scale/quantize lambdas are interpreted HOFs, but run once per
+    * VECTOR, not in any pair join — not a hot path). Emits
+    * (vec_id, scale, qvec).
     */
   def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
-                   vecCol: String = "embedding",
-                   dim: Int = 64): DataFrame = {
+                   vecCol: String = "embedding"): DataFrame = {
     val v = asDouble(col(vecCol))
     emb.select(col(idCol).as("vec_id"), v.as("v"))
       .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
-      .filter(col("scale") > 0)
+      .filter(col("scale") > 0 && !isnan(col("scale")) &&
+        col("scale") =!= Double.PositiveInfinity)
       .select(col("vec_id"), col("scale"),
         transform(col("v"),
           x => floor(x / col("scale") * 127).cast("long")).as("qvec"))

@@ -524,7 +524,7 @@ object ExtensionQueries {
         |SELECT vec_id, d - 1 AS dim_idx,
         |  CAST(floor(v[d] / mx * 127) AS BIGINT) AS q
         |FROM m, unnest(range(1, 65)) AS u(d)
-        |WHERE mx > 0
+        |WHERE mx > 0 AND isfinite(mx)
         |ORDER BY vec_id, dim_idx""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (

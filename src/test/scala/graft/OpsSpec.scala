@@ -255,12 +255,14 @@ class OpsSpec extends SparkSpec {
   }
 
   test("quantizeInt8: values in [-127,127], dequantization error " +
-    "bounded by scale/127, zero vectors dropped") {
+    "bounded by scale/127, zero and non-finite vectors dropped") {
     val emb = Seq(
       (1L, Array(3.0f, -1.5f, 0.25f, -3.0f)),
-      (2L, Array(0f, 0f, 0f, 0f))  // zero vector: no finite scale
+      (2L, Array(0f, 0f, 0f, 0f)),                     // zero vector
+      (3L, Array(1f, Float.NaN, 2f, 3f)),              // NaN element
+      (4L, Array(1f, Float.PositiveInfinity, 2f, 3f))  // Inf element
     ).toDF("vec_id", "embedding")
-    val out = Similarity.quantizeInt8(emb, dim = 4)
+    val out = Similarity.quantizeInt8(emb)
       .as[(Long, Double, Seq[Long])].collect()
     assert(out.length === 1)
     val (id, scale, q) = out.head
