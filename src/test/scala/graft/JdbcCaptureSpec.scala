@@ -11,6 +11,7 @@ import java.sql.DriverManager
   * pushdown pin and exactly-once resume across query restarts.
   */
 class JdbcCaptureSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dbDir = tmpDir("derby") + "/db"
   private val url = s"jdbc:derby:$dbDir;create=true"
@@ -60,6 +61,19 @@ class JdbcCaptureSpec extends SparkSpec {
     // JDBC v1 scans print pushed predicates; '*' marks source-handled
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(audit_pk,7)"),
       s"watermark filter not pushed to JDBC source:\n$plan")
+  }
+
+  test("jdbcAboveParallel range-partitions the pull and returns the " +
+    "same rows as the single-partition read") {
+    val par = AuditSource.jdbcAboveParallel(spark, url, "\"person_audit\"",
+      wm = 2L, upper = 10L, numPartitions = 3, props)
+    assert(par.rdd.getNumPartitions === 3)
+    val single = AuditSource.jdbcAbove(spark, url, "\"person_audit\"", 2L, props)
+    assert(par.select("audit_pk").as[Long].collect().sorted.toSeq ===
+      single.select("audit_pk").as[Long].collect().sorted.toSeq)
+    // the watermark predicate still reaches the remote WHERE clause
+    val plan = par.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(audit_pk,2)"), plan)
   }
 
   test("pollOnce is the incremental cron-run: first poll delivers all, " +
