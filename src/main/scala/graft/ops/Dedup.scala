@@ -314,27 +314,37 @@ object Dedup {
                           maxRounds: Int = 25): DataFrame = {
     val aCol = pairs.columns(0)
     val bCol = pairs.columns(1)
-    // undirected edge list, both directions
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
+    // directed pair list, cached ONCE at its natural size — the
+    // undirected view is derived per use, never materialized at 2x
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist()
     // STAR CONTRACTION first (the Kiveris et al. move): collapse every
-    // node onto m(u) = min(u, neighbors(u)) — one groupBy over the
-    // edges — then rewrite each edge (u,v) as (m(u), m(v)) and dedupe.
-    // Near-dup graphs are dense cliques, so this one bounded pass
-    // shrinks millions of raw pair edges to ~one edge per
-    // inter-star link (measured 6M -> tiny at sf0.1), and the
-    // propagation loop below runs on the contracted graph for pennies
-    // instead of re-joining the full edge set every round.
-    val m = edges.groupBy(col("src").as("id"))
-      .agg(least(first(col("src")), min(col("dst"))).as("m"))
+    // node onto m(u) = min(u, neighbors(u)), then rewrite each edge
+    // (u,v) as (m(u), m(v)) and dedupe. Near-dup graphs are dense
+    // cliques, so this one bounded pass shrinks millions of raw pair
+    // edges to ~one edge per inter-star link (measured 3M pairs ->
+    // 3.6k at sf0.1), and the propagation loop below runs on the
+    // contracted graph for pennies instead of re-joining the full
+    // edge set every round. The undirected min-neighbor comes from
+    // two half-size groupBys (one per pair orientation) merged —
+    // no 2x edge materialization anywhere at raw scale.
+    val m = p.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn"))
+      .unionByName(
+        p.groupBy(col("dst").as("id")).agg(min(col("src")).as("mn")))
+      .groupBy("id").agg(min(col("mn")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("m"))
       .persist()
     m.count()
-    val contracted = edges
+    // contracted edges from the DIRECTED pairs; the reverse
+    // orientation is added after the distinct, at contracted (tiny)
+    // size, so the propagation join below sees both directions
+    val contractedDir = p
       .join(m.select(col("id").as("src"), col("m").as("msrc")), Seq("src"))
       .join(m.select(col("id").as("dst"), col("m").as("mdst")), Seq("dst"))
       .select(col("msrc").as("src"), col("mdst").as("dst"))
       .filter(col("src") =!= col("dst"))
+      .distinct()
+    val contracted = contractedDir
+      .unionByName(contractedDir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
     contracted.count()
@@ -370,7 +380,7 @@ object Dedup {
     // chains — fail loudly instead of silently mislabeling (raise
     // maxRounds for graphs whose contracted diameter exceeds it)
     if (!converged) {
-      edges.unpersist(); m.unpersist(); contracted.unpersist()
+      p.unpersist(); m.unpersist(); contracted.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds; " +
           "the contracted graph's diameter exceeds maxRounds — raise it")
@@ -389,7 +399,7 @@ object Dedup {
       .select(col("id").as(idCol),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
       .localCheckpoint()
-    edges.unpersist()
+    p.unpersist()
     m.unpersist()
     contracted.unpersist()
     out
