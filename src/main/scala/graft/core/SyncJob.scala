@@ -78,7 +78,14 @@ object SyncJob {
         // (cdc_audit_sync_mysql.php:352 / AuditSchema invariant)
         val last = sink.columns.last
         val row = sink.agg(max(col(last).cast("long"))).head()
-        if (row.isNullAt(0)) initial else row.getLong(0)
+        val wm = if (row.isNullAt(0)) initial else row.getLong(0)
+        // Repair the sidecar with the scanned watermark and the file
+        // count the scan actually covered, so ONE repair scan heals the
+        // sink — without this, a sink with no fresh rows re-scans its
+        // whole delivered history on every poll (append-side sidecar
+        // writes only happen when n > 0).
+        writeSidecar(fs, path, wm, files.length)
+        wm
     }
   }
 
@@ -99,9 +106,12 @@ object SyncJob {
   }
 
   private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
-                           sinkPath: org.apache.hadoop.fs.Path, wm: Long): Unit = {
-    val csvCount = fs.listStatus(sinkPath).count(f =>
-      f.isFile && f.getPath.getName.endsWith(".csv"))
+                           sinkPath: org.apache.hadoop.fs.Path, wm: Long,
+                           knownCsvCount: Int = -1): Unit = {
+    val csvCount =
+      if (knownCsvCount >= 0) knownCsvCount
+      else fs.listStatus(sinkPath).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".csv"))
     val out = fs.create(new org.apache.hadoop.fs.Path(sinkPath, WatermarkFile), true)
     try out.write(s"$wm,$csvCount\n".getBytes("UTF-8"))
     finally out.close()

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlShim}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -29,8 +29,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * value from malformed vectors.
   */
 case class DotProduct(left: Expression, right: Expression)
-  extends BinaryExpression with ExpectsInputTypes {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
+  // ImplicitCastInputTypes (not bare ExpectsInputTypes): array<float>
+  // or array<int> inputs coerce to array<double> at analysis, matching
+  // the per-element implicit casts of the old element_at chain form.
   // Seq[DataType] satisfies ExpectsInputTypes' Seq[AbstractDataType]
   // covariantly (AbstractDataType itself is private[sql])
   override def inputTypes: Seq[DataType] =

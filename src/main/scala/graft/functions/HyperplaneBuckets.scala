@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlShim}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -21,12 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * values are identical to the chain form on every input.
   *
   * Null semantics: a null input vector yields null (the caller's
-  * explode then drops the row); a null ELEMENT nullifies that plane's
-  * projection, which contributes bit 0 — exactly the chain's
-  * `when(null > 0, bit).otherwise(0)`.
+  * explode then drops the row); a null ELEMENT — or a dimension past
+  * the end of a short vector — nullifies that plane's projection,
+  * which contributes bit 0 — exactly the chain's
+  * `when(null > 0, bit).otherwise(0)` over `element_at` (which is
+  * NULL out of range).
   */
+// ImplicitCastInputTypes: float/int element arrays coerce to
+// array<double> at analysis, like the chain form's per-element casts
 case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int, dim: Int)
-  extends UnaryExpression with ExpectsInputTypes {
+  extends UnaryExpression with ImplicitCastInputTypes {
 
   require(tables >= 1 && planes >= 1 && planes <= 63, "bad LSH geometry")
 
@@ -47,14 +51,16 @@ case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int, dim: I
       var p = 0
       while (p < planes) {
         val row = coeffs(t * planes + p)
-        val n = math.min(row.length, v.numElements())
+        val n = v.numElements()
         var s = 0.0
         var nullProj = false
         var d = 0
-        while (d < n && !nullProj) {
+        while (d < row.length && !nullProj) {
           val c = row(d)
           if (c != 0) {
-            if (v.isNullAt(d)) nullProj = true
+            // out-of-range dimension == null element: nullifies the
+            // projection, matching the chain form's element_at → NULL
+            if (d >= n || v.isNullAt(d)) nullProj = true
             else s += c * v.getDouble(d)
           }
           d += 1
@@ -87,13 +93,13 @@ case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int, dim: I
          |  long $bucket = 0L;
          |  for (int $p = 0; $p < $planes; $p++) {
          |    int[] $row = $coeffRef[$t * $planes + $p];
-         |    int $n = java.lang.Math.min($row.length, $v.numElements());
+         |    int $n = $v.numElements();
          |    double $s = 0.0;
          |    boolean $nullProj = false;
-         |    for (int $d = 0; $d < $n && !$nullProj; $d++) {
+         |    for (int $d = 0; $d < $row.length && !$nullProj; $d++) {
          |      int $c = $row[$d];
          |      if ($c != 0) {
-         |        if ($v.isNullAt($d)) { $nullProj = true; }
+         |        if ($d >= $n || $v.isNullAt($d)) { $nullProj = true; }
          |        else { $s += $c * $v.getDouble($d); }
          |      }
          |    }

@@ -317,6 +317,11 @@ object Dedup {
     // directed pair list, cached ONCE at its natural size — the
     // undirected view is derived per use, never materialized at 2x
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist()
+    // every persisted frame is released in the finally below — a Spark
+    // job failure mid-loop must not leak caches for the session lifetime
+    var m: DataFrame = null
+    var contracted: DataFrame = null
+    try {
     // STAR CONTRACTION first (the Kiveris et al. move): collapse every
     // node onto m(u) = min(u, neighbors(u)), then rewrite each edge
     // (u,v) as (m(u), m(v)) and dedupe. Near-dup graphs are dense
@@ -327,7 +332,7 @@ object Dedup {
     // edge set every round. The undirected min-neighbor comes from
     // two half-size groupBys (one per pair orientation) merged —
     // no 2x edge materialization anywhere at raw scale.
-    val m = p.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn"))
+    m = p.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn"))
       .unionByName(
         p.groupBy(col("dst").as("id")).agg(min(col("src")).as("mn")))
       .groupBy("id").agg(min(col("mn")).as("mn"))
@@ -343,7 +348,7 @@ object Dedup {
       .select(col("msrc").as("src"), col("mdst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    val contracted = contractedDir
+    contracted = contractedDir
       .unionByName(contractedDir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
@@ -380,7 +385,6 @@ object Dedup {
     // chains — fail loudly instead of silently mislabeling (raise
     // maxRounds for graphs whose contracted diameter exceeds it)
     if (!converged) {
-      p.unpersist(); m.unpersist(); contracted.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds; " +
           "the contracted graph's diameter exceeds maxRounds — raise it")
@@ -399,10 +403,12 @@ object Dedup {
       .select(col("id").as(idCol),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
       .localCheckpoint()
-    p.unpersist()
-    m.unpersist()
-    contracted.unpersist()
     out
+    } finally {
+      p.unpersist()
+      if (m != null) m.unpersist()
+      if (contracted != null) contracted.unpersist()
+    }
   }
 
   /** Incremental embedding near-dup: candidate pairs that INVOLVE a

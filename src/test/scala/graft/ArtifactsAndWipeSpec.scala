@@ -97,9 +97,14 @@ class ArtifactsAndWipeSpec extends SparkSpec {
     // stale count (simulated crashed append) -> full scan repairs
     plant("999,7\n")
     assert(SyncJob.watermark(spark, sink) === 15L)
+    // ...and the fallback REWRITES the sidecar, so one repair scan
+    // heals the sink even when no fresh rows ever arrive (otherwise
+    // every idle poll repeats the O(delivered-history) scan)
+    assert(Files.readString(sidecar).trim === "15,1")
     // corrupt sidecar -> full scan
     plant("garbage\n")
     assert(SyncJob.watermark(spark, sink) === 15L)
+    assert(Files.readString(sidecar).trim === "15,1")
   }
 
   test("syncAndWipe: rows reach the sink before the log is compacted") {

@@ -222,6 +222,11 @@ class OpsSpec extends SparkSpec {
     val uneven = Seq((Array(2.0, 3.0), Array(10.0, 10.0, 99.0))).toDF("a", "b")
     assert(uneven.select(graft.functions.DotProduct(col("a"), col("b")))
       .collect().head.isNullAt(0))
+    // array<float> inputs coerce at analysis (ImplicitCastInputTypes),
+    // preserving the old element_at chain's per-element casts
+    val fl = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    assert(fl.select(graft.functions.DotProduct(col("a"), col("b")))
+      .as[Double].collect().head === 11.0)
   }
 
   test("kmeans recovers planted clusters and improves the IVF index " +
@@ -288,6 +293,35 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     chain.foreach { case (id, b0, b1, b2) =>
       assert(native(id) === Seq(b0, b1, b2), s"vec $id")
+    }
+  }
+
+  test("HyperplaneBuckets on SHORT vectors: a plane touching a missing " +
+    "dimension contributes bit 0 (out-of-range == null element)") {
+    val dim = 16; val tables = 2; val planes = 5; val shortLen = 12
+    val data = (1 to 20).map { i =>
+      (i.toLong, Array.tabulate(shortLen)(d => ((i * 13 + d * 7) % 11 - 5) * 0.7))
+    }
+    val native = data.toDF("vec_id", "v")
+      .select(col("vec_id"),
+        graft.functions.HyperplaneBuckets(col("v"), tables, planes, dim).as("bk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    data.foreach { case (id, v) =>
+      val expect = (0 until tables).map { t =>
+        var bucket = 0L
+        for (p <- 0 until planes) {
+          val row = Similarity.planeCoeffs(t * planes + p, dim)
+          // any nonzero coefficient past the vector end nullifies the
+          // whole plane's projection -> bit 0
+          if (!(shortLen until dim).exists(d => row(d) != 0)) {
+            var s = 0.0
+            for (d <- 0 until shortLen) if (row(d) != 0) s += row(d) * v(d)
+            if (s > 0) bucket |= (1L << p)
+          }
+        }
+        bucket
+      }
+      assert(native(id) === expect, s"vec $id")
     }
   }
 
