@@ -174,7 +174,12 @@ object Dedup {
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
+    // eager localCheckpoint: BOTH sides of the self-join below read the
+    // materialized band rows (bands × docs, tiny) instead of each
+    // recomputing the signature scan — without it Spark evaluates the
+    // minhash chain twice, once per join side
     val banded = minhashBands(docs, numHashes, bands, idCol, textCol)
+      .localCheckpoint()
     // explicit aliases: self-join via dataframe("col") on a renamed copy
     // of the same plan resolves only through Spark's plan-id
     // disambiguation (and logs a trivially-true-predicate warning);
@@ -201,13 +206,16 @@ object Dedup {
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
     // small global vocabulary -> precompute the hash dictionary on the
-    // driver (same adaptive strategy as ngramJaccard's bitmask path)
+    // driver (same adaptive strategy as ngramJaccard's bitmask path);
+    // either way the signature itself is the native one-pass
+    // [[graft.functions.MinHashHex]] kernel (bit-identical to the
+    // interpreted lambda chains [[minhashSignature]] /
+    // [[minhashSignatureDict]], which remain as parity baselines)
     val vocabProbe = docs.select(explode(tokenSet(col(textCol))).as("tok"))
       .distinct().limit(257).collect().map(_.getString(0))
+    val dictVocab = if (vocabProbe.length <= 256) vocabProbe else Array.empty[String]
     val signature =
-      if (vocabProbe.length <= 256)
-        minhashSignatureDict(tokenSet(col(textCol)), numHashes, vocabProbe)
-      else minhashSignature(tokenSet(col(textCol)), numHashes)
+      graft.functions.MinHashHex(tokenSet(col(textCol)), numHashes, dictVocab)
     val sig = docs.select(col(idCol).as("doc_id"), signature.as("mh"))
     // one pass: explode the band index alongside the signature (no
     // rejoin), then hash each band's slice
@@ -231,7 +239,10 @@ object Dedup {
                             numHashes: Int = 16, bands: Int = 4,
                             idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
+    // checkpoint for the same reason as [[minhashLsh]]: `nb` feeds both
+    // the probe side and the unioned index side of the join
     val nb = minhashBands(newDocs, numHashes, bands, idCol, textCol)
+      .localCheckpoint()
     val n = nb.alias("n")
     val all = indexedBands.select("doc_id", "b", "band_key")
       .unionByName(nb)
@@ -293,25 +304,26 @@ object Dedup {
     * docs produce 2.6M minhash pairs), which no downstream step wants
     * to materialize twice.
     *
-    * Algorithm: min-label propagation to fixpoint — each round every
-    * node takes the min of its own label and its neighbors' labels
-    * (one equi-join + one hash-agg per round, both with map-side
-    * partials), converging in O(graph diameter) rounds; near-dup
-    * graphs are dense cliques, so 2-3 rounds in practice. Labels are
-    * materialized per round (lineage cut) and the loop stops when a
-    * round changes nothing. The driver loop runs aggregate jobs only —
-    * never collects labels. At extreme diameters the published
-    * alternating large-star/small-star contraction (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14) halves
-    * round count; plain propagation is the right default for dedup
-    * graphs.
+    * Algorithm: one distributed star-contraction pass (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) shrinks
+    * the edge list by orders of magnitude, then the contracted graph is
+    * finished either (a) by a BOUNDED driver union-find when its
+    * directed edge count is ≤ `maxDriverEdges` (the common case —
+    * dense near-dup graphs contract ~1000x; the collect is capped and
+    * each row is two scalar ids), or (b) by distributed min-label
+    * propagation to fixpoint — each round every node takes the min of
+    * its own label and its neighbors' labels (one equi-join + one
+    * hash-agg per round, both with map-side partials), converging in
+    * O(contracted diameter) rounds with labels materialized per round
+    * (lineage cut) and convergence checked via an aggregate.
     *
     * `docs` supplies the node set, so singleton documents (no pairs)
     * appear with `cluster_id = doc_id`.
     */
   def connectedComponents(pairs: DataFrame, docs: DataFrame,
                           idCol: String = "doc_id",
-                          maxRounds: Int = 25): DataFrame = {
+                          maxRounds: Int = 25,
+                          maxDriverEdges: Long = 1L << 21): DataFrame = {
     val aCol = pairs.columns(0)
     val bCol = pairs.columns(1)
     // directed pair list, cached ONCE at its natural size — the
@@ -348,46 +360,99 @@ object Dedup {
       .select(col("msrc").as("src"), col("mdst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    contracted = contractedDir
-      .unionByName(contractedDir.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .persist()
-    contracted.count()
-    // localCheckpoint (eager) TRUNCATES the logical plan each round —
-    // with plain persist the round-N plan still nests every earlier
-    // round, and Catalyst re-analysis alone grows ~3x per round
-    // (measured 1.0s, 1.8s, 6.7s, 19s on a 3.6k-edge graph); the
-    // checkpointed frame is a leaf, so every round pays the same
-    // constant plan cost. Loop state is O(#star roots) rows.
-    var labels = contracted.select(col("src").as("id"))
-      .unionByName(contracted.select(col("dst").as("id")))
-      .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    // min-label propagation to fixpoint on the contracted graph;
-    // convergence via an aggregate (never a collect)
-    var converged = labels.isEmpty
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      val neighborLabels = contracted
-        .join(labels, contracted("dst") === labels("id"))
-        .select(col("src").as("id"), col("label"))
-      val next = labels.unionByName(neighborLabels)
-        .groupBy("id").agg(min(col("label")).as("label"))
+    val nDir = contractedDir.count()
+    contracted = contractedDir
+    val spark = pairs.sparkSession
+    val labels: DataFrame = if (nDir <= maxDriverEdges) {
+      // BOUNDED driver finish (the same bounded-probe pattern as the
+      // 65-row vocab probe): star contraction shrinks dense near-dup
+      // graphs by orders of magnitude (measured 3M pairs -> 3.6k
+      // contracted edges at sf0.1), so when the contracted DIRECTED
+      // edge list fits the threshold, union-find on the driver replaces
+      // the whole iterative distributed loop — O(E α(E)) locally,
+      // saving the per-round job launch + shuffle + checkpoint tax. The
+      // collect is capped at maxDriverEdges rows of two scalar ids.
+      val edges = contractedDir.collect()
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        // path compression
+        var c = x
+        while (parent.getOrDefault(c, c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      edges.foreach { row =>
+        val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+        if (ra != rb) parent.put(ra, rb)
+      }
+      // component label = MIN member (star roots are Comparable ids:
+      // numeric or string — the same ordering Spark's min uses)
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val minOf = new java.util.HashMap[Any, Any]()
+      val nodes = new java.util.HashSet[Any]()
+      edges.foreach { row => nodes.add(row.get(0)); nodes.add(row.get(1)) }
+      nodes.forEach { v =>
+        val r = find(v)
+        val cur = minOf.get(r)
+        if (cur == null || lt(v, cur)) minOf.put(r, v)
+      }
+      val idType = contractedDir.schema.fields(0).dataType
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      nodes.forEach { v =>
+        rows.add(org.apache.spark.sql.Row(v, minOf.get(find(v))))
+      }
+      spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("label", idType))))
+    } else {
+      // distributed fallback for contracted graphs past the bound
+      val both = contractedDir
+        .unionByName(contractedDir.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist()
+      contracted = both
+      both.count()
+      contractedDir.unpersist()
+      // localCheckpoint (eager) TRUNCATES the logical plan each round —
+      // with plain persist the round-N plan still nests every earlier
+      // round, and Catalyst re-analysis alone grows ~3x per round
+      // (measured 1.0s, 1.8s, 6.7s, 19s on a 3.6k-edge graph); the
+      // checkpointed frame is a leaf, so every round pays the same
+      // constant plan cost. Loop state is O(#star roots) rows.
+      var lab = both.select(col("src").as("id"))
+        .unionByName(both.select(col("dst").as("id")))
+        .distinct()
+        .withColumn("label", col("id"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") < col("prev")).limit(1).count()
-      labels = next
-      converged = changed == 0
-      rounds += 1
-    }
-    // a truncated propagation would return WRONG cluster ids for long
-    // chains — fail loudly instead of silently mislabeling (raise
-    // maxRounds for graphs whose contracted diameter exceeds it)
-    if (!converged) {
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxRounds rounds; " +
-          "the contracted graph's diameter exceeds maxRounds — raise it")
+      // min-label propagation to fixpoint on the contracted graph;
+      // convergence via an aggregate (never an unbounded collect)
+      var converged = lab.isEmpty
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        val neighborLabels = both
+          .join(lab, both("dst") === lab("id"))
+          .select(col("src").as("id"), col("label"))
+        val next = lab.unionByName(neighborLabels)
+          .groupBy("id").agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        val changed = next.join(lab.withColumnRenamed("label", "prev"), Seq("id"))
+          .filter(col("label") < col("prev")).limit(1).count()
+        lab = next
+        converged = changed == 0
+        rounds += 1
+      }
+      // a truncated propagation would return WRONG cluster ids for long
+      // chains — fail loudly instead of silently mislabeling (raise
+      // maxRounds for graphs whose contracted diameter exceeds it)
+      if (!converged) {
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxRounds rounds; " +
+            "the contracted graph's diameter exceeds maxRounds — raise it")
+      }
+      lab
     }
     // map every original node through its star root's final label;
     // docs with no pairs (and star roots that stayed put) label as self

@@ -95,9 +95,12 @@ object TextStats {
   /** Corpus n-gram statistics: the `k` most frequent word n-grams with
     * total occurrences and document frequency — the corpus-stats pass
     * behind vocabulary building and contamination screening. One
-    * explode + one hash-agg (map-side partials carry (ngram, count)
-    * pairs); the top-k sort runs on the AGGREGATED result (one row per
-    * distinct n-gram), never on raw data. Ties break on the n-gram
+    * explode + two cascading hash-aggs — (ngram, doc_id) partials then
+    * per-ngram totals — which computes the document frequency WITHOUT
+    * the Expand duplication a fused `count + countDistinct` aggregate
+    * plans (Expand doubles every exploded row before the first
+    * shuffle); the top-k sort runs on the AGGREGATED result (one row
+    * per distinct n-gram), never on raw data. Ties break on the n-gram
     * string so the result is deterministic across engines.
     */
   def topNgrams(docs: DataFrame, n: Int, k: Int,
@@ -113,9 +116,11 @@ object TextStats {
         i => concat_ws(" ", slice(t, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
     docs.select(col(idCol).as("doc_id"), explode(grams).as("ngram"))
+      .groupBy("ngram", "doc_id")
+      .agg(count(lit(1)).as("c"))
       .groupBy("ngram")
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum(col("c")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
   }

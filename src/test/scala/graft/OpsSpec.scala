@@ -296,6 +296,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("native MinHashHex == interpreted signature chain == dict chain, " +
+    "bit-for-bit; null text yields numHashes null minima") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "beta beta epsilon"),          // duplicate tokens
+      (3L, "zeta"),
+      (4L, null.asInstanceOf[String]),    // null text
+      (5L, "")                            // split("") -> [""], one empty token
+    ).toDF("doc_id", "text")
+    val toks = Dedup.tokenSet(col("text"))
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "")
+    val rows = docs.select(col("doc_id"),
+        graft.functions.MinHashHex(toks, 8, vocab).as("native_dict"),
+        graft.functions.MinHashHex(toks, 8, Array.empty[String]).as("native_fly"),
+        Dedup.minhashSignature(toks, 8).as("chain"),
+        Dedup.minhashSignatureDict(toks, 8, vocab).as("dict_chain"))
+      .as[(Long, Seq[String], Seq[String], Seq[String], Seq[String])]
+      .collect()
+    rows.foreach { case (id, nd, nf, ch, dc) =>
+      assert(nd === ch, s"doc $id native-dict vs chain")
+      assert(nf === ch, s"doc $id native-fly vs chain")
+      assert(dc === ch, s"doc $id dict-chain vs chain")
+    }
+    // null text: an ARRAY of nulls, not a null array
+    val nullRow = rows.find(_._1 == 4L).get
+    assert(nullRow._2 === Seq.fill(8)(null))
+  }
+
   test("HyperplaneBuckets on SHORT vectors: a plane touching a missing " +
     "dimension contributes bit 0 (out-of-range == null element)") {
     val dim = 16; val tables = 2; val planes = 5; val shortLen = 12

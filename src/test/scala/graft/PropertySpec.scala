@@ -139,10 +139,18 @@ class PropertySpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = ids.map(i => i -> find(i)).toMap
+      // default path: bounded DRIVER union-find finish
       val got = Dedup.connectedComponents(
           pairs.toDF("doc_a", "doc_b"), ids.toDF("doc_id"))
         .as[(Long, Long)].collect().toMap
-      assert(got === expected, s"trial $trial")
+      assert(got === expected, s"trial $trial (driver finish)")
+      // maxDriverEdges = 0 forces the DISTRIBUTED propagation fallback —
+      // both finishes must agree with the oracle union-find
+      val gotDist = Dedup.connectedComponents(
+          pairs.toDF("doc_a", "doc_b"), ids.toDF("doc_id"),
+          maxDriverEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(gotDist === expected, s"trial $trial (distributed finish)")
     }
   }
 
