@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal join operators missing from Spark's built-in surface. */
+object TemporalJoins {
+
+  /** As-of join: every left row picks the LATEST right row of the same
+    * key whose time is `<=` the left time (or strictly `<` with
+    * `strict = true`); left rows with no qualifying right row keep
+    * nulls. The classic event-to-state / attribution join.
+    *
+    * Dataflow, chosen for scale: UNION both sides onto a common time
+    * axis, then ONE window pass per key carries the most recent right
+    * row forward (`last(struct, ignoreNulls)` — a struct, so the
+    * carried columns are atomically from the SAME right row even when
+    * some of them are null). That is a single shuffle on the key plus a
+    * per-partition sort — cost O((|L|+|R|) log) regardless of how many
+    * right rows precede each left row. The naive alternative (theta
+    * join on key + time-range, then argmax per left row) materializes
+    * every (left, earlier-right) pairing first — quadratic per key and
+    * a skew hazard the union form simply does not have.
+    *
+    * Ordering contract: right rows at the same (key, time) are ranked
+    * by `rightTiebreak` ASC, so the LAST one — the carried one — is the
+    * tiebreak maximum, matching the oracle's
+    * `ORDER BY t DESC, tiebreak DESC LIMIT 1`. Right rows with a null
+    * time never match anything and are dropped.
+    *
+    * `keys` must name columns present in BOTH frames; `rightCols` are
+    * appended to the left schema and must not collide with left names
+    * (rename on the way in).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String],
+               rightTiebreak: Option[String] = None,
+               strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asOfJoin needs at least one key column")
+    val collisions = rightCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightCols collide with left columns: ${collisions.mkString(",")} — rename first")
+
+    // non-strict: rights sort BEFORE lefts at an equal timestamp, so an
+    // equal-time right row is visible to the left row; strict flips it
+    val (sideRight, sideLeft) = if (strict) (1, 0) else (0, 1)
+
+    val rvType = StructType(rightCols.map(c => right.schema(c)))
+    val tbCol = rightTiebreak
+      .map(c => col(c).as("_tb"))
+      .getOrElse(lit(null).cast("long").as("_tb"))
+    val tbNull = rightTiebreak
+      .map(c => lit(null).cast(right.schema(c).dataType).as("_tb"))
+      .getOrElse(lit(null).cast("long").as("_tb"))
+
+    val leftU = left.select(
+      left.columns.map(col).toSeq ++ Seq(
+        col(leftTime).as("_t"),
+        lit(sideLeft).as("_side"),
+        tbNull,
+        lit(null).cast(rvType).as("_rv")): _*)
+    val rightU = right
+      .filter(col(rightTime).isNotNull)
+      .select(
+        left.columns.toSeq.map { c =>
+          if (keys.contains(c)) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c)
+        } ++ Seq(
+          col(rightTime).as("_t"),
+          lit(sideRight).as("_side"),
+          tbCol,
+          struct(rightCols.map(col): _*).as("_rv")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    leftU.unionByName(rightU)
+      .withColumn("_carried", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === sideLeft)
+      .select(left.columns.map(col).toSeq ++
+        rightCols.map(c => col(s"_carried.$c").as(c)): _*)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines — north-star
@@ -185,6 +186,83 @@ object TextStats {
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Gopher-style repetition signals, adapted to flat (newline-free)
+    * text: excessive word/n-gram repetition is the strongest cheap
+    * predictor of low-quality machine-generated or boilerplate pages
+    * (Rae et al., "Scaling Language Models: ... Gopher", 2021, §A.1.1
+    * repetition filters). Per document:
+    *   - `n_words` — token count (with duplicates);
+    *   - `distinct_word_frac` — distinct tokens / tokens (low = loops);
+    *   - `top_word_frac` — share of the single most frequent token;
+    *   - `top_bigram_frac` — share of the most frequent bigram;
+    *   - `mean_word_len` — mean token length in chars.
+    *
+    * Shape for scale: one explode per gram order into a (doc, term)
+    * hash-agg, then a per-doc agg — all partial-aggregated before the
+    * shuffle, no windows over raw tokens, no Expand. Documents with
+    * null text vanish from the explode (no row out); docs with fewer
+    * than 2 tokens have a null `top_bigram_frac` (left join).
+    */
+  def repetitionSignals(docs: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(t).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_words"),
+        (count(lit(1)).cast("double") / sum(col("c"))).as("distinct_word_frac"),
+        (max(col("c")).cast("double") / sum(col("c"))).as("top_word_frac"),
+        (sum(length(col("term")) * col("c")).cast("double") / sum(col("c")))
+          .as("mean_word_len"))
+    val bg = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", slice(t, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val bigrams = docs
+      .select(col(idCol).as("doc_id"), explode(bg).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        (max(col("c")).cast("double") / sum(col("c"))).as("top_bigram_frac"))
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("distinct_word_frac"),
+        col("top_word_frac"), col("top_bigram_frac"), col("mean_word_len"))
+  }
+
+  /** TF-IDF keyword extraction: the `k` highest-scoring terms per
+    * document, `tfidf = (c / doclen) * ln(N / df)` with raw counts and
+    * the unsmoothed idf (every term trivially appears in ≥ 1 doc). Ties
+    * break on the term string; `rank` is 1-based.
+    *
+    * One exploded (doc, term) count feeds everything: doc length comes
+    * from a window sum over the already-aggregated counts (tiny vs raw
+    * tokens), document frequency from a per-term re-agg, and the final
+    * top-k is a row_number over per-doc counts — never over raw data.
+    * N (corpus size) is a single-scalar driver probe, the same bounded
+    * pattern as the vocabulary probes.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val n = docs.filter(col(textCol).isNotNull).count()
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val withLen = tf.withColumn("len",
+      sum(col("c")).over(Window.partitionBy("doc_id")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    withLen.join(dfreq, Seq("term"))
+      .withColumn("tfidf",
+        (col("c").cast("double") / col("len")) *
+          log(lit(n).cast("double") / col("df")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tfidf", "rank")
   }
 
   /** PII scrubbing + whitespace normalization — the redaction pass a

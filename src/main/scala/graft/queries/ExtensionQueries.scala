@@ -134,6 +134,14 @@ object ExtensionQueries {
   def ngramStats(s: SparkSession, d: String): DataFrame =
     TextStats.topNgrams(docs(s, d), n = 2, k = 50)
 
+  /** Gopher-style word/bigram repetition signals per document. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    TextStats.repetitionSignals(docs(s, d)).orderBy("doc_id")
+
+  /** Top-3 TF-IDF keywords per document. */
+  def tfidf(s: SparkSession, d: String): DataFrame =
+    TextStats.tfidfTopTerms(docs(s, d), k = 3).orderBy("doc_id", "rank")
+
   /** Decontamination screen: every 100th doc plays the benchmark set;
     * corpus docs sharing >= 2 distinct trigrams with a benchmark doc
     * are flagged with the overlap count.
@@ -360,6 +368,38 @@ object ExtensionQueries {
         |    count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1)
         |SELECT ngram, n_occurrences, n_docs FROM a
         |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |c AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(count(*) AS DOUBLE)/sum(c) AS distinct_word_frac,
+        |    CAST(max(c) AS DOUBLE)/sum(c) AS top_word_frac,
+        |    CAST(sum(len(term)*c) AS DOUBLE)/sum(c) AS mean_word_len
+        |  FROM c GROUP BY 1),
+        |bgr AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)), i -> array_to_string(ts[i:i+1], ' '))) AS bg
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents)
+        |  WHERE len(ts) >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(max(c) AS DOUBLE)/sum(c) AS top_bigram_frac FROM bc GROUP BY 1)
+        |SELECT ws.doc_id, n_words, distinct_word_frac, top_word_frac,
+        |  top_bigram_frac, mean_word_len
+        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        |ORDER BY ws.doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |c AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
+        |l AS (SELECT doc_id, term, c, sum(c) OVER (PARTITION BY doc_id) AS len FROM c),
+        |d AS (SELECT term, count(*) AS df FROM c GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, term,
+        |    (CAST(c AS DOUBLE)/len) * ln(CAST((SELECT n FROM n) AS DOUBLE)/df) AS tfidf
+        |  FROM l JOIN d USING (term)),
+        |r AS (SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+        |  FROM s)
+        |SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "q_contamination" ->
       """WITH g AS (SELECT doc_id,
         |    unnest(list_distinct(list_transform(range(1, len(ts)-1),
@@ -671,6 +711,8 @@ object ExtensionQueries {
     "q_sample_stratified" -> (sampleStratified _),
     "q_split_groups"    -> (splitGroups _),
     "q_ngram_stats"     -> (ngramStats _),
+    "q_repetition"      -> (repetition _),
+    "q_tfidf"           -> (tfidf _),
     "q_contamination"   -> (contamination _),
     "q_curation"        -> (curation _),
     "q_range_join"      -> (rangeJoin _)

@@ -296,6 +296,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("repetitionSignals: hand-computed fractions; short doc has null " +
+    "bigram share; null text emits no row") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "x"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionSignals(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Option[Double], Double)].collect()
+    assert(out.length === 2)
+    val (id1, n1, dw1, tw1, tb1, mw1) = out(0)
+    assert(id1 === 1L && n1 === 3L)
+    assert(math.abs(dw1 - 2.0 / 3) < 1e-12)     // 2 distinct of 3
+    assert(math.abs(tw1 - 2.0 / 3) < 1e-12)     // "a" twice
+    assert(math.abs(tb1.get - 0.5) < 1e-12)     // "a a" 1 of 2 bigrams
+    assert(math.abs(mw1 - 1.0) < 1e-12)
+    val (id2, n2, _, _, tb2, _) = out(1)
+    assert(id2 === 2L && n2 === 1L && tb2.isEmpty)
+  }
+
+  test("tfidfTopTerms: idf-0 terms rank below rare terms, ties break on " +
+    "term, ranks are 1-based and capped at k") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextStats.tfidfTopTerms(docs, k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Double, Int)].collect()
+    val ln2 = math.log(2.0)
+    assert(out.map(r => (r._1, r._2, r._4)).toSeq === Seq(
+      (1L, "b", 1), (1L, "a", 2), (2L, "c", 1), (2L, "a", 2)))
+    assert(math.abs(out(0)._3 - ln2 / 3) < 1e-12)  // (1/3)*ln(2/1)
+    assert(out(1)._3 === 0.0)                       // df = N -> idf 0
+    assert(math.abs(out(2)._3 - ln2 / 2) < 1e-12)
+  }
+
   test("native MinHashHex == interpreted signature chain == dict chain, " +
     "bit-for-bit; null text yields numHashes null minima") {
     val docs = Seq(

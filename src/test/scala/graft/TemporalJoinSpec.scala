@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops.TemporalJoins
+import org.apache.spark.sql.functions._
+
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (1L, "u1", ts("2024-01-01 10:00:00")),
+    (2L, "u1", ts("2024-01-01 12:00:00")),
+    (3L, "u2", ts("2024-01-01 09:00:00")), // before any right row
+    (4L, "u3", ts("2024-01-01 09:00:00"))  // key with no right rows
+  ).toDF("id", "user", "t")
+
+  private val right = Seq(
+    ("u1", 10L, "a", ts("2024-01-01 09:30:00")),
+    ("u1", 11L, "b", ts("2024-01-01 11:00:00")),
+    ("u1", 12L, "c", ts("2024-01-01 12:00:00")), // equal to left id=2
+    ("u2", 20L, "d", ts("2024-01-01 09:30:00"))
+  ).toDF("user", "rid", "tag", "rt")
+
+  test("asOfJoin picks the latest right row at-or-before each left time; " +
+    "unmatched lefts keep nulls") {
+    val out = TemporalJoins.asOfJoin(left, right, Seq("user"), "t", "rt",
+        Seq("rid", "tag"), rightTiebreak = Some("rid"))
+      .orderBy("id")
+      .as[(Long, String, java.sql.Timestamp, Option[Long], Option[String])]
+      .collect()
+    assert(out.map(r => (r._1, r._4, r._5)).toSeq === Seq(
+      (1L, Some(10L), Some("a")),   // 09:30 is latest <= 10:00
+      (2L, Some(12L), Some("c")),   // equal time INCLUDED (non-strict)
+      (3L, None, None),             // left precedes all rights
+      (4L, None, None)))            // no right rows for u3
+  }
+
+  test("strict = true excludes equal-time right rows") {
+    val out = TemporalJoins.asOfJoin(left, right, Seq("user"), "t", "rt",
+        Seq("rid"), rightTiebreak = Some("rid"), strict = true)
+      .orderBy("id").as[(Long, String, java.sql.Timestamp, Option[Long])]
+      .collect()
+    // left id=2 at 12:00 now sees 11:00 (rid=11), not the equal-time 12
+    assert(out.map(r => (r._1, r._4)).toSeq === Seq(
+      (1L, Some(10L)), (2L, Some(11L)), (3L, None), (4L, None)))
+  }
+
+  test("ties on right time break on the HIGHEST tiebreak value, " +
+    "and carried columns are atomically from one right row") {
+    val tied = Seq(
+      ("u1", 1L, "low", ts("2024-01-01 09:00:00")),
+      ("u1", 9L, "high", ts("2024-01-01 09:00:00"))
+    ).toDF("user", "rid", "tag", "rt")
+    val l = Seq((1L, "u1", ts("2024-01-01 10:00:00"))).toDF("id", "user", "t")
+    val out = TemporalJoins.asOfJoin(l, tied, Seq("user"), "t", "rt",
+        Seq("rid", "tag"), rightTiebreak = Some("rid"))
+      .as[(Long, String, java.sql.Timestamp, Long, String)].collect()
+    assert(out.head._4 === 9L && out.head._5 === "high")
+  }
+
+  test("right rows with null time never match; null-safe on empty right") {
+    val r = Seq(("u1", 5L, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("user", "rid", "rt")
+    val l = Seq((1L, "u1", ts("2024-01-01 10:00:00"))).toDF("id", "user", "t")
+    val out = TemporalJoins.asOfJoin(l, r, Seq("user"), "t", "rt", Seq("rid"))
+      .as[(Long, String, java.sql.Timestamp, Option[Long])].collect()
+    assert(out.head._4 === None)
+    val empty = r.filter(lit(false))
+    val out2 = TemporalJoins.asOfJoin(l, empty, Seq("user"), "t", "rt", Seq("rid"))
+      .as[(Long, String, java.sql.Timestamp, Option[Long])].collect()
+    assert(out2.head._4 === None)
+  }
+
+  test("composite keys partition independently") {
+    val l = Seq((1L, "u1", "x", ts("2024-01-01 10:00:00")),
+                (2L, "u1", "y", ts("2024-01-01 10:00:00")))
+      .toDF("id", "user", "region", "t")
+    val r = Seq(("u1", "x", 100L, ts("2024-01-01 09:00:00")),
+                ("u1", "y", 200L, ts("2024-01-01 09:00:00")))
+      .toDF("user", "region", "rid", "rt")
+    val out = TemporalJoins.asOfJoin(l, r, Seq("user", "region"), "t", "rt",
+        Seq("rid"))
+      .orderBy("id")
+      .as[(Long, String, String, java.sql.Timestamp, Long)].collect()
+    assert(out.map(x => (x._1, x._5)).toSeq === Seq((1L, 100L), (2L, 200L)))
+  }
+
+  test("rightCols colliding with left names are rejected") {
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asOfJoin(left, right.withColumnRenamed("rid", "id"),
+        Seq("user"), "t", "rt", Seq("id"))
+    }
+  }
+}
