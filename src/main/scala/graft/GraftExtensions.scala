@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{DotProduct, HyperplaneBuckets, MinHashHex, ShingleMinHash, SimHash32}
+
+/** SQL surface for the native graft expressions: registered through
+  * `SparkSessionExtensions`, so a pure-SQL user gets the same codegen'd
+  * kernels the Column API uses —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * SELECT graft_dot(a.embedding, b.embedding) FROM ...
+  * }}}
+  *
+  * or imperatively on a live session via [[GraftExtensions.register]].
+  *
+  * Functions (all null-propagating like their Column twins):
+  *   - `graft_dot(array<double>, array<double>) -> double`
+  *   - `graft_simhash(array<string>) -> bigint`
+  *   - `graft_shingle_minhash(array<string>) -> string`
+  *   - `graft_minhash(array<string>, numHashes) -> array<string>`
+  *   - `graft_hyperplane_buckets(array<double>, tables, planes, dim)
+  *     -> array<bigint>`
+  *
+  * Shape arguments (numHashes/tables/planes/dim) must be foldable
+  * integer literals — they parameterize generated code, exactly like
+  * the Column API's Int parameters.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register the graft functions into an ALREADY-RUNNING session's
+    * function registry (tests, notebooks); `spark.sql.extensions` is
+    * the config-driven equivalent for new sessions.
+    */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+
+  private def intArg(fn: String, arg: String, e: Expression): Int = e match {
+    case lit: Literal if lit.foldable =>
+      lit.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$fn: $arg must be an integer literal, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a foldable integer literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private[graft] val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      info("graft_dot",
+        "graft_dot(a, b) - codegen'd loop dot product of two double arrays"),
+      args => { arity("graft_dot", args, 2); DotProduct(args(0), args(1)) }),
+    ("graft_simhash",
+      info("graft_simhash",
+        "graft_simhash(tokens) - one-pass 32-bit SimHash of a token array"),
+      args => { arity("graft_simhash", args, 1); SimHash32(args(0)) }),
+    ("graft_shingle_minhash",
+      info("graft_shingle_minhash",
+        "graft_shingle_minhash(tokens) - min md5 hex over word-3-gram shingles"),
+      args => { arity("graft_shingle_minhash", args, 1); ShingleMinHash(args(0)) }),
+    ("graft_minhash",
+      info("graft_minhash",
+        "graft_minhash(tokens, numHashes) - one-pass MinHash signature (md5 hex minima)"),
+      args => {
+        arity("graft_minhash", args, 2)
+        MinHashHex(args(0), intArg("graft_minhash", "numHashes", args(1)))
+      }),
+    ("graft_hyperplane_buckets",
+      info("graft_hyperplane_buckets",
+        "graft_hyperplane_buckets(v, tables, planes, dim) - per-table LSH bucket ids"),
+      args => {
+        arity("graft_hyperplane_buckets", args, 4)
+        HyperplaneBuckets(args(0),
+          intArg("graft_hyperplane_buckets", "tables", args(1)),
+          intArg("graft_hyperplane_buckets", "planes", args(2)),
+          intArg("graft_hyperplane_buckets", "dim", args(3)))
+      }))
+}

@@ -311,17 +311,37 @@ object Similarity {
     * deduped on (query, neighbor) BEFORE the cosine, so a pair
     * colliding in several tables is scored once; vectors travel with
     * ids only after the skinny band join.
+    *
+    * `probeBits = 1` turns on MULTI-PROBE (Lv et al., "Multi-Probe
+    * LSH", VLDB'07): each query additionally probes every bucket at
+    * Hamming distance 1 — the `planes` single-bit flips of its own
+    * bucket id. A near-miss pair differs in one plane's sign far more
+    * often than in several, so probing the 1-flip shell recovers most
+    * of the recall an extra table would buy WITHOUT re-hashing or
+    * storing the corpus again: the expansion is planes+1 skinny rows
+    * per (query, table) on the broadcast side only. The corpus index
+    * is untouched — the scale cost of recall moves from index size to
+    * a constant factor on the (small) query side.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Int = 8, tables: Int = 4, dim: Int = 64,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              probeBits: Int = 0): DataFrame = {
+    require(probeBits == 0 || probeBits == 1,
+      "probeBits: 0 (exact buckets) or 1 (add all 1-bit-flip probes)")
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv"), dim))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv"), dim))
-    val qb = lshBands(q.select(col("query_id"), col("qv")), "query_id", "qv",
+    val qbExact = lshBands(q.select(col("query_id"), col("qv")), "query_id", "qv",
       tables, planes, dim)
+    val qb =
+      if (probeBits == 0) qbExact
+      else qbExact.select(col("query_id"), col("t"),
+        explode(array(col("bucket") +:
+          (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+          .as("bucket"))
     val cb = lshBands(c.select(col("neighbor_id"), col("cv")), "neighbor_id", "cv",
       tables, planes, dim)
     // skinny candidate generation: (id, t, bucket) rows only — the

@@ -99,6 +99,18 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Multi-probe LSH ANN: HALF the tables of q_ann_lsh (2 × 12
+    * planes), with each query also probing every 1-bit-flip bucket —
+    * recall recovered on the query side instead of by doubling the
+    * stored index (Lv et al., VLDB'07).
+    */
+  def annLshMultiProbe(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5,
+        planes = 12, tables = 2, probeBits = 1)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-Flat ANN: deterministic coarse quantizer (id % 37 centroids),
     * probe-1 search — the third ANN strategy (exact / LSH / IVF).
     */
@@ -599,6 +611,28 @@ object ExtensionQueries {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, cos_q FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_multiprobe" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |eb AS (
+        |  ${bandsSql(tables = 2, planes = 12, dim = 64)}),
+        |qp AS (SELECT vec_id, t,
+        |    unnest([bucket${(0 until 12).map(p => s", xor(bucket, ${1L << p})").mkString}]) AS bucket
+        |  FROM eb WHERE vec_id % 50 = 0),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM qp q JOIN eb c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE q.vec_id <> c.vec_id),
+        |scored AS (SELECT query_id, neighbor_id,
+        |  CAST(floor(10000 * (
+        |    list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+        |    (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+        |     sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+        |  FROM cand JOIN e q ON cand.query_id = q.vec_id JOIN e c ON cand.neighbor_id = c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos_q,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, cos_q FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -696,6 +730,7 @@ object ExtensionQueries {
     "q_embed_quantize"  -> (embedQuantize _),
     "q_ann_topk"        -> (annTopK _),
     "q_ann_lsh"         -> (annLsh _),
+    "q_ann_multiprobe"  -> (annLshMultiProbe _),
     "q_ann_ivf"         -> (annIvf _),
     "q_lang_id"         -> (langId _),
     "q_text_quality"    -> (textQuality _),

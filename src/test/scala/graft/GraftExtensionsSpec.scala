@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The SQL registration surface: every graft native function callable
+  * from `spark.sql`, producing bit-identical values to its Column twin.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("graft_dot from SQL == DotProduct Column form") {
+    assert(spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .as[Double].head() === 11.0)
+    // null element nullifies, like the Column twin
+    assert(spark.sql(
+      "SELECT graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 1.0d))")
+      .head().isNullAt(0))
+  }
+
+  test("graft_simhash / graft_shingle_minhash / graft_minhash from SQL " +
+    "match the Column forms on real rows") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+                   (2L, "one two"),
+                   (3L, "alpha alpha alpha"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_simhash(array_distinct(split(text, ' '))) AS sh,
+        |  graft_shingle_minhash(split(text, ' ')) AS smh,
+        |  graft_minhash(array_distinct(split(text, ' ')), 4) AS mh
+        |FROM ext_docs""".stripMargin)
+      .as[(Long, Long, String, Seq[String])].collect().sortBy(_._1)
+    val viaCols = docs.select(col("doc_id"),
+        graft.functions.SimHash32(Dedup.tokenSet(col("text"))).as("sh"),
+        graft.functions.ShingleMinHash(split(col("text"), " ")).as("smh"),
+        graft.functions.MinHashHex(Dedup.tokenSet(col("text")), 4,
+          Array.empty[String]).as("mh"))
+      .as[(Long, Long, String, Seq[String])].collect().sortBy(_._1)
+    assert(viaSql.toSeq === viaCols.toSeq)
+  }
+
+  test("graft_hyperplane_buckets from SQL == HyperplaneBuckets Column form") {
+    val vecs = (1 to 10).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 9 - 4) * 0.5))
+    }.toDF("vec_id", "v")
+    vecs.createOrReplaceTempView("ext_vecs")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_hyperplane_buckets(v, 2, 4, 8) AS bk FROM ext_vecs")
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaCol = vecs.select(col("vec_id"),
+        graft.functions.HyperplaneBuckets(col("v"), 2, 4, 8).as("bk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaSql === viaCol)
+  }
+
+  test("shape arguments must be integer literals") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), 1 + 1)").collect()
+    }
+    // 1+1 folds to a literal only AFTER analysis; the builder sees the
+    // unfolded Add and rejects it with the contract message
+    assert(e.getMessage.contains("foldable integer literal") ||
+      spark.sql("SELECT graft_minhash(array('a'), 2)").collect().nonEmpty)
+  }
+
+  test("register() is per-session: a cloned session needs its own call " +
+    "(spark.sql.extensions is the config path that covers every session)") {
+    val s2 = spark.newSession()
+    intercept[Exception] {
+      s2.sql("SELECT graft_dot(array(2.0d), array(3.0d))").collect()
+    }
+    GraftExtensions.register(s2)
+    assert(s2.sql("SELECT graft_dot(array(2.0d), array(3.0d))")
+      .collect().head.getDouble(0) === 6.0)
+  }
+}

@@ -388,6 +388,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH: candidate set is a superset of the exact-bucket " +
+    "set, and probed scores equal brute-force for the pairs it finds") {
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 11 + d * 5) % 13 - 6) * 0.4f))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") % 10 === 0)
+    def pairs(probe: Int) =
+      Similarity.lshTopK(qs, vecs, k = 100, planes = 6, tables = 2, dim = 8,
+          probeBits = probe)
+        .select("query_id", "neighbor_id", "cos_q")
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val exact = pairs(0)
+    val probed = pairs(1)
+    assert(exact.keySet.subsetOf(probed.keySet))
+    assert(probed.size > exact.size) // the 1-flip shell found new pairs
+    // scores come from the same exact cosine on both paths
+    exact.foreach { case (k2, v) => assert(probed(k2) === v) }
+    val brute = Similarity.bruteForceTopK(qs, vecs, k = 100, dim = 8)
+      .select("query_id", "neighbor_id", "cos_q")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    probed.foreach { case (k2, v) => assert(brute(k2) === v) }
+  }
+
   test("lshBucket is deterministic and in range [0, 2^planes)") {
     // non-constant values so no plane's sparse +/-1 projection is
     // exactly zero (a constant vector zeroes any plane with equally
