@@ -170,8 +170,8 @@ object Similarity {
     *
     * Structure (the real IVF pipeline): pick centroids; assign every
     * corpus vector to its nearest centroid (the posting lists); a
-    * query probes its own nearest centroid's list only (nprobe=1) and
-    * ranks candidates exactly. Production systems train the centroids
+    * query probes its `nprobe` nearest centroids' lists and ranks
+    * candidates exactly. Production systems train the centroids
     * with k-means and probe several lists; here the quantizer is the
     * deterministic subset `id % centroidStride == 0` so the oracle can
     * reproduce the index bit-for-bit — the dataflow (build lists =
@@ -184,7 +184,9 @@ object Similarity {
               centroidStride: Int = 37, dim: Int = 64,
               idCol: String = "vec_id",
               vecCol: String = "embedding",
-              centroids: Option[DataFrame] = None): DataFrame = {
+              centroids: Option[DataFrame] = None,
+              nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     // default: the deterministic stride quantizer (oracle-reproducible);
     // pass `centroids` = [[kmeans]] output for a trained index — same
     // dataflow, tighter posting lists
@@ -214,13 +216,31 @@ object Similarity {
       corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
         .withColumn("cn", norm(col("cv"), dim)),
       "neighbor_id", "cv", "cn")
-    val q = nearestCentroid(
-      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-        .withColumn("qn", norm(col("qv"), dim)),
-      "query_id", "qv", "qn")
+    // the QUERY side probes its nprobe nearest lists (nprobe = 1 keeps
+    // the max_by hash-agg; > 1 ranks centroids per query with a window
+    // over the broadcast-cross — fine because the query side is the
+    // small one by construction; the corpus assignment stays top-1)
+    val qBase = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv"), dim))
+    val q =
+      if (nprobe == 1) nearestCentroid(qBase, "query_id", "qv", "qn")
+      else {
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("c_cos").desc, col("centroid_id"))
+        qBase.crossJoin(broadcast(cent))
+          .withColumn("c_cos", cosQ(col("qv"), col("centv"), col("qn"), col("centn"), dim))
+          .withColumn("c_rn", row_number().over(wc))
+          .filter(col("c_rn") <= nprobe)
+          .select(col("centroid_id"), col("query_id"), col("qv"), col("qn"))
+      }
 
     val scored = c.join(broadcast(q), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // a corpus vector can sit in several probed lists of the same
+      // query only if lists overlapped — they never do (top-1 corpus
+      // assignment), so (query, neighbor) is already duplicate-free
       .withColumn("cos_q", cosQ(col("qv"), col("cv"), col("qn"), col("cn"), dim))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

@@ -111,6 +111,16 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-Flat ANN with nprobe=2: each query searches its TWO nearest
+    * posting lists — the standard recall lever of a deployed IVF index
+    * (candidate volume doubles, index unchanged).
+    */
+  def annIvf2(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-Flat ANN: deterministic coarse quantizer (id % 37 centroids),
     * probe-1 search — the third ANN strategy (exact / LSH / IVF).
     */
@@ -661,6 +671,35 @@ object ExtensionQueries {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, cos_q FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf2" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+        |ranked AS (
+        |    SELECT a.vec_id, a.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(floor(10000 * (
+        |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+        |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e a CROSS JOIN cent c),
+        |cassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1),
+        |qassign AS (SELECT vec_id, v, centroid_id FROM ranked
+        |  WHERE rn <= 2 AND vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(floor(10000 * (
+        |      list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+        |      (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+        |       sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+        |  FROM qassign q JOIN cassign c ON q.centroid_id = c.centroid_id
+        |  WHERE q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos_q,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, cos_q FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_lang_id" ->
       """WITH c AS (SELECT doc_id,
         |  len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','to'], t))) AS c_en,
@@ -732,6 +771,7 @@ object ExtensionQueries {
     "q_ann_lsh"         -> (annLsh _),
     "q_ann_multiprobe"  -> (annLshMultiProbe _),
     "q_ann_ivf"         -> (annIvf _),
+    "q_ann_ivf2"        -> (annIvf2 _),
     "q_lang_id"         -> (langId _),
     "q_text_quality"    -> (textQuality _),
     "q_token_counts"    -> (tokenCounts _),

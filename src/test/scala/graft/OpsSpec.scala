@@ -411,6 +411,24 @@ class OpsSpec extends SparkSpec {
     probed.foreach { case (k2, v) => assert(brute(k2) === v) }
   }
 
+  test("ivfTopK nprobe=2: candidates are a superset of nprobe=1 with " +
+    "identical exact scores") {
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 17 + d * 7) % 15 - 7) * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") % 10 === 0)
+    def res(np: Int) =
+      Similarity.ivfTopK(qs, vecs, k = 100, centroidStride = 7, dim = 8,
+          nprobe = np)
+        .select("query_id", "neighbor_id", "cos_q")
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val one = res(1)
+    val two = res(2)
+    assert(one.keySet.subsetOf(two.keySet))
+    assert(two.size > one.size) // the second list adds candidates
+    one.foreach { case (k2, v) => assert(two(k2) === v) }
+  }
+
   test("lshBucket is deterministic and in range [0, 2^planes)") {
     // non-constant values so no plane's sparse +/-1 projection is
     // exactly zero (a constant vector zeroes any plane with equally
