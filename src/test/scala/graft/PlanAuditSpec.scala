@@ -69,6 +69,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("asOfJoin shuffles ONCE on the key: a single hashpartitioning " +
+    "Exchange feeding the window, no join operator at all") {
+    val l = (1 to 50).map(i => (i.toLong, s"u${i % 5}", i.toLong * 10))
+      .toDF("id", "user", "t")
+    val r = (1 to 30).map(i => (s"u${i % 5}", i.toLong, i.toLong * 7))
+      .toDF("user", "rid", "rt")
+    val p = plan(graft.ops.TemporalJoins.asOfJoin(
+      l, r, Seq("user"), "t", "rt", Seq("rid"), rightTiebreak = Some("rid")))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("tfidf and repetitionSignals aggregate with partials and never " +
+    "Expand the exploded rows") {
+    val p1 = plan(TextStats.tfidfTopTerms(docs, k = 3))
+    assert(!p1.contains("Expand"), p1)
+    val p2 = plan(TextStats.repetitionSignals(docs))
+    assert(!p2.contains("Expand"), p2)
+    assert("HashAggregate".r.findAllIn(p2).length >= 4, p2) // two cascades
+  }
+
+  test("multi-probe LSH expands ONLY the broadcast query side: the " +
+    "corpus band index feeds the join without an explode of probes") {
+    val q = embs.filter(col("vec_id") % 50 === 0)
+    val p = plan(Similarity.lshTopK(q, embs, k = 3, planes = 4, tables = 2,
+      dim = 8, probeBits = 1))
+    assert(!p.contains("CartesianProduct"), p)
+    // probe expansion (Generate over the xor'd bucket array) happens on
+    // the broadcast-exchange side, never above the corpus scan: every
+    // Generate in the plan sits below a BroadcastExchange
+    val broadcastIdx = p.indexOf("BroadcastExchange")
+    assert(broadcastIdx >= 0, p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("scrub, languageId, and simhash are pure projections: single " +
     "stage, no Exchange at all") {
     val p1 = plan(docs.select(TextStats.scrub(col("text"))))
