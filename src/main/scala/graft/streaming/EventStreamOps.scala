@@ -122,6 +122,41 @@ object EventStreamOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(Seq("simhash"))
 
+  /** Stream-stream interval attribution: join a purchase stream to a
+    * click/view stream of the same user within a bounded look-back
+    * window — the streaming counterpart of
+    * [[graft.ops.TemporalJoins.asOfJoin]]. The time-range predicate
+    * (`src_ts` in `[ts - lookback, ts]`) plus watermarks on BOTH sides
+    * is what makes unbounded stream-stream joins feasible: each side's
+    * buffered state is evicted once the other side's watermark passes
+    * the interval, so state is bounded by lookback + lateness, never by
+    * stream length. Left-outer keeps unattributed purchases (null
+    * source columns) once the watermark proves no match can arrive.
+    *
+    * Emits one row per (purchase, qualifying source) — the exact
+    * "latest only" pick needs a downstream per-purchase max, which the
+    * bounded interval keeps small; at 100 TB/day the join itself is the
+    * scale problem and this shape keeps it keyed, watermarked, and
+    * state-bounded.
+    */
+  def streamingAttribution(purchases: DataFrame, sources: DataFrame,
+                           lookback: String = "10 minutes",
+                           lateness: String = "5 minutes"): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val s = sources
+      .withWatermark("src_ts", lateness)
+      .select(col("user_id").as("src_user"), col("event_id").as("src_id"),
+        col("src_ts"))
+    p.join(s,
+      col("user_id") === col("src_user") &&
+        col("src_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
+        col("src_ts") <= col("ts"),
+      "leftOuter")
+      .select("user_id", "event_id", "ts", "src_id", "src_ts")
+  }
+
   /** Streaming per-key latest-state view (the CDC "current state"
     * materialization as a stream): groupBy key + max_by(audit_pk),
     * output mode Update/Complete. One stateful aggregation, partition

@@ -73,6 +73,43 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAttribution: purchases join sources of the same user " +
+    "within the look-back interval; outside-window and cross-user " +
+    "sources never match; unmatched purchases surface with null source " +
+    "after the watermark closes them") {
+    implicit val sc = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val sMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+    val purchases = pMem.toDF().toDF("user_id", "event_id", "ts")
+    val sources = sMem.toDF().toDF("user_id", "event_id", "src_ts")
+    val q = EventStreamOps.streamingAttribution(purchases, sources,
+        lookback = "10 minutes", lateness = "1 minute")
+      .writeStream.format("memory").queryName("sattr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: click at 10:02 then purchase at 10:05 (in window);
+      // user 2: click at 10:01, purchase at 10:20 (outside look-back);
+      // user 3: purchase with no source at all
+      sMem.addData((1L, 100L, t(2)), (2L, 200L, t(1)))
+      pMem.addData((1L, 10L, t(5)), (2L, 20L, t(20)), (3L, 30L, t(6)))
+      q.processAllAvailable()
+      // push both watermarks far past every interval so the left-outer
+      // emits the unmatched purchases with null sources
+      sMem.addData((9L, 999L, t(59)))
+      pMem.addData((9L, 99L, t(59)))
+      q.processAllAvailable()
+      val rows = spark.table("sattr")
+        .filter(col("user_id") < 9)
+        .select(col("user_id"), col("event_id"), col("src_id"))
+        .as[(Long, Long, Option[Long])].collect().sortBy(_._1)
+      assert(rows.toSeq === Seq(
+        (1L, 10L, Some(100L)),  // in-window match
+        (2L, 20L, None),        // source exists but outside look-back
+        (3L, 30L, None)))       // no source at all
+    } finally q.stop()
+  }
+
   test("sessionizeStream: closes a session when the id gap exceeds " +
     "maxGap, keeps the live one in state") {
     implicit val sc = spark.sqlContext
