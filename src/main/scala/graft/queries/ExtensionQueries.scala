@@ -213,6 +213,20 @@ object ExtensionQueries {
         col("chunk_text"), col("n_tokens").cast("long").as("n_tokens"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Sequence packing over the chunk stream: every chunk stamped with
+    * its global token start offset and the 512-token training sequence
+    * it opens in ([[Pack.packSequences]] — distributed weighted
+    * prefix sum, no single-partition stage).
+    */
+  def pack(s: SparkSession, d: String): DataFrame =
+    Pack.packSequences(
+        TextStats.chunk(docs(s, d), chunkSize = 32, stride = 24)
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("n_tokens").cast("long").as("n_tokens")),
+        budget = 512L)
+      .select("doc_id", "chunk_idx", "n_tokens", "tok_start", "seq_id", "seq_offset")
+      .orderBy("doc_id", "chunk_idx")
+
   /** PII scrub: the synthetic corpus has no PII, so the query plants a
     * deterministic email/phone/id preamble (a pure function of doc_id,
     * identical in the oracle) and proves the redaction fires: every
@@ -442,6 +456,18 @@ object ExtensionQueries {
         |  FROM toks, unnest(range(0, CAST(ceil(len(ts)/24.0) AS BIGINT))) AS u(i))
         |SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pack" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |    least(32, len(ts) - i*24) AS n_tokens
+        |  FROM toks, unnest(range(0, CAST(ceil(len(ts)/24.0) AS BIGINT))) AS u(i)),
+        |o AS (SELECT doc_id, chunk_idx, n_tokens,
+        |    COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_start
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, n_tokens, tok_start,
+        |  tok_start // 512 AS seq_id, tok_start % 512 AS seq_offset
+        |FROM o ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_scrub" ->
       """WITH s AS (SELECT doc_id,
         |  trim(regexp_replace(
@@ -778,6 +804,7 @@ object ExtensionQueries {
     "q_fingerprint"     -> (fingerprint _),
     "q_scrub"           -> (scrub _),
     "q_chunks"          -> (chunks _),
+    "q_pack"            -> (pack _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_frame_sample"    -> (frameSample _),
     "q_profile"         -> (profile _),

@@ -48,56 +48,6 @@ object Prof {
     time("connectedComponents total")(
       noop(graft.ops.Dedup.connectedComponents(p2, docs)))
 
-    // --- CC internals (mirrors Dedup.connectedComponents stages) ---
-    {
-      val p = graft.ops.Dedup.ngramJaccard(docs, 0.8)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
-      time("cc: materialize pairs")(p.count())
-      val m = p.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn"))
-        .unionByName(p.groupBy(col("dst").as("id")).agg(min(col("src")).as("mn")))
-        .groupBy("id").agg(min(col("mn")).as("mn"))
-        .select(col("id"), least(col("id"), col("mn")).as("m"))
-        .persist()
-      time("cc: min-neighbor m")(m.count())
-      val contractedDir = p
-        .join(m.select(col("id").as("src"), col("m").as("msrc")), Seq("src"))
-        .join(m.select(col("id").as("dst"), col("m").as("mdst")), Seq("dst"))
-        .select(col("msrc").as("src"), col("mdst").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      val contracted = contractedDir
-        .unionByName(contractedDir.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().persist()
-      time("cc: contract edges")(println("  contracted=" + contracted.count()))
-      var labels = contracted.select(col("src").as("id"))
-        .unionByName(contracted.select(col("dst").as("id")))
-        .distinct().withColumn("label", col("id"))
-      labels = time("cc: labels init ckpt")(labels.localCheckpoint())
-      var rounds = 0
-      var converged = false
-      while (!converged && rounds < 25) {
-        val nl = contracted.join(labels, contracted("dst") === labels("id"))
-          .select(col("src").as("id"), col("label"))
-        val next = time(s"cc: round $rounds ckpt")(
-          labels.unionByName(nl).groupBy("id").agg(min(col("label")).as("label"))
-            .localCheckpoint())
-        val changed = time(s"cc: round $rounds changed")(
-          next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-            .filter(col("label") < col("prev")).limit(1).count())
-        labels = next; converged = changed == 0; rounds += 1
-      }
-      val rootLabel = labels.withColumnRenamed("id", "m")
-      val viaRoot = m.join(rootLabel, Seq("m"), "left")
-        .select(col("id"), coalesce(col("label"), col("m")).as("cluster_id"))
-      val out = docs.select(col("doc_id").as("id")).distinct()
-        .join(viaRoot, Seq("id"), "left")
-        .select(col("id").as("doc_id"),
-          coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      val ckpt = time("cc: final join + ckpt")(out.localCheckpoint())
-      time("cc: final noop")(noop(ckpt))
-      p.unpersist(); m.unpersist(); contracted.unpersist()
-    }
-
     // --- minhash ---
     val mh = graft.ops.Dedup.minhashLsh(docs)
     time("minhashLsh full (noop)")(noop(mh))

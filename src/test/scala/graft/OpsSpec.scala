@@ -331,6 +331,36 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out(2)._3 - ln2 / 2) < 1e-12)
   }
 
+  test("packSequences: start offsets are the exclusive prefix sum in " +
+    "global order; output is invariant to input partitioning and " +
+    "matches the single-partition window form") {
+    val chunks = Seq(
+      (1L, 0L, 5L), (1L, 1L, 3L), (2L, 0L, 4L), (2L, 1L, 2L)
+    ).toDF("doc_id", "chunk_idx", "n_tokens")
+    val out = graft.ops.Pack.packSequences(chunks, budget = 8L)
+      .select("doc_id", "chunk_idx", "tok_start", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 0L, 0L),
+      (1L, 1L, 5L, 0L, 5L),
+      (2L, 0L, 8L, 1L, 0L),   // straddle: starts exactly at the boundary
+      (2L, 1L, 12L, 1L, 4L)))
+    // partitioning must not change the result (pure function of the set)
+    val repart = graft.ops.Pack.packSequences(chunks.repartition(7), budget = 8L)
+      .select("doc_id", "chunk_idx", "tok_start", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(repart.toSeq === out.toSeq)
+    // equivalence with the (serial) un-partitioned window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id", "chunk_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val windowed = chunks
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(windowed.map(_._3).toSeq === out.map(_._3).toSeq)
+  }
+
   test("native MinHashHex == interpreted signature chain == dict chain, " +
     "bit-for-bit; null text yields numHashes null minima") {
     val docs = Seq(
