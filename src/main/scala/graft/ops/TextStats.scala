@@ -67,8 +67,18 @@ object TextStats {
       (hits(t, en).cast("double") / size(t)).as("stopword_ratio"))
   }
 
-  /** Token counting: whitespace tokens plus a BPE-ish byte-budget
-    * estimate (ceil(chars/4), the usual ~4-chars-per-token rule).
+  /** GPT-2-style pre-tokenizer pattern, simplified to the RE2-portable
+    * subset (no lookahead, explicit classes): an optional leading space
+    * glued to a letter run, digit run, or punctuation run; leftover
+    * whitespace runs count as their own tokens — the segmentation a
+    * byte-pair encoder runs its merges inside.
+    */
+  val BpeIshPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Token counting: whitespace tokens, a BPE-ish REGEX pre-token
+    * count ([[BpeIshPattern]] matches via codegen'd `regexp_count`),
+    * and the ceil(chars/4) byte-budget estimate (the ~4-chars-per-token
+    * rule) — the cheap length signals a budget-aware pipeline needs.
     */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =
@@ -76,6 +86,7 @@ object TextStats {
       col(idCol).as("doc_id"),
       size(tokens(col(textCol))).as("n_ws_tokens"),
       size(array_distinct(tokens(col(textCol)))).as("n_distinct_tokens"),
+      regexp_count(col(textCol), lit(BpeIshPattern)).cast("long").as("n_bpe_tokens"),
       ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est"))
 
   /** Document fingerprints: whole-document content hash (md5 of the

@@ -756,9 +756,10 @@ object ExtensionQueries {
         |    / len(string_split(text,' ')) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_counts" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  len(string_split(text,' ')) AS n_ws_tokens,
         |  len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(text, '${TextStats.BpeIshPattern}')) AS BIGINT) AS n_bpe_tokens,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->

@@ -494,9 +494,16 @@ class OpsSpec extends SparkSpec {
       .as[(Int, Int, Int, Double)].head()
     assert(q === ((11, 3, 2, 2.0 / 3)))
     val t = TextStats.tokenCounts(d)
-      .select("n_ws_tokens", "n_distinct_tokens", "n_bpe_est")
-      .as[(Int, Int, Long)].head()
-    assert(t === ((3, 2, 3L))) // ceil(11/4) = 3
+      .select("n_ws_tokens", "n_distinct_tokens", "n_bpe_tokens", "n_bpe_est")
+      .as[(Int, Int, Long, Long)].head()
+    // BPE-ish pre-tokens of "the the cat": "the", " the", " cat"
+    assert(t === ((3, 2, 3L, 3L))) // ceil(11/4) = 3
+    // mixed classes: letters / digits / punctuation / glued space
+    val m = TextStats.tokenCounts(
+        Seq((1L, "ab12, cd!")).toDF("doc_id", "text"))
+      .select("n_bpe_tokens").as[Long].head()
+    // "ab" | "12" | "," | " cd" | "!"
+    assert(m === 5L)
   }
 
   test("fingerprint: identical docs share both fingerprints; shingle " +
