@@ -156,6 +156,18 @@ object ExtensionQueries {
   def ngramStats(s: SparkSession, d: String): DataFrame =
     TextStats.topNgrams(docs(s, d), n = 2, k = 50)
 
+  /** Corpus composition report: document counts, token volume, and
+    * mean length per (source, lang) — the mixture dashboard every
+    * training-data pipeline keeps in front of it. One scan, map-side
+    * partials, tiny shuffle (one row per mixture cell).
+    */
+  def sourceMix(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextStats.tokens(col("text")))).cast("long").as("n_tokens"),
+        avg(col("n_chars")).as("avg_chars"))
+      .orderBy("source", "lang")
+
   /** Gopher-style word/bigram repetition signals per document. */
   def repetition(s: SparkSession, d: String): DataFrame =
     TextStats.repetitionSignals(docs(s, d)).orderBy("doc_id")
@@ -404,6 +416,11 @@ object ExtensionQueries {
         |    count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1)
         |SELECT ngram, n_occurrences, n_docs FROM a
         |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+    "q_source_mix" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+        |  avg(n_chars) AS avg_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         |c AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
@@ -814,6 +831,7 @@ object ExtensionQueries {
     "q_sample_stratified" -> (sampleStratified _),
     "q_split_groups"    -> (splitGroups _),
     "q_ngram_stats"     -> (ngramStats _),
+    "q_source_mix"      -> (sourceMix _),
     "q_repetition"      -> (repetition _),
     "q_tfidf"           -> (tfidf _),
     "q_contamination"   -> (contamination _),
