@@ -300,27 +300,39 @@ object Similarity {
     require(k >= 1 && iters >= 0, "k and iters must be positive")
     val vecs = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("vn", norm(col("v"), dim)).persist()
-    var cent = vecs.orderBy(col("vid")).limit(k)
-      .select(col("vid").as("centroid_id"), col("v").as("centv"),
-        col("vn").as("centn")).persist()
-    cent.count()
-    for (_ <- 1 to iters) {
-      val assigned = vecs.crossJoin(broadcast(cent))
-        .withColumn("c_cos", cosQ(col("v"), col("centv"), col("vn"), col("centn"), dim))
-        .groupBy(col("vid"))
-        .agg(max_by(col("centroid_id"),
-            struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
-          first(col("v")).as("v"))
-      val next = assigned.groupBy("centroid_id")
-        .agg(array((1 to dim).map(i => avg(element_at(col("v"), i))): _*).as("centv"))
-        .withColumn("centn", norm(col("centv"), dim))
-        .persist()
-      next.count()
-      cent.unpersist()
-      cent = next
+    // caches released in the finally — a job failure mid-loop must not
+    // leak them for the session lifetime (same contract as
+    // Dedup.connectedComponents)
+    var cent: DataFrame = null
+    try {
+      cent = vecs.orderBy(col("vid")).limit(k)
+        .select(col("vid").as("centroid_id"), col("v").as("centv"),
+          col("vn").as("centn")).persist()
+      cent.count()
+      for (_ <- 1 to iters) {
+        val assigned = vecs.crossJoin(broadcast(cent))
+          .withColumn("c_cos", cosQ(col("v"), col("centv"), col("vn"), col("centn"), dim))
+          .groupBy(col("vid"))
+          .agg(max_by(col("centroid_id"),
+              struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
+            first(col("v")).as("v"))
+        val next = assigned.groupBy("centroid_id")
+          .agg(array((1 to dim).map(i => avg(element_at(col("v"), i))): _*).as("centv"))
+          .withColumn("centn", norm(col("centv"), dim))
+          .persist()
+        next.count()
+        cent.unpersist()
+        cent = next
+      }
+      // eager localCheckpoint truncates the per-round lineage (round N's
+      // plan nests every earlier round), so the returned centroids are a
+      // k x dim leaf and EVERY loop cache can be dropped — previously the
+      // final persist was load-bearing for the caller and never released
+      cent.select("centroid_id", "centv").localCheckpoint()
+    } finally {
+      vecs.unpersist()
+      if (cent != null) cent.unpersist()
     }
-    vecs.unpersist()
-    cent.select("centroid_id", "centv")
   }
 
   /** Banded multi-table LSH ANN top-k: a candidate is any corpus
