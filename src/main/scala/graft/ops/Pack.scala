@@ -46,12 +46,20 @@ object Pack {
     val sorted = chunks.orderBy(orderCols.map(col): _*)
     val tokIdx = sorted.columns.indexOf(tokenCol)
     require(tokIdx >= 0, s"missing token column $tokenCol")
+    // a null token count contributes 0 tokens (the chunk still gets a
+    // position on the axis) — stamping must never NPE mid-stream
+    def tokensOf(r: Row): Long = r.get(tokIdx) match {
+      case null => 0L
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"token column $tokenCol must be numeric, got $other")
+    }
     val rdd = sorted.rdd
     // job 1: per-partition token subtotals -> cumulative start offsets
     val subtotals = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
-        it.foreach(r => s += r.get(tokIdx).asInstanceOf[Number].longValue())
+        it.foreach(r => s += tokensOf(r))
         Iterator((pid, s))
       }
       .collect().sortBy(_._1).map(_._2)
@@ -65,7 +73,7 @@ object Pack {
       var running = offsets(pid)
       it.map { r =>
         val start = running
-        running += r.get(tokIdx).asInstanceOf[Number].longValue()
+        running += tokensOf(r)
         Row.fromSeq(r.toSeq ++ Seq(start, start / budget, start % budget))
       }
     }

@@ -67,5 +67,24 @@ class CorpusPipelineSpec extends SparkSpec {
     val docTokens = clean.select(size(split(col("text"), " ")).cast("long"))
       .as[Long].collect().sum
     assert(chunkTokens === docTokens)
+
+    // 6. packing the chunk stream: the token axis is gapless (each
+    // start = previous start + previous width), sequence offsets stay
+    // under the budget, and the last sequence's id says the axis length
+    // is exactly the conserved token total
+    val budget = 16L
+    val packed = graft.ops.Pack.packSequences(
+        chunked.select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("n_tokens").cast("long").as("n_tokens")),
+        budget = budget)
+      .select("doc_id", "chunk_idx", "n_tokens", "tok_start", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    packed.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 === a._4 + a._3, s"gap between $a and $b")
+      case _ =>
+    }
+    assert(packed.forall(r => r._6 < budget && r._6 === r._4 % budget))
+    assert(packed.last._4 + packed.last._3 === docTokens)
   }
 }

@@ -76,6 +76,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.connectedComponents(noPairs, emptyDocs).isEmpty)
   }
 
+  test("packSequences: empty input yields empty output; null token " +
+    "counts occupy zero width but keep their position") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("doc_id", "chunk_idx", "n_tokens")
+    assert(graft.ops.Pack.packSequences(empty, budget = 8L).isEmpty)
+    val withNull = Seq(
+      (1L, 0L, java.lang.Long.valueOf(5L)),
+      (1L, 1L, null.asInstanceOf[java.lang.Long]),
+      (2L, 0L, java.lang.Long.valueOf(4L))
+    ).toDF("doc_id", "chunk_idx", "n_tokens")
+    val out = graft.ops.Pack.packSequences(withNull, budget = 8L)
+      .select("doc_id", "chunk_idx", "tok_start")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // the null chunk starts at 5 and advances nothing
+    assert(out.toSeq === Seq((1L, 0L, 0L), (1L, 1L, 5L), (2L, 0L, 5L)))
+  }
+
+  test("asOfJoin with an empty left side is empty; left rows with null " +
+    "time never match") {
+    val l = Seq.empty[(Long, String, java.lang.Long)].toDF("id", "user", "t")
+    val r = Seq(("u1", 5L, 10L)).toDF("user", "rid", "rt")
+    assert(graft.ops.TemporalJoins.asOfJoin(l, r, Seq("user"), "t", "rt",
+      Seq("rid")).isEmpty)
+    val l2 = Seq((1L, "u1", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "user", "t")
+    val out = graft.ops.TemporalJoins.asOfJoin(l2, r, Seq("user"), "t", "rt",
+        Seq("rid"))
+      .as[(Long, String, Option[Long], Option[Long])].collect()
+    assert(out.head._4 === None)
+  }
+
   test("contamination against an empty benchmark flags nothing") {
     val corpus = Seq((1L, "some words in a row here")).toDF("doc_id", "text")
     val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
