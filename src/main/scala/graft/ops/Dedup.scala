@@ -170,6 +170,16 @@ object Dedup {
   /** MinHash + LSH banding: signature of `numHashes`, split into
     * `bands` bands; docs sharing any band key are candidate near-dups.
     * One shuffle on (band index, band key) — never all-pairs.
+    *
+    * FIRST-SHARED-BAND emission replaces the pair distinct: each band
+    * row carries the doc's full band-key array (`bands` md5 strings),
+    * and the join predicate keeps a pair only in the lowest band the
+    * two docs agree on (`∀ b' < b: keys_l[b'] ≠ keys_r[b']`). A pair
+    * colliding in several bands is emitted exactly once, so the
+    * post-join distinct — previously a full shuffle of the raw
+    * candidate multiset, ~bands× the pair count on a self-similar
+    * corpus — disappears; the price is `bands-1` extra string compares
+    * inside the join and `bands` keys (not vectors) per band row.
     */
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                  idCol: String = "doc_id",
@@ -178,7 +188,7 @@ object Dedup {
     // materialized band rows (bands × docs, tiny) instead of each
     // recomputing the signature scan — without it Spark evaluates the
     // minhash chain twice, once per join side
-    val banded = minhashBands(docs, numHashes, bands, idCol, textCol)
+    val banded = minhashBandsWithKeys(docs, numHashes, bands, idCol, textCol)
       .localCheckpoint()
     // explicit aliases: self-join via dataframe("col") on a renamed copy
     // of the same plan resolves only through Spark's plan-id
@@ -186,13 +196,28 @@ object Dedup {
     // alias-qualified columns are unambiguous by construction
     val l = banded.alias("l")
     val r = banded.withColumnRenamed("doc_id", "doc_b_").alias("r")
-    val pairs = l.join(r,
+    // b is 1-BASED; key array index for band number n is n-1. For each
+    // earlier band n (= bb + 1): either it is not earlier (n >= b) or
+    // the two docs disagree there.
+    val firstSharedBand = (0 until bands - 1)
+      .map(bb => lit(bb + 1) >= col("l.b") ||
+        col("l.band_keys").getItem(bb) =!= col("r.band_keys").getItem(bb))
+      .foldLeft(lit(true))(_ && _)
+    l.join(r,
         col("l.band_key") === col("r.band_key") &&
           col("l.b") === col("r.b") &&
-          col("l.doc_id") < col("r.doc_b_"))
+          col("l.doc_id") < col("r.doc_b_") &&
+          firstSharedBand)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_b_").as("doc_b"))
-    distinctPairs(pairs, banded.select(col("doc_id")))
   }
+
+  /** [[minhashBands]] rows with the doc's full band-key array attached
+    * (for first-shared-band joins). `(doc_id, b, band_key, band_keys)`.
+    */
+  def minhashBandsWithKeys(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    minhashBands(docs, numHashes, bands, idCol, textCol, withKeys = true)
 
   /** The LSH band index of a corpus: (doc_id, b, band_key) — `bands`
     * rows per document. Persist this as the dedup INDEX for
@@ -201,7 +226,8 @@ object Dedup {
     */
   def minhashBands(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                    idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   withKeys: Boolean = false): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
@@ -217,14 +243,16 @@ object Dedup {
     val signature =
       graft.functions.MinHashHex(tokenSet(col(textCol)), numHashes, dictVocab)
     val sig = docs.select(col(idCol).as("doc_id"), signature.as("mh"))
-    // one pass: explode the band index alongside the signature (no
-    // rejoin), then hash each band's slice
-    sig.select(
-        col("doc_id"), col("mh"),
-        explode(sequence(lit(1), lit(bands))).as("b"))
-      .select(col("doc_id"), col("b"),
-        md5(concat_ws("|",
-          slice(col("mh"), (col("b") - 1) * rows + 1, lit(rows)))).as("band_key"))
+    // one pass: hash every band slice into one array, then posexplode —
+    // no rejoin; `b` stays 1-based (the historical contract)
+    val keys = array((1 to bands).map(b =>
+      md5(concat_ws("|", slice(col("mh"), (b - 1) * rows + 1, rows)))): _*)
+    val based = sig.select(col("doc_id"), keys.as("band_keys"))
+      .select(col("doc_id"), col("band_keys"),
+        posexplode(col("band_keys")).as(Seq("bp", "band_key")))
+      .select(col("doc_id"), (col("bp") + 1).as("b"), col("band_key"),
+        col("band_keys"))
+    if (withKeys) based else based.drop("band_keys")
   }
 
   /** Incremental near-dup: candidate pairs that INVOLVE a new document

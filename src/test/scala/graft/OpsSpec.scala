@@ -331,6 +331,31 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out(2)._3 - ln2 / 2) < 1e-12)
   }
 
+  test("first-shared-band emission: minhashLsh emits each candidate " +
+    "pair EXACTLY once and the set equals the distinct of all band " +
+    "collisions") {
+    val docs = (1 to 120).map { i =>
+      // overlapping families -> plenty of multi-band collisions
+      (i.toLong, (0 until 10).map(k => s"fam${i % 6}tok$k").mkString(" ") + s" v${i % 3}")
+    }.toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(docs, numHashes = 16, bands = 4)
+      .as[(Long, Long)].collect()
+    // exactly once: no duplicates in the raw output
+    assert(got.length === got.distinct.length)
+    // same SET as the naive all-band distinct
+    val bands = Dedup.minhashBands(docs, 16, 4)
+    val l = bands.alias("l")
+    val r = bands.withColumnRenamed("doc_id", "doc_b_").alias("r")
+    val naive = l.join(r,
+        col("l.band_key") === col("r.band_key") &&
+          col("l.b") === col("r.b") &&
+          col("l.doc_id") < col("r.doc_b_"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_b_").as("doc_b"))
+      .distinct().as[(Long, Long)].collect()
+    assert(got.toSet === naive.toSet)
+    assert(got.nonEmpty)
+  }
+
   test("packSequences: start offsets are the exclusive prefix sum in " +
     "global order; output is invariant to input partitioning and " +
     "matches the single-partition window form") {
