@@ -52,7 +52,9 @@ object GraftExtensions {
     case lit: Literal if lit.foldable =>
       lit.eval() match {
         case i: Int => i
-        case l: Long => l.toInt
+        case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+        case l: Long => throw new IllegalArgumentException(
+          s"$fn: $arg out of integer range: $l")
         case other => throw new IllegalArgumentException(
           s"$fn: $arg must be an integer literal, got $other")
       }

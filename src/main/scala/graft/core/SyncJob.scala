@@ -83,8 +83,12 @@ object SyncJob {
         // count the scan actually covered, so ONE repair scan heals the
         // sink — without this, a sink with no fresh rows re-scans its
         // whole delivered history on every poll (append-side sidecar
-        // writes only happen when n > 0).
-        writeSidecar(fs, path, wm, files.length)
+        // writes only happen when n > 0). BEST-EFFORT: watermark() is
+        // fundamentally a read — a caller without write permission on
+        // the sink (read-only consumer, monitoring) must still get the
+        // correct scanned answer, just without the speedup.
+        try writeSidecar(fs, path, wm, files.length)
+        catch { case _: java.io.IOException => () }
         wm
     }
   }

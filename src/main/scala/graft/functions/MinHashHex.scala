@@ -39,8 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * dictionary is hashed on the fly, so a vocabulary probe that raced a
   * source mutation degrades to correctness, not to a dropped token.
   */
+// vocab is a Seq (not Array) so case-class equality is VALUE equality —
+// Catalyst semanticEquals / common-subexpression elimination then
+// recognize two identical signatures as one computation
 case class MinHashHex(child: Expression, numHashes: Int,
-                      vocab: Array[String] = Array.empty)
+                      vocab: Seq[String] = Nil)
   extends UnaryExpression with ExpectsInputTypes {
 
   require(numHashes >= 1, "numHashes must be >= 1")
@@ -135,5 +138,5 @@ object MinHashHex {
   /** Column-level entry point. */
   def apply(tokens: Column, numHashes: Int, vocab: Array[String]): Column =
     GraftSqlShim.column(
-      MinHashHex(GraftSqlShim.expression(tokens), numHashes, vocab))
+      MinHashHex(GraftSqlShim.expression(tokens), numHashes, vocab.toSeq))
 }

@@ -187,7 +187,12 @@ object Dedup {
     // eager localCheckpoint: BOTH sides of the self-join below read the
     // materialized band rows (bands × docs, tiny) instead of each
     // recomputing the signature scan — without it Spark evaluates the
-    // minhash chain twice, once per join side
+    // minhash chain twice, once per join side. Known tradeoff:
+    // checkpoint blocks are not recomputable (an executor loss mid-job
+    // fails the query instead of recomputing — rerunning the op rebuilds
+    // them cheaply) and are freed on driver GC of the frame, not
+    // eagerly; acceptable for an index that is small and cheap relative
+    // to the join it feeds.
     val banded = minhashBandsWithKeys(docs, numHashes, bands, idCol, textCol)
       .localCheckpoint()
     // explicit aliases: self-join via dataframe("col") on a renamed copy
@@ -415,10 +420,17 @@ object Dedup {
         val (ra, rb) = (find(row.get(0)), find(row.get(1)))
         if (ra != rb) parent.put(ra, rb)
       }
-      // component label = MIN member (star roots are Comparable ids:
-      // numeric or string — the same ordering Spark's min uses)
-      def lt(a: Any, b: Any): Boolean =
-        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      // component label = MIN member under the SAME ordering Spark's
+      // `min` uses — for strings that is UTF8String BINARY order (UTF-8
+      // bytes), which differs from java.lang.String.compareTo (UTF-16
+      // code units) on supplementary characters; using the JVM order
+      // would make cluster ids depend on which finish path ran
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      }
       val minOf = new java.util.HashMap[Any, Any]()
       val nodes = new java.util.HashSet[Any]()
       edges.foreach { row => nodes.add(row.get(0)); nodes.add(row.get(1)) }

@@ -44,6 +44,10 @@ object TemporalJoins {
     val collisions = rightCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"rightCols collide with left columns: ${collisions.mkString(",")} — rename first")
+    val reserved = Set("_t", "_side", "_tb", "_rv", "_carried")
+    val reservedHits = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(reservedHits.isEmpty,
+      s"column names ${reservedHits.mkString(",")} are reserved by asOfJoin — rename first")
 
     // non-strict: rights sort BEFORE lefts at an equal timestamp, so an
     // equal-time right row is visible to the left row; strict flips it
@@ -63,8 +67,14 @@ object TemporalJoins {
         lit(sideLeft).as("_side"),
         tbNull,
         lit(null).cast(rvType).as("_rv")): _*)
+    // SQL equi-join semantics: a NULL key matches nothing — without
+    // this filter the window's partitionBy would group all null-key
+    // rows together and attribute left rows to null-key right rows
+    // (diverging from the lateral-join oracle). Null-key LEFT rows
+    // keep their row with null matched columns, like a left-outer join.
     val rightU = right
-      .filter(col(rightTime).isNotNull)
+      .filter(col(rightTime).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
       .select(
         left.columns.toSeq.map { c =>
           if (keys.contains(c)) col(c)

@@ -257,9 +257,12 @@ object TextStats {
     */
   def tfidfTopTerms(docs: DataFrame, k: Int,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    corpusSize: Option[Long] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val n = docs.filter(col(textCol).isNotNull).count()
+    // pass corpusSize when the caller already knows it (or the input is
+    // expensive to scan) — the default probe is one count job over docs
+    val n = corpusSize.getOrElse(docs.filter(col(textCol).isNotNull).count())
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))

@@ -86,6 +86,22 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out.map(x => (x._1, x._5)).toSeq === Seq((1L, 100L), (2L, 200L)))
   }
 
+  test("NULL keys match nothing (SQL equi-join semantics): a null-key " +
+    "right row attributes no one; a null-key left row keeps nulls") {
+    val l = Seq((1L, null.asInstanceOf[String], ts("2024-01-01 10:00:00")),
+                (2L, "u1", ts("2024-01-01 10:00:00")))
+      .toDF("id", "user", "t")
+    val r = Seq((null.asInstanceOf[String], 50L, ts("2024-01-01 09:00:00")),
+                ("u1", 60L, ts("2024-01-01 09:00:00")))
+      .toDF("user", "rid", "rt")
+    val out = TemporalJoins.asOfJoin(l, r, Seq("user"), "t", "rt", Seq("rid"))
+      .orderBy("id").as[(Long, Option[String], java.sql.Timestamp, Option[Long])]
+      .collect()
+    assert(out.map(x => (x._1, x._4)).toSeq === Seq(
+      (1L, None),        // null-key left: no match, row kept
+      (2L, Some(60L))))  // normal key unaffected
+  }
+
   test("rightCols colliding with left names are rejected") {
     intercept[IllegalArgumentException] {
       TemporalJoins.asOfJoin(left, right.withColumnRenamed("rid", "id"),
