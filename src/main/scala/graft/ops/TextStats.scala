@@ -279,6 +279,41 @@ object TextStats {
       .select("doc_id", "term", "tfidf", "rank")
   }
 
+  /** Corpus drift: the `k` tokens whose RELATIVE frequency moved most
+    * between two corpus snapshots — the monitoring pass that catches a
+    * source gone bad (spam flood, scraper regression, language mix
+    * shift) before it trains into a model. `delta = |c_a/total_a −
+    * c_b/total_b|`, ranked desc with token tiebreaks; tokens absent
+    * from one side count 0 there (full-outer join).
+    *
+    * Shape for scale: each side is one explode + hash-agg to per-token
+    * counts (map-side partials), totals are two single-scalar driver
+    * probes (bounded, like the vocab probes), and the ranking sorts one
+    * row per distinct token — never raw data.
+    */
+  def tokenDrift(corpusA: DataFrame, corpusB: DataFrame, k: Int,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def counts(df: DataFrame, cName: String) = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(cName))
+    val ca = counts(corpusA, "c_a")
+    val cb = counts(corpusB, "c_b")
+    val totalA = corpusA.select(sum(size(tokens(col(textCol)))).cast("long"))
+      .head().getLong(0)
+    val totalB = corpusB.select(sum(size(tokens(col(textCol)))).cast("long"))
+      .head().getLong(0)
+    require(totalA > 0 && totalB > 0, "both corpora must contain tokens")
+    ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("c_a"), lit(0L)).cast("double") / totalA).as("freq_a"),
+        (coalesce(col("c_b"), lit(0L)).cast("double") / totalB).as("freq_b"))
+      .withColumn("delta", abs(col("freq_a") - col("freq_b")))
+      .orderBy(col("delta").desc, col("token"))
+      .limit(k)
+  }
+
   /** PII scrubbing + whitespace normalization — the redaction pass a
     * training corpus runs before ingestion. Replacement order matters
     * and is part of the contract: emails first (their local part may

@@ -168,6 +168,17 @@ object ExtensionQueries {
         avg(col("n_chars")).as("avg_chars"))
       .orderBy("source", "lang")
 
+  /** Corpus drift screen: token-frequency movers between the even- and
+    * odd-doc halves of the corpus (stand-ins for two ingestion
+    * snapshots).
+    */
+  def tokenDrift(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    TextStats.tokenDrift(
+      all.filter(col("doc_id") % 2 === 0),
+      all.filter(col("doc_id") % 2 === 1), k = 50)
+  }
+
   /** Gopher-style word/bigram repetition signals per document. */
   def repetition(s: SparkSession, d: String): DataFrame =
     TextStats.repetitionSignals(docs(s, d)).orderBy("doc_id")
@@ -416,6 +427,21 @@ object ExtensionQueries {
         |    count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1)
         |SELECT ngram, n_occurrences, n_docs FROM a
         |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+    "q_token_drift" ->
+      """WITH a AS (SELECT unnest(string_split(text,' ')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT unnest(string_split(text,' ')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT token, count(*) AS c_a FROM a GROUP BY 1),
+        |cb AS (SELECT token, count(*) AS c_b FROM b GROUP BY 1),
+        |ta AS (SELECT count(*) AS t FROM a),
+        |tb AS (SELECT count(*) AS t FROM b),
+        |j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+        |    CAST(COALESCE(c_a, 0) AS DOUBLE) / (SELECT t FROM ta) AS freq_a,
+        |    CAST(COALESCE(c_b, 0) AS DOUBLE) / (SELECT t FROM tb) AS freq_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token)
+        |SELECT token, freq_a, freq_b, abs(freq_a - freq_b) AS delta
+        |FROM j ORDER BY delta DESC, token LIMIT 50""".stripMargin,
     "q_source_mix" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
@@ -832,6 +858,7 @@ object ExtensionQueries {
     "q_split_groups"    -> (splitGroups _),
     "q_ngram_stats"     -> (ngramStats _),
     "q_source_mix"      -> (sourceMix _),
+    "q_token_drift"     -> (tokenDrift _),
     "q_repetition"      -> (repetition _),
     "q_tfidf"           -> (tfidf _),
     "q_contamination"   -> (contamination _),

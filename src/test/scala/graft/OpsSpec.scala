@@ -331,6 +331,19 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out(2)._3 - ln2 / 2) < 1e-12)
   }
 
+  test("tokenDrift ranks frequency movers with one-sided tokens " +
+    "counting zero on the absent side") {
+    val a = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val b = Seq((2L, "a c")).toDF("doc_id", "text")
+    val out = TextStats.tokenDrift(a, b, k = 3)
+      .as[(String, Double, Double, Double)].collect()
+    // deltas: c = 1/2, b = 1/3, a = |2/3 - 1/2| = 1/6
+    assert(out.map(_._1).toSeq === Seq("c", "b", "a"))
+    assert(math.abs(out(0)._4 - 0.5) < 1e-12)
+    assert(math.abs(out(1)._4 - 1.0 / 3) < 1e-12)
+    assert(math.abs(out(2)._4 - 1.0 / 6) < 1e-12)
+  }
+
   test("first-shared-band emission: minhashLsh emits each candidate " +
     "pair EXACTLY once and the set equals the distinct of all band " +
     "collisions") {
