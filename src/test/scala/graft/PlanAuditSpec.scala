@@ -105,6 +105,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("AQE splits a skewed join partition (the mitigation SCALING.md " +
+    "names for hot band keys), under test-scale thresholds") {
+    // one giant key + many small ones; thresholds lowered so the
+    // test-scale skew triggers the same OptimizeSkewedJoin rule that
+    // fires at production sizes
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = (1 to 4000).map(i =>
+          (if (i % 20 == 0) "hot" else s"k$i", i.toLong, "x" * 32))
+        .toDF("k", "v", "pad")
+      val right = (1 to 4000).map(i =>
+          (if (i % 20 == 0) "hot" else s"r$i", i.toLong, "y" * 32))
+        .toDF("k", "w", "pad2")
+      val joined = left.join(right, "k")
+      // collect() drives THIS dataset's queryExecution (write/foreach
+      // plan separate executions), so the adaptive plan below is final;
+      // output is bounded: only the hot key matches (200 x 200 rows)
+      assert(joined.collect().length === 200 * 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(2000))
+      assert(plan.contains("skew=true"), plan.take(4000))
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("scrub, languageId, and simhash are pure projections: single " +
     "stage, no Exchange at all") {
     val p1 = plan(docs.select(TextStats.scrub(col("text"))))
