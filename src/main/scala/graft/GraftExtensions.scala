@@ -66,7 +66,10 @@ object GraftExtensions {
     require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    // the full (non-deprecated) constructor; empty strings for the
+    // catalog fields that do not apply to library functions
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private[graft] val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",

@@ -43,10 +43,10 @@ object Retention {
                      pkCol: String = AuditSchema.PkCol): DataFrame = {
     val others = log.schema.fieldNames.filterNot(keys.contains)
     log.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(others.map(col): _*), col(pkCol)).as("__row"))
+      .agg(max_by(struct(others.toIndexedSeq.map(col): _*), col(pkCol)).as("__row"))
       .select(keys.map(col) ++ others.map(c => col(s"__row.$c")): _*)
       // restore contract column order: source cols ..., audit cols last
-      .select(log.schema.fieldNames.map(col): _*)
+      .select(log.schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /** Window-based per-key keep-last, kept for parity testing against

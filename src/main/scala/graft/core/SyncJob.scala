@@ -232,7 +232,7 @@ object SyncJob {
     val snapshot = fs.listStatus(dir).filter(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getPath)
     if (snapshot.isEmpty) return 0L
-    val log  = spark.read.parquet(snapshot.map(_.toString): _*)
+    val log  = spark.read.parquet(snapshot.toIndexedSeq.map(_.toString): _*)
     val kept = Retention.keepLastGlobal(log)
     val tmp  = new org.apache.hadoop.fs.Path(logDir + ".wipe.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)

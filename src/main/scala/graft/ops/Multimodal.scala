@@ -118,7 +118,7 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, binCol: String, everyK: Int): DataFrame = {
     val withMeta = df.select(
-      (df.columns.map(col) ++ metaColumns(col(binCol))): _*)
+      (df.columns.toIndexedSeq.map(col) ++ metaColumns(col(binCol))): _*)
     withMeta
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))

@@ -59,6 +59,6 @@ object Sampling {
     val frac = least(lit(1.0), lit(cap.toDouble) / col("_n"))
     df.join(broadcast(counts), Seq(stratumCol))
       .filter(hashSlot(col(idCol)) < floor(frac * 65536).cast("long"))
-      .select(df.columns.map(col): _*) // original column order, _n gone
+      .select(df.columns.toIndexedSeq.map(col): _*) // original column order, _n gone
   }
 }

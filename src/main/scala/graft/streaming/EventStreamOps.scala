@@ -166,7 +166,7 @@ object EventStreamOps {
                         pkCol: String = "audit_pk"): DataFrame = {
     val others = audit.schema.fieldNames.filterNot(keys.contains)
     audit.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(others.map(col): _*), col(pkCol)).as("__row"))
+      .agg(max_by(struct(others.toIndexedSeq.map(col): _*), col(pkCol)).as("__row"))
       .select(keys.map(col) ++ others.map(c => col(s"__row.$c")): _*)
   }
 }
