@@ -100,5 +100,19 @@ object GraftExtensions {
           intArg("graft_hyperplane_buckets", "tables", args(1)),
           intArg("graft_hyperplane_buckets", "planes", args(2)),
           intArg("graft_hyperplane_buckets", "dim", args(3)))
+      }),
+    // composed logic registers too: the catalyst chain is built from
+    // the SAME ordered pattern list as the Column form
+    // (TextStats.ScrubSteps) — replacement ORDER is the contract, and a
+    // SQL user re-deriving it can get it subtly wrong
+    ("graft_scrub",
+      info("graft_scrub",
+        "graft_scrub(text) - ordered PII redaction (emails, phones, id runs) + whitespace collapse"),
+      args => {
+        arity("graft_scrub", args, 1)
+        import org.apache.spark.sql.catalyst.expressions.{RegExpReplace, StringTrim}
+        StringTrim(graft.ops.TextStats.ScrubSteps.foldLeft(args(0)) {
+          case (e, (p, r)) => RegExpReplace(e, Literal(p), Literal(r))
+        })
       }))
 }

@@ -324,12 +324,19 @@ object TextStats {
     * SQL engines reproduce them exactly; everything is codegen'd
     * `regexp_replace`, embarrassingly parallel at any scale.
     */
-  def scrub(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val phone = regexp_replace(email,
-      "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>")
-    val ids = regexp_replace(phone, "[0-9]{9,}", "<ID>")
-    trim(regexp_replace(ids, "\\s+", " "))
-  }
+  /** The scrub chain as data — (pattern, replacement) in application
+    * order. ONE list feeds both the Column form below and the SQL
+    * registration (`graft_scrub` builds its catalyst chain from this),
+    * so the two surfaces cannot drift.
+    */
+  val ScrubSteps: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
+    "[0-9]{9,}" -> "<ID>",
+    "\\s+" -> " ")
+
+  def scrub(text: Column): Column =
+    trim(ScrubSteps.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    })
 }

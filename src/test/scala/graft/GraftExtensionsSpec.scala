@@ -58,6 +58,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql === viaCol)
   }
 
+  test("graft_scrub from SQL == TextStats.scrub Column chain on planted PII") {
+    val d = Seq((1L, "mail bob@x.com  call 555-123-4567 id 123456789 end"))
+      .toDF("doc_id", "text")
+    d.createOrReplaceTempView("ext_scrub")
+    val viaSql = spark.sql("SELECT graft_scrub(text) FROM ext_scrub")
+      .as[String].head()
+    val viaCol = d.select(graft.ops.TextStats.scrub(col("text")))
+      .as[String].head()
+    assert(viaSql === viaCol)
+    assert(viaSql === "mail <EMAIL> call <PHONE> id <ID> end")
+  }
+
   test("shape arguments must be integer literals") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array('a'), 1 + 1)").collect()
