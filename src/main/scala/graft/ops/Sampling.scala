@@ -61,4 +61,28 @@ object Sampling {
       .filter(hashSlot(col(idCol)) < floor(frac * 65536).cast("long"))
       .select(df.columns.toIndexedSeq.map(col): _*) // original column order, _n gone
   }
+
+  /** Deterministic global shuffle + sharding — the pre-training pass
+    * that materializes the corpus in pseudo-random order across
+    * `numShards` output shards (training readers must not see the
+    * ingestion order; a seeded RNG shuffle is neither retry-idempotent
+    * nor oracle-checkable). Each row gets `shard = slot % numShards`
+    * and `pos` = its 0-based rank within the shard ordered by the md5
+    * hex of its id (distinct ids ⇒ distinct md5s, so the order is
+    * total and engine-portable).
+    *
+    * Shape for scale: one shuffle on `shard` plus a per-shard sort —
+    * no global sort, no single-partition stage; `numShards` is the
+    * parallelism knob, and a writer follows with
+    * `partitionBy("shard")` to lay the shards down as files.
+    */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_ord"), col(idCol))
+    df.withColumn("_ord", md5(col(idCol).cast("string")))
+      .withColumn("shard", (hashSlot(col(idCol)) % numShards).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_ord")
+  }
 }

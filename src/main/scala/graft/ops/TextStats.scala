@@ -339,4 +339,102 @@ object TextStats {
     trim(ScrubSteps.foldLeft(text) { case (c, (p, r)) =>
       regexp_replace(c, p, r)
     })
+
+  /** BM25 retrieval scores (Robertson/Spärck Jones; the Okapi
+    * formulation with the +1 idf guard): for each of the `nQueryTerms`
+    * highest-document-frequency terms, the `k` best-scoring documents.
+    * `score = ln((N - df + 0.5)/(df + 0.5) + 1) * (c*(k1+1)) /
+    * (c + k1*(1 - b + b*dl/avgdl))`.
+    *
+    * Shape for scale: ONE exploded (doc, term) count feeds term
+    * frequencies, document lengths (per-doc re-agg), and document
+    * frequencies (per-term re-agg) — all partial-aggregated before
+    * their shuffles. The query-term list is tiny by construction and
+    * broadcast; the final ranking windows over per-term match lists,
+    * never raw tokens. N and total-token scalars are bounded driver
+    * probes (the vocab-probe pattern). Ranking uses the quantized
+    * score (floor(score*10000), doc_id tiebreak) so engines agree on
+    * order even where libm ulps differ.
+    */
+  def bm25TopDocs(docs: DataFrame, nQueryTerms: Int, k: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(nQueryTerms >= 1 && k >= 1, "nQueryTerms and k must be >= 1")
+    val probe = docs.filter(col(textCol).isNotNull)
+      .select(count(lit(1)), sum(size(tokens(col(textCol)))).cast("long"))
+      .head()
+    val n = probe.getLong(0)
+    require(n > 0, "corpus is empty")
+    val avgdl = probe.getLong(1).toDouble / n
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("c")).as("dl"))
+    val top = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(nQueryTerms)
+    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val score = idf * (col("c") * (k1 + 1)) /
+      (col("c") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val w = Window.partitionBy("term")
+      .orderBy(col("score_q").desc, col("doc_id"))
+    tf.join(broadcast(top), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("score", score)
+      .withColumn("score_q", floor(col("score") * 10000).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("term", "doc_id", "rank", "score_q", "score")
+  }
+
+  /** Bigram language-model scoring — the cheap perplexity proxy a
+    * corpus pipeline uses to flag out-of-distribution or garbled text
+    * (a KenLM stand-in with the same dataflow). Train side: bigram
+    * counts `c(prev,next)` and context totals `c(prev)`; score side:
+    * each test document's mean add-one-smoothed log probability
+    * `ln((c(prev,next)+1)/(c(prev)+V))` over its bigrams (V = train
+    * vocabulary size). Unseen bigrams/contexts coalesce to 0 and the
+    * smoothing keeps the probability proper.
+    *
+    * Determinism across engines: each bigram's log prob is quantized
+    * to floor(lp*10000) BEFORE the per-doc sum — summing longs is
+    * order-free where summing doubles is not. Emits (doc_id,
+    * n_bigrams, sum_lpq, avg_lpq); test docs with fewer than two
+    * tokens emit nothing.
+    *
+    * Shape for scale: train is two cascaded hash-aggs off one explode;
+    * test explodes to (doc, prev, next) and equi-joins the count
+    * tables (shuffle on the bigram/context keys, partial-agged sides);
+    * V is a bounded scalar probe.
+    */
+  def lmScore(train: DataFrame, test: DataFrame,
+              idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    def pairs(df: DataFrame, extraNames: Seq[String]): DataFrame = {
+      val t = tokens(col(textCol))
+      val ps = when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("prev"), element_at(t, i + 1).as("next"))))
+        .otherwise(array().cast("array<struct<prev:string,next:string>>"))
+      df.select(extraNames.map(col) :+ explode(ps).as("p"): _*)
+        .select(extraNames.map(col) :+ col("p.prev") :+ col("p.next"): _*)
+    }
+    val trainPairs = pairs(train, Nil)
+    val bg = trainPairs.groupBy("prev", "next").agg(count(lit(1)).as("c_bg"))
+    val ctx = bg.groupBy("prev").agg(sum(col("c_bg")).as("c_ctx"))
+    val vocab = train
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok"))).head().getLong(0)
+    val lp = log(
+      (coalesce(col("c_bg"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("c_ctx"), lit(0L)) + vocab).cast("double"))
+    pairs(test.select(col(idCol).as("doc_id"), col(textCol)), Seq("doc_id"))
+      .join(bg, Seq("prev", "next"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .withColumn("lpq", floor(lp * 10000).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lpq")).as("sum_lpq"),
+        (sum(col("lpq")).cast("double") / count(lit(1))).as("avg_lpq"))
+  }
 }

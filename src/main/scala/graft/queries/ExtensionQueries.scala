@@ -179,6 +179,47 @@ object ExtensionQueries {
       all.filter(col("doc_id") % 2 === 1), k = 50)
   }
 
+  /** BM25 retrieval: top-5 documents for each of the 10 highest-df
+    * query terms — keyword search over the corpus (quality-filter
+    * tooling and eval-set mining both lean on it).
+    */
+  def bm25(s: SparkSession, d: String): DataFrame =
+    TextStats.bm25TopDocs(docs(s, d), nQueryTerms = 10, k = 5)
+      .orderBy("term", "rank")
+
+  /** Bigram-LM scoring: train counts on even docs, score odd docs —
+    * the perplexity-proxy quality signal.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    TextStats.lmScore(
+      all.filter(col("doc_id") % 2 === 0),
+      all.filter(col("doc_id") % 2 === 1))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-based source mixing weights (alpha = 0.5, the
+    * multilingual-sampling convention): p_source ∝ n_tokens^0.5 —
+    * the knob that keeps a 100 TB web crawl from drowning the small
+    * high-quality sources. Two tiny aggregations (one row per source)
+    * and a broadcast of the normalizer.
+    */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val per = docs(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextStats.tokens(col("text")))).cast("long").as("n_tokens"))
+    val z = per.agg(sum(sqrt(col("n_tokens"))).as("z"))
+    per.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (sqrt(col("n_tokens")) / col("z")).as("weight"))
+      .orderBy("source")
+  }
+
+  /** Deterministic global shuffle into 8 training shards. */
+  def shard(s: SparkSession, d: String): DataFrame =
+    Sampling.shardAssign(docs(s, d).select("doc_id"), "doc_id", numShards = 8)
+      .orderBy("shard", "pos")
+
   /** Gopher-style word/bigram repetition signals per document. */
   def repetition(s: SparkSession, d: String): DataFrame =
     TextStats.repetitionSignals(docs(s, d)).orderBy("doc_id")
@@ -447,6 +488,70 @@ object ExtensionQueries {
         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
         |  avg(n_chars) AS avg_chars
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |top AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 10),
+        |n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |tot AS (SELECT CAST(sum(dl) AS DOUBLE) AS t FROM dl),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |    ln((CAST((SELECT n FROM n) AS DOUBLE) - df + 0.5) / (df + 0.5) + 1) *
+        |    (tf.c * 2.2) /
+        |    (tf.c + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+        |      ((SELECT t FROM tot) / (SELECT n FROM n)))) AS score
+        |  FROM tf JOIN top USING (term) JOIN dl USING (doc_id)),
+        |sq AS (SELECT doc_id, term, score,
+        |    CAST(floor(score * 10000) AS BIGINT) AS score_q FROM s),
+        |r AS (SELECT term, doc_id, score_q, score,
+        |    CAST(row_number() OVER (PARTITION BY term
+        |      ORDER BY score_q DESC, doc_id) AS INT) AS rank
+        |  FROM sq)
+        |SELECT term, doc_id, rank, score_q, score FROM r
+        |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
+    "q_lm_score" ->
+      """WITH tr AS (SELECT string_split(text,' ') AS ts
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |pairs AS (SELECT ts[i] AS prev, ts[i+1] AS next
+        |  FROM tr, unnest(range(1, len(ts))) AS u(i)),
+        |bg AS (SELECT prev, next, count(*) AS c_bg FROM pairs GROUP BY 1, 2),
+        |ctx AS (SELECT prev, CAST(sum(c_bg) AS BIGINT) AS c_ctx FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (
+        |  SELECT unnest(string_split(text,' ')) AS t
+        |  FROM documents WHERE doc_id % 2 = 0)),
+        |te AS (SELECT doc_id, ts[i] AS prev, ts[i+1] AS next
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ts
+        |        FROM documents WHERE doc_id % 2 = 1),
+        |    unnest(range(1, len(ts))) AS u(i)),
+        |lp AS (SELECT te.doc_id,
+        |    CAST(floor(ln(
+        |      CAST(COALESCE(c_bg, 0) + 1 AS DOUBLE) /
+        |      CAST(COALESCE(c_ctx, 0) + (SELECT v FROM v) AS DOUBLE)) * 10000) AS BIGINT) AS lpq
+        |  FROM te LEFT JOIN bg ON te.prev = bg.prev AND te.next = bg.next
+        |          LEFT JOIN ctx ON te.prev = ctx.prev)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(lpq) AS BIGINT) AS sum_lpq,
+        |  CAST(sum(lpq) AS DOUBLE) / count(*) AS avg_lpq
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_mix_weights" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT sum(sqrt(n_tokens)) AS z FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  sqrt(n_tokens) / (SELECT z FROM z) AS weight
+        |FROM per ORDER BY source""".stripMargin,
+    "q_shard" ->
+      """WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1) AS slot
+        |  FROM documents)
+        |SELECT doc_id, CAST(slot % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY slot % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         |c AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
@@ -859,6 +964,10 @@ object ExtensionQueries {
     "q_ngram_stats"     -> (ngramStats _),
     "q_source_mix"      -> (sourceMix _),
     "q_token_drift"     -> (tokenDrift _),
+    "q_bm25"            -> (bm25 _),
+    "q_lm_score"        -> (lmScore _),
+    "q_mix_weights"     -> (mixWeights _),
+    "q_shard"           -> (shard _),
     "q_repetition"      -> (repetition _),
     "q_tfidf"           -> (tfidf _),
     "q_contamination"   -> (contamination _),

@@ -596,4 +596,54 @@ class OpsSpec extends SparkSpec {
       .select("frame_idx").as[Int].collect().sorted
     assert(frames.toSeq === Seq(0, 5, 10))
   }
+
+  test("bm25TopDocs: hand-computed Okapi scores, rank by quantized " +
+    "score with doc_id tiebreak") {
+    val d = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y y z"))
+      .toDF("doc_id", "text")
+    // N = 3, avgdl = 9/3 = 3.0; df(x)=df(y)=df(z)=2 -> top-2 terms: x, y
+    val out = TextStats.bm25TopDocs(d, nQueryTerms = 2, k = 5)
+      .select("term", "doc_id", "rank", "score_q")
+      .as[(String, Long, Int, Long)].collect().sortBy(r => (r._1, r._3))
+    def score(c: Long, dl: Long): Double = {
+      val idf = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1)
+      idf * (c * 2.2) / (c + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0))
+    }
+    def q(s: Double): Long = math.floor(s * 10000).toLong
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq(("x", 1L, 1), ("x", 2L, 2), ("y", 3L, 1), ("y", 1L, 2)))
+    assert(out.map(_._4).toSeq ===
+      Seq(q(score(2, 3)), q(score(1, 2)), q(score(3, 4)), q(score(1, 3))))
+  }
+
+  test("lmScore: add-one-smoothed bigram log probs, quantized before " +
+    "the per-doc sum; unseen context backs off to 1/V") {
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val test_ = Seq((1L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextStats.lmScore(train, test_)
+      .select("doc_id", "n_bigrams", "sum_lpq")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // train: c(a,b)=2 c(b,a)=1; ctx a=2 b=1; V=2
+    val lp1 = math.floor(math.log(3.0 / 4.0) * 10000).toLong  // (a,b): (2+1)/(2+2)
+    val lp2 = math.floor(math.log(1.0 / 3.0) * 10000).toLong  // (b,c): (0+1)/(1+2)
+    // "solo" has no bigram -> no row
+    assert(out.toSeq === Seq((1L, 2L, lp1 + lp2)))
+  }
+
+  test("shardAssign: dense 0-based positions per shard, stable under " +
+    "repartitioning, shard = md5-slot mod numShards") {
+    val d = (1L to 40L).toDF("id")
+    val a = Sampling.shardAssign(d, "id", numShards = 3)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    val b = Sampling.shardAssign(d.repartition(7), "id", numShards = 3)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(a === b)                       // partition-layout invariant
+    assert(a.map(_._1).size === 40)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3) === (0L until rows.size).toSet) // dense ranks
+    }
+    val slots = d.select(col("id"), Sampling.hashSlot(col("id")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    a.foreach { case (id, shard, _) => assert(shard === (slots(id) % 3).toInt) }
+  }
 }
