@@ -628,4 +628,62 @@ object Dedup {
       .select("vec_a", "vec_b", "cos_q")
       .distinct()
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster the
+    * embedding space, then mark within-cluster semantic duplicates —
+    * a vector is a duplicate when some LOWER-id cluster-mate sits
+    * within the cosine threshold, and the survivor set is the `keep`
+    * rows. Clustering bounds the pair work: candidates are in-cluster
+    * only, so the all-pairs term is Σ c_i², controlled by the cluster
+    * count (grow k with the corpus, like the paper's 50k clusters for
+    * LAION). The coarse quantizer is the same deterministic stride as
+    * [[Similarity.ivfTopK]] (swap in [[Similarity.kmeans]] centroids
+    * for a trained index — identical dataflow).
+    *
+    * Emits (vec_id, centroid_id, dup_of, keep): `dup_of` = the lowest
+    * cluster-mate id within threshold (null for survivors).
+    *
+    * Shape for scale: broadcast-cross centroid assignment reduced
+    * map-side by `max_by` (no window over raw vectors), one shuffle on
+    * centroid_id for the in-cluster pair join, partial-agged `min` for
+    * the witness, broadcast-sized centroid table.
+    */
+  def semDedup(emb: DataFrame, threshold: Double,
+               centroidStride: Int = 37,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               dim: Int = 64): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("vn", Similarity.norm(col("v"), dim))
+    val cent = v.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("centv"),
+        col("vn").as("centn"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("c_cos",
+        Similarity.cosQ(col("v"), col("centv"), col("vn"), col("centn"), dim))
+      .groupBy("vec_id")
+      .agg(max_by(col("centroid_id"),
+          struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
+        first(col("v")).as("v"), first(col("vn")).as("vn"))
+      // the three consumers below would each re-run the assignment
+      // cross-join (self-joins get no automatic exchange reuse);
+      // truncate once
+      .localCheckpoint()
+    val a = assigned.select(col("vec_id").as("vec_a"), col("centroid_id"),
+      col("v").as("av"), col("vn").as("an"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("centroid_id"),
+      col("v").as("bv"), col("vn").as("bn"))
+    val dups = a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_q",
+        Similarity.cosQ(col("av"), col("bv"), col("an"), col("bn"), dim))
+      .filter(col("cos_q") >= math.floor(threshold * 10000).toLong)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    assigned.select("vec_id", "centroid_id")
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+  }
 }

@@ -335,6 +335,97 @@ object Similarity {
     }
   }
 
+  /** Squared L2 distance of two double arrays — left-to-right fold
+    * like [[dot]] (the 0.0 seed is an IEEE no-op on the non-negative
+    * terms), so an oracle's `list_reduce` reproduces it bit-for-bit.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization codebooks with a deterministic picker: the
+    * vectors with `id % codeStride == 0` serve as the code points, and
+    * each contributes its s-th `dim/m`-dim slice to subspace s's
+    * codebook. (Production PQ trains per-subspace k-means — [[kmeans]]
+    * shows the trained path; the stride picker keeps the index
+    * oracle-reproducible, exactly like [[ivfTopK]]'s coarse
+    * quantizer.) Returns (s, code, cb) — m×K tiny rows, broadcast by
+    * every consumer.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, dim: Int, codeStride: Int = 37,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val slices = array((0 until m).map(s =>
+      slice(asDouble(col(vecCol)), s * subDim + 1, subDim)): _*)
+    corpus.filter(col(idCol) % codeStride === 0)
+      .select(col(idCol).as("code"), posexplode(slices).as(Seq("s", "cb")))
+      .select(col("s"), col("code"), col("cb"))
+  }
+
+  /** Product-quantization encoding: each vector becomes m small codes
+    * — the nearest codebook entry (squared-L2, quantized to
+    * floor(d²·10⁴) with code-id tiebreaks) per subspace. The 4-byte-ish
+    * code rows are what an embedding lake stores and scans at 100 TB;
+    * full vectors stay cold. One broadcast join (codebooks are m×K)
+    * and a `min_by` hash-agg — map-side partials, no window, corpus
+    * never shuffles wide.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val slices = array((0 until m).map(s =>
+      slice(asDouble(col(vecCol)), s * subDim + 1, subDim)): _*)
+    corpus.select(col(idCol).as("vec_id"), posexplode(slices).as(Seq("s", "sv")))
+      .join(broadcast(codebooks), Seq("s"))
+      .withColumn("d2q", floor(sqDist(col("sv"), col("cb")) * 10000).cast("long"))
+      .groupBy("vec_id", "s")
+      .agg(min_by(col("code"), struct(col("d2q"), col("code"))).as("code"))
+  }
+
+  /** PQ/ADC approximate top-k (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): queries never touch
+    * corpus vectors — each query precomputes a per-subspace distance
+    * TABLE to every codebook entry, and a corpus vector's approximate
+    * distance is the sum of m table lookups on its codes (asymmetric
+    * distance computation). Partial distances are quantized to longs
+    * BEFORE the sum so the total is order-free and engine-exact.
+    *
+    * Shape for scale: the distance table (queries × m × K skinny rows)
+    * broadcasts; the encoded corpus — m code rows per vector, no
+    * vectors — streams through one equi-join on (s, code) and a
+    * partial-agged sum; ranking windows over per-query candidates.
+    * This is the production ADC dataflow: the 100 TB side is scanned
+    * as codes only.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, dim: Int = 64, codeStride: Int = 37,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    val cb = pqCodebooks(corpus, m, dim, codeStride, idCol, vecCol)
+    val enc = pqEncode(corpus, cb, m, dim, idCol, vecCol)
+    val slices = array((0 until m).map(s =>
+      slice(asDouble(col(vecCol)), s * subDim + 1, subDim)): _*)
+    val table = queries
+      .select(col(idCol).as("query_id"), posexplode(slices).as(Seq("s", "qv")))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        floor(sqDist(col("qv"), col("cb")) * 10000).cast("long").as("dq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_q"), col("neighbor_id"))
+    enc.join(broadcast(table), Seq("s", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("dq")).as("adc_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc_q")
+  }
+
   /** Banded multi-table LSH ANN top-k: a candidate is any corpus
     * vector sharing the query's bucket in AT LEAST one of `tables`
     * independent hyperplane tables ([[lshBands]]). More tables =

@@ -121,6 +121,22 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ/ADC ANN: the fourth ANN strategy — corpus stored as 8 codes
+    * per vector, queries scored via per-subspace distance-table
+    * lookups (asymmetric distance computation).
+    */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.pqTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** SemDeDup at cos >= 0.9 over the stride-clustered embedding
+    * space: survivors keep, duplicates carry their lowest-id witness.
+    */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.semDedup(embs(s, d), threshold = 0.9).orderBy("vec_id")
+
   /** IVF-Flat ANN: deterministic coarse quantizer (id % 37 centroids),
     * probe-1 search — the third ANN strategy (exact / LSH / IVF).
     */
@@ -817,6 +833,59 @@ object ExtensionQueries {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, cos_q FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sv
+        |  FROM e, unnest(range(0, 8)) AS u(s)),
+        |cbs AS (SELECT s, vec_id AS code, sv AS cb FROM sub WHERE vec_id % 37 = 0),
+        |d AS (SELECT sub.vec_id, sub.s, cbs.code,
+        |    CAST(floor(list_reduce(list_transform(range(1, 9),
+        |      i -> (sv[i]-cb[i])*(sv[i]-cb[i])), (x,y)->x+y) * 10000) AS BIGINT) AS d2q
+        |  FROM sub JOIN cbs USING (s)),
+        |enc AS (SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, code) AS rn
+        |    FROM d) t
+        |  WHERE rn = 1),
+        |tab AS (SELECT vec_id AS query_id, s, code, d2q AS dq FROM d WHERE vec_id % 50 = 0),
+        |adc AS (SELECT t.query_id, e2.vec_id AS neighbor_id,
+        |    CAST(sum(t.dq) AS BIGINT) AS adc_q
+        |  FROM enc e2 JOIN tab t ON e2.s = t.s AND e2.code = t.code
+        |  WHERE t.query_id <> e2.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc_q,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_q, neighbor_id) AS INT) AS rank FROM adc)
+        |SELECT query_id, neighbor_id, rank, adc_q FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+        |assign AS (
+        |  SELECT vec_id, v, centroid_id FROM (
+        |    SELECT a.vec_id, a.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(floor(10000 * (
+        |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+        |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e a CROSS JOIN cent c) t
+        |  WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(floor(10000 * (
+        |      list_reduce(list_transform(range(1,65), i -> a.v[i]*b.v[i]), (x,y)->x+y) /
+        |      (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |       sqrt(list_reduce(list_transform(range(1,65), i -> b.v[i]*b.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+        |  FROM assign a JOIN assign b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+        |dups AS (SELECT vec_b AS vec_id, min(vec_a) AS dup_of
+        |  FROM p WHERE cos_q >= 9000 GROUP BY 1)
+        |SELECT s.vec_id, s.centroid_id, dups.dup_of,
+        |  dups.dup_of IS NULL AS keep
+        |FROM assign s LEFT JOIN dups USING (vec_id) ORDER BY vec_id""".stripMargin,
     "q_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -946,6 +1015,8 @@ object ExtensionQueries {
     "q_ann_lsh"         -> (annLsh _),
     "q_ann_multiprobe"  -> (annLshMultiProbe _),
     "q_ann_ivf"         -> (annIvf _),
+    "q_ann_pq"          -> (annPq _),
+    "q_semdedup"        -> (semDedup _),
     "q_ann_ivf2"        -> (annIvf2 _),
     "q_lang_id"         -> (langId _),
     "q_text_quality"    -> (textQuality _),

@@ -630,6 +630,52 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, lp1 + lp2)))
   }
 
+  test("semDedup: within-cluster duplicates point at their lowest-id " +
+    "witness; cross-cluster near-pairs are never candidates") {
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0.01f, 0f, 0f)),   // ~cos 1 with 0, same cluster
+      (2L, Array(0f, 0f, 1f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0.01f))    // ~cos 1 with 2, same cluster
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(e, threshold = 0.95, centroidStride = 2, dim = 4)
+      .select("vec_id", "centroid_id", "dup_of", "keep")
+      .as[(Long, Long, Option[Long], Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (0L, 0L, None, true), (1L, 0L, Some(0L), false),
+      (2L, 2L, None, true), (3L, 2L, Some(2L), false)))
+  }
+
+  test("pqEncode picks the nearest sub-codebook entry; pqTopK ranks by " +
+    "summed quantized table lookups with neighbor-id ties") {
+    val e = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(0.4f, 0f, 10.4f, 10f)),
+      (2L, Array(5f, 5f, 0f, 0f)),
+      (3L, Array(5.4f, 5f, 0.4f, 0f))
+    ).toDF("vec_id", "embedding")
+    // codes = vectors 0 and 2; subspaces: dims 1-2 and 3-4
+    val cb = Similarity.pqCodebooks(e, m = 2, dim = 4, codeStride = 2)
+    val enc = Similarity.pqEncode(e, cb, m = 2, dim = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(enc === Set((0L, 0, 0L), (0L, 1, 0L), (1L, 0, 0L), (1L, 1, 0L),
+      (2L, 0, 2L), (2L, 1, 2L), (3L, 0, 2L), (3L, 1, 2L)))
+    val out = Similarity.pqTopK(e.filter(col("vec_id") === 1), e, k = 3,
+        m = 2, dim = 4, codeStride = 2)
+      .select("neighbor_id", "rank", "adc_q")
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    def q(d: Double): Long = math.floor(d * 10000).toLong
+    // expectations built from the FLOAT-rounded values the engine sees
+    // (0.4f != 0.4), folded in the same element order
+    val f04 = 0.4f.toDouble
+    val f104 = 10.4f.toDouble
+    val near = q(f04 * f04) + q((f104 - 10.0) * (f104 - 10.0)) // codes (0,0)
+    val far = q((f04 - 5.0) * (f04 - 5.0) + 25.0) +
+      q(f104 * f104 + 100.0)                                   // codes (2,2)
+    // vec 2 and vec 3 share codes (2,2) -> identical adc, id tiebreak
+    assert(out.toSeq === Seq((0L, 1, near), (2L, 2, far), (3L, 3, far)))
+  }
+
   test("shardAssign: dense 0-based positions per shard, stable under " +
     "repartitioning, shard = md5-slot mod numShards") {
     val d = (1L to 40L).toDF("id")
