@@ -629,6 +629,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-snapshot exact dedup — the first gate of incremental
+    * ingestion: drop incoming documents whose content hash already
+    * exists in the base corpus (left-anti join on md5). Both sides
+    * reduce to skinny (id, hash) rows BEFORE the join, so at 100 TB
+    * the base side is effectively the persisted hash index (hashes
+    * only — the base text never moves), and the anti-join shuffles
+    * hashes, not documents.
+    */
+  def exactAgainst(incoming: DataFrame, base: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    incoming.select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_hash"))
+      .join(base.select(md5(col(textCol)).as("text_hash")).distinct(),
+        Seq("text_hash"), "left_anti")
+      .select("doc_id", "text_hash")
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): cluster the
     * embedding space, then mark within-cluster semantic duplicates —

@@ -231,6 +231,32 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Incremental-ingestion exact dedup: the odd docs arrive against a
+    * base of the even docs PLUS every odd doc with doc_id % 10 == 1
+    * (those are "already ingested" by content) — survivors are the odd
+    * docs whose text the base has never seen.
+    */
+  def dedupAgainst(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.exactAgainst(
+        all.filter(col("doc_id") % 2 === 1),
+        all.filter(col("doc_id") % 2 === 0 || col("doc_id") % 10 === 1))
+      .orderBy("doc_id")
+  }
+
+  /** Leakage-safe split at the NEAR-DUP-CLUSTER level — the reason
+    * [[Sampling.splitByGroup]] exists: near-duplicate documents must
+    * land on the same side of the train/test boundary, so the split
+    * key is the connected-components cluster id, not the row id.
+    */
+  def splitClusters(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Sampling.splitByGroup(
+        Dedup.connectedComponents(Dedup.ngramJaccard(all, 0.8), all),
+        "cluster_id", testFraction = 0.2)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic global shuffle into 8 training shards. */
   def shard(s: SparkSession, d: String): DataFrame =
     Sampling.shardAssign(docs(s, d).select("doc_id"), "doc_id", numShards = 8)
@@ -707,6 +733,47 @@ object ExtensionQueries {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_against" ->
+      """WITH base AS (SELECT DISTINCT md5(text) AS text_hash FROM documents
+        |  WHERE doc_id % 2 = 0 OR doc_id % 10 = 1),
+        |inc AS (SELECT doc_id, md5(text) AS text_hash FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |SELECT doc_id, text_hash FROM inc
+        |WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.text_hash = inc.text_hash)
+        |ORDER BY doc_id""".stripMargin,
+    "q_split_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) AS ts,
+        |         len(list_distinct(string_split(text,' '))) AS n
+        |  FROM documents),
+        |pref AS (SELECT doc_id, ts, n,
+        |    ts[1:(n - CAST(ceil(0.8*n) AS INT) + 1)] AS prefix FROM toks),
+        |pa AS (SELECT doc_id, unnest(prefix) AS tok FROM pref),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pa a JOIN pa b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |    len(list_intersect(x.ts, y.ts)) AS inter, x.n AS n_a, y.n AS n_b
+        |  FROM cand JOIN toks x ON cand.doc_a = x.doc_id
+        |            JOIN toks y ON cand.doc_b = y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM j
+        |  WHERE CAST(inter AS DOUBLE)/(n_a+n_b-inter) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN
+        |    (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)),1,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)),2,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)),3,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)),4,1))-1)
+        |    < 13107
+        |  THEN 'test' ELSE 'train' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       """WITH toks AS (
         |  SELECT doc_id, list_distinct(string_split(text,' ')) AS ts FROM documents),
@@ -1008,6 +1075,8 @@ object ExtensionQueries {
     "q_dedup_minhash"   -> (dedupMinhash _),
     "q_dedup_simhash"   -> (dedupSimhash _),
     "q_dedup_clusters"  -> (dedupClusters _),
+    "q_dedup_against"   -> (dedupAgainst _),
+    "q_split_clusters"  -> (splitClusters _),
     "q_embed_neardup"   -> (embedNearDup _),
     "q_embed_neardup_incr" -> (embedNearDupIncr _),
     "q_embed_quantize"  -> (embedQuantize _),

@@ -143,6 +143,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PQ/ADC search: codebooks and distance table broadcast, no " +
+    "cartesian product, encoded corpus joins by equi-key only") {
+    val q = embs.filter(col("vec_id") % 50 === 0)
+    val p = plan(Similarity.pqTopK(q, embs, k = 3, m = 2, dim = 8, codeStride = 7))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("semDedup: the pair join is an equi-join on centroid_id — no " +
+    "cartesian or nested-loop join in the returned plan (the broadcast " +
+    "centroid assignment ran under the localCheckpoint)") {
+    val p = plan(Dedup.semDedup(embs, 0.8, centroidStride = 7, dim = 8))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("centroid_id"), p)
+  }
+
+  test("exactAgainst anti-joins skinny hash rows — no text column " +
+    "survives below the join") {
+    val p = plan(Dedup.exactAgainst(docs, docs))
+    assert(p.contains("LeftAnti"), p)
+    // the join operates on (doc_id, text_hash)/(text_hash): the plan's
+    // join keys mention text_hash, and the base side projects only md5
+    assert(p.contains("text_hash"), p)
+  }
+
   test("scrub, languageId, and simhash are pure projections: single " +
     "stage, no Exchange at all") {
     val p1 = plan(docs.select(TextStats.scrub(col("text"))))
