@@ -66,4 +66,25 @@ object Profile {
     */
   def approx(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     profile(df, cols, c => approx_count_distinct(col(c), rsd), "n_distinct_est")
+
+  /** Fixed-width histogram of a numeric column over [lo, hi): `bins`
+    * equal buckets with out-of-range values clamped into the edge bins
+    * (the standard profiler convention — nothing silently dropped but
+    * nulls). One scan plus a `bins`-row aggregate: the distribution
+    * diagnostic that catches a source whose value range drifted. Bin
+    * width is computed once as (hi-lo)/bins; min/max per bin give the
+    * actual occupied range.
+    */
+  def histogram(df: DataFrame, colName: String,
+                lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, s"need bins >= 1 and hi > lo")
+    val w = (hi - lo) / bins
+    val bin = least(lit(bins - 1L),
+      greatest(lit(0L), floor((col(colName) - lo) / w)))
+    df.filter(col(colName).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(colName)).as("min_v"), max(col(colName)).as("max_v"))
+      .orderBy("bin")
+  }
 }

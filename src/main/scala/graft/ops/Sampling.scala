@@ -62,6 +62,17 @@ object Sampling {
       .select(df.columns.toIndexedSeq.map(col): _*) // original column order, _n gone
   }
 
+  /** Weighted deterministic sampling: keep a row with probability
+    * `weightCol` (clamped to [0, 1]) — quality-weighted corpus
+    * downsampling, where a document's survival odds follow its quality
+    * score. Same slot discipline as [[bernoulli]]: inclusion is a pure
+    * function of (id, weight), so retries and the oracle agree row for
+    * row. One scan, fully codegen'd predicate, no shuffle.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.filter(hashSlot(col(idCol)) <
+      floor(least(lit(1.0), greatest(lit(0.0), weight)) * 65536).cast("long"))
+
   /** Deterministic global shuffle + sharding — the pre-training pass
     * that materializes the corpus in pseudo-random order across
     * `numShards` output shards (training readers must not see the

@@ -366,6 +366,39 @@ object ExtensionQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Numeric distribution histogram: events.value over [0, 500) in 20
+    * fixed-width bins, out-of-range clamped to the edges.
+    */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Profile.histogram(Tables.events(s, d), "value", lo = 0.0, hi = 500.0, bins = 20)
+
+  /** LSH index diagnostics: per-table bucket count, hottest bucket,
+    * and total in-bucket candidate pairs for the 4×12 geometry — the
+    * measurement that drives the planes/tables tuning knob (candidate
+    * volume is Σ c(c-1)/2; recall comes from the table count).
+    */
+  def lshStats(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    Similarity.lshBands(e, "vec_id", "v", tables = 4, planes = 12, dim = 64)
+      .groupBy("t", "bucket").agg(count(lit(1)).as("c"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_buckets"), max(col("c")).as("max_bucket"),
+        expr("sum(c * (c - 1)) div 2").as("n_cand_pairs"))
+      .orderBy("t")
+  }
+
+  /** Quality-weighted downsampling: survival probability follows the
+    * token count (p = n_tokens/100, clamped) — long documents always
+    * survive, short ones thin proportionally.
+    */
+  def qualitySample(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedSample(
+        docs(s, d).select(col("doc_id"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", col("n_tokens") / 100.0)
+      .orderBy("doc_id")
+
   /** Column profiling (exact): long/string columns only in the oracle
     * set — numeric-to-string casts format identically for integers and
     * strings in both engines (doubles would not).
@@ -446,6 +479,25 @@ object ExtensionQueries {
         |SELECT band, count(*) AS n, min(value) AS min_v, max(value) AS max_v
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (SELECT value,
+        |    least(19, greatest(0, CAST(floor((value - 0.0) / 25.0) AS BIGINT))) AS bin
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT bin, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_quality_sample" ->
+      """WITH q AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1) AS slot
+        |  FROM q)
+        |SELECT doc_id, n_tokens FROM s
+        |WHERE slot < CAST(floor(least(1.0, greatest(0.0, n_tokens / 100.0)) * 65536) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     "q_profile" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
@@ -801,6 +853,15 @@ object ExtensionQueries {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_lsh_stats" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |eb AS (
+        |  ${bandsSql(tables = 4, planes = 12, dim = 64)}),
+        |bc AS (SELECT t, bucket, count(*) AS c FROM eb GROUP BY 1, 2)
+        |SELECT t, count(*) AS n_buckets, max(c) AS max_bucket,
+        |  CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS n_cand_pairs
+        |FROM bc GROUP BY t ORDER BY t""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1097,6 +1158,9 @@ object ExtensionQueries {
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_frame_sample"    -> (frameSample _),
     "q_profile"         -> (profile _),
+    "q_histogram"       -> (histogram _),
+    "q_lsh_stats"       -> (lshStats _),
+    "q_quality_sample"  -> (qualitySample _),
     "q_profile_approx"  -> (profileApprox _),
     "q_salted_agg"      -> (saltedAgg _),
     "q_sample_stratified" -> (sampleStratified _),

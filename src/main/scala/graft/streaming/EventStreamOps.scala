@@ -28,6 +28,26 @@ object EventStreamOps {
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Sliding-window trending terms over a DOCUMENT stream — the live
+    * twin of [[graft.ops.TextStats.tokenDrift]]: per (sliding window,
+    * token) counts of an incoming text feed, the monitor that catches
+    * a spam flood or scraper regression within one slide instead of at
+    * the next snapshot diff. Explode happens before the aggregation,
+    * so state is per (window, token) and the watermark retires windows
+    * wholesale; ranking stays downstream (streaming aggs cannot window
+    * -rank in append mode — the consumer tops-k the closed windows).
+    */
+  def streamingTrendingTerms(docs: DataFrame, tsCol: String = "ts",
+                             textCol: String = "text",
+                             window_ : String = "10 minutes",
+                             slide: String = "5 minutes",
+                             lateness: String = "5 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, lateness)
+      .select(col(tsCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(window(col(tsCol), window_, slide), col("token"))
+      .agg(count(lit(1)).as("n"))
+
   /** One user's live session state. */
   case class SessionState(nEvents: Long, lastEventId: Long)
   /** Emitted when a session closes (gap exceeded) or times out. */

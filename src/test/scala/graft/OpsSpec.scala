@@ -676,6 +676,38 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1, near), (2L, 2, far), (3L, 3, far)))
   }
 
+  test("histogram: fixed-width bins, out-of-range values clamped to " +
+    "the edge bins, nulls dropped") {
+    val d = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),
+      Some(99.9), Some(100.0), Some(250.0), None)
+      .toDF("v")
+    val out = graft.ops.Profile.histogram(d, "v", lo = 0.0, hi = 100.0, bins = 10)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (0L, 3L, -5.0, 9.9),      // -5 clamps into bin 0
+      (1L, 1L, 10.0, 10.0),
+      (2L, 1L, 25.0, 25.0),
+      (9L, 3L, 99.9, 250.0)))   // 100 and 250 clamp into bin 9
+  }
+
+  test("weightedSample: weight 0 drops, weight >= 1 keeps, fractional " +
+    "weights gate on the id slot") {
+    val d = (1L to 200L).toDF("id")
+      .withColumn("w", when(col("id") <= 50, 0.0)
+        .when(col("id") <= 100, 1.5).otherwise(0.25))
+    val kept = Sampling.weightedSample(d, "id", col("w"))
+      .select("id").as[Long].collect().toSet
+    assert(kept.intersect((1L to 50L).toSet).isEmpty)      // w=0: none
+    assert((51L to 100L).forall(kept.contains))            // w>=1: all
+    val frac = (101L to 200L).filter(kept.contains)
+    val slots = d.filter(col("id") > 100)
+      .select(col("id"), Sampling.hashSlot(col("id")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val expected = (101L to 200L).filter(id =>
+      slots(id) < math.floor(0.25 * 65536).toLong)
+    assert(frac.toSet === expected.toSet)
+  }
+
   test("shardAssign: dense 0-based positions per shard, stable under " +
     "repartitioning, shard = md5-slot mod numShards") {
     val d = (1L to 40L).toDF("id")

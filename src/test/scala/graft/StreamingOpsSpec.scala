@@ -32,6 +32,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingTrendingTerms: sliding windows count exploded tokens " +
+    "per (window, token)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = EventStreamOps.streamingTrendingTerms(df,
+        window_ = "10 minutes", slide = "5 minutes")
+      .writeStream.format("memory").queryName("trend")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+      mem.addData((t(1), "spam spam ham"), (t(6), "spam eggs"))
+      q.processAllAvailable()
+      val rows = spark.table("trend")
+        .select(col("window.start").cast("string"), col("token"), col("n"))
+        .as[(String, String, Long)].collect().sorted
+      // 10:01 doc lands in windows [09:55,10:05) and [10:00,10:10);
+      // 10:06 doc in [10:00,10:10) and [10:05,10:15)
+      assert(rows.toSeq === Seq(
+        ("2020-01-01 09:55:00", "ham", 1L),
+        ("2020-01-01 09:55:00", "spam", 2L),
+        ("2020-01-01 10:00:00", "eggs", 1L),
+        ("2020-01-01 10:00:00", "ham", 1L),
+        ("2020-01-01 10:00:00", "spam", 3L),
+        ("2020-01-01 10:05:00", "eggs", 1L),
+        ("2020-01-01 10:05:00", "spam", 1L)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops re-deliveries within the watermark and " +
     "emits each key once") {
     implicit val sc = spark.sqlContext
