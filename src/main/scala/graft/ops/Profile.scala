@@ -67,6 +67,28 @@ object Profile {
   def approx(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     profile(df, cols, c => approx_count_distinct(col(c), rsd), "n_distinct_est")
 
+  /** Referential-integrity check between two keyed tables — the
+    * coverage dashboard a multi-table lake runs after every ingest
+    * (every document should have its embedding row, and vice versa).
+    * Both sides reduce to skinny key columns before one full-outer
+    * join; the result is a single row of match/orphan counts. Keys are
+    * assumed unique per side (the lake's own invariant); duplicate
+    * keys would count once per pairing.
+    */
+  def referentialCheck(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String): DataFrame = {
+    val l = left.select(col(leftKey).as("k")).withColumn("l", lit(1))
+    val r = right.select(col(rightKey).as("k")).withColumn("r", lit(1))
+    l.join(r, Seq("k"), "full_outer")
+      .agg(
+        count(col("l")).as("n_left"),
+        count(col("r")).as("n_right"),
+        sum(when(col("l").isNotNull && col("r").isNotNull, 1).otherwise(0))
+          .cast("long").as("n_matched"),
+        sum(when(col("r").isNull, 1).otherwise(0)).cast("long").as("n_left_only"),
+        sum(when(col("l").isNull, 1).otherwise(0)).cast("long").as("n_right_only"))
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): `bins`
     * equal buckets with out-of-range values clamped into the edge bins
     * (the standard profiler convention — nothing silently dropped but

@@ -250,6 +250,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_q")
   }
 
+  /** Deterministic mean-pooling of embeddings per group — the pass
+    * that turns chunk/frame embeddings into one document vector. A
+    * plain per-dimension mean sums doubles in partition order and is
+    * NOT reproducible; here each element is first quantized to
+    * micro-fixed-point (`floor(v·10⁶)` as a long), the per-(group,
+    * dim) sum runs over longs (order-free, exact), and the mean is one
+    * final division — engine- and partitioning-deterministic with 1e-6
+    * element precision. Emits flat (group_id, dim_idx, n, sum_micro,
+    * mean_v) rows.
+    *
+    * Shape for scale: one posexplode to (group, dim) rows, then a
+    * single partial-agged hash aggregation — dim× row blowup of
+    * skinny longs, no windows, one shuffle on (group, dim).
+    */
+  def meanPool(emb: DataFrame, groupExpr: Column,
+               vecCol: String = "embedding"): DataFrame =
+    emb.select(groupExpr.as("group_id"),
+        posexplode(transform(asDouble(col(vecCol)),
+          x => floor(x * 1e6).cast("long"))).as(Seq("dim_idx", "micro")))
+      .groupBy("group_id", "dim_idx")
+      .agg(count(lit(1)).as("n"), sum(col("micro")).as("sum_micro"),
+        (sum(col("micro")).cast("double") / (count(lit(1)) * 1e6)).as("mean_v"))
+
   /** Deterministic int8 embedding quantization — the 4x storage
     * compression an embedding lake applies before indexing: per-vector
     * max-abs scale, q[d] = floor(v[d] / scale * 127) in [-127, 127]

@@ -366,6 +366,23 @@ object ExtensionQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Deterministic mean-pooling: every run of 10 consecutive vec_ids
+    * plays one "document" whose chunk embeddings pool to a single
+    * vector (flat per-dimension rows; micro-fixed-point sums make the
+    * mean order-free).
+    */
+  def embedPool(s: SparkSession, d: String): DataFrame =
+    Similarity.meanPool(embs(s, d), expr("vec_id div 10"))
+      .select(col("group_id"), col("dim_idx").cast("long").as("dim_idx"),
+        col("n"), col("sum_micro"), col("mean_v"))
+      .orderBy("group_id", "dim_idx")
+
+  /** Referential coverage between documents and embeddings (ids play
+    * the foreign key): matched rows and orphans on each side.
+    */
+  def refCheck(s: SparkSession, d: String): DataFrame =
+    Profile.referentialCheck(docs(s, d), embs(s, d), "doc_id", "vec_id")
+
   /** Numeric distribution histogram: events.value over [0, 500) in 20
     * fixed-width bins, out-of-range clamped to the edges.
     */
@@ -479,6 +496,26 @@ object ExtensionQueries {
         |SELECT band, count(*) AS n, min(value) AS min_v, max(value) AS max_v
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q_embed_pool" ->
+      """WITH e AS (SELECT vec_id // 10 AS group_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+        |  FROM embeddings)
+        |SELECT group_id, d - 1 AS dim_idx, count(*) AS n,
+        |  CAST(sum(m[d]) AS BIGINT) AS sum_micro,
+        |  CAST(sum(m[d]) AS DOUBLE) / (count(*) * 1000000.0) AS mean_v
+        |FROM e, unnest(range(1, 65)) AS u(d)
+        |GROUP BY group_id, d ORDER BY group_id, dim_idx""".stripMargin,
+    "q_ref_check" ->
+      """WITH l AS (SELECT doc_id AS k FROM documents),
+        |r AS (SELECT vec_id AS k FROM embeddings),
+        |j AS (SELECT l.k AS lk, r.k AS rk
+        |  FROM l FULL OUTER JOIN r ON l.k = r.k)
+        |SELECT count(lk) AS n_left, count(rk) AS n_right,
+        |  CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+        |  CAST(sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only
+        |FROM j""".stripMargin,
     "q_histogram" ->
       """WITH b AS (SELECT value,
         |    least(19, greatest(0, CAST(floor((value - 0.0) / 25.0) AS BIGINT))) AS bin
@@ -1159,6 +1196,8 @@ object ExtensionQueries {
     "q_frame_sample"    -> (frameSample _),
     "q_profile"         -> (profile _),
     "q_histogram"       -> (histogram _),
+    "q_embed_pool"      -> (embedPool _),
+    "q_ref_check"       -> (refCheck _),
     "q_lsh_stats"       -> (lshStats _),
     "q_quality_sample"  -> (qualitySample _),
     "q_profile_approx"  -> (profileApprox _),

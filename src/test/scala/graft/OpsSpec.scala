@@ -676,6 +676,33 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1, near), (2L, 2, far), (3L, 3, far)))
   }
 
+  test("meanPool: micro-fixed-point sums give an order-free mean; " +
+    "stable under repartitioning") {
+    val e = Seq(
+      (0L, Array(1.5f, -2.25f)),
+      (1L, Array(0.5f, 0.75f)),
+      (10L, Array(3f, 4f))
+    ).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.meanPool(df, expr("vec_id div 10"))
+        .select("group_id", "dim_idx", "n", "sum_micro", "mean_v")
+        .as[(Long, Int, Long, Long, Double)].collect().toSet
+    val out = run(e)
+    assert(out === run(e.repartition(5)))
+    // group 0: dims (1.5+0.5, -2.25+0.75) over 2 vectors
+    assert(out === Set(
+      (0L, 0, 2L, 2000000L, 1.0), (0L, 1, 2L, -1500000L, -0.75),
+      (1L, 0, 1L, 3000000L, 3.0), (1L, 1, 1L, 4000000L, 4.0)))
+  }
+
+  test("referentialCheck counts matches and per-side orphans once each") {
+    val l = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val r = Seq(3L, 4L, 5L).toDF("vec_id")
+    val out = graft.ops.Profile.referentialCheck(l, r, "doc_id", "vec_id")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out === ((4L, 3L, 2L, 2L, 1L)))
+  }
+
   test("histogram: fixed-width bins, out-of-range values clamped to " +
     "the edge bins, nulls dropped") {
     val d = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),
