@@ -426,9 +426,10 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, dim: Int = 64, codeStride: Int = 37,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding",
+             codebooks: Option[DataFrame] = None): DataFrame = {
     val subDim = dim / m
-    val cb = pqCodebooks(corpus, m, dim, codeStride, idCol, vecCol)
+    val cb = codebooks.getOrElse(pqCodebooks(corpus, m, dim, codeStride, idCol, vecCol))
     val enc = pqEncode(corpus, cb, m, dim, idCol, vecCol)
     val slices = array((0 until m).map(s =>
       slice(asDouble(col(vecCol)), s * subDim + 1, subDim)): _*)
@@ -442,6 +443,120 @@ object Similarity {
       .orderBy(col("adc_q"), col("neighbor_id"))
     enc.join(broadcast(table), Seq("s", "code"))
       .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("dq")).as("adc_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc_q")
+  }
+
+  /** Per-subspace k-means PQ codebook training (Lloyd, squared-L2,
+    * mean centroids): the trained counterpart of [[pqCodebooks]]'s
+    * stride picker, analogous to [[kmeans]] for the IVF coarse
+    * quantizer. Deterministic: init = the k lowest-id vectors'
+    * subvectors, assignment ranks by quantized distance with code
+    * tiebreaks. NOT oracle-portable (the mean's fp sum order varies),
+    * so it trains the index (spec-verified) while driver queries keep
+    * the stride codebooks. Returns (s, code, cb) for
+    * [[pqTopK]]/[[pqEncode]]'s `codebooks` hook.
+    *
+    * Scale: per round, one broadcast join of (m×K tiny codebooks)
+    * against the exploded subvectors + two hash-aggs, all partial-
+    * agged; state between rounds is m×K×subDim doubles.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, dim: Int, k: Int, iters: Int = 3,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0 && k >= 1 && iters >= 0,
+      s"need m | dim, k >= 1, iters >= 0")
+    val subDim = dim / m
+    val slices = array((0 until m).map(s =>
+      slice(asDouble(col(vecCol)), s * subDim + 1, subDim)): _*)
+    val sub = corpus
+      .select(col(idCol).as("vid"), posexplode(slices).as(Seq("s", "sv")))
+      .persist()
+    var cb: DataFrame = null
+    try {
+      val initIds = corpus.select(col(idCol).as("vid")).orderBy("vid").limit(k)
+      cb = sub.join(broadcast(initIds), Seq("vid"))
+        .select(col("s"), col("vid").as("code"), col("sv").as("cb")).persist()
+      cb.count()
+      for (_ <- 1 to iters) {
+        val assigned = sub.join(broadcast(cb), Seq("s"))
+          .withColumn("d2q", floor(sqDist(col("sv"), col("cb")) * 10000).cast("long"))
+          .groupBy("vid", "s")
+          .agg(min_by(col("code"), struct(col("d2q"), col("code"))).as("code"),
+            first(col("sv")).as("sv"))
+        val next = assigned.groupBy("s", "code")
+          .agg(array((1 to subDim).map(i => avg(element_at(col("sv"), i))): _*).as("cb"))
+          .persist()
+        next.count()
+        cb.unpersist()
+        cb = next
+      }
+      cb.select("s", "code", "cb").localCheckpoint()
+    } finally {
+      sub.unpersist()
+      if (cb != null) cb.unpersist()
+    }
+  }
+
+  /** IVF-PQ ANN top-k — the production index layout (FAISS-style,
+    * Jégou et al. 2011): the IVF coarse quantizer restricts each query
+    * to its `nprobe` posting lists, and PQ/ADC scores ONLY those
+    * candidates from their codes. The 100 TB memory model: the hot
+    * index is (centroid_id + m codes) per vector; full vectors stay
+    * cold. Both quantizers default to the deterministic stride so the
+    * oracle reproduces the whole index.
+    *
+    * Shape: corpus assignment = broadcast-cross + `max_by` (one pass,
+    * map-side reduced); the probe pairs, distance table, and codebooks
+    * all broadcast (query-side small by construction); the code scan
+    * is an equi-join on centroid_id then (query, s, code) with a
+    * partial-agged sum — the corpus side moves only skinny code rows.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nprobe: Int = 2, m: Int = 8, dim: Int = 64,
+                centroidStride: Int = 37, codeStride: Int = 37,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val subDim = dim / m
+    val cent = corpus.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
+      .withColumn("centn", norm(col("centv"), dim))
+    val cvec = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv"), dim))
+    val assigned = cvec.crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosQ(col("cv"), col("centv"), col("cn"), col("centn"), dim))
+      .groupBy("vec_id")
+      .agg(max_by(col("centroid_id"),
+        struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
+    val cb = pqCodebooks(corpus, m, dim, codeStride, idCol, vecCol)
+    val enc = pqEncode(corpus, cb, m, dim, idCol, vecCol)
+    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv"), dim))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("c_cos").desc, col("centroid_id"))
+    val probes = qv.crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosQ(col("qv"), col("centv"), col("qn"), col("centn"), dim))
+      .withColumn("c_rn", row_number().over(wc))
+      .filter(col("c_rn") <= nprobe)
+      .select("query_id", "centroid_id")
+    val slices = array((0 until m).map(s =>
+      slice(asDouble(col(vecCol)), s * subDim + 1, subDim)): _*)
+    val table = queries
+      .select(col(idCol).as("query_id"), posexplode(slices).as(Seq("s", "qsv")))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        floor(sqDist(col("qsv"), col("cb")) * 10000).cast("long").as("dq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_q"), col("neighbor_id"))
+    enc.join(assigned, Seq("vec_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(table), Seq("query_id", "s", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("dq")).as("adc_q"))
       .withColumn("rank", row_number().over(w))

@@ -131,6 +131,16 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ ANN (nprobe=2): the production composite — coarse posting
+    * lists bound the candidate set, PQ codes score it. The fifth ANN
+    * strategy, and the one a 100 TB index actually ships.
+    */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** SemDeDup at cos >= 0.9 over the stride-clustered embedding
     * space: survivors keep, duplicates carry their lowest-id witness.
     */
@@ -1024,6 +1034,47 @@ object ExtensionQueries {
         |      ORDER BY adc_q, neighbor_id) AS INT) AS rank FROM adc)
         |SELECT query_id, neighbor_id, rank, adc_q FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivfpq" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+        |ranked AS (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(floor(10000 * (
+        |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+        |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e a CROSS JOIN cent c),
+        |cassign AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, centroid_id FROM ranked
+        |  WHERE rn <= 2 AND vec_id % 50 = 0),
+        |sub AS (SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sv
+        |  FROM e, unnest(range(0, 8)) AS u(s)),
+        |cbs AS (SELECT s, vec_id AS code, sv AS cb FROM sub WHERE vec_id % 37 = 0),
+        |d AS (SELECT sub.vec_id, sub.s, cbs.code,
+        |    CAST(floor(list_reduce(list_transform(range(1, 9),
+        |      i -> (sv[i]-cb[i])*(sv[i]-cb[i])), (x,y)->x+y) * 10000) AS BIGINT) AS d2q
+        |  FROM sub JOIN cbs USING (s)),
+        |enc AS (SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, code) AS rn
+        |    FROM d) t
+        |  WHERE rn = 1),
+        |tab AS (SELECT vec_id AS query_id, s, code, d2q AS dq FROM d WHERE vec_id % 50 = 0),
+        |adc AS (SELECT p.query_id, enc.vec_id AS neighbor_id,
+        |    CAST(sum(t.dq) AS BIGINT) AS adc_q
+        |  FROM enc JOIN cassign ca ON enc.vec_id = ca.vec_id
+        |       JOIN probes p ON ca.centroid_id = p.centroid_id
+        |       JOIN tab t ON t.query_id = p.query_id AND t.s = enc.s AND t.code = enc.code
+        |  WHERE p.query_id <> enc.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc_q,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_q, neighbor_id) AS INT) AS rank FROM adc)
+        |SELECT query_id, neighbor_id, rank, adc_q FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_semdedup" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1183,6 +1234,7 @@ object ExtensionQueries {
     "q_ann_multiprobe"  -> (annLshMultiProbe _),
     "q_ann_ivf"         -> (annIvf _),
     "q_ann_pq"          -> (annPq _),
+    "q_ann_ivfpq"       -> (annIvfPq _),
     "q_semdedup"        -> (semDedup _),
     "q_ann_ivf2"        -> (annIvf2 _),
     "q_lang_id"         -> (langId _),

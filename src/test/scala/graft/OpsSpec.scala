@@ -676,6 +676,40 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1, near), (2L, 2, far), (3L, 3, far)))
   }
 
+  test("pqTrain recovers exact sub-cluster patterns; trained codebooks " +
+    "plug into pqTopK via the codebooks hook") {
+    // two exact patterns per subspace, repeated -> Lloyd means converge
+    // to the patterns themselves
+    val a = Array(0f, 0f, 1f, 1f)
+    val b = Array(10f, 10f, -1f, -1f)
+    val e = (0L to 5L).map(i => (i, if (i % 2 == 0) a else b))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(e, m = 2, dim = 4, k = 2, iters = 2)
+    val entries = cb.as[(Int, Long, Seq[Double])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3.toList).toSet).toMap
+    assert(entries(0) === Set(List(0.0, 0.0), List(10.0, 10.0)))
+    assert(entries(1) === Set(List(1.0, 1.0), List(-1.0, -1.0)))
+    val top = Similarity.pqTopK(e.filter(col("vec_id") === 0), e, k = 2,
+      m = 2, dim = 4, codebooks = Some(cb))
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    // trained codes are exact -> even ids (same pattern) rank first
+    assert(top.map(_._1).toSeq === Seq(2L, 4L))
+  }
+
+  test("ivfPqTopK equals pqTopK when nprobe covers every posting list") {
+    val e = (0L to 7L).map { i =>
+      (i, Array.tabulate(4)(d => ((i * 13 + d * 5) % 9 - 4).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 4 === 0)
+    val viaPq = Similarity.pqTopK(q, e, k = 3, m = 2, dim = 4, codeStride = 2)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // centroidStride 4 -> centroids {0, 4}; nprobe 2 covers both
+    val viaIvfPq = Similarity.ivfPqTopK(q, e, k = 3, nprobe = 2, m = 2,
+        dim = 4, centroidStride = 4, codeStride = 2)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(viaIvfPq === viaPq)
+  }
+
   test("meanPool: micro-fixed-point sums give an order-free mean; " +
     "stable under repartitioning") {
     val e = Seq(
