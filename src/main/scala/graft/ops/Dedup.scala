@@ -629,6 +629,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Keep-best canonical selection over near-dup clusters: every
+    * cluster elects the member with the highest `score` (id tiebreak)
+    * — the survivor rule real pipelines use in place of keep-first
+    * (keep the longest / highest-quality copy, not the one that
+    * happened to arrive first). One `max_by` hash-aggregate over the
+    * cluster assignment (map-side partials), equi-joined back onto the
+    * members — the best table is one row per CLUSTER (corpus-sized in
+    * the worst case), so it is NOT broadcast. Emits (doc_id,
+    * cluster_id, canonical_id, is_canonical).
+    */
+  def canonicalByScore(clusters: DataFrame, score: Column): DataFrame = {
+    val best = clusters
+      .withColumn("_s", score)
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("_s"), (-col("doc_id")).as("nid"))).as("canonical_id"))
+    clusters.join(best, Seq("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .select("doc_id", "cluster_id", "canonical_id", "is_canonical")
+  }
+
   /** Cross-snapshot exact dedup — the first gate of incremental
     * ingestion: drop incoming documents whose content hash already
     * exists in the base corpus (left-anti join on md5). Both sides

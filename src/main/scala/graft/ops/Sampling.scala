@@ -62,6 +62,23 @@ object Sampling {
       .select(df.columns.toIndexedSeq.map(col): _*) // original column order, _n gone
   }
 
+  /** EXACT-k deterministic stratified sampling: keep precisely
+    * min(k, |stratum|) rows per stratum — the md5 order makes the
+    * choice pseudo-random but reproducible. [[capPerStratum]] is the
+    * one-scan probabilistic variant (~cap rows, no shuffle); this one
+    * pays a per-stratum shuffle + sort for an exact count — eval-set
+    * construction wants exact, bulk downsampling wants cheap.
+    */
+  def exactKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** Weighted deterministic sampling: keep a row with probability
     * `weightCol` (clamped to [0, 1]) — quality-weighted corpus
     * downsampling, where a document's survival odds follow its quality

@@ -267,6 +267,26 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Keep-best canonical per near-dup cluster: the longest member
+    * (token count, id tiebreak) survives — the real-world survivor
+    * rule over the connected-components clustering.
+    */
+  def canonical(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val clusters = Dedup.connectedComponents(Dedup.ngramJaccard(all, 0.8), all)
+      .join(all.select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+    Dedup.canonicalByScore(clusters, col("n_tokens")).orderBy("doc_id")
+  }
+
+  /** Exact-k stratified sample: precisely 300 events per type. */
+  def sampleExactK(s: SparkSession, d: String): DataFrame =
+    Sampling.exactKPerStratum(
+        Tables.events(s, d).select("event_id", "event_type", "value"),
+        "event_type", "event_id", k = 300)
+      .orderBy("event_id")
+
   /** Deterministic global shuffle into 8 training shards. */
   def shard(s: SparkSession, d: String): DataFrame =
     Sampling.shardAssign(docs(s, d).select("doc_id"), "doc_id", numShards = 8)
@@ -832,6 +852,51 @@ object ExtensionQueries {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) AS ts,
+        |         len(list_distinct(string_split(text,' '))) AS n
+        |  FROM documents),
+        |pref AS (SELECT doc_id, ts, n,
+        |    ts[1:(n - CAST(ceil(0.8*n) AS INT) + 1)] AS prefix FROM toks),
+        |pa AS (SELECT doc_id, unnest(prefix) AS tok FROM pref),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pa a JOIN pa b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |    len(list_intersect(x.ts, y.ts)) AS inter, x.n AS n_a, y.n AS n_b
+        |  FROM cand JOIN toks x ON cand.doc_a = x.doc_id
+        |            JOIN toks y ON cand.doc_b = y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM j
+        |  WHERE CAST(inter AS DOUBLE)/(n_a+n_b-inter) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |len AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cj AS (SELECT cl.doc_id, cluster_id, n_tokens
+        |  FROM cl JOIN len USING (doc_id)),
+        |best AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+        |    SELECT cluster_id, doc_id,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY n_tokens DESC, doc_id) AS rn
+        |    FROM cj) t
+        |  WHERE rn = 1)
+        |SELECT cj.doc_id, cj.cluster_id, best.canonical_id,
+        |  cj.doc_id = best.canonical_id AS is_canonical
+        |FROM cj JOIN best USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "q_sample_exactk" ->
+      """SELECT event_id, event_type, value FROM (
+        |  SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 300 ORDER BY event_id""".stripMargin,
     "q_dedup_against" ->
       """WITH base AS (SELECT DISTINCT md5(text) AS text_hash FROM documents
         |  WHERE doc_id % 2 = 0 OR doc_id % 10 = 1),
@@ -1225,6 +1290,8 @@ object ExtensionQueries {
     "q_dedup_simhash"   -> (dedupSimhash _),
     "q_dedup_clusters"  -> (dedupClusters _),
     "q_dedup_against"   -> (dedupAgainst _),
+    "q_canonical"       -> (canonical _),
+    "q_sample_exactk"   -> (sampleExactK _),
     "q_split_clusters"  -> (splitClusters _),
     "q_embed_neardup"   -> (embedNearDup _),
     "q_embed_neardup_incr" -> (embedNearDupIncr _),

@@ -676,6 +676,31 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1, near), (2L, 2, far), (3L, 3, far)))
   }
 
+  test("canonicalByScore elects the highest-score member per cluster " +
+    "with id tiebreak") {
+    val cl = Seq((1L, 1L, 5L), (2L, 1L, 9L), (3L, 1L, 9L), (4L, 4L, 2L))
+      .toDF("doc_id", "cluster_id", "score")
+    val out = Dedup.canonicalByScore(cl, col("score"))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // cluster 1: docs 2 and 3 tie at score 9 -> lowest id (2) wins
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true),
+      (3L, 1L, 2L, false), (4L, 4L, 4L, true)))
+  }
+
+  test("exactKPerStratum keeps exactly min(k, stratum size) rows, " +
+    "stable under repartitioning") {
+    val d = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
+      .toDF("id", "stratum")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.exactKPerStratum(df, "stratum", "id", k = 20)
+        .as[(Long, String)].collect().toSet
+    val out = run(d)
+    assert(out === run(d.repartition(7)))
+    assert(out.count(_._2 == "big") === 20)
+    assert(out.count(_._2 == "small") === 10) // fewer than k -> all kept
+  }
+
   test("pqTrain recovers exact sub-cluster patterns; trained codebooks " +
     "plug into pqTopK via the codebooks hook") {
     // two exact patterns per subspace, repeated -> Lloyd means converge
