@@ -367,9 +367,14 @@ object TextStats {
     val n = probe.getLong(0)
     require(n > 0, "corpus is empty")
     val avgdl = probe.getLong(1).toDouble / n
+    // tf feeds THREE consumers (doc lengths, document frequencies, the
+    // final scoring join) and identical subtrees get no automatic
+    // exchange reuse here (plan shows 3 Generate explode branches) —
+    // materialize the (doc, term) counts once
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val dl = tf.groupBy("doc_id").agg(sum(col("c")).as("dl"))
     val top = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(nQueryTerms)
@@ -420,7 +425,10 @@ object TextStats {
         .select(extraNames.map(col) :+ col("p.prev") :+ col("p.next"): _*)
     }
     val trainPairs = pairs(train, Nil)
+    // bg feeds the context re-agg AND the scoring join — materialize the
+    // train-side explode + count once (same reuse gap as bm25's tf)
     val bg = trainPairs.groupBy("prev", "next").agg(count(lit(1)).as("c_bg"))
+      .localCheckpoint()
     val ctx = bg.groupBy("prev").agg(sum(col("c_bg")).as("c_ctx"))
     val vocab = train
       .select(explode(tokens(col(textCol))).as("tok"))

@@ -44,7 +44,10 @@ object EventStreamOps {
                              lateness: String = "5 minutes"): DataFrame =
     docs
       .withWatermark(tsCol, lateness)
-      .select(col(tsCol), explode(split(col(textCol), " ")).as("token"))
+      // the ONE tokenization definition (TextStats.tokens) — the live
+      // and snapshot monitors must never diverge on segmentation
+      .select(col(tsCol),
+        explode(graft.ops.TextStats.tokens(col(textCol))).as("token"))
       .groupBy(window(col(tsCol), window_, slide), col("token"))
       .agg(count(lit(1)).as("n"))
 
