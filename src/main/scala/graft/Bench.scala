@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** The harness that reads our stdout keeps only the last ~2 KiB, and sbt
+    * appends a trailer line after us — so the one JSON result line must stay
+    * comfortably under that window or its head gets truncated mid-object
+    * (which is exactly what happened to the full-precision line once the
+    * query count grew). Values are rounded to 1 ms and, if the line would
+    * still overflow, the fastest queries are dropped from the map (total
+    * always covers every query; `dropped` records how many were elided).
+    * The untruncated full-precision result is also written to
+    * bench_full.json in the working directory.
+    */
+  private val MaxLineChars = 1900
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,10 +41,31 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def line(entries: Seq[(String, Double)], dropped: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val tail = if (dropped > 0) s""","dropped":$dropped""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$tail,"sf":"$sfDir"}"""
+    }
+
+    // Full-precision record to disk (survives any stdout truncation).
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+    // Slowest-first so that, if truncation is ever needed, the queries that
+    // matter for performance analysis are the ones that survive.
+    val bySlow = results.toSeq.sortBy { case (_, v) => -v }
+    var keep = bySlow.length
+    while (keep > 1 && line(bySlow.take(keep), bySlow.length - keep).length > MaxLineChars)
+      keep -= 1
+    println(line(bySlow.take(keep), bySlow.length - keep))
     spark.stop()
   }
 }
