@@ -87,8 +87,12 @@ object SyncJob {
         // fundamentally a read — a caller without write permission on
         // the sink (read-only consumer, monitoring) must still get the
         // correct scanned answer, just without the speedup.
+        // NonFatal, not just IOException: object-store/file-system
+        // clients surface denied writes as RuntimeException/
+        // SecurityException subtypes too, and ANY sidecar write failure
+        // must degrade to the slow scan, never fail the read
         try writeSidecar(fs, path, wm, files.length)
-        catch { case _: java.io.IOException => () }
+        catch { case scala.util.control.NonFatal(_) => () }
         wm
     }
   }

@@ -357,6 +357,13 @@ object Dedup {
                           idCol: String = "doc_id",
                           maxRounds: Int = 25,
                           maxDriverEdges: Long = 1L << 21): DataFrame = {
+    // The driver finish holds the edge Rows plus three hash structures
+    // (~300 B/edge all-in for scalar ids). Cap the collect at ~10% of
+    // the driver heap regardless of the caller's bound, so a generous
+    // maxDriverEdges on a small (1 GiB) driver degrades to the
+    // distributed finish instead of an OOM.
+    val heapCappedEdges =
+      math.min(maxDriverEdges, Runtime.getRuntime.maxMemory() / 3000)
     val aCol = pairs.columns(0)
     val bCol = pairs.columns(1)
     // directed pair list, cached ONCE at its natural size — the
@@ -397,7 +404,7 @@ object Dedup {
     val nDir = contractedDir.count()
     contracted = contractedDir
     val spark = pairs.sparkSession
-    val labels: DataFrame = if (nDir <= maxDriverEdges) {
+    val labels: DataFrame = if (nDir <= heapCappedEdges) {
       // BOUNDED driver finish (the same bounded-probe pattern as the
       // 65-row vocab probe): star contraction shrinks dense near-dup
       // graphs by orders of magnitude (measured 3M pairs -> 3.6k
@@ -556,7 +563,11 @@ object Dedup {
       .withColumn("cos",
         Similarity.dotD(col("va"), col("vb"), dim) / (col("na") * col("nb")))
       .withColumn("cos_q", floor(col("cos") * 10000).cast("long"))
-      .filter(col("cos_q") >= math.floor(threshold * 10000).toLong)
+      // round, not floor: fp representation puts e.g. 0.95*10000 at
+      // 9499.999..., which floor would silently shift one quantum below
+      // the caller's intent (and below a hand-written SQL oracle's
+      // literal). round matches intent at the 1e-4 grid.
+      .filter(col("cos_q") >= math.round(threshold * 10000))
       .select("vec_a", "vec_b", "cos_q")
       .distinct()
   }
@@ -624,7 +635,11 @@ object Dedup {
       // last-ulp accumulation difference near the threshold cannot
       // flip pair membership across engines (the whole point of the
       // quantization — the oracle filters identically)
-      .filter(col("cos_q") >= math.floor(threshold * 10000).toLong)
+      // round, not floor: fp representation puts e.g. 0.95*10000 at
+      // 9499.999..., which floor would silently shift one quantum below
+      // the caller's intent (and below a hand-written SQL oracle's
+      // literal). round matches intent at the 1e-4 grid.
+      .filter(col("cos_q") >= math.round(threshold * 10000))
       .select("vec_a", "vec_b", "cos_q")
       .distinct()
   }
@@ -716,7 +731,11 @@ object Dedup {
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_q",
         Similarity.cosQ(col("av"), col("bv"), col("an"), col("bn"), dim))
-      .filter(col("cos_q") >= math.floor(threshold * 10000).toLong)
+      // round, not floor: fp representation puts e.g. 0.95*10000 at
+      // 9499.999..., which floor would silently shift one quantum below
+      // the caller's intent (and below a hand-written SQL oracle's
+      // literal). round matches intent at the 1e-4 grid.
+      .filter(col("cos_q") >= math.round(threshold * 10000))
       .groupBy(col("vec_b").as("vec_id"))
       .agg(min(col("vec_a")).as("dup_of"))
     assigned.select("vec_id", "centroid_id")

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Temporal join operators missing from Spark's built-in surface. */
 object TemporalJoins {
@@ -28,7 +28,13 @@ object TemporalJoins {
     * by `rightTiebreak` ASC, so the LAST one — the carried one — is the
     * tiebreak maximum, matching the oracle's
     * `ORDER BY t DESC, tiebreak DESC LIMIT 1`. Right rows with a null
-    * time never match anything and are dropped.
+    * time never match anything and are dropped. With
+    * `rightTiebreak = None`, ties rank by the carried `rightCols`
+    * struct itself (field-wise, left to right) so the result stays
+    * deterministic run-to-run; if any carried column's type is
+    * unorderable (contains a map), ties among identical (key, time)
+    * right rows are broken arbitrarily — pass an explicit tiebreak
+    * there.
     *
     * `keys` must name columns present in BOTH frames; `rightCols` are
     * appended to the left schema and must not collide with left names
@@ -54,12 +60,27 @@ object TemporalJoins {
     val (sideRight, sideLeft) = if (strict) (1, 0) else (0, 1)
 
     val rvType = StructType(rightCols.map(c => right.schema(c)))
+    // No caller tiebreak: rank equal-(key, time) right rows by the
+    // carried struct itself so which row wins no longer depends on the
+    // partition sort's arrival order. Only possible when the struct is
+    // orderable (maps are not sortable in Spark).
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: MapType    => false
+      case s: StructType => s.fields.forall(f => orderable(f.dataType))
+      case a: ArrayType  => orderable(a.elementType)
+      case _             => true
+    }
+    val structTb = orderable(rvType)
     val tbCol = rightTiebreak
       .map(c => col(c).as("_tb"))
-      .getOrElse(lit(null).cast("long").as("_tb"))
+      .getOrElse(
+        if (structTb) struct(rightCols.map(col): _*).as("_tb")
+        else lit(null).cast("long").as("_tb"))
     val tbNull = rightTiebreak
       .map(c => lit(null).cast(right.schema(c).dataType).as("_tb"))
-      .getOrElse(lit(null).cast("long").as("_tb"))
+      .getOrElse(
+        if (structTb) lit(null).cast(rvType).as("_tb")
+        else lit(null).cast("long").as("_tb"))
 
     val leftU = left.select(
       left.columns.map(col).toSeq ++ Seq(

@@ -287,9 +287,11 @@ object TextStats {
     * from one side count 0 there (full-outer join).
     *
     * Shape for scale: each side is one explode + hash-agg to per-token
-    * counts (map-side partials), totals are two single-scalar driver
-    * probes (bounded, like the vocab probes), and the ranking sorts one
-    * row per distinct token — never raw data.
+    * counts (map-side partials), computed ONCE (localCheckpoint, the
+    * same reuse move as bm25's tf) and consumed twice — the totals are
+    * single-scalar probes over the per-token aggregate (one row per
+    * distinct token), not extra corpus-wide tokenize scans — and the
+    * ranking sorts one row per distinct token, never raw data.
     */
   def tokenDrift(corpusA: DataFrame, corpusB: DataFrame, k: Int,
                  idCol: String = "doc_id",
@@ -298,12 +300,15 @@ object TextStats {
     def counts(df: DataFrame, cName: String) = df
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as(cName))
+      .localCheckpoint()
     val ca = counts(corpusA, "c_a")
     val cb = counts(corpusB, "c_b")
-    val totalA = corpusA.select(sum(size(tokens(col(textCol)))).cast("long"))
-      .head().getLong(0)
-    val totalB = corpusB.select(sum(size(tokens(col(textCol)))).cast("long"))
-      .head().getLong(0)
+    def total(df: DataFrame, cName: String): Long = {
+      val row = df.agg(sum(col(cName))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    val totalA = total(ca, "c_a")
+    val totalB = total(cb, "c_b")
     require(totalA > 0 && totalB > 0, "both corpora must contain tokens")
     ca.join(cb, Seq("token"), "full_outer")
       .select(col("token"),

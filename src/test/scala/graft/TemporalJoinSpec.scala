@@ -108,4 +108,22 @@ class TemporalJoinSpec extends SparkSpec {
         Seq("user"), "t", "rt", Seq("id"))
     }
   }
+
+  test("rightTiebreak = None breaks equal-(key, time) ties by the carried " +
+    "struct itself — deterministic run-to-run") {
+    // two right rows at the SAME (key, time): without an explicit
+    // tiebreak the winner must still be stable — the struct-max row
+    // ((30L, "z") > (29L, "y") field-wise)
+    val dupRight = Seq(
+      ("u1", 29L, "y", ts("2024-01-01 09:30:00")),
+      ("u1", 30L, "z", ts("2024-01-01 09:30:00"))
+    ).toDF("user", "rid", "tag", "rt")
+    (1 to 5).foreach { _ =>
+      val out = TemporalJoins.asOfJoin(
+          left.filter($"id" === 1L), dupRight.repartition(7),
+          Seq("user"), "t", "rt", Seq("rid", "tag"))
+        .select("rid", "tag").as[(Long, String)].collect()
+      assert(out.toSeq === Seq((30L, "z")))
+    }
+  }
 }
