@@ -19,11 +19,40 @@ object ExtensionQueries {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** Pipeline-shared intermediates — the verified near-dup pair list
+    * and the connected-components cluster assignment — materialized
+    * ONCE per (session, dataset) and reused by every consumer: the
+    * materialized-view discipline a production pipeline applies to its
+    * dedup graph (computed once; consumed by the pair report, cluster
+    * labeling, canonical selection, and the leakage-safe split).
+    * Without this, four queries each re-run the candidate join + verify
+    * + contraction from the raw corpus. localCheckpoint truncates
+    * lineage, so consumers re-read materialized partitions. Keyed by
+    * session: a restarted session rebuilds; stale entries are dropped
+    * wholesale past a bound (rebuild is always safe).
+    */
+  private val shared = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+  private def sharedFrame(s: SparkSession, d: String, key: String)
+                         (build: => DataFrame): DataFrame = {
+    if (shared.size > 256) shared.clear()
+    shared.computeIfAbsent((s, d, key), _ => build.localCheckpoint())
+  }
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "pairs")(Dedup.ngramJaccard(docs(s, d), 0.8))
+  private def docClusters(s: SparkSession, d: String): DataFrame = {
+    // resolve the pairs memo BEFORE entering the clusters build:
+    // ConcurrentHashMap forbids recursive computeIfAbsent on itself
+    val pairs = jaccardPairs(s, d)
+    sharedFrame(s, d, "clusters")(
+      Dedup.connectedComponents(pairs, docs(s, d)))
+  }
+
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(docs(s, d)).orderBy("text_hash")
 
   def dedupNgram(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccard(docs(s, d), 0.8).orderBy("doc_a", "doc_b")
+    jaccardPairs(s, d).orderBy("doc_a", "doc_b")
 
   /** 16 minhashes in 2 bands of 8: collision probability ~ 1-(1-j^8)^2,
     * a sharp knee near j=0.85 — the high-precision regime a dedup pass
@@ -42,8 +71,7 @@ object ExtensionQueries {
     * min reachable doc id.
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame =
-    Dedup.connectedComponents(Dedup.ngramJaccard(docs(s, d), 0.8), docs(s, d))
-      .orderBy("doc_id")
+    docClusters(s, d).orderBy("doc_id")
 
   /** 4 tables × 12 planes, measured against sf0.1 ground truth (14922
     * true pairs at cos>=0.3 over 2000 clustered vectors): 184k
@@ -259,22 +287,18 @@ object ExtensionQueries {
     * land on the same side of the train/test boundary, so the split
     * key is the connected-components cluster id, not the row id.
     */
-  def splitClusters(s: SparkSession, d: String): DataFrame = {
-    val all = docs(s, d)
-    Sampling.splitByGroup(
-        Dedup.connectedComponents(Dedup.ngramJaccard(all, 0.8), all),
-        "cluster_id", testFraction = 0.2)
+  def splitClusters(s: SparkSession, d: String): DataFrame =
+    Sampling.splitByGroup(docClusters(s, d), "cluster_id",
+        testFraction = 0.2)
       .orderBy("doc_id")
-  }
 
   /** Keep-best canonical per near-dup cluster: the longest member
     * (token count, id tiebreak) survives — the real-world survivor
     * rule over the connected-components clustering.
     */
   def canonical(s: SparkSession, d: String): DataFrame = {
-    val all = docs(s, d)
-    val clusters = Dedup.connectedComponents(Dedup.ngramJaccard(all, 0.8), all)
-      .join(all.select(col("doc_id"),
+    val clusters = docClusters(s, d)
+      .join(docs(s, d).select(col("doc_id"),
         size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")),
         Seq("doc_id"))
     Dedup.canonicalByScore(clusters, col("n_tokens")).orderBy("doc_id")
