@@ -275,13 +275,21 @@ object TextStats {
     // pass corpusSize when the caller already knows it (or the input is
     // expensive to scan) — the default probe is one count job over docs
     val n = corpusSize.getOrElse(docs.filter(col(textCol).isNotNull).count())
+    // tf feeds BOTH the per-doc length window and the document
+    // frequencies; localCheckpoint (bm25's tf-reuse move) materializes
+    // the explode + hash-agg once instead of per consumer
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-    val withLen = tf.withColumn("len",
-      sum(col("c")).over(Window.partitionBy("doc_id")))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    withLen.join(dfreq, Seq("term"))
+    // join df on BEFORE either window: both windows partition by
+    // doc_id, so they share one exchange + sort (the len window is
+    // unordered and rides the rank window's partitioning) — joining
+    // between them would shuffle the tf-sized table a third time
+    tf.join(dfreq, Seq("term"))
+      .withColumn("len",
+        sum(col("c")).over(Window.partitionBy("doc_id")))
       .withColumn("tfidf",
         (col("c").cast("double") / col("len")) *
           log(lit(n).cast("double") / col("df")))
