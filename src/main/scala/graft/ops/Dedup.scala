@@ -681,6 +681,61 @@ object Dedup {
         Seq("text_hash"), "left_anti")
       .select("doc_id", "text_hash")
 
+  /** Bloom-prefiltered cross-snapshot dedup — the shuffle-avoiding
+    * scale path of [[exactAgainst]], mirroring Spark's own runtime
+    * bloom-filter join pruning (and the membership screen every
+    * large-scale ingestion pipeline runs: Bloom, 1970; the CCNet /
+    * RefinedWeb-style "seen-before" gate).
+    *
+    * Build Spark's native `BloomFilterAggregate` sketch over the BASE
+    * side's 64-bit content-hash keys (one distributed aggregate — the
+    * sketch, KBs–MBs, is the only thing the driver ever holds), then
+    * screen the incoming side with `BloomFilterMightContain` as a
+    * scan-level predicate. Bloom filters have NO false negatives, so
+    * bloom-negative rows are definitely new and bypass the verify
+    * join entirely; only bloom-positive candidates — true duplicates
+    * plus ~`fpp` of the rest — reach the exact anti-join. The output
+    * is bit-identical to [[exactAgainst]]; the sketch only decides
+    * which rows must be verified. At 100 TB the incoming side is
+    * hashed once (localCheckpoint keeps the branch point from
+    * re-scanning the raw corpus), and the anti-join's shuffle volume
+    * drops from ALL incoming hashes to `dup_rate + fpp` of them.
+    *
+    * `expectedItems` sizes the sketch (Spark caps it at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `maxNumBits`; a multi-billion-key base shards the sketch by hash
+    * prefix — same dataflow per shard).
+    */
+  def bloomScreen(incoming: DataFrame, base: DataFrame,
+                  expectedItems: Long = 1000000L,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val key = xxhash64(col(textCol))
+    val sketchCol = GraftSqlShim.column(
+      new BloomFilterAggregate(GraftSqlShim.expression(key),
+        Literal(expectedItems)).toAggregateExpression())
+    val sketch = base.select(sketchCol.as("bf")).head().getAs[Array[Byte]](0)
+    if (sketch == null) // empty base: everything is new, nothing to verify
+      return incoming.select(col(idCol).as("doc_id"),
+        md5(col(textCol)).as("text_hash"))
+    val maybe = GraftSqlShim.column(new BloomFilterMightContain(
+      Literal.create(sketch,
+        org.apache.spark.sql.types.BinaryType),
+      GraftSqlShim.expression(key)))
+    val inc = incoming
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_hash"),
+        maybe.as("_maybe"))
+      .localCheckpoint()
+    val definiteNew = inc.filter(!col("_maybe")).select("doc_id", "text_hash")
+    val verifiedNew = inc.filter(col("_maybe")).select("doc_id", "text_hash")
+      .join(base.select(md5(col(textCol)).as("text_hash")).distinct(),
+        Seq("text_hash"), "left_anti")
+    definiteNew.unionByName(verifiedNew)
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): cluster the
     * embedding space, then mark within-cluster semantic duplicates —

@@ -297,6 +297,56 @@ object Similarity {
           x => floor(x / col("scale") * 127).cast("long")).as("qvec"))
   }
 
+  /** Deterministic ±1 sign matrix for [[randomProject]]: entry (j, i)
+    * is +1 when the high bit of md5("seed:i:j") is 0 — a pure function
+    * of the seed, reproducible in any engine with an md5.
+    */
+  def signMatrix(seed: String, inDim: Int, outDim: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      if ((md.digest(s"$seed:$i:$j".getBytes("UTF-8"))(0) & 0x80) == 0) 1
+      else -1
+    }
+  }
+
+  /** Signed random projection (Achlioptas, "Database-friendly random
+    * projections", JCSS 2003): reduce `inDim`-dim embeddings to
+    * `outDim` coordinates via a dense ±1 matrix — the cheap
+    * Johnson–Lindenstrauss transform an embedding lake applies before
+    * coarse clustering or as the hashing basis of sign-LSH (±1 entries
+    * need no float matrix storage: the matrix is a seed).
+    *
+    * Exactness contract (same as [[meanPool]]): inputs quantize to
+    * micro-fixed-point longs (`floor(x·1e6)`) BEFORE the matrix
+    * multiply, so every projected coordinate is an exact integer sum —
+    * order-free, bit-identical in any engine. Output columns
+    * `proj_0..proj_{outDim-1}` are micro-unit longs (divide by 1e6 for
+    * the float view).
+    *
+    * Scale: one scan, zero shuffles — the projection is `outDim`
+    * per-row array folds over a broadcast-free literal sign matrix
+    * (it lives in the plan, `outDim × inDim` ints). The dense matmul
+    * cost is O(inDim · outDim) per vector, the JL floor.
+    */
+  def randomProject(emb: DataFrame, outDim: Int, seed: String = "rp",
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1, "outDim must be >= 1")
+    val probe = emb.select(size(col(vecCol)).as("d")).take(1)
+    require(probe.nonEmpty, "randomProject needs a non-empty input")
+    val inDim = probe(0).getInt(0)
+    val signs = signMatrix(seed, inDim, outDim)
+    val micro = transform(asDouble(col(vecCol)),
+      x => floor(x * 1e6).cast("long"))
+    val projCols = (0 until outDim).map { j =>
+      val row = typedLit(signs(j).map(_.toLong).toSeq)
+      aggregate(zip_with(col("_m"), row, (m, s) => m * s),
+        lit(0L), (acc, x) => acc + x).as(s"proj_$j")
+    }
+    emb.select(col(idCol).as("vec_id"), micro.as("_m"))
+      .select(col("vec_id") +: projCols: _*)
+  }
+
   /** Spherical-k-means centroid training for the IVF index (Lloyd's
     * algorithm): assign every vector to its max-cosine centroid
     * (broadcast-cross + `max_by` hash-agg — the same shuffle-free

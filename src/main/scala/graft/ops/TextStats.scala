@@ -104,6 +104,99 @@ object TextStats {
       // expression's parity note)
       graft.functions.ShingleMinHash(tokens(col(textCol))).as("shingle_fp"))
 
+  /** Duplicated-span screen (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022 — the substring-level
+    * pass exact document dedup misses): for every document, the
+    * fraction of its `windowLen`-token sliding windows whose text also
+    * occurs in at least `minDocs` distinct documents. High `dup_frac`
+    * marks boilerplate-heavy pages (shared headers, licence blocks,
+    * templated spans) that survive whole-document dedup because the
+    * surrounding text differs.
+    *
+    * Window identity is the 64-bit hash of the window text, so the
+    * corpus-wide pass moves 8-byte keys, never window strings
+    * (collisions perturb counts at ~W²/2^65 — negligible at any
+    * realistic window count, the same trade the contamination screen
+    * makes). Dataflow: one explode to (doc, window-hash); the
+    * duplicated-hash set is a distinct + count over those skinny pairs
+    * (both hash-aggs, map-side partials); per-doc window totals come
+    * straight off the token count (a scan-side expression, no second
+    * corpus pass); the final per-doc dup count is a semi-join of the
+    * skinny pair table against the duplicated-hash set. Raw documents
+    * shuffle nowhere.
+    */
+  def duplicateSpans(docs: DataFrame, windowLen: Int = 8, minDocs: Int = 2,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(windowLen >= 1, "windowLen must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val t = tokens(col(textCol))
+    // tokens materialized in their own projection (same reason as
+    // [[winnow]]: the window lambda references the array per element)
+    val wins = when(size(col("_t")) >= windowLen,
+      transform(sequence(lit(1), size(col("_t")) - (windowLen - 1)),
+        i => xxhash64(concat_ws(" ", slice(col("_t"), i, lit(windowLen))))))
+      .otherwise(array().cast("array<bigint>"))
+    val w = docs.select(col(idCol).as("doc_id"), t.as("_t"))
+      .select(col("doc_id"), explode(wins).as("h"))
+    // hashes seen in >= minDocs distinct docs: distinct pairs first,
+    // then a plain count — two cascading hash-aggs, no Expand
+    val dup = w.distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+      when(size(t) >= windowLen, (size(t) - (windowLen - 1)).cast("long"))
+        .otherwise(lit(0L)).as("n_windows"))
+      .filter(col("n_windows") > 0)
+    val dupPerDoc = w.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"))
+          .as("dup_frac"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS sketch): md5 each word `k`-gram, slide a window of `w`
+    * consecutive gram hashes, keep the (lexicographic) minimum per
+    * window, and emit the distinct selected hashes per document.
+    * Winnowing guarantees any shared run of at least `w + k - 1`
+    * tokens contributes a shared fingerprint — the position-robust
+    * substring sketch behind plagiarism/mirror detection, with sketch
+    * density ~2/(w+1) of the gram count.
+    *
+    * Fingerprints are md5 hex strings (identical bytes in any engine,
+    * so sketches match across systems — the property that lets a
+    * Spark-built index serve a non-Spark lookup side). One scan,
+    * per-document array expressions only, no shuffle before the
+    * per-doc distinct explode; output is one (doc_id, fingerprint)
+    * row per selected hash.
+    */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
+             idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val t = tokens(col(textCol))
+    val grams = when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => md5(concat_ws(" ", slice(t, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    // materialize the gram array in its own projection: the window
+    // lambda below references it per ELEMENT, and inlining (what
+    // CollapseProject would do to a single select) would re-md5 the
+    // whole gram array once per window — O(G²) hashing per document
+    val fps = when(size(col("g")) >= w,
+      array_sort(array_distinct(
+        transform(sequence(lit(1), size(col("g")) - (w - 1)),
+          j => array_min(slice(col("g"), j, lit(w)))))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("doc_id"), grams.as("g"))
+      .select(col("doc_id"), explode(fps).as("fingerprint"))
+  }
+
   /** Corpus n-gram statistics: the `k` most frequent word n-grams with
     * total occurrences and document frequency — the corpus-stats pass
     * behind vocabulary building and contamination screening. One

@@ -282,6 +282,31 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered variant of [[dedupAgainst]] on a 1/3–2/3
+    * snapshot split: identical output contract (the Bloom sketch only
+    * routes rows around the verify join), so the oracle is the same
+    * anti-join SQL.
+    */
+  def dedupBloom(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.bloomScreen(
+        all.filter(col("doc_id") % 3 =!= 0),
+        all.filter(col("doc_id") % 3 === 0),
+        expectedItems = 100000L)
+      .orderBy("doc_id")
+  }
+
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    TextStats.duplicateSpans(docs(s, d), windowLen = 8).orderBy("doc_id")
+
+  def winnowFp(s: SparkSession, d: String): DataFrame =
+    TextStats.winnow(docs(s, d), k = 3, w = 4)
+      .orderBy("doc_id", "fingerprint")
+
+  def embedProject(s: SparkSession, d: String): DataFrame =
+    Similarity.randomProject(embs(s, d), outDim = 8, seed = "rp")
+      .orderBy("vec_id")
+
   /** Leakage-safe split at the NEAR-DUP-CLUSTER level — the reason
     * [[Sampling.splitByGroup]] exists: near-duplicate documents must
     * land on the same side of the train/test boundary, so the split
@@ -1304,7 +1329,51 @@ object ExtensionQueries {
         |SELECT doc_id, frame_idx,
         |  md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
         |FROM m, unnest(range(0, n_frames, 7)) AS u(frame_idx)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_dedup_bloom" ->
+      """WITH base AS (SELECT DISTINCT md5(text) AS text_hash FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |inc AS (SELECT doc_id, md5(text) AS text_hash FROM documents
+        |  WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, text_hash FROM inc
+        |WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.text_hash = inc.text_hash)
+        |ORDER BY doc_id""".stripMargin,
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |w AS (SELECT doc_id, md5(array_to_string(ts[i:i+7],' ')) AS h
+        |      FROM t, unnest(range(1, greatest(len(ts)-7,0)+1)) AS u(i)
+        |      WHERE len(ts) >= 8),
+        |d AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |nw AS (SELECT doc_id, CAST(len(ts)-7 AS BIGINT) AS n_windows
+        |       FROM t WHERE len(ts) >= 8),
+        |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        |       FROM w WHERE h IN (SELECT h FROM d) GROUP BY doc_id)
+        |SELECT nw.doc_id, n_windows,
+        |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_windows AS dup_frac
+        |FROM nw LEFT JOIN nd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ts)-2,0)+1),
+        |        i -> md5(array_to_string(ts[i:i+2],' '))) AS gs
+        |      FROM t WHERE len(ts) >= 3),
+        |f AS (SELECT doc_id, fp
+        |      FROM g, unnest(list_transform(range(1, greatest(len(gs)-3,0)+1),
+        |        j -> list_aggregate(gs[j:j+3], 'min'))) AS u(fp)
+        |      WHERE len(gs) >= 4)
+        |SELECT DISTINCT doc_id, fp AS fingerprint FROM f
+        |ORDER BY doc_id, fingerprint""".stripMargin,
+    "q_embed_project" -> {
+      val signs = Similarity.signMatrix("rp", 64, 8)
+      val cols = (0 until 8).map { j =>
+        val row = signs(j).mkString("[", ",", "]")
+        s"""  CAST(list_aggregate(list_transform(range(1,65),
+           |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
+           |         * ($row)[i]), 'sum') AS BIGINT) AS proj_$j""".stripMargin
+      }.mkString(",\n")
+      s"SELECT vec_id,\n$cols\nFROM embeddings ORDER BY vec_id"
+    }
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1358,6 +1427,10 @@ object ExtensionQueries {
     "q_tfidf"           -> (tfidf _),
     "q_contamination"   -> (contamination _),
     "q_curation"        -> (curation _),
-    "q_range_join"      -> (rangeJoin _)
+    "q_range_join"      -> (rangeJoin _),
+    "q_dedup_bloom"     -> (dedupBloom _),
+    "q_dup_spans"       -> (dupSpans _),
+    "q_winnow"          -> (winnowFp _),
+    "q_embed_project"   -> (embedProject _)
   )
 }

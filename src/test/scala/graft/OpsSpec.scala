@@ -810,4 +810,75 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     a.foreach { case (id, shard, _) => assert(shard === (slots(id) % 3).toInt) }
   }
+  test("duplicateSpans: cross-doc window sharing counted, internal-only " +
+    "repetition and short docs excluded") {
+    val d = Seq(
+      (1L, "a b c d e"),             // windows(3): abc bcd cde
+      (2L, "x a b c d"),             // windows: xab abc bcd -> shares 2
+      (3L, "p q r s t"),             // no shared windows
+      (4L, "u v"),                   // < 3 tokens: no row
+      (5L, "m n o m n o m n")        // "m n o" repeats WITHIN one doc only
+    ).toDF("doc_id", "text")
+    val out = TextStats.duplicateSpans(d, windowLen = 3)
+      .select("doc_id", "n_windows", "n_dup_windows")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 3L, 2L), (2L, 3L, 2L), (3L, 3L, 0L),
+      (5L, 6L, 0L)))
+  }
+
+  test("winnow: shared run >= w+k-1 tokens yields a shared fingerprint; " +
+    "fingerprints are a subset of the doc's gram hashes; short docs " +
+    "emit nothing") {
+    import org.apache.spark.sql.functions.md5
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z z a b c d q"),          // shares run "a b c d" (4 >= 2+2-1)
+      (3L, "a b")                     // 2 tokens < k+w-1: no grams >= w
+    ).toDF("doc_id", "text")
+    val out = TextStats.winnow(d, k = 2, w = 2)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert(out.getOrElse(3L, Set.empty).isEmpty)
+    assert(out(1L).intersect(out(2L)).nonEmpty)
+    // every fingerprint is the md5 of one of the doc's k-grams
+    def gramHashes(text: String): Set[String] = {
+      val t = text.split(" ")
+      t.sliding(2).map(g => g.mkString(" ")).toSeq
+        .toDF("g").select(md5($"g")).as[String].collect().toSet
+    }
+    assert(out(1L).subsetOf(gramHashes("a b c d e f")))
+    assert(out(2L).subsetOf(gramHashes("z z a b c d q")))
+  }
+
+  test("bloomScreen == exactAgainst bit-for-bit; empty base passes " +
+    "everything through") {
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val inc = docs.filter($"doc_id" % 2 === 1)
+    val viaBloom = Dedup.bloomScreen(inc, base, expectedItems = 100L)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val exact = Dedup.exactAgainst(inc, base)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(viaBloom.toSeq === exact.toSeq)
+    val emptyBase = docs.filter($"doc_id" < 0)
+    val all = Dedup.bloomScreen(inc, emptyBase)
+      .select("doc_id").as[Long].collect().sorted
+    assert(all.toSeq === inc.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("randomProject: exact signed micro sums against the sign matrix; " +
+    "seed-deterministic; +-1 entries only") {
+    val m = Similarity.signMatrix("rp", 4, 3)
+    assert(m === Similarity.signMatrix("rp", 4, 3))
+    assert(m.flatten.forall(s => s == 1 || s == -1))
+    assert(Similarity.signMatrix("other", 4, 3) !== m) // seed matters
+    // micro-exact inputs: floor(x*1e6) has no rounding surprises
+    val v = Array(0.5f, -0.25f, 1.0f, 2.0f)
+    val micros = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val d = Seq((7L, v.toSeq)).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(d, outDim = 3, seed = "rp")
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = (0 until 3).map(j =>
+      (0 until 4).map(i => m(j)(i) * micros(i)).sum)
+    assert(out.toSeq === Seq((7L, expected(0), expected(1), expected(2))))
+  }
 }
