@@ -28,10 +28,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warmup so the first timed query doesn't absorb executor/
-    // codegen/file-index startup (~3-4 s of one-time JVM cost)
+    // codegen/file-index startup (~3-4 s of one-time JVM cost). Every
+    // table is counted once: filesystem init, FileIndex listing, and
+    // parquet footer reads are SESSION costs, not per-query costs, and
+    // without this they all land on whichever query runs first (the
+    // map iteration order makes that query look seconds slower than it
+    // is). A count() materializes no query result — nothing is cached.
     spark.range(1000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/nation.parquet").count()
-    catch { case _: Throwable => () }
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"))
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q_a,q_b runs a subset — local profiling aid
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

@@ -681,6 +681,33 @@ object Dedup {
         Seq("text_hash"), "left_anti")
       .select("doc_id", "text_hash")
 
+  /** Corpus snapshot diff — the lifecycle monitor between two
+    * ingestion runs: per document id, whether it was `added`,
+    * `removed`, or `changed` (content hash moved); unchanged docs are
+    * suppressed (they are the overwhelming majority, and emitting
+    * them would make the report O(corpus) instead of O(churn)).
+    *
+    * Scale: both sides reduce to skinny (id, md5) rows before the
+    * full-outer join — text never moves, the join shuffles 16-byte
+    * hashes on the id key, and the output is churn-sized. The
+    * downstream twin of [[exactAgainst]] (which gates ingestion;
+    * this one audits it).
+    */
+  def corpusDiff(base: DataFrame, current: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val b = base.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h_base"))
+    val c = current.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h_cur"))
+    b.join(c, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_base").isNull, lit("added"))
+          .when(col("h_cur").isNull, lit("removed"))
+          .when(col("h_base") =!= col("h_cur"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select("doc_id", "status", "h_base", "h_cur")
+  }
+
   /** Bloom-prefiltered cross-snapshot dedup — the shuffle-avoiding
     * scale path of [[exactAgainst]], mirroring Spark's own runtime
     * bloom-filter join pruning (and the membership screen every

@@ -453,6 +453,57 @@ object TextStats {
     "[0-9]{9,}" -> "<ID>",
     "\\s+" -> " ")
 
+  /** Deterministic weight table for [[qualityClassifier]]: `buckets`
+    * integer weights in [-10, 10], each a pure function of
+    * (seed, bucket) via md5 — reproducible in any engine, so a model
+    * trained elsewhere can be frozen into the same shape.
+    */
+  def classifierWeights(seed: String, buckets: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(buckets) { b =>
+      val h = md.digest(s"$seed:$b".getBytes("UTF-8"))
+      ((h(0) & 0xff) % 21) - 10
+    }
+  }
+
+  /** fastText-style hashed linear text classifier (Joulin et al.,
+    * "Bag of Tricks for Efficient Text Classification", 2017 — the
+    * shape of the quality/toxicity filters in CCNet and the GPT-3
+    * data pipeline): each token hashes into one of `buckets` feature
+    * slots, the document score is the mean bucket weight, and `keep`
+    * is the sign. The weight table here is a seeded stand-in with the
+    * exact serving dataflow — training happens offline; serving a real
+    * model means swapping the literal array.
+    *
+    * Integer-exact: weights are ints, the score sum is a long, and
+    * only the final mean divides — bit-identical in any engine with
+    * md5 (bucket = first-4-hex-digits slot mod `buckets`, the same
+    * portable hash as the sampling operators). One scan, zero
+    * shuffles, no UDFs: the weight table is a plan literal
+    * (`element_at` over an array column), so scoring 100 TB is an
+    * embarrassingly parallel map with the model riding inside the
+    * plan, not in a join.
+    */
+  def qualityClassifier(docs: DataFrame, seed: String = "quality",
+                        buckets: Int = 1024,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val w = typedLit(classifierWeights(seed, buckets).toSeq)
+    val slot = (t: Column) =>
+      conv(substring(md5(t), 1, 4), 16, 10).cast("long")
+    val score = aggregate(
+      transform(tokens(col(textCol)),
+        t => element_at(w, (slot(t) % buckets).cast("int") + 1).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        score.as("score"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("quality", col("score").cast("double") / col("n_tokens"))
+      .withColumn("keep", col("quality") > 0)
+  }
+
   def scrub(text: Column): Column =
     trim(ScrubSteps.foldLeft(text) { case (c, (p, r)) =>
       regexp_replace(c, p, r)

@@ -296,6 +296,23 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    TextStats.qualityClassifier(docs(s, d)).orderBy("doc_id")
+
+  /** Snapshot diff on a synthetic "next run": 1/5 of docs removed,
+    * 1/13 rewritten (uppercased), 1/17 re-added under shifted ids.
+    */
+  def corpusDiffQ(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val cur = all.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(all.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    Dedup.corpusDiff(all, cur).orderBy("doc_id", "status")
+  }
+
   def dupSpans(s: SparkSession, d: String): DataFrame =
     TextStats.duplicateSpans(docs(s, d), windowLen = 8).orderBy("doc_id")
 
@@ -1364,6 +1381,42 @@ object ExtensionQueries {
         |      WHERE len(gs) >= 4)
         |SELECT DISTINCT doc_id, fp AS fingerprint FROM f
         |ORDER BY doc_id, fingerprint""".stripMargin,
+    "q_quality_score" -> {
+      val w = TextStats.classifierWeights("quality", 1024)
+        .mkString("[", ",", "]")
+      // slot(t) = first-4-hex-digits of md5(t) as an int (the portable
+      // hash every sampling oracle uses), bucket = slot % 1024
+      val slot = (1 to 4).map { p =>
+        val mult = math.pow(16, 4 - p).toInt
+        s"(strpos('0123456789abcdef', substr(md5(t),$p,1))-1)*$mult"
+      }.mkString(" + ")
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(string_split(text,' '),
+         |      t -> ($w)[(($slot) % 1024) + 1])) AS BIGINT) AS score
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, score,
+         |  CAST(score AS DOUBLE) / n_tokens AS quality,
+         |  CAST(score AS DOUBLE) / n_tokens > 0 AS keep
+         |FROM sc WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
+    },
+    "q_corpus_diff" ->
+      """WITH base AS (SELECT doc_id, md5(text) AS h_base FROM documents),
+        |cur AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END) AS h_cur
+        |  FROM documents WHERE doc_id % 5 <> 4
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 17 = 0),
+        |j AS (SELECT COALESCE(base.doc_id, cur.doc_id) AS doc_id, h_base, h_cur
+        |      FROM base FULL OUTER JOIN cur ON base.doc_id = cur.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN h_base IS NULL THEN 'added'
+        |       WHEN h_cur IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status, h_base, h_cur
+        |FROM j
+        |WHERE h_base IS NULL OR h_cur IS NULL OR h_base <> h_cur
+        |ORDER BY doc_id, status""".stripMargin,
     "q_embed_project" -> {
       val signs = Similarity.signMatrix("rp", 64, 8)
       val cols = (0 until 8).map { j =>
@@ -1431,6 +1484,8 @@ object ExtensionQueries {
     "q_dedup_bloom"     -> (dedupBloom _),
     "q_dup_spans"       -> (dupSpans _),
     "q_winnow"          -> (winnowFp _),
-    "q_embed_project"   -> (embedProject _)
+    "q_embed_project"   -> (embedProject _),
+    "q_quality_score"   -> (qualityScore _),
+    "q_corpus_diff"     -> (corpusDiffQ _)
   )
 }

@@ -145,6 +145,33 @@ object EventStreamOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(Seq("simhash"))
 
+  /** Streaming ingestion gate against a STATIC base corpus: drop
+    * arriving documents whose content hash already exists in the base
+    * (stream-static left-anti join — Spark re-plans the static side
+    * per micro-batch, so a lake-backed base picks up compactions
+    * without restarting the query), then drop in-stream repeats within
+    * the watermark ([[streamingDedup]]'s bounded state). The live twin
+    * of [[graft.ops.Dedup.exactAgainst]]: batch gates a snapshot,
+    * this gates the firehose.
+    *
+    * Scale: the stream side reduces to (row, md5) before the join; the
+    * static side is hashes only (at 100 TB, the persisted hash index,
+    * not the corpus — broadcast if it fits, shuffled-hash otherwise).
+    * State for the in-stream stage is bounded by the lateness window.
+    */
+  def streamingDedupAgainstBase(docs: DataFrame, base: DataFrame,
+                                textCol: String = "text",
+                                tsCol: String = "ts",
+                                lateness: String = "10 minutes"): DataFrame = {
+    val baseHashes = base
+      .select(md5(col(textCol)).as("text_hash")).distinct()
+    docs
+      .withColumn("text_hash", md5(col(textCol)))
+      .join(baseHashes, Seq("text_hash"), "left_anti")
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("text_hash"))
+  }
+
   /** Stream-stream interval attribution: join a purchase stream to a
     * click/view stream of the same user within a bounded look-back
     * window — the streaming counterpart of

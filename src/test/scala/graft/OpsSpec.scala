@@ -881,4 +881,35 @@ class OpsSpec extends SparkSpec {
       (0 until 4).map(i => m(j)(i) * micros(i)).sum)
     assert(out.toSeq === Seq((7L, expected(0), expected(1), expected(2))))
   }
+
+  test("qualityClassifier: score is the exact sum of bucket weights, " +
+    "quality the mean, keep the sign; empty docs are dropped") {
+    val w = TextStats.classifierWeights("quality", 1024)
+    assert(w.forall(x => x >= -10 && x <= 10))
+    assert(TextStats.classifierWeights("quality", 1024).toSeq === w.toSeq)
+    def slot(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(4), 16)
+    }
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha")).toDF("doc_id", "text")
+    val out = TextStats.qualityClassifier(d)
+      .select("doc_id", "n_tokens", "score")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    def expected(text: String): Long =
+      text.split(" ").map(t => w(slot(t) % 1024).toLong).sum
+    assert(out.toSeq === Seq(
+      (1L, 3L, expected("alpha beta gamma")),
+      (2L, 2L, expected("alpha alpha"))))
+  }
+
+  test("corpusDiff labels added/removed/changed and suppresses unchanged") {
+    val base = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "same"), (2L, "changed!"), (9L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(base, cur)
+      .select("doc_id", "status").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((2L, "changed"), (3L, "removed"), (9L, "added")))
+  }
 }

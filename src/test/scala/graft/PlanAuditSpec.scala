@@ -180,4 +180,44 @@ class PlanAuditSpec extends SparkSpec {
     val p3 = plan(Dedup.simhash(docs))
     assert(!p3.contains("Exchange") && !p3.contains("Generate"), p3)
   }
+
+  test("qualityClassifier and randomProject are pure projections: the " +
+    "model/matrix rides in the plan, no Exchange, no join") {
+    val p1 = plan(TextStats.qualityClassifier(docs))
+    assert(!p1.contains("Exchange") && !p1.contains("Join"), p1)
+    val p2 = plan(Similarity.randomProject(embs, outDim = 4, seed = "rp"))
+    assert(!p2.contains("Exchange") && !p2.contains("Join"), p2)
+  }
+
+  test("bloomScreen: bloom-negative rows bypass the verify join (a " +
+    "NOT _maybe passthrough branch of the union), and the LeftAnti " +
+    "verify runs only over the _maybe branch — no cartesian. The " +
+    "might_contain evaluation itself sits under the localCheckpoint " +
+    "(Scan ExistingRDD), executed once for both branches") {
+    val p = plan(Dedup.bloomScreen(docs, docs.limit(50), expectedItems = 100L))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("NOT _maybe") || p.contains("NOT (_maybe"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
+  test("corpusDiff full-outer join moves only (doc_id, md5) — text " +
+    "is projected away below the join") {
+    val p = plan(Dedup.corpusDiff(docs, docs))
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("h_base") && p.contains("h_cur"), p)
+    // the raw text column is consumed by the md5 projections below
+    // the join: the join row itself carries only ids and hashes
+    val joinLine = p.substring(p.indexOf("FullOuter")).linesIterator.next()
+    assert(!joinLine.contains("text#"), p)
+  }
+
+  test("duplicateSpans: the duplicated-hash set and the per-doc count " +
+    "are hash-aggregates with map-side partials; the dup-set join is " +
+    "LeftSemi on the 8-byte hash") {
+    val p = plan(TextStats.duplicateSpans(docs, windowLen = 2))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+  }
 }

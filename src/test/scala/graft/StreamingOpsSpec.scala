@@ -102,6 +102,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedupAgainstBase: base-corpus duplicates drop at the " +
+    "gate, in-stream repeats drop within the watermark, novel docs pass") {
+    implicit val sc = spark.sqlContext
+    val base = Seq((100L, "already ingested text"), (101L, "old doc"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreamOps.streamingDedupAgainstBase(df, base)
+      .writeStream.format("memory").queryName("sdedupbase")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+      mem.addData(
+        (t(1), 1L, "already ingested text"),  // dup of base -> dropped
+        (t(2), 2L, "fresh document one"))
+      q.processAllAvailable()
+      mem.addData(
+        (t(3), 3L, "fresh document one"),     // in-stream repeat -> dropped
+        (t(4), 4L, "fresh document two"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedupbase").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(2L, 4L))
+    } finally q.stop()
+  }
+
   test("streamingAttribution: purchases join sources of the same user " +
     "within the look-back interval; outside-window and cross-user " +
     "sources never match; unmatched purchases surface with null source " +
