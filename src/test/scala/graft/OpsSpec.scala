@@ -912,4 +912,33 @@ class OpsSpec extends SparkSpec {
       .select("doc_id", "status").as[(Long, String)].collect().sortBy(_._1)
     assert(out.toSeq === Seq((2L, "changed"), (3L, "removed"), (9L, "added")))
   }
+
+  test("shared ANN index == inline build: ivfTopK with a pre-built " +
+    "assignToCentroids and pqTopK/ivfPqTopK with pre-built codebooks/" +
+    "codes return bit-identical results") {
+    val emb = (1 to 120)
+      .map(i => (i.toLong, Array.tabulate(8)(dd => ((i * 31 + dd * 7) % 17 - 8).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" % 40 === 0)
+    val assign = Similarity.assignToCentroids(emb, centroidStride = 11, dim = 8)
+    val a = Similarity.ivfTopK(q, emb, k = 3, centroidStride = 11, dim = 8,
+        corpusAssigned = Some(assign)).collect().toSet
+    val b = Similarity.ivfTopK(q, emb, k = 3, centroidStride = 11, dim = 8)
+      .collect().toSet
+    assert(a === b)
+    val cb = Similarity.pqCodebooks(emb, m = 2, dim = 8, codeStride = 11)
+    val enc = Similarity.pqEncode(emb, cb, m = 2, dim = 8)
+    val c = Similarity.pqTopK(q, emb, k = 3, m = 2, dim = 8, codeStride = 11,
+        codebooks = Some(cb), encoded = Some(enc)).collect().toSet
+    val e2 = Similarity.pqTopK(q, emb, k = 3, m = 2, dim = 8, codeStride = 11)
+      .collect().toSet
+    assert(c === e2)
+    val f = Similarity.ivfPqTopK(q, emb, k = 3, m = 2, dim = 8,
+        centroidStride = 11, codeStride = 11,
+        codebooks = Some(cb), encoded = Some(enc),
+        corpusAssigned = Some(assign)).collect().toSet
+    val g = Similarity.ivfPqTopK(q, emb, k = 3, m = 2, dim = 8,
+        centroidStride = 11, codeStride = 11).collect().toSet
+    assert(f === g)
+  }
 }
