@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of whole-stage-codegen'd queries in one session overflow the
+  // default 240 MB JIT code cache; once it fills, HotSpot stops
+  // compiling and random later queries drop to interpreted speed (5x
+  // swings between identical bench runs). Size it for the query count.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("GRAFT_CODE_CACHE", "1g")}",
 )

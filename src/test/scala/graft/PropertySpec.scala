@@ -181,4 +181,62 @@ class PropertySpec extends SparkSpec {
       }.toSet
     assert(capped === manual)
   }
+
+  test("property: bloomScreen == exactAgainst on random corpora with " +
+    "planted duplicates (8 seeds)") {
+    for (seed <- 1L to 8L) {
+      val rnd = new scala.util.Random(seed)
+      val base = (1 to 60).map(i => (i.toLong, s"doc ${rnd.nextInt(40)} body"))
+      val inc = (100 to 160).map(i =>
+        (i.toLong, if (rnd.nextBoolean()) base(rnd.nextInt(60))._2
+                   else s"new ${rnd.nextInt(40)} text"))
+      val bDf = base.toDF("doc_id", "text")
+      val iDf = inc.toDF("doc_id", "text")
+      val viaBloom = Dedup.bloomScreen(iDf, bDf, expectedItems = 200L)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val exact = Dedup.exactAgainst(iDf, bDf)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(viaBloom === exact, s"seed=$seed")
+    }
+  }
+
+  test("property: winnow guarantee — any two docs sharing a run of " +
+    "w+k-1 tokens share at least one fingerprint (8 seeds, k=3, w=4)") {
+    for (seed <- 1L to 8L) {
+      val rnd = new scala.util.Random(seed)
+      // a shared run of exactly w+k-1 = 6 tokens planted inside noise
+      val run = (1 to 6).map(i => s"shared${rnd.nextInt(1000)}_$i").mkString(" ")
+      def noise(n: Int) = (1 to n).map(_ => s"n${rnd.nextInt(500)}").mkString(" ")
+      val d = Seq(
+        (1L, s"${noise(5 + rnd.nextInt(5))} $run ${noise(3)}"),
+        (2L, s"${noise(2)} $run ${noise(6 + rnd.nextInt(5))}")
+      ).toDF("doc_id", "text")
+      val fp = graft.ops.TextStats.winnow(d, k = 3, w = 4)
+        .as[(Long, String)].collect().groupBy(_._1)
+        .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+      assert(fp(1L).intersect(fp(2L)).nonEmpty, s"seed=$seed")
+    }
+  }
+
+  test("property: duplicateSpans dup counts are bounded by totals and " +
+    "invariant under doc order/partitioning (5 seeds)") {
+    for (seed <- 1L to 5L) {
+      val rnd = new scala.util.Random(seed)
+      val docsR = (1 to 40).map { i =>
+        val toks = (1 to 6 + rnd.nextInt(10)).map(_ => s"w${rnd.nextInt(12)}")
+        (i.toLong, toks.mkString(" "))
+      }
+      val df = docsR.toDF("doc_id", "text")
+      val out = graft.ops.TextStats.duplicateSpans(df, windowLen = 3)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      out.foreach { case (_, nw, nd, frac) =>
+        assert(nd >= 0 && nd <= nw)
+        assert(math.abs(frac - nd.toDouble / nw) < 1e-12)
+      }
+      val shuffled = graft.ops.TextStats
+        .duplicateSpans(df.repartition(7), windowLen = 3)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(shuffled === out, s"seed=$seed")
+    }
+  }
 }
