@@ -131,14 +131,10 @@ object TextStats {
     require(windowLen >= 1, "windowLen must be >= 1")
     require(minDocs >= 2, "minDocs must be >= 2")
     val t = tokens(col(textCol))
-    // tokens materialized in their own projection (same reason as
-    // [[winnow]]: the window lambda references the array per element)
-    val wins = when(size(col("_t")) >= windowLen,
-      transform(sequence(lit(1), size(col("_t")) - (windowLen - 1)),
-        i => xxhash64(concat_ws(" ", slice(col("_t"), i, lit(windowLen))))))
-      .otherwise(array().cast("array<bigint>"))
-    val w = docs.select(col(idCol).as("doc_id"), t.as("_t"))
-      .select(col("doc_id"), explode(wins).as("h"))
+    // native one-pass window hasher (xxhash64-parity spec-pinned); the
+    // interpreted chain form lives in [[windowHashChain]] for the spec
+    val w = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WindowHashes(t, windowLen)).as("h"))
     // hashes seen in >= minDocs distinct docs: distinct pairs first,
     // then a plain count — two cascading hash-aggs, no Expand
     val dup = w.distinct()
@@ -156,6 +152,23 @@ object TextStats {
         coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
         (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"))
           .as("dup_frac"))
+  }
+
+  /** Interpreted HOF twin of [[graft.functions.WindowHashes]] — the
+    * executable spec its xxhash64 parity is pinned against (the token
+    * array materializes in its own projection so the window lambda
+    * reads a bound column instead of re-splitting per window).
+    */
+  private[graft] def windowHashChain(docs: DataFrame, windowLen: Int,
+                                     idCol: String,
+                                     textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val wins = when(size(col("_t")) >= windowLen,
+      transform(sequence(lit(1), size(col("_t")) - (windowLen - 1)),
+        i => xxhash64(concat_ws(" ", slice(col("_t"), i, lit(windowLen))))))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(col(idCol).as("doc_id"), t.as("_t"))
+      .select(col("doc_id"), explode(wins).as("h"))
   }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, "Winnowing:
@@ -179,15 +192,27 @@ object TextStats {
              idCol: String = "doc_id",
              textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
+    // native one-pass kernel (gram md5s + monotonic-deque window min +
+    // distinct/sort); bit-parity with the interpreted HOF chain is
+    // pinned in OpsSpec
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WinnowFingerprints(
+        tokens(col(textCol)), k, w)).as("fingerprint"))
+  }
+
+  /** The interpreted HOF form of [[winnow]]'s per-document kernel —
+    * kept as the executable spec the native expression is
+    * parity-tested against (the gram array materializes in its own
+    * projection: the window lambda references it per ELEMENT, so
+    * inlining would re-md5 the whole array once per window — O(G²)).
+    */
+  private[graft] def winnowChain(docs: DataFrame, k: Int, w: Int,
+                                 idCol: String, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
     val grams = when(size(t) >= k,
       transform(sequence(lit(1), size(t) - (k - 1)),
         i => md5(concat_ws(" ", slice(t, i, lit(k))))))
       .otherwise(array().cast("array<string>"))
-    // materialize the gram array in its own projection: the window
-    // lambda below references it per ELEMENT, and inlining (what
-    // CollapseProject would do to a single select) would re-md5 the
-    // whole gram array once per window — O(G²) hashing per document
     val fps = when(size(col("g")) >= w,
       array_sort(array_distinct(
         transform(sequence(lit(1), size(col("g")) - (w - 1)),

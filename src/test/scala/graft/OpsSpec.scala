@@ -941,4 +941,42 @@ class OpsSpec extends SparkSpec {
         centroidStride = 11, codeStride = 11).collect().toSet
     assert(f === g)
   }
+
+  test("native WinnowFingerprints == interpreted HOF chain, bit-for-bit, " +
+    "on random docs incl. short/empty edge cases (8 seeds)") {
+    for (seed <- 1L to 8L) {
+      val rnd = new scala.util.Random(seed)
+      val docsR = (1 to 30).map { i =>
+        val n = rnd.nextInt(14) // 0..13 tokens: exercises n<k and G<w
+        (i.toLong, (1 to n).map(_ => s"t${rnd.nextInt(9)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val native = TextStats.winnow(docsR, k = 3, w = 4)
+        .as[(Long, String)].collect().sortBy(x => (x._1, x._2)).toSeq
+      val chain = TextStats.winnowChain(docsR, 3, 4, "doc_id", "text")
+        .as[(Long, String)].collect().sortBy(x => (x._1, x._2)).toSeq
+      assert(native === chain, s"seed=$seed")
+    }
+  }
+
+  test("native WindowHashes == interpreted xxhash64 chain, bit-for-bit " +
+    "(position-aligned), on random docs incl. short docs (8 seeds)") {
+    for (seed <- 1L to 8L) {
+      val rnd = new scala.util.Random(seed)
+      val docsR = (1 to 30).map { i =>
+        val n = rnd.nextInt(12) // 0..11 tokens: exercises n < windowLen
+        (i.toLong, (1 to n).map(_ => s"t${rnd.nextInt(9)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val native = docsR.select($"doc_id",
+          posexplode(graft.functions.WindowHashes(
+            org.apache.spark.sql.functions.split($"text", " "), 4)))
+        .as[(Long, Int, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+      val chain = TextStats.windowHashChain(docsR, 4, "doc_id", "text")
+      // chain emits in order; re-derive positions per doc for alignment
+      val chainRows = chain.as[(Long, Long)].collect()
+        .groupBy(_._1).toSeq.flatMap { case (id, rows) =>
+          rows.map(_._2).zipWithIndex.map { case (h, p) => (id, p, h) }
+        }.sortBy(x => (x._1, x._2))
+      assert(native === chainRows, s"seed=$seed")
+    }
+  }
 }
