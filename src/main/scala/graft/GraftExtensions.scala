@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, HyperplaneBuckets, MinHashHex, ShingleMinHash, SimHash32}
+import graft.functions.{DotProduct, HyperplaneBuckets, MinHashHex, ShingleMinHash, SimHash32, WindowHashes, WinnowFingerprints}
 
 /** SQL surface for the native graft expressions: registered through
   * `SparkSessionExtensions`, so a pure-SQL user gets the same codegen'd
@@ -100,6 +100,22 @@ object GraftExtensions {
           intArg("graft_hyperplane_buckets", "tables", args(1)),
           intArg("graft_hyperplane_buckets", "planes", args(2)),
           intArg("graft_hyperplane_buckets", "dim", args(3)))
+      }),
+    ("graft_winnow",
+      info("graft_winnow",
+        "graft_winnow(tokens, k, w) - sorted distinct winnowing fingerprints (md5 k-gram window minima)"),
+      args => {
+        arity("graft_winnow", args, 3)
+        WinnowFingerprints(args(0),
+          intArg("graft_winnow", "k", args(1)),
+          intArg("graft_winnow", "w", args(2)))
+      }),
+    ("graft_window_hashes",
+      info("graft_window_hashes",
+        "graft_window_hashes(tokens, len) - xxhash64 per len-token sliding window"),
+      args => {
+        arity("graft_window_hashes", args, 2)
+        WindowHashes(args(0), intArg("graft_window_hashes", "len", args(1)))
       }),
     // composed logic registers too: the catalyst chain is built from
     // the SAME ordered pattern list as the Column form

@@ -90,4 +90,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(s2.sql("SELECT graft_dot(array(2.0d), array(3.0d))")
       .collect().head.getDouble(0) === 6.0)
   }
+
+  test("graft_winnow / graft_window_hashes from SQL match the Column " +
+    "forms on real rows") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y"),
+                   (3L, "m n o m n o m n"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_docs2")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_winnow(split(text, ' '), 3, 4) AS fps,
+        |  graft_window_hashes(split(text, ' '), 3) AS whs
+        |FROM ext_docs2""".stripMargin)
+      .as[(Long, Seq[String], Seq[Long])].collect().sortBy(_._1)
+    val viaCols = docs.select(col("doc_id"),
+        graft.functions.WinnowFingerprints(split(col("text"), " "), 3, 4).as("fps"),
+        graft.functions.WindowHashes(split(col("text"), " "), 3).as("whs"))
+      .as[(Long, Seq[String], Seq[Long])].collect().sortBy(_._1)
+    assert(viaSql.toSeq === viaCols.toSeq)
+    // window hashes match the xxhash64 builtin per position
+    val builtin = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          "xxhash64(concat_ws(' ', slice(split(text, ' '), 1, 3)))").as("h0"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    viaSql.foreach { case (id, _, whs) =>
+      if (whs.nonEmpty)
+        assert(whs.head === builtin.find(_._1 == id).get._2)
+    }
+  }
 }
