@@ -98,12 +98,30 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** General path: PPJoin-style prefix-filtered candidate join. */
+  /** General path: PPJoin-style prefix-filtered candidate join.
+    *
+    * The prefix filter is exact for ANY global total order on tokens,
+    * but its PRUNING POWER depends on the order: prefixes must hold
+    * the RAREST tokens, or every document's prefix shares the corpus'
+    * hottest words and the candidate join degenerates toward all-pairs
+    * (measured at sf0.1: lexicographic prefixes → 29M raw candidates,
+    * i.e. worse than the 12.5M of brute force). So the token universe
+    * is ordered by (document frequency ASC, token) — the canonical
+    * AllPairs/PPJoin ordering (Bayardo et al., WWW'07) — via one
+    * explode + per-token df agg + re-collect. That costs one extra
+    * keyed shuffle over skinny (doc, token) rows; at scale it is the
+    * difference between sub-quadratic and quadratic candidates.
+    */
   private def ngramJaccardPrefix(docs: DataFrame, threshold: Double,
                                  idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(
-      col(idCol).as("doc_id"),
-      array_sort(tokenSet(col(textCol))).as("ts"))
+    val ex = docs.select(col(idCol).as("doc_id"),
+      explode(tokenSet(col(textCol))).as("tok"))
+    val tokenDf = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    val toks = ex.join(tokenDf, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("keyed"))
+      .select(col("doc_id"),
+        transform(col("keyed"), k => k("tok")).as("ts"))
       .withColumn("n", size(col("ts")))
       .withColumn("prefix",
         slice(col("ts"), lit(1),
