@@ -714,13 +714,18 @@ object Dedup {
   def corpusDiff(base: DataFrame, current: DataFrame,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val b = base.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h_base"))
-    val c = current.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h_cur"))
+    // presence flags, not hash nullness, decide added/removed: a doc
+    // PRESENT with null text has a null md5, and reading that null as
+    // "absent" would misreport it; `<=>` keeps null==null as unchanged
+    val b = base.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("h_base"), lit(true).as("_in_base"))
+    val c = current.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("h_cur"), lit(true).as("_in_cur"))
     b.join(c, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("h_base").isNull, lit("added"))
-          .when(col("h_cur").isNull, lit("removed"))
-          .when(col("h_base") =!= col("h_cur"), lit("changed"))
+        when(col("_in_base").isNull, lit("added"))
+          .when(col("_in_cur").isNull, lit("removed"))
+          .when(!(col("h_base") <=> col("h_cur")), lit("changed"))
           .otherwise(lit("unchanged")))
       .filter(col("status") =!= "unchanged")
       .select("doc_id", "status", "h_base", "h_cur")

@@ -135,4 +135,37 @@ class EdgeCaseSpec extends SparkSpec {
       .as[Option[String]].collect()
     assert(out.toSet === Set(Some("a b"), None))
   }
+
+  test("corpusDiff with null text: present-with-null-text is not " +
+    "'added'/'removed' — null==null is unchanged, null vs text is " +
+    "changed, and presence still drives added/removed") {
+    import graft.ops.Dedup
+    val base = Seq((1L, Option.empty[String]), (2L, Option("x")),
+                   (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+                  (4L, Option("new")))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(base, cur)
+      .select("doc_id", "status").as[(Long, String)].collect().sortBy(_._1)
+    // 1: null -> null = unchanged (suppressed); 2: text -> null = changed;
+    // 3: removed; 4: added
+    assert(out.toSeq === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("null/short text flows through the new text ops without " +
+    "fabricated rows: duplicateSpans, winnow, qualityClassifier") {
+    val d = Seq((1L, Option("a b c d")), (2L, Option.empty[String]),
+                (3L, Option("")))
+      .toDF("doc_id", "text")
+    assert(TextStats.duplicateSpans(d, windowLen = 3)
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    assert(TextStats.winnow(d, k = 2, w = 2)
+      .select("doc_id").as[Long].collect().toSet === Set(1L))
+    // classifier: null text -> null token count -> dropped; empty text
+    // splits to [""] (1 token) and scores it
+    val q = TextStats.qualityClassifier(d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(q === Set(1L, 3L))
+  }
 }
