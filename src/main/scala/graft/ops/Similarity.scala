@@ -443,10 +443,20 @@ object Similarity {
   def assignToCentroids(corpus: DataFrame, centroidStride: Int = 37,
                         dim: Int = 64,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
-    val cent = corpus.filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
-      .withColumn("centn", norm(col("centv"), dim))
+                        vecCol: String = "embedding",
+                        centroids: Option[DataFrame] = None): DataFrame = {
+    // `centroids` (centroid_id, centv) freezes the quantizer — the
+    // incremental-ingestion path: new vectors are assigned against the
+    // BASE index's centroids (same contract as the minhash band index
+    // and the embedding-LSH incremental variants), so growing the
+    // corpus is O(new vectors), never a re-index. Default: the stride
+    // quantizer derived from `corpus` itself.
+    val cent = centroids
+      .map(_.select(col("centroid_id"), col("centv"))
+        .withColumn("centn", norm(col("centv"), dim)))
+      .getOrElse(corpus.filter(col(idCol) % centroidStride === 0)
+        .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
+        .withColumn("centn", norm(col("centv"), dim)))
     corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv"), dim))
       .crossJoin(broadcast(cent))

@@ -979,4 +979,28 @@ class OpsSpec extends SparkSpec {
       assert(native === chainRows, s"seed=$seed")
     }
   }
+
+  test("incremental IVF assignment: base assignment ++ delta assigned " +
+    "against the base's frozen centroids == full re-assignment when " +
+    "the centroid set is unchanged") {
+    val mk = (r: Range) => r
+      .map(i => (i.toLong, Array.tabulate(8)(dd => ((i * 31 + dd * 7) % 17 - 8).toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = mk(1 to 80)
+    val delta = mk(81 to 120)
+    // frozen quantizer: the BASE corpus' stride centroids
+    val centroids = base.filter($"vec_id" % 11 === 0)
+      .select($"vec_id".as("centroid_id"),
+        transform($"embedding", x => x.cast("double")).as("centv"))
+    val baseAssign = Similarity.assignToCentroids(base,
+      centroidStride = 11, dim = 8)
+    val deltaAssign = Similarity.assignToCentroids(delta,
+      centroidStride = 11, dim = 8, centroids = Some(centroids))
+    val incremental = baseAssign.unionByName(deltaAssign)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.assignToCentroids(mk(1 to 120),
+      centroidStride = 11, dim = 8, centroids = Some(centroids))
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
+    assert(incremental === full)
+  }
 }
