@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: on an 8g heap, one full GC mid-bench lands a 5-15s pause on a
+  // random query (observed q_embed_quantize 2.4s -> 10.1s); the larger
+  // heap trades nothing visible for outlier-free runs on this host
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // dozens of whole-stage-codegen'd queries in one session overflow the
   // default 240 MB JIT code cache; once it fills, HotSpot stops
   // compiling and random later queries drop to interpreted speed (5x
