@@ -699,6 +699,39 @@ object Dedup {
         Seq("text_hash"), "left_anti")
       .select("doc_id", "text_hash")
 
+  /** Winnowing-based near-dup candidates — the pair generator the
+    * [[graft.ops.TextStats.winnow]] sketch exists for (Schleimer et
+    * al.'s use case: mirror/plagiarism detection): documents sharing
+    * at least `minShared` winnowing fingerprints are candidate
+    * substring-level near-dups. Winnowing's guarantee makes this
+    * precise about WHAT it catches: every shared token run of length
+    * >= w+k-1 contributes a shared fingerprint, so long shared
+    * passages cannot escape, while MinHash (whole-document set
+    * similarity) can miss a long quote inside otherwise-different
+    * documents.
+    *
+    * Shape for scale: same as the MinHash band join — one explode to
+    * skinny (doc, fingerprint) rows, one equi-join shuffle keyed on
+    * the fingerprint, counts aggregated with map-side partials. Never
+    * all-pairs; hot fingerprints (boilerplate shared by thousands of
+    * docs) are the skew hazard, handled by AQE skew-join like the LSH
+    * band keys.
+    */
+  def winnowNearDup(docs: DataFrame, k: Int = 3, w: Int = 4,
+                    minShared: Int = 2,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val fps = graft.ops.TextStats.winnow(docs, k, w, idCol, textCol)
+    val l = fps.alias("l")
+    val r = fps.withColumnRenamed("doc_id", "doc_b_").alias("r")
+    l.join(r, col("l.fingerprint") === col("r.fingerprint") &&
+        col("l.doc_id") < col("r.doc_b_"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_b_").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Corpus snapshot diff — the lifecycle monitor between two
     * ingestion runs: per document id, whether it was `added`,
     * `removed`, or `changed` (content hash moved); unchanged docs are

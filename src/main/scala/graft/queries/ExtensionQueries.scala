@@ -342,6 +342,10 @@ object ExtensionQueries {
     TextStats.winnow(docs(s, d), k = 3, w = 4)
       .orderBy("doc_id", "fingerprint")
 
+  def winnowPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowNearDup(docs(s, d), k = 3, w = 4, minShared = 2)
+      .orderBy("doc_a", "doc_b")
+
   def embedProject(s: SparkSession, d: String): DataFrame =
     Similarity.randomProject(embs(s, d), outDim = 8, seed = "rp")
       .orderBy("vec_id")
@@ -1403,6 +1407,20 @@ object ExtensionQueries {
         |      WHERE len(gs) >= 4)
         |SELECT DISTINCT doc_id, fp AS fingerprint FROM f
         |ORDER BY doc_id, fingerprint""".stripMargin,
+    "q_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ts)-2,0)+1),
+        |        i -> md5(array_to_string(ts[i:i+2],' '))) AS gs
+        |      FROM t WHERE len(ts) >= 3),
+        |f AS (SELECT DISTINCT doc_id, fp
+        |      FROM g, unnest(list_transform(range(1, greatest(len(gs)-3,0)+1),
+        |        j -> list_aggregate(gs[j:j+3], 'min'))) AS u(fp)
+        |      WHERE len(gs) >= 4)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_quality_score" -> {
       val w = TextStats.classifierWeights("quality", 1024)
         .mkString("[", ",", "]")
@@ -1508,6 +1526,7 @@ object ExtensionQueries {
     "q_winnow"          -> (winnowFp _),
     "q_embed_project"   -> (embedProject _),
     "q_quality_score"   -> (qualityScore _),
-    "q_corpus_diff"     -> (corpusDiffQ _)
+    "q_corpus_diff"     -> (corpusDiffQ _),
+    "q_winnow_pairs"    -> (winnowPairs _)
   )
 }

@@ -1003,4 +1003,21 @@ class OpsSpec extends SparkSpec {
       .select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
     assert(incremental === full)
   }
+
+  test("winnowNearDup: a long shared run yields a pair with n_shared >= " +
+    "minShared; docs sharing nothing produce no pair; count equals the " +
+    "distinct shared fingerprint count") {
+    val d = Seq(
+      (1L, "p q r shared1 shared2 shared3 shared4 shared5 shared6 shared7 z1"),
+      (2L, "a b shared1 shared2 shared3 shared4 shared5 shared6 shared7 y8 y9"),
+      (3L, "completely different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDup(d, k = 3, w = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    val fp = TextStats.winnow(d, k = 3, w = 4)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert(pairs.head._3 === fp(1L).intersect(fp(2L)).size.toLong)
+  }
 }
