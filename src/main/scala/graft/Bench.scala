@@ -14,7 +14,10 @@ object Bench {
     */
   private val MaxLineChars = 1900
 
-  private def fmt(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the f-interpolator honors the default locale, and a
+  // comma-decimal locale (de_DE...) would corrupt the JSON line
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

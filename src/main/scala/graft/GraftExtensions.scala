@@ -106,16 +106,21 @@ object GraftExtensions {
         "graft_winnow(tokens, k, w) - sorted distinct winnowing fingerprints (md5 k-gram window minima)"),
       args => {
         arity("graft_winnow", args, 3)
-        WinnowFingerprints(args(0),
-          intArg("graft_winnow", "k", args(1)),
-          intArg("graft_winnow", "w", args(2)))
+        val k = intArg("graft_winnow", "k", args(1))
+        val w = intArg("graft_winnow", "w", args(2))
+        // same contract as TextStats.winnow — the kernel's deque
+        // degenerates on w < 1 instead of erroring
+        require(k >= 1 && w >= 1, s"graft_winnow: k and w must be >= 1 (got k=$k, w=$w)")
+        WinnowFingerprints(args(0), k, w)
       }),
     ("graft_window_hashes",
       info("graft_window_hashes",
         "graft_window_hashes(tokens, len) - xxhash64 per len-token sliding window"),
       args => {
         arity("graft_window_hashes", args, 2)
-        WindowHashes(args(0), intArg("graft_window_hashes", "len", args(1)))
+        val len = intArg("graft_window_hashes", "len", args(1))
+        require(len >= 1, s"graft_window_hashes: len must be >= 1 (got $len)")
+        WindowHashes(args(0), len)
       }),
     // composed logic registers too: the catalyst chain is built from
     // the SAME ordered pattern list as the Column form

@@ -60,13 +60,18 @@ object WindowHashes {
     while (i < g) {
       var pos = 0
       var j = i
+      var first = true
       while (j < i + len) {
         val t = toks(j)
         if (t != null) {
           val need = pos + t.length + 1
           if (need > buf.length)
             buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
-          if (pos > 0) { buf(pos) = ' '.toByte; pos += 1 }
+          // separator after any non-null element (empty strings join
+          // WITH a separator under concat_ws) — pos>0 would drop it
+          // when the leading token is empty
+          if (!first) { buf(pos) = ' '.toByte; pos += 1 }
+          first = false
           System.arraycopy(t, 0, buf, pos, t.length)
           pos += t.length
         }

@@ -59,10 +59,15 @@ object WinnowFingerprints {
     while (i < g) {
       val sb = new java.lang.StringBuilder()
       var j = i
+      var first = true
       while (j < i + k) {
-        // concat_ws skips null elements without emitting a separator
+        // concat_ws skips NULL elements without a separator, but joins
+        // EMPTY strings with one — a leading empty token must still
+        // produce " b c", so "first non-null seen" drives the
+        // separator, not sb.length()
         if (!tokens.isNullAt(j)) {
-          if (sb.length() > 0) sb.append(' ')
+          if (!first) sb.append(' ')
+          first = false
           sb.append(tokens.getUTF8String(j).toString)
         }
         j += 1

@@ -722,7 +722,10 @@ object Dedup {
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
+    // materialized once: both self-join sides read the sketch instead
+    // of re-running gram hashing + winnowing (the band-index move)
     val fps = graft.ops.TextStats.winnow(docs, k, w, idCol, textCol)
+      .localCheckpoint()
     val l = fps.alias("l")
     val r = fps.withColumnRenamed("doc_id", "doc_b_").alias("r")
     l.join(r, col("l.fingerprint") === col("r.fingerprint") &&

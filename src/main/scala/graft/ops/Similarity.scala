@@ -340,8 +340,10 @@ object Similarity {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     require(outDim >= 1, "outDim must be >= 1")
-    val probe = emb.select(size(col(vecCol)).as("d")).take(1)
-    require(probe.nonEmpty, "randomProject needs a non-empty input")
+    val probe = emb.select(size(col(vecCol)).as("d"))
+      .filter(col("d").isNotNull && col("d") > 0).take(1)
+    require(probe.nonEmpty,
+      "randomProject needs at least one non-null, non-empty vector")
     val inDim = probe(0).getInt(0)
     val signs = signMatrix(seed, inDim, outDim)
     val micro = transform(asDouble(col(vecCol)),
@@ -619,12 +621,20 @@ object Similarity {
                 vecCol: String = "embedding",
                 codebooks: Option[DataFrame] = None,
                 encoded: Option[DataFrame] = None,
-                corpusAssigned: Option[DataFrame] = None): DataFrame = {
+                corpusAssigned: Option[DataFrame] = None,
+                centroids: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val subDim = dim / m
-    val cent = corpus.filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
-      .withColumn("centn", norm(col("centv"), dim))
+    // `centroids` must be the SAME table the assignment was built
+    // against (the [[ivfTopK]] hook): query-side probing against a
+    // different centroid set than corpusAssigned's would silently
+    // search wrong or empty posting lists
+    val cent = centroids
+      .map(_.select(col("centroid_id"), col("centv"))
+        .withColumn("centn", norm(col("centv"), dim)))
+      .getOrElse(corpus.filter(col(idCol) % centroidStride === 0)
+        .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
+        .withColumn("centn", norm(col("centv"), dim)))
     // the three index artifacts — posting-list assignment, codebooks,
     // encoded codes — accept pre-built versions ([[assignToCentroids]]
     // / [[pqCodebooks]] / [[pqEncode]] outputs for the SAME strides):

@@ -64,13 +64,12 @@ object TemporalJoins {
     // carried struct itself so which row wins no longer depends on the
     // partition sort's arrival order. Only possible when the struct is
     // orderable (maps are not sortable in Spark).
-    def orderable(dt: DataType): Boolean = dt match {
-      case _: MapType    => false
-      case s: StructType => s.fields.forall(f => orderable(f.dataType))
-      case a: ArrayType  => orderable(a.elementType)
-      case _             => true
-    }
-    val structTb = orderable(rvType)
+    // Catalyst's own orderability judgment (AtomicType/struct/array
+    // recursion, NullType) — a hand-rolled "not a map" check wrongly
+    // admits CalendarIntervalType and friends, turning the previously-
+    // running no-tiebreak path into an AnalysisException
+    val structTb = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(rvType)
     val tbCol = rightTiebreak
       .map(c => col(c).as("_tb"))
       .getOrElse(

@@ -132,9 +132,13 @@ object TextStats {
     require(minDocs >= 2, "minDocs must be >= 2")
     val t = tokens(col(textCol))
     // native one-pass window hasher (xxhash64-parity spec-pinned); the
-    // interpreted chain form lives in [[windowHashChain]] for the spec
+    // interpreted chain form lives in [[windowHashChain]] for the spec.
+    // Materialized once (the bm25 tf-reuse move): both the duplicated-
+    // hash aggregate and the per-doc dup-count join consume it, and
+    // without the checkpoint the tokenize+hash+explode scan runs twice
     val w = docs.select(col(idCol).as("doc_id"),
-      explode(graft.functions.WindowHashes(t, windowLen)).as("h"))
+        explode(graft.functions.WindowHashes(t, windowLen)).as("h"))
+      .localCheckpoint()
     // hashes seen in >= minDocs distinct docs: distinct pairs first,
     // then a plain count — two cascading hash-aggs, no Expand
     val dup = w.distinct()

@@ -1448,14 +1448,15 @@ object ExtensionQueries {
         |  FROM documents WHERE doc_id % 5 <> 4
         |  UNION ALL
         |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 17 = 0),
-        |j AS (SELECT COALESCE(base.doc_id, cur.doc_id) AS doc_id, h_base, h_cur
+        |j AS (SELECT COALESCE(base.doc_id, cur.doc_id) AS doc_id, h_base, h_cur,
+        |        base.doc_id IS NOT NULL AS in_b, cur.doc_id IS NOT NULL AS in_c
         |      FROM base FULL OUTER JOIN cur ON base.doc_id = cur.doc_id)
         |SELECT doc_id,
-        |  CASE WHEN h_base IS NULL THEN 'added'
-        |       WHEN h_cur IS NULL THEN 'removed'
+        |  CASE WHEN NOT in_b THEN 'added'
+        |       WHEN NOT in_c THEN 'removed'
         |       ELSE 'changed' END AS status, h_base, h_cur
         |FROM j
-        |WHERE h_base IS NULL OR h_cur IS NULL OR h_base <> h_cur
+        |WHERE NOT in_b OR NOT in_c OR h_base IS DISTINCT FROM h_cur
         |ORDER BY doc_id, status""".stripMargin,
     "q_embed_project" -> {
       val signs = Similarity.signMatrix("rp", 64, 8)

@@ -946,10 +946,13 @@ class OpsSpec extends SparkSpec {
     "on random docs incl. short/empty edge cases (8 seeds)") {
     for (seed <- 1L to 8L) {
       val rnd = new scala.util.Random(seed)
-      val docsR = (1 to 30).map { i =>
+      val docsR = ((1 to 30).map { i =>
         val n = rnd.nextInt(14) // 0..13 tokens: exercises n<k and G<w
         (i.toLong, (1 to n).map(_ => s"t${rnd.nextInt(9)}").mkString(" "))
-      }.toDF("doc_id", "text")
+      } :+ (98L, "a  b c d  e f") :+ (99L, " x y z w v"))  // empty tokens:
+        // split on double/leading spaces yields "" elements — concat_ws
+        // joins them WITH separators, and the native kernel must agree
+        .toDF("doc_id", "text")
       val native = TextStats.winnow(docsR, k = 3, w = 4)
         .as[(Long, String)].collect().sortBy(x => (x._1, x._2)).toSeq
       val chain = TextStats.winnowChain(docsR, 3, 4, "doc_id", "text")
@@ -962,10 +965,11 @@ class OpsSpec extends SparkSpec {
     "(position-aligned), on random docs incl. short docs (8 seeds)") {
     for (seed <- 1L to 8L) {
       val rnd = new scala.util.Random(seed)
-      val docsR = (1 to 30).map { i =>
+      val docsR = ((1 to 30).map { i =>
         val n = rnd.nextInt(12) // 0..11 tokens: exercises n < windowLen
         (i.toLong, (1 to n).map(_ => s"t${rnd.nextInt(9)}").mkString(" "))
-      }.toDF("doc_id", "text")
+      } :+ (98L, "a  b c d  e f") :+ (99L, " x y z w v"))  // empty tokens
+        .toDF("doc_id", "text")
       val native = docsR.select($"doc_id",
           posexplode(graft.functions.WindowHashes(
             org.apache.spark.sql.functions.split($"text", " "), 4)))
