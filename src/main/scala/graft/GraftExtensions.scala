@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, HyperplaneBuckets, MinHashHex, ShingleMinHash, SimHash32, WindowHashes, WinnowFingerprints}
+import graft.functions.{DotProduct, HyperplaneBuckets, MinHashHex, ShingleMinHash, SimHash32, WindowHashes, WinnowFingerprints, WordNgrams}
 
 /** SQL surface for the native graft expressions: registered through
   * `SparkSessionExtensions`, so a pure-SQL user gets the same codegen'd
@@ -121,6 +121,15 @@ object GraftExtensions {
         val len = intArg("graft_window_hashes", "len", args(1))
         require(len >= 1, s"graft_window_hashes: len must be >= 1 (got $len)")
         WindowHashes(args(0), len)
+      }),
+    ("graft_word_ngrams",
+      info("graft_word_ngrams",
+        "graft_word_ngrams(tokens, n) - space-joined n-token grams, one per window"),
+      args => {
+        arity("graft_word_ngrams", args, 2)
+        val n = intArg("graft_word_ngrams", "n", args(1))
+        require(n >= 1, s"graft_word_ngrams: n must be >= 1 (got $n)")
+        WordNgrams(args(0), n)
       }),
     // composed logic registers too: the catalyst chain is built from
     // the SAME ordered pattern list as the Column form

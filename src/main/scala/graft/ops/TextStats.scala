@@ -242,13 +242,9 @@ object TextStats {
                 textCol: String = "text"): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be >= 1")
     val t = tokens(col(textCol))
-    // guard short docs explicitly: sequence(1, size-n+1) would emit a
-    // DESCENDING range when size < n (Spark generates start-down-to-
-    // stop), fabricating grams — empty array drops the row instead
-    val grams = when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // native gram builder (short docs yield an empty array — no
+    // fabricated grams; concat_ws byte parity is spec-pinned)
+    val grams = graft.functions.WordNgrams(t, n)
     docs.select(col(idCol).as("doc_id"), explode(grams).as("ngram"))
       .groupBy("ngram", "doc_id")
       .agg(count(lit(1)).as("c"))
@@ -318,12 +314,10 @@ object TextStats {
       // 10^12 distinct grams that perturbs a handful of overlap
       // counts by ±1, the standard trade every sketch-based
       // decontamination pass (MinHash, Bloom) already makes.
-      val g = when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
-        .otherwise(array().cast("array<bigint>"))
+      // native sliding-window hasher (xxhash64 parity spec-pinned);
       // distinct n-grams per doc: shared-gram counts are set overlaps,
       // not occurrence products
+      val g = graft.functions.WindowHashes(t, n)
       df.select(col(idCol).as(outId), explode(array_distinct(g)).as("gram_h"))
     }
     grams(corpus, "doc_id")
@@ -363,10 +357,7 @@ object TextStats {
         (max(col("c")).cast("double") / sum(col("c"))).as("top_word_frac"),
         (sum(length(col("term")) * col("c")).cast("double") / sum(col("c")))
           .as("mean_word_len"))
-    val bg = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", slice(t, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    val bg = graft.functions.WordNgrams(t, 2)
     val bigrams = docs
       .select(col(idCol).as("doc_id"), explode(bg).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))

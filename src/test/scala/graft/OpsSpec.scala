@@ -1024,4 +1024,27 @@ class OpsSpec extends SparkSpec {
       .map { case (k2, v) => k2 -> v.map(_._2).toSet }
     assert(pairs.head._3 === fp(1L).intersect(fp(2L)).size.toLong)
   }
+
+  test("native WordNgrams == interpreted concat_ws chain, bit-for-bit, " +
+    "incl. empty tokens and short docs (8 seeds)") {
+    import org.apache.spark.sql.functions.{concat_ws, sequence, slice, transform => tfm, size => sz, when => whn, array, posexplode, split => spl}
+    for (seed <- 1L to 8L) {
+      val rnd = new scala.util.Random(seed)
+      val docsR = ((1 to 30).map { i =>
+        val n = rnd.nextInt(8)
+        (i.toLong, (1 to n).map(_ => s"t${rnd.nextInt(9)}").mkString(" "))
+      } :+ (98L, "a  b c  d") :+ (99L, " x y z")).toDF("doc_id", "text")
+      val t = spl($"text", " ")
+      val native = docsR.select($"doc_id",
+          posexplode(graft.functions.WordNgrams(t, 3)))
+        .as[(Long, Int, String)].collect().sortBy(x => (x._1, x._2)).toSeq
+      val chain = docsR.select($"doc_id",
+          posexplode(whn(sz(t) >= 3,
+            tfm(sequence(lit(1), sz(t) - 2),
+              i => concat_ws(" ", slice(t, i, lit(3)))))
+            .otherwise(array().cast("array<string>"))))
+        .as[(Long, Int, String)].collect().sortBy(x => (x._1, x._2)).toSeq
+      assert(native === chain, s"seed=$seed")
+    }
+  }
 }
