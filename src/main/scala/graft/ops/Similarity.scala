@@ -340,11 +340,15 @@ object Similarity {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     require(outDim >= 1, "outDim must be >= 1")
-    val probe = emb.select(size(col(vecCol)).as("d"))
-      .filter(col("d").isNotNull && col("d") > 0).take(1)
-    require(probe.nonEmpty,
+    // inDim = MAX vector length — an aggregate, so deterministic run to
+    // run (a take(1) over a distributed filter is not: the sign matrix
+    // would vary with whichever row happened to survive first). All
+    // vectors must have this length; a shorter vector null-pads under
+    // zip_with and its proj_* sums come out null (visible, not wrong).
+    val probe = emb.agg(max(size(col(vecCol))).as("d")).head()
+    require(!probe.isNullAt(0) && probe.getInt(0) > 0,
       "randomProject needs at least one non-null, non-empty vector")
-    val inDim = probe(0).getInt(0)
+    val inDim = probe.getInt(0)
     val signs = signMatrix(seed, inDim, outDim)
     val micro = transform(asDouble(col(vecCol)),
       x => floor(x * 1e6).cast("long"))

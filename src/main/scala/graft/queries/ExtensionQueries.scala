@@ -55,15 +55,51 @@ object ExtensionQueries {
     sharedFrame(s, d, "pq_enc")(Similarity.pqEncode(embs(s, d), cb, m = 8, dim = 64))
   }
 
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    sharedFrame(s, d, "pairs")(Dedup.ngramJaccard(docs(s, d), 0.8))
-  private def docClusters(s: SparkSession, d: String): DataFrame = {
-    // resolve the pairs memo BEFORE entering the clusters build:
-    // ConcurrentHashMap forbids recursive computeIfAbsent on itself
-    val pairs = jaccardPairs(s, d)
-    sharedFrame(s, d, "clusters")(
-      Dedup.connectedComponents(pairs, docs(s, d)))
+  /** The corpus vocabulary probe backing the small-vocab mask path —
+    * memoized like the frames (one bounded collect per dataset).
+    */
+  private val vocabMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Option[Array[String]]]()
+  private def docVocab(s: SparkSession, d: String): Option[Array[String]] =
+    vocabMemo.computeIfAbsent((s, d), _ => Dedup.smallVocab(docs(s, d)))
+
+  /** Small-vocab dedup-graph intermediates, each memoized at its own
+    * granularity: the (doc, mask) frame, the verified DISTINCT-mask
+    * pair list (corpus-size-independent), and only then the doc-level
+    * expansions — so clustering never touches the expanded doc-pair
+    * list (outer callers resolve inner memos first: ConcurrentHashMap
+    * forbids recursive computeIfAbsent on itself).
+    */
+  private def maskFrame(s: SparkSession, d: String,
+                        vocab: Array[String]): DataFrame =
+    sharedFrame(s, d, "masks")(Dedup.tokenMasks(docs(s, d), vocab))
+  private def maskPairs(s: SparkSession, d: String,
+                        vocab: Array[String]): DataFrame = {
+    val mk = maskFrame(s, d, vocab)
+    sharedFrame(s, d, "mask_pairs")(Dedup.maskJaccardPairs(mk, 0.8))
   }
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    docVocab(s, d) match {
+      case Some(v) =>
+        val mk = maskFrame(s, d, v)
+        val mp = maskPairs(s, d, v)
+        sharedFrame(s, d, "pairs")(Dedup.expandMaskPairs(mk, mp))
+      case None =>
+        sharedFrame(s, d, "pairs")(Dedup.ngramJaccard(docs(s, d), 0.8))
+    }
+  private def docClusters(s: SparkSession, d: String): DataFrame =
+    docVocab(s, d) match {
+      case Some(v) =>
+        // components over the distinct-mask graph — the expanded doc
+        // pair list (quadratic per clique) never feeds the clustering
+        val mk = maskFrame(s, d, v)
+        val mp = maskPairs(s, d, v)
+        sharedFrame(s, d, "clusters")(Dedup.maskClusters(mk, mp))
+      case None =>
+        val pairs = jaccardPairs(s, d)
+        sharedFrame(s, d, "clusters")(
+          Dedup.connectedComponents(pairs, docs(s, d)))
+    }
 
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(docs(s, d)).orderBy("text_hash")

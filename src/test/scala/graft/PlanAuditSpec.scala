@@ -37,6 +37,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ngramJaccard small-vocab path: candidate generation is a " +
+    "popcount-bucketed equi-join over distinct masks — no nested-loop " +
+    "or cartesian join at ANY corpus size (the quadratic all-doc-pairs " +
+    "BNL variant must stay gone)") {
+    val p = plan(Dedup.ngramJaccard(docs, 0.8))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the doc-level frames come off one materialized scan
+    assert(p.contains("ExistingRDD"), p)
+  }
+
   test("capPerStratum broadcasts the per-stratum counts, never " +
     "shuffling the data side") {
     val df = (1 to 500).map(i => (i.toLong, s"k${i % 5}")).toDF("id", "k")
@@ -197,7 +208,8 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Dedup.bloomScreen(docs, docs.limit(50), expectedItems = 100L))
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("NOT _maybe") || p.contains("NOT (_maybe"), p)
+    // null-hash rows coalesce to the definite-new branch
+    assert(p.contains("NOT coalesce(_maybe"), p)
     assert(p.contains("ExistingRDD"), p)
   }
 

@@ -121,6 +121,31 @@ class PropertySpec extends SparkSpec {
     assert(sparkSmall === naive(docsSmall, 0.3))
   }
 
+  test("maskClusters (component search on the distinct-mask graph) == " +
+    "connectedComponents over the expanded doc pairs, incl. null and " +
+    "duplicate texts (4 seeds)") {
+    for (seed <- 1L to 4L) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (1 to 20).map(i => s"v$i")
+      val corpus = (1L to 80L).map { id =>
+        if (id % 17 == 0) (id, null: String)
+        else {
+          val n = 1 + rnd.nextInt(5)
+          (id, rnd.shuffle(vocab).take(n).mkString(" "))
+        }
+      }.toDF("doc_id", "text")
+      val v = Dedup.smallVocab(corpus).get
+      val mk = Dedup.tokenMasks(corpus, v)
+      val mp = Dedup.maskJaccardPairs(mk, 0.5)
+      val viaMask = Dedup.maskClusters(mk, mp)
+        .as[(Long, Long)].collect().toMap
+      val viaDoc = Dedup.connectedComponents(
+          Dedup.expandMaskPairs(mk, mp).select("doc_a", "doc_b"), corpus)
+        .as[(Long, Long)].collect().toMap
+      assert(viaMask === viaDoc, s"seed=$seed")
+    }
+  }
+
   test("connectedComponents matches a driver-side union-find on random " +
     "graphs (chains, cliques, singletons mixed)") {
     val rnd = new scala.util.Random(7L)
@@ -183,12 +208,16 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: bloomScreen == exactAgainst on random corpora with " +
-    "planted duplicates (8 seeds)") {
+    "planted duplicates AND null texts (8 seeds)") {
     for (seed <- 1L to 8L) {
       val rnd = new scala.util.Random(seed)
       val base = (1 to 60).map(i => (i.toLong, s"doc ${rnd.nextInt(40)} body"))
+      // every 7th incoming text is null: a null hash key must flow to
+      // the definite-new branch (exactAgainst keeps null-hash rows —
+      // null never equi-matches in the left_anti), never vanish
       val inc = (100 to 160).map(i =>
-        (i.toLong, if (rnd.nextBoolean()) base(rnd.nextInt(60))._2
+        (i.toLong, if (i % 7 == 0) null
+                   else if (rnd.nextBoolean()) base(rnd.nextInt(60))._2
                    else s"new ${rnd.nextInt(40)} text"))
       val bDf = base.toDF("doc_id", "text")
       val iDf = inc.toDF("doc_id", "text")
