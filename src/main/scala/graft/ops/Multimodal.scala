@@ -9,11 +9,18 @@ import org.apache.spark.sql.types._
   * Media (image/audio/video) travels as an opaque `binary` column plus
   * typed metadata. The Spark-side contract — schema, batched
   * per-partition processing, deterministic output — is real and
-  * tested; the actual codec call is STUBBED (this container has no
-  * image/audio libraries): [[decodeStub]] derives deterministic fake
-  * "decoded" features from the bytes. Swap [[decodeStub]] for a real
-  * decoder (JNI/javacpp ffmpeg, ImageIO, ...) without touching any
-  * plumbing.
+  * tested. Two decoder tiers:
+  *
+  *  - **Real image decode** ([[decodeImage]], [[decodeImageMeta]],
+  *    [[thumbnailPng]]): `javax.imageio` ships in the JDK
+  *    (PNG/JPEG/BMP/GIF/WBMP), so width/height/channels extraction and
+  *    thumbnail re-encode need zero external dependencies. Dimensions
+  *    come from the format HEADER via `ImageReader.getWidth/getHeight`
+  *    — no full pixel decode on the metadata path.
+  *  - **Stub** ([[decodeStub]]): deterministic fake features used as
+  *    the no-codec fallback for formats ImageIO cannot read
+  *    (audio/video need ffmpeg-class libs this container lacks) and as
+  *    the expression twin the DuckDB oracle can reproduce.
   *
   * Scale design: decode runs as an Iterator→Iterator `mapPartitions`
   * (the Scala analog of `mapInPandas` batching) so one task holds one
@@ -33,15 +40,129 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = true)
   ))
 
-  /** STUB decode: deterministic fake features of a media payload.
-    * A real implementation would be `??? // decode via codec lib`;
-    * the fake keeps tests runnable and reproducible. Null payloads
-    * yield null meta — same null semantics as [[metaColumns]].
+  /** STUB decode: deterministic fake features of a media payload —
+    * the no-codec fallback ([[decodeImage]] is the real JDK-ImageIO
+    * image path; audio/video would need an ffmpeg-class lib this
+    * container lacks). The fake keeps the oracle comparable: DuckDB
+    * reproduces it in SQL via [[metaColumns]]. Null payloads yield
+    * null meta — same null semantics as [[metaColumns]].
     */
   def decodeStub(bytes: Array[Byte]): Row = {
     if (bytes == null) return Row(null, null, null, null)
     val n = bytes.length.toLong
     Row(n, (n % 640).toInt, ((n * 31) % 480).toInt, (n % 30 + 1).toInt)
+  }
+
+  /** Declared schema of REAL image metadata ([[decodeImage]]):
+    * unrecognized formats leave width/height/channels/format null
+    * (n_bytes still fills — it needs no codec).
+    */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("format", StringType, nullable = true)
+  ))
+
+  /** REAL image decode via JDK ImageIO: width/height from the format
+    * header (no pixel decode), channels from the reader's raster type,
+    * format name from the matched reader. Null payloads yield all-null
+    * meta; payloads no installed reader recognizes yield (n_bytes,
+    * null, null, null, null) — the caller decides whether to fall back
+    * to [[decodeStub]] semantics or filter.
+    */
+  def decodeImage(bytes: Array[Byte]): Row = {
+    if (bytes == null) return Row(null, null, null, null, null)
+    val n = bytes.length.toLong
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) Row(n, null, null, null, null)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val types = r.getImageTypes(0)
+          val channels =
+            if (types.hasNext) Int.box(types.next().getNumBands) else null
+          Row(n, r.getWidth(0), r.getHeight(0), channels,
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+        } finally r.dispose()
+      }
+    } catch {
+      // a truncated/corrupt header: recognized but unreadable — treat
+      // exactly like an unrecognized format rather than failing the task
+      case scala.util.control.NonFatal(_) => Row(n, null, null, null, null)
+    } finally in.close()
+  }
+
+  /** Attach REAL image metadata ([[decodeImage]]) to a DataFrame with
+    * a binary column — same Iterator→Iterator per-partition batching
+    * contract as [[decodeMeta]]; output schema = input ++
+    * [[imageMetaSchema]].
+    */
+  def decodeImageMeta(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ imageMetaSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = decodeImage(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq ++ meta.toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL thumbnail: decode, scale to fit `maxEdge` (aspect preserved,
+    * the same integer dimension math as [[resizeMeta]]), re-encode as
+    * PNG. Returns null for null/unreadable payloads. Runs inside the
+    * caller's per-partition pass — headless-safe (BufferedImage +
+    * Graphics2D need no display).
+    */
+  def thumbnailPng(bytes: Array[Byte], maxEdge: Int): Array[Byte] = {
+    if (bytes == null) return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return null
+      val (w, h) = (img.getWidth, img.getHeight)
+      val longest = math.max(w, h)
+      val (ow, oh) =
+        if (longest <= maxEdge) (w, h)
+        else (w * maxEdge / longest, h * maxEdge / longest)
+      val out = new java.awt.image.BufferedImage(
+        math.max(ow, 1), math.max(oh, 1),
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, math.max(ow, 1), math.max(oh, 1), null)
+      finally g.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", buf)
+      buf.toByteArray
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** Attach a real PNG thumbnail column (plus its dimensions, decoded
+    * back from the thumbnail header — self-verifying output) in one
+    * per-partition pass.
+    */
+  def decodeThumbnails(df: DataFrame, binCol: String, maxEdge: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("thumb_png", BinaryType, nullable = true),
+      StructField("thumb_width", IntegerType, nullable = true),
+      StructField("thumb_height", IntegerType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val t = thumbnailPng(r.getAs[Array[Byte]](binIdx), maxEdge)
+        val meta = decodeImage(t)
+        Row.fromSeq(r.toSeq ++ Seq(t, meta.get(1), meta.get(2)))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
   /** Attach decoded-media metadata to a DataFrame with a binary

@@ -572,6 +572,62 @@ class OpsSpec extends SparkSpec {
     assert(viaRdd.find(_._1 == 3L).get._2 === None) // null payload -> null meta
   }
 
+  test("multimodal REAL decode: ImageIO extracts true width/height/" +
+    "channels/format from generated PNG and JPEG bytes; null and " +
+    "garbage payloads yield null meta") {
+    def encode(w: Int, h: Int, fmt: String, imgType: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    val png = encode(320, 200, "png", java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jpg = encode(64, 48, "jpg", java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val d = Seq(
+      (1L, png), (2L, jpg),
+      (3L, "not an image at all".getBytes("UTF-8")), (4L, null))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeImageMeta(d, "payload")
+      .select("doc_id", "n_bytes", "width", "height", "channels", "format")
+      .as[(Long, Option[Long], Option[Int], Option[Int], Option[Int], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) === ((1L, Some(png.length.toLong), Some(320), Some(200),
+      Some(3), Some("png"))))
+    assert(out(1)._3 === Some(64))
+    assert(out(1)._4 === Some(48))
+    assert(out(1)._6.exists(f => f == "jpeg" || f == "jpg"))
+    assert(out(2) === ((3L, Some(19L), None, None, None, None)))
+    assert(out(3) === ((4L, None, None, None, None, None)))
+  }
+
+  test("multimodal REAL thumbnails: aspect-preserving PNG re-encode, " +
+    "dimensions verified by decoding the emitted thumbnail bytes") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val d = Seq((1L, png(1280, 480)), (2L, png(100, 50)), (3L, null))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeThumbnails(d, "payload", maxEdge = 640)
+      .select("doc_id", "thumb_width", "thumb_height")
+      .as[(Long, Option[Int], Option[Int])].collect().sortBy(_._1).toSeq
+    // 1280x480 -> 640x240 (long edge capped); 100x50 passes through
+    assert(out === Seq((1L, Some(640), Some(240)),
+      (2L, Some(100), Some(50)), (3L, None, None)))
+    // thumbnail bytes are a REAL decodable PNG
+    val bytes = Multimodal.decodeThumbnails(d, "payload", maxEdge = 640)
+      .filter(col("doc_id") === 1L).select("thumb_png")
+      .as[Array[Byte]].head()
+    val reread = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(reread.getWidth === 640 && reread.getHeight === 240)
+  }
+
   test("resizeMeta preserves small media, scales the long edge to fit") {
     val d = Seq((1L, 320, 240), (2L, 1280, 480)).toDF("doc_id", "width", "height")
     val out = Multimodal.resizeMeta(d, maxEdge = 640)
