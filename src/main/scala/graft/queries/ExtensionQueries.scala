@@ -28,16 +28,16 @@ object ExtensionQueries {
     * Without this, four queries each re-run the candidate join + verify
     * + contraction from the raw corpus. localCheckpoint truncates
     * lineage, so consumers re-read materialized partitions. Keyed by
-    * session: a restarted session rebuilds; stale entries are dropped
-    * wholesale past a bound (rebuild is always safe).
+    * session: a restarted session rebuilds. Past the bound the
+    * LEAST-RECENTLY-USED memo is evicted and its cached blocks
+    * unpersisted ([[FrameMemo]]) — a long-lived session re-pays only
+    * its coldest build, never the whole registry.
     */
-  private val shared = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+  private val shared =
+    new FrameMemo[(SparkSession, String, String)](bound = 256)
   private def sharedFrame(s: SparkSession, d: String, key: String)
-                         (build: => DataFrame): DataFrame = {
-    if (shared.size > 256) shared.clear()
-    shared.computeIfAbsent((s, d, key), _ => build.localCheckpoint())
-  }
+                         (build: => DataFrame): DataFrame =
+    shared((s, d, key))(build)
   /** Shared ANN index artifacts — the same materialize-once discipline
     * as the dedup graph, because this IS how a deployed ANN service
     * works: the indexer builds posting lists / codebooks / codes once,
@@ -67,8 +67,8 @@ object ExtensionQueries {
     * granularity: the (doc, mask) frame, the verified DISTINCT-mask
     * pair list (corpus-size-independent), and only then the doc-level
     * expansions — so clustering never touches the expanded doc-pair
-    * list (outer callers resolve inner memos first: ConcurrentHashMap
-    * forbids recursive computeIfAbsent on itself).
+    * list. Outer callers resolve inner memos BEFORE entering their own
+    * build so the LRU order tracks true access recency.
     */
   private def maskFrame(s: SparkSession, d: String,
                         vocab: Array[String]): DataFrame =

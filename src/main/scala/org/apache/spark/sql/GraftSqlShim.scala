@@ -10,4 +10,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Release the cached blocks behind a `localCheckpoint()`'d frame.
+    * The checkpoint persists its materialized RDD for the session
+    * lifetime; `Dataset.unpersist` cannot reach it (it only consults
+    * the CacheManager), so an evicting memo must unpersist the
+    * `LogicalRDD`'s underlying RDD directly or the blocks linger until
+    * context shutdown. No-op for non-checkpointed plans.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
