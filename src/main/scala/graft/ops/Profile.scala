@@ -35,6 +35,39 @@ object Profile {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Posting-list / band-index health report — the "when to re-train
+    * or re-balance" signal for a deployed ANN or LSH index
+    * (pairs with `Similarity.assignToCentroids` posting lists and
+    * `Dedup.minhashBands` band indexes): per-list population, its
+    * exact corpus share in ppm, and a skew flag marking lists more
+    * than `skewPermille`/1000 × the mean list size (the lists whose
+    * scan cost dominates probes and whose centroids/bands want a
+    * re-train or a split).
+    *
+    * Determinism: ALL integer arithmetic — the share is integer ppm
+    * and the skew test cross-multiplies (`1000·n·L > p·T`) so no
+    * engine ever divides — identical in any engine.
+    *
+    * Shape for scale: one hash-agg over the index (map-side partials,
+    * shuffle carries one row per list), one single-row global agg
+    * joined back by broadcast — no window, no sort, never the corpus.
+    */
+  def indexHealth(index: DataFrame, keyCol: String,
+                  skewPermille: Long = 2000L): DataFrame = {
+    require(skewPermille >= 1, s"skewPermille must be >= 1, got $skewPermille")
+    val sizes = index.groupBy(col(keyCol).cast("string").as("list_key"))
+      .agg(count(lit(1)).as("n_items"))
+    val glob = sizes.agg(count(lit(1)).as("n_lists"),
+      sum(col("n_items")).as("total_items"))
+    sizes.crossJoin(broadcast(glob))
+      .withColumn("share_ppm", expr("n_items * 1000000 DIV total_items"))
+      .withColumn("skewed",
+        col("n_items") * col("n_lists") * 1000L >
+          lit(skewPermille) * col("total_items"))
+      .select("list_key", "n_items", "n_lists", "total_items",
+        "share_ppm", "skewed")
+  }
+
   /** Exact distinct counts (oracle-comparable); use [[approx]] at
     * scale. Shape differs from [[approx]] on purpose: N exact
     * distincts in ONE aggregate plan as an Expand (input rows x N)

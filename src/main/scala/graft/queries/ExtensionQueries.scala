@@ -563,6 +563,27 @@ object ExtensionQueries {
       .orderBy("t")
   }
 
+  /** IVF posting-list health over the SHARED materialized index (the
+    * same assignment memo every q_ann_ivf* query reads): per-list
+    * population, exact ppm share, skew flag — the re-train /
+    * re-balance trigger a long-running ANN service watches (a skewed
+    * list dominates probe cost; its centroid wants a split).
+    */
+  def ivfHealth(s: SparkSession, d: String): DataFrame =
+    Profile.indexHealth(ivfAssignment(s, d), "centroid_id")
+      .orderBy("list_key")
+
+  /** MinHash band-index health for the 16×2 geometry q_dedup_minhash
+    * runs: hot band keys are the candidate-volume hazard (each
+    * contributes c·(c−1)/2 pairs), so the skew flag is the re-band /
+    * AQE-split signal. List key = band number : band hash.
+    */
+  def bandHealth(s: SparkSession, d: String): DataFrame =
+    Profile.indexHealth(
+      Dedup.minhashBands(docs(s, d), numHashes = 16, bands = 2)
+        .select(concat(col("b"), lit(":"), col("band_key")).as("bk")),
+      "bk").orderBy("list_key")
+
   /** Quality-weighted downsampling: survival probability follows the
     * token count (p = n_tokens/100, clamped) — long documents always
     * survive, short ones thin proportionally.
@@ -1494,6 +1515,45 @@ object ExtensionQueries {
         |FROM j
         |WHERE NOT in_b OR NOT in_c OR h_base IS DISTINCT FROM h_cur
         |ORDER BY doc_id, status""".stripMargin,
+    "q_ivf_health" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(floor(10000 * (
+        |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+        |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e a CROSS JOIN cent c) t
+        |  WHERE rn = 1),
+        |sizes AS (SELECT CAST(centroid_id AS VARCHAR) AS list_key, count(*) AS n_items
+        |  FROM assign GROUP BY 1),
+        |g AS (SELECT count(*) AS n_lists, sum(n_items) AS total_items FROM sizes)
+        |SELECT list_key, n_items, n_lists, total_items,
+        |  n_items * 1000000 // total_items AS share_ppm,
+        |  n_items * n_lists * 1000 > 2000 * total_items AS skewed
+        |FROM sizes, g ORDER BY list_key""".stripMargin,
+    "q_band_health" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS ts FROM documents),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(1,17), k ->
+        |    list_aggregate(list_transform(ts, t -> md5(k::VARCHAR || ':' || t)), 'min')) AS mh
+        |  FROM toks),
+        |banded AS (
+        |  SELECT doc_id, b, md5(array_to_string(mh[(b-1)*8+1:(b-1)*8+8], '|')) AS band_key
+        |  FROM sig, unnest(range(1,3)) AS u(b)),
+        |sizes AS (SELECT b::VARCHAR || ':' || band_key AS list_key, count(*) AS n_items
+        |  FROM banded GROUP BY 1),
+        |g AS (SELECT count(*) AS n_lists, sum(n_items) AS total_items FROM sizes)
+        |SELECT list_key, n_items, n_lists, total_items,
+        |  n_items * 1000000 // total_items AS share_ppm,
+        |  n_items * n_lists * 1000 > 2000 * total_items AS skewed
+        |FROM sizes, g ORDER BY list_key""".stripMargin,
     "q_embed_project" -> {
       val signs = Similarity.signMatrix("rp", 64, 8)
       val cols = (0 until 8).map { j =>
@@ -1564,6 +1624,8 @@ object ExtensionQueries {
     "q_embed_project"   -> (embedProject _),
     "q_quality_score"   -> (qualityScore _),
     "q_corpus_diff"     -> (corpusDiffQ _),
-    "q_winnow_pairs"    -> (winnowPairs _)
+    "q_winnow_pairs"    -> (winnowPairs _),
+    "q_ivf_health"      -> (ivfHealth _),
+    "q_band_health"     -> (bandHealth _)
   )
 }

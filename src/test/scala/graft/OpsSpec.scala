@@ -628,6 +628,20 @@ class OpsSpec extends SparkSpec {
     assert(reread.getWidth === 640 && reread.getHeight === 240)
   }
 
+  test("indexHealth: exact ppm shares and the cross-multiplied skew " +
+    "flag on a planted hot list") {
+    val idx = (1 to 90).map(i => (i.toLong, if (i <= 60) "hot" else s"k${i % 3}"))
+      .toDF("id", "list")
+    val out = graft.ops.Profile.indexHealth(idx, "list")
+      .select("list_key", "n_items", "n_lists", "total_items", "share_ppm", "skewed")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // 4 lists over 90 items, mean 22.5: hot=60 (>2x mean, flagged),
+    // k0/k1/k2 = 10 each (not flagged)
+    assert(out.map(_._1) === Seq("hot", "k0", "k1", "k2"))
+    assert(out.head === (("hot", 60L, 4L, 90L, 666666L, true)))
+    assert(out.tail.forall(r => r._2 === 10L && r._5 === 111111L && !r._6))
+  }
+
   test("resizeMeta preserves small media, scales the long edge to fit") {
     val d = Seq((1L, 320, 240), (2L, 1280, 480)).toDF("doc_id", "width", "height")
     val out = Multimodal.resizeMeta(d, maxEdge = 640)
