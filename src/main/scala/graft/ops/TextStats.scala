@@ -89,6 +89,62 @@ object TextStats {
       regexp_count(col(textCol), lit(BpeIshPattern)).cast("long").as("n_bpe_tokens"),
       ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est"))
 
+  /** Per-document tokenizer vocabulary coverage — the audit a pipeline
+    * runs BEFORE freezing a tokenizer: how much of each document the
+    * vocab fails to cover. OOV = a token occurrence absent from
+    * `vocab`; the rate is exact integer ppm (`n_oov·1e6 DIV
+    * n_tokens`), identical in any engine.
+    *
+    * Shape for scale: one explode to skinny (doc, token) rows, a
+    * BROADCAST left join against the vocab (dictionary-sized by
+    * definition), one partial-agged per-doc hash-agg. Documents with
+    * null text tokenize to nothing and emit no row (same contract as
+    * the other tokenize passes).
+    */
+  def vocabCoverage(docs: DataFrame, vocab: DataFrame,
+                    idCol: String = "doc_id",
+                    textCol: String = "text",
+                    vocabCol: String = "token"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val v = vocab.select(col(vocabCol).as("token")).distinct()
+      .withColumn("_in_v", lit(true))
+    tok.join(broadcast(v), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_in_v").isNull, 1)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 DIV n_tokens"))
+  }
+
+  /** Corpus coverage curve: tokens ranked by occurrence count
+    * (desc, token tiebreak), with cumulative occurrences and the exact
+    * ppm share of ALL token occurrences — "a top-k vocab covers
+    * cum_ppm of the corpus", the curve that sizes a vocabulary.
+    *
+    * Shape for scale: per-token counts partial-agg before their
+    * shuffle; the ranked set is TakeOrdered-capped at `k`, so the
+    * single-partition cumulative window runs over k rows regardless of
+    * corpus size; the occurrence total is a bounded scalar probe.
+    */
+  def coverageCurve(docs: DataFrame, k: Int,
+                    textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint() // total probe + top-k read one materialization
+    val totRow = tf.agg(sum(col("n_occ"))).head()
+    // empty corpus: the capped set below is empty too, so the constant
+    // never evaluates — 1 just keeps the expression well-formed
+    val total = if (totRow.isNullAt(0)) 1L else totRow.getLong(0)
+    val w = Window.orderBy(col("n_occ").desc, col("token"))
+    tf.orderBy(col("n_occ").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_occ", sum(col("n_occ")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_ppm", expr(s"cum_occ * 1000000 DIV ${total}L"))
+      .select("rank", "token", "n_occ", "cum_occ", "cum_ppm")
+  }
+
   /** Document fingerprints: whole-document content hash (md5 of the
     * whitespace-normalized text) and a rolling shingle fingerprint —
     * the lexicographic minimum md5 over word-3-gram shingles (a

@@ -584,6 +584,25 @@ object ExtensionQueries {
         .select(concat(col("b"), lit(":"), col("band_key")).as("bk")),
       "bk").orderBy("list_key")
 
+  /** Per-doc OOV audit against a top-10 frequency vocab derived from
+    * the corpus itself (small enough that the fixture's ~31-token
+    * vocabulary yields real nonzero OOV rates) — the freeze-the-
+    * tokenizer gate.
+    */
+  def vocabCoverageQ(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val vocab = ds.select(explode(TextStats.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token")).limit(10)
+    TextStats.vocabCoverage(ds, vocab).orderBy("doc_id")
+  }
+
+  /** Corpus coverage curve (top-50 ranks — covers the fixture's whole
+    * vocabulary, so the curve visibly saturates at 1e6 ppm).
+    */
+  def coverageCurveQ(s: SparkSession, d: String): DataFrame =
+    TextStats.coverageCurve(docs(s, d), k = 50).orderBy("rank")
+
   /** Quality-weighted downsampling: survival probability follows the
     * token count (p = n_tokens/100, clamped) — long documents always
     * survive, short ones thin proportionally.
@@ -1515,6 +1534,29 @@ object ExtensionQueries {
         |FROM j
         |WHERE NOT in_b OR NOT in_c OR h_base IS DISTINCT FROM h_cur
         |ORDER BY doc_id, status""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |tf AS (SELECT token, count(*) AS n_occ FROM tok GROUP BY 1),
+        |vocab AS (SELECT token FROM tf ORDER BY n_occ DESC, token LIMIT 10),
+        |j AS (SELECT t.doc_id, v.token IS NOT NULL AS in_v
+        |      FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(CASE WHEN NOT in_v THEN 1 END) AS n_oov,
+        |  count(CASE WHEN NOT in_v THEN 1 END) * 1000000 // count(*) AS oov_ppm
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_coverage_curve" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text,' ')) AS token FROM documents),
+        |tf AS (SELECT token, count(*) AS n_occ FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(n_occ) AS total FROM tf),
+        |top AS (SELECT token, n_occ,
+        |    row_number() OVER (ORDER BY n_occ DESC, token) AS rank
+        |  FROM tf ORDER BY n_occ DESC, token LIMIT 50)
+        |SELECT rank, token, n_occ,
+        |  sum(n_occ) OVER (ORDER BY rank) AS cum_occ,
+        |  sum(n_occ) OVER (ORDER BY rank) * 1000000 // total AS cum_ppm
+        |FROM top, tot ORDER BY rank""".stripMargin,
     "q_ivf_health" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1626,6 +1668,8 @@ object ExtensionQueries {
     "q_corpus_diff"     -> (corpusDiffQ _),
     "q_winnow_pairs"    -> (winnowPairs _),
     "q_ivf_health"      -> (ivfHealth _),
-    "q_band_health"     -> (bandHealth _)
+    "q_band_health"     -> (bandHealth _),
+    "q_vocab_coverage"  -> (vocabCoverageQ _),
+    "q_coverage_curve"  -> (coverageCurveQ _)
   )
 }
