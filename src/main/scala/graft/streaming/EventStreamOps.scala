@@ -172,6 +172,62 @@ object EventStreamOps {
       .dropDuplicatesWithinWatermark(Seq("text_hash"))
   }
 
+  /** STREAMING corpus diff, live half — the batch
+    * [[graft.ops.Dedup.corpusDiff]] contract over a re-crawl STREAM of
+    * the current corpus against a static base snapshot. Every arriving
+    * document classifies immediately via a stream-static left join on
+    * the base's (id, hash) index (re-planned per micro-batch, like
+    * [[streamingDedupAgainstBase]]): absent id → `added`, present with
+    * a different hash (null-safe `<=>`, matching the batch twin) →
+    * `changed`; unchanged arrivals emit nothing. Crawler re-deliveries
+    * of the same doc id drop within the watermark, so state is bounded
+    * by the lateness window, never corpus size.
+    *
+    * `removed` is NOT live-decidable: a base id's absence is only
+    * known once the scan completes — no micro-batch can prove a doc
+    * will never arrive. That half is [[corpusDiffRemoved]], a batch
+    * anti-join the pipeline runs at scan end against its visited-id
+    * ledger (which the crawler keeps anyway; the spec shows the
+    * composition reproducing the batch diff exactly).
+    */
+  def streamingCorpusDiff(docs: DataFrame, base: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          tsCol: String = "ts",
+                          lateness: String = "10 minutes"): DataFrame = {
+    val b = base.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("h_base"), lit(true).as("_in_base"))
+    docs
+      .select(col(tsCol), col(idCol).as("doc_id"),
+        md5(col(textCol)).as("h_cur"))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+      .join(b, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("_in_base").isNull, lit("added"))
+          .when(!(col("h_base") <=> col("h_cur")), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select("doc_id", "status", "h_base", "h_cur")
+  }
+
+  /** Scan-end half of the streaming corpus diff: `removed` = base ids
+    * the completed scan never visited. `seenIds` is the crawl's
+    * visited-id ledger (every id the stream carried, unchanged ones
+    * included). Output schema matches [[graft.ops.Dedup.corpusDiff]]'s
+    * removed rows, so `stream output ∪ this` IS the batch diff.
+    * Shape: anti-join of the skinny (id, hash) base index against the
+    * skinny ledger — map-side partials, no corpus movement.
+    */
+  def corpusDiffRemoved(base: DataFrame, seenIds: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    base.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h_base"))
+      .join(seenIds.select(col(idCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("removed").as("status"),
+        col("h_base"), lit(null).cast("string").as("h_cur"))
+
   /** Stream-stream interval attribution: join a purchase stream to a
     * click/view stream of the same user within a bounded look-back
     * window — the streaming counterpart of

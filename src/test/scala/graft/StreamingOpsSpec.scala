@@ -127,6 +127,46 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCorpusDiff: adds/changes classify live across " +
+    "micro-batches (re-deliveries dropped in-watermark, unchanged " +
+    "silent); with the scan-end removed half the composition equals " +
+    "the batch corpusDiff exactly") {
+    implicit val sc = spark.sqlContext
+    val base = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val currentRows = Seq((1L, "alpha"), (2L, "beta prime"),
+      (3L, "gamma"), (5L, "epsilon"))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreamOps.streamingCorpusDiff(df, base)
+      .writeStream.format("memory").queryName("scdiff")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+      mem.addData((t(1), 1L, "alpha"),        // unchanged -> silent
+        (t(2), 2L, "beta prime"))             // changed
+      q.processAllAvailable()
+      mem.addData((t(3), 2L, "beta prime"),   // crawler re-delivery -> dropped
+        (t(4), 3L, "gamma"),                  // unchanged -> silent
+        (t(5), 5L, "epsilon"))                // added
+      q.processAllAvailable()
+      // scan complete: removed = base ids the crawl never visited,
+      // derived from the visited-id ledger (all streamed ids)
+      val removed = EventStreamOps.corpusDiffRemoved(
+        base, currentRows.toDF("doc_id", "text"))
+      val got = spark.table("scdiff").unionByName(removed)
+        .as[(Long, String, Option[String], Option[String])]
+        .collect().sortBy(_._1).toSeq
+      val want = graft.ops.Dedup.corpusDiff(
+          base, currentRows.toDF("doc_id", "text"))
+        .as[(Long, String, Option[String], Option[String])]
+        .collect().sortBy(_._1).toSeq
+      assert(got === want)
+      assert(got.map(r => (r._1, r._2)) ===
+        Seq((2L, "changed"), (4L, "removed"), (5L, "added")))
+    } finally q.stop()
+  }
+
   test("streamingAttribution: purchases join sources of the same user " +
     "within the look-back interval; outside-window and cross-user " +
     "sources never match; unmatched purchases surface with null source " +
