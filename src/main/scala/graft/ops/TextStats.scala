@@ -652,32 +652,42 @@ object TextStats {
     * n_bigrams, sum_lpq, avg_lpq); test docs with fewer than two
     * tokens emit nothing.
     *
-    * Shape for scale: train is two cascaded hash-aggs off one explode;
-    * test explodes to (doc, prev, next) and equi-joins the count
-    * tables (shuffle on the bigram/context keys, partial-agged sides);
-    * V is a bounded scalar probe.
+    * Shape for scale: the train corpus tokenizes ONCE into a
+    * checkpointed per-doc token-array frame that feeds BOTH the bigram
+    * build and the vocabulary probe (counting V off `bg`'s distinct
+    * prev∪next would miss single-token documents' words — and a
+    * separate count_distinct scan would re-tokenize the corpus); the
+    * bigram counts cascade into the context totals off that one
+    * materialization. Test explodes to (doc, prev, next) and
+    * equi-joins the count tables (shuffle on the bigram/context keys,
+    * partial-agged sides); V is a bounded scalar probe.
     */
   def lmScore(train: DataFrame, test: DataFrame,
               idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    def pairs(df: DataFrame, extraNames: Seq[String]): DataFrame = {
-      val t = tokens(col(textCol))
-      val ps = when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => struct(element_at(t, i).as("prev"), element_at(t, i + 1).as("next"))))
+    def pairsOf(ts: Column): Column =
+      when(size(ts) >= 2,
+        transform(sequence(lit(1), size(ts) - 1),
+          i => struct(element_at(ts, i).as("prev"), element_at(ts, i + 1).as("next"))))
         .otherwise(array().cast("array<struct<prev:string,next:string>>"))
-      df.select(extraNames.map(col) :+ explode(ps).as("p"): _*)
-        .select(extraNames.map(col) :+ col("p.prev") :+ col("p.next"): _*)
-    }
-    val trainPairs = pairs(train, Nil)
+    // ONE tokenize scan over the train corpus, shared by the bigram
+    // build and the vocab count
+    val trainToks = train.select(tokens(col(textCol)).as("ts")).localCheckpoint()
+    val trainPairs = trainToks.select(explode(pairsOf(col("ts"))).as("p"))
+      .select(col("p.prev"), col("p.next"))
     // bg feeds the context re-agg AND the scoring join — materialize the
     // train-side explode + count once (same reuse gap as bm25's tf)
     val bg = trainPairs.groupBy("prev", "next").agg(count(lit(1)).as("c_bg"))
       .localCheckpoint()
     val ctx = bg.groupBy("prev").agg(sum(col("c_bg")).as("c_ctx"))
-    val vocab = train
-      .select(explode(tokens(col(textCol))).as("tok"))
+    val vocab = trainToks
+      .select(explode(col("ts")).as("tok"))
       .agg(count_distinct(col("tok"))).head().getLong(0)
+    def pairs(df: DataFrame, extraNames: Seq[String]): DataFrame = {
+      val ps = pairsOf(tokens(col(textCol)))
+      df.select(extraNames.map(col) :+ explode(ps).as("p"): _*)
+        .select(extraNames.map(col) :+ col("p.prev") :+ col("p.next"): _*)
+    }
     val lp = log(
       (coalesce(col("c_bg"), lit(0L)) + 1).cast("double") /
         (coalesce(col("c_ctx"), lit(0L)) + vocab).cast("double"))

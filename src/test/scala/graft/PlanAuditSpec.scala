@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Sampling, Similarity, TextStats}
+import graft.ops.{Dedup, Profile, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -91,6 +91,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
     assert(!p.contains("Join"), p)
     assert(p.contains("Window"), p)
+  }
+
+  test("HLL profile (Profile.approx): approx_count_distinct plans " +
+    "WITHOUT an Expand — the multi-distinct row-doubling never fires " +
+    "on the scale path (exact profiling keeps its per-column union)") {
+    val df = (1 to 300).map(i => (i.toLong, s"v${i % 7}", s"w${i % 11}"))
+      .toDF("id", "a", "b")
+    val p = plan(Profile.approx(df, Seq("id", "a", "b")))
+    assert(!p.contains("Expand"), p)
+    // map-side partial sketches merge across ONE exchange (the HLL
+    // buffer aggregates sort-based, so pin partials, not the operator)
+    assert(p.contains("partial_approx_count_distinct"), p)
+    assert("Exchange".r.findAllIn(p).length === 1, p)
   }
 
   test("tfidf and repetitionSignals aggregate with partials and never " +
