@@ -233,9 +233,13 @@ object Dedup {
     // verify — dropping them here changes nothing downstream but cuts
     // the candidate shuffle and the array_intersect work.
     val pa = toks.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok"))
-    val pb = pa.select(col("doc_id").as("doc_b_"), col("n").as("n_b_"), col("tok"))
+    // fresh alias on the join key too: reusing `tok` would resolve both
+    // sides of the equi-join to the same attribute (trivially true),
+    // degrading the prefix equi-join to a length-filtered cross product
+    val pb = pa.select(col("doc_id").as("doc_b_"), col("n").as("n_b_"),
+      col("tok").as("tok_b_"))
     val cand = pa.join(pb,
-        pa("tok") === pb("tok") && pa("doc_id") < pb("doc_b_") &&
+        pa("tok") === pb("tok_b_") && pa("doc_id") < pb("doc_b_") &&
           pa("n") >= lit(threshold) * pb("n_b_") &&
           pb("n_b_") >= lit(threshold) * pa("n"))
       .select(pa("doc_id").as("doc_a"), pb("doc_b_").as("doc_b"))
@@ -253,6 +257,85 @@ object Dedup {
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Edit-distance similarity join: all pairs with
+    * `levenshtein(a, b) <= maxDist`, found without the n² cross
+    * product (Ed-Join, Xiao/Wang/Lin VLDB'08 — the df-ordered
+    * (k·q+1)-gram prefix filter; the location/content mismatch
+    * refinements are omitted, the prefix + length filters alone are
+    * lossless). The near-identical-text case MinHash/Jaccard miss:
+    * small character-level edits (truncation, encoding damage, typo
+    * injection) that preserve the token multiset barely move Jaccard
+    * but have tiny edit distance.
+    *
+    * Candidate generation: ed(a,b) <= k forces (i) |len_a - len_b| <=
+    * k, and (ii) a and b share a q-gram inside each other's k·q+1
+    * SMALLEST-df gram prefix under a global (df, gram) order — each
+    * edit destroys at most q grams, so k edits cannot cover a k·q+1
+    * prefix. Pairs are verified with Spark's threshold levenshtein
+    * (early-exits the DP past `maxDist` — O(k·len), not len²).
+    *
+    * Shape for scale: one gram explode (materialized once — it feeds
+    * the df aggregate AND the prefix rejoin), a skinny equi-join on
+    * prefix grams with the length filter inside the join, distinct
+    * pair keys, then two id equi-joins to fetch texts for the verify.
+    * Docs with <= k·q distinct grams (strings of ~k·q chars) can sit
+    * within distance k of a doc sharing NO gram, so they bypass the
+    * prefix filter into a length-windowed all-pairs side — bounded,
+    * because only near-gram-empty strings land there.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int, q: Int = 3,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val prefLen = maxDist * q + 1
+    val flagged = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        length(col(textCol)).as("l"))
+      .withColumn("gs", array_distinct(expr(
+        s"transform(sequence(1, greatest(l - ${q - 1}, 1)), i -> substring(text, i, $q))")))
+      .withColumn("short", size(col("gs")) <= lit(maxDist * q))
+      .localCheckpoint() // feeds the gram explode, the short side, and both verify rejoins
+
+    val ex = flagged.filter(!col("short"))
+      .select(col("doc_id"), col("l"), explode(col("gs")).as("g"))
+      .localCheckpoint() // one gram scan feeds the df agg AND the rejoin
+    val dfAgg = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val pref = ex.join(dfAgg, Seq("g"))
+      .groupBy("doc_id", "l")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("keyed"))
+      .select(col("doc_id"), col("l"),
+        slice(transform(col("keyed"), k => k("g")), 1, prefLen).as("prefix"))
+    val pa = pref.select(col("doc_id"), col("l"), explode(col("prefix")).as("g"))
+    // fresh aliases on EVERY pb column: reusing `g` would resolve both
+    // sides of the equi-join to the same attribute (trivially true)
+    val pb = pa.select(col("doc_id").as("doc_b_"), col("l").as("l_b_"),
+      col("g").as("g_b_"))
+    val prefCand = pa.join(pb,
+        pa("g") === pb("g_b_") && pa("doc_id") < pb("doc_b_") &&
+          abs(pa("l") - pb("l_b_")) <= maxDist)
+      .select(pa("doc_id").as("doc_a"), pb("doc_b_").as("doc_b"))
+
+    // short-doc side: length-windowed pairs against the whole corpus
+    // (range join — BNL, but over the near-gram-empty stragglers only)
+    val shorts = flagged.filter(col("short"))
+      .select(col("doc_id").as("s_id"), col("l").as("s_l"))
+    val others = flagged.select(col("doc_id").as("o_id"), col("l").as("o_l"))
+    val shortCand = shorts.join(others,
+        col("s_id") =!= col("o_id") && abs(col("s_l") - col("o_l")) <= maxDist)
+      .select(least(col("s_id"), col("o_id")).as("doc_a"),
+        greatest(col("s_id"), col("o_id")).as("doc_b"))
+
+    val ta = flagged.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+    val tb = flagged.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+    prefCand.unionByName(shortCand).distinct()
+      .join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
   }
 
   /** MinHash signature column: `numHashes` lexicographic minima of

@@ -186,7 +186,8 @@ object Similarity {
               vecCol: String = "embedding",
               centroids: Option[DataFrame] = None,
               nprobe: Int = 1,
-              corpusAssigned: Option[DataFrame] = None): DataFrame = {
+              corpusAssigned: Option[DataFrame] = None,
+              broadcastQueries: Boolean = true): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     // default: the deterministic stride quantizer (oracle-reproducible);
     // pass `centroids` = [[kmeans]] output for a trained index — same
@@ -244,7 +245,12 @@ object Similarity {
           .select(col("centroid_id"), col("query_id"), col("qv"), col("qn"))
       }
 
-    val scored = c.join(broadcast(q), Seq("centroid_id"))
+    // query side broadcast only when the caller says it is the small
+    // side (the ANN-service shape); [[knnGraph]] probes with the WHOLE
+    // corpus, where the right plan is a shuffle equi-join on the
+    // posting-list key — both sides hash-partition on centroid_id
+    val qSide = if (broadcastQueries) broadcast(q) else q
+    val scored = c.join(qSide, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       // a corpus vector can sit in several probed lists of the same
       // query only if lists overlapped — they never do (top-1 corpus
@@ -256,6 +262,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos_q")
+  }
+
+  /** k-NN graph: every corpus vector's top-k neighbors, as a directed
+    * edge list (src, dst, rank, cos_q, mutual) — the structure
+    * graph-based curation consumes (SemDeDup-style cluster refinement,
+    * graph dedup, diversity sampling all start from this graph).
+    *
+    * The probe side is the WHOLE corpus, so this reuses the IVF
+    * posting-list machinery ([[ivfTopK]]) with `broadcastQueries =
+    * false`: both sides hash-partition on centroid_id (one shuffle
+    * each), candidates per vector are bounded by its `nprobe` probed
+    * lists — never the n² cross product a brute-force graph pays.
+    * `mutual` marks edges whose reverse edge also survived its own
+    * top-k — the symmetric backbone; computed with one self-equi-join
+    * on the (src, dst) edge key over the k·n-row edge list.
+    *
+    * Pass `corpusAssigned` = the shared [[assignToCentroids]] index so
+    * the graph build reads the same materialized posting lists every
+    * other ANN consumer reads.
+    */
+  def knnGraph(corpus: DataFrame, k: Int, nprobe: Int = 2,
+               centroidStride: Int = 37, dim: Int = 64,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               centroids: Option[DataFrame] = None,
+               corpusAssigned: Option[DataFrame] = None): DataFrame = {
+    val edges = ivfTopK(corpus, corpus, k, centroidStride, dim, idCol, vecCol,
+        centroids, nprobe, corpusAssigned, broadcastQueries = false)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("rank"), col("cos_q"))
+      // edges feed both sides of the mutuality join — materialize once
+      .localCheckpoint()
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      lit(true).as("_m"))
+    edges.join(rev, Seq("src", "dst"), "left")
+      .withColumn("mutual", coalesce(col("_m"), lit(false)))
+      .drop("_m")
   }
 
   /** Deterministic mean-pooling of embeddings per group — the pass

@@ -67,6 +67,53 @@ object TextStats {
       (hits(t, en).cast("double") / size(t)).as("stopword_ratio"))
   }
 
+  /** Gopher-style rule gate (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", 2021, §A1.1):
+    * the hard document filters a web-scale corpus applies BEFORE any
+    * model-based scoring — word-count bounds, mean-word-length bounds,
+    * a minimum count of distinct stopwords, and a minimum fraction of
+    * words containing an alphabetic character. Emits the raw signals,
+    * one boolean per rule, and the conjunctive `pass`.
+    *
+    * All arithmetic is integer-exact so any engine reproduces it
+    * bit-for-bit: mean word length is micro-units via integer division
+    * (`word_chars·1e6 DIV n_words`), the alpha-fraction gate is the
+    * cross-multiplied `n_alpha_words·1e6 >= minAlphaPpm·n_words`.
+    *
+    * Shape for scale: a pure projection — per-row lambda folds over
+    * the token array, zero joins, zero shuffles; Catalyst prunes to
+    * (id, text).
+    */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLenMicro: Long = 3000000L,
+                  maxMeanLenMicro: Long = 10000000L,
+                  minStopwords: Int = 2,
+                  minAlphaPpm: Long = 800000L,
+                  stopwordList: Seq[String] = stopwords.head._2,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val stopLit = array(stopwordList.map(lit): _*)
+    docs.select(
+        col(idCol).as("doc_id"),
+        size(t).as("n_words"),
+        aggregate(t, lit(0L), (acc, w) => acc + length(w)).as("word_chars"),
+        size(array_intersect(array_distinct(t), stopLit)).as("n_stop"),
+        size(filter(t, w => w.rlike("[A-Za-z]"))).as("n_alpha_words"))
+      .withColumn("mean_len_micro",
+        expr("word_chars * 1000000 DIV n_words"))
+      .withColumn("ok_words",
+        col("n_words").between(minWords, maxWords))
+      .withColumn("ok_mean_len",
+        col("mean_len_micro").between(minMeanLenMicro, maxMeanLenMicro))
+      .withColumn("ok_stop", col("n_stop") >= minStopwords)
+      .withColumn("ok_alpha",
+        col("n_alpha_words") * 1000000L >= lit(minAlphaPpm) * col("n_words"))
+      .withColumn("pass",
+        col("ok_words") && col("ok_mean_len") && col("ok_stop") && col("ok_alpha"))
+  }
+
   /** GPT-2-style pre-tokenizer pattern, simplified to the RE2-portable
     * subset (no lookahead, explicit classes): an optional leading space
     * glued to a letter run, digit run, or punctuation run; leftover

@@ -614,6 +614,31 @@ object ExtensionQueries {
         "doc_id", col("n_tokens") / 100.0)
       .orderBy("doc_id")
 
+  /** k-NN graph over the FULL embedding corpus from the shared IVF
+    * index (posting-list equi-join, no broadcast of the probe side —
+    * see [[graft.ops.Similarity.knnGraph]]): the edge list graph-based
+    * curation starts from, with the mutual-edge backbone flag.
+    */
+  def knnGraphQ(s: SparkSession, d: String): DataFrame =
+    Similarity.knnGraph(embs(s, d), k = 5, nprobe = 2,
+        corpusAssigned = Some(ivfAssignment(s, d)))
+      .orderBy("src", "rank")
+
+  /** Edit-distance near-dup pairs (Ed-Join prefix filter + threshold
+    * levenshtein verify) — catches character-level mutations that
+    * token-set similarity barely moves.
+    */
+  def editPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(docs(s, d), maxDist = 5)
+      .orderBy("doc_a", "doc_b")
+
+  /** Gopher-style hard rule gate (word count, mean word length,
+    * stopword presence, alpha-word fraction) — integer-exact signals
+    * plus per-rule booleans and the conjunctive pass flag.
+    */
+  def gopherRulesQ(s: SparkSession, d: String): DataFrame =
+    TextStats.gopherRules(docs(s, d)).orderBy("doc_id")
+
   /** Column profiling (exact): long/string columns only in the oracle
     * set — numeric-to-string casts format identically for integers and
     * strings in both engines (doubles would not).
@@ -1392,6 +1417,62 @@ object ExtensionQueries {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, cos_q FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+        |ranked AS (
+        |    SELECT a.vec_id, a.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(floor(10000 * (
+        |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+        |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e a CROSS JOIN cent c),
+        |cassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1),
+        |qassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn <= 2),
+        |scored AS (
+        |  SELECT q.vec_id AS src, c.vec_id AS dst,
+        |    CAST(floor(10000 * (
+        |      list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+        |      (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+        |       sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+        |  FROM qassign q JOIN cassign c ON q.centroid_id = c.centroid_id
+        |  WHERE q.vec_id <> c.vec_id),
+        |r AS (SELECT src, dst, cos_q,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos_q DESC, dst) AS rank
+        |  FROM scored),
+        |edges AS (SELECT src, dst, rank, cos_q FROM r WHERE rank <= 5)
+        |SELECT e1.src, e1.dst, e1.rank, e1.cos_q,
+        |  e2.src IS NOT NULL AS mutual
+        |FROM edges e1 LEFT JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+        |ORDER BY e1.src, e1.rank""".stripMargin,
+    "q_edit_pairs" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 5),
+        |v AS (SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist FROM cand)
+        |SELECT doc_a, doc_b, dist FROM v WHERE dist <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS n_words,
+        |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS word_chars,
+        |  len(list_intersect(list_distinct(toks), ['the','a','of','and','to'])) AS n_stop,
+        |  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words
+        |  FROM t),
+        |g AS (SELECT doc_id, n_words, word_chars, n_stop, n_alpha_words,
+        |  word_chars * 1000000 // n_words AS mean_len_micro FROM s)
+        |SELECT doc_id, n_words, word_chars, n_stop, n_alpha_words, mean_len_micro,
+        |  n_words BETWEEN 50 AND 100000 AS ok_words,
+        |  mean_len_micro BETWEEN 3000000 AND 10000000 AS ok_mean_len,
+        |  n_stop >= 2 AS ok_stop,
+        |  n_alpha_words * 1000000 >= 800000 * n_words AS ok_alpha,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_len_micro BETWEEN 3000000 AND 10000000)
+        |    AND n_stop >= 2 AND n_alpha_words * 1000000 >= 800000 * n_words AS pass
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH c AS (SELECT doc_id,
         |  len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','to'], t))) AS c_en,
@@ -1670,6 +1751,9 @@ object ExtensionQueries {
     "q_ivf_health"      -> (ivfHealth _),
     "q_band_health"     -> (bandHealth _),
     "q_vocab_coverage"  -> (vocabCoverageQ _),
-    "q_coverage_curve"  -> (coverageCurveQ _)
+    "q_coverage_curve"  -> (coverageCurveQ _),
+    "q_knn_graph"       -> (knnGraphQ _),
+    "q_edit_pairs"      -> (editPairs _),
+    "q_gopher_rules"    -> (gopherRulesQ _)
   )
 }

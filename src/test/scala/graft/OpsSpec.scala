@@ -1117,4 +1117,83 @@ class OpsSpec extends SparkSpec {
       assert(native === chain, s"seed=$seed")
     }
   }
+
+  test("editDistancePairs == brute-force levenshtein join on a random " +
+    "corpus incl. short strings (4 seeds)") {
+    for (seed <- 1L to 4L) {
+      val rnd = new scala.util.Random(seed)
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      val corpus = ((1 to 40).map { i =>
+        // random mutations of a base string: deletions + substitutions
+        val chars = base.toCharArray.toBuffer
+        val edits = rnd.nextInt(8)
+        for (_ <- 1 to edits; if chars.nonEmpty) {
+          val p = rnd.nextInt(chars.length)
+          if (rnd.nextBoolean()) chars.remove(p)
+          else chars(p) = ('a' + rnd.nextInt(26)).toChar
+        }
+        (i.toLong, chars.mkString)
+      } ++ Seq((90L, "ab"), (91L, "cd"), (92L, "x"), (93L, ""))) // short-path docs
+        .toDF("doc_id", "text")
+      val k = 5
+      val got = Dedup.editDistancePairs(corpus, maxDist = k)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val a = corpus.select($"doc_id".as("doc_a"), $"text".as("ta"))
+      val b = corpus.select($"doc_id".as("doc_b"), $"text".as("tb"))
+      val brute = a.join(b, $"doc_a" < $"doc_b")
+        .withColumn("dist", levenshtein($"ta", $"tb").cast("long"))
+        .filter($"dist" <= k)
+        .select("doc_a", "doc_b", "dist")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got === brute, s"seed=$seed")
+      assert(brute.nonEmpty, s"seed=$seed produced a vacuous corpus")
+    }
+  }
+
+  test("knnGraph: exact top-k on a single-list index, mutual flag " +
+    "matches the reversed-edge set") {
+    // ids < 37 ⇒ one centroid (vec 0) ⇒ one posting list ⇒ the probe
+    // covers the whole corpus and the graph is EXACT brute-force top-k
+    val rnd = new scala.util.Random(7)
+    val emb = (0L to 9L).map { i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(emb, k = 3, nprobe = 2)
+      .as[(Long, Long, Int, Long, Boolean)].collect().toSeq
+    assert(g.size === 10 * 3)
+    val brute = Similarity.bruteForceTopK(emb, emb, k = 3)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(g.map(e => (e._1, e._2, e._3, e._4)).toSet === brute)
+    val edgeSet = g.map(e => (e._1, e._2)).toSet
+    g.foreach { e =>
+      assert(e._5 === edgeSet.contains((e._2, e._1)),
+        s"mutual flag wrong for ${(e._1, e._2)}")
+    }
+  }
+
+  test("gopherRules: each rule gates independently; integer-exact " +
+    "mean word length") {
+    val d = Seq(
+      // 50 words of mean length 4 incl. stopwords ⇒ all rules pass
+      (1L, (Seq.fill(24)("word") ++ Seq.fill(24)("lake") ++
+        Seq("the", "a")).mkString(" ")),
+      (2L, "the a of short text"),            // < 50 words ⇒ ok_words false
+      (3L, (Seq.fill(50)("hippopotamuses") :+ "the").mkString(" ") + " a"),
+      (4L, (Seq.fill(50)("word")).mkString(" ")),  // no stopwords ⇒ ok_stop false
+      (5L, (Seq.fill(49)("word") ++ Seq("the", "a", "7777")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherRules(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(out(1L).getAs[Long]("mean_len_micro") ===
+      (24 * 4 + 24 * 4 + 3 + 1) * 1000000L / 50)
+    assert(!out(2L).getAs[Boolean]("ok_words") &&
+      out(2L).getAs[Boolean]("ok_stop"))
+    assert(!out(3L).getAs[Boolean]("ok_mean_len")) // mean len > 10
+    assert(!out(4L).getAs[Boolean]("ok_stop") &&
+      !out(4L).getAs[Boolean]("pass"))
+    // one numeric word in 52: alpha fraction 51/52 > 0.8 still passes
+    assert(out(5L).getAs[Boolean]("ok_alpha"))
+    assert(out(5L).getAs[Long]("n_alpha_words") === 51L)
+  }
 }
