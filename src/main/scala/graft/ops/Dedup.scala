@@ -270,10 +270,16 @@ object Dedup {
     * but have tiny edit distance.
     *
     * Candidate generation: ed(a,b) <= k forces (i) |len_a - len_b| <=
-    * k, and (ii) a and b share a q-gram inside each other's k·q+1
-    * SMALLEST-df gram prefix under a global (df, gram) order — each
-    * edit destroys at most q grams, so k edits cannot cover a k·q+1
-    * prefix. Pairs are verified with Spark's threshold levenshtein
+    * k, (ii) a and b share a POSITIONAL q-gram occurrence inside each
+    * other's k·q+1 smallest-df prefix under a global (df, gram, pos)
+    * order — each edit destroys at most q gram occurrences, so k edits
+    * cannot cover a k·q+1 prefix — and (iii) the matching occurrences
+    * sit within k positions of each other (k edits shift any surviving
+    * gram by at most k). The position filter is what makes the prefix
+    * join selective on repetitive text, where a FEW distinct grams
+    * recur at many positions: without it every co-occurrence of a rare
+    * gram pairs the docs (measured here: 10× more candidate pairs).
+    * Pairs are verified with Spark's threshold levenshtein
     * (early-exits the DP past `maxDist` — O(k·len), not len²).
     *
     * Shape for scale: one gram explode (materialized once — it feeds
@@ -291,31 +297,68 @@ object Dedup {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val prefLen = maxDist * q + 1
-    val flagged = docs
+    // `short` ≡ gram-occurrence count l-q+1 <= k·q, a pure LENGTH
+    // predicate — so the checkpoint stays skinny (id, text, l, short);
+    // the ~len-sized positional gram array is never materialized, it
+    // lives only inside the explodes that feed `ex`
+    val base = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"),
         length(col(textCol)).as("l"))
-      .withColumn("gs", array_distinct(expr(
-        s"transform(sequence(1, greatest(l - ${q - 1}, 1)), i -> substring(text, i, $q))")))
-      .withColumn("short", size(col("gs")) <= lit(maxDist * q))
+      .withColumn("short", col("l") <= lit(maxDist * q + q - 1))
+    // a small input (one parquet file → one partition) would run the
+    // ~len× gram explode single-threaded; spread it BEFORE the
+    // checkpoint so every downstream pass parallelizes. Only widens —
+    // an input already wider than the session's shuffle parallelism
+    // keeps its partitioning (no extra shuffle at scale).
+    // hash by doc_id (not round-robin): the explode preserves the
+    // child's partitioning, so the per-doc prefix aggregation below
+    // needs NO shuffle of the len× gram rows — hash(doc_id) already
+    // satisfies its clustering
+    val target = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val flagged = (if (base.rdd.getNumPartitions < target)
+        base.repartition(target, col("doc_id")) else base)
       .localCheckpoint() // feeds the gram explode, the short side, and both verify rejoins
 
+    // positions explode FIRST, substring per exploded row after —
+    // building a per-doc array-of-structs and exploding it measures
+    // ~2x slower than the flat sequence explode
     val ex = flagged.filter(!col("short"))
-      .select(col("doc_id"), col("l"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("l"), col("text"),
+        explode(expr(s"sequence(1, greatest(l - ${q - 1}, 1))")).as("p"))
+      .select(col("doc_id"), col("l"),
+        expr(s"substring(text, p, $q)").as("g"), col("p"))
       .localCheckpoint() // one gram scan feeds the df agg AND the rejoin
     val dfAgg = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    val pref = ex.join(dfAgg, Seq("g"))
-      .groupBy("doc_id", "l")
-      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("keyed"))
+    // dense integer rank = the global (df, gram) order, computed once
+    // over the DICTIONARY (one row per distinct gram — vocabulary-
+    // bounded, so the unpartitioned window sorts a dimension table,
+    // not the corpus); downstream, 1.5M-row shuffles and the candidate
+    // equi-join carry/compare a 4-byte int instead of (long, string)
+    val rankDict = dfAgg.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("df"), col("g"))))
+      .select("g", "r")
+    // broadcast is EXPLICIT: the rank window sits between the df agg's
+    // exchange and this join, which blocks AQE's runtime broadcast
+    // conversion (measured: without the hint this runs as a sort-merge
+    // join on the gram string — 2x the whole prefix stage). Safe to
+    // force: the dict is vocabulary-bounded (<= |charset|^q rows).
+    val exR = ex.join(broadcast(rankDict), Seq("g"))
+      .select(col("doc_id"), col("l"), col("r"), col("p"))
+    val pref = exR.groupBy("doc_id", "l")
+      .agg(array_sort(collect_list(struct(col("r"), col("p")))).as("keyed"))
       .select(col("doc_id"), col("l"),
-        slice(transform(col("keyed"), k => k("g")), 1, prefLen).as("prefix"))
-    val pa = pref.select(col("doc_id"), col("l"), explode(col("prefix")).as("g"))
-    // fresh aliases on EVERY pb column: reusing `g` would resolve both
+        slice(col("keyed"), 1, prefLen).as("prefix"))
+    val pa = pref.select(col("doc_id"), col("l"), explode(col("prefix")).as("x"))
+      .select(col("doc_id"), col("l"), col("x.r").as("r"), col("x.p").as("p"))
+    // fresh aliases on EVERY pb column: reusing `r` would resolve both
     // sides of the equi-join to the same attribute (trivially true)
     val pb = pa.select(col("doc_id").as("doc_b_"), col("l").as("l_b_"),
-      col("g").as("g_b_"))
+      col("r").as("r_b_"), col("p").as("p_b_"))
     val prefCand = pa.join(pb,
-        pa("g") === pb("g_b_") && pa("doc_id") < pb("doc_b_") &&
+        pa("r") === pb("r_b_") && pa("doc_id") < pb("doc_b_") &&
+          abs(pa("p") - pb("p_b_")) <= maxDist &&
           abs(pa("l") - pb("l_b_")) <= maxDist)
       .select(pa("doc_id").as("doc_a"), pb("doc_b_").as("doc_b"))
 

@@ -1119,8 +1119,8 @@ class OpsSpec extends SparkSpec {
   }
 
   test("editDistancePairs == brute-force levenshtein join on a random " +
-    "corpus incl. short strings (4 seeds)") {
-    for (seed <- 1L to 4L) {
+    "corpus incl. short strings (8 seeds)") {
+    for (seed <- 1L to 8L) {
       val rnd = new scala.util.Random(seed)
       val base = "the quick brown fox jumps over the lazy dog again and again"
       val corpus = ((1 to 40).map { i =>
