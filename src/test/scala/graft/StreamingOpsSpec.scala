@@ -223,6 +223,66 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIvfAssign == batch assignToCentroids with frozen " +
+    "centroids, end-to-end through MemoryStream") {
+    import graft.ops.Similarity
+    import graft.streaming.VectorStreamOps
+    val rnd = new scala.util.Random(11)
+    def v() = Seq.fill(64)(rnd.nextDouble() * 2 - 1)
+    val centroids = Seq(10L -> v(), 20L -> v(), 30L -> v())
+    val vecs = (1L to 12L).map(i =>
+      (i, java.sql.Timestamp.valueOf("2020-01-01 10:00:01"),
+        v().map(_.toFloat)))
+    val batchDf = vecs.toDF("vec_id", "ts", "embedding")
+    val centDf = centroids
+      .map { case (id, cv) => (id, cv) }.toDF("centroid_id", "centv")
+    val expected = Similarity
+      .assignToCentroids(batchDf, centroids = Some(centDf))
+      .select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    val assigned = VectorStreamOps.streamingIvfAssign(
+      mem.toDF().toDF("vec_id", "ts", "embedding"), centroids)
+    val q = assigned.writeStream.format("memory").queryName("siva")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(vecs: _*)
+      q.processAllAvailable()
+      val got = spark.table("siva").select("vec_id", "centroid_id")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === expected)
+      assert(got.map(_._2).toSet.size > 1, "degenerate: all one list")
+    } finally q.stop()
+  }
+
+  test("streamingListLoads: windowed per-list counts with the hot flag " +
+    "at the calibrated threshold") {
+    import graft.streaming.VectorStreamOps
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("vec_id", "ts", "centroid_id")
+    val q = VectorStreamOps.streamingListLoads(df,
+        expectedPerWindow = 10L, alertPpm = 200000L, window_ = "10 minutes")
+      .select(col("window.start").cast("string").as("w"),
+        col("centroid_id"), col("n_items"), col("hot"))
+      .writeStream.format("memory").queryName("loads")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+      // list 1: 3 arrivals (3/10 > 20% -> hot); list 2: one (not hot)
+      mem.addData((1L, t(1), 1L), (2L, t(2), 1L), (3L, t(3), 1L),
+        (4L, t(4), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("loads")
+        .as[(String, Long, Long, Boolean)].collect().sorted
+      assert(rows.toSeq === Seq(
+        ("2020-01-01 10:00:00", 1L, 3L, true),
+        ("2020-01-01 10:00:00", 2L, 1L, false)))
+    } finally q.stop()
+  }
+
   test("latestStateStream matches the batch latest-state result on the " +
     "same (bounded) input") {
     val audit = Seq(
