@@ -909,6 +909,31 @@ object Dedup {
       .select("doc_id", "cluster_id", "canonical_id", "is_canonical")
   }
 
+  /** Per-cluster dedup economics: given a cluster assignment
+    * ([[connectedComponents]] / [[maskClusters]] output) and a per-doc
+    * score frame (token counts, quality — any additive long signal),
+    * report each cluster's size, score mass, best member (highest
+    * score, lowest id on ties — the [[canonicalByScore]] tiebreak),
+    * and `dup_score` = total - max: the mass you RECLAIM by keeping
+    * only the canonical. Summed over clusters, dup_score is the
+    * pipeline's dedup-savings estimate — the number that decides
+    * whether a near-dup pass pays for itself at 100 TB.
+    *
+    * Shape for scale: one equi-join on doc id, one partial-agged
+    * hash aggregation on cluster_id; max_by replaces a per-cluster
+    * sort window.
+    */
+  def clusterReport(clusters: DataFrame, signals: DataFrame,
+                    scoreCol: String, idCol: String = "doc_id"): DataFrame =
+    clusters.join(signals, Seq(idCol))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(scoreCol)).as("total_score"),
+        max(col(scoreCol)).as("max_score"),
+        max_by(col(idCol),
+          struct(col(scoreCol), (-col(idCol)).as("nid"))).as("best_doc"))
+      .withColumn("dup_score", col("total_score") - col("max_score"))
+
   /** Cross-snapshot exact dedup — the first gate of incremental
     * ingestion: drop incoming documents whose content hash already
     * exists in the base corpus (left-anti join on md5). Both sides

@@ -366,6 +366,47 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("micro")).as("sum_micro"),
         (sum(col("micro")).cast("double") / (count(lit(1)) * 1e6)).as("mean_v"))
 
+  /** Embedding distribution drift between two corpus snapshots — the
+    * re-index trigger's other half: [[graft.streaming.VectorStreamOps]]
+    * watches posting-list LOADS live; this audits the underlying
+    * DISTRIBUTION shift per (group, dimension) between the snapshot an
+    * index was trained on and the corpus it now serves.
+    *
+    * Exactness: both sides pool through [[meanPool]]'s micro-quantized
+    * integer sums, and the mean comparison is cross-multiplied —
+    * `drifted` ⇔ |sum_cur/n_cur − sum_base/n_base| > thresholdMicro
+    * micro-units, tested as the exact long inequality
+    * |sum_cur·n_base − sum_base·n_cur| > threshold·n_base·n_cur (no
+    * division, engine-identical). A group present in only one
+    * snapshot is drift by definition.
+    *
+    * Shape for scale: two one-shuffle pooled aggregations (dim× skinny
+    * long rows), then an equi-join on (group, dim) — group×dim rows,
+    * dimension-table sized.
+    */
+  def embeddingDrift(base: DataFrame, current: DataFrame,
+                     groupExpr: Column, thresholdMicro: Long = 10000L,
+                     vecCol: String = "embedding"): DataFrame = {
+    val b = meanPool(base, groupExpr, vecCol)
+      .select(col("group_id"), col("dim_idx"),
+        col("n").as("n_base"), col("sum_micro").as("sum_base"))
+    val c = meanPool(current, groupExpr, vecCol)
+      .select(col("group_id"), col("dim_idx"),
+        col("n").as("n_cur"), col("sum_micro").as("sum_cur"))
+    b.join(c, Seq("group_id", "dim_idx"), "full_outer")
+      .select(col("group_id"), col("dim_idx"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("sum_base"), lit(0L)).as("sum_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("sum_cur"), lit(0L)).as("sum_cur"))
+      .withColumn("delta_x",
+        col("sum_cur") * col("n_base") - col("sum_base") * col("n_cur"))
+      .withColumn("drifted",
+        col("n_base") === 0 || col("n_cur") === 0 ||
+          abs(col("delta_x")) >
+            lit(thresholdMicro) * col("n_base") * col("n_cur"))
+  }
+
   /** Deterministic int8 embedding quantization — the 4x storage
     * compression an embedding lake applies before indexing: per-vector
     * max-abs scale, q[d] = floor(v[d] / scale * 127) in [-127, 127]

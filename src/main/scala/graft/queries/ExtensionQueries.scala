@@ -639,6 +639,28 @@ object ExtensionQueries {
   def gopherRulesQ(s: SparkSession, d: String): DataFrame =
     TextStats.gopherRules(docs(s, d)).orderBy("doc_id")
 
+  /** Per-cluster dedup economics over the SHARED cluster assignment
+    * (token counts as the score): dup_score = tokens reclaimed by
+    * keeping only each cluster's best member.
+    */
+  def clusterQuality(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterReport(docClusters(s, d),
+        docs(s, d).select(col("doc_id"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")),
+        scoreCol = "n_tokens")
+      .orderBy("cluster_id")
+
+  /** Embedding distribution drift between the even-id and odd-id
+    * snapshot halves, per (label, dimension) — the re-train audit.
+    */
+  def embedDrift(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.embeddingDrift(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        groupExpr = col("label"), thresholdMicro = 10000L)
+      .orderBy("group_id", "dim_idx")
+  }
+
   /** Column profiling (exact): long/string columns only in the oracle
     * set — numeric-to-string casts format identically for integers and
     * strings in both engines (doubles would not).
@@ -1456,6 +1478,62 @@ object ExtensionQueries {
         |v AS (SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist FROM cand)
         |SELECT doc_a, doc_b, dist FROM v WHERE dist <= 5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_cluster_quality" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_sort(list_distinct(string_split(text,' '))) AS ts,
+        |         len(list_distinct(string_split(text,' '))) AS n
+        |  FROM documents),
+        |pref AS (SELECT doc_id, ts, n,
+        |    ts[1:(n - CAST(ceil(0.8*n) AS INT) + 1)] AS prefix FROM toks),
+        |pa AS (SELECT doc_id, unnest(prefix) AS tok FROM pref),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pa a JOIN pa b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |    len(list_intersect(x.ts, y.ts)) AS inter, x.n AS n_a, y.n AS n_b
+        |  FROM cand JOIN toks x ON cand.doc_a = x.doc_id
+        |            JOIN toks y ON cand.doc_b = y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM j
+        |  WHERE CAST(inter AS DOUBLE)/(n_a+n_b-inter) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sig AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |jj AS (SELECT cl.cluster_id, cl.doc_id, sig.n_tokens,
+        |    max(sig.n_tokens) OVER (PARTITION BY cl.cluster_id) AS mx
+        |  FROM cl JOIN sig USING (doc_id))
+        |SELECT cluster_id, count(*) AS n_docs,
+        |  sum(n_tokens) AS total_score, max(n_tokens) AS max_score,
+        |  min(doc_id) FILTER (WHERE n_tokens = mx) AS best_doc,
+        |  sum(n_tokens) - max(n_tokens) AS dup_score
+        |FROM jj GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "q_embed_drift" ->
+      """WITH pe AS (
+        |  SELECT label, CAST(t.i - 1 AS INT) AS dim_idx, vec_id,
+        |    CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1,65)) AS i) t),
+        |b AS (SELECT label AS group_id, dim_idx,
+        |    count(*) AS n_base, sum(micro) AS sum_base
+        |  FROM pe WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |c AS (SELECT label AS group_id, dim_idx,
+        |    count(*) AS n_cur, sum(micro) AS sum_cur
+        |  FROM pe WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+        |j AS (SELECT coalesce(b.group_id, c.group_id) AS group_id,
+        |    coalesce(b.dim_idx, c.dim_idx) AS dim_idx,
+        |    coalesce(n_base, 0) AS n_base, coalesce(sum_base, 0) AS sum_base,
+        |    coalesce(n_cur, 0) AS n_cur, coalesce(sum_cur, 0) AS sum_cur
+        |  FROM b FULL OUTER JOIN c
+        |    ON b.group_id = c.group_id AND b.dim_idx = c.dim_idx)
+        |SELECT group_id, dim_idx, n_base, sum_base, n_cur, sum_cur,
+        |  sum_cur * n_base - sum_base * n_cur AS delta_x,
+        |  n_base = 0 OR n_cur = 0 OR
+        |    abs(sum_cur * n_base - sum_base * n_cur) > 10000 * n_base * n_cur AS drifted
+        |FROM j ORDER BY group_id, dim_idx""".stripMargin,
     "q_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, len(toks) AS n_words,
@@ -1754,6 +1832,8 @@ object ExtensionQueries {
     "q_coverage_curve"  -> (coverageCurveQ _),
     "q_knn_graph"       -> (knnGraphQ _),
     "q_edit_pairs"      -> (editPairs _),
-    "q_gopher_rules"    -> (gopherRulesQ _)
+    "q_gopher_rules"    -> (gopherRulesQ _),
+    "q_cluster_quality" -> (clusterQuality _),
+    "q_embed_drift"     -> (embedDrift _)
   )
 }

@@ -1171,6 +1171,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("clusterReport: best doc = highest score then lowest id; " +
+    "dup_score = total - max") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 7L))
+      .toDF("doc_id", "n_tokens")
+    val out = Dedup.clusterReport(clusters, scores, "n_tokens")
+      .select("cluster_id", "n_docs", "total_score", "max_score",
+        "best_doc", "dup_score")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // docs 2 and 3 tie at 30 tokens -> best is the LOWER id (2)
+    assert(out.toSeq === Seq((1L, 3L, 70L, 30L, 2L, 40L),
+      (4L, 1L, 7L, 7L, 4L, 0L)))
+  }
+
+  test("embeddingDrift: one-sided groups always drift, identical " +
+    "halves never, and the micro threshold is an exact inequality") {
+    val base = Seq((1L, Seq(1.0f, 2.0f), "same"), (2L, Seq(4.0f, 4.0f), "gone"),
+      (5L, Seq(1.0f, 1.0f), "moved")).toDF("vec_id", "embedding", "g")
+    val cur = Seq((3L, Seq(1.0f, 2.0f), "same"), (4L, Seq(9.0f, 9.0f), "new"),
+      (6L, Seq(1.005f, 1.0f), "moved")).toDF("vec_id", "embedding", "g")
+    val out = Similarity.embeddingDrift(base, cur, col("g"),
+        thresholdMicro = 10000L) // 0.01 in vector units
+      .select("group_id", "dim_idx", "drifted")
+      .as[(String, Int, Boolean)].collect()
+      .groupBy(_._1).map { case (g, v) =>
+        g -> v.sortBy(_._2).map(_._3).toSeq }
+    assert(out("same") === Seq(false, false))
+    assert(out("gone") === Seq(true, true))
+    assert(out("new") === Seq(true, true))
+    // dim 0 moved by ~0.005 < 0.01 -> NOT drifted (quantized exactly:
+    // floor(1.005e6)=1004999 vs 1e6, |delta|=4999 micro < 10000)
+    assert(out("moved") === Seq(false, false))
+  }
+
   test("gopherRules: each rule gates independently; integer-exact " +
     "mean word length") {
     val d = Seq(
