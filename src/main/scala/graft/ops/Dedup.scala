@@ -597,6 +597,56 @@ object Dedup {
     * `docs` supplies the node set, so singleton documents (no pairs)
     * appear with `cluster_id = doc_id`.
     */
+  /** Driver union-find over a collected directed edge list — the
+    * bounded finish shared by [[connectedComponents]]'s raw and
+    * contracted paths. Labels every node appearing in an edge with its
+    * component's MIN member under the SAME ordering Spark's `min`
+    * uses — for strings that is UTF8String BINARY order (UTF-8 bytes),
+    * which differs from java.lang.String.compareTo (UTF-16 code units)
+    * on supplementary characters; using the JVM order would make
+    * cluster ids depend on which finish path ran. Callers cap the
+    * collect BEFORE calling.
+    */
+  private def unionFindLocal(edgesDf: DataFrame): DataFrame = {
+    val spark = edgesDf.sparkSession
+    val edges = edgesDf.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      // path compression
+      var c = x
+      while (parent.getOrDefault(c, c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    edges.foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
+    val minOf = new java.util.HashMap[Any, Any]()
+    val nodes = new java.util.HashSet[Any]()
+    edges.foreach { row => nodes.add(row.get(0)); nodes.add(row.get(1)) }
+    nodes.forEach { v =>
+      val r = find(v)
+      val cur = minOf.get(r)
+      if (cur == null || lt(v, cur)) minOf.put(r, v)
+    }
+    val idType = edgesDf.schema.fields(0).dataType
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    nodes.forEach { v =>
+      rows.add(org.apache.spark.sql.Row(v, minOf.get(find(v))))
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("label", idType))))
+  }
+
   def connectedComponents(pairs: DataFrame, docs: DataFrame,
                           idCol: String = "doc_id",
                           maxRounds: Int = 25,
@@ -618,6 +668,23 @@ object Dedup {
     var m: DataFrame = null
     var contracted: DataFrame = null
     try {
+    // RAW fast path: when the directed pair list itself fits the
+    // driver bound, union-find the raw edges directly — the star
+    // contraction's two groupBys, two joins, and distinct exist to
+    // SHRINK a graph too big to collect; paying them when the input
+    // already fits is backwards (measured at sf0.1: ~3s of contraction
+    // machinery to avoid a 698k-row / ~30 MB collect on the dense
+    // mask-pair graph)
+    val nRaw = p.count()
+    if (nRaw <= heapCappedEdges) {
+      val viaRaw = unionFindLocal(p)
+        .select(col("id"), col("label").as("cluster_id"))
+      return docs.select(col(idCol).as("id")).distinct()
+        .join(viaRaw, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+        .localCheckpoint()
+    }
     // STAR CONTRACTION first (the Kiveris et al. move): collapse every
     // node onto m(u) = min(u, neighbors(u)), then rewrite each edge
     // (u,v) as (m(u), m(v)) and dedupe. Near-dup graphs are dense
@@ -657,47 +724,7 @@ object Dedup {
       // the whole iterative distributed loop — O(E α(E)) locally,
       // saving the per-round job launch + shuffle + checkpoint tax. The
       // collect is capped at maxDriverEdges rows of two scalar ids.
-      val edges = contractedDir.collect()
-      val parent = new java.util.HashMap[Any, Any]()
-      def find(x: Any): Any = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
-        // path compression
-        var c = x
-        while (parent.getOrDefault(c, c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
-        r
-      }
-      edges.foreach { row =>
-        val (ra, rb) = (find(row.get(0)), find(row.get(1)))
-        if (ra != rb) parent.put(ra, rb)
-      }
-      // component label = MIN member under the SAME ordering Spark's
-      // `min` uses — for strings that is UTF8String BINARY order (UTF-8
-      // bytes), which differs from java.lang.String.compareTo (UTF-16
-      // code units) on supplementary characters; using the JVM order
-      // would make cluster ids depend on which finish path ran
-      def lt(a: Any, b: Any): Boolean = (a, b) match {
-        case (x: String, y: String) =>
-          org.apache.spark.unsafe.types.UTF8String.fromString(x)
-            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
-        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-      }
-      val minOf = new java.util.HashMap[Any, Any]()
-      val nodes = new java.util.HashSet[Any]()
-      edges.foreach { row => nodes.add(row.get(0)); nodes.add(row.get(1)) }
-      nodes.forEach { v =>
-        val r = find(v)
-        val cur = minOf.get(r)
-        if (cur == null || lt(v, cur)) minOf.put(r, v)
-      }
-      val idType = contractedDir.schema.fields(0).dataType
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      nodes.forEach { v =>
-        rows.add(org.apache.spark.sql.Row(v, minOf.get(find(v))))
-      }
-      spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", idType),
-        org.apache.spark.sql.types.StructField("label", idType))))
+      unionFindLocal(contractedDir)
     } else {
       // distributed fallback for contracted graphs past the bound
       val both = contractedDir
