@@ -245,4 +245,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert("HashAggregate".r.findAllIn(p).length >= 4, p)
   }
+
+  test("editDistancePairs: gram-rank dictionary is broadcast, the " +
+    "candidate join is an equi-join (position/length filters inside), " +
+    "and no cartesian product exists") {
+    val longDocs = (1 to 60).map(i =>
+      (i.toLong, s"abcdefghijklmnopqrstuvwxyz $i padding string content"))
+      .toDF("doc_id", "text")
+    val p = plan(Dedup.editDistancePairs(longDocs, maxDist = 2))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // candidate + verify joins are hash equi-joins; the only permitted
+    // BNL is the (empty here) short-doc length-window side
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+  }
+
+  test("knnGraph does NOT broadcast the whole-corpus probe side: the " +
+    "posting-list join is a shuffle join on centroid_id") {
+    val p = plan(Similarity.knnGraph(embs, k = 3, nprobe = 2,
+      centroidStride = 37, dim = 8))
+    // the probe-vs-lists join must not be a broadcast of the corpus;
+    // with broadcastQueries=false both sides exchange on centroid_id
+    val afterScore = p.substring(p.indexOf("cos_q"))
+    assert(afterScore.contains("SortMergeJoin") ||
+      afterScore.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("gopherRules is a pure projection: zero Exchanges") {
+    val p = plan(TextStats.gopherRules(docs))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("embeddingDrift: pooled aggregations carry map-side partials; " +
+    "everything above the (group, dim) join is aggregate-sized") {
+    val p = plan(Similarity.embeddingDrift(
+      embs.filter(col("vec_id") % 2 === 0),
+      embs.filter(col("vec_id") % 2 === 1), col("vec_id") % 5))
+    assert(p.contains("FullOuter"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
