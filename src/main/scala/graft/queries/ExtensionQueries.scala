@@ -327,6 +327,35 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Token-budget mixing PLAN — the actionable successor to
+    * [[mixWeights]]: given the temperature target shares and a total
+    * token budget, the per-source sampling rate that hits each
+    * source's allocation. `rate_ppm` caps at 1e6 (a source cannot
+    * yield more tokens than it has); `deficit_tokens` is the capped
+    * source's shortfall, which a second re-normalization pass (or an
+    * epoch-repeat policy) absorbs. Integer ppm rates make the plan
+    * directly consumable by [[graft.ops.Sampling.weightedSample]]-style
+    * deterministic gates.
+    */
+  def mixPlan(s: SparkSession, d: String): DataFrame = {
+    val budget = 100000L
+    val per = docs(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextStats.tokens(col("text")))).cast("long").as("n_tokens"))
+    val z = per.agg(sum(sqrt(col("n_tokens"))).as("z"))
+    per.crossJoin(broadcast(z))
+      .withColumn("weight", sqrt(col("n_tokens")) / col("z"))
+      .withColumn("target_tokens",
+        floor(col("weight") * budget).cast("long"))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr("target_tokens * 1000000 DIV n_tokens")))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("target_tokens") - col("n_tokens")))
+      .select("source", "n_docs", "n_tokens", "weight", "target_tokens",
+        "rate_ppm", "deficit_tokens")
+      .orderBy("source")
+  }
+
   /** Incremental-ingestion exact dedup: the odd docs arrive against a
     * base of the even docs PLUS every odd doc with doc_id % 10 == 1
     * (those are "already ingested" by content) — survivors are the odd
@@ -918,6 +947,18 @@ object ExtensionQueries {
         |SELECT source, n_docs, n_tokens,
         |  sqrt(n_tokens) / (SELECT z FROM z) AS weight
         |FROM per ORDER BY source""".stripMargin,
+    "q_mix_plan" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT sum(sqrt(n_tokens)) AS z FROM per),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |    sqrt(n_tokens) / (SELECT z FROM z) AS weight FROM per),
+        |t AS (SELECT *, CAST(floor(weight * 100000) AS BIGINT) AS target_tokens FROM w)
+        |SELECT source, n_docs, n_tokens, weight, target_tokens,
+        |  least(1000000, target_tokens * 1000000 // n_tokens) AS rate_ppm,
+        |  greatest(0, target_tokens - n_tokens) AS deficit_tokens
+        |FROM t ORDER BY source""".stripMargin,
     "q_shard" ->
       """WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096 +
@@ -1834,6 +1875,7 @@ object ExtensionQueries {
     "q_edit_pairs"      -> (editPairs _),
     "q_gopher_rules"    -> (gopherRulesQ _),
     "q_cluster_quality" -> (clusterQuality _),
-    "q_embed_drift"     -> (embedDrift _)
+    "q_embed_drift"     -> (embedDrift _),
+    "q_mix_plan"        -> (mixPlan _)
   )
 }

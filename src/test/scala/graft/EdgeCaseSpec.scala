@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{AuditSeq, CaptureDiff, Retention, SyncJob}
-import graft.ops.{Dedup, TextStats}
+import graft.ops.{Dedup, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Boundary behavior: empty inputs, initial loads, full deletes. */
@@ -167,5 +167,42 @@ class EdgeCaseSpec extends SparkSpec {
     val q = TextStats.qualityClassifier(d)
       .select("doc_id").as[Long].collect().toSet
     assert(q === Set(1L, 3L))
+  }
+
+  test("editDistancePairs: null text dropped, empty corpus empty, " +
+    "identical short strings pair at dist 0 via the short-doc side") {
+    val d = Seq((1L, Option("ab")), (2L, Option("ab")),
+      (3L, Option.empty[String]), (4L, Option("zzzz")))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(d, maxDist = 1)
+      .as[(Long, Long, Long)].collect().sorted
+    // "ab" docs are shorter than k*q+q-1 -> short path; null text gone
+    assert(out.toSeq === Seq((1L, 2L, 0L)))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(empty, maxDist = 2).count() === 0L)
+  }
+
+  test("gopherRules on empty/degenerate text never divides by zero " +
+    "and fails the word-count gate") {
+    val d = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
+    val out = TextStats.gopherRules(d)
+      .select("doc_id", "n_words", "ok_words", "pass")
+      .as[(Long, Int, Boolean, Boolean)].collect().sortBy(_._1)
+    // "" splits to [""] (1 token of length 0) — still a defined row
+    assert(out.toSeq === Seq((1L, 1, false, false), (2L, 1, false, false)))
+  }
+
+  test("knnGraph with k exceeding the corpus emits all neighbors; " +
+    "clusterReport on a single-member cluster reclaims nothing") {
+    val rnd = new scala.util.Random(3)
+    val emb = (0L to 3L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(emb, k = 99, nprobe = 1, dim = 16)
+    assert(g.count() === 4L * 3L) // every vector pairs with every other
+    val rep = Dedup.clusterReport(
+      Seq((7L, 7L)).toDF("doc_id", "cluster_id"),
+      Seq((7L, 42L)).toDF("doc_id", "n_tokens"), "n_tokens")
+      .select("n_docs", "dup_score").as[(Long, Long)].head()
+    assert(rep === ((1L, 0L)))
   }
 }

@@ -1206,6 +1206,24 @@ class OpsSpec extends SparkSpec {
     assert(out("moved") === Seq(false, false))
   }
 
+  test("knnGraph IVF recall on clustered vectors: nprobe=2 of ~8 " +
+    "lists recovers most of the exact top-5 graph") {
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(6)(Array.fill(32)(rnd.nextDouble() * 2 - 1))
+    val emb = (0L until 300L).map { i =>
+      val c = centers((i % 6).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, emb, k = 5, dim = 32)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnGraph(emb, k = 5, nprobe = 2, dim = 32)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    // measured 1.0 on this fixture; 0.8 floor leaves jitter headroom
+    // if the stride quantizer's list boundaries ever shift
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("gopherRules: each rule gates independently; integer-exact " +
     "mean word length") {
     val d = Seq(
