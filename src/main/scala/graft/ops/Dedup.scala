@@ -390,6 +390,41 @@ object Dedup {
       k => array_min(transform(tokens,
         t => md5(concat(k.cast("string"), lit(":"), t)))))
 
+  /** Sketch-only Jaccard ESTIMATE over the LSH candidate pairs: the
+    * fraction of agreeing MinHash components estimates J(a,b) with
+    * standard error ~1/sqrt(numHashes) (Broder's estimator). At scale
+    * THIS is the dedup decision input when re-tokenizing every
+    * candidate for an exact verify is unaffordable — exact Jaccard
+    * then runs only on the est-borderline band, if at all.
+    *
+    * Shape: the candidate list joins the signature index twice by doc
+    * id (skinny fixed-width arrays — tokens are never re-scanned for
+    * scoring); agreement is one zip_with fold per pair. est_ppm is
+    * exact integer arithmetic (`matches·1e6 DIV numHashes`).
+    */
+  def minhashEstimate(docs: DataFrame, numHashes: Int = 16, bands: Int = 2,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val pairs = minhashLsh(docs, numHashes, bands, idCol, textCol)
+    // same adaptive dictionary + native kernel as [[minhashBands]], so
+    // the estimate scores the SAME signatures the candidates came from
+    val vocabProbe = docs.select(explode(tokenSet(col(textCol))).as("tok"))
+      .distinct().limit(257).collect().map(_.getString(0))
+    val dictVocab = if (vocabProbe.length <= 256) vocabProbe
+      else Array.empty[String]
+    val sigs = docs.select(col(idCol).as("doc_id"),
+        graft.functions.MinHashHex(tokenSet(col(textCol)), numHashes,
+          dictVocab).as("mh"))
+      .localCheckpoint() // both pair sides read the signature index
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("matches", size(filter(
+        zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), b => b)))
+      .withColumn("est_ppm", expr(s"matches * 1000000 DIV $numHashes"))
+      .select("doc_a", "doc_b", "matches", "est_ppm")
+  }
+
   /** Dictionary-precomputed twin of [[minhashSignature]] for a known
     * small vocabulary: the driver hashes vocab x numHashes once
     * (java.security MD5 produces the same lowercase hex as Spark's

@@ -118,6 +118,14 @@ object ExtensionQueries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d)).orderBy("doc_id")
 
+  /** Sketch-only Jaccard estimate over the same band-join candidates
+    * as [[dedupMinhash]] — the at-scale scoring path that never
+    * re-reads tokens.
+    */
+  def minhashEst(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashEstimate(docs(s, d), numHashes = 16, bands = 2)
+      .orderBy("doc_a", "doc_b")
+
   /** Near-dup CLUSTER assignment — the O(n) product of a dedup pass
     * (the pair list is O(c²) per cluster): connected components over
     * the verified 0.8-Jaccard pair graph, every doc labeled with the
@@ -1208,6 +1216,27 @@ object ExtensionQueries {
         |  FROM banded a JOIN banded b
         |    ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q_minhash_est" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS ts FROM documents),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(1,17), k ->
+        |    list_aggregate(list_transform(ts, t -> md5(k::VARCHAR || ':' || t)), 'min')) AS mh
+        |  FROM toks),
+        |banded AS (
+        |  SELECT doc_id, b, md5(array_to_string(mh[(b-1)*8+1:(b-1)*8+8], '|')) AS band_key
+        |  FROM sig, unnest(range(1,3)) AS u(b)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id),
+        |j AS (SELECT p.doc_a, p.doc_b, x.mh AS ma, y.mh AS mb
+        |  FROM pairs p JOIN sig x ON p.doc_a = x.doc_id
+        |               JOIN sig y ON p.doc_b = y.doc_id),
+        |m AS (SELECT doc_a, doc_b,
+        |    len(list_filter(range(1,17), i -> ma[CAST(i AS INT)] = mb[CAST(i AS INT)])) AS matches
+        |  FROM j)
+        |SELECT doc_a, doc_b, matches, matches * 1000000 // 16 AS est_ppm
+        |FROM m ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t FROM documents),
@@ -1876,6 +1905,7 @@ object ExtensionQueries {
     "q_gopher_rules"    -> (gopherRulesQ _),
     "q_cluster_quality" -> (clusterQuality _),
     "q_embed_drift"     -> (embedDrift _),
-    "q_mix_plan"        -> (mixPlan _)
+    "q_mix_plan"        -> (mixPlan _),
+    "q_minhash_est"     -> (minhashEst _)
   )
 }

@@ -1206,6 +1206,32 @@ class OpsSpec extends SparkSpec {
     assert(out("moved") === Seq(false, false))
   }
 
+  test("minhashEstimate: identical docs estimate 1e6 ppm; pair set == " +
+    "minhashLsh candidates; matches == hand-counted signature agreement") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on that mat"),
+      (4L, "completely different words entirely")
+    ).toDF("doc_id", "text")
+    val est = Dedup.minhashEstimate(d, numHashes = 16, bands = 4)
+      .as[(Long, Long, Int, Long)].collect().sortBy(e => (e._1, e._2))
+    val lshPairs = Dedup.minhashLsh(d, numHashes = 16, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(est.map(e => (e._1, e._2)).toSet === lshPairs)
+    val byPair = est.map(e => (e._1, e._2) -> e).toMap
+    assert(byPair((1L, 2L))._3 === 16 && byPair((1L, 2L))._4 === 1000000L)
+    // hand-check agreement vs the interpreted signature form
+    val sigs = d.select($"doc_id",
+        Dedup.minhashSignature(Dedup.tokenSet($"text"), 16).as("mh"))
+      .as[(Long, Seq[String])].collect().toMap
+    est.foreach { case (a, b, matches, ppm) =>
+      val expect = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+      assert(matches === expect, s"pair ($a,$b)")
+      assert(ppm === expect * 1000000L / 16)
+    }
+  }
+
   test("knnGraph IVF recall on clustered vectors: nprobe=2 of ~8 " +
     "lists recovers most of the exact top-5 graph") {
     val rnd = new scala.util.Random(5)
