@@ -404,23 +404,40 @@ object Dedup {
     */
   def minhashEstimate(docs: DataFrame, numHashes: Int = 16, bands: Int = 2,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
-    val pairs = minhashLsh(docs, numHashes, bands, idCol, textCol)
+                      textCol: String = "text",
+                      bandIndex: Option[DataFrame] = None,
+                      sigIndex: Option[DataFrame] = None,
+                      pairIndex: Option[DataFrame] = None): DataFrame = {
+    // `pairIndex` = a pre-materialized candidate list from the SAME
+    // band config — a session scoring the pairs it just listed should
+    // not re-run the band self-join
+    val pairs = pairIndex.getOrElse(
+      minhashLsh(docs, numHashes, bands, idCol, textCol, bandIndex))
     // same adaptive dictionary + native kernel as [[minhashBands]], so
     // the estimate scores the SAME signatures the candidates came from
-    val vocabProbe = docs.select(explode(tokenSet(col(textCol))).as("tok"))
-      .distinct().limit(257).collect().map(_.getString(0))
-    val dictVocab = if (vocabProbe.length <= 256) vocabProbe
-      else Array.empty[String]
-    val sigs = docs.select(col(idCol).as("doc_id"),
-        graft.functions.MinHashHex(tokenSet(col(textCol)), numHashes,
-          dictVocab).as("mh"))
-      .localCheckpoint() // both pair sides read the signature index
+    val sigs = sigIndex.getOrElse(
+      minhashSignatureFrame(docs, numHashes, idCol, textCol)
+        .localCheckpoint()) // both pair sides read the signature index
+    // shuffle-hash hint: the checkpointed signature index is a leaf
+    // with no size stats, so the planner defaults these id joins to
+    // sort-merge — two full sorts of the (large) candidate pair list.
+    // A hash join is strictly better here at ANY scale: the pair list
+    // streams, only the per-partition signature build side is held.
     val sa = sigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a"))
+      .hint("shuffle_hash")
     val sb = sigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b"))
+      .hint("shuffle_hash")
+    // static unrolled element_at comparisons stay inside whole-stage
+    // codegen; the zip_with/filter lambda form is interpreted per pair
+    // and dominated the whole query on a dense candidate set (measured
+    // ~12s of a 17s run at sf0.1). numHashes is a small constant, so
+    // the unroll is bounded.
+    val matches = (1 to numHashes).map(k =>
+        when(element_at(col("mh_a"), k) === element_at(col("mh_b"), k),
+          1).otherwise(0))
+      .reduce(_ + _)
     pairs.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("matches", size(filter(
-        zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), b => b)))
+      .withColumn("matches", matches)
       .withColumn("est_ppm", expr(s"matches * 1000000 DIV $numHashes"))
       .select("doc_a", "doc_b", "matches", "est_ppm")
   }
@@ -462,7 +479,8 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                  idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text",
+                 bandIndex: Option[DataFrame] = None): DataFrame = {
     // eager localCheckpoint: BOTH sides of the self-join below read the
     // materialized band rows (bands × docs, tiny) instead of each
     // recomputing the signature scan — without it Spark evaluates the
@@ -471,9 +489,13 @@ object Dedup {
     // fails the query instead of recomputing — rerunning the op rebuilds
     // them cheaply) and are freed on driver GC of the frame, not
     // eagerly; acceptable for an index that is small and cheap relative
-    // to the join it feeds.
-    val banded = minhashBandsWithKeys(docs, numHashes, bands, idCol, textCol)
-      .localCheckpoint()
+    // to the join it feeds. `bandIndex` = a pre-materialized
+    // [[minhashBandsWithKeys]] output for the SAME (hashes, bands)
+    // config — the shared-index hook every other ANN/dedup consumer
+    // has; the caller owns the config match.
+    val banded = bandIndex.getOrElse(
+      minhashBandsWithKeys(docs, numHashes, bands, idCol, textCol)
+        .localCheckpoint())
     // explicit aliases: self-join via dataframe("col") on a renamed copy
     // of the same plan resolves only through Spark's plan-id
     // disambiguation (and logs a trivially-true-predicate warning);
@@ -503,6 +525,27 @@ object Dedup {
                            textCol: String = "text"): DataFrame =
     minhashBands(docs, numHashes, bands, idCol, textCol, withKeys = true)
 
+  /** The per-doc MinHash signature frame (doc_id, mh): the signature
+    * index the band builder and the sketch estimator both read. Small
+    * global vocabulary -> precompute the hash dictionary on the driver
+    * (same adaptive strategy as ngramJaccard's bitmask path); either
+    * way the signature itself is the native one-pass
+    * [[graft.functions.MinHashHex]] kernel (bit-identical to the
+    * interpreted lambda chains [[minhashSignature]] /
+    * [[minhashSignatureDict]], which remain as parity baselines).
+    */
+  def minhashSignatureFrame(docs: DataFrame, numHashes: Int,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val vocabProbe = docs.select(explode(tokenSet(col(textCol))).as("tok"))
+      .distinct().limit(257).collect().map(_.getString(0))
+    val dictVocab = if (vocabProbe.length <= 256) vocabProbe
+      else Array.empty[String]
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.MinHashHex(tokenSet(col(textCol)), numHashes,
+        dictVocab).as("mh"))
+  }
+
   /** The LSH band index of a corpus: (doc_id, b, band_key) — `bands`
     * rows per document. Persist this as the dedup INDEX for
     * [[minhashLshIncremental]]: continuous ingestion then never
@@ -515,18 +558,7 @@ object Dedup {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
-    // small global vocabulary -> precompute the hash dictionary on the
-    // driver (same adaptive strategy as ngramJaccard's bitmask path);
-    // either way the signature itself is the native one-pass
-    // [[graft.functions.MinHashHex]] kernel (bit-identical to the
-    // interpreted lambda chains [[minhashSignature]] /
-    // [[minhashSignatureDict]], which remain as parity baselines)
-    val vocabProbe = docs.select(explode(tokenSet(col(textCol))).as("tok"))
-      .distinct().limit(257).collect().map(_.getString(0))
-    val dictVocab = if (vocabProbe.length <= 256) vocabProbe else Array.empty[String]
-    val signature =
-      graft.functions.MinHashHex(tokenSet(col(textCol)), numHashes, dictVocab)
-    val sig = docs.select(col(idCol).as("doc_id"), signature.as("mh"))
+    val sig = minhashSignatureFrame(docs, numHashes, idCol, textCol)
     // one pass: hash every band slice into one array, then posexplode —
     // no rejoin; `b` stays 1-based (the historical contract)
     val keys = array((1 to bands).map(b =>

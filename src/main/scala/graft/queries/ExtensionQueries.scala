@@ -112,18 +112,37 @@ object ExtensionQueries {
     * wants (wider bands on a highly-self-similar corpus flood the
     * candidate set with sub-threshold pairs).
     */
+  /** Shared MinHash index artifacts (16 hashes, 2 bands): the band
+    * index and the signature frame, each materialized once and read by
+    * q_dedup_minhash AND q_minhash_est — the same deployed-index
+    * discipline as the ANN memos.
+    */
+  private def mhBands(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "mh_bands")(
+      Dedup.minhashBandsWithKeys(docs(s, d), numHashes = 16, bands = 2))
+  private def mhSigs(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "mh_sigs")(
+      Dedup.minhashSignatureFrame(docs(s, d), numHashes = 16))
+  private def mhPairs(s: SparkSession, d: String): DataFrame = {
+    val b = mhBands(s, d)
+    sharedFrame(s, d, "mh_pairs")(
+      Dedup.minhashLsh(docs(s, d), numHashes = 16, bands = 2,
+        bandIndex = Some(b)))
+  }
+
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLsh(docs(s, d), numHashes = 16, bands = 2).orderBy("doc_a", "doc_b")
+    mhPairs(s, d).orderBy("doc_a", "doc_b")
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d)).orderBy("doc_id")
 
   /** Sketch-only Jaccard estimate over the same band-join candidates
     * as [[dedupMinhash]] — the at-scale scoring path that never
-    * re-reads tokens.
+    * re-reads tokens, reading the SAME shared band/signature index.
     */
   def minhashEst(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashEstimate(docs(s, d), numHashes = 16, bands = 2)
+    Dedup.minhashEstimate(docs(s, d), numHashes = 16, bands = 2,
+        sigIndex = Some(mhSigs(s, d)), pairIndex = Some(mhPairs(s, d)))
       .orderBy("doc_a", "doc_b")
 
   /** Near-dup CLUSTER assignment — the O(n) product of a dedup pass
