@@ -259,6 +259,113 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Directed token-set CONTAINMENT pairs: (src, dst, cont_ppm) where
+    * C(src ⊆ dst) = |T(src) ∩ T(dst)| / |T(src)| meets `thresholdPpm`
+    * — the asymmetric cousin of the Jaccard join, and the right
+    * primitive for doc-in-doc detection (quotes, boilerplate wrappers,
+    * aggregation pages embedding whole articles) where Jaccard stays
+    * LOW precisely because the containing document is much larger.
+    * Directed on purpose: src-in-dst and dst-in-src are different
+    * facts. Docs with an empty token set are dropped (containment of
+    * nothing is undefined). All threshold math is exact integer
+    * cross-multiplication (`inter·1e6 >= thresholdPpm·n_src`), so any
+    * engine reproduces the pair set bit-for-bit.
+    *
+    * Adaptive like [[ngramJaccard]]: global vocab <= 64 routes to the
+    * corpus-size-independent distinct-mask path (popcount containment
+    * over mask pairs, bucketed so a src mask only meets dst sizes that
+    * could clear the bound: n_dst >= ceil(t·n_src)); otherwise the
+    * prefix-filter path — overlap >= ceil(t·n_s) forces a shared
+    * token inside src's (n_s − ceil(t·n_s) + 1) smallest-df prefix
+    * (only the SRC side prefixes; dst has no size upper bound, which
+    * is exactly what makes containment asymmetric).
+    */
+  def containmentPairs(docs: DataFrame, thresholdPpm: Long = 900000L,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
+    smallVocab(docs, textCol) match {
+      case Some(vocab) =>
+        maskContainment(tokenMasks(docs, vocab, idCol, textCol), thresholdPpm)
+      case None => containmentPrefix(docs, thresholdPpm, idCol, textCol)
+    }
+  }
+
+  /** Mask path of [[containmentPairs]]: distinct-mask candidate join
+    * bucketed by dst popcount, doc-level expansion afterwards — the
+    * same corpus-size-independent shape as [[maskJaccardPairs]] +
+    * [[expandMaskPairs]], but directed and with the src-normalized
+    * containment ratio.
+    */
+  def maskContainment(masks: DataFrame, thresholdPpm: Long): DataFrame = {
+    val gm = masks.filter(col("n") > 0).select("m", "n").distinct()
+    // smallest dst size that can clear the bound: ceil(t·n_src), in
+    // exact integer form
+    val la = gm.select(col("m").as("m_s"), col("n").as("n_s"),
+      explode(sequence(
+        expr(s"CAST((n * $thresholdPpm + 999999) DIV 1000000 AS INT)"),
+        lit(64))).as("n_d"))
+    val rb = gm.select(col("m").as("m_d"), col("n").as("n_d"))
+    val maskPairs = la.join(rb, Seq("n_d"))
+      .filter(col("m_s") =!= col("m_d"))
+      .withColumn("inter",
+        bit_count(col("m_s").bitwiseAND(col("m_d"))).cast("int"))
+      .filter(col("inter") * 1000000L >= lit(thresholdPpm) * col("n_s"))
+      .select(col("m_s"), col("m_d"),
+        expr("CAST(inter * 1000000 DIV n_s AS BIGINT)").as("cont_ppm"))
+    val ia = masks.filter(col("n") > 0)
+      .select(col("doc_id").as("src"), col("m"))
+    val ib = masks.filter(col("n") > 0)
+      .select(col("doc_id").as("dst"), col("m"))
+    // identical token sets contain each other fully — ordered pairs,
+    // both directions, containment exactly 1e6
+    val intra = ia.join(ib, "m").filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), lit(1000000L).as("cont_ppm"))
+    val cross = maskPairs
+      .join(ia.withColumnRenamed("m", "m_s"), Seq("m_s"))
+      .join(ib.withColumnRenamed("m", "m_d"), Seq("m_d"))
+      .select(col("src"), col("dst"), col("cont_ppm"))
+    intra.unionByName(cross)
+  }
+
+  private def containmentPrefix(docs: DataFrame, thresholdPpm: Long,
+                                idCol: String, textCol: String): DataFrame = {
+    val ex = docs.select(col(idCol).as("doc_id"),
+      explode(tokenSet(col(textCol))).as("tok"))
+      .localCheckpoint() // one tokenize scan feeds the df agg AND the rejoin
+    val dfAgg = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    val toks = ex.join(dfAgg, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("keyed"))
+      .select(col("doc_id"),
+        transform(col("keyed"), k => k("tok")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .localCheckpoint() // feeds the prefix explode and both verify sides
+    // src prefix: overlap >= ceil(t*n_s) cannot avoid the
+    // (n_s - ceil(t*n_s) + 1) smallest-df tokens
+    val pa = toks.select(col("doc_id").as("src"), col("n").as("n_s"),
+      explode(slice(col("ts"), lit(1),
+        expr(s"CAST(n - (n * $thresholdPpm + 999999) DIV 1000000 + 1 AS INT)")))
+        .as("tok"))
+    // dst side carries ALL its tokens (no size upper bound on dst)
+    val pb = toks.select(col("doc_id").as("dst_"), col("n").as("n_d_"),
+      explode(col("ts")).as("tok_d_"))
+    val cand = pa.join(pb,
+        pa("tok") === pb("tok_d_") && pa("src") =!= pb("dst_") &&
+          pb("n_d_") * 1000000L >= lit(thresholdPpm) * pa("n_s"))
+      .select(col("src"), col("dst_").as("dst"))
+      .distinct()
+    val xs = toks.select(col("doc_id").as("src"), col("ts").as("ts_s"),
+      col("n").as("n_s"))
+    val xd = toks.select(col("doc_id").as("dst"), col("ts").as("ts_d"))
+    cand.join(xs, "src").join(xd, "dst")
+      .withColumn("inter", size(array_intersect(col("ts_s"), col("ts_d"))))
+      .filter(col("inter") * 1000000L >= lit(thresholdPpm) * col("n_s"))
+      .select(col("src"), col("dst"),
+        expr("CAST(inter * 1000000 DIV n_s AS BIGINT)").as("cont_ppm"))
+  }
+
   /** Edit-distance similarity join: all pairs with
     * `levenshtein(a, b) <= maxDist`, found without the n² cross
     * product (Ed-Join, Xiao/Wang/Lin VLDB'08 — the df-ordered

@@ -136,6 +136,19 @@ object ExtensionQueries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d)).orderBy("doc_id")
 
+  /** Directed FULL-containment pairs (t = 1.0): src's token set
+    * entirely inside dst — the crispest doc-in-doc detector (quotes,
+    * wrappers). Adaptive mask/prefix path, sharing the memoized mask
+    * frame. On this tiny-vocab fixture even full containment is
+    * common (~22k directed pairs at sf0.01); looser thresholds are
+    * near-vacuous here, though real corpora run 0.8-0.9.
+    */
+  def containmentFull(s: SparkSession, d: String): DataFrame =
+    (docVocab(s, d) match {
+      case Some(v) => Dedup.maskContainment(maskFrame(s, d, v), 1000000L)
+      case None    => Dedup.containmentPairs(docs(s, d), 1000000L)
+    }).orderBy("src", "dst")
+
   /** Sketch-only Jaccard estimate over the same band-join candidates
     * as [[dedupMinhash]] — the at-scale scoring path that never
     * re-reads tokens, reading the SAME shared band/signature index.
@@ -1256,6 +1269,17 @@ object ExtensionQueries {
         |  FROM j)
         |SELECT doc_a, doc_b, matches, matches * 1000000 // 16 AS est_ppm
         |FROM m ORDER BY doc_a, doc_b""".stripMargin,
+    "q_containment" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_distinct(string_split(text,' ')) AS ts,
+        |    len(list_distinct(string_split(text,' '))) AS n
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+        |    len(list_intersect(a.ts, b.ts)) AS inter, a.n AS n_s
+        |  FROM toks a JOIN toks b ON a.doc_id <> b.doc_id AND a.n > 0)
+        |SELECT src, dst, inter * 1000000 // n_s AS cont_ppm
+        |FROM p WHERE inter * 1000000 >= 1000000 * n_s
+        |ORDER BY src, dst""".stripMargin,
     "q_dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t FROM documents),
@@ -1925,6 +1949,7 @@ object ExtensionQueries {
     "q_cluster_quality" -> (clusterQuality _),
     "q_embed_drift"     -> (embedDrift _),
     "q_mix_plan"        -> (mixPlan _),
-    "q_minhash_est"     -> (minhashEst _)
+    "q_minhash_est"     -> (minhashEst _),
+    "q_containment"     -> (containmentFull _)
   )
 }

@@ -1206,6 +1206,46 @@ class OpsSpec extends SparkSpec {
     assert(out("moved") === Seq(false, false))
   }
 
+  test("containmentPairs: directed semantics (subset contains fully, " +
+    "superset does not); both paths == brute force (4 seeds)") {
+    // hand case: A ⊂ B — cont(A in B)=1e6, cont(B in A)=3/5
+    val hand = Seq((1L, "a b c"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val h = Dedup.containmentPairs(hand, 900000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(h === Set((1L, 2L, 1000000L))) // 600000 ppm fails the 0.9 gate
+    def brute(d: org.apache.spark.sql.DataFrame, t: Long) = {
+      val ts = d.select($"doc_id", Dedup.tokenSet($"text").as("ts"),
+        size(Dedup.tokenSet($"text")).as("n"))
+      val a = ts.select($"doc_id".as("src"), $"ts".as("ts_s"), $"n".as("n_s"))
+      val b = ts.select($"doc_id".as("dst"), $"ts".as("ts_d"))
+      a.join(b, $"src" =!= $"dst").filter($"n_s" > 0)
+        .withColumn("inter", size(array_intersect($"ts_s", $"ts_d")))
+        .filter($"inter" * 1000000L >= lit(t) * $"n_s")
+        .select($"src", $"dst",
+          expr("CAST(inter * 1000000 DIV n_s AS BIGINT)").as("cont_ppm"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    for (seed <- 1L to 4L) {
+      val rnd = new scala.util.Random(seed)
+      // small vocab (9 tokens) -> mask path
+      val small = (1 to 40).map { i =>
+        (i.toLong, (1 to 3 + rnd.nextInt(6)).map(_ => s"t${rnd.nextInt(9)}")
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      assert(Dedup.containmentPairs(small, 800000L)
+        .as[(Long, Long, Long)].collect().toSet === brute(small, 800000L),
+        s"mask path seed=$seed")
+      // wide vocab (200 tokens) -> prefix path
+      val wide = (1 to 40).map { i =>
+        (i.toLong, (1 to 6 + rnd.nextInt(10)).map(_ => s"w${rnd.nextInt(200)}")
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      assert(Dedup.containmentPairs(wide, 700000L)
+        .as[(Long, Long, Long)].collect().toSet === brute(wide, 700000L),
+        s"prefix path seed=$seed")
+    }
+  }
+
   test("minhashEstimate: identical docs estimate 1e6 ppm; pair set == " +
     "minhashLsh candidates; matches == hand-counted signature agreement") {
     val d = Seq(
