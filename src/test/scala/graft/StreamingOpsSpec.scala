@@ -283,6 +283,27 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopherRules gates a STREAM unchanged: the rule projection is " +
+    "stateless, so the live ingest filter is the batch op verbatim") {
+    import graft.ops.TextStats
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val gated = TextStats.gopherRules(
+        mem.toDF().toDF("doc_id", "text"), minWords = 3)
+      .filter(col("pass"))
+    val q = gated.select("doc_id").writeStream.format("memory")
+      .queryName("gopher_gate").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, "the lake holds a great deal of data"), // passes
+        (2L, "no"),                                  // < 3 words
+        (3L, "zz qq xx ww vv uu tt ss rr"))          // no stopwords
+      q.processAllAvailable()
+      val got = spark.table("gopher_gate").as[Long].collect().toSet
+      assert(got === Set(1L))
+    } finally q.stop()
+  }
+
   test("latestStateStream matches the batch latest-state result on the " +
     "same (bounded) input") {
     val audit = Seq(
