@@ -208,8 +208,8 @@ object Dedup {
     * keyed shuffle over skinny (doc, token) rows; at scale it is the
     * difference between sub-quadratic and quadratic candidates.
     */
-  private def ngramJaccardPrefix(docs: DataFrame, threshold: Double,
-                                 idCol: String, textCol: String): DataFrame = {
+  private[graft] def ngramJaccardPrefix(docs: DataFrame, threshold: Double,
+                                        idCol: String, textCol: String): DataFrame = {
     // ex feeds BOTH the df aggregate and the re-join below — without a
     // truncation the tokenize+explode corpus scan runs twice (same
     // materialize-once discipline as duplicateSpans/winnowNearDup)
@@ -329,8 +329,8 @@ object Dedup {
     intra.unionByName(cross)
   }
 
-  private def containmentPrefix(docs: DataFrame, thresholdPpm: Long,
-                                idCol: String, textCol: String): DataFrame = {
+  private[graft] def containmentPrefix(docs: DataFrame, thresholdPpm: Long,
+                                       idCol: String, textCol: String): DataFrame = {
     val ex = docs.select(col(idCol).as("doc_id"),
       explode(tokenSet(col(textCol))).as("tok"))
       .localCheckpoint() // one tokenize scan feeds the df agg AND the rejoin
@@ -469,13 +469,23 @@ object Dedup {
           abs(pa("l") - pb("l_b_")) <= maxDist)
       .select(pa("doc_id").as("doc_a"), pb("doc_b_").as("doc_b"))
 
-    // short-doc side: length-windowed pairs against the whole corpus
-    // (range join — BNL, but over the near-gram-empty stragglers only)
-    val shorts = flagged.filter(col("short"))
+    // short-doc side: length-windowed pairs against the whole corpus.
+    // Binned EQUI-join, not a nested-loop range join: |Δl| <= k < k+1
+    // means the two length bins (width k+1) differ by at most one, so
+    // the short side explodes to its bin ± 1 and the corpus side
+    // carries one bin key — the same bin-the-interval move as
+    // Skew.binnedRangeJoin. In a real corpus "short" (<= k·q+q-1
+    // chars) can be a large population, and shorts × corpus under a
+    // non-equi predicate would be quadratic work on a BNL.
+    val w = maxDist + 1
+    val sBin = expr(s"s_l DIV $w")
+    val shortCand = flagged.filter(col("short"))
       .select(col("doc_id").as("s_id"), col("l").as("s_l"))
-    val others = flagged.select(col("doc_id").as("o_id"), col("l").as("o_l"))
-    val shortCand = shorts.join(others,
-        col("s_id") =!= col("o_id") && abs(col("s_l") - col("o_l")) <= maxDist)
+      .withColumn("bin", explode(array(sBin - 1, sBin, sBin + 1)))
+      .join(flagged.select(col("doc_id").as("o_id"), col("l").as("o_l"))
+        .withColumn("bin", expr(s"o_l DIV $w")), Seq("bin"))
+      .filter(col("s_id") =!= col("o_id") &&
+        abs(col("s_l") - col("o_l")) <= maxDist)
       .select(least(col("s_id"), col("o_id")).as("doc_a"),
         greatest(col("s_id"), col("o_id")).as("doc_b"))
 

@@ -375,10 +375,14 @@ object Similarity {
     * Exactness: both sides pool through [[meanPool]]'s micro-quantized
     * integer sums, and the mean comparison is cross-multiplied —
     * `drifted` ⇔ |sum_cur/n_cur − sum_base/n_base| > thresholdMicro
-    * micro-units, tested as the exact long inequality
-    * |sum_cur·n_base − sum_base·n_cur| > threshold·n_base·n_cur (no
-    * division, engine-identical). A group present in only one
-    * snapshot is drift by definition.
+    * micro-units, tested as the exact inequality
+    * |sum_cur·n_base − sum_base·n_cur| > threshold·n_base·n_cur with
+    * the products in DECIMAL(38,0) (DuckDB: HUGEINT) — long×long
+    * would overflow at ~3M vectors/group, the scale this operator is
+    * FOR, and silently flip flags with ANSI off. No division, still
+    * engine-identical. `delta_mean_micro` (double) is the human-scale
+    * report column; the flag never reads it. A group present in only
+    * one snapshot is drift by definition.
     *
     * Shape for scale: two one-shuffle pooled aggregations (dim× skinny
     * long rows), then an equi-join on (group, dim) — group×dim rows,
@@ -399,12 +403,17 @@ object Similarity {
         coalesce(col("sum_base"), lit(0L)).as("sum_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
         coalesce(col("sum_cur"), lit(0L)).as("sum_cur"))
-      .withColumn("delta_x",
-        col("sum_cur") * col("n_base") - col("sum_base") * col("n_cur"))
-      .withColumn("drifted",
+      .withColumn("delta_mean_micro",
+        when(col("n_base") > 0 && col("n_cur") > 0,
+          col("sum_cur").cast("double") / col("n_cur") -
+            col("sum_base").cast("double") / col("n_base")))
+      .withColumn("drifted", {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
         col("n_base") === 0 || col("n_cur") === 0 ||
-          abs(col("delta_x")) >
-            lit(thresholdMicro) * col("n_base") * col("n_cur"))
+          abs(col("sum_cur").cast(dec) * col("n_base") -
+              col("sum_base").cast(dec) * col("n_cur")) >
+            lit(thresholdMicro).cast(dec) * col("n_base") * col("n_cur")
+      })
   }
 
   /** Deterministic int8 embedding quantization — the 4x storage

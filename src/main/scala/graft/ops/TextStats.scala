@@ -99,7 +99,9 @@ object TextStats {
         col(idCol).as("doc_id"),
         size(t).as("n_words"),
         aggregate(t, lit(0L), (acc, w) => acc + length(w)).as("word_chars"),
-        size(array_intersect(array_distinct(t), stopLit)).as("n_stop"),
+        // array_intersect already returns distinct elements — no
+        // pre-distinct needed for the distinct-stopword count
+        size(array_intersect(t, stopLit)).as("n_stop"),
         size(filter(t, w => w.rlike("[A-Za-z]"))).as("n_alpha_words"))
       .withColumn("mean_len_micro",
         expr("word_chars * 1000000 DIV n_words"))

@@ -85,7 +85,11 @@ object ExtensionQueries {
         val mp = maskPairs(s, d, v)
         sharedFrame(s, d, "pairs")(Dedup.expandMaskPairs(mk, mp))
       case None =>
-        sharedFrame(s, d, "pairs")(Dedup.ngramJaccard(docs(s, d), 0.8))
+        // the probe already ran (and memoized None) in docVocab —
+        // go straight to the prefix path instead of re-probing through
+        // ngramJaccard's own smallVocab call
+        sharedFrame(s, d, "pairs")(
+          Dedup.ngramJaccardPrefix(docs(s, d), 0.8, "doc_id", "text"))
     }
   private def docClusters(s: SparkSession, d: String): DataFrame =
     docVocab(s, d) match {
@@ -146,7 +150,8 @@ object ExtensionQueries {
   def containmentFull(s: SparkSession, d: String): DataFrame =
     (docVocab(s, d) match {
       case Some(v) => Dedup.maskContainment(maskFrame(s, d, v), 1000000L)
-      case None    => Dedup.containmentPairs(docs(s, d), 1000000L)
+      case None    => // probe already ran in docVocab — skip the re-probe
+        Dedup.containmentPrefix(docs(s, d), 1000000L, "doc_id", "text")
     }).orderBy("src", "dst")
 
   /** Sketch-only Jaccard estimate over the same band-join candidates
@@ -648,8 +653,12 @@ object ExtensionQueries {
     * AQE-split signal. List key = band number : band hash.
     */
   def bandHealth(s: SparkSession, d: String): DataFrame =
+    // reads the SHARED band index (same 16x2 config) — the health
+    // audit must measure the index the dedup actually serves, and
+    // rebuilding it here would re-run the signature scan the memo
+    // exists to avoid
     Profile.indexHealth(
-      Dedup.minhashBands(docs(s, d), numHashes = 16, bands = 2)
+      mhBands(s, d)
         .select(concat(col("b"), lit(":"), col("band_key")).as("bk")),
       "bk").orderBy("list_key")
 
@@ -1643,9 +1652,12 @@ object ExtensionQueries {
         |  FROM b FULL OUTER JOIN c
         |    ON b.group_id = c.group_id AND b.dim_idx = c.dim_idx)
         |SELECT group_id, dim_idx, n_base, sum_base, n_cur, sum_cur,
-        |  sum_cur * n_base - sum_base * n_cur AS delta_x,
+        |  CASE WHEN n_base > 0 AND n_cur > 0 THEN
+        |    CAST(sum_cur AS DOUBLE) / n_cur - CAST(sum_base AS DOUBLE) / n_base
+        |  END AS delta_mean_micro,
         |  n_base = 0 OR n_cur = 0 OR
-        |    abs(sum_cur * n_base - sum_base * n_cur) > 10000 * n_base * n_cur AS drifted
+        |    abs(CAST(sum_cur AS HUGEINT) * n_base - CAST(sum_base AS HUGEINT) * n_cur)
+        |      > CAST(10000 AS HUGEINT) * n_base * n_cur AS drifted
         |FROM j ORDER BY group_id, dim_idx""".stripMargin,
     "q_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -12,6 +12,15 @@ import org.apache.spark.sql.{DataFrame, GraftSqlShim}
   * only its coldest frame and re-pays only that build. Rebuild is
   * always safe: every memo is a pure function of its key's inputs.
   *
+  * VALIDITY CONTRACT: a returned frame is executable until `bound`
+  * OTHER keys have been built after it was last accessed. Eviction
+  * unpersists checkpoint blocks that have no lineage to recompute, so
+  * a DIRECT reference held across more than `bound` subsequent builds
+  * and executed afterwards fails with missing blocks — re-fetch
+  * through `apply` instead (a post-eviction fetch simply rebuilds).
+  * Consumers here (Verify/Bench queries) execute their frames within
+  * the same query, far inside the window.
+  *
   * Thread-safe; the monitor is reentrant, so a build may resolve other
   * keys of the SAME memo (outer-before-inner still recommended so the
   * LRU order reflects true access recency).

@@ -201,7 +201,12 @@ object EventStreamOps {
       .select(col(tsCol), col(idCol).as("doc_id"),
         md5(col(textCol)).as("h_cur"))
       .withWatermark(tsCol, lateness)
-      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+      // keyed on (id, hash), NOT id alone: a genuine content change
+      // re-fetched inside the lateness window of an earlier delivery
+      // carries a new hash and MUST classify — id-only dedup would
+      // silently drop it and break the stream-∪-removed == batch-diff
+      // contract; only true re-deliveries (same id, same bytes) drop
+      .dropDuplicatesWithinWatermark(Seq("doc_id", "h_cur"))
       .join(b, Seq("doc_id"), "left")
       .withColumn("status",
         when(col("_in_base").isNull, lit("added"))

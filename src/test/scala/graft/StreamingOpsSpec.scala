@@ -150,20 +150,32 @@ class StreamingOpsSpec extends SparkSpec {
         (t(4), 3L, "gamma"),                  // unchanged -> silent
         (t(5), 5L, "epsilon"))                // added
       q.processAllAvailable()
+      // a CONTENT CHANGE inside the watermark window of an earlier
+      // delivery of the same id: the dedup keys on (id, hash), so the
+      // new hash classifies instead of silently dropping
+      mem.addData((t(6), 1L, "alpha prime"))
+      q.processAllAvailable()
+      assert(spark.table("scdiff")
+        .filter(col("doc_id") === 1L && col("status") === "changed")
+        .count() === 1L)
+      // the final snapshot for the batch comparison reflects the change
+      val currentRows2 = currentRows.map {
+        case (1L, _) => (1L, "alpha prime"); case r => r }
       // scan complete: removed = base ids the crawl never visited,
       // derived from the visited-id ledger (all streamed ids)
       val removed = EventStreamOps.corpusDiffRemoved(
-        base, currentRows.toDF("doc_id", "text"))
+        base, currentRows2.toDF("doc_id", "text"))
       val got = spark.table("scdiff").unionByName(removed)
         .as[(Long, String, Option[String], Option[String])]
         .collect().sortBy(_._1).toSeq
       val want = graft.ops.Dedup.corpusDiff(
-          base, currentRows.toDF("doc_id", "text"))
+          base, currentRows2.toDF("doc_id", "text"))
         .as[(Long, String, Option[String], Option[String])]
         .collect().sortBy(_._1).toSeq
       assert(got === want)
       assert(got.map(r => (r._1, r._2)) ===
-        Seq((2L, "changed"), (4L, "removed"), (5L, "added")))
+        Seq((1L, "changed"), (2L, "changed"), (4L, "removed"),
+          (5L, "added")))
     } finally q.stop()
   }
 
