@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, HyperplaneBuckets, MinHashHex, ShingleMinHash, SimHash32, WindowHashes, WinnowFingerprints, WordNgrams}
+import graft.functions.{DotProduct, HyperplaneBuckets, MinHashHex, NfcNormalize, ShingleMinHash, SimHash32, WindowHashes, WinnowFingerprints, WordNgrams}
 
 /** SQL surface for the native graft expressions: registered through
   * `SparkSessionExtensions`, so a pure-SQL user gets the same codegen'd
@@ -131,6 +131,10 @@ object GraftExtensions {
         require(n >= 1, s"graft_word_ngrams: n must be >= 1 (got $n)")
         WordNgrams(args(0), n)
       }),
+    ("graft_nfc",
+      info("graft_nfc",
+        "graft_nfc(text) - Unicode NFC canonical normalization"),
+      args => { arity("graft_nfc", args, 1); NfcNormalize(args(0)) }),
     // composed logic registers too: the catalyst chain is built from
     // the SAME ordered pattern list as the Column form
     // (TextStats.ScrubSteps) — replacement ORDER is the contract, and a

@@ -154,6 +154,19 @@ object ExtensionQueries {
         Dedup.containmentPrefix(docs(s, d), 1000000L, "doc_id", "text")
     }).orderBy("src", "dst")
 
+  /** Unicode NFC canonicalization audit (native [[graft.functions.NfcNormalize]]
+    * kernel; DuckDB `nfc_normalize` is the oracle twin): normalized
+    * text plus the already-normalized flag. On this ASCII fixture the
+    * op is the identity (flag all true); the composed/decomposed
+    * unicode behavior is spec-pinned.
+    */
+  def nfcNormalizeQ(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        graft.functions.NfcNormalize(col("text")).as("norm_text"),
+        (graft.functions.NfcNormalize(col("text")) === col("text"))
+          .as("already_nfc"))
+      .orderBy("doc_id")
+
   /** Sketch-only Jaccard estimate over the same band-join candidates
     * as [[dedupMinhash]] — the at-scale scoring path that never
     * re-reads tokens, reading the SAME shared band/signature index.
@@ -1278,6 +1291,10 @@ object ExtensionQueries {
         |  FROM j)
         |SELECT doc_a, doc_b, matches, matches * 1000000 // 16 AS est_ppm
         |FROM m ORDER BY doc_a, doc_b""".stripMargin,
+    "q_nfc" ->
+      """SELECT doc_id, nfc_normalize(text) AS norm_text,
+        |  nfc_normalize(text) = text AS already_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_containment" ->
       """WITH toks AS (SELECT doc_id,
         |    list_distinct(string_split(text,' ')) AS ts,
@@ -1962,6 +1979,7 @@ object ExtensionQueries {
     "q_embed_drift"     -> (embedDrift _),
     "q_mix_plan"        -> (mixPlan _),
     "q_minhash_est"     -> (minhashEst _),
-    "q_containment"     -> (containmentFull _)
+    "q_containment"     -> (containmentFull _),
+    "q_nfc"             -> (nfcNormalizeQ _)
   )
 }

@@ -70,6 +70,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql === "mail <EMAIL> call <PHONE> id <ID> end")
   }
 
+  test("graft_nfc from SQL == NfcNormalize Column form on decomposed input") {
+    val d = Seq((1L, "café"), (2L, "ascii")).toDF("doc_id", "text")
+    d.createOrReplaceTempView("ext_nfc")
+    val viaSql = spark.sql(
+        "SELECT doc_id, graft_nfc(text) FROM ext_nfc ORDER BY doc_id")
+      .as[(Long, String)].collect().toSeq
+    val viaCol = d.select(col("doc_id"),
+        graft.functions.NfcNormalize(col("text")))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(viaSql === viaCol)
+    assert(viaSql.head._2 === "caf\u00e9")
+  }
+
   test("shape arguments must be integer literals") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array('a'), 1 + 1)").collect()

@@ -1206,6 +1206,33 @@ class OpsSpec extends SparkSpec {
     assert(out("moved") === Seq(false, false))
   }
 
+  test("NfcNormalize: composed == normalized(decomposed), NFC keeps " +
+    "ligatures (no NFKC folding), ASCII/null pass through; exact dedup " +
+    "unifies encodings AFTER normalization") {
+    val composed = "caf\u00e9"            // precomposed U+00E9
+    val decomposed = "cafe\u0301"         // e + combining acute U+0301
+    val d = Seq(
+      (1L, Option(composed)), (2L, Option(decomposed)),
+      (3L, Option("ﬁle")),           // ﬁ ligature — NFC preserves
+      (4L, Option("plain ascii")), (5L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+        graft.functions.NfcNormalize($"text").as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).get === composed)
+    assert(out(2L).get === composed)      // decomposed canonicalizes
+    assert(out(3L).get === "ﬁle")    // ligature NOT folded
+    assert(out(4L).get === "plain ascii")
+    assert(out(5L).isEmpty)               // null in, null out
+    // the motivating pipeline property: same visible text, different
+    // encodings — distinct to md5 raw, ONE group after NFC
+    val raw = Dedup.exact(d.filter($"doc_id".isin(1L, 2L))).count()
+    val norm = Dedup.exact(d.filter($"doc_id".isin(1L, 2L))
+      .select($"doc_id", graft.functions.NfcNormalize($"text").as("text")))
+      .count()
+    assert(raw === 2L && norm === 1L)
+  }
+
   test("containmentPairs: directed semantics (subset contains fully, " +
     "superset does not); both paths == brute force (4 seeds)") {
     // hand case: A ⊂ B — cont(A in B)=1e6, cont(B in A)=3/5
