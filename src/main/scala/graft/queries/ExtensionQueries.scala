@@ -569,6 +569,38 @@ object ExtensionQueries {
     * it opens in ([[Pack.packSequences]] — distributed weighted
     * prefix sum, no single-partition stage).
     */
+  /** Per-source exact-dup rates — the curation dashboard that decides
+    * WHERE the dedup budget goes: a source with high dup_ppm gets the
+    * aggressive near-dup pass, a clean one may skip it. Two-phase
+    * count-distinct per group (map-side partials), one row per source.
+    */
+  def dupBySource(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .withColumn("dup_ppm",
+        expr("(n_docs - n_distinct) * 1000000 DIV n_docs"))
+      .orderBy("source")
+
+  /** Per-sequence packing mix over the SAME chunk/pack config as
+    * [[pack]]: how many chunks and how many DISTINCT documents blend
+    * into each fixed-budget training sequence (the cross-document
+    * attention-contamination exposure), plus the used span (straddling
+    * chunks run past the budget by design — start-offset semantics).
+    */
+  def packMix(s: SparkSession, d: String): DataFrame =
+    Pack.packSequences(
+        TextStats.chunk(docs(s, d), chunkSize = 32, stride = 24)
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("n_tokens").cast("long").as("n_tokens")),
+        budget = 512L)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("seq_offset")).as("first_offset"),
+        max(col("seq_offset") + col("n_tokens")).as("used_span"))
+      .orderBy("seq_id")
+
   def pack(s: SparkSession, d: String): DataFrame =
     Pack.packSequences(
         TextStats.chunk(docs(s, d), chunkSize = 32, stride = 24)
@@ -1095,6 +1127,27 @@ object ExtensionQueries {
         |SELECT doc_id, chunk_idx, n_tokens, tok_start,
         |  tok_start // 512 AS seq_id, tok_start % 512 AS seq_offset
         |FROM o ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_dup_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  (count(*) - count(DISTINCT md5(text))) * 1000000 // count(*) AS dup_ppm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_pack_mix" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |    least(32, len(ts) - i*24) AS n_tokens
+        |  FROM toks, unnest(range(0, CAST(ceil(len(ts)/24.0) AS BIGINT))) AS u(i)),
+        |o AS (SELECT doc_id, chunk_idx, n_tokens,
+        |    COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_start
+        |  FROM c),
+        |p AS (SELECT doc_id, n_tokens, tok_start // 512 AS seq_id,
+        |    tok_start % 512 AS seq_offset FROM o)
+        |SELECT seq_id, count(*) AS n_chunks,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  min(seq_offset) AS first_offset,
+        |  max(seq_offset + n_tokens) AS used_span
+        |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "q_scrub" ->
       """WITH s AS (SELECT doc_id,
         |  trim(regexp_replace(
@@ -1980,6 +2033,8 @@ object ExtensionQueries {
     "q_mix_plan"        -> (mixPlan _),
     "q_minhash_est"     -> (minhashEst _),
     "q_containment"     -> (containmentFull _),
-    "q_nfc"             -> (nfcNormalizeQ _)
+    "q_nfc"             -> (nfcNormalizeQ _),
+    "q_dup_by_source"   -> (dupBySource _),
+    "q_pack_mix"        -> (packMix _)
   )
 }
