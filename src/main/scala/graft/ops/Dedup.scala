@@ -208,21 +208,33 @@ object Dedup {
     * keyed shuffle over skinny (doc, token) rows; at scale it is the
     * difference between sub-quadratic and quadratic candidates.
     */
-  private[graft] def ngramJaccardPrefix(docs: DataFrame, threshold: Double,
-                                        idCol: String, textCol: String): DataFrame = {
-    // ex feeds BOTH the df aggregate and the re-join below — without a
-    // truncation the tokenize+explode corpus scan runs twice (same
-    // materialize-once discipline as duplicateSpans/winnowNearDup)
+  /** Shared scaffolding of the prefix-filter joins: each doc's
+    * DISTINCT tokens as an array sorted by the global (document
+    * frequency ASC, token) order, plus its size — (doc_id, ts, n).
+    * The exploded frame feeds BOTH the df aggregate and the re-join;
+    * without a truncation the tokenize+explode corpus scan runs twice
+    * (same materialize-once discipline as duplicateSpans/winnowNearDup).
+    * The result is localCheckpoint'd: every caller consumes it from
+    * multiple sides (prefix explode + verify rejoins).
+    */
+  private def dfOrderedTokenArrays(docs: DataFrame, idCol: String,
+                                   textCol: String): DataFrame = {
     val ex = docs.select(col(idCol).as("doc_id"),
       explode(tokenSet(col(textCol))).as("tok"))
       .localCheckpoint()
     val tokenDf = ex.groupBy("tok").agg(count(lit(1)).as("df"))
-    val toks = ex.join(tokenDf, Seq("tok"))
+    ex.join(tokenDf, Seq("tok"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("keyed"))
       .select(col("doc_id"),
         transform(col("keyed"), k => k("tok")).as("ts"))
       .withColumn("n", size(col("ts")))
+      .localCheckpoint()
+  }
+
+  private[graft] def ngramJaccardPrefix(docs: DataFrame, threshold: Double,
+                                        idCol: String, textCol: String): DataFrame = {
+    val toks = dfOrderedTokenArrays(docs, idCol, textCol)
       .withColumn("prefix",
         slice(col("ts"), lit(1),
           (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")))
@@ -313,7 +325,7 @@ object Dedup {
         bit_count(col("m_s").bitwiseAND(col("m_d"))).cast("int"))
       .filter(col("inter") * 1000000L >= lit(thresholdPpm) * col("n_s"))
       .select(col("m_s"), col("m_d"),
-        expr("CAST(inter * 1000000 DIV n_s AS BIGINT)").as("cont_ppm"))
+        expr("CAST(inter AS BIGINT) * 1000000 DIV n_s").as("cont_ppm"))
     val ia = masks.filter(col("n") > 0)
       .select(col("doc_id").as("src"), col("m"))
     val ib = masks.filter(col("n") > 0)
@@ -331,22 +343,16 @@ object Dedup {
 
   private[graft] def containmentPrefix(docs: DataFrame, thresholdPpm: Long,
                                        idCol: String, textCol: String): DataFrame = {
-    val ex = docs.select(col(idCol).as("doc_id"),
-      explode(tokenSet(col(textCol))).as("tok"))
-      .localCheckpoint() // one tokenize scan feeds the df agg AND the rejoin
-    val dfAgg = ex.groupBy("tok").agg(count(lit(1)).as("df"))
-    val toks = ex.join(dfAgg, Seq("tok"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("keyed"))
-      .select(col("doc_id"),
-        transform(col("keyed"), k => k("tok")).as("ts"))
-      .withColumn("n", size(col("ts")))
-      .localCheckpoint() // feeds the prefix explode and both verify sides
+    val toks = dfOrderedTokenArrays(docs, idCol, textCol)
     // src prefix: overlap >= ceil(t*n_s) cannot avoid the
-    // (n_s - ceil(t*n_s) + 1) smallest-df tokens
+    // (n_s - ceil(t*n_s) + 1) smallest-df tokens. All ppm products go
+    // through BIGINT: n is a 32-bit array size, and n * 1e6 overflows
+    // int for docs past ~2147 distinct tokens — routine at doc-in-doc
+    // scale (with ANSI on the query dies; with ANSI off the prefix
+    // silently degrades toward all tokens)
     val pa = toks.select(col("doc_id").as("src"), col("n").as("n_s"),
       explode(slice(col("ts"), lit(1),
-        expr(s"CAST(n - (n * $thresholdPpm + 999999) DIV 1000000 + 1 AS INT)")))
+        expr(s"CAST(n - (CAST(n AS BIGINT) * $thresholdPpm + 999999) DIV 1000000 + 1 AS INT)")))
         .as("tok"))
     // dst side carries ALL its tokens (no size upper bound on dst)
     val pb = toks.select(col("doc_id").as("dst_"), col("n").as("n_d_"),
@@ -363,7 +369,7 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("ts_s"), col("ts_d"))))
       .filter(col("inter") * 1000000L >= lit(thresholdPpm) * col("n_s"))
       .select(col("src"), col("dst"),
-        expr("CAST(inter * 1000000 DIV n_s AS BIGINT)").as("cont_ppm"))
+        expr("CAST(inter AS BIGINT) * 1000000 DIV n_s").as("cont_ppm"))
   }
 
   /** Edit-distance similarity join: all pairs with
@@ -639,8 +645,10 @@ object Dedup {
     */
   def minhashBandsWithKeys(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                            idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame =
-    minhashBands(docs, numHashes, bands, idCol, textCol, withKeys = true)
+                           textCol: String = "text",
+                           sigIndex: Option[DataFrame] = None): DataFrame =
+    minhashBands(docs, numHashes, bands, idCol, textCol, withKeys = true,
+      sigIndex)
 
   /** The per-doc MinHash signature frame (doc_id, mh): the signature
     * index the band builder and the sketch estimator both read. Small
@@ -671,11 +679,16 @@ object Dedup {
   def minhashBands(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                    idCol: String = "doc_id",
                    textCol: String = "text",
-                   withKeys: Boolean = false): DataFrame = {
+                   withKeys: Boolean = false,
+                   sigIndex: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
-    val sig = minhashSignatureFrame(docs, numHashes, idCol, textCol)
+    // `sigIndex` = a pre-materialized [[minhashSignatureFrame]] for the
+    // SAME numHashes — a session that also keeps the signature index
+    // (the sketch estimator does) must not re-run the signature scan
+    val sig = sigIndex.getOrElse(
+      minhashSignatureFrame(docs, numHashes, idCol, textCol))
     // one pass: hash every band slice into one array, then posexplode —
     // no rejoin; `b` stays 1-based (the historical contract)
     val keys = array((1 to bands).map(b =>

@@ -121,9 +121,12 @@ object ExtensionQueries {
     * q_dedup_minhash AND q_minhash_est — the same deployed-index
     * discipline as the ANN memos.
     */
-  private def mhBands(s: SparkSession, d: String): DataFrame =
+  private def mhBands(s: SparkSession, d: String): DataFrame = {
+    val sigs = mhSigs(s, d) // resolve before entering the memo (LRU order)
     sharedFrame(s, d, "mh_bands")(
-      Dedup.minhashBandsWithKeys(docs(s, d), numHashes = 16, bands = 2))
+      Dedup.minhashBandsWithKeys(docs(s, d), numHashes = 16, bands = 2,
+        sigIndex = Some(sigs)))
+  }
   private def mhSigs(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "mh_sigs")(
       Dedup.minhashSignatureFrame(docs(s, d), numHashes = 16))

@@ -180,8 +180,17 @@ object EventStreamOps {
     * [[streamingDedupAgainstBase]]): absent id → `added`, present with
     * a different hash (null-safe `<=>`, matching the batch twin) →
     * `changed`; unchanged arrivals emit nothing. Crawler re-deliveries
-    * of the same doc id drop within the watermark, so state is bounded
-    * by the lateness window, never corpus size.
+    * of the same (id, content) drop within the watermark, so state is
+    * bounded by the lateness window, never corpus size.
+    *
+    * The stream output is a change LOG, not a diff row-set: every
+    * DISTINCT content version observed for an id classifies (an id
+    * delivered with two different bodies in one scan emits two rows —
+    * an append-mode stream cannot retract the first). A consumer
+    * composing the batch-diff row-set therefore reduces to the LATEST
+    * row per id at scan end; with at most one observed version per id
+    * (the common crawl contract) the log IS the diff, which is the
+    * case the spec's composition equality pins.
     *
     * `removed` is NOT live-decidable: a base id's absence is only
     * known once the scan completes — no micro-batch can prove a doc
@@ -204,8 +213,10 @@ object EventStreamOps {
       // keyed on (id, hash), NOT id alone: a genuine content change
       // re-fetched inside the lateness window of an earlier delivery
       // carries a new hash and MUST classify — id-only dedup would
-      // silently drop it and break the stream-∪-removed == batch-diff
-      // contract; only true re-deliveries (same id, same bytes) drop
+      // silently drop it; only true re-deliveries (same id, same
+      // bytes) drop. Consequence (see scaladoc): multiple DISTINCT
+      // versions of one id each emit — the output is a change log,
+      // latest-per-id reduces it to the diff row-set
       .dropDuplicatesWithinWatermark(Seq("doc_id", "h_cur"))
       .join(b, Seq("doc_id"), "left")
       .withColumn("status",
