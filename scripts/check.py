@@ -18,6 +18,21 @@ def load_oracle(con, sf_dir, sql):
             con.execute(f"create or replace view {t} as select * from '{p}'")
     return con.execute(sql).df()
 
+def dtype_class(dt):
+    """Coarse class used for the driver-parity dtype check: int-vs-float is a
+    real divergence ("123" vs "123.0" under the driver's string hashing);
+    int32-vs-int64 is not (both format as "123")."""
+    k = getattr(dt, "kind", None)
+    if k in ("i", "u") or str(dt).startswith(("Int", "UInt")):
+        return "int"
+    if k == "f" or str(dt).startswith("Float"):
+        return "float"
+    if k == "b" or str(dt) == "boolean":
+        return "bool"
+    if k in ("M", "m"):
+        return "datetime"
+    return "object"
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
@@ -48,6 +63,12 @@ def main():
         bad_cols = []
         for c in spark_df.columns:
             a, b = spark_df[c].reset_index(drop=True), duck_df[c].reset_index(drop=True)
+            # Driver parity: the driver hashes string-formatted cells, so an
+            # int64 "123" vs float64 "123.0" is a hash mismatch even when the
+            # values compare equal. Fail on dtype-class divergence.
+            if dtype_class(a.dtype) != dtype_class(b.dtype):
+                bad_cols.append(f"{c} [dtype spark={a.dtype} duck={b.dtype}]")
+                continue
             try:
                 pd.testing.assert_series_equal(a, b, check_dtype=False,
                                                check_exact=False, rtol=1e-9, atol=1e-9)

@@ -531,16 +531,23 @@ object Dedup {
                       bandIndex: Option[DataFrame] = None,
                       sigIndex: Option[DataFrame] = None,
                       pairIndex: Option[DataFrame] = None): DataFrame = {
-    // `pairIndex` = a pre-materialized candidate list from the SAME
-    // band config — a session scoring the pairs it just listed should
-    // not re-run the band self-join
-    val pairs = pairIndex.getOrElse(
-      minhashLsh(docs, numHashes, bands, idCol, textCol, bandIndex))
     // same adaptive dictionary + native kernel as [[minhashBands]], so
     // the estimate scores the SAME signatures the candidates came from
     val sigs = sigIndex.getOrElse(
       minhashSignatureFrame(docs, numHashes, idCol, textCol)
         .localCheckpoint()) // both pair sides read the signature index
+    // `pairIndex` = a pre-materialized candidate list from the SAME
+    // band config — a session scoring the pairs it just listed should
+    // not re-run the band self-join. With no indexes supplied, the
+    // band build is threaded the checkpointed signature frame above so
+    // the signature scan runs ONCE (direct un-memoized callers used to
+    // pay it twice: once in minhashLsh's band build, once here).
+    val pairs = pairIndex.getOrElse {
+      val banded = bandIndex.getOrElse(
+        minhashBandsWithKeys(docs, numHashes, bands, idCol, textCol,
+          sigIndex = Some(sigs)).localCheckpoint())
+      minhashLsh(docs, numHashes, bands, idCol, textCol, Some(banded))
+    }
     // shuffle-hash hint: the checkpointed signature index is a leaf
     // with no size stats, so the planner defaults these id joins to
     // sort-merge — two full sorts of the (large) candidate pair list.
@@ -1126,8 +1133,12 @@ object Dedup {
     val best = clusters
       .withColumn("_s", score)
       .groupBy("cluster_id")
-      .agg(max_by(col("doc_id"),
-        struct(col("_s"), (-col("doc_id")).as("nid"))).as("canonical_id"))
+      // min_by over (-score, id): highest score, lowest id on ties.
+      // The SCORE is negated (numeric by contract), never the id — a
+      // string doc_id under -id would cast to double (null with ANSI
+      // off: arbitrary ties; error with ANSI on).
+      .agg(min_by(col("doc_id"),
+        struct((-col("_s")).as("ns"), col("doc_id"))).as("canonical_id"))
     clusters.join(best, Seq("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
       .select("doc_id", "cluster_id", "canonical_id", "is_canonical")
@@ -1154,8 +1165,10 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         sum(col(scoreCol)).as("total_score"),
         max(col(scoreCol)).as("max_score"),
-        max_by(col(idCol),
-          struct(col(scoreCol), (-col(idCol)).as("nid"))).as("best_doc"))
+        // negate the numeric score, not the id — safe for string ids
+        // (see canonicalByScore)
+        min_by(col(idCol),
+          struct((-col(scoreCol)).as("ns"), col(idCol))).as("best_doc"))
       .withColumn("dup_score", col("total_score") - col("max_score"))
 
   /** Cross-snapshot exact dedup — the first gate of incremental
@@ -1338,8 +1351,8 @@ object Dedup {
       .withColumn("c_cos",
         Similarity.cosQ(col("v"), col("centv"), col("vn"), col("centn"), dim))
       .groupBy("vec_id")
-      .agg(max_by(col("centroid_id"),
-          struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
+      .agg(min_by(col("centroid_id"),
+          struct((-col("c_cos")).as("ns"), col("centroid_id"))).as("centroid_id"),
         first(col("v")).as("v"), first(col("vn")).as("vn"))
       // the three consumers below would each re-run the assignment
       // cross-join (self-joins get no automatic exchange reuse);

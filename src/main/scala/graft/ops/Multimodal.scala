@@ -165,6 +165,89 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Declared schema of REAL audio-container metadata ([[decodeWav]]):
+    * non-RIFF/WAVE payloads leave every field but n_bytes null.
+    */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("audio_format", IntegerType, nullable = true),
+    StructField("n_channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("container", StringType, nullable = true)
+  ))
+
+  /** REAL audio-container parse, JDK-only: WAV is a RIFF container
+    * whose `fmt ` chunk carries the full audio header (format tag,
+    * channels, sample rate, bits/sample) and whose `data` chunk size
+    * gives the per-channel sample count — everything a corpus audit
+    * needs (duration, channel layout, PCM-ness) WITHOUT a codec, the
+    * same header-only discipline as [[decodeImage]]. Chunk walk honors
+    * the RIFF even-byte padding rule and bounds-checks every read;
+    * truncated/foreign payloads degrade to (n_bytes, null…) — the
+    * [[decodeStub]]-tier fallback contract. Sample decode (the part
+    * that DOES need codec libs for anything beyond raw PCM) stays
+    * stubbed, documented at the call sites.
+    */
+  def decodeWav(bytes: Array[Byte]): Row = {
+    if (bytes == null)
+      return Row(null, null, null, null, null, null, null, null)
+    val n = bytes.length.toLong
+    val none = Row(n, null, null, null, null, null, null, null)
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return none
+    var off = 12
+    var fmt: (Int, Int, Int, Int) = null // (format, channels, rate, bits)
+    var dataSize = -1L
+    while (off + 8 <= bytes.length && (fmt == null || dataSize < 0)) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      val body = off + 8
+      if (id == "fmt " && size >= 16 && body + 16 <= bytes.length)
+        fmt = (u16(body), u16(body + 2), u32(body + 4).toInt, u16(body + 14))
+      else if (id == "data" && dataSize < 0)
+        // size is authoritative even when the payload was truncated
+        // after the header — the audit wants the DECLARED length
+        dataSize = size
+      // RIFF pads odd-sized chunks to an even boundary
+      off = body + size.toInt + (size.toInt & 1)
+    }
+    if (fmt == null) return none
+    val (format, channels, rate, bits) = fmt
+    val blockAlign = channels.toLong * bits / 8
+    val nSamples: java.lang.Long =
+      if (dataSize >= 0 && blockAlign > 0) Long.box(dataSize / blockAlign)
+      else null
+    val durationMs: java.lang.Long =
+      if (nSamples != null && rate > 0) Long.box(nSamples * 1000L / rate)
+      else null
+    Row(n, format, channels, rate, bits, nSamples, durationMs, "wav")
+  }
+
+  /** Attach REAL audio-container metadata ([[decodeWav]]) — same
+    * Iterator→Iterator per-partition batching contract as
+    * [[decodeImageMeta]]; output schema = input ++ [[audioMetaSchema]].
+    */
+  def decodeAudioMeta(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ audioMetaSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = decodeWav(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq ++ meta.toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Attach decoded-media metadata to a DataFrame with a binary
     * column. Batched per partition; output schema = input ++ meta.
     */

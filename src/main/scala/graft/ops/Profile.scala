@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Column-level data profiling — the quality/inspection pass a
   * training-data pipeline runs before ingesting a source: per-column
@@ -61,11 +62,64 @@ object Profile {
       sum(col("n_items")).as("total_items"))
     sizes.crossJoin(broadcast(glob))
       .withColumn("share_ppm", expr("n_items * 1000000 DIV total_items"))
+      // DECIMAL(38,0) cross-multiplication: n_items × n_lists × 1000 can
+      // overflow BIGINT at extreme cardinalities (huge corpora × many
+      // lists) and silently flip the flag with ANSI off — same guard
+      // Similarity.embeddingDrift uses for its mean-shift test.
       .withColumn("skewed",
-        col("n_items") * col("n_lists") * 1000L >
-          lit(skewPermille) * col("total_items"))
+        col("n_items").cast(DecimalType(38, 0)) * col("n_lists") * 1000L >
+          lit(skewPermille) * col("total_items").cast(DecimalType(38, 0)))
       .select("list_key", "n_items", "n_lists", "total_items",
         "share_ppm", "skewed")
+  }
+
+  /** The rebuild-decision report that closes the ANN index lifecycle
+    * loop: join [[indexHealth]]'s size-skew flags with an observed
+    * probe-traffic frame (`loads`: one `(list_key, n_probes)` row per
+    * probed list — batch sample or a
+    * [[graft.streaming.VectorStreamOps.streamingListLoads]] window)
+    * and emit a per-list action:
+    *
+    *   - `split_now`  — oversized AND hot: the list dominates probe
+    *     cost where traffic actually lands; split its centroid (run
+    *     k-means on the list's members) before anything else.
+    *   - `rebalance`  — oversized but cold: fold into the next
+    *     scheduled re-train, nothing is burning.
+    *   - `replicate`  — hot but well-sized: the posting list is fine,
+    *     the traffic isn't; replicate/cache it rather than re-train.
+    *   - `ok`         — neither.
+    *
+    * Determinism: same exact-integer discipline as [[indexHealth]] —
+    * load share is integer ppm, the hot test cross-multiplies through
+    * DECIMAL(38,0), identical in any engine. `greatest(total_probes,1)`
+    * keeps an empty load sample at load_ppm 0 / hot false on every
+    * engine instead of a divide-by-zero divergence.
+    *
+    * Shape for scale: both inputs are one row per LIST (never the
+    * corpus); the left join keys on list_key; the single-row probe
+    * total joins back by broadcast.
+    */
+  def rebuildDecision(health: DataFrame, loads: DataFrame,
+                      hotPermille: Long = 2000L): DataFrame = {
+    require(hotPermille >= 1, s"hotPermille must be >= 1, got $hotPermille")
+    val l = loads.select(col("list_key"), col("n_probes").cast("long").as("n_probes"))
+    val lg = l.agg(coalesce(sum(col("n_probes")), lit(0L)).as("total_probes"))
+    health.join(l, Seq("list_key"), "left")
+      .crossJoin(broadcast(lg))
+      .withColumn("n_probes", coalesce(col("n_probes"), lit(0L)))
+      .withColumn("load_ppm",
+        expr("n_probes * 1000000 DIV greatest(total_probes, 1)"))
+      .withColumn("hot",
+        col("n_probes").cast(DecimalType(38, 0)) * col("n_lists") * 1000L >
+          lit(hotPermille) * greatest(col("total_probes"), lit(1L))
+            .cast(DecimalType(38, 0)))
+      .withColumn("decision",
+        when(col("skewed") && col("hot"), "split_now")
+          .when(col("skewed"), "rebalance")
+          .when(col("hot"), "replicate")
+          .otherwise("ok"))
+      .select("list_key", "n_items", "n_lists", "total_items", "share_ppm",
+        "skewed", "n_probes", "total_probes", "load_ppm", "hot", "decision")
   }
 
   /** Exact distinct counts (oracle-comparable); use [[approx]] at

@@ -603,8 +603,10 @@ object Similarity {
       .crossJoin(broadcast(cent))
       .withColumn("c_cos", cosQ(col("cv"), col("centv"), col("cn"), col("centn"), dim))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"),
-          struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
+      // negate the numeric score, not the id (safe for any id type —
+      // see Dedup.canonicalByScore): highest cos, lowest centroid_id
+      .agg(min_by(col("centroid_id"),
+          struct((-col("c_cos")).as("ns"), col("centroid_id"))).as("centroid_id"),
         first(col("cv")).as("cv"), first(col("cn")).as("cn"))
   }
 

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Text-analysis operators for training-data pipelines — north-star
   * extension (BASELINE.json): language ID, quality scoring, token
@@ -105,13 +106,20 @@ object TextStats {
         size(filter(t, w => w.rlike("[A-Za-z]"))).as("n_alpha_words"))
       .withColumn("mean_len_micro",
         expr("word_chars * 1000000 DIV n_words"))
+      // coalesce(_, false): a null text yields null words/lengths and the
+      // rule booleans would stay null — the conjunctive-pass contract says
+      // such docs FAIL the gate, and consumers counting pass=false must see
+      // them, so every rule (and pass) is three-valued-logic-free.
       .withColumn("ok_words",
-        col("n_words").between(minWords, maxWords))
+        coalesce(col("n_words").between(minWords, maxWords), lit(false)))
       .withColumn("ok_mean_len",
-        col("mean_len_micro").between(minMeanLenMicro, maxMeanLenMicro))
-      .withColumn("ok_stop", col("n_stop") >= minStopwords)
+        coalesce(col("mean_len_micro").between(minMeanLenMicro, maxMeanLenMicro),
+          lit(false)))
+      .withColumn("ok_stop",
+        coalesce(col("n_stop") >= minStopwords, lit(false)))
       .withColumn("ok_alpha",
-        col("n_alpha_words") * 1000000L >= lit(minAlphaPpm) * col("n_words"))
+        coalesce(col("n_alpha_words") * 1000000L >= lit(minAlphaPpm) * col("n_words"),
+          lit(false)))
       .withColumn("pass",
         col("ok_words") && col("ok_mean_len") && col("ok_stop") && col("ok_alpha"))
   }
@@ -171,27 +179,42 @@ object TextStats {
     * cum_ppm of the corpus", the curve that sizes a vocabulary.
     *
     * Shape for scale: per-token counts partial-agg before their
-    * shuffle; the ranked set is TakeOrdered-capped at `k`, so the
-    * single-partition cumulative window runs over k rows regardless of
-    * corpus size; the occurrence total is a bounded scalar probe.
+    * shuffle; the ranked set is TakeOrdered-capped at `k`, then rank +
+    * cumulative sum run DRIVER-SIDE over those k rows (a curve's k is
+    * small by construction) — no unpartitioned WindowExec in the plan,
+    * so nothing ever funnels the distributed side to one partition (or
+    * prints the single-partition warning); the occurrence total is a
+    * bounded scalar probe. The ppm share cross-multiplies through
+    * BigInt, exact at any corpus size (cum·1e6 overflows a long past
+    * ~9e12 occurrences — a real 100 TB corpus).
     */
   def coverageCurve(docs: DataFrame, k: Int,
                     textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
     val tf = docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_occ"))
       .localCheckpoint() // total probe + top-k read one materialization
     val totRow = tf.agg(sum(col("n_occ"))).head()
     // empty corpus: the capped set below is empty too, so the constant
-    // never evaluates — 1 just keeps the expression well-formed
-    val total = if (totRow.isNullAt(0)) 1L else totRow.getLong(0)
-    val w = Window.orderBy(col("n_occ").desc, col("token"))
-    tf.orderBy(col("n_occ").desc, col("token")).limit(k)
-      .withColumn("rank", row_number().over(w))
-      .withColumn("cum_occ", sum(col("n_occ")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("cum_ppm", expr(s"cum_occ * 1000000 DIV ${total}L"))
-      .select("rank", "token", "n_occ", "cum_occ", "cum_ppm")
+    // never divides anything — 1 just keeps the math well-formed
+    val total = if (totRow.isNullAt(0)) BigInt(1) else BigInt(totRow.getLong(0))
+    val top = tf.orderBy(col("n_occ").desc, col("token")).limit(k)
+      .select("token", "n_occ").collect() // bounded: k rows
+    var cum = 0L
+    val rows = top.zipWithIndex.map { case (r, i) =>
+      cum += r.getLong(1)
+      Row(i + 1, r.getString(0), r.getLong(1), cum,
+        (BigInt(cum) * 1000000 / total).toLong)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("token", StringType),
+        StructField("n_occ", LongType, nullable = false),
+        StructField("cum_occ", LongType, nullable = false),
+        StructField("cum_ppm", LongType, nullable = false))))
   }
 
   /** Document fingerprints: whole-document content hash (md5 of the

@@ -38,6 +38,11 @@ object ExtensionQueries {
   private def sharedFrame(s: SparkSession, d: String, key: String)
                          (build: => DataFrame): DataFrame =
     shared((s, d, key))(build)
+  /** Test probe: actual shared-frame builds so far (see
+    * [[FrameMemo.buildCount]]) — lets a spec assert that consumers of
+    * the same index hit ONE materialization, not one each.
+    */
+  private[graft] def sharedBuildCount: Long = shared.buildCount
   /** Shared ANN index artifacts — the same materialize-once discipline
     * as the dedup graph, because this IS how a deployed ANN service
     * works: the indexer builds posting lists / codebooks / codes once,
@@ -694,6 +699,25 @@ object ExtensionQueries {
   def ivfHealth(s: SparkSession, d: String): DataFrame =
     Profile.indexHealth(ivfAssignment(s, d), "centroid_id")
       .orderBy("list_key")
+
+  /** The re-train recommendation that closes the ANN lifecycle loop:
+    * [[Profile.rebuildDecision]] over the SAME shared assignment the
+    * q_ann_ivf* queries and q_ivf_health read — size skew from the
+    * index, probe traffic from the odd-vec_id half of the corpus (the
+    * same base/current split q_embed_drift uses as its batch stand-in
+    * for live traffic), one action per posting list. The streaming
+    * twin feeds [[graft.streaming.VectorStreamOps.streamingListLoads]]
+    * windows into the same decision join.
+    */
+  def ivfRebuild(s: SparkSession, d: String): DataFrame = {
+    val assign = ivfAssignment(s, d)
+    val loads = assign.filter(col("vec_id") % 2 === 1)
+      .groupBy(col("centroid_id").cast("string").as("list_key"))
+      .agg(count(lit(1)).as("n_probes"))
+    Profile.rebuildDecision(
+        Profile.indexHealth(assign, "centroid_id"), loads)
+      .orderBy("list_key")
+  }
 
   /** MinHash band-index health for the 16×2 geometry q_dedup_minhash
     * runs: hot band keys are the candidate-volume hazard (each
@@ -1703,9 +1727,9 @@ object ExtensionQueries {
         |    max(sig.n_tokens) OVER (PARTITION BY cl.cluster_id) AS mx
         |  FROM cl JOIN sig USING (doc_id))
         |SELECT cluster_id, count(*) AS n_docs,
-        |  sum(n_tokens) AS total_score, max(n_tokens) AS max_score,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_score, max(n_tokens) AS max_score,
         |  min(doc_id) FILTER (WHERE n_tokens = mx) AS best_doc,
-        |  sum(n_tokens) - max(n_tokens) AS dup_score
+        |  CAST(sum(n_tokens) - max(n_tokens) AS BIGINT) AS dup_score
         |FROM jj GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "q_embed_drift" ->
       """WITH pe AS (
@@ -1713,10 +1737,10 @@ object ExtensionQueries {
         |    CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS micro
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1,65)) AS i) t),
         |b AS (SELECT label AS group_id, dim_idx,
-        |    count(*) AS n_base, sum(micro) AS sum_base
+        |    count(*) AS n_base, CAST(sum(micro) AS BIGINT) AS sum_base
         |  FROM pe WHERE vec_id % 2 = 0 GROUP BY 1, 2),
         |c AS (SELECT label AS group_id, dim_idx,
-        |    count(*) AS n_cur, sum(micro) AS sum_cur
+        |    count(*) AS n_cur, CAST(sum(micro) AS BIGINT) AS sum_cur
         |  FROM pe WHERE vec_id % 2 = 1 GROUP BY 1, 2),
         |j AS (SELECT coalesce(b.group_id, c.group_id) AS group_id,
         |    coalesce(b.dim_idx, c.dim_idx) AS dim_idx,
@@ -1742,12 +1766,14 @@ object ExtensionQueries {
         |g AS (SELECT doc_id, n_words, word_chars, n_stop, n_alpha_words,
         |  word_chars * 1000000 // n_words AS mean_len_micro FROM s)
         |SELECT doc_id, n_words, word_chars, n_stop, n_alpha_words, mean_len_micro,
-        |  n_words BETWEEN 50 AND 100000 AS ok_words,
-        |  mean_len_micro BETWEEN 3000000 AND 10000000 AS ok_mean_len,
-        |  n_stop >= 2 AS ok_stop,
-        |  n_alpha_words * 1000000 >= 800000 * n_words AS ok_alpha,
-        |  (n_words BETWEEN 50 AND 100000) AND (mean_len_micro BETWEEN 3000000 AND 10000000)
-        |    AND n_stop >= 2 AND n_alpha_words * 1000000 >= 800000 * n_words AS pass
+        |  coalesce(n_words BETWEEN 50 AND 100000, false) AS ok_words,
+        |  coalesce(mean_len_micro BETWEEN 3000000 AND 10000000, false) AS ok_mean_len,
+        |  coalesce(n_stop >= 2, false) AS ok_stop,
+        |  coalesce(n_alpha_words * 1000000 >= 800000 * n_words, false) AS ok_alpha,
+        |  coalesce(n_words BETWEEN 50 AND 100000, false)
+        |    AND coalesce(mean_len_micro BETWEEN 3000000 AND 10000000, false)
+        |    AND coalesce(n_stop >= 2, false)
+        |    AND coalesce(n_alpha_words * 1000000 >= 800000 * n_words, false) AS pass
         |FROM g ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH c AS (SELECT doc_id,
@@ -1911,8 +1937,8 @@ object ExtensionQueries {
         |    row_number() OVER (ORDER BY n_occ DESC, token) AS rank
         |  FROM tf ORDER BY n_occ DESC, token LIMIT 50)
         |SELECT rank, token, n_occ,
-        |  sum(n_occ) OVER (ORDER BY rank) AS cum_occ,
-        |  sum(n_occ) OVER (ORDER BY rank) * 1000000 // total AS cum_ppm
+        |  CAST(sum(n_occ) OVER (ORDER BY rank) AS BIGINT) AS cum_occ,
+        |  CAST(sum(n_occ) OVER (ORDER BY rank) * 1000000 // total AS BIGINT) AS cum_ppm
         |FROM top, tot ORDER BY rank""".stripMargin,
     "q_ivf_health" ->
       """WITH e AS (
@@ -1931,11 +1957,48 @@ object ExtensionQueries {
         |  WHERE rn = 1),
         |sizes AS (SELECT CAST(centroid_id AS VARCHAR) AS list_key, count(*) AS n_items
         |  FROM assign GROUP BY 1),
-        |g AS (SELECT count(*) AS n_lists, sum(n_items) AS total_items FROM sizes)
+        |g AS (SELECT count(*) AS n_lists, CAST(sum(n_items) AS BIGINT) AS total_items FROM sizes)
         |SELECT list_key, n_items, n_lists, total_items,
-        |  n_items * 1000000 // total_items AS share_ppm,
+        |  CAST(n_items * 1000000 // total_items AS BIGINT) AS share_ppm,
         |  n_items * n_lists * 1000 > 2000 * total_items AS skewed
         |FROM sizes, g ORDER BY list_key""".stripMargin,
+    "q_ivf_rebuild" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(floor(10000 * (
+        |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+        |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e a CROSS JOIN cent c) t
+        |  WHERE rn = 1),
+        |sizes AS (SELECT CAST(centroid_id AS VARCHAR) AS list_key, count(*) AS n_items
+        |  FROM assign GROUP BY 1),
+        |g AS (SELECT count(*) AS n_lists, CAST(sum(n_items) AS BIGINT) AS total_items FROM sizes),
+        |loads AS (SELECT CAST(centroid_id AS VARCHAR) AS list_key, count(*) AS n_probes
+        |  FROM assign WHERE vec_id % 2 = 1 GROUP BY 1),
+        |lg AS (SELECT CAST(coalesce(sum(n_probes), 0) AS BIGINT) AS total_probes FROM loads),
+        |j AS (
+        |  SELECT s.list_key, s.n_items, g.n_lists, g.total_items,
+        |    CAST(s.n_items * 1000000 // g.total_items AS BIGINT) AS share_ppm,
+        |    s.n_items * g.n_lists * 1000 > 2000 * g.total_items AS skewed,
+        |    CAST(coalesce(l.n_probes, 0) AS BIGINT) AS n_probes, lg.total_probes
+        |  FROM sizes s CROSS JOIN g CROSS JOIN lg
+        |  LEFT JOIN loads l ON s.list_key = l.list_key)
+        |SELECT list_key, n_items, n_lists, total_items, share_ppm, skewed,
+        |  n_probes, total_probes,
+        |  CAST(n_probes * 1000000 // greatest(total_probes, 1) AS BIGINT) AS load_ppm,
+        |  n_probes * n_lists * 1000 > 2000 * greatest(total_probes, 1) AS hot,
+        |  CASE WHEN skewed AND n_probes * n_lists * 1000 > 2000 * greatest(total_probes, 1) THEN 'split_now'
+        |       WHEN skewed THEN 'rebalance'
+        |       WHEN n_probes * n_lists * 1000 > 2000 * greatest(total_probes, 1) THEN 'replicate'
+        |       ELSE 'ok' END AS decision
+        |FROM j ORDER BY list_key""".stripMargin,
     "q_band_health" ->
       """WITH toks AS (
         |  SELECT doc_id, list_distinct(string_split(text,' ')) AS ts FROM documents),
@@ -1948,9 +2011,9 @@ object ExtensionQueries {
         |  FROM sig, unnest(range(1,3)) AS u(b)),
         |sizes AS (SELECT b::VARCHAR || ':' || band_key AS list_key, count(*) AS n_items
         |  FROM banded GROUP BY 1),
-        |g AS (SELECT count(*) AS n_lists, sum(n_items) AS total_items FROM sizes)
+        |g AS (SELECT count(*) AS n_lists, CAST(sum(n_items) AS BIGINT) AS total_items FROM sizes)
         |SELECT list_key, n_items, n_lists, total_items,
-        |  n_items * 1000000 // total_items AS share_ppm,
+        |  CAST(n_items * 1000000 // total_items AS BIGINT) AS share_ppm,
         |  n_items * n_lists * 1000 > 2000 * total_items AS skewed
         |FROM sizes, g ORDER BY list_key""".stripMargin,
     "q_embed_project" -> {
@@ -2025,6 +2088,7 @@ object ExtensionQueries {
     "q_corpus_diff"     -> (corpusDiffQ _),
     "q_winnow_pairs"    -> (winnowPairs _),
     "q_ivf_health"      -> (ivfHealth _),
+    "q_ivf_rebuild"     -> (ivfRebuild _),
     "q_band_health"     -> (bandHealth _),
     "q_vocab_coverage"  -> (vocabCoverageQ _),
     "q_coverage_curve"  -> (coverageCurveQ _),

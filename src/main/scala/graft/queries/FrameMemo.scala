@@ -21,40 +21,90 @@ import org.apache.spark.sql.{DataFrame, GraftSqlShim}
   * Consumers here (Verify/Bench queries) execute their frames within
   * the same query, far inside the window.
   *
-  * Thread-safe; the monitor is reentrant, so a build may resolve other
-  * keys of the SAME memo (outer-before-inner still recommended so the
-  * LRU order reflects true access recency).
+  * Thread-safe with PER-KEY build locking: the map monitor guards only
+  * map mutation (get/put/evict — microseconds), while the build +
+  * eager localCheckpoint (a full Spark job) runs under the key's own
+  * holder lock. Concurrent lookups of other, already-cached keys are
+  * never blocked behind a slow build; two threads racing the SAME key
+  * serialize on its holder and build once. A build may recursively
+  * resolve OTHER keys of the same memo (each nested apply takes the
+  * map lock briefly, then the nested key's holder lock) — mutually
+  * recursive builds of each other's keys would deadlock, but memos
+  * are pure functions of their inputs so no such cycle exists here.
   */
 final class FrameMemo[K](bound: Int) {
   require(bound >= 1, s"bound must be >= 1, got $bound")
 
-  private val map = new java.util.LinkedHashMap[K, DataFrame](
+  private val builds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Number of ACTUAL builds run (misses + post-eviction rebuilds) —
+    * the observable that lets a spec assert a shared index was
+    * materialized once, not once per consumer.
+    */
+  def buildCount: Long = builds.get()
+
+  /** One-slot lazy cell: the build runs under THIS holder's lock, not
+    * the map's. `peek` is lock-free for the evictor.
+    */
+  private final class Holder(build: () => DataFrame) {
+    @volatile private var built: DataFrame = null
+    def frame: DataFrame = {
+      val b0 = built
+      if (b0 != null) b0
+      else synchronized {
+        if (built == null) {
+          built = build().localCheckpoint()
+          builds.incrementAndGet()
+        }
+        built
+      }
+    }
+    def peek: DataFrame = built
+  }
+
+  private val map = new java.util.LinkedHashMap[K, Holder](
     16, 0.75f, /* accessOrder = */ true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[K, DataFrame]): Boolean =
-      if (size() > bound) { GraftSqlShim.unpersistCheckpoint(e.getValue); true }
+        e: java.util.Map.Entry[K, Holder]): Boolean =
+      if (size() > bound) {
+        // peek, don't force: an unbuilt holder has nothing to free.
+        // (Evicting a holder whose build is mid-flight would leak one
+        // checkpoint until GC — but the eldest entry is by definition
+        // the least recently ACCESSED key, and a mid-build key was
+        // just accessed, so the race needs bound concurrent inserts
+        // inside one build; accepted and documented.)
+        val f = e.getValue.peek
+        if (f != null) GraftSqlShim.unpersistCheckpoint(f)
+        true
+      }
       else false
   }
 
   /** Memoized lookup: returns the materialized frame for `k`, running
     * `build` (then localCheckpoint) only on first access or after
-    * eviction.
+    * eviction. The build runs OUTSIDE the map lock.
     */
-  def apply(k: K)(build: => DataFrame): DataFrame = map.synchronized {
-    val cur = map.get(k) // refreshes LRU order on hit
-    if (cur != null) cur
-    else {
-      val built = build.localCheckpoint()
-      map.put(k, built)
-      built
+  def apply(k: K)(build: => DataFrame): DataFrame = {
+    val h = map.synchronized {
+      val cur = map.get(k) // refreshes LRU order on hit
+      if (cur != null) cur
+      else {
+        val nh = new Holder(() => build)
+        map.put(k, nh)
+        nh
+      }
     }
+    h.frame
   }
 
   def size: Int = map.synchronized(map.size())
 
-  /** Evict everything, unpersisting every held checkpoint. */
+  /** Evict everything, unpersisting every BUILT checkpoint. */
   def clear(): Unit = map.synchronized {
-    map.values().forEach(GraftSqlShim.unpersistCheckpoint(_))
+    map.values().forEach { h =>
+      val f = h.peek
+      if (f != null) GraftSqlShim.unpersistCheckpoint(f)
+    }
     map.clear()
   }
 }

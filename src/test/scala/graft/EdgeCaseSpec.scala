@@ -192,6 +192,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1, false, false), (2L, 1, false, false)))
   }
 
+  test("gopherRules on NULL text emits false rule booleans, never null " +
+    "(conjunctive-pass contract: a consumer counting pass=false sees it)") {
+    val d = Seq((1L, null: String), (2L, "x")).toDF("doc_id", "text")
+    val rows = TextStats.gopherRules(d)
+      .select("doc_id", "ok_words", "ok_mean_len", "ok_stop", "ok_alpha", "pass")
+      .collect().sortBy(_.getLong(0))
+    rows.foreach { r =>
+      (1 to 5).foreach(i => assert(!r.isNullAt(i), s"null boolean at $i for doc ${r.getLong(0)}"))
+      assert(!r.getBoolean(5))
+    }
+  }
+
+  test("canonicalByScore and clusterReport break score ties by LOWEST " +
+    "id with STRING doc ids (no numeric negation of the id column)") {
+    val cl = Seq(("zb", 1L), ("aa", 1L), ("zc", 1L))
+      .toDF("doc_id", "cluster_id")
+    val canon = Dedup.canonicalByScore(cl, lit(5L))
+      .select("canonical_id").distinct().as[String].collect()
+    assert(canon.toSeq === Seq("aa"))
+    val best = Dedup.clusterReport(cl,
+        Seq(("zb", 9L), ("aa", 9L), ("zc", 9L)).toDF("doc_id", "score"),
+        "score")
+      .select("best_doc").as[String].head()
+    assert(best === "aa")
+  }
+
   test("knnGraph with k exceeding the corpus emits all neighbors; " +
     "clusterReport on a single-member cluster reclaims nothing") {
     val rnd = new scala.util.Random(3)

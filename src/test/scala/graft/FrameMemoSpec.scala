@@ -60,4 +60,56 @@ class FrameMemoSpec extends SparkSpec {
     assert(first eq second)
     assert(second.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
+
+  test("per-key locking: a slow build does not block lookups of other, " +
+    "already-cached keys; racing threads on the SAME key build once") {
+    val memo = new FrameMemo[String](bound = 8)
+    memo("fast")(Seq(1).toDF("v")) // cached up front
+    val slowEntered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val slow = pool.submit(new Runnable {
+        def run(): Unit = memo("slow") {
+          slowEntered.countDown()
+          release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          Seq(2).toDF("v")
+        }
+      })
+      assert(slowEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // with the build mid-flight, a cached-key lookup must return
+      // immediately (under the old whole-map monitor this deadlocked
+      // until the build finished)
+      val t0 = System.nanoTime()
+      memo("fast")(sys.error("must not rebuild"))
+      assert((System.nanoTime() - t0) < 5e9, "cached lookup blocked behind a build")
+      // racing threads on the same in-flight key serialize and build once
+      val before = memo.buildCount
+      val racer = pool.submit(new Runnable {
+        def run(): Unit = memo("slow")(sys.error("must not double-build"))
+      })
+      release.countDown()
+      slow.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      racer.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(memo.buildCount === before + 1) // the one slow build only
+      memo("slow")(sys.error("must not rebuild"))
+    } finally pool.shutdownNow()
+  }
+
+  test("q_dedup_minhash and q_minhash_est share ONE minhash index " +
+    "build (sigs/bands/pairs memoized, estimator adds zero builds)") {
+    import graft.queries.ExtensionQueries
+    val dir = java.nio.file.Files.createTempDirectory("memoshare").toString
+    (0 until 40).map(i =>
+        (i.toLong, s"shared tok${i % 7} tok${(i + 1) % 7} body $i"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val c0 = ExtensionQueries.sharedBuildCount
+    ExtensionQueries.dedupMinhash(spark, dir).count()
+    val c1 = ExtensionQueries.sharedBuildCount
+    assert(c1 - c0 === 3, "expected exactly sigs+bands+pairs builds")
+    ExtensionQueries.minhashEst(spark, dir).count()
+    assert(ExtensionQueries.sharedBuildCount === c1,
+      "the estimator must reuse the memoized signature + pair indexes")
+  }
 }

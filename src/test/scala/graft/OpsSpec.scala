@@ -642,6 +642,85 @@ class OpsSpec extends SparkSpec {
     assert(out.tail.forall(r => r._2 === 10L && r._5 === 111111L && !r._6))
   }
 
+  test("rebuildDecision: skew x load quadrant maps to the right " +
+    "action; unprobed lists default to cold (n_probes 0, hot false)") {
+    // 4 lists over 90 items, mean 22.5: "hot" (60) is the only skewed
+    // list (same fixture as the indexHealth spec above)
+    val idx = (1 to 90).map(i => (i.toLong, if (i <= 60) "hot" else s"k${i % 3}"))
+      .toDF("id", "list")
+    val health = graft.ops.Profile.indexHealth(idx, "list")
+    // traffic: 70 probes on the skewed list, 28 on k0, 2 on k1, none
+    // on k2 -> mean 25/list: hot iff n_probes > 50 (2000 permille)
+    val loads = Seq(("hot", 70L), ("k0", 28L), ("k1", 2L))
+      .toDF("list_key", "n_probes")
+    val out = graft.ops.Profile.rebuildDecision(health, loads)
+      .select("list_key", "n_probes", "load_ppm", "hot", "decision")
+      .as[(String, Long, Long, Boolean, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      ("hot", 70L, 700000L, true, "split_now"),
+      ("k0", 28L, 280000L, false, "ok"),
+      ("k1", 2L, 20000L, false, "ok"),
+      ("k2", 0L, 0L, false, "ok")))
+    // the two remaining quadrants: skewed-but-cold and hot-but-balanced
+    val loads2 = Seq(("k0", 99L), ("k1", 1L)).toDF("list_key", "n_probes")
+    val out2 = graft.ops.Profile.rebuildDecision(health, loads2)
+      .select("list_key", "decision").as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(out2 === Seq(("hot", "rebalance"), ("k0", "replicate"),
+      ("k1", "ok"), ("k2", "ok")))
+    // empty load sample: every list cold, no divide-by-zero
+    val none = Seq.empty[(String, Long)].toDF("list_key", "n_probes")
+    val out3 = graft.ops.Profile.rebuildDecision(health, none)
+      .select("load_ppm", "hot").as[(Long, Boolean)].collect()
+    assert(out3.forall(r => r._1 === 0L && !r._2))
+  }
+
+  test("decodeWav parses a REAL WAV container (javax.sound-written " +
+    "bytes): format/channels/rate/bits/samples/duration from the " +
+    "header; foreign and truncated payloads degrade to nulls") {
+    // 8 kHz, 16-bit, mono, little-endian PCM; 1600 samples = 200 ms
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](1600 * 2)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 1600)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+    val m = Multimodal.decodeWav(wav)
+    assert(m.getLong(0) === wav.length.toLong)
+    assert(m.getInt(1) === 1)       // PCM format tag
+    assert(m.getInt(2) === 1)       // mono
+    assert(m.getInt(3) === 8000)    // sample rate
+    assert(m.getInt(4) === 16)      // bits per sample
+    assert(m.getLong(5) === 1600L)  // samples
+    assert(m.getLong(6) === 200L)   // duration ms
+    assert(m.getString(7) === "wav")
+    // stereo at 44.1 kHz exercises blockAlign > 2
+    val fmt2 = new javax.sound.sampled.AudioFormat(44100f, 16, 2, true, false)
+    val ais2 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](441 * 4)), fmt2, 441)
+    val buf2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais2,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf2)
+    val m2 = Multimodal.decodeWav(buf2.toByteArray)
+    assert(m2.getInt(2) === 2 && m2.getInt(3) === 44100 &&
+      m2.getLong(5) === 441L && m2.getLong(6) === 10L)
+    // degradation tier: foreign bytes, header-only truncation, null
+    val foreign = Multimodal.decodeWav("not audio at all".getBytes)
+    assert(foreign.getLong(0) === 16L && (1 to 7).forall(foreign.isNullAt))
+    val truncated = Multimodal.decodeWav(wav.take(10))
+    assert(truncated.getLong(0) === 10L && (1 to 7).forall(truncated.isNullAt))
+    assert((0 to 7).forall(Multimodal.decodeWav(null).isNullAt))
+    // and through the per-partition frame contract
+    val df = Seq((1L, wav), (2L, "x".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioMeta(df, "payload")
+      .select("doc_id", "sample_rate", "container")
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getInt(1) === 8000 && out(0).getString(2) === "wav")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+
   test("resizeMeta preserves small media, scales the long edge to fit") {
     val d = Seq((1L, 320, 240), (2L, 1280, 480)).toDF("doc_id", "width", "height")
     val out = Multimodal.resizeMeta(d, maxEdge = 640)
