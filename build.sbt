@@ -30,6 +30,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // random query (observed q_embed_quantize 2.4s -> 10.1s); the larger
   // heap trades nothing visible for outlier-free runs on this host
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Xms = Xmx + AlwaysPreTouch: commit and fault-in the whole heap at
+  // JVM start (before any query is timed) instead of growing it under
+  // load — heap-expansion page faults and the G1 region re-size pauses
+  // they trigger otherwise land on arbitrary mid-bench queries (the
+  // recorded-run spikes on unchanged pure projections: 1.9s -> 12.2s).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
+  // GC log (overwritten per run, gitignored): the evidence that
+  // separates a plan regression from a collector pause when a bench
+  // query spikes with unchanged code.
+  "-Xlog:gc*:file=bench_gc.log",
   // dozens of whole-stage-codegen'd queries in one session overflow the
   // default 240 MB JIT code cache; once it fills, HotSpot stops
   // compiling and random later queries drop to interpreted speed (5x

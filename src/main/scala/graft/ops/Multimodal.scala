@@ -248,6 +248,147 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Declared schema of REAL video-container metadata ([[decodeMp4]]):
+    * non-ISO-BMFF payloads leave every field but n_bytes null.
+    */
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("major_brand", StringType, nullable = true),
+    StructField("timescale", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("n_tracks", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("container", StringType, nullable = true)
+  ))
+
+  /** REAL video-container parse, JDK-only: MP4/MOV is an ISO-BMFF box
+    * tree whose `moov/mvhd` carries the movie timescale + duration and
+    * whose `moov/trak/tkhd` boxes carry per-track 16.16 fixed-point
+    * display dimensions — the duration/resolution/track-count audit a
+    * video corpus needs WITHOUT a codec (same header-only tier as
+    * [[decodeWav]] / [[decodeImage]]). Box walk handles 32-bit and
+    * 64-bit (`size == 1` largesize) boxes and v0/v1 full-box layouts,
+    * bounds-checks every read, and requires a leading `ftyp` (the
+    * ISO-BMFF magic); anything else degrades to (n_bytes, nulls).
+    * Width/height come from the first track with nonzero dims (audio
+    * tracks carry zeros). Frame/sample DECODE stays stubbed — that is
+    * the part that genuinely needs codec libs.
+    */
+  def decodeMp4(bytes: Array[Byte]): Row = {
+    if (bytes == null)
+      return Row(null, null, null, null, null, null, null, null)
+    val n = bytes.length.toLong
+    val none = Row(n, null, null, null, null, null, null, null)
+    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || u32(0) < 8 || tag(4) != "ftyp") return none
+    val brand = tag(8)
+    var timescale: java.lang.Integer = null
+    var durationMs: java.lang.Long = null
+    var nTracks = 0
+    var width: java.lang.Integer = null
+    var height: java.lang.Integer = null
+    // returns (bodyStart, boxEnd) or null when the header is truncated
+    def box(o: Int, limit: Int): (Int, Int) = {
+      if (o + 8 > limit) return null
+      var size = u32(o)
+      var body = o + 8
+      if (size == 1) {
+        if (o + 16 > limit) return null
+        size = u64(o + 8); body = o + 16
+      } else if (size == 0) size = (limit - o).toLong // box runs to EOF
+      if (size < (body - o) || o + size > limit) return null
+      (body, o + size.toInt)
+    }
+    def walkTrak(o0: Int, limit: Int): Unit = {
+      var o = o0
+      var b = box(o, limit)
+      while (b != null) {
+        val (body, end) = b
+        if (tag(o + 4) == "tkhd" && body + 4 <= limit) {
+          val v = bytes(body) & 0xff
+          // v0: 4 flags+ver, 4+4 times, 4 id, 4 rsvd, 4 dur = 24 to the
+          // post-duration block; v1 widens the times + duration to 64-bit
+          val post = if (v == 1) body + 4 + 8 + 8 + 4 + 4 + 8
+                     else body + 4 + 4 + 4 + 4 + 4 + 4
+          // post-duration block: 8 rsvd, 2 layer, 2 alt, 2 vol, 2 rsvd,
+          // 36 matrix, then width/height as 16.16 fixed point
+          val dims = post + 8 + 2 + 2 + 2 + 2 + 36
+          if (dims + 8 <= limit && dims + 8 <= end) {
+            val w = (u32(dims) >> 16).toInt
+            val h = (u32(dims + 4) >> 16).toInt
+            if (w > 0 && h > 0 && width == null) { width = w; height = h }
+          }
+        }
+        o = end; b = box(o, limit)
+      }
+    }
+    def walkMoov(o0: Int, limit: Int): Unit = {
+      var o = o0
+      var b = box(o, limit)
+      while (b != null) {
+        val (body, end) = b
+        tag(o + 4) match {
+          case "mvhd" if body + 4 <= limit =>
+            val v = bytes(body) & 0xff
+            if (v == 1 && body + 32 <= limit) {
+              val ts = u32(body + 20).toInt
+              val dur = u64(body + 24)
+              timescale = ts
+              if (ts > 0) durationMs = Long.box(dur * 1000L / ts)
+            } else if (v == 0 && body + 20 <= limit) {
+              val ts = u32(body + 12).toInt
+              val dur = u32(body + 16)
+              timescale = ts
+              if (ts > 0) durationMs = Long.box(dur * 1000L / ts)
+            }
+          case "trak" =>
+            nTracks += 1
+            walkTrak(body, end)
+          case _ => ()
+        }
+        o = end; b = box(o, limit)
+      }
+    }
+    try {
+      var o = 0
+      var b = box(o, bytes.length)
+      while (b != null) {
+        val (body, end) = b
+        if (tag(o + 4) == "moov") walkMoov(body, end)
+        o = end; b = box(o, bytes.length)
+      }
+      if (timescale == null && nTracks == 0) none
+      else Row(n, brand, timescale, durationMs,
+        Int.box(nTracks), width, height, "mp4")
+    } catch {
+      case scala.util.control.NonFatal(_) => none
+    }
+  }
+
+  /** Attach REAL video-container metadata ([[decodeMp4]]) — same
+    * Iterator→Iterator per-partition batching contract as
+    * [[decodeImageMeta]]/[[decodeAudioMeta]]; output schema = input ++
+    * [[videoMetaSchema]].
+    */
+  def decodeVideoMeta(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ videoMetaSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = decodeMp4(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq ++ meta.toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Attach decoded-media metadata to a DataFrame with a binary
     * column. Batched per partition; output schema = input ++ meta.
     */

@@ -68,4 +68,48 @@ object VectorStreamOps {
       .withColumn("hot",
         col("n_items") * 1000000L > lit(alertPpm) * lit(expectedPerWindow))
   }
+
+  /** LIVE rebuild decision — the streaming twin of
+    * [[graft.ops.Profile.rebuildDecision]]: arriving assignments join
+    * the BATCH index-health report's skew flags (a static, list-sized
+    * frame — broadcast into every micro-batch), then the same windowed
+    * count as [[streamingListLoads]] emits the per-(window, list)
+    * action the moment a window closes: `split_now` for an oversized
+    * list taking hot traffic, `rebalance` for oversized-but-cold,
+    * `replicate` for hot-but-balanced, `ok` otherwise.
+    *
+    * Shape: the static join runs BEFORE the aggregation (skewed is a
+    * per-list constant, so it rides the group key) — one stateful
+    * operator total, state bounded by the watermark, and no
+    * join-after-aggregation dependence. Hot uses the same calibrated
+    * `alertPpm` x `expectedPerWindow` threshold as
+    * [[streamingListLoads]] (cross-list window totals stay a batch
+    * concern). Lists absent from the health frame (born after the
+    * last audit) count as not-skewed: brand-new lists can flag
+    * `replicate` at worst, and the next batch audit picks them up.
+    */
+  def streamingRebuildDecision(assigned: DataFrame, health: DataFrame,
+                               expectedPerWindow: Long,
+                               alertPpm: Long = 200000L,
+                               window_ : String = "10 minutes",
+                               lateness: String = "10 minutes",
+                               tsCol: String = "ts"): DataFrame = {
+    require(expectedPerWindow > 0, "expectedPerWindow must be > 0")
+    val flags = broadcast(
+      health.select(col("list_key"), col("skewed")))
+    assigned
+      .withColumn("list_key", col("centroid_id").cast("string"))
+      .join(flags, Seq("list_key"), "left")
+      .withColumn("skewed", coalesce(col("skewed"), lit(false)))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_), col("list_key"), col("skewed"))
+      .agg(count(lit(1)).as("n_arrivals"))
+      .withColumn("hot",
+        col("n_arrivals") * 1000000L > lit(alertPpm) * lit(expectedPerWindow))
+      .withColumn("decision",
+        when(col("skewed") && col("hot"), "split_now")
+          .when(col("skewed"), "rebalance")
+          .when(col("hot"), "replicate")
+          .otherwise("ok"))
+  }
 }

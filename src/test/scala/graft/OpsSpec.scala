@@ -721,6 +721,61 @@ class OpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(1).isNullAt(2))
   }
 
+  test("decodeMp4 parses a spec-conformant ISO-BMFF box tree: movie " +
+    "timescale/duration from mvhd (v0 and v1), dims from the first " +
+    "video tkhd (audio tracks carry zeros), track count; foreign and " +
+    "truncated payloads degrade to nulls") {
+    def be(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def u32(v: Long) = java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def u64(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    def u16(v: Int) = java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    def boxOf(typ: String, body: Array[Byte]) =
+      be(u32(8L + body.length), fourcc(typ), body)
+    def tkhdV0(w: Int, h: Int) = boxOf("tkhd", be(
+      u32(0), u32(0), u32(0), u32(1), u32(0), u32(0),  // verflags..duration
+      u64(0), u16(0), u16(0), u16(0), u16(0),          // rsvd, layer, alt, vol, rsvd
+      new Array[Byte](36),                              // matrix
+      u32(w.toLong << 16), u32(h.toLong << 16)))        // 16.16 dims
+    val mvhdV0 = boxOf("mvhd", be(
+      u32(0), u32(0), u32(0), u32(600), u32(1800),      // ts 600, dur 1800
+      new Array[Byte](80)))                             // rate..next_track
+    val moov = boxOf("moov", be(mvhdV0,
+      boxOf("trak", tkhdV0(0, 0)),                      // audio: zero dims
+      boxOf("trak", tkhdV0(640, 360))))                 // video
+    val ftyp = boxOf("ftyp", be(fourcc("isom"), u32(0x200)))
+    val mp4 = be(ftyp, boxOf("mdat", new Array[Byte](32)), moov)
+    val m = Multimodal.decodeMp4(mp4)
+    assert(m.getLong(0) === mp4.length.toLong)
+    assert(m.getString(1) === "isom")
+    assert(m.getInt(2) === 600)
+    assert(m.getLong(3) === 3000L)   // 1800 / 600 s = 3000 ms
+    assert(m.getInt(4) === 2)        // both tracks counted
+    assert(m.getInt(5) === 640 && m.getInt(6) === 360)
+    assert(m.getString(7) === "mp4")
+    // v1 mvhd: 64-bit times + duration
+    val mvhdV1 = boxOf("mvhd", be(
+      Array[Byte](1, 0, 0, 0), u64(0), u64(0), u32(90000), u64(450000),
+      new Array[Byte](80)))
+    val mp4v1 = be(ftyp, boxOf("moov", mvhdV1))
+    val m1 = Multimodal.decodeMp4(mp4v1)
+    assert(m1.getInt(2) === 90000 && m1.getLong(3) === 5000L)
+    // degradation tier: foreign bytes, truncation, null
+    val foreign = Multimodal.decodeMp4("definitely not a video".getBytes)
+    assert(foreign.getLong(0) === 22L && (1 to 7).forall(foreign.isNullAt))
+    val trunc = Multimodal.decodeMp4(mp4.take(40))
+    assert(trunc.getLong(0) === 40L && (2 to 7).forall(trunc.isNullAt))
+    assert((0 to 7).forall(Multimodal.decodeMp4(null).isNullAt))
+    // and through the per-partition frame contract
+    val df = Seq((1L, mp4), (2L, "x".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeVideoMeta(df, "payload")
+      .select("doc_id", "duration_ms", "width", "container")
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getLong(1) === 3000L && out(0).getInt(2) === 640 &&
+      out(0).getString(3) === "mp4")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(3))
+  }
+
   test("resizeMeta preserves small media, scales the long edge to fit") {
     val d = Seq((1L, 320, 240), (2L, 1280, 480)).toDF("doc_id", "width", "height")
     val out = Multimodal.resizeMeta(d, maxEdge = 640)

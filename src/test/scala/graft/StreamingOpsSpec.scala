@@ -295,6 +295,41 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRebuildDecision: live arrivals x static skew flags " +
+    "emit the per-window quadrant action; unknown lists default " +
+    "not-skewed") {
+    import graft.streaming.VectorStreamOps
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("vec_id", "ts", "centroid_id")
+    // batch audit knows lists 1 and 4 (skewed) and 2; list 3 is post-audit
+    val health = Seq(("1", true), ("2", false), ("4", true))
+      .toDF("list_key", "skewed")
+    val q = VectorStreamOps.streamingRebuildDecision(df, health,
+        expectedPerWindow = 10L, alertPpm = 200000L, window_ = "10 minutes")
+      .select(col("list_key"), col("n_arrivals"), col("hot"), col("decision"))
+      .writeStream.format("memory").queryName("rebuild")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+      // list 1: 3 arrivals (hot + skewed -> split_now); list 2: one
+      // (cold, balanced -> ok); list 3: 3 arrivals, unknown to the
+      // audit (hot, default not-skewed -> replicate)
+      mem.addData((1L, t(1), 1L), (2L, t(2), 1L), (3L, t(3), 1L),
+        (4L, t(4), 2L),
+        (5L, t(1), 3L), (6L, t(2), 3L), (7L, t(3), 3L),
+        (8L, t(5), 4L)) // skewed but cold -> rebalance
+      q.processAllAvailable()
+      val rows = spark.table("rebuild")
+        .as[(String, Long, Boolean, String)].collect().sorted
+      assert(rows.toSeq === Seq(
+        ("1", 3L, true, "split_now"),
+        ("2", 1L, false, "ok"),
+        ("3", 3L, true, "replicate"),
+        ("4", 1L, false, "rebalance")))
+    } finally q.stop()
+  }
+
   test("gopherRules gates a STREAM unchanged: the rule projection is " +
     "stateless, so the live ingest filter is the batch op verbatim") {
     import graft.ops.TextStats
