@@ -30,6 +30,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // random query (observed q_embed_quantize 2.4s -> 10.1s); the larger
   // heap trades nothing visible for outlier-free runs on this host
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // dozens of whole-stage-codegen'd queries in one session overflow the
+  // default 240 MB JIT code cache; once it fills, HotSpot stops
+  // compiling and random later queries drop to interpreted speed (5x
+  // swings between identical bench runs). Size it for the query count.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("GRAFT_CODE_CACHE", "1g")}",
+)
+// Bench-stability extras for `runMain` JVMs ONLY (Bench/Verify/Smoke):
+// tests must not pre-commit 16 GiB each on whatever host runs them.
+run / javaOptions ++= Seq(
   // Xms = Xmx + AlwaysPreTouch: commit and fault-in the whole heap at
   // JVM start (before any query is timed) instead of growing it under
   // load — heap-expansion page faults and the G1 region re-size pauses
@@ -37,13 +46,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // recorded-run spikes on unchanged pure projections: 1.9s -> 12.2s).
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+AlwaysPreTouch",
-  // GC log (overwritten per run, gitignored): the evidence that
-  // separates a plan regression from a collector pause when a bench
-  // query spikes with unchanged code.
-  "-Xlog:gc*:file=bench_gc.log",
-  // dozens of whole-stage-codegen'd queries in one session overflow the
-  // default 240 MB JIT code cache; once it fills, HotSpot stops
-  // compiling and random later queries drop to interpreted speed (5x
-  // swings between identical bench runs). Size it for the query count.
-  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("GRAFT_CODE_CACHE", "1g")}",
+  // GC log (single file per run, no rotation, gitignored): the
+  // evidence that separates a plan regression from a collector pause
+  // when a bench query spikes with unchanged code.
+  "-Xlog:gc*:file=bench_gc.log::filecount=0",
 )

@@ -1133,12 +1133,16 @@ object Dedup {
     val best = clusters
       .withColumn("_s", score)
       .groupBy("cluster_id")
-      // min_by over (-score, id): highest score, lowest id on ties.
-      // The SCORE is negated (numeric by contract), never the id — a
-      // string doc_id under -id would cast to double (null with ANSI
-      // off: arbitrary ties; error with ANSI on).
+      // min_by over (null-flag, -score, id): highest score, lowest id
+      // on ties. The SCORE is negated (numeric by contract), never the
+      // id — a string doc_id under -id would cast to double (null with
+      // ANSI off: arbitrary ties; error with ANSI on). The leading
+      // null-flag makes a NULL score LOSE: nulls sort first in an
+      // ascending struct compare, so without it a null-scored member
+      // would win the min_by (the old max_by form made it lose).
       .agg(min_by(col("doc_id"),
-        struct((-col("_s")).as("ns"), col("doc_id"))).as("canonical_id"))
+        struct(col("_s").isNull.cast("int").as("nf"),
+          (-col("_s")).as("ns"), col("doc_id"))).as("canonical_id"))
     clusters.join(best, Seq("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
       .select("doc_id", "cluster_id", "canonical_id", "is_canonical")
@@ -1165,10 +1169,12 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         sum(col(scoreCol)).as("total_score"),
         max(col(scoreCol)).as("max_score"),
-        // negate the numeric score, not the id — safe for string ids
-        // (see canonicalByScore)
+        // negate the numeric score, not the id — safe for string ids;
+        // leading null-flag keeps null-scored members losing (see
+        // canonicalByScore)
         min_by(col(idCol),
-          struct((-col(scoreCol)).as("ns"), col(idCol))).as("best_doc"))
+          struct(col(scoreCol).isNull.cast("int").as("nf"),
+            (-col(scoreCol)).as("ns"), col(idCol))).as("best_doc"))
       .withColumn("dup_score", col("total_score") - col("max_score"))
 
   /** Cross-snapshot exact dedup — the first gate of incremental
@@ -1352,7 +1358,8 @@ object Dedup {
         Similarity.cosQ(col("v"), col("centv"), col("vn"), col("centn"), dim))
       .groupBy("vec_id")
       .agg(min_by(col("centroid_id"),
-          struct((-col("c_cos")).as("ns"), col("centroid_id"))).as("centroid_id"),
+          struct(col("c_cos").isNull.cast("int").as("nf"),
+            (-col("c_cos")).as("ns"), col("centroid_id"))).as("centroid_id"),
         first(col("v")).as("v"), first(col("vn")).as("vn"))
       // the three consumers below would each re-run the assignment
       // cross-join (self-joins get no automatic exchange reuse);

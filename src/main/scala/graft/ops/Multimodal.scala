@@ -98,22 +98,33 @@ object Multimodal {
     } finally in.close()
   }
 
-  /** Attach REAL image metadata ([[decodeImage]]) to a DataFrame with
-    * a binary column — same Iterator→Iterator per-partition batching
-    * contract as [[decodeMeta]]; output schema = input ++
-    * [[imageMetaSchema]].
+  /** The one metadata-attach dataflow every real decoder shares:
+    * Iterator→Iterator `mapPartitions` (one decoder context per task,
+    * rows streamed, nothing materialized), output schema = input ++
+    * `metaSchema`. Decoders are pure `bytes => Row(metaSchema)`
+    * functions with the degrade-to-nulls contract.
     */
-  def decodeImageMeta(df: DataFrame, binCol: String): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ imageMetaSchema.fields)
+  private def attachMeta(df: DataFrame, binCol: String,
+                         metaSchema: StructType,
+                         decode: Array[Byte] => Row): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ metaSchema.fields)
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val meta = decodeImage(r.getAs[Array[Byte]](binIdx))
+        val meta = decode(r.getAs[Array[Byte]](binIdx))
         Row.fromSeq(r.toSeq ++ meta.toSeq)
       }
     }
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
+
+  /** Attach REAL image metadata ([[decodeImage]]) to a DataFrame with
+    * a binary column — same Iterator→Iterator per-partition batching
+    * contract as [[decodeMeta]]; output schema = input ++
+    * [[imageMetaSchema]].
+    */
+  def decodeImageMeta(df: DataFrame, binCol: String): DataFrame =
+    attachMeta(df, binCol, imageMetaSchema, decodeImage)
 
   /** REAL thumbnail: decode, scale to fit `maxEdge` (aspect preserved,
     * the same integer dimension math as [[resizeMeta]]), re-encode as
@@ -204,49 +215,52 @@ object Multimodal {
     def tag(off: Int): String =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return none
-    var off = 12
-    var fmt: (Int, Int, Int, Int) = null // (format, channels, rate, bits)
-    var dataSize = -1L
-    while (off + 8 <= bytes.length && (fmt == null || dataSize < 0)) {
-      val id = tag(off)
-      val size = u32(off + 4)
-      val body = off + 8
-      if (id == "fmt " && size >= 16 && body + 16 <= bytes.length)
-        fmt = (u16(body), u16(body + 2), u32(body + 4).toInt, u16(body + 14))
-      else if (id == "data" && dataSize < 0)
-        // size is authoritative even when the payload was truncated
-        // after the header — the audit wants the DECLARED length
-        dataSize = size
-      // RIFF pads odd-sized chunks to an even boundary
-      off = body + size.toInt + (size.toInt & 1)
+    // the walk advances in LONG arithmetic: a declared chunk size near
+    // 2^32 (streaming writers emit 0xFFFFFFFF placeholders) would,
+    // under Int truncation, go negative and either pin `off` in place
+    // (infinite loop — a hung executor task) or index out of bounds
+    try {
+      var off = 12L
+      var fmt: (Int, Int, Int, Int) = null // (format, channels, rate, bits)
+      var dataSize = -1L
+      while (off + 8 <= bytes.length && (fmt == null || dataSize < 0)) {
+        val id = tag(off.toInt)
+        val size = u32(off.toInt + 4) // unsigned: 0..2^32-1, never negative
+        val body = off + 8
+        if (id == "fmt " && size >= 16 && body + 16 <= bytes.length)
+          fmt = (u16(body.toInt), u16(body.toInt + 2),
+            u32(body.toInt + 4).toInt, u16(body.toInt + 14))
+        else if (id == "data" && dataSize < 0)
+          // size is authoritative even when the payload was truncated
+          // after the header — the audit wants the DECLARED length
+          dataSize = size
+        // RIFF pads odd-sized chunks to an even boundary; long math keeps
+        // a lying size from ever moving the cursor backwards
+        off = body + size + (size & 1)
+      }
+      if (fmt == null) return none
+      val (format, channels, rate, bits) = fmt
+      val blockAlign = channels.toLong * bits / 8
+      val nSamples: java.lang.Long =
+        if (dataSize >= 0 && blockAlign > 0) Long.box(dataSize / blockAlign)
+        else null
+      val durationMs: java.lang.Long =
+        if (nSamples != null && rate > 0) Long.box(nSamples * 1000L / rate)
+        else null
+      Row(n, format, channels, rate, bits, nSamples, durationMs, "wav")
+    } catch {
+      // same degrade-to-nulls contract as decodeMp4/decodeImage: a
+      // malformed container must never fail (or hang) the task
+      case scala.util.control.NonFatal(_) => none
     }
-    if (fmt == null) return none
-    val (format, channels, rate, bits) = fmt
-    val blockAlign = channels.toLong * bits / 8
-    val nSamples: java.lang.Long =
-      if (dataSize >= 0 && blockAlign > 0) Long.box(dataSize / blockAlign)
-      else null
-    val durationMs: java.lang.Long =
-      if (nSamples != null && rate > 0) Long.box(nSamples * 1000L / rate)
-      else null
-    Row(n, format, channels, rate, bits, nSamples, durationMs, "wav")
   }
 
   /** Attach REAL audio-container metadata ([[decodeWav]]) — same
     * Iterator→Iterator per-partition batching contract as
     * [[decodeImageMeta]]; output schema = input ++ [[audioMetaSchema]].
     */
-  def decodeAudioMeta(df: DataFrame, binCol: String): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ audioMetaSchema.fields)
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val meta = decodeWav(r.getAs[Array[Byte]](binIdx))
-        Row.fromSeq(r.toSeq ++ meta.toSeq)
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def decodeAudioMeta(df: DataFrame, binCol: String): DataFrame =
+    attachMeta(df, binCol, audioMetaSchema, decodeWav)
 
   /** Declared schema of REAL video-container metadata ([[decodeMp4]]):
     * non-ISO-BMFF payloads leave every field but n_bytes null.
@@ -377,33 +391,14 @@ object Multimodal {
     * [[decodeImageMeta]]/[[decodeAudioMeta]]; output schema = input ++
     * [[videoMetaSchema]].
     */
-  def decodeVideoMeta(df: DataFrame, binCol: String): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ videoMetaSchema.fields)
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val meta = decodeMp4(r.getAs[Array[Byte]](binIdx))
-        Row.fromSeq(r.toSeq ++ meta.toSeq)
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def decodeVideoMeta(df: DataFrame, binCol: String): DataFrame =
+    attachMeta(df, binCol, videoMetaSchema, decodeMp4)
 
   /** Attach decoded-media metadata to a DataFrame with a binary
     * column. Batched per partition; output schema = input ++ meta.
     */
-  def decodeMeta(df: DataFrame, binCol: String): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ mediaMetaSchema.fields)
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      // one codec context per partition would be opened here
-      rows.map { r =>
-        val meta = decodeStub(r.getAs[Array[Byte]](binIdx))
-        Row.fromSeq(r.toSeq ++ meta.toSeq)
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  def decodeMeta(df: DataFrame, binCol: String): DataFrame =
+    attachMeta(df, binCol, mediaMetaSchema, decodeStub)
 
   /** Pure-expression twin of [[decodeMeta]]'s stub — same fake
     * features computed in codegen'd SQL expressions, used by the

@@ -75,10 +75,13 @@ object Profile {
 
   /** The rebuild-decision report that closes the ANN index lifecycle
     * loop: join [[indexHealth]]'s size-skew flags with an observed
-    * probe-traffic frame (`loads`: one `(list_key, n_probes)` row per
-    * probed list — batch sample or a
-    * [[graft.streaming.VectorStreamOps.streamingListLoads]] window)
-    * and emit a per-list action:
+    * probe-traffic frame and emit a per-list action. `loads` must be
+    * one `(list_key: string, n_probes)` row per probed list — a batch
+    * sample, or ONE window of a persisted
+    * [[graft.streaming.VectorStreamOps.streamingListLoads]] sink
+    * reshaped as `select(centroid_id.cast("string").as("list_key"),
+    * n_items.as("n_probes"))` (that op emits per-(window, centroid)
+    * counts, not this shape directly). Actions:
     *
     *   - `split_now`  — oversized AND hot: the list dominates probe
     *     cost where traffic actually lands; split its centroid (run
@@ -104,9 +107,24 @@ object Profile {
     require(hotPermille >= 1, s"hotPermille must be >= 1, got $hotPermille")
     val l = loads.select(col("list_key"), col("n_probes").cast("long").as("n_probes"))
     val lg = l.agg(coalesce(sum(col("n_probes")), lit(0L)).as("total_probes"))
-    health.join(l, Seq("list_key"), "left")
+    // audit-level constants, recovered as a single broadcast row so
+    // lists ABSENT from the (possibly stale) health report still get a
+    // hot test: a list born after the last audit that takes 90% of
+    // probes must surface as `replicate`, not vanish from the report —
+    // a FULL outer join (the streaming twin handles the same case via
+    // its not-skewed default). Its size columns stay null (size
+    // unknown until the next audit); skewed defaults false (no skew
+    // claim without evidence).
+    val hg = health.agg(
+      coalesce(max(col("n_lists")), lit(0L)).as("g_lists"),
+      coalesce(max(col("total_items")), lit(0L)).as("g_items"))
+    health.join(l, Seq("list_key"), "full")
       .crossJoin(broadcast(lg))
+      .crossJoin(broadcast(hg))
       .withColumn("n_probes", coalesce(col("n_probes"), lit(0L)))
+      .withColumn("n_lists", coalesce(col("n_lists"), col("g_lists")))
+      .withColumn("total_items", coalesce(col("total_items"), col("g_items")))
+      .withColumn("skewed", coalesce(col("skewed"), lit(false)))
       .withColumn("load_ppm",
         expr("n_probes * 1000000 DIV greatest(total_probes, 1)"))
       .withColumn("hot",

@@ -209,8 +209,10 @@ object Similarity {
         .withColumn("c_cos", cosQ(col(v), col("centv"), col(n), col("centn"), dim))
         .groupBy(col(id))
         .agg(
-          max_by(col("centroid_id"),
-            struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
+          // null-safe tie-break (see assignToCentroids)
+          min_by(col("centroid_id"),
+            struct(col("c_cos").isNull.cast("int").as("nf"),
+              (-col("c_cos")).as("ns"), col("centroid_id"))).as("centroid_id"),
           first(col(v)).as(v),
           first(col(n)).as(n))
 
@@ -535,8 +537,12 @@ object Similarity {
         val assigned = vecs.crossJoin(broadcast(cent))
           .withColumn("c_cos", cosQ(col("v"), col("centv"), col("vn"), col("centn"), dim))
           .groupBy(col("vid"))
-          .agg(max_by(col("centroid_id"),
-              struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
+          // same null-safe tie-break as assignToCentroids: negate the
+          // numeric score, never the id (string-id safe); null-flag
+          // keeps a null score losing
+          .agg(min_by(col("centroid_id"),
+              struct(col("c_cos").isNull.cast("int").as("nf"),
+                (-col("c_cos")).as("ns"), col("centroid_id"))).as("centroid_id"),
             first(col("v")).as("v"))
         val next = assigned.groupBy("centroid_id")
           .agg(array((1 to dim).map(i => avg(element_at(col("v"), i))): _*).as("centv"))
@@ -563,6 +569,81 @@ object Similarity {
     */
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** The re-train step the rebuild decision report exists to trigger:
+    * for every posting list flagged `split_now` (oversized AND hot —
+    * [[graft.ops.Profile.rebuildDecision]]), run a `k`-way Lloyd split
+    * over THAT LIST'S members and emit replacement sub-centroids. The
+    * index owner swaps the flagged centroid for its `k` children and
+    * re-assigns only the flagged lists' members — O(flagged lists),
+    * never a full re-index.
+    *
+    * One GROUPED k-means, not a per-list driver loop: all flagged
+    * lists iterate together, centroids keyed by (list_key, sub_id).
+    * Per round: members broadcast-join the current (lists × k)
+    * centroid set ON list_key (a member only scores its own list's
+    * children — candidate volume is members × k, not members ×
+    * lists·k), per-member argmin via the null-safe min_by tie-break,
+    * per-(list, sub) mean recompute. Init = the k lexicographically
+    * smallest member ids per list (deterministic, like [[kmeans]]).
+    * Empty sub-clusters keep their previous centroid (coalesce) — the
+    * standard Lloyd degeneracy guard. Members of unflagged lists are
+    * filtered before any work.
+    *
+    * Emits (list_key, sub_id, centv) — `k` rows per flagged list.
+    */
+  def splitHotLists(assignment: DataFrame, decisions: DataFrame,
+                    k: Int = 2, iters: Int = 5, dim: Int = 64): DataFrame = {
+    require(k >= 1 && iters >= 0, "k and iters must be positive")
+    val flagged = decisions.filter(col("decision") === "split_now")
+      .select(col("list_key"))
+    val members = assignment
+      .withColumn("list_key", col("centroid_id").cast("string"))
+      .join(broadcast(flagged), Seq("list_key"))
+      .select(col("list_key"), col("vec_id").as("vid"),
+        col("cv").as("v"), col("cn").as("vn"))
+      .persist()
+    var cent: DataFrame = null
+    try {
+      val wInit = org.apache.spark.sql.expressions.Window
+        .partitionBy("list_key").orderBy("vid")
+      cent = members
+        .withColumn("_rn", row_number().over(wInit))
+        .filter(col("_rn") <= k)
+        .select(col("list_key"), (col("_rn") - 1).cast("long").as("sub_id"),
+          col("v").as("centv"), col("vn").as("centn"))
+        .persist()
+      cent.count()
+      for (_ <- 1 to iters) {
+        val assigned = members.join(broadcast(cent), Seq("list_key"))
+          .withColumn("c_cos",
+            cosQ(col("v"), col("centv"), col("vn"), col("centn"), dim))
+          .groupBy("list_key", "vid")
+          .agg(min_by(col("sub_id"),
+              struct(col("c_cos").isNull.cast("int").as("nf"),
+                (-col("c_cos")).as("ns"), col("sub_id"))).as("sub_id"),
+            first(col("v")).as("v"))
+        val means = assigned.groupBy("list_key", "sub_id")
+          .agg(array((1 to dim).map(i => avg(element_at(col("v"), i))): _*)
+            .as("newv"))
+        // empty sub-clusters (every member moved away) keep their old
+        // centroid instead of vanishing
+        val next = cent.select("list_key", "sub_id", "centv")
+          .join(means, Seq("list_key", "sub_id"), "left")
+          .select(col("list_key"), col("sub_id"),
+            coalesce(col("newv"), col("centv")).as("centv"))
+          .withColumn("centn", norm(col("centv"), dim))
+          .persist()
+        next.count()
+        cent.unpersist()
+        cent = next
+      }
+      cent.select("list_key", "sub_id", "centv").localCheckpoint()
+    } finally {
+      members.unpersist()
+      if (cent != null) cent.unpersist()
+    }
+  }
 
   /** Product-quantization codebooks with a deterministic picker: the
     * vectors with `id % codeStride == 0` serve as the code points, and
@@ -604,9 +685,11 @@ object Similarity {
       .withColumn("c_cos", cosQ(col("cv"), col("centv"), col("cn"), col("centn"), dim))
       .groupBy(col("vec_id"))
       // negate the numeric score, not the id (safe for any id type —
-      // see Dedup.canonicalByScore): highest cos, lowest centroid_id
+      // see Dedup.canonicalByScore): highest cos, lowest centroid_id;
+      // leading null-flag keeps a null score losing
       .agg(min_by(col("centroid_id"),
-          struct((-col("c_cos")).as("ns"), col("centroid_id"))).as("centroid_id"),
+          struct(col("c_cos").isNull.cast("int").as("nf"),
+            (-col("c_cos")).as("ns"), col("centroid_id"))).as("centroid_id"),
         first(col("cv")).as("cv"), first(col("cn")).as("cn"))
   }
 
@@ -788,8 +871,9 @@ object Similarity {
         cvec.crossJoin(broadcast(cent))
           .withColumn("c_cos", cosQ(col("cv"), col("centv"), col("cn"), col("centn"), dim))
           .groupBy("vec_id")
-          .agg(max_by(col("centroid_id"),
-            struct(col("c_cos"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
+          .agg(min_by(col("centroid_id"),
+            struct(col("c_cos").isNull.cast("int").as("nf"),
+              (-col("c_cos")).as("ns"), col("centroid_id"))).as("centroid_id"))
       }
     val cb = codebooks.getOrElse(pqCodebooks(corpus, m, dim, codeStride, idCol, vecCol))
     val enc = encoded.getOrElse(pqEncode(corpus, cb, m, dim, idCol, vecCol))

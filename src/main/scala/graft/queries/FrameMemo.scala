@@ -18,6 +18,9 @@ import org.apache.spark.sql.{DataFrame, GraftSqlShim}
   * a DIRECT reference held across more than `bound` subsequent builds
   * and executed afterwards fails with missing blocks — re-fetch
   * through `apply` instead (a post-eviction fetch simply rebuilds).
+  * This applies across THREADS too: a frame another thread is still
+  * holding can be evicted under it if `bound` newer keys land first —
+  * size `bound` >> the concurrent working set (here: 256 vs ~15 keys).
   * Consumers here (Verify/Bench queries) execute their frames within
   * the same query, far inside the window.
   *

@@ -668,6 +668,20 @@ class OpsSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq
     assert(out2 === Seq(("hot", "rebalance"), ("k0", "replicate"),
       ("k1", "ok"), ("k2", "ok")))
+    // a list born AFTER the audit (absent from health) taking most of
+    // the traffic must still surface — hot via the audit-level list
+    // count, size unknown (null), never skewed -> replicate
+    val loadsPost = Seq(("post_audit", 90L), ("k0", 10L))
+      .toDF("list_key", "n_probes")
+    val outPost = graft.ops.Profile.rebuildDecision(health, loadsPost)
+      .select("list_key", "n_items", "n_probes", "hot", "decision")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2), r.getBoolean(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    assert(outPost.contains(("post_audit", -1L, 90L, true, "replicate")))
+    assert(outPost.contains(("k0", 10L, 10L, false, "ok")))
+    assert(outPost.size === 5) // 4 audited lists + the post-audit one
     // empty load sample: every list cold, no divide-by-zero
     val none = Seq.empty[(String, Long)].toDF("list_key", "n_probes")
     val out3 = graft.ops.Profile.rebuildDecision(health, none)
@@ -712,6 +726,14 @@ class OpsSpec extends SparkSpec {
     val truncated = Multimodal.decodeWav(wav.take(10))
     assert(truncated.getLong(0) === 10L && (1 to 7).forall(truncated.isNullAt))
     assert((0 to 7).forall(Multimodal.decodeWav(null).isNullAt))
+    // streaming-writer placeholder size 0xFFFFFFFF: under Int
+    // truncation this went negative and pinned the chunk walk in an
+    // infinite loop — must terminate and degrade, not hang the task
+    val lying = ("RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVEjunk".getBytes ++ Array[Byte](-1, -1, -1, -1) ++
+      new Array[Byte](16))
+    val m3 = Multimodal.decodeWav(lying)
+    assert(m3.getLong(0) === lying.length.toLong && (1 to 7).forall(m3.isNullAt))
     // and through the per-partition frame contract
     val df = Seq((1L, wav), (2L, "x".getBytes)).toDF("doc_id", "payload")
     val out = Multimodal.decodeAudioMeta(df, "payload")
@@ -774,6 +796,47 @@ class OpsSpec extends SparkSpec {
     assert(out(0).getLong(1) === 3000L && out(0).getInt(2) === 640 &&
       out(0).getString(3) === "mp4")
     assert(out(1).isNullAt(1) && out(1).isNullAt(3))
+  }
+
+  test("splitHotLists: grouped 2-means over a split_now list separates " +
+    "the planted sub-clusters; unflagged lists produce no centroids") {
+    val dim = 8
+    // group A hugs axis 0, group B hugs axis 4 (tiny per-member jitter
+    // on disjoint axes keeps members distinct but groups separable)
+    def vec(axis: Int, j: Int): Seq[Double] =
+      (0 until dim).map(i =>
+        if (i == axis) 1.0
+        else if (i == (axis + 1 + j % 3) % dim) 0.05 else 0.0)
+    val rows = (0 until 4).map(j => (j.toLong, 7L, vec(0, j))) ++
+      (0 until 4).map(j => (10L + j, 7L, vec(4, j))) ++
+      Seq((20L, 8L, vec(2, 0)), (21L, 8L, vec(2, 1)))
+    val assignment = rows.toDF("vec_id", "centroid_id", "embedding")
+      .withColumn("cv", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("cn", Similarity.norm(col("cv"), dim))
+      .select("vec_id", "centroid_id", "cv", "cn")
+    val decisions = Seq(("7", "split_now"), ("8", "ok"))
+      .toDF("list_key", "decision")
+    val out = Similarity.splitHotLists(assignment, decisions,
+        k = 2, iters = 3, dim = dim)
+      .select("list_key", "sub_id", "centv")
+      .as[(String, Long, Seq[Double])].collect().sortBy(_._2)
+    assert(out.map(_._1).toSet === Set("7")) // only the flagged list
+    assert(out.map(_._2).toSeq === Seq(0L, 1L))
+    // each replacement centroid is dominated by one planted axis
+    val axes = out.map { case (_, _, c) => c.indexOf(c.max) }.toSet
+    assert(axes === Set(0, 4))
+    // and the split actually separates: every member is closer (cosine)
+    // to the centroid of its own planted group
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byAxis = out.map { case (_, _, c) => c.indexOf(c.max) -> c }.toMap
+    rows.filter(_._2 == 7L).foreach { case (_, _, v) =>
+      val own = if (v(0) == 1.0) byAxis(0) else byAxis(4)
+      val other = if (v(0) == 1.0) byAxis(4) else byAxis(0)
+      assert(cos(v, own) > cos(v, other))
+    }
   }
 
   test("resizeMeta preserves small media, scales the long edge to fit") {
