@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.functions.{BpeApply, WordNgrams}
+
+/** BPE tokenizer TRAINING and ENCODING over a corpus — the
+  * freeze-the-tokenizer step a training-data pipeline runs between
+  * curation and packing (Sennrich et al., ACL'16: learn merges from a
+  * word-frequency table; GPT-2's public encoder applies them greedily
+  * by rank).
+  *
+  * Scale shape — the part that matters at 100 TB:
+  *   - the corpus is scanned ONCE, into the word-frequency table
+  *     (partial-agged hash aggregation on the word; output is
+  *     VOCABULARY-sized, independent of corpus size);
+  *   - every training round then runs over that vocab table only
+  *     (re-encode with current merges via the native [[BpeApply]]
+  *     kernel, count weighted symbol pairs via [[WordNgrams]], take
+  *     the global top pair) — `numMerges` small jobs whose cost does
+  *     not grow with the corpus;
+  *   - encoding is a pure projection (merge table shipped in the plan
+  *     as expression state, no join, no shuffle, codegen'd kernel) —
+  *     exactly how a frozen tokenizer should meet a 100 TB corpus.
+  *
+  * Determinism: pair counts are exact longs; the winning pair breaks
+  * count ties lexicographically; word splitting is character-level
+  * with an explicit end-of-word marker symbol.
+  */
+object Bpe {
+
+  /** The classic BPE training set: (word, n) — one row per DISTINCT
+    * word. The `endMark` travels as a separate terminal symbol, so
+    * word-final merges stay distinct from word-internal ones.
+    */
+  def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextStats.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Character symbols of a word plus the terminal marker — the round-0
+    * encoding every merge grows from.
+    */
+  private def charSymbols(word: org.apache.spark.sql.Column, endMark: String) =
+    concat(split(word, ""), array(lit(endMark)))
+
+  /** Learn `numMerges` merges from the corpus. Returns the RANKED merge
+    * list (earlier = higher priority). Stops early when no pair occurs
+    * twice (merging hapax pairs memorizes the corpus, not a
+    * vocabulary). The driver loop is bounded by `numMerges` — each
+    * round is one vocab-table-sized Spark job ending in a single-row
+    * collect (same bounded-driver-loop discipline as
+    * [[Similarity.kmeans]]).
+    */
+  def train(docs: DataFrame, numMerges: Int,
+            textCol: String = "text",
+            endMark: String = "</w>"): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    // localCheckpoint: numMerges rounds re-read this table; without it
+    // every round re-scans the corpus and re-aggregates
+    val wf = wordFreq(docs, textCol).localCheckpoint()
+    val merges = Vector.newBuilder[(String, String)]
+    var cur = Seq.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val top = wf
+        .select(col("n"),
+          explode(WordNgrams(
+            BpeApply(charSymbols(col("word"), endMark), cur), 2)).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .collect()
+      top.headOption match {
+        case Some(row) =>
+          val Array(l, r) = row.getString(0).split(" ", 2)
+          merges += ((l, r))
+          cur = cur :+ (l, r)
+          round += 1
+        case None => done = true
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode a corpus with a FROZEN merge list: (id, bpe_tokens,
+    * n_bpe_tokens) — per word, the ranked-merge loop runs in the
+    * native kernel; per document, the word encodings flatten in order.
+    * Pure projection: nothing shuffles, the tokenizer rides the plan.
+    */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+             idCol: String = "doc_id", textCol: String = "text",
+             endMark: String = "</w>"): DataFrame =
+    docs.select(
+        col(idCol).as("doc_id"),
+        // empty words (multi-space text) carry no symbols — drop them
+        // before the kernel, mirroring wordFreq's filter
+        flatten(transform(
+          filter(TextStats.tokens(col(textCol)), w => length(w) > 0),
+          w => BpeApply(charSymbols(w, endMark), merges))).as("bpe_tokens"))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+
+  /** Round-trip audit of an encoding: concatenating a document's BPE
+    * tokens (end marks restored to spaces) must reproduce its
+    * whitespace-normalized text — the invariant that proves the
+    * tokenizer is lossless. Emits only the violating rows (empty =
+    * healthy), so the audit is O(corpus scan), O(violations) output.
+    */
+  def roundTripViolations(encoded: DataFrame, docs: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          endMark: String = "</w>"): DataFrame = {
+    val rebuilt = encoded.select(col("doc_id"),
+      // tokens joined bare, then end-marks become spaces: "lo w</w>ha t</w>"
+      // -> "low hat " -> trimmed
+      rtrim(regexp_replace(concat_ws("", col("bpe_tokens")),
+        java.util.regex.Pattern.quote(endMark), " ")).as("rebuilt"))
+    docs.select(col(idCol).as("doc_id"),
+        regexp_replace(trim(col(textCol)), "\\s+", " ").as("norm_text"))
+      .join(rebuilt, Seq("doc_id"))
+      .filter(not(col("norm_text") <=> col("rebuilt")))
+  }
+}

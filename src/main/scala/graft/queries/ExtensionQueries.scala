@@ -68,6 +68,15 @@ object ExtensionQueries {
   private def docVocab(s: SparkSession, d: String): Option[Array[String]] =
     vocabMemo.computeIfAbsent((s, d), _ => Dedup.smallVocab(docs(s, d)))
 
+  /** Trained BPE merge list per (session, dataset) — the frozen
+    * tokenizer artifact (driver-side, vocab-bounded) every consumer
+    * reuses, like the frame memos.
+    */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, String)]]()
+  private def bpeMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeMemo.computeIfAbsent((s, d), _ => Bpe.train(docs(s, d), numMerges = 24))
+
   /** Small-vocab dedup-graph intermediates, each memoized at its own
     * granularity: the (doc, mask) frame, the verified DISTINCT-mask
     * pair list (corpus-size-independent), and only then the doc-level
@@ -733,6 +742,19 @@ object ExtensionQueries {
       mhBands(s, d)
         .select(concat(col("b"), lit(":"), col("band_key")).as("bk")),
       "bk").orderBy("list_key")
+
+  /** BPE tokenizer: train 24 merges on the corpus word-frequency
+    * table (vocab-sized driver loop — [[Bpe.train]]), encode every
+    * document with the frozen merges (pure projection, native
+    * kernel), emit per-doc BPE token counts. NO oracle by design: the
+    * greedy-by-rank merge loop is iterative and not SQL-expressible —
+    * the driver records the rows-only check; semantics are pinned by
+    * BpeSpec (hand-computed traces + the classic worked example + the
+    * lossless round-trip on this very corpus).
+    */
+  def bpeEncodeQ(s: SparkSession, d: String): DataFrame =
+    Bpe.encode(docs(s, d), bpeMerges(s, d))
+      .select("doc_id", "n_bpe_tokens").orderBy("doc_id")
 
   /** Per-doc OOV audit against a top-10 frequency vocab derived from
     * the corpus itself (small enough that the fixture's ~31-token
@@ -2089,6 +2111,7 @@ object ExtensionQueries {
     "q_winnow_pairs"    -> (winnowPairs _),
     "q_ivf_health"      -> (ivfHealth _),
     "q_ivf_rebuild"     -> (ivfRebuild _),
+    "q_bpe_encode"      -> (bpeEncodeQ _),
     "q_band_health"     -> (bandHealth _),
     "q_vocab_coverage"  -> (vocabCoverageQ _),
     "q_coverage_curve"  -> (coverageCurveQ _),

@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.BpeApply
+import graft.ops.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training + encoding: the kernel against hand-computed
+  * merge traces, the trainer against the classic worked example, and
+  * the lossless round-trip invariant on real fixture data.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def applyMerges(word: String,
+                          merges: Seq[(String, String)]): Seq[String] = {
+    val syms = word.map(_.toString) :+ "</w>"
+    Seq(syms).toDF("s")
+      .select(BpeApply(col("s"), merges).as("out"))
+      .as[Seq[String]].head()
+  }
+
+  test("BpeApply replays the standard greedy-by-rank merge loop " +
+    "(hand-computed traces, rank priority over position)") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    // low: [l,o,w,</w>] -> [lo,w,</w>] -> [low,</w>] -> [low</w>]
+    assert(applyMerges("low", merges) === Seq("low</w>"))
+    // lower: merges stop once no ranked pair remains
+    assert(applyMerges("lower", merges) === Seq("low", "e", "r", "</w>"))
+    // rank beats position: in "lol", (o,l) outranks (l,o), so the
+    // LATER pair merges first and (l,o) never becomes adjacent-mergeable
+    val ranked = Seq(("o", "l"), ("l", "o"))
+    assert(applyMerges("lol", ranked) === Seq("l", "ol", "</w>"))
+    // all non-overlapping occurrences merge in one step, left to right:
+    // "aaaa" with (a,a) -> [aa, aa, </w>] -> [aaaa, </w>] via (aa,aa)
+    assert(applyMerges("aaaa", Seq(("a", "a"))) === Seq("aa", "aa", "</w>"))
+    assert(applyMerges("aaaa", Seq(("a", "a"), ("aa", "aa"))) ===
+      Seq("aaaa", "</w>"))
+    // odd run: trailing singleton survives the pass
+    assert(applyMerges("aaa", Seq(("a", "a"))) === Seq("aa", "a", "</w>"))
+    // empty merge list is the identity on the char split
+    assert(applyMerges("ab", Nil) === Seq("a", "b", "</w>"))
+  }
+
+  test("train reproduces the classic worked example (weighted pair " +
+    "counts, lexicographic tie-break) and stops when no pair repeats") {
+    val docs = Seq((1L, "low low low"), (2L, "lower lowest"))
+      .toDF("doc_id", "text")
+    // round-by-round: (l o):5 ties (o w):5 -> lexicographic; then
+    // (lo w):5; then (low </w>):3; then (low e):2; then every pair is
+    // a hapax -> early stop despite numMerges = 10
+    val merges = Bpe.train(docs, numMerges = 10)
+    assert(merges === Seq(("l", "o"), ("lo", "w"), ("low", "</w>"),
+      ("low", "e")))
+    // a smaller budget is a prefix of the same sequence
+    assert(Bpe.train(docs, numMerges = 2) === merges.take(2))
+    assert(Bpe.train(docs, numMerges = 0) === Nil)
+  }
+
+  test("encode flattens per-word encodings in order; round-trip audit " +
+    "is empty for any merge list and flags a tampered encoding") {
+    val docs = Seq((1L, "low lower"), (2L, "low  low")) // double space
+      .toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val enc = Bpe.encode(docs, merges)
+    val row1 = enc.filter(col("doc_id") === 1L)
+      .select("bpe_tokens", "n_bpe_tokens")
+      .as[(Seq[String], Long)].head()
+    assert(row1._1 === Seq("low</w>", "low", "e", "r", "</w>"))
+    assert(row1._2 === 5L)
+    assert(Bpe.roundTripViolations(enc, docs).isEmpty)
+    // encoding is lossless under ANY ranked list, trained or not
+    assert(Bpe.roundTripViolations(Bpe.encode(docs, Nil), docs).isEmpty)
+    // a corrupted token surfaces as a violation row
+    val tampered = enc.withColumn("bpe_tokens",
+      when(col("doc_id") === 2L, array(lit("oops</w>")))
+        .otherwise(col("bpe_tokens")))
+    val bad = Bpe.roundTripViolations(tampered, docs)
+      .select("doc_id").as[Long].collect()
+    assert(bad.toSeq === Seq(2L))
+  }
+
+  test("trained tokenizer round-trips the sf0.001 documents corpus " +
+    "losslessly (train on the corpus, encode the corpus, zero " +
+    "violations) and compresses vs the char split") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 30)
+    assert(merges.nonEmpty && merges.size <= 30)
+    val enc = Bpe.encode(docs, merges)
+    assert(Bpe.roundTripViolations(enc, docs).isEmpty)
+    // merges must actually compress: fewer BPE tokens than characters
+    val (bpe, chars) = enc.join(docs, "doc_id")
+      .agg(sum(col("n_bpe_tokens")), sum(length(regexp_replace(col("text"), " ", ""))))
+      .as[(Long, Long)].head()
+    assert(bpe < chars, s"no compression: $bpe bpe tokens vs $chars chars")
+  }
+}
