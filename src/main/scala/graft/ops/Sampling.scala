@@ -79,6 +79,42 @@ object Sampling {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** EXACT-k weighted sampling WITHOUT replacement, deterministic —
+    * Efraimidis–Spirakis (IPL 2006) with the integer-weight identity
+    * that keeps it engine-exact: E-S draws priority u_i^(1/w_i) and
+    * keeps the top k, but u^(1/w) needs pow/ln, which (unlike sqrt)
+    * IEEE does NOT require correctly rounded — a cross-engine last-ulp
+    * flip near a quantization boundary would break the oracle. For
+    * INTEGER w, max(u_1..u_w) has exactly the u^(1/w) = Beta(w,1)
+    * distribution, so the priority here is the lexicographic MAX of w
+    * independent md5 hexes of (j, id) — pure string/integer machinery,
+    * identical in any engine, same inclusion law.
+    *
+    * `weightCap` bounds the per-row hash count (cost AND the law's
+    * resolution: beyond the cap extra weight buys nothing — document
+    * the cap, don't hide it). Weights < 1 drop the row (zero tickets).
+    *
+    * Shape for scale: one scan computes priorities (codegen'd md5s,
+    * no shuffle), then top-k = TakeOrdered (per-partition heaps + one
+    * k-row merge on the driver) — never a global sort. Ties break by
+    * id for full determinism (md5 collisions at 128 bits: effectively
+    * never, but the gate demands bit-stable output).
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weight: Column, k: Int,
+                   weightCap: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(weightCap >= 1, s"weightCap must be >= 1, got $weightCap")
+    df.withColumn("_w", least(weight.cast("long"), lit(weightCap.toLong)))
+      .filter(col("_w") >= 1L)
+      .withColumn("priority",
+        array_max(transform(sequence(lit(1L), col("_w")),
+          j => md5(concat(j.cast("string"), lit(":"),
+            col(idCol).cast("string"))))))
+      .drop("_w")
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Weighted deterministic sampling: keep a row with probability
     * `weightCol` (clamped to [0, 1]) — quality-weighted corpus
     * downsampling, where a document's survival odds follow its quality

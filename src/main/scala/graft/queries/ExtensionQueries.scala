@@ -519,6 +519,16 @@ object ExtensionQueries {
         "event_type", "event_id", k = 300)
       .orderBy("event_id")
 
+  /** Exact-50 weighted sample without replacement (Efraimidis–
+    * Spirakis, integer-weight max-hash form): longer documents get
+    * proportionally more tickets, capped at 32.
+    */
+  def weightedTopKQ(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedTopK(
+      docs(s, d).select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", col("n_tokens"), k = 50)
+
   /** Deterministic global shuffle into 8 training shards. */
   def shard(s: SparkSession, d: String): DataFrame =
     Sampling.shardAssign(docs(s, d).select("doc_id"), "doc_id", numShards = 8)
@@ -1317,6 +1327,19 @@ object ExtensionQueries {
         |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
         |  FROM events) t
         |WHERE rn <= 300 ORDER BY event_id""".stripMargin,
+    "q_weighted_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT doc_id, n_tokens,
+        |    CAST(least(n_tokens, 32) AS INT) AS w
+        |  FROM t WHERE n_tokens >= 1),
+        |p AS (SELECT doc_id, n_tokens,
+        |    list_max(list_transform(range(1, w + 1),
+        |      j -> md5(j::VARCHAR || ':' || doc_id))) AS priority
+        |  FROM w)
+        |SELECT doc_id, n_tokens, priority FROM p
+        |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
     "q_dedup_against" ->
       """WITH base AS (SELECT DISTINCT md5(text) AS text_hash FROM documents
         |  WHERE doc_id % 2 = 0 OR doc_id % 10 = 1),
@@ -2112,6 +2135,7 @@ object ExtensionQueries {
     "q_ivf_health"      -> (ivfHealth _),
     "q_ivf_rebuild"     -> (ivfRebuild _),
     "q_bpe_encode"      -> (bpeEncodeQ _),
+    "q_weighted_topk"   -> (weightedTopKQ _),
     "q_band_health"     -> (bandHealth _),
     "q_vocab_coverage"  -> (vocabCoverageQ _),
     "q_coverage_curve"  -> (coverageCurveQ _),

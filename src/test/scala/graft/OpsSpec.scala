@@ -798,6 +798,35 @@ class OpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(1).isNullAt(3))
   }
 
+  test("weightedTopK: integer-weight max-hash priorities match a " +
+    "driver-side reference exactly; zero weights drop; the cap bounds " +
+    "tickets") {
+    def mdHex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = (1 to 20).map(i => (i.toLong, (i % 5).toLong)) // w in 0..4
+    val out = graft.ops.Sampling
+      .weightedTopK(rows.toDF("id", "w"), "id", col("w"), k = 5)
+      .select("id", "priority").as[(Long, String)].collect().toSeq
+    val ref = rows.filter(_._2 >= 1)
+      .map { case (id, w) =>
+        (id, (1L to math.min(w, 32L)).map(j => mdHex(s"$j:$id")).max) }
+      .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      .take(5)
+    assert(out === ref) // ordered compare: priority desc, id asc
+    // ids with weight 0 can never appear even with a huge k
+    val all = graft.ops.Sampling
+      .weightedTopK(rows.toDF("id", "w"), "id", col("w"), k = 99)
+      .select("id").as[Long].collect().toSet
+    assert(all === rows.filter(_._2 >= 1).map(_._1).toSet)
+    // cap: weight 1000 under cap 2 draws exactly 2 tickets
+    val capped = graft.ops.Sampling
+      .weightedTopK(Seq((7L, 1000L)).toDF("id", "w"), "id", col("w"),
+        k = 1, weightCap = 2)
+      .select("priority").as[String].head()
+    assert(capped === Seq(mdHex("1:7"), mdHex("2:7")).max)
+  }
+
   test("splitHotLists: grouped 2-means over a split_now list separates " +
     "the planted sub-clusters; unflagged lists produce no centroids") {
     val dim = 8

@@ -330,6 +330,27 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Bpe.encode tokenizes a STREAM unchanged: the frozen merge list " +
+    "rides the plan as a stateless projection, so live ingest gets the " +
+    "exact batch tokenizer") {
+    import graft.ops.Bpe
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val q = Bpe.encode(mem.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "low lower"))
+      q.processAllAvailable()
+      val got = spark.table("bpe_stream")
+        .select("doc_id", "bpe_tokens", "n_bpe_tokens")
+        .as[(Long, Seq[String], Long)].collect()
+      assert(got.toSeq === Seq(
+        (1L, Seq("low</w>", "low", "e", "r", "</w>"), 5L)))
+    } finally q.stop()
+  }
+
   test("gopherRules gates a STREAM unchanged: the rule projection is " +
     "stateless, so the live ingest filter is the batch op verbatim") {
     import graft.ops.TextStats
