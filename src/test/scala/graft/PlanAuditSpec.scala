@@ -48,6 +48,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
+  test("weightedTopK is TakeOrdered, never a global sort: priorities " +
+    "compute in the scan projection and top-k merges per-partition " +
+    "heaps") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "w")
+    val p = plan(Sampling.weightedTopK(df, "id", col("w"), k = 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p) // no shuffle at all pre-limit
+  }
+
+  test("Bpe.encode is a pure projection: the frozen merge table rides " +
+    "the plan, zero Exchanges, zero joins") {
+    val p = plan(graft.ops.Bpe.encode(docs, Seq(("t", "o"), ("to", "k"))))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("rebuildDecision joins list-sized frames only: single-row " +
+    "totals ride broadcast crosses and nothing is a cartesian product " +
+    "(the full-outer health x loads join is list-sized by construction)") {
+    val idx = (1 to 90).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "list")
+    val loads = Seq(("k0", 5L)).toDF("list_key", "n_probes")
+    val p = plan(Profile.rebuildDecision(Profile.indexHealth(idx, "list"), loads))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Broadcast"), p) // the single-row totals
+  }
+
   test("capPerStratum broadcasts the per-stratum counts, never " +
     "shuffling the data side") {
     val df = (1 to 500).map(i => (i.toLong, s"k${i % 5}")).toDF("id", "k")
