@@ -102,6 +102,36 @@ object Bpe {
           w => BpeApply(charSymbols(w, endMark), merges))).as("bpe_tokens"))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
 
+  /** The shippable tokenizer VOCAB: every symbol [[encode]] can emit —
+    * the corpus's base characters, the end-of-word marker, and each
+    * merge's product — with a deterministic dense id (base symbols in
+    * lexicographic order, then merge products in rank order; a merge
+    * product equal to an earlier symbol keeps the earlier id). This is
+    * the (token, token_id) artifact an embedding table is sized
+    * against. One corpus scan for the character set (distinct over
+    * single chars — tiny), driver-side assembly bounded by
+    * |chars| + |merges|.
+    */
+  def vocab(docs: DataFrame, merges: Seq[(String, String)],
+            textCol: String = "text",
+            endMark: String = "</w>"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chars = docs
+      .select(explode(split(regexp_replace(col(textCol), " ", ""), ""))
+        .as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct().as[String].collect().sorted
+    val base = chars.toVector :+ endMark
+    val withMerges = merges.foldLeft(base) { case (v, (l, r)) =>
+      val prod = l + r
+      if (v.contains(prod)) v else v :+ prod
+    }
+    withMerges.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }
+      .toDF("token", "token_id")
+  }
+
   /** Round-trip audit of an encoding: concatenating a document's BPE
     * tokens (end marks restored to spaces) must reproduce its
     * whitespace-normalized text — the invariant that proves the

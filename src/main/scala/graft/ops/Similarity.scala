@@ -563,6 +563,40 @@ object Similarity {
     }
   }
 
+  /** Swap-in of a [[splitHotLists]] result: members of every split
+    * list re-assign to the nearest replacement sub-centroid (their new
+    * list key is `"<list>:<sub>"`), members of untouched lists keep
+    * their key — the updated posting-list layout, produced WITHOUT
+    * touching unflagged lists or re-scoring anything but the flagged
+    * members. Emits (vec_id, list_key): string keys, because split
+    * children are no longer corpus vector ids (every health/decision
+    * op here already keys lists by string).
+    *
+    * Shape: flagged membership = broadcast semi-join on the (tiny)
+    * splits frame; scoring joins members to their OWN list's children
+    * only (broadcast, k rows per flagged list); the untouched side is
+    * a pure projection unioned back.
+    */
+  def applyListSplits(assignment: DataFrame, splits: DataFrame,
+                      dim: Int = 64): DataFrame = {
+    val sp = splits.select(col("list_key"), col("sub_id"), col("centv"))
+      .withColumn("centn", norm(col("centv"), dim))
+    val keys = sp.select("list_key").distinct()
+    val a = assignment.withColumn("list_key", col("centroid_id").cast("string"))
+    val untouched = a.join(broadcast(keys), Seq("list_key"), "left_anti")
+      .select(col("vec_id"), col("list_key"))
+    val moved = a.join(broadcast(keys), Seq("list_key"))
+      .join(broadcast(sp), Seq("list_key"))
+      .withColumn("c_cos", cosQ(col("cv"), col("centv"), col("cn"), col("centn"), dim))
+      .groupBy("list_key", "vec_id")
+      .agg(min_by(col("sub_id"),
+        struct(col("c_cos").isNull.cast("int").as("nf"),
+          (-col("c_cos")).as("ns"), col("sub_id"))).as("sub_id"))
+      .select(col("vec_id"),
+        concat(col("list_key"), lit(":"), col("sub_id")).as("list_key"))
+    untouched.unionByName(moved)
+  }
+
   /** Squared L2 distance of two double arrays — left-to-right fold
     * like [[dot]] (the 0.0 seed is an IEEE no-op on the non-negative
     * terms), so an oracle's `list_reduce` reproduces it bit-for-bit.

@@ -609,6 +609,33 @@ object ExtensionQueries {
         expr("(n_docs - n_distinct) * 1000000 DIV n_docs"))
       .orderBy("source")
 
+  /** Cross-source duplication matrix over the SHARED MinHash pair
+    * list: how many near-dup pairs land within each unordered source
+    * pair (diagonal = within-source redundancy, off-diagonal = source
+    * A republishing source B) with an exact ppm share of all pairs —
+    * the dashboard that decides which source INTERSECTIONS get the
+    * dedup budget, not just which sources ([[dupBySource]]). Reads the
+    * memoized candidate pairs; the source lookup is two skinny
+    * id→source joins and one tiny matrix aggregation.
+    */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    val labeled = mhPairs(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")),
+        "doc_b")
+      .select(least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi"))
+    val total = broadcast(labeled.agg(count(lit(1)).as("total_pairs")))
+    labeled.groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(total)
+      .withColumn("share_ppm", expr("n_pairs * 1000000 DIV total_pairs"))
+      .select("src_lo", "src_hi", "n_pairs", "total_pairs", "share_ppm")
+      .orderBy("src_lo", "src_hi")
+  }
+
   /** Per-sequence packing mix over the SAME chunk/pack config as
     * [[pack]]: how many chunks and how many DISTINCT documents blend
     * into each fixed-budget training sequence (the cross-document
@@ -1395,6 +1422,29 @@ object ExtensionQueries {
         |  FROM banded a JOIN banded b
         |    ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS ts FROM documents),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(1,17), k ->
+        |    list_aggregate(list_transform(ts, t -> md5(k::VARCHAR || ':' || t)), 'min')) AS mh
+        |  FROM toks),
+        |banded AS (
+        |  SELECT doc_id, b, md5(array_to_string(mh[(b-1)*8+1:(b-1)*8+8], '|')) AS band_key
+        |  FROM sig, unnest(range(1,3)) AS u(b)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id),
+        |lab AS (SELECT least(sa.source, sb.source) AS src_lo,
+        |    greatest(sa.source, sb.source) AS src_hi
+        |  FROM pairs p
+        |  JOIN documents sa ON p.doc_a = sa.doc_id
+        |  JOIN documents sb ON p.doc_b = sb.doc_id),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_pairs FROM lab)
+        |SELECT src_lo, src_hi, count(*) AS n_pairs, total_pairs,
+        |  CAST(count(*) * 1000000 // total_pairs AS BIGINT) AS share_ppm
+        |FROM lab, tot GROUP BY src_lo, src_hi, total_pairs
+        |ORDER BY src_lo, src_hi""".stripMargin,
     "q_minhash_est" ->
       """WITH toks AS (
         |  SELECT doc_id, list_distinct(string_split(text,' ')) AS ts FROM documents),
@@ -2149,6 +2199,7 @@ object ExtensionQueries {
     "q_containment"     -> (containmentFull _),
     "q_nfc"             -> (nfcNormalizeQ _),
     "q_dup_by_source"   -> (dupBySource _),
+    "q_source_overlap"  -> (sourceOverlap _),
     "q_pack_mix"        -> (packMix _)
   )
 }

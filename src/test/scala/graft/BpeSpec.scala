@@ -79,6 +79,25 @@ class BpeSpec extends SparkSpec {
     assert(bad.toSeq === Seq(2L))
   }
 
+  test("vocab enumerates exactly the emittable symbols with dense " +
+    "deterministic ids, and every encoded token is in-vocab") {
+    val docs = Seq((1L, "low lower lowest")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val v = Bpe.vocab(docs, merges).as[(String, Long)].collect().sortBy(_._2)
+    // base chars sorted, then end mark, then merge products in rank order
+    assert(v.map(_._1).toSeq === Seq("e", "l", "o", "r", "s", "t", "w",
+      "</w>", "lo", "low", "low</w>"))
+    assert(v.map(_._2).toSeq === (0L until 11L))
+    // closure: everything encode emits resolves to a vocab id
+    val emitted = Bpe.encode(docs, merges)
+      .select(explode(col("bpe_tokens")).as("t"))
+      .distinct().as[String].collect().toSet
+    assert(emitted.subsetOf(v.map(_._1).toSet), emitted)
+    // duplicate merge product keeps the earlier id (no double entry)
+    val dup = Bpe.vocab(docs, merges :+ ("l", "o"))
+    assert(dup.count() === 11L)
+  }
+
   test("trained tokenizer round-trips the sf0.001 documents corpus " +
     "losslessly (train on the corpus, encode the corpus, zero " +
     "violations) and compresses vs the char split") {

@@ -866,6 +866,18 @@ class OpsSpec extends SparkSpec {
       val other = if (v(0) == 1.0) byAxis(4) else byAxis(0)
       assert(cos(v, own) > cos(v, other))
     }
+    // swap-in: members of the split list land on "7:<sub>" keys split
+    // exactly by planted group; the untouched list keeps its key
+    val splits = Similarity.splitHotLists(assignment, decisions,
+      k = 2, iters = 3, dim = dim)
+    val updated = Similarity.applyListSplits(assignment, splits, dim = dim)
+      .as[(Long, String)].collect().toMap
+    assert(updated.size === 10)
+    assert(updated(20L) === "8" && updated(21L) === "8")
+    val groupA = (0 until 4).map(j => updated(j.toLong)).toSet
+    val groupB = (0 until 4).map(j => updated(10L + j)).toSet
+    assert(groupA.size === 1 && groupB.size === 1 && groupA != groupB)
+    assert((groupA ++ groupB).forall(k => k == "7:0" || k == "7:1"))
   }
 
   test("resizeMeta preserves small media, scales the long edge to fit") {
