@@ -134,22 +134,40 @@ object Bpe {
 
   /** Round-trip audit of an encoding: concatenating a document's BPE
     * tokens (end marks restored to spaces) must reproduce its
-    * whitespace-normalized text — the invariant that proves the
-    * tokenizer is lossless. Emits only the violating rows (empty =
-    * healthy), so the audit is O(corpus scan), O(violations) output.
+    * SPACE-normalized text — the invariant that proves the tokenizer
+    * is lossless. Emits only the violating rows (empty = healthy), so
+    * the audit is O(corpus scan), O(violations) output.
+    *
+    * Contract details that keep the audit honest:
+    *   - normalization collapses ASCII space runs ONLY (the tokenizer
+    *     splits on ' ' — a tab/newline stays inside its token and
+    *     round-trips byte-for-byte, so \s+ normalization would flag
+    *     faithful encodings);
+    *   - docs ABSENT from `encoded` are violations, not silently
+    *     unaudited (LEFT join from docs + presence marker): an audit
+    *     over a partial encoding must not report "healthy";
+    *   - null-text docs encode to null tokens and PASS (both sides
+    *     normalize to the empty string);
+    *   - LIMITATION: `endMark` is in-band — corpus text containing
+    *     the literal marker string makes the concat decode ambiguous
+    *     and false-flags here. Pick an endMark outside the corpus
+    *     alphabet (the audit itself will tell you: such docs flag).
     */
   def roundTripViolations(encoded: DataFrame, docs: DataFrame,
                           idCol: String = "doc_id",
                           textCol: String = "text",
                           endMark: String = "</w>"): DataFrame = {
-    val rebuilt = encoded.select(col("doc_id"),
+    val rebuilt = encoded.select(col("doc_id"), lit(true).as("_enc"),
       // tokens joined bare, then end-marks become spaces: "lo w</w>ha t</w>"
       // -> "low hat " -> trimmed
-      rtrim(regexp_replace(concat_ws("", col("bpe_tokens")),
-        java.util.regex.Pattern.quote(endMark), " ")).as("rebuilt"))
+      coalesce(rtrim(regexp_replace(concat_ws("", col("bpe_tokens")),
+        java.util.regex.Pattern.quote(endMark), " ")), lit(""))
+        .as("rebuilt"))
     docs.select(col(idCol).as("doc_id"),
-        regexp_replace(trim(col(textCol)), "\\s+", " ").as("norm_text"))
-      .join(rebuilt, Seq("doc_id"))
-      .filter(not(col("norm_text") <=> col("rebuilt")))
+        coalesce(trim(regexp_replace(col(textCol), " +", " ")), lit(""))
+          .as("norm_text"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .filter(col("_enc").isNull || not(col("norm_text") === col("rebuilt")))
+      .drop("_enc")
   }
 }

@@ -99,8 +99,9 @@ object Profile {
     * engine instead of a divide-by-zero divergence.
     *
     * Shape for scale: both inputs are one row per LIST (never the
-    * corpus); the left join keys on list_key; the single-row probe
-    * total joins back by broadcast.
+    * corpus); the FULL outer join keys on list_key (so load-only,
+    * post-audit lists surface too); the single-row probe total and
+    * audit constants join back by broadcast.
     */
   def rebuildDecision(health: DataFrame, loads: DataFrame,
                       hotPermille: Long = 2000L): DataFrame = {

@@ -104,7 +104,12 @@ object Sampling {
                    weightCap: Int = 32): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(weightCap >= 1, s"weightCap must be >= 1, got $weightCap")
-    df.withColumn("_w", least(weight.cast("long"), lit(weightCap.toLong)))
+    // coalesce BEFORE least: Spark's least() skips nulls, so a null
+    // weight would otherwise become the CAP (maximum tickets) instead
+    // of dropping the row — and diverge from the oracle, which drops
+    // null weights before its least()
+    df.withColumn("_w",
+        least(coalesce(weight.cast("long"), lit(0L)), lit(weightCap.toLong)))
       .filter(col("_w") >= 1L)
       .withColumn("priority",
         array_max(transform(sequence(lit(1L), col("_w")),

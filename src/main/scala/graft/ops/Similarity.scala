@@ -628,7 +628,7 @@ object Similarity {
     */
   def splitHotLists(assignment: DataFrame, decisions: DataFrame,
                     k: Int = 2, iters: Int = 5, dim: Int = 64): DataFrame = {
-    require(k >= 1 && iters >= 0, "k and iters must be positive")
+    require(k >= 1 && iters >= 0, "k must be >= 1 and iters >= 0")
     val flagged = decisions.filter(col("decision") === "split_now")
       .select(col("list_key"))
     val members = assignment

@@ -627,9 +627,17 @@ object ExtensionQueries {
         "doc_b")
       .select(least(col("source_a"), col("source_b")).as("src_lo"),
         greatest(col("source_a"), col("source_b")).as("src_hi"))
-    val total = broadcast(labeled.agg(count(lit(1)).as("total_pairs")))
-    labeled.groupBy("src_lo", "src_hi")
+    // group to the tiny matrix FIRST, then checkpoint it so the total
+    // reads the materialized matrix — Spark gives no exchange reuse
+    // across subtrees (the minhashEstimate lesson), and a separate
+    // count over `labeled` would re-run both id->source joins over
+    // the multi-million-row pair list
+    val matrix = labeled.groupBy("src_lo", "src_hi")
       .agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint()
+    val total = broadcast(
+      matrix.agg(coalesce(sum(col("n_pairs")), lit(0L)).as("total_pairs")))
+    matrix
       .crossJoin(total)
       .withColumn("share_ppm", expr("n_pairs * 1000000 DIV total_pairs"))
       .select("src_lo", "src_hi", "n_pairs", "total_pairs", "share_ppm")

@@ -77,6 +77,21 @@ class BpeSpec extends SparkSpec {
     val bad = Bpe.roundTripViolations(tampered, docs)
       .select("doc_id").as[Long].collect()
     assert(bad.toSeq === Seq(2L))
+    // a doc MISSING from the encoding is a violation, never silently
+    // unaudited
+    val partial = enc.filter(col("doc_id") =!= 2L)
+    assert(Bpe.roundTripViolations(partial, docs)
+      .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    // null text and in-token control characters round-trip clean: the
+    // tokenizer splits on ' ' only, so a tab stays inside its token,
+    // and normalization collapses SPACE runs only
+    val edge = Seq((1L, null: String), (2L, "a\tb c")).toDF("doc_id", "text")
+    assert(Bpe.roundTripViolations(Bpe.encode(edge, merges), edge).isEmpty)
+    // documented in-band endMark limitation: literal "</w>" in corpus
+    // text makes the concat decode ambiguous and flags
+    val inBand = Seq((1L, "a</w>b")).toDF("doc_id", "text")
+    assert(Bpe.roundTripViolations(Bpe.encode(inBand, merges), inBand)
+      .count() === 1L)
   }
 
   test("vocab enumerates exactly the emittable symbols with dense " +

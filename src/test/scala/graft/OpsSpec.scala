@@ -819,6 +819,14 @@ class OpsSpec extends SparkSpec {
       .weightedTopK(rows.toDF("id", "w"), "id", col("w"), k = 99)
       .select("id").as[Long].collect().toSet
     assert(all === rows.filter(_._2 >= 1).map(_._1).toSet)
+    // NULL weight drops the row (least() skips nulls, so an uncoalesced
+    // null would win the CAP's worth of tickets instead)
+    val withNull = Seq((1L, Some(3L)), (2L, None))
+      .toDF("id", "w")
+    val kept = graft.ops.Sampling
+      .weightedTopK(withNull, "id", col("w"), k = 99)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L))
     // cap: weight 1000 under cap 2 draws exactly 2 tickets
     val capped = graft.ops.Sampling
       .weightedTopK(Seq((7L, 1000L)).toDF("id", "w"), "id", col("w"),
