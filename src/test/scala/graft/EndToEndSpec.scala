@@ -81,4 +81,51 @@ class EndToEndSpec extends SparkSpec {
     assert(full === v3.toSet)
     assert(replayed.subsetOf(full))
   }
+
+  test("ANN index lifecycle composes end-to-end on the real fixture: " +
+    "assignment -> health -> decision -> split -> swap-in, conserving " +
+    "membership and touching only the flagged list") {
+    import graft.ops.{Profile, Similarity}
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val assignment = Similarity.assignToCentroids(embs).localCheckpoint()
+    val n = assignment.count()
+    // the fixture's stride quantizer is well balanced, so tighten the
+    // skew bar until the biggest list flags, and aim the probe traffic
+    // at it — the operators themselves are unmodified
+    val health = Profile.indexHealth(assignment, "centroid_id",
+      skewPermille = 1200L)
+    val biggest = health.orderBy(col("n_items").desc, col("list_key"))
+      .select("list_key").as[String].head()
+    assert(health.filter(col("skewed")).count() >= 1L)
+    val loads = assignment.filter(col("vec_id") % 2 === 1)
+      .groupBy(col("centroid_id").cast("string").as("list_key"))
+      .agg(count(lit(1)).as("n_probes"))
+      .withColumn("n_probes", // concentrate traffic on the big list
+        when(col("list_key") === biggest, col("n_probes") * 50L)
+          .otherwise(col("n_probes")))
+    val decisions = Profile.rebuildDecision(health, loads)
+    val flagged = decisions.filter(col("decision") === "split_now")
+      .select("list_key").as[String].collect().toSet
+    assert(flagged.contains(biggest))
+    val splits = Similarity.splitHotLists(assignment, decisions, k = 2)
+    assert(splits.count() === flagged.size * 2L)
+    val updated = Similarity.applyListSplits(assignment, splits)
+    assert(updated.count() === n) // membership conserved
+    val newKeys = updated.select("list_key").distinct()
+      .as[String].collect().toSet
+    flagged.foreach { lk =>
+      assert(!newKeys.contains(lk), s"flagged list $lk must be replaced")
+      assert(newKeys.contains(s"$lk:0") || newKeys.contains(s"$lk:1"))
+    }
+    // unflagged lists keep their members bit-for-bit
+    val before = assignment
+      .withColumn("list_key", col("centroid_id").cast("string"))
+      .filter(!col("list_key").isin(flagged.toSeq: _*))
+      .select("vec_id", "list_key").as[(Long, String)].collect().toSet
+    val after = updated
+      .filter(!col("list_key").rlike(":"))
+      .as[(Long, String)].collect().toSet
+    assert(after === before)
+  }
 }
