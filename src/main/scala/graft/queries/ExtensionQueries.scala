@@ -644,6 +644,44 @@ object ExtensionQueries {
       .orderBy("src_lo", "src_hi")
   }
 
+  /** [[sourceOverlap]] with the size-baseline correction — dup LIFT:
+    * observed pair share divided by the share expected if near-dup
+    * pairs fell uniformly over all document pairs (possible pairs
+    * within (a,b): n_a·n_b off-diagonal, n_a·(n_a−1)/2 diagonal).
+    * A big source pair always tops the raw matrix just by being big;
+    * lift > 1e6 ppm is the ACTUAL signal that two sources duplicate
+    * each other beyond chance. Exact integer end to end: the lift
+    * cross-multiplication routes through DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) before one integral division; the possible-pair
+    * counts themselves are BIGINT, which bounds the exact-math
+    * headroom at ~4e9 documents (N·(N−1)/2 overflow) — past that the
+    * totals need the same DECIMAL widening.
+    */
+  def sourceLift(s: SparkSession, d: String): DataFrame = {
+    val sizes = docs(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nTot = broadcast(sizes.agg(
+      coalesce(sum(col("n_docs")), lit(0L)).as("n_total")))
+    sourceOverlap(s, d)
+      .join(broadcast(sizes.select(col("source").as("src_lo"),
+        col("n_docs").as("n_lo"))), "src_lo")
+      .join(broadcast(sizes.select(col("source").as("src_hi"),
+        col("n_docs").as("n_hi"))), "src_hi")
+      .crossJoin(nTot)
+      .withColumn("possible_ab",
+        when(col("src_lo") === col("src_hi"),
+          expr("n_lo * (n_lo - 1) DIV 2"))
+          .otherwise(col("n_lo") * col("n_hi")))
+      .withColumn("possible_tot", expr("n_total * (n_total - 1) DIV 2"))
+      .withColumn("lift_ppm",
+        expr("""CAST(CAST(n_pairs AS DECIMAL(38,0)) * possible_tot * 1000000
+               |  DIV (CAST(total_pairs AS DECIMAL(38,0)) * possible_ab)
+               |  AS BIGINT)""".stripMargin))
+      .select("src_lo", "src_hi", "n_pairs", "n_lo", "n_hi",
+        "possible_ab", "lift_ppm")
+      .orderBy("src_lo", "src_hi")
+  }
+
   /** Per-sequence packing mix over the SAME chunk/pack config as
     * [[pack]]: how many chunks and how many DISTINCT documents blend
     * into each fixed-budget training sequence (the cross-document
@@ -1453,6 +1491,41 @@ object ExtensionQueries {
         |  CAST(count(*) * 1000000 // total_pairs AS BIGINT) AS share_ppm
         |FROM lab, tot GROUP BY src_lo, src_hi, total_pairs
         |ORDER BY src_lo, src_hi""".stripMargin,
+    "q_source_lift" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS ts FROM documents),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(1,17), k ->
+        |    list_aggregate(list_transform(ts, t -> md5(k::VARCHAR || ':' || t)), 'min')) AS mh
+        |  FROM toks),
+        |banded AS (
+        |  SELECT doc_id, b, md5(array_to_string(mh[(b-1)*8+1:(b-1)*8+8], '|')) AS band_key
+        |  FROM sig, unnest(range(1,3)) AS u(b)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id),
+        |lab AS (SELECT least(sa.source, sb.source) AS src_lo,
+        |    greatest(sa.source, sb.source) AS src_hi
+        |  FROM pairs p
+        |  JOIN documents sa ON p.doc_a = sa.doc_id
+        |  JOIN documents sb ON p.doc_b = sb.doc_id),
+        |m AS (SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs FROM lab GROUP BY 1, 2),
+        |tot AS (SELECT CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS total_pairs FROM m),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |nt AS (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS n_total FROM sz)
+        |SELECT m.src_lo, m.src_hi, m.n_pairs,
+        |  lo.n_docs AS n_lo, hi.n_docs AS n_hi,
+        |  CAST(CASE WHEN m.src_lo = m.src_hi THEN lo.n_docs * (lo.n_docs - 1) // 2
+        |       ELSE lo.n_docs * hi.n_docs END AS BIGINT) AS possible_ab,
+        |  CAST(CAST(m.n_pairs AS HUGEINT) * (n_total * (n_total - 1) // 2) * 1000000
+        |    // (CAST(total_pairs AS HUGEINT) *
+        |        (CASE WHEN m.src_lo = m.src_hi THEN lo.n_docs * (lo.n_docs - 1) // 2
+        |         ELSE lo.n_docs * hi.n_docs END)) AS BIGINT) AS lift_ppm
+        |FROM m
+        |JOIN sz lo ON m.src_lo = lo.source
+        |JOIN sz hi ON m.src_hi = hi.source
+        |CROSS JOIN tot CROSS JOIN nt
+        |ORDER BY m.src_lo, m.src_hi""".stripMargin,
     "q_minhash_est" ->
       """WITH toks AS (
         |  SELECT doc_id, list_distinct(string_split(text,' ')) AS ts FROM documents),
@@ -2208,6 +2281,7 @@ object ExtensionQueries {
     "q_nfc"             -> (nfcNormalizeQ _),
     "q_dup_by_source"   -> (dupBySource _),
     "q_source_overlap"  -> (sourceOverlap _),
+    "q_source_lift"     -> (sourceLift _),
     "q_pack_mix"        -> (packMix _)
   )
 }
