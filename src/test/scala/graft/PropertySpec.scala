@@ -268,4 +268,60 @@ class PropertySpec extends SparkSpec {
       assert(shuffled === out, s"seed=$seed")
     }
   }
+
+  test("property: weightedTopK priority is monotone in the weight (more " +
+    "tickets never lower a row's priority) and invariant under " +
+    "partitioning (5 seeds)") {
+    import graft.ops.Sampling
+    for (seed <- 1L to 5L) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 60).map(i => (i.toLong, 1L + rnd.nextInt(8)))
+      val df = rows.toDF("id", "w")
+      val base = Sampling.weightedTopK(df, "id", col("w"), k = 60)
+        .select("id", "priority").as[(Long, String)].collect().toMap
+      // +1 ticket: max over a superset of hashes — never smaller
+      val bumped = Sampling
+        .weightedTopK(rows.map { case (i, w) => (i, w + 1) }.toDF("id", "w"),
+          "id", col("w"), k = 60)
+        .select("id", "priority").as[(Long, String)].collect().toMap
+      rows.foreach { case (i, _) =>
+        assert(bumped(i) >= base(i), s"seed=$seed id=$i")
+      }
+      // deterministic under physical layout
+      val re = Sampling.weightedTopK(df.repartition(7), "id", col("w"), k = 10)
+        .select("id").as[Long].collect().toSeq
+      val straight = Sampling.weightedTopK(df, "id", col("w"), k = 10)
+        .select("id").as[Long].collect().toSeq
+      assert(re === straight, s"seed=$seed")
+    }
+  }
+
+  test("property: BPE encode is lossless and compressive for RANDOM " +
+    "merge lists over random words (concat of tokens rebuilds the " +
+    "word; token count never exceeds chars + 1) (5 seeds)") {
+    import graft.functions.BpeApply
+    for (seed <- 1L to 5L) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcd"
+      val words = (1 to 30).map(_ =>
+        (1 to 2 + rnd.nextInt(10))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      // random merges over random adjacent fragments (may or may not
+      // ever apply — the invariants must hold regardless)
+      val merges = (1 to 8).map { _ =>
+        val w = words(rnd.nextInt(words.length))
+        val p = rnd.nextInt(math.max(1, w.length - 1))
+        (w.substring(p, p + 1), w.substring(p + 1, p + 2))
+      }
+      val encoded = words.map(w => (w, w.map(_.toString) :+ "</w>"))
+        .toDF("word", "syms")
+        .select(col("word"), BpeApply(col("syms"), merges).as("toks"))
+        .as[(String, Seq[String])].collect()
+      encoded.foreach { case (w, toks) =>
+        assert(toks.mkString("") === w + "</w>", s"seed=$seed word=$w")
+        assert(toks.length <= w.length + 1, s"seed=$seed word=$w")
+        assert(toks.nonEmpty)
+      }
+    }
+  }
 }
