@@ -23,13 +23,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap default is sized to the host — min(16 GiB, half of physical RAM),
+// floor 2 GiB — so runMain JVMs start on any machine (a hard-coded
+// -Xms16g + AlwaysPreTouch refuses to boot, and pre-commits 16 GiB even
+// for quick smoke runs, on hosts smaller than this one). On the 128 GiB
+// bench host this resolves to the full 16 GiB. SPARK_DRIVER_MEM overrides.
+val driverHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val hostGiB =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getTotalMemorySize >> 30
+    catch { case _: Throwable => 16L }
+  s"${math.max(2L, math.min(16L, hostGiB / 2))}g"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g: on an 8g heap, one full GC mid-bench lands a 5-15s pause on a
-  // random query (observed q_embed_quantize 2.4s -> 10.1s); the larger
-  // heap trades nothing visible for outlier-free runs on this host
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 16g (host permitting): on an 8g heap, one full GC mid-bench lands a
+  // 5-15s pause on a random query (observed q_embed_quantize 2.4s ->
+  // 10.1s); the larger heap trades nothing visible for outlier-free runs
+  s"-Xmx$driverHeap",
   // dozens of whole-stage-codegen'd queries in one session overflow the
   // default 240 MB JIT code cache; once it fills, HotSpot stops
   // compiling and random later queries drop to interpreted speed (5x
@@ -44,7 +57,7 @@ run / javaOptions ++= Seq(
   // load — heap-expansion page faults and the G1 region re-size pauses
   // they trigger otherwise land on arbitrary mid-bench queries (the
   // recorded-run spikes on unchanged pure projections: 1.9s -> 12.2s).
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms$driverHeap",
   "-XX:+AlwaysPreTouch",
   // GC log (single file per run, no rotation, gitignored): the
   // evidence that separates a plan regression from a collector pause

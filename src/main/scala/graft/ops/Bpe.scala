@@ -56,6 +56,9 @@ object Bpe {
             textCol: String = "text",
             endMark: String = "</w>"): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    // pair keys are "left right" strings, so a space inside the end
+    // mark would corrupt the split-on-first-space parse below
+    require(!endMark.contains(' '), s"endMark must not contain a space: '$endMark'")
     // localCheckpoint: numMerges rounds re-read this table; without it
     // every round re-scans the corpus and re-aggregates
     val wf = wordFreq(docs, textCol).localCheckpoint()
@@ -92,7 +95,8 @@ object Bpe {
     */
   def encode(docs: DataFrame, merges: Seq[(String, String)],
              idCol: String = "doc_id", textCol: String = "text",
-             endMark: String = "</w>"): DataFrame =
+             endMark: String = "</w>"): DataFrame = {
+    require(!endMark.contains(' '), s"endMark must not contain a space: '$endMark'")
     docs.select(
         col(idCol).as("doc_id"),
         // empty words (multi-space text) carry no symbols — drop them
@@ -101,6 +105,7 @@ object Bpe {
           filter(TextStats.tokens(col(textCol)), w => length(w) > 0),
           w => BpeApply(charSymbols(w, endMark), merges))).as("bpe_tokens"))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+  }
 
   /** The shippable tokenizer VOCAB: every symbol [[encode]] can emit —
     * the corpus's base characters, the end-of-word marker, and each

@@ -227,7 +227,9 @@ object Multimodal {
         val id = tag(off.toInt)
         val size = u32(off.toInt + 4) // unsigned: 0..2^32-1, never negative
         val body = off + 8
-        if (id == "fmt " && size >= 16 && body + 16 <= bytes.length)
+        // first-wins, matching the data chunk below: a malformed file
+        // with two fmt chunks must not let the later one overwrite
+        if (id == "fmt " && fmt == null && size >= 16 && body + 16 <= bytes.length)
           fmt = (u16(body.toInt), u16(body.toInt + 2),
             u32(body.toInt + 4).toInt, u16(body.toInt + 14))
         else if (id == "data" && dataSize < 0)

@@ -126,8 +126,12 @@ object Profile {
       .withColumn("n_lists", coalesce(col("n_lists"), col("g_lists")))
       .withColumn("total_items", coalesce(col("total_items"), col("g_items")))
       .withColumn("skewed", coalesce(col("skewed"), lit(false)))
+      // DECIMAL(38,0) before the multiply — same overflow class the hot
+      // test below was hardened against (BIGINT n_probes * 1e6 silently
+      // wraps past ~9.2e12 probes with ANSI off); DIV on decimals still
+      // returns BIGINT, so the output schema is unchanged
       .withColumn("load_ppm",
-        expr("n_probes * 1000000 DIV greatest(total_probes, 1)"))
+        expr("CAST(n_probes AS DECIMAL(38,0)) * 1000000 DIV greatest(total_probes, 1)"))
       .withColumn("hot",
         col("n_probes").cast(DecimalType(38, 0)) * col("n_lists") * 1000L >
           lit(hotPermille) * greatest(col("total_probes"), lit(1L))

@@ -2168,7 +2168,7 @@ object ExtensionQueries {
         |  LEFT JOIN loads l ON s.list_key = l.list_key)
         |SELECT list_key, n_items, n_lists, total_items, share_ppm, skewed,
         |  n_probes, total_probes,
-        |  CAST(n_probes * 1000000 // greatest(total_probes, 1) AS BIGINT) AS load_ppm,
+        |  CAST(CAST(n_probes AS HUGEINT) * 1000000 // greatest(total_probes, 1) AS BIGINT) AS load_ppm,
         |  n_probes * n_lists * 1000 > 2000 * greatest(total_probes, 1) AS hot,
         |  CASE WHEN skewed AND n_probes * n_lists * 1000 > 2000 * greatest(total_probes, 1) THEN 'split_now'
         |       WHEN skewed THEN 'rebalance'
