@@ -47,26 +47,140 @@ object Bpe {
   /** Learn `numMerges` merges from the corpus. Returns the RANKED merge
     * list (earlier = higher priority). Stops early when no pair occurs
     * twice (merging hapax pairs memorizes the corpus, not a
-    * vocabulary). The driver loop is bounded by `numMerges` — each
-    * round is one vocab-table-sized Spark job ending in a single-row
-    * collect (same bounded-driver-loop discipline as
-    * [[Similarity.kmeans]]).
+    * vocabulary).
+    *
+    * Two bit-identical paths, picked by vocabulary size — the same
+    * adaptive discipline as [[Dedup.smallVocab]]:
+    *   - **driver path** (distinct words <= `driverVocabBound`): the
+    *     word-frequency table — already vocabulary-sized by design —
+    *     is collected once and the greedy loop runs in memory, exactly
+    *     the reference algorithm (Sennrich ACL'16 learns from a vocab
+    *     dict in memory). One Spark job total instead of one per merge.
+    *   - **distributed path** (big vocab, or `driverVocabBound = 0`):
+    *     per-round vocab-table jobs as before, but each round collects
+    *     the top-`batchK` ranked pairs and merges the longest SAFE
+    *     ranked prefix in one pass (multi-merge BPE). A prefix
+    *     [p1..pk] is safe iff the pairs are pairwise symbol-disjoint
+    *     AND no unselected pair that overlaps an earlier selection's
+    *     symbols has count >= the candidate's: a merge of (a,b) can
+    *     only create pairs whose count is bounded by an OLD pair
+    *     overlapping a or b (every occurrence of `l·ab` was `l·a`
+    *     before), so under that guard the candidate still strictly
+    *     outranks everything the earlier merges spawn, and the batched
+    *     merge list is bit-identical to the sequential one. Ties stop
+    *     the prefix (a spawned pair could tie and win the lexicographic
+    *     break); rows below the collected cutoff are unverifiable, so
+    *     the prefix also stops at the cutoff count unless the whole
+    *     table was collected.
+    *
+    * Both loops are driver-bounded (same discipline as
+    * [[Similarity.kmeans]]); ranking ties break on the UTF-8 byte order
+    * of the "left right" pair key on both paths (Spark string sorts
+    * compare UTF-8 bytes, i.e. code points — NOT Java's UTF-16 code
+    * units, which order supplementary characters differently).
     */
   def train(docs: DataFrame, numMerges: Int,
             textCol: String = "text",
-            endMark: String = "</w>"): Seq[(String, String)] = {
+            endMark: String = "</w>",
+            batchK: Int = 64,
+            driverVocabBound: Int = 1 << 16): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    require(driverVocabBound >= 0,
+      s"driverVocabBound must be >= 0, got $driverVocabBound")
     // pair keys are "left right" strings, so a space inside the end
     // mark would corrupt the split-on-first-space parse below
     require(!endMark.contains(' '), s"endMark must not contain a space: '$endMark'")
-    // localCheckpoint: numMerges rounds re-read this table; without it
-    // every round re-scans the corpus and re-aggregates
+    // localCheckpoint: the rounds (or the driver collect) re-read this
+    // table; without it every consumer re-scans the corpus
     val wf = wordFreq(docs, textCol).localCheckpoint()
+    val small = driverVocabBound > 0 &&
+      wf.limit(driverVocabBound + 1).count() <= driverVocabBound
+    if (small) trainDriver(wf, numMerges, endMark)
+    else trainDistributed(wf, numMerges, endMark, batchK)
+  }
+
+  /** UTF-8 byte order — what Spark's string comparison uses. Driver and
+    * distributed rankings must break count ties identically.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** In-memory exact greedy trainer over the collected vocab table.
+    * Symbols come out of the SAME `charSymbols` expression the
+    * distributed path feeds the kernel, so word splitting cannot
+    * diverge between paths. Counts are recomputed per round — O(vocab
+    * x word length) per merge, bounded by `driverVocabBound`.
+    */
+  private def trainDriver(wf: DataFrame, numMerges: Int,
+                          endMark: String): Seq[(String, String)] = {
+    val words: Array[(Array[String], Long)] = wf
+      .select(charSymbols(col("word"), endMark).as("syms"), col("n"))
+      .collect()
+      .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val cnt = new java.util.HashMap[String, Long]()
+      for ((syms, n) <- words) {
+        var i = 0
+        while (i < syms.length - 1) {
+          cnt.merge(syms(i) + " " + syms(i + 1), n, (a, b) => a + b)
+          i += 1
+        }
+      }
+      var best: String = null
+      var bestC = 1L // floor: a winning pair must occur at least twice
+      cnt.forEach { (p, c) =>
+        if (c > bestC || (c == bestC && best != null && utf8Less(p, best))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null) done = true
+      else {
+        val Array(l, r) = best.split(" ", 2)
+        merges += ((l, r))
+        // apply the merge in place, leftmost-first — the kernel's rule
+        for (wi <- words.indices) {
+          val syms = words(wi)._1
+          if (syms.exists(_ == l)) {
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            words(wi) = (out.result(), words(wi)._2)
+          }
+        }
+        m += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Per-round distributed trainer with safe-prefix multi-merge
+    * batching (see [[train]] for the safety argument).
+    */
+  private def trainDistributed(wf: DataFrame, numMerges: Int,
+                               endMark: String,
+                               batchK: Int): Seq[(String, String)] = {
     val merges = Vector.newBuilder[(String, String)]
     var cur = Seq.empty[(String, String)]
-    var round = 0
+    var merged = 0
     var done = false
-    while (round < numMerges && !done) {
+    while (merged < numMerges && !done) {
       val top = wf
         .select(col("n"),
           explode(WordNgrams(
@@ -74,15 +188,46 @@ object Bpe {
         .groupBy("pair").agg(sum(col("n")).as("cnt"))
         .filter(col("cnt") >= 2)
         .orderBy(col("cnt").desc, col("pair"))
-        .limit(1)
+        .limit(batchK)
         .collect()
-      top.headOption match {
-        case Some(row) =>
-          val Array(l, r) = row.getString(0).split(" ", 2)
-          merges += ((l, r))
-          cur = cur :+ (l, r)
-          round += 1
-        case None => done = true
+      if (top.isEmpty) done = true
+      else {
+        val rows = top.map(r => (r.getString(0), r.getLong(1)))
+        val fullTable = rows.length < batchK
+        val cMin = rows.last._2
+        val touched = scala.collection.mutable.Set.empty[String]
+        val selected = scala.collection.mutable.Set.empty[String]
+        val batch = Vector.newBuilder[(String, String)]
+        var nSel = 0
+        var stop = false
+        var i = 0
+        while (i < rows.length && !stop && merged + nSel < numMerges) {
+          val (pairStr, c) = rows(i)
+          val Array(l, r) = pairStr.split(" ", 2)
+          if (nSel == 0) {
+            batch += ((l, r)); selected += pairStr
+            touched += l; touched += r; nSel += 1
+          } else if (touched(l) || touched(r)) stop = true
+          else if (!fullTable && c <= cMin) stop = true // below the cutoff: unverifiable
+          else {
+            val risky = rows.exists { case (q, qc) =>
+              qc >= c && !selected(q) && {
+                val Array(ql, qr) = q.split(" ", 2)
+                touched(ql) || touched(qr)
+              }
+            }
+            if (risky) stop = true
+            else {
+              batch += ((l, r)); selected += pairStr
+              touched += l; touched += r; nSel += 1
+            }
+          }
+          i += 1
+        }
+        val b = batch.result()
+        merges ++= b
+        cur = cur ++ b
+        merged += b.length
       }
     }
     merges.result()

@@ -113,6 +113,34 @@ class BpeSpec extends SparkSpec {
     assert(dup.count() === 11L)
   }
 
+  test("driver-path, sequential-distributed, and batched-distributed " +
+    "trainers produce bit-identical merge lists (real corpus + the " +
+    "adversarial case where naive disjoint-batching reorders)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val driver = Bpe.train(docs, numMerges = 24) // vocab fits the bound
+    val seq = Bpe.train(docs, numMerges = 24, driverVocabBound = 0,
+      batchK = 1)
+    val batched = Bpe.train(docs, numMerges = 24, driverVocabBound = 0)
+    assert(seq === driver)
+    assert(batched === driver)
+    // word "xab" x100, word "cd" x50: merging (a,b) spawns (x,ab) and
+    // (ab,</w>) at count 100, which must both outrank (c,d):50 — a
+    // batch that grabbed [(a,b),(c,d)] because they share no symbol
+    // would mis-order the list; the safe prefix stops after (a,b)
+    val adv = ((1 to 100).map(i => (i.toLong, "xab")) :+
+      (200L, Seq.fill(50)("cd").mkString(" ")))
+      .toDF("doc_id", "text")
+    val advSeq = Bpe.train(adv, numMerges = 5, driverVocabBound = 0,
+      batchK = 1)
+    val advBat = Bpe.train(adv, numMerges = 5, driverVocabBound = 0)
+    val advDrv = Bpe.train(adv, numMerges = 5)
+    assert(advSeq === Seq(("a", "b"), ("ab", "</w>"), ("x", "ab</w>"),
+      ("c", "d"), ("cd", "</w>")))
+    assert(advBat === advSeq)
+    assert(advDrv === advSeq)
+  }
+
   test("trained tokenizer round-trips the sf0.001 documents corpus " +
     "losslessly (train on the corpus, encode the corpus, zero " +
     "violations) and compresses vs the char split") {

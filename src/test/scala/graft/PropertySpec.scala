@@ -324,4 +324,30 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: safe-prefix multi-merge BPE training is bit-identical " +
+    "to sequential training on random zipf-ish corpora (4 seeds), and " +
+    "the driver path matches both") {
+    import graft.ops.Bpe
+    for (seed <- 1L to 4L) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcde"
+      // skewed repetition so pair counts collide and tie-break paths
+      // get exercised — the regime where unsafe batching mis-orders
+      val words = (1 to 12).map(_ =>
+        (1 to 2 + rnd.nextInt(5))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = (1 to 60).map { i =>
+        (i.toLong, (1 to 1 + rnd.nextInt(6))
+          .map(_ => words(math.min(rnd.nextInt(words.length),
+            rnd.nextInt(words.length)))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val seqM = Bpe.train(docs, numMerges = 8, driverVocabBound = 0,
+        batchK = 1)
+      val batM = Bpe.train(docs, numMerges = 8, driverVocabBound = 0)
+      val drvM = Bpe.train(docs, numMerges = 8)
+      assert(batM === seqM, s"seed=$seed")
+      assert(drvM === seqM, s"seed=$seed")
+    }
+  }
 }
