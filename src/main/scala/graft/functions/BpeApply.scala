@@ -42,14 +42,38 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
     m
   }
 
+  // Encoded-word cache — the dictionary GPT-2's public encoder keeps
+  // for the same reason: word frequency is Zipf-distributed, so most
+  // kernel calls repeat an already-merged word and the quadratic merge
+  // loop runs only once per DISTINCT word per task. The expression
+  // instance (and so this map) is task-private (plan references are
+  // deserialized per task), so no synchronization; capped-and-cleared
+  // to bound executor memory on adversarial all-distinct-word input.
+  // Values hold immutable UTF8Strings shared across rows; each hit
+  // returns a fresh GenericArrayData wrapper over the shared array.
+  @transient private lazy val encoded =
+    new java.util.HashMap[String, Array[Any]](1 << 12)
+  private val CacheCap = 1 << 16
+
   def evalSymbols(input: ArrayData): ArrayData = {
     val n = input.numElements()
     var syms = new java.util.ArrayList[String](n)
+    // space-joined symbols — unambiguous for the same reason the pair
+    // keys are: no symbol ever contains a space
+    val keyB = new java.lang.StringBuilder(n * 2)
     var i = 0
     while (i < n) {
-      if (!input.isNullAt(i)) syms.add(input.getUTF8String(i).toString)
+      if (!input.isNullAt(i)) {
+        val s = input.getUTF8String(i).toString
+        syms.add(s)
+        if (keyB.length > 0) keyB.append(' ')
+        keyB.append(s)
+      }
       i += 1
     }
+    val key = keyB.toString
+    val hit = encoded.get(key)
+    if (hit != null) return new GenericArrayData(hit)
     while (syms.size() >= 2) {
       // lowest-rank adjacent pair present in this word
       var best = -1
@@ -65,7 +89,7 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
         val out = new Array[Any](syms.size())
         i = 0
         while (i < syms.size()) { out(i) = UTF8String.fromString(syms.get(i)); i += 1 }
-        return new GenericArrayData(out)
+        return new GenericArrayData(cachePut(key, out))
       }
       // merge ALL non-overlapping occurrences of the winning pair,
       // left to right (the reference implementations' behavior)
@@ -83,7 +107,13 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
     val out = new Array[Any](syms.size())
     i = 0
     while (i < syms.size()) { out(i) = UTF8String.fromString(syms.get(i)); i += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(cachePut(key, out))
+  }
+
+  private def cachePut(key: String, out: Array[Any]): Array[Any] = {
+    if (encoded.size() >= CacheCap) encoded.clear() // hot words refill fast
+    encoded.put(key, out)
+    out
   }
 
   override protected def nullSafeEval(input: Any): Any =
