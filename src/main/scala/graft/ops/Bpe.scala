@@ -240,16 +240,25 @@ object Bpe {
     */
   def encode(docs: DataFrame, merges: Seq[(String, String)],
              idCol: String = "doc_id", textCol: String = "text",
-             endMark: String = "</w>"): DataFrame = {
-    require(!endMark.contains(' '), s"endMark must not contain a space: '$endMark'")
+             endMark: String = "</w>"): DataFrame =
     docs.select(
         col(idCol).as("doc_id"),
-        // empty words (multi-space text) carry no symbols — drop them
-        // before the kernel, mirroring wordFreq's filter
-        flatten(transform(
-          filter(TextStats.tokens(col(textCol)), w => length(w) > 0),
-          w => BpeApply(charSymbols(w, endMark), merges))).as("bpe_tokens"))
+        bpeTokens(col(textCol), merges, endMark).as("bpe_tokens"))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+
+  /** [[encode]]'s core expression as a reusable COLUMN — the encoded
+    * token array for any text column (document text, chunk text, a
+    * query string). Pure projection; the merge table rides the plan.
+    */
+  def bpeTokens(text: org.apache.spark.sql.Column,
+                merges: Seq[(String, String)],
+                endMark: String = "</w>"): org.apache.spark.sql.Column = {
+    require(!endMark.contains(' '), s"endMark must not contain a space: '$endMark'")
+    // empty words (multi-space text) carry no symbols — drop them
+    // before the kernel, mirroring wordFreq's filter
+    flatten(transform(
+      filter(TextStats.tokens(text), w => length(w) > 0),
+      w => BpeApply(charSymbols(w, endMark), merges)))
   }
 
   /** The shippable tokenizer VOCAB: every symbol [[encode]] can emit —

@@ -839,6 +839,53 @@ object ExtensionQueries {
     Bpe.encode(docs(s, d), bpeMerges(s, d))
       .select("doc_id", "n_bpe_tokens").orderBy("doc_id")
 
+  /** Pinned WELL-FORMED merge list for the oracle-checkable encode
+    * path: components are single characters or products of EARLIER
+    * merges, no pair is self-overlapping (l == r), and no earlier
+    * pair's component equals a later pair's product. Under exactly
+    * those conditions greedy-by-rank merging equals applying each
+    * merge to fixpoint in rank order — a later merge can never create
+    * an adjacency an earlier pair matches (products only grow, and no
+    * earlier component names a later product), and replace-all on the
+    * space-joined symbol string cannot match across symbol boundaries
+    * (after merge k's pass, no residual (l_k, r_k) adjacency exists,
+    * and the only symbol ending in "ta" is "ta" itself). That makes
+    * the full encode reproducible as three nested string replaces —
+    * SQL an oracle can run.
+    */
+  private val BpeFixedMerges = Seq("t" -> "a", "ta" -> "b", "s" -> "l")
+
+  /** The BPE encode KERNEL under the hash gate: same kernel, same
+    * char-split, same flatten as [[bpeEncodeQ]], but with the pinned
+    * [[BpeFixedMerges]] instead of trained merges, so DuckDB can
+    * reproduce the exact token string per document (see the merge
+    * list's scaladoc for why sequential replace is exact here). The
+    * trained-merges query stays rows-only; THIS one pins the kernel.
+    */
+  def bpeEncodeFixedQ(s: SparkSession, d: String): DataFrame =
+    Bpe.encode(docs(s, d), BpeFixedMerges)
+      .select(col("doc_id"),
+        concat_ws(" ", col("bpe_tokens")).as("bpe_str"),
+        col("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Packing mix budgeted in REAL tokenizer tokens — the number a
+    * training run actually bills — instead of whitespace tokens: the
+    * same chunk config as [[pack]], per-chunk BPE token counts from
+    * the pinned [[BpeFixedMerges]] (oracle-expressible; the trained
+    * list would be rows-only), then the same two-job prefix-sum
+    * packing on a 1024-BPE-token budget.
+    */
+  def packBpe(s: SparkSession, d: String): DataFrame =
+    Pack.packSequences(
+        TextStats.chunk(docs(s, d), chunkSize = 32, stride = 24)
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            size(Bpe.bpeTokens(col("chunk_text"), BpeFixedMerges))
+              .cast("long").as("n_tokens")),
+        budget = 1024L)
+      .select("doc_id", "chunk_idx", "n_tokens", "tok_start", "seq_id", "seq_offset")
+      .orderBy("doc_id", "chunk_idx")
+
   /** Per-doc OOV audit against a top-10 frequency vocab derived from
     * the corpus itself (small enough that the fixture's ~31-token
     * vocabulary yields real nonzero OOV rates) — the freeze-the-
@@ -1264,6 +1311,42 @@ object ExtensionQueries {
         |  count(DISTINCT md5(text)) AS n_distinct,
         |  (count(*) - count(DISTINCT md5(text))) * 1000000 // count(*) AS dup_ppm
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_bpe_encode_fixed" ->
+      """WITH sym AS (SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+        |      w -> regexp_replace(w, '(.)', '\1 ', 'g') || '</w>'), ' ') AS s
+        |  FROM documents),
+        |enc AS (SELECT doc_id,
+        |    replace(replace(replace(s, 't a', 'ta'), 'ta b', 'tab'),
+        |            's l', 'sl') AS bpe_str
+        |  FROM sym)
+        |SELECT doc_id, bpe_str,
+        |  CAST(CASE WHEN bpe_str = '' THEN 0
+        |       ELSE len(string_split(bpe_str, ' ')) END AS BIGINT) AS n_bpe_tokens
+        |FROM enc ORDER BY doc_id""".stripMargin,
+    "q_pack_bpe" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(ts[i*24+1 : i*24+32], ' ') AS chunk_text
+        |  FROM toks, unnest(range(0, CAST(ceil(len(ts)/24.0) AS BIGINT))) AS u(i)),
+        |sym AS (SELECT doc_id, chunk_idx,
+        |    array_to_string(list_transform(
+        |      list_filter(string_split(chunk_text, ' '), w -> length(w) > 0),
+        |      w -> regexp_replace(w, '(.)', '\1 ', 'g') || '</w>'), ' ') AS s
+        |  FROM c),
+        |n AS (SELECT doc_id, chunk_idx,
+        |    CAST(CASE WHEN s = '' THEN 0 ELSE len(string_split(
+        |      replace(replace(replace(s, 't a', 'ta'), 'ta b', 'tab'),
+        |              's l', 'sl'), ' ')) END AS BIGINT) AS n_tokens
+        |  FROM sym),
+        |o AS (SELECT doc_id, chunk_idx, n_tokens,
+        |    COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_start
+        |  FROM n)
+        |SELECT doc_id, chunk_idx, n_tokens, tok_start,
+        |  tok_start // 1024 AS seq_id, tok_start % 1024 AS seq_offset
+        |FROM o ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_pack_mix" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
         |c AS (SELECT doc_id, i AS chunk_idx,
@@ -2266,6 +2349,8 @@ object ExtensionQueries {
     "q_ivf_health"      -> (ivfHealth _),
     "q_ivf_rebuild"     -> (ivfRebuild _),
     "q_bpe_encode"      -> (bpeEncodeQ _),
+    "q_bpe_encode_fixed" -> (bpeEncodeFixedQ _),
+    "q_pack_bpe"        -> (packBpe _),
     "q_weighted_topk"   -> (weightedTopKQ _),
     "q_band_health"     -> (bandHealth _),
     "q_vocab_coverage"  -> (vocabCoverageQ _),

@@ -141,6 +141,27 @@ class BpeSpec extends SparkSpec {
     assert(advDrv === advSeq)
   }
 
+  test("pinned well-formed merge list: greedy-by-rank kernel equals " +
+    "sequential replace-to-fixpoint (the q_bpe_encode_fixed oracle's " +
+    "construction) on adversarial words") {
+    val fixed = Seq("t" -> "a", "ta" -> "b", "s" -> "l")
+    // the oracle's construction: space-joined char symbols + end mark,
+    // one replace-all per merge in rank order
+    def oracle(word: String): Seq[String] =
+      (word.map(_.toString).mkString(" ") + " </w>")
+        .replace("t a", "ta").replace("ta b", "tab").replace("s l", "sl")
+        .split(" ").toSeq
+    // repeats, partial prefixes, products adjacent to their own
+    // components, merges interleaved, and the spurious-substring traps
+    // (a word where "a b" sits inside "ta b", and "l" after a merged
+    // product) — every case where a boundary-naive replace would lie
+    val words = Seq("tab", "ta", "t", "ab", "tta", "tatab", "tabtab",
+      "atab", "taab", "sl", "ssl", "slsl", "stab", "tasb", "tastasl",
+      "batsla", "ttaabb", "slta", "tabs", "stale", "table", "slab")
+    for (w <- words)
+      assert(applyMerges(w, fixed) === oracle(w), s"word=$w")
+  }
+
   test("trained tokenizer round-trips the sf0.001 documents corpus " +
     "losslessly (train on the corpus, encode the corpus, zero " +
     "violations) and compresses vs the char split") {
