@@ -578,23 +578,57 @@ object Similarity {
     * a pure projection unioned back.
     */
   def applyListSplits(assignment: DataFrame, splits: DataFrame,
-                      dim: Int = 64): DataFrame = {
+                      dim: Int = 64,
+                      keepVectors: Boolean = false): DataFrame = {
     val sp = splits.select(col("list_key"), col("sub_id"), col("centv"))
       .withColumn("centn", norm(col("centv"), dim))
     val keys = sp.select("list_key").distinct()
     val a = assignment.withColumn("list_key", col("centroid_id").cast("string"))
+    // keepVectors carries (cv, cn) through for the SERVING swap-in
+    // (the refreshed index must keep the assignment's full contract)
+    // without a second corpus-sized join back onto the result
     val untouched = a.join(broadcast(keys), Seq("list_key"), "left_anti")
-      .select(col("vec_id"), col("list_key"))
+      .select(col("vec_id") +: col("list_key") +:
+        (if (keepVectors) Seq(col("cv"), col("cn")) else Nil): _*)
     val moved = a.join(broadcast(keys), Seq("list_key"))
       .join(broadcast(sp), Seq("list_key"))
       .withColumn("c_cos", cosQ(col("cv"), col("centv"), col("cn"), col("centn"), dim))
       .groupBy("list_key", "vec_id")
       .agg(min_by(col("sub_id"),
-        struct(col("c_cos").isNull.cast("int").as("nf"),
-          (-col("c_cos")).as("ns"), col("sub_id"))).as("sub_id"))
-      .select(col("vec_id"),
-        concat(col("list_key"), lit(":"), col("sub_id")).as("list_key"))
+          struct(col("c_cos").isNull.cast("int").as("nf"),
+            (-col("c_cos")).as("ns"), col("sub_id"))).as("sub_id"),
+        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+      .select(concat(col("list_key"), lit(":"), col("sub_id")).as("list_key") +:
+        col("vec_id") +:
+        (if (keepVectors) Seq(col("cv"), col("cn")) else Nil): _*)
+      .select(untouched.columns.map(col): _*) // align column order for the union
     untouched.unionByName(moved)
+  }
+
+  /** The probe-side centroid table matching an [[applyListSplits]]
+    * swap-in: the base quantizer's centroids (keys cast to string)
+    * minus the split lists, plus each split's replacement
+    * sub-centroids under their `"<list>:<sub>"` keys. Together with
+    * the refreshed assignment this is the complete post-split index an
+    * ANN service serves from — queries quantize against the NEW layout
+    * and read the NEW posting lists.
+    */
+  def postSplitCentroids(corpus: DataFrame, splits: DataFrame,
+                         centroidStride: Int = 37, dim: Int = 64,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         centroids: Option[DataFrame] = None): DataFrame = {
+    val base = centroids
+      .map(_.select(col("centroid_id"), col("centv")))
+      .getOrElse(corpus.filter(col(idCol) % centroidStride === 0)
+        .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv")))
+      .withColumn("centroid_id", col("centroid_id").cast("string"))
+    val splitKeys = splits.select("list_key").distinct()
+    base.join(broadcast(splitKeys),
+        base("centroid_id") === splitKeys("list_key"), "left_anti")
+      .unionByName(splits.select(
+        concat(col("list_key"), lit(":"), col("sub_id")).as("centroid_id"),
+        col("centv")))
   }
 
   /** Squared L2 distance of two double arrays — left-to-right fold

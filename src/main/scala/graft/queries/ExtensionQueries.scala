@@ -43,6 +43,12 @@ object ExtensionQueries {
     * the same index hit ONE materialization, not one each.
     */
   private[graft] def sharedBuildCount: Long = shared.buildCount
+  /** Test probe: a shared frame if (and only if) it is already built —
+    * lets a spec inspect the layout actually being served.
+    */
+  private[graft] def sharedPeek(s: SparkSession, d: String,
+                                key: String): Option[DataFrame] =
+    shared.peek((s, d, key))
   /** Shared ANN index artifacts — the same materialize-once discipline
     * as the dedup graph, because this IS how a deployed ANN service
     * works: the indexer builds posting lists / codebooks / codes once,
@@ -53,6 +59,49 @@ object ExtensionQueries {
     */
   private def ivfAssignment(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "ivf_assign")(Similarity.assignToCentroids(embs(s, d)))
+  /** Post-split probe-side centroids, present only after an index
+    * refresh ([[refreshIvfServing]]) has installed them. None before
+    * any refresh — consumers then quantize with the stride rule the
+    * assignment was built with (bit-identical to the pre-refresh
+    * serving path, which is why the oracle gate never sees this memo).
+    */
+  private def ivfCentroidsOpt(s: SparkSession, d: String): Option[DataFrame] =
+    shared.peek((s, d, "ivf_cent"))
+
+  /** The swap-in, wired into the serving path: replace the SHARED
+    * posting-list index (`ivf_assign`) with the post-split assignment
+    * and install the matching post-split centroid table (`ivf_cent`),
+    * so every q_ann_ivf* / knn-graph consumer reads the NEW layout on
+    * its next run — the step an ANN service performs when it promotes
+    * a [[Similarity.splitHotLists]] re-train. `splits` is that
+    * re-train's output; the caller (index owner) decides WHEN.
+    */
+  private[graft] def refreshIvfServing(s: SparkSession, d: String,
+                                       splits: DataFrame): Unit = {
+    val assign = ivfAssignment(s, d)
+    // localCheckpoint'd inputs: the new frames must not hold lineage
+    // into the OLD memo's blocks (replace unpersists them)
+    val newAssign = Similarity
+      .applyListSplits(assign, splits, keepVectors = true)
+      .select(col("vec_id"), col("list_key").as("centroid_id"),
+        col("cv"), col("cn"))
+      .localCheckpoint()
+    val newCent = Similarity.postSplitCentroids(embs(s, d), splits)
+      .localCheckpoint()
+    shared.replace((s, d, "ivf_cent"))(newCent)
+    shared.replace((s, d, "ivf_assign"))(newAssign)
+  }
+
+  /** Undo [[refreshIvfServing]] for a (session, dataset): rebuild the
+    * base assignment and drop the post-split centroids — spec hygiene,
+    * so a lifecycle test leaves the shared serving state as it found
+    * it for every later consumer of the same session.
+    */
+  private[graft] def resetIvfServing(s: SparkSession, d: String): Unit = {
+    shared.remove((s, d, "ivf_cent"))
+    shared.replace((s, d, "ivf_assign"))(
+      Similarity.assignToCentroids(embs(s, d)))
+  }
   private def pqCb(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "pq_cb")(Similarity.pqCodebooks(embs(s, d), m = 8, dim = 64))
   private def pqEnc(s: SparkSession, d: String): DataFrame = {
@@ -274,7 +323,8 @@ object ExtensionQueries {
   def annIvf2(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5, nprobe = 2,
-        corpusAssigned = Some(ivfAssignment(s, d)))
+        corpusAssigned = Some(ivfAssignment(s, d)),
+        centroids = ivfCentroidsOpt(s, d))
       .orderBy("query_id", "rank")
   }
 
@@ -297,7 +347,8 @@ object ExtensionQueries {
     val e = embs(s, d)
     Similarity.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5, nprobe = 2,
         codebooks = Some(pqCb(s, d)), encoded = Some(pqEnc(s, d)),
-        corpusAssigned = Some(ivfAssignment(s, d)))
+        corpusAssigned = Some(ivfAssignment(s, d)),
+        centroids = ivfCentroidsOpt(s, d))
       .orderBy("query_id", "rank")
   }
 
@@ -313,7 +364,8 @@ object ExtensionQueries {
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5,
-        corpusAssigned = Some(ivfAssignment(s, d)))
+        corpusAssigned = Some(ivfAssignment(s, d)),
+        centroids = ivfCentroidsOpt(s, d))
       .orderBy("query_id", "rank")
   }
 
@@ -923,7 +975,8 @@ object ExtensionQueries {
     */
   def knnGraphQ(s: SparkSession, d: String): DataFrame =
     Similarity.knnGraph(embs(s, d), k = 5, nprobe = 2,
-        corpusAssigned = Some(ivfAssignment(s, d)))
+        corpusAssigned = Some(ivfAssignment(s, d)),
+        centroids = ivfCentroidsOpt(s, d))
       .orderBy("src", "rank")
 
   /** Edit-distance near-dup pairs (Ed-Join prefix filter + threshold

@@ -102,6 +102,44 @@ final class FrameMemo[K](bound: Int) {
 
   def size: Int = map.synchronized(map.size())
 
+  /** Built frame for `k` if one exists — never triggers a build. The
+    * probe a consumer uses to read an OPTIONAL memo (e.g. post-split
+    * serving centroids that only exist after an index refresh).
+    */
+  def peek(k: K): Option[DataFrame] = map.synchronized {
+    Option(map.get(k)).flatMap(h => Option(h.peek))
+  }
+
+  /** Swap-in: atomically install a NEW build for `k`, unpersisting the
+    * old frame's checkpoint — the index-refresh primitive (an ANN
+    * service replacing its posting-list layout after a split). The new
+    * build materializes eagerly, outside the map lock like `apply`.
+    */
+  def replace(k: K)(build: => DataFrame): DataFrame = {
+    val h = map.synchronized {
+      val old = map.remove(k)
+      if (old != null) {
+        val f = old.peek
+        if (f != null) GraftSqlShim.unpersistCheckpoint(f)
+      }
+      val nh = new Holder(() => build)
+      map.put(k, nh)
+      nh
+    }
+    h.frame
+  }
+
+  /** Drop `k` (unpersisting its checkpoint if built) — the inverse of
+    * an optional-memo install.
+    */
+  def remove(k: K): Unit = map.synchronized {
+    val old = map.remove(k)
+    if (old != null) {
+      val f = old.peek
+      if (f != null) GraftSqlShim.unpersistCheckpoint(f)
+    }
+  }
+
   /** Evict everything, unpersisting every BUILT checkpoint. */
   def clear(): Unit = map.synchronized {
     map.values().forEach { h =>

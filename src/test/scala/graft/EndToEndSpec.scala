@@ -127,5 +127,36 @@ class EndToEndSpec extends SparkSpec {
       .filter(!col("list_key").rlike(":"))
       .as[(Long, String)].collect().toSet
     assert(after === before)
+
+    // 2nd act — the SERVING path: promote the split into the shared
+    // memo every q_ann_ivf* consumer reads, run the real query through
+    // it, then reset and prove the pre-refresh path is restored
+    import graft.queries.ExtensionQueries
+    val d = "/root/testdata/sf0.001"
+    val pre = ExtensionQueries.annIvf(spark, d).collect().toSeq
+    assert(pre.size === 50)
+    ExtensionQueries.refreshIvfServing(spark, d, splits)
+    val post = ExtensionQueries.annIvf(spark, d).collect().toSeq
+    try {
+      // same serving contract (10 queries x top-5, ranked)
+      assert(post.size === 50)
+      assert(post.map(_.getLong(0)).distinct.size === 10)
+      // the flagged list is really gone from the layout being served:
+      // the swapped-in assignment keys its members "<list>:<sub>"
+      val servedKeys = ExtensionQueries
+        .sharedPeek(spark, d, "ivf_assign").get
+        .select(col("centroid_id").cast("string"))
+        .distinct().as[String].collect().toSet
+      flagged.foreach { lk =>
+        assert(!servedKeys.contains(lk), s"split list $lk still served")
+        assert(servedKeys.exists(_.startsWith(s"$lk:")))
+      }
+      // membership conserved through the swap-in on the serving copy
+      assert(ExtensionQueries.sharedPeek(spark, d, "ivf_assign")
+        .get.count() === n)
+    } finally ExtensionQueries.resetIvfServing(spark, d)
+    // reset restores the exact pre-refresh serving results
+    val restored = ExtensionQueries.annIvf(spark, d).collect().toSeq
+    assert(restored === pre)
   }
 }
