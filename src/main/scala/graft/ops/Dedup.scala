@@ -445,18 +445,22 @@ object Dedup {
     val dfAgg = ex.groupBy("g").agg(count(lit(1)).as("df"))
     // dense integer rank = the global (df, gram) order, computed once
     // over the DICTIONARY (one row per distinct gram — vocabulary-
-    // bounded, so the unpartitioned window sorts a dimension table,
-    // not the corpus); downstream, 1.5M-row shuffles and the candidate
-    // equi-join carry/compare a 4-byte int instead of (long, string)
-    val rankDict = dfAgg.withColumn("r",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("df"), col("g"))))
-      .select("g", "r")
-    // broadcast is EXPLICIT: the rank window sits between the df agg's
-    // exchange and this join, which blocks AQE's runtime broadcast
-    // conversion (measured: without the hint this runs as a sort-merge
-    // join on the gram string — 2x the whole prefix stage). Safe to
-    // force: the dict is vocabulary-bounded (<= |charset|^q rows).
+    // bounded); downstream, 1.5M-row shuffles and the candidate
+    // equi-join carry/compare a 4-byte int instead of (long, string).
+    // AuditSeq.assign (range-sort + zipWithIndex stamping) rather than
+    // an unpartitioned row_number window: same dense (df, g) order —
+    // (df, g) is a unique key, g is distinct post-agg — but the sort
+    // stays N-way parallel and the dictionary never funnels through
+    // the single-partition WindowExec (whose warning also spooked
+    // every bench log)
+    val rankDict = graft.core.AuditSeq
+      .assign(dfAgg, Seq(col("df"), col("g")), pkName = "r")
+      .select(col("g"), col("r").cast("int").as("r"))
+    // broadcast is EXPLICIT: the RDD-backed rank dict carries no
+    // stats, so AQE's runtime broadcast conversion never fires
+    // (measured pre-hint: sort-merge join on the gram string — 2x the
+    // whole prefix stage). Safe to force: the dict is
+    // vocabulary-bounded (<= |charset|^q rows).
     val exR = ex.join(broadcast(rankDict), Seq("g"))
       .select(col("doc_id"), col("l"), col("r"), col("p"))
     val pref = exR.groupBy("doc_id", "l")
