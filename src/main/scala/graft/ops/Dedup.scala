@@ -687,6 +687,20 @@ object Dedup {
     * [[minhashLshIncremental]]: continuous ingestion then never
     * re-hashes the indexed corpus.
     */
+  /** The LSH band keys of a MinHash signature column: bands md5 keys,
+    * one per `rows`-wide slice. The ONE definition of the band hash —
+    * shared by the batch index builder ([[minhashBands]]) and the
+    * streaming probe ([[graft.streaming.EventStreamOps
+    * .streamingSourceOverlap]]), so a streamed document hashes into
+    * exactly the bucket its batch-indexed twin occupies.
+    */
+  private[graft] def bandKeyArray(mh: Column, numHashes: Int,
+                                  bands: Int): Column = {
+    val rows = numHashes / bands
+    array((1 to bands).map(b =>
+      md5(concat_ws("|", slice(mh, (b - 1) * rows + 1, rows)))): _*)
+  }
+
   def minhashBands(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                    idCol: String = "doc_id",
                    textCol: String = "text",
@@ -694,7 +708,6 @@ object Dedup {
                    sigIndex: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
-    val rows = numHashes / bands
     // `sigIndex` = a pre-materialized [[minhashSignatureFrame]] for the
     // SAME numHashes — a session that also keeps the signature index
     // (the sketch estimator does) must not re-run the signature scan
@@ -702,8 +715,7 @@ object Dedup {
       minhashSignatureFrame(docs, numHashes, idCol, textCol))
     // one pass: hash every band slice into one array, then posexplode —
     // no rejoin; `b` stays 1-based (the historical contract)
-    val keys = array((1 to bands).map(b =>
-      md5(concat_ws("|", slice(col("mh"), (b - 1) * rows + 1, rows)))): _*)
+    val keys = bandKeyArray(col("mh"), numHashes, bands)
     val based = sig.select(col("doc_id"), keys.as("band_keys"))
       .select(col("doc_id"), col("band_keys"),
         posexplode(col("band_keys")).as(Seq("bp", "band_key")))

@@ -244,6 +244,101 @@ object EventStreamOps {
       .select(col("doc_id"), lit("removed").as("status"),
         col("h_base"), lit(null).cast("string").as("h_cur"))
 
+  /** LIVE cross-source contamination monitor — the streaming twin of
+    * the batch cross-source duplication matrix
+    * ([[graft.queries.ExtensionQueries]]'s `q_source_overlap`): per
+    * tumbling window, how many near-dup candidate pairs land on each
+    * unordered source pair, the moment they arrive. The batch matrix
+    * tells the curation owner which source INTERSECTIONS eat the dedup
+    * budget at the last audit; this emits the same cells as new data
+    * streams in, so source A republishing source B surfaces within a
+    * window, not at the next audit.
+    *
+    * Shape (the [[graft.ops.Dedup.minhashLshIncremental]] probe made
+    * streamable): each arriving doc hashes to its LSH band keys as a
+    * PURE projection — the native [[graft.functions.MinHashHex]]
+    * kernel with [[graft.ops.Dedup.bandKeyArray]], the same band hash
+    * the batch index was built with, no vocab probe and no state —
+    * then a stream-static equi-join on (b, band_key) pulls only the
+    * postings matching an arriving key (per-batch cost O(arrivals +
+    * matching postings), never O(corpus)). Matched pairs dedup within
+    * the watermark — a pair colliding in several bands (or
+    * re-delivered inside the lateness window) counts ONCE, matching
+    * the batch matrix's distinct-pairs contract — then one windowed
+    * aggregation counts per (window, src_lo, src_hi). Both stateful
+    * ops (pair dedup, windowed count) hold watermark-bounded state.
+    * `hot` flags a cell whose count exceeds `alertPpm` ppm of
+    * `expectedPerWindow` (calibrated from the batch matrix), the same
+    * threshold contract as
+    * [[graft.streaming.VectorStreamOps.streamingListLoads]].
+    *
+    * HONEST semantics vs the batch matrix:
+    *  - covers NEW x INDEXED pairs only. New x new pairs need a
+    *    stream-stream self-join whose buffered-band state the monitor
+    *    doesn't need — they surface when the periodic batch append
+    *    refreshes the index and the next audit runs the exact matrix.
+    *  - a pair re-discovered AFTER the watermark passed it recounts
+    *    (state is bounded by `lateness`, not history). The sink-table
+    *    batch matrix stays the exact dashboard; this is the tripwire.
+    *  - cross-matrix totals (`share_ppm`) stay a batch concern — a
+    *    second cross-cell aggregation would double the state for a
+    *    number the budget decision reads off-line anyway (the
+    *    [[graft.streaming.VectorStreamOps.streamingListLoads]]
+    *    argument).
+    */
+  def streamingSourceOverlap(docs: DataFrame, indexedBands: DataFrame,
+                             indexSources: DataFrame,
+                             expectedPerWindow: Long,
+                             alertPpm: Long = 200000L,
+                             numHashes: Int = 16, bands: Int = 4,
+                             window_ : String = "10 minutes",
+                             lateness: String = "10 minutes",
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             srcCol: String = "source",
+                             tsCol: String = "ts"): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    require(expectedPerWindow > 0, "expectedPerWindow must be > 0")
+    // static side: postings labeled with their source ONCE per plan —
+    // a skinny (doc, b, key, source) index, re-read each micro-batch
+    // (lake compactions/appends picked up without a restart)
+    val idx = indexedBands
+      .select(col(idCol).as("doc_o_"), col("b"), col("band_key"))
+      .join(indexSources
+        .select(col(idCol).as("doc_o_"), col(srcCol).as("source_o_")),
+        Seq("doc_o_"))
+    // stream side: signature -> band keys, stateless (empty vocab =
+    // on-the-fly hashing, bit-identical to the batch signature).
+    // The watermark is declared HERE, before the join: an arrival that
+    // matches no posting still advances event time — declared after
+    // the join, a quiet (no-collision) stretch would freeze the
+    // watermark and no window would ever close
+    val keyed = docs
+      .withWatermark(tsCol, lateness)
+      .select(col(tsCol), col(idCol).as("doc_id"), col(srcCol).as("source"),
+        posexplode(graft.ops.Dedup.bandKeyArray(
+          graft.functions.MinHashHex(
+            graft.ops.Dedup.tokenSet(col(textCol)), numHashes,
+            Array.empty[String]),
+          numHashes, bands)).as(Seq("bp", "band_key")))
+      .select(col(tsCol), col("doc_id"), col("source"),
+        (col("bp") + 1).as("b"), col("band_key"))
+    keyed.join(idx,
+        keyed("band_key") === idx("band_key") && keyed("b") === idx("b") &&
+          col("doc_id") =!= col("doc_o_"))
+      .select(col(tsCol),
+        least(col("doc_id"), col("doc_o_")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_o_")).as("doc_b"),
+        least(col("source"), col("source_o_")).as("src_lo"),
+        greatest(col("source"), col("source_o_")).as("src_hi"))
+      .dropDuplicatesWithinWatermark(Seq("doc_a", "doc_b"))
+      .groupBy(window(col(tsCol), window_), col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("hot",
+        col("n_pairs") * 1000000L > lit(alertPpm) * lit(expectedPerWindow))
+  }
+
   /** Stream-stream interval attribution: join a purchase stream to a
     * click/view stream of the same user within a bounded look-back
     * window — the streaming counterpart of

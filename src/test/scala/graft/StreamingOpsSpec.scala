@@ -330,6 +330,65 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSourceOverlap: arriving near-dups of the indexed corpus " +
+    "count once per pair into per-window source-pair cells (multi-band " +
+    "collisions and in-watermark re-deliveries dedup); hot flags at the " +
+    "calibrated threshold") {
+    import graft.ops.Dedup
+    implicit val sc = spark.sqlContext
+    // static corpus + its band index, built by the BATCH index builder
+    val corpus = Seq(
+      (100L, "web", "alpha beta gamma delta"),
+      (101L, "web", "epsilon zeta eta theta"),
+      (102L, "books", "iota kappa lambda mu"))
+      .toDF("doc_id", "source", "text")
+    val idx = Dedup.minhashBands(corpus)
+    val srcs = corpus.select("doc_id", "source")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "source", "text")
+    val q = EventStreamOps.streamingSourceOverlap(df, idx, srcs,
+        expectedPerWindow = 10L, alertPpm = 100000L, window_ = "10 minutes",
+        lateness = "5 minutes")
+      .select(col("window.start").cast("string").as("w"),
+        col("src_lo"), col("src_hi"), col("n_pairs"), col("hot"))
+      .writeStream.format("memory").queryName("soverlap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+      // two wiki docs duplicate two web docs (each collides in ALL 4
+      // bands -> must still count as ONE pair each); one books doc
+      // duplicates a books doc; one novel doc matches nothing
+      mem.addData(
+        (t(1), 1L, "wiki", "alpha beta gamma delta"),
+        (t(2), 2L, "wiki", "epsilon zeta eta theta"),
+        (t(3), 3L, "books", "iota kappa lambda mu"))
+      q.processAllAvailable()
+      // re-delivery of doc 1 inside the lateness window -> dropped
+      mem.addData(
+        (t(4), 1L, "wiki", "alpha beta gamma delta"),
+        (t(5), 4L, "wiki", "totally novel words here"))
+      q.processAllAvailable()
+      // advance the watermark past 10:10 + lateness to close the window:
+      // the watermark computed from a batch's max event time takes
+      // effect in the NEXT batch, and the chained stateful pair
+      // (dedup -> windowed agg) adds propagation lag of one more batch
+      // per operator — so drive three closing batches
+      mem.addData((t(25), 5L, "wiki", "unrelated closing noise"))
+      q.processAllAvailable()
+      mem.addData((t(26), 6L, "wiki", "more unrelated noise"))
+      q.processAllAvailable()
+      mem.addData((t(27), 7L, "wiki", "final unrelated noise"))
+      q.processAllAvailable()
+      val rows = spark.table("soverlap")
+        .as[(String, String, String, Long, Boolean)].collect().sorted
+      // web x wiki: 2 pairs = 20% of expected 10 > 10% threshold -> hot;
+      // books x books: 1 pair = 10%, not strictly above -> cold
+      assert(rows.toSeq === Seq(
+        ("2020-01-01 10:00:00", "books", "books", 1L, false),
+        ("2020-01-01 10:00:00", "web", "wiki", 2L, true)))
+    } finally q.stop()
+  }
+
   test("Bpe.encode tokenizes a STREAM unchanged: the frozen merge list " +
     "rides the plan as a stateless projection, so live ingest gets the " +
     "exact batch tokenizer") {
