@@ -307,20 +307,29 @@ object Bpe {
     *     over a partial encoding must not report "healthy";
     *   - null-text docs encode to null tokens and PASS (both sides
     *     normalize to the empty string);
-    *   - LIMITATION: `endMark` is in-band — corpus text containing
-    *     the literal marker string makes the concat decode ambiguous
-    *     and false-flags here. Pick an endMark outside the corpus
-    *     alphabet (the audit itself will tell you: such docs flag).
+    *   - the end-mark decodes PER TOKEN (suffix-anchored), not over
+    *     the concatenated doc: the terminal `endMark` symbol only ever
+    *     merges as a token SUFFIX, so "ends with endMark" identifies
+    *     word-final tokens — and corpus text that merely CONTAINS the
+    *     literal marker (as unmerged single-char tokens, or mid-token)
+    *     round-trips clean instead of false-flagging. The one decode
+    *     ambiguity left is a merge list that assembles the exact
+    *     marker string out of pure text characters (e.g. "<"+"/w>"):
+    *     such a token is indistinguishable from a word boundary and
+    *     still false-flags. Pick an endMark outside the corpus
+    *     alphabet to rule even that out.
     */
   def roundTripViolations(encoded: DataFrame, docs: DataFrame,
                           idCol: String = "doc_id",
                           textCol: String = "text",
                           endMark: String = "</w>"): DataFrame = {
+    val endRe = java.util.regex.Pattern.quote(endMark) + "$"
     val rebuilt = encoded.select(col("doc_id"), lit(true).as("_enc"),
-      // tokens joined bare, then end-marks become spaces: "lo w</w>ha t</w>"
-      // -> "low hat " -> trimmed
-      coalesce(rtrim(regexp_replace(concat_ws("", col("bpe_tokens")),
-        java.util.regex.Pattern.quote(endMark), " ")), lit(""))
+      // word-final tokens drop their end-mark for a space, the rest
+      // join bare: ["low</w>","ha","t</w>"] -> "low ha t " -> trimmed
+      coalesce(rtrim(concat_ws("",
+        transform(col("bpe_tokens"), t => regexp_replace(t, endRe, " ")))),
+        lit(""))
         .as("rebuilt"))
     docs.select(col(idCol).as("doc_id"),
         coalesce(trim(regexp_replace(col(textCol), " +", " ")), lit(""))

@@ -264,6 +264,175 @@ object Multimodal {
   def decodeAudioMeta(df: DataFrame, binCol: String): DataFrame =
     attachMeta(df, binCol, audioMetaSchema, decodeWav)
 
+  /** Declared schema of REAL PCM sample statistics ([[decodePcmStats]]):
+    * non-PCM / malformed payloads leave every field null; an empty
+    * data chunk leaves `n_samples` 0 and the ratios null.
+    */
+  val pcmStatsSchema: StructType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = true),
+    StructField("peak", DoubleType, nullable = true),
+    StructField("rms", DoubleType, nullable = true),
+    StructField("dc_offset", DoubleType, nullable = true),
+    StructField("clip_ratio", DoubleType, nullable = true),
+    StructField("silence_ratio", DoubleType, nullable = true)
+  ))
+
+  /** REAL PCM sample decode, JDK-only — the tier above [[decodeWav]]'s
+    * header parse: raw PCM needs no codec at all, just the RIFF walk
+    * plus little-endian sample math, so peak / RMS / DC-offset /
+    * clipping / silence auditing of a WAV corpus runs with zero
+    * external libs. (Compressed formats — MP3/AAC/Opus — are the part
+    * that genuinely needs codec libs and still degrades to nulls.)
+    *
+    * Contract:
+    *   - uncompressed PCM only (`fmt.audioFormat == 1`), 8-bit
+    *     (unsigned, center 128) or 16-bit (signed LE) — the two
+    *     encodings WAV corpora overwhelmingly use; other depths /
+    *     formats return all-null stats (24/32-bit would overflow the
+    *     exact 64-bit accumulators that make these stats
+    *     bit-deterministic, see below);
+    *   - stats run over ALL interleaved channel samples (a stereo
+    *     frame contributes two samples);
+    *   - truncated payloads audit what is actually present: samples
+    *     read = min(declared data size, bytes available), whole
+    *     samples only;
+    *   - accumulation is EXACT 64-bit integer (sum, sum-of-squares,
+    *     max |v|, threshold counts) with one final float division /
+    *     sqrt per stat — bit-identical on any engine and any partition
+    *     order, the same order-independence discipline as the
+    *     fixed-point `lpq` sums in [[TextStats.lmScore]]. The 16-bit
+    *     sum-of-squares bound caps `n_samples` at 2^33 (≈ 27 h of
+    *     44.1 kHz stereo); beyond that the ratios degrade to null
+    *     rather than silently wrapping;
+    *   - thresholds are full-scale-relative integers: clip at
+    *     `|v| >= FS - FS/256` (≥ 99.6 % FS), silence at
+    *     `|v| <= FS/256`, with FS = 128 (8-bit) / 32768 (16-bit).
+    */
+  def decodePcmStats(bytes: Array[Byte]): Row = {
+    val none = Row(null, null, null, null, null, null)
+    if (bytes == null) return none
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return none
+    try {
+      // same LONG-arithmetic walk as decodeWav (placeholder 0xFFFFFFFF
+      // sizes must not pin or reverse the cursor), but this pass also
+      // needs the data chunk's OFFSET, not just its declared size
+      var off = 12L
+      var fmt: (Int, Int) = null // (format, bits)
+      var dataOff = -1L
+      var dataSize = -1L
+      while (off + 8 <= bytes.length && (fmt == null || dataOff < 0)) {
+        val id = tag(off.toInt)
+        val size = u32(off.toInt + 4)
+        val body = off + 8
+        if (id == "fmt " && fmt == null && size >= 16 && body + 16 <= bytes.length)
+          fmt = (u16(body.toInt), u16(body.toInt + 14))
+        else if (id == "data" && dataOff < 0) { dataOff = body; dataSize = size }
+        off = body + size + (size & 1)
+      }
+      if (fmt == null || dataOff < 0) return none
+      val (format, bits) = fmt
+      if (format != 1 || (bits != 8 && bits != 16)) return none
+      val bytesPer = bits / 8
+      val avail = math.max(0L, math.min(dataSize, bytes.length - dataOff))
+      val n = avail / bytesPer // whole samples actually present
+      if (n == 0) return Row(0L, null, null, null, null, null)
+      if (n > (1L << 33)) return none // exact-sumsq bound, documented
+      val fs = if (bits == 8) 128L else 32768L
+      val clipThr = fs - (fs >> 8)
+      val silThr = fs >> 8
+      var i = dataOff.toInt
+      val end = (dataOff + n * bytesPer).toInt
+      var sum = 0L; var sumSq = 0L; var mx = 0L
+      var clipN = 0L; var silN = 0L
+      while (i < end) {
+        val v: Long =
+          if (bits == 8) (bytes(i) & 0xff).toLong - 128L
+          else ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+        val a = if (v < 0) -v else v
+        sum += v; sumSq += v * v
+        if (a > mx) mx = a
+        if (a >= clipThr) clipN += 1
+        if (a <= silThr) silN += 1
+        i += bytesPer
+      }
+      val nd = n.toDouble
+      Row(n, mx.toDouble / fs, math.sqrt(sumSq.toDouble / nd) / fs,
+        (sum.toDouble / nd) / fs, clipN.toDouble / nd, silN.toDouble / nd)
+    } catch {
+      case scala.util.control.NonFatal(_) => none
+    }
+  }
+
+  /** Attach REAL PCM sample statistics ([[decodePcmStats]]) — same
+    * Iterator→Iterator per-partition batching contract as
+    * [[decodeAudioMeta]]; output schema = input ++ [[pcmStatsSchema]].
+    */
+  def decodePcmMeta(df: DataFrame, binCol: String): DataFrame =
+    attachMeta(df, binCol, pcmStatsSchema, decodePcmStats)
+
+  /** Canonical 44-byte-header WAV writer (16-bit PCM LE, the
+    * ubiquitous layout) — the sample-level twin of the header parsers
+    * above, used by the synth→decode round-trip and the specs. Values
+    * outside Short range clamp (deterministically) rather than wrap.
+    */
+  def wavBytes(samples: Array[Int], sampleRate: Int = 8000,
+               channels: Int = 1): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      b.putShort(
+        (if (v < Short.MinValue) Short.MinValue
+         else if (v > Short.MaxValue) Short.MaxValue else v).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Synth→decode PCM round-trip: write each row's int-array sample
+    * column into a REAL 16-bit WAV ([[wavBytes]]), then REALLY parse
+    * it back ([[decodePcmStats]]) — output schema = input ++
+    * [[pcmStatsSchema]]. Because the sample derivation is
+    * expression-level (oracle-reproducible) while the bytes in the
+    * middle pass through the genuine writer + parser, putting this
+    * under the DuckDB hash gate proves the binary codec path itself:
+    * any header-layout or sample-math bug breaks the hash. Null
+    * sample arrays decode to all-null stats (the null-payload
+    * contract); empty arrays to (0, null…).
+    */
+  def synthWavStats(df: DataFrame, samplesCol: String,
+                    sampleRate: Int = 8000): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ pcmStatsSchema.fields)
+    val idx = df.schema.fieldIndex(samplesCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val s = r.getAs[scala.collection.Seq[Int]](idx)
+        val stats =
+          if (s == null) decodePcmStats(null)
+          else decodePcmStats(wavBytes(s.toArray, sampleRate))
+        Row.fromSeq(r.toSeq ++ stats.toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Declared schema of REAL video-container metadata ([[decodeMp4]]):
     * non-ISO-BMFF payloads leave every field but n_bytes null.
     */

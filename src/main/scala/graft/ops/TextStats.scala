@@ -772,4 +772,65 @@ object TextStats {
         sum(col("lpq")).as("sum_lpq"),
         (sum(col("lpq")).cast("double") / count(lit(1))).as("avg_lpq"))
   }
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw-corpus document by how target-like its hashed n-gram
+    * profile is, so a cheap weighted sample ([[graft.ops.Sampling]])
+    * pulls a target-shaped subset out of a 100 TB crawl. Features are
+    * the paper's hashed unigrams+bigrams: each gram buckets by md5
+    * into `buckets` slots; `p_target` / `p_raw` are the
+    * Laplace-smoothed bucket distributions of the two corpora, and a
+    * document's log weight is `sum_b c_b(doc) * ln(p_t(b)/p_r(b))`.
+    *
+    * Determinism across engines (the [[lmScore]] discipline): each
+    * bucket's log-ratio quantizes to `floor(ln(·)*10000)` BEFORE the
+    * per-doc sum — long sums are order-free where double sums are not
+    * — and the ratio's numerator/denominator are EXACT integer
+    * products cast to double once (`(c_t+1)(T_r+B)` ≤ ~2^53 for any
+    * corpus whose gram count fits a partition planner anyway).
+    *
+    * Shape for scale: two tiny B-row distribution aggregations (plus
+    * their 1-row totals, broadcast-crossed); ONE real shuffle — the
+    * per-(doc, bucket) counts — which partial-aggregates map-side;
+    * the B-row log-ratio table broadcast-joins onto it. No
+    * driver-side collection anywhere. Docs with no grams (empty
+    * text) emit nothing, like [[lmScore]].
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        buckets: Int = 1024,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val ts = filter(tokens(col(textCol)), t => length(t) > 0)
+    val bi = when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    def grams(df: DataFrame, keep: Seq[String]): DataFrame =
+      df.select(keep.map(col) :+ explode(concat(ts, bi)).as("g"): _*)
+        .select(keep.map(col) :+
+          (conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long")
+            % buckets).as("b"): _*)
+    val rawB = grams(raw, Nil).groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtB = grams(target, Nil).groupBy("b").agg(count(lit(1)).as("ct"))
+    val totR = rawB.agg(coalesce(sum(col("cr")), lit(0L)).as("tot_r"))
+    val totT = tgtB.agg(coalesce(sum(col("ct")), lit(0L)).as("tot_t"))
+    val lr = rawB.join(tgtB, Seq("b"), "left")
+      .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
+      .withColumn("lrq", floor(log(
+        ((coalesce(col("ct"), lit(0L)) + 1) * (col("tot_r") + buckets))
+          .cast("double") /
+          ((col("cr") + 1) * (col("tot_t") + buckets)).cast("double"))
+        * 10000).cast("long"))
+      .select("b", "lrq")
+    grams(raw, Seq(idCol))
+      .select(col(idCol).as("doc_id"), col("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        sum(col("c") * col("lrq")).as("sum_lrq"))
+      .withColumn("logw", col("sum_lrq").cast("double") / 10000)
+  }
 }

@@ -437,6 +437,17 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance weights over the full corpus, with the English
+    * documents as the target distribution — the score a weighted
+    * resample ([[graft.ops.Sampling]]) consumes to pull a
+    * target-shaped subset out of the raw crawl.
+    */
+  def dsir(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    TextStats.importanceWeights(all, all.filter(col("lang") === "en"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-based source mixing weights (alpha = 0.5, the
     * multilingual-sampling convention): p_source ∝ n_tokens^0.5 —
     * the knob that keeps a 100 TB web crawl from drowning the small
@@ -793,6 +804,27 @@ object ExtensionQueries {
     Multimodal.sampleFrames(withBin, "payload", everyK = 7)
       .select("doc_id", "frame_idx", "frame_hash")
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** REAL-codec audio audit under the hash gate: token-derived 16-bit
+    * samples (expression-level, so the oracle can reproduce them) are
+    * written into a genuine RIFF/WAVE binary and REALLY parsed back
+    * sample-by-sample per partition ([[Multimodal.synthWavStats]] →
+    * [[Multimodal.decodePcmStats]]). The DuckDB side computes the
+    * expected peak/RMS/DC/clip/silence analytically from the same
+    * token hashes, so a header-layout or sample-math bug in either the
+    * writer or the parser breaks the hash — the binary codec path
+    * itself sits under the oracle gate, not just its plumbing.
+    */
+  def audioStats(s: SparkSession, d: String): DataFrame = {
+    val samples = transform(
+      filter(TextStats.tokens(col("text")), t => length(t) > 0),
+      t => (conv(substring(md5(t), 1, 4), 16, 10).cast("long") - 32768L)
+        .cast("int"))
+    Multimodal.synthWavStats(
+        docs(s, d).select(col("doc_id"), samples.as("samples")), "samples")
+      .drop("samples")
+      .orderBy("doc_id")
   }
 
   /** Deterministic mean-pooling: every run of 10 consecutive vec_ids
@@ -1265,6 +1297,63 @@ object ExtensionQueries {
         |  CAST(sum(lpq) AS BIGINT) AS sum_lpq,
         |  CAST(sum(lpq) AS DOUBLE) / count(*) AS avg_lpq
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dsir" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text,' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(list_concat(ts,
+        |    CASE WHEN len(ts) >= 2
+        |      THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+        |      ELSE [] END)) AS g
+        |  FROM t),
+        |bk AS (SELECT doc_id, lang,
+        |    ((strpos('0123456789abcdef', substr(md5(g),1,1))-1)*4096 +
+        |     (strpos('0123456789abcdef', substr(md5(g),2,1))-1)*256 +
+        |     (strpos('0123456789abcdef', substr(md5(g),3,1))-1)*16 +
+        |     (strpos('0123456789abcdef', substr(md5(g),4,1))-1)) % 1024 AS b
+        |  FROM g),
+        |rawb AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM bk GROUP BY b),
+        |tgtb AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM bk
+        |  WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT
+        |    CAST((SELECT COALESCE(sum(cr), 0) FROM rawb) AS BIGINT) AS tot_r,
+        |    CAST((SELECT COALESCE(sum(ct), 0) FROM tgtb) AS BIGINT) AS tot_t),
+        |lr AS (SELECT rawb.b,
+        |    CAST(floor(ln(
+        |      CAST((COALESCE(ct, 0) + 1) * (tot_r + 1024) AS DOUBLE) /
+        |      CAST((cr + 1) * (tot_t + 1024) AS DOUBLE)) * 10000) AS BIGINT) AS lrq
+        |  FROM rawb LEFT JOIN tgtb ON rawb.b = tgtb.b, tot),
+        |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM bk GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(sum(c * lrq) AS BIGINT) AS sum_lrq,
+        |  CAST(sum(c * lrq) AS DOUBLE) / 10000 AS logw
+        |FROM dc JOIN lr ON dc.b = lr.b
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_audio_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS ts FROM documents),
+        |v AS (SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5(tok),3,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5(tok),4,1))-1) - 32768 AS v
+        |  FROM t, unnest(ts) AS u(tok) WHERE len(tok) > 0),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS svv,
+        |    CAST(max(abs(v)) AS BIGINT) AS mx,
+        |    CAST(sum(CASE WHEN abs(v) >= 32640 THEN 1 ELSE 0 END) AS BIGINT) AS clip,
+        |    CAST(sum(CASE WHEN abs(v) <= 128 THEN 1 ELSE 0 END) AS BIGINT) AS sil
+        |  FROM v GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.text IS NULL THEN NULL
+        |       ELSE CAST(COALESCE(s.n, 0) AS BIGINT) END AS n_samples,
+        |  CAST(mx AS DOUBLE) / 32768 AS peak,
+        |  sqrt(CAST(svv AS DOUBLE) / n) / 32768 AS rms,
+        |  (CAST(sv AS DOUBLE) / n) / 32768 AS dc_offset,
+        |  CAST(clip AS DOUBLE) / n AS clip_ratio,
+        |  CAST(sil AS DOUBLE) / n AS silence_ratio
+        |FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_mix_weights" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
@@ -2385,6 +2474,8 @@ object ExtensionQueries {
     "q_token_drift"     -> (tokenDrift _),
     "q_bm25"            -> (bm25 _),
     "q_lm_score"        -> (lmScore _),
+    "q_dsir"            -> (dsir _),
+    "q_audio_stats"     -> (audioStats _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),
     "q_repetition"      -> (repetition _),

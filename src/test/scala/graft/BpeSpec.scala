@@ -87,11 +87,21 @@ class BpeSpec extends SparkSpec {
     // and normalization collapses SPACE runs only
     val edge = Seq((1L, null: String), (2L, "a\tb c")).toDF("doc_id", "text")
     assert(Bpe.roundTripViolations(Bpe.encode(edge, merges), edge).isEmpty)
-    // documented in-band endMark limitation: literal "</w>" in corpus
-    // text makes the concat decode ambiguous and flags
-    val inBand = Seq((1L, "a</w>b")).toDF("doc_id", "text")
+    // literal "</w>" in corpus text round-trips clean: the audit
+    // strips end-marks per token (suffix-anchored), so the marker's
+    // unmerged single-char tokens never reassemble into a phantom
+    // word boundary
+    val inBand = Seq((1L, "a</w>b"), (2L, "</w> x</w>"))
+      .toDF("doc_id", "text")
     assert(Bpe.roundTripViolations(Bpe.encode(inBand, merges), inBand)
-      .count() === 1L)
+      .isEmpty)
+    // the one ambiguity left (documented): a merge list that spells
+    // the exact marker out of pure text characters — that token is
+    // indistinguishable from a word boundary and still false-flags
+    val markerMerges = Seq(("<", "/"), ("</", "w"), ("</w", ">"))
+    val spelled = Seq((1L, "a</w> b")).toDF("doc_id", "text")
+    assert(Bpe.roundTripViolations(
+      Bpe.encode(spelled, markerMerges), spelled).count() === 1L)
   }
 
   test("vocab enumerates exactly the emittable symbols with dense " +

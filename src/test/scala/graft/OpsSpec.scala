@@ -743,6 +743,107 @@ class OpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(1).isNullAt(2))
   }
 
+  test("decodePcmStats REALLY decodes PCM samples — exact integer " +
+    "peak/RMS/DC/clip/silence, wavBytes and javax.sound containers " +
+    "agree, 8-bit unsigned center, degrade tiers") {
+    // hand-computable 16-bit samples through the canonical writer
+    val samples = Array(0, 16384, -16384, 32767, -32768, 0)
+    val wav = Multimodal.wavBytes(samples, sampleRate = 8000)
+    // the header parser accepts the writer's container
+    val hdr = Multimodal.decodeWav(wav)
+    assert(hdr.getInt(1) === 1 && hdr.getInt(2) === 1 &&
+      hdr.getInt(3) === 8000 && hdr.getInt(4) === 16 && hdr.getLong(5) === 6L)
+    val st = Multimodal.decodePcmStats(wav)
+    assert(st.getLong(0) === 6L)
+    assert(st.getDouble(1) === 1.0) // peak |−32768|/32768
+    val sumSq = samples.map(v => v.toLong * v).sum
+    val sum = samples.map(_.toLong).sum
+    assert(st.getDouble(2) === math.sqrt(sumSq.toDouble / 6) / 32768)
+    assert(st.getDouble(3) === (sum.toDouble / 6) / 32768)
+    assert(st.getDouble(4) === 2.0 / 6) // 32767 and −32768 past 32640
+    assert(st.getDouble(5) === 2.0 / 6) // the two zeros within ±128
+    // javax.sound writes the same samples → bit-identical stats (the
+    // decoder is container-layout-robust, not tuned to our writer)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(v => pcm.putShort(v.toShort))
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, 6)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    assert(Multimodal.decodePcmStats(buf.toByteArray) === st)
+    // out-of-range writer input clamps deterministically
+    val clamped = Multimodal.decodePcmStats(Multimodal.wavBytes(Array(40000)))
+    assert(clamped.getLong(0) === 1L && clamped.getDouble(1) === 32767.0 / 32768)
+    // 8-bit unsigned: bytes 128,0,255,128 center to 0,−128,127,0
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def wav8(format: Int, data: Array[Byte]) =
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(format) ++ le16(1) ++
+        le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+        "data".getBytes ++ le32(data.length) ++ data
+    val s8 = Multimodal.decodePcmStats(
+      wav8(1, Array[Byte](128.toByte, 0, 255.toByte, 128.toByte)))
+    assert(s8.getLong(0) === 4L)
+    assert(s8.getDouble(1) === 1.0) // |−128|/128
+    assert(s8.getDouble(2) === math.sqrt((16384.0 + 16129.0) / 4) / 128)
+    assert(s8.getDouble(3) === (-1.0 / 4) / 128)
+    assert(s8.getDouble(4) === 1.0 / 4) // clip threshold 128: only −128
+    assert(s8.getDouble(5) === 2.0 / 4) // silence threshold 0: exact centers
+    // truncated payload audits the samples actually present (whole
+    // samples only): 6 of 12 data bytes → 3 of 6 samples
+    val st3 = Multimodal.decodePcmStats(wav.dropRight(6))
+    assert(st3.getLong(0) === 3L)
+    assert(st3.getDouble(1) === 16384.0 / 32768)
+    // degrade tiers: empty data chunk → (0, nulls); IEEE-float format
+    // tag, foreign bytes, null → all-null
+    val empty = Multimodal.decodePcmStats(Multimodal.wavBytes(Array.empty[Int]))
+    assert(empty.getLong(0) === 0L && (1 to 5).forall(empty.isNullAt))
+    assert((0 to 5).forall(Multimodal.decodePcmStats(
+      wav8(3, Array[Byte](0, 0, 0, 0))).isNullAt))
+    assert((0 to 5).forall(Multimodal.decodePcmStats("not audio".getBytes).isNullAt))
+    assert((0 to 5).forall(Multimodal.decodePcmStats(null).isNullAt))
+    // synth→decode round-trip through the per-partition frame
+    // contract: null sample arrays → all-null stats, real arrays →
+    // real container → real parse
+    val df = Seq((1L, Some(Seq(0, 16384))), (2L, None))
+      .toDF("doc_id", "samples")
+    val rt = Multimodal.synthWavStats(df, "samples")
+      .select("doc_id", "n_samples", "peak")
+      .collect().sortBy(_.getLong(0))
+    assert(rt(0).getLong(1) === 2L && rt(0).getDouble(2) === 16384.0 / 32768)
+    assert(rt(1).isNullAt(1) && rt(1).isNullAt(2))
+  }
+
+  test("importanceWeights (DSIR hashed n-gram log-ratio) scores " +
+    "target-like docs above off-target ones, counts grams exactly, " +
+    "omits empty docs, and quantizes before the per-doc sum") {
+    val raw = Seq(
+      (1L, "the cat sat", "en"),
+      (2L, "le chat noir", "fr"),
+      (3L, "the dog sat", "en"),
+      (4L, "", "fr")).toDF("doc_id", "text", "lang")
+    val out = TextStats.importanceWeights(
+      raw, raw.filter(col("lang") === "en"))
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(!rows.contains(4L)) // no grams, no row
+    // 3 tokens → 3 unigrams + 2 bigrams, exact regardless of bucket
+    // collisions (counts sum over the doc's buckets)
+    assert(rows.values.forall(_.getAs[Long]("n_grams") === 5L))
+    val w = (id: Long) => rows(id).getAs[Double]("logw")
+    // target-distribution docs carry positive weight (their buckets'
+    // target share exceeds raw share); the off-target doc is negative
+    assert(w(1L) > 0 && w(3L) > 0 && w(2L) < 0)
+    assert(w(1L) > w(2L) && w(3L) > w(2L))
+    // logw is exactly the quantized long sum / 10000
+    assert(rows.values.forall(r =>
+      r.getAs[Double]("logw") === r.getAs[Long]("sum_lrq").toDouble / 10000))
+  }
+
   test("decodeMp4 parses a spec-conformant ISO-BMFF box tree: movie " +
     "timescale/duration from mvhd (v0 and v1), dims from the first " +
     "video tkhd (audio tracks carry zeros), track count; foreign and " +
