@@ -802,16 +802,9 @@ object TextStats {
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    val ts = filter(tokens(col(textCol)), t => length(t) > 0)
-    val bi = when(size(ts) >= 2,
-      transform(sequence(lit(1), size(ts) - 1),
-        i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
-      .otherwise(array().cast("array<string>"))
     def grams(df: DataFrame, keep: Seq[String]): DataFrame =
-      df.select(keep.map(col) :+ explode(concat(ts, bi)).as("g"): _*)
-        .select(keep.map(col) :+
-          (conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long")
-            % buckets).as("b"): _*)
+      df.select(keep.map(col) :+
+        explode(gramBuckets(textCol, buckets)).as("b"): _*)
     val rawB = grams(raw, Nil).groupBy("b").agg(count(lit(1)).as("cr"))
     val tgtB = grams(target, Nil).groupBy("b").agg(count(lit(1)).as("ct"))
     val totR = rawB.agg(coalesce(sum(col("cr")), lit(0L)).as("tot_r"))
@@ -832,5 +825,79 @@ object TextStats {
       .agg(sum(col("c")).as("n_grams"),
         sum(col("c") * col("lrq")).as("sum_lrq"))
       .withColumn("logw", col("sum_lrq").cast("double") / 10000)
+  }
+
+  /** DSIR hashed-gram bucket ids as one array expression — the shared
+    * feature definition behind [[importanceWeights]] (batch),
+    * [[importanceRatioTable]] (table build), and
+    * [[importanceScoreColumns]] (serving/streaming): unigrams+bigrams
+    * of the length-filtered token list, each md5-bucketed into
+    * `buckets` slots. One definition, so a scorer can never hash
+    * differently from the table it scores against.
+    */
+  private[graft] def gramBuckets(textCol: String, buckets: Int): Column = {
+    val ts = filter(tokens(col(textCol)), t => length(t) > 0)
+    val bi = when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(ts, bi),
+      g => conv(substring(md5(g), 1, 4), 16, 10).cast("long") % buckets)
+  }
+
+  /** The DSIR log-ratio MODEL as a dense serving table: quantized
+    * `floor(ln(p_t(b)/p_r(b))*10000)` for EVERY bucket 0..B-1 — the
+    * batch scorer only needs raw-present buckets, but a scorer serving
+    * unseen documents (a stream) hashes into buckets the raw corpus
+    * never touched, so the table must cover the full domain (absent
+    * buckets fall back to the smoothing floor on both distributions).
+    * Same integer-product / Math.log arithmetic as
+    * [[importanceWeights]]'s expression path, so table scores are
+    * bit-identical to batch scores for any doc the batch path covers.
+    *
+    * Driver-side by design: two B-row aggregations collect (bounded by
+    * `buckets`, the vocab-probe tier of justified collects) and the
+    * B-entry array rides the plan as a literal — scoring then needs no
+    * join at all ([[qualityClassifier]]'s model-in-plan move).
+    */
+  def importanceRatioTable(raw: DataFrame, target: DataFrame,
+                           buckets: Int = 1024,
+                           textCol: String = "text"): Array[Long] = {
+    require(buckets >= 1, "buckets must be >= 1")
+    def counts(df: DataFrame): Map[Int, Long] =
+      df.select(explode(gramBuckets(textCol, buckets)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val cr = counts(raw)
+    val ct = counts(target)
+    val totR = cr.values.sum
+    val totT = ct.values.sum
+    Array.tabulate(buckets) { b =>
+      val num = ((ct.getOrElse(b, 0L) + 1) * (totR + buckets)).toDouble
+      val den = ((cr.getOrElse(b, 0L) + 1) * (totT + buckets)).toDouble
+      math.floor(math.log(num / den) * 10000).toLong
+    }
+  }
+
+  /** Stateless DSIR scoring columns off a [[importanceRatioTable]]:
+    * (n_grams, sum_lrq, logw) as PURE expressions — the table is a
+    * plan literal (`element_at` lookup), the per-doc sum folds the
+    * gram array left-to-right in exact longs, and nothing shuffles or
+    * joins: scoring a 100 TB stream (or lake) is an embarrassingly
+    * parallel map. Differences from the batch scorer, by contract:
+    * gram-less docs score (0, 0, 0.0) here (a filter drops them where
+    * the batch path emits nothing), and null text scores nulls.
+    */
+  def importanceScoreColumns(table: Array[Long],
+                             textCol: String = "text"): Seq[Column] = {
+    require(table.nonEmpty, "ratio table must be non-empty")
+    val w = typedLit(table.toSeq)
+    val bks = gramBuckets(textCol, table.length)
+    val sumLrq = aggregate(
+      transform(bks, b => element_at(w, (b + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+    Seq(size(bks).cast("long").as("n_grams"),
+      sumLrq.as("sum_lrq"),
+      (sumLrq.cast("double") / 10000).as("logw"))
   }
 }

@@ -437,15 +437,46 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Shared DSIR weight frame (English target): materialized once and
+    * read by the weight report AND the resample — the same
+    * deployed-index discipline as the MinHash/ANN memos (a pipeline
+    * scores the corpus once, then every selection pass reads the
+    * scores).
+    */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "dsir_w")(
+      TextStats.importanceWeights(docs(s, d),
+        docs(s, d).filter(col("lang") === "en")))
+
   /** DSIR importance weights over the full corpus, with the English
     * documents as the target distribution — the score a weighted
-    * resample ([[graft.ops.Sampling]]) consumes to pull a
-    * target-shaped subset out of the raw crawl.
+    * resample consumes to pull a target-shaped subset out of the raw
+    * crawl.
     */
-  def dsir(s: SparkSession, d: String): DataFrame = {
-    val all = docs(s, d)
-    TextStats.importanceWeights(all, all.filter(col("lang") === "en"))
-      .orderBy("doc_id")
+  def dsir(s: SparkSession, d: String): DataFrame =
+    dsirWeights(s, d).orderBy("doc_id")
+
+  /** The DSIR paper's actual selection step: Gumbel-top-k resampling
+    * over the importance weights — ranking by `logw + Gumbel(0,1)`
+    * draws k docs WITHOUT replacement with probability proportional
+    * to `exp(logw)` (the Gumbel-max trick), without ever needing the
+    * un-loggable weights themselves. The Gumbel noise is a
+    * deterministic function of doc_id (md5-derived uniform, the
+    * [[graft.ops.Sampling]] convention), and the ranking key
+    * quantizes to fixed-point with a doc_id tie-break, so the drawn
+    * set is engine-reproducible. TakeOrdered (orderBy+limit) keeps
+    * the selection a top-k, not a global sort.
+    */
+  def dsirSample(s: SparkSession, d: String): DataFrame = {
+    val v5 = conv(substring(md5(concat(lit("gum:"),
+      col("doc_id").cast("string"))), 1, 5), 16, 10).cast("long")
+    val u = (v5 + 1).cast("double") / 1048577.0
+    dsirWeights(s, d)
+      .withColumn("key_q",
+        floor((col("logw") - log(-log(u))) * 10000).cast("long"))
+      .orderBy(col("key_q").desc, col("doc_id"))
+      .limit(100)
+      .select("doc_id", "logw", "key_q")
   }
 
   /** Temperature-based source mixing weights (alpha = 0.5, the
@@ -1330,6 +1361,49 @@ object ExtensionQueries {
         |  CAST(sum(c * lrq) AS DOUBLE) / 10000 AS logw
         |FROM dc JOIN lr ON dc.b = lr.b
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dsir_sample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text,' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(list_concat(ts,
+        |    CASE WHEN len(ts) >= 2
+        |      THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+        |      ELSE [] END)) AS g
+        |  FROM t),
+        |bk AS (SELECT doc_id, lang,
+        |    ((strpos('0123456789abcdef', substr(md5(g),1,1))-1)*4096 +
+        |     (strpos('0123456789abcdef', substr(md5(g),2,1))-1)*256 +
+        |     (strpos('0123456789abcdef', substr(md5(g),3,1))-1)*16 +
+        |     (strpos('0123456789abcdef', substr(md5(g),4,1))-1)) % 1024 AS b
+        |  FROM g),
+        |rawb AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM bk GROUP BY b),
+        |tgtb AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM bk
+        |  WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT
+        |    CAST((SELECT COALESCE(sum(cr), 0) FROM rawb) AS BIGINT) AS tot_r,
+        |    CAST((SELECT COALESCE(sum(ct), 0) FROM tgtb) AS BIGINT) AS tot_t),
+        |lr AS (SELECT rawb.b,
+        |    CAST(floor(ln(
+        |      CAST((COALESCE(ct, 0) + 1) * (tot_r + 1024) AS DOUBLE) /
+        |      CAST((cr + 1) * (tot_t + 1024) AS DOUBLE)) * 10000) AS BIGINT) AS lrq
+        |  FROM rawb LEFT JOIN tgtb ON rawb.b = tgtb.b, tot),
+        |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM bk GROUP BY doc_id, b),
+        |w AS (SELECT doc_id,
+        |    CAST(sum(c * lrq) AS DOUBLE) / 10000 AS logw
+        |  FROM dc JOIN lr ON dc.b = lr.b GROUP BY doc_id),
+        |k AS (SELECT doc_id, logw,
+        |    CAST(floor((logw - ln(-ln(
+        |      CAST((
+        |        (strpos('0123456789abcdef', substr(md5('gum:' || CAST(doc_id AS VARCHAR)),1,1))-1)*65536 +
+        |        (strpos('0123456789abcdef', substr(md5('gum:' || CAST(doc_id AS VARCHAR)),2,1))-1)*4096 +
+        |        (strpos('0123456789abcdef', substr(md5('gum:' || CAST(doc_id AS VARCHAR)),3,1))-1)*256 +
+        |        (strpos('0123456789abcdef', substr(md5('gum:' || CAST(doc_id AS VARCHAR)),4,1))-1)*16 +
+        |        (strpos('0123456789abcdef', substr(md5('gum:' || CAST(doc_id AS VARCHAR)),5,1))-1)
+        |        + 1) AS DOUBLE) / 1048577))) * 10000) AS BIGINT) AS key_q
+        |  FROM w)
+        |SELECT doc_id, logw, key_q FROM k
+        |ORDER BY key_q DESC, doc_id LIMIT 100""".stripMargin,
     "q_audio_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS ts FROM documents),
         |v AS (SELECT doc_id,
@@ -2475,6 +2549,7 @@ object ExtensionQueries {
     "q_bm25"            -> (bm25 _),
     "q_lm_score"        -> (lmScore _),
     "q_dsir"            -> (dsir _),
+    "q_dsir_sample"     -> (dsirSample _),
     "q_audio_stats"     -> (audioStats _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),

@@ -339,6 +339,51 @@ object EventStreamOps {
         col("n_pairs") * 1000000L > lit(alertPpm) * lit(expectedPerWindow))
   }
 
+  /** LIVE DSIR scorer — the streaming twin of
+    * [[graft.ops.TextStats.importanceWeights]]: every arriving
+    * document gains (n_grams, sum_lrq, logw) against a FROZEN
+    * log-ratio table ([[graft.ops.TextStats.importanceRatioTable]],
+    * trained batch-side on raw vs target corpora). The score is a
+    * PURE stateless projection — the B-entry table rides the plan as
+    * a literal, so there is no join, no shuffle, and no state: the
+    * ingest gate a pipeline puts in front of its lake ("is this crawl
+    * batch drifting off-target?") at per-row cost. Scores are
+    * bit-identical to the batch scorer for any doc the batch path
+    * covers (shared gram/bucket/quantization definitions).
+    */
+  def streamingImportanceWeights(docs: DataFrame, ratioTable: Array[Long],
+                                 textCol: String = "text"): DataFrame =
+    docs.select(docs.columns.toIndexedSeq.map(col) ++
+      graft.ops.TextStats.importanceScoreColumns(ratioTable, textCol): _*)
+
+  /** Windowed importance-drift monitor over the live scores: per
+    * (tumbling window, source), the doc count and mean log importance
+    * weight, flagged `off_target` below a calibrated floor — the
+    * tripwire that catches a source's content drifting away from the
+    * target distribution within a window of it happening, rather than
+    * at the next batch re-score. ONE stateful operator (the windowed
+    * aggregation; scoring itself is stateless), state bounded by the
+    * lateness window; the mean is exact-integer `sum_lrq` arithmetic
+    * with one final division, the usual order-free discipline.
+    * Gram-less docs are excluded (they carry no evidence either way).
+    */
+  def streamingImportanceDrift(docs: DataFrame, ratioTable: Array[Long],
+                               minLogw: Double,
+                               window_ : String = "10 minutes",
+                               lateness: String = "10 minutes",
+                               textCol: String = "text",
+                               srcCol: String = "source",
+                               tsCol: String = "ts"): DataFrame =
+    streamingImportanceWeights(
+        docs.withWatermark(tsCol, lateness), ratioTable, textCol)
+      .filter(col("n_grams") > 0)
+      .groupBy(window(col(tsCol), window_), col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sum_lrq")).as("tot_lrq"))
+      .withColumn("mean_logw",
+        col("tot_lrq").cast("double") / col("n_docs") / 10000)
+      .withColumn("off_target", col("mean_logw") < minLogw)
+
   /** Stream-stream interval attribution: join a purchase stream to a
     * click/view stream of the same user within a bounded look-back
     * window — the streaming counterpart of

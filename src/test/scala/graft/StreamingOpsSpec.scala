@@ -389,6 +389,57 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingImportanceDrift: live DSIR scores match the batch " +
+    "scorer; per-window source means flag off-target drift; gram-less " +
+    "docs carry no evidence") {
+    import graft.ops.TextStats
+    implicit val sc = spark.sqlContext
+    // batch-side model: en docs are the target distribution
+    val raw = Seq(
+      (1L, "the cat sat", "en"),
+      (2L, "le chat noir", "fr"),
+      (3L, "the dog sat", "en")).toDF("doc_id", "text", "lang")
+    val table = TextStats.importanceRatioTable(
+      raw, raw.filter(col("lang") === "en"))
+    // expected per-text sum_lrq from the (batch-parity-pinned) serving
+    // path — the drift mean must be exactly their integer mean /1e4
+    val exp = Seq((1L, "the cat sat"), (2L, "the dog sat"),
+        (3L, "le chat noir")).toDF("doc_id", "text")
+      .select(col("doc_id") +: TextStats.importanceScoreColumns(table): _*)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "source", "text")
+    val q = EventStreamOps.streamingImportanceDrift(df, table,
+        minLogw = 0.0, window_ = "10 minutes", lateness = "5 minutes")
+      .select(col("window.start").cast("string").as("w"), col("source"),
+        col("n_docs"), col("mean_logw"), col("off_target"))
+      .writeStream.format("memory").queryName("dsirdrift")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+      // crawlA streams target-like text, crawlB streams off-target
+      // text plus a gram-less doc (must not dilute the mean)
+      mem.addData(
+        (t(1), 11L, "crawlA", "the cat sat"),
+        (t(2), 12L, "crawlA", "the dog sat"),
+        (t(3), 13L, "crawlB", "le chat noir"),
+        (t(4), 14L, "crawlB", ""))
+      q.processAllAvailable()
+      mem.addData((t(25), 15L, "crawlA", "closing noise"))
+      q.processAllAvailable()
+      mem.addData((t(26), 16L, "crawlA", "more closing noise"))
+      q.processAllAvailable()
+      val rows = spark.table("dsirdrift")
+        .as[(String, String, Long, Double, Boolean)].collect().sorted
+      val meanA = (exp(1L) + exp(2L)).toDouble / 2 / 10000
+      val meanB = exp(3L).toDouble / 1 / 10000
+      assert(rows.toSeq === Seq(
+        ("2020-01-01 10:00:00", "crawlA", 2L, meanA, false),
+        ("2020-01-01 10:00:00", "crawlB", 1L, meanB, true)))
+      assert(meanA > 0 && meanB < 0)
+    } finally q.stop()
+  }
+
   test("Bpe.encode tokenizes a STREAM unchanged: the frozen merge list " +
     "rides the plan as a stateless projection, so live ingest gets the " +
     "exact batch tokenizer") {
