@@ -308,9 +308,14 @@ object Multimodal {
     *     `|v| >= FS - FS/256` (≥ 99.6 % FS), silence at
     *     `|v| <= FS/256`, with FS = 128 (8-bit) / 32768 (16-bit).
     */
-  def decodePcmStats(bytes: Array[Byte]): Row = {
-    val none = Row(null, null, null, null, null, null)
-    if (bytes == null) return none
+  /** PCM payload layout probe shared by the sample-level decoders:
+    * `(bits, dataOff, nSamples)` for a decodable PCM WAV, or null for
+    * anything the sample tier does not cover. Same LONG-arithmetic
+    * chunk walk as [[decodeWav]] (placeholder 0xFFFFFFFF sizes must
+    * not pin or reverse the cursor), but this pass also needs the
+    * data chunk's OFFSET, not just its declared size.
+    */
+  private def pcmLayout(bytes: Array[Byte]): (Int, Long, Long) = {
     def u16(off: Int): Int =
       (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
     def u32(off: Int): Long =
@@ -318,53 +323,124 @@ object Multimodal {
         ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
     def tag(off: Int): String =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return none
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var off = 12L
+    var fmt: (Int, Int) = null // (format, bits)
+    var dataOff = -1L
+    var dataSize = -1L
+    while (off + 8 <= bytes.length && (fmt == null || dataOff < 0)) {
+      val id = tag(off.toInt)
+      val size = u32(off.toInt + 4)
+      val body = off + 8
+      if (id == "fmt " && fmt == null && size >= 16 && body + 16 <= bytes.length)
+        fmt = (u16(body.toInt), u16(body.toInt + 14))
+      else if (id == "data" && dataOff < 0) { dataOff = body; dataSize = size }
+      off = body + size + (size & 1)
+    }
+    if (fmt == null || dataOff < 0) return null
+    val (format, bits) = fmt
+    if (format != 1 || (bits != 8 && bits != 16)) return null
+    val avail = math.max(0L, math.min(dataSize, bytes.length - dataOff))
+    val n = avail / (bits / 8) // whole samples actually present
+    if (n > (1L << 33)) return null // exact-sumsq bound, documented
+    (bits, dataOff, n)
+  }
+
+  /** Sample at index `i` (0-based) for a probed [[pcmLayout]]. */
+  @inline private def pcmSample(bytes: Array[Byte], bits: Int,
+                                dataOff: Long, i: Long): Long = {
+    if (bits == 8) (bytes((dataOff + i).toInt) & 0xff).toLong - 128L
+    else {
+      val o = (dataOff + i * 2).toInt
+      ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toLong
+    }
+  }
+
+  def decodePcmStats(bytes: Array[Byte]): Row = {
+    val none = Row(null, null, null, null, null, null)
+    if (bytes == null) return none
     try {
-      // same LONG-arithmetic walk as decodeWav (placeholder 0xFFFFFFFF
-      // sizes must not pin or reverse the cursor), but this pass also
-      // needs the data chunk's OFFSET, not just its declared size
-      var off = 12L
-      var fmt: (Int, Int) = null // (format, bits)
-      var dataOff = -1L
-      var dataSize = -1L
-      while (off + 8 <= bytes.length && (fmt == null || dataOff < 0)) {
-        val id = tag(off.toInt)
-        val size = u32(off.toInt + 4)
-        val body = off + 8
-        if (id == "fmt " && fmt == null && size >= 16 && body + 16 <= bytes.length)
-          fmt = (u16(body.toInt), u16(body.toInt + 14))
-        else if (id == "data" && dataOff < 0) { dataOff = body; dataSize = size }
-        off = body + size + (size & 1)
-      }
-      if (fmt == null || dataOff < 0) return none
-      val (format, bits) = fmt
-      if (format != 1 || (bits != 8 && bits != 16)) return none
-      val bytesPer = bits / 8
-      val avail = math.max(0L, math.min(dataSize, bytes.length - dataOff))
-      val n = avail / bytesPer // whole samples actually present
+      val layout = pcmLayout(bytes)
+      if (layout == null) return none
+      val (bits, dataOff, n) = layout
       if (n == 0) return Row(0L, null, null, null, null, null)
-      if (n > (1L << 33)) return none // exact-sumsq bound, documented
       val fs = if (bits == 8) 128L else 32768L
       val clipThr = fs - (fs >> 8)
       val silThr = fs >> 8
-      var i = dataOff.toInt
-      val end = (dataOff + n * bytesPer).toInt
+      var i = 0L
       var sum = 0L; var sumSq = 0L; var mx = 0L
       var clipN = 0L; var silN = 0L
-      while (i < end) {
-        val v: Long =
-          if (bits == 8) (bytes(i) & 0xff).toLong - 128L
-          else ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+      while (i < n) {
+        val v = pcmSample(bytes, bits, dataOff, i)
         val a = if (v < 0) -v else v
         sum += v; sumSq += v * v
         if (a > mx) mx = a
         if (a >= clipThr) clipN += 1
         if (a <= silThr) silN += 1
-        i += bytesPer
+        i += 1
       }
       val nd = n.toDouble
       Row(n, mx.toDouble / fs, math.sqrt(sumSq.toDouble / nd) / fs,
         (sum.toDouble / nd) / fs, clipN.toDouble / nd, silN.toDouble / nd)
+    } catch {
+      case scala.util.control.NonFatal(_) => none
+    }
+  }
+
+  /** Declared schema of the frame-energy audit ([[decodePcmFrames]]). */
+  val pcmFrameSchema: StructType = StructType(Seq(
+    StructField("n_frames", LongType, nullable = true),
+    StructField("voiced_frames", LongType, nullable = true),
+    StructField("voiced_ratio", DoubleType, nullable = true),
+    StructField("longest_voiced_run", LongType, nullable = true)
+  ))
+
+  /** Frame-energy / voice-activity audit over REAL PCM samples — the
+    * segmentation pass an audio-curation pipeline runs to drop
+    * silence-heavy clips and find speech spans: samples split into
+    * fixed `frameLen`-sample frames (last frame partial), a frame is
+    * "voiced" when its mean square exceeds one third of full scale
+    * squared (`3·Σv² > n_f·FS²` — exact integers, no float
+    * accumulation), and the audit emits the frame count, voiced
+    * count/ratio, and the LONGEST voiced run. The run length falls
+    * out of the sequential decode for free — the same statistic in
+    * SQL costs two window functions over the frame table (the oracle
+    * pays exactly that, documenting the trade). Same coverage /
+    * degrade contract as [[decodePcmStats]].
+    */
+  def decodePcmFrames(frameLen: Int)(bytes: Array[Byte]): Row = {
+    // the upper bound keeps the per-frame 3·Σv² test inside exact
+    // 64-bit range (frameLen·2^30·3 < 2^63)
+    require(frameLen >= 1 && frameLen <= (1 << 20),
+      s"frameLen must be in [1, 2^20], got $frameLen")
+    val none = Row(null, null, null, null)
+    if (bytes == null) return none
+    try {
+      val layout = pcmLayout(bytes)
+      if (layout == null) return none
+      val (bits, dataOff, n) = layout
+      if (n == 0) return Row(0L, 0L, null, 0L)
+      val fs = if (bits == 8) 128L else 32768L
+      val fs2 = fs * fs
+      var i = 0L
+      var nFrames = 0L; var voiced = 0L
+      var run = 0L; var bestRun = 0L
+      while (i < n) {
+        val end = math.min(i + frameLen, n)
+        var ss = 0L
+        var j = i
+        while (j < end) {
+          val v = pcmSample(bytes, bits, dataOff, j)
+          ss += v * v; j += 1
+        }
+        nFrames += 1
+        if (3L * ss > (end - i) * fs2) {
+          voiced += 1; run += 1
+          if (run > bestRun) bestRun = run
+        } else run = 0L
+        i = end
+      }
+      Row(nFrames, voiced, voiced.toDouble / nFrames, bestRun)
     } catch {
       case scala.util.control.NonFatal(_) => none
     }
@@ -418,15 +494,29 @@ object Multimodal {
     * contract); empty arrays to (0, null…).
     */
   def synthWavStats(df: DataFrame, samplesCol: String,
-                    sampleRate: Int = 8000): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ pcmStatsSchema.fields)
+                    sampleRate: Int = 8000): DataFrame =
+    synthWavDecode(df, samplesCol, pcmStatsSchema, decodePcmStats, sampleRate)
+
+  /** [[synthWavStats]]'s frame-energy sibling: write, REALLY parse,
+    * emit [[pcmFrameSchema]] via [[decodePcmFrames]].
+    */
+  def synthWavFrames(df: DataFrame, samplesCol: String, frameLen: Int,
+                     sampleRate: Int = 8000): DataFrame =
+    synthWavDecode(df, samplesCol, pcmFrameSchema, decodePcmFrames(frameLen),
+      sampleRate)
+
+  private def synthWavDecode(df: DataFrame, samplesCol: String,
+                             schema: StructType,
+                             decode: Array[Byte] => Row,
+                             sampleRate: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ schema.fields)
     val idx = df.schema.fieldIndex(samplesCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
         val s = r.getAs[scala.collection.Seq[Int]](idx)
         val stats =
-          if (s == null) decodePcmStats(null)
-          else decodePcmStats(wavBytes(s.toArray, sampleRate))
+          if (s == null) decode(null)
+          else decode(wavBytes(s.toArray, sampleRate))
         Row.fromSeq(r.toSeq ++ stats.toSeq)
       }
     }

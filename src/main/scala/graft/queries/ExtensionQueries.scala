@@ -847,16 +847,36 @@ object ExtensionQueries {
     * writer or the parser breaks the hash — the binary codec path
     * itself sits under the oracle gate, not just its plumbing.
     */
-  def audioStats(s: SparkSession, d: String): DataFrame = {
-    val samples = transform(
-      filter(TextStats.tokens(col("text")), t => length(t) > 0),
-      t => (conv(substring(md5(t), 1, 4), 16, 10).cast("long") - 32768L)
-        .cast("int"))
+  /** Token-derived 16-bit PCM samples — the oracle-reproducible
+    * waveform both audio queries synthesize before the REAL
+    * write→parse round-trip.
+    */
+  private def tokenSamples = transform(
+    filter(TextStats.tokens(col("text")), t => length(t) > 0),
+    t => (conv(substring(md5(t), 1, 4), 16, 10).cast("long") - 32768L)
+      .cast("int"))
+
+  def audioStats(s: SparkSession, d: String): DataFrame =
     Multimodal.synthWavStats(
-        docs(s, d).select(col("doc_id"), samples.as("samples")), "samples")
+        docs(s, d).select(col("doc_id"), tokenSamples.as("samples")),
+        "samples")
       .drop("samples")
       .orderBy("doc_id")
-  }
+
+  /** Frame-energy / voice-activity audit through the same REAL
+    * write→parse path ([[Multimodal.decodePcmFrames]], 16-sample
+    * frames): voiced-frame counts and the longest voiced run, which
+    * the sequential decode pass computes for free while the DuckDB
+    * oracle needs a two-window islands computation over the frame
+    * table to reproduce — the audit that decides which clips are
+    * silence-heavy enough to drop.
+    */
+  def audioVad(s: SparkSession, d: String): DataFrame =
+    Multimodal.synthWavFrames(
+        docs(s, d).select(col("doc_id"), tokenSamples.as("samples")),
+        "samples", frameLen = 16)
+      .drop("samples")
+      .orderBy("doc_id")
 
   /** Deterministic mean-pooling: every run of 10 consecutive vec_ids
     * plays one "document" whose chunk embeddings pool to a single
@@ -1428,6 +1448,38 @@ object ExtensionQueries {
         |  CAST(sil AS DOUBLE) / n AS silence_ratio
         |FROM t LEFT JOIN s ON t.doc_id = s.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "q_audio_vad" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |v AS (SELECT doc_id, i,
+        |    (strpos('0123456789abcdef', substr(md5(ts[i]),1,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5(ts[i]),2,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5(ts[i]),3,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5(ts[i]),4,1))-1) - 32768 AS v
+        |  FROM t, unnest(range(1, len(ts)+1)) AS u(i)),
+        |fr AS (SELECT doc_id, (i-1)//16 AS f, CAST(sum(v*v) AS BIGINT) AS ss,
+        |    CAST(count(*) AS BIGINT) AS nf
+        |  FROM v GROUP BY doc_id, ((i-1)//16)),
+        |vo AS (SELECT doc_id, f, (3*ss > nf*1073741824) AS voiced FROM fr),
+        |runs AS (SELECT doc_id, voiced,
+        |    f - row_number() OVER (PARTITION BY doc_id, voiced ORDER BY f) AS grp
+        |  FROM vo),
+        |rl AS (SELECT doc_id, voiced, CAST(count(*) AS BIGINT) AS run_len
+        |  FROM runs GROUP BY doc_id, voiced, grp),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT) AS voiced_frames
+        |  FROM vo GROUP BY doc_id),
+        |lv AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS longest
+        |  FROM rl WHERE voiced GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(agg.n_frames, 0) AS BIGINT) AS n_frames,
+        |  CAST(COALESCE(agg.voiced_frames, 0) AS BIGINT) AS voiced_frames,
+        |  CAST(agg.voiced_frames AS DOUBLE) / agg.n_frames AS voiced_ratio,
+        |  CAST(COALESCE(lv.longest, 0) AS BIGINT) AS longest_voiced_run
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id) LEFT JOIN lv USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_mix_weights" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
@@ -2551,6 +2603,7 @@ object ExtensionQueries {
     "q_dsir"            -> (dsir _),
     "q_dsir_sample"     -> (dsirSample _),
     "q_audio_stats"     -> (audioStats _),
+    "q_audio_vad"       -> (audioVad _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),
     "q_repetition"      -> (repetition _),

@@ -112,4 +112,22 @@ class FrameMemoSpec extends SparkSpec {
     assert(ExtensionQueries.sharedBuildCount === c1,
       "the estimator must reuse the memoized signature + pair indexes")
   }
+
+  test("q_dsir and q_dsir_sample share ONE importance-weight build " +
+    "(the corpus is scored once; the resample reads the scores)") {
+    import graft.queries.ExtensionQueries
+    val dir = java.nio.file.Files.createTempDirectory("dsirshare").toString
+    (0 until 40).map(i =>
+        (i.toLong, s"tok${i % 7} tok${(i + 1) % 5} body $i",
+          if (i % 2 == 0) "en" else "fr", s"src${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val c0 = ExtensionQueries.sharedBuildCount
+    ExtensionQueries.dsir(spark, dir).count()
+    val c1 = ExtensionQueries.sharedBuildCount
+    assert(c1 - c0 === 1, "expected exactly the weight-frame build")
+    ExtensionQueries.dsirSample(spark, dir).count()
+    assert(ExtensionQueries.sharedBuildCount === c1,
+      "the resample must reuse the memoized weight frame")
+  }
 }

@@ -819,6 +819,34 @@ class OpsSpec extends SparkSpec {
     assert(rt(1).isNullAt(1) && rt(1).isNullAt(2))
   }
 
+  test("decodePcmFrames: fixed-frame energy segmentation with the " +
+    "exact integer voicing test (3·Σv² > n_f·FS², boundary-pinned), " +
+    "longest-run tracking, partial last frame, degrade contract") {
+    def block(v: Int, n: Int) = Array.fill(n)(v)
+    // frames of 4: voiced, quiet, voiced, voiced, partial-quiet
+    val samples = block(32000, 4) ++ block(1000, 4) ++ block(32000, 4) ++
+      block(-32000, 4) ++ block(1000, 2)
+    val f = Multimodal.decodePcmFrames(4)(Multimodal.wavBytes(samples))
+    assert(f.getLong(0) === 5L) // 4 full + 1 partial
+    assert(f.getLong(1) === 3L)
+    assert(f.getDouble(2) === 3.0 / 5)
+    assert(f.getLong(3) === 2L) // frames 3,4 voiced back-to-back
+    // the voicing boundary is EXACT integer arithmetic: constant
+    // amplitude a is voiced iff 3a² > FS² — one amplitude step apart
+    assert(Multimodal.decodePcmFrames(4)(
+      Multimodal.wavBytes(block(18919, 4))).getLong(1) === 1L)
+    assert(Multimodal.decodePcmFrames(4)(
+      Multimodal.wavBytes(block(18918, 4))).getLong(1) === 0L)
+    // empty data chunk and degrade tiers
+    val empty = Multimodal.decodePcmFrames(4)(
+      Multimodal.wavBytes(Array.empty[Int]))
+    assert(empty.getLong(0) === 0L && empty.getLong(1) === 0L &&
+      empty.isNullAt(2) && empty.getLong(3) === 0L)
+    assert((0 to 3).forall(
+      Multimodal.decodePcmFrames(4)("not audio".getBytes).isNullAt))
+    assert((0 to 3).forall(Multimodal.decodePcmFrames(4)(null).isNullAt))
+  }
+
   test("importanceWeights (DSIR hashed n-gram log-ratio) scores " +
     "target-like docs above off-target ones, counts grams exactly, " +
     "omits empty docs, and quantizes before the per-doc sum") {

@@ -313,4 +313,27 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 4, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("importanceWeights (DSIR): the B-row log-ratio table broadcasts " +
+    "onto the doc-bucket counts — the big side never sort-merge-joins " +
+    "— and the (doc, bucket) aggregation carries map-side partials") {
+    val p = plan(TextStats.importanceWeights(
+      docs, docs.filter(col("doc_id") % 2 === 0)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only nested-loop joins are the broadcast 1-row totals
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+  }
+
+  test("importanceScoreColumns (DSIR serving): the frozen table is a " +
+    "plan literal — scoring is a pure projection, zero Exchanges, " +
+    "zero joins") {
+    val table = TextStats.importanceRatioTable(
+      docs, docs.filter(col("doc_id") % 2 === 0))
+    val p = plan(docs.select(
+      col("doc_id") +: TextStats.importanceScoreColumns(table): _*))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
