@@ -523,6 +523,134 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Declared schema of REAL pixel statistics ([[decodeImagePixels]]):
+    * unreadable payloads leave every field null; a 0-pixel image
+    * leaves the dims and `n_pixels` 0 and the ratios null.
+    */
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_pixels", LongType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true),
+    StructField("dark_ratio", DoubleType, nullable = true)
+  ))
+
+  /** REAL pixel decode — the tier above [[decodeImage]]'s header
+    * parse: a full `ImageIO` pixel read (PNG/BMP/GIF exact; JPEG
+    * whatever the JDK decoder yields) feeding channel means and a
+    * Rec.709-luma dark-pixel ratio, the exposure/garbage audit an
+    * image corpus runs before training. The accumulation discipline
+    * is [[decodePcmStats]]'s: EXACT 64-bit integer channel sums and
+    * an integer luma test (`2126·r + 7152·g + 722·b < 128·10⁴` — the
+    * Rec.709 coefficients scaled to integers), one float division
+    * per emitted stat, so results are bit-deterministic wherever the
+    * pixel values themselves are. Unreadable payloads degrade to
+    * nulls, never fail the task.
+    */
+  def decodeImagePixels(bytes: Array[Byte]): Row = {
+    val none = Row(null, null, null, null, null, null, null)
+    if (bytes == null) return none
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return none
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = w.toLong * h
+      if (n == 0) return Row(w, h, 0L, null, null, null, null)
+      if (n > (1L << 33)) return none // exact-sum bound, same as PCM
+      var sr = 0L; var sg = 0L; var sb = 0L; var dark = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val r = (p >> 16) & 0xff
+          val g = (p >> 8) & 0xff
+          val b = p & 0xff
+          sr += r; sg += g; sb += b
+          if (2126L * r + 7152L * g + 722L * b < 1280000L) dark += 1
+          x += 1
+        }
+        y += 1
+      }
+      val nd = n.toDouble
+      Row(w, h, n, sr.toDouble / nd, sg.toDouble / nd, sb.toDouble / nd,
+        dark.toDouble / nd)
+    } catch {
+      case scala.util.control.NonFatal(_) => none
+    }
+  }
+
+  /** Attach REAL pixel statistics ([[decodeImagePixels]]) — same
+    * Iterator→Iterator per-partition batching contract as the other
+    * decoders; output schema = input ++ [[imageStatsSchema]].
+    */
+  def decodePixelMeta(df: DataFrame, binCol: String): DataFrame =
+    attachMeta(df, binCol, imageStatsSchema, decodeImagePixels)
+
+  /** Canonical uncompressed 24-bpp BMP writer (BITMAPINFOHEADER,
+    * bottom-up BGR rows, 4-byte stride padding) — the image twin of
+    * [[wavBytes]]: a deterministic, byte-exact container for the
+    * synth→decode round-trip and the specs. `rgb` is row-major
+    * `0xRRGGBB`.
+    */
+  def bmpBytes(rgb: Array[Int], width: Int): Array[Byte] = {
+    require(width >= 1 && rgb.length % width == 0,
+      s"rgb length ${rgb.length} must be a positive multiple of width $width")
+    val h = rgb.length / width
+    val stride = (width * 3 + 3) & ~3
+    val dataSize = stride * h
+    val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = h - 1 // bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val p = rgb(y * width + x)
+        b.put((p & 0xff).toByte)
+          .put(((p >> 8) & 0xff).toByte)
+          .put(((p >> 16) & 0xff).toByte)
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Synth→decode image round-trip ([[synthWavStats]]'s image twin):
+    * each row's `0xRRGGBB` int-array column becomes a REAL 1-row-high
+    * BMP ([[bmpBytes]]) and is REALLY pixel-decoded back through
+    * `ImageIO` ([[decodeImagePixels]]) — output schema = input ++
+    * [[imageStatsSchema]]. Under the hash gate this proves the BMP
+    * layout and the pixel read agree byte-for-byte with the oracle's
+    * analytic expectation. Null arrays decode to all-null stats;
+    * empty arrays too (a 0-width BMP cannot exist).
+    */
+  def synthBmpStats(df: DataFrame, pixelsCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ imageStatsSchema.fields)
+    val idx = df.schema.fieldIndex(pixelsCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val s = r.getAs[scala.collection.Seq[Int]](idx)
+        val stats =
+          if (s == null || s.isEmpty) decodeImagePixels(null)
+          else decodeImagePixels(bmpBytes(s.toArray, s.length))
+        Row.fromSeq(r.toSeq ++ stats.toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Declared schema of REAL video-container metadata ([[decodeMp4]]):
     * non-ISO-BMFF payloads leave every field but n_bytes null.
     */

@@ -878,6 +878,24 @@ object ExtensionQueries {
       .drop("samples")
       .orderBy("doc_id")
 
+  /** REAL-codec image audit under the hash gate ([[audioStats]]'s
+    * image twin): token-derived `0xRRGGBB` pixels become a genuine
+    * 24-bpp BMP and are REALLY pixel-decoded back through `ImageIO`
+    * ([[Multimodal.synthBmpStats]] → [[Multimodal.decodeImagePixels]])
+    * — channel means and the Rec.709 dark-pixel ratio, with the
+    * oracle computing the expectation analytically from the same
+    * token hashes. A BMP-layout or pixel-read bug breaks the hash.
+    */
+  def imageStats(s: SparkSession, d: String): DataFrame = {
+    val pixels = transform(
+      filter(TextStats.tokens(col("text")), t => length(t) > 0),
+      t => conv(substring(md5(t), 1, 6), 16, 10).cast("long").cast("int"))
+    Multimodal.synthBmpStats(
+        docs(s, d).select(col("doc_id"), pixels.as("pixels")), "pixels")
+      .drop("pixels")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic mean-pooling: every run of 10 consecutive vec_ids
     * plays one "document" whose chunk embeddings pool to a single
     * vector (flat per-dimension rows; micro-fixed-point sums make the
@@ -1480,6 +1498,36 @@ object ExtensionQueries {
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN agg USING (doc_id) LEFT JOIN lv USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_image_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |v AS (SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*1048576 +
+        |    (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)*65536 +
+        |    (strpos('0123456789abcdef', substr(md5(tok),3,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5(tok),4,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5(tok),5,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5(tok),6,1))-1) AS v
+        |  FROM t, unnest(ts) AS u(tok)),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v // 65536) AS BIGINT) AS sr,
+        |    CAST(sum((v // 256) % 256) AS BIGINT) AS sg,
+        |    CAST(sum(v % 256) AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN 2126*(v // 65536) + 7152*((v // 256) % 256)
+        |                       + 722*(v % 256) < 1280000
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS dk
+        |  FROM v GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(s.n AS INT) AS width,
+        |  CAST(CASE WHEN s.n IS NOT NULL THEN 1 END AS INT) AS height,
+        |  s.n AS n_pixels,
+        |  CAST(sr AS DOUBLE) / n AS mean_r,
+        |  CAST(sg AS DOUBLE) / n AS mean_g,
+        |  CAST(sb AS DOUBLE) / n AS mean_b,
+        |  CAST(dk AS DOUBLE) / n AS dark_ratio
+        |FROM t LEFT JOIN s USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q_mix_weights" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
@@ -2604,6 +2652,7 @@ object ExtensionQueries {
     "q_dsir_sample"     -> (dsirSample _),
     "q_audio_stats"     -> (audioStats _),
     "q_audio_vad"       -> (audioVad _),
+    "q_image_stats"     -> (imageStats _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),
     "q_repetition"      -> (repetition _),

@@ -847,6 +847,50 @@ class OpsSpec extends SparkSpec {
     assert((0 to 3).forall(Multimodal.decodePcmFrames(4)(null).isNullAt))
   }
 
+  test("decodeImagePixels REALLY reads pixels (hand-assembled BMP and " +
+    "an ImageIO-written PNG of the same pixels give bit-identical " +
+    "stats): exact channel sums, Rec.709 dark boundary, degrade tiers") {
+    // 3x2 image with hand-computable channel sums; stride padding
+    // exercised (3*3 = 9 bytes/row pads to 12)
+    val rgb = Array(0xFF0000, 0x00FF00, 0x0000FF, 0x000000, 0xFFFFFF, 0x808080)
+    val st = Multimodal.decodeImagePixels(Multimodal.bmpBytes(rgb, 3))
+    assert(st.getInt(0) === 3 && st.getInt(1) === 2 && st.getLong(2) === 6L)
+    assert(st.getDouble(3) === (255.0 + 0 + 0 + 0 + 255 + 128) / 6)
+    assert(st.getDouble(4) === (0.0 + 255 + 0 + 0 + 255 + 128) / 6)
+    assert(st.getDouble(5) === (0.0 + 0 + 255 + 0 + 255 + 128) / 6)
+    // dark (luma < 128): red (luma 54), blue (18), black (0) — green
+    // (182), white (255), and gray-128 (exactly 128, strict <) are not
+    assert(st.getDouble(6) === 3.0 / 6)
+    // same pixels through the JDK's own PNG writer → identical stats:
+    // the decoder is format-agnostic, not tuned to our BMP layout
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, rgb(y * 3 + x))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    assert(Multimodal.decodeImagePixels(buf.toByteArray) === st)
+    // Rec.709 boundary is the EXACT integer test: gray 127 is dark,
+    // gray 128 is not (2126r+7152g+722b = 1280000 exactly, strict <)
+    assert(Multimodal.decodeImagePixels(
+      Multimodal.bmpBytes(Array(0x7F7F7F), 1)).getDouble(6) === 1.0)
+    assert(Multimodal.decodeImagePixels(
+      Multimodal.bmpBytes(Array(0x808080), 1)).getDouble(6) === 0.0)
+    // degrade tiers: foreign bytes, null
+    assert((0 to 6).forall(
+      Multimodal.decodeImagePixels("not an image".getBytes).isNullAt))
+    assert((0 to 6).forall(Multimodal.decodeImagePixels(null).isNullAt))
+    // synth→decode round-trip through the per-partition frame: null
+    // and empty pixel arrays → all-null stats
+    val df = Seq((1L, Some(Seq(0xFF0000, 0x000000))), (2L, None),
+      (3L, Some(Seq.empty[Int]))).toDF("doc_id", "pixels")
+    val rt = Multimodal.synthBmpStats(df, "pixels")
+      .select("doc_id", "width", "n_pixels", "mean_r")
+      .collect().sortBy(_.getLong(0))
+    assert(rt(0).getInt(1) === 2 && rt(0).getLong(2) === 2L &&
+      rt(0).getDouble(3) === 127.5)
+    assert(rt(1).isNullAt(1) && rt(2).isNullAt(1))
+  }
+
   test("importanceWeights (DSIR hashed n-gram log-ratio) scores " +
     "target-like docs above off-target ones, counts grams exactly, " +
     "omits empty docs, and quantizes before the per-doc sum") {
