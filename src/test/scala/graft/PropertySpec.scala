@@ -350,4 +350,71 @@ class PropertySpec extends SparkSpec {
       assert(drvM === seqM, s"seed=$seed")
     }
   }
+
+  test("property: PCM write->parse round-trip reproduces a driver-side " +
+    "reference on RANDOM sample arrays (stats and frame segmentation, " +
+    "6 seeds incl. empty and single-sample)") {
+    import graft.ops.Multimodal
+    for (seed <- 1L to 6L) {
+      val rnd = new scala.util.Random(seed)
+      val n = if (seed == 1L) 0 else if (seed == 2L) 1 else rnd.nextInt(200)
+      val s = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val wav = Multimodal.wavBytes(s)
+      val st = Multimodal.decodePcmStats(wav)
+      if (n == 0) {
+        assert(st.getLong(0) === 0L && (1 to 5).forall(st.isNullAt))
+      } else {
+        val sum = s.map(_.toLong).sum
+        val ssq = s.map(v => v.toLong * v).sum
+        val mx = s.map(v => math.abs(v.toLong)).max
+        assert(st.getLong(0) === n.toLong, s"seed=$seed")
+        assert(st.getDouble(1) === mx.toDouble / 32768, s"seed=$seed")
+        assert(st.getDouble(2) === math.sqrt(ssq.toDouble / n) / 32768)
+        assert(st.getDouble(3) === (sum.toDouble / n) / 32768)
+        assert(st.getDouble(4) ===
+          s.count(v => math.abs(v.toLong) >= 32640).toDouble / n)
+        assert(st.getDouble(5) ===
+          s.count(v => math.abs(v.toLong) <= 128).toDouble / n)
+        // frame segmentation vs a reference fold
+        val fl = 1 + rnd.nextInt(16)
+        val fr = Multimodal.decodePcmFrames(fl)(wav)
+        val frames = s.grouped(fl).toSeq
+        val voiced = frames.map(f =>
+          3L * f.map(v => v.toLong * v).sum > f.length.toLong * 32768L * 32768L)
+        val runs = voiced.foldLeft((0L, 0L)) { case ((cur, best), v) =>
+          if (v) (cur + 1, math.max(best, cur + 1)) else (0L, best)
+        }
+        assert(fr.getLong(0) === frames.length.toLong, s"seed=$seed fl=$fl")
+        assert(fr.getLong(1) === voiced.count(identity).toLong)
+        assert(fr.getDouble(2) === voiced.count(identity).toDouble / frames.length)
+        assert(fr.getLong(3) === runs._2, s"seed=$seed fl=$fl")
+      }
+    }
+  }
+
+  test("property: DSIR serving-table scores == batch scorer on RANDOM " +
+    "corpora and random target subsets (4 seeds)") {
+    import graft.ops.TextStats
+    for (seed <- 1L to 4L) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (1 to 25).map(i => s"w$i")
+      val docs = (1 to 40).map { i =>
+        (i.toLong, (1 to 1 + rnd.nextInt(12))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val target = docs.filter(col("doc_id") % (2 + seed) === 0)
+      val batch = TextStats.importanceWeights(docs, target, buckets = 64)
+        .select("doc_id", "n_grams", "sum_lrq").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val table = TextStats.importanceRatioTable(docs, target, buckets = 64)
+      val served = docs.select(
+          col("doc_id") +: TextStats.importanceScoreColumns(table): _*)
+        .select("doc_id", "n_grams", "sum_lrq").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(batch.keySet.nonEmpty, s"seed=$seed")
+      batch.foreach { case (id, bv) =>
+        assert(served(id) === bv, s"seed=$seed doc=$id")
+      }
+    }
+  }
 }
