@@ -440,6 +440,51 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAudioGate / streamingImageGate: the REAL decoders gate " +
+    "a live media feed statelessly (same-batch emission); undecodable, " +
+    "clipped, silent, and degenerate payloads fail closed") {
+    import graft.ops.Multimodal
+    import graft.streaming.MediaStreamOps
+    implicit val sc = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+    val good = Multimodal.wavBytes(
+      Array.tabulate(64)(i => if (i % 2 == 0) 20000 else -20000))
+    val clipped = Multimodal.wavBytes(Array.fill(64)(32767))
+    val silent = Multimodal.wavBytes(Array.fill(64)(0))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Array[Byte])]
+    val q = MediaStreamOps.streamingAudioGate(mem.toDS())
+      .writeStream.format("memory").queryName("agate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((t(1), 1L, good), (t(2), 2L, clipped), (t(3), 3L, silent),
+        (t(4), 4L, "not audio".getBytes),
+        (t(5), 5L, Multimodal.wavBytes(Array.empty[Int])))
+      q.processAllAvailable() // stateless: everything emits immediately
+      val rows = spark.table("agate").select("doc_id", "n_samples", "pass")
+        .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1)
+      assert(rows.map(r => r._1 -> r._3).toSeq === Seq(
+        1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+      assert(rows(0)._2 === Some(64L)) // real decode, not just a verdict
+      assert(rows(3)._2 === None)      // undecodable carries no stats
+    } finally q.stop()
+    val mem2 = MemoryStream[(java.sql.Timestamp, Long, Array[Byte])]
+    val q2 = MediaStreamOps.streamingImageGate(mem2.toDS())
+      .writeStream.format("memory").queryName("igate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem2.addData(
+        (t(1), 1L, Multimodal.bmpBytes(Array.fill(4)(0xFFFFFF), 2)),
+        (t(2), 2L, Multimodal.bmpBytes(Array.fill(4)(0x000000), 2)),
+        (t(3), 3L, "not an image".getBytes))
+      q2.processAllAvailable()
+      val rows2 = spark.table("igate").select("doc_id", "width", "pass")
+        .as[(Long, Option[Int], Boolean)].collect().sortBy(_._1)
+      assert(rows2.map(r => r._1 -> r._3).toSeq === Seq(
+        1L -> true, 2L -> false, 3L -> false))
+      assert(rows2(0)._2 === Some(2))
+    } finally q2.stop()
+  }
+
   test("Bpe.encode tokenizes a STREAM unchanged: the frozen merge list " +
     "rides the plan as a stateless projection, so live ingest gets the " +
     "exact batch tokenizer") {
