@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Text-analysis operators for training-data pipelines — north-star
   * extension (BASELINE.json): language ID, quality scoring, token
@@ -877,6 +877,73 @@ object TextStats {
       val den = ((cr.getOrElse(b, 0L) + 1) * (totT + buckets)).toDouble
       math.floor(math.log(num / den) * 10000).toLong
     }
+  }
+
+  /** TRAINED hashed linear probe — gradient-descent training as a
+    * first-class distributed operator, with arithmetic chosen so the
+    * whole optimization is BIT-EXACT on any engine (and therefore
+    * sits under the DuckDB hash gate, which no float SGD could):
+    * least-mean-squares over hashed token-count features, every
+    * quantity an integer.
+    *
+    *  - features: `x_db` = doc d's token count in bucket b (the
+    *    [[qualityClassifier]] hash space);
+    *  - model: `w_q` in 2^-20 units; predictions `Σ_b w_q[b]·x_db`
+    *    are exact long sums (a pure projection per doc — the model
+    *    rides the plan as a literal);
+    *  - residual `r_q = pred_q − (y << 20)`; gradient
+    *    `g_b = Σ_d r_q·x_db` accumulates through DECIMAL(38,0)
+    *    (order-free, overflow-free at any corpus size), then
+    *    mean-normalizes with truncating `DIV n` and steps
+    *    `w' = w − (g >> lrShift)` — `DIV` truncates toward zero and
+    *    `>>` floors in BOTH Spark and DuckDB (verified), so every
+    *    iterate is reproducible to the bit;
+    *  - `iters` bounded driver rounds, each: one broadcast of the
+    *    B-entry model + one shuffle (bucket gradient agg) + one B-row
+    *    collect — the vocab-probe tier of justified collects. Round
+    *    cost is independent of corpus size.
+    *
+    * The mean-normalized step makes the effective learning rate
+    * `2^-lrShift` scale-free (the same `lrShift` is stable at sf0.001
+    * and at 1000× that). Docs with no tokens are excluded (no
+    * features, no gradient).
+    */
+  def trainLinearProbe(docs: DataFrame, label: Column,
+                       buckets: Int = 64, iters: Int = 3,
+                       lrShift: Int = 4,
+                       textCol: String = "text"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    require(iters >= 0 && iters <= 64, s"iters must be in [0, 64]: $iters")
+    require(lrShift >= 0 && lrShift <= 62, s"lrShift out of range: $lrShift")
+    val session = docs.sparkSession
+    val slot = (t: Column) =>
+      (conv(substring(md5(t), 1, 4), 16, 10).cast("long") % buckets)
+        .cast("int")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val base = docs.select(toks.as("ts"),
+        (label.cast("boolean").cast("long") * (1L << 20)).as("y_q"))
+      .filter(size(col("ts")) > 0)
+      .localCheckpoint() // one tokenize; reread every iteration
+    val n = base.count()
+    var w = Array.fill(buckets)(0L)
+    if (n > 0) for (_ <- 0 until iters) {
+      val wl = typedLit(w.toSeq)
+      val pred = aggregate(transform(col("ts"),
+        t => element_at(wl, slot(t) + 1)), lit(0L), (a, x) => a + x)
+      val g = base
+        .select((pred - col("y_q")).cast(DecimalType(38, 0)).as("r_q"),
+          col("ts"))
+        .select(col("r_q"), explode(col("ts")).as("t"))
+        .groupBy(slot(col("t")).as("b"))
+        .agg(sum(col("r_q")).as("g_raw"))
+        .select(col("b"), expr(s"CAST(g_raw DIV $n AS BIGINT)").as("g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = Array.tabulate(buckets)(b => w(b) - (g.getOrElse(b, 0L) >> lrShift))
+    }
+    import session.implicits._
+    w.zipWithIndex
+      .map { case (wq, b) => (b, wq, wq.toDouble / (1L << 20)) }
+      .toSeq.toDF("b", "w_q", "w")
   }
 
   /** Stateless DSIR scoring columns off a [[importanceRatioTable]]:

@@ -479,6 +479,16 @@ object ExtensionQueries {
       .select("doc_id", "logw", "key_q")
   }
 
+  /** Gradient-descent TRAINING of the hashed linear probe (English
+    * labels) as an oracle-gated query: the all-integer LMS loop
+    * ([[TextStats.trainLinearProbe]]) is bit-exact, so DuckDB can
+    * replay the full 3-iteration optimization — unrolled CTEs — and
+    * hash-match the learned weights themselves, not just a score.
+    */
+  def trainProbe(s: SparkSession, d: String): DataFrame =
+    TextStats.trainLinearProbe(docs(s, d), col("lang") === "en")
+      .orderBy("b")
+
   /** Temperature-based source mixing weights (alpha = 0.5, the
     * multilingual-sampling convention): p_source ∝ n_tokens^0.5 —
     * the knob that keeps a 100 TB web crawl from drowning the small
@@ -1528,6 +1538,44 @@ object ExtensionQueries {
         |  CAST(dk AS DOUBLE) / n AS dark_ratio
         |FROM t LEFT JOIN s USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    "q_train_probe" ->
+      """WITH base AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1048576 ELSE 0 END AS y_q,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text,' '), x -> len(x) > 0)) > 0),
+        |n AS (SELECT count(*) AS n FROM base),
+        |tok AS (SELECT doc_id, y_q,
+        |    CAST(((strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*4096 +
+        |          (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)*256 +
+        |          (strpos('0123456789abcdef', substr(md5(tok),3,1))-1)*16 +
+        |          (strpos('0123456789abcdef', substr(md5(tok),4,1))-1)) % 64
+        |      AS INT) AS b
+        |  FROM base, unnest(ts) AS u(tok)),
+        |bk AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS b),
+        |g1 AS (SELECT b, CAST(CAST(sum(0 - y_q) AS HUGEINT)
+        |    // (SELECT n FROM n) AS BIGINT) AS g FROM tok GROUP BY b),
+        |w1 AS (SELECT bk.b, 0 - (COALESCE(g1.g, 0) >> 4) AS w
+        |  FROM bk LEFT JOIN g1 ON bk.b = g1.b),
+        |p2 AS (SELECT tok.doc_id, CAST(max(tok.y_q) AS BIGINT) AS y_q,
+        |    CAST(sum(w1.w) AS BIGINT) AS pred
+        |  FROM tok JOIN w1 ON tok.b = w1.b GROUP BY tok.doc_id),
+        |g2 AS (SELECT tok.b, CAST(CAST(sum(p2.pred - p2.y_q) AS HUGEINT)
+        |    // (SELECT n FROM n) AS BIGINT) AS g
+        |  FROM tok JOIN p2 ON tok.doc_id = p2.doc_id GROUP BY tok.b),
+        |w2 AS (SELECT w1.b, w1.w - (COALESCE(g2.g, 0) >> 4) AS w
+        |  FROM w1 LEFT JOIN g2 ON w1.b = g2.b),
+        |p3 AS (SELECT tok.doc_id, CAST(max(tok.y_q) AS BIGINT) AS y_q,
+        |    CAST(sum(w2.w) AS BIGINT) AS pred
+        |  FROM tok JOIN w2 ON tok.b = w2.b GROUP BY tok.doc_id),
+        |g3 AS (SELECT tok.b, CAST(CAST(sum(p3.pred - p3.y_q) AS HUGEINT)
+        |    // (SELECT n FROM n) AS BIGINT) AS g
+        |  FROM tok JOIN p3 ON tok.doc_id = p3.doc_id GROUP BY tok.b),
+        |w3 AS (SELECT w2.b, w2.w - (COALESCE(g3.g, 0) >> 4) AS w
+        |  FROM w2 LEFT JOIN g3 ON w2.b = g3.b)
+        |SELECT b, CAST(w AS BIGINT) AS w_q,
+        |  CAST(w AS DOUBLE) / 1048576 AS w
+        |FROM w3 ORDER BY b""".stripMargin,
     "q_mix_weights" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
@@ -2653,6 +2701,7 @@ object ExtensionQueries {
     "q_audio_stats"     -> (audioStats _),
     "q_audio_vad"       -> (audioVad _),
     "q_image_stats"     -> (imageStats _),
+    "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),
     "q_repetition"      -> (repetition _),

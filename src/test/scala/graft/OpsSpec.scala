@@ -916,6 +916,45 @@ class OpsSpec extends SparkSpec {
       r.getAs[Double]("logw") === r.getAs[Long]("sum_lrq").toDouble / 10000))
   }
 
+  test("trainLinearProbe: the all-integer LMS actually LEARNS (squared " +
+    "error drops, classes separate, majority classified) and stays " +
+    "deterministic; iters=0 and token-less corpora degenerate cleanly") {
+    val docs = (1 to 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "the cat sat on the mat", "en")
+      else (i.toLong, "le chat noir dort bien", "fr")
+    }.toDF("doc_id", "text", "lang")
+    val w = TextStats.trainLinearProbe(docs, col("lang") === "en")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(w.size === 64)
+    // score the training docs with the learned weights
+    def pred(text: String): Long = text.split(" ").map { t =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val slot = (((md(0) & 0xff) << 8) | (md(1) & 0xff)) % 64
+      w(slot)
+    }.sum
+    val en = pred("the cat sat on the mat")
+    val fr = pred("le chat noir dort bien")
+    val y = 1L << 20
+    // error shrinks vs the zero model and the classes separate
+    assert((en - y) * (en - y) < y * y)
+    assert(fr * fr < y * y || fr === 0L)
+    assert(en > fr)
+    // majority-threshold classification at y/2 is perfect on this
+    // separable fixture
+    assert(en > y / 2 && fr < y / 2)
+    // determinism: a re-train is bit-identical
+    val w2 = TextStats.trainLinearProbe(docs, col("lang") === "en")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(w2 === w)
+    // degenerate cases: zero iterations and token-less corpora
+    assert(TextStats.trainLinearProbe(docs, col("lang") === "en", iters = 0)
+      .filter(col("w_q") =!= 0L).isEmpty)
+    val empty = Seq((1L, "", "en")).toDF("doc_id", "text", "lang")
+    assert(TextStats.trainLinearProbe(empty, col("lang") === "en")
+      .filter(col("w_q") =!= 0L).isEmpty)
+  }
+
   test("importanceRatioTable + importanceScoreColumns: the serving-table " +
     "path scores bit-identically to the batch scorer, covers buckets " +
     "the raw corpus never hashed, and scores without a join or shuffle") {
