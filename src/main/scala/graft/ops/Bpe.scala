@@ -261,6 +261,47 @@ object Bpe {
       w => BpeApply(charSymbols(w, endMark), merges)))
   }
 
+  /** Per-group tokenizer fertility audit (Ács 2019 "Exploring BERT's
+    * vocabulary"; Rust et al., ACL 2021 "How Good is Your Tokenizer?"):
+    * for each group — typically language — the corpus totals of
+    * whitespace words, BPE tokens under `merges`, and non-space
+    * characters, plus the two ratios a multilingual tokenizer review
+    * reads: **fertility** (BPE tokens per word; 1.0 = every word
+    * encodes as one token) and **chars-per-token** (compression). A
+    * tokenizer that fragments one language 3× more than another both
+    * shrinks its effective context window and inflates its share of
+    * the training-token bill — this is the audit that surfaces the
+    * skew before a run is provisioned.
+    *
+    * Shape for scale: one corpus scan; every per-doc quantity is a
+    * scan-side expression (the encode kernel rides the projection —
+    * no join, no second pass), and the group-by partial-aggregates
+    * map-side into a languages-sized result. The ratios divide two
+    * exact BIGINT sums as doubles (IEEE-identical in any engine);
+    * null text counts as empty; empty groups divide-guard via
+    * greatest(·,1).
+    */
+  def fertilityByGroup(docs: DataFrame, merges: Seq[(String, String)],
+                       groupCol: String = "lang",
+                       textCol: String = "text",
+                       endMark: String = "</w>"): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    docs.select(col(groupCol),
+        size(filter(TextStats.tokens(txt), w => length(w) > 0))
+          .cast("long").as("w"),
+        size(bpeTokens(txt, merges, endMark)).cast("long").as("t"),
+        length(translate(txt, " ", "")).cast("long").as("c"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("t")).as("n_bpe_tokens"),
+        sum(col("c")).as("n_chars"),
+        (sum(col("t")).cast("double") / greatest(sum(col("w")), lit(1L)))
+          .as("fertility"),
+        (sum(col("c")).cast("double") / greatest(sum(col("t")), lit(1L)))
+          .as("chars_per_token"))
+  }
+
   /** The shippable tokenizer VOCAB: every symbol [[encode]] can emit —
     * the corpus's base characters, the end-of-word marker, and each
     * merge's product — with a deterministic dense id (base symbols in

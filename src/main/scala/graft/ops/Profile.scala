@@ -219,4 +219,59 @@ object Profile {
         min(col(colName)).as("min_v"), max(col(colName)).as("max_v"))
       .orderBy("bin")
   }
+
+  /** ROC-AUC of a quality score against a boolean label, by the
+    * bucketed Mann–Whitney rank-sum identity — the discrimination
+    * audit a pipeline runs on every quality filter before trusting
+    * its threshold (Fawcett, "An introduction to ROC analysis",
+    * PRL 2006: AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)).
+    *
+    * `bucket` must be an integer-valued expression MONOTONE in the
+    * score (e.g. `floor(score)` at the score's native quantization):
+    * AUC is rank-based, so any order-preserving bucketing that only
+    * merges exact ties leaves it unchanged, and bucketing is what
+    * makes the identity scale — the corpus-sized scored table
+    * aggregates per bucket (map-side partials), and the cumulative
+    * pass runs over the BUCKET table, whose row count is bounded by
+    * the score's resolution (the quantized-lpq domain is ≲ 1.5e5
+    * values at ANY corpus size), never by the corpus. The
+    * negatives-below-each-bucket count reuses [[Pack.packSequences]]'s
+    * distributed prefix sum (range sort + per-partition subtotals +
+    * parallel stamping) — the same numbers the un-partitioned
+    * `sum over rows unbounded preceding` window computes, with no
+    * single-partition stage in the plan.
+    *
+    * Exactness: per-bucket pair products route through DECIMAL(38,0)
+    * (BIGINT n⁺·n⁻ products wrap past ~3e9 rows — the
+    * [[rebuildDecision]] overflow class); `u2` = 2·U emits as a
+    * double (exact below 2^53) and `auc` divides the same decimals
+    * once, so both engines round the identical quotient.
+    */
+  def rankAuc(scored: DataFrame, bucket: Column, positive: Column): DataFrame = {
+    val byBucket = scored
+      // null labels count as negatives (a row the filter scored but the
+      // labeler skipped must not silently leave BOTH classes)
+      .select(bucket.cast("long").as("b"),
+        coalesce(positive.cast("boolean"), lit(false)).as("pos"))
+      .groupBy("b")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    // exclusive prefix sum of nn in bucket order == negatives in
+    // strictly lower buckets; budget = Long.MaxValue keeps the packing
+    // columns inert (seq_id is always 0) and they drop at the agg
+    Pack.packSequences(byBucket, budget = Long.MaxValue,
+        orderCols = Seq("b"), tokenCol = "nn")
+      .withColumnRenamed("tok_start", "nn_lt")
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(col("np").cast(DecimalType(38, 0)) *
+          (col("nn_lt").cast(DecimalType(38, 0)) * 2 + col("nn")))
+          .as("u2d"))
+      .select(col("n_pos"), col("n_neg"),
+        col("u2d").cast("double").as("u2"),
+        (col("u2d").cast("double") /
+          greatest(col("n_pos").cast(DecimalType(38, 0)) * col("n_neg") * 2,
+            lit(1L).cast(DecimalType(38, 0))).cast("double")).as("auc"))
+  }
 }

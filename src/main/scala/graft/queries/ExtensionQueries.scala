@@ -426,16 +426,39 @@ object ExtensionQueries {
     TextStats.bm25TopDocs(docs(s, d), nQueryTerms = 10, k = 5)
       .orderBy("term", "rank")
 
+  /** Shared bigram-LM score frame (train on even docs, score odd docs)
+    * — materialized once and read by the score report AND the
+    * filter-AUC audit, the dsirWeights memo discipline.
+    */
+  private def lmScores(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "lm_scores")(
+      TextStats.lmScore(
+        docs(s, d).filter(col("doc_id") % 2 === 0),
+        docs(s, d).filter(col("doc_id") % 2 === 1)))
+
   /** Bigram-LM scoring: train counts on even docs, score odd docs —
     * the perplexity-proxy quality signal.
     */
-  def lmScore(s: SparkSession, d: String): DataFrame = {
-    val all = docs(s, d)
-    TextStats.lmScore(
-      all.filter(col("doc_id") % 2 === 0),
-      all.filter(col("doc_id") % 2 === 1))
-      .orderBy("doc_id")
-  }
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScores(s, d).orderBy("doc_id")
+
+  /** Discrimination audit of the bigram-LM quality filter
+    * ([[Profile.rankAuc]]): ROC-AUC of the scored odd-doc set against
+    * the "is English" label — the corpus is English-dominated, so a
+    * working perplexity proxy should rank English text above the
+    * rest, and THIS number is how much. The audited score is the
+    * integer-quantized mean bigram log-prob floor(sum_lpq/n_bigrams)
+    * (1e-4 nat resolution — the fixed point [[TextStats.lmScore]]
+    * already emits), so bucket ties are genuine score ties and the
+    * bucket table is score-resolution-bounded at any corpus size.
+    * Sub-2-token docs score nothing and are out of scope by the
+    * lmScore contract.
+    */
+  def filterAucQ(s: SparkSession, d: String): DataFrame =
+    Profile.rankAuc(
+      lmScores(s, d).join(docs(s, d).select("doc_id", "lang"), Seq("doc_id")),
+      floor(col("sum_lpq").cast("double") / col("n_bigrams")),
+      col("lang") === "en")
 
   /** Shared DSIR weight frame (English target): materialized once and
     * read by the weight report AND the resample — the same
@@ -1048,6 +1071,14 @@ object ExtensionQueries {
         budget = 1024L)
       .select("doc_id", "chunk_idx", "n_tokens", "tok_start", "seq_id", "seq_offset")
       .orderBy("doc_id", "chunk_idx")
+
+  /** Per-language tokenizer fertility audit ([[Bpe.fertilityByGroup]])
+    * under the pinned [[BpeFixedMerges]] (oracle-expressible; the
+    * trained list would be rows-only) — the tokens-per-word /
+    * chars-per-token skew table a multilingual tokenizer review reads.
+    */
+  def bpeFertilityQ(s: SparkSession, d: String): DataFrame =
+    Bpe.fertilityByGroup(docs(s, d), BpeFixedMerges).orderBy("lang")
 
   /** Per-doc OOV audit against a top-10 frequency vocab derived from
     * the corpus itself (small enough that the fixture's ~31-token
@@ -1689,6 +1720,66 @@ object ExtensionQueries {
         |  CAST(CASE WHEN bpe_str = '' THEN 0
         |       ELSE len(string_split(bpe_str, ' ')) END AS BIGINT) AS n_bpe_tokens
         |FROM enc ORDER BY doc_id""".stripMargin,
+    "q_bpe_fertility" ->
+      """WITH enc AS (SELECT lang, text,
+        |    replace(replace(replace(
+        |      array_to_string(list_transform(
+        |        list_filter(string_split(COALESCE(text,''), ' '), w -> length(w) > 0),
+        |        w -> regexp_replace(w, '(.)', '\1 ', 'g') || '</w>'), ' '),
+        |      't a', 'ta'), 'ta b', 'tab'), 's l', 'sl') AS s
+        |  FROM documents),
+        |pd AS (SELECT lang,
+        |    len(list_filter(string_split(COALESCE(text,''),' '), w -> length(w) > 0)) AS w,
+        |    CASE WHEN s = '' THEN 0 ELSE len(string_split(s, ' ')) END AS t,
+        |    length(replace(COALESCE(text,''), ' ', '')) AS c
+        |  FROM enc)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(t) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CAST(sum(t) AS DOUBLE) / greatest(sum(w), 1) AS fertility,
+        |  CAST(sum(c) AS DOUBLE) / greatest(sum(t), 1) AS chars_per_token
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_filter_auc" ->
+      """WITH tr AS (SELECT string_split(text,' ') AS ts
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |pairs AS (SELECT ts[i] AS prev, ts[i+1] AS next
+        |  FROM tr, unnest(range(1, len(ts))) AS u(i)),
+        |bg AS (SELECT prev, next, count(*) AS c_bg FROM pairs GROUP BY 1, 2),
+        |ctx AS (SELECT prev, CAST(sum(c_bg) AS BIGINT) AS c_ctx FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (
+        |  SELECT unnest(string_split(text,' ')) AS t
+        |  FROM documents WHERE doc_id % 2 = 0)),
+        |te AS (SELECT doc_id, ts[i] AS prev, ts[i+1] AS next
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ts
+        |        FROM documents WHERE doc_id % 2 = 1),
+        |    unnest(range(1, len(ts))) AS u(i)),
+        |lp AS (SELECT te.doc_id,
+        |    CAST(floor(ln(
+        |      CAST(COALESCE(c_bg, 0) + 1 AS DOUBLE) /
+        |      CAST(COALESCE(c_ctx, 0) + (SELECT v FROM v) AS DOUBLE)) * 10000) AS BIGINT) AS lpq
+        |  FROM te LEFT JOIN bg ON te.prev = bg.prev AND te.next = bg.next
+        |          LEFT JOIN ctx ON te.prev = ctx.prev),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(lpq) AS BIGINT) AS sum_lpq
+        |  FROM lp GROUP BY doc_id),
+        |lab AS (SELECT sc.doc_id, sc.n_bigrams, sc.sum_lpq,
+        |    COALESCE(d.lang = 'en', FALSE) AS pos
+        |  FROM sc JOIN documents d USING (doc_id)),
+        |b AS (SELECT
+        |    CAST(floor(CAST(sum_lpq AS DOUBLE) / n_bigrams) AS BIGINT) AS b,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+        |  FROM lab GROUP BY 1),
+        |c AS (SELECT b, np, nn,
+        |    COALESCE(CAST(sum(nn) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS nn_lt
+        |  FROM b)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CAST(sum(np * (2*nn_lt + nn)) AS DOUBLE) AS u2,
+        |  CAST(sum(np * (2*nn_lt + nn)) AS DOUBLE) /
+        |    greatest(2.0 * sum(np) * sum(nn), 1.0) AS auc
+        |FROM c""".stripMargin,
     "q_pack_bpe" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
         |c AS (SELECT doc_id, i AS chunk_idx,
@@ -2720,6 +2811,8 @@ object ExtensionQueries {
     "q_ivf_rebuild"     -> (ivfRebuild _),
     "q_bpe_encode"      -> (bpeEncodeQ _),
     "q_bpe_encode_fixed" -> (bpeEncodeFixedQ _),
+    "q_bpe_fertility"   -> (bpeFertilityQ _),
+    "q_filter_auc"      -> (filterAucQ _),
     "q_pack_bpe"        -> (packBpe _),
     "q_weighted_topk"   -> (weightedTopKQ _),
     "q_band_health"     -> (bandHealth _),

@@ -172,6 +172,25 @@ class BpeSpec extends SparkSpec {
       assert(applyMerges(w, fixed) === oracle(w), s"word=$w")
   }
 
+  test("fertilityByGroup aggregates hand-computed words/tokens/chars " +
+    "per language, counting null text as empty") {
+    // merges: a+b. Per doc ([sym]</w> per word):
+    //   en "ab ab": 2 words, 4 chars, [ab,</w>] x2 -> 4 tokens
+    //   en "a":     1 word,  1 char,  [a,</w>]     -> 2 tokens
+    //   de null:    0 words, 0 chars, 0 tokens
+    //   de "abc x": 2 words, 4 chars, [ab,c,</w>] + [x,</w>] -> 5 tokens
+    val docs = Seq(
+      ("en", Some("ab ab")), ("en", Some("a")),
+      ("de", None), ("de", Some("abc x")))
+      .toDF("lang", "text")
+    val f = Bpe.fertilityByGroup(docs, Seq("a" -> "b"))
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(f.toSeq === Seq(
+      ("de", 2L, 2L, 5L, 4L, 2.5, 0.8),
+      ("en", 2L, 3L, 6L, 5L, 2.0, 5.0 / 6.0)))
+  }
+
   test("trained tokenizer round-trips the sf0.001 documents corpus " +
     "losslessly (train on the corpus, encode the corpus, zero " +
     "violations) and compresses vs the char split") {

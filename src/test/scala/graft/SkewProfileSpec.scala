@@ -78,4 +78,45 @@ class SkewProfileSpec extends SparkSpec {
     assert(math.abs(est - exact) / exact <= 3 * rsd,
       s"HLL estimate $est outside ±${3 * rsd} of $exact")
   }
+
+  test("Profile.rankAuc matches the hand-computed Mann-Whitney AUC, " +
+    "counting ties as half and null labels as negatives") {
+    // pos scores {3, 2}, neg scores {1, 2, 0} (the null label is the
+    // score-0 negative): pos=3 beats all 3 negs; pos=2 beats {1, 0}
+    // and ties neg=2 -> U = 3 + 2.5 = 5.5, u2 = 11, AUC = 5.5/6
+    val scored = Seq(
+      (3L, Some(true)), (2L, Some(true)),
+      (1L, Some(false)), (2L, Some(false)), (0L, None))
+      .toDF("score", "label")
+    val r = Profile.rankAuc(scored, col("score"), col("label"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(r === ((2L, 3L, 11.0, 5.5 / 6.0)))
+  }
+
+  test("Profile.rankAuc == brute-force pairwise AUC on a deterministic " +
+    "300-row set with heavy ties") {
+    val rows = Seq.tabulate(300) { i =>
+      // scores collide across labels on purpose (17 buckets)
+      val score = (i * 31 + 7) % 17
+      val pos = (i * 13 + 5) % 3 == 0
+      (score.toLong, pos)
+    }
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expected = u2.toDouble / (2.0 * pos.size * neg.size)
+    val r = Profile.rankAuc(rows.toDF("score", "label"),
+        col("score"), col("label"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._1 === pos.size.toLong && r._2 === neg.size.toLong)
+    assert(r._3 === u2.toDouble && r._4 === expected)
+  }
+
+  test("Profile.rankAuc is well-formed when one class is empty") {
+    val onlyNeg = Seq((1L, false), (2L, false)).toDF("score", "label")
+    val r = Profile.rankAuc(onlyNeg, col("score"), col("label"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(r === ((0L, 2L, 0.0, 0.0)))
+  }
 }
