@@ -22,10 +22,13 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) — finer than Spark's µs
-    // TimestampType; read it as a raw long so the scan succeeds
-    // (ordering semantics are unaffected: the pipeline orders by
-    // event_id/audit_pk, never by time — README.md:58-61).
+    // events.ts has been generated both as parquet TIMESTAMP(NANOS)
+    // (finer than Spark's µs TimestampType — read as a raw nanos long
+    // via nanosAsLong so the scan succeeds) and as TIMESTAMP(MICROS)
+    // (reads as a real TimestampType; nanosAsLong is a no-op there).
+    // Consumers that need an absolute time dispatch on the read dtype
+    // (AnalyticsQueries.epochUs); the pipeline otherwise orders by
+    // event_id/audit_pk, never by time.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
   }

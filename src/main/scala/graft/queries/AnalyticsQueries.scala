@@ -253,6 +253,32 @@ object AnalyticsQueries {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Epoch-µs long for the events `ts` column, robust to how the
+    * parquet was written: TIMESTAMP(NANOS) reads as a raw nanos long
+    * (Tables.events sets nanosAsLong), TIMESTAMP(MICROS) reads as a
+    * real TimestampType — the driver's generator has produced both.
+    * Either way the oracle's `epoch_us(ts)` lands on the same integers
+    * (the generator's instants are µs-precision, so `DIV 1000` on the
+    * nanos form is exact).
+    */
+  private[graft] def epochUs(ev: DataFrame, c: String): Column =
+    ev.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$c DIV 1000")
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive wall-clock: DuckDB's epoch_us reads it as-is (i.e. as
+        // UTC); the NTZ→TZ cast interprets it in the SESSION zone, so
+        // this is only the same integer when the session zone is UTC —
+        // which every entrypoint here pins. Guard loudly rather than
+        // return a silently shifted epoch.
+        require(ev.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"events.$c is TIMESTAMP_NTZ: epochUs needs spark.sql.session.timeZone=UTC")
+        unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.$c: expected nanos LONG or TIMESTAMP, got $other")
+    }
+
   /** As-of attribution: every purchase event picks the user's LATEST
     * view/click at-or-before purchase time ([[graft.ops.TemporalJoins
     * .asOfJoin]] — union + one window pass per user, never a
@@ -260,15 +286,12 @@ object AnalyticsQueries {
     * higher event id, pinned on both sides.
     */
   def asOfAttribution(s: SparkSession, dir: String): DataFrame = {
-    // events.ts reads as NANOS-since-epoch long (Tables.events); emit
-    // epoch MICROS so the oracle's epoch_us(ts) lands on the same
-    // integers (the generator writes µs precision, so DIV 1000 is exact)
     val ev = Tables.events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), epochUs(ev, "ts").as("ts_us"))
     val sources = ev.filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("event_id").as("src_id"),
-        col("event_type").as("src_type"), expr("ts DIV 1000").as("src_ts_us"))
+        col("event_type").as("src_type"), epochUs(ev, "ts").as("src_ts_us"))
     graft.ops.TemporalJoins.asOfJoin(
         purchases, sources, Seq("user_id"), "ts_us", "src_ts_us",
         Seq("src_id", "src_type", "src_ts_us"),
@@ -283,10 +306,10 @@ object AnalyticsQueries {
   def asOfAttributionStrict(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), epochUs(ev, "ts").as("ts_us"))
     val sources = ev.filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("event_id").as("src_id"),
-        col("event_type").as("src_type"), expr("ts DIV 1000").as("src_ts_us"))
+        col("event_type").as("src_type"), epochUs(ev, "ts").as("src_ts_us"))
     graft.ops.TemporalJoins.asOfJoin(
         purchases, sources, Seq("user_id"), "ts_us", "src_ts_us",
         Seq("src_id", "src_type", "src_ts_us"),

@@ -109,6 +109,37 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("epochUs dispatches on the events ts dtype: nanos-long and " +
+    "TimestampType frames of the same instants yield identical micros") {
+    // the driver's generator has produced events.ts both as
+    // TIMESTAMP(NANOS) (read as a raw nanos long under nanosAsLong)
+    // and as TIMESTAMP(MICROS) (read as a real TimestampType); the
+    // as-of queries must land on the same epoch-µs integers either way
+    val instantsUs = Seq(1704103200000000L, 1704110400000001L, 0L)
+    val asLong = instantsUs.map(us => Tuple1(us * 1000L)).toDF("ts")
+    val asTimestamp = instantsUs.map(us => Tuple1(
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        us / 1000000L, (us % 1000000L) * 1000L)))).toDF("ts")
+    val fromLong = asLong
+      .select(graft.queries.AnalyticsQueries.epochUs(asLong, "ts").as("us"))
+      .as[Long].collect().toSeq
+    val fromTs = asTimestamp
+      .select(graft.queries.AnalyticsQueries.epochUs(asTimestamp, "ts").as("us"))
+      .as[Long].collect().toSeq
+    val asNtz = asTimestamp.selectExpr("cast(ts as timestamp_ntz) as ts")
+    val fromNtz = asNtz
+      .select(graft.queries.AnalyticsQueries.epochUs(asNtz, "ts").as("us"))
+      .as[Long].collect().toSeq
+    assert(fromLong === instantsUs)
+    assert(fromTs === instantsUs)
+    assert(fromNtz === instantsUs)
+    // any other dtype is a loud error, not a silent wrong answer
+    val bad = Seq(Tuple1("2024-01-01")).toDF("ts")
+    intercept[IllegalArgumentException] {
+      graft.queries.AnalyticsQueries.epochUs(bad, "ts")
+    }
+  }
+
   test("rightTiebreak = None breaks equal-(key, time) ties by the carried " +
     "struct itself — deterministic run-to-run") {
     // two right rows at the SAME (key, time): without an explicit
