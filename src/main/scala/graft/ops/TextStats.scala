@@ -286,6 +286,102 @@ object TextStats {
           .as("dup_frac"))
   }
 
+  /** Exact duplicated-span REMOVAL — the cleanup step behind the
+    * [[duplicateSpans]] report (the "exact substring deduplication" of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022 — there via a corpus suffix array; here via the
+    * same windowed-hash machinery the report already uses, which keeps
+    * the whole pass in hash-joins a cluster can run at any scale).
+    * Every `windowLen`-token window whose text occurs in >= `minDocs`
+    * distinct documents is deleted from EVERY document containing it:
+    * a token survives iff no duplicated window covers its position.
+    * Output: one row per input document with the original token count,
+    * the number of tokens removed, and the cleaned text.
+    *
+    * Dataflow: one posexplode to (doc, start, window-hash) — 8-byte
+    * keys, never window strings — materialized once for its two
+    * consumers; the duplicated-hash set is the same distinct + count
+    * cascade as [[duplicateSpans]]; covered token positions come from
+    * exploding each duplicated window into its `windowLen` positions
+    * (bounded by windowLen x dup-window count, skinny); reconstruction
+    * is ONE shuffle of per-doc position arrays joined back to the
+    * corpus scan — document text itself never shuffles. Documents
+    * shorter than `windowLen` tokens pass through unchanged.
+    */
+  def removeDuplicateSpans(docs: DataFrame, windowLen: Int = 8,
+                           minDocs: Int = 2,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(windowLen >= 1, "windowLen must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val t = tokens(col(textCol))
+    val w = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.WindowHashes(t, windowLen)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+      .localCheckpoint()
+    val dup = w.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val covered = w.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (windowLen - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("_cov"))
+    docs.select(col(idCol).as("doc_id"), t.as("_ts"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("_ts")).cast("long").as("n_tokens"),
+        coalesce(size(col("_cov")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(
+            filter(sequence(lit(1), size(col("_ts"))),
+              p => !array_contains(
+                coalesce(col("_cov"), array().cast("array<int>")), p)),
+            p => element_at(col("_ts"), p))).as("clean_text"))
+  }
+
+  /** Phrase search over a POSITIONAL inverted index — the IR-engine
+    * move: instead of scanning every document's text for each phrase,
+    * tokenize the corpus ONCE into (token, doc, position) postings and
+    * answer a k-term phrase with k-1 equi-joins over the k matching
+    * posting lists (term j must sit at anchor + j). At 100 TB the
+    * postings table is the pre-built index (bucketed by token so each
+    * probe reads only its terms' buckets); a probe's cost scales with
+    * the matched terms' posting sizes, not the corpus. Occurrences may
+    * overlap (each anchor position counts once) — same contract as a
+    * sequential text scan. Output: (phrase, doc_id, n_hits) for
+    * documents with at least one occurrence.
+    */
+  def phraseSearch(docs: DataFrame, phrases: Seq[String],
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    require(phrases.forall(_.split(" ").forall(_.nonEmpty)),
+      "phrases must be single-space-separated non-empty tokens")
+    val postings = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .localCheckpoint()
+    val perPhrase = phrases.map { phrase =>
+      val terms = phrase.split(" ").toSeq
+      val anchor = postings.filter(col("tok") === terms.head)
+        .select(col("doc_id"), col("pos").as("p0"))
+      val matched = terms.zipWithIndex.drop(1).foldLeft(anchor) {
+        case (acc, (term, off)) =>
+          acc.join(
+            postings.filter(col("tok") === term)
+              .select(col("doc_id"), (col("pos") - off).as("p0")),
+            Seq("doc_id", "p0"))
+      }
+      matched.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(phrase).as("phrase"), col("doc_id"), col("n_hits"))
+    }
+    perPhrase.reduce(_.unionByName(_))
+  }
+
   /** Interpreted HOF twin of [[graft.functions.WindowHashes]] — the
     * executable spec its xxhash64 parity is pinned against (the token
     * array materializes in its own projection so the window lambda

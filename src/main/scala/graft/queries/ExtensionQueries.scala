@@ -605,6 +605,26 @@ object ExtensionQueries {
   def dupSpans(s: SparkSession, d: String): DataFrame =
     TextStats.duplicateSpans(docs(s, d), windowLen = 8).orderBy("doc_id")
 
+  /** Exact duplicated-span removal (Lee et al. ACL'22 shape) — the
+    * cleanup twin of q_dup_spans: every 8-token window shared by >= 2
+    * docs is deleted from all of them, and the cleaned text is emitted.
+    */
+  def dupRemove(s: SparkSession, d: String): DataFrame =
+    TextStats.removeDuplicateSpans(docs(s, d), windowLen = 8)
+      .orderBy("doc_id")
+
+  /** The positional-inverted-index phrase probe set — pinned so the
+    * Spark query and the DuckDB oracle search the same phrases: a
+    * 2-term phrase, a self-overlapping repeated token (anchor-counting
+    * semantics), and a 3-term rarity.
+    */
+  private[graft] val SearchPhrases =
+    Seq("table scan", "stream stream", "merge sort row")
+
+  def phraseSearchQ(s: SparkSession, d: String): DataFrame =
+    TextStats.phraseSearch(docs(s, d), SearchPhrases)
+      .orderBy("phrase", "doc_id")
+
   def winnowFp(s: SparkSession, d: String): DataFrame =
     TextStats.winnow(docs(s, d), k = 3, w = 4)
       .orderBy("doc_id", "fingerprint")
@@ -2569,6 +2589,35 @@ object ExtensionQueries {
         |  CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_windows AS dup_frac
         |FROM nw LEFT JOIN nd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_dup_remove" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |w AS (SELECT doc_id, i, md5(array_to_string(ts[i:i+7],' ')) AS h
+        |      FROM t, unnest(range(1, greatest(len(ts)-7,0)+1)) AS u(i)
+        |      WHERE len(ts) >= 8),
+        |d AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p
+        |        FROM w, unnest(range(i, i+8)) AS v(p)
+        |        WHERE h IN (SELECT h FROM d)),
+        |cl AS (SELECT doc_id, list_sort(list(p)) AS cov FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(len(cov), 0) AS BIGINT) AS n_removed,
+        |  array_to_string(list_transform(list_filter(range(1, len(ts)+1),
+        |    p -> NOT list_contains(COALESCE(cov, []), p)), p -> ts[p]), ' ')
+        |    AS clean_text
+        |FROM t LEFT JOIN cl USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    "q_phrase_search" -> {
+      val arms = SearchPhrases.map { p =>
+        val k = p.split(" ").length
+        s"""SELECT '$p' AS phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+           |FROM t, unnest(range(1, greatest(len(ts)-${k - 1},0)+1)) AS u(i)
+           |WHERE len(ts) >= $k AND array_to_string(ts[i:i+${k - 1}],' ') = '$p'
+           |GROUP BY doc_id""".stripMargin
+      }
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents)
+         |${arms.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY phrase, doc_id""".stripMargin
+    },
     "q_winnow" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
         |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ts)-2,0)+1),
@@ -2802,6 +2851,8 @@ object ExtensionQueries {
     "q_range_join"      -> (rangeJoin _),
     "q_dedup_bloom"     -> (dedupBloom _),
     "q_dup_spans"       -> (dupSpans _),
+    "q_dup_remove"      -> (dupRemove _),
+    "q_phrase_search"   -> (phraseSearchQ _),
     "q_winnow"          -> (winnowFp _),
     "q_embed_project"   -> (embedProject _),
     "q_quality_score"   -> (qualityScore _),
