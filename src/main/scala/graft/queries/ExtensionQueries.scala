@@ -2602,8 +2602,8 @@ object ExtensionQueries {
         |SELECT t.doc_id,
         |  CAST(len(ts) AS BIGINT) AS n_tokens,
         |  CAST(COALESCE(len(cov), 0) AS BIGINT) AS n_removed,
-        |  array_to_string(list_transform(list_filter(range(1, len(ts)+1),
-        |    p -> NOT list_contains(COALESCE(cov, []), p)), p -> ts[p]), ' ')
+        |  COALESCE(array_to_string(list_transform(list_filter(range(1, len(ts)+1),
+        |    p -> NOT list_contains(COALESCE(cov, []), p)), p -> ts[p]), ' '), '')
         |    AS clean_text
         |FROM t LEFT JOIN cl USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,

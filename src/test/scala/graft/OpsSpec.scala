@@ -1390,6 +1390,45 @@ class OpsSpec extends SparkSpec {
       (5L, 6L, 0L)))
   }
 
+  test("removeDuplicateSpans: shared windows deleted from every doc, " +
+    "surviving tokens keep order, fully-covered docs go empty, short " +
+    "docs pass through") {
+    val d = Seq(
+      (1L, "a b c d e"),        // shares window "a b c" (+ "b c d") with 2
+      (2L, "x a b c d"),        // covered: a b c d (positions 2..5)
+      (3L, "p q r s"),          // untouched
+      (4L, "u v"),              // < 3 tokens: passes through whole
+      (5L, "a b c"),            // exactly one window, shared -> fully removed
+      (6L, "a b c")             // dup of 5
+    ).toDF("doc_id", "text")
+    val out = TextStats.removeDuplicateSpans(d, windowLen = 3)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 5L, 4L, "e"),        // abc + bcd cover 1..4
+      (2L, 5L, 4L, "x"),
+      (3L, 4L, 0L, "p q r s"),
+      (4L, 2L, 0L, "u v"),
+      (5L, 3L, 3L, ""),
+      (6L, 3L, 3L, "")))
+  }
+
+  test("phraseSearch: anchor-counted overlapping hits, multi-term join " +
+    "offsets, absent phrases yield no row") {
+    val d = Seq(
+      (1L, "the cat sat the cat sat"),    // "the cat" twice
+      (2L, "cat cat cat"),                // "cat cat" overlaps: anchors 1,2
+      (3L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val out = TextStats.phraseSearch(d,
+        Seq("the cat", "cat cat", "the cat sat the"))
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      ("cat cat", 2L, 2L),
+      ("the cat", 1L, 2L),
+      ("the cat sat the", 1L, 1L)))
+  }
+
   test("winnow: shared run >= w+k-1 tokens yields a shared fingerprint; " +
     "fingerprints are a subset of the doc's gram hashes; short docs " +
     "emit nothing") {
