@@ -1063,6 +1063,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded Hamming near-dup pairs over ANY 64-bit-or-narrower
+    * fingerprint column (perceptual image dHash, SimHash, any LSB-
+    * packed signature): the fingerprint splits into `bands`
+    * contiguous bit bands, a pair is a candidate iff it agrees on AT
+    * LEAST one whole band (pigeonhole: every pair at Hamming distance
+    * <= bands-1 is guaranteed caught; beyond that recall decays like
+    * any banded LSH — raise `bands` to chase larger radii), and
+    * candidates verify with an exact `bit_count(xor)` popcount.
+    * Output: (doc_a, doc_b, dist) with doc_a < doc_b, dist <=
+    * `maxDist`.
+    *
+    * Scale shape: the band join moves only (id, 8-byte hash, band) —
+    * never payloads; per-band bucket population for uniform b-bit
+    * bands is ~n/2^b, so in-bucket pair volume is ~bands*n²/2^b —
+    * with 16-bit bands that is quadratic-safe to ~10⁶ docs per
+    * Exchange partition and the band width is the knob that grows
+    * with the corpus. Null fingerprints drop out before the join.
+    * Matches [[embeddingNearDup]]'s dedup-AFTER-verify discipline:
+    * dist is a pure pair function, so distinct-on-(a,b,dist) ==
+    * distinct-on-(a,b) and only surviving pairs pay the shuffle.
+    */
+  def hammingPairs(hashes: DataFrame, maxDist: Int, bands: Int = 4,
+                   bandBits: Int = 16,
+                   idCol: String = "doc_id",
+                   hashCol: String = "dhash"): DataFrame = {
+    require(bands >= 2 && bandBits >= 1 && bands * bandBits <= 64,
+      s"bands=$bands x bandBits=$bandBits must cover <= 64 bits")
+    val h = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h"))
+      .filter(col("h").isNotNull)
+    val mask = (1L << bandBits) - 1
+    val banded = h.select(col("doc_id"), col("h"),
+        explode(array((0 until bands).map(k =>
+          struct(lit(k).as("k"),
+            shiftright(col("h"), k * bandBits).bitwiseAND(lit(mask))
+              .as("b"))): _*)).as("kb"))
+      .select(col("doc_id"), col("h"), col("kb.k").as("k"), col("kb.b").as("b"))
+    val l = banded.alias("l")
+    val r = banded.select(col("doc_id").as("doc_b_"), col("h").as("h_b_"),
+      col("k").as("k_"), col("b").as("b_")).alias("r")
+    l.join(r,
+        col("l.k") === col("r.k_") && col("l.b") === col("r.b_") &&
+          col("l.doc_id") < col("r.doc_b_"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_b_").as("doc_b"),
+        bit_count(col("l.h").bitwiseXOR(col("r.h_b_"))).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** 32-bit SimHash fingerprint per document, from the leading 32 md5
     * bits of each distinct token: bit b contributes +1/-1, the
     * fingerprint keeps the sign of each bit-sum. Computed by the

@@ -949,6 +949,26 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL-codec perceptual image dedup under the hash gate: the same
+    * token-derived BMPs as q_image_stats are REALLY pixel-decoded
+    * through `ImageIO` into the 63-bit sequence-sampled dHash
+    * ([[Multimodal.synthBmpDHash]]), then near-dup pairs surface via
+    * the banded Hamming join ([[Dedup.hammingPairs]], 4x16-bit bands,
+    * exact popcount verify at radius 6). Exact-dup docs land at
+    * dist 0; same-length near-dups at the few changed-pixel bits.
+    * The oracle computes the hash analytically from the token md5s —
+    * a BMP-layout, pixel-read, sampling, or band bug breaks the hash.
+    */
+  def imageDHash(s: SparkSession, d: String): DataFrame = {
+    val pixels = transform(
+      filter(TextStats.tokens(col("text")), t => length(t) > 0),
+      t => conv(substring(md5(t), 1, 6), 16, 10).cast("long").cast("int"))
+    val hashed = Multimodal.synthBmpDHash(
+        docs(s, d).select(col("doc_id"), pixels.as("pixels")), "pixels")
+      .select(col("doc_id"), col("dhash"))
+    Dedup.hammingPairs(hashed, maxDist = 6).orderBy("doc_a", "doc_b")
+  }
+
   /** Deterministic mean-pooling: every run of 10 consecutive vec_ids
     * plays one "document" whose chunk embeddings pool to a single
     * vector (flat per-dimension rows; micro-fixed-point sums make the
@@ -1589,6 +1609,31 @@ object ExtensionQueries {
         |  CAST(dk AS DOUBLE) / n AS dark_ratio
         |FROM t LEFT JOIN s USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    "q_image_dhash" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |lu AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n,
+        |    list_transform(ts, tok ->
+        |      2126*((strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*16
+        |           + strpos('0123456789abcdef', substr(md5(tok),2,1))-1) +
+        |      7152*((strpos('0123456789abcdef', substr(md5(tok),3,1))-1)*16
+        |           + strpos('0123456789abcdef', substr(md5(tok),4,1))-1) +
+        |       722*((strpos('0123456789abcdef', substr(md5(tok),5,1))-1)*16
+        |           + strpos('0123456789abcdef', substr(md5(tok),6,1))-1)) AS lums
+        |  FROM t WHERE len(ts) > 0),
+        |bits AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN lums[CAST(((i+1)*n)//64 AS BIGINT) + 1]
+        |                     > lums[CAST((i*n)//64 AS BIGINT) + 1]
+        |      THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM lu, unnest(range(0, 63)) AS u(i) GROUP BY doc_id),
+        |bd AS (SELECT doc_id, dhash, k, (dhash >> CAST(k*16 AS INT)) & 65535 AS b
+        |  FROM bits, unnest(range(0, 4)) AS u(k))
+        |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.dhash, c.dhash)) AS INT) AS dist
+        |FROM bd a JOIN bd c ON a.k = c.k AND a.b = c.b AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.dhash, c.dhash)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_train_probe" ->
       """WITH base AS (SELECT doc_id,
         |    CASE WHEN lang = 'en' THEN 1048576 ELSE 0 END AS y_q,
@@ -2841,6 +2886,7 @@ object ExtensionQueries {
     "q_audio_stats"     -> (audioStats _),
     "q_audio_vad"       -> (audioVad _),
     "q_image_stats"     -> (imageStats _),
+    "q_image_dhash"     -> (imageDHash _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),

@@ -1390,6 +1390,53 @@ class OpsSpec extends SparkSpec {
       (5L, 6L, 0L)))
   }
 
+  test("decodeImageDHash: real BMP->ImageIO round trip — identical " +
+    "pixels hash identically, a single flipped pixel moves few bits, " +
+    "monotone luminance sets every bit, degenerate payloads null out") {
+    import graft.ops.Multimodal
+    def hashOf(rgb: Array[Int]): java.lang.Long = {
+      val r = Multimodal.decodeImageDHash(Multimodal.bmpBytes(rgb, rgb.length))
+      assert(r.getLong(0) === rgb.length.toLong)
+      r.getAs[java.lang.Long](1)
+    }
+    // strictly increasing luminance over exactly 64 pixels: every
+    // sampled gradient is positive -> all 63 bits set
+    val ramp = Array.tabulate(64)(i => (i << 16) | (i << 8) | i)
+    assert(hashOf(ramp) === (1L << 63) - 1)
+    // constant image: no strict increase anywhere -> hash 0
+    assert(hashOf(Array.fill(64)(0x808080)) === 0L)
+    val base = Array.tabulate(64)(i => if (i % 2 == 0) 0x101010 else 0xf0f0f0)
+    // brighten dark pixel 10 above its bright neighbors: exactly the
+    // two gradients touching it (bits 9 and 10) flip sign
+    val tweaked = base.clone(); tweaked(10) = 0xffffff
+    val (hb, ht) = (hashOf(base), hashOf(tweaked))
+    assert(java.lang.Long.bitCount(hb ^ ht) === 2)
+    // unreadable payload and null degrade to nulls
+    assert(Multimodal.decodeImageDHash(Array[Byte](1, 2, 3)) ===
+      org.apache.spark.sql.Row(null, null))
+    assert(Multimodal.decodeImageDHash(null) ===
+      org.apache.spark.sql.Row(null, null))
+  }
+
+  test("hammingPairs: dist <= bands-1 always caught (pigeonhole), " +
+    "radius filter exact, far pairs with a shared band rejected, " +
+    "null hashes drop out") {
+    val hashes = Seq(
+      (1L, java.lang.Long.valueOf(0L)),
+      (2L, java.lang.Long.valueOf(7L)),            // dist 3 from 1: band 0 differs, bands 1-3 agree
+      (3L, java.lang.Long.valueOf(0x0001000100010001L)), // one bit per band vs 1: dist 4, all bands differ
+      (4L, java.lang.Long.valueOf(0x00000000000000FFL)), // dist 8 from 1, shares bands 1-3 -> candidate but > maxDist
+      (5L, null.asInstanceOf[java.lang.Long])
+    ).toDF("doc_id", "dhash")
+    val out = Dedup.hammingPairs(hashes, maxDist = 6)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // (1,2): dist 3 <= 6, caught via shared upper bands.
+    // (1,3)/(2,3): differ in every band -> never candidates (banded recall).
+    // (1,4): candidate (shared bands) but dist 8 > 6 -> filtered.
+    // (2,4): dist 5 <= 6 and bands 1-3 shared -> caught.
+    assert(out === Seq((1L, 2L, 3), (2L, 4L, 5)))
+  }
+
   test("removeDuplicateSpans: shared windows deleted from every doc, " +
     "surviving tokens keep order, fully-covered docs go empty, short " +
     "docs pass through") {

@@ -252,6 +252,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
+  test("hammingPairs: candidate generation is an equi-join on " +
+    "(band index, band value) — no cartesian product, no broadcast " +
+    "nested loop; the popcount verify rides the join projection") {
+    val hashes = (1 to 100).map(i => (i.toLong, (i * 2654435761L) >>> 1))
+      .toDF("doc_id", "dhash")
+    val p = plan(Dedup.hammingPairs(hashes, maxDist = 6))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+    assert(p.contains("bit_count"), p)
+  }
+
   test("corpusDiff full-outer join moves only (doc_id, md5) — text " +
     "is projected away below the join") {
     val p = plan(Dedup.corpusDiff(docs, docs))
