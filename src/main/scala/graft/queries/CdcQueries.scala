@@ -67,6 +67,38 @@ object CdcQueries {
       .orderBy("o_orderkey", "audit_event")
   }
 
+  /** Incremental view maintenance from the change events alone
+    * ([[Ivm]]): the per-custkey (order count, total price) view,
+    * maintained from the q_capture_preimage event batch as an
+    * O(changes) upsert/delete instruction set — the oracle recomputes
+    * both snapshot aggregates wholesale and diffs them, so a wrong
+    * retraction, a missed pre-image, or an inexact money sum all
+    * break the hash. Money math runs in DECIMAL(12,2) casts per
+    * event/row on both sides (never summed as double).
+    */
+  def incrAgg(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val oldSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+    val newSnap = base.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    val events =
+      CaptureDiff.classifyWithPreImages(oldSnap, newSnap, Seq("o_orderkey"))
+    val view = oldSnap.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("o_totalprice").cast("decimal(12,2)")).as("sum_price"))
+    val delta = Ivm.viewDelta(events, "o_custkey", "o_totalprice")
+    Ivm.maintain(view, delta, "o_custkey", sumCol = "sum_price",
+        cntCol = "n_orders")
+      // exact decimal all the way; DOUBLE only at the output edge
+      // (the q1 pattern — see oracle side)
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_price").cast("double").as("sum_price"), col("op"))
+      .orderBy("o_custkey")
+  }
+
   /** Watermark incremental read (S5/P6): events above max(pk)/2,
     * with the watermark computed as a broadcast scalar join (no
     * driver-side collect).
@@ -194,6 +226,27 @@ object CdcQueries {
     "q_retention_wipe" ->
       """SELECT user_id, count(*) - 1 AS n_wiped, max(event_id) AS kept_pk
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_incr_agg" ->
+      """WITH s_old AS (
+        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |s_new AS (
+        |  SELECT o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS DECIMAL(12,2)) AS p
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |oa AS (SELECT o_custkey, count(*) AS n, sum(p) AS s FROM s_old GROUP BY 1),
+        |na AS (SELECT o_custkey, count(*) AS n, sum(p) AS s FROM s_new GROUP BY 1)
+        |SELECT COALESCE(oa.o_custkey, na.o_custkey) AS o_custkey,
+        |  CAST(COALESCE(na.n, 0) AS BIGINT) AS n_orders,
+        |  CAST(COALESCE(na.s, 0) AS DOUBLE) AS sum_price,
+        |  CASE WHEN na.o_custkey IS NULL THEN 'delete'
+        |       WHEN oa.o_custkey IS NULL THEN 'insert'
+        |       ELSE 'update' END AS op
+        |FROM oa FULL OUTER JOIN na ON oa.o_custkey = na.o_custkey
+        |WHERE COALESCE(oa.n, 0) <> COALESCE(na.n, 0)
+        |   OR COALESCE(oa.s, 0) <> COALESCE(na.s, 0)
+        |ORDER BY o_custkey""".stripMargin,
     "q_capture_preimage" ->
       """WITH s_old AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
@@ -238,6 +291,7 @@ object CdcQueries {
     "q_audit_log"      -> (auditLog _),
     "q_capture_diff"   -> (captureDiff _),
     "q_capture_preimage" -> (capturePreImage _),
+    "q_incr_agg"       -> (incrAgg _),
     "q_sync_watermark" -> (syncWatermark _),
     "q_agg_probe"      -> (aggProbe _),
     "q_keep_last"      -> (keepLast _),

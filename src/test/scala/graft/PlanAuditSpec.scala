@@ -252,6 +252,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
+  test("Ivm.maintain: the view is probed by a broadcast LEFT SEMI on " +
+    "the touched keys — the (100 TB) view side never shuffles for the " +
+    "probe; no cartesian product") {
+    import graft.core.{CaptureDiff, Ivm}
+    val o = (1 to 50).map(i => (i.toLong, (i % 5).toLong, i.toDouble))
+      .toDF("id", "grp", "amt")
+      .select(col("id"), col("grp"), col("amt").cast("decimal(12,2)").as("amt"))
+    val n = o.filter(col("id") % 7 =!= 0)
+    val ev = CaptureDiff.classifyWithPreImages(o, n, Seq("id"))
+    val view = o.groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), sum(col("amt")).as("sum_val"))
+    val p = plan(Ivm.maintain(view, Ivm.viewDelta(ev, "grp", "amt"), "grp"))
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("hammingPairs: candidate generation is an equi-join on " +
     "(band index, band value) — no cartesian product, no broadcast " +
     "nested loop; the popcount verify rides the join projection") {
