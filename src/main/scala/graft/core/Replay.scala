@@ -40,4 +40,38 @@ object Replay {
     */
   def stateAsOf(log: DataFrame, pk: Seq[String], asOfPk: Long): DataFrame =
     toState(log.filter(col(AuditSchema.PkCol) <= asOfPk), pk)
+
+  /** Slowly-changing-dimension Type-2 history from the audit log
+    * (Kimball's SCD2: one row per VERSION of each key, with a validity
+    * interval in sequence space). Every non-delete event opens a
+    * version valid from its own `audit_pk`; the NEXT event on the same
+    * key — update, delete, or re-insert — closes it (`valid_to_pk`,
+    * null = still open). A delete closes the prior version without
+    * opening one, so `is_current` = open interval. Versions number
+    * densely per key in event order.
+    *
+    * This is the point-in-time dual of [[stateAsOf]]: instead of
+    * replaying a prefix per question, the interval table answers any
+    * as-of question with a range predicate
+    * (`valid_from_pk <= t AND (valid_to_pk IS NULL OR valid_to_pk > t)`).
+    *
+    * Scale shape: both windows share one partitioning (the key) and
+    * one sort (`audit_pk`) — a single Exchange, no global window, and
+    * per-key state is one row in flight.
+    */
+  def scd2(log: DataFrame, pk: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col(AuditSchema.PkCol))
+    val srcCols = AuditSchema.sourceColumns(log.schema)
+    log
+      .withColumn("valid_to_pk", lead(col(AuditSchema.PkCol), 1).over(w))
+      .filter(col(AuditSchema.EventCol) =!= "delete")
+      .withColumn("version", row_number().over(w))
+      .select(srcCols.map(col) ++ Seq(
+        col("version"),
+        col(AuditSchema.PkCol).as("valid_from_pk"),
+        col("valid_to_pk"),
+        col("valid_to_pk").isNull.as("is_current")): _*)
+  }
 }

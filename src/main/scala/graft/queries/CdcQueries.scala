@@ -142,6 +142,21 @@ object CdcQueries {
     Replay.toState(log, Seq("user_id")).orderBy("user_id")
   }
 
+  /** SCD Type-2 interval history of the event-log fold
+    * ([[Replay.scd2]]): one row per version of each user with its
+    * validity interval in sequence space — `error` events read as
+    * deletes close the open version without opening one.
+    */
+  def scdHistory(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(s, dir).select(
+      col("user_id"), col("value"), col("props"),
+      when(col("event_type") === "error", lit("delete"))
+        .otherwise(lit("update")).as(AuditSchema.EventCol),
+      col("ts").as(AuditSchema.TimestampCol),
+      col("event_id").as(AuditSchema.PkCol))
+    Replay.scd2(log, Seq("user_id")).orderBy("user_id", "version")
+  }
+
   /** Time travel (README.md:29-41): state of the event-log fold as of
     * the log's midpoint sequence number — half the history replayed,
     * the rest pruned at the scan.
@@ -226,6 +241,17 @@ object CdcQueries {
     "q_retention_wipe" ->
       """SELECT user_id, count(*) - 1 AS n_wiped, max(event_id) AS kept_pk
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_scd2" ->
+      """WITH ev AS (SELECT user_id, value, props, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS audit_event,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_pk
+        |  FROM events)
+        |SELECT user_id, value, props,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS version,
+        |  event_id AS valid_from_pk, valid_to_pk,
+        |  valid_to_pk IS NULL AS is_current
+        |FROM ev WHERE audit_event <> 'delete'
+        |ORDER BY user_id, version""".stripMargin,
     "q_incr_agg" ->
       """WITH s_old AS (
         |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
@@ -292,6 +318,7 @@ object CdcQueries {
     "q_capture_diff"   -> (captureDiff _),
     "q_capture_preimage" -> (capturePreImage _),
     "q_incr_agg"       -> (incrAgg _),
+    "q_scd2"           -> (scdHistory _),
     "q_sync_watermark" -> (syncWatermark _),
     "q_agg_probe"      -> (aggProbe _),
     "q_keep_last"      -> (keepLast _),

@@ -45,6 +45,43 @@ class RetentionReplaySpec extends SparkSpec {
     assert(state.toSeq === Seq((1, "a3"), (3, "c1")))
   }
 
+  test("scd2: versions interval-partition each key's history — deletes " +
+    "close without opening, re-inserts reopen, exactly one current " +
+    "version per live key") {
+    // key 2's history: insert(2) -> delete(5): no current version.
+    // extend with a re-insert after the delete to cover reopening.
+    val log2 = log.unionByName(Seq((2, "b2", "insert", 7L))
+      .toDF("id", "x", "audit_event", "audit_pk")
+      .withColumn("audit_timestamp", fixed)
+      .select("id", "x", "audit_event", "audit_timestamp", "audit_pk"))
+    val out = Replay.scd2(log2, Seq("id"))
+      .select("id", "x", "version", "valid_from_pk", "valid_to_pk",
+        "is_current")
+      .as[(Int, String, Int, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(out === Seq(
+      (1, "a1", 1, 1L, Some(3L), false),
+      (1, "a2", 2, 3L, Some(6L), false),
+      (1, "a3", 3, 6L, None, true),
+      (2, "b1", 1, 2L, Some(5L), false),  // closed by the delete at pk 5
+      (2, "b2", 2, 7L, None, true),       // reopened after the delete
+      (3, "c1", 1, 4L, None, true)))
+  }
+
+  test("property: scd2 interval lookup at t == stateAsOf(t) for every " +
+    "sequence point") {
+    val hist = Replay.scd2(log, Seq("id"))
+    for (t <- 1L to 6L) {
+      val viaIntervals = hist
+        .filter(col("valid_from_pk") <= t &&
+          (col("valid_to_pk").isNull || col("valid_to_pk") > t))
+        .select("id", "x").as[(Int, String)].collect().sortBy(_._1).toSeq
+      val viaReplay = Replay.stateAsOf(log, Seq("id"), t)
+        .select("id", "x").as[(Int, String)].collect().sortBy(_._1).toSeq
+      assert(viaIntervals === viaReplay, s"as-of $t")
+    }
+  }
+
   test("property: capture(s1,s2) replayed over s1 == s2, for seeded " +
     "random DML sequences") {
     val rnd = new scala.util.Random(42)
