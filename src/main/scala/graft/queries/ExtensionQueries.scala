@@ -949,6 +949,20 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Z-order clustering effectiveness audit ([[Layout.zorderReport]])
+    * over the lake's classic two-dimension access pattern
+    * (part, supplier): every lineitem row lands in one of 64 files by
+    * Morton-key prefix and the report shows each file's min/max
+    * envelope on BOTH raw dims with exact ppm spans — the file-stats
+    * tightness that decides multi-dim scan pruning at 100 TB. Exact
+    * integer scaling/interleave on both engines.
+    */
+  def zorder(s: SparkSession, d: String): DataFrame =
+    Layout.zorderReport(
+        Tables.lineitem(s, d).select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", bits = 16, nFiles = 64)
+      .orderBy("file_id")
+
   /** REAL-codec perceptual image dedup under the hash gate: the same
     * token-derived BMPs as q_image_stats are REALLY pixel-decoded
     * through `ImageIO` into the 63-bit sequence-sampled dHash
@@ -1609,6 +1623,33 @@ object ExtensionQueries {
         |  CAST(dk AS DOUBLE) / n AS dark_ratio
         |FROM t LEFT JOIN s USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    "q_zorder" -> {
+      val terms = (0 until 16).map(i =>
+        s"((((ga >> $i) & 1) << ${2 * i + 1}) | (((gb >> $i) & 1) << ${2 * i}))")
+        .mkString(" | ")
+      s"""WITH g AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+         |    min(l_suppkey) AS bmin, max(l_suppkey) AS bmax FROM lineitem),
+         |s AS (SELECT l_partkey, l_suppkey, amin, amax, bmin, bmax,
+         |    CASE WHEN amax = amin THEN 0
+         |         ELSE ((l_partkey - amin) * 65535) // (amax - amin) END AS ga,
+         |    CASE WHEN bmax = bmin THEN 0
+         |         ELSE ((l_suppkey - bmin) * 65535) // (bmax - bmin) END AS gb
+         |  FROM lineitem, g),
+         |z AS (SELECT l_partkey, l_suppkey, amin, amax, bmin, bmax,
+         |    ($terms) >> 26 AS file_id FROM s),
+         |f AS (SELECT file_id, count(*) AS n_rows,
+         |    min(l_partkey) AS a_min, max(l_partkey) AS a_max,
+         |    min(l_suppkey) AS b_min, max(l_suppkey) AS b_max,
+         |    max(amin) AS amin, max(amax) AS amax,
+         |    max(bmin) AS bmin, max(bmax) AS bmax
+         |  FROM z GROUP BY 1)
+         |SELECT file_id, n_rows, a_min, a_max, b_min, b_max,
+         |  CASE WHEN amax = amin THEN 0
+         |       ELSE ((a_max - a_min) * 1000000) // (amax - amin) END AS a_span_ppm,
+         |  CASE WHEN bmax = bmin THEN 0
+         |       ELSE ((b_max - b_min) * 1000000) // (bmax - bmin) END AS b_span_ppm
+         |FROM f ORDER BY file_id""".stripMargin
+    },
     "q_image_dhash" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
@@ -2887,6 +2928,7 @@ object ExtensionQueries {
     "q_audio_vad"       -> (audioVad _),
     "q_image_stats"     -> (imageStats _),
     "q_image_dhash"     -> (imageDHash _),
+    "q_zorder"          -> (zorder _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),

@@ -1390,6 +1390,65 @@ class OpsSpec extends SparkSpec {
       (5L, 6L, 0L)))
   }
 
+  test("zorderKey: Morton interleave bit positions (a odd, b even), " +
+    "known values, monotone prefix locality") {
+    import graft.ops.Layout
+    val out = Seq((1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Layout.zorderKey(col("a"), col("b"), 16).as("z"))
+      .as[Long].collect().toSeq
+    // a=1,b=0 -> bit 1; a=0,b=1 -> bit 0; a=3,b=3 -> bits 0..3;
+    // a=5(101),b=2(010) -> a bits at 1,5; b bit at 2 -> 100110 = 38
+    assert(out === Seq(2L, 1L, 15L, 38L, (1L << 32) - 1))
+  }
+
+  test("zorderReport: 64 files give tight min/max envelopes on BOTH " +
+    "dims (the multi-dim pruning claim); a 1-D sort leaves the other " +
+    "dim's span wide open") {
+    import graft.ops.Layout
+    // uniform 128x128 grid: every (x, y) pair once
+    val grid = (0 until 128).flatMap(x => (0 until 128).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+    val rep = Layout.zorderReport(grid, "x", "y", bits = 16, nFiles = 64)
+      .select("file_id", "n_rows", "a_span_ppm", "b_span_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rep.length === 64)
+    assert(rep.map(_._2).sum === 128L * 128)
+    // 64 files = 3 prefix bits per dim -> each file covers ~1/8 of
+    // each dim's range: span <= ~125000 ppm (+ grid-edge slack)
+    assert(rep.forall(r => r._3 <= 200000 && r._4 <= 200000),
+      rep.map(r => (r._1, r._3, r._4)).mkString(", "))
+    // contrast: files cut by sorting on x alone leave y spanning the
+    // whole range — that is what Z-ordering removes
+    val sortedBaseline = grid
+      .withColumn("file_id", (col("x") / 2).cast("long")) // 64 x-slices
+      .groupBy("file_id").agg(max(col("y")) - min(col("y")))
+      .as[(Long, Long)].collect()
+    assert(sortedBaseline.forall(_._2 === 127L))
+  }
+
+  test("clusterByZ: actual output partitions carry tight min/max on " +
+    "both dims — the file stats a parquet write would persist") {
+    import graft.ops.Layout
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+    val parts = Layout.clusterByZ(grid, "x", "y", bits = 16, nFiles = 16)
+      .select(spark_partition_id().as("p"), col("x"), col("y"))
+      .groupBy("p").agg(
+        (max(col("x")) - min(col("x"))).as("xs"),
+        (max(col("y")) - min(col("y"))).as("ys"),
+        count(lit(1)).as("n"))
+      .as[(Int, Long, Long, Long)].collect()
+    assert(parts.map(_._4).sum === 64L * 64)
+    // 16 range-cut files over the Z-curve: each dim's span stays a
+    // fraction of the 0..63 range on every file (range boundaries are
+    // sampled, so allow slack over the ideal 1/4)
+    assert(parts.forall(p => p._2 <= 32 && p._3 <= 32),
+      parts.sortBy(_._1).mkString(", "))
+    // schema untouched: helper columns dropped
+    assert(Layout.clusterByZ(grid, "x", "y").columns.toSeq === Seq("x", "y"))
+  }
+
   test("decodeImageDHash: real BMP->ImageIO round trip — identical " +
     "pixels hash identically, a single flipped pixel moves few bits, " +
     "monotone luminance sets every bit, degenerate payloads null out") {
