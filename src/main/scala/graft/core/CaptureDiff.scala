@@ -59,6 +59,43 @@ object CaptureDiff {
       basePk)
   }
 
+  /** Schema-evolution-tolerant capture — the reference's wished-for
+    * "Auto-Detect schema changes to source table and apply to audit
+    * table" (`README.md:224`, listed as a TODO; `README.md:210-212`
+    * documents today's manual re-run). Snapshot-diff capture gets this
+    * almost for free: the two snapshots' schemas are aligned by NAME —
+    * a column present on one side only (ALTER TABLE ADD/DROP between
+    * snapshots) null-pads the other side — and the ordinary classify
+    * runs over the union schema. An added column backfilled on some
+    * rows surfaces exactly those rows as updates (null IS DISTINCT
+    * FROM value); rows untouched by the backfill stay suppressed.
+    * Shared columns must keep their type — a type CHANGE is a rewrite,
+    * not capturable from images, and fails fast like the sync drift
+    * check (`SyncJob`).
+    */
+  def captureEvolved(oldSnap: DataFrame, newSnap: DataFrame,
+                     pk: Seq[String],
+                     clock: Column = current_timestamp(),
+                     basePk: Long = 0L): DataFrame = {
+    val oldF = oldSnap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val newF = newSnap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val shared = oldF.keySet intersect newF.keySet
+    val mismatched = shared.filter(c => oldF(c) != newF(c))
+    require(mismatched.isEmpty,
+      s"schema drift beyond add/drop: type change on ${mismatched.mkString(",")}")
+    require(pk.forall(shared.contains), "PK columns must exist on both sides")
+    // union order: old's columns, then new-only columns
+    val unionCols = oldSnap.schema.fieldNames.toSeq ++
+      newSnap.schema.fieldNames.filterNot(oldF.contains)
+    def pad(df: DataFrame, have: Map[String, org.apache.spark.sql.types.DataType])
+        : DataFrame =
+      df.select(unionCols.map(c => have.get(c) match {
+        case Some(_) => col(c)
+        case None    => lit(null).cast(oldF.getOrElse(c, newF(c))).as(c)
+      }): _*)
+    capture(pad(oldSnap, oldF), pad(newSnap, newF), pk, clock, basePk)
+  }
+
   /** The join+classify core, without sequencing/timestamping: returns
     * source columns (correct image per event) + `audit_event`.
     * Expressed entirely in joinable/codegen-able expressions so Catalyst

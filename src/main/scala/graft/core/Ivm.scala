@@ -44,7 +44,23 @@ object Ivm {
     * "Determinism" in SCALING.md).
     */
   def viewDelta(events: DataFrame, groupKey: String, valueCol: String,
-                valueType: String = "decimal(12,2)"): DataFrame = {
+                valueType: String = "decimal(12,2)"): DataFrame =
+    signedDeltas(events, groupKey, valueCol, valueType)
+      .groupBy(col("k").as(groupKey))
+      .agg(sum(col("dv")).as("d_sum"), sum(col("dn")).as("d_n"))
+      // cancel-outs (net-zero keys) leave the view row untouched; the
+      // recompute oracle sees no difference there either, so suppress.
+      // (The STREAMING twin must NOT suppress — a running delta that
+      // returns to zero has to tell the merger "back to base" — see
+      // EventStreamOps.streamingViewDelta.)
+      .filter(col("d_n") =!= 0L || col("d_sum") =!= lit(0).cast(valueType))
+
+  /** The un-aggregated signed delta rows (k, dv, dn) — one or two per
+    * event. Shared by the batch [[viewDelta]] and the streaming twin
+    * (which aggregates them as a running per-key state instead).
+    */
+  def signedDeltas(events: DataFrame, groupKey: String, valueCol: String,
+                   valueType: String = "decimal(12,2)"): DataFrame = {
     val ev = col(AuditSchema.EventCol)
     // addition arm: post-image contribution of insert/update
     val add = when(ev =!= "delete",
@@ -58,11 +74,7 @@ object Ivm {
         lit(-1L).as("dn")))
     events
       .select(explode(filter(array(add, retract), a => a.isNotNull)).as("d"))
-      .groupBy(col("d.k").as(groupKey))
-      .agg(sum(col("d.dv")).as("d_sum"), sum(col("d.dn")).as("d_n"))
-      // cancel-outs (net-zero keys) leave the view row untouched; the
-      // recompute oracle sees no difference there either, so suppress
-      .filter(col("d_n") =!= 0L || col("d_sum") =!= lit(0).cast(valueType))
+      .select(col("d.k").as("k"), col("d.dv").as("dv"), col("d.dn").as("dn"))
   }
 
   /** Merge a net view delta into the current view state and emit the

@@ -67,6 +67,31 @@ object CdcQueries {
       .orderBy("o_orderkey", "audit_event")
   }
 
+  /** Schema-evolution capture ([[CaptureDiff.captureEvolved]]): the
+    * new snapshot carries a column the old one lacks (ALTER TABLE ADD
+    * between snapshots), backfilled only on keys divisible by 11 — so
+    * the diff shows exactly the backfilled rows as updates alongside
+    * the usual I/U/D set, and pre-ALTER rows stay suppressed. The
+    * reference's README:224 wish, done by schema alignment.
+    */
+  def captureEvolve(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val oldSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+    val newSnap = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        when(col("o_orderkey") % 11 === 0, col("o_orderpriority"))
+          .as("o_orderpriority"))
+      .filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    CaptureDiff.captureEvolved(oldSnap, newSnap, Seq("o_orderkey"))
+      .drop(AuditSchema.TimestampCol)
+      .orderBy("audit_pk")
+  }
+
   /** Incremental view maintenance from the change events alone
     * ([[Ivm]]): the per-custkey (order count, total price) view,
     * maintained from the q_capture_preimage event batch as an
@@ -252,6 +277,37 @@ object CdcQueries {
         |  valid_to_pk IS NULL AS is_current
         |FROM ev WHERE audit_event <> 'delete'
         |ORDER BY user_id, version""".stripMargin,
+    "q_capture_evolve" ->
+      """WITH s_old AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    CAST(NULL AS VARCHAR) AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |s_new AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |ev AS (
+        |  SELECT
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_orderkey ELSE n.o_orderkey END AS o_orderkey,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey ELSE n.o_custkey END AS o_custkey,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END AS o_totalprice,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_orderpriority ELSE n.o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |         WHEN n.o_orderkey IS NULL THEN 'delete'
+        |         ELSE 'update' END AS audit_event
+        |  FROM s_old o FULL OUTER JOIN s_new n ON o.o_orderkey = n.o_orderkey
+        |  WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |     OR o.o_custkey IS DISTINCT FROM n.o_custkey
+        |     OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |     OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |     OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority, audit_event,
+        |  row_number() OVER (ORDER BY o_orderkey, audit_event) AS audit_pk
+        |FROM ev ORDER BY audit_pk""".stripMargin,
     "q_incr_agg" ->
       """WITH s_old AS (
         |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
@@ -319,6 +375,7 @@ object CdcQueries {
     "q_capture_preimage" -> (capturePreImage _),
     "q_incr_agg"       -> (incrAgg _),
     "q_scd2"           -> (scdHistory _),
+    "q_capture_evolve" -> (captureEvolve _),
     "q_sync_watermark" -> (syncWatermark _),
     "q_agg_probe"      -> (aggProbe _),
     "q_keep_last"      -> (keepLast _),

@@ -419,6 +419,23 @@ object EventStreamOps {
       .select("user_id", "event_id", "ts", "src_id", "src_ts")
   }
 
+  /** Streaming twin of [[graft.core.Ivm.viewDelta]]: the change-event
+    * stream folds into a RUNNING net view delta per key — one stateful
+    * aggregation in Update mode, each emission the key's latest
+    * cumulative (d_sum, d_n) for the sink's MERGE to apply over the
+    * stored base view. Unlike the batch form, net-zero rows are NOT
+    * suppressed: in a stream, a delta returning to zero must still
+    * reach the merger so it can restore the base row (the previous
+    * nonzero emission is already applied downstream). State per key is
+    * two numbers — bounded by live key cardinality, not stream length.
+    */
+  def streamingViewDelta(events: DataFrame, groupKey: String,
+                         valueCol: String,
+                         valueType: String = "decimal(12,2)"): DataFrame =
+    graft.core.Ivm.signedDeltas(events, groupKey, valueCol, valueType)
+      .groupBy(col("k").as(groupKey))
+      .agg(sum(col("dv")).as("d_sum"), sum(col("dn")).as("d_n"))
+
   /** Streaming per-key latest-state view (the CDC "current state"
     * materialization as a stream): groupBy key + max_by(audit_pk),
     * output mode Update/Complete. One stateful aggregation, partition

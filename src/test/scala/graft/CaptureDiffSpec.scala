@@ -89,6 +89,37 @@ class CaptureDiffSpec extends SparkSpec {
     }
   }
 
+  test("captureEvolved: added column null-pads the old side (backfilled " +
+    "rows surface as updates, others suppress), dropped column " +
+    "null-pads the new side, type change fails fast") {
+    val fixed = lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    val o = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "x")
+    // ALTER TABLE ADD y: backfilled only on id 2; id 3 deleted, 4 added
+    val n = Seq((1, "a", null.asInstanceOf[String]), (2, "b", "Y2"),
+      (4, "d", "Y4")).toDF("id", "x", "y")
+    val out = CaptureDiff.captureEvolved(o, n, Seq("id"), clock = fixed)
+      .select("id", "x", "y", "audit_event")
+      .as[(Int, String, Option[String], String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      // id 1: null-padded old y == null new y -> suppressed (absent)
+      (2, "b", Some("Y2"), "update"),   // the backfill IS the change
+      (3, "c", None, "delete"),
+      (4, "d", Some("Y4"), "insert")))
+    // dropped column: old has y, new doesn't -> every surviving row
+    // with a non-null y reads as an update to null
+    val dropped = CaptureDiff.captureEvolved(
+        Seq((1, "a", "gone")).toDF("id", "x", "y"),
+        Seq((1, "a")).toDF("id", "x"), Seq("id"), clock = fixed)
+      .select("id", "y", "audit_event")
+      .as[(Int, Option[String], String)].collect().toSeq
+    assert(dropped === Seq((1, None, "update")))
+    // type change on a shared column is a rewrite, not evolution
+    intercept[IllegalArgumentException] {
+      CaptureDiff.captureEvolved(o,
+        Seq((1, 9L)).toDF("id", "x"), Seq("id"), clock = fixed)
+    }
+  }
+
   test("output is a well-formed audit schema") {
     val s1 = Seq((1, "a")).toDF("id", "x")
     val s2 = Seq((2, "b")).toDF("id", "x")

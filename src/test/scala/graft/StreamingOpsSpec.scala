@@ -32,6 +32,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingViewDelta: running per-key net delta == batch " +
+    "Ivm.viewDelta over the prefix after every batch; net-zero keys " +
+    "stay visible (back-to-base signal)") {
+    implicit val sc = spark.sqlContext
+    // pre-image-carrying change events: (grp, amt, old_grp, old_amt, ev)
+    val mem = MemoryStream[(Long, String, java.lang.Long, String, String)]
+    val df = mem.toDF().toDF("grp", "amt", "old_grp", "old_amt", "audit_event")
+      .select(col("grp"), col("amt").cast("decimal(12,2)").as("amt"),
+        col("old_grp"), col("old_amt").cast("decimal(12,2)").as("old_amt"),
+        col("audit_event"))
+    val q = EventStreamOps.streamingViewDelta(df, "grp", "amt")
+      .writeStream.format("memory").queryName("ivm")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def state() = spark.table("ivm")
+        .select(col("grp"), col("d_sum").cast("string"), col("d_n"))
+        .as[(Long, String, Long)].collect()
+        .groupBy(_._1).map { case (_, v) => v.last }.toSeq.sortBy(_._1)
+      // batch 1: insert 5.00 into grp 1, move 3.00 from grp 2 to grp 3
+      mem.addData(
+        (1L, "5.00", null, null, "insert"),
+        (3L, "3.00", java.lang.Long.valueOf(2L), "3.00", "update"))
+      q.processAllAvailable()
+      assert(state() === Seq((1L, "5.00", 1L), (2L, "-3.00", -1L),
+        (3L, "3.00", 1L)))
+      // batch 2: delete the grp-1 row -> its delta returns to zero and
+      // MUST still be emitted (update mode re-emits the changed key)
+      mem.addData((1L, "5.00", java.lang.Long.valueOf(1L), "5.00", "delete"))
+      q.processAllAvailable()
+      assert(state() === Seq((1L, "0.00", 0L), (2L, "-3.00", -1L),
+        (3L, "3.00", 1L)))
+    } finally q.stop()
+  }
+
   test("streamingTrendingTerms: sliding windows count exploded tokens " +
     "per (window, token)") {
     implicit val sc = spark.sqlContext
