@@ -137,6 +137,103 @@ object CaptureDiff {
       .select(image :+ event.as(AuditSchema.EventCol): _*)
   }
 
+  /** Three-way merge capture — conflict detection for the reference's
+    * own motivating deployment shape ("terabytes of legacy data stored
+    * in MULTIPLE mysql databases", `README.md:20-27`): two writers
+    * diverge from a common base snapshot, and the merged change set
+    * must distinguish clean merges from true conflicts. Classic
+    * COLUMN-level three-way merge (the VCS rule, public folklore since
+    * diff3): a column conflicts only when BOTH sides changed it to
+    * DIFFERENT values; disjoint column edits combine into one merged
+    * row.
+    *
+    * Per key (presence = PK non-null per side):
+    *   - edited on one side only → that side's image, status
+    *     `ours`/`theirs`
+    *   - edited on both, per-column disjoint or identical → combined
+    *     image, status `merged`
+    *   - any column changed by both to different values, or
+    *     delete-vs-edit, or both-insert with different images →
+    *     status `conflict`, resolved OURS-WINS (deterministic; the
+    *     flag is the router — callers quarantine conflict rows)
+    *   - unchanged everywhere → suppressed
+    * `audit_event` classifies the merged outcome vs base (I/U/D;
+    * deletes carry the base pre-image, the reference's delete rule).
+    *
+    * Scale shape: two co-keyed full-outer joins (one Exchange per
+    * side, zero with bucketed snapshots — [[graft.core.AuditLake]]),
+    * then pure codegen'd column CASEs. No UDF, no driver logic.
+    */
+  def threeWayMerge(base: DataFrame, ours: DataFrame, theirs: DataFrame,
+                    pk: Seq[String]): DataFrame = {
+    require(base.schema.fieldNames.sameElements(ours.schema.fieldNames) &&
+      base.schema.fieldNames.sameElements(theirs.schema.fieldNames),
+      "snapshots must share a schema")
+    val b = base.alias("b"); val o = ours.alias("o"); val t = theirs.alias("t")
+    val joined = b
+      .join(o, pk.map(k => col(s"b.$k") === col(s"o.$k")).reduce(_ && _), "full_outer")
+      // t matches on the key from whichever earlier side is present
+      .join(t, pk.map(k =>
+        coalesce(col(s"b.$k"), col(s"o.$k")) === col(s"t.$k"))
+        .reduce(_ && _), "full_outer")
+    val cols = base.schema.fieldNames.toSeq
+    val nonKey = cols.filterNot(pk.contains)
+    val inB = pk.map(k => col(s"b.$k").isNotNull).reduce(_ && _)
+    val inO = pk.map(k => col(s"o.$k").isNotNull).reduce(_ && _)
+    val inT = pk.map(k => col(s"t.$k").isNotNull).reduce(_ && _)
+    def diffs(side: String): Column =
+      if (nonKey.isEmpty) lit(false)
+      else nonKey.map(c => !(col(s"$side.$c") <=> col(s"b.$c"))).reduce(_ || _)
+    def colConflict(c: String): Column =
+      !(col(s"o.$c") <=> col(s"b.$c")) && !(col(s"t.$c") <=> col(s"b.$c")) &&
+        !(col(s"o.$c") <=> col(s"t.$c"))
+    val anyColConflict =
+      if (nonKey.isEmpty) lit(false)
+      else nonKey.map(colConflict).reduce(_ || _)
+    val oursRow = diffs("o"); val theirsRow = diffs("t")
+    val sameImage =
+      if (nonKey.isEmpty) lit(true)
+      else nonKey.map(c => col(s"o.$c") <=> col(s"t.$c")).reduce(_ && _)
+    // presence/status/event/deletion classification
+    val status =
+      when(!inB && inO && inT, when(sameImage, lit("merged"))
+        .otherwise(lit("conflict")))
+      .when(!inB, when(inO, lit("ours")).otherwise(lit("theirs")))
+      .when(!inO && !inT, lit("merged"))                   // both deleted
+      .when(!inO, when(theirsRow, lit("conflict"))         // our delete vs their edit
+        .otherwise(lit("ours")))
+      .when(!inT, when(oursRow, lit("conflict"))           // their delete vs our edit
+        .otherwise(lit("theirs")))
+      .when(anyColConflict, lit("conflict"))
+      .when(oursRow && theirsRow, lit("merged"))
+      .when(oursRow, lit("ours"))
+      .when(theirsRow, lit("theirs"))
+    // (only consulted for inB rows — event tests !inB first):
+    // ours deleted (clean, or ours-wins over their edit) OR their
+    // clean delete. Their delete vs OUR edit loses -> stays an update.
+    val deleted = !inO || (!inT && !oursRow)
+    val event = when(!inB, lit("insert"))
+      .when(deleted, lit("delete")).otherwise(lit("update"))
+    // merged image: deletes carry the base pre-image; inserts the
+    // inserting side's (ours-wins on both-insert); updates merge
+    // per-column with ours precedence on conflict
+    val image = cols.map { c =>
+      val colMerge =
+        when(!(col(s"o.$c") <=> col(s"b.$c")), col(s"o.$c"))
+          .when(!(col(s"t.$c") <=> col(s"b.$c")), col(s"t.$c"))
+          .otherwise(col(s"b.$c"))
+      when(!inB, coalesce(col(s"o.$c"), col(s"t.$c")))
+        .when(deleted, col(s"b.$c"))
+        .when(!inT, col(s"o.$c"))                          // their delete lost
+        .otherwise(if (pk.contains(c)) col(s"b.$c") else colMerge)
+        .as(c)
+    }
+    joined
+      .filter(!inB || !inO || !inT || oursRow || theirsRow)
+      .select(image ++ Seq(event.as(AuditSchema.EventCol),
+        status.as("merge_status")): _*)
+  }
+
   /** Capture WITH update pre-images — the deliberate extension beyond
     * the reference (which only stores post-images on update,
     * cdc_audit_gen_mysql.php:490; SURVEY.md §7.4.2): each non-key

@@ -303,6 +303,51 @@ object Similarity {
       .drop("_m")
   }
 
+  /** Hard-negative mining for contrastive/embedding training (the
+    * public recipe behind DPR's "hard negatives", Karpukhin et al.
+    * EMNLP 2020, and every bi-encoder since): for each vector, find
+    * ANN neighbors that score HIGH on cosine yet belong to a DIFFERENT
+    * coarse cluster — similar-looking, semantically-other examples, the
+    * ones a contrastive loss learns most from. Random negatives are
+    * trivially easy; same-cluster neighbors are likely positives; the
+    * high-cos different-cluster band is the training signal.
+    *
+    * Dataflow: the same posting-list ANN join as [[knnGraph]] (probe
+    * side never broadcast), then the cluster assignment equi-joins in
+    * on BOTH endpoints — at 100 TB the assignment is the shared index
+    * memo, so mining costs one ANN probe + two skinny id joins. The
+    * `[minCosQ, maxCosQ]` band drops easy negatives below and
+    * near-duplicates above (a dup that landed across a cluster
+    * boundary is noise, not signal). Top `perVec` negatives per
+    * vector, rank re-numbered after the filter.
+    */
+  def hardNegatives(corpus: DataFrame, k: Int = 8, perVec: Int = 3,
+                    minCosQ: Long = 3000L, maxCosQ: Long = 9500L,
+                    nprobe: Int = 2, centroidStride: Int = 37, dim: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroids: Option[DataFrame] = None,
+                    corpusAssigned: Option[DataFrame] = None): DataFrame = {
+    val asg = corpusAssigned.getOrElse(assignToCentroids(corpus, centroidStride,
+        dim, idCol, vecCol))
+      .select(col(idCol).as("__id"), col("centroid_id"))
+    val edges = ivfTopK(corpus, corpus, k, centroidStride, dim, idCol, vecCol,
+      centroids, nprobe, corpusAssigned, broadcastQueries = false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos_q").desc, col("neg_id"))
+    edges
+      .select(col("query_id").as("src"), col("neighbor_id").as("neg_id"),
+        col("cos_q"))
+      .filter(col("cos_q").between(minCosQ, maxCosQ))
+      .join(asg.withColumnRenamed("centroid_id", "src_cluster"),
+        col("src") === col("__id")).drop("__id")
+      .join(asg.withColumnRenamed("centroid_id", "neg_cluster"),
+        col("neg_id") === col("__id")).drop("__id")
+      .filter(col("src_cluster") =!= col("neg_cluster"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perVec)
+      .select("src", "neg_id", "rank", "cos_q", "src_cluster", "neg_cluster")
+  }
+
   /** Per-row nearest-centroid assignment against FROZEN in-plan
     * centroids: the coarse quantizer as a PURE PROJECTION — centroids
     * ride along as literals (ids, component arrays, precomputed

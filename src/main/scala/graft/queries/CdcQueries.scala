@@ -92,6 +92,32 @@ object CdcQueries {
       .orderBy("audit_pk")
   }
 
+  /** Three-way merge capture ([[CaptureDiff.threeWayMerge]]): two
+    * writers diverge from the base snapshot — ours bumps price on
+    * keys %7 and deletes %41; theirs bumps price on %13, flips status
+    * on %5, deletes %43 — so the fixture covers one-side edits,
+    * disjoint-column merges (%35), column conflicts (%91),
+    * delete-vs-edit conflicts, and clean deletes, all hash-gated.
+    */
+  def threeWayQ(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") % 97 =!= 0)
+    val ours = base.filter(col("o_orderkey") % 41 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    val theirs = base.filter(col("o_orderkey") % 43 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 20.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 5 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    CaptureDiff.threeWayMerge(base, ours, theirs, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   /** Incremental view maintenance from the change events alone
     * ([[Ivm]]): the per-custkey (order count, total price) view,
     * maintained from the q_capture_preimage event batch as an
@@ -277,6 +303,62 @@ object CdcQueries {
         |  valid_to_pk IS NULL AS is_current
         |FROM ev WHERE audit_event <> 'delete'
         |ORDER BY user_id, version""".stripMargin,
+    "q_three_way" -> {
+      val nonKey = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+      val oursRow = nonKey.map(c => s"o.$c IS DISTINCT FROM b.$c").mkString(" OR ")
+      val theirsRow = nonKey.map(c => s"t.$c IS DISTINCT FROM b.$c").mkString(" OR ")
+      val colConf = nonKey.map(c =>
+        s"(o.$c IS DISTINCT FROM b.$c AND t.$c IS DISTINCT FROM b.$c AND o.$c IS DISTINCT FROM t.$c)")
+        .mkString(" OR ")
+      val sameImage = nonKey.map(c => s"o.$c IS NOT DISTINCT FROM t.$c").mkString(" AND ")
+      val images = nonKey.map(c =>
+        s"""CASE WHEN b.o_orderkey IS NULL THEN COALESCE(o.$c, t.$c)
+           |     WHEN deleted THEN b.$c
+           |     WHEN t.o_orderkey IS NULL THEN o.$c
+           |     ELSE CASE WHEN o.$c IS DISTINCT FROM b.$c THEN o.$c
+           |               WHEN t.$c IS DISTINCT FROM b.$c THEN t.$c
+           |               ELSE b.$c END END AS $c""".stripMargin).mkString(",\n")
+      s"""WITH bse AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_orderkey % 97 <> 0),
+         |o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM bse WHERE o_orderkey % 41 <> 0),
+         |t AS (SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 20.0
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM bse WHERE o_orderkey % 43 <> 0),
+         |j AS (
+         |  SELECT b.o_orderkey IS NOT NULL AS in_b,
+         |    o.o_orderkey IS NOT NULL AS in_o, t.o_orderkey IS NOT NULL AS in_t,
+         |    ($oursRow) AS ours_row, ($theirsRow) AS theirs_row,
+         |    ($colConf) AS col_conf, ($sameImage) AS same_image,
+         |    (o.o_orderkey IS NULL OR
+         |     (t.o_orderkey IS NULL AND NOT ($oursRow))) AS deleted,
+         |    COALESCE(b.o_orderkey, o.o_orderkey, t.o_orderkey) AS o_orderkey,
+         |    $images
+         |  FROM bse b
+         |  FULL OUTER JOIN o ON b.o_orderkey = o.o_orderkey
+         |  FULL OUTER JOIN t ON COALESCE(b.o_orderkey, o.o_orderkey) = t.o_orderkey)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  CASE WHEN NOT in_b THEN 'insert'
+         |       WHEN deleted THEN 'delete' ELSE 'update' END AS audit_event,
+         |  CASE WHEN NOT in_b AND in_o AND in_t THEN
+         |         CASE WHEN same_image THEN 'merged' ELSE 'conflict' END
+         |       WHEN NOT in_b THEN CASE WHEN in_o THEN 'ours' ELSE 'theirs' END
+         |       WHEN NOT in_o AND NOT in_t THEN 'merged'
+         |       WHEN NOT in_o THEN CASE WHEN theirs_row THEN 'conflict' ELSE 'ours' END
+         |       WHEN NOT in_t THEN CASE WHEN ours_row THEN 'conflict' ELSE 'theirs' END
+         |       WHEN col_conf THEN 'conflict'
+         |       WHEN ours_row AND theirs_row THEN 'merged'
+         |       WHEN ours_row THEN 'ours'
+         |       ELSE 'theirs' END AS merge_status
+         |FROM j
+         |WHERE NOT in_b OR NOT in_o OR NOT in_t OR ours_row OR theirs_row
+         |ORDER BY o_orderkey""".stripMargin
+    },
     "q_capture_evolve" ->
       """WITH s_old AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -376,6 +458,7 @@ object CdcQueries {
     "q_incr_agg"       -> (incrAgg _),
     "q_scd2"           -> (scdHistory _),
     "q_capture_evolve" -> (captureEvolve _),
+    "q_three_way"      -> (threeWayQ _),
     "q_sync_watermark" -> (syncWatermark _),
     "q_agg_probe"      -> (aggProbe _),
     "q_keep_last"      -> (keepLast _),

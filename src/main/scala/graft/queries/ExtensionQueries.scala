@@ -1175,6 +1175,18 @@ object ExtensionQueries {
         centroids = ivfCentroidsOpt(s, d))
       .orderBy("src", "rank")
 
+  /** Hard-negative mining over the shared ANN index
+    * ([[Similarity.hardNegatives]]): per vector, its top ANN neighbors
+    * that score in the high-cos band yet sit in a DIFFERENT coarse
+    * cluster — the contrastive-training examples random sampling never
+    * finds. Same index memos as every other ANN consumer.
+    */
+  def hardNegativesQ(s: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(embs(s, d), k = 8, perVec = 3,
+        corpusAssigned = Some(ivfAssignment(s, d)),
+        centroids = ivfCentroidsOpt(s, d))
+      .orderBy("src", "rank")
+
   /** Edit-distance near-dup pairs (Ed-Join prefix filter + threshold
     * levenshtein verify) — catches character-level mutations that
     * token-set similarity barely moves.
@@ -2509,6 +2521,43 @@ object ExtensionQueries {
         |  e2.src IS NOT NULL AS mutual
         |FROM edges e1 LEFT JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
         |ORDER BY e1.src, e1.rank""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+        |ranked AS (
+        |    SELECT a.vec_id, a.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(floor(10000 * (
+        |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+        |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e a CROSS JOIN cent c),
+        |cassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1),
+        |qassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn <= 2),
+        |scored AS (
+        |  SELECT q.vec_id AS src, c.vec_id AS neg_id, c.centroid_id AS neg_cluster,
+        |    CAST(floor(10000 * (
+        |      list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+        |      (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+        |       sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+        |  FROM qassign q JOIN cassign c ON q.centroid_id = c.centroid_id
+        |  WHERE q.vec_id <> c.vec_id),
+        |r AS (SELECT src, neg_id, neg_cluster, cos_q,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos_q DESC, neg_id) AS rank
+        |  FROM scored),
+        |edges AS (SELECT src, neg_id, neg_cluster, cos_q FROM r WHERE rank <= 8),
+        |f AS (SELECT e1.src, e1.neg_id, e1.cos_q,
+        |    ca.centroid_id AS src_cluster, e1.neg_cluster
+        |  FROM edges e1 JOIN cassign ca ON e1.src = ca.vec_id
+        |  WHERE e1.cos_q BETWEEN 3000 AND 9500
+        |    AND ca.centroid_id <> e1.neg_cluster),
+        |rr AS (SELECT src, neg_id, cos_q, src_cluster, neg_cluster,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY cos_q DESC, neg_id) AS INT) AS rank
+        |  FROM f)
+        |SELECT src, neg_id, rank, cos_q, src_cluster, neg_cluster
+        |FROM rr WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
     "q_edit_pairs" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS l
         |  FROM documents WHERE text IS NOT NULL),
@@ -2929,6 +2978,7 @@ object ExtensionQueries {
     "q_image_stats"     -> (imageStats _),
     "q_image_dhash"     -> (imageDHash _),
     "q_zorder"          -> (zorder _),
+    "q_hard_negatives"  -> (hardNegativesQ _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),

@@ -120,6 +120,44 @@ class CaptureDiffSpec extends SparkSpec {
     }
   }
 
+  test("threeWayMerge: the full presence/column matrix — one-side " +
+    "edits, disjoint-column merge, column conflict (ours wins), " +
+    "delete-vs-edit conflict, clean/both deletes, insert variants") {
+    val base = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40),
+      (5, "e", 50), (6, "f", 60), (7, "g", 70)).toDF("id", "x", "v")
+    val ours = Seq((1, "a2", 10), (2, "b", 20), (3, "c", 31),
+      (5, "e", 50), (6, "f2", 60), (8, "h", 80), (10, "j", 100))
+      .toDF("id", "x", "v")                         // 4,7 deleted
+    val theirs = Seq((1, "a", 10), (2, "b", 22), (3, "c", 32),
+      (4, "d2", 40), (6, "f", 61), (8, "h", 80), (9, "i", 90),
+      (10, "j", 101)).toDF("id", "x", "v")          // 5,7 deleted
+    val out = CaptureDiff.threeWayMerge(base, ours, theirs, Seq("id"))
+      .select("id", "x", "v", "audit_event", "merge_status")
+      .as[(Int, String, Int, String, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1, "a2", 10, "update", "ours"),
+      (2, "b", 22, "update", "theirs"),
+      (3, "c", 31, "update", "conflict"),   // both edited v: ours wins
+      (4, "d", 40, "delete", "conflict"),   // our delete vs their edit
+      (5, "e", 50, "delete", "theirs"),     // their clean delete
+      (6, "f2", 61, "update", "merged"),    // disjoint columns combine
+      (7, "g", 70, "delete", "merged"),     // both deleted
+      (8, "h", 80, "insert", "merged"),     // identical both-insert
+      (9, "i", 90, "insert", "theirs"),
+      (10, "j", 100, "insert", "conflict"))) // divergent both-insert: ours
+  }
+
+  test("threeWayMerge: their delete loses to our edit (update survives); " +
+    "fully-unchanged keys are suppressed") {
+    val base = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "x", "v")
+    val ours = Seq((1, "a9", 10), (2, "b", 20)).toDF("id", "x", "v")
+    val theirs = Seq((2, "b", 20)).toDF("id", "x", "v") // deleted 1
+    val out = CaptureDiff.threeWayMerge(base, ours, theirs, Seq("id"))
+      .select("id", "x", "audit_event", "merge_status")
+      .as[(Int, String, String, String)].collect().toSeq
+    assert(out === Seq((1, "a9", "update", "conflict")))
+  }
+
   test("output is a well-formed audit schema") {
     val s1 = Seq((1, "a")).toDF("id", "x")
     val s2 = Seq((2, "b")).toDF("id", "x")

@@ -1390,6 +1390,33 @@ class OpsSpec extends SparkSpec {
       (5L, 6L, 0L)))
   }
 
+  test("hardNegatives: the cross-cluster high-cos bridge surfaces, " +
+    "same-cluster neighbors and above-band near-dups are excluded") {
+    // two orthogonal-ish clusters in 8-d. Centroid stride 3 makes
+    // vec 3 (cluster A) and vec 6 (cluster B) the coarse centroids.
+    def va(eps: Float) = Array(1f, eps, 0, 0, 0, 0, 0, 0)
+    def vb(eps: Float) = Array(eps, 1f, 0, 0, 0, 0, 0, 0)
+    val emb = Seq(
+      (3L, va(0f)), (4L, va(0.05f)), (5L, va(0.1f)),     // cluster A
+      (6L, vb(0f)), (7L, vb(0.05f)),                     // cluster B
+      (8L, Array(1f, 0.9f, 0, 0, 0, 0, 0, 0))            // bridge: A-ish but near B too
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(emb, k = 5, perVec = 5,
+        minCosQ = 3000L, maxCosQ = 9500L, nprobe = 2,
+        centroidStride = 3, dim = 8)
+      .select("src", "neg_id", "src_cluster", "neg_cluster", "cos_q")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // every emitted pair crosses clusters inside the band
+    assert(out.forall(r => r._3 != r._4))
+    assert(out.forall(r => r._5 >= 3000 && r._5 <= 9500))
+    // the bridge participates: it is SOMEONE's hard negative across
+    // the boundary (or finds one itself)
+    assert(out.exists(r => r._1 === 8L || r._2 === 8L))
+    // pure same-cluster pairs never appear: 4 vs 5 (both A, cos ~1)
+    assert(!out.exists(r => Set(r._1, r._2) === Set(4L, 5L)))
+  }
+
   test("zorderKey: Morton interleave bit positions (a odd, b even), " +
     "known values, monotone prefix locality") {
     import graft.ops.Layout
