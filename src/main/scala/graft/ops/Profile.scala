@@ -185,6 +185,38 @@ object Profile {
     * assumed unique per side (the lake's own invariant); duplicate
     * keys would count once per pairing.
     */
+  /** Audit-log integrity audit — the invariant checks the reference's
+    * delivery contract silently depends on (`audit_pk` auto_increment
+    * uniqueness + gap-free growth, `cdc_audit_gen_mysql.php:333`; a
+    * gap means a lost event, a duplicate means a double-capture, and
+    * the watermark sync would silently ship either): per key group
+    * (or the whole log), event count, distinct sequence values,
+    * min/max, duplicates (count - distinct) and gaps
+    * (span - distinct). Zero/zero = healthy log.
+    *
+    * One hash-aggregate (map-side partials) over (group, seq) then per
+    * group — no window, no sort, no join. On a 100 TB log the scan
+    * reads only the two audited columns (column pruning).
+    */
+  def logIntegrity(log: DataFrame, seqCol: String,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    val g = if (groupCols.isEmpty) Seq(lit("all").as("scope"))
+            else groupCols.map(col)
+    val gNames = if (groupCols.isEmpty) Seq("scope") else groupCols
+    log.select(g :+ col(seqCol).as("__seq"): _*)
+      .groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__seq")).as("n_distinct"),
+        min(col("__seq")).as("min_seq"), max(col("__seq")).as("max_seq"))
+      .select(gNames.map(col) ++ Seq(
+        col("n_events"), col("n_distinct"), col("min_seq"), col("max_seq"),
+        (col("n_events") - col("n_distinct")).as("n_duplicates"),
+        (col("max_seq") - col("min_seq") + 1 - col("n_distinct")).as("n_gaps"),
+        ((col("n_events") === col("n_distinct")) &&
+          (col("max_seq") - col("min_seq") + 1 === col("n_distinct")))
+          .as("healthy")): _*)
+  }
+
   def referentialCheck(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String): DataFrame = {
     val l = left.select(col(leftKey).as("k")).withColumn("l", lit(1))

@@ -286,6 +286,44 @@ object TextStats {
           .as("dup_frac"))
   }
 
+  /** Corpus diversity report — the Distinct-n metric of Zhu et al.
+    * ("Texygen", SIGIR 2018; Li et al. NAACL 2016's distinct-1/2
+    * before it), the standard scalable answer to "how repetitive is
+    * this corpus": for each n-gram order, total occurrences, distinct
+    * n-grams, n-grams shared across >= 2 documents, and the exact ppm
+    * ratios (distinct/total = diversity; shared/distinct = cross-doc
+    * repetition mass). Low distinct_ppm at n=2,3 is the template/
+    * boilerplate smell a generation- or crawl-heavy corpus shows
+    * before dedup pays for itself.
+    *
+    * Scale shape: per order, one explode over the native gram builder
+    * + two cascading hash-aggregates (gram×doc, then gram) — the
+    * topNgrams dataflow with the limit replaced by a 1-row rollup;
+    * output is maxN rows. Grams hash to the aggregates; no joins.
+    */
+  def distinctNgramStats(docs: DataFrame, maxN: Int = 3,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(maxN >= 1, "maxN must be >= 1")
+    val t = tokens(col(textCol))
+    (1 to maxN).map { n =>
+      docs.select(col(idCol).as("doc_id"),
+          explode(graft.functions.WordNgrams(t, n)).as("g"))
+        .groupBy("g", "doc_id").agg(count(lit(1)).as("c"))
+        .groupBy("g").agg(sum(col("c")).as("occ"), count(lit(1)).as("nd"))
+        .agg(
+          sum(col("occ")).as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("shared_ngrams"))
+        .select(lit(n).as("n"), col("total_ngrams"), col("distinct_ngrams"),
+          col("shared_ngrams"),
+          expr("distinct_ngrams * 1000000 div nullif(total_ngrams, 0)")
+            .as("distinct_ppm"),
+          expr("shared_ngrams * 1000000 div nullif(distinct_ngrams, 0)")
+            .as("shared_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Exact duplicated-span REMOVAL — the cleanup step behind the
     * [[duplicateSpans]] report (the "exact substring deduplication" of
     * Lee et al., "Deduplicating Training Data Makes Language Models

@@ -150,6 +150,19 @@ object CdcQueries {
       .orderBy("o_custkey")
   }
 
+  /** Audit-log integrity audit ([[Profile.logIntegrity]]) over a
+    * deliberately corrupted sequence — events %101 double-delivered,
+    * events %103 lost — so the duplicate and gap counters both fire
+    * and the healthy flag goes false, all hash-gated.
+    */
+  def logIntegrityQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id")
+    val corrupted = ev.filter(col("event_id") % 103 =!= 0)
+      .unionByName(ev.filter(col("event_id") % 101 === 0 &&
+        col("event_id") % 103 =!= 0))
+    graft.ops.Profile.logIntegrity(corrupted, "event_id")
+  }
+
   /** Watermark incremental read (S5/P6): events above max(pk)/2,
     * with the watermark computed as a broadcast scalar join (no
     * driver-side collect).
@@ -292,6 +305,20 @@ object CdcQueries {
     "q_retention_wipe" ->
       """SELECT user_id, count(*) - 1 AS n_wiped, max(event_id) AS kept_pk
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_log_integrity" ->
+      """WITH lg AS (
+        |  SELECT event_id FROM events WHERE event_id % 103 <> 0
+        |  UNION ALL
+        |  SELECT event_id FROM events
+        |  WHERE event_id % 101 = 0 AND event_id % 103 <> 0)
+        |SELECT 'all' AS scope, count(*) AS n_events,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  min(event_id) AS min_seq, max(event_id) AS max_seq,
+        |  count(*) - count(DISTINCT event_id) AS n_duplicates,
+        |  max(event_id) - min(event_id) + 1 - count(DISTINCT event_id) AS n_gaps,
+        |  (count(*) = count(DISTINCT event_id) AND
+        |   max(event_id) - min(event_id) + 1 = count(DISTINCT event_id)) AS healthy
+        |FROM lg""".stripMargin,
     "q_scd2" ->
       """WITH ev AS (SELECT user_id, value, props, event_id,
         |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS audit_event,
@@ -459,6 +486,7 @@ object CdcQueries {
     "q_scd2"           -> (scdHistory _),
     "q_capture_evolve" -> (captureEvolve _),
     "q_three_way"      -> (threeWayQ _),
+    "q_log_integrity"  -> (logIntegrityQ _),
     "q_sync_watermark" -> (syncWatermark _),
     "q_agg_probe"      -> (aggProbe _),
     "q_keep_last"      -> (keepLast _),

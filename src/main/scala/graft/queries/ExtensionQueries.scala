@@ -949,6 +949,14 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus diversity (Distinct-n, Zhu et al. SIGIR'18) over word
+    * 1/2/3-grams: total vs distinct vs cross-doc-shared n-grams with
+    * exact ppm ratios — the repetitiveness dashboard that says when a
+    * dedup pass pays for itself.
+    */
+  def ngramDiversity(s: SparkSession, d: String): DataFrame =
+    TextStats.distinctNgramStats(docs(s, d), maxN = 3).orderBy("n")
+
   /** Z-order clustering effectiveness audit ([[Layout.zorderReport]])
     * over the lake's classic two-dimension access pattern
     * (part, supplier): every lineitem row lands in one of 64 files by
@@ -1635,6 +1643,29 @@ object ExtensionQueries {
         |  CAST(dk AS DOUBLE) / n AS dark_ratio
         |FROM t LEFT JOIN s USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    "q_ngram_diversity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT 1 AS n, doc_id, unnest(ts) AS g FROM toks
+        |  UNION ALL
+        |  SELECT 2, doc_id,
+        |    unnest(list_transform(range(1, len(ts)), i -> array_to_string(ts[i:i+1],' ')))
+        |  FROM toks WHERE len(ts) >= 2
+        |  UNION ALL
+        |  SELECT 3, doc_id,
+        |    unnest(list_transform(range(1, len(ts)-1), i -> array_to_string(ts[i:i+2],' ')))
+        |  FROM toks WHERE len(ts) >= 3),
+        |pd AS (SELECT n, g, doc_id, count(*) AS c FROM g GROUP BY 1,2,3),
+        |a AS (SELECT n, g, CAST(sum(c) AS BIGINT) AS occ, count(*) AS nd
+        |  FROM pd GROUP BY 1,2),
+        |r AS (SELECT n, CAST(sum(occ) AS BIGINT) AS total_ngrams,
+        |    CAST(count(*) AS BIGINT) AS distinct_ngrams,
+        |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_ngrams
+        |  FROM a GROUP BY 1)
+        |SELECT n, total_ngrams, distinct_ngrams, shared_ngrams,
+        |  distinct_ngrams * 1000000 // NULLIF(total_ngrams, 0) AS distinct_ppm,
+        |  shared_ngrams * 1000000 // NULLIF(distinct_ngrams, 0) AS shared_ppm
+        |FROM r ORDER BY n""".stripMargin,
     "q_zorder" -> {
       val terms = (0 until 16).map(i =>
         s"((((ga >> $i) & 1) << ${2 * i + 1}) | (((gb >> $i) & 1) << ${2 * i}))")
@@ -2979,6 +3010,7 @@ object ExtensionQueries {
     "q_image_dhash"     -> (imageDHash _),
     "q_zorder"          -> (zorder _),
     "q_hard_negatives"  -> (hardNegativesQ _),
+    "q_ngram_diversity" -> (ngramDiversity _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),

@@ -1390,6 +1390,25 @@ class OpsSpec extends SparkSpec {
       (5L, 6L, 0L)))
   }
 
+  test("distinctNgramStats: hand-computed Distinct-n — totals, " +
+    "distincts, cross-doc sharing, exact ppm; short docs skip higher " +
+    "orders") {
+    val d = Seq(
+      (1L, "a b a"),     // 1g: a,b,a; 2g: "a b","b a"; 3g: "a b a"
+      (2L, "a b"),       // 1g: a,b;   2g: "a b";       3g: none
+      (3L, "c")          // 1g: c only
+    ).toDF("doc_id", "text")
+    val out = TextStats.distinctNgramStats(d, maxN = 3)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      // n=1: 6 occurrences, distinct {a,b,c}=3, shared {a,b}=2
+      (1, 6L, 3L, 2L, 500000L, 666666L),
+      // n=2: 3 occurrences, distinct {"a b","b a"}=2, shared {"a b"}=1
+      (2, 3L, 2L, 1L, 666666L, 500000L),
+      // n=3: 1 occurrence, distinct 1, shared 0
+      (3, 1L, 1L, 0L, 1000000L, 0L)))
+  }
+
   test("hardNegatives: the cross-cluster high-cos bridge surfaces, " +
     "same-cluster neighbors and above-band near-dups are excluded") {
     // two orthogonal-ish clusters in 8-d. Centroid stride 3 makes

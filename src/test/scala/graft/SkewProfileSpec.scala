@@ -79,6 +79,25 @@ class SkewProfileSpec extends SparkSpec {
       s"HLL estimate $est outside ±${3 * rsd} of $exact")
   }
 
+  test("Profile.logIntegrity: duplicates and gaps counted per group, " +
+    "healthy only when both zero; global scope collapses to one row") {
+    import graft.ops.Profile
+    val log = Seq(
+      ("t1", 1L), ("t1", 2L), ("t1", 3L),             // healthy
+      ("t2", 1L), ("t2", 2L), ("t2", 2L), ("t2", 5L)  // 1 dup, 2 gaps (3,4)
+    ).toDF("tbl", "seq")
+    val out = Profile.logIntegrity(log, "seq", Seq("tbl"))
+      .select("tbl", "n_events", "n_duplicates", "n_gaps", "healthy")
+      .as[(String, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(("t1", 3L, 0L, 0L, true), ("t2", 4L, 1L, 2L, false)))
+    val g = Profile.logIntegrity(log, "seq")
+      .select("scope", "n_events", "n_duplicates", "n_gaps")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // global: seqs 1,2,3 + 1,2,2,5 -> 7 events, 4 distinct (1,2,3,5),
+    // 3 duplicates, span 5 -> 1 gap (4)
+    assert(g === Seq(("all", 7L, 3L, 1L)))
+  }
+
   test("Profile.rankAuc matches the hand-computed Mann-Whitney AUC, " +
     "counting ties as half and null labels as negatives") {
     // pos scores {3, 2}, neg scores {1, 2, 0} (the null label is the
