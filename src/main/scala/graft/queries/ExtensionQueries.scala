@@ -1183,6 +1183,33 @@ object ExtensionQueries {
         centroids = ivfCentroidsOpt(s, d))
       .orderBy("src", "rank")
 
+  /** ANN recall@k audit — the standard index-quality metric (recall
+    * of the approximate top-k against brute-force ground truth, the
+    * number every ANN paper reports): per query, how many of the true
+    * top-5 the IVF nprobe=2 probe returned. The ground-truth side is
+    * exact brute force over the SAME query subset the other ANN
+    * oracles use; at 100 TB this runs on a sampled query set (exactly
+    * as here — %50) while the index serves the rest. The number that
+    * decides whether nprobe/centroid counts need retuning.
+    */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(q, e, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(q, e, k = 5, nprobe = 2,
+        corpusAssigned = Some(ivfAssignment(s, d)),
+        centroids = ivfCentroidsOpt(s, d))
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("_h"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_h"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
   /** Hard-negative mining over the shared ANN index
     * ([[Similarity.hardNegatives]]): per vector, its top ANN neighbors
     * that score in the high-cos band yet sit in a DIFFERENT coarse
@@ -2552,6 +2579,51 @@ object ExtensionQueries {
         |  e2.src IS NOT NULL AS mutual
         |FROM edges e1 LEFT JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
         |ORDER BY e1.src, e1.rank""".stripMargin,
+    "q_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+        |ranked AS (
+        |    SELECT a.vec_id, a.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(floor(10000 * (
+        |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+        |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e a CROSS JOIN cent c),
+        |cassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1),
+        |qassign AS (SELECT vec_id, v, centroid_id FROM ranked
+        |  WHERE rn <= 2 AND vec_id % 50 = 0),
+        |ascored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(floor(10000 * (
+        |      list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+        |      (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+        |       sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+        |  FROM qassign q JOIN cassign c ON q.centroid_id = c.centroid_id
+        |  WHERE q.vec_id <> c.vec_id),
+        |ar AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+        |  FROM ascored),
+        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= 5),
+        |escored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(floor(10000 * (
+        |    list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+        |    (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+        |     sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+        |er AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+        |  FROM escored),
+        |exact AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 5)
+        |SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  (CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // count(*) AS recall_ppm
+        |FROM exact x LEFT JOIN approx a
+        |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
     "q_hard_negatives" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -3011,6 +3083,7 @@ object ExtensionQueries {
     "q_zorder"          -> (zorder _),
     "q_hard_negatives"  -> (hardNegativesQ _),
     "q_ngram_diversity" -> (ngramDiversity _),
+    "q_ann_recall"      -> (annRecall _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),
