@@ -154,4 +154,32 @@ object Sampling {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("_ord")
   }
+
+  /** Training-shard MANIFEST — the reproducibility handoff a data
+    * release ships next to its shards (doc/token counts plus an
+    * order-free content checksum per shard), so a training run can
+    * verify what it read and a re-build can prove byte-equivalence
+    * without re-reading the corpus twice. Checksums are SUMS of
+    * per-doc 24-bit md5 words over (id ':' text) — commutative, so
+    * the aggregation is order-free (engine- and partitioning-exact)
+    * and any changed/missing/extra doc moves them; two independent
+    * words make a coincidental cancellation astronomically unlikely.
+    *
+    * One projection + one hash-aggregate on the shard id; output is
+    * numShards rows.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val h = md5(concat(col(idCol).cast("string"), lit(":"),
+      coalesce(col(textCol), lit(""))))
+    df.withColumn("shard", (hashSlot(col(idCol)) % numShards).cast("int"))
+      .withColumn("__nt", coalesce(
+        size(split(col(textCol), " ")).cast("long"), lit(0L)))
+      .withColumn("__ha", conv(substring(h, 1, 6), 16, 10).cast("long"))
+      .withColumn("__hb", conv(substring(h, 7, 6), 16, 10).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        sum(col("__ha")).as("checksum_a"), sum(col("__hb")).as("checksum_b"))
+  }
 }

@@ -949,6 +949,15 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Training-shard manifest ([[Sampling.shardManifest]]): per shard,
+    * doc/token counts and the order-free dual content checksum — the
+    * record a data release ships so training runs can verify their
+    * input without a second corpus read.
+    */
+  def shardManifestQ(s: SparkSession, d: String): DataFrame =
+    Sampling.shardManifest(docs(s, d), "doc_id", "text", numShards = 8)
+      .orderBy("shard")
+
   /** Corpus diversity (Distinct-n, Zhu et al. SIGIR'18) over word
     * 1/2/3-grams: total vs distinct vs cross-doc-shared n-grams with
     * exact ppm ratios — the repetitiveness dashboard that says when a
@@ -1670,6 +1679,24 @@ object ExtensionQueries {
         |  CAST(dk AS DOUBLE) / n AS dark_ratio
         |FROM t LEFT JOIN s USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    "q_manifest" -> {
+      def hex6(src: String, off: Int) = (0 to 5).map(i =>
+        s"(strpos('0123456789abcdef', substr($src,${off + i},1))-1)*${math.pow(16, 5 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT doc_id,
+         |    md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text,'')) AS h,
+         |    COALESCE(len(string_split(text,' ')), 0) AS nt,
+         |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096 +
+         |     (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256 +
+         |     (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16 +
+         |     (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1)) % 8 AS shard
+         |  FROM documents)
+         |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(${hex6("h", 1)}) AS BIGINT) AS checksum_a,
+         |  CAST(sum(${hex6("h", 7)}) AS BIGINT) AS checksum_b
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_ngram_diversity" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
         |g AS (
@@ -3084,6 +3111,7 @@ object ExtensionQueries {
     "q_hard_negatives"  -> (hardNegativesQ _),
     "q_ngram_diversity" -> (ngramDiversity _),
     "q_ann_recall"      -> (annRecall _),
+    "q_manifest"        -> (shardManifestQ _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),

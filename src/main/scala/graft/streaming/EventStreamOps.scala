@@ -58,6 +58,40 @@ object EventStreamOps {
   /** Minimal event shape for the stateful pipeline. */
   case class Ev(userId: Long, eventId: Long)
 
+  case class SeqEv(tbl: String, seq: Long)
+  case class SeqState(nEvents: Long, maxSeq: Long, nNonMonotonic: Long)
+  case class SeqAudit(tbl: String, nEvents: Long, maxSeq: Long,
+                      nNonMonotonic: Long)
+
+  /** Streaming twin of [[graft.ops.Profile.logIntegrity]] — what a
+    * STREAM can honestly know: per table, the running event count, max
+    * sequence, and the count of NON-MONOTONIC arrivals (a seq at or
+    * below the running max = a duplicate or out-of-order delivery, the
+    * live alarm for a capture pipeline whose contract is monotone
+    * `audit_pk` growth). Exact gap/duplicate accounting needs the
+    * batch audit's distinct set, which no bounded stream state can
+    * hold — state here is THREE numbers per table. Within a batch,
+    * events process in seq order (the cross-batch contract matches
+    * [[sessionizeStream]]'s: capture assigns pks in order). One
+    * emission per touched table per micro-batch, Update mode.
+    */
+  def streamingSeqAudit(events: Dataset[SeqEv]): Dataset[SeqAudit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.tbl)
+      .mapGroupsWithState[SeqState, SeqAudit](GroupStateTimeout.NoTimeout()) {
+        (tbl: String, evs: Iterator[SeqEv], state: GroupState[SeqState]) =>
+          var s = state.getOption.getOrElse(SeqState(0L, Long.MinValue, 0L))
+          evs.toSeq.sortBy(_.seq).foreach { e =>
+            val bad = if (s.nEvents > 0 && e.seq <= s.maxSeq) 1L else 0L
+            s = SeqState(s.nEvents + 1, math.max(s.maxSeq, e.seq),
+              s.nNonMonotonic + bad)
+          }
+          state.update(s)
+          SeqAudit(tbl, s.nEvents, s.maxSeq, s.nNonMonotonic)
+      }
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState: a
     * session closes when the incoming event's id gap exceeds
     * `maxGap`. Matches the batch twin (AnalyticsQueries.sessionize)

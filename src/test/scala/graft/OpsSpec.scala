@@ -1390,6 +1390,37 @@ class OpsSpec extends SparkSpec {
       (5L, 6L, 0L)))
   }
 
+  test("shardManifest: partitioning-invariant checksums that move on " +
+    "any content change, doc removal, or doc swap between builds") {
+    val d = (1 to 40).map(i => (i.toLong, s"doc $i content words here"))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val base = canon(Sampling.shardManifest(d, "doc_id", "text", 4))
+    assert(base.map(_._2).sum === 40L)
+    // order-free: a different physical partitioning hashes identically
+    assert(canon(Sampling.shardManifest(d.repartition(7), "doc_id", "text", 4))
+      === base)
+    // one flipped character moves exactly that shard's checksums
+    val tampered = d.withColumn("text",
+      when(col("doc_id") === 17L, lit("doc 17 content words here!"))
+        .otherwise(col("text")))
+    val t = canon(Sampling.shardManifest(tampered, "doc_id", "text", 4))
+    assert(t.count(r => !base.contains(r)) === 1)
+    assert(t.map(r => (r._1, r._2, r._3)).count(r =>
+      !base.map(b => (b._1, b._2, b._3)).contains(r)) === 0) // counts same
+    // a dropped doc moves counts and checksums
+    val dropped = canon(Sampling.shardManifest(
+      d.filter(col("doc_id") =!= 17L), "doc_id", "text", 4))
+    assert(dropped.map(_._2).sum === 39L)
+    assert(dropped.count(r => !base.contains(r)) === 1)
+    // null text counts zero tokens, still checksums
+    val withNull = d.unionByName(Seq((99L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    assert(canon(Sampling.shardManifest(withNull, "doc_id", "text", 4))
+      .map(_._2).sum === 41L)
+  }
+
   test("distinctNgramStats: hand-computed Distinct-n — totals, " +
     "distincts, cross-doc sharing, exact ppm; short docs skip higher " +
     "orders") {

@@ -32,6 +32,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSeqAudit: running count/max per table; duplicates and " +
+    "cross-batch regressions flag as non-monotonic, in-batch order is " +
+    "forgiven") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreamOps.SeqEv]
+    val q = EventStreamOps.streamingSeqAudit(mem.toDS())
+      .writeStream.format("memory").queryName("seqaudit")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest() = spark.table("seqaudit")
+        .as[EventStreamOps.SeqAudit].collect()
+        .groupBy(_.tbl).map { case (_, v) => v.last }.toSeq.sortBy(_.tbl)
+      import EventStreamOps.SeqEv
+      // batch 1: t1 clean (out of order WITHIN the batch is sorted);
+      // t2 contains an in-batch duplicate
+      mem.addData(SeqEv("t1", 2L), SeqEv("t1", 1L), SeqEv("t1", 3L),
+        SeqEv("t2", 5L), SeqEv("t2", 5L))
+      q.processAllAvailable()
+      assert(latest() === Seq(
+        EventStreamOps.SeqAudit("t1", 3L, 3L, 0L),
+        EventStreamOps.SeqAudit("t2", 2L, 5L, 1L)))
+      // batch 2: t1 regresses below its max -> non-monotonic
+      mem.addData(SeqEv("t1", 2L), SeqEv("t1", 4L))
+      q.processAllAvailable()
+      assert(latest() === Seq(
+        EventStreamOps.SeqAudit("t1", 5L, 4L, 1L),
+        EventStreamOps.SeqAudit("t2", 2L, 5L, 1L)))
+    } finally q.stop()
+  }
+
   test("streamingViewDelta: running per-key net delta == batch " +
     "Ivm.viewDelta over the prefix after every batch; net-zero keys " +
     "stay visible (back-to-base signal)") {
