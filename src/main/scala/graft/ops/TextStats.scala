@@ -286,6 +286,43 @@ object TextStats {
           .as("dup_frac"))
   }
 
+  /** Collocation extraction — top bigrams by pointwise mutual
+    * information (Church & Hanks, CL 1990: PMI = log p(xy)/(p(x)p(y))
+    * — the lexical-association statistic behind phrase vocabularies
+    * and tokenizer merge seeding). log is monotone, so ranking by the
+    * EXACT integer lift `c_xy * N * 10⁶ div (c_x * c_y)` (DECIMAL(38)
+    * intermediates, integral divide) orders identically to PMI while
+    * staying engine-bit-exact — no float, no log. `minCount` drops
+    * the classic PMI pathology (hapax pairs score highest).
+    *
+    * Shape: two token-keyed hash-aggregates (unigrams, bigrams), the
+    * 1-row total broadcast onto the plan, two equi-joins of bigrams
+    * against the unigram table (vocab-sized — never broadcast), then
+    * TakeOrdered k. No windows, no explode beyond the gram builders.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5L, k: Int = 20,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val uni = docs.select(explode(t).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_total"))
+    val bi = docs.select(explode(graft.functions.WordNgrams(t, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    bi.join(uni.select(col("tok").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .join(broadcast(total))
+      .withColumn("lift_ppm",
+        expr("(CAST(c_xy AS DECIMAL(38,0)) * n_total * 1000000) div " +
+          "(CAST(c_x AS DECIMAL(38,0)) * c_y)"))
+      .select("bigram", "c_xy", "c_x", "c_y", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Corpus diversity report — the Distinct-n metric of Zhu et al.
     * ("Texygen", SIGIR 2018; Li et al. NAACL 2016's distinct-1/2
     * before it), the standard scalable answer to "how repetitive is

@@ -949,6 +949,13 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Collocations ([[TextStats.collocations]]): top-20 bigrams by the
+    * exact integer PMI lift at min count 5 — the association table a
+    * phrase vocabulary or merge-seed list starts from.
+    */
+  def collocationsQ(s: SparkSession, d: String): DataFrame =
+    TextStats.collocations(docs(s, d), minCount = 5L, k = 20)
+
   /** Training-shard manifest ([[Sampling.shardManifest]]): per shard,
     * doc/token counts and the order-free dual content checksum — the
     * record a data release ships so training runs can verify their
@@ -1679,6 +1686,25 @@ object ExtensionQueries {
         |  CAST(dk AS DOUBLE) / n AS dark_ratio
         |FROM t LEFT JOIN s USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    "q_collocations" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks, unnest(ts) AS u(tok) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+        |bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM toks, unnest(list_transform(range(1, len(ts)),
+        |    i -> array_to_string(ts[i:i+1], ' '))) AS u(bigram)
+        |  WHERE len(ts) >= 2 GROUP BY 1 HAVING count(*) >= 5),
+        |j AS (SELECT bigram, c_xy,
+        |    string_split(bigram, ' ')[1] AS w1,
+        |    string_split(bigram, ' ')[2] AS w2
+        |  FROM bi),
+        |s AS (SELECT j.bigram, j.c_xy, u1.c AS c_x, u2.c AS c_y,
+        |    CAST((CAST(j.c_xy AS HUGEINT) * (SELECT n_total FROM tot) * 1000000)
+        |      // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_ppm
+        |  FROM j JOIN uni u1 ON j.w1 = u1.tok JOIN uni u2 ON j.w2 = u2.tok)
+        |SELECT bigram, c_xy, c_x, c_y, lift_ppm FROM s
+        |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin,
     "q_manifest" -> {
       def hex6(src: String, off: Int) = (0 to 5).map(i =>
         s"(strpos('0123456789abcdef', substr($src,${off + i},1))-1)*${math.pow(16, 5 - i).toLong}")
@@ -3112,6 +3138,7 @@ object ExtensionQueries {
     "q_ngram_diversity" -> (ngramDiversity _),
     "q_ann_recall"      -> (annRecall _),
     "q_manifest"        -> (shardManifestQ _),
+    "q_collocations"    -> (collocationsQ _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),

@@ -1390,6 +1390,22 @@ class OpsSpec extends SparkSpec {
       (5L, 6L, 0L)))
   }
 
+  test("collocations: hand-computed PMI lift, minCount floor, " +
+    "deterministic tie order") {
+    val d = Seq(
+      (1L, "new york is big"),
+      (2L, "new york new jersey"),
+      (3L, "big apple is big")
+    ).toDF("doc_id", "text")
+    // N=12; "new york" c=2 (c_x=3, c_y=2); "is big" c=2 (c_x=2, c_y=3)
+    // -> both lift = 2*12*1e6/6 = 4,000,000; tie orders by bigram
+    val out = TextStats.collocations(d, minCount = 2L, k = 5)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("is big", 2L, 2L, 3L, 4000000L),
+      ("new york", 2L, 3L, 2L, 4000000L)))
+  }
+
   test("shardManifest: partitioning-invariant checksums that move on " +
     "any content change, doc removal, or doc swap between builds") {
     val d = (1 to 40).map(i => (i.toLong, s"doc $i content words here"))

@@ -55,6 +55,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: threeWayMerge(b, o, b) == classify(b, o) with every " +
+    "row ours; threeWayMerge(b, x, x) == classify(b, x) all merged; " +
+    "never a conflict in either (8 seeds)") {
+    for (seed <- 41L to 48L) {
+      val b = genTable(1 to 120, seed)
+      val o = mutate(b, seed * 17, 2000)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "a", "b", "audit_event")
+          .as[(Int, Int, String, String)].collect().sortBy(_._1).toSeq
+      // theirs untouched: the merge IS the two-way capture, all ours
+      val oneSided = CaptureDiff.threeWayMerge(toDf(b), toDf(o), toDf(b), Seq("id"))
+      assert(oneSided.select("merge_status").distinct()
+        .as[String].collect().toSet.subsetOf(Set("ours")), s"seed=$seed")
+      assert(canon(oneSided.drop("merge_status")) ===
+        canon(CaptureDiff.classify(toDf(b), toDf(o), Seq("id"))), s"seed=$seed")
+      // identical independent edits: same rows, all merged, no conflict
+      val converged = CaptureDiff.threeWayMerge(toDf(b), toDf(o), toDf(o), Seq("id"))
+      assert(converged.select("merge_status").distinct()
+        .as[String].collect().toSet.subsetOf(Set("merged")), s"seed=$seed")
+      assert(canon(converged.drop("merge_status")) ===
+        canon(CaptureDiff.classify(toDf(b), toDf(o), Seq("id"))), s"seed=$seed")
+    }
+  }
+
   test("property: composing capture(s1,s2) + capture(s2,s3) replays to " +
     "the same state as capture(s1,s3) (5 seeds)") {
     for (seed <- 11L to 15L) {
