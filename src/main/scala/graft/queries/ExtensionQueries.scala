@@ -1226,6 +1226,31 @@ object ExtensionQueries {
       .orderBy("query_id")
   }
 
+  /** The nprobe→recall TUNING CURVE the recall audit motivates: one
+    * aggregate recall@5 row per probe width (1, 2, 4) against the same
+    * brute-force ground truth — the table an operator reads to pick
+    * the probe width meeting a recall target (recall rises with
+    * nprobe at linearly growing probe cost; the index itself never
+    * changes). Exact integer mean: sum(hits)·10⁶ div sum(truth).
+    */
+  def recallCurve(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(q, e, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    Seq(1, 2, 4).map { np =>
+      val approx = Similarity.ivfTopK(q, e, k = 5, nprobe = np,
+          corpusAssigned = Some(ivfAssignment(s, d)),
+          centroids = ivfCentroidsOpt(s, d))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("_h"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("_h"), lit(0L))).as("n_hits"))
+        .select(lit(np).as("nprobe"), col("n_truth"), col("n_hits"),
+          expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
   /** Hard-negative mining over the shared ANN index
     * ([[Similarity.hardNegatives]]): per vector, its top ANN neighbors
     * that score in the high-cos band yet sit in a DIFFERENT coarse
@@ -2632,6 +2657,53 @@ object ExtensionQueries {
         |  e2.src IS NOT NULL AS mutual
         |FROM edges e1 LEFT JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
         |ORDER BY e1.src, e1.rank""".stripMargin,
+    "q_recall_curve" -> {
+      val arms = Seq(1, 2, 4).map { np =>
+        s"""SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS n_truth,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  (CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000) // count(*) AS recall_ppm
+           |FROM exact x LEFT JOIN (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+           |    FROM (
+           |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |        CAST(floor(10000 * (
+           |          list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+           |          (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+           |           sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+           |      FROM (SELECT vec_id, v, centroid_id FROM ranked
+           |            WHERE rn <= $np AND vec_id % 50 = 0) q
+           |      JOIN cassign c ON q.centroid_id = c.centroid_id
+           |      WHERE q.vec_id <> c.vec_id)) WHERE rank <= 5) a
+           |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin
+      }
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+         |ranked AS (
+         |    SELECT a.vec_id, a.v, c.centroid_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(floor(10000 * (
+         |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+         |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+         |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+         |        c.centroid_id) AS rn
+         |    FROM e a CROSS JOIN cent c),
+         |cassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1),
+         |escored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  CAST(floor(10000 * (
+         |    list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+         |    (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+         |     sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |er AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+         |  FROM escored),
+         |exact AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 5)
+         |${arms.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY nprobe""".stripMargin
+    },
     "q_ann_recall" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -3139,6 +3211,7 @@ object ExtensionQueries {
     "q_ann_recall"      -> (annRecall _),
     "q_manifest"        -> (shardManifestQ _),
     "q_collocations"    -> (collocationsQ _),
+    "q_recall_curve"    -> (recallCurve _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),
