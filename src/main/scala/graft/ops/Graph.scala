@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists the pipeline already produces
+  * (the k-NN graph, the near-dup pair graph): ranking and structure
+  * measures computed as bounded rounds of relational joins — the
+  * Pregel-free formulation that needs nothing beyond equi-joins and
+  * hash-aggregates, so it runs wherever the rest of the engine runs.
+  */
+object Graph {
+
+  /** PageRank (Brin & Page, WWW 1998) in exact integer fixed point:
+    * rank mass is scaled to `scale` (default 10¹²) and every step —
+    * the per-edge share `pr div outdeg`, the damped update
+    * `base + (85 · Σ shares) div 100` — is truncating BIGINT
+    * arithmetic, so the final ranks are bit-exact across engines and
+    * partitionings (the float formulation is neither: its sums
+    * reorder). Dangling mass (nodes with no out-edges) and truncation
+    * dust leak a little total mass per iteration; that is the
+    * standard "lazy" variant and affects every node's denominator
+    * equally — the RANKING, which is what centrality is for, is
+    * unaffected.
+    *
+    * Dataflow per iteration: ranks equi-join the out-degree-annotated
+    * edge list on `src` (one shuffle keyed by src), shares
+    * hash-aggregate onto `dst` (one shuffle, map-side partials), and
+    * a left join back onto the node set keeps isolated nodes at the
+    * teleport floor. The edge list and node set are materialized once
+    * (`localCheckpoint`); each iteration's output is nodes-sized and
+    * checkpointed so the loop's lineage stays flat. `iterations` is a
+    * small driver-bounded constant — per-round cost is independent of
+    * the driver, and three rounds already separate hubs from leaves
+    * on a k-NN graph (k fixed out-degree ⇒ convergence is fast).
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int = 3,
+               scale: Long = 1000000000000L,
+               dampNumer: Long = 85L, dampDenom: Long = 100L,
+               srcCol: String = "src", dstCol: String = "dst",
+               nodeCol: String = "node"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampDenom > 0 && dampNumer >= 0 && dampNumer <= dampDenom,
+      "damping must be a proper fraction")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val outd = e.groupBy("src").agg(count(lit(1)).as("outd"))
+    // the loop's constant input: out-degree-annotated edges
+    val ew = e.join(outd, Seq("src")).localCheckpoint()
+    val n = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
+    val nN = n.count()
+    require(nN > 0, "node set is empty")
+    val base = scale * (dampDenom - dampNumer) / dampDenom / nN
+    var r = n.withColumn("pr", lit(scale / nN))
+    for (_ <- 1 to iterations) {
+      val contrib = ew
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("pr div outd").as("share"))
+        .groupBy("node").agg(sum(col("share")).as("c"))
+      r = n.join(contrib, Seq("node"), "left")
+        .withColumn("pr",
+          expr(s"${base}L + ($dampNumer * coalesce(c, 0L)) div $dampDenom"))
+        .select("node", "pr")
+        .localCheckpoint()
+    }
+    r
+  }
+}

@@ -266,6 +266,38 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_q")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of two retrieval rankings — the standard hybrid-search combiner
+    * (lexical + dense, the shape every RAG stack ships): per
+    * (query, candidate), `score = Σ 1/(c + rank)` over the lists the
+    * candidate appears in, absent lists contributing 0. RRF needs no
+    * score calibration between the systems — only ranks — which is
+    * exactly why it fuses a BM25-ish ranking with a cosine ranking
+    * without a learned weight. Scores here are exact integers
+    * (`1000000 div (c + rank)`), so fused order is engine-bit-exact.
+    *
+    * Inputs are rank tables `(query_id, cand_id, rank)`; the fuse is
+    * ONE full-outer equi-join on (query, candidate) — both sides are
+    * top-k-sized, k·|queries| rows, so this costs nothing next to the
+    * retrievals themselves — and a per-query top-`k` window over
+    * ≤ 2k candidates.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame,
+              aRank: String = "a_rank", bRank: String = "b_rank",
+              k: Int = 5, c: Long = 60L): DataFrame = {
+    require(k >= 1 && c >= 0, "k must be >= 1, c >= 0")
+    val l = a.select(col("query_id"), col("cand_id"), col("rank").as(aRank))
+    val r = b.select(col("query_id"), col("cand_id"), col("rank").as(bRank))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf_score").desc, col("cand_id"))
+    l.join(r, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf_score",
+        expr(s"coalesce(1000000 div ($c + $aRank), 0L) + " +
+          s"coalesce(1000000 div ($c + $bRank), 0L)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** k-NN graph: every corpus vector's top-k neighbors, as a directed
     * edge list (src, dst, rank, cos_q, mutual) — the structure
     * graph-based curation consumes (SemDeDup-style cluster refinement,

@@ -59,6 +59,45 @@ object Skew {
       .drop("__bin")
   }
 
+  /** Interval-interval OVERLAP join — the two-sided sibling of
+    * [[binnedRangeJoin]] (that one is point-in-interval with a small
+    * band side; this one joins two LARGE interval sets, so neither
+    * side broadcasts). Standard bin decomposition (the same idea
+    * engines ship as a range-join hint): each interval explodes into
+    * the fixed-width bins it touches, candidates meet by bin
+    * EQUI-join (both sides hash-partition on the bin — one shuffle
+    * each, never a nested loop), and the exact closed-interval
+    * predicate `lLo <= rHi AND rLo <= lHi` verifies bin-mates.
+    *
+    * A pair sharing several bins would emit duplicates; the
+    * `bin == max(floor(lLo/w), floor(rLo/w))` filter keeps each pair
+    * exactly once (its first shared bin) WITHOUT a distinct shuffle —
+    * the standard dedup-free decomposition.
+    *
+    * Bounds are integer columns (micro-units upstream); bin index is
+    * exact floor division built from pmod, so negative bounds bin
+    * correctly. `binWidth` tunes fan-out: >= the typical interval
+    * width keeps the per-row explode O(1). Hot bins (a popular time
+    * window) are AQE skew-join territory — document-level salting is
+    * not needed because the bin key already spreads uniform load.
+    */
+  def binnedIntervalJoin(left: DataFrame, lLo: String, lHi: String,
+                         right: DataFrame, rLo: String, rHi: String,
+                         binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be > 0")
+    // exact floor division (pmod keeps it right for negative bounds)
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    val lb = left.withColumn("__bin",
+      explode(sequence(fdiv(col(lLo)), fdiv(col(lHi)))))
+    val rb = right.withColumn("__bin",
+      explode(sequence(fdiv(col(rLo)), fdiv(col(rHi)))))
+    lb.join(rb, Seq("__bin"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") === greatest(fdiv(col(lLo)), fdiv(col(rLo))))
+      .drop("__bin")
+  }
+
   /** Salted equi-join for a skewed LEFT side against a small RIGHT
     * side: the right side is replicated `salts` times (it is small —
     * that is why it is the dimension side), the left side picks one

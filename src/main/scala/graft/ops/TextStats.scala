@@ -361,6 +361,88 @@ object TextStats {
     }.reduce(_.unionByName(_))
   }
 
+  /** Lexical retrieval by distinct-token overlap: for each query
+    * document, the `k` corpus documents sharing the most distinct
+    * tokens — the candidate generator on the lexical side of a hybrid
+    * (lexical + dense) retrieval stack. The QUERY side is the small
+    * side by construction (a query batch) and broadcasts; candidates
+    * meet it by term equi-join and hash-aggregate to overlap counts —
+    * corpus-side cost scales with posting activity of the query
+    * terms, never with corpus size. Exact integer counts; ranking
+    * (shared desc, cand_id) is engine-deterministic.
+    */
+  def tokenOverlapTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q = queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val cand = corpus.select(col(idCol).as("cand_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("shared").desc, col("cand_id"))
+    cand.join(broadcast(q), Seq("term"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id").agg(count(lit(1)).as("shared"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Vocabulary growth curve — the Heaps'-law audit (Heaps 1978;
+    * Herdan before him: vocabulary grows ~ K·N^β): split the corpus
+    * into `buckets` equal id ranges, and per bucket report token
+    * volume, NEW types (tokens whose first occurrence falls in this
+    * bucket), and the cumulative type/token numbers — the curve that
+    * says whether a corpus keeps contributing new vocabulary as it
+    * grows, or has gone asymptotic (at which point more of the same
+    * source buys tokens, not coverage). The cumulative type-token
+    * ratio is exact ppm.
+    *
+    * Scale shape: ONE tokenize scan into per-(bucket, term) counts
+    * (partial-agged); "first bucket" is a vocab-sized re-agg (min
+    * bucket per term); per-bucket doc/token volume is a second
+    * 2-column pruned scan. The cumulative step is a triangular join
+    * over the `buckets`-row frame — broadcast, O(buckets²) rows,
+    * never a single-partition window. Output: `buckets` rows.
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val maxId = docs.agg(max(col(idCol)).cast("long")).head().getLong(0)
+    val b = expr(s"CAST($idCol AS BIGINT) * $buckets div ${maxId + 1}")
+    // scan 1: per-(bucket, term) counts -> bucket token volume + each
+    // term's first bucket
+    val tf = docs.select(b.as("bucket"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("bucket", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vol = tf.groupBy("bucket").agg(sum(col("c")).as("n_tokens"))
+    val news = tf.groupBy("term").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    // scan 2 (id column only): docs per bucket
+    val nd = docs.select(b.as("bucket")).groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    val per = nd.join(vol, Seq("bucket"), "left")
+      .join(news, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .localCheckpoint() // feeds both sides of the triangular join
+    val prior = per.select(col("bucket").as("b2"),
+      col("n_tokens").as("t2"), col("new_types").as("y2"))
+    per.join(broadcast(prior), col("b2") <= col("bucket"))
+      .groupBy("bucket")
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("n_tokens")).as("n_tokens"),
+        first(col("new_types")).as("new_types"),
+        sum(col("t2")).as("cum_tokens"),
+        sum(col("y2")).as("cum_types"))
+      .withColumn("ttr_ppm",
+        expr("cum_types * 1000000 div nullif(cum_tokens, 0)"))
+      .orderBy("bucket")
+  }
+
   /** Exact duplicated-span REMOVAL — the cleanup step behind the
     * [[duplicateSpans]] report (the "exact substring deduplication" of
     * Lee et al., "Deduplicating Training Data Makes Language Models

@@ -956,6 +956,47 @@ object ExtensionQueries {
   def collocationsQ(s: SparkSession, d: String): DataFrame =
     TextStats.collocations(docs(s, d), minCount = 5L, k = 20)
 
+  /** Count–min sketch heavy hitters ([[Sketch.cmsHeavyHitters]]): the
+    * top-20 tokens by 4×1024 CMS estimate with the exact count and
+    * collision overcount alongside — the audit that sizes the sketch
+    * before the exact vocabulary aggregation is retired at 100 TB.
+    */
+  def cmsTopK(s: SparkSession, d: String): DataFrame =
+    Sketch.cmsHeavyHitters(docs(s, d), depth = 4, width = 1024, k = 20)
+
+  /** Heaps'-law vocabulary growth ([[TextStats.vocabGrowth]]): per
+    * corpus decile, token volume, NEW vocabulary, and the cumulative
+    * type/token curve — is this corpus still buying coverage, or just
+    * tokens?
+    */
+  def vocabGrowthQ(s: SparkSession, d: String): DataFrame =
+    TextStats.vocabGrowth(docs(s, d), buckets = 10)
+
+  /** Interval-interval overlap join ([[Skew.binnedIntervalJoin]]):
+    * two large interval sets derived from the event stream (3 s
+    * windows on one side, 4.5 s on the other, integer milliseconds)
+    * meet by bin equi-join — never a nested loop — and each left
+    * interval reports its overlap census. The attribution shape:
+    * "which campaign windows did each outage window touch".
+    */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), floor(col("value") * 1000).cast("long").as("lo"))
+    val l = ev.filter(col("event_id") % 17 === 0)
+      .select(col("event_id").as("l_id"), col("lo").as("l_lo"),
+        (col("lo") + 3000L).as("l_hi"))
+    val r = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("r_id"), col("lo").as("r_lo"),
+        (col("lo") + 4500L).as("r_hi"))
+    Skew.binnedIntervalJoin(l, "l_lo", "l_hi", r, "r_lo", "r_hi", 4000L)
+      .groupBy("l_id")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("l_hi"), col("r_hi")) - greatest(col("l_lo"), col("r_lo")))
+          .as("sum_overlap"),
+        min("r_id").as("first_r"), max("r_id").as("last_r"))
+      .orderBy("l_id")
+  }
+
   /** Training-shard manifest ([[Sampling.shardManifest]]): per shard,
     * doc/token counts and the order-free dual content checksum — the
     * record a data release ships so training runs can verify their
@@ -1199,6 +1240,84 @@ object ExtensionQueries {
         centroids = ivfCentroidsOpt(s, d))
       .orderBy("src", "rank")
 
+  /** Corpus cartography: the top DISTINCTIVE terms of every semantic
+    * cluster — per (IVF cluster, term), the exact integer lift
+    * `c_ct·N·10⁶ div (c_t·T_c)` (the cluster-level PMI ranking, same
+    * statistic as [[TextStats.collocations]], min-count floored), top
+    * 5 per cluster. This is the "describe each embedding cluster in
+    * words" table an Atlas-style corpus map shows; it reads the
+    * SHARED posting-list assignment (one scan + three token-keyed
+    * hash-aggs + two vocab equi-joins, then a per-cluster top-k
+    * window over the c_ct>=floor survivors).
+    */
+  def clusterTerms(s: SparkSession, d: String): DataFrame = {
+    val assign = ivfAssignment(s, d)
+      .select(col("vec_id").as("doc_id"), col("centroid_id"))
+    val tf = docs(s, d).join(assign, Seq("doc_id"))
+      .select(col("centroid_id"),
+        explode(TextStats.tokens(col("text"))).as("term"))
+      .groupBy("centroid_id", "term").agg(count(lit(1)).as("c_ct"))
+      .localCheckpoint() // feeds cluster totals, term totals, scoring
+    val ctot = tf.groupBy("centroid_id").agg(sum(col("c_ct")).as("t_c"))
+    val ttot = tf.groupBy("term").agg(sum(col("c_ct")).as("c_t"))
+    val gtot = tf.agg(sum(col("c_ct")).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("centroid_id").orderBy(col("lift_ppm").desc, col("term"))
+    tf.filter(col("c_ct") >= 3)
+      .join(ttot, Seq("term"))
+      .join(ctot, Seq("centroid_id"))
+      .join(broadcast(gtot))
+      .withColumn("lift_ppm",
+        expr("(CAST(c_ct AS DECIMAL(38,0)) * n_total * 1000000) div " +
+          "(CAST(c_t AS DECIMAL(38,0)) * t_c)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("centroid_id", "term", "c_ct", "c_t", "t_c", "lift_ppm", "rank")
+      .orderBy("centroid_id", "rank")
+  }
+
+  /** Hybrid retrieval ([[Similarity.rrfFuse]]): reciprocal-rank
+    * fusion of the lexical ranking (distinct-token overlap,
+    * [[TextStats.tokenOverlapTopK]]) with the dense ranking (IVF ANN
+    * over the shared index, nprobe 2) for the same query documents —
+    * the RAG-stack retrieval shape, integer-exact end to end. The
+    * dense side rides the same posting-list memo as every other ANN
+    * consumer; doc_id↔vec_id is the lake's 1:1 key (q_ref_check
+    * audits it).
+    */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val lex = TextStats.tokenOverlapTopK(
+        docs(s, d).filter(col("doc_id") % 50 === 0), docs(s, d), k = 5)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+    val den = Similarity.ivfTopK(
+        embs(s, d).filter(col("vec_id") % 50 === 0), embs(s, d), k = 5,
+        nprobe = 2, corpusAssigned = Some(ivfAssignment(s, d)),
+        centroids = ivfCentroidsOpt(s, d))
+      .select(col("query_id"), col("neighbor_id").as("cand_id"), col("rank"))
+    Similarity.rrfFuse(lex, den, "lex_rank", "dense_rank", k = 5)
+      .select("query_id", "cand_id", "lex_rank", "dense_rank",
+        "rrf_score", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Corpus centrality ([[Graph.pageRank]]): exact integer PageRank
+    * over the shared k-NN graph — the hub documents of the embedding
+    * space (diversity sampling drops them last; near-dup auditing
+    * looks at them first). Same index memos as every ANN consumer;
+    * three bounded iterations; top-50 by final rank mass.
+    */
+  def pageRankQ(s: SparkSession, d: String): DataFrame = {
+    val edges = Similarity.knnGraph(embs(s, d), k = 5, nprobe = 2,
+        corpusAssigned = Some(ivfAssignment(s, d)),
+        centroids = ivfCentroidsOpt(s, d))
+      .select("src", "dst")
+    Graph.pageRank(edges, embs(s, d).select(col("vec_id").as("node")),
+        iterations = 3)
+      .orderBy(col("pr").desc, col("node"))
+      .limit(50)
+      .select(col("node").as("vec_id"), col("pr"))
+  }
+
   /** ANN recall@k audit — the standard index-quality metric (recall
     * of the approximate top-k against brute-force ground truth, the
     * number every ANN paper reports): per query, how many of the true
@@ -1371,6 +1490,39 @@ object ExtensionQueries {
     (0 until tables).map { t =>
       s"SELECT vec_id, $t AS t, ${bucketSql(t, planes, dim, "v")} AS bucket FROM e"
     }.mkString("\n  UNION ALL ")
+
+  /** Shared WITH-prefix producing the k-NN `edges` CTE (src, dst,
+    * rank, cos_q) — the SQL mirror of [[Similarity.knnGraph]]'s edge
+    * build, used verbatim by q_knn_graph and q_pagerank so the two
+    * oracles can never drift apart.
+    */
+  private val knnEdgesCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+      |ranked AS (
+      |    SELECT a.vec_id, a.v, c.centroid_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        CAST(floor(10000 * (
+      |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+      |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+      |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+      |        c.centroid_id) AS rn
+      |    FROM e a CROSS JOIN cent c),
+      |cassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1),
+      |qassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn <= 2),
+      |scored AS (
+      |  SELECT q.vec_id AS src, c.vec_id AS dst,
+      |    CAST(floor(10000 * (
+      |      list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+      |      (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+      |       sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+      |  FROM qassign q JOIN cassign c ON q.centroid_id = c.centroid_id
+      |  WHERE q.vec_id <> c.vec_id),
+      |r AS (SELECT src, dst, cos_q,
+      |    row_number() OVER (PARTITION BY src ORDER BY cos_q DESC, dst) AS rank
+      |  FROM scored),
+      |edges AS (SELECT src, dst, rank, cos_q FROM r WHERE rank <= 5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_range_join" ->
@@ -1730,6 +1882,59 @@ object ExtensionQueries {
         |  FROM j JOIN uni u1 ON j.w1 = u1.tok JOIN uni u2 ON j.w2 = u2.tok)
         |SELECT bigram, c_xy, c_x, c_y, lift_ppm FROM s
         |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin,
+    "q_cms_topk" -> {
+      // 24 md5 bits (6 hex chars) of 'r:tok' -> bucket, mod 1024 — the
+      // same portable hex->int construction as q_manifest
+      def hex24(src: String) = (0 to 5).map(i =>
+        s"(strpos('0123456789abcdef', substr($src,${i + 1},1))-1)*${math.pow(16, 5 - i).toLong}")
+        .mkString("(", " + ", ")")
+      val bucket = hex24("md5(CAST(r AS VARCHAR) || ':' || tok)") + " % 1024"
+      s"""WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact
+         |  FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+         |  GROUP BY 1),
+         |rb AS (SELECT tok, exact, r, $bucket AS bucket
+         |  FROM tf, unnest(range(0,4)) AS u(r)),
+         |cells AS (SELECT r, bucket, CAST(sum(exact) AS BIGINT) AS cnt
+         |  FROM rb GROUP BY 1, 2),
+         |est AS (SELECT tok, min(cnt) AS est
+         |  FROM rb JOIN cells USING (r, bucket) GROUP BY 1)
+         |SELECT t.tok AS term, e.est, t.exact, e.est - t.exact AS err
+         |FROM est e JOIN tf t USING (tok)
+         |ORDER BY e.est DESC, term LIMIT 20""".stripMargin
+    },
+    "q_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |tf AS (SELECT CAST(doc_id * 10 // (SELECT m FROM mx) AS BIGINT) AS bucket,
+        |    tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |vol AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+        |news AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM (
+        |  SELECT tok, min(bucket) AS bucket FROM tf GROUP BY 1) GROUP BY 1),
+        |nd AS (SELECT CAST(doc_id * 10 // (SELECT m FROM mx) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |per AS (SELECT nd.bucket, nd.n_docs,
+        |    COALESCE(vol.n_tokens, 0) AS n_tokens,
+        |    COALESCE(news.new_types, 0) AS new_types
+        |  FROM nd LEFT JOIN vol USING (bucket) LEFT JOIN news USING (bucket))
+        |SELECT a.bucket, a.n_docs, a.n_tokens, a.new_types,
+        |  CAST(sum(b.n_tokens) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(b.new_types) AS BIGINT) AS cum_types,
+        |  CAST(sum(b.new_types) * 1000000 // nullif(sum(b.n_tokens), 0) AS BIGINT) AS ttr_ppm
+        |FROM per a JOIN per b ON b.bucket <= a.bucket
+        |GROUP BY 1, 2, 3, 4 ORDER BY a.bucket""".stripMargin,
+    "q_interval_join" ->
+      """WITH ev AS (SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS lo
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT event_id AS l_id, lo AS l_lo, lo + 3000 AS l_hi
+        |  FROM ev WHERE event_id % 17 = 0),
+        |r AS (SELECT event_id AS r_id, lo AS r_lo, lo + 4500 AS r_hi
+        |  FROM ev WHERE event_id % 2 = 1)
+        |SELECT l_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(least(l_hi, r_hi) - greatest(l_lo, r_lo)) AS BIGINT) AS sum_overlap,
+        |  min(r_id) AS first_r, max(r_id) AS last_r
+        |FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_manifest" -> {
       def hex6(src: String, off: Int) = (0 to 5).map(i =>
         s"(strpos('0123456789abcdef', substr($src,${off + i},1))-1)*${math.pow(16, 5 - i).toLong}")
@@ -2626,37 +2831,90 @@ object ExtensionQueries {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, cos_q FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "q_knn_graph" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
-        |ranked AS (
-        |    SELECT a.vec_id, a.v, c.centroid_id,
-        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-        |        CAST(floor(10000 * (
-        |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
-        |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
-        |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
-        |        c.centroid_id) AS rn
-        |    FROM e a CROSS JOIN cent c),
-        |cassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1),
-        |qassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn <= 2),
-        |scored AS (
-        |  SELECT q.vec_id AS src, c.vec_id AS dst,
-        |    CAST(floor(10000 * (
-        |      list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
-        |      (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
-        |       sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
-        |  FROM qassign q JOIN cassign c ON q.centroid_id = c.centroid_id
-        |  WHERE q.vec_id <> c.vec_id),
-        |r AS (SELECT src, dst, cos_q,
-        |    row_number() OVER (PARTITION BY src ORDER BY cos_q DESC, dst) AS rank
-        |  FROM scored),
-        |edges AS (SELECT src, dst, rank, cos_q FROM r WHERE rank <= 5)
-        |SELECT e1.src, e1.dst, e1.rank, e1.cos_q,
+    "q_knn_graph" -> (knnEdgesCte + "\n" +
+      """SELECT e1.src, e1.dst, e1.rank, e1.cos_q,
         |  e2.src IS NOT NULL AS mutual
         |FROM edges e1 LEFT JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
-        |ORDER BY e1.src, e1.rank""".stripMargin,
+        |ORDER BY e1.src, e1.rank""".stripMargin),
+    "q_pagerank" -> {
+      // 3 unrolled integer fixed-point iterations (mirror of
+      // Graph.pageRank: share = pr div outd, update = base + 85c div 100)
+      val iters = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"it${i - 1}"
+        s"""it$i AS (SELECT n.node,
+           |    (1000000000000 * 15 // 100) // (SELECT n FROM nn)
+           |      + 85 * COALESCE(c.c, 0) // 100 AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(r.pr // o.outd) AS BIGINT) AS c
+           |    FROM edges e JOIN $prev r ON e.src = r.node
+           |    JOIN outd o ON e.src = o.src
+           |    GROUP BY 1) c ON n.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      knnEdgesCte + ",\n" +
+        s"""nodes AS (SELECT vec_id AS node FROM embeddings),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outd FROM edges GROUP BY 1),
+           |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS pr FROM nodes),
+           |$iters
+           |SELECT node AS vec_id, CAST(pr AS BIGINT) AS pr FROM it3
+           |ORDER BY pr DESC, vec_id LIMIT 50""".stripMargin
+    },
+    "q_hybrid_rrf" -> (knnEdgesCte + ",\n" +
+      // dense ranking = the knn edge list restricted to the query
+      // subset (same k/nprobe/index); lexical = distinct-token overlap
+      """lexq AS (SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split(text,' '))) AS term
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |lexc AS (SELECT doc_id AS cand_id,
+        |    unnest(list_distinct(string_split(text,' '))) AS term
+        |  FROM documents),
+        |lexs AS (SELECT query_id, cand_id, count(*) AS shared
+        |  FROM lexq JOIN lexc USING (term)
+        |  WHERE cand_id <> query_id GROUP BY 1, 2),
+        |lex AS (SELECT query_id, cand_id, lex_rank FROM (
+        |  SELECT query_id, cand_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY shared DESC, cand_id) AS INT) AS lex_rank
+        |  FROM lexs) WHERE lex_rank <= 5),
+        |dense AS (SELECT src AS query_id, dst AS cand_id,
+        |    CAST(rank AS INT) AS dense_rank
+        |  FROM edges WHERE src % 50 = 0),
+        |f AS (SELECT COALESCE(l.query_id, dn.query_id) AS query_id,
+        |    COALESCE(l.cand_id, dn.cand_id) AS cand_id,
+        |    l.lex_rank, dn.dense_rank,
+        |    CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+        |      + COALESCE(1000000 // (60 + dn.dense_rank), 0) AS BIGINT) AS rrf_score
+        |  FROM lex l FULL OUTER JOIN dense dn
+        |    ON l.query_id = dn.query_id AND l.cand_id = dn.cand_id)
+        |SELECT query_id, cand_id, lex_rank, dense_rank, rrf_score, rank FROM (
+        |  SELECT query_id, cand_id, lex_rank, dense_rank, rrf_score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_score DESC, cand_id) AS INT) AS rank
+        |  FROM f) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
+    "q_cluster_terms" -> (knnEdgesCte + ",\n" +
+      // cassign (rn = 1) IS the shared IVF assignment; unreferenced
+      // CTEs (scored/edges) are pruned by the optimizer
+      """dt AS (SELECT ca.centroid_id,
+        |    unnest(string_split(d.text,' ')) AS term
+        |  FROM documents d JOIN cassign ca ON d.doc_id = ca.vec_id),
+        |tf AS (SELECT centroid_id, term, CAST(count(*) AS BIGINT) AS c_ct
+        |  FROM dt GROUP BY 1, 2),
+        |ctot AS (SELECT centroid_id, CAST(sum(c_ct) AS BIGINT) AS t_c
+        |  FROM tf GROUP BY 1),
+        |ttot AS (SELECT term, CAST(sum(c_ct) AS BIGINT) AS c_t
+        |  FROM tf GROUP BY 1),
+        |gtot AS (SELECT CAST(sum(c_ct) AS BIGINT) AS n FROM tf),
+        |sc AS (SELECT tf.centroid_id, tf.term, tf.c_ct, ttot.c_t, ctot.t_c,
+        |    CAST((CAST(tf.c_ct AS HUGEINT) * (SELECT n FROM gtot) * 1000000)
+        |      // (CAST(ttot.c_t AS HUGEINT) * ctot.t_c) AS BIGINT) AS lift_ppm
+        |  FROM tf JOIN ttot USING (term) JOIN ctot USING (centroid_id)
+        |  WHERE tf.c_ct >= 3)
+        |SELECT centroid_id, term, c_ct, c_t, t_c, lift_ppm, rank FROM (
+        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY centroid_id
+        |    ORDER BY lift_ppm DESC, term) AS INT) AS rank
+        |  FROM sc) WHERE rank <= 5
+        |ORDER BY centroid_id, rank""".stripMargin),
     "q_recall_curve" -> {
       val arms = Seq(1, 2, 4).map { np =>
         s"""SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS n_truth,
@@ -3211,6 +3469,12 @@ object ExtensionQueries {
     "q_ann_recall"      -> (annRecall _),
     "q_manifest"        -> (shardManifestQ _),
     "q_collocations"    -> (collocationsQ _),
+    "q_cms_topk"        -> (cmsTopK _),
+    "q_vocab_growth"    -> (vocabGrowthQ _),
+    "q_interval_join"   -> (intervalJoin _),
+    "q_pagerank"        -> (pageRankQ _),
+    "q_hybrid_rrf"      -> (hybridRrf _),
+    "q_cluster_terms"   -> (clusterTerms _),
     "q_recall_curve"    -> (recallCurve _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),

@@ -51,6 +51,27 @@ object EventStreamOps {
       .groupBy(window(col(tsCol), window_, slide), col("token"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming twin of [[graft.ops.Sketch.cmsCells]] — the count–min
+    * sketch maintained LIVE: arriving documents' tokens hash into the
+    * same md5-derived d×w cells as the batch build, through ONE
+    * stateful Update-mode aggregation whose state is bounded at
+    * depth×width rows — the whole point of the sketch: the
+    * heavy-hitter monitor's memory does not grow with the stream.
+    * Cells are additive, so the stream's running sketch equals the
+    * batch sketch over the same prefix (spec-pinned) and can be
+    * cell-wise ADDED to any lake-side sketch. Estimation (min over a
+    * key's cells) stays a consumer-side probe of the latest cell
+    * snapshot, exactly as in batch.
+    */
+  def streamingCmsCells(docs: DataFrame, textCol: String = "text",
+                        depth: Int = 4, width: Int = 1024): DataFrame =
+    docs
+      .select(explode(graft.ops.TextStats.tokens(col(textCol))).as("term"))
+      .select(explode(
+        graft.ops.Sketch.bucketStructs(col("term"), depth, width)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** One user's live session state. */
   case class SessionState(nEvents: Long, lastEventId: Long)
   /** Emitted when a session closes (gap exceeded) or times out. */

@@ -1,0 +1,157 @@
+package graft
+
+import graft.ops.{Graph, Sketch, Skew}
+import org.apache.spark.sql.functions._
+
+/** Round-8 corpus-statistics ops: count–min sketch (vs a driver-side
+  * reference sketch and the CMS one-sided-error guarantee), the
+  * Heaps-law vocabulary growth curve, and the binned interval-overlap
+  * join (vs brute force).
+  */
+class SketchGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5Bucket(r: Int, key: String, width: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$r:$key".getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(6)
+    java.lang.Long.parseLong(hex, 16) % width
+  }
+
+  test("cmsBucket matches a driver-side md5 reference for every row") {
+    val keys = Seq("alpha", "beta", "gamma", "the", "x")
+    val df = keys.toDF("k")
+    for (r <- 0 until 4) {
+      val got = df.select(col("k"), Sketch.cmsBucket(col("k"), r, 1024).as("b"))
+        .as[(String, Long)].collect().toMap
+      keys.foreach { k => assert(got(k) === md5Bucket(r, k, 1024), s"r=$r k=$k") }
+    }
+  }
+
+  test("cms estimates equal a brute-force driver sketch and never undercount") {
+    val docs = Seq(
+      (1L, "a a a b c"),
+      (2L, "a b b d d d"),
+      (3L, "c c e f g h")
+    ).toDF("doc_id", "text")
+    val depth = 4
+    val width = 4 // tiny width to force collisions (8 keys, 4 buckets/row)
+    val toks = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).toSeq
+    val exact = toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // driver-side reference sketch
+    val cells = Array.fill(depth, width)(0L)
+    for ((k, c) <- exact; r <- 0 until depth)
+      cells(r)(md5Bucket(r, k, width).toInt) += c
+    val refEst = exact.keys.map { k =>
+      k -> (0 until depth).map(r => cells(r)(md5Bucket(r, k, width).toInt)).min
+    }.toMap
+
+    val out = Sketch.cmsHeavyHitters(docs, depth, width, k = 100)
+      .select("term", "est", "exact", "err")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet === exact.keySet)
+    out.foreach { case (t, est, ex, err) =>
+      assert(ex === exact(t), s"exact($t)")
+      assert(est === refEst(t), s"est($t)")
+      assert(err === est - ex && err >= 0, s"one-sided error($t)")
+    }
+    // tiny width MUST collide somewhere (8 keys into 4 buckets/row —
+    // every row has >= 4 colliding keys, and min-over-rows cannot dodge
+    // all of them for every key):
+    assert(out.exists(_._4 > 0), "expected at least one collision overcount")
+  }
+
+  test("vocabGrowth: hand-computed buckets, new types, cumulative curve") {
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"),  // bucket 0
+      (2L, "c d d"), (3L, "e")     // bucket 1
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.vocabGrowth(docs, buckets = 2)
+      .select("bucket", "n_docs", "n_tokens", "new_types",
+        "cum_tokens", "cum_types", "ttr_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 5L, 3L, 5L, 3L, 600000L),   // a,b,c new; 3e6/5
+      (1L, 2L, 4L, 2L, 9L, 5L, 555555L)))  // d,e new; 5e6/9
+  }
+
+  test("binnedIntervalJoin equals brute force for any binWidth, " +
+    "negative bounds included, no duplicate pairs") {
+    val l = Seq((1L, -50L, 10L), (2L, 0L, 5L), (3L, 100L, 120L),
+      (4L, -200L, -150L)).toDF("l_id", "l_lo", "l_hi")
+    val r = Seq((10L, -60L, -45L), (11L, 4L, 8L), (12L, 9L, 99L),
+      (13L, 130L, 140L), (14L, -1000L, 1000L)).toDF("r_id", "r_lo", "r_hi")
+    val brute = l.crossJoin(r)
+      .filter(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = Skew.binnedIntervalJoin(l, "l_lo", "l_hi", r, "r_lo", "r_hi", w)
+        .select("l_id", "r_id").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"duplicate pairs at w=$w")
+      assert(got.toSet === brute, s"pair set at w=$w")
+    }
+  }
+
+  test("pageRank: one hand-computed integer iteration is exact") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val out = Graph.pageRank(edges, nodes, iterations = 1, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    // r0 = 333333 each; base = 50000
+    // c(1) = 333333 (from 3); c(2) = 166666 (from 1, outdeg 2);
+    // c(3) = 166666 + 333333 = 499999
+    assert(out === Map(
+      1L -> (50000L + 85L * 333333L / 100L),
+      2L -> (50000L + 85L * 166666L / 100L),
+      3L -> (50000L + 85L * 499999L / 100L)))
+  }
+
+  test("pageRank: hub of a star graph wins; isolated node sits at the " +
+    "teleport floor") {
+    // 2..6 all point at 1; 7 is isolated (no edges at all)
+    val edges = (2L to 6L).map(i => (i, 1L)).toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("node")
+    val pr = Graph.pageRank(edges, nodes, iterations = 3).as[(Long, Long)]
+      .collect().toMap
+    assert(pr(1L) > pr(2L), "hub must outrank spokes")
+    assert((2L to 6L).map(pr).toSet.size === 1, "spokes tie exactly")
+    assert(pr(7L) === pr(2L),
+      "an isolated node and a no-inlink spoke both sit at the floor")
+  }
+
+  test("rrfFuse: hand-computed integer fusion, absent lists score 0") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "cand_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "cand_id", "rank")
+    val out = graft.ops.Similarity.rrfFuse(a, b, "a_rank", "b_rank", k = 5)
+      .select("query_id", "cand_id", "rrf_score", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    // 10: 1e6/61 = 16393; 11: 1e6/62 + 1e6/61 = 16129 + 16393 = 32522;
+    // 12: 1e6/62 = 16129
+    assert(out.toSeq === Seq(
+      (1L, 11L, 32522L, 1), (1L, 10L, 16393L, 2), (1L, 12L, 16129L, 3)))
+  }
+
+  test("tokenOverlapTopK: shared-distinct-token ranking, self excluded") {
+    val corpus = Seq((1L, "a b c"), (2L, "a b x x"), (3L, "c d"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextStats
+      .tokenOverlapTopK(corpus.filter($"doc_id" === 1), corpus, k = 2)
+      .select("query_id", "cand_id", "shared", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    // doc 2 shares {a,b} (x's dup doesn't double-count), doc 3 shares {c}
+    assert(out.toSeq === Seq((1L, 2L, 2L, 1), (1L, 3L, 1L, 2)))
+  }
+
+  test("cms sketch built from weighted counts equals one built from raw rows") {
+    val raw = Seq("x", "x", "y", "z", "z", "z").toDF("term")
+      .withColumn("one", lit(1L))
+    val weighted = raw.groupBy("term").agg(sum("one").as("c"))
+    val a = Sketch.cmsCells(raw, "term", "one", 4, 16)
+      .as[(Int, Long, Long)].collect().toSet
+    val b = Sketch.cmsCells(weighted, "term", "c", 4, 16)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+}

@@ -600,4 +600,34 @@ class StreamingOpsSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().sortBy(_._1)
     assert(out.toSeq === Seq((1L, "a2", 3L), (2L, "b1", 2L)))
   }
+
+  test("streamingCmsCells: the live sketch equals the batch sketch over " +
+    "the stream prefix after every batch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val df = mem.toDF().toDF("text")
+    val q = EventStreamOps.streamingCmsCells(df, depth = 2, width = 8)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest() = spark.table("cms")
+        .as[(Int, Long, Long)].collect()
+        .groupBy(t => (t._1, t._2)).map { case (_, v) => v.last }.toSet
+      def batchCells(texts: Seq[String]) = {
+        val counts = texts.toDF("text")
+          .select(explode(graft.ops.TextStats.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c"))
+        graft.ops.Sketch.cmsCells(counts, "term", "c", 2, 8)
+          .as[(Int, Long, Long)].collect().toSet
+      }
+      val b1 = Seq("a a b", "c d")
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() === batchCells(b1))
+      val b2 = Seq("a e e e")
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(latest() === batchCells(b1 ++ b2), "additivity across batches")
+    } finally q.stop()
+  }
 }
