@@ -64,4 +64,56 @@ object Graph {
     }
     r
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 2007): every node starts in its
+    * own community (label = node id) and each round adopts the most
+    * frequent label among its neighbors — ties break to the LOWEST
+    * label, and all nodes update from the same previous-round
+    * snapshot, which together make the result deterministic (the
+    * paper's asynchronous random-order variant is not; determinism is
+    * what lets an iterative community structure sit under a hash
+    * gate). Edges are treated as undirected (the union with the
+    * reversed list, deduplicated) so a k-NN edge pulls both ends
+    * together regardless of which side ranked the other.
+    *
+    * Dataflow per round: the undirected edge list (built and
+    * checkpointed once) equi-joins the previous labels on the
+    * neighbor end, label votes hash-aggregate per (node, label) with
+    * map-side partials, and the per-node argmax is `min_by` over
+    * (-count, label) structs — an aggregate, never a per-node sort
+    * window. Isolated nodes keep their own label via the left join.
+    * `iterations` is driver-bounded; on a k-NN graph 2–3 rounds
+    * already merge tight neighborhoods while distant clusters keep
+    * distinct labels (full convergence can swallow everything — a
+    * known LPA failure mode; a bounded round count is the standard
+    * guard).
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame,
+                       iterations: Int = 2,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       nodeCol: String = "node"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val und = dir
+      .unionByName(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
+    var lab = n.withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val votes = und
+        .join(lab.select(col("node").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val best = votes.groupBy("node")
+        .agg(min_by(col("label"),
+          struct((-col("c")).as("nc"), col("label"))).as("winner"))
+      lab = n.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("winner"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    lab
+  }
 }

@@ -306,4 +306,34 @@ object Profile {
           greatest(col("n_pos").cast(DecimalType(38, 0)) * col("n_neg") * 2,
             lit(1L).cast(DecimalType(38, 0))).cast("double")).as("auc"))
   }
+
+  /** Per-group quantile calibration of a score column — the standard
+    * fix for the "sources are scored on different scales" problem: a
+    * web-crawl quality score and a curated-corpus quality score are
+    * not comparable, but their WITHIN-SOURCE percentiles are (rank
+    * transformation — the distribution-free normalization every
+    * mixed-source filter threshold should be set against). Emits the
+    * exact integer percentile `pct_ppm = (rank−1)·10⁶ div (n_g−1)`
+    * (0 for singleton groups), rank tie-broken by id so engines agree.
+    *
+    * Shape for scale: ONE exchange keyed by the group — the ordered
+    * rank window and the unordered group-count window share the same
+    * partitioning; no global window anywhere. Groups are sources
+    * (tens to thousands); within-group rank sort parallelizes per
+    * group and AQE handles a dominant source.
+    */
+  def quantileCalibrate(df: DataFrame, scoreCol: String, groupCol: String,
+                        idCol: String): DataFrame = {
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val ow = pw.orderBy(col(scoreCol), col(idCol))
+    df.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("rk", row_number().over(ow))
+      .withColumn("n_g", count(lit(1)).over(pw))
+      .withColumn("pct_ppm",
+        // rank through BIGINT before the ppm scale: an int rank over a
+        // 3000+-row group would overflow rk*10^6 in 32 bits
+        expr("CASE WHEN n_g > 1 THEN " +
+          "(CAST(rk AS BIGINT) - 1) * 1000000 div (n_g - 1) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+  }
 }

@@ -69,6 +69,46 @@ object Sampling {
     * pays a per-stratum shuffle + sort for an exact count — eval-set
     * construction wants exact, bulk downsampling wants cheap.
     */
+  /** Source-interleaved training order: a deterministic total order
+    * over the corpus in which consecutive positions rotate through
+    * the sources — the "don't train on a million same-source
+    * documents in a row" guarantee a source-partitioned lake layout
+    * silently
+    * violates when read in file order. Within each source, documents
+    * shuffle by md5 (the [[exactKPerStratum]] ordering); `round` is
+    * the within-source rank, and the training order is
+    * `(round, src_idx)` — round 1 of every source, then round 2, ...
+    * `global_pos = (round−1)·n_src + src_idx` serializes that order
+    * into one sortable integer (gaps appear once short sources
+    * exhaust — positions stay strictly increasing, which is all a
+    * sort key needs).
+    *
+    * No global window anywhere: the rank windows partition by source,
+    * the source index comes from a triangular join over the
+    * sources-sized frame (broadcast, O(sources²) — sources are tens
+    * to thousands), and n_src is a broadcast 1-row aggregate.
+    */
+  def interleaveBySource(docs: DataFrame, idCol: String = "doc_id",
+                         sourceCol: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val ranked = docs.select(col(idCol), col(sourceCol))
+      .withColumn("round", row_number().over(w))
+    val srcs = ranked.select(col(sourceCol)).distinct().localCheckpoint()
+    val idx = srcs
+      .join(broadcast(srcs.select(col(sourceCol).as("_s2"))),
+        col("_s2") <= col(sourceCol))
+      .groupBy(sourceCol).agg(count(lit(1)).as("src_idx"))
+    val ns = srcs.agg(count(lit(1)).as("n_src"))
+    ranked.join(broadcast(idx), Seq(sourceCol))
+      .join(broadcast(ns))
+      .withColumn("global_pos",
+        expr("(round - 1) * n_src + src_idx"))
+      .select(col(idCol), col(sourceCol), col("round"), col("src_idx"),
+        col("global_pos"))
+  }
+
   def exactKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
                        k: Long): DataFrame = {
     require(k >= 1, "k must be >= 1")

@@ -323,6 +323,49 @@ object TextStats {
       .limit(k)
   }
 
+  /** DOCUMENT-level co-occurrence associations — the non-adjacent
+    * sibling of [[collocations]] (Church & Hanks' other table):
+    * which token PAIRS co-occur in the same document more often than
+    * their document frequencies predict, ranked by the exact integer
+    * lift `n_xy·N·10⁶ div (n_x·n_y)` over DOCUMENT counts (monotone
+    * in document-level PMI). Adjacent bigrams find phrases; this
+    * finds topical structure — the co-occurrence graph topic models
+    * and word-association features start from.
+    *
+    * The quadratic pair explosion is tamed the standard way: pairs
+    * are built only over the `topVocab` highest-document-frequency
+    * tokens (broadcast), so the per-document self-join emits at most
+    * C(topVocab, 2) pairs regardless of document length — corpus cost
+    * is linear, pair space is constant. Two tokenize scans (vocab
+    * census, then the vocab-filtered pair build) — deliberately NOT a
+    * checkpoint of the corpus-sized (doc, token) frame.
+    */
+  def cooccurrence(docs: DataFrame, topVocab: Int = 30,
+                   minPairDocs: Long = 5L, k: Int = 30,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(topVocab >= 2 && k >= 1, "topVocab must be >= 2, k >= 1")
+    val nDocs = docs.filter(col(textCol).isNotNull).count()
+    val dtok = array_distinct(tokens(col(textCol)))
+    val topv = docs.select(explode(dtok).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_t"))
+      .orderBy(col("n_t").desc, col("tok")).limit(topVocab)
+    val dv = docs.select(col(idCol).as("doc_id"), explode(dtok).as("tok"))
+      .join(broadcast(topv), Seq("tok"))
+    val x = dv.select(col("doc_id"), col("tok").as("w1"), col("n_t").as("nx"))
+    val y = dv.select(col("doc_id"), col("tok").as("w2"), col("n_t").as("ny"))
+    x.join(y, Seq("doc_id")).filter(col("w1") < col("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_xy"),
+        first(col("nx")).as("n_x"), first(col("ny")).as("n_y"))
+      .filter(col("n_xy") >= minPairDocs)
+      .withColumn("lift_ppm",
+        expr(s"(CAST(n_xy AS DECIMAL(38,0)) * ${nDocs}L * 1000000) div " +
+          "(CAST(n_x AS DECIMAL(38,0)) * n_y)"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Corpus diversity report — the Distinct-n metric of Zhu et al.
     * ("Texygen", SIGIR 2018; Li et al. NAACL 2016's distinct-1/2
     * before it), the standard scalable answer to "how repetitive is

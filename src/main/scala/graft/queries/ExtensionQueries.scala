@@ -1276,6 +1276,82 @@ object ExtensionQueries {
       .orderBy("centroid_id", "rank")
   }
 
+  /** Semantic communities ([[Graph.labelPropagation]]): deterministic
+    * synchronous LPA over the shared k-NN graph, 2 bounded rounds —
+    * the community structure (with sizes) that groups related
+    * documents beyond near-dup connected components.
+    */
+  def communitiesQ(s: SparkSession, d: String): DataFrame = {
+    val edges = Similarity.knnGraph(embs(s, d), k = 5, nprobe = 2,
+        corpusAssigned = Some(ivfAssignment(s, d)),
+        centroids = ivfCentroidsOpt(s, d))
+      .select("src", "dst")
+    val lab = Graph.labelPropagation(edges,
+      embs(s, d).select(col("vec_id").as("node")), iterations = 2)
+    val sizes = lab.groupBy("label").agg(count(lit(1)).as("c_size"))
+    lab.join(sizes, Seq("label"))
+      .select(col("node").as("vec_id"), col("label").as("community"),
+        col("c_size"))
+      .orderBy("vec_id")
+  }
+
+  /** Hubness audit (Radovanović, Nanopoulos & Ivanović, JMLR 2010 —
+    * the high-dimensional pathology where a few "hub" vectors appear
+    * in everyone's top-k while "antihubs" appear in no one's): the
+    * in-degree distribution of the shared k-NN graph, with the mutual
+    * edge count alongside. A heavy in-degree tail says cosine
+    * neighborhoods are degenerating and retrieval/dedup quality will
+    * follow; antihubs (in_deg 0) are the unreachable rows.
+    */
+  def hubnessQ(s: SparkSession, d: String): DataFrame = {
+    val edges = Similarity.knnGraph(embs(s, d), k = 5, nprobe = 2,
+        corpusAssigned = Some(ivfAssignment(s, d)),
+        centroids = ivfCentroidsOpt(s, d))
+    val ind = edges.groupBy(col("dst").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"),
+        sum(when(col("mutual"), 1L).otherwise(0L)).as("n_mutual"))
+    embs(s, d).select(col("vec_id"))
+      .join(ind, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+      .orderBy("vec_id")
+  }
+
+  /** Document-level co-occurrence PMI ([[TextStats.cooccurrence]]):
+    * which token pairs share documents beyond what their document
+    * frequencies predict — topical structure, where collocations find
+    * phrases. Top-vocab-bounded pair space, exact integer lift.
+    */
+  def cooccurQ(s: SparkSession, d: String): DataFrame =
+    TextStats.cooccurrence(docs(s, d), topVocab = 30, minPairDocs = 5L, k = 30)
+
+  /** Per-source score calibration ([[Profile.quantileCalibrate]]):
+    * within-source percentile of the integer distinct-token-ratio
+    * score — the rank transformation that makes quality thresholds
+    * comparable across differently-scaled sources.
+    */
+  def scoreCalib(s: SparkSession, d: String): DataFrame = {
+    val t = TextStats.tokens(col("text"))
+    val base = docs(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(array_distinct(t)).cast("long").as("num"),
+        size(t).cast("long").as("den"))
+      .filter(col("den") > 0)
+      .select(col("doc_id"), col("source"),
+        expr("num * 1000000 div den").as("score_ppm"))
+    Profile.quantileCalibrate(base, "score_ppm", "source", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Source-interleaved training order
+    * ([[Sampling.interleaveBySource]]): the deterministic total order
+    * that rotates through sources position by position — no
+    * same-source run longer than one, however the lake is laid out.
+    */
+  def interleave(s: SparkSession, d: String): DataFrame =
+    Sampling.interleaveBySource(docs(s, d)).orderBy("global_pos")
+
   /** Hybrid retrieval ([[Similarity.rrfFuse]]): reciprocal-rank
     * fusion of the lexical ranking (distinct-token overlap,
     * [[TextStats.tokenOverlapTopK]]) with the dense ranking (IVF ANN
@@ -2915,6 +2991,89 @@ object ExtensionQueries {
         |    ORDER BY lift_ppm DESC, term) AS INT) AS rank
         |  FROM sc) WHERE rank <= 5
         |ORDER BY centroid_id, rank""".stripMargin),
+    "q_communities" -> {
+      // 2 unrolled synchronous LPA rounds (mirror of
+      // Graph.labelPropagation: max vote count, min-label tiebreak)
+      def round(prev: String, out: String) =
+        s"""$out AS (SELECT n.node, COALESCE(w.label, n.node) AS label
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT node, label FROM (
+           |      SELECT u.a AS node, l.label, count(*) AS c,
+           |        row_number() OVER (PARTITION BY u.a
+           |          ORDER BY count(*) DESC, l.label) AS rn
+           |      FROM und u JOIN $prev l ON u.b = l.node
+           |      GROUP BY u.a, l.label) WHERE rn = 1) w
+           |  ON n.node = w.node)""".stripMargin
+      knnEdgesCte + ",\n" +
+        s"""und AS (SELECT src AS a, dst AS b FROM edges
+           |  UNION SELECT dst, src FROM edges),
+           |nodes AS (SELECT vec_id AS node FROM embeddings),
+           |l0 AS (SELECT node, node AS label FROM nodes),
+           |${round("l0", "l1")},
+           |${round("l1", "l2")},
+           |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS c_size
+           |  FROM l2 GROUP BY 1)
+           |SELECT l2.node AS vec_id, l2.label AS community, sizes.c_size
+           |FROM l2 JOIN sizes ON l2.label = sizes.label
+           |ORDER BY vec_id""".stripMargin
+    },
+    "q_hubness" -> (knnEdgesCte + ",\n" +
+      """m AS (SELECT e1.dst, e2.src IS NOT NULL AS mutual
+        |  FROM edges e1 LEFT JOIN edges e2
+        |    ON e1.src = e2.dst AND e1.dst = e2.src),
+        |ind AS (SELECT dst AS vec_id, CAST(count(*) AS BIGINT) AS in_deg,
+        |    CAST(sum(CASE WHEN mutual THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual
+        |  FROM m GROUP BY 1)
+        |SELECT v.vec_id, COALESCE(ind.in_deg, 0) AS in_deg,
+        |  COALESCE(ind.n_mutual, 0) AS n_mutual
+        |FROM (SELECT vec_id FROM embeddings) v LEFT JOIN ind USING (vec_id)
+        |ORDER BY vec_id""".stripMargin),
+    "q_cooccur" ->
+      """WITH dt AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text,' '))) AS tok
+        |  FROM documents),
+        |topv AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_t
+        |  FROM dt GROUP BY 1 ORDER BY n_t DESC, tok LIMIT 30),
+        |nd AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |dv AS (SELECT dt.doc_id, dt.tok FROM dt JOIN topv USING (tok)),
+        |p AS (SELECT x.tok AS w1, y.tok AS w2, CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM dv x JOIN dv y ON x.doc_id = y.doc_id AND x.tok < y.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |s AS (SELECT p.w1, p.w2, p.n_xy, t1.n_t AS n_x, t2.n_t AS n_y,
+        |    CAST((CAST(p.n_xy AS HUGEINT) * (SELECT n FROM nd) * 1000000)
+        |      // (CAST(t1.n_t AS HUGEINT) * t2.n_t) AS BIGINT) AS lift_ppm
+        |  FROM p JOIN topv t1 ON p.w1 = t1.tok JOIN topv t2 ON p.w2 = t2.tok)
+        |SELECT w1, w2, n_xy, n_x, n_y, lift_ppm FROM s
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 30""".stripMargin,
+    "q_score_calib" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+        |      * 1000000 // len(string_split(text,' ')) AS score_ppm
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text,' ')) > 0),
+        |r AS (SELECT doc_id, source, score_ppm,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score_ppm, doc_id) AS INT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_g
+        |  FROM b)
+        |SELECT doc_id, source, score_ppm, rk, n_g,
+        |  CASE WHEN n_g > 1
+        |    THEN (CAST(rk AS BIGINT) - 1) * 1000000 // (n_g - 1)
+        |    ELSE CAST(0 AS BIGINT) END AS pct_ppm
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS round
+        |  FROM documents),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |idx AS (SELECT a.source, CAST(count(*) AS BIGINT) AS src_idx
+        |  FROM srcs a JOIN srcs b ON b.source <= a.source GROUP BY 1),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM srcs)
+        |SELECT r.doc_id, r.source, r.round, idx.src_idx,
+        |  (CAST(r.round AS BIGINT) - 1) * (SELECT n_src FROM ns) + idx.src_idx
+        |    AS global_pos
+        |FROM r JOIN idx USING (source) ORDER BY global_pos""".stripMargin,
     "q_recall_curve" -> {
       val arms = Seq(1, 2, 4).map { np =>
         s"""SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS n_truth,
@@ -3475,6 +3634,11 @@ object ExtensionQueries {
     "q_pagerank"        -> (pageRankQ _),
     "q_hybrid_rrf"      -> (hybridRrf _),
     "q_cluster_terms"   -> (clusterTerms _),
+    "q_communities"     -> (communitiesQ _),
+    "q_hubness"         -> (hubnessQ _),
+    "q_cooccur"         -> (cooccurQ _),
+    "q_score_calib"     -> (scoreCalib _),
+    "q_interleave"      -> (interleave _),
     "q_recall_curve"    -> (recallCurve _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),

@@ -144,6 +144,62 @@ class SketchGraphSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 2L, 1), (1L, 3L, 1L, 2)))
   }
 
+  test("labelPropagation: two triangles with a bridge — synchronous " +
+    "rounds with min-label tiebreak, hand-traced") {
+    // triangle {1,2,3}, triangle {4,5,6}, bridge 3-4 (undirected op:
+    // giving each edge once is enough)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("node")
+    val out = Graph.labelPropagation(edges, nodes, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    // round 1: 1->2, 2->1, 3->1, 4->3, 5->4, 6->4
+    // round 2: 1->1, 2->1, 3->1, 4->4, 5->3, 6->3
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("quantileCalibrate: exact percentiles per group, singleton " +
+    "group pins to 0") {
+    val df = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g1", 30L),
+      (4L, "g2", 99L)).toDF("doc_id", "source", "score_ppm")
+    val out = graft.ops.Profile
+      .quantileCalibrate(df, "score_ppm", "source", "doc_id")
+      .select("doc_id", "pct_ppm").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L, 4L -> 0L))
+  }
+
+  test("cooccurrence: document-level pair lift, min-doc floor, " +
+    "hand-computed") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextStats
+      .cooccurrence(docs, topVocab = 10, minPairDocs = 2L, k = 10)
+      .select("w1", "w2", "n_xy", "n_x", "n_y", "lift_ppm")
+      .as[(String, String, Long, Long, Long, java.math.BigDecimal)].collect()
+    // only (a,b) survives the floor: n_xy=3, n_x=n_y=3, N=4
+    // lift = 3*4*1e6 div 9 = 1333333
+    assert(out.length === 1)
+    val r = out.head
+    assert((r._1, r._2, r._3, r._4, r._5) === ("a", "b", 3L, 3L, 3L))
+    assert(r._6.longValueExact() === 1333333L)
+  }
+
+  test("interleaveBySource: positions rotate through sources and " +
+    "strictly increase") {
+    val docs = Seq((1L, "s0"), (2L, "s0"), (3L, "s0"), (4L, "s1"), (5L, "s1"))
+      .toDF("doc_id", "source")
+    val out = graft.ops.Sampling.interleaveBySource(docs)
+      .select("doc_id", "source", "round", "src_idx", "global_pos")
+      .as[(Long, String, Int, Long, Long)].collect().sortBy(_._5)
+    assert(out.map(_._2).toSeq === Seq("s0", "s1", "s0", "s1", "s0"))
+    assert(out.map(_._5).distinct.length === 5, "positions are unique")
+    assert(out.map(_._5).toSeq === out.map(_._5).sorted.toSeq)
+    // each source's rounds are 1..n in position order
+    assert(out.filter(_._2 == "s0").map(_._3).toSeq === Seq(1, 2, 3))
+    assert(out.filter(_._2 == "s1").map(_._3).toSeq === Seq(1, 2))
+  }
+
   test("cms sketch built from weighted counts equals one built from raw rows") {
     val raw = Seq("x", "x", "y", "z", "z", "z").toDF("term")
       .withColumn("one", lit(1L))
