@@ -90,6 +90,8 @@ object ExtensionQueries {
       .localCheckpoint()
     shared.replace((s, d, "ivf_cent"))(newCent)
     shared.replace((s, d, "ivf_assign"))(newAssign)
+    // derived artifacts of the old index must not outlive it
+    shared.remove((s, d, "knn_edges"))
   }
 
   /** Undo [[refreshIvfServing]] for a (session, dataset): rebuild the
@@ -99,9 +101,23 @@ object ExtensionQueries {
     */
   private[graft] def resetIvfServing(s: SparkSession, d: String): Unit = {
     shared.remove((s, d, "ivf_cent"))
+    shared.remove((s, d, "knn_edges"))
     shared.replace((s, d, "ivf_assign"))(
       Similarity.assignToCentroids(embs(s, d)))
   }
+  /** The shared k-NN edge list (k=5, nprobe=2 over the shared IVF
+    * index) — built ONCE per (session, dataset) and read by every
+    * graph consumer (q_knn_graph, q_pagerank, q_communities,
+    * q_hubness, and the dense side of q_hybrid_rrf): the materialized
+    * graph a production pipeline maintains next to its ANN index.
+    * Invalidated together with the index on a serving refresh.
+    */
+  private def knnEdges(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "knn_edges")(
+      Similarity.knnGraph(embs(s, d), k = 5, nprobe = 2,
+        corpusAssigned = Some(ivfAssignment(s, d)),
+        centroids = ivfCentroidsOpt(s, d)))
+
   private def pqCb(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "pq_cb")(Similarity.pqCodebooks(embs(s, d), m = 8, dim = 64))
   private def pqEnc(s: SparkSession, d: String): DataFrame = {
@@ -1235,10 +1251,7 @@ object ExtensionQueries {
     * curation starts from, with the mutual-edge backbone flag.
     */
   def knnGraphQ(s: SparkSession, d: String): DataFrame =
-    Similarity.knnGraph(embs(s, d), k = 5, nprobe = 2,
-        corpusAssigned = Some(ivfAssignment(s, d)),
-        centroids = ivfCentroidsOpt(s, d))
-      .orderBy("src", "rank")
+    knnEdges(s, d).orderBy("src", "rank")
 
   /** Corpus cartography: the top DISTINCTIVE terms of every semantic
     * cluster — per (IVF cluster, term), the exact integer lift
@@ -1282,10 +1295,7 @@ object ExtensionQueries {
     * documents beyond near-dup connected components.
     */
   def communitiesQ(s: SparkSession, d: String): DataFrame = {
-    val edges = Similarity.knnGraph(embs(s, d), k = 5, nprobe = 2,
-        corpusAssigned = Some(ivfAssignment(s, d)),
-        centroids = ivfCentroidsOpt(s, d))
-      .select("src", "dst")
+    val edges = knnEdges(s, d).select("src", "dst")
     val lab = Graph.labelPropagation(edges,
       embs(s, d).select(col("vec_id").as("node")), iterations = 2)
     val sizes = lab.groupBy("label").agg(count(lit(1)).as("c_size"))
@@ -1304,9 +1314,7 @@ object ExtensionQueries {
     * follow; antihubs (in_deg 0) are the unreachable rows.
     */
   def hubnessQ(s: SparkSession, d: String): DataFrame = {
-    val edges = Similarity.knnGraph(embs(s, d), k = 5, nprobe = 2,
-        corpusAssigned = Some(ivfAssignment(s, d)),
-        centroids = ivfCentroidsOpt(s, d))
+    val edges = knnEdges(s, d)
     val ind = edges.groupBy(col("dst").as("vec_id"))
       .agg(count(lit(1)).as("in_deg"),
         sum(when(col("mutual"), 1L).otherwise(0L)).as("n_mutual"))
@@ -1365,11 +1373,12 @@ object ExtensionQueries {
     val lex = TextStats.tokenOverlapTopK(
         docs(s, d).filter(col("doc_id") % 50 === 0), docs(s, d), k = 5)
       .select(col("query_id"), col("cand_id"), col("rank"))
-    val den = Similarity.ivfTopK(
-        embs(s, d).filter(col("vec_id") % 50 === 0), embs(s, d), k = 5,
-        nprobe = 2, corpusAssigned = Some(ivfAssignment(s, d)),
-        centroids = ivfCentroidsOpt(s, d))
-      .select(col("query_id"), col("neighbor_id").as("cand_id"), col("rank"))
+    // the dense ranking IS the edge list restricted to the query
+    // subset (same k/nprobe/index — per-query results are independent),
+    // so it reads the shared graph instead of re-probing
+    val den = knnEdges(s, d).filter(col("src") % 50 === 0)
+      .select(col("src").as("query_id"), col("dst").as("cand_id"),
+        col("rank"))
     Similarity.rrfFuse(lex, den, "lex_rank", "dense_rank", k = 5)
       .select("query_id", "cand_id", "lex_rank", "dense_rank",
         "rrf_score", "rank")
@@ -1383,10 +1392,7 @@ object ExtensionQueries {
     * three bounded iterations; top-50 by final rank mass.
     */
   def pageRankQ(s: SparkSession, d: String): DataFrame = {
-    val edges = Similarity.knnGraph(embs(s, d), k = 5, nprobe = 2,
-        corpusAssigned = Some(ivfAssignment(s, d)),
-        centroids = ivfCentroidsOpt(s, d))
-      .select("src", "dst")
+    val edges = knnEdges(s, d).select("src", "dst")
     Graph.pageRank(edges, embs(s, d).select(col("vec_id").as("node")),
         iterations = 3)
       .orderBy(col("pr").desc, col("node"))
