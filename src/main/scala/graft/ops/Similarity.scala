@@ -298,6 +298,80 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversified-retrieval step after any ANN/hybrid
+    * top-k: greedily pick `picks` results where each pick maximizes
+    * `λ·relevance − (1−λ)·max-similarity-to-already-picked` — high
+    * relevance, low redundancy (a result set of five near-duplicates
+    * is five times one answer). All scoring is exact integers over the
+    * quantized cosines (`mmr_q = lNum·rel_q − (lDen−lNum)·maxSim_q`,
+    * argmax tie-broken by candidate id), so the greedy trajectory is
+    * engine-bit-exact — an ITERATIVE selection under the hash gate.
+    *
+    * Dataflow: candidate–candidate similarities are one self-join per
+    * query over the top-k candidate set — k² pairs per query, bounded
+    * by construction, computed once. Each greedy round is a join of
+    * the pair table against the selected set + a per-query `min_by`
+    * argmax (hash-aggregates, no windows); `picks` is driver-bounded.
+    * The first pick is pure argmax-relevance (`mmr_q = lNum·rel_q` —
+    * nothing selected to be redundant with yet).
+    *
+    * @param candidates (query_id, cand_id, rel_q) — a retrieval top-k
+    * @param vectors    (idCol, vecCol) — embeddings for sim lookups
+    */
+  def mmrRerank(candidates: DataFrame, vectors: DataFrame, picks: Int = 3,
+                lambdaNum: Long = 7L, lambdaDen: Long = 10L,
+                dim: Int = 64, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(picks >= 1, "picks must be >= 1")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      "lambda must be a proper fraction")
+    val cand = candidates.select(col("query_id"), col("cand_id"), col("rel_q"))
+      .localCheckpoint()
+    val v = vectors.select(col(idCol).as("__vid"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v"), dim))
+    val a = cand.select(col("query_id"), col("cand_id"))
+      .join(v, col("cand_id") === col("__vid"))
+      .select(col("query_id"), col("cand_id"),
+        col("__v").as("av"), col("__n").as("an"))
+    val b = cand.select(col("query_id"), col("cand_id").as("s_id"))
+      .join(v, col("s_id") === col("__vid"))
+      .select(col("query_id"), col("s_id"),
+        col("__v").as("bv"), col("__n").as("bn"))
+    val cp = a.join(b, Seq("query_id"))
+      .filter(col("cand_id") =!= col("s_id"))
+      .withColumn("sim_q", cosQ(col("av"), col("bv"), col("an"), col("bn"), dim))
+      .select("query_id", "cand_id", "s_id", "sim_q")
+      .localCheckpoint() // read once per greedy round
+    var selected = cand.groupBy("query_id")
+      .agg(min_by(struct(col("cand_id"), col("rel_q")),
+        struct((-col("rel_q")).as("nr"), col("cand_id"))).as("w"))
+      .select(col("query_id"), col("w.cand_id").as("cand_id"),
+        col("w.rel_q").as("rel_q"), lit(1).as("pick"),
+        (lit(lambdaNum) * col("w.rel_q")).as("mmr_q"))
+    for (r <- 2 to picks) {
+      val ms = cp
+        .join(selected.select(col("query_id"), col("cand_id").as("s_id")),
+          Seq("query_id", "s_id"))
+        .groupBy("query_id", "cand_id").agg(max(col("sim_q")).as("max_sim"))
+      val next = cand
+        .join(selected.select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(ms, Seq("query_id", "cand_id"), "left")
+        .withColumn("mmr_q",
+          lit(lambdaNum) * col("rel_q") -
+            lit(lambdaDen - lambdaNum) * coalesce(col("max_sim"), lit(0L)))
+        .groupBy("query_id")
+        .agg(min_by(struct(col("cand_id"), col("rel_q"), col("mmr_q")),
+          struct((-col("mmr_q")).as("nm"), col("cand_id"))).as("w"))
+        .select(col("query_id"), col("w.cand_id").as("cand_id"),
+          col("w.rel_q").as("rel_q"), lit(r).as("pick"),
+          col("w.mmr_q").as("mmr_q"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected
+  }
+
   /** k-NN graph: every corpus vector's top-k neighbors, as a directed
     * edge list (src, dst, rank, cos_q, mutual) — the structure
     * graph-based curation consumes (SemDeDup-style cluster refinement,

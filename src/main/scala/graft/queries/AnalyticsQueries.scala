@@ -317,7 +317,116 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** Ordered funnel analysis — the classic product-analytics operator:
+    * how many users complete signup → view → click → purchase IN
+    * ORDER, each step's first occurrence strictly after the previous
+    * step's. Sequential semantics (not mere per-type presence) via
+    * cascading first-after aggregations: step N's frame is one
+    * equi-join on user + one min() hash-agg over step-N events later
+    * than the user's step-N−1 time — N−1 joins total, each keyed by
+    * user, each partial-agged; no windows. Conversion is exact ppm vs
+    * the previous step; the 4-row assembly joins on step_no−1.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val e = ev.select(col("user_id"), col("event_type"),
+        epochUs(ev, "ts").as("t"))
+      .localCheckpoint() // four step filters read it
+    def firstAfter(prev: DataFrame, step: String): DataFrame =
+      e.filter(col("event_type") === step)
+        .join(prev, Seq("user_id"))
+        .filter(col("t") > col("pt"))
+        .groupBy("user_id").agg(min(col("t")).as("t2"))
+        .select(col("user_id"), col("t2").as("pt"))
+    val steps = Seq("signup", "view", "click", "purchase")
+    val frames = steps.tail.scanLeft(
+      e.filter(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min(col("t")).as("pt")))(firstAfter)
+    val counts = frames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_no"), lit(steps(i)).as("step"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+    val prev = counts.select(col("step_no").as("p_no"),
+      col("n_users").as("p_users"))
+    counts.join(broadcast(prev), col("p_no") === col("step_no") - 1, "left")
+      .select(col("step_no"), col("step"), col("n_users"),
+        expr("CASE WHEN p_users IS NULL THEN CAST(1000000 AS BIGINT) " +
+          "WHEN p_users = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_users * 1000000 div p_users END").as("conv_ppm"))
+      .orderBy("step_no")
+  }
+
+  /** Weekly cohort retention — the other classic: users grouped by
+    * first-seen week (anchor 2024-01-01 UTC), and for each (cohort,
+    * weeks-since-cohort offset) the count of active users plus exact
+    * ppm retention vs the cohort's size. Two hash-aggs (per-user first
+    * time; per (user, offset) presence) + one broadcast join of the
+    * cohort-size table; all time math is integer microseconds.
+    */
+  def cohorts(s: SparkSession, dir: String): DataFrame = {
+    val anchorUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val weekUs = 7L * 86400 * 1000000
+    val ev = Tables.events(s, dir)
+    val e = ev.select(col("user_id"), epochUs(ev, "ts").as("t"))
+      .localCheckpoint() // first-seen agg + activity agg
+    val first = e.groupBy("user_id").agg(min(col("t")).as("t0"))
+      .select(col("user_id"),
+        expr(s"(t0 - ${anchorUs}L) div ${weekUs}L").as("cohort_w"))
+    val sizes = first.groupBy("cohort_w")
+      .agg(count(lit(1)).as("cohort_size"))
+    e.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_w"),
+        expr(s"(t - ${anchorUs}L) div ${weekUs}L - cohort_w").as("offset_w"))
+      .distinct()
+      .groupBy("cohort_w", "offset_w")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_w"))
+      .withColumn("retention_ppm",
+        expr("n_active * 1000000 div cohort_size"))
+      .select("cohort_w", "offset_w", "n_active", "cohort_size",
+        "retention_ppm")
+      .orderBy("cohort_w", "offset_w")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS pt FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t) AS pt FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'view' AND t > s1.pt GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t) AS pt FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'click' AND t > s2.pt GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(t) AS pt FROM e JOIN s3 USING (user_id)
+        |  WHERE event_type = 'purchase' AND t > s3.pt GROUP BY 1),
+        |c AS (
+        |  SELECT 1 AS step_no, 'signup' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+        |SELECT a.step_no, a.step, a.n_users,
+        |  CAST(CASE WHEN b.n_users IS NULL THEN 1000000
+        |    WHEN b.n_users = 0 THEN 0
+        |    ELSE a.n_users * 1000000 // b.n_users END AS BIGINT) AS conv_ppm
+        |FROM c a LEFT JOIN c b ON b.step_no = a.step_no - 1
+        |ORDER BY a.step_no""".stripMargin,
+    "q_cohorts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |f AS (SELECT user_id,
+        |    (min(t) - 1704067200000000) // 604800000000 AS cohort_w
+        |  FROM e GROUP BY 1),
+        |sizes AS (SELECT cohort_w, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM f GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, f.cohort_w,
+        |    (e.t - 1704067200000000) // 604800000000 - f.cohort_w AS offset_w
+        |  FROM e JOIN f USING (user_id)),
+        |a AS (SELECT cohort_w, offset_w, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM act GROUP BY 1, 2)
+        |SELECT a.cohort_w, a.offset_w, a.n_active, s.cohort_size,
+        |  CAST(a.n_active * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
+        |FROM a JOIN sizes s USING (cohort_w)
+        |ORDER BY a.cohort_w, a.offset_w""".stripMargin,
     "q_asof_strict" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  a.src_id, a.src_type, a.src_ts_us
@@ -468,6 +577,8 @@ object AnalyticsQueries {
     "q_big_orders"          -> (bigOrders _),
     "q_json_extract"        -> (jsonExtract _),
     "q_pivot_events"        -> (pivotEvents _),
+    "q_funnel"              -> (funnel _),
+    "q_cohorts"             -> (cohorts _),
     "q_percentiles"         -> (percentiles _),
     "q_asof_join"           -> (asOfAttribution _),
     "q_asof_strict"         -> (asOfAttributionStrict _)

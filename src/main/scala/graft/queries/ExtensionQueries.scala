@@ -1360,6 +1360,19 @@ object ExtensionQueries {
   def interleave(s: SparkSession, d: String): DataFrame =
     Sampling.interleaveBySource(docs(s, d)).orderBy("global_pos")
 
+  /** Diversified retrieval ([[Similarity.mmrRerank]]): MMR greedy
+    * re-rank of each query's ANN top-5 down to 3 picks (λ = 0.7) —
+    * relevance minus redundancy, integer-exact, over the shared k-NN
+    * edge list and embedding table.
+    */
+  def mmrQ(s: SparkSession, d: String): DataFrame = {
+    val cand = knnEdges(s, d).filter(col("src") % 50 === 0)
+      .select(col("src").as("query_id"), col("dst").as("cand_id"),
+        col("cos_q").as("rel_q"))
+    Similarity.mmrRerank(cand, embs(s, d), picks = 3)
+      .orderBy("query_id", "pick")
+  }
+
   /** Hybrid retrieval ([[Similarity.rrfFuse]]): reciprocal-rank
     * fusion of the lexical ranking (distinct-token overlap,
     * [[TextStats.tokenOverlapTopK]]) with the dense ranking (IVF ANN
@@ -3023,6 +3036,56 @@ object ExtensionQueries {
            |FROM l2 JOIN sizes ON l2.label = sizes.label
            |ORDER BY vec_id""".stripMargin
     },
+    "q_mmr" -> {
+      // greedy MMR unrolled: pick 1 = argmax rel; picks 2..3 = argmax
+      // 7*rel - 3*maxSimToSelected over the not-yet-picked (mirror of
+      // Similarity.mmrRerank at lambda = 7/10)
+      val simQ =
+        """CAST(floor(10000 * (
+          |      list_reduce(list_transform(range(1,65), i -> va.v[i]*vb.v[i]), (p,q)->p+q) /
+          |      (sqrt(list_reduce(list_transform(range(1,65), i -> va.v[i]*va.v[i]), (p,q)->p+q)) *
+          |       sqrt(list_reduce(list_transform(range(1,65), i -> vb.v[i]*vb.v[i]), (p,q)->p+q))))) AS BIGINT)""".stripMargin
+      def round(r: Int) =
+        s"""m$r AS (SELECT cp.query_id, cp.cand_id, max(cp.sim_q) AS max_sim
+           |  FROM cp JOIN sel${r - 1} s
+           |    ON cp.query_id = s.query_id AND cp.s_id = s.cand_id
+           |  GROUP BY 1, 2),
+           |p$r AS (SELECT query_id, cand_id, rel_q, $r AS pick, mmr_q FROM (
+           |  SELECT c.query_id, c.cand_id, c.rel_q,
+           |    7 * c.rel_q - 3 * COALESCE(m$r.max_sim, 0) AS mmr_q,
+           |    row_number() OVER (PARTITION BY c.query_id
+           |      ORDER BY 7 * c.rel_q - 3 * COALESCE(m$r.max_sim, 0) DESC,
+           |        c.cand_id) AS rn
+           |  FROM cand c
+           |  LEFT JOIN m$r ON c.query_id = m$r.query_id
+           |    AND c.cand_id = m$r.cand_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+           |    WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id)
+           |  ) WHERE rn = 1),
+           |sel$r AS (SELECT query_id, cand_id FROM sel${r - 1}
+           |  UNION ALL SELECT query_id, cand_id FROM p$r)""".stripMargin
+      knnEdgesCte + ",\n" +
+        s"""cand AS (SELECT src AS query_id, dst AS cand_id, cos_q AS rel_q
+           |  FROM edges WHERE src % 50 = 0),
+           |cp AS (SELECT a.query_id, a.cand_id, b.cand_id AS s_id,
+           |    $simQ AS sim_q
+           |  FROM cand a JOIN cand b
+           |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+           |  JOIN e va ON va.vec_id = a.cand_id
+           |  JOIN e vb ON vb.vec_id = b.cand_id),
+           |p1 AS (SELECT query_id, cand_id, rel_q, 1 AS pick,
+           |    7 * rel_q AS mmr_q FROM (
+           |  SELECT query_id, cand_id, rel_q, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY rel_q DESC, cand_id) AS rn
+           |  FROM cand) WHERE rn = 1),
+           |sel1 AS (SELECT query_id, cand_id FROM p1),
+           |${round(2)},
+           |${round(3)}
+           |SELECT query_id, cand_id, rel_q, pick, mmr_q FROM p1
+           |UNION ALL SELECT query_id, cand_id, rel_q, pick, mmr_q FROM p2
+           |UNION ALL SELECT query_id, cand_id, rel_q, pick, mmr_q FROM p3
+           |ORDER BY query_id, pick""".stripMargin
+    },
     "q_hubness" -> (knnEdgesCte + ",\n" +
       """m AS (SELECT e1.dst, e2.src IS NOT NULL AS mutual
         |  FROM edges e1 LEFT JOIN edges e2
@@ -3645,6 +3708,7 @@ object ExtensionQueries {
     "q_cooccur"         -> (cooccurQ _),
     "q_score_calib"     -> (scoreCalib _),
     "q_interleave"      -> (interleave _),
+    "q_mmr"             -> (mmrQ _),
     "q_recall_curve"    -> (recallCurve _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),

@@ -200,6 +200,26 @@ class SketchGraphSpec extends SparkSpec {
     assert(out.filter(_._2 == "s1").map(_._3).toSeq === Seq(1, 2))
   }
 
+  test("mmrRerank: hand-traced greedy — a diverse mid-relevance result " +
+    "beats a redundant high-relevance one") {
+    val cand = Seq((1L, 10L, 9000L), (1L, 11L, 8900L), (1L, 12L, 5000L))
+      .toDF("query_id", "cand_id", "rel_q")
+    // 11 points the same direction as 10 (cos exactly 1); 12 orthogonal
+    val vecs = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f)), (11L, Seq(2f, 0f, 0f, 0f)),
+      (12L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.mmrRerank(cand, vecs, picks = 3, dim = 4)
+      .select("pick", "cand_id", "mmr_q")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // pick 1: argmax rel = 10, mmr 7*9000 = 63000
+    // pick 2: 11 scores 7*8900-3*10000 = 32300; 12 scores 7*5000-0 =
+    //         35000 -> DIVERSE 12 wins over redundant 11
+    // pick 3: 11, still 32300 (max sim to {10,12} is 10000)
+    assert(out.toSeq === Seq((1, 10L, 63000L), (2, 12L, 35000L),
+      (3, 11L, 32300L)))
+  }
+
   test("cms sketch built from weighted counts equals one built from raw rows") {
     val raw = Seq("x", "x", "y", "z", "z", "z").toDF("term")
       .withColumn("one", lit(1L))
