@@ -76,11 +76,40 @@ object Layout {
     * audit.
     */
   def zorderReport(df: DataFrame, aCol: String, bCol: String,
-                   bits: Int = 16, nFiles: Int = 64): DataFrame = {
+                   bits: Int = 16, nFiles: Int = 64): DataFrame =
+    curveReport(df, aCol, bCol, bits, nFiles,
+      (a, b) => zorderKey(a, b, bits), keyBits = 2 * bits)
+
+  /** Hilbert-curve clustering report — [[zorderReport]] with the
+    * Morton key replaced by the native [[graft.functions.HilbertKey]]
+    * kernel (order-`bits` curve, one O(bits) generated loop — see the
+    * kernel's scaladoc for why this cannot be a composed Column
+    * expression). Hilbert's unit-step locality (no Morton diagonal
+    * jumps) tightens the same per-file min/max envelopes the scan
+    * planner prunes on; emitting the identical report shape makes the
+    * two layouts directly comparable file by file.
+    */
+  def hilbertReport(df: DataFrame, aCol: String, bCol: String,
+                    bits: Int = 8, nFiles: Int = 64): DataFrame =
+    curveReport(df, aCol, bCol, bits, nFiles,
+      (a, b) => graft.functions.HilbertKey(a, b, bits), keyBits = 2 * bits)
+
+  /** Shared report body: scale both dimensions onto the 2^`bits`
+    * grid (exact integer min-max scaling), key each row with the
+    * given curve, assign files by key prefix, and report each file's
+    * row count plus min/max envelope on both raw dimensions with
+    * exact ppm spans — the numbers a scan planner reads to decide
+    * pruning. One 4-scalar global agg broadcast onto the scan (the
+    * watermark pattern), one projection, one hash-agg on the file id.
+    */
+  private def curveReport(df: DataFrame, aCol: String, bCol: String,
+                          bits: Int, nFiles: Int,
+                          key: (Column, Column) => Column,
+                          keyBits: Int): DataFrame = {
     require(nFiles >= 2 && (nFiles & (nFiles - 1)) == 0,
       s"nFiles=$nFiles must be a power of two")
     val fileBits = 31 - Integer.numberOfLeadingZeros(nFiles)
-    require(fileBits <= 2 * bits, "more files than z-key prefixes")
+    require(fileBits <= keyBits, "more files than curve-key prefixes")
     val g = df.agg(
       min(col(aCol)).as("__amin"), max(col(aCol)).as("__amax"),
       min(col(bCol)).as("__bmin"), max(col(bCol)).as("__bmax"))
@@ -88,13 +117,13 @@ object Layout {
     def scaled(c: String, lo: String, hi: String): Column =
       when(col(hi) === col(lo), lit(0L))
         .otherwise(expr(s"(($c - $lo) * $grid) div ($hi - $lo)"))
-    val z = zorderKey(scaled(aCol, "__amin", "__amax"),
-      scaled(bCol, "__bmin", "__bmax"), bits)
+    val k = key(scaled(aCol, "__amin", "__amax"),
+      scaled(bCol, "__bmin", "__bmax"))
     def span(mn: String, mx: String, lo: String, hi: String): Column =
       when(col(hi) === col(lo), lit(0L))
         .otherwise(expr(s"(($mx - $mn) * 1000000) div ($hi - $lo)"))
     df.join(broadcast(g))
-      .withColumn("file_id", shiftright(z, 2 * bits - fileBits))
+      .withColumn("file_id", shiftright(k, keyBits - fileBits))
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         min(col(aCol)).as("a_min"), max(col(aCol)).as("a_max"),

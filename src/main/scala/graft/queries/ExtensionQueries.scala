@@ -1044,6 +1044,18 @@ object ExtensionQueries {
         "l_partkey", "l_suppkey", bits = 16, nFiles = 64)
       .orderBy("file_id")
 
+  /** Hilbert-curve clustering report ([[Layout.hilbertReport]], the
+    * native [[graft.functions.HilbertKey]] kernel): the same
+    * file-envelope audit as q_zorder over the same dimensions, so the
+    * two curves' pruning power is comparable file by file. The oracle
+    * replays the xy2d loop as 8 unrolled CTE rounds.
+    */
+  def hilbert(s: SparkSession, d: String): DataFrame =
+    Layout.hilbertReport(
+        Tables.lineitem(s, d).select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", bits = 8, nFiles = 64)
+      .orderBy("file_id")
+
   /** REAL-codec perceptual image dedup under the hash gate: the same
     * token-derived BMPs as q_image_stats are REALLY pixel-decoded
     * through `ImageIO` into the 63-bit sequence-sampled dHash
@@ -1463,6 +1475,35 @@ object ExtensionQueries {
         .select(lit(np).as("nprobe"), col("n_truth"), col("n_hits"),
           expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
     }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
+  /** Matryoshka truncation-recall audit (Kusupati et al., NeurIPS
+    * 2022 "Matryoshka Representation Learning"): recall@5 of
+    * brute-force search over the embedding's FIRST 16/32/64
+    * dimensions against full-dimension ground truth — the table that
+    * says how many dimensions the ANN index actually needs to store
+    * (truncated + renormalized cosine, exactly MRL serving). The
+    * 64-dim arm is the built-in sanity row (recall ≡ 10⁶ ppm).
+    */
+  def mrlRecall(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val truth = Similarity.bruteForceTopK(q, e, k = 5, dim = 64)
+      .select("query_id", "neighbor_id")
+    Seq(16, 32, 64).map { dm =>
+      // the truncation is REAL: slice the stored vectors to the first
+      // dm dims (the native dot kernel always consumes whole arrays)
+      val eT = e.select(col("vec_id"),
+        slice(col("embedding"), 1, dm).as("embedding"))
+      val approx = Similarity.bruteForceTopK(
+          eT.filter(col("vec_id") % 50 === 0), eT, k = 5, dim = dm)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("_h"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("_h"), lit(0L))).as("n_hits"))
+        .select(lit(dm).as("trunc_dim"), col("n_truth"), col("n_hits"),
+          expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("trunc_dim")
   }
 
   /** Hard-negative mining over the shared ANN index
@@ -2071,6 +2112,74 @@ object ExtensionQueries {
         |  distinct_ngrams * 1000000 // NULLIF(total_ngrams, 0) AS distinct_ppm,
         |  shared_ngrams * 1000000 // NULLIF(distinct_ngrams, 0) AS shared_ppm
         |FROM r ORDER BY n""".stripMargin,
+    "q_mrl_recall" -> {
+      // brute-force top-5 over the FIRST dm dims (truncate+renormalize)
+      def top5(dm: Int) =
+        s"""SELECT query_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      CAST(floor(10000 * (
+           |        list_reduce(list_transform(range(1,${dm + 1}), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+           |        (sqrt(list_reduce(list_transform(range(1,${dm + 1}), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+           |         sqrt(list_reduce(list_transform(range(1,${dm + 1}), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+           |      c.vec_id) AS rn
+           |  FROM qv q CROSS JOIN e c WHERE q.vec_id <> c.vec_id)
+           |WHERE rn <= 5""".stripMargin
+      val arms = Seq(16, 32, 64).map { dm =>
+        s"""SELECT $dm AS trunc_dim, CAST(count(*) AS BIGINT) AS n_truth,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  (CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000) // count(*) AS recall_ppm
+           |FROM truth x LEFT JOIN (${top5(dm)}) a
+           |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |qv AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+         |truth AS (${top5(64)})
+         |$arms
+         |ORDER BY trunc_dim""".stripMargin
+    },
+    "q_hilbert" -> {
+      // the HilbertKey kernel's xy2d loop, unrolled: 8 rounds of
+      // (rx, ry, quadrant add, conditional reflect+swap); quadrant =
+      // 3*rx + ry - 2*rx*ry (the branch-free (3rx) xor ry identity)
+      val n = 256L
+      val rounds = (1 to 8).map { i =>
+        val s = 1L << (8 - i)
+        val p = i - 1
+        s"""h$i AS (SELECT l_partkey, l_suppkey, amin, amax, bmin, bmax,
+           |    d$p + ${s * s} * (3 * rx$i + ry$i - 2 * rx$i * ry$i) AS d$i,
+           |    CASE WHEN ry$i = 0 THEN (CASE WHEN rx$i = 1 THEN ${n - 1} - y$p ELSE y$p END) ELSE x$p END AS x$i,
+           |    CASE WHEN ry$i = 0 THEN (CASE WHEN rx$i = 1 THEN ${n - 1} - x$p ELSE x$p END) ELSE y$p END AS y$i
+           |  FROM (SELECT *,
+           |    CASE WHEN (x$p & $s) > 0 THEN 1 ELSE 0 END AS rx$i,
+           |    CASE WHEN (y$p & $s) > 0 THEN 1 ELSE 0 END AS ry$i
+           |  FROM h$p))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH g AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+         |    min(l_suppkey) AS bmin, max(l_suppkey) AS bmax FROM lineitem),
+         |h0 AS (SELECT l_partkey, l_suppkey, amin, amax, bmin, bmax,
+         |    CASE WHEN amax = amin THEN 0
+         |         ELSE ((l_partkey - amin) * 255) // (amax - amin) END AS x0,
+         |    CASE WHEN bmax = bmin THEN 0
+         |         ELSE ((l_suppkey - bmin) * 255) // (bmax - bmin) END AS y0,
+         |    0 AS d0
+         |  FROM lineitem, g),
+         |$rounds,
+         |f AS (SELECT d8 >> 10 AS file_id, count(*) AS n_rows,
+         |    min(l_partkey) AS a_min, max(l_partkey) AS a_max,
+         |    min(l_suppkey) AS b_min, max(l_suppkey) AS b_max,
+         |    max(amin) AS amin, max(amax) AS amax,
+         |    max(bmin) AS bmin, max(bmax) AS bmax
+         |  FROM h8 GROUP BY 1)
+         |SELECT file_id, n_rows, a_min, a_max, b_min, b_max,
+         |  CASE WHEN amax = amin THEN 0
+         |       ELSE ((a_max - a_min) * 1000000) // (amax - amin) END AS a_span_ppm,
+         |  CASE WHEN bmax = bmin THEN 0
+         |       ELSE ((b_max - b_min) * 1000000) // (bmax - bmin) END AS b_span_ppm
+         |FROM f ORDER BY file_id""".stripMargin
+    },
     "q_zorder" -> {
       val terms = (0 until 16).map(i =>
         s"((((ga >> $i) & 1) << ${2 * i + 1}) | (((gb >> $i) & 1) << ${2 * i}))")
@@ -3709,6 +3818,8 @@ object ExtensionQueries {
     "q_score_calib"     -> (scoreCalib _),
     "q_interleave"      -> (interleave _),
     "q_mmr"             -> (mmrQ _),
+    "q_hilbert"         -> (hilbert _),
+    "q_mrl_recall"      -> (mrlRecall _),
     "q_recall_curve"    -> (recallCurve _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),

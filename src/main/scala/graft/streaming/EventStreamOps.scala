@@ -113,6 +113,44 @@ object EventStreamOps {
       }
   }
 
+  case class FunnelEv(userId: Long, eventType: String, t: Long)
+  case class FunnelState(step: Int, stepT: Long)
+  case class FunnelPos(userId: Long, step: Int, stepT: Long)
+
+  /** LIVE funnel position — the streaming twin of
+    * [[graft.queries.AnalyticsQueries.funnel]]: per user, how far
+    * through the ordered step sequence they have progressed, updated
+    * in the arriving micro-batch (the conversion monitor that says a
+    * release broke checkout within minutes, not at the next batch
+    * roll-up). State is TWO numbers per user (step index reached +
+    * that step's event time); each batch advances greedily through
+    * the user's events in time order — greedy-earliest is exactly the
+    * batch funnel's first-occurrence-after-previous-step semantics,
+    * so the stream position over any prefix equals the batch
+    * computation over the same prefix (spec-pinned). One emission per
+    * touched user per batch, Update mode; downstream counts users per
+    * step for the live funnel table.
+    */
+  def streamingFunnel(events: Dataset[FunnelEv],
+                      steps: Seq[String] =
+                        Seq("signup", "view", "click", "purchase")): Dataset[FunnelPos] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelPos](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          evs.toSeq.sortBy(e => (e.t, e.eventType)).foreach { e =>
+            if (st.step < steps.length && e.eventType == steps(st.step) &&
+              e.t > st.stepT)
+              st = FunnelState(st.step + 1, e.t)
+          }
+          state.update(st)
+          Iterator.single(FunnelPos(userId, st.step, st.stepT))
+      }
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState: a
     * session closes when the incoming event's id gap exceeds
     * `maxGap`. Matches the batch twin (AnalyticsQueries.sessionize)

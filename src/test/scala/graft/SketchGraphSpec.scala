@@ -220,6 +220,50 @@ class SketchGraphSpec extends SparkSpec {
       (3, 11L, 32300L)))
   }
 
+  test("HilbertKey: bijection and unit-step adjacency on the full " +
+    "16x16 grid; generated code matches the static kernel") {
+    import graft.functions.HilbertKey
+    val bits = 4
+    val n = 1 << bits
+    val cells = (for (x <- 0 until n; y <- 0 until n)
+      yield HilbertKey.compute(x, y, bits) -> (x, y)).toMap
+    assert(cells.size === n * n, "bijection onto [0, n^2)")
+    assert(cells.keys.min === 0L && cells.keys.max === (n * n - 1).toLong)
+    for (d <- 0L until (n * n - 1).toLong) {
+      val (x1, y1) = cells(d); val (x2, y2) = cells(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve step $d -> ${d + 1} must move one cell")
+    }
+    // Column expression (codegen path) == static kernel
+    val df = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+      .toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        HilbertKey(col("x"), col("y"), 3).as("d"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, d) =>
+      assert(d === HilbertKey.compute(x, y, 3), s"($x,$y)")
+    }
+  }
+
+  test("hilbertReport: preserves rows, stays inside global envelopes, " +
+    "and beats the unsorted layout's span on both dims") {
+    val rows = (0 until 2000).map { i =>
+      (i.toLong % 97, (i.toLong * 31) % 89)
+    }.toDF("a", "b")
+    val rep = graft.ops.Layout.hilbertReport(rows, "a", "b",
+        bits = 8, nFiles = 16)
+      .select("file_id", "n_rows", "a_span_ppm", "b_span_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rep.map(_._2).sum === 2000L)
+    assert(rep.forall(r => r._3 <= 1000000L && r._4 <= 1000000L))
+    // locality: average per-file span must be well under the full range
+    // on BOTH dimensions (an unsorted layout would sit near 1e6 on both)
+    val meanA = rep.map(_._3).sum / rep.length
+    val meanB = rep.map(_._4).sum / rep.length
+    assert(meanA < 600000L, s"a spans should tighten, got mean $meanA")
+    assert(meanB < 600000L, s"b spans should tighten, got mean $meanB")
+  }
+
   test("cms sketch built from weighted counts equals one built from raw rows") {
     val raw = Seq("x", "x", "y", "z", "z", "z").toDF("term")
       .withColumn("one", lit(1L))

@@ -601,6 +601,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "a2", 3L), (2L, "b1", 2L)))
   }
 
+  test("streamingFunnel: per-user live position advances greedily in " +
+    "time order, strictly-after semantics, across batches") {
+    implicit val sc = spark.sqlContext
+    import EventStreamOps.{FunnelEv, FunnelPos}
+    val mem = MemoryStream[FunnelEv]
+    val q = EventStreamOps.streamingFunnel(mem.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest() = spark.table("funnel").as[FunnelPos].collect()
+        .groupBy(_.userId).map { case (_, v) => v.last }
+        .map(p => p.userId -> p.step).toMap
+      // batch 1: u1 signup+view (order scrambled in-batch); u2 view
+      // before signup at the same 2 events -> view first can't count
+      mem.addData(FunnelEv(1L, "view", 20L), FunnelEv(1L, "signup", 10L),
+        FunnelEv(2L, "view", 5L), FunnelEv(2L, "signup", 8L))
+      q.processAllAvailable()
+      assert(latest() === Map(1L -> 2, 2L -> 1))
+      // batch 2: u1 completes click+purchase; u2's view at the SAME
+      // time as signup must NOT advance (strictly after); a later one
+      // does
+      mem.addData(FunnelEv(1L, "purchase", 40L), FunnelEv(1L, "click", 30L),
+        FunnelEv(2L, "view", 8L))
+      q.processAllAvailable()
+      assert(latest() === Map(1L -> 4, 2L -> 1))
+      mem.addData(FunnelEv(2L, "view", 9L))
+      q.processAllAvailable()
+      assert(latest() === Map(1L -> 4, 2L -> 2))
+    } finally q.stop()
+  }
+
   test("streamingCmsCells: the live sketch equals the batch sketch over " +
     "the stream prefix after every batch") {
     implicit val sc = spark.sqlContext
