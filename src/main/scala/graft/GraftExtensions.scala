@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, HyperplaneBuckets, MinHashHex, NfcNormalize, ShingleMinHash, SimHash32, WindowHashes, WinnowFingerprints, WordNgrams}
+import graft.functions.{DotProduct, HilbertKey, HyperplaneBuckets, MinHashHex, NfcNormalize, ShingleMinHash, SimHash32, WindowHashes, WinnowFingerprints, WordNgrams}
 
 /** SQL surface for the native graft expressions: registered through
   * `SparkSessionExtensions`, so a pure-SQL user gets the same codegen'd
@@ -135,6 +135,13 @@ object GraftExtensions {
       info("graft_nfc",
         "graft_nfc(text) - Unicode NFC canonical normalization"),
       args => { arity("graft_nfc", args, 1); NfcNormalize(args(0)) }),
+    ("graft_hilbert",
+      info("graft_hilbert",
+        "graft_hilbert(x, y, bits) - Hilbert-curve index of a grid point"),
+      args => {
+        arity("graft_hilbert", args, 3)
+        HilbertKey(args(0), args(1), intArg("graft_hilbert", "bits", args(2)))
+      }),
     // composed logic registers too: the catalyst chain is built from
     // the SAME ordered pattern list as the Column form
     // (TextStats.ScrubSteps) — replacement ORDER is the contract, and a

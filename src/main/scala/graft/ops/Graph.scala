@@ -65,6 +65,49 @@ object Graph {
     r
   }
 
+  /** Triangle census + global clustering coefficient — the standard
+    * graph-cohesion summary (Watts & Strogatz 1998's transitivity;
+    * the compact-forward a<b<c join enumeration of Latapy 2008):
+    * count each triangle exactly once by orienting every undirected
+    * edge low→high and joining edge (a,b) with (b,c) and (a,c).
+    * Wedges (length-2 paths) come from the degree table as
+    * Σ deg·(deg−1)/2; transitivity = 3·triangles·10⁶ div wedges,
+    * exact. On a k-NN graph this is the neighborhood-coherence
+    * number: high transitivity = tight local clusters (dedup/
+    * community structure will be clean), low = hub-dominated mush.
+    *
+    * Dataflow: undirected-dedup (one distinct), a degree hash-agg,
+    * and two equi-joins over the oriented edge list — the join fans
+    * out per shared endpoint, which is exactly the compact-forward
+    * bound O(Σ deg(v)²) and fine for bounded-degree graphs like k-NN
+    * (degree ≤ 2k). One-row output.
+    */
+  def triangleCensus(edges: DataFrame,
+                     srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // degree agg + three join legs
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val w = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val ec = und.agg(count(lit(1)).as("n_edges"))
+    val tri = und
+      .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(und.select(col("a").as("a"), col("b").as("c")), Seq("a", "c"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    w.join(broadcast(ec)).join(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("3 * n_triangles * 1000000 div nullif(n_wedges, 0)")
+          .as("transitivity_ppm"))
+  }
+
   /** Community detection by SYNCHRONOUS label propagation (Raghavan,
     * Albert & Kumara, Phys. Rev. E 2007): every node starts in its
     * own community (label = node id) and each round adopts the most

@@ -1385,6 +1385,96 @@ object ExtensionQueries {
       .orderBy("query_id", "pick")
   }
 
+  /** Triangle census ([[Graph.triangleCensus]]) of the shared k-NN
+    * graph: edges, wedges, triangles, and exact-ppm transitivity —
+    * the neighborhood-coherence number that says whether the
+    * embedding space has real local structure or hub mush.
+    */
+  def trianglesQ(s: SparkSession, d: String): DataFrame =
+    Graph.triangleCensus(knnEdges(s, d))
+
+  /** Consistent-hashing reshard audit: when 8 shards become 9, naive
+    * `hash mod k` reassigns ~8/9 of all documents while a vnode ring
+    * (Karger et al., STOC 1997) moves only the ~1/9 that land on the
+    * new shard's arcs — the difference between rewriting the corpus
+    * and appending a shard. Both assignments computed exactly
+    * (md5-derived 24-bit key and vnode positions, 16 vnodes/shard,
+    * wrap via a (wrapped, position, shard) `min_by` — no windows),
+    * one summary row with exact moved-ppm for each policy.
+    */
+  def reshard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def hex24(parts: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(6), 16)
+    }
+    def ring(k: Int): DataFrame =
+      (for (sh <- 0 until k; v <- 0 until 16)
+        yield (sh.toLong, hex24(s"s:$sh:$v"))).toDF("shard", "vh")
+    val keyed = docs(s, d).select(col("doc_id"),
+      pmod(conv(substring(md5(concat(lit("k:"), col("doc_id").cast("string"))), 1, 6),
+        16, 10).cast("long"), lit(1L << 24)).as("h"))
+      .localCheckpoint() // four assignment passes read it
+    def assignRing(k: Int, out: String): DataFrame =
+      keyed.crossJoin(broadcast(ring(k)))
+        .groupBy("doc_id")
+        .agg(first(col("h")).as("h"),
+          min_by(col("shard"),
+            struct((col("vh") < col("h")).as("wrapped"), col("vh"),
+              col("shard"))).as(out))
+    val both = assignRing(8, "r8").join(assignRing(9, "r9")
+      .select(col("doc_id"), col("r9")), Seq("doc_id"))
+    both.agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("h % 8 != h % 9"), 1L).otherwise(0L)).as("moved_naive"),
+        sum(when(col("r8") =!= col("r9"), 1L).otherwise(0L)).as("moved_ring"))
+      .select(col("n_docs"), col("moved_naive"), col("moved_ring"),
+        expr("moved_naive * 1000000 div n_docs").as("naive_ppm"),
+        expr("moved_ring * 1000000 div n_docs").as("ring_ppm"))
+  }
+
+  /** Integer-exact int8 ANN serving ([[Similarity.quantizeInt8]]):
+    * brute-force top-5 by RAW INTEGER dot product over the quantized
+    * vectors — the post-quantization serving path where ranking needs
+    * no floats at all (products ≤ 127², sums exact in long), so the
+    * entire search is bit-deterministic by construction.
+    */
+  def annInt8(s: SparkSession, d: String): DataFrame = {
+    val qz = Similarity.quantizeInt8(embs(s, d))
+    val q = qz.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qvec").as("qv"))
+    val c = qz.select(col("vec_id").as("neighbor_id"), col("qvec").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dot_q").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot_q",
+        aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "dot_q")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Language-ID confusion audit: the stopword classifier's
+    * predictions against the corpus's labeled `lang` column, as the
+    * full confusion matrix with per-true-language share — the
+    * classifier-quality table that decides whether the cheap
+    * heuristic is good enough to route documents.
+    */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val pred = TextStats.languageId(docs(s, d))
+      .select("doc_id", "pred_lang")
+    val joined = docs(s, d).select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val totals = joined.groupBy("lang").agg(sum(col("n")).as("lang_total"))
+    joined.join(broadcast(totals), Seq("lang"))
+      .withColumn("share_ppm", expr("n * 1000000 div lang_total"))
+      .select("lang", "pred_lang", "n", "lang_total", "share_ppm")
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Hybrid retrieval ([[Similarity.rrfFuse]]): reciprocal-rank
     * fusion of the lexical ranking (distinct-token overlap,
     * [[TextStats.tokenOverlapTopK]]) with the dense ranking (IVF ANN
@@ -3195,6 +3285,90 @@ object ExtensionQueries {
            |UNION ALL SELECT query_id, cand_id, rel_q, pick, mmr_q FROM p3
            |ORDER BY query_id, pick""".stripMargin
     },
+    "q_triangles" -> (knnEdgesCte + ",\n" +
+      """und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges WHERE src <> dst),
+        |deg AS (SELECT n, count(*) AS deg FROM (
+        |  SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) GROUP BY 1),
+        |w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |  WHERE EXISTS (SELECT 1 FROM und e3
+        |    WHERE e3.a = e1.a AND e3.b = e2.b))
+        |SELECT w.n_nodes, ec.n_edges, w.n_wedges, t.n_triangles,
+        |  CAST(3 * t.n_triangles * 1000000 // nullif(w.n_wedges, 0) AS BIGINT)
+        |    AS transitivity_ppm
+        |FROM w, ec, t""".stripMargin),
+    "q_reshard" -> {
+      def hex24(src: String) = (0 to 5).map(i =>
+        s"(strpos('0123456789abcdef', substr($src,${i + 1},1))-1)*${math.pow(16, 5 - i).toLong}")
+        .mkString("(", " + ", ")")
+      def ring(name: String, k: Int) =
+        s"""$name AS (SELECT CAST(sh AS BIGINT) AS shard,
+           |    ${hex24(s"md5('s:' || sh || ':' || v)")} AS vh
+           |  FROM unnest(range(0,$k)) AS a(sh), unnest(range(0,16)) AS b(v))""".stripMargin
+      def assign(name: String, ringName: String) =
+        s"""$name AS (SELECT doc_id, h, shard FROM (
+           |  SELECT k.doc_id, k.h, r.shard,
+           |    row_number() OVER (PARTITION BY k.doc_id
+           |      ORDER BY (r.vh < k.h), r.vh, r.shard) AS rn
+           |  FROM keyed k CROSS JOIN $ringName r) WHERE rn = 1)""".stripMargin
+      s"""WITH keyed AS (SELECT doc_id,
+         |    ${hex24("md5('k:' || CAST(doc_id AS VARCHAR))")} AS h
+         |  FROM documents),
+         |${ring("r8", 8)},
+         |${ring("r9", 9)},
+         |${assign("a8", "r8")},
+         |${assign("a9", "r9")}
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN a8.h % 8 <> a8.h % 9 THEN 1 ELSE 0 END) AS BIGINT) AS moved_naive,
+         |  CAST(sum(CASE WHEN a8.shard <> a9.shard THEN 1 ELSE 0 END) AS BIGINT) AS moved_ring,
+         |  CAST(sum(CASE WHEN a8.h % 8 <> a8.h % 9 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS naive_ppm,
+         |  CAST(sum(CASE WHEN a8.shard <> a9.shard THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS ring_ppm
+         |FROM a8 JOIN a9 USING (doc_id)""".stripMargin
+    },
+    "q_ann_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx FROM e),
+        |z AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(floor(x / mx * 127) AS BIGINT)) AS qv
+        |  FROM m WHERE mx > 0 AND isfinite(mx)),
+        |q AS (SELECT vec_id AS query_id, qv FROM z WHERE vec_id % 50 = 0),
+        |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_reduce(list_transform(range(1,65), i -> q.qv[i] * c.qv[i]),
+        |      (x,y) -> x + y) AS BIGINT) AS dot_q
+        |  FROM q JOIN z c ON q.query_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, rank, dot_q FROM (
+        |  SELECT query_id, neighbor_id, dot_q,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank
+        |  FROM sc) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_lang_confusion" ->
+      """WITH c AS (SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','to'], t))) AS c_en,
+        |  len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ein'], t))) AS c_de,
+        |  len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et','un'], t))) AS c_fr,
+        |  len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','y','una'], t))) AS c_es,
+        |  len(list_filter(string_split(text,' '), t -> list_contains(['的','了','和','是','在'], t))) AS c_zh
+        |  FROM documents),
+        |b AS (SELECT doc_id, c_en, c_de, c_fr, c_es, c_zh,
+        |  greatest(c_en, c_de, c_fr, c_es, c_zh) AS best FROM c),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN c_en = best THEN 'en' WHEN c_de = best THEN 'de'
+        |       WHEN c_fr = best THEN 'fr' WHEN c_es = best THEN 'es'
+        |       WHEN c_zh = best THEN 'zh' ELSE 'en' END AS pred_lang
+        |  FROM b),
+        |j AS (SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total
+        |  FROM j GROUP BY 1)
+        |SELECT j.lang, j.pred_lang, j.n, t.lang_total,
+        |  CAST(j.n * 1000000 // t.lang_total AS BIGINT) AS share_ppm
+        |FROM j JOIN t USING (lang) ORDER BY lang, pred_lang""".stripMargin,
     "q_hubness" -> (knnEdgesCte + ",\n" +
       """m AS (SELECT e1.dst, e2.src IS NOT NULL AS mutual
         |  FROM edges e1 LEFT JOIN edges e2
@@ -3820,6 +3994,10 @@ object ExtensionQueries {
     "q_mmr"             -> (mmrQ _),
     "q_hilbert"         -> (hilbert _),
     "q_mrl_recall"      -> (mrlRecall _),
+    "q_triangles"       -> (trianglesQ _),
+    "q_reshard"         -> (reshard _),
+    "q_ann_int8"        -> (annInt8 _),
+    "q_lang_confusion"  -> (langConfusion _),
     "q_recall_curve"    -> (recallCurve _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),

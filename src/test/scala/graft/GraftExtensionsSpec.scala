@@ -132,4 +132,20 @@ class GraftExtensionsSpec extends SparkSpec {
         assert(whs.head === builtin.find(_._1 == id).get._2)
     }
   }
+
+  test("graft_hilbert == HilbertKey column form == static kernel") {
+    val pts = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+      .toDF("x", "y")
+    pts.createOrReplaceTempView("ext_pts")
+    val viaSql = spark.sql(
+        "SELECT x, y, graft_hilbert(x, y, 3) AS d FROM ext_pts")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    val viaCol = pts.select(col("x"), col("y"),
+        graft.functions.HilbertKey(col("x"), col("y"), 3).as("d"))
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(viaSql.toSeq === viaCol.toSeq)
+    viaSql.foreach { case (x, y, d) =>
+      assert(d === graft.functions.HilbertKey.compute(x, y, 3))
+    }
+  }
 }
