@@ -389,7 +389,82 @@ object AnalyticsQueries {
       .orderBy("cohort_w", "offset_w")
   }
 
+  /** User-journey transition matrix — the Markov-chain view of the
+    * event stream: for every (from, to) adjacent event-type pair
+    * within a user's event_id-ordered history, the transition count
+    * and exact ppm probability. One per-user lead window (keyed
+    * exchange, parallel per user) + two hash-aggs; output is
+    * |types|²-bounded.
+    */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val pairs = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("from_total"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p_ppm", expr("n * 1000000 div from_total"))
+      .select("from_type", "to_type", "n", "from_total", "p_ppm")
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Daily rate-anomaly flags: per (UTC day, event_type) counts with
+    * the exact integer spike test `n · n_days · 1000 > 2000 ·
+    * type_total` (day count above 2× the type's daily average) — the
+    * ops monitor that catches an error flood or a dead producer in
+    * one pruned scan + one hash-agg; integer day arithmetic against
+    * the epoch, no date-zone drift.
+    */
+  def dailyAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // µs fit in 2^53, so the double floor-divide is exact and equals
+    // DuckDB's integer // on the nonnegative epoch
+    val byDay = ev.select(
+        floor(epochUs(ev, "ts") / lit(86400000000L)).cast("long").as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds totals, day census, and the output
+    val totals = byDay.groupBy("event_type")
+      .agg(sum(col("n")).as("type_total"))
+    val days = byDay.select(col("day")).distinct()
+      .agg(count(lit(1)).as("n_days"))
+    byDay.join(broadcast(totals), Seq("event_type"))
+      .join(broadcast(days))
+      .withColumn("spike", expr("n * n_days * 1000 > 2000 * type_total"))
+      .select("day", "event_type", "n", "type_total", "n_days", "spike")
+      .orderBy("day", "event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |  FROM events),
+        |j AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
+        |  FROM j GROUP BY 1)
+        |SELECT j.from_type, j.to_type, j.n, t.from_total,
+        |  CAST(j.n * 1000000 // t.from_total AS BIGINT) AS p_ppm
+        |FROM j JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q_daily_anomaly" ->
+      """WITH b AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS type_total
+        |  FROM b GROUP BY 1),
+        |dd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM b)
+        |SELECT b.day, b.event_type, b.n, t.type_total, dd.n_days,
+        |  b.n * dd.n_days * 1000 > 2000 * t.type_total AS spike
+        |FROM b JOIN t USING (event_type) CROSS JOIN dd
+        |ORDER BY b.day, b.event_type""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
         |s1 AS (SELECT user_id, min(t) AS pt FROM e
@@ -579,6 +654,8 @@ object AnalyticsQueries {
     "q_pivot_events"        -> (pivotEvents _),
     "q_funnel"              -> (funnel _),
     "q_cohorts"             -> (cohorts _),
+    "q_transitions"         -> (transitions _),
+    "q_daily_anomaly"       -> (dailyAnomaly _),
     "q_percentiles"         -> (percentiles _),
     "q_asof_join"           -> (asOfAttribution _),
     "q_asof_strict"         -> (asOfAttributionStrict _)

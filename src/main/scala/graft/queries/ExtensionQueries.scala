@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** North-star training-data-pipeline queries (BASELINE.json): dedup
@@ -1383,6 +1383,47 @@ object ExtensionQueries {
         col("cos_q").as("rel_q"))
     Similarity.mmrRerank(cand, embs(s, d), picks = 3)
       .orderBy("query_id", "pick")
+  }
+
+  /** Retrieval-quality evaluation: nDCG@5 (Järvelin & Kekäläinen,
+    * TOIS 2002) of the LEXICAL ranking against dense-cosine graded
+    * relevance — how much of the semantically ideal ordering the
+    * cheap token-overlap retrieval recovers, per query. Everything is
+    * integer-exact: gains are the clamped quantized cosines, the
+    * log₂ position discounts are the five pinned constants
+    * floor(10⁶/log₂(i+1)), DCG/IDCG are long sums, and nDCG is exact
+    * ppm — an IR metric under the hash gate.
+    */
+  def ndcgQ(s: SparkSession, d: String): DataFrame = {
+    val disc = Map(1 -> 1000000L, 2 -> 630929L, 3 -> 500000L,
+      4 -> 430676L, 5 -> 386852L)
+    val lex = TextStats.tokenOverlapTopK(
+        docs(s, d).filter(col("doc_id") % 50 === 0), docs(s, d), k = 5)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+    val vv = embs(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nv", Similarity.norm(col("v"), 64))
+    val scored = lex
+      .join(vv.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nv").as("qn")), Seq("query_id"))
+      .join(vv.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nv").as("cn")), Seq("cand_id"))
+      .withColumn("gain", greatest(
+        Similarity.cosQ(col("qv"), col("cv"), col("qn"), col("cn"), 64),
+        lit(0L)))
+    def discOf(c: Column): Column =
+      (1 to 5).foldRight(lit(0L): Column) { (i, acc) =>
+        when(c === i, lit(disc(i))).otherwise(acc)
+      }
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("gain").desc, col("cand_id"))
+    scored.withColumn("irank", row_number().over(iw))
+      .groupBy("query_id")
+      .agg(sum(col("gain") * discOf(col("rank"))).as("dcg"),
+        sum(col("gain") * discOf(col("irank"))).as("idcg"))
+      .select(col("query_id"), col("dcg"), col("idcg"),
+        expr("dcg * 1000000 div nullif(idcg, 0)").as("ndcg_ppm"))
+      .orderBy("query_id")
   }
 
   /** Triangle census ([[Graph.triangleCensus]]) of the shared k-NN
@@ -3285,6 +3326,43 @@ object ExtensionQueries {
            |UNION ALL SELECT query_id, cand_id, rel_q, pick, mmr_q FROM p3
            |ORDER BY query_id, pick""".stripMargin
     },
+    "q_ndcg" -> {
+      val discCase = (r: String) =>
+        s"CASE $r WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000 " +
+          s"WHEN 4 THEN 430676 WHEN 5 THEN 386852 ELSE 0 END"
+      s"""WITH ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |lexq AS (SELECT doc_id AS query_id,
+         |    unnest(list_distinct(string_split(text,' '))) AS term
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |lexc AS (SELECT doc_id AS cand_id,
+         |    unnest(list_distinct(string_split(text,' '))) AS term
+         |  FROM documents),
+         |lexs AS (SELECT query_id, cand_id, count(*) AS shared
+         |  FROM lexq JOIN lexc USING (term)
+         |  WHERE cand_id <> query_id GROUP BY 1, 2),
+         |lex AS (SELECT query_id, cand_id, rank FROM (
+         |  SELECT query_id, cand_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY shared DESC, cand_id) AS INT) AS rank
+         |  FROM lexs) WHERE rank <= 5),
+         |sc AS (SELECT l.query_id, l.cand_id, l.rank,
+         |    greatest(CAST(floor(10000 * (
+         |      list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+         |      (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+         |       sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT), 0) AS gain
+         |  FROM lex l JOIN ev q ON q.vec_id = l.query_id
+         |  JOIN ev c ON c.vec_id = l.cand_id),
+         |w2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY gain DESC, cand_id) AS INT) AS irank FROM sc),
+         |g AS (SELECT query_id,
+         |    CAST(sum(gain * (${discCase("rank")})) AS BIGINT) AS dcg,
+         |    CAST(sum(gain * (${discCase("irank")})) AS BIGINT) AS idcg
+         |  FROM w2 GROUP BY 1)
+         |SELECT query_id, dcg, idcg,
+         |  CAST(dcg * 1000000 // nullif(idcg, 0) AS BIGINT) AS ndcg_ppm
+         |FROM g ORDER BY query_id""".stripMargin
+    },
     "q_triangles" -> (knnEdgesCte + ",\n" +
       """und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         |  FROM edges WHERE src <> dst),
@@ -3998,6 +4076,7 @@ object ExtensionQueries {
     "q_reshard"         -> (reshard _),
     "q_ann_int8"        -> (annInt8 _),
     "q_lang_confusion"  -> (langConfusion _),
+    "q_ndcg"            -> (ndcgQ _),
     "q_recall_curve"    -> (recallCurve _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
