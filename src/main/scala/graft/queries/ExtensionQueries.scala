@@ -1385,6 +1385,42 @@ object ExtensionQueries {
       .orderBy("query_id", "pick")
   }
 
+  /** IVF assignment-confidence audit (the simplified-silhouette
+    * margin): per vector, best-centroid cos minus second-best-centroid
+    * cos — small margins mark boundary vectors whose list assignment
+    * is fragile (they are why nprobe > 1 exists); per cluster, the
+    * mean/min margin and boundary count say which lists are
+    * well-separated and which leak. Margins are differences of
+    * quantized cosines — exact integers; margin ≥ 0 by construction
+    * (argmax assignment).
+    */
+  def clusterMargin(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nv", Similarity.norm(col("v"), 64))
+    val cent = e.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("centv"),
+        col("nv").as("centn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
+    val per = e.crossJoin(broadcast(cent))
+      .withColumn("c_cos",
+        Similarity.cosQ(col("v"), col("centv"), col("nv"), col("centn"), 64))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(max(when(col("rn") === 1, col("centroid_id"))).as("centroid_id"),
+        max(when(col("rn") === 1, col("c_cos"))).as("best_cos"),
+        max(when(col("rn") === 2, col("c_cos"))).as("second_cos"))
+      .withColumn("margin", col("best_cos") - col("second_cos"))
+    per.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_items"),
+        expr("sum(margin) div count(*)").as("mean_margin"),
+        min(col("margin")).as("min_margin"),
+        sum(when(col("margin") < 500, 1L).otherwise(0L)).as("n_boundary"))
+      .orderBy("centroid_id")
+  }
+
   /** Retrieval-quality evaluation: nDCG@5 (Järvelin & Kekäläinen,
     * TOIS 2002) of the LEXICAL ranking against dense-cosine graded
     * relevance — how much of the semantically ideal ordering the
@@ -3326,6 +3362,30 @@ object ExtensionQueries {
            |UNION ALL SELECT query_id, cand_id, rel_q, pick, mmr_q FROM p3
            |ORDER BY query_id, pick""".stripMargin
     },
+    "q_cluster_margin" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+        |sc AS (SELECT a.vec_id, c.centroid_id,
+        |    CAST(floor(10000 * (
+        |      list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+        |      (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |       sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) AS c_cos
+        |  FROM e a CROSS JOIN cent c),
+        |r AS (SELECT vec_id, centroid_id, c_cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY c_cos DESC, centroid_id) AS rn FROM sc),
+        |per AS (SELECT vec_id,
+        |    max(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+        |    max(CASE WHEN rn = 1 THEN c_cos END) AS best_cos,
+        |    max(CASE WHEN rn = 2 THEN c_cos END) AS second_cos
+        |  FROM r WHERE rn <= 2 GROUP BY 1),
+        |m AS (SELECT centroid_id, best_cos - second_cos AS margin FROM per)
+        |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(margin) // count(*) AS BIGINT) AS mean_margin,
+        |  CAST(min(margin) AS BIGINT) AS min_margin,
+        |  CAST(sum(CASE WHEN margin < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ndcg" -> {
       val discCase = (r: String) =>
         s"CASE $r WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000 " +
@@ -4077,6 +4137,7 @@ object ExtensionQueries {
     "q_ann_int8"        -> (annInt8 _),
     "q_lang_confusion"  -> (langConfusion _),
     "q_ndcg"            -> (ndcgQ _),
+    "q_cluster_margin"  -> (clusterMargin _),
     "q_recall_curve"    -> (recallCurve _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),

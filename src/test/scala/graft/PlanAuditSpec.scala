@@ -365,4 +365,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("binnedIntervalJoin meets by bin EQUI-join — no cartesian " +
+    "product, no nested-loop join at any input size") {
+    val l = (1 to 100).map(i => (i.toLong, i.toLong * 10, i.toLong * 10 + 15))
+      .toDF("l_id", "l_lo", "l_hi")
+    val r = (1 to 100).map(i => (i.toLong, i.toLong * 7, i.toLong * 7 + 9))
+      .toDF("r_id", "r_lo", "r_hi")
+    val p = plan(graft.ops.Skew.binnedIntervalJoin(
+      l, "l_lo", "l_hi", r, "r_lo", "r_hi", 64L))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("cmsHeavyHitters probes a BROADCAST sketch and ranks via " +
+    "TakeOrdered — no window operator, no sort-merge join") {
+    val p = plan(graft.ops.Sketch.cmsHeavyHitters(docs, 4, 64, 10))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("interleaveBySource: the rank window PARTITIONS by source (the " +
+    "only SinglePartition exchange is the 1-row source-count agg, " +
+    "never a window input)") {
+    val df = docs.withColumn("source", concat(lit("s"), col("doc_id") % 3))
+    val p = plan(graft.ops.Sampling.interleaveBySource(df))
+    // every Window operator names `source` in its partition spec
+    val windows = "Window \\[[^\\]]*\\], \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("source"), s"$w\n$p"))
+  }
+
+  test("quantileCalibrate: the ordered rank window and the group-count " +
+    "window share ONE group-keyed exchange") {
+    val df = (1 to 300).map(i => (i.toLong, s"g${i % 4}", (i % 23).toLong))
+      .toDF("doc_id", "source", "score_ppm")
+    val p = plan(graft.ops.Profile.quantileCalibrate(
+      df, "score_ppm", "source", "doc_id"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("triangleCensus: oriented-edge joins are equi-joins — no " +
+    "cartesian product (the broadcast 1-row stat assembly is the only " +
+    "nested loop)") {
+    val edges = (1 to 60).map(i => (i.toLong % 12, (i.toLong * 7) % 12))
+      .filter(t => t._1 != t._2).toDF("src", "dst")
+    val p = plan(graft.ops.Graph.triangleCensus(edges))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
