@@ -108,6 +108,46 @@ object Graph {
           .as("transitivity_ppm"))
   }
 
+  /** Bounded k-core peeling (Seidman 1983's cores; the standard
+    * iterative peel): repeatedly drop nodes whose degree among the
+    * SURVIVORS falls below `k`. Each round is one degree hash-agg
+    * over the surviving edge list + a semi-join filter; `rounds` is
+    * driver-bounded, and after R rounds the surviving set is a
+    * superset of the true k-core that equals it once peeling has
+    * converged (on bounded-degree graphs like k-NN, cascades are
+    * short — document the bound, don't iterate to fixpoint on a
+    * cluster's dime). Emits every node with its survival flag and
+    * final surviving-degree: the core/periphery split that separates
+    * densely-embedded documents from hangers-on.
+    */
+  def kCore(edges: DataFrame, nodes: DataFrame, k: Int = 3,
+            rounds: Int = 3,
+            srcCol: String = "src", dstCol: String = "dst",
+            nodeCol: String = "node"): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val und = dir
+      .unionByName(dir.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // re-filtered every round
+    val n = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
+    var alive = n
+    var lastDeg = n.withColumn("deg", lit(0L))
+    for (_ <- 1 to rounds) {
+      val e = und
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      lastDeg = e.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      alive = lastDeg.filter(col("deg") >= k).select("node")
+        .localCheckpoint()
+    }
+    n.join(lastDeg.filter(col("deg") >= k), Seq("node"), "left")
+      .select(col("node"),
+        col("deg").isNotNull.as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"))
+  }
+
   /** Community detection by SYNCHRONOUS label propagation (Raghavan,
     * Albert & Kumara, Phys. Rev. E 2007): every node starts in its
     * own community (label = node id) and each round adopts the most

@@ -1421,6 +1421,49 @@ object ExtensionQueries {
       .orderBy("centroid_id")
   }
 
+  /** Core/periphery split ([[Graph.kCore]]): bounded 3-round peel of
+    * the shared k-NN graph at k=3 — densely-embedded documents
+    * survive, hangers-on peel off.
+    */
+  def kCoreQ(s: SparkSession, d: String): DataFrame =
+    Graph.kCore(knnEdges(s, d),
+        embs(s, d).select(col("vec_id").as("node")), k = 3, rounds = 3)
+      .select(col("node").as("vec_id"), col("in_core"), col("core_deg"))
+      .orderBy("vec_id")
+
+  /** Dataset card — the one-table corpus summary a data release ships
+    * (docs, tokens, vocabulary, sources, languages, exact-dup mass,
+    * empties, mean length): every number an exact integer from two
+    * scans (one row-level aggregate + one vocabulary aggregate),
+    * unpivoted to (metric, value) rows.
+    */
+  def dataCard(s: SparkSession, d: String): DataFrame = {
+    val t = TextStats.tokens(col("text"))
+    val base = docs(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      sum(coalesce(size(t), lit(0))).cast("long").as("n_tokens"),
+      count_distinct(md5(coalesce(col("text"), lit("")))).as("n_distinct_texts"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"),
+      sum(when(col("text").isNull || size(t) === 0, 1L).otherwise(0L))
+        .as("n_empty_docs"))
+    val vocab = docs(s, d).select(explode(t).as("tok"))
+      .agg(count_distinct(col("tok")).as("n_vocab"))
+    base.join(broadcast(vocab))
+      .selectExpr(
+        """stack(8,
+          |  'n_docs', n_docs,
+          |  'n_tokens', n_tokens,
+          |  'n_vocab', n_vocab,
+          |  'n_langs', n_langs,
+          |  'n_sources', n_sources,
+          |  'n_exact_dup_docs', n_docs - n_distinct_texts,
+          |  'n_empty_docs', n_empty_docs,
+          |  'mean_doc_tokens_x100', n_tokens * 100 div n_docs
+          |) AS (metric, value)""".stripMargin)
+      .orderBy("metric")
+  }
+
   /** Retrieval-quality evaluation: nDCG@5 (Järvelin & Kekäläinen,
     * TOIS 2002) of the LEXICAL ranking against dense-cosine graded
     * relevance — how much of the semantically ideal ordering the
@@ -3362,6 +3405,49 @@ object ExtensionQueries {
            |UNION ALL SELECT query_id, cand_id, rel_q, pick, mmr_q FROM p3
            |ORDER BY query_id, pick""".stripMargin
     },
+    "q_kcore" -> {
+      def round(prevA: String, i: Int) =
+        s"""d$i AS (SELECT e.a AS node, CAST(count(*) AS BIGINT) AS deg
+           |  FROM und e JOIN $prevA x ON e.a = x.node
+           |  JOIN $prevA y ON e.b = y.node GROUP BY 1),
+           |a$i AS (SELECT node FROM d$i WHERE deg >= 3)""".stripMargin
+      knnEdgesCte + ",\n" +
+        s"""und AS (SELECT a, b FROM (
+           |  SELECT src AS a, dst AS b FROM edges
+           |  UNION SELECT dst, src FROM edges) WHERE a <> b),
+           |nodes AS (SELECT vec_id AS node FROM embeddings),
+           |a0 AS (SELECT node FROM nodes),
+           |${round("a0", 1)},
+           |${round("a1", 2)},
+           |${round("a2", 3)}
+           |SELECT n.node AS vec_id, d.deg IS NOT NULL AS in_core,
+           |  COALESCE(d.deg, 0) AS core_deg
+           |FROM nodes n LEFT JOIN (SELECT node, deg FROM d3 WHERE deg >= 3) d
+           |  ON n.node = d.node
+           |ORDER BY vec_id""".stripMargin
+    },
+    "q_data_card" ->
+      """WITH base AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(COALESCE(len(string_split(text,' ')), 0)) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT md5(COALESCE(text, ''))) AS BIGINT) AS n_distinct_texts,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(sum(CASE WHEN text IS NULL OR len(string_split(text,' ')) = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_docs
+        |  FROM documents),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab FROM (
+        |  SELECT unnest(string_split(text,' ')) AS tok FROM documents))
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+        |  UNION ALL SELECT 'n_vocab', n_vocab FROM v
+        |  UNION ALL SELECT 'n_langs', n_langs FROM base
+        |  UNION ALL SELECT 'n_sources', n_sources FROM base
+        |  UNION ALL SELECT 'n_exact_dup_docs', n_docs - n_distinct_texts FROM base
+        |  UNION ALL SELECT 'n_empty_docs', n_empty_docs FROM base
+        |  UNION ALL SELECT 'mean_doc_tokens_x100', n_tokens * 100 // n_docs FROM base)
+        |ORDER BY metric""".stripMargin,
     "q_cluster_margin" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -4138,6 +4224,8 @@ object ExtensionQueries {
     "q_lang_confusion"  -> (langConfusion _),
     "q_ndcg"            -> (ndcgQ _),
     "q_cluster_margin"  -> (clusterMargin _),
+    "q_kcore"           -> (kCoreQ _),
+    "q_data_card"       -> (dataCard _),
     "q_recall_curve"    -> (recallCurve _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
