@@ -264,6 +264,48 @@ class SketchGraphSpec extends SparkSpec {
     assert(meanB < 600000L, s"b spans should tighten, got mean $meanB")
   }
 
+  test("IndexStore: the saved IVF index round-trips bit-identically " +
+    "into search, and probing a list plans a PartitionFilter") {
+    import graft.ops.{IndexStore, Similarity}
+    val embs = (0 until 100)
+      .map(i => (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 17 - 8).toFloat)))
+      .toDF("vec_id", "embedding")
+    val asg = Similarity.assignToCentroids(embs, centroidStride = 10, dim = 8)
+    val dir = tmpDir("ivf-index")
+    IndexStore.saveIvf(asg, dir)
+    val loaded = IndexStore.loadIvf(spark, dir)
+    val q = embs.filter($"vec_id" % 20 === 0)
+    def search(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(q, embs, k = 3, centroidStride = 10, dim = 8,
+          nprobe = 2, corpusAssigned = Some(idx))
+        .select("query_id", "neighbor_id", "rank", "cos_q")
+        .as[(Long, Long, Int, Long)].collect().sortBy(t => (t._1, t._3))
+    assert(search(loaded).toSeq === search(asg).toSeq,
+      "served-from-disk == served-from-memo")
+    // posting-list pruning: filtering one list pushes a partition filter
+    val probePlan = loaded.filter($"centroid_id" === 0L)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters") &&
+      probePlan.contains("centroid_id"), probePlan)
+    assert(!probePlan.contains("PartitionFilters: []"), probePlan)
+  }
+
+  test("IndexStore: PQ codebooks and codes round-trip unchanged") {
+    import graft.ops.{IndexStore, Similarity}
+    val embs = (0 until 60)
+      .map(i => (i.toLong, Array.tabulate(8)(d => ((i * 13 + d * 5) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(embs, m = 2, dim = 8)
+    val codes = Similarity.pqEncode(embs, cb, m = 2, dim = 8)
+    val dir = tmpDir("pq-index")
+    IndexStore.savePq(cb, codes, dir)
+    val (cb2, codes2) = IndexStore.loadPq(spark, dir)
+    assert(cb2.collect().map(_.toString).sorted.toSeq ===
+      cb.collect().map(_.toString).sorted.toSeq)
+    assert(codes2.collect().map(_.toString).sorted.toSeq ===
+      codes.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("cms sketch built from weighted counts equals one built from raw rows") {
     val raw = Seq("x", "x", "y", "z", "z", "z").toDF("term")
       .withColumn("one", lit(1L))
