@@ -1421,6 +1421,45 @@ object ExtensionQueries {
       .orderBy("centroid_id")
   }
 
+  /** Quality-gate ENSEMBLE — the production filter shape (no single
+    * gate is trusted alone): majority vote of three independent
+    * signals — the Gopher hard rules, the hashed linear classifier
+    * (score > 0), and the within-source rank gate (distinct-token
+    * ratio at or above its source's median via
+    * [[Profile.quantileCalibrate]] — so a uniformly-low source still
+    * keeps its better half instead of being wiped by a global
+    * threshold). Docs missing from any gate's domain (null text,
+    * empty token list) vote false there; keep = votes ≥ 2.
+    */
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val gopher = TextStats.gopherRules(docs(s, d))
+      .select(col("doc_id"), col("pass").as("g_gopher"))
+    val clf = TextStats.qualityClassifier(docs(s, d))
+      .select(col("doc_id"), (col("score") > 0).as("g_clf"))
+    val t = TextStats.tokens(col("text"))
+    val base = docs(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(array_distinct(t)).cast("long").as("num"),
+        size(t).cast("long").as("den"))
+      .filter(col("den") > 0)
+      .select(col("doc_id"), col("source"),
+        expr("num * 1000000 div den").as("score_ppm"))
+    val rank = Profile.quantileCalibrate(base, "score_ppm", "source", "doc_id")
+      .select(col("doc_id"), (col("pct_ppm") >= 500000L).as("g_rank"))
+    docs(s, d).select("doc_id")
+      .join(gopher, Seq("doc_id"), "left")
+      .join(clf, Seq("doc_id"), "left")
+      .join(rank, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("g_gopher"), lit(false)).as("g_gopher"),
+        coalesce(col("g_clf"), lit(false)).as("g_clf"),
+        coalesce(col("g_rank"), lit(false)).as("g_rank"))
+      .withColumn("votes", expr(
+        "CAST(g_gopher AS INT) + CAST(g_clf AS INT) + CAST(g_rank AS INT)"))
+      .withColumn("keep", col("votes") >= 2)
+      .orderBy("doc_id")
+  }
+
   /** Core/periphery split ([[Graph.kCore]]): bounded 3-round peel of
     * the shared k-NN graph at k=3 — densely-embedded documents
     * survive, hangers-on peel off.
@@ -3405,6 +3444,56 @@ object ExtensionQueries {
            |UNION ALL SELECT query_id, cand_id, rel_q, pick, mmr_q FROM p3
            |ORDER BY query_id, pick""".stripMargin
     },
+    "q_quality_ensemble" -> {
+      val w = TextStats.classifierWeights("quality", 1024)
+        .mkString("[", ",", "]")
+      val slot = (1 to 4).map { p =>
+        val mult = math.pow(16, 4 - p).toInt
+        s"(strpos('0123456789abcdef', substr(md5(t),$p,1))-1)*$mult"
+      }.mkString(" + ")
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |gop AS (SELECT doc_id,
+         |    coalesce(len(toks) BETWEEN 50 AND 100000, false)
+         |    AND coalesce((CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT)
+         |      * 1000000 // len(toks)) BETWEEN 3000000 AND 10000000, false)
+         |    AND coalesce(len(list_intersect(list_distinct(toks), ['the','a','of','and','to'])) >= 2, false)
+         |    AND coalesce(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1000000
+         |      >= 800000 * len(toks), false) AS g_gopher
+         |  FROM t0),
+         |clf AS (SELECT doc_id,
+         |    CAST(list_sum(list_transform(string_split(text,' '),
+         |      t -> ($w)[(($slot) % 1024) + 1])) AS BIGINT) AS score,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |clg AS (SELECT doc_id, n > 0 AND score > 0 AS g_clf FROM clf),
+         |b AS (SELECT doc_id, source,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+         |      * 1000000 // len(string_split(text,' ')) AS score_ppm
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND len(string_split(text,' ')) > 0),
+         |r AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY score_ppm, doc_id) AS INT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_g
+         |  FROM b),
+         |rg AS (SELECT doc_id,
+         |    CASE WHEN n_g > 1
+         |      THEN (CAST(rk AS BIGINT) - 1) * 1000000 // (n_g - 1)
+         |      ELSE CAST(0 AS BIGINT) END >= 500000 AS g_rank
+         |  FROM r),
+         |j AS (SELECT d.doc_id,
+         |    COALESCE(gop.g_gopher, false) AS g_gopher,
+         |    COALESCE(clg.g_clf, false) AS g_clf,
+         |    COALESCE(rg.g_rank, false) AS g_rank
+         |  FROM documents d
+         |  LEFT JOIN gop USING (doc_id)
+         |  LEFT JOIN clg USING (doc_id)
+         |  LEFT JOIN rg USING (doc_id))
+         |SELECT doc_id, g_gopher, g_clf, g_rank,
+         |  CAST(g_gopher AS INT) + CAST(g_clf AS INT) + CAST(g_rank AS INT) AS votes,
+         |  CAST(g_gopher AS INT) + CAST(g_clf AS INT) + CAST(g_rank AS INT) >= 2 AS keep
+         |FROM j ORDER BY doc_id""".stripMargin
+    },
     "q_kcore" -> {
       def round(prevA: String, i: Int) =
         s"""d$i AS (SELECT e.a AS node, CAST(count(*) AS BIGINT) AS deg
@@ -4226,6 +4315,7 @@ object ExtensionQueries {
     "q_cluster_margin"  -> (clusterMargin _),
     "q_kcore"           -> (kCoreQ _),
     "q_data_card"       -> (dataCard _),
+    "q_quality_ensemble" -> (qualityEnsemble _),
     "q_recall_curve"    -> (recallCurve _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
