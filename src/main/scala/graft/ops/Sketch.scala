@@ -63,6 +63,86 @@ object Sketch {
       .groupBy(keyCol)
       .agg(min(col("cnt")).as("est"))
 
+  // ---------------------------------------------------------------- HLL
+
+  /** HyperLogLog register index for a key: the first 24 md5 bits mod
+    * `m` — the same portable hex→int construction as [[cmsBucket]].
+    */
+  def hllBucket(key: Column, m: Int): Column =
+    pmod(conv(substring(md5(key), 1, 6), 16, 10).cast("long"), lit(m.toLong))
+
+  /** HyperLogLog rank for a key: 1 + leading zeros of a 40-bit tail
+    * (md5 hex chars 7–16), i.e. `41 - bitlength(tail)`; an all-zero
+    * tail ranks 41. `bin()` renders positive longs without leading
+    * zeros on both engines, so `41 - length(ltrim(bin(t),'0'))` is the
+    * bit-exact rank — no float log2 anywhere.
+    */
+  def hllRho(key: Column): Column = {
+    val t = conv(substring(md5(key), 7, 10), 16, 10).cast("long")
+    (lit(41) - length(ltrim(bin(t), "0"))).cast("int")
+  }
+
+  /** HyperLogLog register table (Flajolet–Fusy–Gandouet–Meunier,
+    * AofA 2007) per optional group: at most `2^b` rows per group
+    * regardless of input size, built by ONE bucket-keyed max
+    * aggregation. Duplicates are absorbed by the max itself — unlike
+    * exact count-distinct there is NO distinct pass and NO shuffle of
+    * the key space; the only shuffle payload is the register table.
+    * That is the whole 100 TB story: distinct-cardinality tracking
+    * whose cost is a map-side partial max into `2^b` cells.
+    */
+  def hllRegisters(keys: DataFrame, keyCol: String, b: Int,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    require(b >= 4 && b <= 12, "b (log2 registers) must be in [4,12]")
+    val m = 1 << b
+    keys.select(groupCols.map(col) :+ hllBucket(col(keyCol), m).as("bucket")
+        :+ hllRho(col(keyCol)).as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("m_reg"))
+  }
+
+  /** Register max-merge across groups — the mergeability that makes
+    * HLL a lake artifact: per-source (or per-day, per-shard) register
+    * tables union and max into the global sketch without touching the
+    * corpus again. `hllMerge(hllRegisters(keys, bySource)) ==
+    * hllRegisters(keys)` exactly (max is associative/commutative/
+    * idempotent), a spec-pinned property.
+    */
+  def hllMerge(regs: DataFrame, groupCols: Seq[String] = Nil): DataFrame =
+    regs.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("m_reg")).as("m_reg"))
+
+  /** Raw-HLL cardinality estimate per group, integer-exact end to end
+    * so the whole table sits under the hash gate: the indicator sum
+    * `S = Σ_j 2^(-M_j)` is computed as the EXACT integer
+    * `Σ 2^(41-M_j)` over common denominator `2^41` (absent registers
+    * contribute `2^41`), and the estimate is one DECIMAL(38,0)
+    * truncating division `⌊α_ppm·m²·2^41 / (S·10^6)⌋` with the alpha
+    * constant pinned at ppm precision. No float enters: `2^(41-M)` is
+    * a bigint shift, not a pow. The small-range linear-counting
+    * correction is deliberately NOT folded in — `zero_regs` is
+    * emitted so the consumer (and the spec) can see when the raw
+    * estimate leaves its calibrated range.
+    */
+  def hllEstimate(regs: DataFrame, b: Int,
+                  groupCols: Seq[String] = Nil): DataFrame = {
+    val m = 1 << b
+    val alphaPpm = math.floor(1e6 * 0.7213 / (1 + 1.079 / m)).toLong
+    val num = BigInt(alphaPpm) * m * m * (BigInt(1) << 41)
+    val grouped =
+      if (groupCols.isEmpty) regs.groupBy()
+      else regs.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 41 - m_reg)")).as("s_present"))
+      .withColumn("zero_regs", (lit(m) - col("n_regs")).cast("long"))
+      .withColumn("est", expr(
+        s"""CAST(CAST('$num' AS DECIMAL(38,0))
+           |  div (CAST(s_present + zero_regs * ${1L << 41}L AS DECIMAL(38,0))
+           |       * 1000000) AS BIGINT)""".stripMargin))
+      .select(groupCols.map(col) :+ col("zero_regs") :+ col("est"): _*)
+  }
+
   /** Heavy-hitter audit over a token corpus: the top-`k` tokens by
     * CMS estimate, with the exact count and the collision overcount
     * alongside — the table that says whether a `depth`×`width` sketch

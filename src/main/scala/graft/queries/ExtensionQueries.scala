@@ -980,6 +980,66 @@ object ExtensionQueries {
   def cmsTopK(s: SparkSession, d: String): DataFrame =
     Sketch.cmsHeavyHitters(docs(s, d), depth = 4, width = 1024, k = 20)
 
+  /** Mergeable HyperLogLog distinct-cardinality audit
+    * ([[Sketch.hllRegisters]]): per-source 64-register sketches over
+    * the 5-gram shingle space, max-MERGED into the corpus-wide sketch
+    * without touching the corpus again — the lake discipline where
+    * each shard/day/source publishes its register table and any union
+    * is a 64-row max. Every estimate is integer-exact (bigint shifts
+    * over a common 2^41 denominator, one DECIMAL(38,0) truncating
+    * division, ppm-pinned alpha) so the whole table — including the
+    * merged `ALL` row — sits under the hash gate; the exact distinct
+    * count and signed error ppm ride alongside as the audit that says
+    * whether 64 cells are enough before exact count-distinct is
+    * retired at 100 TB. `zero_regs` marks when the raw estimator
+    * leaves its calibrated range (the linear-counting zone).
+    */
+  def hllSources(s: SparkSession, d: String): DataFrame = {
+    // ONE corpus scan: the gram explosion feeds the register build AND
+    // the exact audit (per-source and global)
+    val grams = docs(s, d).select(col("source"),
+      explode(graft.functions.WordNgrams(TextStats.tokens(col("text")), 5))
+        .as("g"))
+      .localCheckpoint()
+    val perSrc = Sketch.hllRegisters(grams, "g", b = 6, Seq("source"))
+      .localCheckpoint() // <= sources*64 rows; feeds estimates AND the merge
+    val merged = Sketch.hllMerge(perSrc)
+    val est = Sketch.hllEstimate(perSrc, b = 6, Seq("source"))
+      .unionByName(Sketch.hllEstimate(merged, b = 6)
+        .withColumn("source", lit("ALL")).select("source", "zero_regs", "est"))
+    val exact = grams.groupBy("source")
+      .agg(count_distinct(col("g")).as("n_exact"))
+      .unionByName(grams.agg(count_distinct(col("g")).as("n_exact"))
+        .withColumn("source", lit("ALL")).select("source", "n_exact"))
+    // signed error in ppm, truncated TOWARD ZERO on both engines: Spark
+    // `div` truncates but DuckDB `//` floors, so the negative branch
+    // routes through the positive division and negates
+    est.join(exact, Seq("source"))
+      .withColumn("err_ppm",
+        when(col("est") >= col("n_exact"),
+          expr("CAST(CAST(est - n_exact AS DECIMAL(38,0)) * 1000000" +
+            " div nullif(n_exact, 0) AS BIGINT)"))
+          .otherwise(-expr("CAST(CAST(n_exact - est AS DECIMAL(38,0)) * 1000000" +
+            " div nullif(n_exact, 0) AS BIGINT)")))
+      .select("source", "n_exact", "zero_regs", "est", "err_ppm")
+      .orderBy("source")
+  }
+
+  /** Leading principal axis of the embedding lake
+    * ([[Spectral.topComponent]]): the exact centered Gram matrix —
+    * built by ONE map-side-combining fold, shuffle payload =
+    * partitions × d² cells, never the vectors — then three rounds of
+    * integer power iteration on the collected d×d matrix (d² values,
+    * corpus-size independent). Every quantity is integer-exact
+    * (micro-quantized inputs, truncated means, truncating
+    * renormalization), so the ITERATIVE eigen-trajectory itself sits
+    * under the hash gate through unrolled oracle CTEs — the drift
+    * axis / anisotropy probe an embedding pipeline tracks next to its
+    * mean.
+    */
+  def pcaPower(s: SparkSession, d: String): DataFrame =
+    Spectral.topComponent(embs(s, d), iters = 3)
+
   /** Heaps'-law vocabulary growth ([[TextStats.vocabGrowth]]): per
     * corpus decile, token volume, NEW vocabulary, and the cumulative
     * type/token curve — is this corpus still buying coverage, or just
@@ -2286,6 +2346,83 @@ object ExtensionQueries {
          |SELECT t.tok AS term, e.est, t.exact, e.est - t.exact AS err
          |FROM est e JOIN tf t USING (tok)
          |ORDER BY e.est DESC, term LIMIT 20""".stripMargin
+    },
+    "q_hll_sources" -> {
+      // md5 hex -> int ladders: 24 bucket bits (chars 1-6), 40 tail
+      // bits (chars 7-16); rho = 41 - bitlength(tail), bin() renders
+      // without leading zeros on both engines
+      def ladder(src: String, off: Int, n: Int) = (0 until n).map(i =>
+        s"(strpos('0123456789abcdef', substr($src,${off + i},1))-1)*${BigInt(16).pow(n - 1 - i)}")
+        .mkString("(", " + ", ")")
+      val bucket = ladder("h", 1, 6) + " % 64"
+      val rho = s"41 - length(ltrim(bin(${ladder("h", 7, 10)}),'0'))"
+      s"""WITH toks AS (SELECT source, string_split(text,' ') AS ts FROM documents),
+         |g AS (SELECT source, unnest(list_transform(range(1, len(ts)-3),
+         |    i -> array_to_string(ts[i:i+4],' '))) AS g
+         |  FROM toks WHERE len(ts) >= 5),
+         |rb AS (SELECT source, $bucket AS bucket, $rho AS rho
+         |  FROM (SELECT source, md5(g) AS h FROM g)),
+         |per AS (SELECT source, bucket, max(rho) AS m_reg FROM rb GROUP BY 1,2),
+         |regs AS (SELECT * FROM per
+         |  UNION ALL
+         |  SELECT 'ALL' AS source, bucket, max(m_reg) AS m_reg FROM per GROUP BY 2),
+         |est AS (SELECT source, CAST(64 - count(*) AS BIGINT) AS zero_regs,
+         |    CAST(CAST('6389166719357975265280' AS HUGEINT)
+         |      // (CAST(sum(CAST(1 AS BIGINT) << (41 - m_reg))
+         |           + (64 - count(*)) * (CAST(1 AS BIGINT) << 41) AS HUGEINT)
+         |         * 1000000) AS BIGINT) AS est
+         |  FROM regs GROUP BY 1),
+         |ex AS (SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS n_exact
+         |  FROM g GROUP BY 1
+         |  UNION ALL
+         |  SELECT 'ALL', CAST(count(DISTINCT g) AS BIGINT) FROM g)
+         |SELECT e.source, x.n_exact, e.zero_regs, e.est,
+         |  CASE WHEN e.est >= x.n_exact THEN
+         |    CAST(CAST(e.est - x.n_exact AS HUGEINT) * 1000000
+         |      // nullif(x.n_exact, 0) AS BIGINT)
+         |  ELSE -CAST(CAST(x.n_exact - e.est AS HUGEINT) * 1000000
+         |      // nullif(x.n_exact, 0) AS BIGINT) END AS err_ppm
+         |FROM est e JOIN ex x USING (source) ORDER BY source""".stripMargin
+    },
+    "q_pca_power" -> {
+      // one power-iteration round: y = G·x, m = max|y|, x' = trunc-
+      // toward-zero(y·10^6 / m) — the CASE sign-split replays Spark's
+      // BigInt truncation exactly (DuckDB's // floors)
+      def round(k: Int, prev: String): String =
+        s"""y$k AS (SELECT g.i AS dim, sum(g.g * $prev.x) AS y
+           |  FROM g JOIN $prev ON g.j = $prev.dim GROUP BY 1),
+           |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
+           |x$k AS (SELECT dim, CASE WHEN y >= 0
+           |    THEN (y * 1000000) // (SELECT m FROM m$k)
+           |    ELSE -(((-y) * 1000000) // (SELECT m FROM m$k)) END AS x
+           |  FROM y$k)""".stripMargin
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         |q AS (SELECT vec_id, i - 1 AS dim,
+         |    CAST(floor(v[i] * 1000000) AS BIGINT) AS qv
+         |  FROM e, unnest(range(1, 65)) AS u(i)),
+         |st AS (SELECT dim, CAST(sum(qv) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+         |mu AS (SELECT dim, CASE WHEN s >= 0 THEN s // n
+         |    ELSE -((-s) // n) END AS mu FROM st),
+         |c AS (SELECT q.vec_id, q.dim, q.qv - mu.mu AS c
+         |  FROM q JOIN mu USING (dim)),
+         |g AS (SELECT a.dim AS i, b.dim AS j,
+         |    CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS g
+         |  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+         |x0 AS (SELECT DISTINCT dim, CAST(1000000 AS HUGEINT) AS x FROM q),
+         |${round(1, "x0")},
+         |${round(2, "x1")},
+         |${round(3, "x2")},
+         |y4 AS (SELECT g.i AS dim, sum(g.g * x3.x) AS y
+         |  FROM g JOIN x3 ON g.j = x3.dim GROUP BY 1)
+         |SELECT CAST(x3.dim AS INT) AS dim, CAST(x3.x AS BIGINT) AS comp_q,
+         |  CAST((SELECT max(abs(y)) FROM y4) // 1000000000000 AS BIGINT)
+         |    AS lambda_q
+         |FROM x3 ORDER BY dim""".stripMargin
     },
     "q_vocab_growth" ->
       """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
@@ -4294,6 +4431,8 @@ object ExtensionQueries {
     "q_manifest"        -> (shardManifestQ _),
     "q_collocations"    -> (collocationsQ _),
     "q_cms_topk"        -> (cmsTopK _),
+    "q_hll_sources"     -> (hllSources _),
+    "q_pca_power"       -> (pcaPower _),
     "q_vocab_growth"    -> (vocabGrowthQ _),
     "q_interval_join"   -> (intervalJoin _),
     "q_pagerank"        -> (pageRankQ _),

@@ -72,6 +72,27 @@ object EventStreamOps {
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Live HyperLogLog registers ([[graft.ops.Sketch.hllRegisters]]):
+    * the running distinct-shingle cardinality sketch of a document
+    * stream — ONE Update-mode stateful max-aggregation whose state is
+    * bounded at `2^b` cells regardless of stream length. Duplicates
+    * are absorbed by the max itself, so unlike `dropDuplicates` (state
+    * grows with the key space) the live distinct tracker never grows.
+    * Register max is associative, commutative, and idempotent, so
+    * live == batch over any prefix (spec-pinned) and the latest
+    * snapshot max-merges with any lake-side register table
+    * ([[graft.ops.Sketch.hllMerge]]) — replays and overlapping
+    * re-deliveries cannot corrupt it.
+    */
+  def streamingHllRegisters(docs: DataFrame, textCol: String = "text",
+                            b: Int = 6): DataFrame =
+    docs
+      .select(explode(graft.functions.WordNgrams(
+        graft.ops.TextStats.tokens(col(textCol)), 5)).as("g"))
+      .select(graft.ops.Sketch.hllBucket(col("g"), 1 << b).as("bucket"),
+        graft.ops.Sketch.hllRho(col("g")).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("m_reg"))
+
   /** One user's live session state. */
   case class SessionState(nEvents: Long, lastEventId: Long)
   /** Emitted when a session closes (gap exceeded) or times out. */

@@ -306,6 +306,67 @@ class SketchGraphSpec extends SparkSpec {
       codes.collect().map(_.toString).sorted.toSeq)
   }
 
+  // driver-side HLL reference: bucket = 24 md5 bits mod m,
+  // rho = 41 - bitlength(40 tail bits)
+  private def hllRef(keys: Seq[String], m: Int): Map[Long, Int] = {
+    def parts(k: String): (Long, Int) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(hex.take(6), 16) % m
+      val tail = java.lang.Long.parseLong(hex.slice(6, 16), 16)
+      (bucket, 41 - java.lang.Long.toBinaryString(tail).length +
+        (if (tail == 0) 1 else 0))
+    }
+    // toBinaryString(0) = "0" (length 1) but rho for a zero tail is 41
+    keys.map(parts).groupBy(_._1).map { case (b, v) => b -> v.map(_._2).max }
+  }
+
+  test("hllRegisters matches a driver-side md5 reference, duplicates and all") {
+    val keys = Seq("alpha", "beta", "gamma", "delta", "the", "x", "alpha",
+      "beta", "beta")
+    val got = Sketch.hllRegisters(keys.toDF("k"), "k", b = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(got === hllRef(keys.distinct, 16))
+  }
+
+  test("hll per-source registers max-merge to exactly the global build") {
+    val rows = (1 to 200).map(i => (s"s${i % 3}", s"key$i"))
+    val df = rows.toDF("source", "k")
+    val perSrc = Sketch.hllRegisters(df, "k", b = 5, Seq("source"))
+    val merged = Sketch.hllMerge(perSrc)
+      .as[(Long, Int)].collect().toSet
+    val global = Sketch.hllRegisters(df, "k", b = 5)
+      .as[(Long, Int)].collect().toSet
+    assert(merged === global)
+  }
+
+  test("hllEstimate equals the exact-rational driver formula and tracks " +
+    "cardinality") {
+    val m = 64
+    val small = (1 to 300).map(i => s"a$i")
+    val large = (1 to 3000).map(i => s"b$i")
+    def estOf(keys: Seq[String]): Long = {
+      val regs = hllRef(keys, m)
+      val alphaPpm = math.floor(1e6 * 0.7213 / (1 + 1.079 / m)).toLong
+      val num = BigInt(alphaPpm) * m * m * (BigInt(1) << 41)
+      val s = regs.values.map(r => BigInt(1) << (41 - r)).sum +
+        BigInt(m - regs.size) * (BigInt(1) << 41)
+      (num / (s * 1000000)).toLong
+    }
+    for (keys <- Seq(small, large)) {
+      val got = Sketch.hllEstimate(
+        Sketch.hllRegisters(keys.toDF("k"), "k", b = 6), b = 6)
+        .as[(Long, Long)].collect()
+      assert(got.length === 1)
+      assert(got.head._2 === estOf(keys))
+      // raw HLL at n >> m: within ~35% of truth (1.04/sqrt(64) = 13% sd)
+      val n = keys.size.toDouble
+      assert(math.abs(got.head._2 - n) / n < 0.35, s"est=${got.head._2} n=$n")
+    }
+    // and the estimate must actually order the two corpora
+    assert(estOf(large) > estOf(small))
+  }
+
   test("cms sketch built from weighted counts equals one built from raw rows") {
     val raw = Seq("x", "x", "y", "z", "z", "z").toDF("term")
       .withColumn("one", lit(1L))

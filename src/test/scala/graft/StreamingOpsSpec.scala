@@ -661,4 +661,36 @@ class StreamingOpsSpec extends SparkSpec {
       assert(latest() === batchCells(b1 ++ b2), "additivity across batches")
     } finally q.stop()
   }
+
+  test("streamingHllRegisters: the live distinct sketch equals the batch " +
+    "registers over the stream prefix after every batch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = EventStreamOps.streamingHllRegisters(mem.toDF().toDF("text"), b = 4)
+      .writeStream.format("memory").queryName("hll")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest() = spark.table("hll")
+        .as[(Long, Int)].collect()
+        .groupBy(_._1).map { case (_, v) => v.last }.toSet
+      def batchRegs(texts: Seq[String]) = {
+        val grams = texts.toDF("text").select(
+          explode(graft.functions.WordNgrams(
+            graft.ops.TextStats.tokens(col("text")), 5)).as("g"))
+        graft.ops.Sketch.hllRegisters(grams, "g", b = 4)
+          .as[(Long, Int)].collect().toSet
+      }
+      val b1 = Seq("the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs")
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() === batchRegs(b1))
+      // duplicates of batch-1 text must be absorbed (max idempotence)
+      val b2 = Seq("the quick brown fox jumps over the lazy dog",
+        "sphinx of black quartz judge my vow today ok")
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(latest() === batchRegs(b1 ++ b2), "idempotent max across batches")
+    } finally q.stop()
+  }
 }
