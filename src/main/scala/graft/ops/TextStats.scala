@@ -486,6 +486,62 @@ object TextStats {
       .orderBy("bucket")
   }
 
+  /** Line-level boilerplate removal — the CCNet-shaped cleanup
+    * (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020, whose pipeline drops
+    * lines duplicated across documents: headers, footers, cookie
+    * banners, nav bars). Every line (split on `\n`) that occurs in
+    * >= `minDocs` DISTINCT documents is deleted from every document;
+    * the survivors rejoin in original order.
+    *
+    * Dataflow (the [[removeDuplicateSpans]] discipline — document
+    * text never shuffles): one posexplode to (doc, pos, line-md5) —
+    * fixed-width keys, never line strings; the common-line set is a
+    * distinct-doc count + filter, SMALL by construction (boilerplate
+    * is high-frequency/low-cardinality, that is what makes it
+    * boilerplate), so membership is a BROADCAST semi-join; drop
+    * positions regroup into one skinny per-doc int array that joins
+    * back to the corpus scan, and reconstruction is a two-arg
+    * `filter((line, i) => ...)` + `array_join` pure projection.
+    *
+    * Output per input document: `n_lines`, `n_dropped`, and
+    * `clean_text` (NULL when the input text is NULL or every line was
+    * boilerplate — an all-boilerplate doc has no content left, and
+    * the NULL is the drop-me signal downstream gates key on).
+    */
+  def removeBoilerplateLines(docs: DataFrame, minDocs: Int = 2,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val lines = split(col(textCol), "\n")
+    val ldf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(lines).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), md5(col("line")).as("h"))
+      .localCheckpoint() // feeds the common-line count AND the position map
+    val common = ldf.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val drops = ldf.join(broadcast(common), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("drop_pos"))
+    val nLines = when(col(textCol).isNull, lit(0L))
+      .otherwise(size(lines).cast("long"))
+    val nDropped = coalesce(size(col("drop_pos")), lit(0)).cast("long")
+    docs.select(col(idCol).as("doc_id"), col(textCol))
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        nLines.as("n_lines"),
+        nDropped.as("n_dropped"),
+        when(col(textCol).isNull || (nDropped === nLines && nLines > 0), lit(null))
+          .otherwise(array_join(
+            filter(lines, (x, i) =>
+              !array_contains(coalesce(col("drop_pos"),
+                array().cast("array<int>")), i)),
+            "\n")).as("clean_text"))
+  }
+
   /** Exact duplicated-span REMOVAL — the cleanup step behind the
     * [[duplicateSpans]] report (the "exact substring deduplication" of
     * Lee et al., "Deduplicating Training Data Makes Language Models

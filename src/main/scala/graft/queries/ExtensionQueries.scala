@@ -1025,6 +1025,18 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** CCNet-shaped line-level boilerplate removal
+    * ([[TextStats.removeBoilerplateLines]]): lines occurring in >= 2
+    * distinct documents are dropped from every document — the
+    * header/footer/cookie-banner cleanup that runs before any
+    * doc-level dedup. Document text never shuffles: fixed-width line
+    * hashes count, the (small) common set broadcasts, and skinny
+    * per-doc position arrays join back to the corpus scan.
+    */
+  def boilerplate(s: SparkSession, d: String): DataFrame =
+    TextStats.removeBoilerplateLines(docs(s, d), minDocs = 2)
+      .orderBy("doc_id")
+
   /** Leading principal axis of the embedding lake
     * ([[Spectral.topComponent]]): the exact centered Gram matrix —
     * built by ONE map-side-combining fold, shuffle payload =
@@ -2384,6 +2396,23 @@ object ExtensionQueries {
          |      // nullif(x.n_exact, 0) AS BIGINT) END AS err_ppm
          |FROM est e JOIN ex x USING (source) ORDER BY source""".stripMargin
     },
+    "q_boilerplate" ->
+      """WITH l AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |        FROM documents WHERE text IS NOT NULL),
+        |       unnest(range(1, len(ls) + 1)) AS u(i)),
+        |com AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+        |  FROM l GROUP BY 1) WHERE nd >= 2),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN line IN (SELECT line FROM com)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |    string_agg(CASE WHEN line NOT IN (SELECT line FROM com)
+        |      THEN line END, chr(10) ORDER BY pos) AS clean_text
+        |  FROM l GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(a.n_lines, 0) AS n_lines,
+        |  COALESCE(a.n_dropped, 0) AS n_dropped, a.clean_text
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_pca_power" -> {
       // one power-iteration round: y = G·x, m = max|y|, x' = trunc-
       // toward-zero(y·10^6 / m) — the CASE sign-split replays Spark's
@@ -4433,6 +4462,7 @@ object ExtensionQueries {
     "q_cms_topk"        -> (cmsTopK _),
     "q_hll_sources"     -> (hllSources _),
     "q_pca_power"       -> (pcaPower _),
+    "q_boilerplate"     -> (boilerplate _),
     "q_vocab_growth"    -> (vocabGrowthQ _),
     "q_interval_join"   -> (intervalJoin _),
     "q_pagerank"        -> (pageRankQ _),

@@ -1612,6 +1612,35 @@ class OpsSpec extends SparkSpec {
       (6L, 3L, 3L, "")))
   }
 
+  test("removeBoilerplateLines: cross-doc lines drop everywhere, order " +
+    "survives, all-boilerplate and NULL docs yield NULL text, unique " +
+    "lines pass untouched") {
+    val d = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nfooter (c) corp"),
+      (2L, "COOKIE BANNER\nother real text\nfooter (c) corp"),
+      (3L, "totally unique\nlines only here"),
+      (4L, "COOKIE BANNER\nfooter (c) corp"), // nothing left -> NULL
+      (5L, null.asInstanceOf[String]),
+      (6L, "") // the lone empty doc: its one empty line is unique
+    ).toDF("doc_id", "text")
+    val out = TextStats.removeBoilerplateLines(d, minDocs = 2)
+      .as[(Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 3L, 2L, Some("real content one")),
+      (2L, 3L, 2L, Some("other real text")),
+      (3L, 2L, 0L, Some("totally unique\nlines only here")),
+      (4L, 2L, 2L, None),
+      (5L, 0L, 0L, None),
+      (6L, 1L, 0L, Some(""))))
+    // raising minDocs above every line's doc-count (the banner is in 3
+    // docs) disables all drops
+    val loose = TextStats.removeBoilerplateLines(d, minDocs = 4)
+      .as[(Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(loose.forall(_._3 == 0L))
+    assert(loose.find(_._1 == 1L).get._4 ===
+      Some("COOKIE BANNER\nreal content one\nfooter (c) corp"))
+  }
+
   test("phraseSearch: anchor-counted overlapping hits, multi-term join " +
     "offsets, absent phrases yield no row") {
     val d = Seq(
