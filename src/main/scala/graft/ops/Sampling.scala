@@ -140,22 +140,31 @@ object Sampling {
     * id for full determinism (md5 collisions at 128 bits: effectively
     * never, but the gate demands bit-stable output).
     */
-  def weightedTopK(df: DataFrame, idCol: String, weight: Column, k: Int,
-                   weightCap: Int = 32): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(weightCap >= 1, s"weightCap must be >= 1, got $weightCap")
+  /** The Efraimidis–Spirakis priority itself — max of `w` md5 hexes —
+    * exposed as one shared kernel so the batch top-k and the live
+    * streaming reservoir ([[graft.streaming.EventStreamOps
+    * .streamingWeightedTopK]]) compute the IDENTICAL inclusion law
+    * and cannot diverge. Null/sub-1 weights yield a null priority
+    * (zero tickets — callers filter).
+    */
+  def esPriority(id: Column, weight: Column, weightCap: Int): Column = {
     // coalesce BEFORE least: Spark's least() skips nulls, so a null
     // weight would otherwise become the CAP (maximum tickets) instead
     // of dropping the row — and diverge from the oracle, which drops
     // null weights before its least()
-    df.withColumn("_w",
-        least(coalesce(weight.cast("long"), lit(0L)), lit(weightCap.toLong)))
-      .filter(col("_w") >= 1L)
-      .withColumn("priority",
-        array_max(transform(sequence(lit(1L), col("_w")),
-          j => md5(concat(j.cast("string"), lit(":"),
-            col(idCol).cast("string"))))))
-      .drop("_w")
+    val w = least(coalesce(weight.cast("long"), lit(0L)),
+      lit(weightCap.toLong))
+    when(w >= 1L,
+      array_max(transform(sequence(lit(1L), w),
+        j => md5(concat(j.cast("string"), lit(":"), id.cast("string"))))))
+  }
+
+  def weightedTopK(df: DataFrame, idCol: String, weight: Column, k: Int,
+                   weightCap: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(weightCap >= 1, s"weightCap must be >= 1, got $weightCap")
+    df.withColumn("priority", esPriority(col(idCol), weight, weightCap))
+      .filter(col("priority").isNotNull)
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
   }

@@ -172,6 +172,60 @@ object EventStreamOps {
       }
   }
 
+  /** One scored stream row entering the reservoir. */
+  case class ResIn(source: String, docId: Long, priority: String)
+  /** A stratum's live reservoir: top-k (priority, docId), sorted. */
+  case class ResState(top: Seq[(String, Long)])
+  /** Snapshot row: a stratum's current rank-`rank` member. */
+  case class ResOut(source: String, docId: Long, priority: String, rank: Int)
+
+  /** Live EXACT-k weighted reservoir per stratum — the streaming twin
+    * of [[graft.ops.Sampling.weightedTopK]] (Efraimidis–Spirakis top-k
+    * by priority), and the textbook A-ES reservoir: keep the k
+    * highest-priority rows seen so far. The priority is computed by
+    * the SAME shared kernel ([[graft.ops.Sampling.esPriority]]) as a
+    * stateless projection before the stateful op, so live and batch
+    * cannot diverge; zero/null-weight rows drop at the gate (null
+    * priority = zero tickets). State per stratum is EXACTLY k
+    * (priority, id) pairs — bounded regardless of stream length — and
+    * the top-k merge is associative with deterministic (priority desc,
+    * id asc) tie-breaks, so after every micro-batch the emitted
+    * snapshot equals the batch top-k over the whole prefix
+    * (spec-pinned). One stateful op, Update mode: each touched stratum
+    * re-emits its full current reservoir.
+    */
+  def streamingWeightedTopK(docs: DataFrame, k: Int,
+                            weightCap: Int = 32,
+                            idCol: String = "doc_id",
+                            sourceCol: String = "source",
+                            weightCol: String = "w"): Dataset[ResOut] = {
+    require(k >= 1, "k must be >= 1")
+    import docs.sparkSession.implicits._
+    val scored = docs
+      .withColumn("priority",
+        graft.ops.Sampling.esPriority(col(idCol), col(weightCol), weightCap))
+      .filter(col("priority").isNotNull)
+      .select(col(sourceCol).cast("string").as("source"),
+        col(idCol).cast("long").as("docId"), col("priority"))
+      .as[ResIn]
+    // priority desc, id asc — the batch op's exact ordering
+    def lt(a: (String, Long), b: (String, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    scored
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[ResState, ResOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[ResIn], state: GroupState[ResState]) =>
+          val prev = state.getOption.map(_.top).getOrElse(Seq.empty)
+          val merged = (prev ++ rows.map(r => (r.priority, r.docId)))
+            .distinct.sortWith(lt).take(k)
+          state.update(ResState(merged))
+          merged.iterator.zipWithIndex.map { case ((p, id), i) =>
+            ResOut(src, id, p, i + 1)
+          }
+      }
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState: a
     * session closes when the incoming event's id gap exceeds
     * `maxGap`. Matches the batch twin (AnalyticsQueries.sessionize)

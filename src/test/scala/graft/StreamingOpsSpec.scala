@@ -693,4 +693,46 @@ class StreamingOpsSpec extends SparkSpec {
       assert(latest() === batchRegs(b1 ++ b2), "idempotent max across batches")
     } finally q.stop()
   }
+
+  test("streamingWeightedTopK: after every batch each stratum's live " +
+    "reservoir equals the batch E-S top-k over the prefix; zero-weight " +
+    "rows never enter") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val df = mem.toDF().toDF("doc_id", "source", "w")
+    val k = 3
+    val q = EventStreamOps.streamingWeightedTopK(df, k = k)
+      .writeStream.format("memory").queryName("res")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest(): Map[String, Seq[(Long, Int)]] = spark.table("res")
+        .as[(String, Long, String, Int)].collect().zipWithIndex
+        .groupBy(t => (t._1._1, t._1._4)) // (source, rank) -> last emission
+        .map { case (_, v) => v.maxBy(_._2)._1 }
+        .groupBy(_._1)
+        .map { case (s, v) =>
+          s -> v.toSeq.sortBy(_._4).map(r => (r._2, r._4))
+        }
+      def batchTop(prefix: Seq[(Long, String, Long)]): Map[String, Seq[(Long, Int)]] =
+        prefix.map(_._2).distinct.map { s =>
+          val top = graft.ops.Sampling.weightedTopK(
+            prefix.filter(_._2 == s).toDF("doc_id", "source", "w"),
+            "doc_id", col("w"), k)
+            .select("doc_id").as[Long].collect().toSeq
+          s -> top.zipWithIndex.map { case (id, i) => (id, i + 1) }
+        }.toMap
+      val b1 = Seq((1L, "a", 5L), (2L, "a", 1L), (3L, "a", 9L),
+        (4L, "b", 2L), (5L, "a", 0L)) // doc 5: zero tickets
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() === batchTop(b1))
+      assert(!latest()("a").map(_._1).contains(5L))
+      // batch 2 displaces: heavier rows push earlier winners out
+      val b2 = Seq((6L, "a", 30L), (7L, "a", 30L), (8L, "b", 7L))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(latest() === batchTop(b1 ++ b2), "prefix parity after displacement")
+      assert(latest()("a").size === k, "reservoir stays exactly k")
+    } finally q.stop()
+  }
 }
