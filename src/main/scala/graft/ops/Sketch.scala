@@ -143,6 +143,69 @@ object Sketch {
       .select(groupCols.map(col) :+ col("zero_regs") :+ col("est"): _*)
   }
 
+  // ---------------------------------------------------------------- KMV
+
+  /** 48-bit md5 value for the KMV sketch — 12 hex chars, the same
+    * portable ladder the oracles rebuild.
+    */
+  def kmvHash(key: Column): Column =
+    conv(substring(md5(key), 1, 12), 16, 10).cast("long")
+
+  /** KMV (k-minimum-values / bottom-k) sketch per group: the k
+    * smallest DISTINCT 48-bit hashes of the keys, one array row per
+    * group. Built by the bounded mergeable
+    * [[graft.functions.BottomK]] aggregator — map-side partials carry
+    * at most k longs per group, so the shuffle payload is groups × k
+    * values, NEVER the distinct key space (the reason this exists
+    * next to [[hllRegisters]]: HLL unions, but only KMV's value-level
+    * summary supports INTERSECTION estimates between groups).
+    */
+  def kmvSketch(keys: DataFrame, keyCol: String, k: Int,
+                groupCols: Seq[String]): DataFrame = {
+    val bk = udaf(graft.functions.BottomK(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    keys.select(groupCols.map(col) :+ kmvHash(col(keyCol)).as("h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(bk(col("h")).as("hs"))
+  }
+
+  /** Pairwise distinct-set overlap between groups from their KMV
+    * sketches alone (Beyer et al., "On synopses for distinct-value
+    * estimation under multiset operations", SIGMOD 2007): for every
+    * group pair a<b, the bottom-k of the UNION of the two sketches
+    * gives θ (the k-th minimum) and the union estimate
+    * `(k-1)·2^48 / θ`; the fraction of those k values present in BOTH
+    * sketches estimates Jaccard, and their product the intersection —
+    * all integer arithmetic, all from sketch arrays. The pair frame
+    * is a BROADCAST triangular self-join over the groups-sized sketch
+    * table (groups × (k+1) longs); union/slice/membership are
+    * codegen'd array expressions per pair row — no explode, no
+    * shuffle. Groups with fewer than k distinct values short-circuit
+    * to the exact union count (every value is in the sketch).
+    */
+  def kmvPairOverlap(sketch: DataFrame, groupCol: String,
+                     k: Int): DataFrame = {
+    val a = sketch.select(col(groupCol).as("src_a"), col("hs").as("hs_a"))
+    val b = sketch.select(col(groupCol).as("src_b"), col("hs").as("hs_b"))
+    val num = (BigInt(k) - 1) * (BigInt(1) << 48)
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("sl", slice(array_sort(array_union(col("hs_a"), col("hs_b"))),
+        1, k))
+      .withColumn("n_k", size(col("sl")).cast("long"))
+      .withColumn("shared_k",
+        size(filter(col("sl"), x =>
+          array_contains(col("hs_a"), x) && array_contains(col("hs_b"), x)))
+          .cast("long"))
+      .withColumn("theta", element_at(col("sl"), -1))
+      .withColumn("union_est",
+        when(col("n_k") < k, col("n_k"))
+          .otherwise(expr(s"CAST('$num' AS DECIMAL(38,0)) div nullif(theta, 0)")
+            .cast("long")))
+      .withColumn("inter_est",
+        expr(s"CAST(shared_k * union_est div $k AS BIGINT)"))
+      .select("src_a", "src_b", "n_k", "shared_k", "union_est", "inter_est")
+  }
+
   /** Heavy-hitter audit over a token corpus: the top-`k` tokens by
     * CMS estimate, with the exact count and the collision overcount
     * alongside — the table that says whether a `depth`×`width` sketch

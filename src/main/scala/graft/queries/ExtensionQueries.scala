@@ -1025,6 +1025,34 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Pairwise distinct-shingle overlap between sources from KMV
+    * bottom-k sketches alone ([[Sketch.kmvSketch]] /
+    * [[Sketch.kmvPairOverlap]]): union, Jaccard, and INTERSECTION
+    * estimates per source pair — the set algebra HLL cannot do
+    * (registers union but never intersect) — with the exact
+    * intersection alongside as the audit. The sketch build's shuffle
+    * payload is sources × k longs (bounded [[graft.functions.BottomK]]
+    * partials), never the distinct shingle space; the pair math is
+    * codegen'd array expressions over a broadcast triangular join.
+    */
+  def kmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val grams = docs(s, d).select(col("source"),
+      explode(graft.functions.WordNgrams(TextStats.tokens(col("text")), 5))
+        .as("g"))
+      .localCheckpoint() // ONE gram explosion: sketch build + exact audit
+    val sk = Sketch.kmvSketch(grams, "g", k = 64, Seq("source"))
+    val est = Sketch.kmvPairOverlap(sk, "source", k = 64)
+    val dg = grams.dropDuplicates("source", "g")
+    val ex = dg.select(col("source").as("src_a"), col("g"))
+      .join(dg.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_inter_exact"))
+    est.join(ex, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
+      .orderBy("src_a", "src_b")
+  }
+
   /** CCNet-shaped line-level boilerplate removal
     * ([[TextStats.removeBoilerplateLines]]): lines occurring in >= 2
     * distinct documents are dropped from every document — the
@@ -2395,6 +2423,49 @@ object ExtensionQueries {
          |  ELSE -CAST(CAST(x.n_exact - e.est AS HUGEINT) * 1000000
          |      // nullif(x.n_exact, 0) AS BIGINT) END AS err_ppm
          |FROM est e JOIN ex x USING (source) ORDER BY source""".stripMargin
+    },
+    "q_kmv_overlap" -> {
+      // 48-bit md5 ladder (12 hex chars) — the KMV hash
+      def ladder12 = (0 until 12).map(i =>
+        s"(strpos('0123456789abcdef', substr(m,${1 + i},1))-1)*${BigInt(16).pow(11 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH toks AS (SELECT source, string_split(text,' ') AS ts FROM documents),
+         |g AS (SELECT source, unnest(list_transform(range(1, len(ts)-3),
+         |    i -> array_to_string(ts[i:i+4],' '))) AS g
+         |  FROM toks WHERE len(ts) >= 5),
+         |dg AS (SELECT DISTINCT source, g FROM g),
+         |hh AS (SELECT DISTINCT source, $ladder12 AS h
+         |  FROM (SELECT DISTINCT source, md5(g) AS m FROM g)),
+         |sk AS (SELECT source, h FROM hh
+         |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 64),
+         |prs AS (SELECT a.source AS src_a, b.source AS src_b
+         |  FROM (SELECT DISTINCT source FROM sk) a
+         |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+         |u AS (SELECT DISTINCT p.src_a, p.src_b, s.h
+         |  FROM prs p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b),
+         |bu AS (SELECT src_a, src_b, h FROM u
+         |  QUALIFY row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) <= 64),
+         |st AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_k,
+         |    max(h) AS theta FROM bu GROUP BY 1,2),
+         |sh AS (SELECT bu.src_a, bu.src_b, CAST(count(*) AS BIGINT) AS shared_k
+         |  FROM bu JOIN sk sa ON sa.source = bu.src_a AND sa.h = bu.h
+         |          JOIN sk sb ON sb.source = bu.src_b AND sb.h = bu.h
+         |  GROUP BY 1,2),
+         |ex AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_inter_exact
+         |  FROM dg a JOIN dg b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1,2),
+         |e AS (SELECT st.src_a, st.src_b, st.n_k,
+         |    COALESCE(sh.shared_k, 0) AS shared_k,
+         |    CASE WHEN st.n_k < 64 THEN st.n_k
+         |      ELSE CAST(CAST('17732923532771328' AS HUGEINT)
+         |        // nullif(st.theta, 0) AS BIGINT) END AS union_est
+         |  FROM st LEFT JOIN sh USING (src_a, src_b))
+         |SELECT e.src_a, e.src_b, e.n_k, e.shared_k, e.union_est,
+         |  CAST(e.shared_k * e.union_est // 64 AS BIGINT) AS inter_est,
+         |  COALESCE(ex.n_inter_exact, 0) AS n_inter_exact
+         |FROM e LEFT JOIN ex USING (src_a, src_b)
+         |ORDER BY src_a, src_b""".stripMargin
     },
     "q_boilerplate" ->
       """WITH l AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line
@@ -4463,6 +4534,7 @@ object ExtensionQueries {
     "q_hll_sources"     -> (hllSources _),
     "q_pca_power"       -> (pcaPower _),
     "q_boilerplate"     -> (boilerplate _),
+    "q_kmv_overlap"     -> (kmvOverlap _),
     "q_vocab_growth"    -> (vocabGrowthQ _),
     "q_interval_join"   -> (intervalJoin _),
     "q_pagerank"        -> (pageRankQ _),

@@ -367,6 +367,46 @@ class SketchGraphSpec extends SparkSpec {
     assert(estOf(large) > estOf(small))
   }
 
+  test("BottomK aggregator: bottom-k distinct under any partitioning, " +
+    "duplicates absorbed, merge == single-pass") {
+    val vals = (1 to 500).map(i => ((i * 7919) % 997).toLong) // dups included
+    val ref = vals.distinct.sorted.take(16)
+    for (parts <- Seq(1, 4, 13)) {
+      val df = vals.toDF("h").repartition(parts)
+      val bk = udaf(graft.functions.BottomK(16),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val got = df.groupBy().agg(bk(col("h"))).as[Seq[Long]].head()
+      assert(got === ref, s"parts=$parts")
+    }
+  }
+
+  test("kmvSketch + kmvPairOverlap: below-k pairs report EXACT set " +
+    "algebra; estimates track planted overlap") {
+    // two sources sharing exactly 10 of 30 keys each — well under k=64,
+    // so the sketch IS the set and union/intersection must be exact
+    val rows = ((1 to 30).map(i => ("a", s"k$i")) ++
+      (21 to 50).map(i => ("b", s"k$i")) ++
+      (21 to 50).map(i => ("b", s"k$i"))).toSeq // duplicate b rows: absorbed
+    val sk = Sketch.kmvSketch(rows.toDF("source", "g"), "g", 64, Seq("source"))
+    val out = Sketch.kmvPairOverlap(sk, "source", 64)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out.length === 1)
+    val (a, b, nK, sharedK, unionEst, interEst) = out.head
+    assert((a, b) === ("a", "b"))
+    assert(nK === 50L) // |union| = 50 < k
+    assert(sharedK === 10L)
+    assert(unionEst === 50L) // exact below k
+    assert(interEst === 10L * 50L / 64L) // J-scaled: (shared*union) div k
+    // large case: estimates land within 40% of a planted truth
+    val big = ((1 to 2000).map(i => ("x", s"v$i")) ++
+      (1001 to 3000).map(i => ("y", s"v$i"))).toSeq
+    val sk2 = Sketch.kmvSketch(big.toDF("source", "g"), "g", 64, Seq("source"))
+    val o2 = Sketch.kmvPairOverlap(sk2, "source", 64)
+      .as[(String, String, Long, Long, Long, Long)].head()
+    assert(math.abs(o2._5 - 3000.0) / 3000.0 < 0.4, s"union_est=${o2._5}")
+    assert(o2._6 > 0L, "planted 1000-key intersection must register")
+  }
+
   test("cms sketch built from weighted counts equals one built from raw rows") {
     val raw = Seq("x", "x", "y", "z", "z", "z").toDF("term")
       .withColumn("one", lit(1L))
