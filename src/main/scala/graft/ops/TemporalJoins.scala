@@ -8,6 +8,60 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 /** Temporal join operators missing from Spark's built-in surface. */
 object TemporalJoins {
 
+  /** Per-key daily gap-fill — the time-series repair that turns an
+    * irregular event feed into the dense daily grid a trainer or
+    * dashboard consumes: for every key, every day of its [first, last]
+    * activity span gets a row; silent days carry `n = 0`, `is_gap =
+    * true`, and the FORWARD-FILLED last observed reading (classic
+    * sensor/metric gap repair — last-observation-carried-forward).
+    *
+    * Inputs are pre-projected (key, day, value) rows; `dayStats`
+    * aggregates to one row per (key, day) — n events plus the day's
+    * LAST reading by (ts, id) order, deterministically tie-broken —
+    * then the grid is a per-key `sequence(min_day, max_day)` explode
+    * (span-bounded, no calendar table), a LEFT join back, and ONE
+    * ordered window per key for the carry-forward
+    * (`last(ignoreNulls)` over rows-unbounded-preceding). Everything
+    * shuffles ONCE on the key: the day aggregation, the span
+    * aggregation, the grid join, and the fill window all share that
+    * partitioning. Readings quantize to milli-units before any
+    * comparison (the integer-exactness discipline); days are
+    * epoch-µs floor-divided — exact for µs < 2^53.
+    *
+    * At 100 TB: state per key is its day span, the explode is bounded
+    * by span length not event count, and no global window exists —
+    * keys partition horizontally.
+    */
+  def gapFillDaily(events: DataFrame, keyCol: String, tsUs: Column,
+                   idCol: String, valueCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    // µs fit in 2^53: the double floor-divide equals integer // on the
+    // nonnegative epoch
+    val base = events.select(col(keyCol).as("key"),
+      floor(tsUs / lit(dayUs)).cast("long").as("day"),
+      tsUs.as("_ts"), col(idCol).as("_id"),
+      floor(col(valueCol) * 1000).cast("long").as("_q"))
+    val dayStats = base.groupBy("key", "day")
+      .agg(count(lit(1)).as("n"),
+        // the day's last non-null reading, (ts, id)-ordered: struct max
+        // compares lexicographically, so the reading rides atomically
+        max(when(col("_q").isNotNull,
+          struct(col("_ts"), col("_id"), col("_q")))).getField("_q")
+          .as("day_last_q"))
+    val spans = dayStats.groupBy("key")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = spans
+      .select(col("key"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("key").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(dayStats, Seq("key", "day"), "left")
+      .select(col("key"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("day_last_q"),
+        last(col("day_last_q"), ignoreNulls = true).over(w).as("filled_q"),
+        (coalesce(col("n"), lit(0L)) === 0L).as("is_gap"))
+  }
+
   /** As-of join: every left row picks the LATEST right row of the same
     * key whose time is `<=` the left time (or strictly `<` with
     * `strict = true`); left rows with no qualifying right row keep

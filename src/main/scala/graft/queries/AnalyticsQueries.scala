@@ -440,7 +440,43 @@ object AnalyticsQueries {
       .orderBy("day", "event_type")
   }
 
+  /** Per-user daily gap-fill ([[graft.ops.TemporalJoins.gapFillDaily]]):
+    * the dense daily grid over each user's activity span — silent days
+    * carry n=0, is_gap=true, and the forward-filled last reading
+    * (last-observation-carried-forward). One key-partitioned exchange
+    * shared by the day agg, span agg, grid join, and fill window.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    graft.ops.TemporalJoins
+      .gapFillDaily(ev, "user_id", epochUs(ev, "ts"), "event_id", "value")
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "day")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_gapfill" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS q FROM events),
+        |r AS (SELECT user_id, day, q, row_number() OVER (
+        |    PARTITION BY user_id, day ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM b WHERE q IS NOT NULL),
+        |lastq AS (SELECT user_id, day, q AS day_last_q FROM r WHERE rn = 1),
+        |cnt AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM b GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |j AS (SELECT g.user_id, g.day, COALESCE(c.n, 0) AS n, l.day_last_q
+        |  FROM grid g LEFT JOIN cnt c USING (user_id, day)
+        |  LEFT JOIN lastq l USING (user_id, day))
+        |SELECT user_id, day, n, day_last_q,
+        |  last_value(day_last_q IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_q,
+        |  n = 0 AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin,
     "q_transitions" ->
       """WITH p AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
@@ -656,6 +692,7 @@ object AnalyticsQueries {
     "q_cohorts"             -> (cohorts _),
     "q_transitions"         -> (transitions _),
     "q_daily_anomaly"       -> (dailyAnomaly _),
+    "q_gapfill"             -> (gapFill _),
     "q_percentiles"         -> (percentiles _),
     "q_asof_join"           -> (asOfAttribution _),
     "q_asof_strict"         -> (asOfAttributionStrict _)

@@ -157,4 +157,39 @@ class TemporalJoinSpec extends SparkSpec {
       assert(out.toSeq === Seq((30L, "z")))
     }
   }
+
+  test("gapFillDaily: silent days appear with n=0 and carry the forward-" +
+    "filled reading; day-last picks the (ts,id)-latest non-null; leading " +
+    "gaps stay null") {
+    val day = 86400000000L
+    // user 1: day 0 (two events, last value 2.5), day 2 (null value),
+    //         day 3 (value 7.25); day 1 is silent
+    // user 2: single day, null value only
+    val ev = Seq(
+      (1L, 10L, 0 * day + 100L, Some(1.0)),
+      (1L, 11L, 0 * day + 200L, Some(2.5)),   // later ts wins day 0
+      (1L, 12L, 2 * day + 50L, None),         // null reading: counts, no fill
+      (1L, 13L, 3 * day + 10L, Some(7.25)),
+      (2L, 20L, 5 * day + 1L, None)
+    ).toDF("user_id", "event_id", "tus", "value")
+    val out = TemporalJoins.gapFillDaily(ev, "user_id", col("tus"),
+        "event_id", "value")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      (1L, 0L, 2L, Some(2500L), Some(2500L), false),
+      (1L, 1L, 0L, None, Some(2500L), true),  // gap: carried forward
+      (1L, 2L, 1L, None, Some(2500L), false), // null reading still carries
+      (1L, 3L, 1L, Some(7250L), Some(7250L), false),
+      (2L, 5L, 1L, None, None, false)))       // nothing to fill: stays null
+    // same-ts tie on one day: higher event_id wins
+    val tie = Seq(
+      (3L, 30L, 100L, Some(1.0)),
+      (3L, 31L, 100L, Some(9.0))
+    ).toDF("user_id", "event_id", "tus", "value")
+    val t = TemporalJoins.gapFillDaily(tie, "user_id", col("tus"),
+        "event_id", "value")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Boolean)].head()
+    assert(t._4 === Some(9000L))
+  }
 }
