@@ -417,4 +417,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("hllRegisters: the bucket max carries map-side partials (two-" +
+    "phase HashAggregate, ONE Exchange) — the shuffle payload is " +
+    "registers, never keys") {
+    val keys = (1 to 300).map(i => s"k${i % 97}").toDF("k")
+    val p = plan(graft.ops.Sketch.hllRegisters(keys, "k", b = 6))
+    assert("partial_max".r.findAllIn(p).nonEmpty, p)
+    assert("Exchange".r.findAllIn(p).length === 1, p)
+  }
+
+  test("removeBoilerplateLines: common-set membership is a BROADCAST " +
+    "left-semi join; reconstruction joins positions, not lines — no " +
+    "cartesian product") {
+    val p = plan(TextStats.removeBoilerplateLines(docs))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kmvSketch partial-aggregates the bounded BottomK buffer; " +
+    "kmvPairOverlap is a BROADCAST triangular join over sketch arrays " +
+    "— no shuffle join, no explode") {
+    val rows = (1 to 300).map(i => (s"s${i % 5}", s"g$i")).toDF("source", "g")
+    val sk = graft.ops.Sketch.kmvSketch(rows, "g", 16, Seq("source"))
+    val ps = plan(sk)
+    assert("ObjectHashAggregate".r.findAllIn(ps).length >= 2 ||
+      "SortAggregate".r.findAllIn(ps).length >= 2, ps) // partial + final
+    val po = plan(graft.ops.Sketch.kmvPairOverlap(sk, "source", 16))
+    assert(po.contains("BroadcastNestedLoopJoin"), po) // a<b: broadcast BNL
+    assert(!po.contains("CartesianProduct"), po)
+    assert(!po.contains("Generate"), po) // no explode in the pair math
+  }
+
+  test("gapFillDaily: every stage shares ONE hashpartitioning exchange " +
+    "on the key — day agg, span agg, grid join, and fill window add no " +
+    "second key shuffle shape; no global (empty-key) window") {
+    val ev = (1 to 100).map(i =>
+      (i.toLong % 9, i.toLong, i.toLong * 86400000000L / 3, i / 10.0))
+      .toDF("user_id", "event_id", "tus", "value")
+    val p = plan(graft.ops.TemporalJoins.gapFillDaily(
+      ev, "user_id", col("tus"), "event_id", "value"))
+    // all exchanges hash on the key (or key+day rollups) — none global
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.toLowerCase.contains("rangepartitioning"), p)
+  }
 }
