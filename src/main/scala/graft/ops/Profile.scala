@@ -198,6 +198,58 @@ object Profile {
     * group — no window, no sort, no join. On a 100 TB log the scan
     * reads only the two audited columns (column pruning).
     */
+  /** Two-level tamper-evident hash chain over an ordered log — the
+    * audit for the audit: any edited, dropped, inserted, or reordered
+    * row anywhere in a group's history changes that group's chain
+    * head (each link folds the previous link's digest into the next
+    * row's, so a change propagates to the head — the ledger
+    * discipline, built from md5 folds).
+    *
+    * Two levels bound memory at scale: rows chain WITHIN fixed
+    * `segmentLen`-sequence segments (per-segment state = one digest +
+    * the segment's sorted row hashes, never a group's whole history),
+    * then each group chains its SEGMENT digests in segment order.
+    * Both levels are the same fold; verification of one tampered
+    * segment re-reads `segmentLen` rows, not the log. Row payload
+    * hashes over seq + null-coalesced payload columns joined with a
+    * fixed separator — deterministic in any engine, so the whole
+    * two-level chain sits under the hash gate via nested
+    * `list_reduce` in the oracle.
+    *
+    * Output: one row per (group, segment) with the segment chain,
+    * bounds, and row count, plus the group's level-2 `head_chain`
+    * repeated on each row (broadcast-joined — the head table is
+    * groups-sized).
+    */
+  def hashChain(log: DataFrame, groupCol: String, seqCol: String,
+                payloadCols: Seq[String], segmentLen: Long = 500L): DataFrame = {
+    require(segmentLen >= 1, "segmentLen must be >= 1")
+    val payload = payloadCols.map(c => coalesce(col(c).cast("string"), lit("")))
+    val rowHash = md5(concat_ws("|",
+      col(seqCol).cast("string") +: payload: _*))
+    val base = log.select(col(groupCol).as("grp"),
+      col(seqCol).cast("long").as("seq"),
+      expr(s"CAST($seqCol AS BIGINT) div $segmentLen").as("seg"),
+      rowHash.as("h"))
+    val segs = base.groupBy("grp", "seg")
+      .agg(count(lit(1)).as("n"),
+        min(col("seq")).as("lo_seq"), max(col("seq")).as("hi_seq"),
+        aggregate(
+          array_sort(collect_list(struct(col("seq"), col("h")))),
+          lit(""),
+          (acc, x) => md5(concat(acc, x.getField("h"))))
+          .as("seg_chain"))
+      .localCheckpoint() // feeds the head fold AND the output join
+    val heads = segs.groupBy("grp")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("seg"), col("seg_chain")))),
+        lit(""),
+        (acc, x) => md5(concat(acc, x.getField("seg_chain"))))
+        .as("head_chain"))
+    segs.join(broadcast(heads), Seq("grp"))
+      .select("grp", "seg", "n", "lo_seq", "hi_seq", "seg_chain", "head_chain")
+  }
+
   def logIntegrity(log: DataFrame, seqCol: String,
                    groupCols: Seq[String] = Nil): DataFrame = {
     val g = if (groupCols.isEmpty) Seq(lit("all").as("scope"))

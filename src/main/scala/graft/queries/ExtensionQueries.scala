@@ -1025,6 +1025,18 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Two-level tamper-evident hash chain over the event log
+    * ([[Profile.hashChain]]): per event-type, rows chain within
+    * 500-sequence segments and segment digests chain into the type's
+    * head — the ledger audit where ANY edit/drop/insert/reorder moves
+    * the head. Segment-bounded state at 100 TB; verification re-reads
+    * one segment, not the log.
+    */
+  def hashChainQ(s: SparkSession, d: String): DataFrame =
+    Profile.hashChain(Tables.events(s, d), "event_type", "event_id",
+      Seq("user_id", "props"), segmentLen = 500L)
+      .orderBy("grp", "seg")
+
   /** Pairwise distinct-shingle overlap between sources from KMV
     * bottom-k sketches alone ([[Sketch.kmvSketch]] /
     * [[Sketch.kmvPairOverlap]]): union, Jaccard, and INTERSECTION
@@ -2424,6 +2436,25 @@ object ExtensionQueries {
          |      // nullif(x.n_exact, 0) AS BIGINT) END AS err_ppm
          |FROM est e JOIN ex x USING (source) ORDER BY source""".stripMargin
     },
+    "q_hash_chain" ->
+      """WITH b AS (SELECT event_type AS grp, event_id AS seq,
+        |    event_id // 500 AS seg,
+        |    md5(CAST(event_id AS VARCHAR) || '|' ||
+        |        COALESCE(CAST(user_id AS VARCHAR), '') || '|' ||
+        |        COALESCE(props, '')) AS h
+        |  FROM events),
+        |segs AS (SELECT grp, seg, CAST(count(*) AS BIGINT) AS n,
+        |    min(seq) AS lo_seq, max(seq) AS hi_seq,
+        |    list_reduce(list_prepend('', list(h ORDER BY seq)),
+        |      (acc, x) -> md5(acc || x)) AS seg_chain
+        |  FROM b GROUP BY 1, 2),
+        |heads AS (SELECT grp,
+        |    list_reduce(list_prepend('', list(seg_chain ORDER BY seg)),
+        |      (acc, x) -> md5(acc || x)) AS head_chain
+        |  FROM segs GROUP BY 1)
+        |SELECT s.grp, s.seg, s.n, s.lo_seq, s.hi_seq, s.seg_chain,
+        |  h.head_chain
+        |FROM segs s JOIN heads h USING (grp) ORDER BY s.grp, s.seg""".stripMargin,
     "q_kmv_overlap" -> {
       // 48-bit md5 ladder (12 hex chars) — the KMV hash
       def ladder12 = (0 until 12).map(i =>
@@ -4535,6 +4566,7 @@ object ExtensionQueries {
     "q_pca_power"       -> (pcaPower _),
     "q_boilerplate"     -> (boilerplate _),
     "q_kmv_overlap"     -> (kmvOverlap _),
+    "q_hash_chain"      -> (hashChainQ _),
     "q_vocab_growth"    -> (vocabGrowthQ _),
     "q_interval_join"   -> (intervalJoin _),
     "q_pagerank"        -> (pageRankQ _),

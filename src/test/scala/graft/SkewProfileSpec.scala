@@ -138,4 +138,45 @@ class SkewProfileSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].head()
     assert(r === ((0L, 2L, 0.0, 0.0)))
   }
+
+  test("Profile.hashChain: any row edit moves its segment chain AND the " +
+    "group head while other segments stand; chains are partitioning-" +
+    "invariant; reordering seqs within a segment does not matter (the " +
+    "fold is seq-sorted) but changing a seq does") {
+    def log(rows: Seq[(String, Long, String)]) =
+      rows.toDF("tbl", "seq", "payload")
+    val base = Seq(
+      ("a", 0L, "p0"), ("a", 1L, "p1"), ("a", 2L, "p2"), // seg 0 (len 2 -> 0,1 | 2)
+      ("a", 3L, "p3"), ("b", 0L, "q0"), ("b", 5L, "q5"))
+    def chains(rows: Seq[(String, Long, String)], parts: Int = 1) =
+      Profile.hashChain(log(rows).repartition(parts), "tbl", "seq",
+          Seq("payload"), segmentLen = 2L)
+        .as[(String, Long, Long, Long, Long, String, String)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val c0 = chains(base)
+    assert(c0.map(r => (r._1, r._2)) ===
+      Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 2L)))
+    // partitioning-invariant
+    assert(chains(base, 7) === c0)
+    // input ORDER irrelevant: the fold sorts by seq
+    assert(chains(base.reverse, 3) === c0)
+    // edit one payload in a's segment 1: that segment + a's head move,
+    // a's segment 0 and all of b stand
+    val tampered = base.map { case ("a", 2L, _) => ("a", 2L, "EVIL")
+                             case r => r }
+    val c1 = chains(tampered)
+    assert(c1.filter(_._1 == "b") === c0.filter(_._1 == "b"))
+    val (s0a0, s1a0) = (c0.find(r => r._1 == "a" && r._2 == 0L).get,
+      c0.find(r => r._1 == "a" && r._2 == 1L).get)
+    val (s0a1, s1a1) = (c1.find(r => r._1 == "a" && r._2 == 0L).get,
+      c1.find(r => r._1 == "a" && r._2 == 1L).get)
+    assert(s0a0._6 === s0a1._6, "untouched segment chain stands")
+    assert(s1a0._6 !== s1a1._6, "tampered segment chain moves")
+    assert(s0a0._7 !== s0a1._7, "group head moves")
+    // renumbering a seq (same payloads) also moves the chain
+    val renum = base.map { case ("a", 3L, p) => ("a", 2L, p + "x")
+                           case r => r }
+    assert(chains(renum).find(_._1 == "a").get._7 !==
+      c0.find(_._1 == "a").get._7)
+  }
 }
