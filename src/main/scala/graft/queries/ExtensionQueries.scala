@@ -995,12 +995,9 @@ object ExtensionQueries {
     * leaves its calibrated range (the linear-counting zone).
     */
   def hllSources(s: SparkSession, d: String): DataFrame = {
-    // ONE corpus scan: the gram explosion feeds the register build AND
-    // the exact audit (per-source and global)
-    val grams = docs(s, d).select(col("source"),
-      explode(graft.functions.WordNgrams(TextStats.tokens(col("text")), 5))
-        .as("g"))
-      .localCheckpoint()
+    // the shared gram memo feeds the register build AND the exact
+    // audit (per-source and global)
+    val grams = grams5(s, d)
     val perSrc = Sketch.hllRegisters(grams, "g", b = 6, Seq("source"))
       .localCheckpoint() // <= sources*64 rows; feeds estimates AND the merge
     val merged = Sketch.hllMerge(perSrc)
@@ -1025,6 +1022,19 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Shared 5-gram shingle explosion (source, gram) — materialized
+    * once per (session, dataset) and reused by every shingle-sketch
+    * consumer (HLL registers, KMV sketches, their exact audits): the
+    * same memo discipline as the dedup graph, because the gram
+    * explosion is the corpus-sized cost these sketches exist to pay
+    * only once.
+    */
+  private def grams5(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "grams5")(
+      docs(s, d).select(col("source"),
+        explode(graft.functions.WordNgrams(TextStats.tokens(col("text")), 5))
+          .as("g")))
+
   /** Two-level tamper-evident hash chain over the event log
     * ([[Profile.hashChain]]): per event-type, rows chain within
     * 500-sequence segments and segment digests chain into the type's
@@ -1048,10 +1058,7 @@ object ExtensionQueries {
     * codegen'd array expressions over a broadcast triangular join.
     */
   def kmvOverlap(s: SparkSession, d: String): DataFrame = {
-    val grams = docs(s, d).select(col("source"),
-      explode(graft.functions.WordNgrams(TextStats.tokens(col("text")), 5))
-        .as("g"))
-      .localCheckpoint() // ONE gram explosion: sketch build + exact audit
+    val grams = grams5(s, d) // shared memo: sketch build + exact audit
     val sk = Sketch.kmvSketch(grams, "g", k = 64, Seq("source"))
     val est = Sketch.kmvPairOverlap(sk, "source", k = 64)
     val dg = grams.dropDuplicates("source", "g")

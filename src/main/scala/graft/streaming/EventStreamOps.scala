@@ -172,6 +172,58 @@ object EventStreamOps {
       }
   }
 
+  /** A producer heartbeat observation. */
+  case class HbEv(key: String, ts: java.sql.Timestamp)
+  private[streaming] case class HbState(lastSeenMs: Long)
+  /** Fired when a key has been silent past the threshold. */
+  case class HbAlarm(key: String, lastSeenMs: Long, watermarkMs: Long)
+
+  /** Dead-producer / absence alarm — the monitor that fires when a
+    * source, table, or shard STOPS emitting (the failure mode
+    * count-based monitors cannot see: no rows means no rows to
+    * aggregate). Event-time-timeout state machine: each key's state is
+    * ONE number (last seen event time); every arrival re-arms a timer
+    * at `lastSeen + silenceMs`, and when the WATERMARK passes the
+    * timer without a new arrival the alarm fires and the state clears
+    * — a later arrival re-creates the key, so recover-then-vanish
+    * alarms again. Event-time, not wall-clock: replaying history
+    * raises the same alarms at the same stream positions
+    * (deterministic, spec-pinned), and a stalled pipeline does not
+    * false-alarm every key.
+    *
+    * The timer is clamped one past the current watermark when a key
+    * was ALREADY silence-overdue at registration (Structured
+    * Streaming rejects timers at or behind the watermark) — the alarm
+    * then fires at the next trigger, which is the earliest honest
+    * "it is late" moment.
+    */
+  def streamingHeartbeat(events: Dataset[HbEv],
+                         silenceMs: Long = 10000L,
+                         lateness: String = "0 seconds"): Dataset[HbAlarm] = {
+    require(silenceMs >= 1, "silenceMs must be >= 1")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HbState, HbAlarm](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, evs: Iterator[HbEv], state: GroupState[HbState]) =>
+          if (state.hasTimedOut) {
+            val last = state.get.lastSeenMs
+            state.remove()
+            Iterator.single(HbAlarm(key, last, state.getCurrentWatermarkMs()))
+          } else {
+            val seen = evs.map(_.ts.getTime).max
+            val last = math.max(
+              state.getOption.map(_.lastSeenMs).getOrElse(Long.MinValue), seen)
+            state.update(HbState(last))
+            state.setTimeoutTimestamp(
+              math.max(last + silenceMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** One scored stream row entering the reservoir. */
   case class ResIn(source: String, docId: Long, priority: String)
   /** A stratum's live reservoir: top-k (priority, docId), sorted. */

@@ -694,6 +694,44 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingHeartbeat: a silent key alarms once the watermark " +
+    "passes lastSeen+silence; active keys never alarm; a recovered key " +
+    "re-arms and alarms again") {
+    implicit val sc = spark.sqlContext
+    import EventStreamOps.{HbAlarm, HbEv}
+    // epoch-0 events would collide with the INITIAL watermark (0) and be
+    // dropped as late — start the clock at t=1000s
+    def ts(sec: Long) = new java.sql.Timestamp((1000L + sec) * 1000L)
+    val mem = MemoryStream[HbEv]
+    val q = EventStreamOps.streamingHeartbeat(mem.toDS(), silenceMs = 5000L)
+      .writeStream.format("memory").queryName("hb")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def alarms() = spark.table("hb").as[HbAlarm].collect().toSeq
+        .map(a => (a.key, a.lastSeenMs)).sorted
+      mem.addData(HbEv("k1", ts(0)), HbEv("k2", ts(0)))
+      q.processAllAvailable()
+      assert(alarms() === Seq.empty)
+      // k2 keeps beating; watermark moves far past k1's timer
+      mem.addData(HbEv("k2", ts(20)))
+      q.processAllAvailable()
+      mem.addData(HbEv("k2", ts(21))) // next trigger fires k1's timeout
+      q.processAllAvailable()
+      assert(alarms() === Seq(("k1", 1000000L)))
+      // k1 recovers — no immediate new alarm
+      mem.addData(HbEv("k1", ts(22)))
+      q.processAllAvailable()
+      assert(alarms() === Seq(("k1", 1000000L)))
+      // ... then vanishes again: second alarm with the NEW lastSeen
+      mem.addData(HbEv("k2", ts(40)))
+      q.processAllAvailable()
+      mem.addData(HbEv("k2", ts(41)))
+      q.processAllAvailable()
+      assert(alarms() === Seq(("k1", 1000000L), ("k1", 1022000L)))
+      assert(alarms().forall(_._1 != "k2"), "the live key never alarms")
+    } finally q.stop()
+  }
+
   test("streamingWeightedTopK: after every batch each stratum's live " +
     "reservoir equals the batch E-S top-k over the prefix; zero-weight " +
     "rows never enter") {
