@@ -1096,8 +1096,26 @@ object ExtensionQueries {
     * axis / anisotropy probe an embedding pipeline tracks next to its
     * mean.
     */
+  /** Shared centered Gram matrix of the embedding lake — one
+    * materialization serving every spectral consumer (the power
+    * iteration and the all-but-the-top correction).
+    */
+  private def gramFrame(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "gram_emb")(Spectral.gramMatrix(embs(s, d)))
+
   def pcaPower(s: SparkSession, d: String): DataFrame =
-    Spectral.topComponent(embs(s, d), iters = 3)
+    Spectral.topComponentFromGram(gramFrame(s, d), iters = 3)
+
+  /** All-but-the-top isotropy correction (Mu & Viswanath ICLR'18)
+    * composing the shared Gram: per vector, the projection onto the
+    * leading axis and the squared norm before/after removing mean +
+    * top component — μ, the axis, and x·x ride the plan as literals,
+    * so the per-vector pass is a pure codegen'd projection (no join,
+    * no shuffle, streaming-safe).
+    */
+  def abtt(s: SparkSession, d: String): DataFrame =
+    Spectral.removeTopComponent(embs(s, d), gramFrame(s, d), iters = 3)
+      .orderBy("vec_id")
 
   /** Heaps'-law vocabulary growth ([[TextStats.vocabGrowth]]): per
     * corpus decile, token volume, NEW vocabulary, and the cumulative
@@ -2522,6 +2540,60 @@ object ExtensionQueries {
         |  COALESCE(a.n_dropped, 0) AS n_dropped, a.clean_text
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_abtt" -> {
+      // the q_pca_power chain (gram + 3 truncating rounds) extended
+      // with the per-vector mean+top-component removal
+      def round(k: Int, prev: String): String =
+        s"""y$k AS (SELECT g.i AS dim, sum(g.g * $prev.x) AS y
+           |  FROM g JOIN $prev ON g.j = $prev.dim GROUP BY 1),
+           |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
+           |x$k AS (SELECT dim, CASE WHEN y >= 0
+           |    THEN (y * 1000000) // (SELECT m FROM m$k)
+           |    ELSE -(((-y) * 1000000) // (SELECT m FROM m$k)) END AS x
+           |  FROM y$k)""".stripMargin
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         |q AS (SELECT vec_id, i - 1 AS dim,
+         |    CAST(floor(v[i] * 1000000) AS BIGINT) AS qv
+         |  FROM e, unnest(range(1, 65)) AS u(i)),
+         |st AS (SELECT dim, CAST(sum(qv) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+         |mu AS (SELECT dim, CASE WHEN s >= 0 THEN s // n
+         |    ELSE -((-s) // n) END AS mu FROM st),
+         |c AS (SELECT q.vec_id, q.dim, q.qv - mu.mu AS c
+         |  FROM q JOIN mu USING (dim)),
+         |g AS (SELECT a.dim AS i, b.dim AS j,
+         |    CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS g
+         |  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+         |x0 AS (SELECT DISTINCT dim, CAST(1000000 AS HUGEINT) AS x FROM q),
+         |${round(1, "x0")},
+         |${round(2, "x1")},
+         |${round(3, "x2")},
+         |xx AS (SELECT sum(x * x) AS xx FROM x3),
+         |pv AS (SELECT c.vec_id,
+         |    CAST(sum(CAST(c.c AS HUGEINT) * x.x) AS HUGEINT) AS proj
+         |  FROM c JOIN x3 x ON c.dim = x.dim GROUP BY 1),
+         |corr AS (SELECT c.vec_id, c.dim,
+         |    CAST(c.c - CASE WHEN pv.proj * x.x >= 0
+         |      THEN (pv.proj * x.x) // (SELECT xx FROM xx)
+         |      ELSE -((-(pv.proj * x.x)) // (SELECT xx FROM xx)) END
+         |      AS BIGINT) AS cc
+         |  FROM c JOIN x3 x ON c.dim = x.dim
+         |  JOIN pv ON pv.vec_id = c.vec_id),
+         |nb AS (SELECT vec_id, CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT)
+         |    AS n2_before FROM c GROUP BY 1),
+         |na AS (SELECT vec_id, CAST(sum(CAST(cc AS HUGEINT) * cc) AS BIGINT)
+         |    AS n2_after FROM corr GROUP BY 1)
+         |SELECT pv.vec_id, CAST(pv.proj AS BIGINT) AS proj_q,
+         |  nb.n2_before, na.n2_after,
+         |  CAST(CAST(na.n2_after AS HUGEINT) * 1000000
+         |    // nullif(nb.n2_before, 0) AS BIGINT) AS iso_ppm
+         |FROM pv JOIN nb USING (vec_id) JOIN na USING (vec_id)
+         |ORDER BY pv.vec_id""".stripMargin
+    },
     "q_pca_power" -> {
       // one power-iteration round: y = G·x, m = max|y|, x' = trunc-
       // toward-zero(y·10^6 / m) — the CASE sign-split replays Spark's
@@ -4574,6 +4646,7 @@ object ExtensionQueries {
     "q_boilerplate"     -> (boilerplate _),
     "q_kmv_overlap"     -> (kmvOverlap _),
     "q_hash_chain"      -> (hashChainQ _),
+    "q_abtt"            -> (abtt _),
     "q_vocab_growth"    -> (vocabGrowthQ _),
     "q_interval_join"   -> (intervalJoin _),
     "q_pagerank"        -> (pageRankQ _),

@@ -62,6 +62,31 @@ class SpectralSpec extends SparkSpec {
     intercept[IllegalArgumentException](Spectral.gramMatrix(none).collect())
   }
 
+  test("removeTopComponent: norms never grow, the planted axis' variance " +
+    "is substantially removed, and projections split by the planted sign") {
+    val rows = fixture(n = 200, d = 8, spikeDim = 3, spike = 2.0)
+    val df = rows.toDF("vec_id", "embedding")
+    val gram = Spectral.gramMatrix(df)
+    val out = Spectral.removeTopComponent(df, gram, iters = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 200)
+    out.foreach { case (id, _, nb, na, iso) =>
+      assert(na <= nb, s"vec $id: norm grew $na > $nb")
+      assert(iso >= 0L && iso <= 1000000L)
+    }
+    // the spike dominates every vector's energy: removing the top axis
+    // must strip well over half the total squared norm
+    val totB = out.map(_._3).sum.toDouble
+    val totA = out.map(_._4).sum.toDouble
+    assert(totA / totB < 0.35, s"only ${1 - totA / totB} of energy removed")
+    // the fixture alternates the spike sign by row parity — projections
+    // onto the top axis must split accordingly (one sign per parity)
+    val bySign = out.groupBy(_._1 % 2).view.mapValues(_.map(_._2)).toMap
+    assert(bySign(0L).forall(p => p.signum == bySign(0L).head.signum))
+    assert(bySign(1L).forall(p => p.signum == bySign(1L).head.signum))
+    assert(bySign(0L).head.signum * bySign(1L).head.signum === -1)
+  }
+
   test("topComponent finds a planted variance spike and is deterministic") {
     val d = 8
     val rows = fixture(n = 200, d = d, spikeDim = 3, spike = 2.0)
