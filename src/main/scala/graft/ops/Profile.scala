@@ -198,6 +198,74 @@ object Profile {
     * group — no window, no sort, no join. On a 100 TB log the scan
     * reads only the two audited columns (column pruning).
     */
+  /** Benford first-significant-digit audit (Benford 1938; Nigrini's
+    * forensic-accounting standard): the leading-digit distribution of
+    * a positive numeric column against the logarithmic expectation
+    * `log10(1+1/d)` — naturally-occurring magnitudes follow it,
+    * fabricated or truncated data does not, making the deviation
+    * column a one-scan fraud/corruption tripwire for ingested numeric
+    * feeds. The expectation is pinned as exact ppm literals (no
+    * engine log10 at query time); counts and shares are integer-exact
+    * (DECIMAL(38,0) cross-multiplication), so the table hash-gates.
+    * Values below 1 and NULLs carry no leading digit and are
+    * excluded. One scan, one 9-row aggregate, broadcast total.
+    */
+  def benford(df: DataFrame, valueCol: Column): DataFrame = {
+    val bens = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L) // floor(1e6*log10(1+1/d)), d=1..9
+    val digits = df
+      .select(substring(floor(abs(valueCol)).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 9 rows: feeds the total AND the output
+    digits.join(broadcast(digits.agg(sum(col("n")).as("n_total"))))
+      .withColumn("obs_ppm",
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div n_total AS BIGINT)"))
+      .withColumn("benford_ppm",
+        element_at(array(bens.map(lit): _*), col("digit")))
+      .withColumn("dev_ppm", col("obs_ppm") - col("benford_ppm"))
+      .select("digit", "n", "obs_ppm", "benford_ppm", "dev_ppm")
+      .orderBy("digit")
+  }
+
+  /** Pairwise functional-dependency discovery — the schema-profiling
+    * pass (the column-pair level of TANE-style FD mining, Huhtala et
+    * al., The Computer Journal 1999) that finds which columns
+    * DETERMINE which: `A → B` holds iff no value of A co-occurs with
+    * two values of B. The output is the key/denormalization map a
+    * data engineer reads before modeling a new source: candidate
+    * keys, embedded dimension tables, redundant columns.
+    *
+    * One scan explodes each row into its k·(k−1) ordered column
+    * pairs (values null-coalesced to a sentinel — SQL FD semantics
+    * treat NULL as a value); two cascaded hash-aggregations produce,
+    * per pair, the determinant cardinality, the count of violating
+    * determinant values, and the worst fan-out. Cost is pair-count ×
+    * the per-pair distinct size — the profiling budget; at 100 TB
+    * this runs on a sample first (the audit is exact on whatever it
+    * is given).
+    */
+  def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    val pairStructs = array(pairs.map { case (a, b) =>
+      struct(lit(a).as("det"), lit(b).as("dep"),
+        coalesce(col(a).cast("string"), lit("\u0001")).as("av"),
+        coalesce(col(b).cast("string"), lit("\u0001")).as("bv"))
+    }: _*)
+    df.select(explode(pairStructs).as("p"))
+      .select(col("p.det").as("det"), col("p.dep").as("dep"),
+        col("p.av").as("av"), col("p.bv").as("bv"))
+      .groupBy("det", "dep", "av")
+      .agg(countDistinct(col("bv")).as("ndep"))
+      .groupBy("det", "dep")
+      .agg(count(lit(1)).as("n_det_distinct"),
+        sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating_det"),
+        max(col("ndep")).as("max_dep_per_det"))
+      .withColumn("holds", col("n_violating_det") === 0L)
+  }
+
   /** Two-level tamper-evident hash chain over an ordered log — the
     * audit for the audit: any edited, dropped, inserted, or reordered
     * row anywhere in a group's history changes that group's chain

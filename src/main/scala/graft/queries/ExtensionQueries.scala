@@ -1022,6 +1022,25 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Benford first-digit audit ([[Profile.benford]]) over extended
+    * prices — the forensic tripwire that flags fabricated or
+    * truncated numeric feeds by their leading-digit distribution.
+    */
+  def benfordQ(s: SparkSession, d: String): DataFrame =
+    Profile.benford(Tables.lineitem(s, d), col("l_extendedprice"))
+
+  /** Pairwise functional-dependency discovery
+    * ([[Profile.functionalDependencies]]) over the customer
+    * dimension: which columns determine which — the candidate-key /
+    * embedded-dimension map read before modeling a new source.
+    * `c_custkey → *` holds (it is the key); nothing determines it
+    * back.
+    */
+  def fdDiscovery(s: SparkSession, d: String): DataFrame =
+    Profile.functionalDependencies(Tables.customer(s, d),
+      Seq("c_custkey", "c_nationkey", "c_mktsegment"))
+      .orderBy("det", "dep")
+
   /** Shared 5-gram shingle explosion (source, gram) — materialized
     * once per (session, dataset) and reused by every shingle-sketch
     * consumer (HLL registers, KMV sketches, their exact audits): the
@@ -2460,6 +2479,41 @@ object ExtensionQueries {
          |  ELSE -CAST(CAST(x.n_exact - e.est AS HUGEINT) * 1000000
          |      // nullif(x.n_exact, 0) AS BIGINT) END AS err_ppm
          |FROM est e JOIN ex x USING (source) ORDER BY source""".stripMargin
+    },
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(abs(l_extendedprice))
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+        |  WHERE digit >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+        |b AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+        |    (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        |    (9, 45757)) AS v(digit, benford_ppm))
+        |SELECT c.digit, c.n,
+        |  CAST(CAST(c.n AS HUGEINT) * 1000000 // t.n_total AS BIGINT)
+        |    AS obs_ppm,
+        |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(CAST(c.n AS HUGEINT) * 1000000 // t.n_total
+        |    - b.benford_ppm AS BIGINT) AS dev_ppm
+        |FROM c JOIN t ON true JOIN b USING (digit)
+        |ORDER BY c.digit""".stripMargin,
+    "q_fd" -> {
+      val cols = Seq("c_custkey", "c_nationkey", "c_mktsegment")
+      val blocks = (for (a <- cols; b <- cols if a != b) yield
+        s"""SELECT '$a' AS det, '$b' AS dep,
+           |  COALESCE(CAST($a AS VARCHAR), chr(1)) AS av,
+           |  COALESCE(CAST($b AS VARCHAR), chr(1)) AS bv FROM customer"""
+          .stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH p AS ($blocks),
+         |g AS (SELECT det, dep, av, CAST(count(DISTINCT bv) AS BIGINT) AS ndep
+         |  FROM p GROUP BY 1, 2, 3)
+         |SELECT det, dep, CAST(count(*) AS BIGINT) AS n_det_distinct,
+         |  CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating_det,
+         |  max(ndep) AS max_dep_per_det,
+         |  sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM g GROUP BY 1, 2 ORDER BY det, dep""".stripMargin
     },
     "q_hash_chain" ->
       """WITH b AS (SELECT event_type AS grp, event_id AS seq,
@@ -4647,6 +4701,8 @@ object ExtensionQueries {
     "q_kmv_overlap"     -> (kmvOverlap _),
     "q_hash_chain"      -> (hashChainQ _),
     "q_abtt"            -> (abtt _),
+    "q_fd"              -> (fdDiscovery _),
+    "q_benford"         -> (benfordQ _),
     "q_vocab_growth"    -> (vocabGrowthQ _),
     "q_interval_join"   -> (intervalJoin _),
     "q_pagerank"        -> (pageRankQ _),

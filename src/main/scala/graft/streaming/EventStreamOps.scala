@@ -172,6 +172,26 @@ object EventStreamOps {
       }
   }
 
+  /** Live KMV bottom-k sketch per group ([[graft.ops.Sketch.kmvSketch]]
+    * on a STREAM): ONE Update-mode stateful aggregation whose state is
+    * the bounded [[graft.functions.BottomK]] buffer — at most k longs
+    * per group regardless of stream length. The buffer merge is
+    * value-level idempotent (duplicates drop at the distinct test), so
+    * re-deliveries cannot corrupt it, live == batch over any prefix
+    * (spec-pinned), and the latest snapshot feeds
+    * [[graft.ops.Sketch.kmvPairOverlap]] directly — the LIVE
+    * cross-source contamination estimator.
+    */
+  def streamingKmvSketch(docs: DataFrame, k: Int,
+                         keyCol: String = "g",
+                         groupCol: String = "source"): DataFrame = {
+    val bk = udaf(graft.functions.BottomK(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    docs.select(col(groupCol), graft.ops.Sketch.kmvHash(col(keyCol)).as("h"))
+      .groupBy(groupCol)
+      .agg(bk(col("h")).as("hs"))
+  }
+
   /** A producer heartbeat observation. */
   case class HbEv(key: String, ts: java.sql.Timestamp)
   private[streaming] case class HbState(lastSeenMs: Long)

@@ -139,6 +139,45 @@ class SkewProfileSpec extends SparkSpec {
     assert(r === ((0L, 2L, 0.0, 0.0)))
   }
 
+  test("Profile.benford: leading digits bucket with exact ppm shares; " +
+    "sub-1, zero, negative-magnitude, and NULL values classify right") {
+    val vals: Seq[Option[Double]] = (10 to 19).map(v => Some(v.toDouble)) ++
+      Seq(Some(25.0), Some(-3.2), Some(0.5), Some(0.0), None)
+    val out = Profile.benford(vals.toDF("v"), col("v"))
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // 12 counted: ten 1s, one 2, one 3 (|-3.2|); 0.5/0.0/null excluded
+    assert(out.map(r => (r._1, r._2)) === Seq((1, 10L), (2, 1L), (3, 1L)))
+    assert(out.head._3 === 10L * 1000000L / 12L)
+    assert(out.head._4 === 301029L)
+    assert(out.head._5 === out.head._3 - 301029L)
+  }
+
+  test("Profile.functionalDependencies: held and violated FDs classify " +
+    "with exact violation counts; NULL is a determinant value") {
+    val df = Seq(
+      (1L, Some(10L), "x"),
+      (2L, Some(10L), "x"),
+      (3L, Some(20L), "y"),
+      (4L, None, "y"),
+      (5L, None, "z") // NULL group sees two deps -> violates b->c? no: a->..
+    ).toDF("a", "b", "c")
+    val out = Profile.functionalDependencies(df, Seq("a", "b", "c"))
+      .as[(String, String, Long, Long, Long, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // a is a key: a->b, a->c hold with fan-out 1
+    assert(out(("a", "b"))._6 && out(("a", "c"))._6)
+    assert(out(("a", "b"))._3 === 5L && out(("a", "b"))._5 === 1L)
+    // b->c: b=10 -> {x}, b=20 -> {y}, b=NULL -> {y,z} — the null group
+    // violates (NULL is a value), exactly one violating determinant
+    assert(!out(("b", "c"))._6)
+    assert(out(("b", "c"))._3 === 3L)
+    assert(out(("b", "c"))._4 === 1L)
+    assert(out(("b", "c"))._5 === 2L)
+    // c->a: every c value fans out to its doc count
+    assert(!out(("c", "a"))._6)
+    assert(out(("c", "a"))._5 === 2L)
+  }
+
   test("Profile.hashChain: any row edit moves its segment chain AND the " +
     "group head while other segments stand; chains are partitioning-" +
     "invariant; reordering seqs within a segment does not matter (the " +

@@ -694,6 +694,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingKmvSketch: the live bottom-k buffer equals the batch " +
+    "sketch over the prefix after every batch; re-deliveries are " +
+    "absorbed") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val df = mem.toDF().toDF("source", "g")
+    val q = EventStreamOps.streamingKmvSketch(df, k = 8)
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest() = spark.table("kmv")
+        .as[(String, Seq[Long])].collect().zipWithIndex
+        .groupBy(_._1._1).map { case (s, v) => s -> v.maxBy(_._2)._1._2 }
+      def batch(prefix: Seq[(String, String)]) =
+        graft.ops.Sketch.kmvSketch(
+          prefix.toDF("source", "g"), "g", 8, Seq("source"))
+          .as[(String, Seq[Long])].collect().toMap
+      val b1 = (1 to 20).map(i => ("a", s"k$i")) :+ (("b", "z1"))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() === batch(b1))
+      val b2 = (10 to 30).map(i => ("a", s"k$i")) :+ (("b", "z2")) // overlap
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(latest() === batch(b1 ++ b2), "idempotent merge across batches")
+      assert(latest()("a").size === 8, "buffer stays bounded at k")
+    } finally q.stop()
+  }
+
   test("streamingHeartbeat: a silent key alarms once the watermark " +
     "passes lastSeen+silence; active keys never alarm; a recovered key " +
     "re-arms and alarms again") {
