@@ -39,6 +39,40 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Pack {
 
+  /** Length-bucket padding-waste audit — the table a trainer reads to
+    * pick its bucketed-batching boundaries: each document goes to the
+    * SMALLEST bucket that holds its token count (the bucketed-batching
+    * rule), docs longer than every bucket land in the overflow row
+    * (`bucket = -1`, they get chunked, no padding), and each bucket
+    * reports how many of its token slots padding would burn. One scan,
+    * one buckets-sized aggregate — the whole audit is a codegen'd CASE
+    * ladder plus a tiny group-by, so it runs casually at any corpus
+    * size.
+    */
+  def paddingWaste(docs: DataFrame, buckets: Seq[Int],
+                   textCol: String = "text"): DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted &&
+      buckets.forall(_ >= 1), "buckets must be ascending positive lengths")
+    val nTok = size(TextStats.tokens(col(textCol)))
+    val bucketCol = buckets.reverse.foldLeft(lit(-1)) { (acc, b) =>
+      when(nTok <= b, lit(b)).otherwise(acc)
+    }
+    docs.filter(col(textCol).isNotNull)
+      .select(nTok.cast("long").as("n_tok"), bucketCol.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .withColumn("sum_padding",
+        when(col("bucket") > 0,
+          col("bucket") * col("n_docs") - col("sum_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("pad_ppm",
+        when(col("bucket") > 0,
+          expr("CAST(CAST(sum_padding AS DECIMAL(38,0)) * 1000000" +
+            " div (bucket * n_docs) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .orderBy("bucket")
+  }
+
   def packSequences(chunks: DataFrame, budget: Long,
                     orderCols: Seq[String] = Seq("doc_id", "chunk_idx"),
                     tokenCol: String = "n_tokens"): DataFrame = {

@@ -1022,6 +1022,14 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Length-bucket padding-waste audit ([[Pack.paddingWaste]]): the
+    * table that picks bucketed-batching boundaries — per bucket, how
+    * many token slots padding would burn; over-long docs land in the
+    * overflow row (they get chunked, not padded).
+    */
+  def padWaste(s: SparkSession, d: String): DataFrame =
+    Pack.paddingWaste(docs(s, d), Seq(32, 64, 128))
+
   /** Benford first-digit audit ([[Profile.benford]]) over extended
     * prices — the forensic tripwire that flags fabricated or
     * truncated numeric feeds by their leading-digit distribution.
@@ -2065,7 +2073,31 @@ object ExtensionQueries {
       |  FROM scored),
       |edges AS (SELECT src, dst, rank, cos_q FROM r WHERE rank <= 5)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** Dedup-cluster size histogram over the shared components memo:
+    * how much of the corpus sits in singletons vs dup cliques — the
+    * one-table summary a dedup report leads with. Two tiny hash-aggs
+    * over the already-materialized assignment.
+    */
+  def clusterSizes(s: SparkSession, d: String): DataFrame =
+    docClusters(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+
+  // lazy: oracleBase is declared below (keeping the giant literal at the
+  // end of the file); by first access it is initialized
+  lazy val oracle: Map[String, String] = oracleBase +
+    // the histogram oracle wraps the (already hash-gated) cluster
+    // chain — one definition, two gates, no drift between them
+    ("q_cluster_sizes" ->
+      s"""SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |      FROM (${oracleBase("q_dedup_clusters")}) GROUP BY 1)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  private val oracleBase: Map[String, String] = Map(
     "q_range_join" ->
       """WITH bands AS (
         |  SELECT 'band_' || CAST(i AS VARCHAR) AS band, i*50.0 AS lo, (i+1)*50.0 AS hi
@@ -2480,6 +2512,22 @@ object ExtensionQueries {
          |      // nullif(x.n_exact, 0) AS BIGINT) END AS err_ppm
          |FROM est e JOIN ex x USING (source) ORDER BY source""".stripMargin
     },
+    "q_pad_waste" ->
+      """WITH t AS (SELECT len(string_split(text,' ')) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT n_tok, CASE WHEN n_tok <= 32 THEN 32
+        |    WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+        |    ELSE -1 END AS bucket FROM t),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS sum_tokens FROM b GROUP BY 1)
+        |SELECT bucket, n_docs, sum_tokens,
+        |  CASE WHEN bucket > 0 THEN bucket * n_docs - sum_tokens
+        |    ELSE 0 END AS sum_padding,
+        |  CASE WHEN bucket > 0 THEN
+        |    CAST(CAST(bucket * n_docs - sum_tokens AS HUGEINT) * 1000000
+        |      // (bucket * n_docs) AS BIGINT)
+        |    ELSE 0 END AS pad_ppm
+        |FROM g ORDER BY bucket""".stripMargin,
     "q_benford" ->
       """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(abs(l_extendedprice))
         |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
@@ -4703,6 +4751,8 @@ object ExtensionQueries {
     "q_abtt"            -> (abtt _),
     "q_fd"              -> (fdDiscovery _),
     "q_benford"         -> (benfordQ _),
+    "q_cluster_sizes"   -> (clusterSizes _),
+    "q_pad_waste"       -> (padWaste _),
     "q_vocab_growth"    -> (vocabGrowthQ _),
     "q_interval_join"   -> (intervalJoin _),
     "q_pagerank"        -> (pageRankQ _),

@@ -1612,6 +1612,21 @@ class OpsSpec extends SparkSpec {
       (6L, 3L, 3L, "")))
   }
 
+  test("paddingWaste: docs go to the smallest holding bucket, over-long " +
+    "docs to the overflow row with zero padding, nulls excluded") {
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val d = Seq((1L, words(2)), (2L, words(33)), (3L, words(64)),
+      (4L, words(200)), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Pack.paddingWaste(d, Seq(32, 64, 128))
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (-1, 1L, 200L, 0L, 0L),                    // overflow: chunked, no pad
+      (32, 1L, 2L, 30L, 30L * 1000000L / 32L),   // 2 tokens in a 32 slot
+      (64, 2L, 97L, 31L, 31L * 1000000L / 128L)) // 33+64 in two 64 slots
+    )
+  }
+
   test("removeBoilerplateLines: cross-doc lines drop everywhere, order " +
     "survives, all-boilerplate and NULL docs yield NULL text, unique " +
     "lines pass untouched") {
