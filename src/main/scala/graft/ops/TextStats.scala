@@ -519,10 +519,7 @@ object TextStats {
         posexplode(lines).as(Seq("pos", "line")))
       .select(col("doc_id"), col("pos"), md5(col("line")).as("h"))
       .localCheckpoint() // feeds the common-line count AND the position map
-    val common = ldf.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("h")
+    val common = commonFromExploded(ldf, minDocs)
     val drops = ldf.join(broadcast(common), Seq("h"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_list(col("pos")).as("drop_pos"))
@@ -540,6 +537,34 @@ object TextStats {
               !array_contains(coalesce(col("drop_pos"),
                 array().cast("array<int>")), i)),
             "\n")).as("clean_text"))
+  }
+
+  private def commonFromExploded(ldf: DataFrame, minDocs: Int): DataFrame =
+    ldf.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+
+  /** The frozen common-line artifact for the LIVE ingest gate
+    * ([[graft.streaming.EventStreamOps.streamingBoilerplateScrub]]):
+    * the md5s of every line occurring in >= `minDocs` distinct docs of
+    * the reference corpus, collected to the driver. Bounded by
+    * boilerplate CARDINALITY (high-frequency, low-cardinality — that
+    * is what makes it boilerplate), the same smallness argument the
+    * batch op's broadcast rests on; refresh offline, ship to the
+    * stream as a literal.
+    */
+  def commonLineHashes(docs: DataFrame, minDocs: Int = 2,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): Array[String] = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    commonFromExploded(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        .select(col("doc_id"), md5(col("line")).as("h")),
+      minDocs)
+      .orderBy("h").collect().map(_.getString(0))
   }
 
   /** Exact duplicated-span REMOVAL — the cleanup step behind the

@@ -172,6 +172,35 @@ object EventStreamOps {
       }
   }
 
+  /** Live boilerplate-line removal — the batch cleanup
+    * ([[graft.ops.TextStats.removeBoilerplateLines]]) on the INGEST
+    * stream: the frozen common-line table
+    * ([[graft.ops.TextStats.commonLineHashes]], refreshed offline)
+    * rides the plan as a literal array, so the scrub is a STATELESS
+    * pure projection — streaming-capable where the batch op's
+    * corpus-global count is not, and bit-identical to it whenever the
+    * frozen set matches (spec-pinned). Same output contract:
+    * `n_lines` / `n_dropped` / `clean_text`, NULL when the input is
+    * NULL or every line was boilerplate.
+    */
+  def streamingBoilerplateScrub(docs: DataFrame, commonHashes: Seq[String],
+                                textCol: String = "text"): DataFrame = {
+    val hs = array(commonHashes.map(lit): _*)
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => !array_contains(hs, md5(l)))
+    val nLines = when(col(textCol).isNull, lit(0L))
+      .otherwise(size(lines).cast("long"))
+    val nDropped = nLines - when(col(textCol).isNull, lit(0L))
+      .otherwise(size(kept).cast("long"))
+    docs
+      .withColumn("n_lines", nLines)
+      .withColumn("n_dropped", nDropped)
+      .withColumn("clean_text",
+        when(col(textCol).isNull ||
+          (nDropped === nLines && nLines > 0), lit(null))
+          .otherwise(array_join(kept, "\n")))
+  }
+
   /** Live KMV bottom-k sketch per group ([[graft.ops.Sketch.kmvSketch]]
     * on a STREAM): ONE Update-mode stateful aggregation whose state is
     * the bounded [[graft.functions.BottomK]] buffer — at most k longs

@@ -694,6 +694,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingBoilerplateScrub: the frozen common-line set scrubs a " +
+    "STREAM bit-identically to the batch removal over the same corpus") {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nfooter (c) corp"),
+      (2L, "COOKIE BANNER\nother real text\nfooter (c) corp"),
+      (3L, "totally unique\nlines only here"),
+      (4L, "COOKIE BANNER\nfooter (c) corp"),
+      (5L, null.asInstanceOf[String]))
+    val static = corpus.toDF("doc_id", "text")
+    val frozen = graft.ops.TextStats.commonLineHashes(static, minDocs = 2)
+    assert(frozen.length === 2) // banner + footer
+    val batch = graft.ops.TextStats.removeBoilerplateLines(static, minDocs = 2)
+      .as[(Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreamOps.streamingBoilerplateScrub(
+        mem.toDF().toDF("doc_id", "text"), frozen.toSeq)
+      .select("doc_id", "n_lines", "n_dropped", "clean_text")
+      .writeStream.format("memory").queryName("bp")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      corpus.grouped(2).foreach { g => // feed across several batches
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      val live = spark.table("bp")
+        .as[(Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+      assert(live === batch)
+    } finally q.stop()
+  }
+
   test("streamingKmvSketch: the live bottom-k buffer equals the batch " +
     "sketch over the prefix after every batch; re-deliveries are " +
     "absorbed") {
