@@ -1366,6 +1366,33 @@ object ExtensionQueries {
         col("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Tokenizer vocab-size sweep — the "how many merges buy how much
+    * compression" curve a tokenizer review reads before fixing vocab
+    * size: corpus fertility at every PREFIX of the merge list (BPE
+    * merges are ordered, so the first k merges ARE the vocab-k
+    * tokenizer). Pinned [[BpeFixedMerges]] prefixes keep it
+    * oracle-expressible (the trained list's sweep would be rows-only);
+    * ONE corpus scan carries all k encodes as scan-side kernel
+    * columns, one 1-row aggregate, then `stack` unpivots the curve.
+    */
+  def bpeSweep(s: SparkSession, d: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val ks = (0 to BpeFixedMerges.size).map(k => BpeFixedMerges.take(k))
+    val nw = size(filter(TextStats.tokens(t), w => length(w) > 0)).cast("long")
+    val stackArgs = ks.indices.map(k => s"$k, s$k").mkString(", ")
+    docs(s, d)
+      .select(nw.as("w") +: ks.zipWithIndex.map { case (m, k) =>
+        size(Bpe.bpeTokens(t, m)).cast("long").as(s"t$k") }: _*)
+      .agg(sum(col("w")).as("n_words"),
+        ks.indices.map(k => sum(col(s"t$k")).as(s"s$k")): _*)
+      .select(col("n_words"),
+        expr(s"stack(${ks.size}, $stackArgs) AS (n_merges, n_bpe_tokens)"))
+      .select(col("n_merges"), col("n_words"), col("n_bpe_tokens"),
+        expr("CAST(n_bpe_tokens * 1000000 div nullif(n_words, 0) AS BIGINT)")
+          .as("fert_ppm"))
+      .orderBy("n_merges")
+  }
+
   /** Packing mix budgeted in REAL tokenizer tokens — the number a
     * training run actually bills — instead of whitespace tokens: the
     * same chunk config as [[pack]], per-chunk BPE token counts from
@@ -3081,6 +3108,39 @@ object ExtensionQueries {
         |  CAST(CASE WHEN bpe_str = '' THEN 0
         |       ELSE len(string_split(bpe_str, ' ')) END AS BIGINT) AS n_bpe_tokens
         |FROM enc ORDER BY doc_id""".stripMargin,
+    "q_bpe_sweep" ->
+      """WITH sym AS (SELECT
+        |    len(list_filter(string_split(COALESCE(text,''), ' '),
+        |        w -> length(w) > 0)) AS w,
+        |    array_to_string(list_transform(
+        |      list_filter(string_split(COALESCE(text,''), ' '),
+        |        w -> length(w) > 0),
+        |      w -> regexp_replace(w, '(.)', '\1 ', 'g') || '</w>'), ' ') AS s
+        |  FROM documents),
+        |enc AS (SELECT w, s AS s0,
+        |    replace(s, 't a', 'ta') AS s1,
+        |    replace(replace(s, 't a', 'ta'), 'ta b', 'tab') AS s2,
+        |    replace(replace(replace(s, 't a', 'ta'), 'ta b', 'tab'),
+        |            's l', 'sl') AS s3
+        |  FROM sym),
+        |tok AS (SELECT CAST(sum(w) AS BIGINT) AS n_words,
+        |    CAST(sum(CASE WHEN s0 = '' THEN 0
+        |      ELSE len(string_split(s0, ' ')) END) AS BIGINT) AS t0,
+        |    CAST(sum(CASE WHEN s1 = '' THEN 0
+        |      ELSE len(string_split(s1, ' ')) END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN s2 = '' THEN 0
+        |      ELSE len(string_split(s2, ' ')) END) AS BIGINT) AS t2,
+        |    CAST(sum(CASE WHEN s3 = '' THEN 0
+        |      ELSE len(string_split(s3, ' ')) END) AS BIGINT) AS t3
+        |  FROM enc),
+        |u AS (SELECT 0 AS n_merges, n_words, t0 AS n_bpe_tokens FROM tok
+        |  UNION ALL SELECT 1, n_words, t1 FROM tok
+        |  UNION ALL SELECT 2, n_words, t2 FROM tok
+        |  UNION ALL SELECT 3, n_words, t3 FROM tok)
+        |SELECT n_merges, n_words, n_bpe_tokens,
+        |  CAST(n_bpe_tokens * 1000000 // nullif(n_words, 0) AS BIGINT)
+        |    AS fert_ppm
+        |FROM u ORDER BY n_merges""".stripMargin,
     "q_bpe_fertility" ->
       """WITH enc AS (SELECT lang, text,
         |    replace(replace(replace(
@@ -4753,6 +4813,7 @@ object ExtensionQueries {
     "q_benford"         -> (benfordQ _),
     "q_cluster_sizes"   -> (clusterSizes _),
     "q_pad_waste"       -> (padWaste _),
+    "q_bpe_sweep"       -> (bpeSweep _),
     "q_vocab_growth"    -> (vocabGrowthQ _),
     "q_interval_join"   -> (intervalJoin _),
     "q_pagerank"        -> (pageRankQ _),
