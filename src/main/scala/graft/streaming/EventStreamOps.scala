@@ -172,6 +172,32 @@ object EventStreamOps {
       }
   }
 
+  /** Live payload-schema drift detector: each event's JSON `props`
+    * keys check against the FROZEN (event_type, key) allowlist the
+    * batch profile produced; a key outside it surfaces ONCE — its
+    * first occurrence row — per watermark window (in-watermark
+    * re-deliveries dedup; after state expiry a still-arriving rogue
+    * key re-notifies, which an unacknowledged alarm should).
+    * Stateless extraction (`json_object_keys` + a literal-array
+    * membership test), then ONE dropDuplicates whose state the
+    * watermark bounds — the producer-contract tripwire that catches a
+    * deploy quietly adding fields before the lake schema does.
+    * Unparseable/NULL props carry no keys (the malformed-payload
+    * alarm is [[streamingSeqAudit]]'s neighbor, not this one's job).
+    */
+  def streamingSchemaDrift(events: DataFrame, allowed: Seq[(String, String)],
+                           lateness: String = "10 minutes"): DataFrame = {
+    val allowLit = array(allowed.map { case (t, k) => lit(s"$t|$k") }: _*)
+    events
+      .select(col("ts"), col("event_type"),
+        explode(json_object_keys(col("props"))).as("key"))
+      .filter(!array_contains(allowLit,
+        concat(col("event_type"), lit("|"), col("key"))))
+      .withWatermark("ts", lateness)
+      .dropDuplicates("event_type", "key")
+      .select("ts", "event_type", "key")
+  }
+
   /** Live boilerplate-line removal — the batch cleanup
     * ([[graft.ops.TextStats.removeBoilerplateLines]]) on the INGEST
     * stream: the frozen common-line table

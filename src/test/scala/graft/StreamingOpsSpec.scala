@@ -694,6 +694,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSchemaDrift: a key outside the frozen allowlist " +
+    "surfaces once per (type, key); allowed keys, re-deliveries, and " +
+    "unparseable props stay silent") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = mem.toDF().toDF("ts", "event_type", "props")
+    val allowed = Seq("click" -> "page", "view" -> "page")
+    val q = EventStreamOps.streamingSchemaDrift(df, allowed)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+      mem.addData(
+        (t(1), "click", """{"page": "a"}"""),            // allowed
+        (t(1), "click", """{"page": "b", "ab_arm": "x"}"""), // NEW key
+        (t(2), "view", "not json at all"),               // silent
+        (t(2), "view", null.asInstanceOf[String]))       // silent
+      q.processAllAvailable()
+      // same rogue key again (in-watermark) + the same key on ANOTHER
+      // type (a distinct contract breach)
+      mem.addData(
+        (t(3), "click", """{"ab_arm": "y"}"""),
+        (t(4), "view", """{"ab_arm": "z"}"""))
+      q.processAllAvailable()
+      val rows = spark.table("drift")
+        .as[(java.sql.Timestamp, String, String)].collect()
+        .map(r => (r._2, r._3)).sorted.toSeq
+      assert(rows === Seq(("click", "ab_arm"), ("view", "ab_arm")))
+    } finally q.stop()
+  }
+
   test("streamingBoilerplateScrub: the frozen common-line set scrubs a " +
     "STREAM bit-identically to the batch removal over the same corpus") {
     implicit val sc = spark.sqlContext
