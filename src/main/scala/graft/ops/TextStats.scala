@@ -50,6 +50,74 @@ object TextStats {
     withScores.select(col("doc_id"), pred.as("pred_lang"), best.as("n_hits"))
   }
 
+  /** Mixed-language (code-switching) segmentation: [[languageId]]'s
+    * stopword argmax applied per NON-OVERLAPPING `window`-token
+    * window, then consecutive same-language windows merge into
+    * segments — the per-document report that separates genuinely
+    * multilingual documents (translations, quote-heavy pages, forum
+    * threads) from single-language ones BEFORE a doc-level language
+    * label routes them: a doc-level ID over a 50/50 en/de document is
+    * confidently wrong either way, and `minority_ppm` is the signal.
+    *
+    * Same lists, same tie precedence as the doc-level ID (one shared
+    * `stopwords` table, so the two can never disagree on a uniform
+    * document). Dominant language ties break by window count then
+    * list precedence. Docs with no tokens emit nothing (no windows —
+    * no evidence).
+    *
+    * Shape: one posexplode to (doc, window, token); per-window counts
+    * partial-aggregate on (doc, win); the run-length pass and the
+    * dominant-language pick are doc-keyed windows sharing one
+    * exchange. Nothing global anywhere.
+    */
+  def languageSegments(docs: DataFrame, window: Int = 16,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val langs = stopwords.map(_._1)
+    val exploded = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), expr(s"CAST(pos DIV $window AS INT)").as("win"),
+        col("tok"))
+    val cs = stopwords.map { case (l, ws) =>
+      sum(when(col("tok").isin(ws.map(lit(_)): _*), 1L).otherwise(0L))
+        .as(s"c_$l")
+    }
+    val counts = exploded.groupBy("doc_id", "win").agg(cs.head, cs.tail: _*)
+    val best = langs.map(l => col(s"c_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit(langs.head)) { (l, acc) =>
+      when(col(s"c_$l") === best, lit(l)).otherwise(acc)
+    }
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("win")
+    val marked = counts.select(col("doc_id"), col("win"), pred.as("pred"))
+      .withColumn("sw",
+        when(lag(col("pred"), 1).over(wOrd).isNotNull &&
+          lag(col("pred"), 1).over(wOrd) =!= col("pred"), 1L).otherwise(0L))
+      .localCheckpoint() // feeds the run-length agg AND the dominant pick
+    val perDoc = marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        (sum(col("sw")) + 1L).as("n_segments"),
+        sum(col("sw")).as("n_switches"))
+    val prec = langs.zipWithIndex.foldRight(lit(langs.size)) {
+      case ((l, i), acc) => when(col("pred") === l, lit(i)).otherwise(acc)
+    }
+    val wDom = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("cnt").desc, prec)
+    val dom = marked.groupBy("doc_id", "pred")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wDom))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("pred").as("dominant_lang"),
+        col("cnt").as("dom_windows"))
+    perDoc.join(dom, Seq("doc_id"))
+      .withColumn("minority_ppm",
+        expr("(n_windows - dom_windows) * 1000000 div n_windows"))
+      .select("doc_id", "n_windows", "n_segments", "n_switches",
+        "dominant_lang", "dom_windows", "minority_ppm")
+  }
+
   /** Quality metrics: token counts, distinct ratio, average word
     * length, stopword ratio — the length/ratio family used for corpus
     * filtering. Ratios are exact-integer divisions (deterministic).

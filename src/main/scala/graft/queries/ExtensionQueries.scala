@@ -1366,6 +1366,15 @@ object ExtensionQueries {
         col("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Mixed-language segmentation ([[TextStats.languageSegments]]):
+    * per-window stopword language ID + run-length merge — the
+    * code-switching report that separates genuinely multilingual
+    * documents from single-language ones before a doc-level label
+    * routes them.
+    */
+  def langSegments(s: SparkSession, d: String): DataFrame =
+    TextStats.languageSegments(docs(s, d), window = 16).orderBy("doc_id")
+
   /** Tokenizer vocab-size sweep — the "how many merges buy how much
     * compression" curve a tokenizer review reads before fixing vocab
     * size: corpus fertility at every PREFIX of the merge list (BPE
@@ -4463,6 +4472,52 @@ object ExtensionQueries {
         |    AND coalesce(n_stop >= 2, false)
         |    AND coalesce(n_alpha_words * 1000000 >= 800000 * n_words, false) AS pass
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q_lang_segments" ->
+      """WITH tk AS (SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |       unnest(range(1, len(ts) + 1)) AS u(i)),
+        |w AS (SELECT doc_id, CAST((pos // 16) AS INT) AS win, tok FROM tk),
+        |c AS (SELECT doc_id, win,
+        |    sum(CASE WHEN list_contains(['the','a','of','and','to'], tok)
+        |      THEN 1 ELSE 0 END) AS c_en,
+        |    sum(CASE WHEN list_contains(['der','die','das','und','ein'], tok)
+        |      THEN 1 ELSE 0 END) AS c_de,
+        |    sum(CASE WHEN list_contains(['le','la','les','et','un'], tok)
+        |      THEN 1 ELSE 0 END) AS c_fr,
+        |    sum(CASE WHEN list_contains(['el','los','las','y','una'], tok)
+        |      THEN 1 ELSE 0 END) AS c_es,
+        |    sum(CASE WHEN list_contains(['的','了','和','是','在'], tok)
+        |      THEN 1 ELSE 0 END) AS c_zh
+        |  FROM w GROUP BY 1, 2),
+        |b AS (SELECT doc_id, win,
+        |    CASE WHEN c_en = best THEN 'en' WHEN c_de = best THEN 'de'
+        |         WHEN c_fr = best THEN 'fr' WHEN c_es = best THEN 'es'
+        |         WHEN c_zh = best THEN 'zh' ELSE 'en' END AS pred
+        |  FROM (SELECT *, greatest(c_en, c_de, c_fr, c_es, c_zh) AS best
+        |        FROM c)),
+        |m AS (SELECT doc_id, win, pred,
+        |    CASE WHEN lag(pred) OVER (PARTITION BY doc_id ORDER BY win)
+        |           IS NOT NULL
+        |          AND lag(pred) OVER (PARTITION BY doc_id ORDER BY win)
+        |           <> pred
+        |      THEN 1 ELSE 0 END AS sw
+        |  FROM b),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(sw) + 1 AS BIGINT) AS n_segments,
+        |    CAST(sum(sw) AS BIGINT) AS n_switches
+        |  FROM m GROUP BY 1),
+        |dm AS (SELECT doc_id, pred AS dominant_lang, cnt AS dom_windows
+        |  FROM (SELECT doc_id, pred, CAST(count(*) AS BIGINT) AS cnt,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC,
+        |        CASE pred WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2
+        |          WHEN 'es' THEN 3 WHEN 'zh' THEN 4 ELSE 5 END) AS rn
+        |    FROM m GROUP BY doc_id, pred)
+        |  WHERE rn = 1)
+        |SELECT pd.doc_id, pd.n_windows, pd.n_segments, pd.n_switches,
+        |  dm.dominant_lang, dm.dom_windows,
+        |  (pd.n_windows - dm.dom_windows) * 1000000 // pd.n_windows
+        |    AS minority_ppm
+        |FROM pd JOIN dm USING (doc_id) ORDER BY pd.doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH c AS (SELECT doc_id,
         |  len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','to'], t))) AS c_en,
@@ -4814,6 +4869,7 @@ object ExtensionQueries {
     "q_cluster_sizes"   -> (clusterSizes _),
     "q_pad_waste"       -> (padWaste _),
     "q_bpe_sweep"       -> (bpeSweep _),
+    "q_lang_segments"   -> (langSegments _),
     "q_vocab_growth"    -> (vocabGrowthQ _),
     "q_interval_join"   -> (intervalJoin _),
     "q_pagerank"        -> (pageRankQ _),

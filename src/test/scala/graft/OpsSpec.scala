@@ -1612,6 +1612,33 @@ class OpsSpec extends SparkSpec {
       (6L, 3L, 3L, "")))
   }
 
+  test("languageSegments: per-window votes merge into runs; a bilingual " +
+    "doc reports its switch and minority share; uniform docs are one " +
+    "segment; empty docs emit nothing") {
+    val en = "the cat of the house and a dog to boot" // 2 windows of 5
+    val de = "der hund und die katze ein tier und der baum"
+    val d = Seq(
+      (1L, en + " " + de),     // en,en then de,de at window=5 -> 1 switch
+      (2L, en),                // uniform en
+      (3L, ""),                // one empty token -> zh? no hits -> 'en' tie
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextStats.languageSegments(d, window = 5)
+      .as[(Long, Long, Long, Long, String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // doc 3: a single empty-string token -> one window, zero hits
+    // everywhere -> precedence tie-break lands 'en'; doc 4 absent
+    assert(out.map(_._1) === Seq(1L, 2L, 3L))
+    val d1 = out.head
+    assert(d1._2 === 4L) // 20 tokens at window=5 -> 4 windows
+    assert(d1._3 === 2L && d1._4 === 1L, s"segments/switches: $d1")
+    assert(d1._5 === "en" && d1._6 === 2L) // 2 en vs 2 de: precedence tie
+    assert(d1._7 === 2L * 1000000L / 4L)
+    val d2 = out(1)
+    assert(d2._3 === 1L && d2._4 === 0L && d2._5 === "en" && d2._7 === 0L)
+    assert(out(2)._5 === "en")
+  }
+
   test("paddingWaste: docs go to the smallest holding bucket, over-long " +
     "docs to the overflow row with zero padding, nulls excluded") {
     def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
