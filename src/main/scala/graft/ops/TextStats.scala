@@ -1102,6 +1102,148 @@ object TextStats {
       regexp_replace(c, p, r)
     })
 
+  /** Occurrences of the literal `s` in `c` by the replace-and-measure
+    * identity `(len(x) − len(replace(x, s, ''))) / len(s)` — exact,
+    * regex-free, and reproducible verbatim in any engine (no dialect
+    * quirks to mirror). The workhorse of the hygiene audits below.
+    */
+  def countLiteral(c: Column, s: String): Column = {
+    require(s.nonEmpty, "empty needle")
+    ((length(c) - length(replace(c, lit(s), lit("")))) / s.length).cast("long")
+  }
+
+  /** Double-encoded-UTF-8 signatures: a Latin-1 page re-decoded as
+    * UTF-8 turns é→Ã©, ’→â€™, NBSP→Â&nbsp;, and the BOM into ï»¿.
+    * The literal sequences below are the standard tells (each is what
+    * a common cp1252/Latin-1 byte pair mis-decodes to).
+    */
+  val MojibakeMarks: Seq[String] =
+    Seq("Ã©", "Ã¨", "Ã¼", "Ã¤", "Ã±", "â€™", "â€œ", "â€", "Â ", "ï»¿")
+
+  /** Encoding-corruption audit: per document the U+FFFD replacement-
+    * character count (a decoder already gave up), double-encoded
+    * UTF-8 signature hits ([[MojibakeMarks]]), and stray C0 control
+    * characters (NUL..US minus tab/newline/CR — binary bleeding into
+    * text). `bad_ppm` is the combined density; `is_mojibake` gates on
+    * the two encoding signals (control chars alone may be legitimate
+    * markup). Pure codegen'd projection — one scan, no shuffle, no
+    * regex beyond a single character class; the cheap tripwire that
+    * runs before any tokenizer sees a byte.
+    */
+  def mojibake(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nRepl = countLiteral(t, "\uFFFD")
+    val nDouble = MojibakeMarks.map(countLiteral(t, _))
+      .reduce(_ + _)
+    val nCtl = (length(t) -
+      length(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+    docs.filter(t.isNotNull)
+      .select(col(idCol).as("doc_id"), nRepl.as("n_replacement"),
+        nDouble.as("n_double_utf8"), nCtl.as("n_control"),
+        length(t).cast("long").as("n_chars"))
+      .withColumn("bad_ppm",
+        when(col("n_chars") > 0,
+          expr("(n_replacement + n_double_utf8 + n_control) * 1000000 div n_chars"))
+          .otherwise(lit(0L)))
+      .withColumn("is_mojibake", col("n_replacement") + col("n_double_utf8") > 0)
+  }
+
+  /** Markup strip + density: remove `<...>` tags (the WET-extraction
+    * step between raw HTML and text pipelines), report how much of
+    * the document was markup, and how many tags there were. Tag count
+    * uses the replace-with-sentinel identity (strip with a 1-char
+    * sentinel minus strip with nothing = number of matches) so no
+    * engine-specific regex-count function is needed. Tags become a
+    * space and runs collapse, so `<p>a</p><p>b</p>` reads "a b" not
+    * "ab". Pure projection; the single `<[^>]*>` pattern means the
+    * same thing in Java regex and RE2.
+    */
+  def stripMarkup(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val stripped = regexp_replace(t, "<[^>]*>", "")
+    val sentinel = regexp_replace(t, "<[^>]*>", "\u0001")
+    val clean = trim(regexp_replace(regexp_replace(t, "<[^>]*>", " "), " +", " "))
+    docs.filter(t.isNotNull)
+      .select(col(idCol).as("doc_id"),
+        (length(t) - length(stripped)).cast("long").as("tag_chars"),
+        (length(sentinel) - length(stripped)).cast("long").as("n_tags"),
+        length(t).cast("long").as("n_chars"), clean.as("clean_text"))
+      .withColumn("markup_ppm",
+        when(col("n_chars") > 0, expr("tag_chars * 1000000 div n_chars"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Tokenizer/chat-template control strings whose appearance in a
+    * training corpus means template leakage: a document containing a
+    * literal `<|endoftext|>` will, once tokenized, inject a control
+    * token mid-document and truncate attention or corrupt the loss
+    * mask. The pinned list covers the GPT-2/OpenAI, SentencePiece,
+    * and Llama-chat families.
+    */
+  val SpecialTokens: Seq[String] = Seq(
+    "<|endoftext|>", "<|im_start|>", "<|im_end|>",
+    "<s>", "</s>", "[INST]", "[/INST]", "<pad>", "<unk>", "<mask>")
+
+  /** Special-token contamination rollup: per control string, how many
+    * documents contain it and how many total occurrences. ONE corpus
+    * scan computes every marker's count as a sibling codegen'd column
+    * ([[countLiteral]]); a `stack` unpivot and a markers-sized agg
+    * follow — no explode-against-the-corpus row multiplication, no
+    * per-marker rescans. Emits a row per marker even at zero hits so
+    * the report shape is stable.
+    */
+  def specialTokenAudit(docs: DataFrame, markers: Seq[String] = SpecialTokens,
+                        textCol: String = "text"): DataFrame = {
+    require(markers.nonEmpty, "no markers")
+    val t = col(textCol)
+    val counted = docs.filter(t.isNotNull)
+      .select(markers.zipWithIndex.map { case (m, i) =>
+        countLiteral(t, m).as(s"c_$i")
+      }: _*)
+    val stackArgs = markers.zipWithIndex
+      .map { case (m, i) => s"'${m.replace("'", "''")}', c_$i" }
+      .mkString(", ")
+    counted
+      .select(expr(s"stack(${markers.size}, $stackArgs) AS (marker, c)"))
+      .groupBy("marker")
+      .agg(sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("c")).as("n_occurrences"))
+      .orderBy("marker")
+  }
+
+  /** Placeholder blocklist for [[badwordGate]] — the corpus here is
+    * synthetic, so the "blocklist" is a pinned set of ordinary tokens
+    * standing in for a real unsafe-content list; serving a real list
+    * means swapping this literal (the dataflow is the deliverable,
+    * exactly like [[qualityClassifier]]'s weight table).
+    */
+  val Blocklist: Seq[String] = Seq("slow", "crash", "leak", "spill", "panic")
+
+  /** Blocklist gate: token-exact hits against [[Blocklist]] (no
+    * substring matches — "warranty" is not "war"), density in ppm,
+    * and the keep/drop verdict at `maxPpm`. Token-exact matching
+    * reuses the same array-filter shape as the language ID, so the
+    * gate is one codegen'd projection: no explode, no shuffle, no
+    * join. Null/empty docs fail closed (pass = false) — a gate must
+    * never wave through what it could not read.
+    */
+  def badwordGate(docs: DataFrame, maxPpm: Long = 10000L,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        hits(toks, Blocklist).cast("long").as("n_flagged"))
+      .withColumn("flagged_ppm",
+        when(col("n_tokens") > 0, expr("n_flagged * 1000000 div n_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("pass",
+        coalesce(col("n_tokens") > 0 && col("flagged_ppm") <= maxPpm, lit(false)))
+  }
+
   /** BM25 retrieval scores (Robertson/Spärck Jones; the Okapi
     * formulation with the +1 idf guard): for each of the `nQueryTerms`
     * highest-document-frequency terms, the `k` best-scoring documents.

@@ -1375,6 +1375,63 @@ object ExtensionQueries {
   def langSegments(s: SparkSession, d: String): DataFrame =
     TextStats.languageSegments(docs(s, d), window = 16).orderBy("doc_id")
 
+  /** Encoding-corruption audit ([[TextStats.mojibake]]). The clean
+    * synthetic corpus is salted with deterministic corruption (the
+    * q_scrub planting pattern): every 3rd doc gets double-encoded
+    * UTF-8 tells, every 5th a U+FFFD, every 7th a stray C0 control —
+    * so the audit provably counts each class and the gate fires where
+    * it must.
+    */
+  def mojibakeQ(s: SparkSession, d: String): DataFrame = {
+    val planted = docs(s, d).withColumn("text",
+      concat(
+        when(col("doc_id") % 3 === 0, lit("naÃ¯ve cafÃ© Ã© ")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("� ")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\u0007 ")).otherwise(lit("")),
+        col("text")))
+    TextStats.mojibake(planted).orderBy("doc_id")
+  }
+
+  /** Markup strip + density ([[TextStats.stripMarkup]]); tags planted
+    * deterministically (wrapping paragraph tags on even docs, a
+    * self-closing break + attribute-carrying span on every 4th) so
+    * strip, density, and tag count are all exercised against known
+    * truth.
+    */
+  def htmlStripQ(s: SparkSession, d: String): DataFrame = {
+    val planted = docs(s, d).withColumn("text",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("<p class=\"intro\">"), col("text"),
+          lit("</p><br/><span id=\"x\">end</span>")))
+        .when(col("doc_id") % 2 === 0,
+          concat(lit("<p>"), col("text"), lit("</p>")))
+        .otherwise(col("text")))
+    TextStats.stripMarkup(planted).orderBy("doc_id")
+  }
+
+  /** Special-token contamination rollup
+    * ([[TextStats.specialTokenAudit]]); markers planted on pinned
+    * residue classes (every 11th doc an `<|endoftext|>`, every 13th
+    * an `[INST]`, every 17th TWO `</s>`) so per-marker doc and
+    * occurrence counts separate provably.
+    */
+  def specialTokensQ(s: SparkSession, d: String): DataFrame = {
+    val planted = docs(s, d).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 11 === 0, lit(" <|endoftext|>")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" [INST]")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" </s> </s>")).otherwise(lit(""))))
+    TextStats.specialTokenAudit(planted)
+  }
+
+  /** Blocklist gate ([[TextStats.badwordGate]]) over the raw corpus —
+    * the pinned placeholder list contains a token the synthetic
+    * vocabulary actually emits, so densities vary doc-to-doc and the
+    * threshold genuinely splits the corpus.
+    */
+  def badwordsQ(s: SparkSession, d: String): DataFrame =
+    TextStats.badwordGate(docs(s, d), maxPpm = 10000L).orderBy("doc_id")
+
   /** Tokenizer vocab-size sweep — the "how many merges buy how much
     * compression" curve a tokenizer review reads before fixing vocab
     * size: corpus fertility at every PREFIX of the merge list (BPE
@@ -4472,6 +4529,89 @@ object ExtensionQueries {
         |    AND coalesce(n_stop >= 2, false)
         |    AND coalesce(n_alpha_words * 1000000 >= 800000 * n_words, false) AS pass
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q_mojibake" ->
+      """WITH p AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'naÃ¯ve cafÃ© Ã© ' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '� ' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN chr(7) || ' ' ELSE '' END) ||
+        |    text AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, '�', '')) AS BIGINT)
+        |      AS n_replacement,
+        |    CAST((length(text) - length(replace(text, 'Ã©', ''))) // 2
+        |       + (length(text) - length(replace(text, 'Ã¨', ''))) // 2
+        |       + (length(text) - length(replace(text, 'Ã¼', ''))) // 2
+        |       + (length(text) - length(replace(text, 'Ã¤', ''))) // 2
+        |       + (length(text) - length(replace(text, 'Ã±', ''))) // 2
+        |       + (length(text) - length(replace(text, 'â€™', ''))) // 3
+        |       + (length(text) - length(replace(text, 'â€œ', ''))) // 3
+        |       + (length(text) - length(replace(text, 'â€', ''))) // 2
+        |       + (length(text) - length(replace(text, 'Â ', ''))) // 2
+        |       + (length(text) - length(replace(text, 'ï»¿', ''))) // 3
+        |      AS BIGINT) AS n_double_utf8,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_control,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM p)
+        |SELECT doc_id, n_replacement, n_double_utf8, n_control, n_chars,
+        |  CASE WHEN n_chars > 0
+        |    THEN (n_replacement + n_double_utf8 + n_control) * 1000000 // n_chars
+        |    ELSE 0 END AS bad_ppm,
+        |  (n_replacement + n_double_utf8) > 0 AS is_mojibake
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_html_strip" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN '<p class="intro">' || text ||
+        |           '</p><br/><span id="x">end</span>'
+        |         WHEN doc_id % 2 = 0 THEN '<p>' || text || '</p>'
+        |         ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, text,
+        |    regexp_replace(text, '<[^>]*>', '', 'g') AS stripped,
+        |    regexp_replace(text, '<[^>]*>', chr(1), 'g') AS sent
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(length(text) - length(stripped) AS BIGINT) AS tag_chars,
+        |  CAST(length(sent) - length(stripped) AS BIGINT) AS n_tags,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS clean_text,
+        |  CASE WHEN length(text) > 0
+        |    THEN (length(text) - length(stripped)) * 1000000 // length(text)
+        |    ELSE 0 END AS markup_ppm
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_special_tokens" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' <|endoftext|>' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' [INST]' ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN ' </s> </s>' ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT * FROM (VALUES ('<|endoftext|>'), ('<|im_start|>'),
+        |    ('<|im_end|>'), ('<s>'), ('</s>'), ('[INST]'), ('[/INST]'),
+        |    ('<pad>'), ('<unk>'), ('<mask>')) AS v(marker)),
+        |c AS (SELECT m.marker,
+        |    (length(p.text) - length(replace(p.text, m.marker, '')))
+        |      // length(m.marker) AS c
+        |  FROM p CROSS JOIN m)
+        |SELECT marker,
+        |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(c) AS BIGINT) AS n_occurrences
+        |FROM c GROUP BY marker ORDER BY marker""".stripMargin,
+    "q_badwords" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), t ->
+        |      list_contains(['slow','crash','leak','spill','panic'], t)))
+        |      AS BIGINT) AS n_flagged
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens, n_flagged,
+        |    CASE WHEN n_tokens > 0 THEN n_flagged * 1000000 // n_tokens
+        |      ELSE 0 END AS flagged_ppm
+        |  FROM c)
+        |SELECT doc_id, n_tokens, n_flagged, flagged_ppm,
+        |  coalesce(n_tokens > 0 AND flagged_ppm <= 10000, false) AS pass
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_lang_segments" ->
       """WITH tk AS (SELECT doc_id, i - 1 AS pos, ts[i] AS tok
         |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
@@ -4870,6 +5010,10 @@ object ExtensionQueries {
     "q_pad_waste"       -> (padWaste _),
     "q_bpe_sweep"       -> (bpeSweep _),
     "q_lang_segments"   -> (langSegments _),
+    "q_mojibake"        -> (mojibakeQ _),
+    "q_html_strip"      -> (htmlStripQ _),
+    "q_special_tokens"  -> (specialTokensQ _),
+    "q_badwords"        -> (badwordsQ _),
     "q_vocab_growth"    -> (vocabGrowthQ _),
     "q_interval_join"   -> (intervalJoin _),
     "q_pagerank"        -> (pageRankQ _),

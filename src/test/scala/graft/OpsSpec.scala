@@ -2145,4 +2145,96 @@ class OpsSpec extends SparkSpec {
     assert(out(5L).getAs[Boolean]("ok_alpha"))
     assert(out(5L).getAs[Long]("n_alpha_words") === 51L)
   }
+
+  test("mojibake: replacement chars, double-UTF8 tells, and stray C0 " +
+    "controls count separately; tab/newline are not controls; the gate " +
+    "fires only on the encoding signals") {
+    val d = Seq(
+      (1L, "abc \u00c3\u00a9 def"),          // one Ã© tell
+      (2L, "x\u0007y"),                        // BEL: control, not mojibake
+      (3L, "ok \uFFFD"),                       // decoder gave up
+      (4L, "plain text"),
+      (5L, ""),
+      (6L, "a\tb\nc\rd"),                      // whitelisted whitespace
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextStats.mojibake(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out(1L).getAs[Long]("n_double_utf8") === 1L &&
+      out(1L).getAs[Boolean]("is_mojibake"))
+    assert(out(1L).getAs[Long]("bad_ppm") === 1000000L / 10)
+    assert(out(2L).getAs[Long]("n_control") === 1L &&
+      !out(2L).getAs[Boolean]("is_mojibake"))
+    assert(out(3L).getAs[Long]("n_replacement") === 1L &&
+      out(3L).getAs[Boolean]("is_mojibake"))
+    assert(out(4L).getAs[Long]("bad_ppm") === 0L)
+    assert(out(5L).getAs[Long]("n_chars") === 0L &&
+      out(5L).getAs[Long]("bad_ppm") === 0L)
+    assert(out(6L).getAs[Long]("n_control") === 0L)
+  }
+
+  test("stripMarkup: tags strip to spaces and collapse, tag chars and " +
+    "tag counts are exact, unterminated brackets are not tags") {
+    val d = Seq(
+      (1L, "<p>hello</p>"),
+      (2L, "a < b > c"),        // naive pattern: "< b >" IS a tag
+      (3L, "no tags"),
+      (4L, "<br/>"),
+      (5L, "<abc never closed"),
+      (6L, "<p>a</p><p>b</p>")
+    ).toDF("doc_id", "text")
+    val out = TextStats.stripMarkup(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("tag_chars") === 7L)
+    assert(out(1L).getAs[Long]("n_tags") === 2L)
+    assert(out(1L).getAs[String]("clean_text") === "hello")
+    assert(out(1L).getAs[Long]("markup_ppm") === 7L * 1000000L / 12L)
+    assert(out(2L).getAs[Long]("n_tags") === 1L &&
+      out(2L).getAs[String]("clean_text") === "a c")
+    assert(out(3L).getAs[Long]("tag_chars") === 0L &&
+      out(3L).getAs[String]("clean_text") === "no tags")
+    assert(out(4L).getAs[Long]("markup_ppm") === 1000000L &&
+      out(4L).getAs[String]("clean_text") === "")
+    assert(out(5L).getAs[Long]("n_tags") === 0L)
+    assert(out(6L).getAs[String]("clean_text") === "a b")
+  }
+
+  test("specialTokenAudit: every marker reports even at zero; doc and " +
+    "occurrence counts separate; </s> does not phantom-match <s>") {
+    val d = Seq(
+      (1L, "a <|endoftext|> b"),
+      (2L, "x </s> mid </s>"),
+      (3L, "plain"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextStats.specialTokenAudit(d).collect()
+      .map(r => r.getAs[String]("marker") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"))).toMap
+    assert(out.size === TextStats.SpecialTokens.size)
+    assert(out("<|endoftext|>") === ((1L, 1L)))
+    assert(out("</s>") === ((1L, 2L)))
+    assert(out("<s>") === ((0L, 0L)))
+    assert(out("[INST]") === ((0L, 0L)))
+  }
+
+  test("badwordGate: token-exact hits (no substring bleed), ppm " +
+    "threshold splits, null docs fail closed") {
+    val d = Seq(
+      (1L, "slow slow fast"),                  // 2/3 flagged
+      (2L, "slowly fast good"),                // 'slowly' is NOT 'slow'
+      (3L, (Seq.fill(999)("ok") :+ "slow").mkString(" ")), // 1000 ppm
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextStats.badwordGate(d, maxPpm = 10000L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_flagged") === 2L &&
+      out(1L).getAs[Long]("flagged_ppm") === 2000000L / 3 &&
+      !out(1L).getAs[Boolean]("pass"))
+    assert(out(2L).getAs[Long]("n_flagged") === 0L &&
+      out(2L).getAs[Boolean]("pass"))
+    assert(out(3L).getAs[Long]("flagged_ppm") === 1000L &&
+      out(3L).getAs[Boolean]("pass"))
+    assert(!out(4L).getAs[Boolean]("pass"))
+  }
 }
