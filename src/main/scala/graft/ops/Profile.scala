@@ -456,4 +456,50 @@ object Profile {
           "(CAST(rk AS BIGINT) - 1) * 1000000 div (n_g - 1) " +
           "ELSE CAST(0 AS BIGINT) END"))
   }
+
+  /** Robust per-group outlier census by median / median-absolute-
+    * deviation (Hampel's robust z-score; Leys et al. JESP 2013 for
+    * the 1.4826 consistency constant): a value is an outlier when
+    * `|x − med| > 3·1.4826·MAD` — the mean/stddev rule this replaces
+    * is itself dragged by the outliers it should find, median/MAD has
+    * a 50% breakdown point. Values quantize to integer milli-units
+    * (`floor(x·1000)`, floor in every engine) so the medians are
+    * element PICKS, not interpolations: the lower-middle element by
+    * `(n+1) div 2`, deterministic under ties via the id column, and
+    * the flag comparison `dev·10⁴ > 44478·mad` is pure BIGINT — the
+    * whole census hash-gates bit-exactly.
+    *
+    * Shape for scale: both row_number windows and both count windows
+    * partition by the SAME group key — one exchange, two in-partition
+    * sorts; the two one-row-per-group median frames broadcast back.
+    * Exact per-group medians mean per-group sorts — that is the
+    * operator's contract (the approx path is `q_profile_approx`'s
+    * approx_percentile); groups parallelize horizontally and AQE
+    * handles a dominant one. MAD=0 (over half the group identical)
+    * flags every deviating value — the standard degeneracy, kept:
+    * in a constant feed any motion IS the anomaly.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  idCol: String): DataFrame = {
+    val base = df
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        floor(col(valueCol) * 1000).cast("long").as("vq"))
+      .filter(col("vq").isNotNull)
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    def pick(d: DataFrame, ord: String, out: String): DataFrame = d
+      .withColumn("rn", row_number().over(pw.orderBy(col(ord), col("id"))))
+      .withColumn("n", count(lit(1)).over(pw))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("grp"), col(ord).as(out))
+    val med = pick(base, "vq", "med")
+    val dev = base.join(broadcast(med), Seq("grp"))
+      .withColumn("dev", abs(col("vq") - col("med")))
+    val mad = pick(dev.select(col("grp"), col("id"), col("dev")), "dev", "mad")
+    dev.join(broadcast(mad), Seq("grp"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), min("med").as("med"), min("mad").as("mad"),
+        sum(when(col("dev") * 10000 > col("mad") * 44478, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_ppm", expr("n_outliers * 1000000 div n"))
+  }
 }

@@ -1037,6 +1037,16 @@ object ExtensionQueries {
   def benfordQ(s: SparkSession, d: String): DataFrame =
     Profile.benford(Tables.lineitem(s, d), col("l_extendedprice"))
 
+  /** Robust per-type outlier census ([[Profile.madOutliers]]) over the
+    * event value feed: median/MAD z-score at the standard 3σ-equivalent
+    * cut — the numeric-feed anomaly table that the mean/stddev rule
+    * gets wrong exactly when it matters.
+    */
+  def madOutliersQ(s: SparkSession, d: String): DataFrame =
+    Profile.madOutliers(Tables.events(s, d), "value", "event_type", "event_id")
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type")
+
   /** Pairwise functional-dependency discovery
     * ([[Profile.functionalDependencies]]) over the customer
     * dimension: which columns determine which — the candidate-key /
@@ -1521,6 +1531,52 @@ object ExtensionQueries {
     */
   def knnGraphQ(s: SparkSession, d: String): DataFrame =
     knnEdges(s, d).orderBy("src", "rank")
+
+  /** Margin-based bitext mining (Artetxe & Schwenk ACL'19: candidate
+    * pair score = cos(x,y) normalized by the mean cosine of each
+    * side's own k-NN neighborhood — the RATIO margin, which demotes
+    * hubs whose raw cosine is high to everything). Candidates are
+    * cross-label k-NN edges (label = the language stand-in on the
+    * synthetic embeddings), the margin is exact integer ppm
+    * (`2·cos·k_x·k_y·10⁶ div (Σx·k_y + Σy·k_x)`), the best candidate
+    * per query survives, and the global top-50 is the mining output.
+    *
+    * Shape for scale: rides the SHARED k-NN memo — no new vector
+    * work at all. Neighborhood sums are one (src)-keyed agg over the
+    * edge list (corpus×k rows, skinny), labels join by id, and the
+    * final ranking is a per-src window then TakeOrdered(50). The
+    * margin's whole point at 100 TB: it is computed on the index's
+    * existing edges, never on raw vector pairs.
+    */
+  def bitextMargin(s: SparkSession, d: String): DataFrame = {
+    val edges = knnEdges(s, d).select("src", "dst", "cos_q")
+    val sums = edges.groupBy("src")
+      .agg(sum("cos_q").as("sumk"), count(lit(1)).as("k"))
+    val labels = embs(s, d).select(col("vec_id"), col("label"))
+    val cand = edges
+      .join(labels.select(col("vec_id").as("src"), col("label").as("src_label")),
+        Seq("src"))
+      .join(labels.select(col("vec_id").as("dst"), col("label").as("dst_label")),
+        Seq("dst"))
+      .filter(col("src_label") =!= col("dst_label") && col("cos_q") > 0)
+    val scored = cand
+      .join(sums.select(col("src"), col("sumk").as("sum_x"), col("k").as("k_x")),
+        Seq("src"))
+      .join(sums.select(col("src").as("dst"), col("sumk").as("sum_y"),
+        col("k").as("k_y")), Seq("dst"))
+      .withColumn("den", expr("sum_x * k_y + sum_y * k_x"))
+      .filter(col("den") > 0)
+      .withColumn("margin_ppm",
+        expr("2 * cos_q * k_x * k_y * 1000000 div den"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("margin_ppm").desc, col("dst"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("src", "dst", "src_label", "dst_label", "cos_q", "margin_ppm")
+      .orderBy(col("margin_ppm").desc, col("src"))
+      .limit(50)
+  }
 
   /** Corpus cartography: the top DISTINCTIVE terms of every semantic
     * cluster — per (IVF cluster, term), the exact integer lift
@@ -2621,6 +2677,31 @@ object ExtensionQueries {
         |      // (bucket * n_docs) AS BIGINT)
         |    ELSE 0 END AS pad_ppm
         |FROM g ORDER BY bucket""".stripMargin,
+    "q_outliers" ->
+      """WITH b AS (SELECT event_type AS grp, event_id AS id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vq
+        |  FROM events WHERE value IS NOT NULL),
+        |w1 AS (SELECT grp, id, vq,
+        |    row_number() OVER (PARTITION BY grp ORDER BY vq, id) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM b),
+        |med AS (SELECT grp, vq AS med FROM w1 WHERE rn = (n + 1) // 2),
+        |d AS (SELECT b.grp, b.id, abs(b.vq - m.med) AS dev, m.med
+        |  FROM b JOIN med m ON b.grp = m.grp),
+        |w2 AS (SELECT grp, id, dev, med,
+        |    row_number() OVER (PARTITION BY grp ORDER BY dev, id) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM d),
+        |mad AS (SELECT grp, dev AS mad FROM w2 WHERE rn = (n + 1) // 2),
+        |f AS (SELECT d.grp, d.dev, d.med, m2.mad
+        |  FROM d JOIN mad m2 ON d.grp = m2.grp)
+        |SELECT grp AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(med) AS med, min(mad) AS mad,
+        |  CAST(sum(CASE WHEN dev * 10000 > mad * 44478 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN dev * 10000 > mad * 44478 THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+        |FROM f GROUP BY grp ORDER BY event_type""".stripMargin,
     "q_benford" ->
       """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(abs(l_extendedprice))
         |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
@@ -3859,6 +3940,27 @@ object ExtensionQueries {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, cos_q FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_bitext_margin" -> (knnEdgesCte + ",\n" +
+      """sums AS (SELECT src, CAST(sum(cos_q) AS BIGINT) AS sumk,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM edges GROUP BY src),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |cand AS (SELECT e.src, e.dst, e.cos_q,
+        |    lx.label AS src_label, ly.label AS dst_label
+        |  FROM edges e JOIN lab lx ON e.src = lx.vec_id
+        |    JOIN lab ly ON e.dst = ly.vec_id
+        |  WHERE lx.label <> ly.label AND e.cos_q > 0),
+        |sc AS (SELECT c.src, c.dst, c.cos_q, c.src_label, c.dst_label,
+        |    2 * c.cos_q * sx.k * sy.k * 1000000
+        |      // (sx.sumk * sy.k + sy.sumk * sx.k) AS margin_ppm
+        |  FROM cand c JOIN sums sx ON c.src = sx.src
+        |    JOIN sums sy ON c.dst = sy.src
+        |  WHERE sx.sumk * sy.k + sy.sumk * sx.k > 0),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY src
+        |    ORDER BY margin_ppm DESC, dst) AS rn FROM sc)
+        |SELECT src, dst, src_label, dst_label, cos_q, margin_ppm
+        |FROM rr WHERE rn = 1
+        |ORDER BY margin_ppm DESC, src LIMIT 50""".stripMargin),
     "q_knn_graph" -> (knnEdgesCte + "\n" +
       """SELECT e1.src, e1.dst, e1.rank, e1.cos_q,
         |  e2.src IS NOT NULL AS mutual
@@ -5006,6 +5108,7 @@ object ExtensionQueries {
     "q_abtt"            -> (abtt _),
     "q_fd"              -> (fdDiscovery _),
     "q_benford"         -> (benfordQ _),
+    "q_outliers"        -> (madOutliersQ _),
     "q_cluster_sizes"   -> (clusterSizes _),
     "q_pad_waste"       -> (padWaste _),
     "q_bpe_sweep"       -> (bpeSweep _),
@@ -5066,6 +5169,7 @@ object ExtensionQueries {
     "q_vocab_coverage"  -> (vocabCoverageQ _),
     "q_coverage_curve"  -> (coverageCurveQ _),
     "q_knn_graph"       -> (knnGraphQ _),
+    "q_bitext_margin"   -> (bitextMargin _),
     "q_edit_pairs"      -> (editPairs _),
     "q_gopher_rules"    -> (gopherRulesQ _),
     "q_cluster_quality" -> (clusterQuality _),

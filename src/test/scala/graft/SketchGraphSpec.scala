@@ -417,4 +417,17 @@ class SketchGraphSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("bitextMargin: candidates are cross-label knn edges only, one per " +
+    "query, margins positive and ordered, bounded at 50") {
+    val out = graft.queries.ExtensionQueries
+      .bitextMargin(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length <= 50)
+    assert(out.forall(r =>
+      r.getAs[Int]("src_label") != r.getAs[Int]("dst_label")))
+    assert(out.map(_.getAs[Long]("src")).distinct.length === out.length)
+    val margins = out.map(_.getAs[Long]("margin_ppm"))
+    assert(margins.forall(_ > 0))
+    assert(margins.sameElements(margins.sortBy(-_)))
+  }
 }

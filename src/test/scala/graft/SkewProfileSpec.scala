@@ -218,4 +218,29 @@ class SkewProfileSpec extends SparkSpec {
     assert(chains(renum).find(_._1 == "a").get._7 !==
       c0.find(_._1 == "a").get._7)
   }
+
+  test("madOutliers: median and MAD are exact element picks; the 3-sigma-" +
+    "equivalent cut flags the planted spike; MAD=0 degeneracy flags any " +
+    "motion; nulls excluded") {
+    val d = Seq(
+      ("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)), ("a", 3L, Some(3.0)),
+      ("a", 4L, Some(100.0)),
+      ("b", 5L, Some(5.0)), ("b", 6L, Some(5.0)), ("b", 7L, Some(5.0)),
+      ("b", 8L, Some(7.0)),
+      ("c", 9L, Some(42.0)),
+      ("d", 10L, None: Option[Double])
+    ).toDF("grp0", "id", "v")
+    val out = Profile.madOutliers(d, "v", "grp0", "id").collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out.keySet === Set("a", "b", "c"))
+    val a = out("a")
+    assert(a.getAs[Long]("med") === 2000L && a.getAs[Long]("mad") === 1000L)
+    assert(a.getAs[Long]("n_outliers") === 1L &&
+      a.getAs[Long]("outlier_ppm") === 250000L)
+    val b = out("b")
+    assert(b.getAs[Long]("mad") === 0L && b.getAs[Long]("n_outliers") === 1L)
+    val c = out("c")
+    assert(c.getAs[Long]("med") === 42000L && c.getAs[Long]("mad") === 0L &&
+      c.getAs[Long]("n_outliers") === 0L)
+  }
 }
