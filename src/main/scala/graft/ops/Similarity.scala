@@ -992,6 +992,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "adc_q")
   }
 
+  /** Two-stage PQ serving (the pattern every deployed PQ index ships
+    * — FAISS's `IndexRefine`, ScaNN's reordering stage): the
+    * compressed codes produce a cheap `shortlist`-sized candidate set
+    * per query via ADC, then ONLY those candidates are re-scored with
+    * exact cosine from the raw vectors and the top `k` survive. The
+    * two-stage shape is the whole economics of PQ at 100 TB: the
+    * exact pass touches `queries × shortlist` raw vectors instead of
+    * the corpus, so the expensive math is bounded by the shortlist,
+    * not the index size.
+    *
+    * Plan shape: stage 1 is [[pqTopK]] unchanged (broadcast distance
+    * tables, code equi-join); stage 2 broadcasts the (query, qv,
+    * candidate) frame — queries × shortlist rows — against the corpus
+    * id-lookup, so the corpus again never shuffles. `adc_rank` rides
+    * along to show the reorder (rank ≠ adc_rank rows are exactly the
+    * pairs the compression had mis-ordered).
+    */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   shortlist: Int, m: Int = 8, dim: Int = 64,
+                   codeStride: Int = 37, idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   codebooks: Option[DataFrame] = None,
+                   encoded: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val cands = pqTopK(queries, corpus, shortlist, m, dim, codeStride,
+      idCol, vecCol, codebooks, encoded)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("adc_rank"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv"), dim))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv"), dim))
+    val scored = c
+      .join(broadcast(cands.join(q, Seq("query_id"))), Seq("neighbor_id"))
+      .withColumn("cos_q", cosQ(col("qv"), col("cv"), col("qn"), col("cn"), dim))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_q", "adc_rank")
+  }
+
   /** Per-subspace k-means PQ codebook training (Lloyd, squared-L2,
     * mean centroids): the trained counterpart of [[pqCodebooks]]'s
     * stride picker, analogous to [[kmeans]] for the IVF coarse

@@ -1213,6 +1213,50 @@ object TextStats {
       .orderBy("marker")
   }
 
+  /** One-pass ingest hygiene gate: the four cheap tripwires —
+    * encoding corruption ([[mojibake]]'s signals), special-token /
+    * chat-template leakage ([[SpecialTokens]]), blocklist density
+    * ([[Blocklist]] at `maxBadPpm`), and markup density (tag chars at
+    * `maxMarkupPpm`) — fused into ONE codegen'd projection with a
+    * per-reason flag column and the combined `keep` verdict.
+    * Unreadable (null) documents fail closed with their own reason.
+    *
+    * Stateless and shuffle-free by construction, so the SAME operator
+    * runs unchanged on the ingest STREAM (readStream → gate →
+    * writeStream) and on the batch lake — live == batch is structural,
+    * not a property to maintain (StreamingOpsSpec pins it anyway).
+    */
+  def ingestGate(docs: DataFrame, maxBadPpm: Long = 10000L,
+                 maxMarkupPpm: Long = 100000L,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nRepl = countLiteral(t, "\uFFFD")
+    val nDouble = MojibakeMarks.map(countLiteral(t, _)).reduce(_ + _)
+    val nSpecial = SpecialTokens.map(countLiteral(t, _)).reduce(_ + _)
+    val toks = tokens(t)
+    val nToks = size(toks).cast("long")
+    val nBad = hits(toks, Blocklist).cast("long")
+    val tagChars = (length(t) - length(regexp_replace(t, "<[^>]*>", ""))).cast("long")
+    val len = length(t).cast("long")
+    // non-negative numerator/denominator: floor(a/b) == a div b, and
+    // the products stay far under 2^53 so the double detour is exact
+    val badPpm = floor(nBad * lit(1000000L) / nToks).cast("long")
+    val markupPpm = floor(tagChars * lit(1000000L) / len).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+        t.isNull.as("reason_unreadable"),
+        coalesce(nRepl + nDouble > 0, lit(false)).as("reason_mojibake"),
+        coalesce(nSpecial > 0, lit(false)).as("reason_special"),
+        coalesce(nToks > 0 && badPpm > lit(maxBadPpm), lit(false))
+          .as("reason_badword"),
+        coalesce(len > 0 && markupPpm > lit(maxMarkupPpm), lit(false))
+          .as("reason_markup"))
+      .withColumn("keep",
+        !col("reason_unreadable") && !col("reason_mojibake") &&
+          !col("reason_special") && !col("reason_badword") &&
+          !col("reason_markup"))
+  }
+
   /** Placeholder blocklist for [[badwordGate]] — the corpus here is
     * synthetic, so the "blocklist" is a pinned set of ordinary tokens
     * standing in for a real unsafe-content list; serving a real list

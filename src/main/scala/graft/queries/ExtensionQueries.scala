@@ -355,6 +355,20 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Two-stage PQ serving ([[Similarity.pqRerankTopK]]): ADC
+    * shortlist-50 then exact-cosine re-rank to top-5 — the refine
+    * stage every deployed PQ index runs, under the hash gate with
+    * `adc_rank` alongside to expose exactly which pairs the
+    * compression had mis-ordered.
+    */
+  def annRerank(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.pqRerankTopK(e.filter(col("vec_id") % 50 === 0), e,
+        k = 5, shortlist = 50,
+        codebooks = Some(pqCb(s, d)), encoded = Some(pqEnc(s, d)))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-PQ ANN (nprobe=2): the production composite — coarse posting
     * lists bound the candidate set, PQ codes score it. The fifth ANN
     * strategy, and the one a 100 TB index actually ships.
@@ -1434,6 +1448,27 @@ object ExtensionQueries {
     TextStats.specialTokenAudit(planted)
   }
 
+  /** Fused ingest hygiene gate ([[TextStats.ingestGate]]): all four
+    * tripwires in one projection, each exercised by its own planted
+    * residue class (mojibake on %3, markup on %4, template leakage on
+    * %11, blocklist density natural). maxMarkupPpm=20000 so the
+    * planted wrapper tags trip the density wire on ordinary-length
+    * docs.
+    */
+  def ingestGateQ(s: SparkSession, d: String): DataFrame = {
+    val planted = docs(s, d).withColumn("text",
+      concat(
+        when(col("doc_id") % 3 === 0, lit("cafÃ© ")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("<p class=\"intro\">"))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("</p>")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" <|endoftext|>"))
+          .otherwise(lit(""))))
+    TextStats.ingestGate(planted, maxBadPpm = 10000L, maxMarkupPpm = 20000L)
+      .orderBy("doc_id")
+  }
+
   /** Blocklist gate ([[TextStats.badwordGate]]) over the raw corpus —
     * the pinned placeholder list contains a token the synthetic
     * vocabulary actually emits, so densities vary doc-to-doc and the
@@ -1531,6 +1566,35 @@ object ExtensionQueries {
     */
   def knnGraphQ(s: SparkSession, d: String): DataFrame =
     knnEdges(s, d).orderBy("src", "rank")
+
+  /** Label-noise audit by neighborhood agreement (the k-NN heart of
+    * confident-learning / Deep-kNN label cleaning — Northcutt et al.
+    * JAIR'21 §related, Papernot & McDaniel '18: a point whose k
+    * nearest neighbors MAJORITY-disagree with its own label is a
+    * likely mislabel or a boundary case, and both belong in a review
+    * queue before the labels train anything). Per vector: its label,
+    * neighborhood size, agreeing-neighbor count, exact agreement ppm,
+    * and the majority-disagree suspect flag.
+    *
+    * Rides the SHARED k-NN memo: two skinny id→label joins and ONE
+    * (src)-keyed partial agg — label auditing costs nothing beyond
+    * the index the pipeline already maintains.
+    */
+  def labelNoiseQ(s: SparkSession, d: String): DataFrame = {
+    val labels = embs(s, d).select(col("vec_id"), col("label"))
+    knnEdges(s, d).select("src", "dst")
+      .join(labels.select(col("vec_id").as("src"), col("label").as("src_label")),
+        Seq("src"))
+      .join(labels.select(col("vec_id").as("dst"), col("label").as("dst_label")),
+        Seq("dst"))
+      .groupBy("src", "src_label")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("dst_label") === col("src_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_ppm", expr("n_agree * 1000000 div k"))
+      .withColumn("suspect", expr("2 * n_agree < k"))
+      .orderBy("src")
+  }
 
   /** Margin-based bitext mining (Artetxe & Schwenk ACL'19: candidate
     * pair score = cos(x,y) normalized by the mean cosine of each
@@ -3789,6 +3853,43 @@ object ExtensionQueries {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, cos_q FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_rerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sv
+        |  FROM e, unnest(range(0, 8)) AS u(s)),
+        |cbs AS (SELECT s, vec_id AS code, sv AS cb FROM sub WHERE vec_id % 37 = 0),
+        |d AS (SELECT sub.vec_id, sub.s, cbs.code,
+        |    CAST(floor(list_reduce(list_transform(range(1, 9),
+        |      i -> (sv[i]-cb[i])*(sv[i]-cb[i])), (x,y)->x+y) * 10000) AS BIGINT) AS d2q
+        |  FROM sub JOIN cbs USING (s)),
+        |enc AS (SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, code) AS rn
+        |    FROM d) t
+        |  WHERE rn = 1),
+        |tab AS (SELECT vec_id AS query_id, s, code, d2q AS dq FROM d WHERE vec_id % 50 = 0),
+        |adc AS (SELECT t.query_id, e2.vec_id AS neighbor_id,
+        |    CAST(sum(t.dq) AS BIGINT) AS adc_q
+        |  FROM enc e2 JOIN tab t ON e2.s = t.s AND e2.code = t.code
+        |  WHERE t.query_id <> e2.vec_id
+        |  GROUP BY 1, 2),
+        |shortlist AS (SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_q, neighbor_id) AS INT) AS adc_rank FROM adc
+        |  QUALIFY adc_rank <= 50),
+        |exact AS (SELECT s.query_id, s.neighbor_id, s.adc_rank,
+        |    CAST(floor(10000 * (
+        |      list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+        |      (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+        |       sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+        |  FROM shortlist s JOIN e q ON s.query_id = q.vec_id
+        |    JOIN e c ON s.neighbor_id = c.vec_id),
+        |rr AS (SELECT query_id, neighbor_id, cos_q, adc_rank,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_q DESC, neighbor_id) AS INT) AS rank FROM exact)
+        |SELECT query_id, neighbor_id, rank, cos_q, adc_rank FROM rr
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_ann_pq" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -3940,6 +4041,19 @@ object ExtensionQueries {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, cos_q FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_label_noise" -> (knnEdgesCte + ",\n" +
+      """lab AS (SELECT vec_id, label FROM embeddings),
+        |j AS (SELECT e.src, lx.label AS src_label, ly.label AS dst_label
+        |  FROM edges e JOIN lab lx ON e.src = lx.vec_id
+        |    JOIN lab ly ON e.dst = ly.vec_id)
+        |SELECT src, src_label, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN dst_label = src_label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_agree,
+        |  CAST(sum(CASE WHEN dst_label = src_label THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS agree_ppm,
+        |  2 * sum(CASE WHEN dst_label = src_label THEN 1 ELSE 0 END)
+        |    < count(*) AS suspect
+        |FROM j GROUP BY src, src_label ORDER BY src""".stripMargin),
     "q_bitext_margin" -> (knnEdgesCte + ",\n" +
       """sums AS (SELECT src, CAST(sum(cos_q) AS BIGINT) AS sumk,
         |    CAST(count(*) AS BIGINT) AS k
@@ -4700,6 +4814,61 @@ object ExtensionQueries {
         |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
         |  CAST(sum(c) AS BIGINT) AS n_occurrences
         |FROM c GROUP BY marker ORDER BY marker""".stripMargin,
+    "q_ingest_gate" ->
+      """WITH p AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'cafÃ© ' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '<p class="intro">' ELSE '' END) ||
+        |    text ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '</p>' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN ' <|endoftext|>' ELSE '' END)
+        |      AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |    length(text) - length(replace(text, '�', '')) AS n_repl,
+        |    (length(text) - length(replace(text, 'Ã©', ''))) // 2
+        |     + (length(text) - length(replace(text, 'Ã¨', ''))) // 2
+        |     + (length(text) - length(replace(text, 'Ã¼', ''))) // 2
+        |     + (length(text) - length(replace(text, 'Ã¤', ''))) // 2
+        |     + (length(text) - length(replace(text, 'Ã±', ''))) // 2
+        |     + (length(text) - length(replace(text, 'â€™', ''))) // 3
+        |     + (length(text) - length(replace(text, 'â€œ', ''))) // 3
+        |     + (length(text) - length(replace(text, 'â€', ''))) // 2
+        |     + (length(text) - length(replace(text, 'Â ', ''))) // 2
+        |     + (length(text) - length(replace(text, 'ï»¿', ''))) // 3 AS n_double,
+        |    (length(text) - length(replace(text, '<|endoftext|>', ''))) // 13
+        |     + (length(text) - length(replace(text, '<|im_start|>', ''))) // 12
+        |     + (length(text) - length(replace(text, '<|im_end|>', ''))) // 10
+        |     + (length(text) - length(replace(text, '<s>', ''))) // 3
+        |     + (length(text) - length(replace(text, '</s>', ''))) // 4
+        |     + (length(text) - length(replace(text, '[INST]', ''))) // 6
+        |     + (length(text) - length(replace(text, '[/INST]', ''))) // 7
+        |     + (length(text) - length(replace(text, '<pad>', ''))) // 5
+        |     + (length(text) - length(replace(text, '<unk>', ''))) // 5
+        |     + (length(text) - length(replace(text, '<mask>', ''))) // 6
+        |      AS n_special,
+        |    len(string_split(text, ' ')) AS n_toks,
+        |    len(list_filter(string_split(text, ' '), x ->
+        |      list_contains(['slow','crash','leak','spill','panic'], x)))
+        |      AS n_bad,
+        |    length(text) - length(regexp_replace(text, '<[^>]*>', '', 'g'))
+        |      AS tag_chars,
+        |    length(text) AS len
+        |  FROM p),
+        |r AS (SELECT doc_id,
+        |    text IS NULL AS reason_unreadable,
+        |    coalesce(n_repl + n_double > 0, false) AS reason_mojibake,
+        |    coalesce(n_special > 0, false) AS reason_special,
+        |    coalesce(n_toks > 0 AND n_bad * 1000000 // n_toks > 10000, false)
+        |      AS reason_badword,
+        |    coalesce(len > 0 AND tag_chars * 1000000 // len > 20000, false)
+        |      AS reason_markup
+        |  FROM c)
+        |SELECT doc_id, reason_unreadable, reason_mojibake, reason_special,
+        |  reason_badword, reason_markup,
+        |  NOT reason_unreadable AND NOT reason_mojibake AND
+        |  NOT reason_special AND NOT reason_badword AND NOT reason_markup
+        |    AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_badwords" ->
       """WITH c AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -5060,6 +5229,7 @@ object ExtensionQueries {
     "q_ann_multiprobe"  -> (annLshMultiProbe _),
     "q_ann_ivf"         -> (annIvf _),
     "q_ann_pq"          -> (annPq _),
+    "q_ann_rerank"      -> (annRerank _),
     "q_ann_ivfpq"       -> (annIvfPq _),
     "q_semdedup"        -> (semDedup _),
     "q_ann_ivf2"        -> (annIvf2 _),
@@ -5117,6 +5287,7 @@ object ExtensionQueries {
     "q_html_strip"      -> (htmlStripQ _),
     "q_special_tokens"  -> (specialTokensQ _),
     "q_badwords"        -> (badwordsQ _),
+    "q_ingest_gate"     -> (ingestGateQ _),
     "q_vocab_growth"    -> (vocabGrowthQ _),
     "q_interval_join"   -> (intervalJoin _),
     "q_pagerank"        -> (pageRankQ _),
@@ -5170,6 +5341,7 @@ object ExtensionQueries {
     "q_coverage_curve"  -> (coverageCurveQ _),
     "q_knn_graph"       -> (knnGraphQ _),
     "q_bitext_margin"   -> (bitextMargin _),
+    "q_label_noise"     -> (labelNoiseQ _),
     "q_edit_pairs"      -> (editPairs _),
     "q_gopher_rules"    -> (gopherRulesQ _),
     "q_cluster_quality" -> (clusterQuality _),

@@ -430,4 +430,26 @@ class SketchGraphSpec extends SparkSpec {
     assert(margins.forall(_ > 0))
     assert(margins.sameElements(margins.sortBy(-_)))
   }
+
+  test("pqRerankTopK: exact stage re-scores only the ADC shortlist; " +
+    "cos values agree with brute force; the re-rank genuinely reorders") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val rerank = Similarity.pqRerankTopK(q, e, k = 5, shortlist = 50).collect()
+    val shortlistPairs = Similarity.pqTopK(q, e, k = 50).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(rerank.forall(r => shortlistPairs(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))))
+    val brute = Similarity.bruteForceTopK(q, e, k = e.count().toInt).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("cos_q")).toMap
+    assert(rerank.forall(r => brute(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))) ===
+      r.getAs[Long]("cos_q")))
+    // compression mis-orders at least one pair somewhere (else the
+    // refine stage would be pointless on this fixture)
+    assert(rerank.exists(r => r.getAs[Int]("rank") !=
+      r.getAs[Int]("adc_rank")))
+  }
 }

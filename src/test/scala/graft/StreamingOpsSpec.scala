@@ -863,4 +863,37 @@ class StreamingOpsSpec extends SparkSpec {
       assert(latest()("a").size === k, "reservoir stays exactly k")
     } finally q.stop()
   }
+
+  test("ingestGate on a STREAM: the stateless projection gates batches " +
+    "bit-identically to the batch gate over the same docs") {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "plain good text here"),
+      (2L, "broken caf\u00c3\u00a9 mark"),
+      (3L, "template <|endoftext|> leaked"),
+      (4L, "slow slow slow pipeline"),
+      (5L, "<p>very</p><b>taggy</b>"),
+      (6L, null.asInstanceOf[String]))
+    val static = corpus.toDF("doc_id", "text")
+    val batch = graft.ops.TextStats
+      .ingestGate(static, maxBadPpm = 10000L, maxMarkupPpm = 100000L)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(batch.count(_._7) === 1) // only doc 1 survives
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.TextStats
+      .ingestGate(mem.toDF().toDF("doc_id", "text"),
+        maxBadPpm = 10000L, maxMarkupPpm = 100000L)
+      .writeStream.format("memory").queryName("gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      corpus.grouped(2).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      val live = spark.table("gate")
+        .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+        .collect().sortBy(_._1).toSeq
+      assert(live === batch)
+    } finally q.stop()
+  }
 }
