@@ -1448,4 +1448,36 @@ object Dedup {
       .join(dups, Seq("vec_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
   }
+
+  /** Blocked record linkage (Fellegi–Sunter blocking + edit-distance
+    * match — the standard entity-resolution shape, Christen's survey
+    * 2012): candidate pairs are generated ONLY within a blocking key
+    * (never all-pairs), ordered `id_a < id_b` so each pair appears
+    * once, pre-pruned by the length-difference lower bound (|len a −
+    * len b| ≤ maxDist implies nothing about the distance EXCEPT that
+    * pairs failing it cannot match — the cheap conjunct short-
+    * circuits before the O(n·m) Levenshtein evaluates), and kept at
+    * `levenshtein ≤ maxDist`. Unit-cost Levenshtein is the same
+    * deterministic recurrence in every engine, so the pair table
+    * hash-gates.
+    *
+    * Shape for scale: ONE equi-join shuffle on the block key; within-
+    * block pair count is the classic ER cost model — block quality
+    * (not corpus size) bounds the bill, and a skewed block is an AQE
+    * skew-join case, not a plan change.
+    */
+  def blockedLinkage(df: DataFrame, blockCol: String, idCol: String,
+                     nameCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
+      col(nameCol).as("name_a"))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
+      col(nameCol).as("name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("block", "id_a", "id_b", "name_a", "name_b", "dist")
+  }
 }

@@ -457,6 +457,29 @@ object Profile {
           "ELSE CAST(0 AS BIGINT) END"))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney IJUFKS'02; Machanavajjhala
+    * et al. TKDD'07): per quasi-identifier group, its size, the number
+    * of DISTINCT sensitive values it carries, and the two verdicts —
+    * `n ≥ k` (an attacker knowing the quasi-identifiers finds at least
+    * k candidates) and `distinct-sensitive ≥ l` (and cannot infer the
+    * sensitive value even inside the group; k-anonymous-but-1-diverse
+    * groups are the classic homogeneity attack). The release decision
+    * for any aggregate view of user-adjacent data reads this table
+    * first.
+    *
+    * One hash-aggregate: count + count(DISTINCT sensitive) over the
+    * quasi columns — partial-aggregated, group-bounded output.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: Column,
+                 k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitiveCol).as("n_distinct_sensitive"))
+      .withColumn("k_anonymous", col("n") >= k)
+      .withColumn("l_diverse", col("n_distinct_sensitive") >= l)
+  }
+
   /** Robust per-group outlier census by median / median-absolute-
     * deviation (Hampel's robust z-score; Leys et al. JESP 2013 for
     * the 1.4826 consistency constant): a value is an outlier when

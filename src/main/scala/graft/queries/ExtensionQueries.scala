@@ -1051,6 +1051,29 @@ object ExtensionQueries {
   def benfordQ(s: SparkSession, d: String): DataFrame =
     Profile.benford(Tables.lineitem(s, d), col("l_extendedprice"))
 
+  /** Blocked record linkage ([[Dedup.blockedLinkage]]) over the
+    * customer dimension, blocked by nation: the near-identical-name
+    * pair table an entity-resolution pass reviews. Synthetic
+    * `Customer#NNNNNNNNN` names make edit distance = differing digit
+    * positions — dense enough to exercise the whole pair pipeline.
+    */
+  def recordLinkageQ(s: SparkSession, d: String): DataFrame =
+    Dedup.blockedLinkage(Tables.customer(s, d), "c_nationkey", "c_custkey",
+        "c_name", maxDist = 2)
+      .orderBy("block", "id_a", "id_b")
+
+  /** k-anonymity / l-diversity audit ([[Profile.kAnonymity]]) of the
+    * customer dimension under the (nation, segment) quasi-identifier
+    * with the account balance (bucketed to thousands) sensitive:
+    * which quasi-groups are too small to release, and which are
+    * k-anonymous yet sensitive-homogeneous.
+    */
+  def kAnonymityQ(s: SparkSession, d: String): DataFrame =
+    Profile.kAnonymity(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"), k = 10L, l = 3L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   /** Robust per-type outlier census ([[Profile.madOutliers]]) over the
     * event value feed: median/MAD z-score at the standard 3σ-equivalent
     * cut — the numeric-feed anomaly table that the mean/stddev rule
@@ -2741,6 +2764,26 @@ object ExtensionQueries {
         |      // (bucket * n_docs) AS BIGINT)
         |    ELSE 0 END AS pad_ppm
         |FROM g ORDER BY bucket""".stripMargin,
+    "q_record_linkage" ->
+      """WITH cu AS (SELECT c_nationkey AS block, c_custkey, c_name
+        |  FROM customer)
+        |SELECT a.block AS block, a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM cu a JOIN cu b ON a.block = b.block
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY a.block, id_a, id_b""".stripMargin,
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |    AS BIGINT) AS n_distinct_sensitive,
+        |  count(*) >= 10 AS k_anonymous,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3
+        |    AS l_diverse
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "q_outliers" ->
       """WITH b AS (SELECT event_type AS grp, event_id AS id,
         |    CAST(floor(value * 1000) AS BIGINT) AS vq
@@ -5279,6 +5322,8 @@ object ExtensionQueries {
     "q_fd"              -> (fdDiscovery _),
     "q_benford"         -> (benfordQ _),
     "q_outliers"        -> (madOutliersQ _),
+    "q_record_linkage"  -> (recordLinkageQ _),
+    "q_k_anonymity"     -> (kAnonymityQ _),
     "q_cluster_sizes"   -> (clusterSizes _),
     "q_pad_waste"       -> (padWaste _),
     "q_bpe_sweep"       -> (bpeSweep _),

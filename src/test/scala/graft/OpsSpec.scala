@@ -2237,4 +2237,17 @@ class OpsSpec extends SparkSpec {
       out(3L).getAs[Boolean]("pass"))
     assert(!out(4L).getAs[Boolean]("pass"))
   }
+
+  test("blockedLinkage: pairs only within a block, each once, length " +
+    "prune and distance threshold both bite") {
+    val d = Seq(
+      (1L, "x", "abc"), (2L, "x", "abd"), (3L, "x", "xyz"),
+      (4L, "y", "abc"),                     // same name, other block
+      (5L, "x", "abcdef")                   // length diff 3 > maxDist
+    ).toDF("id", "blk", "nm")
+    val out = Dedup.blockedLinkage(d, "blk", "id", "nm", maxDist = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("dist"))).sorted.toSeq
+    assert(out === Seq((1L, 2L, 1)))
+  }
 }

@@ -243,4 +243,20 @@ class SkewProfileSpec extends SparkSpec {
     assert(c.getAs[Long]("med") === 42000L && c.getAs[Long]("mad") === 0L &&
       c.getAs[Long]("n_outliers") === 0L)
   }
+
+  test("kAnonymity: group size and sensitive diversity verdict " +
+    "independently; the homogeneous big group is the classic leak") {
+    val d = (1 to 12).map(i => ("g1", "s1", i % 4)) ++   // n=12, 4 values
+      (1 to 10).map(_ => ("g2", "s1", 7)) ++             // n=10, 1 value
+      Seq(("g3", "s1", 1), ("g3", "s1", 2))              // n=2
+    val out = Profile.kAnonymity(d.toDF("q1", "q2", "sv"),
+        Seq("q1", "q2"), col("sv"), k = 10L, l = 3L)
+      .collect().map(r => r.getAs[String]("q1") -> r).toMap
+    assert(out("g1").getAs[Boolean]("k_anonymous") &&
+      out("g1").getAs[Boolean]("l_diverse"))
+    assert(out("g2").getAs[Boolean]("k_anonymous") &&
+      !out("g2").getAs[Boolean]("l_diverse"))
+    assert(!out("g3").getAs[Boolean]("k_anonymous"))
+    assert(out("g1").getAs[Long]("n_distinct_sensitive") === 4L)
+  }
 }
