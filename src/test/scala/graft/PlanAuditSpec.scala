@@ -461,4 +461,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
     assert(!p.toLowerCase.contains("rangepartitioning"), p)
   }
+
+  test("ingestGate is ONE shuffle-free codegen'd projection — no " +
+    "Exchange, no Generate, no join anywhere in the gate") {
+    // (a local fixture may constant-fold the whole gate into the scan —
+    // the pin is what may NOT appear, not codegen cosmetics)
+    val p = plan(graft.ops.TextStats.ingestGate(docs))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("madOutliers: every shuffle hashes on the group key (both median " +
+    "windows + final agg), median frames come back as BROADCAST joins, " +
+    "nothing global") {
+    val ev = (1 to 200).map(i => (s"t${i % 5}", i.toLong, i / 7.0))
+      .toDF("etype", "id", "v")
+    val p = plan(graft.ops.Profile.madOutliers(ev, "v", "etype", "id"))
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("blockedLinkage joins ONLY on the block key (equi-join, no " +
+    "cartesian) and the length prune sits beside the distance filter") {
+    val d = (1 to 100).map(i => (i.toLong, s"b${i % 7}", s"name$i"))
+      .toDF("id", "blk", "nm")
+    val p = plan(graft.ops.Dedup.blockedLinkage(d, "blk", "id", "nm", 2))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
+  test("pqRerankTopK stage 2: candidate frame BROADCASTS against the " +
+    "corpus id lookup — the corpus never shuffles for the refine pass") {
+    import graft.ops.Similarity
+    val p = plan(Similarity.pqRerankTopK(
+      embs.filter(col("vec_id") % 10 === 0), embs, k = 3, shortlist = 10,
+      m = 2, dim = 8))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
