@@ -1469,8 +1469,17 @@ object Dedup {
   def blockedLinkage(df: DataFrame, blockCol: String, idCol: String,
                      nameCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
+    // the join AMPLIFIES work ~block-size× per probe row, so candidate
+    // scoring parallelism must not be bound by the input's file count
+    // (a dimension read as one parquet file = one partition = one core
+    // paying the whole Levenshtein bill). The partition count is pinned
+    // EXPLICITLY: the probe rows are bytes-tiny, so AQE's size-based
+    // coalescing would fold the unpinned shuffle straight back to one
+    // partition — the amplification is invisible to a size heuristic.
     val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
       col(nameCol).as("name_a"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"))
     val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
       col(nameCol).as("name_b"))
     a.join(b, Seq("block"))

@@ -1060,6 +1060,9 @@ object ExtensionQueries {
   def recordLinkageQ(s: SparkSession, d: String): DataFrame =
     Dedup.blockedLinkage(Tables.customer(s, d), "c_nationkey", "c_custkey",
         "c_name", maxDist = 2)
+      // truncate before the global sort: orderBy's range-sampling pass
+      // would otherwise re-execute the whole pair evaluation
+      .localCheckpoint()
       .orderBy("block", "id_a", "id_b")
 
   /** k-anonymity / l-diversity audit ([[Profile.kAnonymity]]) of the
