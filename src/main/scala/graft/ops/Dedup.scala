@@ -1485,8 +1485,12 @@ object Dedup {
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      // the 3-arg banded form (Ukkonen) fills only the ±maxDist
+      // diagonal band and early-exits to -1 past the threshold:
+      // O(maxDist·n) per pair instead of O(n·m) on the pair-join hot
+      // loop; surviving pairs carry the same distance as the full DP
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select("block", "id_a", "id_b", "name_a", "name_b", "dist")
   }
 }
