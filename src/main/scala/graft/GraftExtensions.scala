@@ -30,10 +30,12 @@ import graft.functions.{DotProduct, HilbertKey, HyperplaneBuckets, MinHashHex, N
   * the Column API's Int parameters.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
+  }
 }
 
 object GraftExtensions {
@@ -42,11 +44,19 @@ object GraftExtensions {
     * function registry (tests, notebooks); `spark.sql.extensions` is
     * the config-driven equivalent for new sessions.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     registrations.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
+    // a running session cannot gain injected optimizer rules; the
+    // experimental hook is the documented live-session equivalent
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.BandedLevenshteinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.BandedLevenshteinRule
+  }
 
   private def intArg(fn: String, arg: String, e: Expression): Int = e match {
     case lit: Literal if lit.foldable =>

@@ -2185,6 +2185,29 @@ object ExtensionQueries {
   def gopherRulesQ(s: SparkSession, d: String): DataFrame =
     TextStats.gopherRules(docs(s, d)).orderBy("doc_id")
 
+  /** Dup × quality interaction (the 2×2 a curation review reads before
+    * ordering the pipeline stages: if the duplicated mass is mostly
+    * HIGH-quality, dedup-then-filter and filter-then-dedup yield very
+    * different corpora — boilerplate dups usually fail quality, mirror
+    * dups usually pass): doc and token mass by (is_dup from the SHARED
+    * cluster memo, pass from the Gopher gate). Two already-gated
+    * definitions composed — no third definition to drift.
+    */
+  def dupQualityQ(s: SparkSession, d: String): DataFrame = {
+    val cl = docClusters(s, d)
+    val sizes = cl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("csize"))
+    val dup = cl.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), (col("csize") > 1).as("is_dup"))
+    val gate = TextStats.gopherRules(docs(s, d)).select("doc_id", "pass")
+    val toks = docs(s, d).select(col("doc_id"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_toks"))
+    dup.join(gate, Seq("doc_id")).join(toks, Seq("doc_id"))
+      .groupBy("is_dup", "pass")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .orderBy("is_dup", "pass")
+  }
+
   /** Per-cluster dedup economics over the SHARED cluster assignment
     * (token counts as the score): dup_score = tokens reclaimed by
     * keeping only each cluster's best member.
@@ -2334,7 +2357,21 @@ object ExtensionQueries {
          |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
          |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
          |      FROM (${oracleBase("q_dedup_clusters")}) GROUP BY 1)
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) +
+    // dup × quality composes the gated cluster chain with the gated
+    // Gopher gate — again no third definition to drift
+    ("q_dup_quality" ->
+      s"""WITH cl AS (${oracleBase("q_dedup_clusters")}),
+         |sz AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY 1),
+         |dup AS (SELECT cl.doc_id, sz.csize > 1 AS is_dup
+         |  FROM cl JOIN sz USING (cluster_id)),
+         |gate AS (SELECT doc_id, pass FROM (${oracleBase("q_gopher_rules")})),
+         |tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |    AS n_toks FROM documents)
+         |SELECT dup.is_dup, gate.pass, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tk.n_toks) AS BIGINT) AS n_tokens
+         |FROM dup JOIN gate USING (doc_id) JOIN tk USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     "q_range_join" ->
@@ -5392,6 +5429,7 @@ object ExtensionQueries {
     "q_label_noise"     -> (labelNoiseQ _),
     "q_edit_pairs"      -> (editPairs _),
     "q_gopher_rules"    -> (gopherRulesQ _),
+    "q_dup_quality"     -> (dupQualityQ _),
     "q_cluster_quality" -> (clusterQuality _),
     "q_embed_drift"     -> (embedDrift _),
     "q_mix_plan"        -> (mixPlan _),

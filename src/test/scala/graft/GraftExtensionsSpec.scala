@@ -148,4 +148,38 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(d === graft.functions.HilbertKey.compute(x, y, 3))
     }
   }
+
+  test("BandedLevenshteinRule rewrites thresholded full-DP levenshtein " +
+    "filters and join conditions to the banded early-exit form, with " +
+    "identical results; the 3-arg form is never touched") {
+    val d = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz"), (4L, "abcd"))
+      .toDF("id", "nm")
+    d.createOrReplaceTempView("lev_t")
+    val q = spark.sql(
+      """SELECT a.id AS ia, b.id AS ib FROM lev_t a JOIN lev_t b
+        |ON a.id < b.id WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Some(1)"), opt)          // banded form injected
+    assert(!opt.contains("levenshtein(a") || !opt.contains(", None)"), opt)
+    val got = q.as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    // strict < : threshold becomes k-1
+    val q2 = spark.sql(
+      "SELECT count(*) FROM lev_t a JOIN lev_t b ON a.id < b.id " +
+        "AND levenshtein(a.nm, b.nm) < 2")
+    assert(q2.queryExecution.optimizedPlan.toString.contains("Some(1)"))
+    assert(q2.as[Long].head() === 3L)
+    // already-banded stays as written
+    val q3 = spark.sql(
+      "SELECT count(*) FROM lev_t a, lev_t b WHERE a.id < b.id " +
+        "AND levenshtein(a.nm, b.nm, 3) >= 0")
+    assert(q3.queryExecution.optimizedPlan.toString.contains("Some(3)"))
+    // NULL propagation: null name drops the row under both forms
+    val dn = Seq((1L, "abc"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "nm")
+    dn.createOrReplaceTempView("lev_n")
+    assert(spark.sql(
+      "SELECT count(*) FROM lev_n a, lev_n b " +
+        "WHERE levenshtein(a.nm, b.nm) <= 5").as[Long].head() === 1L)
+  }
 }
