@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, HilbertKey, HyperplaneBuckets, MinHashHex, NfcNormalize, ShingleMinHash, SimHash32, WindowHashes, WinnowFingerprints, WordNgrams}
+import graft.functions.{DotProduct, HilbertKey, HyperplaneBuckets, MinHashHex, MultiCountLiterals, NfcNormalize, ShingleMinHash, SimHash32, WindowHashes, WinnowFingerprints, WordNgrams}
 
 /** SQL surface for the native graft expressions: registered through
   * `SparkSessionExtensions`, so a pure-SQL user gets the same codegen'd
@@ -18,6 +18,7 @@ import graft.functions.{DotProduct, HilbertKey, HyperplaneBuckets, MinHashHex, N
   * or imperatively on a live session via [[GraftExtensions.register]].
   *
   * Functions (all null-propagating like their Column twins):
+  *   - `graft_multicount(string, array<string>) -> array<bigint>`
   *   - `graft_dot(array<double>, array<double>) -> double`
   *   - `graft_simhash(array<string>) -> bigint`
   *   - `graft_shingle_minhash(array<string>) -> string`
@@ -81,7 +82,31 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
+  private def strArrayArg(fn: String, arg: String, e: Expression): Seq[String] = e match {
+    case lit if lit.foldable =>
+      lit.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map { i =>
+            require(!a.isNullAt(i), s"$fn: $arg must not contain nulls")
+            a.getUTF8String(i).toString
+          }
+        case other => throw new IllegalArgumentException(
+          s"$fn: $arg must be an array literal, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a foldable array of string literals, got $other")
+  }
+
   private[graft] val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_multicount",
+      info("graft_multicount",
+        "graft_multicount(text, array('p1', ...)) - one Aho-Corasick pass " +
+          "counting non-overlapping occurrences of every literal pattern"),
+      args => {
+        arity("graft_multicount", args, 2)
+        MultiCountLiterals(args(0),
+          strArrayArg("graft_multicount", "patterns", args(1)))
+      }),
     ("graft_dot",
       info("graft_dot",
         "graft_dot(a, b) - codegen'd loop dot product of two double arrays"),

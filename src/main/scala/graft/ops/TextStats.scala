@@ -1133,15 +1133,20 @@ object TextStats {
   def mojibake(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val nRepl = countLiteral(t, "\uFFFD")
-    val nDouble = MojibakeMarks.map(countLiteral(t, _))
+    // ONE Aho\u2013Corasick pass counts all 11 literals (kernel #12) \u2014
+    // replace-identity semantics spec-pinned, oracles unchanged
+    val pats = "\uFFFD" +: MojibakeMarks
+    val cts = graft.functions.MultiCountLiterals(t, pats)
+    val nRepl = element_at(col("cts"), 1)
+    val nDouble = (2 to pats.size).map(i => element_at(col("cts"), i))
       .reduce(_ + _)
     val nCtl = (length(t) -
       length(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
     docs.filter(t.isNotNull)
-      .select(col(idCol).as("doc_id"), nRepl.as("n_replacement"),
-        nDouble.as("n_double_utf8"), nCtl.as("n_control"),
-        length(t).cast("long").as("n_chars"))
+      .select(col(idCol).as("doc_id"), cts.as("cts"),
+        nCtl.as("n_control"), length(t).cast("long").as("n_chars"))
+      .select(col("doc_id"), nRepl.as("n_replacement"),
+        nDouble.as("n_double_utf8"), col("n_control"), col("n_chars"))
       .withColumn("bad_ppm",
         when(col("n_chars") > 0,
           expr("(n_replacement + n_double_utf8 + n_control) * 1000000 div n_chars"))
@@ -1198,9 +1203,12 @@ object TextStats {
                         textCol: String = "text"): DataFrame = {
     require(markers.nonEmpty, "no markers")
     val t = col(textCol)
+    // one automaton pass for every marker (kernel #12), then the
+    // per-marker columns peel off the counts array
     val counted = docs.filter(t.isNotNull)
-      .select(markers.zipWithIndex.map { case (m, i) =>
-        countLiteral(t, m).as(s"c_$i")
+      .select(graft.functions.MultiCountLiterals(t, markers).as("cts"))
+      .select(markers.indices.map { i =>
+        element_at(col("cts"), i + 1).as(s"c_$i")
       }: _*)
     val stackArgs = markers.zipWithIndex
       .map { case (m, i) => s"'${m.replace("'", "''")}', c_$i" }
@@ -1231,9 +1239,14 @@ object TextStats {
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val nRepl = countLiteral(t, "\uFFFD")
-    val nDouble = MojibakeMarks.map(countLiteral(t, _)).reduce(_ + _)
-    val nSpecial = SpecialTokens.map(countLiteral(t, _)).reduce(_ + _)
+    // one automaton pass for ALL 21 encoding + template literals
+    // (kernel #12); the mojibake block is the first 11 entries, the
+    // template block the rest
+    val pats = ("\uFFFD" +: MojibakeMarks) ++ SpecialTokens
+    val nMoji = (1 to MojibakeMarks.size + 1)
+      .map(i => element_at(col("cts"), i)).reduce(_ + _)
+    val nSpecial = (MojibakeMarks.size + 2 to pats.size)
+      .map(i => element_at(col("cts"), i)).reduce(_ + _)
     val toks = tokens(t)
     val nToks = size(toks).cast("long")
     val nBad = hits(toks, Blocklist).cast("long")
@@ -1244,13 +1257,16 @@ object TextStats {
     val badPpm = floor(nBad * lit(1000000L) / nToks).cast("long")
     val markupPpm = floor(tagChars * lit(1000000L) / len).cast("long")
     docs.select(col(idCol).as("doc_id"),
+        graft.functions.MultiCountLiterals(t, pats).as("cts"),
         t.isNull.as("reason_unreadable"),
-        coalesce(nRepl + nDouble > 0, lit(false)).as("reason_mojibake"),
-        coalesce(nSpecial > 0, lit(false)).as("reason_special"),
         coalesce(nToks > 0 && badPpm > lit(maxBadPpm), lit(false))
           .as("reason_badword"),
         coalesce(len > 0 && markupPpm > lit(maxMarkupPpm), lit(false))
           .as("reason_markup"))
+      .select(col("doc_id"), col("reason_unreadable"),
+        coalesce(nMoji > 0, lit(false)).as("reason_mojibake"),
+        coalesce(nSpecial > 0, lit(false)).as("reason_special"),
+        col("reason_badword"), col("reason_markup"))
       .withColumn("keep",
         !col("reason_unreadable") && !col("reason_mojibake") &&
           !col("reason_special") && !col("reason_badword") &&

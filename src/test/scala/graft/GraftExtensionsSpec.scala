@@ -182,4 +182,15 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT count(*) FROM lev_n a, lev_n b " +
         "WHERE levenshtein(a.nm, b.nm) <= 5").as[Long].head() === 1L)
   }
+
+  test("graft_multicount from SQL == the kernel Column form; shape " +
+    "errors are loud") {
+    val got = spark.sql(
+      "SELECT graft_multicount('aaa ab', array('aa', 'ab'))")
+      .head().getSeq[Long](0)
+    assert(got === Seq(1L, 1L))
+    assert(intercept[Exception](spark.sql(
+      "SELECT graft_multicount('x', array('a', NULL))").collect())
+      .getMessage.contains("null"))
+  }
 }

@@ -2250,4 +2250,31 @@ class OpsSpec extends SparkSpec {
         r.getAs[Int]("dist"))).sorted.toSeq
     assert(out === Seq((1L, 2L, 1)))
   }
+
+  test("MultiCountLiterals (kernel #12): one automaton pass == the " +
+    "replace-identity chain, incl. self-overlap, pattern-in-pattern, " +
+    "multi-byte, and empty text") {
+    import graft.functions.MultiCountLiterals
+    val pats = Seq("aa", "\u00e2\u20ac", "\u00e2\u20ac\u2122", "<s>", "ab")
+    val d = Seq(
+      (1L, "aaa ab aaaa"),                 // aa: 1+2 greedy; ab: 1
+      (2L, "x\u00e2\u20ac\u2122y"),        // the prefix counts for BOTH
+      (3L, "<s><s>ab<s>"),
+      (4L, ""),
+      (5L, "no hits here")
+    ).toDF("doc_id", "text")
+    val viaKernel = d.select(col("doc_id"),
+        MultiCountLiterals(col("text"), pats).as("c")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val viaChain = d.select(col("doc_id") +: pats.zipWithIndex.map {
+        case (pt, i) => TextStats.countLiteral(col("text"), pt).as(s"c$i")
+      }: _*).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        pats.indices.map(i => r.getAs[Long](s"c$i"))).toMap
+    for (id <- viaKernel.keys) assert(viaKernel(id) === viaChain(id),
+      s"doc $id: kernel ${viaKernel(id)} vs chain ${viaChain(id)}")
+    assert(viaKernel(1L) === Seq(3L, 0L, 0L, 0L, 1L))
+    assert(viaKernel(2L) === Seq(0L, 1L, 1L, 0L, 0L))
+    assert(viaKernel(3L) === Seq(0L, 0L, 0L, 3L, 1L))
+  }
 }
