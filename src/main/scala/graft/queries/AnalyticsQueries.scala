@@ -148,6 +148,39 @@ object AnalyticsQueries {
     building.intersect(bigSpenders).orderBy("c_custkey")
   }
 
+  /** Last-touch click attribution: every click joins its user's views
+    * inside the preceding `windowUs` (a time-BOUNDED equi+range join —
+    * the bound is what makes the streaming twin's state finite,
+    * [[graft.streaming.EventStreamOps.streamingAttribution]]), then
+    * the LATEST qualifying view wins (ties by highest view id —
+    * deterministic). `gap_us` is the click−view lag the attribution
+    * report plots. Integer-µs time math end to end.
+    *
+    * Shape for scale: one shuffle on user_id for the join; the
+    * last-touch pick is a per-click window over the already-bounded
+    * pair set (≤ views-per-user-per-day each), never over raw events.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val windowUs = 86400000000L // 24 h
+    val ev = Tables.events(s, dir)
+    val us = epochUs(ev, "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), us.as("view_us"), col("event_id").as("view_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), us.as("click_us"), col("event_id").as("click_id"))
+    val w = Window.partitionBy(col("click_id"))
+      .orderBy(col("view_us").desc, col("view_id").desc)
+    c.join(v, Seq("user_id"))
+      .filter(col("view_us") <= col("click_us") &&
+        col("click_us") <= col("view_us") + windowUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("click_id"), col("user_id"), col("click_us"),
+        col("view_id"), col("view_us"),
+        (col("click_us") - col("view_us")).as("gap_us"))
+      .orderBy("click_id")
+  }
+
   /** Sessionization (batch): per-user runs of events whose event_id
     * gap <= 100 form a session; emits per-user session stats. The
     * classic lag -> flag -> cumulative-sum window pipeline, one
@@ -613,6 +646,22 @@ object AnalyticsQueries {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
         |ORDER BY c_custkey""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |v AS (SELECT user_id, us AS view_us, event_id AS view_id
+        |  FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us AS click_us, event_id AS click_id
+        |  FROM e WHERE event_type = 'click'),
+        |p AS (SELECT c.click_id, c.user_id, c.click_us, v.view_us, v.view_id,
+        |    row_number() OVER (PARTITION BY c.click_id
+        |      ORDER BY v.view_us DESC, v.view_id DESC) AS rn
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |  WHERE v.view_us <= c.click_us
+        |    AND c.click_us <= v.view_us + 86400000000)
+        |SELECT click_id, user_id, click_us, view_id, view_us,
+        |  click_us - view_us AS gap_us
+        |FROM p WHERE rn = 1 ORDER BY click_id""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id,
@@ -685,6 +734,7 @@ object AnalyticsQueries {
     "q_set_ops"             -> (setOps _),
     "q_set_intersect"       -> (setIntersect _),
     "q_sessionize"          -> (sessionize _),
+    "q_attribution"         -> (attribution _),
     "q_big_orders"          -> (bigOrders _),
     "q_json_extract"        -> (jsonExtract _),
     "q_pivot_events"        -> (pivotEvents _),

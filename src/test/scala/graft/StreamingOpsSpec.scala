@@ -896,4 +896,5 @@ class StreamingOpsSpec extends SparkSpec {
       assert(live === batch)
     } finally q.stop()
   }
+
 }
