@@ -467,6 +467,37 @@ object EventStreamOps {
       .dropDuplicatesWithinWatermark(Seq("text_hash"))
   }
 
+  /** Live record linkage against a STATIC master dimension — the
+    * streaming half of [[graft.ops.Dedup.blockedLinkage]]: each
+    * arriving record blocks on its key, joins ONLY its block's master
+    * rows (stream-static equi-join, re-planned per micro-batch so a
+    * refreshed master is picked up without a restart), and matches at
+    * banded Levenshtein ≤ maxDist — the is-this-a-known-entity gate
+    * an ingest pipeline runs before minting a new id. Stateless: no
+    * watermark, no state store; per-batch cost is batch-rows ×
+    * block-size, the same ER cost model as the batch pass, and the
+    * master side reduces to (block, id, name) — broadcast if it fits.
+    * Bit-identical to the batch linkage over the same rows
+    * (spec-pinned) because both sides share the one match definition.
+    */
+  def streamingLinkage(records: DataFrame, master: DataFrame,
+                       blockCol: String, idCol: String, nameCol: String,
+                       maxDist: Int): DataFrame = {
+    val m = master.select(col(blockCol).as("block"),
+      col(idCol).as("master_id"), col(nameCol).as("master_name"))
+    records
+      .select(col(blockCol).as("block"), col(idCol).as("rec_id"),
+        col(nameCol).as("rec_name"))
+      .join(m, Seq("block"))
+      .filter(col("rec_id") =!= col("master_id") &&
+        abs(length(col("rec_name")) - length(col("master_name"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("rec_name"), col("master_name"), maxDist))
+      .filter(col("dist") >= 0)
+      .select("block", "rec_id", "rec_name", "master_id", "master_name",
+        "dist")
+  }
+
   /** STREAMING corpus diff, live half — the batch
     * [[graft.ops.Dedup.corpusDiff]] contract over a re-crawl STREAM of
     * the current corpus against a static base snapshot. Every arriving

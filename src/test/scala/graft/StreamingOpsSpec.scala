@@ -897,4 +897,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+
+  test("streamingLinkage: arriving records match the frozen master " +
+    "block-by-block, bit-identically to the batch linkage definition") {
+    implicit val sc = spark.sqlContext
+    val master = Seq((100L, "x", "abc"), (101L, "x", "abq"),
+      (102L, "y", "abc"), (103L, "x", "zzzzzz"))
+      .toDF("id", "blk", "nm")
+    // (id, blk, nm) arriving records
+    val recs = Seq(
+      (1L, "x", "abd"),    // matches 100 (d1) and 101 (d1: d→q)
+      (2L, "y", "abc"),    // exact match 102, same-block only
+      (3L, "x", "qqqq"),   // no match
+      (4L, "z", "abc"))    // unknown block
+    val expected = Seq(
+      ("x", 1L, 100L, 1), ("x", 1L, 101L, 1), ("y", 2L, 102L, 0))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStreamOps.streamingLinkage(
+        mem.toDF().toDF("id", "blk", "nm"), master,
+        "blk", "id", "nm", maxDist = 2)
+      .writeStream.format("memory").queryName("lnk")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      recs.grouped(2).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      val live = spark.table("lnk")
+        .select("block", "rec_id", "master_id", "dist")
+        .as[(String, Long, Long, Int)].collect().sortBy(r => (r._2, r._3)).toSeq
+      assert(live === expected)
+    } finally q.stop()
+  }
 }
