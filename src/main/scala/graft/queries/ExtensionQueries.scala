@@ -1252,6 +1252,67 @@ object ExtensionQueries {
     * tightness that decides multi-dim scan pruning at 100 TB. Exact
     * integer scaling/interleave on both engines.
     */
+  /** Zone-map pruning-effectiveness audit — the "is the clustering
+    * actually buying scan skips" number that justifies a layout
+    * rewrite: for each layout (Z-order vs Hilbert, same dimensions,
+    * same file count) and each pinned probe band on the leading
+    * dimension, how many file ENVELOPES exclude the band entirely
+    * (`a_max < lo OR a_min > hi` — exactly the min/max test a scan
+    * planner runs against footer statistics) and how much row mass
+    * those skipped files carry. Quarter-domain bands measure broad
+    * scans, the 1%-width band measures point-ish lookups — where
+    * curve locality pays or doesn't.
+    *
+    * Composes the two already-gated file-envelope reports (one
+    * definition per layout, no drift); the probe table is a
+    * broadcast literal × one 2-scalar domain agg.
+    */
+  def pruneAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+    val rep = Layout.zorderReport(li, "l_partkey", "l_suppkey", 16, 64)
+      .withColumn("layout", lit("zorder"))
+      .unionByName(Layout.hilbertReport(li, "l_partkey", "l_suppkey", 8, 64)
+        .withColumn("layout", lit("hilbert")))
+    val dom = li.agg(min(col("l_partkey")).as("amin"),
+      max(col("l_partkey")).as("amax"))
+    val probes = Seq((0, 0, 1, 4), (1, 1, 2, 4), (2, 2, 3, 4), (3, 3, 4, 4),
+        (4, 40, 41, 100))
+      .toDF("probe_id", "lo_num", "hi_num", "den")
+      .crossJoin(broadcast(dom))
+      .select(col("probe_id"),
+        expr("amin + (amax - amin) * lo_num div den").as("lo"),
+        expr("amin + (amax - amin) * hi_num div den").as("hi"))
+    val skip = col("a_max") < col("lo") || col("a_min") > col("hi")
+    rep.crossJoin(broadcast(probes))
+      .groupBy("layout", "probe_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(skip, 1L).otherwise(0L)).as("files_skipped"),
+        sum(when(skip, col("n_rows")).otherwise(0L)).as("rows_skipped"),
+        sum(col("n_rows")).as("n_rows_total"))
+      .withColumn("skip_ppm", expr("files_skipped * 1000000 div n_files"))
+      .orderBy("layout", "probe_id")
+  }
+
+  /** Batch JSON payload key census — per event type, which keys the
+    * `props` payloads actually carry and in what share of that type's
+    * events: the table the live schema-drift detector's frozen
+    * allowlist is REFRESHED from (one definition feeding the live
+    * tripwire's artifact, the boilerplate-scrub discipline). One
+    * explode of the parsed key array + one (type, key) hash-agg; the
+    * per-type event totals broadcast back for exact share ppm.
+    */
+  def jsonKeysQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    ev.select(col("event_type"),
+        explode(expr("json_object_keys(props)")).as("key"))
+      .groupBy("event_type", "key").agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("share_ppm", expr("n * 1000000 div n_events"))
+      .orderBy("event_type", "key")
+  }
+
   def zorder(s: SparkSession, d: String): DataFrame =
     Layout.zorderReport(
         Tables.lineitem(s, d).select("l_partkey", "l_suppkey"),
@@ -2358,6 +2419,41 @@ object ExtensionQueries {
          |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
          |      FROM (${oracleBase("q_dedup_clusters")}) GROUP BY 1)
          |GROUP BY 1 ORDER BY 1""".stripMargin) +
+    // the pruning audit composes the two gated file-envelope reports
+    ("q_prune_audit" ->
+      s"""WITH rep AS (
+         |  SELECT 'zorder' AS layout, * FROM (${oracleBase("q_zorder")})
+         |  UNION ALL
+         |  SELECT 'hilbert' AS layout, * FROM (${oracleBase("q_hilbert")})),
+         |dom AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax
+         |  FROM lineitem),
+         |probes AS (SELECT * FROM (VALUES (0,0,1,4), (1,1,2,4), (2,2,3,4),
+         |    (3,3,4,4), (4,40,41,100)) v(probe_id, lo_num, hi_num, den)),
+         |pb AS (SELECT probe_id,
+         |    amin + (amax - amin) * lo_num // den AS lo,
+         |    amin + (amax - amin) * hi_num // den AS hi
+         |  FROM probes CROSS JOIN dom)
+         |SELECT rep.layout, pb.probe_id, pb.lo, pb.hi,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(CASE WHEN a_max < lo OR a_min > hi THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS files_skipped,
+         |  CAST(sum(CASE WHEN a_max < lo OR a_min > hi THEN n_rows ELSE 0 END)
+         |    AS BIGINT) AS rows_skipped,
+         |  CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+         |  CAST(sum(CASE WHEN a_max < lo OR a_min > hi THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS skip_ppm
+         |FROM rep CROSS JOIN pb
+         |GROUP BY 1, 2, 3, 4 ORDER BY layout, probe_id""".stripMargin) +
+    ("q_json_keys" ->
+      """WITH t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |k AS (SELECT event_type, unnest(json_keys(props)) AS key FROM events),
+        |c AS (SELECT event_type, key, CAST(count(*) AS BIGINT) AS n
+        |  FROM k GROUP BY 1, 2)
+        |SELECT c.event_type, c.key, c.n, t.n_events,
+        |  c.n * 1000000 // t.n_events AS share_ppm
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY event_type, key""".stripMargin) +
     // dup × quality composes the gated cluster chain with the gated
     // Gopher gate — again no third definition to drift
     ("q_dup_quality" ->
@@ -5347,6 +5443,8 @@ object ExtensionQueries {
     "q_image_stats"     -> (imageStats _),
     "q_image_dhash"     -> (imageDHash _),
     "q_zorder"          -> (zorder _),
+    "q_prune_audit"     -> (pruneAudit _),
+    "q_json_keys"       -> (jsonKeysQ _),
     "q_hard_negatives"  -> (hardNegativesQ _),
     "q_ngram_diversity" -> (ngramDiversity _),
     "q_ann_recall"      -> (annRecall _),
