@@ -1252,6 +1252,59 @@ object ExtensionQueries {
     * tightness that decides multi-dim scan pruning at 100 TB. Exact
     * integer scaling/interleave on both engines.
     */
+  /** Column-encoding advisor — the storage-layer sibling of the
+    * layout reports: per audited column, exact distinct count, run
+    * structure IN THE LAKE'S SORT ORDER (rows bucketed into 64
+    * order-key "files", runs counted per file so no global sort
+    * anywhere — at scale runs are a per-file property, which is
+    * exactly how an encoder sees them), and the encoding verdict a
+    * columnar writer would pick: `dictionary` when distinct ≤ 5% of
+    * rows, else `rle` when the mean run ≥ 4 rows, else `plain`.
+    * Numeric columns audit through exact BIGINT casts; run detection
+    * compares string-normalized values so one unpivoted (column,
+    * value) stream serves every audited column with ONE (col, file)-
+    * keyed exchange.
+    */
+  def encodingAdvisorQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val nFiles = 64
+    val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val fileOf = expr(s"l_orderkey * $nFiles div ${maxKey + 1}")
+    val audited = Seq(
+      "l_returnflag" -> col("l_returnflag"),
+      "l_linestatus" -> col("l_linestatus"),
+      "l_partkey" -> col("l_partkey").cast("string"),
+      "l_suppkey" -> col("l_suppkey").cast("string"),
+      "l_quantity" -> col("l_quantity").cast("long").cast("string"))
+    val withVals = li.select(
+      (Seq(fileOf.as("file_id"), col("l_orderkey"), col("l_linenumber")) ++
+        audited.zipWithIndex.map { case ((_, c), i) => c.as(s"c_$i") }): _*)
+      .select(col("file_id"), col("l_orderkey"), col("l_linenumber"),
+        expr("stack(" + audited.size + ", " +
+          audited.zipWithIndex.map { case ((n, _), i) => s"'$n', c_$i" }
+            .mkString(", ") + ") AS (colname, val)"))
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lake —
+    // ties order by the value itself, which is deterministic per
+    // column and matches how a writer lays out equal-key rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("colname", "file_id")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("val"))
+    withVals
+      .withColumn("chg",
+        when(lag(col("val"), 1).over(w).isNull ||
+          lag(col("val"), 1).over(w) =!= col("val"), 1L).otherwise(0L))
+      .groupBy("colname")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("val")).as("n_distinct"),
+        sum(col("chg")).as("n_runs"))
+      .withColumn("avg_run_micro", expr("n * 1000000 div n_runs"))
+      .withColumn("encoding",
+        when(col("n_distinct") * 20 <= col("n"), lit("dictionary"))
+          .when(col("avg_run_micro") >= 4000000L, lit("rle"))
+          .otherwise(lit("plain")))
+      .orderBy("colname")
+  }
+
   /** Zone-map pruning-effectiveness audit — the "is the clustering
     * actually buying scan skips" number that justifies a layout
     * rewrite: for each layout (Z-order vs Hilbert, same dimensions,
@@ -2419,6 +2472,35 @@ object ExtensionQueries {
          |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
          |      FROM (${oracleBase("q_dedup_clusters")}) GROUP BY 1)
          |GROUP BY 1 ORDER BY 1""".stripMargin) +
+    ("q_encoding_advisor" ->
+      """WITH mk AS (SELECT max(l_orderkey) AS mx FROM lineitem),
+        |st AS (SELECT l_orderkey * 64 // (mk.mx + 1) AS file_id,
+        |    l_orderkey, l_linenumber, colname, val
+        |  FROM lineitem CROSS JOIN mk,
+        |  LATERAL (VALUES
+        |    ('l_returnflag', l_returnflag),
+        |    ('l_linestatus', l_linestatus),
+        |    ('l_partkey', CAST(l_partkey AS VARCHAR)),
+        |    ('l_suppkey', CAST(l_suppkey AS VARCHAR)),
+        |    ('l_quantity', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)))
+        |      v(colname, val)),
+        |ch AS (SELECT colname, val,
+        |    CASE WHEN lag(val) OVER (PARTITION BY colname, file_id
+        |        ORDER BY l_orderkey, l_linenumber, val) IS NULL
+        |      OR lag(val) OVER (PARTITION BY colname, file_id
+        |        ORDER BY l_orderkey, l_linenumber, val) <> val
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM st),
+        |agg AS (SELECT colname, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+        |    CAST(sum(chg) AS BIGINT) AS n_runs
+        |  FROM ch GROUP BY 1)
+        |SELECT colname, n, n_distinct, n_runs,
+        |  n * 1000000 // n_runs AS avg_run_micro,
+        |  CASE WHEN n_distinct * 20 <= n THEN 'dictionary'
+        |       WHEN n * 1000000 // n_runs >= 4000000 THEN 'rle'
+        |       ELSE 'plain' END AS encoding
+        |FROM agg ORDER BY colname""".stripMargin) +
     // the pruning audit composes the two gated file-envelope reports
     ("q_prune_audit" ->
       s"""WITH rep AS (
@@ -5444,6 +5526,7 @@ object ExtensionQueries {
     "q_image_dhash"     -> (imageDHash _),
     "q_zorder"          -> (zorder _),
     "q_prune_audit"     -> (pruneAudit _),
+    "q_encoding_advisor" -> (encodingAdvisorQ _),
     "q_json_keys"       -> (jsonKeysQ _),
     "q_hard_negatives"  -> (hardNegativesQ _),
     "q_ngram_diversity" -> (ngramDiversity _),
