@@ -1305,6 +1305,50 @@ object ExtensionQueries {
       .orderBy("colname")
   }
 
+  /** Histogram-selectivity quality audit — the optimizer-statistics
+    * half of the scan-planning story (the layout reports ask "can we
+    * skip files", this asks "how well would a 64-bucket equi-width
+    * histogram have predicted the read"): per probe band, the
+    * histogram ESTIMATE (full buckets inside + boundary buckets
+    * prorated linearly, all integer arithmetic) against the ACTUAL
+    * row count, with the signed error ppm a statistics-quality
+    * dashboard tracks. Estimate reads the 64-row histogram only;
+    * actuals are one broadcast range join — no per-probe rescans.
+    */
+  def selectivityQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select(col("l_partkey").as("v"))
+    val dom = li.agg(min(col("v")).as("amin"), max(col("v")).as("amax"))
+    val probes = Seq((0, 0, 1, 4), (1, 1, 2, 4), (2, 2, 3, 4), (3, 3, 4, 4),
+        (4, 40, 41, 100))
+      .toDF("probe_id", "lo_num", "hi_num", "den")
+      .crossJoin(broadcast(dom))
+      .select(col("probe_id"),
+        expr("amin + (amax - amin) * lo_num div den").as("lo"),
+        expr("amin + (amax - amin) * hi_num div den").as("hi"))
+    val hist = li.crossJoin(broadcast(dom))
+      .select(expr("(v - amin) * 64 div (amax - amin + 1)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+      .crossJoin(broadcast(dom))
+      .select(col("bucket"), col("n_b"),
+        expr("amin + (amax - amin + 1) * bucket div 64").as("blo"),
+        expr("amin + (amax - amin + 1) * (bucket + 1) div 64 - 1").as("bhi"))
+    val est = hist.crossJoin(broadcast(probes))
+      .withColumn("ov",
+        greatest(lit(0L), least(col("hi"), col("bhi")) -
+          greatest(col("lo"), col("blo")) + 1L))
+      .groupBy("probe_id", "lo", "hi")
+      .agg(sum(expr("n_b * ov div (bhi - blo + 1)")).as("est_rows"))
+    val actual = li.join(broadcast(probes),
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy("probe_id").agg(count(lit(1)).as("actual_rows"))
+    est.join(actual, Seq("probe_id"))
+      .withColumn("err_ppm",
+        expr("(est_rows - actual_rows) * 1000000 div actual_rows"))
+      .select("probe_id", "lo", "hi", "est_rows", "actual_rows", "err_ppm")
+      .orderBy("probe_id")
+  }
+
   /** Zone-map pruning-effectiveness audit — the "is the clustering
     * actually buying scan skips" number that justifies a layout
     * rewrite: for each layout (Z-order vs Hilbert, same dimensions,
@@ -2472,6 +2516,33 @@ object ExtensionQueries {
          |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
          |      FROM (${oracleBase("q_dedup_clusters")}) GROUP BY 1)
          |GROUP BY 1 ORDER BY 1""".stripMargin) +
+    ("q_selectivity" ->
+      """WITH dom AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax
+        |  FROM lineitem),
+        |probes AS (SELECT probe_id,
+        |    amin + (amax - amin) * lo_num // den AS lo,
+        |    amin + (amax - amin) * hi_num // den AS hi
+        |  FROM (VALUES (0,0,1,4), (1,1,2,4), (2,2,3,4), (3,3,4,4),
+        |    (4,40,41,100)) v(probe_id, lo_num, hi_num, den) CROSS JOIN dom),
+        |hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+        |    max(amin + (amax - amin + 1) * bucket // 64) AS blo,
+        |    max(amin + (amax - amin + 1) * (bucket + 1) // 64 - 1) AS bhi
+        |  FROM (SELECT (l_partkey - amin) * 64 // (amax - amin + 1) AS bucket,
+        |      amin, amax FROM lineitem CROSS JOIN dom)
+        |  GROUP BY bucket),
+        |est AS (SELECT probe_id, lo, hi,
+        |    CAST(sum(n_b * greatest(0, least(hi, bhi) - greatest(lo, blo) + 1)
+        |      // (bhi - blo + 1)) AS BIGINT) AS est_rows
+        |  FROM hist CROSS JOIN probes GROUP BY 1, 2, 3),
+        |act AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS actual_rows
+        |  FROM lineitem JOIN probes ON l_partkey >= lo AND l_partkey <= hi
+        |  GROUP BY 1)
+        |SELECT est.probe_id, est.lo, est.hi, est.est_rows, act.actual_rows,
+        |  CASE WHEN est.est_rows >= act.actual_rows
+        |    THEN (est.est_rows - act.actual_rows) * 1000000 // act.actual_rows
+        |    ELSE -((act.actual_rows - est.est_rows) * 1000000
+        |      // act.actual_rows) END AS err_ppm
+        |FROM est JOIN act USING (probe_id) ORDER BY probe_id""".stripMargin) +
     ("q_encoding_advisor" ->
       """WITH mk AS (SELECT max(l_orderkey) AS mx FROM lineitem),
         |st AS (SELECT l_orderkey * 64 // (mk.mx + 1) AS file_id,
@@ -5527,6 +5598,7 @@ object ExtensionQueries {
     "q_zorder"          -> (zorder _),
     "q_prune_audit"     -> (pruneAudit _),
     "q_encoding_advisor" -> (encodingAdvisorQ _),
+    "q_selectivity"     -> (selectivityQ _),
     "q_json_keys"       -> (jsonKeysQ _),
     "q_hard_negatives"  -> (hardNegativesQ _),
     "q_ngram_diversity" -> (ngramDiversity _),
