@@ -1305,6 +1305,78 @@ object ExtensionQueries {
       .orderBy("colname")
   }
 
+  /** Per-file Bloom skipping audit — the third member of the
+    * data-skipping family (zone maps: q_prune_audit; statistics:
+    * q_selectivity): files clustered by ORDER KEY carry useless
+    * l_partkey envelopes (the dimensions are uncorrelated, every
+    * envelope spans the domain — zone maps cannot skip a point probe
+    * here), but a tiny per-file Bloom filter (4096 bits, 3 md5-derived
+    * hashes — engine-reproducible, unlike Spark's native binary
+    * sketch) skips almost everything: per probe value, the files that
+    * ACTUALLY contain it, the files the Bloom test hits, the files the
+    * envelope test would read (all 64), and the false-positive ppm
+    * over non-containing files. The table that justifies paying for
+    * bloom indexes on high-cardinality point-lookup columns.
+    *
+    * Shape: (file, bit) membership is ONE distinct-agg over an
+    * explode-by-k; probes are a broadcast literal; every comparison
+    * is an equi-join on the bit id.
+    */
+  def bloomSkipQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = 4096L
+    val k = 3
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey").as("v"))
+    val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val rows = li.select(
+      expr(s"l_orderkey * 64 div ${maxKey + 1}").as("file_id"), col("v"))
+    def bit(j: Int, c: Column) = pmod(
+      conv(substring(md5(concat(lit(s"bl$j:"), c.cast("string"))), 1, 6),
+        16, 10).cast("long"), lit(m))
+    val fileBits = rows.select(col("file_id"),
+        explode(array((0 until k).map(j => bit(j, col("v"))): _*)).as("bit"))
+      .distinct()
+    val dom = li.agg(min(col("v")).as("amin"), max(col("v")).as("amax"))
+    val probes = Seq((0, 0, 4), (1, 1, 4), (2, 2, 4), (3, 3, 4), (4, 41, 100))
+      .toDF("probe_id", "num", "den")
+      .crossJoin(broadcast(dom))
+      .select(col("probe_id"),
+        expr("amin + (amax - amin) * num div den").as("pv"))
+    val probeBits = probes.select(col("probe_id"), col("pv"),
+        explode(array((0 until k).map(j => bit(j, col("pv"))): _*)).as("bit"))
+      .distinct()
+    val kd = probeBits.groupBy("probe_id", "pv")
+      .agg(count(lit(1)).as("k_bits"))
+    val bloomHits = fileBits.join(broadcast(probeBits), Seq("bit"))
+      .groupBy("probe_id", "pv", "file_id").agg(count(lit(1)).as("nb"))
+      .join(broadcast(kd), Seq("probe_id", "pv"))
+      .filter(col("nb") === col("k_bits"))
+      .groupBy("probe_id", "pv").agg(count(lit(1)).as("files_bloom_hit"))
+    val zones = rows.groupBy("file_id")
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val nFiles = zones.count()
+    val zoneHits = zones.join(broadcast(probes),
+        col("pv") >= col("vmin") && col("pv") <= col("vmax"))
+      .groupBy("probe_id", "pv").agg(count(lit(1)).as("files_zone_hit"))
+    val actual = rows.join(broadcast(probes), col("v") === col("pv"))
+      .groupBy("probe_id", "pv")
+      .agg(countDistinct(col("file_id")).as("files_actual"))
+    probes
+      .join(actual, Seq("probe_id", "pv"), "left")
+      .join(bloomHits, Seq("probe_id", "pv"), "left")
+      .join(zoneHits, Seq("probe_id", "pv"), "left")
+      .select(col("probe_id"), col("pv"), lit(nFiles).as("n_files"),
+        coalesce(col("files_actual"), lit(0L)).as("files_actual"),
+        coalesce(col("files_bloom_hit"), lit(0L)).as("files_bloom_hit"),
+        coalesce(col("files_zone_hit"), lit(0L)).as("files_zone_hit"))
+      .withColumn("bloom_fp_ppm",
+        when(col("n_files") > col("files_actual"),
+          expr("(files_bloom_hit - files_actual) * 1000000 " +
+            "div (n_files - files_actual)")).otherwise(lit(0L)))
+      .orderBy("probe_id")
+  }
+
   /** Histogram-selectivity quality audit — the optimizer-statistics
     * half of the scan-planning story (the layout reports ask "can we
     * skip files", this asks "how well would a 64-bucket equi-width
@@ -2516,6 +2588,58 @@ object ExtensionQueries {
          |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
          |      FROM (${oracleBase("q_dedup_clusters")}) GROUP BY 1)
          |GROUP BY 1 ORDER BY 1""".stripMargin) +
+    ("q_bloom_skip" -> {
+      def ladder(src: String) = (0 until 6).map(i =>
+        s"(strpos('0123456789abcdef', substr($src,${1 + i},1))-1)*${BigInt(16).pow(5 - i)}")
+        .mkString("(", " + ", ")")
+      def bit(j: Int, v: String) =
+        s"${ladder(s"md5('bl$j:' || CAST($v AS VARCHAR))")} % 4096"
+      s"""WITH mk AS (SELECT max(l_orderkey) AS mx FROM lineitem),
+         |dom AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax
+         |  FROM lineitem),
+         |rws AS (SELECT l_orderkey * 64 // (mk.mx + 1) AS file_id,
+         |    l_partkey AS v FROM lineitem CROSS JOIN mk),
+         |fb AS (SELECT DISTINCT file_id, b FROM rws,
+         |  LATERAL (VALUES (${bit(0, "v")}), (${bit(1, "v")}),
+         |    (${bit(2, "v")})) t(b)),
+         |probes AS (SELECT probe_id,
+         |    amin + (amax - amin) * num // den AS pv
+         |  FROM (VALUES (0,0,4), (1,1,4), (2,2,4), (3,3,4), (4,41,100))
+         |    x(probe_id, num, den) CROSS JOIN dom),
+         |pb AS (SELECT DISTINCT probe_id, pv, b FROM probes,
+         |  LATERAL (VALUES (${bit(0, "pv")}), (${bit(1, "pv")}),
+         |    (${bit(2, "pv")})) t(b)),
+         |kd AS (SELECT probe_id, pv, count(*) AS k_bits FROM pb GROUP BY 1, 2),
+         |bh AS (SELECT probe_id, pv,
+         |    CAST(count(*) AS BIGINT) AS files_bloom_hit
+         |  FROM (SELECT pb.probe_id, pb.pv, fb.file_id, count(*) AS nb
+         |      FROM fb JOIN pb USING (b) GROUP BY 1, 2, 3) h
+         |    JOIN kd USING (probe_id, pv)
+         |  WHERE h.nb = kd.k_bits GROUP BY 1, 2),
+         |zn AS (SELECT file_id, min(v) AS vmin, max(v) AS vmax
+         |  FROM rws GROUP BY 1),
+         |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_files FROM zn),
+         |zh AS (SELECT probe_id, pv, CAST(count(*) AS BIGINT)
+         |    AS files_zone_hit
+         |  FROM zn JOIN probes ON pv >= vmin AND pv <= vmax GROUP BY 1, 2),
+         |ac AS (SELECT probe_id, pv,
+         |    CAST(count(DISTINCT file_id) AS BIGINT) AS files_actual
+         |  FROM rws JOIN probes ON v = pv GROUP BY 1, 2)
+         |SELECT p.probe_id, p.pv, nf.n_files,
+         |  coalesce(ac.files_actual, 0) AS files_actual,
+         |  coalesce(bh.files_bloom_hit, 0) AS files_bloom_hit,
+         |  coalesce(zh.files_zone_hit, 0) AS files_zone_hit,
+         |  CASE WHEN nf.n_files > coalesce(ac.files_actual, 0)
+         |    THEN (coalesce(bh.files_bloom_hit, 0)
+         |        - coalesce(ac.files_actual, 0)) * 1000000
+         |      // (nf.n_files - coalesce(ac.files_actual, 0))
+         |    ELSE 0 END AS bloom_fp_ppm
+         |FROM probes p CROSS JOIN nf
+         |  LEFT JOIN ac USING (probe_id, pv)
+         |  LEFT JOIN bh USING (probe_id, pv)
+         |  LEFT JOIN zh USING (probe_id, pv)
+         |ORDER BY probe_id""".stripMargin
+    }) +
     ("q_selectivity" ->
       """WITH dom AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax
         |  FROM lineitem),
@@ -5599,6 +5723,7 @@ object ExtensionQueries {
     "q_prune_audit"     -> (pruneAudit _),
     "q_encoding_advisor" -> (encodingAdvisorQ _),
     "q_selectivity"     -> (selectivityQ _),
+    "q_bloom_skip"      -> (bloomSkipQ _),
     "q_json_keys"       -> (jsonKeysQ _),
     "q_hard_negatives"  -> (hardNegativesQ _),
     "q_ngram_diversity" -> (ngramDiversity _),
