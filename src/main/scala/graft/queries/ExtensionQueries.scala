@@ -1305,6 +1305,74 @@ object ExtensionQueries {
       .orderBy("colname")
   }
 
+  /** Theil–Sen robust trend of daily event volume (Theil 1950 / Sen
+    * JASA'68: the MEDIAN of all pairwise day-count slopes — one wild
+    * day moves an OLS fit, it cannot move the median of 435 slopes;
+    * the volume-drift detector that pairs with [[madOutliersQ]]'s
+    * value-outlier census). Slopes in exact milli-events/day
+    * (`(c_j−c_i)·1000 div (d_j−d_i)`, sign-split in the oracle), the
+    * median an element PICK with deterministic tie order. Per type:
+    * n_days, n_pairs, slope_milli, and the direction verdict.
+    *
+    * The day-count table is days × types rows BY CONSTRUCTION, so the
+    * pair self-join and median window are bounded regardless of event
+    * volume — the heavy lifting is the one partial-agged daily count.
+    */
+  def trendQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev.select(col("event_type"),
+        (AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+          .cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("c").as("c2"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("slope",
+        expr("CASE WHEN c2 >= c1 THEN (c2 - c1) * 1000 div (d2 - d1) " +
+          "ELSE -(((c1 - c2) * 1000) div (d2 - d1)) END"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("slope"), col("d1"), col("d2"))
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(pw))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .join(daily.groupBy("event_type").agg(count(lit(1)).as("n_days")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("np").as("n_pairs"),
+        col("slope").as("slope_milli"),
+        when(col("slope") > 0, lit("rising"))
+          .when(col("slope") < 0, lit("falling"))
+          .otherwise(lit("flat")).as("direction"))
+      .orderBy("event_type")
+  }
+
+  /** Day-of-week seasonality profile — per event type, each weekday's
+    * exact share ppm against the uniform 1/7 expectation and the
+    * deviation ppm (the weekly-rhythm fingerprint: human-driven types
+    * dip on weekends, machine-driven ones don't — a flat profile on a
+    * supposedly human feed is a bot signature). Day-of-week from epoch
+    * days (`(day + 4) % 7`, 1970-01-01 = Thursday); one daily
+    * partial-agg, one 7×types-bounded rollup.
+    */
+  def seasonalityQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val base = ev.select(col("event_type"),
+      pmod((AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long") + lit(4L), lit(7L)).as("dow"))
+    val counts = base.groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type").agg(sum(col("n")).as("total"))
+    counts.join(broadcast(totals), Seq("event_type"))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .withColumn("dev_ppm",
+        expr("CASE WHEN n * 1000000 div total >= 142857 " +
+          "THEN n * 1000000 div total - 142857 " +
+          "ELSE -(142857 - n * 1000000 div total) END"))
+      .select("event_type", "dow", "n", "share_ppm", "dev_ppm")
+      .orderBy("event_type", "dow")
+  }
+
   /** Per-file Bloom skipping audit — the third member of the
     * data-skipping family (zone maps: q_prune_audit; statistics:
     * q_selectivity): files clustered by ORDER KEY carry useless
@@ -3197,6 +3265,47 @@ object ExtensionQueries {
         |    AS l_diverse
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+        |    CASE WHEN b.c >= a.c
+        |      THEN (b.c - a.c) * 1000 // (b.day - a.day)
+        |      ELSE -(((a.c - b.c) * 1000) // (b.day - a.day)) END AS slope
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |    AND a.day < b.day),
+        |w AS (SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope, d1, d2) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS np
+        |  FROM pairs),
+        |med AS (SELECT event_type, slope AS slope_milli, np AS n_pairs
+        |  FROM w WHERE rn = (np + 1) // 2),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT med.event_type, nd.n_days, med.n_pairs, med.slope_milli,
+        |  CASE WHEN slope_milli > 0 THEN 'rising'
+        |       WHEN slope_milli < 0 THEN 'falling'
+        |       ELSE 'flat' END AS direction
+        |FROM med JOIN nd USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q_seasonality" ->
+      """WITH b AS (SELECT event_type,
+        |    (CAST(epoch_us(ts) // 86400000000 AS BIGINT) + 4) % 7 AS dow
+        |  FROM events),
+        |c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_type, c.dow, c.n,
+        |  c.n * 1000000 // t.total AS share_ppm,
+        |  CASE WHEN c.n * 1000000 // t.total >= 142857
+        |    THEN c.n * 1000000 // t.total - 142857
+        |    ELSE -(142857 - c.n * 1000000 // t.total) END AS dev_ppm
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
     "q_outliers" ->
       """WITH b AS (SELECT event_type AS grp, event_id AS id,
         |    CAST(floor(value * 1000) AS BIGINT) AS vq
@@ -5724,6 +5833,8 @@ object ExtensionQueries {
     "q_encoding_advisor" -> (encodingAdvisorQ _),
     "q_selectivity"     -> (selectivityQ _),
     "q_bloom_skip"      -> (bloomSkipQ _),
+    "q_trend"           -> (trendQ _),
+    "q_seasonality"     -> (seasonalityQ _),
     "q_json_keys"       -> (jsonKeysQ _),
     "q_hard_negatives"  -> (hardNegativesQ _),
     "q_ngram_diversity" -> (ngramDiversity _),
