@@ -169,4 +169,73 @@ object TemporalJoins {
       .select(left.columns.map(col).toSeq ++
         rightCols.map(c => col(s"_carried.$c").as(c)): _*)
   }
+
+  /** [[asOfJoin]] through the native whole-operator path
+    * ([[graft.plans.AsofJoinExec]]): same contract, same result,
+    * different physics — each side shuffles at its OWN row width
+    * (the union form pads both sides to the combined schema) and the
+    * per-key carry is a one-candidate merge cursor instead of a
+    * `last(struct) ignoreNulls` window frame. See the exec's scaladoc
+    * for the plan contract; `AsofJoinSpec` pins result-equivalence
+    * against the composed form and the plan shape.
+    *
+    * Every right-side column the operator consumes is re-aliased to a
+    * fresh `__asof_*` attribute before the join node is built, so the
+    * two subtrees share no attribute ids even when left and right
+    * derive from the SAME source frame (the attribution self-join) —
+    * the binary node then binds each side's expressions unambiguously.
+    */
+  def asOfJoinNative(left: DataFrame, right: DataFrame,
+                     keys: Seq[String],
+                     leftTime: String, rightTime: String,
+                     rightCols: Seq[String],
+                     rightTiebreak: Option[String] = None,
+                     strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asOfJoinNative needs at least one key column")
+    val collisions = rightCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightCols collide with left columns: ${collisions.mkString(",")} — rename first")
+    require(!left.columns.exists(_.startsWith("__asof_")) &&
+      !rightCols.exists(_.startsWith("__asof_")),
+      "__asof_* column names are reserved by asOfJoinNative — rename first")
+
+    val spark = left.sparkSession
+    graft.GraftExtensions.register(spark)
+
+    // null-keyed / null-time right rows match nothing (SQL equi-join
+    // semantics); the exec skips them anyway, but dropping them BEFORE
+    // the exchange is free shuffle reduction
+    val rvType = StructType(rightCols.map(c => right.schema(c)))
+    val structTb = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(rvType)
+    // no caller tiebreak: rank equal-(key, time) rights by the carried
+    // values themselves when orderable — deterministic, same contract
+    // as asOfJoin. Unorderable carried types (maps) fall back to
+    // arrival order within the (key, time) sort.
+    val tbExpr: Option[Column] = rightTiebreak.map(col)
+      .orElse(if (structTb) Some(struct(rightCols.map(col): _*)) else None)
+    val rightPruned = right
+      .filter(col(rightTime).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"__asof_k$i") } ++
+        Seq(col(rightTime).as("__asof_t")) ++
+        tbExpr.map(_.as("__asof_tb")).toSeq ++
+        rightCols.zipWithIndex.map { case (c, i) => col(c).as(s"__asof_v$i") }: _*)
+
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightPruned.queryExecution.analyzed
+    def ref(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val node = graft.plans.AsofJoin(
+      keys.map(ref(lPlan, _)),
+      keys.indices.map(i => ref(rPlan, s"__asof_k$i")),
+      ref(lPlan, leftTime), ref(rPlan, "__asof_t"),
+      tbExpr.map(_ => ref(rPlan, "__asof_tb")),
+      strict, lPlan, rPlan)
+    org.apache.spark.sql.GraftSqlShim.ofRows(spark, node)
+      .select(left.columns.map(col).toSeq ++
+        rightCols.zipWithIndex.map { case (c, i) => col(s"__asof_v$i").as(c) }: _*)
+  }
 }

@@ -332,6 +332,28 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** The same attribution as-of join through the NATIVE whole-operator
+    * path ([[graft.plans.AsofJoinExec]] — logical node + planner
+    * strategy + sort-merge exec): same oracle as `q_asof_join`, so the
+    * driver's hash gate pins the custom physical operator against
+    * DuckDB's lateral-join semantics row for row. Each side shuffles
+    * at its own width and the carry is a one-candidate merge cursor —
+    * no union padding, no window frame (see the exec's scaladoc).
+    */
+  def asOfAttributionNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), epochUs(ev, "ts").as("ts_us"))
+    val sources = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("src_id"),
+        col("event_type").as("src_type"), epochUs(ev, "ts").as("src_ts_us"))
+    graft.ops.TemporalJoins.asOfJoinNative(
+        purchases, sources, Seq("user_id"), "ts_us", "src_ts_us",
+        Seq("src_id", "src_type", "src_ts_us"),
+        rightTiebreak = Some("src_id"))
+      .orderBy("event_id")
+  }
+
   /** Strict (<) variant: the view/click must be STRICTLY before the
     * purchase — the form attribution uses when simultaneous events
     * must not self-attribute.
@@ -583,6 +605,18 @@ object AnalyticsQueries {
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) a ON TRUE
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
+    "q_asof_native" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  a.src_id, a.src_type, a.src_ts_us
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT r.event_id AS src_id, r.event_type AS src_type,
+        |    epoch_us(r.ts) AS src_ts_us
+        |  FROM events r
+        |  WHERE r.user_id = e.user_id AND r.event_type IN ('view','click')
+        |    AND r.ts <= e.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) a ON TRUE
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  a.src_id, a.src_type, a.src_ts_us
@@ -745,6 +779,7 @@ object AnalyticsQueries {
     "q_gapfill"             -> (gapFill _),
     "q_percentiles"         -> (percentiles _),
     "q_asof_join"           -> (asOfAttribution _),
-    "q_asof_strict"         -> (asOfAttributionStrict _)
+    "q_asof_strict"         -> (asOfAttributionStrict _),
+    "q_asof_native"         -> (asOfAttributionNative _)
   )
 }

@@ -11,6 +11,14 @@ object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame over a hand-built logical plan (custom nodes like
+    * [[graft.plans.AsofJoin]]) — `classic.Dataset.ofRows` is
+    * `private[sql]` in Spark 4.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Release the cached blocks behind a `localCheckpoint()`'d frame.
     * The checkpoint persists its materialized RDD for the session
     * lifetime; `Dataset.unpersist` cannot reach it (it only consults

@@ -1,0 +1,162 @@
+package graft
+
+import graft.ops.TemporalJoins
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Native as-of join ([[graft.plans.AsofJoinExec]]): result
+  * equivalence against the composed union+window form on every
+  * contract point, plus the physical-plan shape the operator exists
+  * to deliver.
+  */
+class AsofJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (1L, "u1", ts("2024-01-01 10:00:00")),
+    (2L, "u1", ts("2024-01-01 12:00:00")),
+    (3L, "u2", ts("2024-01-01 09:00:00")),
+    (4L, "u3", ts("2024-01-01 09:00:00"))
+  ).toDF("id", "user", "t")
+
+  private val right = Seq(
+    ("u1", 10L, "a", ts("2024-01-01 09:30:00")),
+    ("u1", 11L, "b", ts("2024-01-01 11:00:00")),
+    ("u1", 12L, "c", ts("2024-01-01 12:00:00")),
+    ("u2", 20L, "d", ts("2024-01-01 09:30:00"))
+  ).toDF("user", "rid", "tag", "rt")
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("native as-of matches the composed form on the basic contract") {
+    val composed = TemporalJoins.asOfJoin(left, right, Seq("user"), "t", "rt",
+      Seq("rid", "tag"), rightTiebreak = Some("rid"))
+    val native = TemporalJoins.asOfJoinNative(left, right, Seq("user"), "t", "rt",
+      Seq("rid", "tag"), rightTiebreak = Some("rid"))
+    assert(native.columns.toSeq === composed.columns.toSeq)
+    assert(rows(native) === rows(composed))
+  }
+
+  test("strict variant matches the composed strict form") {
+    val composed = TemporalJoins.asOfJoin(left, right, Seq("user"), "t", "rt",
+      Seq("rid"), rightTiebreak = Some("rid"), strict = true)
+    val native = TemporalJoins.asOfJoinNative(left, right, Seq("user"), "t", "rt",
+      Seq("rid"), rightTiebreak = Some("rid"), strict = true)
+    assert(rows(native) === rows(composed))
+  }
+
+  test("equal-(key, time) right rows resolve to the highest tiebreak, " +
+    "and carried columns come atomically from that one row") {
+    val tied = Seq(
+      ("u1", 1L, "low", ts("2024-01-01 09:00:00")),
+      ("u1", 9L, "high", ts("2024-01-01 09:00:00"))
+    ).toDF("user", "rid", "tag", "rt")
+    val l = Seq((1L, "u1", ts("2024-01-01 10:00:00"))).toDF("id", "user", "t")
+    val out = TemporalJoins.asOfJoinNative(l, tied, Seq("user"), "t", "rt",
+        Seq("rid", "tag"), rightTiebreak = Some("rid"))
+      .as[(Long, String, java.sql.Timestamp, Long, String)].collect()
+    assert(out.head._4 === 9L && out.head._5 === "high")
+  }
+
+  test("null keys and null times: null-keyed/timed rights match nothing; " +
+    "null-keyed/timed lefts keep their row with null right columns") {
+    val l = Seq(
+      (1L, Option("u1"), Option(ts("2024-01-01 10:00:00"))),
+      (2L, None: Option[String], Option(ts("2024-01-01 10:00:00"))),
+      (3L, Option("u1"), None: Option[java.sql.Timestamp])
+    ).toDF("id", "user", "t")
+    val r = Seq(
+      (Option("u1"), 10L, Option(ts("2024-01-01 09:00:00"))),
+      (None: Option[String], 99L, Option(ts("2024-01-01 09:00:00"))),
+      (Option("u1"), 98L, None: Option[java.sql.Timestamp])
+    ).toDF("user", "rid", "rt")
+    val composed = TemporalJoins.asOfJoin(l, r, Seq("user"), "t", "rt",
+      Seq("rid"), rightTiebreak = Some("rid"))
+    val native = TemporalJoins.asOfJoinNative(l, r, Seq("user"), "t", "rt",
+      Seq("rid"), rightTiebreak = Some("rid"))
+    assert(rows(native) === rows(composed))
+    val byId = native.as[(Long, Option[String], Option[java.sql.Timestamp], Option[Long])]
+      .collect().map(t => t._1 -> t._4).toMap
+    assert(byId === Map(1L -> Some(10L), 2L -> None, 3L -> None))
+  }
+
+  test("empty right side leaves every left row null-extended") {
+    val native = TemporalJoins.asOfJoinNative(left,
+      right.filter(lit(false)), Seq("user"), "t", "rt", Seq("rid"))
+    assert(native.count() === 4L)
+    assert(native.filter(col("rid").isNotNull).count() === 0L)
+  }
+
+  test("no caller tiebreak: deterministic carried-struct ranking matches " +
+    "the composed form") {
+    val tied = Seq(
+      ("u1", 1L, "aa", ts("2024-01-01 09:00:00")),
+      ("u1", 1L, "zz", ts("2024-01-01 09:00:00"))
+    ).toDF("user", "rid", "tag", "rt")
+    val l = Seq((1L, "u1", ts("2024-01-01 10:00:00"))).toDF("id", "user", "t")
+    val composed = TemporalJoins.asOfJoin(l, tied, Seq("user"), "t", "rt",
+      Seq("rid", "tag"))
+    val native = TemporalJoins.asOfJoinNative(l, tied, Seq("user"), "t", "rt",
+      Seq("rid", "tag"))
+    assert(rows(native) === rows(composed))
+  }
+
+  test("self-join (attribution shape): left and right derive from the " +
+    "same frame without attribute-id collisions") {
+    val ev = Seq(
+      (1L, 7L, "view", ts("2024-01-01 09:00:00")),
+      (2L, 7L, "purchase", ts("2024-01-01 10:00:00")),
+      (3L, 7L, "click", ts("2024-01-01 09:30:00")),
+      (4L, 8L, "purchase", ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("ts_us"))
+    val sources = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("src_id"),
+        col("event_type").as("src_type"), col("ts").as("src_ts_us"))
+    val out = TemporalJoins.asOfJoinNative(purchases, sources, Seq("user_id"),
+        "ts_us", "src_ts_us", Seq("src_id", "src_type"),
+        rightTiebreak = Some("src_id"))
+      .as[(Long, Long, java.sql.Timestamp, Option[Long], Option[String])]
+      .collect().map(t => t._1 -> (t._4, t._5)).toMap
+    assert(out === Map(
+      2L -> (Some(3L), Some("click")),
+      4L -> (None, None)))
+  }
+
+  test("plan shape: AsofJoinExec present, one exchange per side, " +
+    "no window and no union anywhere in the plan") {
+    val native = TemporalJoins.asOfJoinNative(left, right, Seq("user"), "t", "rt",
+      Seq("rid", "tag"), rightTiebreak = Some("rid"))
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Union"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("multi-key join and larger randomized data match the composed form " +
+    "across partition boundaries") {
+    val rnd = new scala.util.Random(42)
+    val l = (1 to 500).map { i =>
+      (i.toLong, s"k${rnd.nextInt(8)}", s"g${rnd.nextInt(3)}", rnd.nextInt(1000).toLong)
+    }.toDF("id", "k1", "k2", "t")
+    val r = (1 to 800).map { i =>
+      (s"k${rnd.nextInt(8)}", s"g${rnd.nextInt(3)}", i.toLong, rnd.nextInt(1000).toLong)
+    }.toDF("k1", "k2", "rid", "rt")
+    val composed = TemporalJoins.asOfJoin(l, r, Seq("k1", "k2"), "t", "rt",
+      Seq("rid"), rightTiebreak = Some("rid"))
+    val native = TemporalJoins.asOfJoinNative(l, r, Seq("k1", "k2"), "t", "rt",
+      Seq("rid"), rightTiebreak = Some("rid"))
+    assert(rows(native) === rows(composed))
+    val strictC = TemporalJoins.asOfJoin(l, r, Seq("k1", "k2"), "t", "rt",
+      Seq("rid"), rightTiebreak = Some("rid"), strict = true)
+    val strictN = TemporalJoins.asOfJoinNative(l, r, Seq("k1", "k2"), "t", "rt",
+      Seq("rid"), rightTiebreak = Some("rid"), strict = true)
+    assert(rows(strictN) === rows(strictC))
+  }
+}
