@@ -525,4 +525,37 @@ object Profile {
           .as("n_outliers"))
       .withColumn("outlier_ppm", expr("n_outliers * 1000000 div n"))
   }
+
+  /** Per-group Gini concentration of row counts across keys — the
+    * standard inequality measure for "is this language's data all from
+    * one crawl?" / "does one tenant dominate the shard?". 0 ppm =
+    * perfectly even across keys, →1e6 = one key holds everything.
+    *
+    * Exact integer form of the sorted-sequence identity
+    * `G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)` (x ascending,
+    * i = 1..n): ranks come from a window ORDERED (count, key) so ties
+    * are deterministic (and the identity's value is tie-order
+    * invariant — equal x contribute the same regardless of rank
+    * order); the numerator is non-negative by the ascending sort; one
+    * truncating division at the end emits ppm.
+    *
+    * Shape for scale: the raw table collapses to one row per
+    * (group, key) in a partial-agged hash aggregate FIRST; the window
+    * and the final aggregate run on that key-bounded frame, partitioned
+    * by group — no global window, groups parallelize horizontally.
+    */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("grp"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("x"), col("key"))
+    counts.withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_keys"), sum(col("x")).as("n_rows"),
+        sum(col("rn") * col("x")).as("s"))
+      .select(col("grp"), col("n_keys"), col("n_rows"),
+        expr("(2 * s - (n_keys + 1) * n_rows) * 1000000" +
+          " div (n_keys * n_rows)").as("gini_ppm"))
+  }
 }

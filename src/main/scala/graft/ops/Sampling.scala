@@ -231,4 +231,40 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
         sum(col("__ha")).as("checksum_a"), sum(col("__hb")).as("checksum_b"))
   }
+
+  /** Curriculum schedule — easy-to-hard staging with source-balanced
+    * interleave (Bengio et al., "Curriculum Learning", ICML 2009, plus
+    * the standard mixture-interleave trainers use): each source's docs
+    * split into `stages` difficulty quartiles (difficulty proxy =
+    * document length; swap in any score column), and within a stage
+    * the schedule key `(stage, rn_in_stage, source)` round-robins
+    * across sources so no stage front-loads one source.
+    *
+    * Both windows partition BY SOURCE (ntile within source, row_number
+    * within source×stage) — deterministic via the (difficulty, id)
+    * total order, and crucially NO global window: a global ntile would
+    * serialize the corpus through one partition. The global schedule
+    * position is deliberately emitted as the composite sort key rather
+    * than a materialized global row number — consumers ORDER BY it,
+    * which distributes, instead of ranking through a single partition.
+    * Standard SQL ntile (floor buckets, remainder to the first) is
+    * engine-portable.
+    */
+  def curriculumSchedule(docs: DataFrame, stages: Int = 4,
+                         idCol: String = "doc_id",
+                         difficultyCol: String = "n_chars",
+                         srcCol: String = "source"): DataFrame = {
+    require(stages >= 1, "stages must be >= 1")
+    val staged = docs.select(col(idCol).as("doc_id"),
+        col(srcCol).as("source"), col(difficultyCol).as("difficulty"))
+      .withColumn("stage", ntile(stages).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("difficulty"), col("doc_id"))))
+    staged.withColumn("rn_in_stage", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "stage")
+          .orderBy(col("difficulty"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("stage").cast("int").as("stage"),
+        col("rn_in_stage"), col("difficulty"))
+  }
 }

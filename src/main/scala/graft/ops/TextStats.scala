@@ -136,6 +136,50 @@ object TextStats {
       (hits(t, en).cast("double") / size(t)).as("stopword_ratio"))
   }
 
+  /** Per-source readability profile — the Flesch reading-ease shape
+    * (Flesch 1948; Kincaid et al. 1975 recalibration) over corpus
+    * text, the classic difficulty signal a curriculum or an audience
+    * filter consumes. True syllable counting needs a dictionary; the
+    * standard approximation (vowel-GROUP count per word) is what
+    * public readability tools ship, and at corpus aggregate the bias
+    * is stable across sources — which is all a relative ranking needs.
+    *
+    * Integer-exact by construction so any engine reproduces it: the
+    * three per-doc signals are regex-run counts (char-class patterns
+    * with identical Java-regex/RE2 semantics — the hygiene-op
+    * discipline), per-source ratios are milli-units via integer
+    * division of BIGINT sums, and the Flesch combination
+    * `206.835 − 1.015·wps − 84.6·spw` is evaluated in milli-space
+    * with positive division operands and exact final subtraction.
+    * Sentences floor at 1 per doc (headline-only docs), words floor
+    * at 1 per source.
+    *
+    * Shape for scale: one projection + one partial-agged hash
+    * aggregate on source; output is source-bounded.
+    */
+  def readability(docs: DataFrame, textCol: String = "text",
+                  srcCol: String = "source"): DataFrame = {
+    val t = col(textCol)
+    val perDoc = docs.select(col(srcCol).as("source"),
+      coalesce(regexp_count(t, lit("[A-Za-z]+")).cast("long"), lit(0L)).as("w"),
+      greatest(coalesce(regexp_count(t, lit("[.!?]+")).cast("long"), lit(0L)),
+        lit(1L)).as("s"),
+      coalesce(regexp_count(t, lit("[aeiouyAEIOUY]+")).cast("long"), lit(0L))
+        .as("v"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("words"),
+        sum(col("s")).as("sentences"),
+        sum(col("v")).as("vowel_groups"))
+      .select(col("source"), col("n_docs"), col("words"), col("sentences"),
+        col("vowel_groups"),
+        expr("words * 1000 div sentences").as("wps_milli"),
+        expr("vowel_groups * 1000 div greatest(words, 1)").as("spw_milli"),
+        expr("206835 - (1015 * (words * 1000 div sentences)) div 1000" +
+          " - (846 * (vowel_groups * 1000 div greatest(words, 1))) div 10")
+          .as("flesch_milli"))
+  }
+
   /** Gopher-style rule gate (Rae et al., "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher", 2021, §A1.1):
     * the hard document filters a web-scale corpus applies BEFORE any

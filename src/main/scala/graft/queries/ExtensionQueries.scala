@@ -2645,6 +2645,52 @@ object ExtensionQueries {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Per-source Flesch-shape readability profile
+    * ([[TextStats.readability]]) — integer milli-unit scores under the
+    * hash gate.
+    */
+  def readabilityQ(s: SparkSession, d: String): DataFrame =
+    TextStats.readability(docs(s, d)).orderBy("source")
+
+  /** Per-language Gini concentration of docs across sources
+    * ([[Profile.giniConcentration]]) — "is this language's data all
+    * one crawl?" in exact ppm.
+    */
+  def giniSources(s: SparkSession, d: String): DataFrame =
+    Profile.giniConcentration(docs(s, d), "lang", "source")
+      .withColumnRenamed("grp", "lang").orderBy("lang")
+
+  /** Source-balanced curriculum schedule
+    * ([[Sampling.curriculumSchedule]]): 4 difficulty stages per
+    * source, composite schedule key — no global window.
+    */
+  def curriculumQ(s: SparkSession, d: String): DataFrame =
+    Sampling.curriculumSchedule(docs(s, d))
+      .orderBy("stage", "rn_in_stage", "source")
+
+  /** Salted skewed fact-to-dim join ([[Skew.saltedJoin]]) under the
+    * oracle gate: revenue per market segment must equal the PLAIN
+    * join's answer — salting is a physical rewrite, not a semantic
+    * one. The `shuffle_hash` hint pins the shuffled-join path the
+    * operator exists for (at 100 TB a wide dim does not broadcast;
+    * locally Spark would broadcast 15 k customers and the salt would
+    * be decorative).
+    */
+  def saltedJoinQ(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"),
+      col("o_orderkey"), col("o_totalprice"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")).hint("shuffle_hash")
+    Skew.saltedJoin(o, c, Seq("c_custkey"), col("o_orderkey"), salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        // exact decimal sum, ONE double conversion at the end (the q14
+        // money discipline — sum then cast, never sum of doubles)
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   // lazy: oracleBase is declared below (keeping the giant literal at the
   // end of the file); by first access it is initialized
   lazy val oracle: Map[String, String] = oracleBase +
@@ -2815,6 +2861,50 @@ object ExtensionQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
+    "q_readability" ->
+      """WITH p AS (SELECT source,
+        |    CAST(coalesce(len(regexp_extract_all(text, '[A-Za-z]+')), 0) AS BIGINT) AS w,
+        |    CAST(greatest(coalesce(len(regexp_extract_all(text, '[.!?]+')), 0), 1) AS BIGINT) AS s,
+        |    CAST(coalesce(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 0) AS BIGINT) AS v
+        |  FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS words, CAST(sum(s) AS BIGINT) AS sentences,
+        |    CAST(sum(v) AS BIGINT) AS vowel_groups FROM p GROUP BY 1)
+        |SELECT source, n_docs, words, sentences, vowel_groups,
+        |  CAST(words * 1000 // sentences AS BIGINT) AS wps_milli,
+        |  CAST(vowel_groups * 1000 // greatest(words, 1) AS BIGINT) AS spw_milli,
+        |  CAST(206835 - (1015 * (words * 1000 // sentences)) // 1000
+        |    - (846 * (vowel_groups * 1000 // greatest(words, 1))) // 10 AS BIGINT)
+        |    AS flesch_milli
+        |FROM a ORDER BY source""".stripMargin,
+    "q_gini_sources" ->
+      """WITH c AS (SELECT lang, source AS src, CAST(count(*) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, x,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY x, src) AS BIGINT) AS rn
+        |  FROM c),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(x) AS BIGINT) AS n_rows, CAST(sum(rn * x) AS BIGINT) AS s
+        |  FROM r GROUP BY 1)
+        |SELECT lang, n_keys, n_rows,
+        |  CAST((2 * s - (n_keys + 1) * n_rows) * 1000000
+        |    // (n_keys * n_rows) AS BIGINT) AS gini_ppm
+        |FROM a ORDER BY lang""".stripMargin,
+    "q_curriculum" ->
+      """WITH t AS (SELECT doc_id, source, n_chars AS difficulty,
+        |    CAST(ntile(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+        |      AS INTEGER) AS stage
+        |  FROM documents)
+        |SELECT doc_id, source, stage,
+        |  CAST(row_number() OVER (PARTITION BY source, stage
+        |    ORDER BY difficulty, doc_id) AS BIGINT) AS rn_in_stage,
+        |  difficulty
+        |FROM t ORDER BY stage, rn_in_stage, source""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_range_join" ->
       """WITH bands AS (
         |  SELECT 'band_' || CAST(i AS VARCHAR) AS band, i*50.0 AS lo, (i+1)*50.0 AS hi
@@ -5928,6 +6018,10 @@ object ExtensionQueries {
     "q_dup_by_source"   -> (dupBySource _),
     "q_source_overlap"  -> (sourceOverlap _),
     "q_source_lift"     -> (sourceLift _),
-    "q_pack_mix"        -> (packMix _)
+    "q_pack_mix"        -> (packMix _),
+    "q_readability"     -> (readabilityQ _),
+    "q_gini_sources"    -> (giniSources _),
+    "q_curriculum"      -> (curriculumQ _),
+    "q_salted_join"     -> (saltedJoinQ _)
   )
 }
