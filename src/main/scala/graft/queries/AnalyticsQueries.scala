@@ -372,6 +372,45 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** Cohort-adjusted RFM segmentation — the classic customer-value
+    * grid (recency / frequency / monetary quintiles), computed WITHIN
+    * each user's signup-week cohort rather than globally: quintiles
+    * compare a user against peers who joined the same week (the
+    * cohort-adjusted variant marketers use to avoid penalizing young
+    * accounts), and — the scale point — the three ntile windows
+    * partition BY COHORT, so no global window exists and cohorts
+    * parallelize horizontally. The corpus-scale event table collapses
+    * to one row per user in a partial-agged hash aggregate BEFORE any
+    * window runs.
+    *
+    * Exact arithmetic throughout: times are epoch-µs longs, monetary
+    * sums are per-row milli-quantized BEFORE aggregation (never a
+    * float sum), cohort weeks use the q_cohorts epoch anchor, and
+    * every ntile orders by (metric, user_id) — a total order, so
+    * quintile assignment is engine-exact.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), epochUs(ev, "ts").as("t"),
+        floor(col("value") * 1000).cast("long").as("vq"))
+    val agg = p.groupBy("user_id").agg(
+      min(col("t")).as("first_ts_us"),
+      max(col("t")).as("last_ts_us"),
+      count(lit(1)).as("frequency"),
+      sum(col("vq")).as("monetary_milli"))
+      .withColumn("cohort_w",
+        expr("(first_ts_us - 1704067200000000) div 604800000000"))
+    def q(metric: String) = ntile(5).over(Window.partitionBy("cohort_w")
+      .orderBy(col(metric), col("user_id")))
+    agg.select(col("user_id"), col("cohort_w"), col("last_ts_us"),
+        col("frequency"), col("monetary_milli"),
+        q("last_ts_us").as("r_q"), q("frequency").as("f_q"),
+        q("monetary_milli").as("m_q"))
+      .withColumn("rfm", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .orderBy("user_id")
+  }
+
   /** Ordered funnel analysis — the classic product-analytics operator:
     * how many users complete signup → view → click → purchase IN
     * ORDER, each step's first occurrence strictly after the previous
@@ -605,6 +644,25 @@ object AnalyticsQueries {
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) a ON TRUE
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
+    "q_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vq
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT user_id, CAST(min(t) AS BIGINT) AS first_ts_us,
+        |    CAST(max(t) AS BIGINT) AS last_ts_us,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(vq) AS BIGINT) AS monetary_milli FROM p GROUP BY 1),
+        |c AS (SELECT *, (first_ts_us - 1704067200000000) // 604800000000
+        |    AS cohort_w FROM a),
+        |q AS (SELECT user_id, cohort_w, last_ts_us, frequency, monetary_milli,
+        |    CAST(ntile(5) OVER (PARTITION BY cohort_w ORDER BY last_ts_us, user_id) AS INTEGER) AS r_q,
+        |    CAST(ntile(5) OVER (PARTITION BY cohort_w ORDER BY frequency, user_id) AS INTEGER) AS f_q,
+        |    CAST(ntile(5) OVER (PARTITION BY cohort_w ORDER BY monetary_milli, user_id) AS INTEGER) AS m_q
+        |  FROM c)
+        |SELECT user_id, cohort_w, last_ts_us, frequency, monetary_milli,
+        |  r_q, f_q, m_q,
+        |  CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS rfm
+        |FROM q ORDER BY user_id""".stripMargin,
     "q_asof_native" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  a.src_id, a.src_type, a.src_ts_us
@@ -780,6 +838,7 @@ object AnalyticsQueries {
     "q_percentiles"         -> (percentiles _),
     "q_asof_join"           -> (asOfAttribution _),
     "q_asof_strict"         -> (asOfAttributionStrict _),
-    "q_asof_native"         -> (asOfAttributionNative _)
+    "q_asof_native"         -> (asOfAttributionNative _),
+    "q_rfm"                 -> (rfmSegments _)
   )
 }
