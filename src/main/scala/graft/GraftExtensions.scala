@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
@@ -58,6 +59,11 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.BandedLevenshteinRule
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.BinnedRangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.BinnedRangeJoinRule
     if (!spark.experimental.extraStrategies
         .contains(graft.plans.AsofJoinStrategy))
       spark.experimental.extraStrategies =

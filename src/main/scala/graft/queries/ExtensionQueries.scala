@@ -2577,6 +2577,35 @@ object ExtensionQueries {
       .orderBy("band")
   }
 
+  /** The same band histogram written as a PLAIN theta join — no
+    * hand-binning — and rewritten to the binned equi-join by
+    * [[graft.plans.BinnedRangeJoinRule]]: the optimizer-rule twin of
+    * `q_range_join`, proving a SQL user's naive `ON v >= lo AND
+    * v < hi` gets the scalable plan automatically. The bin-width conf
+    * is scoped to THIS build: the theta plan is optimized while the
+    * conf is set, the rewritten plan is re-wrapped as the returned
+    * frame (idempotent on re-optimization — the rule skips joins that
+    * already carry a cross-side equality), and the conf is unset so
+    * no other query's plan changes behind its pins.
+    */
+  def rangeJoinAuto(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val bands = Seq.tabulate(10)(i => (s"band_$i", i * 50.0, (i + 1) * 50.0))
+      .toDF("band", "lo", "hi")
+    s.conf.set("spark.graft.rangeJoin.binWidth", "50.0")
+    try {
+      val theta = Tables.events(s, d).select("event_id", "value")
+        .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+        .orderBy("band")
+      org.apache.spark.sql.GraftSqlShim.ofRows(s,
+        theta.queryExecution.optimizedPlan)
+    } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
   /** DuckDB SQL for LSH table `t`'s bucket over double-list column
     * `vcol`, generated from the SAME coefficients as
     * `Similarity.planeBit` (term order, signs, zero-term skipping all
@@ -2906,6 +2935,13 @@ object ExtensionQueries {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_range_join" ->
+      """WITH bands AS (
+        |  SELECT 'band_' || CAST(i AS VARCHAR) AS band, i*50.0 AS lo, (i+1)*50.0 AS hi
+        |  FROM unnest(range(0,10)) AS u(i))
+        |SELECT band, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q_range_join_auto" ->
       """WITH bands AS (
         |  SELECT 'band_' || CAST(i AS VARCHAR) AS band, i*50.0 AS lo, (i+1)*50.0 AS hi
         |  FROM unnest(range(0,10)) AS u(i))
@@ -6022,6 +6058,7 @@ object ExtensionQueries {
     "q_readability"     -> (readabilityQ _),
     "q_gini_sources"    -> (giniSources _),
     "q_curriculum"      -> (curriculumQ _),
-    "q_salted_join"     -> (saltedJoinQ _)
+    "q_salted_join"     -> (saltedJoinQ _),
+    "q_range_join_auto" -> (rangeJoinAuto _)
   )
 }

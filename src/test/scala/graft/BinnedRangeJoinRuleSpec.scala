@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[graft.plans.BinnedRangeJoinRule]]: the conf-gated rewrite of a
+  * plain inequality join into the binned equi-join — plan shape,
+  * result equivalence against the un-rewritten nested-loop plan, and
+  * the eligibility guards.
+  */
+class BinnedRangeJoinRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  private val ConfKey = "spark.graft.rangeJoin.binWidth"
+
+  private def withBinWidth[A](w: String)(body: => A): A = {
+    spark.conf.set(ConfKey, w)
+    try body finally spark.conf.unset(ConfKey)
+  }
+
+  private val points = Seq(
+    (1L, -120.5), (2L, -50.0), (3L, 0.0), (4L, 0.1), (5L, 49.999),
+    (6L, 50.0), (7L, 99.9), (8L, 250.0), (9L, 777.0)
+  ).toDF("id", "v")
+  private val bandsDf = Seq(
+    ("neg", -200.0, -40.0), ("low", 0.0, 50.0), ("mid", 50.0, 100.0),
+    ("empty", 30.0, 30.0), ("wide", -100.0, 800.0)
+  ).toDF("band", "lo", "hi")
+
+  private def theta(p: DataFrame, b: DataFrame): DataFrame =
+    p.join(b, col("v") >= col("lo") && col("v") < col("hi"))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("conf off: plain theta join stays a nested-loop join") {
+    val plan = theta(points, bandsDf).queryExecution.executedPlan.toString
+    assert(plan.contains("NestedLoop"), plan)
+  }
+
+  test("conf on: plan becomes Generate + bin equi-join (no nested loop), " +
+    "results identical to the nested-loop answer, open/closed bounds " +
+    "and negative values exact") {
+    val expected = rows(theta(points, bandsDf))
+    withBinWidth("50.0") {
+      val df = theta(points, bandsDf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), plan)
+      assert(plan.contains("Generate"), plan)
+      assert(rows(df) === expected)
+    }
+  }
+
+  test("bin width does not change the answer (covering is width-" +
+    "independent), including widths misaligned with the data") {
+    val expected = rows(theta(points, bandsDf))
+    for (w <- Seq("1.0", "7.3", "500.0"))
+      withBinWidth(w) { assert(rows(theta(points, bandsDf)) === expected, s"w=$w") }
+  }
+
+  test("null points and null bounds drop, matching inner-join semantics") {
+    val p = Seq((1L, Option(25.0)), (2L, None: Option[Double])).toDF("id", "v")
+    val b = Seq(("a", Option(0.0), Option(50.0)),
+      ("b", None: Option[Double], Option(50.0))).toDF("band", "lo", "hi")
+    val expected = rows(theta(p, b))
+    withBinWidth("10.0") {
+      val df = theta(p, b)
+      assert(rows(df) === expected)
+      assert(df.count() === 1L) // only (id=1, band=a)
+    }
+  }
+
+  test("guard: a join that already has a cross-side equality is left alone") {
+    val p = Seq((1L, "k1", 25.0)).toDF("id", "k", "v")
+    val b = Seq(("k1", "a", 0.0, 50.0)).toDF("k", "band", "lo", "hi")
+    withBinWidth("50.0") {
+      val df = p.join(b, p("k") === b("k") &&
+        col("v") >= col("lo") && col("v") < col("hi"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__graft_bin"), plan)
+      assert(df.count() === 1L)
+    }
+  }
+
+  test("guard: non-inner joins and non-numeric points are left alone") {
+    withBinWidth("50.0") {
+      val outer = points.join(bandsDf,
+        col("v") >= col("lo") && col("v") < col("hi"), "left")
+      assert(!outer.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      val sp = Seq((1L, "m")).toDF("id", "s")
+      val sb = Seq(("a", "a", "z")).toDF("band", "slo", "shi")
+      val strJoin = sp.join(sb, col("s") >= col("slo") && col("s") < col("shi"))
+      assert(!strJoin.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      assert(strJoin.count() === 1L)
+    }
+  }
+
+  test("point side can be the RIGHT side of the join") {
+    val expected = rows(theta(points, bandsDf))
+    withBinWidth("50.0") {
+      val df = bandsDf.join(points, col("v") >= col("lo") && col("v") < col("hi"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), plan)
+      // same rows modulo column order
+      assert(df.count() === expected.size)
+    }
+  }
+
+  test("large randomized case agrees with the nested-loop answer") {
+    val rnd = new scala.util.Random(7)
+    val p = (1 to 2000).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200))
+      .toDF("id", "v")
+    val b = (1 to 60).map { i =>
+      val lo = rnd.nextDouble() * 900 - 200
+      (s"b$i", lo, lo + rnd.nextDouble() * 80)
+    }.toDF("band", "lo", "hi")
+    val expected = rows(theta(p, b))
+    withBinWidth("40.0") { assert(rows(theta(p, b)) === expected) }
+  }
+}
