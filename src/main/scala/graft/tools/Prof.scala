@@ -3,9 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage profiler: times the expensive sub-stages of the heavy
-  * bench queries separately so optimization targets the real cost, not
-  * the aggregate number. Not part of the driver contract.
+/** Dev-only stage profiler — round 8 edition: measures the two new
+  * plan-tier operators against the composed/naive forms they replace,
+  * so SCALING.md cites local numbers instead of theory. Not part of
+  * the driver contract.
   */
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -19,53 +20,57 @@ object Prof {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[prof] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"[prof] $label%-48s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val docs = graft.Tables.documents(spark, dir)
-    docs.persist().count()
+    // --- BinnedRangeJoinRule: plain theta join vs auto-binned ---
+    // many intervals is where the nested loop melts: every probe row
+    // tests every interval
+    val ev = graft.Tables.events(spark, dir).select("event_id", "value")
+    ev.persist().count()
+    val nBands = 5000
+    val bands = (0 until nBands).map { i =>
+      val lo = (i % 1000) * 1.0
+      (s"b$i", lo, lo + 25.0)
+    }.toDF("band", "lo", "hi")
+    def thetaAgg = ev
+      .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band").agg(count(lit(1)).as("n"))
+    time(s"range join BNLJ ($nBands intervals)")(noop(thetaAgg))
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "25.0")
+    time(s"range join auto-binned ($nBands intervals)")(noop(thetaAgg))
+    spark.conf.unset("spark.graft.rangeJoin.binWidth")
 
-    // --- ngramJaccard internals ---
-    val pairs = graft.ops.Dedup.ngramJaccard(docs, 0.8)
-    time("ngramJaccard full (noop)")(noop(pairs))
-    time("ngramJaccard count only")(println("  pairs=" + pairs.count()))
-
-    val masked = docs.select(col("doc_id"),
-      graft.ops.Dedup.tokenSet(col("text")).as("ts"))
-    time("tokenSet only")(noop(masked))
-
-    // --- connected components over the verified pairs ---
-    val p2 = graft.ops.Dedup.ngramJaccard(docs, 0.8)
-    time("connectedComponents total")(
-      noop(graft.ops.Dedup.connectedComponents(p2, docs)))
-
-    // --- minhash ---
-    val mh = graft.ops.Dedup.minhashLsh(docs)
-    time("minhashLsh full (noop)")(noop(mh))
-    val bands = graft.ops.Dedup.minhashBands(docs)
-    time("minhash bands (noop)")(noop(bands))
-    val l = bands.alias("l")
-    val r = bands.withColumnRenamed("doc_id", "doc_b_").alias("r")
-    val raw = l.join(r,
-      col("l.band_key") === col("r.band_key") &&
-        col("l.b") === col("r.b") &&
-        col("l.doc_id") < col("r.doc_b_"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_b_").as("doc_b"))
-    time("minhash raw band join count")(println("  raw=" + raw.count()))
-    time("minhash raw join (noop)")(noop(raw))
-
-    // --- ngram stats ---
-    time("topNgrams (noop)")(
-      noop(graft.ops.TextStats.topNgrams(docs, 3, 50)))
-
+    // --- AsofJoinExec vs composed union+window as-of ---
+    // all events probe the view/click state feed: both sides corpus-
+    // sized, wide left payload (the union form pads every right row
+    // to the full left schema)
+    val evFull = graft.Tables.events(spark, dir)
+    val tUs = graft.queries.AnalyticsQueries.epochUs(evFull, "ts")
+    val probes = evFull.select(col("event_id"), col("user_id"),
+      tUs.as("ts_us"), col("event_type"), col("value"), col("props"))
+    val state = evFull.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("src_id"),
+        col("event_type").as("src_type"), tUs.as("src_ts_us"))
+    probes.persist().count(); state.persist().count()
+    val cols = Seq("src_id", "src_type", "src_ts_us")
+    for (i <- 1 to 2) {
+      time(s"asof composed union+window (pass $i)")(noop(
+        graft.ops.TemporalJoins.asOfJoin(probes, state, Seq("user_id"),
+          "ts_us", "src_ts_us", cols, rightTiebreak = Some("src_id"))))
+      time(s"asof native exec (pass $i)")(noop(
+        graft.ops.TemporalJoins.asOfJoinNative(probes, state, Seq("user_id"),
+          "ts_us", "src_ts_us", cols, rightTiebreak = Some("src_id"))))
+    }
     spark.stop()
   }
 }
