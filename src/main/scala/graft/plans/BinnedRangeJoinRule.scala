@@ -129,7 +129,69 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               else Join(intervalG, pointP, Inner, Some(newCond), hint)
             Project(j.output, newJoin)
           }
-        rewritten.getOrElse(j)
+        rewritten.orElse(overlapRewrite(j, conjuncts, width))
+          .filter(_ => !crossEquality)
+          .getOrElse(j)
+    }
+  }
+
+  /** Interval-OVERLAP rewrite — the two-sided sibling: condition shape
+    * `lLo ≤/< rHi AND rLo ≤/< lHi` (any argument order), both sides
+    * interval sets. Both sides explode into their bins, candidates
+    * meet by bin equi-join, the original predicate verifies, and the
+    * `bin = greatest(bin(lLo), bin(rLo))` conjunct keeps each pair in
+    * exactly ONE shared bin (the first) with no distinct pass — the
+    * [[graft.ops.Skew.binnedIntervalJoin]] decomposition, derived
+    * automatically. Exactly-once holds by monotonicity: for a matching
+    * pair, `greatest(bin(lLo), bin(rLo))` is ≥ both explosions' start
+    * bins by construction and ≤ both end bins via the residual
+    * predicate (`rLo ≤ lHi ⇒ bin(rLo) ≤ bin(lHi)` and symmetrically),
+    * so the chosen bin lies inside BOTH exploded ranges — found once,
+    * kept once. Tried only when the single-explode point form does not
+    * match (a point is the degenerate interval; one explode beats
+    * two).
+    */
+  private def overlapRewrite(j: Join, conjuncts: Seq[Expression],
+                             width: Double): Option[LogicalPlan] = {
+    val Join(left, right, _, Some(cond), hint) = j: @unchecked
+    def oneSide(e: Expression, p: LogicalPlan): Boolean =
+      e.references.nonEmpty && e.references.subsetOf(p.outputSet) &&
+        e.dataType.isInstanceOf[NumericType]
+    // normalized L ≤/< R comparisons (a left-side expr bounded above
+    // by a right-side expr) and their R ≤/< L mirrors
+    def le(a: Expression, b: Expression): Option[(Expression, Expression)] =
+      if (oneSide(a, left) && oneSide(b, right)) Some((a, b)) else None
+    val lUpper = conjuncts.flatMap {   // lLo <= rHi
+      case LessThanOrEqual(a, b)    => le(a, b)
+      case LessThan(a, b)           => le(a, b)
+      case GreaterThanOrEqual(a, b) => le(b, a)
+      case GreaterThan(a, b)        => le(b, a)
+      case _ => None
+    }
+    val rUpper = conjuncts.flatMap {   // rLo <= lHi
+      case LessThanOrEqual(a, b)    => le(b, a).map(_.swap)
+      case LessThan(a, b)           => le(b, a).map(_.swap)
+      case GreaterThanOrEqual(a, b) => le(a, b).map(_.swap)
+      case GreaterThan(a, b)        => le(a, b).map(_.swap)
+      case _ => None
+    }
+    (for {
+      (lLo, rHi) <- lUpper
+      (rLo, lHi) <- rUpper
+    } yield (lLo, lHi, rLo, rHi)).headOption.map { case (lLo, lHi, rLo, rHi) =>
+      val tz = Some(conf.sessionLocalTimeZone)
+      val lBin = AttributeReference("__graft_bin_l", LongType, nullable = true)()
+      val rBin = AttributeReference("__graft_bin_r", LongType, nullable = true)()
+      val leftG = Generate(
+        Explode(Sequence(binOf(lLo, width), binOf(lHi, width), None, tz)),
+        Nil, outer = false, None, Seq(lBin), left)
+      val rightG = Generate(
+        Explode(Sequence(binOf(rLo, width), binOf(rHi, width), None, tz)),
+        Nil, outer = false, None, Seq(rBin), right)
+      val firstSharedBin =
+        EqualTo(lBin, Greatest(Seq(binOf(lLo, width), binOf(rLo, width))))
+      val newCond = And(And(EqualTo(lBin, rBin), firstSharedBin), cond)
+      Project(j.output, Join(leftG, rightG, Inner, Some(newCond), hint))
     }
   }
 }

@@ -1227,6 +1227,36 @@ object ExtensionQueries {
       .orderBy("l_id")
   }
 
+  /** The same interval-overlap aggregation written as a PLAIN theta
+    * join and auto-binned by [[graft.plans.BinnedRangeJoinRule]]'s
+    * two-sided path (both sides explode, first-shared-bin dedup) —
+    * the optimizer-rule twin of `q_interval_join`, same DuckDB
+    * oracle. Conf scoping as in [[rangeJoinAuto]].
+    */
+  def intervalJoinAuto(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), floor(col("value") * 1000).cast("long").as("lo"))
+    val l = ev.filter(col("event_id") % 17 === 0)
+      .select(col("event_id").as("l_id"), col("lo").as("l_lo"),
+        (col("lo") + 3000L).as("l_hi"))
+    val r = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("r_id"), col("lo").as("r_lo"),
+        (col("lo") + 4500L).as("r_hi"))
+    s.conf.set("spark.graft.rangeJoin.binWidth", "4000.0")
+    try {
+      val theta = l.join(r, col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+        .groupBy("l_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("l_hi"), col("r_hi")) - greatest(col("l_lo"), col("r_lo")))
+            .as("sum_overlap"),
+          min("r_id").as("first_r"), max("r_id").as("last_r"))
+        .orderBy("l_id")
+      org.apache.spark.sql.GraftSqlShim.ofRows(s,
+        theta.queryExecution.optimizedPlan)
+    } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
   /** Training-shard manifest ([[Sampling.shardManifest]]): per shard,
     * doc/token counts and the order-free dual content checksum — the
     * record a data release ships so training runs can verify their
@@ -3698,6 +3728,18 @@ object ExtensionQueries {
         |  min(r_id) AS first_r, max(r_id) AS last_r
         |FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_interval_join_auto" ->
+      """WITH ev AS (SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS lo
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT event_id AS l_id, lo AS l_lo, lo + 3000 AS l_hi
+        |  FROM ev WHERE event_id % 17 = 0),
+        |r AS (SELECT event_id AS r_id, lo AS r_lo, lo + 4500 AS r_hi
+        |  FROM ev WHERE event_id % 2 = 1)
+        |SELECT l_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(least(l_hi, r_hi) - greatest(l_lo, r_lo)) AS BIGINT) AS sum_overlap,
+        |  min(r_id) AS first_r, max(r_id) AS last_r
+        |FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_manifest" -> {
       def hex6(src: String, off: Int) = (0 to 5).map(i =>
         s"(strpos('0123456789abcdef', substr($src,${off + i},1))-1)*${math.pow(16, 5 - i).toLong}")
@@ -6059,6 +6101,7 @@ object ExtensionQueries {
     "q_gini_sources"    -> (giniSources _),
     "q_curriculum"      -> (curriculumQ _),
     "q_salted_join"     -> (saltedJoinQ _),
-    "q_range_join_auto" -> (rangeJoinAuto _)
+    "q_range_join_auto" -> (rangeJoinAuto _),
+    "q_interval_join_auto" -> (intervalJoinAuto _)
   )
 }

@@ -108,6 +108,31 @@ class BinnedRangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("interval-OVERLAP join rewrites too: both sides explode, each " +
+    "matching pair appears exactly once, answer matches nested-loop") {
+    val li = Seq((1L, 0.0, 30.0), (2L, 25.0, 60.0), (3L, 200.0, 210.0),
+      (4L, -80.0, -10.0)).toDF("lid", "llo", "lhi")
+    val ri = Seq((10L, 20.0, 40.0), (11L, -15.0, 5.0), (12L, 500.0, 600.0),
+      (13L, 0.0, 300.0)).toDF("rid", "rlo", "rhi")
+    def overlap(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+    val expected = rows(overlap(li, ri))
+    withBinWidth("50.0") {
+      val df = overlap(li, ri)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), plan)
+      assert(plan.contains("Generate"), plan)
+      val got = rows(df)
+      assert(got === expected)                       // same pairs
+      assert(got.size === got.distinct.size)         // exactly once each
+    }
+    // width smaller than the intervals: pairs share MANY bins — the
+    // first-shared-bin conjunct must still emit each pair once
+    withBinWidth("3.0") {
+      assert(rows(overlap(li, ri)) === expected)
+    }
+  }
+
   test("large randomized case agrees with the nested-loop answer") {
     val rnd = new scala.util.Random(7)
     val p = (1 to 2000).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200))
