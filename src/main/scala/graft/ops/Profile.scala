@@ -526,6 +526,43 @@ object Profile {
       .withColumn("outlier_ppm", expr("n_outliers * 1000000 div n"))
   }
 
+  /** Erasure (right-to-be-forgotten) audit — after a deletion list is
+    * applied to a lake, the corpus is only HALF the story: chunks,
+    * packed sequences, dedup pair tables, index postings and every
+    * other derived artifact can still reference the deleted ids. This
+    * audit counts, per artifact, the rows that still reference any
+    * deleted id — the compliance report a deletion job must leave
+    * behind (zero residuals = clean).
+    *
+    * Each artifact declares its reference columns; a row counts once
+    * even when several of its columns hit the list (per-column LEFT
+    * joins against the de-duplicated deletion list, OR'd — never a
+    * union of semi-joins, which would double-count multi-hit rows).
+    *
+    * At 100 TB: deletion lists are small relative to the corpus —
+    * every probe is a broadcast join riding a single scan per
+    * artifact; for genuinely huge lists, pre-screen with a Bloom
+    * filter and keep the same plan. Output is one row per artifact.
+    */
+  def erasureAudit(deleted: DataFrame, delKey: String,
+                   artifacts: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    val del = deleted.select(col(delKey)).distinct()
+    artifacts.map { case (name, df, refCols) =>
+      require(refCols.nonEmpty, s"artifact $name needs at least one ref column")
+      var t = df
+      val flags = refCols.zipWithIndex.map { case (c, i) =>
+        t = t.join(
+          broadcast(del.select(col(delKey).as(c)).withColumn(s"__del$i", lit(1))),
+          Seq(c), "left")
+        col(s"__del$i")
+      }
+      t.agg(count(lit(1)).as("n_rows"),
+          sum(when(flags.map(_.isNotNull).reduce(_ || _), 1L).otherwise(0L))
+            .as("n_refs_deleted"))
+        .select(lit(name).as("artifact"), col("n_rows"), col("n_refs_deleted"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-group Gini concentration of row counts across keys — the
     * standard inequality measure for "is this language's data all from
     * one crawl?" / "does one tenant dominate the shard?". 0 ppm =

@@ -2750,6 +2750,32 @@ object ExtensionQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Erasure audit ([[Profile.erasureAudit]]) across the corpus and
+    * its DERIVED artifacts: a simulated deletion list (doc_id % 97)
+    * probed against documents, the chunk table, and the minhash
+    * near-dup pair table (doc_a OR doc_b), plus the anti-join-scrubbed
+    * corpus and chunk twins that must audit clean (0 residuals). The
+    * artifact definitions are the already-gated ones (q_chunks'
+    * chunker, the shared mh_pairs memo), so the audit and the
+    * artifacts cannot drift apart.
+    */
+  def erasureAuditQ(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val del = dd.filter(col("doc_id") % 97 === 0).select("doc_id")
+    val ch = TextStats.chunk(dd, chunkSize = 32, stride = 24)
+    val pairs = mhPairs(s, d)
+    val scrubbedDocs = dd.join(del, Seq("doc_id"), "left_anti")
+    val scrubbedChunks = ch.join(del, Seq("doc_id"), "left_anti")
+    Profile.erasureAudit(del, "doc_id", Seq(
+        ("chunks", ch, Seq("doc_id")),
+        ("chunks_scrubbed", scrubbedChunks, Seq("doc_id")),
+        ("documents", dd, Seq("doc_id")),
+        ("documents_scrubbed", scrubbedDocs, Seq("doc_id")),
+        ("minhash_pairs", pairs.select(col("doc_a").as("ref_a"),
+          col("doc_b").as("ref_b")), Seq("ref_a", "ref_b"))))
+      .orderBy("artifact")
+  }
+
   // lazy: oracleBase is declared below (keeping the giant literal at the
   // end of the file); by first access it is initialized
   lazy val oracle: Map[String, String] = oracleBase +
@@ -2761,6 +2787,35 @@ object ExtensionQueries {
          |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
          |      FROM (${oracleBase("q_dedup_clusters")}) GROUP BY 1)
          |GROUP BY 1 ORDER BY 1""".stripMargin) +
+    // the erasure audit wraps the gated chunker and pair-table
+    // oracles — artifact definitions shared, no drift
+    ("q_erasure_audit" ->
+      s"""WITH del AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 97 = 0),
+         |ch AS (SELECT doc_id FROM (${oracleBase("q_chunks")})),
+         |mp AS (SELECT doc_a, doc_b FROM (${oracleBase("q_dedup_minhash")}))
+         |SELECT * FROM (
+         |  SELECT 'chunks' AS artifact,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ch) AS n_rows,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ch
+         |      WHERE doc_id IN (SELECT doc_id FROM del)) AS n_refs_deleted
+         |  UNION ALL SELECT 'chunks_scrubbed',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ch
+         |      WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+         |    CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'documents',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |      WHERE doc_id IN (SELECT doc_id FROM del))
+         |  UNION ALL SELECT 'documents_scrubbed',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |      WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+         |    CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'minhash_pairs',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM mp),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM mp
+         |      WHERE doc_a IN (SELECT doc_id FROM del)
+         |         OR doc_b IN (SELECT doc_id FROM del))
+         |) ORDER BY artifact""".stripMargin) +
     ("q_bloom_skip" -> {
       def ladder(src: String) = (0 until 6).map(i =>
         s"(strpos('0123456789abcdef', substr($src,${1 + i},1))-1)*${BigInt(16).pow(5 - i)}")
@@ -6102,6 +6157,7 @@ object ExtensionQueries {
     "q_curriculum"      -> (curriculumQ _),
     "q_salted_join"     -> (saltedJoinQ _),
     "q_range_join_auto" -> (rangeJoinAuto _),
-    "q_interval_join_auto" -> (intervalJoinAuto _)
+    "q_interval_join_auto" -> (intervalJoinAuto _),
+    "q_erasure_audit"   -> (erasureAuditQ _)
   )
 }

@@ -54,6 +54,20 @@ class CurriculumProfileSpec extends SparkSpec {
     assert(out(1)._2 === 3L && out(1)._3 === 1L && out(1)._4 === 6L)
   }
 
+  test("erasureAudit: a row referencing deleted ids through BOTH " +
+    "columns counts once; duplicate deletion-list entries don't inflate") {
+    val del = Seq(1L, 1L, 3L).toDF("id") // duplicated on purpose
+    val pairs = Seq(
+      (1L, 3L),  // both columns hit -> one residual, not two
+      (1L, 2L),  // one column hits
+      (2L, 4L)   // clean
+    ).toDF("a", "b")
+    val out = Profile.erasureAudit(del, "id",
+        Seq(("pairs", pairs, Seq("a", "b"))))
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq === Seq(("pairs", 3L, 2L)))
+  }
+
   test("curriculumSchedule: stages partition each source by difficulty " +
     "order, every stage is source-balanced, schedule keys are dense") {
     val docs = (1 to 40).map { i =>
