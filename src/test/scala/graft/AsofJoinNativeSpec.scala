@@ -139,6 +139,20 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(exchanges === 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
 
+  test("outputPartitioning passthrough: a per-key aggregation downstream " +
+    "of the native as-of join adds NO extra exchange") {
+    val joined = TemporalJoins.asOfJoinNative(left, right, Seq("user"), "t", "rt",
+      Seq("rid"), rightTiebreak = Some("rid"))
+    val agged = joined.groupBy("user").agg(count(lit(1)).as("n"),
+      max(col("rid")).as("max_rid"))
+    val plan = agged.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // one per join side; the aggregation reuses the left child's
+    // keys-clustered partitioning the exec advertises
+    assert(exchanges === 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    assert(agged.count() === 3L)
+  }
+
   test("multi-key join and larger randomized data match the composed form " +
     "across partition boundaries") {
     val rnd = new scala.util.Random(42)
