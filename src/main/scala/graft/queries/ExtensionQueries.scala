@@ -588,6 +588,52 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Data-constrained epoch planner — when the token budget exceeds a
+    * source's unique supply, the plan REPEATS data, and repeated
+    * epochs are worth less than fresh ones (Muennighoff et al.,
+    * "Scaling Data-Constrained Language Models", NeurIPS 2023: ~4
+    * epochs retain most of their value, then returns decay fast).
+    * Per source: the temperature-weighted target draw (same sqrt
+    * weighting as `q_mix_plan`), how many full epochs that implies,
+    * and the EFFECTIVE token count under a pinned integer decay
+    * ladder (epoch i is worth `Ladder(i)` ppm of fresh data, 0 beyond
+    * 8) — `efficiency_ppm` is the planner's signal to rebalance the
+    * mix toward sources that still have fresh data. The ladder is a
+    * workload knob approximating the paper's exponential decay;
+    * pinning it as integers keeps the whole table engine-exact.
+    *
+    * One hash aggregate on source + a broadcast of the one-row
+    * normalizer — dimension-bounded output, corpus scanned once.
+    */
+  def epochPlan(s: SparkSession, d: String): DataFrame = {
+    val budget = 300000L
+    // cumulative ppm value of the first k epochs, k = 0..8
+    val cum = Seq(0L, 1000000L, 1850000L, 2500000L, 2950000L,
+      3220000L, 3360000L, 3420000L, 3440000L)
+    val nxt = Seq(1000000L, 850000L, 650000L, 450000L, 270000L,
+      140000L, 60000L, 20000L, 0L)   // value of epoch k+1
+    val per = docs(s, d).groupBy("source")
+      .agg(sum(size(TextStats.tokens(col("text")))).cast("long")
+        .as("unique_tokens"))
+    val z = per.agg(sum(sqrt(col("unique_tokens"))).as("z"))
+    per.crossJoin(broadcast(z))
+      .withColumn("target_tokens",
+        floor(sqrt(col("unique_tokens")) / col("z") * budget).cast("long"))
+      .withColumn("full_epochs",
+        expr("target_tokens div unique_tokens"))
+      .withColumn("rem_tokens", expr("target_tokens % unique_tokens"))
+      .withColumn("k", least(col("full_epochs"), lit(8L)).cast("int"))
+      .withColumn("effective_tokens", expr(
+        s"(unique_tokens * element_at(array(${cum.mkString(",")}), k + 1)" +
+          s" + rem_tokens * element_at(array(${nxt.mkString(",")}), k + 1))" +
+          " div 1000000"))
+      .withColumn("efficiency_ppm",
+        expr("effective_tokens * 1000000 div greatest(target_tokens, 1)"))
+      .select("source", "unique_tokens", "target_tokens", "full_epochs",
+        "effective_tokens", "efficiency_ppm")
+      .orderBy("source")
+  }
+
   /** Incremental-ingestion exact dedup: the odd docs arrive against a
     * base of the even docs PLUS every odd doc with doc_id % 10 == 1
     * (those are "already ingested" by content) — survivors are the odd
@@ -3014,6 +3060,31 @@ object ExtensionQueries {
         |    ORDER BY difficulty, doc_id) AS BIGINT) AS rn_in_stage,
         |  difficulty
         |FROM t ORDER BY stage, rn_in_stage, source""".stripMargin,
+    "q_epoch_plan" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS unique_tokens
+        |  FROM documents GROUP BY 1),
+        |z AS (SELECT sum(sqrt(unique_tokens)) AS z FROM per),
+        |t AS (SELECT source, unique_tokens,
+        |    CAST(floor(sqrt(unique_tokens) / z.z * 300000) AS BIGINT) AS target_tokens
+        |  FROM per CROSS JOIN z),
+        |e AS (SELECT *, target_tokens // unique_tokens AS full_epochs,
+        |    target_tokens % unique_tokens AS rem_tokens,
+        |    least(target_tokens // unique_tokens, 8) AS k FROM t)
+        |SELECT source, unique_tokens, target_tokens,
+        |  CAST(full_epochs AS BIGINT) AS full_epochs,
+        |  CAST((unique_tokens *
+        |      ([0,1000000,1850000,2500000,2950000,3220000,3360000,3420000,3440000])[k+1]
+        |    + rem_tokens *
+        |      ([1000000,850000,650000,450000,270000,140000,60000,20000,0])[k+1])
+        |    // 1000000 AS BIGINT) AS effective_tokens,
+        |  CAST(((unique_tokens *
+        |      ([0,1000000,1850000,2500000,2950000,3220000,3360000,3420000,3440000])[k+1]
+        |    + rem_tokens *
+        |      ([1000000,850000,650000,450000,270000,140000,60000,20000,0])[k+1])
+        |    // 1000000) * 1000000 // greatest(target_tokens, 1) AS BIGINT)
+        |    AS efficiency_ppm
+        |FROM e ORDER BY source""".stripMargin,
     "q_salted_join" ->
       """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -6158,6 +6229,7 @@ object ExtensionQueries {
     "q_salted_join"     -> (saltedJoinQ _),
     "q_range_join_auto" -> (rangeJoinAuto _),
     "q_interval_join_auto" -> (intervalJoinAuto _),
-    "q_erasure_audit"   -> (erasureAuditQ _)
+    "q_erasure_audit"   -> (erasureAuditQ _),
+    "q_epoch_plan"      -> (epochPlan _)
   )
 }
