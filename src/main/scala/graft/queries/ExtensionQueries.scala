@@ -634,6 +634,44 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Shuffle-quality (striping) audit over the deterministic shard
+    * order — trainers assume the shard stream is well mixed; a poorly
+    * shuffled shard feeds same-source runs and the gradient sees
+    * correlated batches. Per shard: the ADJACENT-pair same-source
+    * rate in the gated `q_shard` order vs the exact expectation under
+    * a random permutation (`Σ c_s·(c_s−1) / (n·(n−1))`, adjacency in
+    * sampling-without-replacement) — both in exact ppm, so "well
+    * shuffled" is a ppm comparison, not a vibe. The md5 shard order
+    * IS source-independent, so the two columns agreeing is the
+    * audit's pass state.
+    *
+    * Consecutive pairs come from an EQUI-join on (shard, pos+1) —
+    * distributed, no window beyond the one inside the already-gated
+    * shard assignment; everything else is shard-keyed aggregation.
+    */
+  def stripeAudit(s: SparkSession, d: String): DataFrame = {
+    val j = Sampling.shardAssign(docs(s, d), "doc_id", numShards = 8)
+      .select(col("shard"), col("pos"), col("source"))
+    val nxt = j.select(col("shard"), (col("pos") - 1).as("pos"),
+      col("source").as("next_source"))
+    val agg = j.join(nxt, Seq("shard", "pos"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("source") === col("next_source"), 1L).otherwise(0L))
+          .as("same_src_pairs"))
+    val tot = j.groupBy("shard", "source").agg(count(lit(1)).as("c"))
+      .groupBy("shard")
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("c") * (col("c") - 1)).as("same_mass"))
+    tot.join(agg, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_pairs"),
+        col("same_src_pairs"),
+        expr("same_src_pairs * 1000000 div n_pairs").as("same_src_ppm"),
+        expr("same_mass * 1000000 div (n_docs * (n_docs - 1))")
+          .as("expected_ppm"))
+      .orderBy("shard")
+  }
+
   /** Incremental-ingestion exact dedup: the odd docs arrive against a
     * base of the even docs PLUS every odd doc with doc_id % 10 == 1
     * (those are "already ingested" by content) — survivors are the odd
@@ -2833,6 +2871,26 @@ object ExtensionQueries {
          |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
          |      FROM (${oracleBase("q_dedup_clusters")}) GROUP BY 1)
          |GROUP BY 1 ORDER BY 1""".stripMargin) +
+    // the striping audit wraps the gated shard-order oracle — one
+    // order definition, two gates
+    ("q_stripe_audit" ->
+      s"""WITH s AS (SELECT doc_id, shard, pos FROM (${oracleBase("q_shard")})),
+         |j AS (SELECT s.shard, s.pos, d.source
+         |  FROM s JOIN documents d USING (doc_id)),
+         |p AS (SELECT a.shard, a.source AS src_a, b.source AS src_b
+         |  FROM j a JOIN j b ON a.shard = b.shard AND b.pos = a.pos + 1),
+         |agg AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN src_a = src_b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS same_src_pairs FROM p GROUP BY 1),
+         |cnts AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS c
+         |  FROM j GROUP BY 1, 2),
+         |tot AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n_docs,
+         |    CAST(sum(c * (c - 1)) AS BIGINT) AS same_mass FROM cnts GROUP BY 1)
+         |SELECT t.shard, n_docs, n_pairs, same_src_pairs,
+         |  CAST(same_src_pairs * 1000000 // n_pairs AS BIGINT) AS same_src_ppm,
+         |  CAST(same_mass * 1000000 // (n_docs * (n_docs - 1)) AS BIGINT)
+         |    AS expected_ppm
+         |FROM tot t JOIN agg USING (shard) ORDER BY shard""".stripMargin) +
     // the erasure audit wraps the gated chunker and pair-table
     // oracles — artifact definitions shared, no drift
     ("q_erasure_audit" ->
@@ -6230,6 +6288,7 @@ object ExtensionQueries {
     "q_range_join_auto" -> (rangeJoinAuto _),
     "q_interval_join_auto" -> (intervalJoinAuto _),
     "q_erasure_audit"   -> (erasureAuditQ _),
-    "q_epoch_plan"      -> (epochPlan _)
+    "q_epoch_plan"      -> (epochPlan _),
+    "q_stripe_audit"    -> (stripeAudit _)
   )
 }
