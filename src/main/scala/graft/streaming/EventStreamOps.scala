@@ -774,4 +774,34 @@ object EventStreamOps {
       .agg(max_by(struct(others.toIndexedSeq.map(col): _*), col(pkCol)).as("__row"))
       .select(keys.map(col) ++ others.map(c => col(s"__row.$c")): _*)
   }
+
+  /** Tombstone ingest gate — the PREVENTION half of the erasure story
+    * ([[graft.ops.Profile.erasureAudit]] is the detection half): once
+    * an id is on the deletion list, a late crawl re-fetch, an
+    * upstream replay, or a stale shard must not quietly re-introduce
+    * it. Every arriving doc checks the STATIC tombstone list; matches
+    * flow to a quarantine sink with `tombstoned = true` instead of
+    * vanishing, because a re-appearing deleted id is itself a
+    * compliance signal someone needs to see (who is still serving
+    * data that was ordered deleted?).
+    *
+    * Stateless stream-static join (no watermark, no state store), the
+    * tombstone side reduced to distinct ids — broadcast when it fits,
+    * Bloom pre-screen at extreme list sizes. A plain file-backed
+    * DataFrame snapshots its file LISTING at query start, so a grown
+    * list needs either a transactional table format on the static
+    * side (which re-lists per batch) or the `foreachBatch` form that
+    * re-reads the path each batch — the gate itself is stateless, so
+    * both compose with it unchanged; the spec pins the foreachBatch
+    * growth path. Live == batch is structural: the same anti-join defines
+    * the audit's scrubbed artifacts.
+    */
+  def tombstoneGate(docs: DataFrame, tombstones: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val del = tombstones.select(col(idCol)).distinct()
+      .withColumn("__tomb", lit(1))
+    docs.join(del, Seq(idCol), "left")
+      .withColumn("tombstoned", col("__tomb").isNotNull)
+      .drop("__tomb")
+  }
 }

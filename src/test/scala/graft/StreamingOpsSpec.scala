@@ -191,6 +191,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tombstoneGate: tombstoned ids flag (not vanish) across " +
+    "micro-batches; the foreachBatch form re-reads the list so a GROWN " +
+    "tombstone set is honored without restart") {
+    implicit val sc = spark.sqlContext
+    val tombDir = tmpDir("graft-tomb")
+    Seq(7L).toDF("doc_id").write.mode("overwrite").parquet(tombDir)
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val tomb = batch.sparkSession.read.parquet(tombDir) // fresh listing
+        val out = EventStreamOps.tombstoneGate(batch.toDF(), tomb)
+        results.synchronized {
+          results ++= out.select("doc_id", "tombstoned")
+            .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+        }
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((7L, "deleted doc re-fetched"), (8L, "fresh doc"))
+      q.processAllAvailable()
+      // the deletion list grows mid-stream; the next batch re-reads it
+      Seq(7L, 8L).toDF("doc_id").write.mode("overwrite").parquet(tombDir)
+      mem.addData((8L, "doc 8 again, now tombstoned"), (9L, "fresh"))
+      q.processAllAvailable()
+      assert(results.sorted.toSeq ===
+        Seq((7L, true), (8L, false), (8L, true), (9L, false)))
+    } finally q.stop()
+  }
+
   test("streamingCorpusDiff: adds/changes classify live across " +
     "micro-batches (re-deliveries dropped in-watermark, unchanged " +
     "silent); with the scan-end removed half the composition equals " +
