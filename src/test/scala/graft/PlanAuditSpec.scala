@@ -23,6 +23,26 @@ class PlanAuditSpec extends SparkSpec {
     .map(i => (i.toLong, Array.tabulate(8)(d => (i * 31 + d * 7) % 17 - 8f)))
     .toDF("vec_id", "embedding")
 
+  test("q_range_join_auto / q_interval_join_auto gated plans are the " +
+    "binned rewrite: Generate + equi-join present, no nested loop") {
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q_range_join_auto", "q_interval_join_auto")) {
+      val p = plan(graft.queries.ExtensionQueries.queries(q)(spark, d))
+      assert(p.contains("Generate"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q_asof_native gated plan runs through AsofJoinExec with no " +
+    "Window and no Union") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.AnalyticsQueries.queries("q_asof_native")(spark, d))
+    assert(p.contains("AsofJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Union"), p)
+  }
+
   test("exact dedup aggregates with map-side partials (two-phase " +
     "HashAggregate around one Exchange)") {
     val p = plan(Dedup.exact(docs))
