@@ -546,6 +546,9 @@ object Profile {
     */
   def erasureAudit(deleted: DataFrame, delKey: String,
                    artifacts: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    val reserved = artifacts.flatMap(_._2.columns).filter(_.startsWith("__del"))
+    require(reserved.isEmpty,
+      s"__del* column names are reserved by erasureAudit: ${reserved.mkString(",")} — rename first")
     val del = deleted.select(col(delKey)).distinct()
     artifacts.map { case (name, df, refCols) =>
       require(refCols.nonEmpty, s"artifact $name needs at least one ref column")

@@ -176,7 +176,7 @@ object TemporalJoins {
     * (the union form pads both sides to the combined schema) and the
     * per-key carry is a one-candidate merge cursor instead of a
     * `last(struct) ignoreNulls` window frame. See the exec's scaladoc
-    * for the plan contract; `AsofJoinSpec` pins result-equivalence
+    * for the plan contract; `AsofJoinNativeSpec` pins result-equivalence
     * against the composed form and the plan shape.
     *
     * Every right-side column the operator consumes is re-aliased to a

@@ -68,6 +68,22 @@ case class AsofJoin(
     "asof join: left/right key lists must be non-empty and same length")
   require(leftTime.dataType == rightTime.dataType,
     s"asof join: time types differ (${leftTime.dataType} vs ${rightTime.dataType})")
+  // no analyzer coercion reaches a custom node: mismatched key types
+  // would hash-partition each side under its OWN type (equal values on
+  // different partitions) and the merge ordering would misread slots —
+  // silently wrong results, so fail loudly instead. Cast upstream.
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"asof join: key types differ (${l.dataType} vs ${r.dataType}) — cast first")
+  }
+  // NormalizeFloatingNumbers (-0.0/NaN canonicalization) also targets
+  // only built-in join nodes; float keys would diverge from SQL equality
+  leftKeys.foreach { k =>
+    require(k.dataType != org.apache.spark.sql.types.DoubleType &&
+      k.dataType != org.apache.spark.sql.types.FloatType,
+      s"asof join: floating-point key type ${k.dataType} unsupported (-0.0/NaN " +
+        "normalization does not reach custom nodes) — cast or quantize first")
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

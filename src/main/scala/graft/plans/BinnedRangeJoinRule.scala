@@ -46,7 +46,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * (double, > 0; unset = rule off) — bin width is workload knowledge
   * (≈ the typical interval width keeps the per-interval explode
   * O(1)), the same contract as the hand-written operator and the
-  * engine hints this mirrors. Registered by
+  * engine hints this mirrors. The conf is also the caller's assertion
+  * that intervals are FINITE and roughly width-sized: an open-ended
+  * sentinel bound (±Infinity) or an interval spanning more than
+  * Spark's max array length makes the bin sequence fail LOUDLY at
+  * runtime rather than silently wrong — pre-filter sentinel rows (or
+  * widen the bin) before enabling the rule, exactly as with the
+  * hand-written binned operators. Registered by
   * [[graft.GraftExtensions]] next to [[BandedLevenshteinRule]].
   */
 object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
@@ -83,8 +89,16 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               (a.references ++ b.references).intersect(right.outputSet).nonEmpty
           case _ => false
         }
+        if (crossEquality) j else rewriteJoin(j, conjuncts, width)
+    }
+  }
+
+  private def rewriteJoin(j: Join, conjuncts: Seq[Expression],
+                          width: Double): LogicalPlan = {
+    val Join(left, right, _, Some(cond), hint) = j: @unchecked
+    {
         // try point on left first, then point on right
-        val rewritten = if (crossEquality) None else
+        val rewritten =
           Seq(true, false).view.flatMap { pointOnLeft =>
             // lower bounds: point >(=) bound; upper bounds: point <(=) bound
             val lowers = conjuncts.flatMap {
@@ -130,7 +144,6 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             Project(j.output, newJoin)
           }
         rewritten.orElse(overlapRewrite(j, conjuncts, width))
-          .filter(_ => !crossEquality)
           .getOrElse(j)
     }
   }

@@ -409,9 +409,13 @@ object AnalyticsQueries {
     */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+    // null purchase values count as 0 revenue (COALESCE before the
+    // sum): an all-null user would otherwise carry a NULL monetary and
+    // Spark (NULLS FIRST) vs DuckDB (NULLS LAST) ntile defaults would
+    // place them in opposite quintiles
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), epochUs(ev, "ts").as("t"),
-        floor(col("value") * 1000).cast("long").as("vq"))
+        coalesce(floor(col("value") * 1000).cast("long"), lit(0L)).as("vq"))
     val agg = p.groupBy("user_id").agg(
       min(col("t")).as("first_ts_us"),
       max(col("t")).as("last_ts_us"),
@@ -676,7 +680,7 @@ object AnalyticsQueries {
         |ORDER BY e.event_id""".stripMargin,
     "q_rfm" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS t,
-        |    CAST(floor(value * 1000) AS BIGINT) AS vq
+        |    coalesce(CAST(floor(value * 1000) AS BIGINT), 0) AS vq
         |  FROM events WHERE event_type = 'purchase'),
         |a AS (SELECT user_id, CAST(min(t) AS BIGINT) AS first_ts_us,
         |    CAST(max(t) AS BIGINT) AS last_ts_us,

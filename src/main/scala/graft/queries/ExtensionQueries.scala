@@ -650,8 +650,12 @@ object ExtensionQueries {
     * shard assignment; everything else is shard-keyed aggregation.
     */
   def stripeAudit(s: SparkSession, d: String): DataFrame = {
+    // materialize the shard order ONCE: three lineages (pairs left,
+    // pairs right, per-source totals) would otherwise re-run the
+    // md5-sort window per reference
     val j = Sampling.shardAssign(docs(s, d), "doc_id", numShards = 8)
       .select(col("shard"), col("pos"), col("source"))
+      .localCheckpoint()
     val nxt = j.select(col("shard"), (col("pos") - 1).as("pos"),
       col("source").as("next_source"))
     val agg = j.join(nxt, Seq("shard", "pos"))

@@ -798,6 +798,9 @@ object EventStreamOps {
     */
   def tombstoneGate(docs: DataFrame, tombstones: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
+    require(!docs.columns.contains("__tomb") &&
+      !docs.columns.contains("tombstoned"),
+      "column names __tomb/tombstoned are reserved by tombstoneGate — rename first")
     val del = tombstones.select(col(idCol)).distinct()
       .withColumn("__tomb", lit(1))
     docs.join(del, Seq(idCol), "left")
