@@ -133,6 +133,22 @@ class BinnedRangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("contract: an open-ended sentinel interval fails LOUDLY under " +
+    "the rewrite (never silently wrong) — pre-filter sentinels or " +
+    "leave the conf off for such data") {
+    val p = Seq((1L, 25.0)).toDF("id", "v")
+    val b = Seq(("open", Double.NegativeInfinity, 50.0)).toDF("band", "lo", "hi")
+    withBinWidth("10.0") {
+      val ex = intercept[Exception] {
+        p.join(b, col("v") >= col("lo") && col("v") < col("hi")).collect()
+      }
+      assert(ex.getMessage != null)
+    }
+    // conf off: the same query answers fine through the nested loop
+    val ok = p.join(b, col("v") >= col("lo") && col("v") < col("hi")).count()
+    assert(ok === 1L)
+  }
+
   test("large randomized case agrees with the nested-loop answer") {
     val rnd = new scala.util.Random(7)
     val p = (1 to 2000).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200))
