@@ -190,8 +190,11 @@ object TemporalJoins {
                      leftTime: String, rightTime: String,
                      rightCols: Seq[String],
                      rightTiebreak: Option[String] = None,
-                     strict: Boolean = false): DataFrame = {
+                     strict: Boolean = false,
+                     direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asOfJoinNative needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
     val collisions = rightCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"rightCols collide with left columns: ${collisions.mkString(",")} — rename first")
@@ -233,7 +236,7 @@ object TemporalJoins {
       keys.indices.map(i => ref(rPlan, s"__asof_k$i")),
       ref(lPlan, leftTime), ref(rPlan, "__asof_t"),
       tbExpr.map(_ => ref(rPlan, "__asof_tb")),
-      strict, lPlan, rPlan)
+      strict, direction == "forward", lPlan, rPlan)
     org.apache.spark.sql.GraftSqlShim.ofRows(spark, node)
       .select(left.columns.map(col).toSeq ++
         rightCols.zipWithIndex.map { case (c, i) => col(s"__asof_v$i").as(c) }: _*)

@@ -61,6 +61,7 @@ case class AsofJoin(
     rightTime: Expression,
     rightTiebreak: Option[Expression],
     strict: Boolean,
+    forward: Boolean,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
 
@@ -100,8 +101,9 @@ case class AsofJoin(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(lk, rk, lt, rt, tb, strict, l, r) =>
-      AsofJoinExec(lk, rk, lt, rt, tb, strict, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(lk, rk, lt, rt, tb, strict, fwd, l, r) =>
+      AsofJoinExec(lk, rk, lt, rt, tb, strict, fwd,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -113,6 +115,7 @@ case class AsofJoinExec(
     rightTime: Expression,
     rightTiebreak: Option[Expression],
     strict: Boolean,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -146,6 +149,7 @@ case class AsofJoinExec(
     val nOut = longMetric("numOutputRows")
     val nHit = longMetric("numMatched")
     val isStrict = strict
+    val isFwd = forward
     val lOut = left.output
     val rOut = right.output
     val lk = leftKeys; val rk = rightKeys; val lt = leftTime; val rt = rightTime
@@ -195,6 +199,31 @@ case class AsofJoinExec(
         if (lKey.anyNull || lTimeProj(lRow).isNullAt(0)) {
           nOut += 1
           resultProj(joined(lRow, nullRight))
+        } else if (isFwd) {
+          // FORWARD: the earliest right row at-or-after (after, when
+          // strict) the left time — a PEEK, not a consume: rights
+          // strictly before this left's cutoff can never serve a later
+          // (time-ascending) left, so the pointer only moves past
+          // rights no left will ever need; the peeked row is projected
+          // into the result buffer immediately, so its reuse on the
+          // next advance is safe. Equal-(key, time) ties resolve to the
+          // LOWEST tiebreak (ascending sort, first peek) — the mirror
+          // of backward's highest.
+          while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
+          val lTime = lTimeProj(lRow)
+          var cont = rRow != null && keyOrd.compare(rKey, lKey) == 0
+          while (cont) {
+            val c = timeOrd.compare(rTime, lTime)
+            if (if (isStrict) c <= 0 else c < 0) {
+              advanceRight()
+              cont = rRow != null && keyOrd.compare(rKey, lKey) == 0
+            } else cont = false
+          }
+          nOut += 1
+          if (rRow != null && keyOrd.compare(rKey, lKey) == 0) {
+            nHit += 1
+            resultProj(joined(lRow, rRow))
+          } else resultProj(joined(lRow, nullRight))
         } else {
           if (candidate != null && keyOrd.compare(candidateKey, lKey) != 0) {
             candidate = null; candidateKey = null

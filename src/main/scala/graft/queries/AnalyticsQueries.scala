@@ -354,6 +354,27 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** FORWARD-direction twin ([[graft.plans.AsofJoinExec]] with
+    * `direction = "forward"`): each purchase picks the NEXT view/click
+    * at-or-after it — the "what did the user do right after buying"
+    * join, and the pandas `merge_asof(direction="forward")` surface.
+    * Equal-(key, time) ties take the LOWEST src_id (ascending sort,
+    * first peek), matching the oracle's ASC LIMIT 1.
+    */
+  def asOfAttributionNativeFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), epochUs(ev, "ts").as("ts_us"))
+    val sources = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("src_id"),
+        col("event_type").as("src_type"), epochUs(ev, "ts").as("src_ts_us"))
+    graft.ops.TemporalJoins.asOfJoinNative(
+        purchases, sources, Seq("user_id"), "ts_us", "src_ts_us",
+        Seq("src_id", "src_type", "src_ts_us"),
+        rightTiebreak = Some("src_id"), direction = "forward")
+      .orderBy("event_id")
+  }
+
   /** Strict (<) twin of [[asOfAttributionNative]] — gates the native
     * exec's strict comparison path under the DuckDB oracle (the
     * composed strict form shares this oracle).
@@ -654,6 +675,18 @@ object AnalyticsQueries {
         |  CAST(a.n_active * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
         |FROM a JOIN sizes s USING (cohort_w)
         |ORDER BY a.cohort_w, a.offset_w""".stripMargin,
+    "q_asof_native_fwd" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  a.src_id, a.src_type, a.src_ts_us
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT r.event_id AS src_id, r.event_type AS src_type,
+        |    epoch_us(r.ts) AS src_ts_us
+        |  FROM events r
+        |  WHERE r.user_id = e.user_id AND r.event_type IN ('view','click')
+        |    AND r.ts >= e.ts
+        |  ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) a ON TRUE
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     "q_asof_native_strict" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  a.src_id, a.src_type, a.src_ts_us
@@ -874,6 +907,7 @@ object AnalyticsQueries {
     "q_asof_strict"         -> (asOfAttributionStrict _),
     "q_asof_native"         -> (asOfAttributionNative _),
     "q_asof_native_strict"  -> (asOfAttributionNativeStrict _),
+    "q_asof_native_fwd"     -> (asOfAttributionNativeFwd _),
     "q_rfm"                 -> (rfmSegments _)
   )
 }

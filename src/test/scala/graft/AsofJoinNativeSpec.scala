@@ -139,6 +139,49 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(exchanges === 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
 
+  test("forward direction picks the EARLIEST right row at-or-after " +
+    "each left time; strict excludes equal-time; ties take the lowest " +
+    "tiebreak; unmatched lefts keep nulls") {
+    val out = TemporalJoins.asOfJoinNative(left, right, Seq("user"), "t", "rt",
+        Seq("rid", "tag"), rightTiebreak = Some("rid"), direction = "forward")
+      .orderBy("id")
+      .as[(Long, String, java.sql.Timestamp, Option[Long], Option[String])]
+      .collect().map(r => (r._1, r._4)).toSeq
+    // id=1 @10:00 -> first right >= is 11:00 (rid=11)
+    // id=2 @12:00 -> equal-time 12:00 (rid=12) INCLUDED (non-strict)
+    // id=3 @09:00 -> 09:30 (rid=20); id=4 (u3) -> none
+    assert(out === Seq((1L, Some(11L)), (2L, Some(12L)),
+      (3L, Some(20L)), (4L, None)))
+    val strictOut = TemporalJoins.asOfJoinNative(left, right, Seq("user"),
+        "t", "rt", Seq("rid"), rightTiebreak = Some("rid"),
+        strict = true, direction = "forward")
+      .orderBy("id").as[(Long, String, java.sql.Timestamp, Option[Long])]
+      .collect().map(r => (r._1, r._4)).toSeq
+    // id=2 @12:00 strict: no right strictly after 12:00 -> null
+    assert(strictOut === Seq((1L, Some(11L)), (2L, None),
+      (3L, Some(20L)), (4L, None)))
+  }
+
+  test("forward randomized case matches the theta-join + argmin reference " +
+    "across partition boundaries") {
+    val rnd = new scala.util.Random(11)
+    val l = (1 to 400).map { i =>
+      (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(500).toLong)
+    }.toDF("id", "k", "t")
+    val r = (1 to 700).map { i =>
+      (s"k${rnd.nextInt(6)}", i.toLong, rnd.nextInt(500).toLong)
+    }.toDF("k", "rid", "rt")
+    val native = TemporalJoins.asOfJoinNative(l, r, Seq("k"), "t", "rt",
+        Seq("rid"), rightTiebreak = Some("rid"), direction = "forward")
+      .select("id", "rid")
+    val ref = l.join(r, l("k") === r("k") && col("rt") >= col("t"))
+      .groupBy("id").agg(min(struct(col("rt"), col("rid"))).as("m"))
+      .select(col("id"), col("m.rid").as("rid"))
+    val refFull = l.select("id").join(ref, Seq("id"), "left")
+    assert(native.collect().map(_.toString).sorted.toSeq ===
+      refFull.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("outputPartitioning passthrough: a per-key aggregation downstream " +
     "of the native as-of join adds NO extra exchange") {
     val joined = TemporalJoins.asOfJoinNative(left, right, Seq("user"), "t", "rt",
