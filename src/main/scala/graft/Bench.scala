@@ -17,7 +17,11 @@ object Bench {
     * still overflow, the fastest queries are dropped from the map (total
     * always covers every query; `dropped` records how many were elided).
     * The untruncated full-precision result is also written to
-    * bench_full.json in the working directory.
+    * bench_full.json in the working directory (the emitted line points
+    * there via `"full"`), and every query is compared against the
+    * PRIOR run's bench_full.json: >1.5x-and->150ms-slower queries land
+    * in the line's `regressed` map (name -> ratio) so per-query plan
+    * regressions stay visible as the suite grows.
     */
   private val MaxLineChars = 1900
 
@@ -74,17 +78,51 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // PRIOR-round per-query reference, keyed BY SCALE FACTOR
+    // (bench_ref_<sf>.json — ratios across sfs are meaningless, and a
+    // local profiling run at another sf must never become the file the
+    // next driver run compares against). Queries slower than 1.5x
+    // their prior min are flagged in the emitted `regressed` list so a
+    // plan regression surfaces in the artifact instead of hiding
+    // inside a growing suite total. New queries have no reference and
+    // never flag. Only FULL runs update the reference (below); subset
+    // runs read it but leave it untouched.
+    val refPath = "bench_ref_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".json"
+    val prior: Map[String, Double] =
+      try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val f = java.nio.file.Paths.get(refPath)
+        if (!java.nio.file.Files.exists(f)) Map.empty
+        else JsonMethods.parse(java.nio.file.Files.readString(f)) \ "queries" match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v))    => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
     val runs: Seq[Map[String, Double]] =
       (1 to passes).map { _ => selected.map { case (n, f) => n -> timeOne(n, f) }.toMap }
     val results: Map[String, Double] =
       selected.keys.map { n => n -> runs.map(_(n)).min }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
+    // >1.5x vs prior min AND at least 150 ms absolute (a 20 ms query
+    // tripling is noise, not a plan change), worst first
+    val regressed: Seq[String] = results.toSeq.collect {
+      case (n, v) if prior.get(n).exists(p => v > p * 1.5 && v - p > 0.15) => n -> (v / prior(n))
+    }.sortBy { case (_, ratio) => -ratio }.take(10).map {
+      case (n, ratio) => "\"" + n + "\":" + fmt(ratio)
+    }
+
     def line(entries: Seq[(String, Double)], dropped: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val tail = if (dropped > 0) s""","dropped":$dropped""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$tail,"sf":"$sfDir"}"""
+      val reg = regressed.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$tail,"regressed":$reg,"full":"bench_full.json","sf":"$sfDir"}"""
     }
 
     // Full-precision record to disk (survives any stdout truncation).
@@ -102,6 +140,13 @@ object Bench {
       val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
       try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"passes":$passesJson,"sf":"$sfDir"}""")
       finally w.close()
+      // a FULL run becomes the next run's per-sf regression reference;
+      // subset (SPARK_GRAFT_ONLY) profiling runs never touch it
+      if (only.isEmpty) {
+        val r = new java.io.PrintWriter(refPath, "UTF-8")
+        try r.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+        finally r.close()
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
     // Slowest-first so that, if truncation is ever needed, the queries that

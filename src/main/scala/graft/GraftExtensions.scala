@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftExtensions.tableRegistrations.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
@@ -50,6 +53,10 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     registrations.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+    tableRegistrations.foreach { case (name, info, builder) =>
+      spark.sessionState.tableFunctionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
     // a running session cannot gain injected optimizer rules; the
@@ -201,5 +208,143 @@ object GraftExtensions {
         StringTrim(graft.ops.TextStats.ScrubSteps.foldLeft(args(0)) {
           case (e, (p, r)) => RegExpReplace(e, Literal(p), Literal(r))
         })
+      }))
+
+  // ---- table-valued functions: the SQL surface for the whole-operator
+  // temporal joins (Spark has no ASOF JOIN syntax; DuckDB ships one and
+  // the reference's consumers are SQL-first, so a FROM-clause TVF is
+  // the closing piece: a pure-SQL user writes
+  //   SELECT * FROM graft_asof_join('trades', 'quotes', 'sym',
+  //                                 't', 't', 'price:q_price')
+  // and gets the SAME AsofJoinExec plan the Column API builds). All
+  // arguments are foldable string literals — table/view names resolve
+  // through the session catalog at analysis time; the builder only
+  // CONSTRUCTS the plan, no job runs.
+
+  private def strArg(fn: String, arg: String, e: Expression): String = e match {
+    case lit: Literal if lit.foldable && lit.dataType ==
+        org.apache.spark.sql.types.StringType && lit.eval() != null =>
+      lit.eval().toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
+  }
+
+  private def boolStrArg(fn: String, arg: String, e: Expression): Boolean =
+    strArg(fn, arg, e).trim.toLowerCase match {
+      case "true"  => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be 'true' or 'false', got '$other'")
+    }
+
+  private def csv(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def activeSession: SparkSession =
+    SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        "graft table function: no active SparkSession"))
+
+  /** Resolve a time argument against `df`: a bare column name is used
+    * as-is; anything else is parsed as a SQL expression and projected
+    * as a synthetic column (returned name), so `unix_micros(ts)` works
+    * directly in the TVF call.
+    */
+  private def timeColumn(df: org.apache.spark.sql.DataFrame, spec: String,
+                         synth: String): (org.apache.spark.sql.DataFrame, String) =
+    if (df.columns.contains(spec)) (df, spec)
+    else (df.withColumn(synth, org.apache.spark.sql.functions.expr(spec)), synth)
+
+  private[graft] val tableRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("graft_asof_join",
+      info("graft_asof_join",
+        "graft_asof_join(left, right, keys, left_time, right_time, carry" +
+          "[, direction, strict, tiebreak]) - native as-of join over two " +
+          "catalog tables/views. keys: comma-separated equi-key columns " +
+          "present in both sides; left_time/right_time: column name or SQL " +
+          "expression; carry: comma-separated right columns, each " +
+          "'col' or 'col:alias'; direction: backward|forward (default " +
+          "backward); strict: true|false (default false); tiebreak: right " +
+          "column ranking equal-(key,time) rows (default: the carried " +
+          "values). Plans to AsofJoinExec — per-side-width shuffles, O(1) " +
+          "merge state."),
+      args => {
+        val fn = "graft_asof_join"
+        require(args.length >= 6 && args.length <= 9,
+          s"$fn expects 6 to 9 arguments, got ${args.length}")
+        val spark = activeSession
+        val keys = csv(strArg(fn, "keys", args(2)))
+        require(keys.nonEmpty, s"$fn: keys must name at least one column")
+        val carry = csv(strArg(fn, "carry", args(5))).map { spec =>
+          spec.split(":") match {
+            case Array(o)    => (o.trim, o.trim)
+            case Array(o, a) => (o.trim, a.trim)
+            case _ => throw new IllegalArgumentException(
+              s"$fn: carry entry '$spec' must be 'col' or 'col:alias'")
+          }
+        }
+        require(carry.nonEmpty, s"$fn: carry must name at least one column")
+        val direction =
+          if (args.length >= 7) strArg(fn, "direction", args(6)) else "backward"
+        val strict =
+          if (args.length >= 8) boolStrArg(fn, "strict", args(7)) else false
+        val tiebreak =
+          if (args.length >= 9) Some(strArg(fn, "tiebreak", args(8))) else None
+
+        val (left, lt) = timeColumn(
+          spark.table(strArg(fn, "left", args(0))),
+          strArg(fn, "left_time", args(3)), "__graft_ltime")
+        val right0 = spark.table(strArg(fn, "right", args(1)))
+        val (right1, rt) = timeColumn(right0,
+          strArg(fn, "right_time", args(4)), "__graft_rtime")
+        // project the right side down to what the join consumes, with
+        // carried columns already under their output aliases (distinct
+        // aliases also make self-joins collision-free); keep the time,
+        // key, and tiebreak columns alongside
+        import org.apache.spark.sql.functions.col
+        // a carry entry that emits a key/time/tiebreak column under its
+        // OWN name already provides it (same source column, so the join
+        // reads identical values); an alias that merely SHADOWS one of
+        // those names with a different column would silently change the
+        // join semantics — fail loudly instead
+        val aliasByName = carry.map { case (o, a) => a -> o }.toMap
+        val keep = (keys ++ Seq(rt) ++ tiebreak.toSeq).distinct.filterNot { n =>
+          aliasByName.get(n) match {
+            case Some(o) if o == n => true
+            case Some(o) => throw new IllegalArgumentException(
+              s"$fn: carry alias '$n' (of column '$o') collides with " +
+                s"key/time/tiebreak column '$n' — pick another alias")
+            case None => false
+          }
+        }
+        val right = right1.select(
+          keep.map(col) ++ carry.map { case (o, a) => col(o).as(a) }: _*)
+        val joined = graft.ops.TemporalJoins.asOfJoinNative(
+          left, right, keys, lt, rt, carry.map(_._2),
+          rightTiebreak = tiebreak, strict = strict, direction = direction)
+        // synthetic left-time projections are internal — drop from output
+        val out = if (lt == "__graft_ltime") joined.drop("__graft_ltime") else joined
+        out.queryExecution.analyzed
+      }),
+    ("graft_gap_fill",
+      info("graft_gap_fill",
+        "graft_gap_fill(table, key, time_us, id, value) - per-key daily " +
+          "gap-fill (LOCF): every day of each key's [first,last] span gets " +
+          "a row; silent days carry n=0, is_gap=true and the forward-" +
+          "filled last reading. time_us: column name or SQL expression " +
+          "yielding epoch microseconds."),
+      args => {
+        val fn = "graft_gap_fill"
+        require(args.length == 5, s"$fn expects 5 arguments, got ${args.length}")
+        val spark = activeSession
+        val df = spark.table(strArg(fn, "table", args(0)))
+        val tsSpec = strArg(fn, "time_us", args(2))
+        val tsUs =
+          if (df.columns.contains(tsSpec)) org.apache.spark.sql.functions.col(tsSpec)
+          else org.apache.spark.sql.functions.expr(tsSpec)
+        graft.ops.TemporalJoins.gapFillDaily(df,
+            strArg(fn, "key", args(1)), tsUs,
+            strArg(fn, "id", args(3)), strArg(fn, "value", args(4)))
+          .queryExecution.analyzed
       }))
 }

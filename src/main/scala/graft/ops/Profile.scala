@@ -593,9 +593,16 @@ object Profile {
     counts.withColumn("rn", row_number().over(w).cast("long"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n_keys"), sum(col("x")).as("n_rows"),
-        sum(col("rn") * col("x")).as("s"))
+        // s ≤ n_keys·n_rows — the rank-weighted sum crosses BIGINT on
+        // the same schedule as the denominator, so accumulate in decimal
+        sum(col("rn").cast("decimal(38,0)") * col("x")).as("s"))
       .select(col("grp"), col("n_keys"), col("n_rows"),
-        expr("(2 * s - (n_keys + 1) * n_rows) * 1000000" +
-          " div (n_keys * n_rows)").as("gini_ppm"))
+        // numerator is bounded by n_keys·n_rows, so the ×1e6 (and the
+        // n_keys·n_rows denominator itself) exceed BIGINT once
+        // n_keys·n_rows passes ~4.6e12 / ~9.2e18 — route both through
+        // DECIMAL(38,0) like every other ppm cross-multiplication
+        expr("CAST(CAST(2 * s - (n_keys + 1) * n_rows AS DECIMAL(38,0))" +
+          " * 1000000 div (CAST(n_keys AS DECIMAL(38,0)) * n_rows)" +
+          " AS BIGINT)").as("gini_ppm"))
   }
 }

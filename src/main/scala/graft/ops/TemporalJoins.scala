@@ -170,6 +170,104 @@ object TemporalJoins {
         rightCols.map(c => col(s"_carried.$c").as(c)): _*)
   }
 
+  /** Hot-key (skew) fallback for the BACKWARD as-of join: pre-split
+    * every key's timeline into fixed-width time buckets and as-of join
+    * per (key, bucket) — the "salting" recipe for the one bound the
+    * native operator honestly has ([[graft.plans.AsofJoinExec]]
+    * clusters on the key, and custom execs are invisible to AQE's
+    * OptimizeSkewedJoin, so one key holding 30% of both sides lands
+    * 30% of the merge on one task; see SCALING.md "As-of join skew").
+    *
+    * The salted key is `(key, floor(time / bucketWidth))`, so a hot
+    * key's rows spread over its time span. What makes this CORRECT
+    * and not just fast is the carry-in: a left row's predecessor may
+    * sit in an EARLIER bucket, so for every (key, bucket) the latest
+    * right row of any prior bucket is computed — one per-(key, bucket)
+    * aggregate (struct-max by (time, tiebreak): exactly the operator's
+    * winner order) followed by a LOCF window over the per-key BUCKET
+    * LIST (rows = buckets touched, not events) — and re-emitted into
+    * the bucket as one synthetic right row carrying its original
+    * timestamp. Each bucket then sees: its own right rows, plus the
+    * one predecessor that can still win — as-of semantics are local to
+    * the bucket and the composed [[asOfJoin]] runs on the salted key.
+    *
+    * Carry-in rows have `t < bucketStart <= leftT`, so both strict
+    * and non-strict modes accept them and the boundary cannot double-
+    * count (a right row AT the bucket start belongs to the bucket,
+    * not the carry). Right-row duplication is bounded at one synthetic
+    * row per (key, bucket) — `|R| + keys·buckets` total, the classic
+    * salt trade. BACKWARD only (the forward mirror needs carry-in from
+    * later buckets — same construction, reversed window; not needed
+    * until a forward hot-key workload shows up).
+    *
+    * `bucketWidth` is in the time column's own units and is workload
+    * knowledge, like every salt factor: pick `span / (wanted parallel
+    * splits per hot key)`.
+    */
+  def asOfJoinTimeSplit(left: DataFrame, right: DataFrame,
+                        keys: Seq[String],
+                        leftTime: String, rightTime: String,
+                        rightCols: Seq[String],
+                        rightTiebreak: Option[String] = None,
+                        strict: Boolean = false,
+                        bucketWidth: Long = 86400000000L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(keys.nonEmpty, "asOfJoinTimeSplit needs at least one key column")
+    val reserved = Set("_bkt", "_last", "_carry")
+    val hits = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(hits.isEmpty,
+      s"column names ${hits.mkString(",")} are reserved by asOfJoinTimeSplit")
+
+    val bkt = (c: Column) => floor(c / lit(bucketWidth)).cast("long")
+    val lb = left.withColumn("_bkt", bkt(col(leftTime)))
+    val rb = right
+      .filter(col(rightTime).isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("_bkt", bkt(col(rightTime)))
+
+    // winner order inside a bucket = (time, tiebreak, carried values)
+    // ascending max — identical to the operator's ORDER BY t DESC,
+    // tiebreak DESC LIMIT 1 pick. Struct fields get positional
+    // aliases because rightCols may legitimately CONTAIN the time or
+    // tiebreak column (carrying the source timestamp is the norm).
+    val lastStruct = struct(
+      Seq(col(rightTime).as("__t")) ++
+        rightTiebreak.map(t => col(t).as("__tb")).toSeq ++
+        rightCols.zipWithIndex.map { case (c, i) => col(c).as(s"__v$i") }: _*)
+    val rLast = rb.groupBy((keys.map(col) :+ col("_bkt")): _*)
+      .agg(max(lastStruct).as("_last"))
+
+    // bucket list per key = buckets either side touches; LOCF over the
+    // STRICTLY previous buckets yields the carry-in candidate
+    val allBuckets = lb.select((keys.map(col) :+ col("_bkt")): _*).distinct()
+      .join(rLast, keys :+ "_bkt", "full_outer")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allBuckets
+      .withColumn("_carry", last(col("_last"), ignoreNulls = true).over(w))
+      .filter(col("_carry").isNotNull)
+
+    // synthetic carry-in rows rejoin the real rows under the SAME
+    // (name-distinct) column set; original timestamps keep the as-of
+    // order exact
+    val needed =
+      (keys ++ Seq("_bkt", rightTime) ++ rightTiebreak.toSeq ++ rightCols)
+        .distinct
+    def fromStruct(n: String): Column =
+      if (n == rightTime) col("_carry").getField("__t").as(n)
+      else if (rightTiebreak.contains(n)) col("_carry").getField("__tb").as(n)
+      else col("_carry").getField(s"__v${rightCols.indexOf(n)}").as(n)
+    val carryRows = carry.select(
+      keys.map(col) ++ Seq(col("_bkt")) ++
+        needed.filterNot(n => keys.contains(n) || n == "_bkt")
+          .map(fromStruct): _*)
+    val realRows = rb.select(needed.map(col): _*)
+    val rightAug = realRows.unionByName(carryRows)
+
+    asOfJoin(lb, rightAug, keys :+ "_bkt", leftTime, rightTime,
+        rightCols, rightTiebreak, strict)
+      .drop("_bkt")
+  }
+
   /** [[asOfJoin]] through the native whole-operator path
     * ([[graft.plans.AsofJoinExec]]): same contract, same result,
     * different physics — each side shuffles at its OWN row width

@@ -1,13 +1,15 @@
 package graft.plans
 
+import org.apache.spark.sql.{GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.{col, isnan, lit, max, percentile_approx}
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
 /** Optimizer rule: rewrite an inequality-only (point-in-interval)
-  * inner join into the binned equi-join form.
+  * join into the binned equi-join form.
   *
   * A join whose condition is only range predicates — `p >= lo AND
   * p < hi` in any argument order / strictness — has no equi key, so
@@ -31,38 +33,114 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * can only admit extra candidates that the residual predicate then
   * removes. A point lands in exactly one bin, so no dedup pass is
   * needed. Null points/bounds produce a null bin / null sequence and
-  * drop, matching inner-join comparison semantics.
+  * drop, matching join comparison semantics.
   *
-  * Eligibility, kept deliberately narrow: INNER join; condition is a
-  * conjunction containing one lower and one upper bound on the SAME
-  * point expression (numeric), point referencing only one side and
-  * both bounds only the other; and NO cross-side equality conjunct —
-  * if an equi key exists Spark already hash-partitions on it and
-  * binning would only add fan-out (this guard also makes the rule
-  * idempotent: its own rewrite introduces a bin equality). Extra
-  * conjuncts ride along in the join condition unchanged.
+  * Join shapes, chosen so binning never duplicates a PRESERVED row
+  * (the point side explodes to exactly one bin; the interval side to
+  * many):
+  *   - INNER: point on either side; plus the two-sided interval-
+  *     overlap form ([[overlapRewrite]]).
+  *   - LEFT OUTER with the point side on the LEFT, and RIGHT OUTER
+  *     with the point side on the RIGHT: unmatched point rows (and
+  *     null-point rows) surface once with null interval columns,
+  *     exactly as in the un-rewritten plan, because the preserved
+  *     side is never exploded. The mirror shapes (preserved interval
+  *     side) would duplicate unmatched intervals per bin and stay
+  *     un-rewritten.
+  *   - LEFT SEMI / LEFT ANTI with the point on the left: existence
+  *     is bin-invariant (every original match survives as exactly the
+  *     pair sharing the point's bin), so "events WITH a covering
+  *     interval" and "events with NO covering interval" — the
+  *     attribution questions — both get the scalable plan.
   *
-  * Gated by the session conf `spark.graft.rangeJoin.binWidth`
-  * (double, > 0; unset = rule off) — bin width is workload knowledge
-  * (≈ the typical interval width keeps the per-interval explode
-  * O(1)), the same contract as the hand-written operator and the
-  * engine hints this mirrors. The conf is also the caller's assertion
-  * that intervals are FINITE and roughly width-sized: an open-ended
-  * sentinel bound (±Infinity) or an interval spanning more than
-  * Spark's max array length makes the bin sequence fail LOUDLY at
-  * runtime rather than silently wrong — pre-filter sentinel rows (or
-  * widen the bin) before enabling the rule, exactly as with the
-  * hand-written binned operators. Registered by
-  * [[graft.GraftExtensions]] next to [[BandedLevenshteinRule]].
+  * Other conditions ride along in the join condition unchanged; a
+  * conjunct with a cross-side EQUALITY disables the rewrite — Spark
+  * already hash-partitions on that key, binning would only add
+  * fan-out (this guard also makes the rule idempotent: its own
+  * rewrite introduces a bin equality).
+  *
+  * Gated by the session conf `spark.graft.rangeJoin.binWidth`:
+  *   - unset / `0` — rule off;
+  *   - a positive double — explicit bin width (≈ the typical interval
+  *     width keeps the per-interval explode O(1)), the same contract
+  *     as the hand-written operator and the engine hints this mirrors.
+  *     The explicit width is also the caller's assertion that
+  *     intervals are FINITE and roughly width-sized: an open-ended
+  *     sentinel bound (±Infinity) or an interval spanning more than
+  *     Spark's max array length makes the bin sequence fail LOUDLY at
+  *     runtime rather than silently wrong — pre-filter sentinel rows
+  *     (or widen the bin) before enabling the rule;
+  *   - `auto` — the width is DERIVED at plan time by sampling the
+  *     interval side ([[sampledWidth]]): the p95 of `hi − lo` over
+  *     the first 10k rows, the stats prepass engines ship so users
+  *     without workload knowledge still get the rewrite. Non-finite
+  *     and negative sampled widths are excluded from the statistic
+  *     (so a few sentinel rows cannot poison it — but surviving
+  *     sentinel rows still fail loudly at runtime, same contract as
+  *     explicit); an empty or all-degenerate sample falls back to
+  *     width 1 when any interval exists, and the join is left
+  *     un-rewritten when the sample has no usable rows at all.
+  *
+  * Registered by [[graft.GraftExtensions]] next to
+  * [[BandedLevenshteinRule]].
   */
 object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val ConfKey = "spark.graft.rangeJoin.binWidth"
+  private val SampleRows = 10000
+
+  private sealed trait WidthSpec
+  private case class Fixed(w: Double) extends WidthSpec
+  private case object Auto extends WidthSpec
 
   private def binOf(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w)))
 
-  /** (point, bound, pointIsLhs) for a comparison, or None. */
+  /** Plan-time width sample over one interval side: p95 of `hi − lo`
+    * over (up to) the first [[SampleRows]] rows, finite non-negative
+    * widths only. Runs a bounded Spark job DURING optimization — the
+    * sampled sub-query contains no join, so re-entering this rule on
+    * it is a no-op and recursion terminates. Returns None when the
+    * sample has no usable rows (caller then skips the rewrite);
+    * degenerate all-point intervals (p95 = 0) fall back to the sample
+    * max, then to 1.0 — any positive width is CORRECT (covering is
+    * width-independent), width only tunes fan-out.
+    */
+  private def sampledWidth(intervalPlan: LogicalPlan,
+                           lo: Expression, hi: Expression): Option[Double] =
+    SparkSession.getActiveSession.flatMap { spark =>
+      val wcol = GraftSqlShim.column(
+        Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType)))
+      val row = GraftSqlShim.ofRows(spark, intervalPlan)
+        .select(wcol.as("w"))
+        .limit(SampleRows)
+        .filter(col("w").isNotNull && !isnan(col("w")) &&
+          col("w") >= 0.0 && col("w") < Double.PositiveInfinity)
+        .agg(percentile_approx(col("w"), lit(0.95), lit(1000)).as("p95"),
+          max(col("w")).as("mx"))
+        .head()
+      if (row.isNullAt(0)) None
+      else {
+        val p95 = row.getDouble(0)
+        val mx = row.getDouble(1)
+        val w = if (p95 > 0.0) p95 else if (mx > 0.0) mx else 1.0
+        Some(w)
+      }
+    }
+
+  private def resolveWidth(spec: WidthSpec,
+                           sides: Seq[(LogicalPlan, Expression, Expression)]): Option[Double] =
+    spec match {
+      case Fixed(w) => Some(w)
+      case Auto =>
+        // two-sided overlap: the wider side's p95 keeps BOTH explodes
+        // O(1) per row (a bin narrower than one side's intervals
+        // multiplies that side's fan-out for no matching gain)
+        val ws = sides.flatMap { case (p, lo, hi) => sampledWidth(p, lo, hi) }
+        if (ws.isEmpty) None else Some(ws.max)
+    }
+
+  /** (point, bound) for a comparison, or None. */
   private def sides(l: Expression, r: Expression,
                     left: LogicalPlan, right: LogicalPlan,
                     pointOnLeft: Boolean): Option[(Expression, Expression)] = {
@@ -73,33 +151,50 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(ConfKey, "0") match {
-      case s => try s.toDouble catch { case _: NumberFormatException => 0.0 }
-    }
-    if (width <= 0.0 || width.isNaN || width.isInfinite) return plan
+  /** Which side the POINT may be on for this join type such that the
+    * rewrite never duplicates (or drops) a preserved row: the point
+    * side maps to exactly one bin, so it must be the preserved side.
+    */
+  private def allowedPointSides(jt: JoinType): Seq[Boolean] = jt match {
+    case Inner                          => Seq(true, false)
+    case LeftOuter | LeftSemi | LeftAnti => Seq(true)
+    case RightOuter                     => Seq(false)
+    case _                              => Seq.empty
+  }
 
-    plan.transform {
-      case j @ Join(left, right, Inner, Some(cond), hint) =>
-        val conjuncts = splitConjunctivePredicates(cond)
-        val crossEquality = conjuncts.exists {
-          case EqualTo(a, b) =>
-            // an equality touching BOTH sides = an existing equi key
-            (a.references ++ b.references).intersect(left.outputSet).nonEmpty &&
-              (a.references ++ b.references).intersect(right.outputSet).nonEmpty
-          case _ => false
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val spec: Option[WidthSpec] = conf.getConfString(ConfKey, "0") match {
+      case "auto" => Some(Auto)
+      case s =>
+        val w = try s.toDouble catch { case _: NumberFormatException => 0.0 }
+        if (w > 0.0 && !w.isNaN && !w.isInfinite) Some(Fixed(w)) else None
+    }
+    spec match {
+      case None => plan
+      case Some(ws) =>
+        plan.transform {
+          case j @ Join(left, right, jt, Some(cond), _)
+              if allowedPointSides(jt).nonEmpty =>
+            val conjuncts = splitConjunctivePredicates(cond)
+            val crossEquality = conjuncts.exists {
+              case EqualTo(a, b) =>
+                // an equality touching BOTH sides = an existing equi key
+                (a.references ++ b.references).intersect(left.outputSet).nonEmpty &&
+                  (a.references ++ b.references).intersect(right.outputSet).nonEmpty
+              case _ => false
+            }
+            if (crossEquality) j else rewriteJoin(j, conjuncts, ws)
         }
-        if (crossEquality) j else rewriteJoin(j, conjuncts, width)
     }
   }
 
   private def rewriteJoin(j: Join, conjuncts: Seq[Expression],
-                          width: Double): LogicalPlan = {
-    val Join(left, right, _, Some(cond), hint) = j: @unchecked
+                          spec: WidthSpec): LogicalPlan = {
+    val Join(left, right, jt, Some(cond), hint) = j: @unchecked
     {
-        // try point on left first, then point on right
+        // try each permitted point side in order
         val rewritten =
-          Seq(true, false).view.flatMap { pointOnLeft =>
+          allowedPointSides(jt).view.flatMap { pointOnLeft =>
             // lower bounds: point >(=) bound; upper bounds: point <(=) bound
             val lowers = conjuncts.flatMap {
               case GreaterThanOrEqual(a, b) => sides(a, b, left, right, pointOnLeft)
@@ -123,35 +218,39 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               if lo.dataType.isInstanceOf[NumericType]
               if hi.dataType.isInstanceOf[NumericType]
             } yield (p1, lo, hi, pointOnLeft)).headOption
-          }.headOption.map { case (point, lo, hi, pointOnLeft) =>
+          }.headOption.flatMap { case (point, lo, hi, pointOnLeft) =>
             val (pointPlan, intervalPlan) =
               if (pointOnLeft) (left, right) else (right, left)
-            val binAlias = Alias(binOf(point, width), "__graft_bin")()
-            val pointP = Project(pointPlan.output :+ binAlias, pointPlan)
-            val binAttr =
-              AttributeReference("__graft_bin_x", LongType, nullable = true)()
-            // Sequence is TimeZoneAwareExpression: without an explicit
-            // zone it reports unresolved and plan validation rejects
-            // the rewrite (integral sequences never consult it)
-            val intervalG = Generate(
-              Explode(Sequence(binOf(lo, width), binOf(hi, width), None,
-                Some(conf.sessionLocalTimeZone))),
-              Nil, outer = false, None, Seq(binAttr), intervalPlan)
-            val newCond = And(EqualTo(binAlias.toAttribute, binAttr), cond)
-            val newJoin =
-              if (pointOnLeft) Join(pointP, intervalG, Inner, Some(newCond), hint)
-              else Join(intervalG, pointP, Inner, Some(newCond), hint)
-            Project(j.output, newJoin)
+            resolveWidth(spec, Seq((intervalPlan, lo, hi))).map { width =>
+              val binAlias = Alias(binOf(point, width), "__graft_bin")()
+              val pointP = Project(pointPlan.output :+ binAlias, pointPlan)
+              val binAttr =
+                AttributeReference("__graft_bin_x", LongType, nullable = true)()
+              // Sequence is TimeZoneAwareExpression: without an explicit
+              // zone it reports unresolved and plan validation rejects
+              // the rewrite (integral sequences never consult it)
+              val intervalG = Generate(
+                Explode(Sequence(binOf(lo, width), binOf(hi, width), None,
+                  Some(conf.sessionLocalTimeZone))),
+                Nil, outer = false, None, Seq(binAttr), intervalPlan)
+              val newCond = And(EqualTo(binAlias.toAttribute, binAttr), cond)
+              val newJoin =
+                if (pointOnLeft) Join(pointP, intervalG, jt, Some(newCond), hint)
+                else Join(intervalG, pointP, jt, Some(newCond), hint)
+              Project(j.output, newJoin)
+            }
           }
-        rewritten.orElse(overlapRewrite(j, conjuncts, width))
+        rewritten.orElse(overlapRewrite(j, conjuncts, spec))
           .getOrElse(j)
     }
   }
 
   /** Interval-OVERLAP rewrite — the two-sided sibling: condition shape
     * `lLo ≤/< rHi AND rLo ≤/< lHi` (any argument order), both sides
-    * interval sets. Both sides explode into their bins, candidates
-    * meet by bin equi-join, the original predicate verifies, and the
+    * interval sets, INNER only (both sides explode, so no outer side
+    * could be preserved without a dedup pass). Both sides explode into
+    * their bins, candidates meet by bin equi-join, the original
+    * predicate verifies, and the
     * `bin = greatest(bin(lLo), bin(rLo))` conjunct keeps each pair in
     * exactly ONE shared bin (the first) with no distinct pass — the
     * [[graft.ops.Skew.binnedIntervalJoin]] decomposition, derived
@@ -165,8 +264,9 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * two).
     */
   private def overlapRewrite(j: Join, conjuncts: Seq[Expression],
-                             width: Double): Option[LogicalPlan] = {
-    val Join(left, right, _, Some(cond), hint) = j: @unchecked
+                             spec: WidthSpec): Option[LogicalPlan] = {
+    val Join(left, right, jt, Some(cond), hint) = j: @unchecked
+    if (jt != Inner) return None
     def oneSide(e: Expression, p: LogicalPlan): Boolean =
       e.references.nonEmpty && e.references.subsetOf(p.outputSet) &&
         e.dataType.isInstanceOf[NumericType]
@@ -191,20 +291,23 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     (for {
       (lLo, rHi) <- lUpper
       (rLo, lHi) <- rUpper
-    } yield (lLo, lHi, rLo, rHi)).headOption.map { case (lLo, lHi, rLo, rHi) =>
-      val tz = Some(conf.sessionLocalTimeZone)
-      val lBin = AttributeReference("__graft_bin_l", LongType, nullable = true)()
-      val rBin = AttributeReference("__graft_bin_r", LongType, nullable = true)()
-      val leftG = Generate(
-        Explode(Sequence(binOf(lLo, width), binOf(lHi, width), None, tz)),
-        Nil, outer = false, None, Seq(lBin), left)
-      val rightG = Generate(
-        Explode(Sequence(binOf(rLo, width), binOf(rHi, width), None, tz)),
-        Nil, outer = false, None, Seq(rBin), right)
-      val firstSharedBin =
-        EqualTo(lBin, Greatest(Seq(binOf(lLo, width), binOf(rLo, width))))
-      val newCond = And(And(EqualTo(lBin, rBin), firstSharedBin), cond)
-      Project(j.output, Join(leftG, rightG, Inner, Some(newCond), hint))
+    } yield (lLo, lHi, rLo, rHi)).headOption.flatMap { case (lLo, lHi, rLo, rHi) =>
+      resolveWidth(spec,
+        Seq((left, lLo, lHi), (right, rLo, rHi))).map { width =>
+        val tz = Some(conf.sessionLocalTimeZone)
+        val lBin = AttributeReference("__graft_bin_l", LongType, nullable = true)()
+        val rBin = AttributeReference("__graft_bin_r", LongType, nullable = true)()
+        val leftG = Generate(
+          Explode(Sequence(binOf(lLo, width), binOf(lHi, width), None, tz)),
+          Nil, outer = false, None, Seq(lBin), left)
+        val rightG = Generate(
+          Explode(Sequence(binOf(rLo, width), binOf(rHi, width), None, tz)),
+          Nil, outer = false, None, Seq(rBin), right)
+        val firstSharedBin =
+          EqualTo(lBin, Greatest(Seq(binOf(lLo, width), binOf(rLo, width))))
+        val newCond = And(And(EqualTo(lBin, rBin), firstSharedBin), cond)
+        Project(j.output, Join(leftG, rightG, Inner, Some(newCond), hint))
+      }
     }
   }
 }

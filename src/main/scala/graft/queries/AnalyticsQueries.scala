@@ -591,7 +591,70 @@ object AnalyticsQueries {
       .orderBy("user_id", "day")
   }
 
-  val oracle: Map[String, String] = Map(
+  /** The native as-of join driven ENTIRELY from SQL text through the
+    * [[graft.GraftExtensions]] `graft_asof_join` table function — the
+    * pure-SQL surface a DuckDB `ASOF JOIN` user expects. Same inputs,
+    * same lateral oracle, and the same `AsofJoinExec` plan as
+    * [[asOfAttributionNative]]; the only difference is that the query
+    * text never touches the Column API.
+    */
+  def asOfAttributionSql(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), epochUs(ev, "ts").as("ts_us"))
+      .createOrReplaceTempView("graft_purchases")
+    ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("src_id"),
+        col("event_type").as("src_type"), epochUs(ev, "ts").as("src_ts_us"))
+      .createOrReplaceTempView("graft_sources")
+    s.sql(
+      """SELECT event_id, user_id, ts_us, src_id, src_type, src_ts_us
+        |FROM graft_asof_join('graft_purchases', 'graft_sources', 'user_id',
+        |                     'ts_us', 'src_ts_us',
+        |                     'src_id,src_type,src_ts_us',
+        |                     'backward', 'false', 'src_id')
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  /** The attribution as-of join through the hot-key fallback
+    * ([[graft.ops.TemporalJoins.asOfJoinTimeSplit]], weekly buckets):
+    * the salted-key recipe SCALING.md prescribes when one user
+    * dominates the event stream. Same inputs, same lateral oracle as
+    * `q_asof_native` — the split must be invisible in the result.
+    */
+  def asOfAttributionSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), epochUs(ev, "ts").as("ts_us"))
+    val sources = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("src_id"),
+        col("event_type").as("src_type"), epochUs(ev, "ts").as("src_ts_us"))
+    graft.ops.TemporalJoins.asOfJoinTimeSplit(
+        purchases, sources, Seq("user_id"), "ts_us", "src_ts_us",
+        Seq("src_id", "src_type", "src_ts_us"),
+        rightTiebreak = Some("src_id"),
+        bucketWidth = 7L * 86400000000L)
+      .orderBy("event_id")
+  }
+
+  /** [[gapFill]] driven from SQL text through the `graft_gap_fill`
+    * table function — same per-key daily LOCF grid, same oracle.
+    */
+  def gapFillSql(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val ev = Tables.events(s, dir)
+    ev.select(col("user_id"), epochUs(ev, "ts").as("ts_us"),
+        col("event_id"), col("value"))
+      .createOrReplaceTempView("graft_events_ts")
+    s.sql(
+      """SELECT key AS user_id, day, n, day_last_q, filled_q, is_gap
+        |FROM graft_gap_fill('graft_events_ts', 'user_id', 'ts_us',
+        |                    'event_id', 'value')
+        |ORDER BY user_id, day""".stripMargin)
+  }
+
+  private val oracleLiteral: Map[String, String] = Map(
     "q_gapfill" ->
       """WITH b AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
         |    epoch_us(ts) AS tus, event_id,
@@ -881,6 +944,15 @@ object AnalyticsQueries {
         |ORDER BY c_custkey""".stripMargin
   )
 
+  /** The SQL-text twins gate against the SAME oracle text as their
+    * Column-API originals — one result definition, two entry points,
+    * so the surfaces can never drift apart.
+    */
+  val oracle: Map[String, String] = oracleLiteral ++ Map(
+    "q_asof_sql"    -> oracleLiteral("q_asof_native"),
+    "q_asof_salted" -> oracleLiteral("q_asof_native"),
+    "q_gapfill_sql" -> oracleLiteral("q_gapfill"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"    -> (pricingSummary _),
     "q3_top_revenue"        -> (topRevenue _),
@@ -908,6 +980,9 @@ object AnalyticsQueries {
     "q_asof_native"         -> (asOfAttributionNative _),
     "q_asof_native_strict"  -> (asOfAttributionNativeStrict _),
     "q_asof_native_fwd"     -> (asOfAttributionNativeFwd _),
+    "q_asof_sql"            -> (asOfAttributionSql _),
+    "q_asof_salted"         -> (asOfAttributionSalted _),
+    "q_gapfill_sql"         -> (gapFillSql _),
     "q_rfm"                 -> (rfmSegments _)
   )
 }

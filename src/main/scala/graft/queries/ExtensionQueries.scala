@@ -57,6 +57,18 @@ object ExtensionQueries {
     * three). Strides are the library defaults (37), so every consumer
     * reads the index it would have built inline — results unchanged.
     */
+  /** Session-memoized `max(l_orderkey)` — the tiny domain probe the
+    * storage-layer audits (bloom-skip, encoding advisor) share to lay
+    * rows into synthetic "files". One driver job per session instead
+    * of one per consumer, via the same [[FrameMemo]] as the heavy
+    * index artifacts (the memoized frame is one checkpointed row;
+    * `head()` on it after the first build reads materialized blocks).
+    */
+  private def maxOrderKey(s: SparkSession, d: String): Long =
+    sharedFrame(s, d, "probe_max_orderkey") {
+      Tables.lineitem(s, d).agg(max(col("l_orderkey")).as("max_key"))
+    }.head().getLong(0)
+
   private def ivfAssignment(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "ivf_assign")(Similarity.assignToCentroids(embs(s, d)))
   /** Post-split probe-side centroids, present only after an index
@@ -619,9 +631,13 @@ object ExtensionQueries {
     per.crossJoin(broadcast(z))
       .withColumn("target_tokens",
         floor(sqrt(col("unique_tokens")) / col("z") * budget).cast("long"))
+      // a zero-token source (all-empty docs) has target 0 too, but
+      // 0 div 0 is NULL in Spark and an error in DuckDB — the greatest
+      // guard makes both engines emit the same all-zero row instead
       .withColumn("full_epochs",
-        expr("target_tokens div unique_tokens"))
-      .withColumn("rem_tokens", expr("target_tokens % unique_tokens"))
+        expr("target_tokens div greatest(unique_tokens, 1)"))
+      .withColumn("rem_tokens",
+        expr("target_tokens % greatest(unique_tokens, 1)"))
       .withColumn("k", least(col("full_epochs"), lit(8L)).cast("int"))
       .withColumn("effective_tokens", expr(
         s"(unique_tokens * element_at(array(${cum.mkString(",")}), k + 1)" +
@@ -663,15 +679,21 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("source") === col("next_source"), 1L).otherwise(0L))
           .as("same_src_pairs"))
+    // same_mass ~ Σ c² per shard crosses BIGINT near 3e9 docs/source
+    // and its ×1e6 near 3e6 — accumulate and cross-multiply in
+    // DECIMAL(38,0) (internal columns only; the emitted ppm stays
+    // BIGINT), matching the repo-wide overflow discipline
     val tot = j.groupBy("shard", "source").agg(count(lit(1)).as("c"))
       .groupBy("shard")
       .agg(sum(col("c")).as("n_docs"),
-        sum(col("c") * (col("c") - 1)).as("same_mass"))
+        sum(col("c").cast("decimal(38,0)") * (col("c") - 1)).as("same_mass"))
     tot.join(agg, Seq("shard"))
       .select(col("shard"), col("n_docs"), col("n_pairs"),
         col("same_src_pairs"),
-        expr("same_src_pairs * 1000000 div n_pairs").as("same_src_ppm"),
-        expr("same_mass * 1000000 div (n_docs * (n_docs - 1))")
+        expr("CAST(CAST(same_src_pairs AS DECIMAL(38,0)) * 1000000" +
+          " div n_pairs AS BIGINT)").as("same_src_ppm"),
+        expr("CAST(same_mass * 1000000" +
+          " div (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)) AS BIGINT)")
           .as("expected_ppm"))
       .orderBy("shard")
   }
@@ -1331,18 +1353,20 @@ object ExtensionQueries {
     val r = ev.filter(col("event_id") % 2 === 1)
       .select(col("event_id").as("r_id"), col("lo").as("r_lo"),
         (col("lo") + 4500L).as("r_hi"))
-    s.conf.set("spark.graft.rangeJoin.binWidth", "4000.0")
-    try {
-      val theta = l.join(r, col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
-        .groupBy("l_id")
-        .agg(count(lit(1)).as("n_overlaps"),
-          sum(least(col("l_hi"), col("r_hi")) - greatest(col("l_lo"), col("r_lo")))
-            .as("sum_overlap"),
-          min("r_id").as("first_r"), max("r_id").as("last_r"))
-        .orderBy("l_id")
-      org.apache.spark.sql.GraftSqlShim.ofRows(s,
-        theta.queryExecution.optimizedPlan)
-    } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+    val theta = l.join(r, col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .groupBy("l_id")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("l_hi"), col("r_hi")) - greatest(col("l_lo"), col("r_lo")))
+          .as("sum_overlap"),
+        min("r_id").as("first_r"), max("r_id").as("last_r"))
+      .orderBy("l_id")
+    // auto width + thread-scoped conf, as in [[rangeJoinAuto]]: the
+    // rule samples BOTH interval sides' p95 spans and bins at the max
+    org.apache.spark.sql.GraftSqlShim.ofRows(s,
+      org.apache.spark.sql.GraftSqlShim.withConfString(s,
+        "spark.graft.rangeJoin.binWidth", "auto") {
+        theta.queryExecution.optimizedPlan
+      })
   }
 
   /** Training-shard manifest ([[Sampling.shardManifest]]): per shard,
@@ -1386,7 +1410,7 @@ object ExtensionQueries {
   def encodingAdvisorQ(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val nFiles = 64
-    val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val maxKey = maxOrderKey(s, d)
     val fileOf = expr(s"l_orderkey * $nFiles div ${maxKey + 1}")
     val audited = Seq(
       "l_returnflag" -> col("l_returnflag"),
@@ -1514,7 +1538,7 @@ object ExtensionQueries {
     val k = 3
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey").as("v"))
-    val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val maxKey = maxOrderKey(s, d)
     val rows = li.select(
       expr(s"l_orderkey * 64 div ${maxKey + 1}").as("file_id"), col("v"))
     def bit(j: Int, c: Column) = pmod(
@@ -2699,29 +2723,81 @@ object ExtensionQueries {
     * hand-binning — and rewritten to the binned equi-join by
     * [[graft.plans.BinnedRangeJoinRule]]: the optimizer-rule twin of
     * `q_range_join`, proving a SQL user's naive `ON v >= lo AND
-    * v < hi` gets the scalable plan automatically. The bin-width conf
-    * is scoped to THIS build: the theta plan is optimized while the
-    * conf is set, the rewritten plan is re-wrapped as the returned
-    * frame (idempotent on re-optimization — the rule skips joins that
-    * already carry a cross-side equality), and the conf is unset so
-    * no other query's plan changes behind its pins.
+    * v < hi` gets the scalable plan automatically, with the bin width
+    * DERIVED by the rule's plan-time sample (`auto`) rather than
+    * hand-set. The conf rides a thread-local SQLConf copy scoped to
+    * this one optimization; re-optimization of the returned frame is
+    * idempotent (the rewrite carries a cross-side equality, which the
+    * rule skips).
     */
   def rangeJoinAuto(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.register(s)
     val bands = Seq.tabulate(10)(i => (s"band_$i", i * 50.0, (i + 1) * 50.0))
       .toDF("band", "lo", "hi")
-    s.conf.set("spark.graft.rangeJoin.binWidth", "50.0")
-    try {
-      val theta = Tables.events(s, d).select("event_id", "value")
-        .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
-        .groupBy("band")
-        .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
-          max(col("value")).as("max_v"))
-        .orderBy("band")
-      org.apache.spark.sql.GraftSqlShim.ofRows(s,
-        theta.queryExecution.optimizedPlan)
-    } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+    val theta = Tables.events(s, d).select("event_id", "value")
+      .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .orderBy("band")
+    // `auto`: no hand-set width — the rule samples the band side's
+    // p95 span at plan time. The conf rides a THREAD-LOCAL SQLConf
+    // copy scoped to this optimization (GraftSqlShim.withConfString),
+    // so a query planned concurrently on the same session never sees
+    // the flag — no session-global mutation anywhere in the path.
+    org.apache.spark.sql.GraftSqlShim.ofRows(s,
+      org.apache.spark.sql.GraftSqlShim.withConfString(s,
+        "spark.graft.rangeJoin.binWidth", "auto") {
+        theta.queryExecution.optimizedPlan
+      })
+  }
+
+  /** LEFT-OUTER band histogram — the "which events have NO covering
+    * window" shape the inner rewrite could not serve: bands cover only
+    * [0, 200), so every event above lands in the `uncovered` bucket
+    * with null band columns preserved by the outer join. The rule's
+    * outer path bins it (point side = preserved side, so no row
+    * duplication); width is `auto`-derived and the conf thread-scoped
+    * as in [[rangeJoinAuto]].
+    */
+  def rangeJoinOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val bands = Seq.tabulate(4)(i => (s"band_$i", i * 50.0, (i + 1) * 50.0))
+      .toDF("band", "lo", "hi")
+    val theta = Tables.events(s, d).select("event_id", "value")
+      .join(bands, col("value") >= col("lo") && col("value") < col("hi"), "left")
+      .groupBy(coalesce(col("band"), lit("uncovered")).as("band"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .orderBy("band")
+    org.apache.spark.sql.GraftSqlShim.ofRows(s,
+      org.apache.spark.sql.GraftSqlShim.withConfString(s,
+        "spark.graft.rangeJoin.binWidth", "auto") {
+        theta.queryExecution.optimizedPlan
+      })
+  }
+
+  /** LEFT-ANTI twin of [[rangeJoinOuter]]: the uncovered events alone,
+    * via the rule's anti path — one row summarizing the out-of-band
+    * population. Same auto width, same thread-scoped conf.
+    */
+  def rangeJoinAnti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val bands = Seq.tabulate(4)(i => (s"band_$i", i * 50.0, (i + 1) * 50.0))
+      .toDF("band", "lo", "hi")
+    val theta = Tables.events(s, d).select("event_id", "value")
+      .join(bands, col("value") >= col("lo") && col("value") < col("hi"),
+        "left_anti")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+    org.apache.spark.sql.GraftSqlShim.ofRows(s,
+      org.apache.spark.sql.GraftSqlShim.withConfString(s,
+        "spark.graft.rangeJoin.binWidth", "auto") {
+        theta.queryExecution.optimizedPlan
+      })
   }
 
   /** DuckDB SQL for LSH table `t`'s bucket over double-list column
@@ -2889,11 +2965,12 @@ object ExtensionQueries {
          |cnts AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS c
          |  FROM j GROUP BY 1, 2),
          |tot AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n_docs,
-         |    CAST(sum(c * (c - 1)) AS BIGINT) AS same_mass FROM cnts GROUP BY 1)
+         |    sum(CAST(c AS HUGEINT) * (c - 1)) AS same_mass FROM cnts GROUP BY 1)
          |SELECT t.shard, n_docs, n_pairs, same_src_pairs,
-         |  CAST(same_src_pairs * 1000000 // n_pairs AS BIGINT) AS same_src_ppm,
-         |  CAST(same_mass * 1000000 // (n_docs * (n_docs - 1)) AS BIGINT)
-         |    AS expected_ppm
+         |  CAST(CAST(same_src_pairs AS HUGEINT) * 1000000 // n_pairs AS BIGINT)
+         |    AS same_src_ppm,
+         |  CAST(same_mass * 1000000 // (CAST(n_docs AS HUGEINT) * (n_docs - 1))
+         |    AS BIGINT) AS expected_ppm
          |FROM tot t JOIN agg USING (shard) ORDER BY shard""".stripMargin) +
     // the erasure audit wraps the gated chunker and pair-table
     // oracles — artifact definitions shared, no drift
@@ -3106,11 +3183,11 @@ object ExtensionQueries {
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY x, src) AS BIGINT) AS rn
         |  FROM c),
         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_keys,
-        |    CAST(sum(x) AS BIGINT) AS n_rows, CAST(sum(rn * x) AS BIGINT) AS s
+        |    CAST(sum(x) AS BIGINT) AS n_rows, sum(CAST(rn AS HUGEINT) * x) AS s
         |  FROM r GROUP BY 1)
         |SELECT lang, n_keys, n_rows,
-        |  CAST((2 * s - (n_keys + 1) * n_rows) * 1000000
-        |    // (n_keys * n_rows) AS BIGINT) AS gini_ppm
+        |  CAST(CAST(2 * s - (n_keys + 1) * n_rows AS HUGEINT) * 1000000
+        |    // (CAST(n_keys AS HUGEINT) * n_rows) AS BIGINT) AS gini_ppm
         |FROM a ORDER BY lang""".stripMargin,
     "q_curriculum" ->
       """WITH t AS (SELECT doc_id, source, n_chars AS difficulty,
@@ -3130,9 +3207,10 @@ object ExtensionQueries {
         |t AS (SELECT source, unique_tokens,
         |    CAST(floor(sqrt(unique_tokens) / z.z * 300000) AS BIGINT) AS target_tokens
         |  FROM per CROSS JOIN z),
-        |e AS (SELECT *, target_tokens // unique_tokens AS full_epochs,
-        |    target_tokens % unique_tokens AS rem_tokens,
-        |    least(target_tokens // unique_tokens, 8) AS k FROM t)
+        |e AS (SELECT *,
+        |    target_tokens // greatest(unique_tokens, 1) AS full_epochs,
+        |    target_tokens % greatest(unique_tokens, 1) AS rem_tokens,
+        |    least(target_tokens // greatest(unique_tokens, 1), 8) AS k FROM t)
         |SELECT source, unique_tokens, target_tokens,
         |  CAST(full_epochs AS BIGINT) AS full_epochs,
         |  CAST((unique_tokens *
@@ -3166,6 +3244,20 @@ object ExtensionQueries {
         |SELECT band, count(*) AS n, min(value) AS min_v, max(value) AS max_v
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q_range_join_outer" ->
+      """WITH bands AS (
+        |  SELECT 'band_' || CAST(i AS VARCHAR) AS band, i*50.0 AS lo, (i+1)*50.0 AS hi
+        |  FROM unnest(range(0,4)) AS u(i))
+        |SELECT coalesce(b.band, 'uncovered') AS band, count(*) AS n,
+        |  min(e.value) AS min_v, max(e.value) AS max_v
+        |FROM events e LEFT JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_join_anti" ->
+      """WITH bands AS (
+        |  SELECT 'band_' || CAST(i AS VARCHAR) AS band, i*50.0 AS lo, (i+1)*50.0 AS hi
+        |  FROM unnest(range(0,4)) AS u(i))
+        |SELECT count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events e ANTI JOIN bands b ON e.value >= b.lo AND e.value < b.hi""".stripMargin,
     "q_embed_pool" ->
       """WITH e AS (SELECT vec_id // 10 AS group_id,
         |    list_transform(embedding,
@@ -6290,6 +6382,8 @@ object ExtensionQueries {
     "q_curriculum"      -> (curriculumQ _),
     "q_salted_join"     -> (saltedJoinQ _),
     "q_range_join_auto" -> (rangeJoinAuto _),
+    "q_range_join_outer" -> (rangeJoinOuter _),
+    "q_range_join_anti" -> (rangeJoinAnti _),
     "q_interval_join_auto" -> (intervalJoinAuto _),
     "q_erasure_audit"   -> (erasureAuditQ _),
     "q_epoch_plan"      -> (epochPlan _),

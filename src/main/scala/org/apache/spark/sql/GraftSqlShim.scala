@@ -19,6 +19,22 @@ object GraftSqlShim {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Run `f` under a THREAD-LOCAL copy of the session's SQLConf with
+    * `key` set — the race-free alternative to mutating the shared
+    * session conf around an optimization (`SQLConf.get`, which every
+    * optimizer rule reads, consults the thread-local before the
+    * session). A plan optimized inside `f` sees the flag; a query
+    * planned concurrently on the SAME session from another thread
+    * never does. The copy inherits every other session setting, so
+    * only `key` differs from ambient behavior.
+    */
+  def withConfString[T](spark: SparkSession, key: String, value: String)
+                       (f: => T): T = {
+    val cloned = spark.sessionState.conf.clone()
+    cloned.setConfString(key, value)
+    internal.SQLConf.withExistingConf(cloned)(f)
+  }
+
   /** Release the cached blocks behind a `localCheckpoint()`'d frame.
     * The checkpoint persists its materialized RDD for the session
     * lifetime; `Dataset.unpersist` cannot reach it (it only consults

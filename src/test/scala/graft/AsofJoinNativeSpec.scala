@@ -216,4 +216,71 @@ class AsofJoinNativeSpec extends SparkSpec {
       Seq("rid"), rightTiebreak = Some("rid"), strict = true)
     assert(rows(strictN) === rows(strictC))
   }
+
+  test("SKEW: on a hot-key fixture (one key = 90% of both sides) the " +
+    "time-split fallback matches the native result exactly — strict " +
+    "and non-strict — and spreads the hot key over its time buckets") {
+    val rnd = new scala.util.Random(11)
+    val n = 6000
+    // 90% of rows on key "hot", the rest over 50 cold keys; times
+    // interleave so carry-in is exercised at every bucket boundary
+    def key(i: Int) = if (i % 10 != 0) "hot" else s"cold${i % 50}"
+    val l = (1 to n).map { i =>
+      (i.toLong, key(i), rnd.nextInt(1000000).toLong)
+    }.toDF("id", "user", "t")
+    val r = (1 to n).map { i =>
+      (key(i + 3), i.toLong + 1000000L, s"tag$i", rnd.nextInt(1000000).toLong)
+    }.toDF("user", "rid", "tag", "rt")
+    val native = TemporalJoins.asOfJoinNative(l, r, Seq("user"), "t", "rt",
+      Seq("rid", "tag"), rightTiebreak = Some("rid"))
+    // bucket width 1/64 of the span: the hot key splits into ~64
+    // independently-joinable slices
+    val split = TemporalJoins.asOfJoinTimeSplit(l, r, Seq("user"), "t", "rt",
+      Seq("rid", "tag"), rightTiebreak = Some("rid"),
+      bucketWidth = 1000000L / 64)
+    def timed(df: DataFrame): (Seq[String], Double) = {
+      val t0 = System.nanoTime()
+      val out = rows(df)
+      (out, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nRows, nSec) = timed(native)
+    val (sRows, sSec) = timed(split)
+    assert(sRows === nRows)
+    info(f"hot-key 90%%: native $nSec%.2fs vs time-split $sSec%.2fs " +
+      f"(local[*] hides the skew win; at scale the split bounds the " +
+      f"max task at span/bucketWidth of the hot key)")
+    // strict variant too — boundary rows must not leak across buckets
+    val nStrict = TemporalJoins.asOfJoinNative(l, r, Seq("user"), "t", "rt",
+      Seq("rid", "tag"), rightTiebreak = Some("rid"), strict = true)
+    val sStrict = TemporalJoins.asOfJoinTimeSplit(l, r, Seq("user"), "t", "rt",
+      Seq("rid", "tag"), rightTiebreak = Some("rid"), strict = true,
+      bucketWidth = 1000000L / 64)
+    assert(rows(sStrict) === rows(nStrict))
+    // the salted grouping really splits the hot key: distinct
+    // (user, bucket) groups for "hot" >> 1
+    val hotBuckets = l.filter(col("user") === "hot")
+      .select(floor(col("t") / (1000000L / 64)).cast("long").as("b"))
+      .distinct().count()
+    assert(hotBuckets > 32, s"expected the hot key spread over buckets, got $hotBuckets")
+  }
+
+  test("time-split fallback: carried column containing the time column " +
+    "itself (the attribution shape) and no-tiebreak structs both work") {
+    val l2 = left
+    val r2 = right.withColumn("rt_us", unix_micros(col("rt")))
+      .drop("rt").withColumnRenamed("rt_us", "rt")
+    val l3 = l2.withColumn("t_us", unix_micros(col("t"))).drop("t")
+      .withColumnRenamed("t_us", "t")
+    val composed = TemporalJoins.asOfJoin(l3, r2, Seq("user"), "t", "rt",
+      Seq("rid", "tag", "rt"), rightTiebreak = Some("rid"))
+    val split = TemporalJoins.asOfJoinTimeSplit(l3, r2, Seq("user"), "t", "rt",
+      Seq("rid", "tag", "rt"), rightTiebreak = Some("rid"),
+      bucketWidth = 3600000000L)
+    assert(rows(split) === rows(composed))
+    val composedNoTb = TemporalJoins.asOfJoin(l3, r2, Seq("user"), "t", "rt",
+      Seq("rid", "tag"))
+    val splitNoTb = TemporalJoins.asOfJoinTimeSplit(l3, r2, Seq("user"), "t", "rt",
+      Seq("rid", "tag"), bucketWidth = 3600000000L)
+    assert(rows(splitNoTb) === rows(composedNoTb))
+  }
 }

@@ -84,16 +84,105 @@ class BinnedRangeJoinRuleSpec extends SparkSpec {
     }
   }
 
-  test("guard: non-inner joins and non-numeric points are left alone") {
+  test("guard: unsupported join shapes and non-numeric points are left alone") {
     withBinWidth("50.0") {
-      val outer = points.join(bandsDf,
+      // LEFT OUTER with the point on the RIGHT: the preserved side is
+      // the interval side, which binning would explode — not rewritten
+      val outerIntervalPreserved = bandsDf.join(points,
         col("v") >= col("lo") && col("v") < col("hi"), "left")
-      assert(!outer.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      assert(!outerIntervalPreserved.queryExecution.optimizedPlan.toString
+        .contains("__graft_bin"))
+      // FULL OUTER: neither side may explode
+      val full = points.join(bandsDf,
+        col("v") >= col("lo") && col("v") < col("hi"), "full")
+      assert(!full.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
       val sp = Seq((1L, "m")).toDF("id", "s")
       val sb = Seq(("a", "a", "z")).toDF("band", "slo", "shi")
       val strJoin = sp.join(sb, col("s") >= col("slo") && col("s") < col("shi"))
       assert(!strJoin.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
       assert(strJoin.count() === 1L)
+    }
+  }
+
+  test("LEFT OUTER with the point on the left rewrites: unmatched and " +
+    "null-point rows surface once with null interval columns, answer " +
+    "matches the nested-loop left join") {
+    val p = Seq((1L, Option(25.0)), (2L, Option(999999.0)),
+      (3L, None: Option[Double])).toDF("id", "v")
+    def lj(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("v") >= col("lo") && col("v") < col("hi"), "left")
+    val expected = rows(lj(p, bandsDf))
+    withBinWidth("50.0") {
+      val df = lj(p, bandsDf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), plan)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      assert(rows(df) === expected)
+    }
+    // mixed-band fixture too (the standard points): every left row once
+    val expected2 = rows(lj(points, bandsDf))
+    withBinWidth("50.0") { assert(rows(lj(points, bandsDf)) === expected2) }
+  }
+
+  test("RIGHT OUTER with the point on the right rewrites and matches " +
+    "the nested-loop answer") {
+    def rj(b: DataFrame, a: DataFrame): DataFrame =
+      b.join(a, col("v") >= col("lo") && col("v") < col("hi"), "right")
+    val expected = rows(rj(bandsDf, points))
+    withBinWidth("50.0") {
+      val df = rj(bandsDf, points)
+      assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      assert(rows(df) === expected)
+    }
+  }
+
+  test("LEFT SEMI and LEFT ANTI (events with / with NO covering " +
+    "interval) rewrite and match the nested-loop answers") {
+    def semi(a: DataFrame, b: DataFrame) =
+      a.join(b, col("v") >= col("lo") && col("v") < col("hi"), "left_semi")
+    def anti(a: DataFrame, b: DataFrame) =
+      a.join(b, col("v") >= col("lo") && col("v") < col("hi"), "left_anti")
+    val expSemi = rows(semi(points, bandsDf))
+    val expAnti = rows(anti(points, bandsDf))
+    withBinWidth("50.0") {
+      val ds = semi(points, bandsDf)
+      val da = anti(points, bandsDf)
+      assert(!ds.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      assert(!da.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      assert(rows(ds) === expSemi)
+      assert(rows(da) === expAnti)
+      // the two partitions cover the points exactly
+      assert(ds.count() + da.count() === points.count())
+    }
+  }
+
+  test("auto width: binWidth=auto samples the interval side at plan " +
+    "time — rewrite lands with no hand-set width, same answer") {
+    val expected = rows(theta(points, bandsDf))
+    withBinWidth("auto") {
+      val df = theta(points, bandsDf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), plan)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      assert(rows(df) === expected)
+    }
+  }
+
+  test("auto width: all-degenerate (zero-width) intervals fall back to " +
+    "a usable width; an empty interval side skips the rewrite but " +
+    "still answers") {
+    val pts = Seq((1L, 30.0), (2L, 31.0)).toDF("id", "v")
+    val degenerate = Seq(("a", 30.0, 30.0), ("b", 31.0, 31.0))
+      .toDF("band", "lo", "hi")
+    // closed-closed so the zero-width intervals can actually match
+    def cc(a: DataFrame, b: DataFrame) =
+      a.join(b, col("v") >= col("lo") && col("v") <= col("hi"))
+    val expected = rows(cc(pts, degenerate))
+    withBinWidth("auto") {
+      assert(rows(cc(pts, degenerate)) === expected)
+      val empty = degenerate.filter(col("lo") > 1e9)
+      val df = cc(pts, empty)
+      assert(df.count() === 0L)
     }
   }
 

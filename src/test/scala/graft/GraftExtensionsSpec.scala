@@ -193,4 +193,101 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_multicount('x', array('a', NULL))").collect())
       .getMessage.contains("null"))
   }
+
+  // ---- table-valued functions -------------------------------------
+
+  private def asofFixture(): Unit = {
+    Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 50L))
+      .toDF("eid", "uid", "t").createOrReplaceTempView("tvf_left")
+    Seq(("u1", 10L, 90L, "a"), ("u1", 11L, 100L, "b"), ("u1", 12L, 240L, "c"),
+        ("u2", 13L, 60L, "d"))
+      .toDF("uid", "sid", "st", "tag").createOrReplaceTempView("tvf_right")
+  }
+
+  test("graft_asof_join TVF from pure SQL == asOfJoinNative Column " +
+    "form, and the plan runs through AsofJoinExec") {
+    asofFixture()
+    val sql = spark.sql(
+      """SELECT eid, uid, t, sid, tag FROM
+        |graft_asof_join('tvf_left', 'tvf_right', 'uid', 't', 'st',
+        |                'sid,tag', 'backward', 'false', 'sid')
+        |ORDER BY eid""".stripMargin)
+    assert(sql.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    val viaCols = graft.ops.TemporalJoins.asOfJoinNative(
+        spark.table("tvf_left"), spark.table("tvf_right")
+          .select(col("uid"), col("st"), col("sid"), col("tag")),
+        Seq("uid"), "t", "st", Seq("sid", "tag"),
+        rightTiebreak = Some("sid"))
+      .select("eid", "uid", "t", "sid", "tag").orderBy("eid")
+    assert(sql.collect().toSeq === viaCols.collect().toSeq)
+    // equal-time row IS visible backward non-strict: eid=1 picks st=100
+    val r1 = sql.head()
+    assert(r1.getLong(3) === 11L && r1.getString(4) === "b")
+  }
+
+  test("graft_asof_join TVF: forward and strict variants, carry " +
+    "aliases, and expression time args") {
+    asofFixture()
+    // forward: eid=1 (t=100) picks the earliest st >= 100 → st=100 (b);
+    // strict forward skips the equal-time row → st=240 (c)
+    val fwd = spark.sql(
+      """SELECT eid, sid FROM
+        |graft_asof_join('tvf_left', 'tvf_right', 'uid', 't', 'st',
+        |                'sid', 'forward', 'false') ORDER BY eid""".stripMargin)
+      .collect()
+    assert(fwd(0).getLong(1) === 11L)
+    val fwdStrict = spark.sql(
+      """SELECT eid, sid FROM
+        |graft_asof_join('tvf_left', 'tvf_right', 'uid', 't', 'st',
+        |                'sid', 'forward', 'true') ORDER BY eid""".stripMargin)
+      .collect()
+    assert(fwdStrict(0).getLong(1) === 12L)
+    // aliased carry + an expression time arg on both sides (the µs
+    // scaling a SQL user would write inline)
+    val aliased = spark.sql(
+      """SELECT eid, src_tag FROM
+        |graft_asof_join('tvf_left', 'tvf_right', 'uid',
+        |                't * 1000', 'st * 1000', 'tag:src_tag')
+        |ORDER BY eid""".stripMargin).collect()
+    // u2's only right row (st=60) is AFTER t=50 — backward yields null
+    assert(aliased.map(r => r.getString(1)).toSeq === Seq("b", "c", null))
+  }
+
+  test("graft_asof_join TVF error contract: shadowing carry alias, " +
+    "bad direction, non-literal args all fail loudly") {
+    asofFixture()
+    assert(intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof_join('tvf_left', 'tvf_right', 'uid', " +
+        "'t', 'st', 'tag:st')").collect())
+      .getMessage.contains("collides"))
+    assert(intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof_join('tvf_left', 'tvf_right', 'uid', " +
+        "'t', 'st', 'sid', 'sideways')").collect())
+      .getMessage.contains("backward or forward"))
+    assert(intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof_join(tvf_left, 'tvf_right', 'uid', " +
+        "'t', 'st', 'sid')").collect()).getMessage.nonEmpty)
+  }
+
+  test("graft_gap_fill TVF == gapFillDaily Column form on a gappy " +
+    "fixture (LOCF across the silent day)") {
+    val day = 86400000000L
+    Seq(("k1", 0L * day + 5L, 1L, 10.0),
+        ("k1", 2L * day + 7L, 2L, 30.0),
+        ("k2", 1L * day, 3L, 7.0))
+      .toDF("k", "tus", "id", "v").createOrReplaceTempView("tvf_gap")
+    val sql = spark.sql(
+      """SELECT key, day, n, filled_q, is_gap FROM
+        |graft_gap_fill('tvf_gap', 'k', 'tus', 'id', 'v')
+        |ORDER BY key, day""".stripMargin).collect()
+    assert(sql.length === 4) // k1: days 0,1,2; k2: day 1
+    val k1gap = sql(1)
+    assert(k1gap.getLong(1) === 1L && k1gap.getLong(2) === 0L &&
+      k1gap.getBoolean(4) && k1gap.getLong(3) === 10000L) // carried 10.0 → milli
+    val viaCols = graft.ops.TemporalJoins.gapFillDaily(
+        spark.table("tvf_gap"), "k", col("tus"), "id", "v")
+      .select("key", "day", "n", "filled_q", "is_gap")
+      .orderBy("key", "day").collect()
+    assert(sql.toSeq === viaCols.toSeq)
+  }
 }

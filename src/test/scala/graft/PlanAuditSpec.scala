@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
   test("q_range_join_auto / q_interval_join_auto gated plans are the " +
     "binned rewrite: Generate + equi-join present, no nested loop") {
     val d = "/root/testdata/sf0.001"
-    for (q <- Seq("q_range_join_auto", "q_interval_join_auto")) {
+    for (q <- Seq("q_range_join_auto", "q_interval_join_auto",
+        "q_range_join_outer", "q_range_join_anti")) {
       val p = plan(graft.queries.ExtensionQueries.queries(q)(spark, d))
       assert(p.contains("Generate"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
