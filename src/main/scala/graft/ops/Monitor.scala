@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequential control-chart operators over per-key daily series —
+  * the monitoring layer a data platform runs over its ingest volumes
+  * (is a source drifting? did a crawl break on Tuesday?). Spark has
+  * no recursive window, so the classic recurrences (EWMA, CUSUM)
+  * are computed as an ARRAY FOLD per key: the daily series is gap-
+  * filled to the key's [first, last] span (zero-filled silent days —
+  * a control chart that skips silent days misses exactly the
+  * failures it exists to catch), collected day-ordered (bounded by
+  * span length, not event count), and one `aggregate` higher-order
+  * function carries the recurrence — exact integer milli arithmetic,
+  * so a recursive-CTE SQL mirror lands on identical values and the
+  * hash gate holds.
+  *
+  * At 100 TB: the heavy lift is the partial-agged daily count; the
+  * per-key array is days-of-span entries (≤ a few thousand for years
+  * of data) and keys parallelize horizontally. No global window, no
+  * driver loop.
+  */
+object Monitor {
+
+  private val DayUs = 86400000000L
+
+  /** Per-key daily counts on the key's dense [first, last] day grid,
+    * silent days zero-filled. One key-partitioned exchange feeds the
+    * day agg, span agg, and grid join.
+    */
+  private[graft] def dailyGrid(events: DataFrame, keyCol: String,
+                               tsUs: Column): DataFrame = {
+    val byDay = events
+      .select(col(keyCol).as("key"),
+        floor(tsUs / lit(DayUs)).cast("long").as("day"))
+      .groupBy("key", "day").agg(count(lit(1)).as("n"))
+    val spans = byDay.groupBy("key")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    spans
+      .select(col("key"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(byDay, Seq("key", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
+  /** EWMA control chart (Roberts, Technometrics 1959): per key and
+    * day, the exponentially weighted moving average of daily volume
+    * in exact milli-units — `ewma_t = (α·x_t·1000 + (1−α)·ewma_{t−1})
+    * div 1000`, seeded at the first day's value — plus the signed
+    * deviation of the day from the PRIOR day's baseline in ppm
+    * (`(x·1000 − ewma_{t−1}) · 1e6 div max(ewma_{t−1}, 1)`: a spike
+    * is judged against what the chart expected BEFORE seeing it) and
+    * the classic ±limit flag. `alphaMilli` is α·1000 (300 = the
+    * textbook 0.3); `limitPpm` flags |deviation| above it.
+    */
+  def ewmaDaily(events: DataFrame, keyCol: String, tsUs: Column,
+                alphaMilli: Int = 300,
+                limitPpm: Long = 500000L): DataFrame = {
+    require(alphaMilli > 0 && alphaMilli <= 1000,
+      s"alphaMilli must be in (0, 1000], got $alphaMilli")
+    val a = alphaMilli
+    val grid = dailyGrid(events, keyCol, tsUs)
+    val series = grid.groupBy("key")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("dn"))
+    // fold: acc is the trajectory built so far; each step reads the
+    // previous element's ewma. Seed = first day at its own value.
+    val fold = series.withColumn("traj", expr(
+      s"""aggregate(
+         |  slice(dn, 2, greatest(size(dn) - 1, 0)),
+         |  array(named_struct(
+         |    'day', dn[0].day, 'n', dn[0].n,
+         |    'prev_milli', dn[0].n * 1000L,
+         |    'ewma_milli', dn[0].n * 1000L)),
+         |  (acc, x) -> acc || array(named_struct(
+         |    'day', x.day, 'n', x.n,
+         |    'prev_milli', element_at(acc, size(acc)).ewma_milli,
+         |    'ewma_milli', ($a * x.n * 1000L +
+         |      ${1000 - a} * element_at(acc, size(acc)).ewma_milli)
+         |      div 1000)))""".stripMargin))
+    fold.select(col("key"), explode(col("traj")).as("t"))
+      .select(col("key"), col("t.day").as("day"), col("t.n").as("n"),
+        col("t.ewma_milli").as("ewma_milli"),
+        expr("CAST((t.n * 1000L - t.prev_milli) * 1000000" +
+          " div greatest(t.prev_milli, 1L) AS BIGINT)").as("dev_ppm"))
+      .withColumn("flagged", abs(col("dev_ppm")) > lit(limitPpm))
+  }
+
+  /** Two-sided CUSUM change-point chart (Page, Biometrika 1954): per
+    * key and day the upper/lower cumulative sums of milli-deviations
+    * from the key's own mean daily volume,
+    * `pos_t = max(0, pos_{t−1} + x_t·1000 − target − slack)` /
+    * `neg_t = max(0, neg_{t−1} + target − x_t·1000 − slack)`, with
+    * the standard k = target/2 slack and h = `hTargets`·target alarm
+    * threshold — the detector that catches a sustained level SHIFT a
+    * spike flag misses (each day adds a little evidence; the alarm
+    * fires when it accumulates). Target is the key's exact mean in
+    * milli (`total·1000 div n_days`), so the chart is self-calibrated
+    * per source.
+    */
+  def cusumDaily(events: DataFrame, keyCol: String, tsUs: Column,
+                 hTargets: Int = 4): DataFrame = {
+    require(hTargets >= 1, s"hTargets must be >= 1, got $hTargets")
+    val grid = dailyGrid(events, keyCol, tsUs)
+    val series = grid.groupBy("key")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("dn"),
+        expr("sum(n) * 1000 div count(1)").as("target_milli"))
+      .withColumn("slack_milli", expr("target_milli div 2"))
+      .withColumn("h_milli", expr(s"target_milli * $hTargets"))
+    val fold = series.withColumn("traj", expr(
+      """aggregate(
+        |  slice(dn, 2, greatest(size(dn) - 1, 0)),
+        |  array(named_struct(
+        |    'day', dn[0].day, 'n', dn[0].n,
+        |    'pos_milli', greatest(0L,
+        |      dn[0].n * 1000L - target_milli - slack_milli),
+        |    'neg_milli', greatest(0L,
+        |      target_milli - dn[0].n * 1000L - slack_milli))),
+        |  (acc, x) -> acc || array(named_struct(
+        |    'day', x.day, 'n', x.n,
+        |    'pos_milli', greatest(0L, element_at(acc, size(acc)).pos_milli
+        |      + x.n * 1000L - target_milli - slack_milli),
+        |    'neg_milli', greatest(0L, element_at(acc, size(acc)).neg_milli
+        |      + target_milli - x.n * 1000L - slack_milli))))""".stripMargin))
+    fold.select(col("key"), col("target_milli"), col("h_milli"),
+        explode(col("traj")).as("t"))
+      .select(col("key"), col("t.day").as("day"), col("t.n").as("n"),
+        col("target_milli"),
+        col("t.pos_milli").as("pos_milli"), col("t.neg_milli").as("neg_milli"),
+        (col("t.pos_milli") > col("h_milli")).as("alarm_up"),
+        (col("t.neg_milli") > col("h_milli")).as("alarm_down"))
+  }
+}

@@ -698,6 +698,253 @@ object ExtensionQueries {
       .orderBy("shard")
   }
 
+  /** EWMA ingest-volume control chart ([[graft.ops.Monitor.ewmaDaily]],
+    * Roberts 1959) per event type: the milli-exact exponentially
+    * weighted baseline over the zero-filled daily grid, each day's
+    * deviation judged against the baseline BEFORE that day, ±50%
+    * flags. The drift monitor a feed owner actually watches — the
+    * spike census (`q_daily_anomaly`) compares against the global
+    * mean; this compares against the recent past.
+    */
+  def ewmaQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Monitor.ewmaDaily(ev, "event_type", AnalyticsQueries.epochUs(ev, "ts"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "day")
+  }
+
+  /** Two-sided CUSUM change-point chart
+    * ([[graft.ops.Monitor.cusumDaily]], Page 1954) per event type:
+    * cumulative milli-deviations from the type's own mean with the
+    * standard k = target/2 slack and h = 4·target alarms — catches the
+    * sustained level SHIFT (a crawl silently halving) that per-day
+    * spike flags miss.
+    */
+  def cusumQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Monitor.cusumDaily(ev, "event_type", AnalyticsQueries.epochUs(ev, "ts"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "day")
+  }
+
+  /** Max-min fair (water-filling) token-budget allocator — the
+    * OTHER answer to "how do I split a token budget across sources"
+    * next to the temperature mix (`q_mix_plan`) and the epoch planner
+    * (`q_epoch_plan`): give every source an equal share θ except
+    * those whose whole supply fits under it (they take everything and
+    * the freed budget raises θ for the rest) — the classic
+    * progressive-filling allocation (Bertsekas & Gallager, Data
+    * Networks §6.5.2). Exact integer closed form over the
+    * capacity-ASC-sorted source list: source k is CAPPED iff
+    * `c_k · (K−k+1) ≤ B − prefix(k−1)` (capped-ness is monotone in k,
+    * so the capped set is a prefix); θ = the remaining budget div the
+    * uncapped count, and the integer remainder goes one token each to
+    * the first `rem` uncapped sources in sort order — allocations sum
+    * to B EXACTLY. Budget = half the corpus supply, so the fixture
+    * always exercises both regimes.
+    *
+    * Everything after the one corpus scan runs on the K-row source
+    * frame: windows partition nothing wider than the dimension,
+    * one-row totals ride a broadcast cross.
+    */
+  def waterfillQ(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap"), col("source"))
+    val per = docs(s, d).groupBy("source")
+      .agg(sum(size(TextStats.tokens(col("text")))).cast("long").as("cap"))
+    val tot = per.agg(sum(col("cap")).as("supply"),
+      count(lit(1)).as("k_total"))
+    // the K-row frame sorts locally; a row_number window over ≤
+    // thousands of sources is dimension-bounded by construction
+    val ranked = per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("supply div 2"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("cap")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("capped",
+        expr("cap * (k_total - k + 1) <= budget - (prefix - cap)"))
+    val capStats = ranked.agg(
+      coalesce(max(when(col("capped"), col("k"))), lit(0L)).as("kmax"),
+      coalesce(max(when(col("capped"), col("prefix"))), lit(0L)).as("filled"))
+    ranked.crossJoin(broadcast(capStats))
+      .withColumn("uncapped_n", expr("greatest(k_total - kmax, 1)"))
+      .withColumn("theta", expr("(budget - filled) div uncapped_n"))
+      .withColumn("rem", expr("(budget - filled) % uncapped_n"))
+      .withColumn("alloc", expr(
+        "CASE WHEN capped THEN cap" +
+          " WHEN k - kmax <= rem THEN theta + 1 ELSE theta END"))
+      .withColumn("fill_ppm",
+        expr("CAST(CAST(alloc AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(cap, 1) AS BIGINT)"))
+      .select(col("source"), col("cap"), col("budget"), col("capped"),
+        col("alloc"), col("fill_ppm"))
+      .orderBy("source")
+  }
+
+  /** Per-source Pareto frontier of (length cost, lexical diversity) —
+    * the skyline operator of data selection: a doc survives iff NO
+    * other doc of the same source is at most as long AND at least as
+    * diverse with one strict (Börzsönyi et al., ICDE 2001 "The
+    * Skyline Operator"). Diversity = type-token ratio in exact milli.
+    * The 2-D skyline needs only two windows, both partitioned by
+    * source (no global window): `m1` = best diversity among STRICTLY
+    * shorter docs (range frame to −1), `m2` = best within the doc's
+    * own length class — frontier iff `ttr > m1 AND ttr = m2` (equal
+    * (len, ttr) twins don't dominate each other and all survive).
+    */
+  def paretoQ(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("source"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tok"),
+        size(array_distinct(TextStats.tokens(col("text")))).cast("long")
+          .as("n_distinct"))
+      .withColumn("ttr_milli",
+        expr("n_distinct * 1000 div greatest(n_tok, 1)"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w1 = W.partitionBy("source").orderBy(col("n_tok"))
+      .rangeBetween(W.unboundedPreceding, -1)
+    val w2 = W.partitionBy("source", "n_tok")
+    base.withColumn("m1", max(col("ttr_milli")).over(w1))
+      .withColumn("m2", max(col("ttr_milli")).over(w2))
+      .filter(col("ttr_milli") === col("m2") &&
+        (col("m1").isNull || col("ttr_milli") > col("m1")))
+      .select("source", "doc_id", "n_tok", "ttr_milli")
+      .orderBy("source", "n_tok", "doc_id")
+  }
+
+  /** Pre-flight shuffle-skew preview for a join key: rows hashed into
+    * 32 engine-neutral buckets (md5, not Spark's Murmur3 — the point
+    * is an ENGINE-REPRODUCIBLE census of the key distribution, the
+    * same reasoning as the Bloom-skip audit) with exact share ppm and
+    * a >2× fair-share hot flag — the report a pipeline runs BEFORE
+    * committing to a co-partitioned join layout, deciding between
+    * plain hash, salting, or broadcast. One partial-agged aggregate;
+    * the total rides a broadcast cross.
+    */
+  def skewPreviewQ(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("sk:"), col("o_custkey").cast("string"))),
+        1, 6), 16, 10).cast("long"), lit(32L))
+    o.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("total"))))
+      .withColumn("share_ppm",
+        expr("CAST(CAST(n_rows AS DECIMAL(38,0)) * 1000000" +
+          " div total AS BIGINT)"))
+      .withColumn("hot", expr("n_rows * 32 > total * 2"))
+      .select("bucket", "n_rows", "share_ppm", "hot")
+      .orderBy("bucket")
+  }
+
+  /** Dedup threshold sensitivity sweep over the SHARED pair memo:
+    * for each candidate Jaccard threshold tier, surviving pair count
+    * and distinct docs involved — the report that says whether
+    * tightening 0.80 → 0.90 meaningfully shrinks the duplicate set
+    * before anyone re-runs the pipeline. Pure composition over the
+    * already-gated pair list (one definition, two gates); tiers ride
+    * a broadcast literal.
+    */
+  def dedupSweepQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pj = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"),
+      floor(col("jaccard") * 1000).cast("long").as("j_milli"))
+    val tiers = Seq(800L, 850L, 900L, 950L, 1000L).toDF("t_milli")
+    val joined = broadcast(tiers)
+      .join(pj, col("j_milli") >= col("t_milli"), "left")
+    val nPairs = joined.groupBy("t_milli")
+      .agg(count(col("doc_a")).as("n_pairs"))
+    val nDocs = joined
+      .select(col("t_milli"),
+        explode(array(col("doc_a"), col("doc_b"))).as("dd"))
+      .filter(col("dd").isNotNull)
+      .groupBy("t_milli").agg(countDistinct(col("dd")).as("n_docs"))
+    nPairs.join(nDocs, Seq("t_milli"), "left")
+      .na.fill(0L, Seq("n_docs"))
+      .orderBy("t_milli")
+  }
+
+  /** Prefix-cache batching audit — the serving-side twin of the
+    * packing reports: inference engines reuse the KV cache across
+    * requests sharing a token PREFIX (vLLM's prefix caching /
+    * RadixAttention, Zheng et al. 2023), so a batch scheduler wants
+    * to know how much of the corpus re-pays. Docs group by their
+    * 8-token prefix; a group of n docs re-computes the shared prefix
+    * once instead of n times, saving `(n−1) · min_plen` tokens (the
+    * group's SHORTEST member bounds the guaranteed-shared length —
+    * a short doc equal to a longer doc's 8-token prefix shares only
+    * itself). Per source: docs, total tokens, ≥2-doc prefix groups,
+    * saved tokens, and the exact savings ppm — the number that says
+    * whether prefix-aware batch ORDERING is worth the sort.
+    *
+    * One (source, prefix) hash-agg over the corpus scan, then a
+    * source-bounded rollup; no joins, no windows.
+    */
+  private[graft] def prefixBatch(docsDf: DataFrame,
+                                 prefixTokens: Int): DataFrame = {
+    val t = docsDf.select(col("source"),
+        TextStats.tokens(col("text")).as("ts"))
+      .select(col("source"), size(col("ts")).cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("ts"), 1, prefixTokens)).as("prefix"),
+        least(size(col("ts")), lit(prefixTokens)).cast("long").as("plen"))
+    val groups = t.groupBy("source", "prefix")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("grp_tokens"),
+        min(col("plen")).as("min_plen"))
+    groups.groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("grp_tokens")).as("total_tokens"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("shared_groups"),
+        sum(when(col("n_docs") >= 2, (col("n_docs") - 1) * col("min_plen"))
+          .otherwise(0L)).as("saved_tokens"))
+      .withColumn("saving_ppm",
+        expr("CAST(CAST(saved_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(total_tokens, 1) AS BIGINT)"))
+      .orderBy("source")
+  }
+
+  /** Two-token prefixes on the gate fixture (the synthetic corpus has
+    * no longer shared openings); real chat/instruct corpora run much
+    * longer prefixes — `prefixTokens` is that knob, spec-pinned on a
+    * planted long-prefix fixture.
+    */
+  def prefixBatchQ(s: SparkSession, d: String): DataFrame =
+    prefixBatch(docs(s, d), prefixTokens = 2)
+
+  /** Progressive PII census over the scrub chain's OWN order
+    * ([[TextStats.ScrubSteps]]): each class counts its matches on the
+    * text AFTER the previous classes were redacted — exactly what the
+    * scrubber would remove, so a 9-digit run inside an email is an
+    * email, not an id (independent per-pattern counts double-book).
+    * Per source: docs, per-class match totals, docs left fully clean.
+    * Pure projection + one source-keyed aggregate.
+    */
+  private[graft] def piiCensus(docsDf: DataFrame): DataFrame = {
+    val Seq((pEmail, rEmail), (pPhone, rPhone), (pId, _), _) =
+      TextStats.ScrubSteps
+    val t0 = col("text")
+    val nEmail = regexp_count(t0, lit(pEmail))
+    val t1 = regexp_replace(t0, pEmail, rEmail)
+    val nPhone = regexp_count(t1, lit(pPhone))
+    val t2 = regexp_replace(t1, pPhone, rPhone)
+    val nId = regexp_count(t2, lit(pId))
+    docsDf.select(col("source"),
+        nEmail.cast("long").as("e"), nPhone.cast("long").as("p"),
+        nId.cast("long").as("i"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e")).as("n_email"), sum(col("p")).as("n_phone"),
+        sum(col("i")).as("n_id"),
+        sum(when(col("e") + col("p") + col("i") === 0L, 1L).otherwise(0L))
+          .as("docs_clean"))
+      .orderBy("source")
+  }
+
+  /** All-clean on the synthetic gate fixture (zero counts ARE the
+    * audit's pass state, like the NFC identity on ASCII); the planted
+    * email/phone/id precedence behavior is spec-pinned.
+    */
+  def piiCensusQ(s: SparkSession, d: String): DataFrame =
+    piiCensus(docs(s, d))
+
   /** Incremental-ingestion exact dedup: the odd docs arrive against a
     * base of the even docs PLUS every odd doc with doc_id % 10 == 1
     * (those are "already ingested" by content) — survivors are the odd
@@ -2951,6 +3198,186 @@ object ExtensionQueries {
          |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
          |      FROM (${oracleBase("q_dedup_clusters")}) GROUP BY 1)
          |GROUP BY 1 ORDER BY 1""".stripMargin) +
+    // control charts: the day grid is shared text; the recurrences
+    // run as recursive CTEs indexed per key — DuckDB's recursion
+    // mirrors the Spark array fold step for step, exact integers
+    ("q_ewma" ->
+      """WITH RECURSIVE byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n,
+        |    row_number() OVER (PARTITION BY gr.event_type ORDER BY gr.day) AS i
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |e AS (
+        |  SELECT event_type, day, n, i, n * 1000 AS prev_milli,
+        |    n * 1000 AS ewma_milli
+        |  FROM g WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.day, x.n, x.i, e.ewma_milli,
+        |    (300 * x.n * 1000 + 700 * e.ewma_milli) // 1000
+        |  FROM g x JOIN e ON x.event_type = e.event_type AND x.i = e.i + 1)
+        |SELECT event_type, day, n, ewma_milli,
+        |  CAST(CASE WHEN n * 1000 >= prev_milli
+        |    THEN (n * 1000 - prev_milli) * 1000000 // greatest(prev_milli, 1)
+        |    ELSE -((prev_milli - n * 1000) * 1000000 // greatest(prev_milli, 1))
+        |  END AS BIGINT) AS dev_ppm,
+        |  abs(CASE WHEN n * 1000 >= prev_milli
+        |    THEN (n * 1000 - prev_milli) * 1000000 // greatest(prev_milli, 1)
+        |    ELSE -((prev_milli - n * 1000) * 1000000 // greatest(prev_milli, 1))
+        |  END) > 500000 AS flagged
+        |FROM e ORDER BY event_type, day""".stripMargin) +
+    ("q_cusum" ->
+      """WITH RECURSIVE byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n,
+        |    row_number() OVER (PARTITION BY gr.event_type ORDER BY gr.day) AS i
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |p AS (SELECT event_type,
+        |    CAST(sum(n) * 1000 // count(*) AS BIGINT) AS target_milli,
+        |    CAST(sum(n) * 1000 // count(*) // 2 AS BIGINT) AS slack_milli,
+        |    CAST((sum(n) * 1000 // count(*)) * 4 AS BIGINT) AS h_milli
+        |  FROM g GROUP BY 1),
+        |c AS (
+        |  SELECT g.event_type, g.day, g.n, g.i,
+        |    greatest(0, g.n * 1000 - p.target_milli - p.slack_milli) AS pos_milli,
+        |    greatest(0, p.target_milli - g.n * 1000 - p.slack_milli) AS neg_milli
+        |  FROM g JOIN p USING (event_type) WHERE g.i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.day, x.n, x.i,
+        |    greatest(0, c.pos_milli + x.n * 1000 - p.target_milli - p.slack_milli),
+        |    greatest(0, c.neg_milli + p.target_milli - x.n * 1000 - p.slack_milli)
+        |  FROM g x JOIN c ON x.event_type = c.event_type AND x.i = c.i + 1
+        |  JOIN p ON p.event_type = x.event_type)
+        |SELECT c.event_type, c.day, c.n, p.target_milli, c.pos_milli,
+        |  c.neg_milli, c.pos_milli > p.h_milli AS alarm_up,
+        |  c.neg_milli > p.h_milli AS alarm_down
+        |FROM c JOIN p USING (event_type)
+        |ORDER BY c.event_type, c.day""".stripMargin) +
+    ("q_prefix_batch" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+        |u AS (SELECT source, CAST(len(ts) AS BIGINT) AS n_tok,
+        |    array_to_string(ts[1:2], ' ') AS prefix,
+        |    CAST(least(len(ts), 2) AS BIGINT) AS plen FROM t),
+        |g AS (SELECT source, prefix, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS grp_tokens,
+        |    CAST(min(plen) AS BIGINT) AS min_plen FROM u GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(grp_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS shared_groups,
+        |  CAST(sum(CASE WHEN n_docs >= 2 THEN (n_docs - 1) * min_plen
+        |    ELSE 0 END) AS BIGINT) AS saved_tokens,
+        |  CAST(CAST(sum(CASE WHEN n_docs >= 2 THEN (n_docs - 1) * min_plen
+        |      ELSE 0 END) AS HUGEINT) * 1000000
+        |    // greatest(sum(grp_tokens), 1) AS BIGINT) AS saving_ppm
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) +
+    ("q_pii_census" -> {
+      val Seq((pe, re_), (pp, rp), (pi, _), _) = TextStats.ScrubSteps
+      s"""WITH c AS (SELECT source,
+         |    CAST(len(regexp_extract_all(text, '$pe')) AS BIGINT) AS e,
+         |    CAST(len(regexp_extract_all(
+         |      regexp_replace(text, '$pe', '$re_', 'g'), '$pp')) AS BIGINT) AS p,
+         |    CAST(len(regexp_extract_all(
+         |      regexp_replace(regexp_replace(text, '$pe', '$re_', 'g'),
+         |        '$pp', '$rp', 'g'), '$pi')) AS BIGINT) AS i
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(e) AS BIGINT) AS n_email,
+         |  CAST(sum(p) AS BIGINT) AS n_phone,
+         |  CAST(sum(i) AS BIGINT) AS n_id,
+         |  CAST(sum(CASE WHEN e + p + i = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_clean
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin }) +
+    ("q_waterfill" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cap) AS BIGINT) AS supply,
+        |    CAST(count(*) AS BIGINT) AS k_total FROM per),
+        |r AS (SELECT p.source, p.cap, t.k_total, t.supply // 2 AS budget,
+        |    CAST(row_number() OVER (ORDER BY p.cap, p.source) AS BIGINT) AS k,
+        |    CAST(sum(p.cap) OVER (ORDER BY p.cap, p.source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS prefix
+        |  FROM per p CROSS JOIN tot t),
+        |r2 AS (SELECT *,
+        |    cap * (k_total - k + 1) <= budget - (prefix - cap) AS capped
+        |  FROM r),
+        |cs AS (SELECT COALESCE(max(CASE WHEN capped THEN k END), 0) AS kmax,
+        |    COALESCE(max(CASE WHEN capped THEN prefix END), 0) AS filled
+        |  FROM r2),
+        |f AS (SELECT r2.*, cs.kmax, cs.filled,
+        |    greatest(r2.k_total - cs.kmax, 1) AS uncapped_n
+        |  FROM r2 CROSS JOIN cs),
+        |a AS (SELECT source, cap, budget, capped,
+        |    CAST(CASE WHEN capped THEN cap
+        |      WHEN k - kmax <= (budget - filled) % uncapped_n
+        |        THEN (budget - filled) // uncapped_n + 1
+        |      ELSE (budget - filled) // uncapped_n END AS BIGINT) AS alloc
+        |  FROM f)
+        |SELECT source, cap, budget, capped, alloc,
+        |  CAST(CAST(alloc AS HUGEINT) * 1000000 // greatest(cap, 1) AS BIGINT)
+        |    AS fill_ppm
+        |FROM a ORDER BY source""".stripMargin) +
+    ("q_pareto" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_distinct
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    CAST(n_distinct * 1000 // greatest(n_tok, 1) AS BIGINT)
+        |      AS ttr_milli FROM b),
+        |f AS (SELECT *,
+        |    max(ttr_milli) OVER (PARTITION BY source ORDER BY n_tok
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |    max(ttr_milli) OVER (PARTITION BY source, n_tok) AS m2
+        |  FROM c)
+        |SELECT source, doc_id, n_tok, ttr_milli FROM f
+        |WHERE ttr_milli = m2 AND (m1 IS NULL OR ttr_milli > m1)
+        |ORDER BY source, n_tok, doc_id""".stripMargin) +
+    ("q_skew_preview" -> {
+      val hex = "(" + (0 until 6).map(i =>
+        s"(strpos('0123456789abcdef', substr(h,${1 + i},1))-1)*${BigInt(16).pow(5 - i)}")
+        .mkString(" + ") + ")"
+      s"""WITH h AS (SELECT md5('sk:' || CAST(o_custkey AS VARCHAR)) AS full_h
+         |  FROM orders),
+         |b AS (SELECT $hex % 32 AS bucket
+         |  FROM (SELECT substr(full_h, 1, 6) AS h FROM h)),
+         |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM b)
+         |SELECT g.bucket, g.n_rows,
+         |  CAST(CAST(g.n_rows AS HUGEINT) * 1000000 // t.total AS BIGINT)
+         |    AS share_ppm,
+         |  g.n_rows * 32 > t.total * 2 AS hot
+         |FROM g CROSS JOIN t ORDER BY g.bucket""".stripMargin }) +
+    // the threshold sweep wraps the gated pair oracle — one pair
+    // definition, two gates
+    ("q_dedup_sweep" ->
+      s"""WITH p AS (SELECT doc_a, doc_b,
+         |    CAST(floor(jaccard * 1000) AS BIGINT) AS j_milli
+         |  FROM (${oracleBase("q_dedup_ngram")})),
+         |t AS (SELECT CAST(unnest([800, 850, 900, 950, 1000]) AS BIGINT)
+         |    AS t_milli)
+         |SELECT t.t_milli,
+         |  CAST((SELECT count(*) FROM p WHERE p.j_milli >= t.t_milli)
+         |    AS BIGINT) AS n_pairs,
+         |  CAST((SELECT count(DISTINCT d) FROM (
+         |      SELECT doc_a AS d FROM p WHERE p.j_milli >= t.t_milli
+         |      UNION ALL
+         |      SELECT doc_b FROM p WHERE p.j_milli >= t.t_milli))
+         |    AS BIGINT) AS n_docs
+         |FROM t ORDER BY t.t_milli""".stripMargin) +
     // the striping audit wraps the gated shard-order oracle — one
     // order definition, two gates
     ("q_stripe_audit" ->
@@ -6387,6 +6814,14 @@ object ExtensionQueries {
     "q_interval_join_auto" -> (intervalJoinAuto _),
     "q_erasure_audit"   -> (erasureAuditQ _),
     "q_epoch_plan"      -> (epochPlan _),
-    "q_stripe_audit"    -> (stripeAudit _)
+    "q_stripe_audit"    -> (stripeAudit _),
+    "q_ewma"            -> (ewmaQ _),
+    "q_cusum"           -> (cusumQ _),
+    "q_waterfill"       -> (waterfillQ _),
+    "q_pareto"          -> (paretoQ _),
+    "q_skew_preview"    -> (skewPreviewQ _),
+    "q_dedup_sweep"     -> (dedupSweepQ _),
+    "q_prefix_batch"    -> (prefixBatchQ _),
+    "q_pii_census"      -> (piiCensusQ _)
   )
 }

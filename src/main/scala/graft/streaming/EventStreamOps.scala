@@ -299,6 +299,60 @@ object EventStreamOps {
       }
   }
 
+  /** One day of a key's rollup feed entering the live control chart. */
+  case class CcEv(key: String, day: Long, n: Long)
+  case class CcState(lastDay: Long, posMilli: Long, negMilli: Long)
+  case class CcOut(key: String, day: Long, n: Long,
+                   posMilli: Long, negMilli: Long,
+                   alarmUp: Boolean, alarmDown: Boolean)
+
+  /** Live two-sided CUSUM — the streaming twin of
+    * [[graft.ops.Monitor.cusumDaily]], fed by the per-(key, day)
+    * rollup a daily aggregation job emits. Control-chart practice
+    * calibrates limits OFFLINE and applies them online, so target /
+    * slack / h arrive as parameters (the batch chart's last
+    * self-calibration), not from stream state — a stream cannot know
+    * its own future mean. State per key is THREE numbers (last day,
+    * pos, neg); silent days zero-fill exactly as in the batch fold
+    * (the recurrence applies with n = 0 for every skipped day, so a
+    * source going quiet RAISES the lower cusum — the failure the
+    * chart exists to catch). Within a batch days process in order;
+    * across batches the feed contract is the rollup job's: days
+    * arrive append-only per key (a duplicate or late day is ignored,
+    * never double-counted). Update mode, one row per applied day —
+    * after any batch the emitted trajectory equals the batch
+    * operator's over the same prefix (spec-pinned).
+    */
+  def streamingCusum(days: Dataset[CcEv], targetMilli: Long,
+                     slackMilli: Long, hMilli: Long): Dataset[CcOut] = {
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CcState, CcOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[CcEv], state: GroupState[CcState]) =>
+          var st = state.getOption.getOrElse(
+            CcState(Long.MinValue, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CcOut]
+          def step(day: Long, n: Long): Unit = {
+            val pos = math.max(0L, st.posMilli + n * 1000L - targetMilli - slackMilli)
+            val neg = math.max(0L, st.negMilli + targetMilli - n * 1000L - slackMilli)
+            st = CcState(day, pos, neg)
+            out += CcOut(key, day, n, pos, neg, pos > hMilli, neg > hMilli)
+          }
+          evs.toSeq.sortBy(_.day).foreach { e =>
+            if (st.lastDay == Long.MinValue) step(e.day, e.n)
+            else if (e.day > st.lastDay) {
+              var d = st.lastDay + 1
+              while (d < e.day) { step(d, 0L); d += 1 }
+              step(e.day, e.n)
+            } // e.day <= lastDay: duplicate/late — append-only contract
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One scored stream row entering the reservoir. */
   case class ResIn(source: String, docId: Long, priority: String)
   /** A stratum's live reservoir: top-k (priority, docId), sorted. */

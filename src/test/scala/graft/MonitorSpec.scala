@@ -1,0 +1,200 @@
+package graft
+
+import graft.ops.Monitor
+import org.apache.spark.sql.functions._
+
+/** Control-chart operators ([[graft.ops.Monitor]]) plus the
+  * allocation/skyline queries of the same round: hand-checked
+  * recurrences, zero-fill behavior, alarm semantics, and the
+  * algorithmic invariants the oracles alone cannot state
+  * (allocations sum to budget; nothing on the frontier is dominated).
+  */
+class MonitorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val day = 86400000000L
+
+  test("ewmaDaily: hand-checked recurrence with a silent-day zero fill " +
+    "and a spike flag judged against the PRIOR baseline") {
+    // key a: day 0 -> 2 events, day 1 silent, day 2 -> 12 events
+    val ev = Seq(
+      ("a", 5L), ("a", 10L),                     // day 0: n=2
+      ("a", 2 * day + 1), ("a", 2 * day + 2), ("a", 2 * day + 3),
+      ("a", 2 * day + 4), ("a", 2 * day + 5), ("a", 2 * day + 6),
+      ("a", 2 * day + 7), ("a", 2 * day + 8), ("a", 2 * day + 9),
+      ("a", 2 * day + 10), ("a", 2 * day + 11), ("a", 2 * day + 12)
+    ).toDF("k", "tus")
+    val out = Monitor.ewmaDaily(ev, "k", col("tus"), alphaMilli = 300)
+      .orderBy("day")
+      .select("day", "n", "ewma_milli", "dev_ppm", "flagged")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    // day0: seed 2000; day1: (300*0 + 700*2000) div 1000 = 1400,
+    //   dev = (0 - 2000)*1e6 div 2000 = -1000000 -> flagged
+    // day2: (300*12000 + 700*1400) div 1000 = 4580,
+    //   dev = (12000-1400)*1e6 div 1400 = 7571428 -> flagged
+    assert(out === Seq(
+      (0L, 2L, 2000L, 0L, false),
+      (1L, 0L, 1400L, -1000000L, true),
+      (2L, 12L, 4580L, 7571428L, true)))
+  }
+
+  test("cusumDaily: a sustained level shift accumulates to an alarm " +
+    "that a single spike never reaches") {
+    // key s: 20 quiet days of 2, then 6 shifted days of 50
+    //   mean = (40+300)/26 = 13.08 -> target 13076 milli, slack 6538,
+    //   h = 52304; each shifted day adds 50000-13076-6538 = 30386 —
+    //   the alarm fires on the 2nd shifted day and stays
+    val rows = (0 until 20).flatMap(d => (1 to 2).map(i => ("s", d * day + i))) ++
+      (20 until 26).flatMap(d => (1 to 50).map(i => ("s", d * day + i)))
+    val ev = rows.map { case (k, t) => (k, t.toLong) }.toDF("k", "tus")
+    val out = Monitor.cusumDaily(ev, "k", col("tus"))
+      .orderBy("day")
+      .select("day", "n", "pos_milli", "neg_milli", "alarm_up", "alarm_down")
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(out.length === 26)
+    // quiet days never alarm up; the shift accumulates until alarm
+    assert(out.take(20).forall(r => !r._5))
+    assert(out.last._5, s"expected an UP alarm by the last shifted day: $out")
+    // evidence is cumulative: pos_milli strictly increases over the
+    // shifted run
+    val shifted = out.drop(20).map(_._3)
+    assert(shifted === shifted.sorted && shifted.distinct === shifted)
+    // a single spike on an otherwise-quiet key stays silent
+    val spike = ((0 until 10).flatMap(d => (1 to 4).map(i => ("p", d * day + i))) ++
+      (1 to 12).map(i => ("p", 10 * day + i)))
+      .map { case (k, t) => (k, t.toLong) }.toDF("k", "tus")
+    val sp = Monitor.cusumDaily(spike, "k", col("tus"))
+      .select("alarm_up").as[Boolean].collect()
+    assert(sp.forall(!_), "one spike must not trip the cumulative alarm")
+  }
+
+  test("streamingCusum == batch cusumDaily trajectory over the same " +
+    "prefix, across batches, with silent days zero-filled live") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    implicit val sc = spark.sqlContext
+    // batch reference on the full series: key m, days 0..5
+    val ns = Seq(4L, 4L, 0L, 9L, 9L, 9L) // silent day 2 inside the span
+    val ev = ns.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n.toInt).map(i => ("m", d * day + i.toLong))
+    }.toDF("k", "tus")
+    val ref = Monitor.cusumDaily(ev, "k", col("tus"))
+      .orderBy("day")
+      .select("day", "n", "pos_milli", "neg_milli", "alarm_up", "alarm_down")
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    // offline calibration: the batch chart's own target/slack/h
+    val cal = Monitor.cusumDaily(ev, "k", col("tus"))
+      .select("target_milli").as[Long].head()
+    val mem = MemoryStream[EventStreamOps.CcEv]
+    val q = EventStreamOps.streamingCusum(mem.toDS(),
+        targetMilli = cal, slackMilli = cal / 2, hMilli = cal * 4)
+      .writeStream.format("memory").queryName("cusumlive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      import EventStreamOps.CcEv
+      // the daily rollup feed, split mid-series; the silent day 2 is
+      // NOT in the feed — the op must synthesize it
+      mem.addData(CcEv("m", 0L, 4L), CcEv("m", 1L, 4L))
+      q.processAllAvailable()
+      mem.addData(CcEv("m", 3L, 9L), CcEv("m", 4L, 9L))
+      mem.addData(CcEv("m", 5L, 9L), CcEv("m", 4L, 9L)) // dup day ignored
+      q.processAllAvailable()
+      val live = spark.table("cusumlive")
+        .as[EventStreamOps.CcOut].collect().toSeq
+        .groupBy(_.day).map { case (_, v) => v.last }.toSeq.sortBy(_.day)
+        .map(o => (o.day, o.n, o.posMilli, o.negMilli, o.alarmUp, o.alarmDown))
+      assert(live === ref)
+    } finally q.stop()
+  }
+
+  test("q_waterfill invariants: allocations sum to the budget exactly, " +
+    "the capped set is a capacity-prefix, nothing exceeds its " +
+    "capacity, and uncapped shares differ by at most one") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.queries.ExtensionQueries.queries("q_waterfill")(spark, d)
+      .select("source", "cap", "budget", "capped", "alloc")
+      .as[(String, Long, Long, Boolean, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    val budget = out.head._3
+    assert(out.map(_._5).sum === budget, "water-filling must spend exactly B")
+    assert(out.forall(r => r._5 <= r._2), "no source exceeds its capacity")
+    // capped-ness is monotone in capacity: every capped source has
+    // capacity <= every uncapped source's
+    val cappedMax = out.filter(_._4).map(_._2).maxOption.getOrElse(Long.MinValue)
+    val uncappedMin = out.filterNot(_._4).map(_._2).minOption.getOrElse(Long.MaxValue)
+    assert(cappedMax <= uncappedMin)
+    val shares = out.filterNot(_._4).map(_._5)
+    if (shares.nonEmpty)
+      assert(shares.max - shares.min <= 1L, s"max-min fairness: $shares")
+  }
+
+  test("prefixBatch: planted long shared prefixes — savings counted " +
+    "once per extra doc, bounded by the group's SHORTEST member") {
+    // 3 docs share an 8-token prefix; one "short twin" IS the prefix
+    // of a 4th doc (guaranteed-shared length = the short one's 2)
+    val p8 = "a b c d e f g h"
+    val docs = Seq(
+      ("s1", s"$p8 one two"), ("s1", s"$p8 three"), ("s1", s"$p8 four five six"),
+      ("s2", "x y"), ("s2", "x y tail tail tail"),
+      ("s3", "lone doc")
+    ).toDF("source", "text")
+    val out = graft.queries.ExtensionQueries.prefixBatch(docs, prefixTokens = 8)
+      .select("source", "shared_groups", "saved_tokens", "total_tokens")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // s1: one group of 3 -> (3-1)*8 = 16 saved of 10+9+11=30 tokens
+    // s2: "x y" and "x y tail tail tail" share prefix "x y" (plen 2
+    //     vs 5-token doc's first 8 = whole doc "x y tail tail tail"
+    //     != "x y") -> NOT the same prefix string, no sharing
+    // s3: nothing shared
+    assert(out === Seq(("s1", 1L, 16L, 30L), ("s2", 0L, 0L, 7L),
+      ("s3", 0L, 0L, 2L)))
+    // at prefixTokens=2 the s2 pair DOES share, and min_plen = 2
+    val out2 = graft.queries.ExtensionQueries.prefixBatch(docs, prefixTokens = 2)
+      .select("source", "shared_groups", "saved_tokens")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out2 === Seq(("s1", 1L, 2L * 2L), ("s2", 1L, 2L), ("s3", 0L, 0L)))
+  }
+
+  test("piiCensus: planted residue — each class counted on the text " +
+    "AFTER earlier classes redact (a digit run inside an email is an " +
+    "email, not an id); clean docs count as clean") {
+    val docs = Seq(
+      ("s1", "write to john.doe123456789@mail.example.com today"),
+      ("s1", "call 555-123-4567 or 555-987-6543 now"),
+      ("s1", "account 1234567890 flagged"),
+      ("s1", "all clean here"),
+      ("s2", "mixed a@b.co 111-222-3333 999999999 end")
+    ).toDF("source", "text")
+    val out = graft.queries.ExtensionQueries.piiCensus(docs)
+      .select("source", "n_docs", "n_email", "n_phone", "n_id", "docs_clean")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // the 9-digit run inside the first email never double-counts as id
+    assert(out === Seq(("s1", 4L, 1L, 2L, 1L, 1L),
+      ("s2", 1L, 1L, 1L, 1L, 0L)))
+  }
+
+  test("q_pareto is exactly the non-dominated set (brute-force check " +
+    "per source at sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val frontier = graft.queries.ExtensionQueries.queries("q_pareto")(spark, d)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    // recompute every doc's (len, ttr) and brute-force dominance
+    val all = graft.Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"),
+        size(graft.ops.TextStats.tokens(col("text"))).cast("long").as("n"),
+        size(array_distinct(graft.ops.TextStats.tokens(col("text"))))
+          .cast("long").as("nd"))
+      .withColumn("ttr", expr("nd * 1000 div greatest(n, 1)"))
+      .select("source", "doc_id", "n", "ttr")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val bySource = all.groupBy(_._1)
+    val expected = bySource.flatMap { case (_, docs) =>
+      docs.filterNot { a =>
+        docs.exists(b => b._2 != a._2 && b._3 <= a._3 && b._4 >= a._4 &&
+          (b._3 < a._3 || b._4 > a._4))
+      }
+    }.map(r => (r._1, r._2)).toSet
+    assert(frontier === expected)
+  }
+}
