@@ -1658,4 +1658,43 @@ object TextStats {
       sumLrq.as("sum_lrq"),
       (sumLrq.cast("double") / 10000).as("logw"))
   }
+
+  /** Content-defined chunking at token granularity — the
+    * storage-dedup boundary trick (FastCDC, Xia et al. USENIX
+    * ATC'16) applied where an LLM pipeline chunks: a token is a
+    * boundary iff `md5("cdc:" + token) % avgLen == 0`, so boundaries
+    * are a pure function of CONTENT — an insertion early in a doc
+    * shifts fixed-size chunk frames everywhere after it, but
+    * content-defined boundaries realign immediately, which is what
+    * makes repeated spans land in identical chunks and dedup.
+    * Expected chunk length = `avgLen` tokens.
+    *
+    * Per doc: (chunk_idx, chunk_hash, n_tokens) rows. One per-doc
+    * window (partitioned by doc — never global) turns the boundary
+    * flags into running chunk ids; the chunk hash is md5 of the
+    * space-joined tokens, pos-ordered.
+    */
+  def cdcChunks(docs: DataFrame, avgLen: Int = 8,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(avgLen >= 2, s"avgLen must be >= 2, got $avgLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("boundary",
+        (conv(substring(md5(concat(lit("cdc:"), col("tok"))), 1, 6), 16, 10)
+          .cast("long") % avgLen === 0L).cast("long"))
+      // a boundary token STARTS a new chunk; the running boundary
+      // count up to (and including) the token is its chunk id
+      .withColumn("chunk_idx",
+        sum(col("boundary")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(md5(concat_ws(" ",
+          org.apache.spark.sql.functions.array_sort(
+            collect_list(struct(col("pos"), col("tok"))))
+            .getField("tok"))).as("chunk_hash"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

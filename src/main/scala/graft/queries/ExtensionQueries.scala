@@ -945,6 +945,30 @@ object ExtensionQueries {
   def piiCensusQ(s: SparkSession, d: String): DataFrame =
     piiCensus(docs(s, d))
 
+  /** Content-defined chunking dedup-friendliness report
+    * ([[TextStats.cdcChunks]], FastCDC shape at token granularity):
+    * per source, chunk count, distinct chunk hashes, duplicate-chunk
+    * ppm (how much of the corpus is repeated spans a CDC store would
+    * dedup away), and exact mean chunk length in milli-tokens —
+    * boundaries are a pure function of content, so repeated spans
+    * land in identical chunks no matter where they sit in a doc,
+    * which fixed-frame chunking (`q_chunks`) structurally cannot do.
+    */
+  def cdcChunksQ(s: SparkSession, d: String): DataFrame = {
+    val ch = TextStats.cdcChunks(docs(s, d), avgLen = 8)
+    docs(s, d).select(col("doc_id"), col("source"))
+      .join(ch, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_hash")).as("distinct_chunks"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("dup_ppm",
+        expr("CAST(CAST(n_chunks - distinct_chunks AS DECIMAL(38,0))" +
+          " * 1000000 div n_chunks AS BIGINT)"))
+      .withColumn("mean_len_milli", expr("n_tokens * 1000 div n_chunks"))
+      .orderBy("source")
+  }
+
   /** Incremental-ingestion exact dedup: the odd docs arrive against a
     * base of the even docs PLUS every odd doc with doc_id % 10 == 1
     * (those are "already ingested" by content) — survivors are the odd
@@ -3262,6 +3286,32 @@ object ExtensionQueries {
         |  c.neg_milli > p.h_milli AS alarm_down
         |FROM c JOIN p USING (event_type)
         |ORDER BY c.event_type, c.day""".stripMargin) +
+    ("q_cdc_chunks" -> {
+      val hex = "(" + (0 until 6).map(i =>
+        s"(strpos('0123456789abcdef', substr(hh,${1 + i},1))-1)*${BigInt(16).pow(5 - i)}")
+        .mkString(" + ") + ")"
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |p AS (SELECT doc_id, source, i - 1 AS pos, ts[i] AS tok
+         |  FROM t, unnest(range(1, len(ts) + 1)) AS u(i)),
+         |b AS (SELECT doc_id, source, pos, tok,
+         |    CASE WHEN $hex % 8 = 0 THEN 1 ELSE 0 END AS boundary
+         |  FROM (SELECT doc_id, source, pos, tok,
+         |        substr(md5('cdc:' || tok), 1, 6) AS hh FROM p)),
+         |c AS (SELECT *, sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_idx
+         |  FROM b),
+         |h AS (SELECT doc_id, source, chunk_idx,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+         |    CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM c GROUP BY 1, 2, 3)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(DISTINCT chunk_hash) AS BIGINT) AS distinct_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(count(*) - count(DISTINCT chunk_hash) AS HUGEINT)
+         |    * 1000000 // count(*) AS BIGINT) AS dup_ppm,
+         |  CAST(sum(n_tokens) * 1000 // count(*) AS BIGINT) AS mean_len_milli
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin }) +
     ("q_prefix_batch" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
         |u AS (SELECT source, CAST(len(ts) AS BIGINT) AS n_tok,
@@ -6822,6 +6872,7 @@ object ExtensionQueries {
     "q_skew_preview"    -> (skewPreviewQ _),
     "q_dedup_sweep"     -> (dedupSweepQ _),
     "q_prefix_batch"    -> (prefixBatchQ _),
-    "q_pii_census"      -> (piiCensusQ _)
+    "q_pii_census"      -> (piiCensusQ _),
+    "q_cdc_chunks"      -> (cdcChunksQ _)
   )
 }

@@ -353,6 +353,51 @@ object EventStreamOps {
       }
   }
 
+  /** One day of a key's rollup feed entering the live gap-fill. */
+  case class GfEv(key: String, day: Long, n: Long, dayLastQ: Option[Long])
+  case class GfState(lastDay: Long, lastQ: Option[Long])
+  case class GfOut(key: String, day: Long, n: Long,
+                   filledQ: Option[Long], isGap: Boolean)
+
+  /** Live per-key daily gap-fill — the streaming twin of
+    * [[graft.ops.TemporalJoins.gapFillDaily]], fed by the per-(key,
+    * day) rollup (count + the day's last milli reading). State per
+    * key is (last day, last reading); silent days between arrivals
+    * synthesize n = 0 / is_gap rows carrying the forward-filled
+    * reading, exactly the batch grid's LOCF — so a dashboard reading
+    * the live feed sees the same dense grid the batch repair would
+    * emit over the same prefix (spec-pinned). Days arrive append-only
+    * per key (the rollup job's contract); duplicates/late days are
+    * ignored. Update mode, one row per emitted grid day.
+    */
+  def streamingGapFill(days: Dataset[GfEv]): Dataset[GfOut] = {
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[GfState, GfOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[GfEv], state: GroupState[GfState]) =>
+          var st = state.getOption.getOrElse(GfState(Long.MinValue, None))
+          val out = scala.collection.mutable.ArrayBuffer.empty[GfOut]
+          evs.toSeq.sortBy(_.day).foreach { e =>
+            if (st.lastDay == Long.MinValue || e.day > st.lastDay) {
+              if (st.lastDay != Long.MinValue) {
+                var d = st.lastDay + 1
+                while (d < e.day) {
+                  out += GfOut(key, d, 0L, st.lastQ, isGap = true)
+                  d += 1
+                }
+              }
+              val q = e.dayLastQ.orElse(st.lastQ)
+              out += GfOut(key, e.day, e.n, q, isGap = e.n == 0L)
+              st = GfState(e.day, q)
+            } // e.day <= lastDay: duplicate/late — append-only contract
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One scored stream row entering the reservoir. */
   case class ResIn(source: String, docId: Long, priority: String)
   /** A stratum's live reservoir: top-k (priority, docId), sorted. */

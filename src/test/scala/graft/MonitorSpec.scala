@@ -108,6 +108,45 @@ class MonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingGapFill == batch gapFillDaily grid over the same " +
+    "prefix: silent days synthesized live with the carried reading, " +
+    "null-reading days carry through") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    implicit val sc = spark.sqlContext
+    // raw events: day 0 two readings (last 2.25), days 1 and 3 silent,
+    // day 2 one NULL reading, day 4 reading 7.0
+    val ev = Seq(
+      ("g", 5L, 1L, Option(1.5)), ("g", 9L, 2L, Option(2.25)),
+      ("g", 2 * day + 1, 3L, None: Option[Double]),
+      ("g", 4 * day + 2, 4L, Option(7.0))
+    ).toDF("k", "tus", "id", "v")
+    val ref = graft.ops.TemporalJoins
+      .gapFillDaily(ev, "k", col("tus"), "id", "v")
+      .select("key", "day", "n", "filled_q", "is_gap")
+      .as[(String, Long, Long, Option[Long], Boolean)]
+      .collect().sortBy(_._2).toSeq
+    val mem = MemoryStream[EventStreamOps.GfEv]
+    val q = EventStreamOps.streamingGapFill(mem.toDS())
+      .writeStream.format("memory").queryName("gapfilllive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      import EventStreamOps.GfEv
+      // the rollup feed the batch day-agg would emit, split mid-series
+      mem.addData(GfEv("g", 0L, 2L, Some(2250L)))
+      q.processAllAvailable()
+      mem.addData(GfEv("g", 2L, 1L, None), GfEv("g", 4L, 1L, Some(7000L)),
+        GfEv("g", 2L, 1L, None)) // dup ignored
+      q.processAllAvailable()
+      val live = spark.table("gapfilllive")
+        .as[EventStreamOps.GfOut].collect().toSeq
+        .groupBy(_.day).map { case (_, v) => v.last }.toSeq.sortBy(_.day)
+        .map(o => (o.key, o.day, o.n, o.filledQ, o.isGap))
+      assert(live === ref)
+    } finally q.stop()
+  }
+
   test("q_waterfill invariants: allocations sum to the budget exactly, " +
     "the capped set is a capacity-prefix, nothing exceeds its " +
     "capacity, and uncapped shares differ by at most one") {
