@@ -969,6 +969,99 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Exact-integer two-proportion chi-square (A/B) readout — per
+    * event type, the even/odd-user split's engagement rates
+    * (`value > 200`) with the pooled two-proportion z² statistic in
+    * EXACT milli: `z²·1000 = diff_ppm² · (n_a·n_b div N) · 1000 div
+    * (p̂(1e6−p̂))` with p̂ the pooled rate in ppm — every step integer,
+    * so both engines land on the same milli value and the
+    * significance verdict (`z² > 3.841`, the χ²₍₁₎ 5% critical
+    * value) is an exact integer comparison, not a float judgment
+    * call. The ppm quantization of the rates IS the statistic's
+    * definition here, stated openly — the experiment readout a data
+    * platform runs distributed, with the same discipline as every
+    * other ppm audit in this file. Magnitudes stay under DECIMAL(38)
+    * past N = 1e20.
+    */
+  private[graft] def chisq(ev: DataFrame): DataFrame = {
+    ev.select(col("event_type"),
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
+        when(col("value") > 200.0, 1L).otherwise(0L).as("hit"))
+      .groupBy("event_type")
+      .agg(sum(col("ga")).as("n_a"),
+        sum(col("ga") * col("hit")).as("hits_a"),
+        sum(lit(1L) - col("ga")).as("n_b"),
+        sum((lit(1L) - col("ga")) * col("hit")).as("hits_b"))
+      .withColumn("pa_ppm",
+        expr("hits_a * 1000000 div greatest(n_a, 1)"))
+      .withColumn("pb_ppm",
+        expr("hits_b * 1000000 div greatest(n_b, 1)"))
+      .withColumn("diff_ppm", expr("pa_ppm - pb_ppm"))
+      .withColumn("pool_ppm",
+        expr("(hits_a + hits_b) * 1000000 div greatest(n_a + n_b, 1)"))
+      .withColumn("z2_milli",
+        expr("CAST(CAST(diff_ppm AS DECIMAL(38,0)) * diff_ppm" +
+          " * (n_a * n_b div greatest(n_a + n_b, 1)) * 1000" +
+          " div greatest(pool_ppm * (1000000 - pool_ppm), 1) AS BIGINT)"))
+      .withColumn("significant", col("z2_milli") > 3841L)
+      .select("event_type", "n_a", "hits_a", "n_b", "hits_b",
+        "pa_ppm", "pb_ppm", "diff_ppm", "z2_milli", "significant")
+      .orderBy("event_type")
+  }
+
+  /** The gate fixture's even/odd split is a NULL experiment, so the
+    * correct readout is all-insignificant (a significant row there
+    * would be the bug); the planted-effect significance path is
+    * spec-pinned.
+    */
+  def chisqQ(s: SparkSession, d: String): DataFrame =
+    chisq(Tables.events(s, d))
+
+  /** Deterministic-hash bootstrap CI for mean daily volume (Efron
+    * 1979, with md5 as the resampling RNG so the replica set is a
+    * pure function of the data — reproducible on any engine, the
+    * same trick as every sampled audit here): per event type, 32
+    * replicas each resample the zero-filled day grid WITH
+    * replacement (`draw j of replica b` picks day
+    * `md5("bs:type:b:j") mod n_days`), replica means in exact milli,
+    * and the 2nd/31st order statistics as the ~90% CI — the error
+    * bar a volume dashboard should print next to the point estimate.
+    * Work is B × span-days per key (span-bounded, event-volume-
+    * independent); the grid reuses [[Monitor.dailyGrid]]'s one
+    * exchange.
+    */
+  def bootstrapQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val W = org.apache.spark.sql.expressions.Window
+    val g = Monitor.dailyGrid(ev, "event_type",
+        AnalyticsQueries.epochUs(ev, "ts"))
+      .withColumn("i", row_number().over(
+        W.partitionBy("key").orderBy("day")).cast("long"))
+    val nd = g.groupBy("key").agg(max(col("i")).as("nd"))
+    val draws = nd
+      .select(col("key"), col("nd"),
+        explode(sequence(lit(0L), lit(31L))).as("b"))
+      .select(col("key"), col("nd"), col("b"),
+        explode(expr("sequence(0, nd - 1)")).as("j"))
+      .withColumn("pick",
+        pmod(conv(substring(md5(concat_ws(":",
+          lit("bs"), col("key"), col("b"), col("j"))), 1, 6), 16, 10)
+          .cast("long"), col("nd")) + 1L)
+    val reps = draws
+      .join(g.select(col("key"), col("i").as("pick"), col("n")),
+        Seq("key", "pick"))
+      .groupBy("key", "b")
+      .agg(expr("sum(n) * 1000 div count(1)").as("mean_milli"))
+    reps.groupBy("key")
+      .agg(sort_array(collect_list(col("mean_milli"))).as("ms"))
+      .select(col("key").as("event_type"),
+        expr("element_at(ms, 2)").as("ci_lo_milli"),
+        expr("element_at(ms, 31)").as("ci_hi_milli"),
+        expr("aggregate(ms, 0L, (a, x) -> a + x) div 32")
+          .as("boot_mean_milli"))
+      .orderBy("event_type")
+  }
+
   /** Incremental-ingestion exact dedup: the odd docs arrive against a
     * base of the even docs PLUS every odd doc with doc_id % 10 == 1
     * (those are "already ingested" by content) — survivors are the odd
@@ -3286,6 +3379,69 @@ object ExtensionQueries {
         |  c.neg_milli > p.h_milli AS alarm_down
         |FROM c JOIN p USING (event_type)
         |ORDER BY c.event_type, c.day""".stripMargin) +
+    ("q_chisq" ->
+      """WITH b AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+        |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS hit
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(sum(ga) AS BIGINT) AS n_a,
+        |    CAST(sum(ga * hit) AS BIGINT) AS hits_a,
+        |    CAST(sum(1 - ga) AS BIGINT) AS n_b,
+        |    CAST(sum((1 - ga) * hit) AS BIGINT) AS hits_b
+        |  FROM b GROUP BY 1),
+        |p AS (SELECT *,
+        |    CAST(hits_a * 1000000 // greatest(n_a, 1) AS BIGINT) AS pa_ppm,
+        |    CAST(hits_b * 1000000 // greatest(n_b, 1) AS BIGINT) AS pb_ppm,
+        |    CAST((hits_a + hits_b) * 1000000 // greatest(n_a + n_b, 1)
+        |      AS BIGINT) AS pool_ppm
+        |  FROM g)
+        |SELECT event_type, n_a, hits_a, n_b, hits_b, pa_ppm, pb_ppm,
+        |  CAST(pa_ppm - pb_ppm AS BIGINT) AS diff_ppm,
+        |  CAST(CAST(pa_ppm - pb_ppm AS HUGEINT) * (pa_ppm - pb_ppm)
+        |    * (n_a * n_b // greatest(n_a + n_b, 1)) * 1000
+        |    // greatest(pool_ppm * (1000000 - pool_ppm), 1) AS BIGINT)
+        |    AS z2_milli,
+        |  CAST(CAST(pa_ppm - pb_ppm AS HUGEINT) * (pa_ppm - pb_ppm)
+        |    * (n_a * n_b // greatest(n_a + n_b, 1)) * 1000
+        |    // greatest(pool_ppm * (1000000 - pool_ppm), 1) AS BIGINT) > 3841
+        |    AS significant
+        |FROM p ORDER BY event_type""".stripMargin) +
+    ("q_bootstrap" -> {
+      val hex = "(" + (0 until 6).map(i =>
+        s"(strpos('0123456789abcdef', substr(hh,${1 + i},1))-1)*${BigInt(16).pow(5 - i)}")
+        .mkString(" + ") + ")"
+      s"""WITH byday AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+         |  FROM byday GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+         |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n,
+         |    CAST(row_number() OVER (PARTITION BY gr.event_type
+         |      ORDER BY gr.day) AS BIGINT) AS i
+         |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+         |nd AS (SELECT event_type, CAST(max(i) AS BIGINT) AS nd
+         |  FROM g GROUP BY 1),
+         |draws AS (SELECT event_type, nd, b, j,
+         |    ($hex) % nd + 1 AS pick
+         |  FROM (SELECT n1.event_type, n1.nd, ub.b, uj.j,
+         |      substr(md5('bs:' || n1.event_type || ':' || ub.b || ':'
+         |        || uj.j), 1, 6) AS hh
+         |    FROM nd n1, unnest(range(0, 32)) AS ub(b),
+         |      unnest(range(0, n1.nd)) AS uj(j))),
+         |reps AS (SELECT d.event_type, d.b,
+         |    CAST(sum(g.n) * 1000 // count(*) AS BIGINT) AS mean_milli
+         |  FROM draws d JOIN g ON g.event_type = d.event_type
+         |    AND g.i = d.pick
+         |  GROUP BY 1, 2),
+         |ms AS (SELECT event_type, list_sort(list(mean_milli)) AS l
+         |  FROM reps GROUP BY 1)
+         |SELECT event_type, CAST(l[2] AS BIGINT) AS ci_lo_milli,
+         |  CAST(l[31] AS BIGINT) AS ci_hi_milli,
+         |  CAST(list_sum(l) // 32 AS BIGINT) AS boot_mean_milli
+         |FROM ms ORDER BY event_type""".stripMargin }) +
     ("q_cdc_chunks" -> {
       val hex = "(" + (0 until 6).map(i =>
         s"(strpos('0123456789abcdef', substr(hh,${1 + i},1))-1)*${BigInt(16).pow(5 - i)}")
@@ -6873,6 +7029,8 @@ object ExtensionQueries {
     "q_dedup_sweep"     -> (dedupSweepQ _),
     "q_prefix_batch"    -> (prefixBatchQ _),
     "q_pii_census"      -> (piiCensusQ _),
-    "q_cdc_chunks"      -> (cdcChunksQ _)
+    "q_cdc_chunks"      -> (cdcChunksQ _),
+    "q_chisq"           -> (chisqQ _),
+    "q_bootstrap"       -> (bootstrapQ _)
   )
 }

@@ -213,6 +213,25 @@ class MonitorSpec extends SparkSpec {
       ("s2", 1L, 1L, 1L, 1L, 0L)))
   }
 
+  test("chisq: a planted real effect (50% vs 10% on 500/500) fires the " +
+    "exact-integer significance verdict; a perfectly balanced split " +
+    "stays silent; z2 agrees with the textbook statistic") {
+    // group A = even user ids. value > 200 is the hit predicate.
+    def ev(n: Int, hitsA: Int, hitsB: Int) =
+      ((0 until n).map(i => ("t", 2L * i, if (i < hitsA) 500.0 else 1.0)) ++
+       (0 until n).map(i => ("t", 2L * i + 1, if (i < hitsB) 500.0 else 1.0)))
+        .toDF("event_type", "user_id", "value")
+    val strong = graft.queries.ExtensionQueries.chisq(ev(500, 250, 50))
+      .select("z2_milli", "significant").as[(Long, Boolean)].head()
+    // textbook: p1=.5, p2=.1, pooled=.3, z2 = .4^2*250/(.3*.7) ≈ 190.5
+    assert(strong._2, s"50% vs 10% must be significant, got $strong")
+    assert(strong._1 > 180000L && strong._1 < 200000L,
+      s"z2_milli should sit near the textbook 190476, got ${strong._1}")
+    val none = graft.queries.ExtensionQueries.chisq(ev(500, 100, 100))
+      .select("z2_milli", "significant").as[(Long, Boolean)].head()
+    assert(none._1 === 0L && !none._2)
+  }
+
   test("q_pareto is exactly the non-dominated set (brute-force check " +
     "per source at sf0.001)") {
     val d = "/root/testdata/sf0.001"
