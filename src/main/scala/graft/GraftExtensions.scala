@@ -259,7 +259,8 @@ object GraftExtensions {
     ("graft_asof_join",
       info("graft_asof_join",
         "graft_asof_join(left, right, keys, left_time, right_time, carry" +
-          "[, direction, strict, tiebreak]) - native as-of join over two " +
+          "[, direction, strict, tiebreak, bucket_width]) - native as-of " +
+          "join over two " +
           "catalog tables/views. keys: comma-separated equi-key columns " +
           "present in both sides; left_time/right_time: column name or SQL " +
           "expression; carry: comma-separated right columns, each " +
@@ -270,8 +271,8 @@ object GraftExtensions {
           "merge state."),
       args => {
         val fn = "graft_asof_join"
-        require(args.length >= 6 && args.length <= 9,
-          s"$fn expects 6 to 9 arguments, got ${args.length}")
+        require(args.length >= 6 && args.length <= 10,
+          s"$fn expects 6 to 10 arguments, got ${args.length}")
         val spark = activeSession
         val keys = csv(strArg(fn, "keys", args(2)))
         require(keys.nonEmpty, s"$fn: keys must name at least one column")
@@ -290,6 +291,23 @@ object GraftExtensions {
           if (args.length >= 8) boolStrArg(fn, "strict", args(7)) else false
         val tiebreak =
           if (args.length >= 9) Some(strArg(fn, "tiebreak", args(8))) else None
+        // 10th arg: hot-key fallback — a positive bucket width (in the
+        // time column's units) routes through the time-split salted
+        // form (TemporalJoins.asOfJoinTimeSplit; backward only)
+        val bucketWidth =
+          if (args.length >= 10) {
+            val raw = strArg(fn, "bucket_width", args(9)).trim
+            val v = try raw.toLong catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"$fn: bucket_width must be a positive long, got '$raw'")
+            }
+            require(v > 0, s"$fn: bucket_width must be positive, got $v")
+            require(!(args.length >= 7) ||
+              strArg(fn, "direction", args(6)) == "backward",
+              s"$fn: bucket_width (time-split) supports backward only")
+            Some(v)
+          } else None
 
         val (left, lt) = timeColumn(
           spark.table(strArg(fn, "left", args(0))),
@@ -319,9 +337,14 @@ object GraftExtensions {
         }
         val right = right1.select(
           keep.map(col) ++ carry.map { case (o, a) => col(o).as(a) }: _*)
-        val joined = graft.ops.TemporalJoins.asOfJoinNative(
-          left, right, keys, lt, rt, carry.map(_._2),
-          rightTiebreak = tiebreak, strict = strict, direction = direction)
+        val joined = bucketWidth match {
+          case Some(wdt) => graft.ops.TemporalJoins.asOfJoinTimeSplit(
+            left, right, keys, lt, rt, carry.map(_._2),
+            rightTiebreak = tiebreak, strict = strict, bucketWidth = wdt)
+          case None => graft.ops.TemporalJoins.asOfJoinNative(
+            left, right, keys, lt, rt, carry.map(_._2),
+            rightTiebreak = tiebreak, strict = strict, direction = direction)
+        }
         // synthetic left-time projections are internal — drop from output
         val out = if (lt == "__graft_ltime") joined.drop("__graft_ltime") else joined
         out.queryExecution.analyzed

@@ -1062,6 +1062,185 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Exact-integer autocorrelation (ACF) of daily volume at lags 1–7
+    * — the quantified version of the weekly-rhythm question
+    * `q_seasonality` eyeballs: a human-driven feed shows a lag-7
+    * peak, a bot flood is flat. Mean-centering is done WITHOUT
+    * rationals by multiplying through by n: with `S = Σx` and each
+    * term `(n·x_i − S)`, `acf_milli(k) = 1000·Σ(n·x_i−S)(n·x_{i+k}−S)
+    * div Σ(n·x_i−S)²` — exact integers end to end (DECIMAL(38,0)
+    * cross-products; magnitudes safe past 10⁹ events/day across
+    * decades). Sign-split oracle mirrors the truncating division.
+    * Work: the day grid (one exchange) + a lag join per k on the
+    * span-bounded day table.
+    */
+  def acfQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val W = org.apache.spark.sql.expressions.Window
+    val g = Monitor.dailyGrid(ev, "event_type",
+      AnalyticsQueries.epochUs(ev, "ts"))
+    val stats = g.groupBy("key")
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"))
+    val c = g.join(stats, "key")
+      .withColumn("dev", col("nd") * col("n") - col("s"))
+    val w = W.partitionBy("key").orderBy("day")
+    val lags = (1 to 7).map { k =>
+      c.withColumn("dev_k", lead(col("dev"), k).over(w))
+        .filter(col("dev_k").isNotNull)
+        .groupBy("key")
+        .agg(sum(expr("CAST(dev AS DECIMAL(38,0)) * dev_k")).as("num"))
+        .withColumn("lag_k", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    val denom = c.groupBy("key")
+      .agg(sum(expr("CAST(dev AS DECIMAL(38,0)) * dev")).as("den"))
+    lags.join(denom, "key")
+      .select(col("key").as("event_type"), col("lag_k"),
+        expr("CAST(CASE WHEN num >= 0" +
+          " THEN num * 1000 div greatest(den, 1)" +
+          " ELSE -((-num) * 1000 div greatest(den, 1)) END AS BIGINT)")
+          .as("acf_milli"))
+      .orderBy("event_type", "lag_k")
+  }
+
+  /** Shard rebalance move-plan over the gated shard order: the
+    * minimum-volume set of (from, to, n) transfers that equalizes
+    * shard sizes (target = equal split, remainder one doc each to the
+    * low shard ids). Matching donors to receivers needs no search:
+    * lay the donors' surpluses and the receivers' deficits out as
+    * consecutive intervals on a shared number line (prefix sums in
+    * shard-id order) — transfer overlap(donor interval, receiver
+    * interval) between each overlapping pair. Total moved =
+    * Σ surplus⁺, which is the information-theoretic floor (every
+    * surplus doc must move somewhere), and each donor/receiver pairs
+    * with at most a contiguous run of partners, so the plan has at
+    * most donors + receivers − 1 rows. Everything after the shard
+    * count runs on the K-row frame (the global window is
+    * K-row-bounded by construction, the waterfill precedent).
+    */
+  def rebalancePlanQ(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("shard").rowsBetween(W.unboundedPreceding, 0)
+    val sizes = Sampling.shardAssign(docs(s, d), "doc_id", numShards = 8)
+      .groupBy("shard").agg(count(lit(1)).as("sz"))
+    val tot = sizes.agg(sum(col("sz")).as("total"), count(lit(1)).as("k"))
+    val t = sizes.crossJoin(broadcast(tot))
+      .withColumn("target",
+        expr("total div k + CASE WHEN shard < total % k THEN 1 ELSE 0 END"))
+      .withColumn("surplus", col("sz") - col("target"))
+    val donors = t.filter(col("surplus") > 0)
+      .withColumn("hi", sum(col("surplus")).over(w))
+      .withColumn("lo", col("hi") - col("surplus"))
+      .select(col("shard").as("from_shard"),
+        col("lo").as("d_lo"), col("hi").as("d_hi"))
+    val recv = t.filter(col("surplus") < 0)
+      .withColumn("need", -col("surplus"))
+      .withColumn("hi", sum(col("need")).over(w))
+      .withColumn("lo", col("hi") - col("need"))
+      .select(col("shard").as("to_shard"),
+        col("lo").as("r_lo"), col("hi").as("r_hi"))
+    donors.join(recv, col("d_lo") < col("r_hi") && col("r_lo") < col("d_hi"))
+      .select(col("from_shard"), col("to_shard"),
+        (least(col("d_hi"), col("r_hi")) -
+          greatest(col("d_lo"), col("r_lo"))).as("n_moves"))
+      .orderBy("from_shard", "to_shard")
+  }
+
+  /** Kaplan–Meier retention survival (Kaplan & Meier, JASA 1958) over
+    * user activity spans: "day" = days since the user's first event,
+    * an event (churn) = the user's LAST active day when it falls
+    * strictly inside the observation window, right-censored at the
+    * dataset's end (users still active at the horizon contribute
+    * at-risk time but no death — dropping them would bias survival
+    * down, the classic mistake the estimator exists to fix). The
+    * product-limit curve is a recurrence
+    * (`S_t = S_{t−1}·(risk_t − d_t) div risk_t` in exact milli, S_0
+    * seeded at 1000), run — like every sequential chart here — as an
+    * array fold over the span-bounded day list, mirrored by a
+    * recursive CTE. Output: per day-offset, at-risk count, deaths,
+    * and survival_milli.
+    *
+    * One user-level aggregate (first/last day per user) feeds a
+    * day-offset census; the fold runs on the GLOBAL day list, which
+    * is span-bounded (≤ horizon days) — a single tiny array, not a
+    * per-event structure.
+    */
+  private[graft] def survival(userDays: DataFrame): DataFrame = {
+    val spans = userDays
+      .groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val horizon = spans.agg(max(col("d1")).as("hmax"))
+    // lifetime in day offsets; censored iff still active at horizon
+    val lt = spans.crossJoin(broadcast(horizon))
+      .select((col("d1") - col("d0")).as("life"),
+        (col("d1") === col("hmax")).as("censored"))
+    // per offset t: deaths (uncensored lifetimes ending at t) and
+    // censor exits; at-risk derives from suffix sums over the census
+    val census = lt.groupBy("life")
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("deaths"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("censors"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("life"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tot = census.agg(sum(col("deaths") + col("censors")).as("n_users"))
+    // K-row day-offset frame (span-bounded): the global window and
+    // the fold both run on it, never on user-level data
+    val risk = census.crossJoin(broadcast(tot))
+      .withColumn("exited_before",
+        coalesce(sum(col("deaths") + col("censors")).over(w), lit(0L)))
+      .withColumn("at_risk", col("n_users") - col("exited_before"))
+      .select("life", "at_risk", "deaths", "censors")
+    val folded = risk
+      .groupBy(lit(1).as("g"))
+      .agg(sort_array(collect_list(struct(col("life"), col("at_risk"),
+        col("deaths"), col("censors")))).as("rows"))
+      .withColumn("traj", expr(
+        """aggregate(
+          |  slice(rows, 2, greatest(size(rows) - 1, 0)),
+          |  array(named_struct(
+          |    'life', rows[0].life, 'at_risk', rows[0].at_risk,
+          |    'deaths', rows[0].deaths, 'censors', rows[0].censors,
+          |    's_milli', 1000L * (rows[0].at_risk - rows[0].deaths)
+          |      div rows[0].at_risk)),
+          |  (acc, x) -> acc || array(named_struct(
+          |    'life', x.life, 'at_risk', x.at_risk,
+          |    'deaths', x.deaths, 'censors', x.censors,
+          |    's_milli', element_at(acc, size(acc)).s_milli
+          |      * (x.at_risk - x.deaths) div x.at_risk)))""".stripMargin))
+    folded.select(explode(col("traj")).as("t"))
+      .select(col("t.life").as("life_days"), col("t.at_risk").as("at_risk"),
+        col("t.deaths").as("deaths"), col("t.censors").as("censors"),
+        col("t.s_milli").as("survival_milli"))
+      .orderBy("life_days")
+  }
+
+  def survivalQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    survival(ev.select(col("user_id"),
+      (AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day")))
+  }
+
+  /** Fano-factor burstiness census (index of dispersion,
+    * variance/mean of daily volume): F ≈ 1 is Poisson-like arrival,
+    * F ≫ 1 is bursty (crawler storms), F ≪ 1 is suspiciously regular
+    * (bot cadence) — one number per event type next to the ACF's
+    * seven. Exact: `F_milli = 1000·Σ(n·x_i−S)² div (n²·S)` (mean
+    * cleared by multiplying through by n), DECIMAL(38,0) squares.
+    */
+  def fanoQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Monitor.dailyGrid(ev, "event_type", AnalyticsQueries.epochUs(ev, "ts"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("sq"))
+      .select(col("key").as("event_type"), col("nd"), col("s"),
+        // F = (n·Σx² − S²) / (n·S); all nonneg (Cauchy–Schwarz)
+        expr("CAST((CAST(nd AS DECIMAL(38,0)) * sq" +
+          " - CAST(s AS DECIMAL(38,0)) * s) * 1000" +
+          " div (CAST(nd AS DECIMAL(38,0)) * greatest(s, 1)) AS BIGINT)")
+          .as("fano_milli"))
+      .orderBy("event_type")
+  }
+
   /** Incremental-ingestion exact dedup: the odd docs arrive against a
     * base of the even docs PLUS every odd doc with doc_id % 10 == 1
     * (those are "already ingested" by content) — survivors are the odd
@@ -3379,6 +3558,120 @@ object ExtensionQueries {
         |  c.neg_milli > p.h_milli AS alarm_down
         |FROM c JOIN p USING (event_type)
         |ORDER BY c.event_type, c.day""".stripMargin) +
+    ("q_survival" ->
+      """WITH RECURSIVE sp AS (SELECT user_id,
+        |    min(epoch_us(ts) // 86400000000) AS d0,
+        |    max(epoch_us(ts) // 86400000000) AS d1
+        |  FROM events GROUP BY 1),
+        |hz AS (SELECT max(d1) AS hmax FROM sp),
+        |lt AS (SELECT d1 - d0 AS life,
+        |    d1 = (SELECT hmax FROM hz) AS censored FROM sp),
+        |cen AS (SELECT life,
+        |    CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS deaths,
+        |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS censors
+        |  FROM lt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(deaths + censors) AS BIGINT) AS n_users
+        |  FROM cen),
+        |risk AS (SELECT life, deaths, censors,
+        |    CAST((SELECT n_users FROM tot) - COALESCE(
+        |      sum(deaths + censors) OVER (ORDER BY life
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS at_risk,
+        |    CAST(row_number() OVER (ORDER BY life) AS BIGINT) AS i
+        |  FROM cen),
+        |km AS (
+        |  SELECT life, at_risk, deaths, censors, i,
+        |    1000 * (at_risk - deaths) // at_risk AS s_milli
+        |  FROM risk WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.life, x.at_risk, x.deaths, x.censors, x.i,
+        |    km.s_milli * (x.at_risk - x.deaths) // x.at_risk
+        |  FROM risk x JOIN km ON x.i = km.i + 1)
+        |SELECT life AS life_days, at_risk, deaths, censors,
+        |  CAST(s_milli AS BIGINT) AS survival_milli
+        |FROM km ORDER BY life_days""".stripMargin) +
+    ("q_fano" ->
+      """WITH byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |  CAST(sum(n) AS BIGINT) AS s,
+        |  CAST((CAST(count(*) AS HUGEINT) * sum(CAST(n AS HUGEINT) * n)
+        |    - CAST(sum(n) AS HUGEINT) * sum(n)) * 1000
+        |    // (CAST(count(*) AS HUGEINT) * greatest(sum(n), 1)) AS BIGINT)
+        |    AS fano_milli
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) +
+    // the rebalance plan wraps the gated shard-order oracle — one
+    // order definition, two gates
+    ("q_rebalance_plan" ->
+      s"""WITH sh AS (SELECT shard FROM (${oracleBase("q_shard")})),
+         |sz AS (SELECT shard, CAST(count(*) AS BIGINT) AS sz
+         |  FROM sh GROUP BY 1),
+         |tot AS (SELECT CAST(sum(sz) AS BIGINT) AS total,
+         |    CAST(count(*) AS BIGINT) AS k FROM sz),
+         |t AS (SELECT shard, sz,
+         |    total // k + CASE WHEN shard < total % k THEN 1 ELSE 0 END
+         |      AS target
+         |  FROM sz CROSS JOIN tot),
+         |d AS (SELECT shard, surplus,
+         |    CAST(sum(surplus) OVER (ORDER BY shard
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS hi
+         |  FROM (SELECT shard, sz - target AS surplus FROM t)
+         |  WHERE surplus > 0),
+         |r AS (SELECT shard, need,
+         |    CAST(sum(need) OVER (ORDER BY shard
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS hi
+         |  FROM (SELECT shard, target - sz AS need FROM t)
+         |  WHERE need > 0)
+         |SELECT d.shard AS from_shard, r.shard AS to_shard,
+         |  CAST(least(d.hi, r.hi) - greatest(d.hi - d.surplus, r.hi - r.need)
+         |    AS BIGINT) AS n_moves
+         |FROM d JOIN r ON d.hi - d.surplus < r.hi AND r.hi - r.need < d.hi
+         |ORDER BY 1, 2""".stripMargin) +
+    ("q_acf" -> {
+      val arms = (1 to 7).map { k =>
+        s"""SELECT event_type, $k AS lag_k,
+           |    sum(CAST(dev AS HUGEINT) * d$k) AS num
+           |  FROM l WHERE d$k IS NOT NULL GROUP BY 1""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      val leads = (1 to 7).map(k => s"lead(dev, $k) OVER w AS d$k").mkString(",\n    ")
+      s"""WITH byday AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+         |  FROM byday GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+         |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n
+         |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+         |    CAST(sum(n) AS BIGINT) AS s FROM g GROUP BY 1),
+         |c AS (SELECT g.event_type, g.day, st.nd * g.n - st.s AS dev
+         |  FROM g JOIN st USING (event_type)),
+         |l AS (SELECT event_type, day, dev,
+         |    $leads
+         |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |num AS (
+         |  $arms),
+         |den AS (SELECT event_type, sum(CAST(dev AS HUGEINT) * dev) AS den
+         |  FROM c GROUP BY 1)
+         |SELECT n.event_type, CAST(n.lag_k AS BIGINT) AS lag_k,
+         |  CAST(CASE WHEN n.num >= 0
+         |    THEN n.num * 1000 // greatest(d.den, 1)
+         |    ELSE -((-n.num) * 1000 // greatest(d.den, 1)) END AS BIGINT)
+         |    AS acf_milli
+         |FROM num n JOIN den d USING (event_type)
+         |ORDER BY n.event_type, n.lag_k""".stripMargin }) +
     ("q_chisq" ->
       """WITH b AS (SELECT event_type,
         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
@@ -7031,6 +7324,10 @@ object ExtensionQueries {
     "q_pii_census"      -> (piiCensusQ _),
     "q_cdc_chunks"      -> (cdcChunksQ _),
     "q_chisq"           -> (chisqQ _),
-    "q_bootstrap"       -> (bootstrapQ _)
+    "q_bootstrap"       -> (bootstrapQ _),
+    "q_acf"             -> (acfQ _),
+    "q_rebalance_plan"  -> (rebalancePlanQ _),
+    "q_survival"        -> (survivalQ _),
+    "q_fano"            -> (fanoQ _)
   )
 }

@@ -269,6 +269,27 @@ class GraftExtensionsSpec extends SparkSpec {
         "'t', 'st', 'sid')").collect()).getMessage.nonEmpty)
   }
 
+  test("graft_asof_join TVF bucket_width arg routes through the " +
+    "time-split salted form: same rows as the native path, forward " +
+    "direction rejected") {
+    asofFixture()
+    val native = spark.sql(
+      """SELECT eid, sid, tag FROM
+        |graft_asof_join('tvf_left', 'tvf_right', 'uid', 't', 'st',
+        |                'sid,tag', 'backward', 'false', 'sid')
+        |ORDER BY eid""".stripMargin).collect().toSeq
+    val salted = spark.sql(
+      """SELECT eid, sid, tag FROM
+        |graft_asof_join('tvf_left', 'tvf_right', 'uid', 't', 'st',
+        |                'sid,tag', 'backward', 'false', 'sid', '50')
+        |ORDER BY eid""".stripMargin).collect().toSeq
+    assert(salted === native)
+    assert(intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof_join('tvf_left', 'tvf_right', 'uid', " +
+        "'t', 'st', 'sid', 'forward', 'false', 'sid', '50')").collect())
+      .getMessage.contains("backward only"))
+  }
+
   test("graft_gap_fill TVF == gapFillDaily Column form on a gappy " +
     "fixture (LOCF across the silent day)") {
     val day = 86400000000L

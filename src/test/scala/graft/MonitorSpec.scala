@@ -232,6 +232,35 @@ class MonitorSpec extends SparkSpec {
     assert(none._1 === 0L && !none._2)
   }
 
+  test("survival: hand-checked Kaplan-Meier with censoring — censored " +
+    "users leave the risk set without counting as deaths, and the " +
+    "product-limit steps match the textbook table") {
+    // 10 users; horizon day = 9. Lifetimes (d0=0 for all):
+    //   3 die at life 2, 2 die at life 5, 1 censored at life 7
+    //   (left mid-study), 4 censored at life 9 (active at horizon).
+    // Wait — censoring here = d1 == hmax; the life-7 user must NOT
+    // be at the horizon, so they count as a DEATH by this estimator's
+    // observation model (last activity strictly inside the window).
+    val rows =
+      (1 to 3).flatMap(u => Seq((u.toLong, 0L), (u.toLong, 2L))) ++
+      (4 to 5).flatMap(u => Seq((u.toLong, 0L), (u.toLong, 5L))) ++
+      Seq((6L, 0L), (6L, 7L)) ++
+      (7 to 10).flatMap(u => Seq((u.toLong, 0L), (u.toLong, 9L)))
+    val out = graft.queries.ExtensionQueries.survival(
+        rows.toDF("user_id", "day"))
+      .select("life_days", "at_risk", "deaths", "censors", "survival_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // life 2: risk 10, d 3 -> S = 1000*7 div 10 = 700
+    // life 5: risk 7,  d 2 -> S = 700*5 div 7  = 500
+    // life 7: risk 5,  d 1 -> S = 500*4 div 5  = 400
+    // life 9: risk 4,  d 0, censored 4 -> S stays 400
+    assert(out === Seq(
+      (2L, 10L, 3L, 0L, 700L),
+      (5L, 7L, 2L, 0L, 500L),
+      (7L, 5L, 1L, 0L, 400L),
+      (9L, 4L, 0L, 4L, 400L)))
+  }
+
   test("q_pareto is exactly the non-dominated set (brute-force check " +
     "per source at sf0.001)") {
     val d = "/root/testdata/sf0.001"

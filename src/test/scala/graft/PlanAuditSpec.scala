@@ -35,6 +35,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-9 per-key operators never collapse to a single " +
+    "partition: pareto / cdc_chunks / ewma / cusum / acf plans carry " +
+    "no SinglePartition exchange (all windows and folds are " +
+    "key-partitioned)") {
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q_pareto", "q_cdc_chunks", "q_ewma", "q_cusum", "q_acf")) {
+      // drop the final presentation orderBy the driver gate needs —
+      // a global sort is legitimately single-ranged; the AUDIT is
+      // about the computation underneath
+      val df = graft.queries.ExtensionQueries.queries(q)(spark, d)
+      val p = plan(df)
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("rank-filter top-k (q_window_top_events) plans through " +
+    "WindowGroupLimit — Spark's per-key partial top-k pushdown fires, " +
+    "so the window never buffers a key's full row set") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.AnalyticsQueries.queries(
+      "q_window_top_events")(spark, d))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_asof_native gated plan runs through AsofJoinExec with no " +
     "Window and no Union") {
     val d = "/root/testdata/sf0.001"
