@@ -849,15 +849,22 @@ object ExtensionQueries {
     val pj = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"),
       floor(col("jaccard") * 1000).cast("long").as("j_milli"))
     val tiers = Seq(800L, 850L, 900L, 950L, 1000L).toDF("t_milli")
-    val joined = broadcast(tiers)
-      .join(pj, col("j_milli") >= col("t_milli"), "left")
-    val nPairs = joined.groupBy("t_milli")
-      .agg(count(col("doc_a")).as("n_pairs"))
-    val nDocs = joined
-      .select(col("t_milli"),
-        explode(array(col("doc_a"), col("doc_b"))).as("dd"))
-      .filter(col("dd").isNotNull)
-      .groupBy("t_milli").agg(countDistinct(col("dd")).as("n_docs"))
+    // ONE pass over the pair list, not one per tier: a pair survives
+    // tier t iff j >= t, and a doc is involved at tier t iff its BEST
+    // pair reaches t — so a pair-level score histogram and a per-doc
+    // max reduce the 5-way tier join to broadcast joins on two frames
+    // that are already tier-countable
+    val pairHist = pj.groupBy("j_milli").agg(count(lit(1)).as("c"))
+    val docMax = pj
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("dd"),
+        col("j_milli"))
+      .groupBy("dd").agg(max(col("j_milli")).as("j_best"))
+    val nPairs = broadcast(tiers)
+      .join(pairHist, col("j_milli") >= col("t_milli"), "left")
+      .groupBy("t_milli").agg(coalesce(sum(col("c")), lit(0L)).as("n_pairs"))
+    val nDocs = broadcast(tiers)
+      .join(docMax, col("j_best") >= col("t_milli"), "left")
+      .groupBy("t_milli").agg(count(col("dd")).as("n_docs"))
     nPairs.join(nDocs, Seq("t_milli"), "left")
       .na.fill(0L, Seq("n_docs"))
       .orderBy("t_milli")

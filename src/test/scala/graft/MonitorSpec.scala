@@ -261,6 +261,32 @@ class MonitorSpec extends SparkSpec {
       (9L, 4L, 0L, 4L, 400L)))
   }
 
+  test("edge cases: single-day series fold to their seed row; a " +
+    "zero-capacity source allocates zero; all-censored survival " +
+    "stays at 1000; empty-text docs chunk to one empty chunk") {
+    // single-day key: trajectory = the seed row only, dev 0, no flag
+    val one = Seq(("z", 7L)).toDF("k", "tus")
+    val e1 = Monitor.ewmaDaily(one, "k", col("tus"))
+      .select("day", "n", "ewma_milli", "dev_ppm", "flagged")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(e1 === Seq((0L, 1L, 1000L, 0L, false)))
+    val c1 = Monitor.cusumDaily(one, "k", col("tus"))
+      .select("alarm_up", "alarm_down").as[(Boolean, Boolean)].collect().toSeq
+    assert(c1 === Seq((false, false)))
+    // all-censored survival: no deaths ever, the curve never drops
+    val cens = Seq((1L, 0L), (1L, 5L), (2L, 0L), (2L, 5L))
+      .toDF("user_id", "day")
+    val sv = graft.queries.ExtensionQueries.survival(cens)
+      .select("life_days", "deaths", "censors", "survival_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(sv === Seq((5L, 0L, 2L, 1000L)))
+    // empty text: one chunk of the single empty token
+    val empt = Seq((1L, "")).toDF("doc_id", "text")
+    val ch = graft.ops.TextStats.cdcChunks(empt)
+      .select("n_tokens").as[Long].collect().toSeq
+    assert(ch === Seq(1L))
+  }
+
   test("q_pareto is exactly the non-dominated set (brute-force check " +
     "per source at sf0.001)") {
     val d = "/root/testdata/sf0.001"
