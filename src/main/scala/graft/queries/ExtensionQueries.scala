@@ -1226,6 +1226,46 @@ object ExtensionQueries {
         .cast("long").as("day")))
   }
 
+  /** Mann–Kendall trend significance (Mann 1945 / Kendall's tau
+    * form): the nonparametric yes/no the Theil–Sen slope
+    * (`q_trend`) reports without — S = Σ sign(x_j − x_i) over all
+    * day pairs (days²-bounded BY CONSTRUCTION, same reasoning as the
+    * slope query), tie-corrected variance
+    * `18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5)`, and the z² verdict
+    * computed exactly: `z2_milli = (|S|−1)²·18·1000 div (18·Var)`
+    * (the standard continuity correction), significant iff
+    * `z2_milli > 3841`. Every quantity integer; no sqrt anywhere.
+    */
+  def mannKendallQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val g = Monitor.dailyGrid(ev, "event_type",
+      AnalyticsQueries.epochUs(ev, "ts"))
+    val a = g.select(col("key"), col("day").as("d1"), col("n").as("x1"))
+    val b = g.select(col("key"), col("day").as("d2"), col("n").as("x2"))
+    val sStat = a.join(b, Seq("key"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("key")
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val ties = g.groupBy("key", "n").agg(count(lit(1)).as("t"))
+      .groupBy("key")
+      .agg(sum(col("t")).as("nd"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)"))
+          .as("tie_corr"))
+    sStat.join(ties, "key")
+      .withColumn("var18",
+        expr("CAST(nd AS DECIMAL(38,0)) * (nd - 1) * (2 * nd + 5)" +
+          " - tie_corr"))
+      .withColumn("z2_milli",
+        expr("CAST(CASE WHEN var18 <= 0 THEN 0 ELSE" +
+          " CAST(greatest(abs(s_stat) - 1, 0) AS DECIMAL(38,0))" +
+          " * greatest(abs(s_stat) - 1, 0) * 18 * 1000 div var18" +
+          " END AS BIGINT)"))
+      .select(col("key").as("event_type"), col("nd"), col("s_stat"),
+        col("z2_milli"), (col("z2_milli") > 3841L).as("significant"))
+      .orderBy("event_type")
+  }
+
   /** Fano-factor burstiness census (index of dispersion,
     * variance/mean of daily volume): F ≈ 1 is Poisson-like arrival,
     * F ≫ 1 is bursty (crawler storms), F ≪ 1 is suspiciously regular
@@ -3599,6 +3639,40 @@ object ExtensionQueries {
         |SELECT life AS life_days, at_risk, deaths, censors,
         |  CAST(s_milli AS BIGINT) AS survival_milli
         |FROM km ORDER BY life_days""".stripMargin) +
+    ("q_mann_kendall" ->
+      """WITH byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |p AS (SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM g a JOIN g b ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |ties AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS nd,
+        |    sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tie_corr
+        |  FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+        |        FROM g GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |f AS (SELECT p.event_type, ties.nd, p.s_stat,
+        |    CAST(ties.nd AS HUGEINT) * (ties.nd - 1) * (2 * ties.nd + 5)
+        |      - ties.tie_corr AS var18
+        |  FROM p JOIN ties USING (event_type))
+        |SELECT event_type, nd, s_stat,
+        |  CAST(CASE WHEN var18 <= 0 THEN 0
+        |    ELSE CAST(greatest(abs(s_stat) - 1, 0) AS HUGEINT)
+        |      * greatest(abs(s_stat) - 1, 0) * 18 * 1000 // var18 END
+        |    AS BIGINT) AS z2_milli,
+        |  CAST(CASE WHEN var18 <= 0 THEN 0
+        |    ELSE CAST(greatest(abs(s_stat) - 1, 0) AS HUGEINT)
+        |      * greatest(abs(s_stat) - 1, 0) * 18 * 1000 // var18 END
+        |    AS BIGINT) > 3841 AS significant
+        |FROM f ORDER BY event_type""".stripMargin) +
     ("q_fano" ->
       """WITH byday AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -7335,6 +7409,7 @@ object ExtensionQueries {
     "q_acf"             -> (acfQ _),
     "q_rebalance_plan"  -> (rebalancePlanQ _),
     "q_survival"        -> (survivalQ _),
-    "q_fano"            -> (fanoQ _)
+    "q_fano"            -> (fanoQ _),
+    "q_mann_kendall"    -> (mannKendallQ _)
   )
 }

@@ -353,6 +353,59 @@ object EventStreamOps {
       }
   }
 
+  case class EwState(lastDay: Long, ewmaMilli: Long)
+  case class EwOut(key: String, day: Long, n: Long, ewmaMilli: Long,
+                   devPpm: Long, flagged: Boolean)
+
+  /** Live EWMA — the streaming twin of
+    * [[graft.ops.Monitor.ewmaDaily]], same rollup-feed contract as
+    * [[streamingCusum]] (per-(key, day) counts, append-only days,
+    * silent days synthesized with n = 0). State per key is TWO
+    * numbers; the deviation judges each day against the baseline
+    * BEFORE it, exactly the batch fold — after any batch the emitted
+    * trajectory equals the batch chart's over the same prefix
+    * (spec-pinned). alphaMilli/limitPpm arrive as parameters (the
+    * offline calibration, control-chart practice).
+    */
+  def streamingEwma(days: Dataset[CcEv], alphaMilli: Int = 300,
+                    limitPpm: Long = 500000L): Dataset[EwOut] = {
+    require(alphaMilli > 0 && alphaMilli <= 1000,
+      s"alphaMilli must be in (0, 1000], got $alphaMilli")
+    import days.sparkSession.implicits._
+    val a = alphaMilli
+    days
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwState, EwOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[CcEv], state: GroupState[EwState]) =>
+          var st = state.getOption.getOrElse(EwState(Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwOut]
+          def step(day: Long, n: Long): Unit = {
+            if (st.lastDay == Long.MinValue) {
+              // seed: first day at its own value, deviation zero
+              st = EwState(day, n * 1000L)
+              out += EwOut(key, day, n, st.ewmaMilli, 0L, flagged = false)
+            } else {
+              val prev = st.ewmaMilli
+              val next = (a * n * 1000L + (1000L - a) * prev) / 1000L
+              val dev = (n * 1000L - prev) * 1000000L / math.max(prev, 1L)
+              st = EwState(day, next)
+              out += EwOut(key, day, n, next, dev, math.abs(dev) > limitPpm)
+            }
+          }
+          evs.toSeq.sortBy(_.day).foreach { e =>
+            if (st.lastDay == Long.MinValue) step(e.day, e.n)
+            else if (e.day > st.lastDay) {
+              var d = st.lastDay + 1
+              while (d < e.day) { step(d, 0L); d += 1 }
+              step(e.day, e.n)
+            } // duplicate/late day: append-only contract
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One day of a key's rollup feed entering the live gap-fill. */
   case class GfEv(key: String, day: Long, n: Long, dayLastQ: Option[Long])
   case class GfState(lastDay: Long, lastQ: Option[Long])

@@ -147,6 +147,38 @@ class MonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingEwma == batch ewmaDaily trajectory across batches " +
+    "with a synthesized silent day") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    implicit val sc = spark.sqlContext
+    val ns = Seq(3L, 3L, 0L, 12L, 5L)
+    val ev = ns.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n.toInt).map(i => ("w", d * day + i.toLong))
+    }.toDF("k", "tus")
+    val ref = Monitor.ewmaDaily(ev, "k", col("tus"))
+      .orderBy("day")
+      .select("day", "n", "ewma_milli", "dev_ppm", "flagged")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    val mem = MemoryStream[EventStreamOps.CcEv]
+    val q = EventStreamOps.streamingEwma(mem.toDS())
+      .writeStream.format("memory").queryName("ewmalive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      import EventStreamOps.CcEv
+      mem.addData(CcEv("w", 0L, 3L), CcEv("w", 1L, 3L))
+      q.processAllAvailable()
+      mem.addData(CcEv("w", 3L, 12L), CcEv("w", 4L, 5L))
+      q.processAllAvailable()
+      val live = spark.table("ewmalive")
+        .as[EventStreamOps.EwOut].collect().toSeq
+        .groupBy(_.day).map { case (_, v) => v.last }.toSeq.sortBy(_.day)
+        .map(o => (o.day, o.n, o.ewmaMilli, o.devPpm, o.flagged))
+      assert(live === ref)
+    } finally q.stop()
+  }
+
   test("q_waterfill invariants: allocations sum to the budget exactly, " +
     "the capped set is a capacity-prefix, nothing exceeds its " +
     "capacity, and uncapped shares differ by at most one") {
