@@ -1266,6 +1266,31 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** FK fan-out census for the lake's central join (orders per
+    * customer): the distribution a join planner reads BEFORE assuming
+    * "FK join ≈ 1:few" — per distinct fan-out, how many customers sit
+    * there and the cumulative ppm, so p99 fan-out and the explosion
+    * tail are one glance. The histogram frame is bounded by DISTINCT
+    * fan-out values (≪ customers); its window is that frame's, not
+    * the data's.
+    */
+  def fanoutQ(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cnt = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("fanout"))
+    val hist = cnt.groupBy("fanout").agg(count(lit(1)).as("n_customers"))
+    val tot = hist.agg(sum(col("n_customers")).as("total"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("cum",
+        sum(col("n_customers")).over(W.orderBy("fanout")
+          .rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("cum_ppm",
+        expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div total" +
+          " AS BIGINT)"))
+      .select("fanout", "n_customers", "cum_ppm")
+      .orderBy("fanout")
+  }
+
   /** Fano-factor burstiness census (index of dispersion,
     * variance/mean of daily volume): F ≈ 1 is Poisson-like arrival,
     * F ≫ 1 is bursty (crawler storms), F ≪ 1 is suspiciously regular
@@ -3639,6 +3664,17 @@ object ExtensionQueries {
         |SELECT life AS life_days, at_risk, deaths, censors,
         |  CAST(s_milli AS BIGINT) AS survival_milli
         |FROM km ORDER BY life_days""".stripMargin) +
+    ("q_fanout" ->
+      """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS fanout
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT fanout, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_customers) AS BIGINT) AS total FROM h)
+        |SELECT h.fanout, h.n_customers,
+        |  CAST(CAST(sum(h.n_customers) OVER (ORDER BY h.fanout
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+        |    * 1000000 // t.total AS BIGINT) AS cum_ppm
+        |FROM h CROSS JOIN t ORDER BY h.fanout""".stripMargin) +
     ("q_mann_kendall" ->
       """WITH byday AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -7410,6 +7446,7 @@ object ExtensionQueries {
     "q_rebalance_plan"  -> (rebalancePlanQ _),
     "q_survival"        -> (survivalQ _),
     "q_fano"            -> (fanoQ _),
-    "q_mann_kendall"    -> (mannKendallQ _)
+    "q_mann_kendall"    -> (mannKendallQ _),
+    "q_fanout"          -> (fanoutQ _)
   )
 }

@@ -201,6 +201,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("Spark's runtime bloom-filter join pruning fires on a selective " +
+    "dim join under test-scale thresholds — the engine-native " +
+    "semi-join reduction a 100 TB fact scan leans on") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // shuffle join: the bloom reduction exists FOR the non-broadcast case
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val d = "/root/testdata/sf0.001"
+      // parquet-backed sides (the rule keys on scan stats); selective
+      // dim filter so the bloom is worth building
+      val fact = spark.read.parquet(s"$d/lineitem.parquet")
+      val dim = spark.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_totalprice") > 400000.0)
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("might_contain"),
+        s"expected a runtime bloom filter in the optimized plan:\n$p")
+      assert(j.count() >= 0L) // the filtered plan still answers
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition (the mitigation SCALING.md " +
     "names for hot band keys), under test-scale thresholds") {
     // one giant key + many small ones; thresholds lowered so the
