@@ -1266,6 +1266,45 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Ingest backlog under finite capacity — Lindley's recursion
+    * (Lindley 1952, the single-server waiting-time identity):
+    * `backlog_t = max(0, backlog_{t−1} + arrivals_t − capacity)`,
+    * with capacity provisioned at 120% of the key's own mean daily
+    * volume (the classic "20% headroom" sizing). Answers the
+    * question the control charts raise: when volume bursts, does the
+    * pipeline DRAIN or does the queue walk away? Output per (key,
+    * day): arrivals, the backlog trajectory, and a drained flag;
+    * exact integers (capacity in milli-events/day so the 120% is
+    * representable). Same span-bounded fold as every sequential
+    * chart here.
+    */
+  def backlogQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val grid = Monitor.dailyGrid(ev, "event_type",
+      AnalyticsQueries.epochUs(ev, "ts"))
+    val series = grid.groupBy("key")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("dn"),
+        // capacity = 120% of mean daily volume, in milli-events/day
+        expr("sum(n) * 1200 div count(1)").as("cap_milli"))
+    val fold = series.withColumn("traj", expr(
+      """aggregate(
+        |  slice(dn, 2, greatest(size(dn) - 1, 0)),
+        |  array(named_struct(
+        |    'day', dn[0].day, 'n', dn[0].n,
+        |    'backlog_milli', greatest(0L, dn[0].n * 1000L - cap_milli))),
+        |  (acc, x) -> acc || array(named_struct(
+        |    'day', x.day, 'n', x.n,
+        |    'backlog_milli', greatest(0L,
+        |      element_at(acc, size(acc)).backlog_milli
+        |        + x.n * 1000L - cap_milli))))""".stripMargin))
+    fold.select(col("key"), col("cap_milli"), explode(col("traj")).as("t"))
+      .select(col("key").as("event_type"), col("t.day").as("day"),
+        col("t.n").as("n"), col("cap_milli"),
+        col("t.backlog_milli").as("backlog_milli"),
+        (col("t.backlog_milli") === 0L).as("drained"))
+      .orderBy("event_type", "day")
+  }
+
   /** FK fan-out census for the lake's central join (orders per
     * customer): the distribution a join planner reads BEFORE assuming
     * "FK join ≈ 1:few" — per distinct fan-out, how many customers sit
@@ -3664,6 +3703,34 @@ object ExtensionQueries {
         |SELECT life AS life_days, at_risk, deaths, censors,
         |  CAST(s_milli AS BIGINT) AS survival_milli
         |FROM km ORDER BY life_days""".stripMargin) +
+    ("q_backlog" ->
+      """WITH RECURSIVE byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n,
+        |    row_number() OVER (PARTITION BY gr.event_type ORDER BY gr.day) AS i
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |cp AS (SELECT event_type,
+        |    CAST(sum(n) * 1200 // count(*) AS BIGINT) AS cap_milli
+        |  FROM g GROUP BY 1),
+        |q AS (
+        |  SELECT g.event_type, g.day, g.n, g.i,
+        |    greatest(0, g.n * 1000 - cp.cap_milli) AS backlog_milli
+        |  FROM g JOIN cp USING (event_type) WHERE g.i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.day, x.n, x.i,
+        |    greatest(0, q.backlog_milli + x.n * 1000 - cp.cap_milli)
+        |  FROM g x JOIN q ON x.event_type = q.event_type AND x.i = q.i + 1
+        |  JOIN cp ON cp.event_type = x.event_type)
+        |SELECT q.event_type, q.day, q.n, cp.cap_milli,
+        |  CAST(q.backlog_milli AS BIGINT) AS backlog_milli,
+        |  q.backlog_milli = 0 AS drained
+        |FROM q JOIN cp USING (event_type)
+        |ORDER BY q.event_type, q.day""".stripMargin) +
     ("q_fanout" ->
       """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS fanout
         |  FROM orders GROUP BY 1),
@@ -7447,6 +7514,7 @@ object ExtensionQueries {
     "q_survival"        -> (survivalQ _),
     "q_fano"            -> (fanoQ _),
     "q_mann_kendall"    -> (mannKendallQ _),
-    "q_fanout"          -> (fanoutQ _)
+    "q_fanout"          -> (fanoutQ _),
+    "q_backlog"         -> (backlogQ _)
   )
 }
