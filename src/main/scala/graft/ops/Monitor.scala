@@ -85,6 +85,37 @@ object Monitor {
       .withColumn("flagged", abs(col("dev_ppm")) > lit(limitPpm))
   }
 
+  /** Ingest backlog under finite capacity — Lindley's recursion
+    * (Lindley 1952): `backlog_t = max(0, backlog_{t−1} + arrivals_t −
+    * capacity)` with capacity provisioned at `capPctOfMean`% of the
+    * key's own mean daily volume. The drain-or-diverge answer to the
+    * question the control charts raise; same span-bounded fold.
+    */
+  def backlogDaily(events: DataFrame, keyCol: String, tsUs: Column,
+                   capPctOfMean: Int = 120): DataFrame = {
+    require(capPctOfMean >= 1, s"capPctOfMean must be >= 1, got $capPctOfMean")
+    val grid = dailyGrid(events, keyCol, tsUs)
+    val series = grid.groupBy("key")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("dn"),
+        expr(s"sum(n) * ${capPctOfMean * 10} div count(1)").as("cap_milli"))
+    val fold = series.withColumn("traj", expr(
+      """aggregate(
+        |  slice(dn, 2, greatest(size(dn) - 1, 0)),
+        |  array(named_struct(
+        |    'day', dn[0].day, 'n', dn[0].n,
+        |    'backlog_milli', greatest(0L, dn[0].n * 1000L - cap_milli))),
+        |  (acc, x) -> acc || array(named_struct(
+        |    'day', x.day, 'n', x.n,
+        |    'backlog_milli', greatest(0L,
+        |      element_at(acc, size(acc)).backlog_milli
+        |        + x.n * 1000L - cap_milli))))""".stripMargin))
+    fold.select(col("key"), col("cap_milli"), explode(col("traj")).as("t"))
+      .select(col("key"), col("t.day").as("day"), col("t.n").as("n"),
+        col("cap_milli"),
+        col("t.backlog_milli").as("backlog_milli"),
+        (col("t.backlog_milli") === 0L).as("drained"))
+  }
+
   /** Two-sided CUSUM change-point chart (Page, Biometrika 1954): per
     * key and day the upper/lower cumulative sums of milli-deviations
     * from the key's own mean daily volume,

@@ -1280,28 +1280,8 @@ object ExtensionQueries {
     */
   def backlogQ(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val grid = Monitor.dailyGrid(ev, "event_type",
-      AnalyticsQueries.epochUs(ev, "ts"))
-    val series = grid.groupBy("key")
-      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("dn"),
-        // capacity = 120% of mean daily volume, in milli-events/day
-        expr("sum(n) * 1200 div count(1)").as("cap_milli"))
-    val fold = series.withColumn("traj", expr(
-      """aggregate(
-        |  slice(dn, 2, greatest(size(dn) - 1, 0)),
-        |  array(named_struct(
-        |    'day', dn[0].day, 'n', dn[0].n,
-        |    'backlog_milli', greatest(0L, dn[0].n * 1000L - cap_milli))),
-        |  (acc, x) -> acc || array(named_struct(
-        |    'day', x.day, 'n', x.n,
-        |    'backlog_milli', greatest(0L,
-        |      element_at(acc, size(acc)).backlog_milli
-        |        + x.n * 1000L - cap_milli))))""".stripMargin))
-    fold.select(col("key"), col("cap_milli"), explode(col("traj")).as("t"))
-      .select(col("key").as("event_type"), col("t.day").as("day"),
-        col("t.n").as("n"), col("cap_milli"),
-        col("t.backlog_milli").as("backlog_milli"),
-        (col("t.backlog_milli") === 0L).as("drained"))
+    Monitor.backlogDaily(ev, "event_type", AnalyticsQueries.epochUs(ev, "ts"))
+      .withColumnRenamed("key", "event_type")
       .orderBy("event_type", "day")
   }
 

@@ -441,4 +441,125 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: time-split as-of == composed as-of over random " +
+    "skewed data and random bucket widths (8 seeds x strict modes)") {
+    for (seed <- 1L to 8L) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(5)
+      def key() = if (rnd.nextDouble() < 0.6) "hot" else s"k${rnd.nextInt(nKeys)}"
+      val l = (1 to 300).map(i =>
+        (i.toLong, key(), rnd.nextInt(5000).toLong)).toDF("id", "user", "t")
+      val r = (1 to 300).map(i =>
+        (key(), 1000L + i, s"v$i", rnd.nextInt(5000).toLong))
+        .toDF("user", "rid", "tag", "rt")
+      val widths = Seq(1L + rnd.nextInt(100), 500L + rnd.nextInt(2000), 10000L)
+      for (strict <- Seq(false, true); wdt <- widths) {
+        val composed = graft.ops.TemporalJoins.asOfJoin(
+          l, r, Seq("user"), "t", "rt", Seq("rid", "tag"),
+          rightTiebreak = Some("rid"), strict = strict)
+        val split = graft.ops.TemporalJoins.asOfJoinTimeSplit(
+          l, r, Seq("user"), "t", "rt", Seq("rid", "tag"),
+          rightTiebreak = Some("rid"), strict = strict, bucketWidth = wdt)
+        val a = composed.collect().map(_.toString).sorted.toSeq
+        val b = split.collect().map(_.toString).sorted.toSeq
+        assert(b === a, s"seed=$seed strict=$strict width=$wdt")
+      }
+    }
+  }
+
+  test("property: the EWMA / CUSUM / backlog folds equal a brute-force " +
+    "sequential reference on random gappy series (8 seeds)") {
+    val day = 86400000000L
+    for (seed <- 1L to 8L) {
+      val rnd = new scala.util.Random(100 + seed)
+      // random sparse day counts over a random span, 1-3 keys
+      val keys = (0 to rnd.nextInt(2)).map(i => s"key$i")
+      val data = keys.flatMap { k =>
+        val span = 3 + rnd.nextInt(15)
+        (0 until span).flatMap { dd =>
+          val n = if (rnd.nextDouble() < 0.3) 0 else rnd.nextInt(9)
+          // force first/last day non-empty so the span is exact
+          val n2 = if (dd == 0 || dd == span - 1) math.max(n, 1) else n
+          (1 to n2).map(j => (k, dd.toLong * day + j))
+        }
+      }
+      val ev = data.toDF("k", "tus")
+      // reference series per key: dense day -> count
+      val byKey = data.groupBy(_._1).map { case (k, rows) =>
+        val counts = rows.groupBy(_._2 / day).map { case (d, v) => d -> v.size.toLong }
+        val d0 = counts.keys.min; val d1 = counts.keys.max
+        k -> (d0 to d1).map(d => counts.getOrElse(d, 0L))
+      }
+      // EWMA reference
+      val ewma = graft.ops.Monitor.ewmaDaily(ev, "k", col("tus"))
+        .select("key", "day", "ewma_milli")
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+      byKey.foreach { case (k, xs) =>
+        val ref = xs.tail.scanLeft(xs.head * 1000L) { (prev, x) =>
+          (300L * x * 1000L + 700L * prev) / 1000L
+        }
+        assert(ewma(k) === ref, s"seed=$seed key=$k ewma")
+      }
+      // CUSUM reference
+      val cus = graft.ops.Monitor.cusumDaily(ev, "k", col("tus"))
+        .select("key", "day", "pos_milli", "neg_milli")
+        .as[(String, Long, Long, Long)].collect()
+        .groupBy(_._1)
+        .map { case (k, v) => k -> v.sortBy(_._2).map(r => (r._3, r._4)).toSeq }
+      byKey.foreach { case (k, xs) =>
+        val target = xs.sum * 1000L / xs.size
+        val slack = target / 2
+        val ref = xs.tail.scanLeft(
+          (math.max(0L, xs.head * 1000L - target - slack),
+           math.max(0L, target - xs.head * 1000L - slack))) {
+          case ((p, n), x) =>
+            (math.max(0L, p + x * 1000L - target - slack),
+             math.max(0L, n + target - x * 1000L - slack))
+        }
+        assert(cus(k) === ref, s"seed=$seed key=$k cusum")
+      }
+      // backlog (Lindley) reference — same grid, 120%-of-mean capacity
+      val bk = graft.ops.Monitor.backlogDaily(ev, "k", col("tus"))
+        .select("key", "day", "backlog_milli")
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+      byKey.foreach { case (k, xs) =>
+        val cap = xs.sum * 1200L / xs.size
+        val ref = xs.tail.scanLeft(math.max(0L, xs.head * 1000L - cap)) {
+          (b, x) => math.max(0L, b + x * 1000L - cap)
+        }
+        assert(bk(k) === ref, s"seed=$seed key=$k backlog")
+      }
+    }
+  }
+
+  test("property: survival risk-set bookkeeping — at_risk decreases by " +
+    "exactly the exits at each step and the curve is non-increasing " +
+    "(10 random cohorts)") {
+    for (seed <- 1L to 10L) {
+      val rnd = new scala.util.Random(200 + seed)
+      val horizon = 5L + rnd.nextInt(20)
+      val users = (1 to 30 + rnd.nextInt(50)).map { u =>
+        val d1 = rnd.nextInt(horizon.toInt + 1).toLong
+        (u.toLong, 0L, d1)
+      }
+      val rows = users.flatMap { case (u, d0, d1) => Seq((u, d0), (u, d1)) }
+      // ensure at least one user reaches the horizon (the censor set)
+      val all = rows ++ Seq((9999L, 0L), (9999L, horizon))
+      val out = graft.queries.ExtensionQueries.survival(
+          all.toDF("user_id", "day"))
+        .select("life_days", "at_risk", "deaths", "censors", "survival_milli")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      // risk-set identity + monotone curve
+      out.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._2 === a._2 - a._3 - a._4, s"seed=$seed risk-set")
+          assert(b._5 <= a._5, s"seed=$seed monotone")
+        case _ => ()
+      }
+      assert(out.head._2 === all.map(_._1).distinct.size.toLong)
+    }
+  }
 }
