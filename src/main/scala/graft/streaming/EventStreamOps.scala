@@ -406,6 +406,48 @@ object EventStreamOps {
       }
   }
 
+  case class BkState(lastDay: Long, backlogMilli: Long)
+  case class BkOut(key: String, day: Long, n: Long, backlogMilli: Long,
+                   drained: Boolean)
+
+  /** Live ingest backlog — the streaming twin of
+    * [[graft.ops.Monitor.backlogDaily]] (Lindley recursion), same
+    * rollup-feed contract as [[streamingCusum]]: capacity arrives as
+    * a parameter (the offline 120%-of-mean calibration), state per
+    * key is TWO numbers, silent days apply the recursion with n = 0
+    * (a quiet day DRAINS the queue — skipping it would freeze the
+    * backlog). After any batch the trajectory equals the batch fold's
+    * over the same prefix (spec-pinned).
+    */
+  def streamingBacklog(days: Dataset[CcEv],
+                       capMilli: Long): Dataset[BkOut] = {
+    require(capMilli >= 0, s"capMilli must be >= 0, got $capMilli")
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[BkState, BkOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[CcEv], state: GroupState[BkState]) =>
+          var st = state.getOption.getOrElse(BkState(Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[BkOut]
+          def step(day: Long, n: Long): Unit = {
+            val b = math.max(0L, st.backlogMilli + n * 1000L - capMilli)
+            st = BkState(day, b)
+            out += BkOut(key, day, n, b, b == 0L)
+          }
+          evs.toSeq.sortBy(_.day).foreach { e =>
+            if (st.lastDay == Long.MinValue) step(e.day, e.n)
+            else if (e.day > st.lastDay) {
+              var d = st.lastDay + 1
+              while (d < e.day) { step(d, 0L); d += 1 }
+              step(e.day, e.n)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One day of a key's rollup feed entering the live gap-fill. */
   case class GfEv(key: String, day: Long, n: Long, dayLastQ: Option[Long])
   case class GfState(lastDay: Long, lastQ: Option[Long])

@@ -179,6 +179,39 @@ class MonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingBacklog == batch backlogDaily trajectory across " +
+    "batches (quiet days drain the queue live)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    implicit val sc = spark.sqlContext
+    val ns = Seq(9L, 9L, 0L, 0L, 6L)
+    val ev = ns.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n.toInt).map(i => ("b", d * day + i.toLong))
+    }.toDF("k", "tus")
+    val ref = Monitor.backlogDaily(ev, "k", col("tus"))
+      .orderBy("day").select("day", "n", "backlog_milli", "drained")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val cap = Monitor.backlogDaily(ev, "k", col("tus"))
+      .select("cap_milli").as[Long].head()
+    val mem = MemoryStream[EventStreamOps.CcEv]
+    val q = EventStreamOps.streamingBacklog(mem.toDS(), capMilli = cap)
+      .writeStream.format("memory").queryName("backlive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      import EventStreamOps.CcEv
+      mem.addData(CcEv("b", 0L, 9L))
+      q.processAllAvailable()
+      mem.addData(CcEv("b", 1L, 9L), CcEv("b", 4L, 6L))
+      q.processAllAvailable()
+      val live = spark.table("backlive")
+        .as[EventStreamOps.BkOut].collect().toSeq
+        .groupBy(_.day).map { case (_, v) => v.last }.toSeq.sortBy(_.day)
+        .map(o => (o.day, o.n, o.backlogMilli, o.drained))
+      assert(live === ref)
+    } finally q.stop()
+  }
+
   test("q_waterfill invariants: allocations sum to the budget exactly, " +
     "the capped set is a capacity-prefix, nothing exceeds its " +
     "capacity, and uncapped shares differ by at most one") {
