@@ -1285,6 +1285,63 @@ object ExtensionQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Poisson-bootstrap CI for the A/B engagement difference — the
+    * LARGE-SCALE resampling trick (Chamandy et al., Google 2012,
+    * "Estimating uncertainty for massive data streams"): instead of
+    * drawing n indices per replica (which needs a global row index —
+    * a non-starter at 100 TB), every USER gets an independent
+    * Poisson(1) multiplicity per replica, here a deterministic
+    * function of md5("pb:type:b:user") against the exact 24-bit
+    * integer CDF lattice (truncated at 10, P ≈ 1e-8 — part of the
+    * pinned definition). One pass, no global structure, 32 replicas;
+    * per replica the weighted contingency re-derives `diff_ppm`
+    * exactly as [[chisq]] does, and the 2nd/31st order statistics
+    * give the ~90% CI. `ci_excludes_zero` is the bootstrap's
+    * significance read — the resampling cross-check of the
+    * chi-square verdict.
+    */
+  private[graft] def abBootstrap(ev: DataFrame): DataFrame = {
+    // per (type, user): group flag, events, hits — the sufficient
+    // statistics; the 32 replicas re-weight THESE rows, never raw events
+    val perUser = ev.select(col("event_type"), col("user_id"),
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
+        when(col("value") > 200.0, 1L).otherwise(0L).as("hit"))
+      .groupBy("event_type", "user_id", "ga")
+      .agg(count(lit(1)).as("n_u"), sum(col("hit")).as("h_u"))
+    val ts = Seq(6171993L, 12343986L, 15429982L, 16458648L, 16715814L,
+      16767247L, 16775819L, 16777044L, 16777197L, 16777214L, 16777216L)
+    val drawn = perUser
+      .select(col("event_type"), col("user_id"), col("ga"), col("n_u"),
+        col("h_u"), explode(sequence(lit(0L), lit(31L))).as("b"))
+      .withColumn("u24",
+        conv(substring(md5(concat_ws(":", lit("pb"), col("event_type"),
+          col("b"), col("user_id"))), 1, 6), 16, 10).cast("long"))
+      // multiplicity = #thresholds the uniform clears (CDF inversion)
+      .withColumn("m", expr(
+        s"size(filter(array(${ts.init.mkString("L,")}L), t -> u24 >= t))"))
+    val reps = drawn.groupBy("event_type", "b")
+      .agg(sum(col("m") * col("ga") * col("n_u")).as("n_a"),
+        sum(col("m") * col("ga") * col("h_u")).as("h_a"),
+        sum(col("m") * (lit(1L) - col("ga")) * col("n_u")).as("n_b"),
+        sum(col("m") * (lit(1L) - col("ga")) * col("h_u")).as("h_b"))
+      .withColumn("diff_b",
+        expr("h_a * 1000000 div greatest(n_a, 1)" +
+          " - h_b * 1000000 div greatest(n_b, 1)"))
+    val point = chisq(ev).select(col("event_type"), col("diff_ppm"))
+    reps.groupBy("event_type")
+      .agg(sort_array(collect_list(col("diff_b"))).as("ds"))
+      .join(point, "event_type")
+      .select(col("event_type"), col("diff_ppm"),
+        expr("element_at(ds, 2)").as("ci_lo_ppm"),
+        expr("element_at(ds, 31)").as("ci_hi_ppm"),
+        expr("element_at(ds, 2) > 0 OR element_at(ds, 31) < 0")
+          .as("ci_excludes_zero"))
+      .orderBy("event_type")
+  }
+
+  def abBootstrapQ(s: SparkSession, d: String): DataFrame =
+    abBootstrap(Tables.events(s, d))
+
   /** FK fan-out census for the lake's central join (orders per
     * customer): the distribution a join planner reads BEFORE assuming
     * "FK join ≈ 1:few" — per distinct fan-out, how many customers sit
@@ -3711,6 +3768,56 @@ object ExtensionQueries {
         |  q.backlog_milli = 0 AS drained
         |FROM q JOIN cp USING (event_type)
         |ORDER BY q.event_type, q.day""".stripMargin) +
+    ("q_ab_bootstrap" -> {
+      val hex = "(" + (0 until 6).map(i =>
+        s"(strpos('0123456789abcdef', substr(hh,${1 + i},1))-1)*${BigInt(16).pow(5 - i)}")
+        .mkString(" + ") + ")"
+      val ts = Seq(6171993L, 12343986L, 15429982L, 16458648L, 16715814L,
+        16767247L, 16775819L, 16777044L, 16777197L, 16777214L)
+      s"""WITH pu AS (SELECT event_type, user_id,
+         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+         |    CAST(count(*) AS BIGINT) AS n_u,
+         |    CAST(sum(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS h_u
+         |  FROM events GROUP BY 1, 2, 3),
+         |dr AS (SELECT event_type, user_id, ga, n_u, h_u, b,
+         |    $hex AS u24
+         |  FROM (SELECT pu.*, ub.b,
+         |      substr(md5('pb:' || event_type || ':' || ub.b || ':'
+         |        || user_id), 1, 6) AS hh
+         |    FROM pu, unnest(range(0, 32)) AS ub(b))),
+         |mm AS (SELECT *,
+         |    CAST(len(list_filter([${ts.mkString(",")}],
+         |      t -> u24 >= t)) AS BIGINT) AS m
+         |  FROM dr),
+         |reps AS (SELECT event_type, b,
+         |    CAST(sum(m * ga * n_u) AS BIGINT) AS n_a,
+         |    CAST(sum(m * ga * h_u) AS BIGINT) AS h_a,
+         |    CAST(sum(m * (1 - ga) * n_u) AS BIGINT) AS n_b,
+         |    CAST(sum(m * (1 - ga) * h_u) AS BIGINT) AS h_b
+         |  FROM mm GROUP BY 1, 2),
+         |db AS (SELECT event_type, b,
+         |    h_a * 1000000 // greatest(n_a, 1)
+         |      - h_b * 1000000 // greatest(n_b, 1) AS diff_b
+         |  FROM reps),
+         |ci AS (SELECT event_type, list_sort(list(diff_b)) AS ds
+         |  FROM db GROUP BY 1),
+         |pt AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 200
+         |        THEN 1 ELSE 0 END) * 1000000
+         |      // greatest(sum(CASE WHEN user_id % 2 = 0
+         |        THEN 1 ELSE 0 END), 1)
+         |    - sum(CASE WHEN user_id % 2 = 1 AND value > 200
+         |        THEN 1 ELSE 0 END) * 1000000
+         |      // greatest(sum(CASE WHEN user_id % 2 = 1
+         |        THEN 1 ELSE 0 END), 1) AS BIGINT) AS diff_ppm
+         |  FROM events GROUP BY 1)
+         |SELECT ci.event_type, pt.diff_ppm,
+         |  CAST(ds[2] AS BIGINT) AS ci_lo_ppm,
+         |  CAST(ds[31] AS BIGINT) AS ci_hi_ppm,
+         |  ds[2] > 0 OR ds[31] < 0 AS ci_excludes_zero
+         |FROM ci JOIN pt USING (event_type)
+         |ORDER BY ci.event_type""".stripMargin }) +
     ("q_fanout" ->
       """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS fanout
         |  FROM orders GROUP BY 1),
@@ -7495,6 +7602,7 @@ object ExtensionQueries {
     "q_fano"            -> (fanoQ _),
     "q_mann_kendall"    -> (mannKendallQ _),
     "q_fanout"          -> (fanoutQ _),
-    "q_backlog"         -> (backlogQ _)
+    "q_backlog"         -> (backlogQ _),
+    "q_ab_bootstrap"    -> (abBootstrapQ _)
   )
 }

@@ -352,6 +352,24 @@ class MonitorSpec extends SparkSpec {
     assert(ch === Seq(1L))
   }
 
+  test("abBootstrap: the planted 50%-vs-10% effect's CI excludes zero " +
+    "and brackets the point estimate; the null split's CI straddles " +
+    "zero — the resampling read agrees with the chi-square verdict") {
+    def ev(n: Int, hitsA: Int, hitsB: Int) =
+      ((0 until n).map(i => ("t", 2L * i, if (i < hitsA) 500.0 else 1.0)) ++
+       (0 until n).map(i => ("t", 2L * i + 1, if (i < hitsB) 500.0 else 1.0)))
+        .toDF("event_type", "user_id", "value")
+    val strong = graft.queries.ExtensionQueries.abBootstrap(ev(500, 250, 50))
+      .select("diff_ppm", "ci_lo_ppm", "ci_hi_ppm", "ci_excludes_zero")
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(strong._4, s"planted effect must exclude zero: $strong")
+    assert(strong._2 <= strong._1 && strong._1 <= strong._3,
+      s"CI must bracket the point estimate: $strong")
+    val none = graft.queries.ExtensionQueries.abBootstrap(ev(500, 100, 100))
+      .select("ci_excludes_zero").as[Boolean].head()
+    assert(!none)
+  }
+
   test("q_pareto is exactly the non-dominated set (brute-force check " +
     "per source at sf0.001)") {
     val d = "/root/testdata/sf0.001"
