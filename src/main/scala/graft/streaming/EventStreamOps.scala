@@ -406,6 +406,56 @@ object EventStreamOps {
       }
   }
 
+  /** One observation entering the live experiment monitor. */
+  case class SprtEv(key: String, seq: Long, hit: Boolean)
+  case class SprtState(llrMicro: Long, nObs: Long, decided: String)
+  case class SprtOut(key: String, nObs: Long, llrMicro: Long,
+                     decision: String)
+
+  /** Live sequential probability ratio test (Wald 1945) — the
+    * early-stopping experiment monitor: per key, the running
+    * log-likelihood ratio of H1 (rate p1) against H0 (rate p0) in
+    * EXACT micro-nats, using per-observation increments and
+    * acceptance thresholds pinned as integer constants at
+    * construction (ln(p1/p0), ln((1−p1)/(1−p0)), ln((1−β)/α),
+    * ln(β/(1−α)) — the caller derives them once from its
+    * hypotheses; the defaults encode p0 = 2%, p1 = 3%,
+    * α = β = 0.05). State per key is two numbers + the sticky
+    * decision; once a boundary is crossed the verdict FREEZES (the
+    * test's validity depends on stopping, not sampling on), and
+    * later observations no longer move it. Within a batch,
+    * observations apply in `seq` order so replays are deterministic.
+    * Update mode: one row per touched key per batch.
+    */
+  def streamingSprt(obs: Dataset[SprtEv],
+                    hitMicro: Long = 405465L,
+                    missMicro: Long = -10257L,
+                    upperMicro: Long = 2944439L,
+                    lowerMicro: Long = -2944439L): Dataset[SprtOut] = {
+    require(upperMicro > 0 && lowerMicro < 0,
+      "SPRT thresholds must straddle zero")
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SprtState, SprtOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[SprtEv], state: GroupState[SprtState]) =>
+          var st = state.getOption.getOrElse(SprtState(0L, 0L, "continue"))
+          evs.toSeq.sortBy(_.seq).foreach { e =>
+            if (st.decided == "continue") {
+              val llr = st.llrMicro + (if (e.hit) hitMicro else missMicro)
+              val dec =
+                if (llr >= upperMicro) "accept_h1"
+                else if (llr <= lowerMicro) "accept_h0"
+                else "continue"
+              st = SprtState(llr, st.nObs + 1, dec)
+            }
+          }
+          state.update(st)
+          Iterator.single(SprtOut(key, st.nObs, st.llrMicro, st.decided))
+      }
+  }
+
   case class BkState(lastDay: Long, backlogMilli: Long)
   case class BkOut(key: String, day: Long, n: Long, backlogMilli: Long,
                    drained: Boolean)

@@ -370,6 +370,53 @@ class MonitorSpec extends SparkSpec {
     assert(!none)
   }
 
+  test("streamingSprt: a 3%-rate stream accepts H1, a 2%-rate stream " +
+    "accepts H0, decisions FREEZE once crossed, and the trajectory " +
+    "matches a hand fold across batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    import graft.streaming.EventStreamOps.SprtEv
+    implicit val sc = spark.sqlContext
+    // deterministic streams: "h1" hits every 33rd obs (~3%), "h0"
+    // every 50th (2%) — exactly the two hypotheses
+    def mk(k: String, every: Int, n: Int, from: Int = 0) =
+      (from until from + n).map(i => SprtEv(k, i.toLong, (i + 1) % every == 0))
+    val mem = MemoryStream[SprtEv]
+    val q = EventStreamOps.streamingSprt(mem.toDS())
+      .writeStream.format("memory").queryName("sprtlive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest(k: String) = spark.table("sprtlive")
+        .as[EventStreamOps.SprtOut].collect().filter(_.key == k).last
+      mem.addData(mk("h1", 33, 400) ++ mk("h0", 50, 400): _*)
+      q.processAllAvailable()
+      mem.addData(mk("h1", 33, 1200, 400) ++ mk("h0", 50, 1200, 400): _*)
+      q.processAllAvailable()
+      val d1 = latest("h1"); val d0 = latest("h0")
+      assert(d1.decision === "accept_h1", d1)
+      assert(d0.decision === "accept_h0", d0)
+      // freeze: decisions and llr must not move after the boundary
+      val n1Frozen = d1.nObs; val llr1Frozen = d1.llrMicro
+      mem.addData(mk("h1", 2, 500, 1600): _*) // wildly different tail
+      q.processAllAvailable()
+      val d1b = latest("h1")
+      assert(d1b.decision === "accept_h1" && d1b.nObs === n1Frozen &&
+        d1b.llrMicro === llr1Frozen, d1b)
+      // hand fold replicates the stopping point exactly
+      var llr = 0L; var n = 0L; var dec = "continue"
+      mk("h1", 33, 1600).foreach { e =>
+        if (dec == "continue") {
+          llr += (if (e.hit) 405465L else -10257L)
+          n += 1
+          if (llr >= 2944439L) dec = "accept_h1"
+          else if (llr <= -2944439L) dec = "accept_h0"
+        }
+      }
+      assert((dec, n, llr) === (d1.decision, d1.nObs, d1.llrMicro))
+    } finally q.stop()
+  }
+
   test("q_pareto is exactly the non-dominated set (brute-force check " +
     "per source at sf0.001)") {
     val d = "/root/testdata/sf0.001"
