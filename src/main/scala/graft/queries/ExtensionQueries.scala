@@ -1342,6 +1342,53 @@ object ExtensionQueries {
   def abBootstrapQ(s: SparkSession, d: String): DataFrame =
     abBootstrap(Tables.events(s, d))
 
+  /** Batch SPRT replay — what Wald's sequential test
+    * ([[graft.streaming.EventStreamOps.streamingSprt]], same pinned
+    * micro-nat constants) WOULD have decided over the recorded
+    * stream, per event type: the LLR needs no recursion because
+    * `llr_n = hits_n·H + (n − hits_n)·M` is a pure function of the
+    * cumulative hit count — one per-type ordered window, then the
+    * FIRST boundary crossing freezes the verdict (struct-min pick).
+    * Types that never cross report `continue` with their full-sample
+    * LLR. The replay is inherently sequential per type, and the
+    * closed form makes that one streaming cumsum window per type —
+    * the honest minimum.
+    */
+  def sprtQ(s: SparkSession, d: String): DataFrame = {
+    val hitU = 405465L; val missU = -10257L
+    val upper = 2944439L; val lower = -2944439L
+    val ev = Tables.events(s, d)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val t = ev.select(col("event_type"), col("event_id"),
+        AnalyticsQueries.epochUs(ev, "ts").as("ts_us"),
+        when(col("value") > 200.0, 1L).otherwise(0L).as("hit"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("cumh", sum(col("hit")).over(w))
+      .withColumn("llr_micro",
+        col("cumh") * hitU + (col("n") - col("cumh")) * missU)
+    val crossings = t
+      .filter(col("llr_micro") >= upper || col("llr_micro") <= lower)
+      .groupBy("event_type")
+      .agg(min(struct(col("n"), col("llr_micro"))).as("st"))
+      .select(col("event_type"), col("st.n").as("stop_n"),
+        col("st.llr_micro").as("stop_llr"))
+    val totals = t.groupBy("event_type")
+      .agg(max(col("n")).as("n_total"),
+        max(struct(col("n"), col("llr_micro"))).getField("llr_micro")
+          .as("llr_final"))
+    totals.join(crossings, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("stop_n"), col("n_total")).as("n_obs"),
+        coalesce(col("stop_llr"), col("llr_final")).as("llr_micro"),
+        when(col("stop_llr") >= upper, "accept_h1")
+          .when(col("stop_llr") <= lower, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy("event_type")
+  }
+
   /** FK fan-out census for the lake's central join (orders per
     * customer): the distribution a join planner reads BEFORE assuming
     * "FK join ≈ 1:few" — per distinct fan-out, how many customers sit
@@ -3768,6 +3815,34 @@ object ExtensionQueries {
         |  q.backlog_milli = 0 AS drained
         |FROM q JOIN cp USING (event_type)
         |ORDER BY q.event_type, q.day""".stripMargin) +
+    ("q_sprt" ->
+      """WITH t AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS hit FROM events),
+        |c AS (SELECT event_type, event_id, ts_us,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(hit) OVER w AS BIGINT) AS cumh
+        |  FROM t WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |l AS (SELECT event_type, n,
+        |    cumh * 405465 + (n - cumh) * (-10257) AS llr FROM c),
+        |cr AS (SELECT event_type, min(n) AS stop_n FROM l
+        |  WHERE llr >= 2944439 OR llr <= -2944439 GROUP BY 1),
+        |st AS (SELECT l.event_type, cr.stop_n, l.llr AS stop_llr
+        |  FROM cr JOIN l ON l.event_type = cr.event_type
+        |    AND l.n = cr.stop_n),
+        |tot AS (SELECT event_type, max(n) AS n_total FROM l GROUP BY 1),
+        |fin AS (SELECT l.event_type, tot.n_total, l.llr AS llr_final
+        |  FROM tot JOIN l ON l.event_type = tot.event_type
+        |    AND l.n = tot.n_total)
+        |SELECT f.event_type,
+        |  CAST(COALESCE(st.stop_n, f.n_total) AS BIGINT) AS n_obs,
+        |  CAST(COALESCE(st.stop_llr, f.llr_final) AS BIGINT) AS llr_micro,
+        |  CASE WHEN st.stop_llr >= 2944439 THEN 'accept_h1'
+        |       WHEN st.stop_llr <= -2944439 THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM fin f LEFT JOIN st USING (event_type)
+        |ORDER BY f.event_type""".stripMargin) +
     ("q_ab_bootstrap" -> {
       val hex = "(" + (0 until 6).map(i =>
         s"(strpos('0123456789abcdef', substr(hh,${1 + i},1))-1)*${BigInt(16).pow(5 - i)}")
@@ -7603,6 +7678,7 @@ object ExtensionQueries {
     "q_mann_kendall"    -> (mannKendallQ _),
     "q_fanout"          -> (fanoutQ _),
     "q_backlog"         -> (backlogQ _),
-    "q_ab_bootstrap"    -> (abBootstrapQ _)
+    "q_ab_bootstrap"    -> (abBootstrapQ _),
+    "q_sprt"            -> (sprtQ _)
   )
 }
