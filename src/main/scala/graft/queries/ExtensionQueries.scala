@@ -1088,8 +1088,11 @@ object ExtensionQueries {
       AnalyticsQueries.epochUs(ev, "ts"))
     val stats = g.groupBy("key")
       .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"))
+    // materialize the tiny day-grid frame ONCE: seven lag branches and
+    // the denominator would otherwise each re-run the full daily count
     val c = g.join(stats, "key")
       .withColumn("dev", col("nd") * col("n") - col("s"))
+      .localCheckpoint()
     val w = W.partitionBy("key").orderBy("day")
     val lags = (1 to 7).map { k =>
       c.withColumn("dev_k", lead(col("dev"), k).over(w))
@@ -1316,9 +1319,13 @@ object ExtensionQueries {
       .withColumn("u24",
         conv(substring(md5(concat_ws(":", lit("pb"), col("event_type"),
           col("b"), col("user_id"))), 1, 6), 16, 10).cast("long"))
-      // multiplicity = #thresholds the uniform clears (CDF inversion)
+      // multiplicity = #thresholds the uniform clears (CDF inversion);
+      // a CASE ladder instead of a filter-HOF keeps the 32x-per-user
+      // hot path inside whole-stage codegen
       .withColumn("m", expr(
-        s"size(filter(array(${ts.init.mkString("L,")}L), t -> u24 >= t))"))
+        ts.init.zipWithIndex
+          .map { case (t, k) => s"WHEN u24 < ${t}L THEN ${k}L" }
+          .mkString("CASE ", " ", s" ELSE ${ts.size - 1}L END")))
     val reps = drawn.groupBy("event_type", "b")
       .agg(sum(col("m") * col("ga") * col("n_u")).as("n_a"),
         sum(col("m") * col("ga") * col("h_u")).as("h_a"),
