@@ -1218,7 +1218,11 @@ object ExtensionQueries {
     folded.select(explode(col("traj")).as("t"))
       .select(col("t.life").as("life_days"), col("t.at_risk").as("at_risk"),
         col("t.deaths").as("deaths"), col("t.censors").as("censors"),
-        col("t.s_milli").as("survival_milli"))
+        col("t.s_milli").as("survival_milli"),
+        // the discrete hazard — deaths among those still at risk, the
+        // per-step churn probability the curve integrates
+        expr("CAST(t.deaths * 1000000 div t.at_risk AS BIGINT)")
+          .as("hazard_ppm"))
       .orderBy("life_days")
   }
 
@@ -3792,7 +3796,8 @@ object ExtensionQueries {
         |    km.s_milli * (x.at_risk - x.deaths) // x.at_risk
         |  FROM risk x JOIN km ON x.i = km.i + 1)
         |SELECT life AS life_days, at_risk, deaths, censors,
-        |  CAST(s_milli AS BIGINT) AS survival_milli
+        |  CAST(s_milli AS BIGINT) AS survival_milli,
+        |  CAST(deaths * 1000000 // at_risk AS BIGINT) AS hazard_ppm
         |FROM km ORDER BY life_days""".stripMargin) +
     ("q_backlog" ->
       """WITH RECURSIVE byday AS (
