@@ -1400,6 +1400,35 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Robust daily-volume location estimates (Tukey, "The future of
+    * data analysis" 1962): the 10%-trimmed mean (drop the k lowest
+    * and highest days) and the winsorized mean (clamp them to the
+    * surviving extremes) next to the plain mean — the robust-location
+    * members of the family whose spread member is the MAD census and
+    * whose slope member is Theil–Sen. One wild day moves the plain
+    * mean by Δ/n; it cannot move these. Exact milli via order
+    * statistics on the span-bounded sorted day array (k = nd div 10).
+    */
+  def robustMeanQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Monitor.dailyGrid(ev, "event_type", AnalyticsQueries.epochUs(ev, "ts"))
+      .groupBy("key")
+      .agg(sort_array(collect_list(col("n"))).as("xs"),
+        count(lit(1)).as("nd"), sum(col("n")).as("s"))
+      .withColumn("k", expr("nd div 10"))
+      .withColumn("mean_milli", expr("s * 1000 div nd"))
+      .withColumn("trimmed_milli", expr(
+        "aggregate(slice(xs, k + 1, nd - 2 * k), 0L, (a, x) -> a + x)" +
+          " * 1000 div greatest(nd - 2 * k, 1)"))
+      .withColumn("winsor_milli", expr(
+        "(aggregate(slice(xs, k + 1, nd - 2 * k), 0L, (a, x) -> a + x)" +
+          " + k * element_at(xs, CAST(k + 1 AS INT))" +
+          " + k * element_at(xs, CAST(nd - k AS INT))) * 1000 div nd"))
+      .select(col("key").as("event_type"), col("nd"), col("mean_milli"),
+        col("trimmed_milli"), col("winsor_milli"))
+      .orderBy("event_type")
+  }
+
   /** FK fan-out census for the lake's central join (orders per
     * customer): the distribution a join planner reads BEFORE assuming
     * "FK join ≈ 1:few" — per distinct fan-out, how many customers sit
@@ -3827,6 +3856,27 @@ object ExtensionQueries {
         |  q.backlog_milli = 0 AS drained
         |FROM q JOIN cp USING (event_type)
         |ORDER BY q.event_type, q.day""".stripMargin) +
+    ("q_robust_mean" ->
+      """WITH byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |a AS (SELECT event_type, list_sort(list(n)) AS xs,
+        |    CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS s
+        |  FROM g GROUP BY 1),
+        |b AS (SELECT *, nd // 10 AS k FROM a)
+        |SELECT event_type, nd,
+        |  CAST(s * 1000 // nd AS BIGINT) AS mean_milli,
+        |  CAST(list_sum(xs[(k+1):(nd-k)]) * 1000
+        |    // greatest(nd - 2*k, 1) AS BIGINT) AS trimmed_milli,
+        |  CAST((list_sum(xs[(k+1):(nd-k)]) + k * xs[k+1] + k * xs[nd-k])
+        |    * 1000 // nd AS BIGINT) AS winsor_milli
+        |FROM b ORDER BY event_type""".stripMargin) +
     ("q_sprt" ->
       """WITH t AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS hit FROM events),
@@ -7691,6 +7741,7 @@ object ExtensionQueries {
     "q_fanout"          -> (fanoutQ _),
     "q_backlog"         -> (backlogQ _),
     "q_ab_bootstrap"    -> (abBootstrapQ _),
-    "q_sprt"            -> (sprtQ _)
+    "q_sprt"            -> (sprtQ _),
+    "q_robust_mean"     -> (robustMeanQ _)
   )
 }
