@@ -70,12 +70,18 @@ object Bench {
     // host stall can't hit both observations of the same query.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // charge any shared-memo build that lands in this window to this
+      // query by name (the FrameMemo build ledger, emitted below) —
+      // the drift forensics that tells "plan got slower" apart from
+      // "memo build cost moved to a different first consumer"
+      graft.queries.FrameMemo.currentConsumer.set(name)
       val t0 = System.nanoTime()
       // noop-format write forces full evaluation of every output column
       // (count() lets Catalyst prune unused projections, under-measuring
       // map-only queries) with no driver transfer and no disk cost
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
+      finally graft.queries.FrameMemo.currentConsumer.remove()
       (System.nanoTime() - t0) / 1e9
     }
     // PRIOR-round per-query reference, keyed BY SCALE FACTOR
@@ -122,7 +128,10 @@ object Bench {
         .mkString("{", ",", "}")
       val tail = if (dropped > 0) s""","dropped":$dropped""" else ""
       val reg = regressed.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$tail,"regressed":$reg,"full":"bench_full.json","sf":"$sfDir"}"""
+      // total seconds of shared-memo builds absorbed into query times
+      // this run (per-build detail in bench_full.json "memo_builds")
+      val memoSec = graft.queries.FrameMemo.buildLog.map(_._2).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$tail,"regressed":$reg,"memo_sec":${fmt(memoSec)},"full":"bench_full.json","sf":"$sfDir"}"""
     }
 
     // Full-precision record to disk (survives any stdout truncation).
@@ -136,9 +145,37 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val full = jmap(results)
     val passesJson = runs.map(jmap).mkString("[", ",", "]")
+    // shared-memo build ledger: every FrameMemo build this session with
+    // its cost and the query whose timed window absorbed it — the
+    // regression guard's companion (a query whose 1.4x "regression" is
+    // a memo build that moved consumers is drift, not a plan change)
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val memoJson = graft.queries.FrameMemo.buildLog.map {
+      case (key, secs, consumer) =>
+        s"""{"key":${jstr(key)},"sec":${fmt(secs)},"consumer":${jstr(consumer)}}"""
+    }.mkString("[", ",", "]")
     try {
+      // keep a 3-generation ring of full artifacts (bench_full_r1 =
+      // previous run, r2/r3 older) so multi-round drift trajectories
+      // are diagnosable without git archaeology; the regression
+      // reference (refPath) still tracks only the newest full run
+      if (only.isEmpty) {
+        val dir = java.nio.file.Paths.get(".")
+        def p(n: String) = dir.resolve(n)
+        import java.nio.file.{Files, StandardCopyOption}
+        for (i <- Seq(2, 1)) {
+          val from = p(s"bench_full_r$i.json")
+          if (Files.exists(from))
+            Files.move(from, p(s"bench_full_r${i + 1}.json"),
+              StandardCopyOption.REPLACE_EXISTING)
+        }
+        if (Files.exists(p("bench_full.json")))
+          Files.move(p("bench_full.json"), p("bench_full_r1.json"),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
       val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
-      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"passes":$passesJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"passes":$passesJson,"memo_builds":$memoJson,"sf":"$sfDir"}""")
       finally w.close()
       // a FULL run becomes the next run's per-sf regression reference;
       // subset (SPARK_GRAFT_ONLY) profiling runs never touch it

@@ -245,6 +245,41 @@ object GraftExtensions {
       throw new IllegalStateException(
         "graft table function: no active SparkSession"))
 
+  /** Resolve a relation argument: a catalog table/view name, or an
+    * inline subquery — `'(SELECT ...)'` (parens optional) — so a SQL
+    * user composes the TVFs without a temp-view detour, the way
+    * DuckDB's own ASOF JOIN composes with any relation. A spec whose
+    * first token is `(`/`SELECT`/`WITH` parses as SQL (wrapped in a
+    * derived-table alias, so both forms normalize); anything else
+    * resolves through the catalog, and an unknown name fails with a
+    * message that spells out both accepted forms.
+    */
+  private def relation(spark: SparkSession, fn: String, argName: String,
+                       spec: String): org.apache.spark.sql.DataFrame = {
+    val s = spec.trim
+    val head = s.takeWhile(!_.isWhitespace).toUpperCase
+    val isQuery = s.startsWith("(") || head == "SELECT" || head == "WITH"
+    if (isQuery) {
+      val inner =
+        if (s.startsWith("(") && s.endsWith(")")) s.substring(1, s.length - 1)
+        else s
+      try spark.sql(s"SELECT * FROM ( $inner ) __graft_sub")
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$fn: $argName subquery failed to parse/analyze: ${e.getMessage}", e)
+      }
+    } else {
+      try spark.table(s)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$fn: $argName '$s' is neither a catalog table/view nor an " +
+              s"inline subquery — pass a table name or '(SELECT ...)': " +
+              s"${e.getMessage}", e)
+      }
+    }
+  }
+
   /** Resolve a time argument against `df`: a bare column name is used
     * as-is; anything else is parsed as a SQL expression and projected
     * as a synthetic column (returned name), so `unix_micros(ts)` works
@@ -260,8 +295,8 @@ object GraftExtensions {
       info("graft_asof_join",
         "graft_asof_join(left, right, keys, left_time, right_time, carry" +
           "[, direction, strict, tiebreak, bucket_width]) - native as-of " +
-          "join over two " +
-          "catalog tables/views. keys: comma-separated equi-key columns " +
+          "join. left/right: a catalog table/view name or an inline " +
+          "subquery '(SELECT ...)'. keys: comma-separated equi-key columns " +
           "present in both sides; left_time/right_time: column name or SQL " +
           "expression; carry: comma-separated right columns, each " +
           "'col' or 'col:alias'; direction: backward|forward (default " +
@@ -293,7 +328,7 @@ object GraftExtensions {
           if (args.length >= 9) Some(strArg(fn, "tiebreak", args(8))) else None
         // 10th arg: hot-key fallback — a positive bucket width (in the
         // time column's units) routes through the time-split salted
-        // form (TemporalJoins.asOfJoinTimeSplit; backward only)
+        // form (TemporalJoins.asOfJoinTimeSplit; both directions)
         val bucketWidth =
           if (args.length >= 10) {
             val raw = strArg(fn, "bucket_width", args(9)).trim
@@ -303,16 +338,13 @@ object GraftExtensions {
                   s"$fn: bucket_width must be a positive long, got '$raw'")
             }
             require(v > 0, s"$fn: bucket_width must be positive, got $v")
-            require(!(args.length >= 7) ||
-              strArg(fn, "direction", args(6)) == "backward",
-              s"$fn: bucket_width (time-split) supports backward only")
             Some(v)
           } else None
 
         val (left, lt) = timeColumn(
-          spark.table(strArg(fn, "left", args(0))),
+          relation(spark, fn, "left", strArg(fn, "left", args(0))),
           strArg(fn, "left_time", args(3)), "__graft_ltime")
-        val right0 = spark.table(strArg(fn, "right", args(1)))
+        val right0 = relation(spark, fn, "right", strArg(fn, "right", args(1)))
         val (right1, rt) = timeColumn(right0,
           strArg(fn, "right_time", args(4)), "__graft_rtime")
         // project the right side down to what the join consumes, with
@@ -340,7 +372,8 @@ object GraftExtensions {
         val joined = bucketWidth match {
           case Some(wdt) => graft.ops.TemporalJoins.asOfJoinTimeSplit(
             left, right, keys, lt, rt, carry.map(_._2),
-            rightTiebreak = tiebreak, strict = strict, bucketWidth = wdt)
+            rightTiebreak = tiebreak, strict = strict, bucketWidth = wdt,
+            direction = direction)
           case None => graft.ops.TemporalJoins.asOfJoinNative(
             left, right, keys, lt, rt, carry.map(_._2),
             rightTiebreak = tiebreak, strict = strict, direction = direction)
@@ -360,7 +393,7 @@ object GraftExtensions {
         val fn = "graft_gap_fill"
         require(args.length == 5, s"$fn expects 5 arguments, got ${args.length}")
         val spark = activeSession
-        val df = spark.table(strArg(fn, "table", args(0)))
+        val df = relation(spark, fn, "table", strArg(fn, "table", args(0)))
         val tsSpec = strArg(fn, "time_us", args(2))
         val tsUs =
           if (df.columns.contains(tsSpec)) org.apache.spark.sql.functions.col(tsSpec)

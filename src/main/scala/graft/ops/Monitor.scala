@@ -80,8 +80,11 @@ object Monitor {
     fold.select(col("key"), explode(col("traj")).as("t"))
       .select(col("key"), col("t.day").as("day"), col("t.n").as("n"),
         col("t.ewma_milli").as("ewma_milli"),
-        expr("CAST((t.n * 1000L - t.prev_milli) * 1000000" +
-          " div greatest(t.prev_milli, 1L) AS BIGINT)").as("dev_ppm"))
+        // ppm cross-multiplication through DECIMAL(38,0) — the ×1e6
+        // in BIGINT would wrap past ~9.2e9 events/day per key
+        expr("CAST(CAST(t.n * 1000L - t.prev_milli AS DECIMAL(38,0))" +
+          " * 1000000 div greatest(t.prev_milli, 1L) AS BIGINT)")
+          .as("dev_ppm"))
       .withColumn("flagged", abs(col("dev_ppm")) > lit(limitPpm))
   }
 

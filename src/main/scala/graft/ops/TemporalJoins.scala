@@ -170,7 +170,8 @@ object TemporalJoins {
         rightCols.map(c => col(s"_carried.$c").as(c)): _*)
   }
 
-  /** Hot-key (skew) fallback for the BACKWARD as-of join: pre-split
+  /** Hot-key (skew) fallback for the as-of join (both directions):
+    * pre-split
     * every key's timeline into fixed-width time buckets and as-of join
     * per (key, bucket) — the "salting" recipe for the one bound the
     * native operator honestly has ([[graft.plans.AsofJoinExec]]
@@ -183,8 +184,9 @@ object TemporalJoins {
     * and not just fast is the carry-in: a left row's predecessor may
     * sit in an EARLIER bucket, so for every (key, bucket) the latest
     * right row of any prior bucket is computed — one per-(key, bucket)
-    * aggregate (struct-max by (time, tiebreak): exactly the operator's
-    * winner order) followed by a LOCF window over the per-key BUCKET
+    * aggregate (struct-max led by (time, tiebreak): the operator's
+    * winner order whenever that pair ranks right rows uniquely — see
+    * the inline note on ties) followed by a LOCF window over the per-key BUCKET
     * LIST (rows = buckets touched, not events) — and re-emitted into
     * the bucket as one synthetic right row carrying its original
     * timestamp. Each bucket then sees: its own right rows, plus the
@@ -196,9 +198,19 @@ object TemporalJoins {
     * count (a right row AT the bucket start belongs to the bucket,
     * not the carry). Right-row duplication is bounded at one synthetic
     * row per (key, bucket) — `|R| + keys·buckets` total, the classic
-    * salt trade. BACKWARD only (the forward mirror needs carry-in from
-    * later buckets — same construction, reversed window; not needed
-    * until a forward hot-key workload shows up).
+    * salt trade.
+    *
+    * `direction = "forward"` is the exact mirror: the carry-FORWARD
+    * is the earliest right row of any LATER bucket (per-(key, bucket)
+    * struct-MIN, then the nearest following non-null over the bucket
+    * list), re-emitted into the bucket — its `t >= nextBucketStart >
+    * leftT` qualifies under both strictness modes and cannot collide
+    * in time with an in-bucket right row (a row AT the next bucket
+    * start lives in the next bucket). The local per-bucket join runs
+    * through [[asOfJoinNative]] with `direction = "forward"` on the
+    * salted key (the salt itself removes the hot-key bound the native
+    * exec has, so composing it back is sound); equal-(key, time) ties
+    * resolve to the LOWEST tiebreak, the native forward order.
     *
     * `bucketWidth` is in the time column's own units and is workload
     * knowledge, like every salt factor: pick `span / (wanted parallel
@@ -210,9 +222,13 @@ object TemporalJoins {
                         rightCols: Seq[String],
                         rightTiebreak: Option[String] = None,
                         strict: Boolean = false,
-                        bucketWidth: Long = 86400000000L): DataFrame = {
+                        bucketWidth: Long = 86400000000L,
+                        direction: String = "backward"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(keys.nonEmpty, "asOfJoinTimeSplit needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
+    val fwd = direction == "forward"
     val reserved = Set("_bkt", "_last", "_carry")
     val hits = (left.columns ++ right.columns).toSet.intersect(reserved)
     require(hits.isEmpty,
@@ -225,25 +241,39 @@ object TemporalJoins {
       .withColumn("_bkt", bkt(col(rightTime)))
 
     // winner order inside a bucket = (time, tiebreak, carried values)
-    // ascending max — identical to the operator's ORDER BY t DESC,
-    // tiebreak DESC LIMIT 1 pick. Struct fields get positional
-    // aliases because rightCols may legitimately CONTAIN the time or
-    // tiebreak column (carrying the source timestamp is the norm).
+    // ascending max — the operator's ORDER BY t DESC, tiebreak DESC
+    // LIMIT 1 pick whenever (time, tiebreak) ranks right rows
+    // uniquely (the documented determinism contract). With DUPLICATE
+    // (key, time, tiebreak) right rows the operator's pick among the
+    // tied rows is arbitrary while this struct-max breaks the tie by
+    // carried values — both are valid as-of answers, but they can
+    // differ; rely on a unique (time, tiebreak) for bit-parity with
+    // the native path. Struct fields get positional aliases because
+    // rightCols may legitimately CONTAIN the time or tiebreak column
+    // (carrying the source timestamp is the norm).
     val lastStruct = struct(
       Seq(col(rightTime).as("__t")) ++
         rightTiebreak.map(t => col(t).as("__tb")).toSeq ++
         rightCols.zipWithIndex.map { case (c, i) => col(c).as(s"__v$i") }: _*)
+    // backward: latest prior candidate (struct-max); forward: earliest
+    // following candidate (struct-min) — each the mirror of the
+    // operator's own winner order at that direction
     val rLast = rb.groupBy((keys.map(col) :+ col("_bkt")): _*)
-      .agg(max(lastStruct).as("_last"))
+      .agg((if (fwd) min(lastStruct) else max(lastStruct)).as("_last"))
 
-    // bucket list per key = buckets either side touches; LOCF over the
-    // STRICTLY previous buckets yields the carry-in candidate
+    // bucket list per key = buckets either side touches; backward:
+    // LOCF over the STRICTLY previous buckets; forward: nearest
+    // non-null over the STRICTLY following buckets
     val allBuckets = lb.select((keys.map(col) :+ col("_bkt")): _*).distinct()
       .join(rLast, keys :+ "_bkt", "full_outer")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(col("_bkt"))
+    val carryCol =
+      if (fwd) first(col("_last"), ignoreNulls = true)
+        .over(wBase.rowsBetween(1, Window.unboundedFollowing))
+      else last(col("_last"), ignoreNulls = true)
+        .over(wBase.rowsBetween(Window.unboundedPreceding, -1))
     val carry = allBuckets
-      .withColumn("_carry", last(col("_last"), ignoreNulls = true).over(w))
+      .withColumn("_carry", carryCol)
       .filter(col("_carry").isNotNull)
 
     // synthetic carry-in rows rejoin the real rows under the SAME
@@ -263,9 +293,12 @@ object TemporalJoins {
     val realRows = rb.select(needed.map(col): _*)
     val rightAug = realRows.unionByName(carryRows)
 
-    asOfJoin(lb, rightAug, keys :+ "_bkt", leftTime, rightTime,
+    val joined =
+      if (fwd) asOfJoinNative(lb, rightAug, keys :+ "_bkt", leftTime,
+        rightTime, rightCols, rightTiebreak, strict, direction = "forward")
+      else asOfJoin(lb, rightAug, keys :+ "_bkt", leftTime, rightTime,
         rightCols, rightTiebreak, strict)
-      .drop("_bkt")
+    joined.drop("_bkt")
   }
 
   /** [[asOfJoin]] through the native whole-operator path

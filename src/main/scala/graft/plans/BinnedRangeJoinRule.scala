@@ -71,8 +71,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   *     runtime rather than silently wrong — pre-filter sentinel rows
   *     (or widen the bin) before enabling the rule;
   *   - `auto` — the width is DERIVED at plan time by sampling the
-  *     interval side ([[sampledWidth]]): the p95 of `hi − lo` over
-  *     the first 10k rows, the stats prepass engines ship so users
+  *     interval side(s) ([[sampleWidths]], one job for both sides,
+  *     memoized per session): the p95 of `hi − lo` over the first
+  *     10k rows, the stats prepass engines ship so users
   *     without workload knowledge still get the rewrite. Non-finite
   *     and negative sampled widths are excluded from the statistic
   *     (so a few sentinel rows cannot poison it — but surviving
@@ -96,36 +97,80 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def binOf(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w)))
 
-  /** Plan-time width sample over one interval side: p95 of `hi − lo`
-    * over (up to) the first [[SampleRows]] rows, finite non-negative
-    * widths only. Runs a bounded Spark job DURING optimization — the
-    * sampled sub-query contains no join, so re-entering this rule on
-    * it is a no-op and recursion terminates. Returns None when the
-    * sample has no usable rows (caller then skips the rewrite);
-    * degenerate all-point intervals (p95 = 0) fall back to the sample
-    * max, then to 1.0 — any positive width is CORRECT (covering is
-    * width-independent), width only tunes fan-out.
+  /** Session-scoped memo of sampled widths. The width is a plan-time
+    * STATISTICS HINT — any positive width is correct (covering is
+    * width-independent; width only tunes fan-out) — so a stale entry
+    * after the underlying data changes is a performance nuance, never
+    * a correctness hazard, and caching for the session lifetime is
+    * sound. Keyed by (sessionUUID, canonical interval plan, bound
+    * shapes): the canonicalized plan normalizes exprIds, and the
+    * bounds are fingerprinted by output ORDINAL, so re-running the
+    * same query text (fresh exprIds each run) hits the cache.
     */
-  private def sampledWidth(intervalPlan: LogicalPlan,
-                           lo: Expression, hi: Expression): Option[Double] =
-    SparkSession.getActiveSession.flatMap { spark =>
-      val wcol = GraftSqlShim.column(
-        Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType)))
-      val row = GraftSqlShim.ofRows(spark, intervalPlan)
-        .select(wcol.as("w"))
-        .limit(SampleRows)
-        .filter(col("w").isNotNull && !isnan(col("w")) &&
-          col("w") >= 0.0 && col("w") < Double.PositiveInfinity)
+  private val widthMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, LogicalPlan, Expression, Expression), Option[Double]]()
+  private val WidthMemoCap = 256
+
+  private[graft] def widthMemoSize: Int = widthMemo.size
+  private[graft] def clearWidthMemoForTest(): Unit = widthMemo.clear()
+
+  /** Exprid-free fingerprint of a bound expression: attributes become
+    * their ordinal in the interval plan's output (equality-only
+    * stand-in — never evaluated).
+    */
+  private def boundPrint(e: Expression, plan: LogicalPlan): Expression =
+    e.transform {
+      case a: Attribute =>
+        Literal(plan.output.indexWhere(_.exprId == a.exprId))
+    }.canonicalized
+
+  private def memoKey(spark: SparkSession, p: LogicalPlan,
+                      lo: Expression, hi: Expression)
+      : (String, LogicalPlan, Expression, Expression) =
+    (Integer.toHexString(System.identityHashCode(spark)),
+      p.canonicalized, boundPrint(lo, p), boundPrint(hi, p))
+
+  /** Plan-time width sample: p95 of `hi − lo` over (up to) the first
+    * [[SampleRows]] rows per interval side, finite non-negative widths
+    * only — ALL uncached sides in ONE bounded Spark job (union + one
+    * groupBy), so the two-sided overlap shape pays one driver job, not
+    * two. Runs DURING optimization under a thread-local conf with the
+    * bin width pinned to 0, so re-entering this rule on the sampling
+    * sub-query (which may itself contain an eligible range join) is a
+    * guaranteed no-op — termination is pinned, not assumed. Per side:
+    * None when the sample has no usable rows (caller then skips the
+    * rewrite); degenerate all-point intervals (p95 = 0) fall back to
+    * the sample max, then to 1.0.
+    */
+  private def sampleWidths(spark: SparkSession,
+      sides: Seq[(LogicalPlan, Expression, Expression)]): Seq[Option[Double]] =
+    GraftSqlShim.withConfString(spark, ConfKey, "0") {
+      val frames = sides.zipWithIndex.map { case ((p, lo, hi), i) =>
+        val wcol = GraftSqlShim.column(
+          Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType)))
+        GraftSqlShim.ofRows(spark, p)
+          .select(wcol.as("w"))
+          .limit(SampleRows)
+          .filter(col("w").isNotNull && !isnan(col("w")) &&
+            col("w") >= 0.0 && col("w") < Double.PositiveInfinity)
+          .select(lit(i).as("side"), col("w"))
+      }
+      val bySide = frames.reduce(_ union _)
+        .groupBy("side")
         .agg(percentile_approx(col("w"), lit(0.95), lit(1000)).as("p95"),
           max(col("w")).as("mx"))
-        .head()
-      if (row.isNullAt(0)) None
-      else {
-        val p95 = row.getDouble(0)
-        val mx = row.getDouble(1)
-        val w = if (p95 > 0.0) p95 else if (mx > 0.0) mx else 1.0
-        Some(w)
-      }
+        .collect()
+        .map { r =>
+          val w =
+            if (r.isNullAt(1)) None
+            else {
+              val p95 = r.getDouble(1); val mx = r.getDouble(2)
+              Some(if (p95 > 0.0) p95 else if (mx > 0.0) mx else 1.0)
+            }
+          r.getInt(0) -> w
+        }.toMap
+      // a side whose filter kept no rows yields no group at all -> None
+      sides.indices.map(i => bySide.getOrElse(i, None))
     }
 
   private def resolveWidth(spec: WidthSpec,
@@ -136,8 +181,23 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         // two-sided overlap: the wider side's p95 keeps BOTH explodes
         // O(1) per row (a bin narrower than one side's intervals
         // multiplies that side's fan-out for no matching gain)
-        val ws = sides.flatMap { case (p, lo, hi) => sampledWidth(p, lo, hi) }
-        if (ws.isEmpty) None else Some(ws.max)
+        SparkSession.getActiveSession.flatMap { spark =>
+          val keyed = sides.map { case s @ (p, lo, hi) =>
+            (memoKey(spark, p, lo, hi), s)
+          }
+          val misses = keyed.filter { case (k, _) => !widthMemo.containsKey(k) }
+          if (misses.nonEmpty) {
+            if (widthMemo.size > WidthMemoCap) widthMemo.clear()
+            val sampled = sampleWidths(spark, misses.map(_._2))
+            misses.map(_._1).zip(sampled).foreach { case (k, w) =>
+              widthMemo.put(k, w)
+            }
+          }
+          val ws = keyed.flatMap { case (k, _) =>
+            Option(widthMemo.get(k)).flatten
+          }
+          if (ws.isEmpty) None else Some(ws.max)
+        }
     }
 
   /** (point, bound) for a comparison, or None. */
@@ -176,11 +236,14 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           case j @ Join(left, right, jt, Some(cond), _)
               if allowedPointSides(jt).nonEmpty =>
             val conjuncts = splitConjunctivePredicates(cond)
+            // an equality touching BOTH sides = an existing equi key;
+            // binning on top would add explode fan-out for no gain
+            def crossEq(a: Expression, b: Expression): Boolean =
+              (a.references ++ b.references).intersect(left.outputSet).nonEmpty &&
+                (a.references ++ b.references).intersect(right.outputSet).nonEmpty
             val crossEquality = conjuncts.exists {
-              case EqualTo(a, b) =>
-                // an equality touching BOTH sides = an existing equi key
-                (a.references ++ b.references).intersect(left.outputSet).nonEmpty &&
-                  (a.references ++ b.references).intersect(right.outputSet).nonEmpty
+              case EqualTo(a, b)       => crossEq(a, b)
+              case EqualNullSafe(a, b) => crossEq(a, b)
               case _ => false
             }
             if (crossEquality) j else rewriteJoin(j, conjuncts, ws)

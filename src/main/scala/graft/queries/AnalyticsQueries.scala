@@ -617,6 +617,31 @@ object AnalyticsQueries {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** [[asOfAttributionSql]] with INLINE SUBQUERY relation arguments —
+    * `graft_asof_join('(SELECT ...)', '(SELECT ...)', ...)` — the
+    * compose-with-any-relation surface DuckDB's own ASOF JOIN has; no
+    * per-side temp views. Same oracle, same plan.
+    */
+  def asOfAttributionSqlSub(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val ev = Tables.events(s, dir)
+    ev.select(col("event_id"), col("user_id"), col("event_type"),
+        epochUs(ev, "ts").as("ts_us"))
+      .createOrReplaceTempView("graft_events_asof")
+    s.sql(
+      """SELECT event_id, user_id, ts_us, src_id, src_type, src_ts_us
+        |FROM graft_asof_join(
+        |  '(SELECT event_id, user_id, ts_us FROM graft_events_asof
+        |     WHERE event_type = ''purchase'')',
+        |  '(SELECT user_id, event_id AS src_id, event_type AS src_type,
+        |           ts_us AS src_ts_us FROM graft_events_asof
+        |     WHERE event_type IN (''view'', ''click''))',
+        |  'user_id', 'ts_us', 'src_ts_us',
+        |  'src_id,src_type,src_ts_us',
+        |  'backward', 'false', 'src_id')
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** The attribution as-of join through the hot-key fallback
     * ([[graft.ops.TemporalJoins.asOfJoinTimeSplit]], weekly buckets):
     * the salted-key recipe SCALING.md prescribes when one user
@@ -635,6 +660,27 @@ object AnalyticsQueries {
         Seq("src_id", "src_type", "src_ts_us"),
         rightTiebreak = Some("src_id"),
         bucketWidth = 7L * 86400000000L)
+      .orderBy("event_id")
+  }
+
+  /** FORWARD-direction twin of [[asOfAttributionSalted]] — the
+    * carry-forward mirror (earliest following right row per (key,
+    * bucket)). Same inputs, same lateral oracle as
+    * `q_asof_native_fwd` — the split must be invisible in the result.
+    */
+  def asOfAttributionSaltedFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), epochUs(ev, "ts").as("ts_us"))
+    val sources = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("src_id"),
+        col("event_type").as("src_type"), epochUs(ev, "ts").as("src_ts_us"))
+    graft.ops.TemporalJoins.asOfJoinTimeSplit(
+        purchases, sources, Seq("user_id"), "ts_us", "src_ts_us",
+        Seq("src_id", "src_type", "src_ts_us"),
+        rightTiebreak = Some("src_id"),
+        bucketWidth = 7L * 86400000000L,
+        direction = "forward")
       .orderBy("event_id")
   }
 
@@ -950,7 +996,9 @@ object AnalyticsQueries {
     */
   val oracle: Map[String, String] = oracleLiteral ++ Map(
     "q_asof_sql"    -> oracleLiteral("q_asof_native"),
+    "q_asof_sql_sub" -> oracleLiteral("q_asof_native"),
     "q_asof_salted" -> oracleLiteral("q_asof_native"),
+    "q_asof_salted_fwd" -> oracleLiteral("q_asof_native_fwd"),
     "q_gapfill_sql" -> oracleLiteral("q_gapfill"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -981,7 +1029,9 @@ object AnalyticsQueries {
     "q_asof_native_strict"  -> (asOfAttributionNativeStrict _),
     "q_asof_native_fwd"     -> (asOfAttributionNativeFwd _),
     "q_asof_sql"            -> (asOfAttributionSql _),
+    "q_asof_sql_sub"        -> (asOfAttributionSqlSub _),
     "q_asof_salted"         -> (asOfAttributionSalted _),
+    "q_asof_salted_fwd"     -> (asOfAttributionSaltedFwd _),
     "q_gapfill_sql"         -> (gapFillSql _),
     "q_rfm"                 -> (rfmSegments _)
   )

@@ -1007,8 +1007,12 @@ object ExtensionQueries {
       .withColumn("pool_ppm",
         expr("(hits_a + hits_b) * 1000000 div greatest(n_a + n_b, 1)"))
       .withColumn("z2_milli",
+        // harmonic term n_a·n_b/(n_a+n_b) fits BIGINT (≤ min arm),
+        // but the PRODUCT n_a·n_b wraps past ~3e9 per arm — route it
+        // through DECIMAL(38,0) like every other cross-multiplication
         expr("CAST(CAST(diff_ppm AS DECIMAL(38,0)) * diff_ppm" +
-          " * (n_a * n_b div greatest(n_a + n_b, 1)) * 1000" +
+          " * (CAST(n_a AS DECIMAL(38,0)) * n_b div greatest(n_a + n_b, 1))" +
+          " * 1000" +
           " div greatest(pool_ppm * (1000000 - pool_ppm), 1) AS BIGINT)"))
       .withColumn("significant", col("z2_milli") > 3841L)
       .select("event_type", "n_a", "hits_a", "n_b", "hits_b",
@@ -1358,26 +1362,26 @@ object ExtensionQueries {
     * micro-nat constants) WOULD have decided over the recorded
     * stream, per event type: the LLR needs no recursion because
     * `llr_n = hits_n·H + (n − hits_n)·M` is a pure function of the
-    * cumulative hit count — one per-type ordered window, then the
-    * FIRST boundary crossing freezes the verdict (struct-min pick).
-    * Types that never cross report `continue` with their full-sample
-    * LLR. The replay is inherently sequential per type, and the
-    * closed form makes that one streaming cumsum window per type —
-    * the honest minimum.
+    * cumulative hit count. Event types are FEW and HUGE, so a
+    * per-type ordered window would sort every event of a type on one
+    * task — the replay instead rides [[graft.ops.KeyedPrefix.cumsum]]
+    * (the AuditSeq two-pass prefix-sum discipline): one scalable
+    * range sort on (type, ts, id), per-(partition, type) totals, a
+    * broadcast carry-in, and a parallel stamping pass. The FIRST
+    * boundary crossing then freezes the verdict (struct-min pick);
+    * types that never cross report `continue` with their full-sample
+    * LLR.
     */
   def sprtQ(s: SparkSession, d: String): DataFrame = {
     val hitU = 405465L; val missU = -10257L
     val upper = 2944439L; val lower = -2944439L
     val ev = Tables.events(s, d)
-    val W = org.apache.spark.sql.expressions.Window
-    val w = W.partitionBy("event_type")
-      .orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(W.unboundedPreceding, 0)
-    val t = ev.select(col("event_type"), col("event_id"),
-        AnalyticsQueries.epochUs(ev, "ts").as("ts_us"),
-        when(col("value") > 200.0, 1L).otherwise(0L).as("hit"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("cumh", sum(col("hit")).over(w))
+    val base = ev.select(col("event_type"), col("event_id"),
+      AnalyticsQueries.epochUs(ev, "ts").as("ts_us"),
+      when(col("value") > 200.0, 1L).otherwise(0L).as("hit"))
+    val t = graft.ops.KeyedPrefix.cumsum(base,
+        keys = Seq("event_type"), order = Seq("ts_us", "event_id"),
+        sums = Seq("hit" -> "cumh"), countName = "n")
       .withColumn("llr_micro",
         col("cumh") * hitU + (col("n") - col("cumh")) * missU)
     val crossings = t
@@ -3753,12 +3757,12 @@ object ExtensionQueries {
         |  FROM g x JOIN e ON x.event_type = e.event_type AND x.i = e.i + 1)
         |SELECT event_type, day, n, ewma_milli,
         |  CAST(CASE WHEN n * 1000 >= prev_milli
-        |    THEN (n * 1000 - prev_milli) * 1000000 // greatest(prev_milli, 1)
-        |    ELSE -((prev_milli - n * 1000) * 1000000 // greatest(prev_milli, 1))
+        |    THEN CAST(n * 1000 - prev_milli AS HUGEINT) * 1000000 // greatest(prev_milli, 1)
+        |    ELSE -(CAST(prev_milli - n * 1000 AS HUGEINT) * 1000000 // greatest(prev_milli, 1))
         |  END AS BIGINT) AS dev_ppm,
         |  abs(CASE WHEN n * 1000 >= prev_milli
-        |    THEN (n * 1000 - prev_milli) * 1000000 // greatest(prev_milli, 1)
-        |    ELSE -((prev_milli - n * 1000) * 1000000 // greatest(prev_milli, 1))
+        |    THEN CAST(n * 1000 - prev_milli AS HUGEINT) * 1000000 // greatest(prev_milli, 1)
+        |    ELSE -(CAST(prev_milli - n * 1000 AS HUGEINT) * 1000000 // greatest(prev_milli, 1))
         |  END) > 500000 AS flagged
         |FROM e ORDER BY event_type, day""".stripMargin) +
     ("q_cusum" ->
@@ -4100,11 +4104,11 @@ object ExtensionQueries {
         |SELECT event_type, n_a, hits_a, n_b, hits_b, pa_ppm, pb_ppm,
         |  CAST(pa_ppm - pb_ppm AS BIGINT) AS diff_ppm,
         |  CAST(CAST(pa_ppm - pb_ppm AS HUGEINT) * (pa_ppm - pb_ppm)
-        |    * (n_a * n_b // greatest(n_a + n_b, 1)) * 1000
+        |    * (CAST(n_a AS HUGEINT) * n_b // greatest(n_a + n_b, 1)) * 1000
         |    // greatest(pool_ppm * (1000000 - pool_ppm), 1) AS BIGINT)
         |    AS z2_milli,
         |  CAST(CAST(pa_ppm - pb_ppm AS HUGEINT) * (pa_ppm - pb_ppm)
-        |    * (n_a * n_b // greatest(n_a + n_b, 1)) * 1000
+        |    * (CAST(n_a AS HUGEINT) * n_b // greatest(n_a + n_b, 1)) * 1000
         |    // greatest(pool_ppm * (1000000 - pool_ppm), 1) AS BIGINT) > 3841
         |    AS significant
         |FROM p ORDER BY event_type""".stripMargin) +

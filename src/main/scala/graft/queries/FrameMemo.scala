@@ -35,6 +35,34 @@ import org.apache.spark.sql.{DataFrame, GraftSqlShim}
   * recursive builds of each other's keys would deadlock, but memos
   * are pure functions of their inputs so no such cycle exists here.
   */
+object FrameMemo {
+  /** Attribution tag for the build ledger: the harness (Bench) sets
+    * this to the query it is currently timing, so a memo build that
+    * lands inside that query's wall-clock is charged to it by name in
+    * [[buildLog]] — the observable that separates "query got slower"
+    * from "the shared memo's build cost moved to a different first
+    * consumer" (bench drift forensics). Unset outside the harness.
+    */
+  val currentConsumer = new ThreadLocal[String]
+
+  private val log =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, String)]
+
+  private[queries] def record(key: String, secs: Double): Unit =
+    log.add((key, secs, Option(currentConsumer.get).getOrElse("")))
+
+  /** (memo key, build seconds, consumer query) per ACTUAL build, in
+    * build order, across every FrameMemo instance in the session.
+    */
+  def buildLog: Seq[(String, Double, String)] = {
+    val b = Seq.newBuilder[(String, Double, String)]
+    log.forEach(e => b += e)
+    b.result()
+  }
+
+  def clearBuildLog(): Unit = log.clear()
+}
+
 final class FrameMemo[K](bound: Int) {
   require(bound >= 1, s"bound must be >= 1, got $bound")
 
@@ -49,15 +77,17 @@ final class FrameMemo[K](bound: Int) {
   /** One-slot lazy cell: the build runs under THIS holder's lock, not
     * the map's. `peek` is lock-free for the evictor.
     */
-  private final class Holder(build: () => DataFrame) {
+  private final class Holder(keyLabel: String, build: () => DataFrame) {
     @volatile private var built: DataFrame = null
     def frame: DataFrame = {
       val b0 = built
       if (b0 != null) b0
       else synchronized {
         if (built == null) {
+          val t0 = System.nanoTime()
           built = build().localCheckpoint()
           builds.incrementAndGet()
+          FrameMemo.record(keyLabel, (System.nanoTime() - t0) / 1e9)
         }
         built
       }
@@ -92,7 +122,7 @@ final class FrameMemo[K](bound: Int) {
       val cur = map.get(k) // refreshes LRU order on hit
       if (cur != null) cur
       else {
-        val nh = new Holder(() => build)
+        val nh = new Holder(k.toString, () => build)
         map.put(k, nh)
         nh
       }
@@ -122,7 +152,7 @@ final class FrameMemo[K](bound: Int) {
         val f = old.peek
         if (f != null) GraftSqlShim.unpersistCheckpoint(f)
       }
-      val nh = new Holder(() => build)
+      val nh = new Holder(k.toString, () => build)
       map.put(k, nh)
       nh
     }

@@ -365,7 +365,11 @@ object EventStreamOps {
     * BEFORE it, exactly the batch fold — after any batch the emitted
     * trajectory equals the batch chart's over the same prefix
     * (spec-pinned). alphaMilli/limitPpm arrive as parameters (the
-    * offline calibration, control-chart practice).
+    * offline calibration, control-chart practice). Known Long bound:
+    * devPpm's ×1e6 cross-multiplication is Long arithmetic, exact to
+    * ~9.2e9 events/day per key (the batch twin routes the same
+    * product through DECIMAL(38,0); here the per-key day count is a
+    * rollup cell, far under the bound).
     */
   def streamingEwma(days: Dataset[CcEv], alphaMilli: Int = 300,
                     limitPpm: Long = 500000L): Dataset[EwOut] = {

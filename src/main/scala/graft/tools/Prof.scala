@@ -46,9 +46,10 @@ object Prof {
       .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
       .groupBy("band").agg(count(lit(1)).as("n"))
     time(s"range join BNLJ ($nBands intervals)")(noop(thetaAgg))
-    spark.conf.set("spark.graft.rangeJoin.binWidth", "25.0")
-    time(s"range join auto-binned ($nBands intervals)")(noop(thetaAgg))
-    spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    org.apache.spark.sql.GraftSqlShim.withConfString(spark,
+      "spark.graft.rangeJoin.binWidth", "25.0") {
+      time(s"range join auto-binned ($nBands intervals)")(noop(thetaAgg))
+    }
 
     // --- AsofJoinExec vs composed union+window as-of ---
     // all events probe the view/click state feed: both sides corpus-

@@ -35,6 +35,27 @@ object GraftSqlShim {
     internal.SQLConf.withExistingConf(cloned)(f)
   }
 
+  /** Run `f` while counting Spark JOBS started on this context —
+    * test-only observability for "this plan-time step launched no new
+    * job" pins (e.g. the range-join width memo). Drains the listener
+    * bus before reading the counter, so the count is exact.
+    */
+  def countJobs[T](spark: SparkSession)(f: => T): (T, Int) = {
+    val sc = spark.sparkContext
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    sc.addSparkListener(l)
+    try {
+      val r = f
+      sc.listenerBus.waitUntilEmpty(30000)
+      (r, n.get())
+    } finally sc.removeSparkListener(l)
+  }
+
   /** Release the cached blocks behind a `localCheckpoint()`'d frame.
     * The checkpoint persists its materialized RDD for the session
     * lifetime; `Dataset.unpersist` cannot reach it (it only consults

@@ -264,6 +264,54 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(hotBuckets > 32, s"expected the hot key spread over buckets, got $hotBuckets")
   }
 
+  test("SKEW forward: the same 90%-hot-key fixture through the " +
+    "carry-forward mirror matches the native forward result exactly — " +
+    "strict and non-strict") {
+    val rnd = new scala.util.Random(13)
+    val n = 6000
+    def key(i: Int) = if (i % 10 != 0) "hot" else s"cold${i % 50}"
+    val l = (1 to n).map { i =>
+      (i.toLong, key(i), rnd.nextInt(1000000).toLong)
+    }.toDF("id", "user", "t")
+    val r = (1 to n).map { i =>
+      (key(i + 3), i.toLong + 1000000L, s"tag$i", rnd.nextInt(1000000).toLong)
+    }.toDF("user", "rid", "tag", "rt")
+    val native = TemporalJoins.asOfJoinNative(l, r, Seq("user"), "t", "rt",
+      Seq("rid", "tag"), rightTiebreak = Some("rid"), direction = "forward")
+    val split = TemporalJoins.asOfJoinTimeSplit(l, r, Seq("user"), "t", "rt",
+      Seq("rid", "tag"), rightTiebreak = Some("rid"),
+      bucketWidth = 1000000L / 64, direction = "forward")
+    assert(rows(split) === rows(native))
+    val nStrict = TemporalJoins.asOfJoinNative(l, r, Seq("user"), "t", "rt",
+      Seq("rid", "tag"), rightTiebreak = Some("rid"), strict = true,
+      direction = "forward")
+    val sStrict = TemporalJoins.asOfJoinTimeSplit(l, r, Seq("user"), "t", "rt",
+      Seq("rid", "tag"), rightTiebreak = Some("rid"), strict = true,
+      bucketWidth = 1000000L / 64, direction = "forward")
+    assert(rows(sStrict) === rows(nStrict))
+  }
+
+  test("time-split forward: carried time column and no-tiebreak " +
+    "structs mirror the native forward pick") {
+    val r2 = right.withColumn("rt_us", unix_micros(col("rt")))
+      .drop("rt").withColumnRenamed("rt_us", "rt")
+    val l3 = left.withColumn("t_us", unix_micros(col("t"))).drop("t")
+      .withColumnRenamed("t_us", "t")
+    val native = TemporalJoins.asOfJoinNative(l3, r2, Seq("user"), "t", "rt",
+      Seq("rid", "tag", "rt"), rightTiebreak = Some("rid"),
+      direction = "forward")
+    val split = TemporalJoins.asOfJoinTimeSplit(l3, r2, Seq("user"), "t", "rt",
+      Seq("rid", "tag", "rt"), rightTiebreak = Some("rid"),
+      bucketWidth = 3600000000L, direction = "forward")
+    assert(rows(split) === rows(native))
+    val nativeNoTb = TemporalJoins.asOfJoinNative(l3, r2, Seq("user"), "t",
+      "rt", Seq("rid", "tag"), direction = "forward")
+    val splitNoTb = TemporalJoins.asOfJoinTimeSplit(l3, r2, Seq("user"), "t",
+      "rt", Seq("rid", "tag"), bucketWidth = 3600000000L,
+      direction = "forward")
+    assert(rows(splitNoTb) === rows(nativeNoTb))
+  }
+
   test("time-split fallback: carried column containing the time column " +
     "itself (the attribution shape) and no-tiebreak structs both work") {
     val l2 = left

@@ -84,6 +84,58 @@ class BinnedRangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("guard: a null-safe cross-side equality (a <=> b) is an equi " +
+    "key too — the join is left alone") {
+    val p = Seq((1L, Option("k1"), 25.0), (2L, None, 25.0))
+      .toDF("id", "k", "v")
+    val b = Seq((Option("k1"), "a", 0.0, 50.0), (None, "n", 0.0, 50.0))
+      .toDF("k", "band", "lo", "hi")
+    withBinWidth("50.0") {
+      val df = p.join(b, p("k") <=> b("k") &&
+        col("v") >= col("lo") && col("v") < col("hi"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__graft_bin"), plan)
+      assert(df.count() === 2L) // null <=> null matches
+    }
+  }
+
+  test("auto width memo: re-planning the same query text launches NO " +
+    "sampling job (fingerprint survives fresh exprIds); a two-sided " +
+    "overlap records both sides") {
+    import org.apache.spark.sql.GraftSqlShim
+    graft.plans.BinnedRangeJoinRule.clearWidthMemoForTest()
+    def freshTheta() = theta(
+      points.select(col("id"), col("v")),
+      bandsDf.select(col("band"), col("lo"), col("hi")))
+    withBinWidth("auto") {
+      val (_, warm) = GraftSqlShim.countJobs(spark) {
+        freshTheta().queryExecution.optimizedPlan
+      }
+      assert(warm > 0, "first planning should run the sampling job")
+      val memoAfterFirst = graft.plans.BinnedRangeJoinRule.widthMemoSize
+      assert(memoAfterFirst >= 1)
+      // brand-new DataFrame objects, same query text -> memo hit
+      val (_, cached) = GraftSqlShim.countJobs(spark) {
+        freshTheta().queryExecution.optimizedPlan
+      }
+      assert(cached === 0, "re-planning must not re-sample")
+      assert(graft.plans.BinnedRangeJoinRule.widthMemoSize === memoAfterFirst)
+
+      // two-sided overlap: both sides sampled (one combined job) and
+      // both memoized; re-planning is again job-free
+      val li = Seq((1L, 0.0, 30.0), (2L, 25.0, 60.0)).toDF("lid", "llo", "lhi")
+      val ri = Seq((10L, 20.0, 40.0), (11L, -15.0, 5.0)).toDF("rid", "rlo", "rhi")
+      def ov() = li.join(ri, col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+      ov().queryExecution.optimizedPlan
+      val memoAfterOverlap = graft.plans.BinnedRangeJoinRule.widthMemoSize
+      assert(memoAfterOverlap >= memoAfterFirst + 2, s"$memoAfterOverlap")
+      val (_, ovCached) = GraftSqlShim.countJobs(spark) {
+        ov().queryExecution.optimizedPlan
+      }
+      assert(ovCached === 0)
+    }
+  }
+
   test("guard: unsupported join shapes and non-numeric points are left alone") {
     withBinWidth("50.0") {
       // LEFT OUTER with the point on the RIGHT: the preserved side is

@@ -270,24 +270,65 @@ class GraftExtensionsSpec extends SparkSpec {
   }
 
   test("graft_asof_join TVF bucket_width arg routes through the " +
-    "time-split salted form: same rows as the native path, forward " +
-    "direction rejected") {
+    "time-split salted form: same rows as the native path in BOTH " +
+    "directions") {
     asofFixture()
-    val native = spark.sql(
+    for (dir <- Seq("backward", "forward")) {
+      val native = spark.sql(
+        s"""SELECT eid, sid, tag FROM
+           |graft_asof_join('tvf_left', 'tvf_right', 'uid', 't', 'st',
+           |                'sid,tag', '$dir', 'false', 'sid')
+           |ORDER BY eid""".stripMargin).collect().toSeq
+      val salted = spark.sql(
+        s"""SELECT eid, sid, tag FROM
+           |graft_asof_join('tvf_left', 'tvf_right', 'uid', 't', 'st',
+           |                'sid,tag', '$dir', 'false', 'sid', '50')
+           |ORDER BY eid""".stripMargin).collect().toSeq
+      assert(salted === native, s"direction=$dir")
+    }
+  }
+
+  test("graft_asof_join TVF accepts inline subquery relations — " +
+    "'(SELECT ...)' on either side == the temp-view form — and an " +
+    "unknown name still fails with a message naming both forms") {
+    asofFixture()
+    val viaViews = spark.sql(
       """SELECT eid, sid, tag FROM
         |graft_asof_join('tvf_left', 'tvf_right', 'uid', 't', 'st',
         |                'sid,tag', 'backward', 'false', 'sid')
         |ORDER BY eid""".stripMargin).collect().toSeq
-    val salted = spark.sql(
+    val viaSub = spark.sql(
       """SELECT eid, sid, tag FROM
-        |graft_asof_join('tvf_left', 'tvf_right', 'uid', 't', 'st',
-        |                'sid,tag', 'backward', 'false', 'sid', '50')
+        |graft_asof_join('(SELECT * FROM tvf_left)',
+        |                '(SELECT uid, st, sid, tag FROM tvf_right)',
+        |                'uid', 't', 'st',
+        |                'sid,tag', 'backward', 'false', 'sid')
         |ORDER BY eid""".stripMargin).collect().toSeq
-    assert(salted === native)
-    assert(intercept[Exception](spark.sql(
-      "SELECT * FROM graft_asof_join('tvf_left', 'tvf_right', 'uid', " +
-        "'t', 'st', 'sid', 'forward', 'false', 'sid', '50')").collect())
-      .getMessage.contains("backward only"))
+    assert(viaSub === viaViews)
+    // bare SELECT (no parens) parses too
+    val bare = spark.sql(
+      """SELECT eid, sid, tag FROM
+        |graft_asof_join('SELECT * FROM tvf_left',
+        |                'tvf_right', 'uid', 't', 'st',
+        |                'sid,tag', 'backward', 'false', 'sid')
+        |ORDER BY eid""".stripMargin).collect().toSeq
+    assert(bare === viaViews)
+    val err = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof_join('no_such_table_xyz', 'tvf_right', " +
+        "'uid', 't', 'st', 'sid')").collect()).getMessage
+    assert(err.contains("(SELECT ...)"), err)
+    val badSub = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof_join('(SELECT FROM nothing', 'tvf_right', " +
+        "'uid', 't', 'st', 'sid')").collect()).getMessage
+    assert(badSub.contains("subquery failed"), badSub)
+    // gap-fill takes subqueries too
+    val day = 86400000000L
+    Seq(("k1", 0L * day + 5L, 1L, 10.0), ("k1", 2L * day + 7L, 2L, 30.0))
+      .toDF("k", "tus", "id", "v").createOrReplaceTempView("tvf_gap_sub")
+    val g = spark.sql(
+      """SELECT * FROM graft_gap_fill('(SELECT * FROM tvf_gap_sub)',
+        |'k', 'tus', 'id', 'v') ORDER BY key, day""".stripMargin)
+    assert(g.count() === 3L)
   }
 
   test("graft_gap_fill TVF == gapFillDaily Column form on a gappy " +

@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.KeyedPrefix
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed prefix sums without a per-key total sort: the two-pass
+  * AuditSeq discipline generalized to running counts + sums
+  * (SCALING.md "Sequential replay"). Oracle inside the suite is the
+  * per-key ordered window — correct by definition, serial per key.
+  */
+class KeyedPrefixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // few keys, many rows per key, scattered over many partitions —
+  // exactly the shape where Window.partitionBy(key) is a straggler
+  private def df = (1 to 2000)
+    .map(i => (s"k${i % 3}", i.toLong, (i % 7).toLong))
+    .toDF("k", "ord", "v").repartition(11)
+
+  test("cumsum matches the per-key ordered-window oracle bit-for-bit") {
+    val got = KeyedPrefix.cumsum(df, Seq("k"), Seq("ord"),
+        Seq("v" -> "cumv"), countName = "n")
+      .select("k", "ord", "n", "cumv")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val w = Window.partitionBy("k").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("cumv", sum(col("v")).over(w))
+      .select("k", "ord", "n", "cumv")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("multiple sum columns and a multi-column key") {
+    val d2 = (1 to 500)
+      .map(i => (i % 2, s"g${i % 2}", i.toLong, 1L, i.toLong % 5))
+      .toDF("ka", "kb", "ord", "one", "v").repartition(5)
+    val got = KeyedPrefix.cumsum(d2, Seq("ka", "kb"), Seq("ord"),
+        Seq("one" -> "c1", "v" -> "cv"))
+      .select("ka", "kb", "ord", "n", "c1", "cv")
+      .as[(Int, String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._3))
+    got.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      var c = 0L; var cv = 0L
+      sorted.foreach { r =>
+        c += 1L; cv += r._3 % 5
+        assert(r._4 === c); assert(r._5 === c); assert(r._6 === cv)
+      }
+    }
+  }
+
+  test("deterministic across runs (unique (key, order) contract)") {
+    def run() = KeyedPrefix.cumsum(df, Seq("k"), Seq("ord"), Seq("v" -> "cv"))
+      .select("k", "ord", "n", "cv")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run() === run())
+  }
+
+  test("null in a sum column fails loudly, not silently") {
+    val bad = Seq(("a", 1L, Some(1L)), ("a", 2L, None))
+      .toDF("k", "ord", "v")
+    val ex = intercept[org.apache.spark.SparkException] {
+      KeyedPrefix.cumsum(bad, Seq("k"), Seq("ord"), Seq("v" -> "cv")).collect()
+    }
+    assert(ex.getMessage.contains("cumsum") ||
+      Option(ex.getCause).exists(_.getMessage.contains("cumsum")))
+  }
+
+  test("output-name collision and non-Long sum column are rejected") {
+    intercept[IllegalArgumentException] {
+      KeyedPrefix.cumsum(df, Seq("k"), Seq("ord"), Seq("v" -> "ord"))
+    }
+    val dbl = Seq(("a", 1L, 1.5)).toDF("k", "ord", "v")
+    intercept[IllegalArgumentException] {
+      KeyedPrefix.cumsum(dbl, Seq("k"), Seq("ord"), Seq("v" -> "cv"))
+    }
+  }
+}

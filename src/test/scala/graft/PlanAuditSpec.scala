@@ -51,6 +51,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_sprt batch replay carries no per-type total sort of raw " +
+    "events: the plan rides the KeyedPrefix two-pass RDD (ExistingRDD " +
+    "leaf), with no Window operator anywhere") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.ExtensionQueries.queries("q_sprt")(spark, d))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
   test("rank-filter top-k (q_window_top_events) plans through " +
     "WindowGroupLimit — Spark's per-key partial top-k pushdown fires, " +
     "so the window never buffers a key's full row set") {
