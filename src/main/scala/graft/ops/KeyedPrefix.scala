@@ -45,31 +45,55 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object KeyedPrefix {
 
-  /** Append a running row count (`countName`) and running sums (one
-    * output column per `(input, output)` pair in `sums`) per key, in
-    * `(keys, order)` global sort order. Output rows keep every input
+  /** Append a running row count (`countName`), running sums (one
+    * output column per `(input, output)` pair in `sums`) and running
+    * maxima (`maxes`) per key, in `(keys, order)` global sort order —
+    * any per-key associative integer fold fits the same two passes
+    * (sum and max are the two shipped). Output rows keep every input
     * column; appended columns are non-null LongType.
     */
   def cumsum(df: DataFrame, keys: Seq[String], order: Seq[String],
              sums: Seq[(String, String)],
-             countName: String = "n"): DataFrame = {
+             countName: String = "n",
+             maxes: Seq[(String, String)] = Nil): DataFrame = {
     require(keys.nonEmpty, "cumsum needs at least one key column")
     require(order.nonEmpty, "cumsum needs at least one order column")
     val sorted = df.orderBy((keys ++ order).map(col): _*)
     val schema = sorted.schema
-    sums.foreach { case (in, _) =>
+    (sums ++ maxes).foreach { case (in, _) =>
       require(schema(in).dataType == LongType,
         s"cumsum sum column $in must be LongType, got ${schema(in).dataType}")
     }
     val taken = schema.fieldNames.toSet
-    (countName +: sums.map(_._2)).foreach { out =>
+    (countName +: (sums ++ maxes).map(_._2)).foreach { out =>
       require(!taken(out), s"cumsum output column $out collides with an input column")
     }
     val keyIdx = keys.map(schema.fieldIndex).toArray
-    val sumIdx = sums.map { case (in, _) => schema.fieldIndex(in) }.toArray
-    val nSums = sumIdx.length
+    // maxes ride the same accumulator array as the sums, merged with
+    // max instead of +; acc slots [0, nSums) are sums, [nSums, nAcc)
+    // are maxima seeded at Long.MinValue
+    val sumIdx = (sums ++ maxes).map { case (in, _) => schema.fieldIndex(in) }.toArray
+    val nSums = sums.length
+    val nAcc = sumIdx.length
     // ONE materialized lineage for both passes (see object doc)
     val rdd = sorted.rdd
+    def freshAcc(): Array[Long] = {
+      val a = new Array[Long](nAcc)
+      var i = nSums
+      while (i < nAcc) { a(i) = Long.MinValue; i += 1 }
+      a
+    }
+    def accumulate(acc: Array[Long], row: Row): Unit = {
+      var i = 0
+      while (i < nAcc) {
+        require(!row.isNullAt(sumIdx(i)),
+          s"cumsum: null in sum column at ordinal ${sumIdx(i)}")
+        val v = row.getLong(sumIdx(i))
+        if (i < nSums) acc(i) += v
+        else if (v > acc(i)) acc(i) = v
+        i += 1
+      }
+    }
 
     // pass 1: per-(partition, key) totals; keys arrive in contiguous
     // runs because the data is sorted by (keys ++ order)
@@ -84,15 +108,10 @@ object KeyedPrefix {
         it.foreach { row =>
           val k = keyIdx.map(row.get(_)).toSeq
           if (k != curKey) {
-            flush(); curKey = k; cnt = 0L; acc = new Array[Long](nSums)
+            flush(); curKey = k; cnt = 0L; acc = freshAcc()
           }
           cnt += 1L
-          var i = 0
-          while (i < nSums) {
-            require(!row.isNullAt(sumIdx(i)),
-              s"cumsum: null in sum column at ordinal ${sumIdx(i)}")
-            acc(i) += row.getLong(sumIdx(i)); i += 1
-          }
+          accumulate(acc, row)
         }
         flush()
         Iterator.single((pid, runs.toArray))
@@ -100,7 +119,7 @@ object KeyedPrefix {
 
     // driver: carry-in per (partition, key) = the same key's totals
     // over all EARLIER partitions
-    val zero = (0L, new Array[Long](nSums))
+    def zero = (0L, freshAcc())
     val running = scala.collection.mutable.HashMap.empty[Seq[Any], (Long, Array[Long])]
     val offsets: Map[Int, Map[Seq[Any], (Long, Array[Long])]] =
       partials.sortBy(_._1).map { case (pid, runs) =>
@@ -109,8 +128,12 @@ object KeyedPrefix {
         }.toMap
         runs.foreach { case (k, c, s) =>
           val (pc, ps) = running.getOrElse(k, zero)
-          val merged = new Array[Long](nSums)
-          var i = 0; while (i < nSums) { merged(i) = ps(i) + s(i); i += 1 }
+          val merged = new Array[Long](nAcc)
+          var i = 0
+          while (i < nAcc) {
+            merged(i) = if (i < nSums) ps(i) + s(i) else math.max(ps(i), s(i))
+            i += 1
+          }
           running(k) = (pc + c, merged)
         }
         pid -> carryIn
@@ -119,7 +142,8 @@ object KeyedPrefix {
 
     val outSchema = StructType(schema.fields ++
       (StructField(countName, LongType, nullable = false) +:
-        sums.map { case (_, out) => StructField(out, LongType, nullable = false) }))
+        (sums ++ maxes).map { case (_, out) =>
+          StructField(out, LongType, nullable = false) }))
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       val off = bc.value.getOrElse(pid, Map.empty[Seq[Any], (Long, Array[Long])])
       var curKey: Seq[Any] = null
@@ -129,12 +153,11 @@ object KeyedPrefix {
         val k = keyIdx.map(row.get(_)).toSeq
         if (k != curKey) {
           curKey = k
-          val (c0, s0) = off.getOrElse(k, zero)
+          val (c0, s0) = off.getOrElse(k, (0L, freshAcc()))
           cnt = c0; acc = s0.clone()
         }
         cnt += 1L
-        var i = 0
-        while (i < nSums) { acc(i) += row.getLong(sumIdx(i)); i += 1 }
+        accumulate(acc, row)
         Row.fromSeq(row.toSeq ++ (cnt +: acc.toSeq))
       }
     }

@@ -1433,6 +1433,277 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Sample-ratio mismatch (SRM) check, the first gate any experiment
+    * readout must pass (Fabijan et al., KDD 2019 diagnoses): with a
+    * 50/50 user split, the DISTINCT-user counts per arm should differ
+    * only by chance — a per-surface imbalance means assignment or
+    * logging loss, and every downstream p-value is garbage. One-df
+    * goodness-of-fit chi-square in exact milli:
+    * `z² = (n_a − n_b)² / (n_a + n_b)` (equal expected counts), same
+    * 3.841 threshold as the effect test. Per event type so a lossy
+    * surface is localized. One (type, user) distinct + one agg.
+    */
+  def srmQ(s: SparkSession, d: String): DataFrame =
+    srm(Tables.events(s, d))
+
+  private[graft] def srm(ev: DataFrame): DataFrame = {
+    ev.select(col("event_type"), col("user_id")).distinct()
+      .groupBy("event_type")
+      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("user_id") % 2 === 0, 0L).otherwise(1L)).as("n_b"))
+      .withColumn("z2_milli",
+        expr("CAST(CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b) * 1000" +
+          " div greatest(n_a + n_b, 1) AS BIGINT)"))
+      .withColumn("srm", col("z2_milli") > 3841L)
+      .orderBy("event_type")
+  }
+
+  /** Design-phase power analysis: the sample size each arm needs to
+    * detect a +10% relative lift on the observed base rate at 80%
+    * power / 5% two-sided α (the standard two-proportion closed form,
+    * `n = (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/(p₁−p₂)²`, with
+    * `(1.9600+0.8416)² = 7.849` pinned in milli), plus the days to
+    * reach it at the type's own observed event rate — the "how long
+    * must this test run" number, exact integer in ppm end to end.
+    */
+  def powerQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    power(ev.select(col("event_type"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day"),
+      when(col("value") > 200.0, 1L).otherwise(0L).as("hit")))
+  }
+
+  /** Core over a pre-projected (event_type, day, hit) frame. */
+  private[graft] def power(dayHit: DataFrame): DataFrame = {
+    dayHit
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("hits"),
+        (max(col("day")) - min(col("day")) + lit(1L)).as("nd"))
+      .withColumn("p1_ppm", expr("hits * 1000000 div greatest(n, 1)"))
+      .withColumn("p2_ppm", expr("least(p1_ppm * 11 div 10, 1000000)"))
+      .withColumn("diff_ppm", expr("p2_ppm - p1_ppm"))
+      .withColumn("n_req",
+        expr("CAST(7849 * (CAST(p1_ppm AS DECIMAL(38,0)) * (1000000 - p1_ppm)" +
+          " + CAST(p2_ppm AS DECIMAL(38,0)) * (1000000 - p2_ppm))" +
+          " div greatest(CAST(diff_ppm AS DECIMAL(38,0)) * diff_ppm * 1000, 1)" +
+          " AS BIGINT)"))
+      .withColumn("days_req",
+        expr("CAST((CAST(n_req AS DECIMAL(38,0)) * 2 * nd + n - 1)" +
+          " div greatest(n, 1) AS BIGINT)"))
+      .select("event_type", "p1_ppm", "p2_ppm", "diff_ppm", "n_req", "days_req")
+      .orderBy("event_type")
+  }
+
+  /** Group-sequential monitoring ledger (O'Brien–Fleming 1979 shape):
+    * five interim looks at equal fractions of the type's day span,
+    * each with the cumulative two-proportion z² against the OBF
+    * spending boundary `z²_k = z*²·K/k` (final-look z*² pinned at
+    * 4.162 milli for K = 5, the textbook table) — early looks pay a
+    * near-impossible bar, the final look spends almost the full α.
+    * The peeking-with-integrity companion to the SPRT: same question,
+    * calendar-scheduled looks instead of per-event. `stop_look` = the
+    * first crossing (0 = never). Day-grid bounded: per-(type, arm,
+    * day) partial agg, a 5-row look frame per type, z² from the same
+    * exact-milli formula as `q_chisq`.
+    */
+  def groupSeqQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    groupSeq(ev.select(col("event_type"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day"),
+      when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
+      when(col("value") > 200.0, 1L).otherwise(0L).as("hit")))
+  }
+
+  /** Core over a pre-projected (event_type, day, ga, hit) frame. */
+  private[graft] def groupSeq(e: DataFrame): DataFrame = {
+    val byDay = e
+      .groupBy("event_type", "day")
+      .agg(sum(col("ga")).as("da"), sum(col("ga") * col("hit")).as("dha"),
+        sum(lit(1L) - col("ga")).as("db"),
+        sum((lit(1L) - col("ga")) * col("hit")).as("dhb"))
+    val looks = byDay.groupBy("event_type")
+      .agg(min(col("day")).as("d0"),
+        (max(col("day")) - min(col("day")) + lit(1L)).as("nd"))
+      .select(col("event_type"), col("d0"), col("nd"),
+        explode(sequence(lit(1L), lit(5L))).as("look"))
+      .withColumn("cutoff", expr("d0 + nd * look div 5 - 1"))
+    val cum = looks.join(byDay.withColumnRenamed("event_type", "et"),
+        col("et") === col("event_type") && col("day") <= col("cutoff"), "left")
+      .groupBy("event_type", "look")
+      .agg(coalesce(sum(col("da")), lit(0L)).as("n_a"),
+        coalesce(sum(col("dha")), lit(0L)).as("hits_a"),
+        coalesce(sum(col("db")), lit(0L)).as("n_b"),
+        coalesce(sum(col("dhb")), lit(0L)).as("hits_b"))
+      .withColumn("pa_ppm", expr("hits_a * 1000000 div greatest(n_a, 1)"))
+      .withColumn("pb_ppm", expr("hits_b * 1000000 div greatest(n_b, 1)"))
+      .withColumn("pool_ppm",
+        expr("(hits_a + hits_b) * 1000000 div greatest(n_a + n_b, 1)"))
+      .withColumn("z2_milli",
+        expr("CAST(CAST(pa_ppm - pb_ppm AS DECIMAL(38,0)) * (pa_ppm - pb_ppm)" +
+          " * (CAST(n_a AS DECIMAL(38,0)) * n_b div greatest(n_a + n_b, 1))" +
+          " * 1000" +
+          " div greatest(pool_ppm * (1000000 - pool_ppm), 1) AS BIGINT)"))
+      .withColumn("bound_milli", expr("4162 * 5 div look"))
+      .withColumn("crossed", col("z2_milli") >= col("bound_milli"))
+    val stops = cum.filter(col("crossed"))
+      .groupBy("event_type").agg(min(col("look")).as("sl"))
+    cum.join(stops, Seq("event_type"), "left")
+      .withColumn("stop_look", coalesce(col("sl"), lit(0L)))
+      .select("event_type", "look", "n_a", "hits_a", "n_b", "hits_b",
+        "z2_milli", "bound_milli", "crossed", "stop_look")
+      .orderBy("event_type", "look")
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi, Walker — WSDM 2013):
+    * each user's PRE-period activity predicts their post-period
+    * metric, and regressing it out shrinks the experiment's variance
+    * by exactly ρ² — the single highest-leverage trick in online
+    * experimentation (weeks of runtime back for one covariate).
+    * Split each type's day span in half: covariate x = the user's
+    * pre-half value total, metric y = the post-half total (whole
+    * units; users present in either half, absent halves = 0). Output
+    * per type: θ (the CUPED coefficient, micro), and the variance
+    * reduction ρ²_ppm = cxy²/(cxx·cyy) over the n-cleared centered
+    * sums (`c·· = n·S·· − S·S·`, DECIMAL(38,0); the ratio computed on
+    * `c·· div n` so the squares stay under 38 digits — truncating
+    * division, identical on both engines).
+    */
+  def cupedQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    cuped(ev.select(col("event_type"), col("user_id"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day"),
+      expr("CAST(floor(value) AS BIGINT)").as("v")))
+  }
+
+  /** Core over a pre-projected (event_type, user_id, day, v) frame. */
+  private[graft] def cuped(ed: DataFrame): DataFrame = {
+    val mids = ed.groupBy("event_type")
+      .agg(expr("min(day) + (max(day) - min(day) + 1) div 2").as("mid"))
+    val perUser = ed.join(broadcast(mids), Seq("event_type"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("day") < col("mid"), col("v")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid"), col("v")).otherwise(0L)).as("y"))
+    perUser.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("cxx", expr("n_users * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("cxy", expr("n_users * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("cyy", expr("n_users * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("theta_micro",
+        expr("CAST(cxy * 1000000 div greatest(cxx, 1) AS BIGINT)"))
+      .withColumn("varred_ppm",
+        expr("CAST((cxy div n_users) * (cxy div n_users) * 1000000" +
+          " div greatest((cxx div n_users) * (cyy div n_users), 1) AS BIGINT)"))
+      .select("event_type", "n_users", "theta_micro", "varred_ppm")
+      .orderBy("event_type")
+  }
+
+  /** Delete-one-day jackknife variance of the mean daily volume
+    * (Quenouille '49 / Tukey '58): the leave-one-out pseudo-value
+    * spread, the non-resampling uncertainty estimate next to the two
+    * bootstraps — on the mean it collapses to s²/n by algebra, which
+    * is exactly the cross-check. Exact integer: with `u_i = S − x_i`,
+    * `var_jk = (n·Σu² − (Σu)²) / (n²·(n−1))` in milli over the
+    * zero-filled day grid (span-bounded; DECIMAL(38,0) squares).
+    */
+  def jackknifeQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    jackknife(Monitor.dailyGrid(ev, "event_type",
+      AnalyticsQueries.epochUs(ev, "ts")))
+  }
+
+  /** Core over a zero-filled (key, day, n) grid. */
+  private[graft] def jackknife(g: DataFrame): DataFrame = {
+    val t = g.groupBy("key")
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"))
+    g.join(t, Seq("key"))
+      .groupBy("key", "nd", "s")
+      .agg(sum(expr("CAST(s - n AS DECIMAL(38,0)) * (s - n)")).as("b"))
+      .withColumn("a", expr("CAST(s AS DECIMAL(38,0)) * (nd - 1)"))
+      .select(col("key").as("event_type"), col("nd"),
+        expr("CAST(s * 1000 div nd AS BIGINT)").as("mean_milli"),
+        expr("CAST((nd * b - a * a) * 1000" +
+          " div greatest(CAST(nd AS DECIMAL(38,0)) * nd * (nd - 1), 1)" +
+          " AS BIGINT)").as("jk_var_milli"))
+      .orderBy("event_type")
+  }
+
+  /** Split-conformal prediction interval for daily volume (Vovk's
+    * conformal framework in the Lei et al. JASA '18 split form): the
+    * first ⅔ of the day span calibrates, the last ⅓ tests; the upper
+    * bound is the ⌈0.9·(n_cal+1)⌉-th smallest calibration score,
+    * which guarantees ≥ 90% marginal coverage on exchangeable data
+    * WITHOUT any distributional assumption — the distribution-free
+    * answer to "what's a normal day". Reported: the bound, the
+    * finite-sample target `r/(n_cal+1)`, and the achieved test
+    * coverage ppm. All on the span-bounded sorted day array.
+    */
+  def conformalQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    conformal(Monitor.dailyGrid(ev, "event_type",
+      AnalyticsQueries.epochUs(ev, "ts")))
+  }
+
+  /** Core over a zero-filled (key, day, n) grid. */
+  private[graft] def conformal(g: DataFrame): DataFrame = {
+    g.groupBy("key")
+      .agg(expr("transform(array_sort(collect_list(struct(day, n)))," +
+        " s -> s.n)").as("xs"), count(lit(1)).as("nd"))
+      .withColumn("nc", expr("greatest(2 * nd div 3, 1)"))
+      .withColumn("n_test", expr("nd - nc"))
+      .withColumn("r", expr("greatest(least((9 * (nc + 1) + 9) div 10, nc), 1)"))
+      .withColumn("q_hat", expr(
+        "element_at(array_sort(slice(xs, 1, CAST(nc AS INT)))," +
+          " CAST(r AS INT))"))
+      .withColumn("target_ppm", expr("1000000 * r div (nc + 1)"))
+      .withColumn("coverage_ppm", expr(
+        "1000000 * size(filter(slice(xs, CAST(nc + 1 AS INT)," +
+          " CAST(n_test AS INT)), x -> x <= q_hat)) div greatest(n_test, 1)"))
+      .select(col("key").as("event_type"), col("nc").as("n_cal"),
+        col("n_test"), col("q_hat"), col("target_ppm"), col("coverage_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Running-peak drawdown replay, the second consumer of
+    * [[graft.ops.KeyedPrefix.cumsum]] (this one exercises the
+    * running-MAX lane): per event type in (ts, id) order, the worst
+    * observed slump of `value` relative to its running peak
+    * (`dd = (peak − v)·1e6 div peak` ppm) and the first observation
+    * where the slump crossed 50% — the metric-collapse alarm a
+    * monitoring replay asks of a recorded stream. Like the SPRT
+    * replay, a per-type ordered window would serialize each type;
+    * the two-pass prefix scan keeps hot types parallel.
+    */
+  def drawdownQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    drawdown(ev.select(col("event_type"), col("event_id"),
+      AnalyticsQueries.epochUs(ev, "ts").as("ts_us"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("v")))
+  }
+
+  /** Core over a pre-projected (event_type, event_id, ts_us, v) frame. */
+  private[graft] def drawdown(base: DataFrame): DataFrame = {
+    val t = graft.ops.KeyedPrefix.cumsum(base,
+        keys = Seq("event_type"), order = Seq("ts_us", "event_id"),
+        sums = Nil, countName = "n", maxes = Seq("v" -> "peak"))
+      .withColumn("dd",
+        expr("(peak - v) * 1000000 div greatest(peak, 1)"))
+    val tops = t.groupBy("event_type")
+      .agg(max(col("n")).as("n_total"), max(col("dd")).as("max_dd_ppm"))
+    val alarms = t.filter(col("dd") >= 500000L)
+      .groupBy("event_type").agg(min(col("n")).as("fa"))
+    tops.join(alarms, Seq("event_type"), "left")
+      .withColumn("first_alarm_n", coalesce(col("fa"), lit(0L)))
+      .select("event_type", "n_total", "max_dd_ppm", "first_alarm_n")
+      .orderBy("event_type")
+  }
+
   /** FK fan-out census for the lake's central join (orders per
     * customer): the distribution a join planner reads BEFORE assuming
     * "FK join ≈ 1:few" — per distinct fan-out, how many customers sit
@@ -3881,6 +4152,180 @@ object ExtensionQueries {
         |  CAST((list_sum(xs[(k+1):(nd-k)]) + k * xs[k+1] + k * xs[nd-k])
         |    * 1000 // nd AS BIGINT) AS winsor_milli
         |FROM b ORDER BY event_type""".stripMargin) +
+    ("q_srm" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000
+        |    // greatest(n_a + n_b, 1) AS BIGINT) AS z2_milli,
+        |  CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000
+        |    // greatest(n_a + n_b, 1) AS BIGINT) > 3841 AS srm
+        |FROM g ORDER BY event_type""".stripMargin) +
+    ("q_power" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS hit FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(hit) AS BIGINT) AS hits,
+        |    CAST(max(day) - min(day) + 1 AS BIGINT) AS nd
+        |  FROM d GROUP BY 1),
+        |p AS (SELECT *,
+        |    CAST(hits * 1000000 // greatest(n, 1) AS BIGINT) AS p1_ppm FROM g),
+        |q AS (SELECT *,
+        |    CAST(least(p1_ppm * 11 // 10, 1000000) AS BIGINT) AS p2_ppm FROM p),
+        |r AS (SELECT *, CAST(p2_ppm - p1_ppm AS BIGINT) AS diff_ppm FROM q),
+        |s AS (SELECT *,
+        |    CAST(7849 * (CAST(p1_ppm AS HUGEINT) * (1000000 - p1_ppm)
+        |      + CAST(p2_ppm AS HUGEINT) * (1000000 - p2_ppm))
+        |      // greatest(CAST(diff_ppm AS HUGEINT) * diff_ppm * 1000, 1)
+        |      AS BIGINT) AS n_req FROM r)
+        |SELECT event_type, p1_ppm, p2_ppm, diff_ppm, n_req,
+        |  CAST((CAST(n_req AS HUGEINT) * 2 * nd + n - 1)
+        |    // greatest(n, 1) AS BIGINT) AS days_req
+        |FROM s ORDER BY event_type""".stripMargin) +
+    ("q_group_seq" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+        |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS hit FROM events),
+        |byday AS (SELECT event_type, day,
+        |    CAST(sum(ga) AS BIGINT) AS da,
+        |    CAST(sum(ga * hit) AS BIGINT) AS dha,
+        |    CAST(sum(1 - ga) AS BIGINT) AS db,
+        |    CAST(sum((1 - ga) * hit) AS BIGINT) AS dhb
+        |  FROM e GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0,
+        |    max(day) - min(day) + 1 AS nd FROM byday GROUP BY 1),
+        |lk AS (SELECT event_type, d0, nd, unnest(range(1, 6)) AS look FROM sp),
+        |lc AS (SELECT event_type, CAST(look AS BIGINT) AS look,
+        |    d0 + nd * look // 5 - 1 AS cutoff FROM lk),
+        |c AS (SELECT l.event_type, l.look,
+        |    CAST(COALESCE(sum(b.da), 0) AS BIGINT) AS n_a,
+        |    CAST(COALESCE(sum(b.dha), 0) AS BIGINT) AS hits_a,
+        |    CAST(COALESCE(sum(b.db), 0) AS BIGINT) AS n_b,
+        |    CAST(COALESCE(sum(b.dhb), 0) AS BIGINT) AS hits_b
+        |  FROM lc l LEFT JOIN byday b
+        |    ON b.event_type = l.event_type AND b.day <= l.cutoff
+        |  GROUP BY 1, 2),
+        |z AS (SELECT *,
+        |    CAST(hits_a * 1000000 // greatest(n_a, 1) AS BIGINT) AS pa_ppm,
+        |    CAST(hits_b * 1000000 // greatest(n_b, 1) AS BIGINT) AS pb_ppm,
+        |    CAST((hits_a + hits_b) * 1000000 // greatest(n_a + n_b, 1)
+        |      AS BIGINT) AS pool_ppm
+        |  FROM c),
+        |zz AS (SELECT *,
+        |    CAST(CAST(pa_ppm - pb_ppm AS HUGEINT) * (pa_ppm - pb_ppm)
+        |      * (CAST(n_a AS HUGEINT) * n_b // greatest(n_a + n_b, 1)) * 1000
+        |      // greatest(pool_ppm * (1000000 - pool_ppm), 1) AS BIGINT)
+        |      AS z2_milli,
+        |    CAST(4162 * 5 // look AS BIGINT) AS bound_milli
+        |  FROM z),
+        |f AS (SELECT *, z2_milli >= bound_milli AS crossed FROM zz),
+        |st AS (SELECT event_type, CAST(min(look) AS BIGINT) AS sl
+        |  FROM f WHERE crossed GROUP BY 1)
+        |SELECT f.event_type, f.look, n_a, hits_a, n_b, hits_b,
+        |  z2_milli, bound_milli, crossed,
+        |  CAST(COALESCE(st.sl, 0) AS BIGINT) AS stop_look
+        |FROM f LEFT JOIN st ON f.event_type = st.event_type
+        |ORDER BY f.event_type, f.look""".stripMargin) +
+    ("q_cuped" ->
+      """WITH ed AS (SELECT event_type, user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value) AS BIGINT) AS v FROM events),
+        |m AS (SELECT event_type,
+        |    min(day) + (max(day) - min(day) + 1) // 2 AS mid
+        |  FROM ed GROUP BY 1),
+        |pu AS (SELECT ed.event_type, ed.user_id,
+        |    CAST(sum(CASE WHEN ed.day < m.mid THEN ed.v ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ed.day >= m.mid THEN ed.v ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM ed JOIN m ON ed.event_type = m.event_type GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM pu GROUP BY 1),
+        |cc AS (SELECT *,
+        |    n_users * sxx - CAST(sx AS HUGEINT) * sx AS cxx,
+        |    n_users * sxy - CAST(sx AS HUGEINT) * sy AS cxy,
+        |    n_users * syy - CAST(sy AS HUGEINT) * sy AS cyy
+        |  FROM st)
+        |SELECT event_type, n_users,
+        |  CAST(cxy * 1000000 // greatest(cxx, 1) AS BIGINT) AS theta_micro,
+        |  CAST((cxy // n_users) * (cxy // n_users) * 1000000
+        |    // greatest((cxx // n_users) * (cyy // n_users), 1) AS BIGINT)
+        |    AS varred_ppm
+        |FROM cc ORDER BY event_type""".stripMargin) +
+    ("q_jackknife" ->
+      """WITH byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(n) AS BIGINT) AS s FROM g GROUP BY 1),
+        |j AS (SELECT g.event_type, t.nd, t.s,
+        |    CAST(sum(CAST(t.s - g.n AS HUGEINT) * (t.s - g.n)) AS HUGEINT) AS b
+        |  FROM g JOIN t USING (event_type) GROUP BY 1, 2, 3),
+        |a AS (SELECT *, CAST(s AS HUGEINT) * (nd - 1) AS aa FROM j)
+        |SELECT event_type, nd,
+        |  CAST(s * 1000 // nd AS BIGINT) AS mean_milli,
+        |  CAST((nd * b - aa * aa) * 1000
+        |    // greatest(CAST(nd AS HUGEINT) * nd * (nd - 1), 1) AS BIGINT)
+        |    AS jk_var_milli
+        |FROM a ORDER BY event_type""".stripMargin) +
+    ("q_conformal" ->
+      """WITH byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |a AS (SELECT event_type, list(n ORDER BY day) AS xs,
+        |    CAST(count(*) AS BIGINT) AS nd FROM g GROUP BY 1),
+        |b AS (SELECT *, CAST(greatest(2 * nd // 3, 1) AS BIGINT) AS nc FROM a),
+        |c AS (SELECT *, nd - nc AS n_test,
+        |    CAST(greatest(least((9 * (nc + 1) + 9) // 10, nc), 1) AS BIGINT)
+        |      AS r FROM b),
+        |d AS (SELECT *, (list_sort(xs[1:nc]))[r] AS q_hat,
+        |    xs[(nc+1):nd] AS test FROM c)
+        |SELECT event_type, nc AS n_cal, CAST(n_test AS BIGINT) AS n_test,
+        |  CAST(q_hat AS BIGINT) AS q_hat,
+        |  CAST(1000000 * r // (nc + 1) AS BIGINT) AS target_ppm,
+        |  CAST(1000000 * len(list_filter(test, x -> x <= q_hat))
+        |    // greatest(n_test, 1) AS BIGINT) AS coverage_ppm
+        |FROM d ORDER BY event_type""".stripMargin) +
+    ("q_drawdown" ->
+      """WITH t AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |c AS (SELECT event_type, v,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(max(v) OVER w AS BIGINT) AS peak
+        |  FROM t WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT event_type, n,
+        |    CAST((peak - v) * 1000000 // greatest(peak, 1) AS BIGINT) AS dd
+        |  FROM c),
+        |s AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+        |    CAST(max(dd) AS BIGINT) AS max_dd_ppm FROM d GROUP BY 1),
+        |f AS (SELECT event_type, CAST(min(n) AS BIGINT) AS fa
+        |  FROM d WHERE dd >= 500000 GROUP BY 1)
+        |SELECT s.event_type, n_total, max_dd_ppm,
+        |  CAST(COALESCE(f.fa, 0) AS BIGINT) AS first_alarm_n
+        |FROM s LEFT JOIN f ON s.event_type = f.event_type
+        |ORDER BY s.event_type""".stripMargin) +
     ("q_sprt" ->
       """WITH t AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS hit FROM events),
@@ -7746,6 +8191,13 @@ object ExtensionQueries {
     "q_backlog"         -> (backlogQ _),
     "q_ab_bootstrap"    -> (abBootstrapQ _),
     "q_sprt"            -> (sprtQ _),
-    "q_robust_mean"     -> (robustMeanQ _)
+    "q_robust_mean"     -> (robustMeanQ _),
+    "q_srm"             -> (srmQ _),
+    "q_power"           -> (powerQ _),
+    "q_group_seq"       -> (groupSeqQ _),
+    "q_cuped"           -> (cupedQ _),
+    "q_jackknife"       -> (jackknifeQ _),
+    "q_conformal"       -> (conformalQ _),
+    "q_drawdown"        -> (drawdownQ _)
   )
 }

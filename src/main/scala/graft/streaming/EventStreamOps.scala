@@ -460,6 +460,46 @@ object EventStreamOps {
       }
   }
 
+  case class DdEv(key: String, seq: Long, v: Long)
+  case class DdState(nObs: Long, peak: Long, maxDdPpm: Long,
+                     firstAlarmN: Long)
+  case class DdOut(key: String, nObs: Long, peak: Long, maxDdPpm: Long,
+                   firstAlarmN: Long)
+
+  /** Live running-peak drawdown — the streaming twin of
+    * [[graft.queries.ExtensionQueries.drawdown]]: per key, the
+    * running peak of the metric, the worst slump against it in ppm,
+    * and the observation index of the FIRST crossing of `alarmPpm`
+    * (0 while none; sticky once set, exactly the batch replay's
+    * struct-min pick). State is four numbers per key; within a batch
+    * observations apply in `seq` order so replays are deterministic.
+    * Update mode: one row per touched key per batch — after any
+    * prefix of the stream the emitted row equals the batch replay's
+    * summary over the same prefix (spec-pinned).
+    */
+  def streamingDrawdown(obs: Dataset[DdEv],
+                        alarmPpm: Long = 500000L): Dataset[DdOut] = {
+    require(alarmPpm > 0, "alarmPpm must be positive")
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DdState, DdOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[DdEv], state: GroupState[DdState]) =>
+          var st = state.getOption.getOrElse(DdState(0L, Long.MinValue, 0L, 0L))
+          evs.toSeq.sortBy(_.seq).foreach { e =>
+            val peak = math.max(st.peak, e.v)
+            val dd = (peak - e.v) * 1000000L / math.max(peak, 1L)
+            val n = st.nObs + 1
+            st = DdState(n, peak, math.max(st.maxDdPpm, dd),
+              if (st.firstAlarmN == 0L && dd >= alarmPpm) n else st.firstAlarmN)
+          }
+          state.update(st)
+          Iterator.single(DdOut(key, st.nObs, st.peak, st.maxDdPpm,
+            st.firstAlarmN))
+      }
+  }
+
   case class BkState(lastDay: Long, backlogMilli: Long)
   case class BkOut(key: String, day: Long, n: Long, backlogMilli: Long,
                    drained: Boolean)

@@ -1,0 +1,170 @@
+package graft
+
+import graft.queries.ExtensionQueries
+import org.apache.spark.sql.functions._
+
+/** The experiment-design/readout layer added in round 10: planted
+  * fixtures for the invariants the hash oracles alone cannot state —
+  * SRM fires on real imbalance and stays silent on balance, the power
+  * formula lands on the textbook number, the OBF ledger stops early
+  * exactly on a planted strong effect, CUPED's ρ² reads ≈1 on a
+  * linear covariate and ≈0 on an independent one, the jackknife
+  * equals its closed form, conformal's bound behaves on exchangeable
+  * vs trending data, and the drawdown replay is hand-checkable.
+  */
+class ExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("srm: a 600/400 user imbalance fires, a 500/500 split is silent") {
+    def ev(nEven: Int, nOdd: Int) =
+      ((0 until nEven).map(i => ("t", 2L * i)) ++
+        (0 until nOdd).map(i => ("t", 2L * i + 1)))
+        .toDF("event_type", "user_id")
+    val bad = ExtensionQueries.srm(ev(600, 400))
+      .select("n_a", "n_b", "z2_milli", "srm")
+      .as[(Long, Long, Long, Boolean)].head()
+    // (600-400)^2 * 1000 / 1000 = 40000 milli
+    assert(bad === ((600L, 400L, 40000L, true)))
+    val ok = ExtensionQueries.srm(ev(500, 500)).select("srm").as[Boolean].head()
+    assert(!ok)
+  }
+
+  test("power: a 2% base rate at +10% relative lands on the textbook " +
+    "~80,680 per arm; days_req scales it by the observed rate") {
+    // 10000 events over 10 days, exactly 200 hits (2%)
+    val rows = (0 until 10000).map(i => ("t", (i % 10).toLong,
+      if (i < 200) 1L else 0L))
+    val out = ExtensionQueries.power(rows.toDF("event_type", "day", "hit"))
+      .select("p1_ppm", "p2_ppm", "n_req", "days_req")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out._1 === 20000L && out._2 === 22000L)
+    // float check: 7.849*(.02*.98+.022*.978)/.002^2 = 80679.7...
+    assert(out._3 >= 80600L && out._3 <= 80760L, s"n_req=${out._3}")
+    // both arms accrue from the same stream: 2*n_req*nd/n, ceil
+    val expectDays = (out._3 * 2 * 10 + 10000 - 1) / 10000
+    assert(out._4 === expectDays)
+  }
+
+  test("group_seq: a planted 50%-vs-10% effect crosses at look 1; the " +
+    "balanced null never stops (stop_look = 0, all bounds honored)") {
+    // 10 days; every day 50 users/arm, arm A hits 50%, arm B 10%
+    def e(pa: Int, pb: Int) = (0 until 10).flatMap { d =>
+      (0 until 50).flatMap { u =>
+        Seq(("t", d.toLong, 1L, if (u < pa) 1L else 0L),
+          ("t", d.toLong, 0L, if (u < pb) 1L else 0L))
+      }
+    }.toDF("event_type", "day", "ga", "hit")
+    val strong = ExtensionQueries.groupSeq(e(25, 5))
+      .select("look", "crossed", "stop_look")
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(strong.length === 5)
+    assert(strong.head._2, "look 1 must cross on a planted huge effect")
+    assert(strong.forall(_._3 === 1L))
+    val none = ExtensionQueries.groupSeq(e(10, 10))
+      .select("crossed", "stop_look").as[(Boolean, Long)].collect()
+    assert(none.forall(r => !r._1 && r._2 === 0L))
+  }
+
+  test("cuped: a linear covariate reads rho^2 ~ 1 and theta ~ slope; " +
+    "an independent covariate reads rho^2 ~ 0") {
+    // 40 users, pre activity i, post activity 3*i (exact linearity)
+    val lin = (0 until 40).flatMap { i =>
+      Seq(("t", i.toLong, 0L, (i + 1).toLong),      // pre (day 0 < mid)
+        ("t", i.toLong, 9L, 3L * (i + 1)))          // post (day 9 >= mid)
+    }.toDF("event_type", "user_id", "day", "v")
+    val l = ExtensionQueries.cuped(lin)
+      .select("n_users", "theta_micro", "varred_ppm")
+      .as[(Long, Long, Long)].head()
+    assert(l._1 === 40L)
+    assert(l._2 === 3000000L, s"theta=${l._2}")
+    assert(l._3 >= 999000L, s"rho2=${l._3}")
+    // independent: post constant regardless of pre
+    val ind = (0 until 40).flatMap { i =>
+      Seq(("t", i.toLong, 0L, (i + 1).toLong),
+        ("t", i.toLong, 9L, 7L))
+    }.toDF("event_type", "user_id", "day", "v")
+    val r = ExtensionQueries.cuped(ind).select("varred_ppm").as[Long].head()
+    assert(r <= 1000L, s"independent rho2=$r")
+  }
+
+  test("jackknife: hand-checked 1..5 grid = 500 milli, and the " +
+    "closed-form s^2/n identity holds") {
+    val g = (0 until 5).map(i => ("k", i.toLong, (i + 1).toLong))
+      .toDF("key", "day", "n")
+    val out = ExtensionQueries.jackknife(g)
+      .select("nd", "mean_milli", "jk_var_milli")
+      .as[(Long, Long, Long)].head()
+    // S=15, sum x^2=55: (5*55-225)*1000/(25*4) = 50000/100 = 500
+    assert(out === ((5L, 3000L, 500L)))
+  }
+
+  test("conformal: constant series covers at 100% with q_hat = the " +
+    "constant; a strong upward trend breaks coverage (the " +
+    "exchangeability violation made visible)") {
+    val const = (0 until 30).map(i => ("k", i.toLong, 7L))
+      .toDF("key", "day", "n")
+    val c = ExtensionQueries.conformal(const)
+      .select("n_cal", "n_test", "q_hat", "target_ppm", "coverage_ppm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(c._1 === 20L && c._2 === 10L && c._3 === 7L)
+    // r = min(ceil(0.9*21), 20) = 19 -> target 19/21
+    assert(c._4 === 1000000L * 19 / 21)
+    assert(c._5 === 1000000L)
+    val trend = (0 until 30).map(i => ("k", i.toLong, (i + 1).toLong))
+      .toDF("key", "day", "n")
+    val t = ExtensionQueries.conformal(trend)
+      .select("q_hat", "coverage_ppm").as[(Long, Long)].head()
+    assert(t._1 === 19L) // 19th smallest of 1..20
+    assert(t._2 === 0L)  // test days 21..30 all exceed it
+  }
+
+  test("streamingDrawdown == batch drawdown summary over the same " +
+    "prefix, across batch boundaries, with a sticky first alarm") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    import graft.streaming.EventStreamOps.{DdEv, DdOut}
+    implicit val sc = spark.sqlContext
+    val series = Seq(100L, 50L, 200L, 20L, 300L, 299L)
+    val mem = MemoryStream[DdEv]
+    val q = EventStreamOps.streamingDrawdown(mem.toDS())
+      .writeStream.format("memory").queryName("ddlive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest = spark.table("ddlive").as[DdOut].collect().last
+      def batchOver(n: Int) = ExtensionQueries.drawdown(
+          series.take(n).zipWithIndex
+            .map { case (v, i) => ("t", i.toLong, i.toLong * 10, v) }
+            .toDF("event_type", "event_id", "ts_us", "v"))
+        .select("n_total", "max_dd_ppm", "first_alarm_n")
+        .as[(Long, Long, Long)].head()
+      mem.addData(series.take(3).zipWithIndex.map { case (v, i) =>
+        DdEv("t", i.toLong, v) }: _*)
+      q.processAllAvailable()
+      val mid = latest
+      assert((mid.nObs, mid.maxDdPpm, mid.firstAlarmN) === batchOver(3))
+      mem.addData(series.drop(3).zipWithIndex.map { case (v, i) =>
+        DdEv("t", (i + 3).toLong, v) }: _*)
+      q.processAllAvailable()
+      val fin = latest
+      assert((fin.nObs, fin.maxDdPpm, fin.firstAlarmN) === batchOver(6))
+      assert(fin.firstAlarmN === 2L) // sticky: still the first crossing
+    } finally q.stop()
+  }
+
+  test("drawdown: hand-checked peak/slump sequence with the 50% alarm " +
+    "at the right observation") {
+    val base = Seq(
+      ("t", 1L, 10L, 100L), // peak 100, dd 0
+      ("t", 2L, 20L, 50L),  // dd 500000 -> first alarm at n=2
+      ("t", 3L, 30L, 200L), // new peak, dd 0
+      ("t", 4L, 40L, 20L)   // dd 900000 -> max
+    ).toDF("event_type", "event_id", "ts_us", "v")
+      .select(col("event_type"), col("event_id"), col("ts_us"), col("v"))
+    val out = ExtensionQueries.drawdown(
+        base.select(col("event_type"), col("event_id"), col("ts_us"), col("v")))
+      .select("n_total", "max_dd_ppm", "first_alarm_n")
+      .as[(Long, Long, Long)].head()
+    assert(out === ((4L, 900000L, 2L)))
+  }
+}

@@ -52,6 +52,26 @@ class KeyedPrefixSpec extends SparkSpec {
     }
   }
 
+  test("running maxes ride the same two passes: parity with the " +
+    "ordered-window max oracle, mixed with sums") {
+    val d = (1 to 1500)
+      .map(i => (s"k${i % 2}", i.toLong, ((i * 37) % 101).toLong))
+      .toDF("k", "ord", "v").repartition(9)
+    val got = KeyedPrefix.cumsum(d, Seq("k"), Seq("ord"),
+        Seq("v" -> "cv"), countName = "n", maxes = Seq("v" -> "mv"))
+      .select("k", "ord", "n", "cv", "mv")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val w = Window.partitionBy("k").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = d
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("cv", sum(col("v")).over(w))
+      .withColumn("mv", max(col("v")).over(w))
+      .select("k", "ord", "n", "cv", "mv")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("deterministic across runs (unique (key, order) contract)") {
     def run() = KeyedPrefix.cumsum(df, Seq("k"), Seq("ord"), Seq("v" -> "cv"))
       .select("k", "ord", "n", "cv")
