@@ -3921,6 +3921,103 @@ object ExtensionQueries {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .orderBy("cluster_size")
 
+  /** In-batch negative contamination estimate for contrastive
+    * training (the birthday-bound census): when batches are sampled
+    * uniformly, the expected number of near-duplicate pairs INSIDE a
+    * batch — false negatives that actively fight the loss — is
+    * `C(B,2)·Σs(s−1)/(N(N−1))` from the dedup-cluster size profile
+    * alone. One agg over the shared components memo + the corpus
+    * count, evaluated at the standard batch-size ladder; exact milli
+    * (B(B−1) is always even, so the C(B,2) halving is exact).
+    */
+  def negCollisionsQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sizes = docClusters(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val dup = sizes.agg(
+      coalesce(sum(expr("sz * (sz - 1)")), lit(0L)).as("dup2"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    Seq(64L, 256L, 1024L, 4096L).toDF("batch")
+      .crossJoin(broadcast(dup)).crossJoin(broadcast(n))
+      .withColumn("b_eff", least(col("batch"), col("n_docs")))
+      .withColumn("exp_dup_pairs_milli", expr(
+        "CAST(1000 * (CAST(b_eff AS DECIMAL(38,0)) * (b_eff - 1) div 2)" +
+          " * dup2 div greatest(CAST(n_docs AS DECIMAL(38,0))" +
+          " * (n_docs - 1), 1) AS BIGINT)"))
+      .select("batch", "b_eff", "exp_dup_pairs_milli")
+      .orderBy("batch")
+  }
+
+  /** Per-source quantile normalization of document length — the rank
+    * map that makes one quality threshold comparable ACROSS sources
+    * whose raw distributions differ (the cross-source calibration
+    * step before any global length/quality cut). Rank-within-source
+    * is the textbook per-key ordered window — and sources are few
+    * and huge, so this is the third consumer of
+    * [[graft.ops.KeyedPrefix.cumsum]] (count lane only): one range
+    * sort on (source, n_chars, doc_id), no per-source single-task
+    * sort. Ties break by doc_id, so the rank is the deterministic
+    * `row_number` both engines agree on; `quantile_ppm =
+    * (rank−1)·1e6 div (n_src−1)`.
+    */
+  def quantileNormQ(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val ranked = graft.ops.KeyedPrefix.cumsum(dd,
+      keys = Seq("source"), order = Seq("n_chars", "doc_id"),
+      sums = Nil, countName = "rank")
+    val tot = dd.groupBy("source").agg(count(lit(1)).as("n_src"))
+    ranked.join(broadcast(tot), Seq("source"))
+      .withColumn("quantile_ppm",
+        expr("(rank - 1) * 1000000 div greatest(n_src - 1, 1)"))
+      .select("doc_id", "source", "n_chars", "rank", "quantile_ppm")
+      .orderBy("doc_id")
+  }
+
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-type hit rates
+    * (Efron–Morris '75 shape, method-of-moments prior): small
+    * segments borrow strength from the ensemble — the prior's
+    * pseudo-count `M = m(1−m)/v − 1` comes from the mean and
+    * variance of the K per-type rates themselves, and each segment
+    * reports `(hits·1e6 + m·M) div (n + M)` — raw rates for big
+    * segments, the pooled mean for tiny ones, exactly the
+    * low-traffic-segment stabilizer a per-segment dashboard needs.
+    * All integer ppm on the K-row type frame; overdispersed
+    * ensembles (v > m(1−m), no valid beta prior) clamp M to 0 =
+    * no shrinkage, documented rather than silent.
+    */
+  def ebShrinkQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ebShrink(ev.select(col("event_type"),
+      when(col("value") > 200.0, 1L).otherwise(0L).as("hit")))
+  }
+
+  /** Core over a pre-projected (event_type, hit) frame. */
+  private[graft] def ebShrink(e: DataFrame): DataFrame = {
+    val perType = e
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("hits"))
+      .withColumn("raw_ppm", expr("hits * 1000000 div greatest(n, 1)"))
+    val prior = perType.agg(count(lit(1)).as("k"),
+        sum(col("raw_ppm")).as("sp"),
+        sum(expr("CAST(raw_ppm AS DECIMAL(38,0)) * raw_ppm")).as("spp"))
+      .withColumn("m_ppm", expr("sp div greatest(k, 1)"))
+      .withColumn("v_ppm2", expr(
+        "CAST((k * spp - CAST(sp AS DECIMAL(38,0)) * sp)" +
+          " div greatest(CAST(k AS DECIMAL(38,0)) * (k - 1), 1) AS BIGINT)"))
+      .withColumn("big_m", expr(
+        "greatest(CAST(CAST(m_ppm AS DECIMAL(38,0)) * (1000000 - m_ppm)" +
+          " div greatest(v_ppm2, 1) AS BIGINT) - 1, 0)"))
+      .select("m_ppm", "v_ppm2", "big_m")
+    perType.crossJoin(broadcast(prior))
+      .withColumn("shrunk_ppm", expr(
+        "CAST((CAST(hits AS DECIMAL(38,0)) * 1000000" +
+          " + CAST(m_ppm AS DECIMAL(38,0)) * big_m)" +
+          " div greatest(n + big_m, 1) AS BIGINT)"))
+      .select("event_type", "n", "hits", "raw_ppm", "m_ppm", "big_m",
+        "shrunk_ppm")
+      .orderBy("event_type")
+  }
+
   /** Per-source Flesch-shape readability profile
     * ([[TextStats.readability]]) — integer milli-unit scores under the
     * hash gate.
@@ -4004,6 +4101,57 @@ object ExtensionQueries {
          |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
          |      FROM (${oracleBase("q_dedup_clusters")}) GROUP BY 1)
          |GROUP BY 1 ORDER BY 1""".stripMargin) +
+    ("q_neg_collisions" ->
+      s"""WITH cl AS (${oracleBase("q_dedup_clusters")}),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM cl GROUP BY 1),
+         |m AS (SELECT CAST(COALESCE(sum(sz * (sz - 1)), 0) AS HUGEINT)
+         |    AS dup2 FROM sz),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |b AS (SELECT CAST(unnest([64, 256, 1024, 4096]) AS BIGINT) AS batch)
+         |SELECT batch,
+         |  CAST(least(batch, n_docs) AS BIGINT) AS b_eff,
+         |  CAST(1000 * (CAST(least(batch, n_docs) AS HUGEINT)
+         |      * (least(batch, n_docs) - 1) // 2) * dup2
+         |    // greatest(CAST(n_docs AS HUGEINT) * (n_docs - 1), 1)
+         |    AS BIGINT) AS exp_dup_pairs_milli
+         |FROM b, m, n ORDER BY batch""".stripMargin) +
+    ("q_quantile_norm" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, rank,
+        |  CAST((rank - 1) * 1000000 // greatest(n_src - 1, 1) AS BIGINT)
+        |    AS quantile_ppm
+        |FROM r ORDER BY doc_id""".stripMargin) +
+    ("q_eb_shrink" ->
+      """WITH t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hits
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *,
+        |    CAST(hits * 1000000 // greatest(n, 1) AS BIGINT) AS raw_ppm
+        |  FROM t),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(raw_ppm) AS BIGINT) AS sp,
+        |    CAST(sum(CAST(raw_ppm AS HUGEINT) * raw_ppm) AS HUGEINT) AS spp
+        |  FROM r),
+        |q AS (SELECT *, CAST(sp // greatest(k, 1) AS BIGINT) AS m_ppm,
+        |    CAST((k * spp - CAST(sp AS HUGEINT) * sp)
+        |      // greatest(CAST(k AS HUGEINT) * (k - 1), 1) AS BIGINT)
+        |      AS v_ppm2
+        |  FROM p),
+        |w AS (SELECT m_ppm, v_ppm2,
+        |    greatest(CAST(CAST(m_ppm AS HUGEINT) * (1000000 - m_ppm)
+        |      // greatest(v_ppm2, 1) AS BIGINT) - 1, 0) AS big_m
+        |  FROM q)
+        |SELECT event_type, n, hits, raw_ppm, m_ppm, big_m,
+        |  CAST((CAST(hits AS HUGEINT) * 1000000
+        |      + CAST(m_ppm AS HUGEINT) * big_m)
+        |    // greatest(n + big_m, 1) AS BIGINT) AS shrunk_ppm
+        |FROM r, w ORDER BY event_type""".stripMargin) +
     // control charts: the day grid is shared text; the recurrences
     // run as recursive CTEs indexed per key — DuckDB's recursion
     // mirrors the Spark array fold step for step, exact integers
@@ -8198,6 +8346,9 @@ object ExtensionQueries {
     "q_cuped"           -> (cupedQ _),
     "q_jackknife"       -> (jackknifeQ _),
     "q_conformal"       -> (conformalQ _),
-    "q_drawdown"        -> (drawdownQ _)
+    "q_drawdown"        -> (drawdownQ _),
+    "q_neg_collisions"  -> (negCollisionsQ _),
+    "q_quantile_norm"   -> (quantileNormQ _),
+    "q_eb_shrink"       -> (ebShrinkQ _)
   )
 }

@@ -152,6 +152,37 @@ class ExperimentSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ebShrink: a tiny extreme segment is pulled toward the ensemble " +
+    "mean, a big segment barely moves, and an overdispersed ensemble " +
+    "clamps M to 0 (no shrinkage)") {
+    // four big segments at ~50%, one tiny segment (n=2) at 100%
+    val e = (Seq("a", "b", "c", "d").flatMap { t =>
+      (0 until 1000).map(i => (t, if (i < 500) 1L else 0L))
+    } ++ Seq(("tiny", 1L), ("tiny", 1L))).toDF("event_type", "hit")
+    val out = ExtensionQueries.ebShrink(e)
+      .select("event_type", "raw_ppm", "m_ppm", "big_m", "shrunk_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val tiny = out("tiny"); val big = out("a")
+    assert(tiny._2 === 1000000L)
+    // hand math: m = 600000, v = 5e10, M = 6e5*4e5/5e10 - 1 = 3;
+    // shrunk = (2*1e6 + 6e5*3) / (2+3) = 760000
+    assert(tiny._4 === 3L && tiny._5 === 760000L, s"$tiny")
+    // big: (500*1e6 + 6e5*3)/1003 = 500299 — barely moves
+    assert(math.abs(big._5 - big._2) < 1000L,
+      s"big segment must barely move: $big")
+    assert(math.abs(tiny._5 - tiny._3) < math.abs(tiny._2 - tiny._3),
+      "tiny's shrunk rate sits strictly between raw and the mean")
+    // overdispersed: rates 0 and 1e6 with mean 5e5 -> v > m(1-m), M=0
+    val od = (Seq.fill(100)(("lo", 0L)) ++ Seq.fill(100)(("hi", 1L)))
+      .toDF("event_type", "hit")
+    val odOut = ExtensionQueries.ebShrink(od)
+      .select("big_m", "raw_ppm", "shrunk_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(odOut.forall(_._1 === 0L))
+    assert(odOut.forall(r => r._2 === r._3), "M=0 must mean no shrinkage")
+  }
+
   test("drawdown: hand-checked peak/slump sequence with the 50% alarm " +
     "at the right observation") {
     val base = Seq(

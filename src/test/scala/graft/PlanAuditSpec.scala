@@ -68,6 +68,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
+  test("q_quantile_norm ranks within source through KeyedPrefix, not a " +
+    "per-source window sort: no Window operator, ExistingRDD leaf") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(
+      graft.queries.ExtensionQueries.queries("q_quantile_norm")(spark, d))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
   test("rank-filter top-k (q_window_top_events) plans through " +
     "WindowGroupLimit — Spark's per-key partial top-k pushdown fires, " +
     "so the window never buffers a key's full row set") {
