@@ -402,5 +402,40 @@ object GraftExtensions {
             strArg(fn, "key", args(1)), tsUs,
             strArg(fn, "id", args(3)), strArg(fn, "value", args(4)))
           .queryExecution.analyzed
+      }),
+    ("graft_cumsum",
+      info("graft_cumsum",
+        "graft_cumsum(table, keys, order, sums[, count_name]) - keyed " +
+          "running count and sums in (keys, order) global sort order " +
+          "WITHOUT a per-key total sort (the two-pass prefix discipline " +
+          "for keys that are few and huge, where a window would " +
+          "serialize each key). table: catalog name or '(SELECT ...)'; " +
+          "keys/order: comma-separated columns ((keys, order) must be a " +
+          "unique key); sums: comma-separated 'col' or 'col:out' entries " +
+          "(cols must be non-null BIGINT; default out = <col>_sum); " +
+          "count_name defaults to 'n'. NOTE: the prefix pass runs its " +
+          "bounded per-partition-totals job at analysis time (the " +
+          "operator is eager by construction)."),
+      args => {
+        val fn = "graft_cumsum"
+        require(args.length == 4 || args.length == 5,
+          s"$fn expects 4-5 arguments, got ${args.length}")
+        val spark = activeSession
+        val df = relation(spark, fn, "table", strArg(fn, "table", args(0)))
+        val keys = csv(strArg(fn, "keys", args(1)))
+        val order = csv(strArg(fn, "order", args(2)))
+        val sums = csv(strArg(fn, "sums", args(3))).map { e =>
+          e.split(":").map(_.trim).filter(_.nonEmpty) match {
+            case Array(c)    => (c, c + "_sum")
+            case Array(c, o) => (c, o)
+            case _ => throw new IllegalArgumentException(
+              s"$fn: sums entry '$e' must be 'col' or 'col:out'")
+          }
+        }
+        require(sums.nonEmpty, s"$fn: sums must name at least one column")
+        val countName =
+          if (args.length >= 5) strArg(fn, "count_name", args(4)) else "n"
+        graft.ops.KeyedPrefix.cumsum(df, keys, order, sums, countName)
+          .queryExecution.analyzed
       }))
 }

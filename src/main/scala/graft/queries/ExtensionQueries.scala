@@ -1404,6 +1404,27 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** The sequential replay's cumulative frame driven from SQL text
+    * through the `graft_cumsum` table function — the SQL surface for
+    * [[graft.ops.KeyedPrefix.cumsum]], so a SQL user replaying a
+    * recorded stream over few-huge keys gets the two-pass prefix
+    * scan instead of a serializing window. Same window-mirror oracle
+    * as the batch SPRT's cumulative core.
+    */
+  def cumsumSqlQ(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val ev = Tables.events(s, d)
+    ev.select(col("event_type"), col("event_id"),
+        AnalyticsQueries.epochUs(ev, "ts").as("ts_us"),
+        when(col("value") > 200.0, 1L).otherwise(0L).as("hit"))
+      .createOrReplaceTempView("graft_events_cumsum")
+    s.sql(
+      """SELECT event_type, event_id, n, cumh
+        |FROM graft_cumsum('graft_events_cumsum', 'event_type',
+        |                  'ts_us,event_id', 'hit:cumh')
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** Robust daily-volume location estimates (Tukey, "The future of
     * data analysis" 1962): the 10%-trimmed mean (drop the k lowest
     * and highest days) and the winsorized mean (clamp them to the
@@ -4474,6 +4495,16 @@ object ExtensionQueries {
         |  CAST(COALESCE(f.fa, 0) AS BIGINT) AS first_alarm_n
         |FROM s LEFT JOIN f ON s.event_type = f.event_type
         |ORDER BY s.event_type""".stripMargin) +
+    ("q_cumsum_sql" ->
+      """WITH t AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS hit FROM events)
+        |SELECT event_type, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n,
+        |  CAST(sum(hit) OVER w AS BIGINT) AS cumh
+        |FROM t WINDOW w AS (PARTITION BY event_type
+        |  ORDER BY ts_us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) +
     ("q_sprt" ->
       """WITH t AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS hit FROM events),
@@ -8348,6 +8379,7 @@ object ExtensionQueries {
     "q_conformal"       -> (conformalQ _),
     "q_drawdown"        -> (drawdownQ _),
     "q_neg_collisions"  -> (negCollisionsQ _),
+    "q_cumsum_sql"      -> (cumsumSqlQ _),
     "q_quantile_norm"   -> (quantileNormQ _),
     "q_eb_shrink"       -> (ebShrinkQ _)
   )

@@ -352,4 +352,35 @@ class GraftExtensionsSpec extends SparkSpec {
       .orderBy("key", "day").collect()
     assert(sql.toSeq === viaCols.toSeq)
   }
+
+  test("graft_cumsum TVF == KeyedPrefix.cumsum Column form, accepts a " +
+    "subquery relation, defaults out names and count_name, and " +
+    "rejects a malformed sums entry") {
+    val df = (1 to 200).map(i => (s"k${i % 2}", i.toLong, (i % 5).toLong))
+      .toDF("k", "ord", "v")
+    df.createOrReplaceTempView("tvf_cum")
+    val sql = spark.sql(
+      """SELECT k, ord, n, cumv FROM
+        |graft_cumsum('tvf_cum', 'k', 'ord', 'v:cumv')
+        |ORDER BY k, ord""".stripMargin).collect().toSeq
+    val cols = graft.ops.KeyedPrefix.cumsum(df, Seq("k"), Seq("ord"),
+        Seq("v" -> "cumv"))
+      .select("k", "ord", "n", "cumv").orderBy("k", "ord").collect().toSeq
+    assert(sql === cols)
+    // subquery relation + default names: out = v_sum, count = n
+    val sub = spark.sql(
+      """SELECT k, ord, n, v_sum FROM
+        |graft_cumsum('(SELECT * FROM tvf_cum WHERE ord <= 100)',
+        |             'k', 'ord', 'v')
+        |ORDER BY k, ord""".stripMargin).collect().toSeq
+    val colsSub = graft.ops.KeyedPrefix.cumsum(
+        df.filter(col("ord") <= 100), Seq("k"), Seq("ord"),
+        Seq("v" -> "v_sum"))
+      .select("k", "ord", "n", "v_sum").orderBy("k", "ord").collect().toSeq
+    assert(sub === colsSub)
+    val err = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_cumsum('tvf_cum', 'k', 'ord', 'v:a:b')")
+      .collect()).getMessage
+    assert(err.contains("must be 'col' or 'col:out'"), err)
+  }
 }
