@@ -1404,6 +1404,77 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** DAU/WAU stickiness census: per type and day, the distinct daily
+    * actives, the trailing-7-day distinct actives, and their ratio in
+    * ppm — the engagement-depth number (how much of the weekly
+    * audience shows up on a given day). Distinct-over-a-sliding-window
+    * is NOT additive, so no daily-DAU sum can produce WAU; the
+    * scalable exact form is the bounded fan-out: each (type, user,
+    * day) activity contributes to the ≤7 window anchors it covers
+    * (one explode ×7, capped at the span end), then one distinct +
+    * one count per anchor — never a distinct aggregate over a window
+    * frame. Truncated early-span windows are reported as-is
+    * (standard dashboard semantics).
+    */
+  def stickinessQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    stickiness(ev.select(col("event_type"), col("user_id"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day")))
+  }
+
+  /** Core over a pre-projected (event_type, user_id, day) frame. */
+  private[graft] def stickiness(activity: DataFrame): DataFrame = {
+    val act = activity.distinct()
+    val dau = act.groupBy("event_type", "day").agg(count(lit(1)).as("dau"))
+    val spans = act.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = spans.select(col("event_type"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wau = act.join(broadcast(spans), Seq("event_type"))
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("day"), least(col("day") + 6, col("d1"))))
+          .as("day"))
+      .distinct()
+      .groupBy("event_type", "day").agg(count(lit(1)).as("wau"))
+    grid.join(dau, Seq("event_type", "day"), "left")
+      .join(wau, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .withColumn("stickiness_ppm",
+        expr("dau * 1000000 div greatest(wau, 1)"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Seasonal-naive forecast skill (Hyndman–Koehler 2006 MASE shape):
+    * is tomorrow's volume best predicted by "same day last week" or
+    * by "yesterday"? Per type over the zero-filled day grid, the MAE
+    * of the lag-7 forecast over the MAE of the lag-1 naive, in exact
+    * milli — below 1000 means the weekly rhythm is real signal a
+    * capacity planner should use; the scale-free companion to the
+    * ACF's correlation view. Two linear lag equi-joins on the
+    * span-bounded grid, no windows.
+    */
+  def maseQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val g = Monitor.dailyGrid(ev, "event_type", AnalyticsQueries.epochUs(ev, "ts"))
+    def lagJoin(k: Int) = g.as("a")
+      .join(g.as("b"),
+        col("a.key") === col("b.key") && col("b.day") === col("a.day") - k)
+      .groupBy(col("a.key").as("key"))
+      .agg(count(lit(1)).as(s"n$k"),
+        sum(abs(col("a.n") - col("b.n"))).as(s"sae$k"))
+    lagJoin(1).join(lagJoin(7), Seq("key"))
+      .withColumn("mae1_milli", expr("sae1 * 1000 div greatest(n1, 1)"))
+      .withColumn("mae7_milli", expr("sae7 * 1000 div greatest(n7, 1)"))
+      .withColumn("mase_milli",
+        expr("mae7_milli * 1000 div greatest(mae1_milli, 1)"))
+      .select(col("key").as("event_type"), col("n1"), col("n7"),
+        col("mae1_milli"), col("mae7_milli"), col("mase_milli"))
+      .orderBy("event_type")
+  }
+
   /** The sequential replay's cumulative frame driven from SQL text
     * through the `graft_cumsum` table function — the SQL surface for
     * [[graft.ops.KeyedPrefix.cumsum]], so a SQL user replaying a
@@ -4495,6 +4566,55 @@ object ExtensionQueries {
         |  CAST(COALESCE(f.fa, 0) AS BIGINT) AS first_alarm_n
         |FROM s LEFT JOIN f ON s.event_type = f.event_type
         |ORDER BY s.event_type""".stripMargin) +
+    ("q_mase" ->
+      """WITH byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |l1 AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(abs(a.n - b.n)) AS BIGINT) AS sae1
+        |  FROM g a JOIN g b ON a.event_type = b.event_type
+        |    AND b.day = a.day - 1 GROUP BY 1),
+        |l7 AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n7,
+        |    CAST(sum(abs(a.n - b.n)) AS BIGINT) AS sae7
+        |  FROM g a JOIN g b ON a.event_type = b.event_type
+        |    AND b.day = a.day - 7 GROUP BY 1),
+        |m AS (SELECT l1.event_type, n1, n7,
+        |    CAST(sae1 * 1000 // greatest(n1, 1) AS BIGINT) AS mae1_milli,
+        |    CAST(sae7 * 1000 // greatest(n7, 1) AS BIGINT) AS mae7_milli
+        |  FROM l1 JOIN l7 ON l1.event_type = l7.event_type)
+        |SELECT event_type, n1, n7, mae1_milli, mae7_milli,
+        |  CAST(mae7_milli * 1000 // greatest(mae1_milli, 1) AS BIGINT)
+        |    AS mase_milli
+        |FROM m ORDER BY event_type""".stripMargin) +
+    ("q_stickiness" ->
+      """WITH act AS (SELECT DISTINCT event_type, user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM act GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |dau AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM act GROUP BY 1, 2),
+        |wau AS (SELECT g.event_type, g.day,
+        |    CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+        |  FROM grid g JOIN act a ON a.event_type = g.event_type
+        |    AND a.day BETWEEN g.day - 6 AND g.day
+        |  GROUP BY 1, 2)
+        |SELECT g.event_type, g.day,
+        |  CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+        |  CAST(COALESCE(wau.wau, 0) AS BIGINT) AS wau,
+        |  CAST(COALESCE(dau.dau, 0) * 1000000
+        |    // greatest(COALESCE(wau.wau, 0), 1) AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM grid g
+        |LEFT JOIN dau ON dau.event_type = g.event_type AND dau.day = g.day
+        |LEFT JOIN wau ON wau.event_type = g.event_type AND wau.day = g.day
+        |ORDER BY g.event_type, g.day""".stripMargin) +
     ("q_cumsum_sql" ->
       """WITH t AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS hit FROM events)
@@ -8380,6 +8500,8 @@ object ExtensionQueries {
     "q_drawdown"        -> (drawdownQ _),
     "q_neg_collisions"  -> (negCollisionsQ _),
     "q_cumsum_sql"      -> (cumsumSqlQ _),
+    "q_stickiness"      -> (stickinessQ _),
+    "q_mase"            -> (maseQ _),
     "q_quantile_norm"   -> (quantileNormQ _),
     "q_eb_shrink"       -> (ebShrinkQ _)
   )

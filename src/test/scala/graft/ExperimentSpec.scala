@@ -183,6 +183,22 @@ class ExperimentSpec extends SparkSpec {
     assert(odOut.forall(r => r._2 === r._3), "M=0 must mean no shrinkage")
   }
 
+  test("stickiness: hand-checked DAU/WAU — a daily user and a one-day " +
+    "user, window truncated at the span start, silent day carries " +
+    "wau but dau 0") {
+    // user 1 active days 0..6 except day 5; user 2 only day 3
+    val act = ((0 to 6).filter(_ != 5).map(d => ("t", 1L, d.toLong)) :+
+      ("t", 2L, 3L)).toDF("event_type", "user_id", "day")
+    val out = ExtensionQueries.stickiness(act)
+      .select("day", "dau", "wau", "stickiness_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === (0L to 6L))
+    assert(out(0) === ((0L, 1L, 1L, 1000000L))) // truncated window
+    assert(out(3) === ((3L, 2L, 2L, 1000000L))) // both active
+    assert(out(5) === ((5L, 0L, 2L, 0L)))       // silent day, wau carries
+    assert(out(6) === ((6L, 1L, 2L, 500000L)))
+  }
+
   test("drawdown: hand-checked peak/slump sequence with the 50% alarm " +
     "at the right observation") {
     val base = Seq(
