@@ -131,7 +131,9 @@ object Bench {
       // total seconds of shared-memo builds absorbed into query times
       // this run (per-build detail in bench_full.json "memo_builds")
       val memoSec = graft.queries.FrameMemo.buildLog.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$tail,"regressed":$reg,"memo_sec":${fmt(memoSec)},"full":"bench_full.json","sf":"$sfDir"}"""
+      val fullRef =
+        if (only.isEmpty) "bench_full.json" else "bench_full_subset.json"
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$tail,"regressed":$reg,"memo_sec":${fmt(memoSec)},"full":"$fullRef","sf":"$sfDir"}"""
     }
 
     // Full-precision record to disk (survives any stdout truncation).
@@ -174,7 +176,11 @@ object Bench {
           Files.move(p("bench_full.json"), p("bench_full_r1.json"),
             StandardCopyOption.REPLACE_EXISTING)
       }
-      val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
+      // subset (SPARK_GRAFT_ONLY) profiling runs must not clobber the
+      // full-suite artifact the ring and the guard read
+      val fullName =
+        if (only.isEmpty) "bench_full.json" else "bench_full_subset.json"
+      val w = new java.io.PrintWriter(fullName, "UTF-8")
       try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"passes":$passesJson,"memo_builds":$memoJson,"sf":"$sfDir"}""")
       finally w.close()
       // a FULL run becomes the next run's per-sf regression reference;
