@@ -72,6 +72,34 @@ object Prof {
         graft.ops.TemporalJoins.asOfJoinNative(probes, state, Seq("user_id"),
           "ts_us", "src_ts_us", cols, rightTiebreak = Some("src_id"))))
     }
+
+    // --- KeyedPrefix two-pass cumsum vs per-key ordered window ---
+    // few huge keys (5 event types over the full feed): the shape
+    // where Window.partitionBy(key) serializes each key on one task
+    // while the range-sorted two-pass scan keeps all cores busy.
+    // HONEST READING at sf0.1: the window WINS here (~20k rows/key
+    // sorts in-memory in one task; the two-pass form pays two jobs +
+    // Row serialization). The two-pass form's claim is the BOUND, not
+    // small-scale throughput — per-task work stays O(partition) as a
+    // key's volume grows arbitrarily, where the window's single task
+    // grows (and spills) with the key. The crossover sits where a
+    // key's rows stop fitting one task's sort budget.
+    val seqBase = probes.select(col("event_type"), col("event_id"),
+      col("ts_us"),
+      when(col("value") > 200.0, 1L).otherwise(0L).as("hit"))
+    seqBase.persist().count()
+    for (i <- 1 to 2) {
+      time(s"cumsum per-key window (pass $i)") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        noop(seqBase.withColumn("n", count(lit(1)).over(w))
+          .withColumn("cumh", sum(col("hit")).over(w)))
+      }
+      time(s"cumsum KeyedPrefix two-pass (pass $i)")(noop(
+        graft.ops.KeyedPrefix.cumsum(seqBase, Seq("event_type"),
+          Seq("ts_us", "event_id"), Seq("hit" -> "cumh"))))
+    }
     spark.stop()
   }
 }

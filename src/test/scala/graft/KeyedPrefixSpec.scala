@@ -79,6 +79,36 @@ class KeyedPrefixSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("property: seeded random shapes (key counts, sizes, partition " +
+    "counts, negative values) all match the window oracle") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val n = 50 + rnd.nextInt(2000)
+      val parts = 1 + rnd.nextInt(16)
+      val d = (1 to n)
+        .map(i => (s"k${rnd.nextInt(nKeys)}", i.toLong,
+          (rnd.nextInt(201) - 100).toLong))
+        .toDF("k", "ord", "v").repartition(parts)
+      val got = KeyedPrefix.cumsum(d, Seq("k"), Seq("ord"),
+          Seq("v" -> "cv"), countName = "n", maxes = Seq("v" -> "mv"))
+        .select("k", "ord", "n", "cv", "mv")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2))
+      val w = Window.partitionBy("k").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val want = d
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("cv", sum(col("v")).over(w))
+        .withColumn("mv", max(col("v")).over(w))
+        .select("k", "ord", "n", "cv", "mv")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2))
+      assert(got.toSeq === want.toSeq,
+        s"trial $trial: nKeys=$nKeys n=$n parts=$parts")
+    }
+  }
+
   test("null in a sum column fails loudly, not silently") {
     val bad = Seq(("a", 1L, Some(1L)), ("a", 2L, None))
       .toDF("k", "ord", "v")
