@@ -316,6 +316,74 @@ object TemporalJoins {
     * derive from the SAME source frame (the attribution self-join) —
     * the binary node then binds each side's expressions unambiguously.
     */
+  /** Per-key interval UNION coverage (the classic sweep): total
+    * length covered by the union of a key's `[lo, hi)` intervals,
+    * the span, and the uncovered gap — the dedup answer to "how much
+    * time was this user/machine/supplier actually engaged" that a
+    * plain `sum(hi − lo)` double-counts whenever intervals overlap.
+    * One per-key window over intervals sorted by `(lo, hi)`: each
+    * row contributes `max(0, hi − max(lo, prevRunningMaxHi))`; the
+    * SUM is order-independent under ties (a set property), so the
+    * aggregate is deterministic even though per-row contributions
+    * are not. The window buffers one key's INTERVALS (bounded by
+    * per-key interval count, not raw event volume — callers with
+    * few-huge keys should pre-aggregate or time-split first, the
+    * same discipline as every per-key fold here).
+    */
+  def intervalCoverage(df: DataFrame, keyCol: String,
+                       loCol: String, hiCol: String): DataFrame = {
+    val W = Window.partitionBy(keyCol).orderBy(col(loCol), col(hiCol))
+    df.select(col(keyCol), col(loCol), col(hiCol))
+      .withColumn("_prev_hi",
+        max(col(hiCol)).over(W.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_cov", greatest(
+        col(hiCol) - greatest(col(loCol),
+          coalesce(col("_prev_hi"), col(loCol))), lit(0L)))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("_cov")).as("covered"),
+        (max(col(hiCol)) - min(col(loCol))).as("span"))
+      .withColumn("gap", col("span") - col("covered"))
+  }
+
+  /** [[asOfJoinNative]] with a match-window bound — pandas
+    * `merge_asof(tolerance=...)` semantics: a left row only keeps its
+    * as-of match when the matched right time lies within
+    * `toleranceUs` of the left time (backward: `leftT − rightT ≤
+    * tol`; forward: `rightT − leftT ≤ tol`); a staler/farther match
+    * nulls the carried columns while the left row survives, exactly
+    * the left-outer contract. Implemented as a post-projection over
+    * the native exec — sound because the as-of winner is the NEAREST
+    * candidate in the direction of travel, so if IT violates the
+    * window every other candidate does too; costs one codegen'd
+    * conditional, no second join.
+    */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame,
+                        keys: Seq[String],
+                        leftTime: String, rightTime: String,
+                        rightCols: Seq[String],
+                        toleranceUs: Long,
+                        rightTiebreak: Option[String] = None,
+                        strict: Boolean = false,
+                        direction: String = "backward"): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    val tolCol = "__graft_tol_rt"
+    require(!(left.columns ++ right.columns).contains(tolCol),
+      s"$tolCol is reserved by asOfJoinTolerance — rename first")
+    // carry the matched right time internally so the window check
+    // needs no assumption about what the caller carries
+    val r2 = right.withColumn(tolCol, col(rightTime))
+    val j = asOfJoinNative(left, r2, keys, leftTime, rightTime,
+      rightCols :+ tolCol, rightTiebreak, strict, direction)
+    val gap =
+      if (direction == "forward") col(tolCol) - col(leftTime)
+      else col(leftTime) - col(tolCol)
+    val within = col(tolCol).isNotNull && gap <= lit(toleranceUs)
+    rightCols.foldLeft(j) { (df, c) =>
+      df.withColumn(c, when(within, col(c)))
+    }.drop(tolCol)
+  }
+
   def asOfJoinNative(left: DataFrame, right: DataFrame,
                      keys: Seq[String],
                      leftTime: String, rightTime: String,

@@ -354,6 +354,46 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** The attribution as-of join under a 3-day match window
+    * ([[graft.ops.TemporalJoins.asOfJoinTolerance]] — pandas
+    * merge_asof tolerance semantics): a purchase only attributes to
+    * a view/click within 72 hours; staler matches null out while the
+    * purchase row survives. The attribution-window question every
+    * marketing readout actually asks.
+    */
+  def asOfAttributionTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), epochUs(ev, "ts").as("ts_us"))
+    val sources = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("src_id"),
+        col("event_type").as("src_type"), epochUs(ev, "ts").as("src_ts_us"))
+    graft.ops.TemporalJoins.asOfJoinTolerance(
+        purchases, sources, Seq("user_id"), "ts_us", "src_ts_us",
+        Seq("src_id", "src_type", "src_ts_us"),
+        toleranceUs = 3L * 86400000000L,
+        rightTiebreak = Some("src_id"))
+      .orderBy("event_id")
+  }
+
+  /** Per-user engaged-time census through
+    * [[graft.ops.TemporalJoins.intervalCoverage]]: each event opens
+    * an activity interval `[ts, ts + value seconds)` and the union
+    * sweep reports the time actually covered after overlap-merge —
+    * the billing/engagement number a plain Σ duration double-counts.
+    */
+  def engagedTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val iv = ev.select(col("user_id"), epochUs(ev, "ts").as("lo"),
+      (epochUs(ev, "ts") +
+        expr("CAST(floor(value * 1000000) AS BIGINT)")).as("hi"))
+    graft.ops.TemporalJoins.intervalCoverage(iv, "user_id", "lo", "hi")
+      .select(col("user_id"), col("n_intervals"),
+        col("covered").as("covered_us"), col("span").as("span_us"),
+        col("gap").as("gap_us"))
+      .orderBy("user_id")
+  }
+
   /** FORWARD-direction twin ([[graft.plans.AsofJoinExec]] with
     * `direction = "forward"`): each purchase picks the NEXT view/click
     * at-or-after it — the "what did the user do right after buying"
@@ -851,6 +891,34 @@ object AnalyticsQueries {
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) a ON TRUE
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
+    "q_asof_tol" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  a.src_id, a.src_type, a.src_ts_us
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT r.event_id AS src_id, r.event_type AS src_type,
+        |    epoch_us(r.ts) AS src_ts_us
+        |  FROM events r
+        |  WHERE r.user_id = e.user_id AND r.event_type IN ('view','click')
+        |    AND r.ts <= e.ts
+        |    AND epoch_us(r.ts) >= epoch_us(e.ts) - 259200000000
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) a ON TRUE
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
+    "q_engaged_time" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,
+        |    epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS hi
+        |  FROM events),
+        |s AS (SELECT *, max(hi) OVER (PARTITION BY user_id
+        |    ORDER BY lo, hi
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph
+        |  FROM iv),
+        |c AS (SELECT user_id, lo, hi,
+        |    greatest(hi - greatest(lo, COALESCE(ph, lo)), 0) AS cov FROM s)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(cov) AS BIGINT) AS covered_us,
+        |  CAST(max(hi) - min(lo) AS BIGINT) AS span_us,
+        |  CAST(max(hi) - min(lo) - sum(cov) AS BIGINT) AS gap_us
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  a.src_id, a.src_type, a.src_ts_us
@@ -1027,6 +1095,8 @@ object AnalyticsQueries {
     "q_asof_strict"         -> (asOfAttributionStrict _),
     "q_asof_native"         -> (asOfAttributionNative _),
     "q_asof_native_strict"  -> (asOfAttributionNativeStrict _),
+    "q_asof_tol"            -> (asOfAttributionTol _),
+    "q_engaged_time"        -> (engagedTime _),
     "q_asof_native_fwd"     -> (asOfAttributionNativeFwd _),
     "q_asof_sql"            -> (asOfAttributionSql _),
     "q_asof_sql_sub"        -> (asOfAttributionSqlSub _),

@@ -192,4 +192,49 @@ class TemporalJoinSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Long], Option[Long], Boolean)].head()
     assert(t._4 === Some(9000L))
   }
+
+  test("asOfJoinTolerance: within-window match kept, staler match " +
+    "nulled while the left row survives, forward mirror, and the " +
+    "reserved-name guard") {
+    val l = Seq((1L, "u1", 100L), (2L, "u1", 500L), (3L, "u2", 100L))
+      .toDF("id", "user", "t")
+    val r = Seq(("u1", 10L, 90L, "a"), ("u2", 11L, 10L, "b"))
+      .toDF("user", "rid", "rt", "tag")
+    val out = TemporalJoins.asOfJoinTolerance(l, r, Seq("user"), "t", "rt",
+        Seq("rid", "tag"), toleranceUs = 50L, rightTiebreak = Some("rid"))
+      .select("id", "rid", "tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1)
+    // id 1: match at 90, gap 10 <= 50 -> kept; id 2: same match, gap
+    // 410 > 50 -> nulled but row survives; id 3: gap 90 > 50 -> nulled
+    assert(out.toSeq === Seq((1L, Some(10L), Some("a")),
+      (2L, None, None), (3L, None, None)))
+    val fwd = TemporalJoins.asOfJoinTolerance(l, r, Seq("user"), "t", "rt",
+        Seq("rid", "tag"), toleranceUs = 50L, rightTiebreak = Some("rid"),
+        direction = "forward")
+      .select("id", "rid").as[(Long, Option[Long])].collect().sortBy(_._1)
+    // forward: no right row at/after t within 50 for any left
+    assert(fwd.toSeq === Seq((1L, None), (2L, None), (3L, None)))
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asOfJoinTolerance(
+        l.withColumn("__graft_tol_rt", lit(1L)), r, Seq("user"), "t", "rt",
+        Seq("rid"), toleranceUs = 50L)
+    }
+  }
+
+  test("intervalCoverage: overlap, containment, and gaps hand-checked; " +
+    "sum(hi-lo) would double-count") {
+    val iv = Seq(
+      ("k1", 0L, 10L),   // |0..10)
+      ("k1", 5L, 15L),   // overlaps -> extends to 15
+      ("k1", 6L, 9L),    // contained -> adds nothing
+      ("k1", 20L, 25L),  // gap of 5 before it
+      ("k2", 3L, 4L)
+    ).toDF("key", "lo", "hi")
+    val out = TemporalJoins.intervalCoverage(iv, "key", "lo", "hi")
+      .select("key", "n_intervals", "covered", "span", "gap")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("k1", 4L, 20L, 25L, 5L), // covered 15 + 5, span 25, gap 5
+      ("k2", 1L, 1L, 1L, 0L)))
+  }
 }
