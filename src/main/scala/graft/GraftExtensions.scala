@@ -294,7 +294,8 @@ object GraftExtensions {
     ("graft_asof_join",
       info("graft_asof_join",
         "graft_asof_join(left, right, keys, left_time, right_time, carry" +
-          "[, direction, strict, tiebreak, bucket_width]) - native as-of " +
+          "[, direction, strict, tiebreak, bucket_width, tolerance]) - " +
+          "native as-of " +
           "join. left/right: a catalog table/view name or an inline " +
           "subquery '(SELECT ...)'. keys: comma-separated equi-key columns " +
           "present in both sides; left_time/right_time: column name or SQL " +
@@ -302,12 +303,15 @@ object GraftExtensions {
           "'col' or 'col:alias'; direction: backward|forward (default " +
           "backward); strict: true|false (default false); tiebreak: right " +
           "column ranking equal-(key,time) rows (default: the carried " +
-          "values). Plans to AsofJoinExec — per-side-width shuffles, O(1) " +
-          "merge state."),
+          "values); tolerance: positive max |left_time - matched right " +
+          "time| (time-column units) - a farther match nulls the carried " +
+          "columns while the left row survives (pandas merge_asof " +
+          "tolerance). Plans to AsofJoinExec — per-side-width shuffles, " +
+          "O(1) merge state."),
       args => {
         val fn = "graft_asof_join"
-        require(args.length >= 6 && args.length <= 10,
-          s"$fn expects 6 to 10 arguments, got ${args.length}")
+        require(args.length >= 6 && args.length <= 11,
+          s"$fn expects 6 to 11 arguments, got ${args.length}")
         val spark = activeSession
         val keys = csv(strArg(fn, "keys", args(2)))
         require(keys.nonEmpty, s"$fn: keys must name at least one column")
@@ -332,12 +336,32 @@ object GraftExtensions {
         val bucketWidth =
           if (args.length >= 10) {
             val raw = strArg(fn, "bucket_width", args(9)).trim
+            // '' = not salted: the positional placeholder that makes the
+            // 11th arg (tolerance) reachable without a bucket width
+            if (raw.isEmpty) None
+            else {
+              val v = try raw.toLong catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"$fn: bucket_width must be a positive long or '', got '$raw'")
+              }
+              require(v > 0, s"$fn: bucket_width must be positive, got $v")
+              Some(v)
+            }
+          } else None
+        // 11th arg: match-window bound (pandas merge_asof tolerance);
+        // applied as a post-projection over EITHER join path — the
+        // as-of winner is the nearest candidate, so if it violates the
+        // window every candidate does
+        val tolerance =
+          if (args.length >= 11) {
+            val raw = strArg(fn, "tolerance", args(10)).trim
             val v = try raw.toLong catch {
               case _: NumberFormatException =>
                 throw new IllegalArgumentException(
-                  s"$fn: bucket_width must be a positive long, got '$raw'")
+                  s"$fn: tolerance must be a positive long, got '$raw'")
             }
-            require(v > 0, s"$fn: bucket_width must be positive, got $v")
+            require(v > 0, s"$fn: tolerance must be positive, got $v")
             Some(v)
           } else None
 
@@ -367,19 +391,41 @@ object GraftExtensions {
             case None => false
           }
         }
+        // the tolerance check reads the matched right time through an
+        // internal carry entry, so it composes with any carry list and
+        // with BOTH join paths (native and salted) uniformly
+        val tolName = "__graft_tvf_tolrt"
+        require(tolerance.isEmpty ||
+          !(left.columns ++ right1.columns).contains(tolName),
+          s"$fn: $tolName is reserved by the tolerance arg — rename first")
+        val carryAll =
+          if (tolerance.isDefined) carry :+ (rt -> tolName) else carry
         val right = right1.select(
-          keep.map(col) ++ carry.map { case (o, a) => col(o).as(a) }: _*)
+          keep.map(col) ++ carryAll.map { case (o, a) => col(o).as(a) }: _*)
         val joined = bucketWidth match {
           case Some(wdt) => graft.ops.TemporalJoins.asOfJoinTimeSplit(
-            left, right, keys, lt, rt, carry.map(_._2),
+            left, right, keys, lt, rt, carryAll.map(_._2),
             rightTiebreak = tiebreak, strict = strict, bucketWidth = wdt,
             direction = direction)
           case None => graft.ops.TemporalJoins.asOfJoinNative(
-            left, right, keys, lt, rt, carry.map(_._2),
+            left, right, keys, lt, rt, carryAll.map(_._2),
             rightTiebreak = tiebreak, strict = strict, direction = direction)
         }
+        val bounded = tolerance match {
+          case Some(tol) =>
+            import org.apache.spark.sql.functions.{lit, when}
+            val gap =
+              if (direction == "forward") col(tolName) - col(lt)
+              else col(lt) - col(tolName)
+            val within = col(tolName).isNotNull && gap <= lit(tol)
+            carry.map(_._2).foldLeft(joined) { (df, c) =>
+              df.withColumn(c, when(within, col(c)))
+            }.drop(tolName)
+          case None => joined
+        }
         // synthetic left-time projections are internal — drop from output
-        val out = if (lt == "__graft_ltime") joined.drop("__graft_ltime") else joined
+        val out =
+          if (lt == "__graft_ltime") bounded.drop("__graft_ltime") else bounded
         out.queryExecution.analyzed
       }),
     ("graft_gap_fill",

@@ -682,6 +682,31 @@ object AnalyticsQueries {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** [[asOfAttributionTol]] driven from SQL text — the 11th
+    * `graft_asof_join` argument (`tolerance`, with `''` as the
+    * not-salted bucket_width placeholder). Same oracle as the Column
+    * form: the SQL surface must not change the answer.
+    */
+  def asOfAttributionTolSql(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val ev = Tables.events(s, dir)
+    ev.select(col("event_id"), col("user_id"), col("event_type"),
+        epochUs(ev, "ts").as("ts_us"))
+      .createOrReplaceTempView("graft_events_asof")
+    s.sql(
+      """SELECT event_id, user_id, ts_us, src_id, src_type, src_ts_us
+        |FROM graft_asof_join(
+        |  '(SELECT event_id, user_id, ts_us FROM graft_events_asof
+        |     WHERE event_type = ''purchase'')',
+        |  '(SELECT user_id, event_id AS src_id, event_type AS src_type,
+        |           ts_us AS src_ts_us FROM graft_events_asof
+        |     WHERE event_type IN (''view'', ''click''))',
+        |  'user_id', 'ts_us', 'src_ts_us',
+        |  'src_id,src_type,src_ts_us',
+        |  'backward', 'false', 'src_id', '', '259200000000')
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** The attribution as-of join through the hot-key fallback
     * ([[graft.ops.TemporalJoins.asOfJoinTimeSplit]], weekly buckets):
     * the salted-key recipe SCALING.md prescribes when one user
@@ -1065,6 +1090,7 @@ object AnalyticsQueries {
   val oracle: Map[String, String] = oracleLiteral ++ Map(
     "q_asof_sql"    -> oracleLiteral("q_asof_native"),
     "q_asof_sql_sub" -> oracleLiteral("q_asof_native"),
+    "q_asof_tol_sql" -> oracleLiteral("q_asof_tol"),
     "q_asof_salted" -> oracleLiteral("q_asof_native"),
     "q_asof_salted_fwd" -> oracleLiteral("q_asof_native_fwd"),
     "q_gapfill_sql" -> oracleLiteral("q_gapfill"))
@@ -1096,6 +1122,7 @@ object AnalyticsQueries {
     "q_asof_native"         -> (asOfAttributionNative _),
     "q_asof_native_strict"  -> (asOfAttributionNativeStrict _),
     "q_asof_tol"            -> (asOfAttributionTol _),
+    "q_asof_tol_sql"        -> (asOfAttributionTolSql _),
     "q_engaged_time"        -> (engagedTime _),
     "q_asof_native_fwd"     -> (asOfAttributionNativeFwd _),
     "q_asof_sql"            -> (asOfAttributionSql _),

@@ -353,6 +353,34 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.toSeq === viaCols.toSeq)
   }
 
+  test("graft_asof_join TVF tolerance arg == asOfJoinTolerance Column " +
+    "form ('' bucket_width placeholder), composes with the salted " +
+    "path, and rejects a non-positive tolerance") {
+    asofFixture()
+    val viaTvf = spark.sql(
+      """SELECT eid, sid, tag FROM
+        |graft_asof_join('tvf_left', 'tvf_right', 'uid', 't', 'st',
+        |                'sid,tag', 'backward', 'false', 'sid', '', '20')
+        |ORDER BY eid""".stripMargin).collect().toSeq
+    val viaCols = graft.ops.TemporalJoins.asOfJoinTolerance(
+        spark.table("tvf_left"), spark.table("tvf_right"), Seq("uid"),
+        "t", "st", Seq("sid", "tag"), toleranceUs = 20L,
+        rightTiebreak = Some("sid"))
+      .select("eid", "sid", "tag").orderBy("eid").collect().toSeq
+    assert(viaTvf === viaCols)
+    // salted + tolerance: same rows as native + tolerance
+    val salted = spark.sql(
+      """SELECT eid, sid, tag FROM
+        |graft_asof_join('tvf_left', 'tvf_right', 'uid', 't', 'st',
+        |                'sid,tag', 'backward', 'false', 'sid', '50', '20')
+        |ORDER BY eid""".stripMargin).collect().toSeq
+    assert(salted === viaTvf)
+    assert(intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof_join('tvf_left', 'tvf_right', 'uid', " +
+        "'t', 'st', 'sid', 'backward', 'false', 'sid', '', '0')").collect())
+      .getMessage.contains("tolerance must be positive"))
+  }
+
   test("graft_cumsum TVF == KeyedPrefix.cumsum Column form, accepts a " +
     "subquery relation, defaults out names and count_name, and " +
     "rejects a malformed sums entry") {
