@@ -88,6 +88,58 @@ object Monitor {
       .withColumn("flagged", abs(col("dev_ppm")) > lit(limitPpm))
   }
 
+  /** Holt linear-trend smoothing (Holt 1957 / Winters 1960 without
+    * the seasonal term): per key and day, exact-milli level and trend
+    * —
+    *   `l_t = (α·x_t·1000 + (1−α)·(l_{t−1} + b_{t−1})) div 1000`
+    *   `b_t = (β·(l_t − l_{t−1}) + (1−β)·b_{t−1}) div 1000`
+    * — seeded at (first day's value, 0), plus the one-step-ahead
+    * forecast `l + b` a capacity planner actually consumes (the
+    * EWMA tracks level only and lags any sustained ramp by
+    * construction; the trend term is what removes that lag). Whether
+    * this beats seasonal-naive is exactly what the MASE readout
+    * measures. Same span-bounded array fold + recursive-CTE oracle
+    * pairing as the rest of the sequential family; same documented
+    * Long bound (~9.2e9 events/day/key) as the EWMA.
+    */
+  def holtDaily(events: DataFrame, keyCol: String, tsUs: Column,
+                alphaMilli: Int = 300, betaMilli: Int = 100): DataFrame = {
+    require(alphaMilli > 0 && alphaMilli <= 1000,
+      s"alphaMilli must be in (0, 1000], got $alphaMilli")
+    require(betaMilli > 0 && betaMilli <= 1000,
+      s"betaMilli must be in (0, 1000], got $betaMilli")
+    val a = alphaMilli; val b = betaMilli
+    val grid = dailyGrid(events, keyCol, tsUs)
+    val series = grid.groupBy("key")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("dn"))
+    // the lambda has no let-binding, so the new level expression is
+    // inlined twice (level, then inside trend) — identical integer
+    // expression, identical value, exactly what the CTE oracle steps
+    val newLevel =
+      s"""(($a * x.n * 1000L +
+         |  ${1000 - a} * (element_at(acc, size(acc)).level_milli +
+         |    element_at(acc, size(acc)).trend_milli)) div 1000)""".stripMargin
+    val fold = series.withColumn("traj", expr(
+      s"""aggregate(
+         |  slice(dn, 2, greatest(size(dn) - 1, 0)),
+         |  array(named_struct(
+         |    'day', dn[0].day, 'n', dn[0].n,
+         |    'level_milli', dn[0].n * 1000L,
+         |    'trend_milli', 0L)),
+         |  (acc, x) -> acc || array(named_struct(
+         |    'day', x.day, 'n', x.n,
+         |    'level_milli', $newLevel,
+         |    'trend_milli', ($b * ($newLevel -
+         |        element_at(acc, size(acc)).level_milli) +
+         |      ${1000 - b} * element_at(acc, size(acc)).trend_milli)
+         |      div 1000)))""".stripMargin))
+    fold.select(col("key"), explode(col("traj")).as("t"))
+      .select(col("key"), col("t.day").as("day"), col("t.n").as("n"),
+        col("t.level_milli").as("level_milli"),
+        col("t.trend_milli").as("trend_milli"))
+      .withColumn("forecast_milli", col("level_milli") + col("trend_milli"))
+  }
+
   /** Ingest backlog under finite capacity — Lindley's recursion
     * (Lindley 1952): `backlog_t = max(0, backlog_{t−1} + arrivals_t −
     * capacity)` with capacity provisioned at `capPctOfMean`% of the

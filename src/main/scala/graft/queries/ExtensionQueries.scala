@@ -713,6 +713,83 @@ object ExtensionQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Holt linear-trend forecast ledger
+    * ([[graft.ops.Monitor.holtDaily]]) per event type: exact-milli
+    * level + trend and the one-step-ahead forecast — the ramp-aware
+    * sibling of the EWMA, judged against seasonal-naive by `q_mase`.
+    */
+  def holtQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Monitor.holtDaily(ev, "event_type", AnalyticsQueries.epochUs(ev, "ts"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "day")
+  }
+
+  /** Greedy bandit replay (the follow-the-leader baseline every
+    * bandit paper measures against): replay the recorded stream as if
+    * each day's traffic had gone to the arm with the better observed
+    * hit rate SO FAR (exact cross-multiplied comparison, ties and
+    * cold start to arm A), and report the achieved rate against the
+    * best-fixed-arm-in-hindsight — the regret. Negative regret is
+    * possible (switching can beat any fixed arm when arms drift) and
+    * is itself the finding. Day-grid bounded: per-(type, day) arm
+    * rollup, prefix windows over the span-bounded grid, one summary
+    * agg; DECIMAL(38,0) cross-products.
+    */
+  def banditQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    banditReplay(ev.select(col("event_type"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day"),
+      when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
+      when(col("value") > 200.0, 1L).otherwise(0L).as("hit")))
+  }
+
+  /** Core over a pre-projected (event_type, day, ga, hit) frame. */
+  private[graft] def banditReplay(e: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byDay = e.groupBy("event_type", "day")
+      .agg(sum(col("ga")).as("da"), sum(col("ga") * col("hit")).as("dha"),
+        sum(lit(1L) - col("ga")).as("db"),
+        sum((lit(1L) - col("ga")) * col("hit")).as("dhb"))
+    val grid = byDay.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(byDay, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("da"), lit(0L)).as("da"),
+        coalesce(col("dha"), lit(0L)).as("dha"),
+        coalesce(col("db"), lit(0L)).as("db"),
+        coalesce(col("dhb"), lit(0L)).as("dhb"))
+    val w = W.partitionBy("event_type").orderBy("day")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val led = grid
+      .withColumn("ca", coalesce(sum(col("da")).over(w), lit(0L)))
+      .withColumn("cha", coalesce(sum(col("dha")).over(w), lit(0L)))
+      .withColumn("cb", coalesce(sum(col("db")).over(w), lit(0L)))
+      .withColumn("chb", coalesce(sum(col("dhb")).over(w), lit(0L)))
+      .withColumn("chose_a", expr(
+        "CAST(cha AS DECIMAL(38,0)) * greatest(cb, 1)" +
+          " >= CAST(chb AS DECIMAL(38,0)) * greatest(ca, 1)"))
+      .withColumn("reward", when(col("chose_a"), col("dha")).otherwise(col("dhb")))
+      .withColumn("pulls", when(col("chose_a"), col("da")).otherwise(col("db")))
+    led.groupBy("event_type")
+      .agg(count(lit(1)).as("days"),
+        sum(when(col("chose_a"), 1L).otherwise(0L)).as("days_on_a"),
+        sum(col("reward")).as("reward"), sum(col("pulls")).as("pulls"),
+        sum(col("da")).as("ta"), sum(col("dha")).as("tha"),
+        sum(col("db")).as("tb"), sum(col("dhb")).as("thb"))
+      .withColumn("achieved_ppm",
+        expr("reward * 1000000 div greatest(pulls, 1)"))
+      .withColumn("best_ppm", expr(
+        "greatest(tha * 1000000 div greatest(ta, 1)," +
+          " thb * 1000000 div greatest(tb, 1))"))
+      .withColumn("regret_ppm", col("best_ppm") - col("achieved_ppm"))
+      .select("event_type", "days", "days_on_a", "reward", "pulls",
+        "achieved_ppm", "best_ppm", "regret_ppm")
+      .orderBy("event_type")
+  }
+
   /** Two-sided CUSUM change-point chart
     * ([[graft.ops.Monitor.cusumDaily]], Page 1954) per event type:
     * cumulative milli-deviations from the type's own mean with the
@@ -4275,6 +4352,84 @@ object ExtensionQueries {
         |    THEN CAST(n * 1000 - prev_milli AS HUGEINT) * 1000000 // greatest(prev_milli, 1)
         |    ELSE -(CAST(prev_milli - n * 1000 AS HUGEINT) * 1000000 // greatest(prev_milli, 1))
         |  END) > 500000 AS flagged
+        |FROM e ORDER BY event_type, day""".stripMargin) +
+    ("q_bandit" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+        |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS hit FROM events),
+        |byday AS (SELECT event_type, day,
+        |    CAST(sum(ga) AS BIGINT) AS da,
+        |    CAST(sum(ga * hit) AS BIGINT) AS dha,
+        |    CAST(sum(1 - ga) AS BIGINT) AS db,
+        |    CAST(sum((1 - ga) * hit) AS BIGINT) AS dhb
+        |  FROM e GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT g.event_type, g.day,
+        |    COALESCE(b.da, 0) AS da, COALESCE(b.dha, 0) AS dha,
+        |    COALESCE(b.db, 0) AS db, COALESCE(b.dhb, 0) AS dhb
+        |  FROM (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+        |        FROM sp) g
+        |  LEFT JOIN byday b USING (event_type, day)),
+        |c AS (SELECT *,
+        |    CAST(COALESCE(sum(da) OVER w, 0) AS BIGINT) AS ca,
+        |    CAST(COALESCE(sum(dha) OVER w, 0) AS BIGINT) AS cha,
+        |    CAST(COALESCE(sum(db) OVER w, 0) AS BIGINT) AS cb,
+        |    CAST(COALESCE(sum(dhb) OVER w, 0) AS BIGINT) AS chb
+        |  FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |l AS (SELECT *,
+        |    CAST(cha AS HUGEINT) * greatest(cb, 1)
+        |      >= CAST(chb AS HUGEINT) * greatest(ca, 1) AS chose_a
+        |  FROM c),
+        |r AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS days,
+        |    CAST(sum(CASE WHEN chose_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS days_on_a,
+        |    CAST(sum(CASE WHEN chose_a THEN dha ELSE dhb END) AS BIGINT)
+        |      AS reward,
+        |    CAST(sum(CASE WHEN chose_a THEN da ELSE db END) AS BIGINT)
+        |      AS pulls,
+        |    CAST(sum(da) AS BIGINT) AS ta, CAST(sum(dha) AS BIGINT) AS tha,
+        |    CAST(sum(db) AS BIGINT) AS tb, CAST(sum(dhb) AS BIGINT) AS thb
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, days, days_on_a, reward, pulls,
+        |  CAST(reward * 1000000 // greatest(pulls, 1) AS BIGINT)
+        |    AS achieved_ppm,
+        |  CAST(greatest(tha * 1000000 // greatest(ta, 1),
+        |    thb * 1000000 // greatest(tb, 1)) AS BIGINT) AS best_ppm,
+        |  CAST(greatest(tha * 1000000 // greatest(ta, 1),
+        |    thb * 1000000 // greatest(tb, 1))
+        |    - reward * 1000000 // greatest(pulls, 1) AS BIGINT)
+        |    AS regret_ppm
+        |FROM r ORDER BY event_type""".stripMargin) +
+    ("q_holt" ->
+      """WITH RECURSIVE byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n,
+        |    row_number() OVER (PARTITION BY gr.event_type ORDER BY gr.day) AS i
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |e AS (
+        |  SELECT event_type, day, n, i,
+        |    CAST(n * 1000 AS BIGINT) AS level_milli,
+        |    CAST(0 AS BIGINT) AS trend_milli
+        |  FROM g WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.day, x.n, x.i,
+        |    CAST((300 * x.n * 1000
+        |      + 700 * (e.level_milli + e.trend_milli)) // 1000 AS BIGINT),
+        |    CAST((100 * ((300 * x.n * 1000
+        |        + 700 * (e.level_milli + e.trend_milli)) // 1000
+        |        - e.level_milli) + 900 * e.trend_milli) // 1000 AS BIGINT)
+        |  FROM g x JOIN e ON x.event_type = e.event_type AND x.i = e.i + 1)
+        |SELECT event_type, day, n, level_milli, trend_milli,
+        |  CAST(level_milli + trend_milli AS BIGINT) AS forecast_milli
         |FROM e ORDER BY event_type, day""".stripMargin) +
     ("q_cusum" ->
       """WITH RECURSIVE byday AS (
@@ -8502,6 +8657,8 @@ object ExtensionQueries {
     "q_cumsum_sql"      -> (cumsumSqlQ _),
     "q_stickiness"      -> (stickinessQ _),
     "q_mase"            -> (maseQ _),
+    "q_holt"            -> (holtQ _),
+    "q_bandit"          -> (banditQ _),
     "q_quantile_norm"   -> (quantileNormQ _),
     "q_eb_shrink"       -> (ebShrinkQ _)
   )

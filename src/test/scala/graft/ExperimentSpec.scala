@@ -152,6 +152,26 @@ class ExperimentSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("banditReplay: greedy follows the leader — sticks with the " +
+    "early winner, switches only after the log overtakes it, and the " +
+    "hindsight regret is the hand-computed 100000 ppm") {
+    // 10 days, 10 users per arm per day; arm A converts on days 0-2,
+    // arm B on days 3-9 (B dominant overall)
+    val e = (0 until 10).flatMap { dd =>
+      (0 until 10).flatMap { u =>
+        Seq(("t", dd.toLong, 1L, if (dd <= 2) 1L else 0L),
+          ("t", dd.toLong, 0L, if (dd >= 3) 1L else 0L))
+      }
+    }.toDF("event_type", "day", "ga", "hit")
+    val out = ExtensionQueries.banditReplay(e)
+      .select("days", "days_on_a", "reward", "pulls",
+        "achieved_ppm", "best_ppm", "regret_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    // greedy rides A through day 6 (tie at 30/60 -> A), switches to B
+    // on day 7: reward 30 (A days 0-2) + 30 (B days 7-9) = 60/100
+    assert(out === ((10L, 7L, 60L, 100L, 600000L, 700000L, 100000L)))
+  }
+
   test("ebShrink: a tiny extreme segment is pulled toward the ensemble " +
     "mean, a big segment barely moves, and an overdispersed ensemble " +
     "clamps M to 0 (no shrinkage)") {

@@ -38,6 +38,26 @@ class MonitorSpec extends SparkSpec {
       (2L, 12L, 4580L, 7571428L, true)))
   }
 
+  test("holtDaily: hand-checked level+trend recurrence — flat days " +
+    "keep trend 0, a jump moves level AND opens a trend, forecast " +
+    "= level + trend") {
+    // 10, 10, 22 on consecutive days
+    val ev = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (1 to 10).map(i => ("a", day + i)) ++
+      (1 to 22).map(i => ("a", 2 * day + i))).toDF("k", "tus")
+    val out = Monitor.holtDaily(ev, "k", col("tus"))
+      .orderBy("day")
+      .select("day", "n", "level_milli", "trend_milli", "forecast_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // d0: seed (10000, 0); d1: l=(300*10000+700*10000)/1000=10000, b=0
+    // d2: l=(300*22000+700*10000)/1000=13600,
+    //     b=(100*(13600-10000)+900*0)/1000=360 -> forecast 13960
+    assert(out === Seq(
+      (0L, 10L, 10000L, 0L, 10000L),
+      (1L, 10L, 10000L, 0L, 10000L),
+      (2L, 22L, 13600L, 360L, 13960L)))
+  }
+
   test("cusumDaily: a sustained level shift accumulates to an alarm " +
     "that a single spike never reaches") {
     // key s: 20 quiet days of 2, then 6 shifted days of 50
