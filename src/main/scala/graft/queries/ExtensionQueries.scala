@@ -790,6 +790,105 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Off-policy evaluation of the greedy day-before-leader policy by
+    * inverse propensity scoring (Horvitz–Thompson '52; SNIPS per
+    * Swaminathan–Joachims '15): the logged stream assigned arms
+    * 50/50, so the counterfactual value of "send each day's traffic
+    * to yesterday's leader" is estimable WITHOUT running it —
+    * `IPS = Σ hit·1[logged = chosen]/0.5 / N` (the ×2 is the inverse
+    * propensity, exact in ppm) and the self-normalized
+    * `SNIPS = Σ hit·1[match] / Σ 1[match]` that trades a little bias
+    * for much less variance. The evaluation half of the bandit pair:
+    * `q_bandit` replays the policy, this prices it against the log.
+    * Day-grid prefix windows + one event-level join on (type, day).
+    */
+  def ipsQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ips(ev.select(col("event_type"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day"),
+      when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
+      when(col("value") > 200.0, 1L).otherwise(0L).as("hit")))
+  }
+
+  /** Core over a pre-projected (event_type, day, ga, hit) frame. */
+  private[graft] def ips(e: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byDay = e.groupBy("event_type", "day")
+      .agg(sum(col("ga")).as("da"), sum(col("ga") * col("hit")).as("dha"),
+        sum(lit(1L) - col("ga")).as("db"),
+        sum((lit(1L) - col("ga")) * col("hit")).as("dhb"))
+    val w = W.partitionBy("event_type").orderBy("day")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val chosen = byDay
+      .withColumn("ca", coalesce(sum(col("da")).over(w), lit(0L)))
+      .withColumn("cha", coalesce(sum(col("dha")).over(w), lit(0L)))
+      .withColumn("cb", coalesce(sum(col("db")).over(w), lit(0L)))
+      .withColumn("chb", coalesce(sum(col("dhb")).over(w), lit(0L)))
+      .withColumn("chose_a", expr(
+        "CAST(cha AS DECIMAL(38,0)) * greatest(cb, 1)" +
+          " >= CAST(chb AS DECIMAL(38,0)) * greatest(ca, 1)"))
+      .select("event_type", "day", "chose_a")
+    e.join(chosen, Seq("event_type", "day"))
+      .withColumn("match",
+        when((col("ga") === 1L) === col("chose_a"), 1L).otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("match")).as("matched"),
+        sum(col("match") * col("hit")).as("matched_hits"))
+      .withColumn("ips_ppm",
+        expr("matched_hits * 2000000 div greatest(n, 1)"))
+      .withColumn("snips_ppm",
+        expr("matched_hits * 1000000 div greatest(matched, 1)"))
+      .select("event_type", "n", "matched", "matched_hits",
+        "ips_ppm", "snips_ppm")
+      .orderBy("event_type")
+  }
+
+  /** Covariate balance check (standardized mean difference, reported
+    * as SMD² in ppm to stay integer-exact — `|SMD| > 0.1` is the
+    * conventional imbalance flag, so the integer verdict is
+    * `smd2_ppm > 10000`): did randomization actually balance the
+    * pre-treatment covariate across arms? The companion to the SRM
+    * gate — SRM catches missing USERS, this catches skewed USERS.
+    * Means/variances in exact milli via the usual n-cleared sums;
+    * every division a mirrored truncation.
+    */
+  def balanceQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    balance(ev.select(col("event_type"),
+      when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("v")))
+  }
+
+  /** Core over a pre-projected (event_type, ga, v[milli]) frame. */
+  private[graft] def balance(e: DataFrame): DataFrame = {
+    e.groupBy("event_type")
+      .agg(sum(col("ga")).as("na"),
+        sum(col("ga") * col("v")).as("sa"),
+        sum(expr("CAST(ga * v AS DECIMAL(38,0)) * v")).as("saa"),
+        sum(lit(1L) - col("ga")).as("nb"),
+        sum((lit(1L) - col("ga")) * col("v")).as("sb"),
+        sum(expr("CAST((1 - ga) * v AS DECIMAL(38,0)) * v")).as("sbb"))
+      .withColumn("ma_milli", expr("sa div greatest(na, 1)"))
+      .withColumn("mb_milli", expr("sb div greatest(nb, 1)"))
+      .withColumn("va", expr(
+        "(na * saa - CAST(sa AS DECIMAL(38,0)) * sa)" +
+          " div greatest(CAST(na AS DECIMAL(38,0)) * (na - 1), 1)"))
+      .withColumn("vb", expr(
+        "(nb * sbb - CAST(sb AS DECIMAL(38,0)) * sb)" +
+          " div greatest(CAST(nb AS DECIMAL(38,0)) * (nb - 1), 1)"))
+      .withColumn("pooled", expr(
+        "((na - 1) * va + (nb - 1) * vb) div greatest(na + nb - 2, 1)"))
+      .withColumn("smd2_ppm", expr(
+        "CAST(CAST(ma_milli - mb_milli AS DECIMAL(38,0))" +
+          " * (ma_milli - mb_milli) * 1000000" +
+          " div greatest(pooled, 1) AS BIGINT)"))
+      .withColumn("balanced", col("smd2_ppm") <= 10000L)
+      .select(col("event_type"), col("na"), col("nb"),
+        col("ma_milli"), col("mb_milli"), col("smd2_ppm"), col("balanced"))
+      .orderBy("event_type")
+  }
+
   /** Two-sided CUSUM change-point chart
     * ([[graft.ops.Monitor.cusumDaily]], Page 1954) per event type:
     * cumulative milli-deviations from the type's own mean with the
@@ -4353,6 +4452,73 @@ object ExtensionQueries {
         |    ELSE -(CAST(prev_milli - n * 1000 AS HUGEINT) * 1000000 // greatest(prev_milli, 1))
         |  END) > 500000 AS flagged
         |FROM e ORDER BY event_type, day""".stripMargin) +
+    ("q_ips" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+        |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS hit FROM events),
+        |byday AS (SELECT event_type, day,
+        |    CAST(sum(ga) AS BIGINT) AS da,
+        |    CAST(sum(ga * hit) AS BIGINT) AS dha,
+        |    CAST(sum(1 - ga) AS BIGINT) AS db,
+        |    CAST(sum((1 - ga) * hit) AS BIGINT) AS dhb
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |    CAST(COALESCE(sum(da) OVER w, 0) AS BIGINT) AS ca,
+        |    CAST(COALESCE(sum(dha) OVER w, 0) AS BIGINT) AS cha,
+        |    CAST(COALESCE(sum(db) OVER w, 0) AS BIGINT) AS cb,
+        |    CAST(COALESCE(sum(dhb) OVER w, 0) AS BIGINT) AS chb
+        |  FROM byday WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |l AS (SELECT event_type, day,
+        |    CAST(cha AS HUGEINT) * greatest(cb, 1)
+        |      >= CAST(chb AS HUGEINT) * greatest(ca, 1) AS chose_a
+        |  FROM c),
+        |j AS (SELECT e.event_type,
+        |    CASE WHEN (e.ga = 1) = l.chose_a THEN 1 ELSE 0 END AS m,
+        |    e.hit
+        |  FROM e JOIN l ON e.event_type = l.event_type AND e.day = l.day),
+        |r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(m) AS BIGINT) AS matched,
+        |    CAST(sum(m * hit) AS BIGINT) AS matched_hits
+        |  FROM j GROUP BY 1)
+        |SELECT event_type, n, matched, matched_hits,
+        |  CAST(matched_hits * 2000000 // greatest(n, 1) AS BIGINT)
+        |    AS ips_ppm,
+        |  CAST(matched_hits * 1000000 // greatest(matched, 1) AS BIGINT)
+        |    AS snips_ppm
+        |FROM r ORDER BY event_type""".stripMargin) +
+    ("q_balance" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(sum(ga) AS BIGINT) AS na,
+        |    CAST(sum(ga * v) AS BIGINT) AS sa,
+        |    CAST(sum(CAST(ga * v AS HUGEINT) * v) AS HUGEINT) AS saa,
+        |    CAST(sum(1 - ga) AS BIGINT) AS nb,
+        |    CAST(sum((1 - ga) * v) AS BIGINT) AS sb,
+        |    CAST(sum(CAST((1 - ga) * v AS HUGEINT) * v) AS HUGEINT) AS sbb
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT *,
+        |    CAST(sa // greatest(na, 1) AS BIGINT) AS ma_milli,
+        |    CAST(sb // greatest(nb, 1) AS BIGINT) AS mb_milli,
+        |    (na * saa - CAST(sa AS HUGEINT) * sa)
+        |      // greatest(CAST(na AS HUGEINT) * (na - 1), 1) AS va,
+        |    (nb * sbb - CAST(sb AS HUGEINT) * sb)
+        |      // greatest(CAST(nb AS HUGEINT) * (nb - 1), 1) AS vb
+        |  FROM g),
+        |p AS (SELECT *,
+        |    ((na - 1) * va + (nb - 1) * vb)
+        |      // greatest(na + nb - 2, 1) AS pooled FROM m)
+        |SELECT event_type, na, nb, ma_milli, mb_milli,
+        |  CAST(CAST(ma_milli - mb_milli AS HUGEINT)
+        |    * (ma_milli - mb_milli) * 1000000
+        |    // greatest(pooled, 1) AS BIGINT) AS smd2_ppm,
+        |  CAST(CAST(ma_milli - mb_milli AS HUGEINT)
+        |    * (ma_milli - mb_milli) * 1000000
+        |    // greatest(pooled, 1) AS BIGINT) <= 10000 AS balanced
+        |FROM p ORDER BY event_type""".stripMargin) +
     ("q_bandit" ->
       """WITH e AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day,
@@ -8659,6 +8825,8 @@ object ExtensionQueries {
     "q_mase"            -> (maseQ _),
     "q_holt"            -> (holtQ _),
     "q_bandit"          -> (banditQ _),
+    "q_ips"             -> (ipsQ _),
+    "q_balance"         -> (balanceQ _),
     "q_quantile_norm"   -> (quantileNormQ _),
     "q_eb_shrink"       -> (ebShrinkQ _)
   )

@@ -172,6 +172,40 @@ class ExperimentSpec extends SparkSpec {
     assert(out === ((10L, 7L, 60L, 100L, 600000L, 700000L, 100000L)))
   }
 
+  test("ips: on the bandit fixture the IPS and SNIPS values equal the " +
+    "replay's achieved rate (the policy gets exactly half the 50/50 " +
+    "log every day, so both estimators are exact here)") {
+    val e = (0 until 10).flatMap { dd =>
+      (0 until 10).flatMap { u =>
+        Seq(("t", dd.toLong, 1L, if (dd <= 2) 1L else 0L),
+          ("t", dd.toLong, 0L, if (dd >= 3) 1L else 0L))
+      }
+    }.toDF("event_type", "day", "ga", "hit")
+    val out = ExtensionQueries.ips(e)
+      .select("n", "matched", "matched_hits", "ips_ppm", "snips_ppm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out === ((200L, 100L, 60L, 600000L, 600000L)))
+  }
+
+  test("balance: a planted 2x covariate shift between arms fires the " +
+    "SMD flag with the hand-computed value; identical arms read 0") {
+    def arm(ga: Long, base: Long) = (0 until 10).map { i =>
+      ("t", ga, (base + (if (i % 2 == 0) -10000L else 10000L)))
+    }
+    val shifted = (arm(1L, 100000L) ++ arm(0L, 200000L))
+      .toDF("event_type", "ga", "v")
+    val s = ExtensionQueries.balance(shifted)
+      .select("ma_milli", "mb_milli", "smd2_ppm", "balanced")
+      .as[(Long, Long, Long, Boolean)].head()
+    // va = vb = 1e10/90 = 111111111; smd2 = 1e10*1e6 // 111111111
+    assert(s === ((100000L, 200000L, 90000000L, false)))
+    val same = (arm(1L, 150000L) ++ arm(0L, 150000L))
+      .toDF("event_type", "ga", "v")
+    val b = ExtensionQueries.balance(same)
+      .select("smd2_ppm", "balanced").as[(Long, Boolean)].head()
+    assert(b === ((0L, true)))
+  }
+
   test("ebShrink: a tiny extreme segment is pulled toward the ensemble " +
     "mean, a big segment barely moves, and an overdispersed ensemble " +
     "clamps M to 0 (no shrinkage)") {
