@@ -4286,6 +4286,57 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Categorical mutual-information census (Shannon '48; the
+    * uncertainty coefficient is Theil's U): how much does knowing one
+    * metadata column tell you about another — the SOFT-dependency
+    * sibling of the exact-FD profiler (`q_fd` finds the hard
+    * `x → y`s; this ranks the leaky ones), the signal for dropping
+    * redundant partition columns or spotting proxy features. Per
+    * column pair: `MI = Σ n_xy·ln(n_xy·N/(n_x·n_y))/N` with every
+    * per-cell log-ratio quantized to e-4 BEFORE the integer sum (the
+    * suite's established cross-engine log discipline — the lattice
+    * is coarse enough that both engines' libm agree on the floor),
+    * entropies the same way, and `U = MI/min(H(x),H(y))` in ppm.
+    * Work per pair = one distinct-cell aggregate (cells ≪ rows).
+    */
+  def mutualInfoQ(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select(col("source"), col("lang"),
+      expr("least(n_chars div 200, 9)").as("len_bucket"))
+    val pairs = Seq(("source", "lang"), ("source", "len_bucket"),
+      ("lang", "len_bucket"))
+    pairs.map { case (x, y) => miPair(dd, x, y) }
+      .reduce(_ unionByName _)
+      .orderBy("pair")
+  }
+
+  private[graft] def miPair(df: DataFrame, x: String, y: String): DataFrame = {
+    val cells = df.groupBy(col(x).as("x"), col(y).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val mx = cells.groupBy("x").agg(sum(col("nxy")).as("nx"))
+    val my = cells.groupBy("y").agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("nn"))
+    def entE4(m: DataFrame, cnt: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .select(expr(s"CAST(floor(ln(CAST($cnt AS DOUBLE) / nn) * 10000)" +
+          s" AS BIGINT) * $cnt").as("t"), col("nn"))
+        .groupBy("nn").agg((-sum(col("t"))).as("hsum"))
+        .select(expr("hsum div nn").as("h_e4"))
+    val hx = entE4(mx, "nx"); val hy = entE4(my, "ny")
+    val mi = cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+      .select(expr("CAST(floor(ln(CAST(nxy AS DOUBLE) * nn" +
+        " / (CAST(nx AS DOUBLE) * ny)) * 10000) AS BIGINT) * nxy").as("t"),
+        col("nn"))
+      .groupBy("nn").agg(sum(col("t")).as("msum"))
+      .select(col("nn"), expr("msum div nn").as("mi_e4"))
+    mi.crossJoin(broadcast(hx.select(col("h_e4").as("hx_e4"))))
+      .crossJoin(broadcast(hy.select(col("h_e4").as("hy_e4"))))
+      .select(lit(s"$x|$y").as("pair"), col("nn").as("n"),
+        col("mi_e4"), col("hx_e4"), col("hy_e4"),
+        expr("mi_e4 * 1000000 div greatest(least(hx_e4, hy_e4), 1)")
+          .as("uncert_ppm"))
+  }
+
   /** Per-source Flesch-shape readability profile
     * ([[TextStats.readability]]) — integer milli-unit scores under the
     * hash gate.
@@ -4452,6 +4503,42 @@ object ExtensionQueries {
         |    ELSE -(CAST(prev_milli - n * 1000 AS HUGEINT) * 1000000 // greatest(prev_milli, 1))
         |  END) > 500000 AS flagged
         |FROM e ORDER BY event_type, day""".stripMargin) +
+    ("q_mutual_info" -> {
+      def block(x: String, y: String): String =
+        s"""SELECT '$x|$y' AS pair, nn AS n,
+           |  (SELECT CAST(sum(CAST(floor(ln(CAST(nxy AS DOUBLE) * t.nn
+           |      / (CAST(nx AS DOUBLE) * ny)) * 10000) AS BIGINT) * nxy)
+           |      AS BIGINT)
+           |   FROM (SELECT $x AS x, $y AS y, CAST(count(*) AS BIGINT)
+           |           AS nxy FROM dd GROUP BY 1, 2) c
+           |   JOIN (SELECT $x AS x, CAST(count(*) AS BIGINT) AS nx
+           |         FROM dd GROUP BY 1) sx USING (x)
+           |   JOIN (SELECT $y AS y, CAST(count(*) AS BIGINT) AS ny
+           |         FROM dd GROUP BY 1) sy USING (y)) // nn AS mi_e4,
+           |  (SELECT CAST(-sum(CAST(floor(ln(CAST(nx AS DOUBLE) / t.nn)
+           |      * 10000) AS BIGINT) * nx) AS BIGINT)
+           |   FROM (SELECT $x AS x, CAST(count(*) AS BIGINT) AS nx
+           |         FROM dd GROUP BY 1) sx) // nn AS hx_e4,
+           |  (SELECT CAST(-sum(CAST(floor(ln(CAST(ny AS DOUBLE) / t.nn)
+           |      * 10000) AS BIGINT) * ny) AS BIGINT)
+           |   FROM (SELECT $y AS y, CAST(count(*) AS BIGINT) AS ny
+           |         FROM dd GROUP BY 1) sy) // nn AS hy_e4
+           |FROM t""".stripMargin
+      s"""WITH dd AS (SELECT source, lang,
+         |    least(n_chars // 200, 9) AS len_bucket FROM documents),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM dd),
+         |u AS (
+         |${block("source", "lang")}
+         |UNION ALL
+         |${block("source", "len_bucket")}
+         |UNION ALL
+         |${block("lang", "len_bucket")})
+         |SELECT pair, n, CAST(mi_e4 AS BIGINT) AS mi_e4,
+         |  CAST(hx_e4 AS BIGINT) AS hx_e4, CAST(hy_e4 AS BIGINT) AS hy_e4,
+         |  CAST(mi_e4 * 1000000 // greatest(least(hx_e4, hy_e4), 1)
+         |    AS BIGINT) AS uncert_ppm
+         |FROM u ORDER BY pair""".stripMargin
+    }) +
     ("q_ips" ->
       """WITH e AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day,
@@ -8826,6 +8913,7 @@ object ExtensionQueries {
     "q_holt"            -> (holtQ _),
     "q_bandit"          -> (banditQ _),
     "q_ips"             -> (ipsQ _),
+    "q_mutual_info"     -> (mutualInfoQ _),
     "q_balance"         -> (balanceQ _),
     "q_quantile_norm"   -> (quantileNormQ _),
     "q_eb_shrink"       -> (ebShrinkQ _)

@@ -172,6 +172,34 @@ class ExperimentSpec extends SparkSpec {
     assert(out === ((10L, 7L, 60L, 100L, 600000L, 700000L, 100000L)))
   }
 
+  test("mutual information: a deterministic mapping reads U = 1 " +
+    "(MI = the smaller entropy), independence reads MI ~ 0, and MI " +
+    "is symmetric") {
+    // y = f(x): 4 x-values map 2:1 onto 2 y-values, 25 rows each
+    val dep = (0 until 100).map(i => (s"x${i % 4}", s"y${i % 2}"))
+      .toDF("a", "b")
+    val d = ExtensionQueries.miPair(dep, "a", "b")
+      .select("mi_e4", "hx_e4", "hy_e4", "uncert_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    // MI cell ratio ln 2 -> floor 6931; H(y) from ln(1/2) -> floor
+    // -6932 (negative floor), so H reads 6932 — one lattice step off
+    // MI, exactly the documented quantization
+    assert(d._1 === 6931L && d._3 === 6932L, s"$d")
+    assert(d._4 >= 999000L, s"U must read ~1: $d")
+    // independent: all 4 (x, y) combos equally likely
+    val ind = (0 until 100).map(i => (s"x${i % 2}", s"y${(i / 2) % 2}"))
+      .toDF("a", "b")
+    val i = ExtensionQueries.miPair(ind, "a", "b")
+      .select("mi_e4", "uncert_ppm").as[(Long, Long)].head()
+    assert(i._1 <= 1L && i._2 <= 1000L, s"independence must read ~0: $i")
+    // symmetry
+    val s1 = ExtensionQueries.miPair(dep, "a", "b")
+      .select("mi_e4").as[Long].head()
+    val s2 = ExtensionQueries.miPair(dep, "b", "a")
+      .select("mi_e4").as[Long].head()
+    assert(s1 === s2)
+  }
+
   test("ips: on the bandit fixture the IPS and SNIPS values equal the " +
     "replay's achieved rate (the policy gets exactly half the 50/50 " +
     "log every day, so both estimators are exact here)") {
