@@ -4286,6 +4286,51 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Embedding isotropy census (Ethayarajh EMNLP'19's anisotropy
+    * diagnosis: contextual embedding spaces collapse into a narrow
+    * cone, and the MEAN PAIRWISE COSINE is the one-number symptom —
+    * near 0 = isotropic/healthy, large = cone — which silently breaks
+    * cosine-threshold dedup and similarity cutoffs calibrated on the
+    * unit sphere). Computed EXACTLY (no pair sampling, no pair join)
+    * through the identity `Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖²`: unit
+    * vectors quantize per-component to e-6 integers FIRST (the
+    * deterministic lattice — cross-ROW float sums would be
+    * order-dependent, integer sums are not), then one posexplode +
+    * d-bounded component rollup. Overall + per label, so cone
+    * tightness per cluster rides the same pass.
+    */
+  def isotropyQ(s: SparkSession, d: String): DataFrame =
+    isotropy(Tables.embeddings(s, d).select(col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+
+  /** Core over a pre-projected (label, v: array<double>) frame. */
+  private[graft] def isotropy(e: DataFrame): DataFrame = {
+    val q = e
+      .withColumn("q", expr(
+        "transform(v, x -> CAST(floor(x / sqrt(aggregate(" +
+          "transform(v, y -> y * y), 0.0D, (a, y) -> a + y))" +
+          " * 1000000) AS BIGINT))"))
+      .withColumn("qq", expr(
+        "aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x)"))
+    def scoped(scope: Column): DataFrame = {
+      val base = q.select(scope.as("scope"), col("q"), col("qq"))
+      val comp = base
+        .select(col("scope"), posexplode(col("q")).as(Seq("pos", "qc")))
+        .groupBy("scope", "pos").agg(sum(col("qc")).as("sc"))
+        .groupBy("scope")
+        .agg(sum(expr("CAST(sc AS DECIMAL(38,0)) * sc")).as("t"))
+      val diag = base.groupBy("scope")
+        .agg(count(lit(1)).as("n"), sum(col("qq")).as("diag"))
+      diag.join(comp, Seq("scope"))
+        .select(col("scope"), col("n"),
+          expr("CAST((t - diag) div greatest(CAST(n AS DECIMAL(38,0))" +
+            " * (n - 1), 1) div 1000000 AS BIGINT)").as("mean_cos_ppm"))
+    }
+    scoped(lit("all")).unionByName(
+        scoped(concat(lit("label:"), col("label").cast("string"))))
+      .orderBy("scope")
+  }
+
   /** Categorical mutual-information census (Shannon '48; the
     * uncertainty coefficient is Theil's U): how much does knowing one
     * metadata column tell you about another — the SOFT-dependency
@@ -4503,6 +4548,35 @@ object ExtensionQueries {
         |    ELSE -(CAST(prev_milli - n * 1000 AS HUGEINT) * 1000000 // greatest(prev_milli, 1))
         |  END) > 500000 AS flagged
         |FROM e ORDER BY event_type, day""".stripMargin) +
+    ("q_isotropy" -> {
+      def scoped(scopeExpr: String): String =
+        s"""SELECT $scopeExpr AS scope, qv.q AS q,
+           |  list_reduce(list_transform(qv.q, x -> x * x), (a, b) -> a + b)
+           |    AS qq
+           |FROM qv""".stripMargin
+      s"""WITH e AS (SELECT label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |qv AS (SELECT label,
+         |    list_transform(v, x -> CAST(floor(x / sqrt(
+         |      list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))
+         |      * 1000000) AS BIGINT)) AS q
+         |  FROM e),
+         |b AS (${scoped("'all'")} UNION ALL
+         |      ${scoped("'label:' || CAST(label AS VARCHAR)")}),
+         |comp AS (SELECT scope, i.i AS pos, CAST(sum(q[i.i]) AS HUGEINT)
+         |    AS sc
+         |  FROM b, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+         |tt AS (SELECT scope, CAST(sum(sc * sc) AS HUGEINT) AS t
+         |  FROM comp GROUP BY 1),
+         |dg AS (SELECT scope, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(qq) AS HUGEINT) AS diag FROM b GROUP BY 1)
+         |SELECT dg.scope, dg.n,
+         |  CAST((t - diag) // greatest(CAST(n AS HUGEINT) * (n - 1), 1)
+         |    // 1000000 AS BIGINT) AS mean_cos_ppm
+         |FROM dg JOIN tt ON dg.scope = tt.scope
+         |ORDER BY dg.scope""".stripMargin
+    }) +
     ("q_mutual_info" -> {
       def block(x: String, y: String): String =
         s"""SELECT '$x|$y' AS pair, nn AS n,
@@ -8914,6 +8988,7 @@ object ExtensionQueries {
     "q_bandit"          -> (banditQ _),
     "q_ips"             -> (ipsQ _),
     "q_mutual_info"     -> (mutualInfoQ _),
+    "q_isotropy"        -> (isotropyQ _),
     "q_balance"         -> (balanceQ _),
     "q_quantile_norm"   -> (quantileNormQ _),
     "q_eb_shrink"       -> (ebShrinkQ _)

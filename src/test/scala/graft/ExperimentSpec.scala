@@ -200,6 +200,33 @@ class ExperimentSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("isotropy: identical vectors read mean cosine 1e6 ppm (full " +
+    "cone collapse), an orthogonal basis reads 0, and the mix sits " +
+    "between") {
+    def vec(hot: Int) = (0 until 8).map(i => if (i == hot) 1.0 else 0.0)
+    val collapsed = (0 until 6).map(_ => (0, vec(0))).toDF("label", "v")
+    val c = ExtensionQueries.isotropy(collapsed)
+      .filter(col("scope") === "all")
+      .select("n", "mean_cos_ppm").as[(Long, Long)].head()
+    assert(c === ((6L, 1000000L)))
+    val ortho = (0 until 6).map(i => (0, vec(i))).toDF("label", "v")
+    val o = ExtensionQueries.isotropy(ortho)
+      .filter(col("scope") === "all")
+      .select("mean_cos_ppm").as[Long].head()
+    assert(o === 0L)
+    val mix = ((0 until 3).map(_ => (0, vec(0))) ++
+      (0 until 3).map(i => (1, vec(i + 1)))).toDF("label", "v")
+    val m = ExtensionQueries.isotropy(mix)
+      .filter(col("scope") === "all")
+      .select("mean_cos_ppm").as[Long].head()
+    assert(m > 0L && m < 1000000L, s"mix must sit between: $m")
+    // per-label: the collapsed label reads 1e6, the orthogonal one 0
+    val byLabel = ExtensionQueries.isotropy(mix)
+      .filter(col("scope") =!= "all")
+      .select("scope", "mean_cos_ppm").as[(String, Long)].collect().toMap
+    assert(byLabel("label:0") === 1000000L && byLabel("label:1") === 0L)
+  }
+
   test("ips: on the bandit fixture the IPS and SNIPS values equal the " +
     "replay's achieved rate (the policy gets exactly half the 50/50 " +
     "log every day, so both estimators are exact here)") {
