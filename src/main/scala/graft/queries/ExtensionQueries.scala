@@ -4286,6 +4286,56 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Zipf rank-frequency fit (Zipf '49): natural corpora follow
+    * `freq ∝ rank^(−s)` with s ≈ 1, so the SLOPE of the log-log
+    * rank-frequency line is a one-number corpus-health check —
+    * |slope| far above 1 means a few tokens dominate (boilerplate,
+    * template spam), far below 1 means shredded/near-uniform text
+    * (OCR noise, encoding damage). Fit = Theil–Sen over the top-200
+    * tokens' (ln rank, ln freq) points, both coordinates quantized to
+    * e-4 BEFORE the integer pairwise slopes (the established log
+    * discipline; the median over ≤19,900 bounded pairs, deterministic
+    * tie order). The heavy lift is one token count; everything after
+    * the top-K pick runs on a 200-row frame.
+    */
+  def zipfQ(s: SparkSession, d: String): DataFrame =
+    zipf(docs(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0))
+
+  /** Core over a one-column (tok) token stream. */
+  private[graft] def zipf(tokens: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = tokens.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("n_vocab"))
+    val top = toks.orderBy(col("c").desc, col("tok")).limit(200)
+      .withColumn("r", row_number().over(
+        W.orderBy(col("c").desc, col("tok"))).cast("long"))
+      .select(col("r"), col("c"),
+        expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 10000) AS BIGINT)").as("lr"),
+        expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 10000) AS BIGINT)").as("lf"))
+    val a = top.select(col("r").as("r1"), col("lr").as("lr1"),
+      col("lf").as("lf1"))
+    val b = top.select(col("r").as("r2"), col("lr").as("lr2"),
+      col("lf").as("lf2"))
+    val slopes = a.crossJoin(b).filter(col("r1") < col("r2"))
+      .withColumn("slope_milli",
+        expr("(lf2 - lf1) * 1000 div (lr2 - lr1)"))
+    val wOrd = W.orderBy(col("slope_milli"), col("r1"), col("r2"))
+    val med = slopes
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("np", count(lit(1)).over(
+        W.partitionBy(lit(1))))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("np").as("n_pairs"), col("slope_milli"))
+    val top1 = top.filter(col("r") === 1L).select(col("c").as("c1"))
+    med.crossJoin(broadcast(tot)).crossJoin(broadcast(top1))
+      .select(col("n_vocab"), col("total").as("n_tokens"), col("n_pairs"),
+        col("slope_milli").as("zipf_slope_milli"),
+        expr("c1 * 1000000 div greatest(total, 1)").as("top1_share_ppm"))
+  }
+
   /** Embedding isotropy census (Ethayarajh EMNLP'19's anisotropy
     * diagnosis: contextual embedding spaces collapse into a narrow
     * cone, and the MEAN PAIRWISE COSINE is the one-number symptom —
@@ -4548,6 +4598,32 @@ object ExtensionQueries {
         |    ELSE -(CAST(prev_milli - n * 1000 AS HUGEINT) * 1000000 // greatest(prev_milli, 1))
         |  END) > 500000 AS flagged
         |FROM e ORDER BY event_type, day""".stripMargin) +
+    ("q_zipf" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks
+        |  WHERE tok <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_vocab FROM tc),
+        |top AS (SELECT c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS r
+        |  FROM tc ORDER BY c DESC, tok LIMIT 200),
+        |pts AS (SELECT r, c,
+        |    CAST(floor(ln(CAST(r AS DOUBLE)) * 10000) AS BIGINT) AS lr,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 10000) AS BIGINT) AS lf
+        |  FROM top),
+        |sl AS (SELECT a.r AS r1, b.r AS r2,
+        |    CAST((b.lf - a.lf) * 1000 // (b.lr - a.lr) AS BIGINT)
+        |      AS slope_milli
+        |  FROM pts a JOIN pts b ON a.r < b.r),
+        |m AS (SELECT slope_milli,
+        |    row_number() OVER (ORDER BY slope_milli, r1, r2) AS rn,
+        |    count(*) OVER () AS np FROM sl)
+        |SELECT n_vocab, total AS n_tokens, CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(slope_milli AS BIGINT) AS zipf_slope_milli,
+        |  CAST((SELECT c FROM top WHERE r = 1) * 1000000
+        |    // greatest(total, 1) AS BIGINT) AS top1_share_ppm
+        |FROM m, tot WHERE rn = (np + 1) // 2""".stripMargin) +
     ("q_isotropy" -> {
       def scoped(scopeExpr: String): String =
         s"""SELECT $scopeExpr AS scope, qv.q AS q,
@@ -8989,6 +9065,7 @@ object ExtensionQueries {
     "q_ips"             -> (ipsQ _),
     "q_mutual_info"     -> (mutualInfoQ _),
     "q_isotropy"        -> (isotropyQ _),
+    "q_zipf"            -> (zipfQ _),
     "q_balance"         -> (balanceQ _),
     "q_quantile_norm"   -> (quantileNormQ _),
     "q_eb_shrink"       -> (ebShrinkQ _)

@@ -200,6 +200,21 @@ class ExperimentSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("zipf: a planted freq = 1000/rank corpus reads slope ~ -1000 " +
+    "milli; a uniform corpus reads ~ 0") {
+    val planted = (1 to 20).flatMap { r =>
+      Seq.fill(1000 / r)(s"w$r")
+    }.toDF("tok")
+    val z = ExtensionQueries.zipf(planted)
+      .select("n_vocab", "zipf_slope_milli").as[(Long, Long)].head()
+    assert(z._1 === 20L)
+    assert(z._2 <= -950L && z._2 >= -1050L, s"slope=${z._2}")
+    val uniform = (1 to 20).flatMap(r => Seq.fill(50)(s"w$r")).toDF("tok")
+    val u = ExtensionQueries.zipf(uniform)
+      .select("zipf_slope_milli").as[Long].head()
+    assert(u === 0L)
+  }
+
   test("isotropy: identical vectors read mean cosine 1e6 ppm (full " +
     "cone collapse), an orthogonal basis reads 0, and the mix sits " +
     "between") {
