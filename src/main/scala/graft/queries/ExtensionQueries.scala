@@ -4336,6 +4336,43 @@ object ExtensionQueries {
         expr("c1 * 1000000 div greatest(total, 1)").as("top1_share_ppm"))
   }
 
+  /** Unseen-vocabulary projection: the Turing missing-mass estimator
+    * (Good '53 — the probability the NEXT token is one never seen,
+    * `n₁/N` from the singleton count) and the Chao1 species richness
+    * floor (Chao '84 — `V + n₁²/(2·n₂)`, an integer lower bound on
+    * TRUE vocabulary size from singletons and doubletons). The
+    * collect-more-data-or-not numbers next to `q_vocab_growth`'s
+    * empirical curve: high missing mass = the corpus is still
+    * discovering its own vocabulary. Per source, so undersampled
+    * sources stand out; one token count + one frequency-of-frequency
+    * rollup, both partial-agged.
+    */
+  def chaoQ(s: SparkSession, d: String): DataFrame =
+    chao(docs(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0))
+
+  /** Core over a (source, tok) token stream. */
+  private[graft] def chao(tokens: DataFrame): DataFrame = {
+    tokens.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("v"), sum(col("c")).as("n"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .withColumn("missing_mass_ppm",
+        expr("n1 * 1000000 div greatest(n, 1)"))
+      // Chao '84 with the standard bias-corrected fallback shape when
+      // n2 = 0: n1*(n1-1)/2 (Chao1-bc denominator 2*(n2+1))
+      .withColumn("chao1", expr(
+        "v + CAST(n1 AS DECIMAL(38,0)) * n1 div (2 * greatest(n2, 1))"))
+      .withColumn("chao1", expr(
+        "CAST(CASE WHEN n2 > 0 THEN chao1" +
+          " ELSE v + CAST(n1 AS DECIMAL(38,0)) * (n1 - 1) div 2 END" +
+          " AS BIGINT)"))
+      .select("source", "v", "n", "n1", "n2", "missing_mass_ppm", "chao1")
+      .orderBy("source")
+  }
+
   /** Embedding isotropy census (Ethayarajh EMNLP'19's anisotropy
     * diagnosis: contextual embedding spaces collapse into a narrow
     * cone, and the MEAN PAIRWISE COSINE is the one-number symptom —
@@ -4598,6 +4635,24 @@ object ExtensionQueries {
         |    ELSE -(CAST(prev_milli - n * 1000 AS HUGEINT) * 1000000 // greatest(prev_milli, 1))
         |  END) > 500000 AS flagged
         |FROM e ORDER BY event_type, day""".stripMargin) +
+    ("q_chao" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM tc GROUP BY 1)
+        |SELECT source, v, n, n1, n2,
+        |  CAST(n1 * 1000000 // greatest(n, 1) AS BIGINT)
+        |    AS missing_mass_ppm,
+        |  CAST(CASE WHEN n2 > 0
+        |    THEN v + CAST(n1 AS HUGEINT) * n1 // (2 * greatest(n2, 1))
+        |    ELSE v + CAST(n1 AS HUGEINT) * (n1 - 1) // 2 END AS BIGINT)
+        |    AS chao1
+        |FROM g ORDER BY source""".stripMargin) +
     ("q_zipf" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
         |  FROM documents),
@@ -9066,6 +9121,7 @@ object ExtensionQueries {
     "q_mutual_info"     -> (mutualInfoQ _),
     "q_isotropy"        -> (isotropyQ _),
     "q_zipf"            -> (zipfQ _),
+    "q_chao"            -> (chaoQ _),
     "q_balance"         -> (balanceQ _),
     "q_quantile_norm"   -> (quantileNormQ _),
     "q_eb_shrink"       -> (ebShrinkQ _)

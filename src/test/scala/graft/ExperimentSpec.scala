@@ -200,6 +200,24 @@ class ExperimentSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("chao: hand-checked singleton/doubleton census — 3 singletons " +
+    "and 1 doubleton project chao1 = v + n1^2/(2*n2); a fully " +
+    "saturated vocab reads missing mass 0 and chao1 = v") {
+    // source s1: tokens a,b,c once; d twice; e five times
+    val t1 = (Seq("a", "b", "c") ++ Seq.fill(2)("d") ++ Seq.fill(5)("e"))
+      .map(("s1", _))
+    val t2 = Seq.fill(10)("x").map(("s2", _)) // saturated: one token, n1=0
+    val out = ExtensionQueries.chao((t1 ++ t2).toDF("source", "tok"))
+      .select("source", "v", "n", "n1", "n2", "missing_mass_ppm", "chao1")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val s1 = out("s1")
+    // v=5, n=10, n1=3, n2=1 -> missing 300000 ppm, chao1 = 5 + 9/2 = 9
+    assert(s1 === (("s1", 5L, 10L, 3L, 1L, 300000L, 9L)))
+    val s2 = out("s2")
+    assert(s2._6 === 0L && s2._7 === 1L)
+  }
+
   test("zipf: a planted freq = 1000/rank corpus reads slope ~ -1000 " +
     "milli; a uniform corpus reads ~ 0") {
     val planted = (1 to 20).flatMap { r =>
