@@ -460,6 +460,84 @@ object EventStreamOps {
       }
   }
 
+  case class GsEv(key: String, day: Long, da: Long, dha: Long,
+                  db: Long, dhb: Long)
+  case class GsState(d0: Long, ca: Long, cha: Long, cb: Long, chb: Long,
+                     nextLook: Int, stopped: Boolean)
+  case class GsOut(key: String, look: Long, nA: Long, hitsA: Long,
+                   nB: Long, hitsB: Long, z2Milli: Long, boundMilli: Long,
+                   crossed: Boolean)
+
+  /** Live group-sequential monitor — the streaming twin of the batch
+    * OBF replay ([[graft.queries.ExtensionQueries.groupSeq]]): the
+    * batch form derives its five looks from the OBSERVED span
+    * post-hoc; a live experiment has a PLANNED horizon, so
+    * `horizonDays` arrives as a parameter (the design document's
+    * number) and look k completes when the per-(key, day) rollup
+    * reaches day `d0 + horizon·k/K − 1`. State per key is four
+    * cumulative counts + the next-look cursor + the sticky stop;
+    * each completed look emits its z² against the `z*²·K/k` boundary
+    * (4.162 milli pinned at K = 5, matching the batch constants
+    * exactly — BigInt intermediates mirror the batch DECIMAL(38,0)
+    * path). Once a look crosses, later looks stop emitting — a live
+    * monitor that kept testing after stopping would forfeit the
+    * spending function's guarantee. Rollup-feed contract as with the
+    * other twins: days per key arrive in nondecreasing order.
+    */
+  def streamingGroupSeq(obs: Dataset[GsEv], horizonDays: Long,
+                        looks: Int = 5,
+                        finalZ2Milli: Long = 4162L): Dataset[GsOut] = {
+    require(horizonDays >= looks, "horizonDays must cover the looks")
+    require(looks >= 1, "need at least one look")
+    import obs.sparkSession.implicits._
+    def z2(na: Long, ha: Long, nb: Long, hb: Long): Long = {
+      val pa = ha * 1000000L / math.max(na, 1L)
+      val pb = hb * 1000000L / math.max(nb, 1L)
+      val pool = (ha + hb) * 1000000L / math.max(na + nb, 1L)
+      val diff = BigInt(pa - pb)
+      val harm = BigInt(na) * nb / math.max(na + nb, 1L)
+      val den = BigInt(math.max(pool * (1000000L - pool), 1L))
+      (diff * diff * harm * 1000 / den).toLong
+    }
+    obs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[GsState, GsOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[GsEv], state: GroupState[GsState]) =>
+          var st = state.getOption.getOrElse(
+            GsState(Long.MinValue, 0L, 0L, 0L, 0L, 1, stopped = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[GsOut]
+          def emitLook(k: Int): Unit = {
+            val z = z2(st.ca, st.cha, st.cb, st.chb)
+            val bound = finalZ2Milli * looks / k
+            val crossed = z >= bound
+            out += GsOut(key, k.toLong, st.ca, st.cha, st.cb, st.chb,
+              z, bound, crossed)
+            if (crossed) st = st.copy(stopped = true)
+          }
+          evs.toSeq.sortBy(_.day).foreach { e =>
+            if (st.d0 == Long.MinValue) st = st.copy(d0 = e.day)
+            def cutoff(k: Int) = st.d0 + horizonDays * k / looks - 1
+            // looks whose cutoff fell in a DAY GAP strictly before this
+            // day close on the pre-day cumulative — this day's counts
+            // belong to the next look
+            var k = st.nextLook
+            while (!st.stopped && k <= looks && cutoff(k) < e.day) {
+              emitLook(k); k += 1
+            }
+            st = st.copy(nextLook = k,
+              ca = st.ca + e.da, cha = st.cha + e.dha,
+              cb = st.cb + e.db, chb = st.chb + e.dhb)
+            while (!st.stopped && k <= looks && cutoff(k) <= e.day) {
+              emitLook(k); k += 1
+            }
+            st = st.copy(nextLook = k)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class DdEv(key: String, seq: Long, v: Long)
   case class DdState(nObs: Long, peak: Long, maxDdPpm: Long,
                      firstAlarmN: Long)

@@ -260,6 +260,55 @@ class ExperimentSpec extends SparkSpec {
     assert(byLabel("label:0") === 1000000L && byLabel("label:1") === 0L)
   }
 
+  test("streamingGroupSeq == batch groupSeq look-for-look across " +
+    "batch boundaries and a day gap; emission freezes at the first " +
+    "crossing exactly as the batch stop_look") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    import graft.streaming.EventStreamOps.{GsEv, GsOut}
+    implicit val sc = spark.sqlContext
+    // null effect first, big effect from day 6 on; day 4 is silent
+    // (a look cutoff falls inside the gap) — horizon = observed span
+    def dayRow(dd: Long): (Long, Long, Long, Long) =
+      if (dd == 4L) (0L, 0L, 0L, 0L)
+      else if (dd <= 5L) (50L, 10L, 50L, 10L)
+      else (50L, 40L, 50L, 5L)
+    val days = (0L to 9L).filter(_ != 4L)
+    val batchIn = days.flatMap { dd =>
+      val (da, dha, db, dhb) = dayRow(dd)
+      (0 until da.toInt).map(i => ("t", dd, 1L, if (i < dha) 1L else 0L)) ++
+        (0 until db.toInt).map(i => ("t", dd, 0L, if (i < dhb) 1L else 0L))
+    }.toDF("event_type", "day", "ga", "hit")
+    val batch = ExtensionQueries.groupSeq(batchIn)
+      .select("look", "n_a", "hits_a", "n_b", "hits_b", "z2_milli",
+        "bound_milli", "crossed", "stop_look")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean, Long)]
+      .collect().sortBy(_._1)
+    val stopLook = batch.head._9
+    val expected = batch
+      .filter(r => stopLook == 0L || r._1 <= stopLook)
+      .map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8)).toSeq
+
+    val mem = MemoryStream[GsEv]
+    val q = EventStreamOps.streamingGroupSeq(mem.toDS(), horizonDays = 10L)
+      .writeStream.format("memory").queryName("gslive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def ev(dd: Long) = { val (da, dha, db, dhb) = dayRow(dd)
+        GsEv("t", dd, da, dha, db, dhb) }
+      mem.addData(days.filter(_ <= 5L).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData(days.filter(_ > 5L).map(ev): _*)
+      q.processAllAvailable()
+      val live = spark.table("gslive").as[GsOut].collect()
+        .sortBy(_.look)
+        .map(r => (r.look, r.nA, r.hitsA, r.nB, r.hitsB, r.z2Milli,
+          r.boundMilli, r.crossed)).toSeq
+      assert(live === expected, s"live=$live expected=$expected")
+    } finally q.stop()
+  }
+
   test("ips: on the bandit fixture the IPS and SNIPS values equal the " +
     "replay's achieved rate (the policy gets exactly half the 50/50 " +
     "log every day, so both estimators are exact here)") {
