@@ -4336,6 +4336,58 @@ object ExtensionQueries {
         expr("c1 * 1000000 div greatest(total, 1)").as("top1_share_ppm"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov test between arms
+    * (Kolmogorov '33/Smirnov '39): the FULL-DISTRIBUTION companion to
+    * the mean-level checks — `q_chisq` compares a rate, `q_balance`
+    * compares a mean, this compares the whole CDF, catching the
+    * variance/shape shifts both miss (same mean, different tails).
+    * `D = max_v |F_a(v) − F_b(v)|` needs the running per-arm counts
+    * in global VALUE order per type — the few-huge-keys ordered scan
+    * again, so this is the fourth [[graft.ops.KeyedPrefix.cumsum]]
+    * consumer; D stays exact via cross-multiplication
+    * (`|ca·nb − cb·na|`, DECIMAL(38,0)), and the 5% verdict is the
+    * integer comparison `D²·n_a n_b/(n_a+n_b) ≥ 1.358²` carried in
+    * milli (1844) — no square root, no float.
+    */
+  def ksQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ks(ev.select(col("event_type"), col("event_id"),
+      when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("v")))
+  }
+
+  /** Core over a pre-projected (event_type, event_id, ga, v) frame. */
+  private[graft] def ks(e: DataFrame): DataFrame = {
+    val withB = e.withColumn("gb", lit(1L) - col("ga"))
+    val t = graft.ops.KeyedPrefix.cumsum(withB,
+      keys = Seq("event_type"), order = Seq("v", "event_id"),
+      sums = Seq("ga" -> "ca", "gb" -> "cb"), countName = "cn")
+    val tot = withB.groupBy("event_type")
+      .agg(sum(col("ga")).as("na"), sum(col("gb")).as("nb"))
+    // the empirical CDFs step only at COMPLETED values: a mid-tie
+    // prefix (both arms tied at v, one arm's rows first) would
+    // over-read the gap, so each (type, v) group collapses to its
+    // final cumulatives (max within the group — cums are
+    // nondecreasing) before the sup
+    val steps = t.groupBy("event_type", "v")
+      .agg(max(col("ca")).as("ca"), max(col("cb")).as("cb"))
+    steps.join(broadcast(tot), Seq("event_type"))
+      .withColumn("gap", expr(
+        "abs(CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na)"))
+      .groupBy("event_type", "na", "nb")
+      .agg(max(col("gap")).as("mg"))
+      .withColumn("d_ppm", expr(
+        "CAST(mg * 1000000 div greatest(CAST(na AS DECIMAL(38,0)) * nb, 1)" +
+          " AS BIGINT)"))
+      .withColumn("t_milli", expr(
+        "CAST(CAST(d_ppm AS DECIMAL(38,0)) * d_ppm" +
+          " * (CAST(na AS DECIMAL(38,0)) * nb div greatest(na + nb, 1))" +
+          " div 1000000000 AS BIGINT)"))
+      .withColumn("significant", col("t_milli") >= 1844L)
+      .select("event_type", "na", "nb", "d_ppm", "t_milli", "significant")
+      .orderBy("event_type")
+  }
+
   /** Unseen-vocabulary projection: the Turing missing-mass estimator
     * (Good '53 — the probability the NEXT token is one never seen,
     * `n₁/N` from the singleton count) and the Chao1 species richness
@@ -4635,6 +4687,34 @@ object ExtensionQueries {
         |    ELSE -(CAST(prev_milli - n * 1000 AS HUGEINT) * 1000000 // greatest(prev_milli, 1))
         |  END) > 500000 AS flagged
         |FROM e ORDER BY event_type, day""".stripMargin) +
+    ("q_ks" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |c AS (SELECT event_type, v,
+        |    CAST(sum(ga) OVER w AS BIGINT) AS ca,
+        |    CAST(sum(1 - ga) OVER w AS BIGINT) AS cb
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY v, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |st AS (SELECT event_type, v, max(ca) AS ca, max(cb) AS cb
+        |  FROM c GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(ga) AS BIGINT) AS na,
+        |    CAST(sum(1 - ga) AS BIGINT) AS nb FROM e GROUP BY 1),
+        |g AS (SELECT st.event_type, na, nb,
+        |    max(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+        |      AS mg
+        |  FROM st JOIN tot ON st.event_type = tot.event_type
+        |  GROUP BY 1, 2, 3),
+        |dd AS (SELECT event_type, na, nb,
+        |    CAST(mg * 1000000 // greatest(CAST(na AS HUGEINT) * nb, 1)
+        |      AS BIGINT) AS d_ppm FROM g),
+        |tm AS (SELECT *,
+        |    CAST(CAST(d_ppm AS HUGEINT) * d_ppm
+        |      * (CAST(na AS HUGEINT) * nb // greatest(na + nb, 1))
+        |      // 1000000000 AS BIGINT) AS t_milli FROM dd)
+        |SELECT event_type, na, nb, d_ppm, t_milli,
+        |  t_milli >= 1844 AS significant
+        |FROM tm ORDER BY event_type""".stripMargin) +
     ("q_chao" ->
       """WITH toks AS (SELECT source,
         |    unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -9122,6 +9202,7 @@ object ExtensionQueries {
     "q_isotropy"        -> (isotropyQ _),
     "q_zipf"            -> (zipfQ _),
     "q_chao"            -> (chaoQ _),
+    "q_ks"              -> (ksQ _),
     "q_balance"         -> (balanceQ _),
     "q_quantile_norm"   -> (quantileNormQ _),
     "q_eb_shrink"       -> (ebShrinkQ _)

@@ -200,6 +200,33 @@ class ExperimentSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("ks: identical tied distributions read D = 0 (the completed-" +
+    "step tie rule), a disjoint shift reads D = 1e6 and fires, and a " +
+    "same-mean variance shift is caught") {
+    def df(rows: Seq[(Long, Long)]) = rows.zipWithIndex
+      .map { case ((ga, v), i) => ("t", i.toLong, ga, v) }
+      .toDF("event_type", "event_id", "ga", "v")
+    // identical values on both arms, interleaved event ids
+    val tied = df((1 to 20).flatMap(i =>
+      Seq((1L, (i % 3).toLong), (0L, (i % 3).toLong))))
+    val t0 = ExtensionQueries.ks(tied)
+      .select("d_ppm", "significant").as[(Long, Boolean)].head()
+    assert(t0 === ((0L, false)))
+    // disjoint: arm a in [0,20), arm b in [100,120)
+    val shift = df((0 until 20).flatMap(i =>
+      Seq((1L, i.toLong), (0L, 100L + i))))
+    val s = ExtensionQueries.ks(shift)
+      .select("d_ppm", "t_milli", "significant")
+      .as[(Long, Long, Boolean)].head()
+    assert(s._1 === 1000000L && s._3, s"$s")
+    // same mean, different spread: a at 50, b at 0/100 alternating
+    val spread = df((0 until 20).flatMap(i =>
+      Seq((1L, 50L), (0L, if (i % 2 == 0) 0L else 100L))))
+    val v = ExtensionQueries.ks(spread)
+      .select("d_ppm", "significant").as[(Long, Boolean)].head()
+    assert(v._1 === 500000L && v._2, s"variance shift must fire: $v")
+  }
+
   test("chao: hand-checked singleton/doubleton census — 3 singletons " +
     "and 1 doubleton project chao1 = v + n1^2/(2*n2); a fully " +
     "saturated vocab reads missing mass 0 and chao1 = v") {
