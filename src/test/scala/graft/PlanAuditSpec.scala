@@ -77,6 +77,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
+  test("q_ks rides KeyedPrefix for the per-arm CDF counts: no Window " +
+    "operator, ExistingRDD leaf") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.ExtensionQueries.queries("q_ks")(spark, d))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
   test("rank-filter top-k (q_window_top_events) plans through " +
     "WindowGroupLimit — Spark's per-key partial top-k pushdown fires, " +
     "so the window never buffers a key's full row set") {
