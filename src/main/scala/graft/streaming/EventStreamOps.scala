@@ -410,6 +410,60 @@ object EventStreamOps {
       }
   }
 
+  case class HoltState(lastDay: Long, levelMilli: Long, trendMilli: Long)
+  case class HoltOut(key: String, day: Long, n: Long, levelMilli: Long,
+                     trendMilli: Long, forecastMilli: Long)
+
+  /** Live Holt linear-trend smoother — the streaming twin of
+    * [[graft.ops.Monitor.holtDaily]], same rollup-feed contract as
+    * [[streamingEwma]]: state = (last day, level, trend) per key,
+    * silent days zero-filled in-stream exactly as the batch fold, the
+    * one-step-ahead forecast emitted per day. The trend term is what
+    * lets the live monitor see a sustained ramp EARLY instead of
+    * lagging it — the live capacity-planning feed next to the live
+    * EWMA's anomaly feed.
+    */
+  def streamingHolt(days: Dataset[CcEv], alphaMilli: Int = 300,
+                    betaMilli: Int = 100): Dataset[HoltOut] = {
+    require(alphaMilli > 0 && alphaMilli <= 1000,
+      s"alphaMilli must be in (0, 1000], got $alphaMilli")
+    require(betaMilli > 0 && betaMilli <= 1000,
+      s"betaMilli must be in (0, 1000], got $betaMilli")
+    import days.sparkSession.implicits._
+    val a = alphaMilli; val b = betaMilli
+    days
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[CcEv], state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(Long.MinValue, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HoltOut]
+          def step(day: Long, n: Long): Unit = {
+            if (st.lastDay == Long.MinValue) {
+              st = HoltState(day, n * 1000L, 0L)
+            } else {
+              val l = (a * n * 1000L +
+                (1000L - a) * (st.levelMilli + st.trendMilli)) / 1000L
+              val t = (b * (l - st.levelMilli) +
+                (1000L - b) * st.trendMilli) / 1000L
+              st = HoltState(day, l, t)
+            }
+            out += HoltOut(key, day, n, st.levelMilli, st.trendMilli,
+              st.levelMilli + st.trendMilli)
+          }
+          evs.toSeq.sortBy(_.day).foreach { e =>
+            if (st.lastDay == Long.MinValue) step(e.day, e.n)
+            else if (e.day > st.lastDay) {
+              var d = st.lastDay + 1
+              while (d < e.day) { step(d, 0L); d += 1 }
+              step(e.day, e.n)
+            } // duplicate/late day: append-only contract
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One observation entering the live experiment monitor. */
   case class SprtEv(key: String, seq: Long, hit: Boolean)
   case class SprtState(llrMicro: Long, nObs: Long, decided: String)

@@ -199,6 +199,38 @@ class MonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingHolt == batch holtDaily trajectory across batches " +
+    "with a synthesized silent day") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    implicit val sc = spark.sqlContext
+    val ns = Seq(10L, 10L, 0L, 22L, 7L)
+    val ev = ns.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n.toInt).map(i => ("h", d * day + i.toLong))
+    }.toDF("k", "tus")
+    val ref = Monitor.holtDaily(ev, "k", col("tus"))
+      .orderBy("day")
+      .select("day", "n", "level_milli", "trend_milli", "forecast_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val mem = MemoryStream[EventStreamOps.CcEv]
+    val q = EventStreamOps.streamingHolt(mem.toDS())
+      .writeStream.format("memory").queryName("holtlive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      import EventStreamOps.CcEv
+      mem.addData(CcEv("h", 0L, 10L), CcEv("h", 1L, 10L))
+      q.processAllAvailable()
+      mem.addData(CcEv("h", 3L, 22L), CcEv("h", 4L, 7L))
+      q.processAllAvailable()
+      val live = spark.table("holtlive")
+        .as[EventStreamOps.HoltOut].collect().toSeq
+        .groupBy(_.day).map { case (_, v) => v.last }.toSeq.sortBy(_.day)
+        .map(o => (o.day, o.n, o.levelMilli, o.trendMilli, o.forecastMilli))
+      assert(live === ref)
+    } finally q.stop()
+  }
+
   test("streamingBacklog == batch backlogDaily trajectory across " +
     "batches (quiet days drain the queue live)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
