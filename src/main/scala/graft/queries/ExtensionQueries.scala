@@ -4388,6 +4388,62 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) test between arms (Mann &
+    * Whitney '47): the rank-based location test that doesn't care
+    * about outliers or distribution shape — the robust sibling
+    * completing the nonparametric pair with the KS test (KS asks "any
+    * CDF difference anywhere", U asks "does one arm stochastically
+    * dominate"). Exactness without a per-value step window: TWO
+    * prefix scans — ordering (v, arm, id) puts B's ties BEFORE each A
+    * row (cb = B_≤), ordering (v, 1−arm, id) puts them AFTER
+    * (cb = B_<) — so `2U = Σ_A (B_< + B_≤)` is two integer sums, the
+    * fifth and sixth [[graft.ops.KeyedPrefix.cumsum]] rides. The
+    * tie-corrected variance needs only a per-(type, value) count
+    * (`T = Σ(t³−t)`, one hash agg), and the 5% verdict is the exact
+    * integer `z²` comparison in milli. Long/DECIMAL bound documented:
+    * the z² numerator carries (n_a·n_b)²·N², DECIMAL(38,0)-safe past
+    * 1e8 rows per (type, arm).
+    */
+  def mannWhitneyQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    mannWhitney(ev.select(col("event_type"), col("event_id"),
+      when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("v")))
+  }
+
+  /** Core over a pre-projected (event_type, event_id, ga, v) frame. */
+  private[graft] def mannWhitney(e: DataFrame): DataFrame = {
+    val withB = e.withColumn("gb", lit(1L) - col("ga"))
+    def scan(order2: String) = graft.ops.KeyedPrefix.cumsum(withB,
+      keys = Seq("event_type"), order = Seq("v", order2, "event_id"),
+      sums = Seq("gb" -> "cb"), countName = "cn")
+    // b-ties BEFORE a rows: cb at an a row = B_<= ; b-ties AFTER:
+    // cb at an a row = B_<
+    val le = scan("ga").filter(col("ga") === 1L)
+      .groupBy("event_type").agg(sum(col("cb")).as("s_le"))
+    val lt = scan("gb").filter(col("ga") === 1L)
+      .groupBy("event_type").agg(sum(col("cb")).as("s_lt"))
+    val tot = withB.groupBy("event_type")
+      .agg(sum(col("ga")).as("na"), sum(col("gb")).as("nb"))
+    val ties = withB.groupBy("event_type", "v")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tsum"))
+    le.join(lt, Seq("event_type")).join(broadcast(tot), Seq("event_type"))
+      .join(broadcast(ties), Seq("event_type"))
+      .withColumn("u2", col("s_le") + col("s_lt"))
+      .withColumn("nn", col("na") + col("nb"))
+      .withColumn("z2_milli", expr(
+        "CAST(3000 * CAST(nn AS DECIMAL(38,0)) * (nn - 1)" +
+          " * CAST(u2 - na * nb AS DECIMAL(38,0)) * (u2 - na * nb)" +
+          " div greatest(CAST(na AS DECIMAL(38,0)) * nb" +
+          " * (CAST(nn + 1 AS DECIMAL(38,0)) * nn * (nn - 1) - tsum), 1)" +
+          " AS BIGINT)"))
+      .withColumn("significant", col("z2_milli") > 3841L)
+      .select("event_type", "na", "nb", "u2", "z2_milli", "significant")
+      .orderBy("event_type")
+  }
+
   /** Unseen-vocabulary projection: the Turing missing-mass estimator
     * (Good '53 — the probability the NEXT token is one never seen,
     * `n₁/N` from the singleton count) and the Chao1 species richness
@@ -4687,6 +4743,39 @@ object ExtensionQueries {
         |    ELSE -(CAST(prev_milli - n * 1000 AS HUGEINT) * 1000000 // greatest(prev_milli, 1))
         |  END) > 500000 AS flagged
         |FROM e ORDER BY event_type, day""".stripMargin) +
+    ("q_mann_whitney" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |st AS (SELECT event_type, v, CAST(sum(ga) AS BIGINT) AS av,
+        |    CAST(sum(1 - ga) AS BIGINT) AS bv FROM e GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(COALESCE(sum(bv) OVER w, 0) AS BIGINT) AS blt
+        |  FROM st WINDOW w AS (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u AS (SELECT event_type,
+        |    CAST(sum(av * (2 * blt + bv)) AS BIGINT) AS u2
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT event_type, CAST(sum(ga) AS BIGINT) AS na,
+        |    CAST(sum(1 - ga) AS BIGINT) AS nb FROM e GROUP BY 1),
+        |tie AS (SELECT event_type,
+        |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tsum
+        |  FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+        |        FROM e GROUP BY 1, 2) g GROUP BY 1),
+        |z AS (SELECT u.event_type, na, nb, u2, na + nb AS nn, tsum
+        |  FROM u JOIN tot ON u.event_type = tot.event_type
+        |  JOIN tie ON u.event_type = tie.event_type)
+        |SELECT event_type, na, nb, u2,
+        |  CAST(3000 * CAST(nn AS HUGEINT) * (nn - 1)
+        |    * CAST(u2 - na * nb AS HUGEINT) * (u2 - na * nb)
+        |    // greatest(CAST(na AS HUGEINT) * nb
+        |    * (CAST(nn + 1 AS HUGEINT) * nn * (nn - 1) - tsum), 1)
+        |    AS BIGINT) AS z2_milli,
+        |  CAST(3000 * CAST(nn AS HUGEINT) * (nn - 1)
+        |    * CAST(u2 - na * nb AS HUGEINT) * (u2 - na * nb)
+        |    // greatest(CAST(na AS HUGEINT) * nb
+        |    * (CAST(nn + 1 AS HUGEINT) * nn * (nn - 1) - tsum), 1)
+        |    AS BIGINT) > 3841 AS significant
+        |FROM z ORDER BY event_type""".stripMargin) +
     ("q_ks" ->
       """WITH e AS (SELECT event_type, event_id,
         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
@@ -9203,6 +9292,7 @@ object ExtensionQueries {
     "q_zipf"            -> (zipfQ _),
     "q_chao"            -> (chaoQ _),
     "q_ks"              -> (ksQ _),
+    "q_mann_whitney"    -> (mannWhitneyQ _),
     "q_balance"         -> (balanceQ _),
     "q_quantile_norm"   -> (quantileNormQ _),
     "q_eb_shrink"       -> (ebShrinkQ _)

@@ -227,6 +227,32 @@ class ExperimentSpec extends SparkSpec {
     assert(v._1 === 500000L && v._2, s"variance shift must fire: $v")
   }
 
+  test("mannWhitney: hand-checked U on disjoint arms, exact null at " +
+    "full ties (2U = n_a*n_b), and a planted dominance fires") {
+    def df(rows: Seq[(Long, Long)]) = rows.zipWithIndex
+      .map { case ((ga, v), i) => ("t", i.toLong, ga, v) }
+      .toDF("event_type", "event_id", "ga", "v")
+    // A = {1,2}, B = {3,4}: no b below any a -> 2U = 0
+    val small = df(Seq((1L, 1L), (1L, 2L), (0L, 3L), (0L, 4L)))
+    val s = ExtensionQueries.mannWhitney(small)
+      .select("u2", "z2_milli", "significant")
+      .as[(Long, Long, Boolean)].head()
+    assert(s._1 === 0L && !s._3)
+    // all values identical: ties split evenly, 2U = na*nb, z = 0
+    val tied = df((0 until 30).map(i => ((i % 2).toLong, 7L)))
+    val t = ExtensionQueries.mannWhitney(tied)
+      .select("na", "nb", "u2", "z2_milli")
+      .as[(Long, Long, Long, Long)].head()
+    assert(t._3 === t._1 * t._2 && t._4 === 0L)
+    // planted dominance: 100 a at 0, 100 b at 1 -> z2 = 199000 milli
+    val dom = df((0 until 100).map(_ => (1L, 0L)) ++
+      (0 until 100).map(_ => (0L, 1L)))
+    val d = ExtensionQueries.mannWhitney(dom)
+      .select("u2", "z2_milli", "significant")
+      .as[(Long, Long, Boolean)].head()
+    assert(d === ((0L, 199000L, true)), s"$d")
+  }
+
   test("chao: hand-checked singleton/doubleton census — 3 singletons " +
     "and 1 doubleton project chao1 = v + n1^2/(2*n2); a fully " +
     "saturated vocab reads missing mass 0 and chao1 = v") {
