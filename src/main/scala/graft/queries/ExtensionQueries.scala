@@ -4549,6 +4549,54 @@ object ExtensionQueries {
       .orderBy("pair")
   }
 
+  /** Cramér's V association census (Cramér '46) over the same column
+    * pairs as the MI census — the 0-to-1 EFFECT SIZE next to MI's
+    * bits: `V² = χ²/(N·(min(r,c)−1))` with the per-cell χ² term
+    * `(O·N − n_x·n_y)²·1000 div (N·n_x·n_y)` kept integer (the
+    * per-cell truncation is the statistic's stated definition,
+    * mirrored on both engines). MI says how much information the
+    * columns share; V says how strong the association is on a fixed
+    * scale — together they rank redundant metadata defensibly.
+    */
+  def cramersVQ(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select(col("source"), col("lang"),
+      expr("least(n_chars div 200, 9)").as("len_bucket"))
+    Seq(("source", "lang"), ("source", "len_bucket"),
+      ("lang", "len_bucket"))
+      .map { case (x, y) => cramersV(dd, x, y) }
+      .reduce(_ unionByName _)
+      .orderBy("pair")
+  }
+
+  private[graft] def cramersV(df: DataFrame, x: String, y: String): DataFrame = {
+    val cells = df.groupBy(col(x).as("x"), col(y).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val mx = cells.groupBy("x").agg(sum(col("nxy")).as("nx"))
+    val my = cells.groupBy("y").agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("nn"),
+      countDistinct(col("x")).as("r"), countDistinct(col("y")).as("c"))
+    cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", expr(
+        "(CAST(nxy AS DECIMAL(38,0)) * nn - CAST(nx AS DECIMAL(38,0)) * ny)" +
+          " * (CAST(nxy AS DECIMAL(38,0)) * nn" +
+          " - CAST(nx AS DECIMAL(38,0)) * ny) * 1000" +
+          " div (CAST(nn AS DECIMAL(38,0)) * nx * ny)"))
+      // ABSENT cells contribute E = nx·ny/N each; their margin mass is
+      // the identity Σ_all nx·ny = N² minus the present cells' mass —
+      // dropping them understates χ² exactly when association is
+      // strongest (a deterministic map would read V² = 1/2, not 1)
+      .groupBy("nn", "r", "c").agg(sum(col("term")).as("present_milli"),
+        sum(expr("CAST(nx AS DECIMAL(38,0)) * ny")).as("presmass"))
+      .withColumn("chi2_milli", expr(
+        "present_milli + (CAST(nn AS DECIMAL(38,0)) * nn - presmass)" +
+          " * 1000 div nn"))
+      .select(lit(s"$x|$y").as("pair"), col("nn").as("n"),
+        expr("CAST(chi2_milli AS BIGINT)").as("chi2_milli"),
+        expr("CAST(chi2_milli * 1000 div greatest(CAST(nn AS DECIMAL(38,0))" +
+          " * (least(r, c) - 1), 1) AS BIGINT)").as("v2_ppm"))
+  }
+
   private[graft] def miPair(df: DataFrame, x: String, y: String): DataFrame = {
     val cells = df.groupBy(col(x).as("x"), col(y).as("y"))
       .agg(count(lit(1)).as("nxy"))
@@ -4876,6 +4924,39 @@ object ExtensionQueries {
          |    // 1000000 AS BIGINT) AS mean_cos_ppm
          |FROM dg JOIN tt ON dg.scope = tt.scope
          |ORDER BY dg.scope""".stripMargin
+    }) +
+    ("q_cramers_v" -> {
+      def block(x: String, y: String): String =
+        s"""SELECT '$x|$y' AS pair, t.nn AS n,
+           |  (SELECT CAST(sum(
+           |      (CAST(nxy AS HUGEINT) * t.nn - CAST(nx AS HUGEINT) * ny)
+           |      * (CAST(nxy AS HUGEINT) * t.nn - CAST(nx AS HUGEINT) * ny)
+           |      * 1000 // (CAST(t.nn AS HUGEINT) * nx * ny))
+           |    + (CAST(t.nn AS HUGEINT) * t.nn
+           |       - sum(CAST(nx AS HUGEINT) * ny)) * 1000 // t.nn
+           |    AS HUGEINT)
+           |   FROM (SELECT $x AS x, $y AS y, CAST(count(*) AS BIGINT)
+           |           AS nxy FROM dd GROUP BY 1, 2) c
+           |   JOIN (SELECT $x AS x, CAST(count(*) AS BIGINT) AS nx
+           |         FROM dd GROUP BY 1) sx USING (x)
+           |   JOIN (SELECT $y AS y, CAST(count(*) AS BIGINT) AS ny
+           |         FROM dd GROUP BY 1) sy USING (y)) AS chi2_milli,
+           |  (SELECT CAST(count(DISTINCT $x) AS BIGINT) FROM dd) AS r,
+           |  (SELECT CAST(count(DISTINCT $y) AS BIGINT) FROM dd) AS c
+           |FROM t""".stripMargin
+      s"""WITH dd AS (SELECT source, lang,
+         |    least(n_chars // 200, 9) AS len_bucket FROM documents),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM dd),
+         |u AS (
+         |${block("source", "lang")}
+         |UNION ALL
+         |${block("source", "len_bucket")}
+         |UNION ALL
+         |${block("lang", "len_bucket")})
+         |SELECT pair, n, CAST(chi2_milli AS BIGINT) AS chi2_milli,
+         |  CAST(chi2_milli * 1000 // greatest(CAST(n AS HUGEINT)
+         |    * (least(r, c) - 1), 1) AS BIGINT) AS v2_ppm
+         |FROM u ORDER BY pair""".stripMargin
     }) +
     ("q_mutual_info" -> {
       def block(x: String, y: String): String =
@@ -9288,6 +9369,7 @@ object ExtensionQueries {
     "q_bandit"          -> (banditQ _),
     "q_ips"             -> (ipsQ _),
     "q_mutual_info"     -> (mutualInfoQ _),
+    "q_cramers_v"       -> (cramersVQ _),
     "q_isotropy"        -> (isotropyQ _),
     "q_zipf"            -> (zipfQ _),
     "q_chao"            -> (chaoQ _),

@@ -227,6 +227,20 @@ class ExperimentSpec extends SparkSpec {
     assert(v._1 === 500000L && v._2, s"variance shift must fire: $v")
   }
 
+  test("cramersV: a deterministic mapping reads V^2 ~ 1e6, " +
+    "independence reads 0") {
+    val dep = (0 until 100).map(i => (s"x${i % 4}", s"y${i % 2}"))
+      .toDF("a", "b")
+    val d = ExtensionQueries.cramersV(dep, "a", "b")
+      .select("v2_ppm").as[Long].head()
+    assert(d >= 999000L, s"dependent V2=$d")
+    val ind = (0 until 100).map(i => (s"x${i % 2}", s"y${(i / 2) % 2}"))
+      .toDF("a", "b")
+    val i = ExtensionQueries.cramersV(ind, "a", "b")
+      .select("chi2_milli", "v2_ppm").as[(Long, Long)].head()
+    assert(i === ((0L, 0L)))
+  }
+
   test("mannWhitney: hand-checked U on disjoint arms, exact null at " +
     "full ties (2U = n_a*n_b), and a planted dominance fires") {
     def df(rows: Seq[(Long, Long)]) = rows.zipWithIndex
