@@ -171,6 +171,75 @@ object Monitor {
         (col("t.backlog_milli") === 0L).as("drained"))
   }
 
+  /** Two-sided Page–Hinkley drift detector (Page, Biometrika 1954;
+    * Hinkley, Biometrika 1971 — the sequential test Gama et al.'s
+    * stream-mining survey made the standard concept-drift detector):
+    * per key and day, the cumulated deviation of daily volume from
+    * the RUNNING mean,
+    * `m_t = m_{t−1} + x_t·1000 − mean_t − δ` (increase side, with
+    * `mean_t = cum_t·1000 div t` the running mean INCLUDING x_t) and
+    * its mirror for the decrease side, each tested against its own
+    * historical minimum: `PH_t = m_t − min_{0≤s≤t} m_s`, alarm when
+    * `PH > λ`. Where CUSUM accumulates deviation from a FIXED target
+    * (and so re-alarms forever after a permanent level change), the
+    * running-mean anchor here ADAPTS — the detector flags the
+    * transition and then re-calms as the mean absorbs the new level,
+    * which is exactly the behavior wanted for "the crawl changed,
+    * acknowledge once". Slack δ = target/20 and alarm λ =
+    * `hTargets`·target are self-calibrated off the key's full-span
+    * mean like [[cusumDaily]]'s target. Exact longs throughout: the
+    * only division is the running mean (non-negative over a positive
+    * count), so a recursive-CTE oracle lands on identical values.
+    * Same span-bounded fold + Long bound (~9.2e9 events/day/key) as
+    * the rest of the family.
+    */
+  def pageHinkleyDaily(events: DataFrame, keyCol: String, tsUs: Column,
+                       hTargets: Int = 4): DataFrame = {
+    require(hTargets >= 1, s"hTargets must be >= 1, got $hTargets")
+    val grid = dailyGrid(events, keyCol, tsUs)
+    val series = grid.groupBy("key")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("dn"),
+        expr("sum(n) * 1000 div count(1)").as("target_milli"))
+      .withColumn("delta_milli", expr("target_milli div 20"))
+      .withColumn("lambda_milli", expr(s"target_milli * $hTargets"))
+    // the lambda has no let-binding, so the step's running mean
+    // (cum'·1000 div i') is inlined wherever needed — identical
+    // integer expression, identical value, the Holt precedent
+    val mean =
+      "((element_at(acc, size(acc)).cum + x.n) * 1000L" +
+        " div (element_at(acc, size(acc)).i + 1L))"
+    val mu = s"(element_at(acc, size(acc)).mu + x.n * 1000L - $mean" +
+      " - delta_milli)"
+    val md = s"(element_at(acc, size(acc)).md + $mean - x.n * 1000L" +
+      " - delta_milli)"
+    val fold = series.withColumn("traj", expr(
+      s"""aggregate(
+         |  slice(dn, 2, greatest(size(dn) - 1, 0)),
+         |  array(named_struct(
+         |    'day', dn[0].day, 'n', dn[0].n, 'i', 1L, 'cum', dn[0].n,
+         |    'mu', 0L - delta_milli,
+         |    'minu', least(0L, 0L - delta_milli),
+         |    'md', 0L - delta_milli,
+         |    'mind', least(0L, 0L - delta_milli))),
+         |  (acc, x) -> acc || array(named_struct(
+         |    'day', x.day, 'n', x.n,
+         |    'i', element_at(acc, size(acc)).i + 1L,
+         |    'cum', element_at(acc, size(acc)).cum + x.n,
+         |    'mu', $mu,
+         |    'minu', least(element_at(acc, size(acc)).minu, $mu),
+         |    'md', $md,
+         |    'mind', least(element_at(acc, size(acc)).mind, $md))))"""
+        .stripMargin))
+    fold.select(col("key"), col("target_milli"), col("lambda_milli"),
+        explode(col("traj")).as("t"))
+      .select(col("key"), col("t.day").as("day"), col("t.n").as("n"),
+        (col("t.mu") - col("t.minu")).as("ph_up_milli"),
+        (col("t.md") - col("t.mind")).as("ph_down_milli"),
+        col("lambda_milli"))
+      .withColumn("alarm_up", col("ph_up_milli") > col("lambda_milli"))
+      .withColumn("alarm_down", col("ph_down_milli") > col("lambda_milli"))
+  }
+
   /** Two-sided CUSUM change-point chart (Page, Biometrika 1954): per
     * key and day the upper/lower cumulative sums of milli-deviations
     * from the key's own mean daily volume,

@@ -4697,6 +4697,265 @@ object ExtensionQueries {
       .orderBy("artifact")
   }
 
+  /** Page–Hinkley drift ledger
+    * ([[graft.ops.Monitor.pageHinkleyDaily]], Page 1954 / Hinkley
+    * 1971) per event type: the running-mean-anchored cumulative
+    * deviation tests, both sides, with self-calibrated slack and
+    * alarm. The third chart of the set: `q_ewma` flags a one-day
+    * spike, `q_cusum` accumulates against a FIXED target (and stays
+    * alarmed after a permanent shift), this one adapts its anchor —
+    * it flags the transition once and re-calms, the
+    * acknowledge-and-move-on semantics an on-call rotation wants.
+    */
+  def pageHinkleyQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Monitor.pageHinkleyDaily(ev, "event_type",
+        AnalyticsQueries.epochUs(ev, "ts"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "day")
+  }
+
+  /** Single best change-point per event type — binary segmentation's
+    * first (and most informative) split (Scott & Knott, Biometrics
+    * 1974; Sen & Srivastava, Ann. Stat. 1975): the day that maximizes
+    * the within-segment sum-of-squares reduction
+    * `S_L²/n_L + S_R²/n_R − S²/n` over the zero-filled day grid, in
+    * exact milli via DECIMAL(38,0) cross-products. The WHERE to the
+    * control charts' WHEN: CUSUM/Page–Hinkley alarm as evidence
+    * accumulates (lagging the true break); the offline split point is
+    * the retrospective answer ("the crawl config changed on day 17")
+    * that turns an alarm into a diff-able incident. One day-grid
+    * exchange + span-bounded prefix windows; keys with a single day
+    * have no split and are absent by construction (mirrored by the
+    * oracle's `i < nd` filter).
+    */
+  def changepointQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val W = org.apache.spark.sql.expressions.Window
+    val g = Monitor.dailyGrid(ev, "event_type",
+      AnalyticsQueries.epochUs(ev, "ts"))
+    val byDay = W.partitionBy("key").orderBy("day")
+    val c = g.withColumn("i", row_number().over(byDay).cast("long"))
+      .withColumn("cum",
+        sum(col("n")).over(byDay.rowsBetween(W.unboundedPreceding, 0)))
+    val tot = c.groupBy("key").agg(max(col("i")).as("nd"),
+      max(col("cum")).as("s"))
+    val splits = c.join(tot, "key").filter(col("i") < col("nd"))
+      .withColumn("gain_milli", expr(
+        "CAST(CAST(cum AS DECIMAL(38,0)) * cum * 1000 div i" +
+          " + CAST(s - cum AS DECIMAL(38,0)) * (s - cum) * 1000" +
+          " div (nd - i)" +
+          " - CAST(s AS DECIMAL(38,0)) * s * 1000 div nd AS BIGINT)"))
+    splits
+      .withColumn("rn", row_number().over(
+        W.partitionBy("key").orderBy(col("gain_milli").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("key").as("event_type"), col("nd").as("n_days"),
+        col("day").as("split_day"), col("gain_milli"),
+        expr("cum * 1000 div i").as("mean_left_milli"),
+        expr("(s - cum) * 1000 div (nd - i)").as("mean_right_milli"))
+      .orderBy("event_type")
+  }
+
+  /** Theil–Sen robust trend slope (Theil 1950; Sen, JASA 1968) per
+    * event type: the MEDIAN of all pairwise day-grid slopes, in milli
+    * events/day — the magnitude estimate that pairs with
+    * `q_mann_kendall`'s significance verdict (the two are the
+    * textbook couple: Kendall's S says WHETHER volume trends, the
+    * Sen slope says HOW FAST, and neither is dragged by the outlier
+    * days that wreck least squares — breakdown point 29%). Same
+    * days²-bounded pair join as the Mann–Kendall and ACF family
+    * (span-bounded by construction, never event-volume-bounded);
+    * sign-split truncating division mirrored by the oracle; lower
+    * median (`rank = (n_pairs+1) div 2`) with (slope, d1, d2)
+    * tie-ordering so both engines pick the identical pair.
+    */
+  def theilSenQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val W = org.apache.spark.sql.expressions.Window
+    val g = Monitor.dailyGrid(ev, "event_type",
+      AnalyticsQueries.epochUs(ev, "ts"))
+    val nd = g.groupBy("key").agg(count(lit(1)).as("n_days"))
+    val a = g.select(col("key"), col("day").as("d1"), col("n").as("n1"))
+    val b = g.select(col("key"), col("day").as("d2"), col("n").as("n2"))
+    val pairs = a.join(b, Seq("key")).filter(col("d1") < col("d2"))
+      .withColumn("slope_milli", expr(
+        "CASE WHEN n2 >= n1 THEN (n2 - n1) * 1000 div (d2 - d1)" +
+          " ELSE -((n1 - n2) * 1000 div (d2 - d1)) END"))
+    pairs
+      .withColumn("rn", row_number().over(W.partitionBy("key")
+        .orderBy(col("slope_milli"), col("d1"), col("d2"))))
+      .withColumn("np", count(lit(1)).over(W.partitionBy("key")))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .join(nd, "key")
+      .select(col("key").as("event_type"), col("n_days"),
+        col("np").as("n_pairs"), col("slope_milli").as("sen_slope_milli"))
+      .orderBy("event_type")
+  }
+
+  /** Population Stability Index (the credit-scoring industry's
+    * standard drift score — Yurdakul's 2018 dissertation is the
+    * public statistical treatment; `PSI = Σ (p_i−q_i)·ln(p_i/q_i)`
+    * over binned score distributions, with the folklore 0.1 / 0.2
+    * action cutoffs) between each event type's first-half-of-span and
+    * second-half value distributions: the one-number
+    * "did the metric's SHAPE move" readout a scorecard owner tracks
+    * per release, complementing the KS test (which answers with a
+    * verdict) with the magnitude in the units practitioners already
+    * calibrate on. Fixed 10-bin value grid, ε-smoothed via
+    * `greatest(cnt, 1)` (the standard zero-cell patch), and every
+    * contribution is `diff_ppm · floor(ln(p/q)·1e4)` — quantization
+    * AFTER the single `ln`, the `q_mutual_info` discipline, and every
+    * term is provably ≥ 0 after flooring (diff and floored-ln always
+    * share sign), so the e10→e4 rescale needs no sign split. One
+    * grouped count per half + a 10-row-per-type grid join.
+    */
+  def psiQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    psi(ev.select(col("event_type"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day"),
+      expr("least(CAST(floor(value * 1000) AS BIGINT) div 25000, 9L)")
+        .as("bucket")))
+  }
+
+  /** Core over a pre-projected (event_type, day, bucket) frame. */
+  private[graft] def psi(e: DataFrame): DataFrame = {
+    val sp = e.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("mid", expr("(d0 + d1) div 2"))
+    val tagged = e
+      .join(broadcast(sp.select("event_type", "mid")), "event_type")
+      .withColumn("is_ref", col("day") <= col("mid"))
+    val cnt = tagged.groupBy("event_type", "bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val tot = tagged.groupBy("event_type")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val grid = tot.select(col("event_type"),
+      explode(sequence(lit(0L), lit(9L))).as("bucket"))
+    grid.join(cnt, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("cr", "cc"))
+      .join(broadcast(tot), "event_type")
+      .withColumn("p_ppm",
+        expr("greatest(cr, 1) * 1000000 div greatest(n_ref, 1)"))
+      .withColumn("q_ppm",
+        expr("greatest(cc, 1) * 1000000 div greatest(n_cur, 1)"))
+      .withColumn("contrib", expr("(p_ppm - q_ppm)" +
+        " * CAST(floor(ln(CAST(p_ppm AS DOUBLE) / q_ppm) * 10000)" +
+        " AS BIGINT)"))
+      .groupBy("event_type", "n_ref", "n_cur")
+      .agg(expr("sum(contrib) div 1000000").as("psi_e4"))
+      .withColumn("verdict", expr("CASE WHEN psi_e4 < 1000 THEN 'stable'" +
+        " WHEN psi_e4 < 2000 THEN 'minor_shift' ELSE 'shifted' END"))
+      .select("event_type", "n_ref", "n_cur", "psi_e4", "verdict")
+      .orderBy("event_type")
+  }
+
+  /** Jensen–Shannon divergence (Lin, IEEE Trans. IT 1991) between
+    * each source's token distribution and the REST of the corpus —
+    * the symmetric, always-finite distinctiveness score (bounded by
+    * ln 2 ≈ 0.6931, so `jsd_e4` ∈ [0, 6931]) that mixture-weighting
+    * reads to decide whether a source adds diversity or repeats what
+    * the corpus already has. KL would be infinite on any
+    * source-exclusive token; JSD's ½(P+Q) mixture absorbs them, which
+    * is exactly why it is the dedup/contamination literature's
+    * between-corpora measure of choice. Exact-integer discipline: the
+    * ln ratio is formed from RAW COUNT cross-products
+    * (`2·c·nr / (c·nr + r·ns)` — no ppm underflow inside the log),
+    * quantized once via `floor(·1e4)`, weighted by the ppm
+    * probability, sign-split at the final rescale. Work: one token
+    * count + a vocab×sources frame (sources are a bounded broadcast;
+    * the vocab side stays distributed). Long bound: the `c·nr`
+    * product wraps past ~9.2e18 — beyond any realistic corpus×source
+    * split, noted here for the audit trail.
+    */
+  def jsDivQ(s: SparkSession, d: String): DataFrame =
+    jsDiv(docs(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0))
+
+  /** Core over a (source, tok) token stream. */
+  private[graft] def jsDiv(tokens: DataFrame): DataFrame = {
+    val tc = tokens.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val g = tc.groupBy("tok").agg(sum(col("c")).as("cg"))
+    val ns = tc.groupBy("source").agg(sum(col("c")).as("ns"),
+      count(lit(1)).as("v_src"))
+    val tot = g.agg(sum(col("cg")).as("nn"))
+    // sources × vocab frame: the source list is a bounded broadcast,
+    // the vocab side stays distributed
+    g.crossJoin(broadcast(ns.crossJoin(broadcast(tot))))
+      .join(tc, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("r", col("cg") - col("c"))
+      .withColumn("nr", col("nn") - col("ns"))
+      .withColumn("term_p", expr("CASE WHEN c > 0 AND nr > 0 THEN" +
+        " (c * 1000000 div ns) * CAST(floor(ln(" +
+        " CAST(2 * c * nr AS DOUBLE) / (c * nr + r * ns)) * 10000)" +
+        " AS BIGINT) ELSE 0L END"))
+      .withColumn("term_q", expr("CASE WHEN r > 0 THEN" +
+        " (r * 1000000 div nr) * CAST(floor(ln(" +
+        " CAST(2 * r * ns AS DOUBLE) / (c * nr + r * ns)) * 10000)" +
+        " AS BIGINT) ELSE 0L END"))
+      .groupBy("source", "ns", "v_src")
+      .agg(sum(col("term_p") + col("term_q")).as("tot_e10"))
+      .select(col("source"), col("ns").as("n_tokens"),
+        col("v_src").as("n_vocab_src"),
+        expr("CASE WHEN tot_e10 >= 0 THEN tot_e10 div 2000000" +
+          " ELSE -((-tot_e10) div 2000000) END").as("jsd_e4"))
+      .orderBy("source")
+  }
+
+  /** Cohen's kappa (Cohen, Educ. Psychol. Meas. 1960) between two
+    * independent document-quality raters — a length-window rule and a
+    * distinct-token-ratio rule — per source: chance-corrected
+    * agreement, the standard answer to "my two quality filters both
+    * pass 80% of docs, do they actually AGREE or is that
+    * coincidence?". Raw overlap (`po`) flatters whenever both raters
+    * are permissive; kappa subtracts the agreement their marginals
+    * would produce by luck (`pe`), which is why annotation-quality
+    * audits report it instead. Exact ppm: `pe` via DECIMAL(38,0)
+    * marginal cross-products over n², kappa in milli with a
+    * sign-split final division (negative kappa = systematic
+    * disagreement, a real finding), Landis–Koch (Biometrics 1977)
+    * verdict bands. One grouped aggregate over the corpus.
+    */
+  def kappaQ(s: SparkSession, d: String): DataFrame =
+    kappa(docs(s, d).select(col("source"),
+      (col("n_chars") >= 150 && col("n_chars") <= 1500).as("ra"),
+      expr("size(array_distinct(split(text, ' '))) * 2" +
+        " >= size(split(text, ' '))").as("rb")))
+
+  /** Core over a pre-projected (source, ra, rb) boolean-rater frame. */
+  private[graft] def kappa(r: DataFrame): DataFrame = {
+    r.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ra"), 1L).otherwise(0L)).as("a1"),
+        sum(when(col("rb"), 1L).otherwise(0L)).as("b1"),
+        sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("agree"))
+      .withColumn("po_ppm", expr("agree * 1000000 div n_docs"))
+      .withColumn("pe_ppm", expr(
+        "CAST((CAST(a1 AS DECIMAL(38,0)) * b1" +
+          " + CAST(n_docs - a1 AS DECIMAL(38,0)) * (n_docs - b1))" +
+          " * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * n_docs)" +
+          " AS BIGINT)"))
+      .withColumn("kappa_milli", expr(
+        "CASE WHEN po_ppm >= pe_ppm" +
+          " THEN (po_ppm - pe_ppm) * 1000 div greatest(1000000 - pe_ppm, 1)" +
+          " ELSE -((pe_ppm - po_ppm) * 1000" +
+          " div greatest(1000000 - pe_ppm, 1)) END"))
+      .withColumn("band", expr("CASE WHEN kappa_milli < 0 THEN 'poor'" +
+        " WHEN kappa_milli < 200 THEN 'slight'" +
+        " WHEN kappa_milli < 400 THEN 'fair'" +
+        " WHEN kappa_milli < 600 THEN 'moderate'" +
+        " WHEN kappa_milli < 800 THEN 'substantial'" +
+        " ELSE 'almost_perfect' END"))
+      .select("source", "n_docs", "a1", "b1", "po_ppm", "pe_ppm",
+        "kappa_milli", "band")
+      .orderBy("source")
+  }
+
   // lazy: oracleBase is declared below (keeping the giant literal at the
   // end of the file); by first access it is initialized
   lazy val oracle: Map[String, String] = oracleBase +
@@ -6102,7 +6361,207 @@ object ExtensionQueries {
          |SELECT dup.is_dup, gate.pass, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(tk.n_toks) AS BIGINT) AS n_tokens
          |FROM dup JOIN gate USING (doc_id) JOIN tk USING (doc_id)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+    ("q_page_hinkley" ->
+      """WITH RECURSIVE byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n,
+        |    row_number() OVER (PARTITION BY gr.event_type ORDER BY gr.day)
+        |      AS i
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |kk AS (SELECT event_type,
+        |    CAST(sum(n) * 1000 // count(*) AS BIGINT) AS target_milli,
+        |    CAST(sum(n) * 1000 // count(*) // 20 AS BIGINT) AS delta_milli,
+        |    CAST(sum(n) * 1000 // count(*) * 4 AS BIGINT) AS lambda_milli
+        |  FROM g GROUP BY 1),
+        |e AS (
+        |  SELECT g.event_type, g.day, g.n, g.i, g.n AS cum,
+        |    CAST(0 - kk.delta_milli AS BIGINT) AS mu,
+        |    CAST(least(0, 0 - kk.delta_milli) AS BIGINT) AS minu,
+        |    CAST(0 - kk.delta_milli AS BIGINT) AS md,
+        |    CAST(least(0, 0 - kk.delta_milli) AS BIGINT) AS mind
+        |  FROM g JOIN kk USING (event_type) WHERE g.i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.day, x.n, x.i, e.cum + x.n,
+        |    e.mu + x.n * 1000 - ((e.cum + x.n) * 1000 // x.i)
+        |      - kk.delta_milli,
+        |    least(e.minu, e.mu + x.n * 1000 - ((e.cum + x.n) * 1000 // x.i)
+        |      - kk.delta_milli),
+        |    e.md + ((e.cum + x.n) * 1000 // x.i) - x.n * 1000
+        |      - kk.delta_milli,
+        |    least(e.mind, e.md + ((e.cum + x.n) * 1000 // x.i) - x.n * 1000
+        |      - kk.delta_milli)
+        |  FROM g x JOIN e ON x.event_type = e.event_type AND x.i = e.i + 1
+        |  JOIN kk ON kk.event_type = x.event_type)
+        |SELECT e.event_type, e.day, e.n,
+        |  e.mu - e.minu AS ph_up_milli, e.md - e.mind AS ph_down_milli,
+        |  kk.lambda_milli,
+        |  e.mu - e.minu > kk.lambda_milli AS alarm_up,
+        |  e.md - e.mind > kk.lambda_milli AS alarm_down
+        |FROM e JOIN kk USING (event_type)
+        |ORDER BY event_type, day""".stripMargin) +
+    ("q_changepoint" ->
+      """WITH byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n,
+        |    CAST(row_number() OVER (PARTITION BY gr.event_type
+        |      ORDER BY gr.day) AS BIGINT) AS i,
+        |    CAST(sum(COALESCE(b.n, 0)) OVER (PARTITION BY gr.event_type
+        |      ORDER BY gr.day ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cum
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |t AS (SELECT event_type, max(i) AS nd, max(cum) AS s
+        |  FROM g GROUP BY 1),
+        |sp2 AS (SELECT g.event_type, g.day, g.i, g.cum, t.nd, t.s,
+        |    CAST(CAST(g.cum AS HUGEINT) * g.cum * 1000 // g.i
+        |      + CAST(t.s - g.cum AS HUGEINT) * (t.s - g.cum) * 1000
+        |        // (t.nd - g.i)
+        |      - CAST(t.s AS HUGEINT) * t.s * 1000 // t.nd AS BIGINT)
+        |      AS gain_milli
+        |  FROM g JOIN t USING (event_type) WHERE g.i < t.nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gain_milli DESC, day) AS rn FROM sp2)
+        |SELECT event_type, nd AS n_days, day AS split_day, gain_milli,
+        |  CAST(cum * 1000 // i AS BIGINT) AS mean_left_milli,
+        |  CAST((s - cum) * 1000 // (nd - i) AS BIGINT) AS mean_right_milli
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) +
+    ("q_theil_sen" ->
+      """WITH byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM g GROUP BY 1),
+        |p AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+        |    CAST(CASE WHEN b.n >= a.n
+        |      THEN (b.n - a.n) * 1000 // (b.day - a.day)
+        |      ELSE -((a.n - b.n) * 1000 // (b.day - a.day)) END AS BIGINT)
+        |      AS slope_milli
+        |  FROM g a JOIN g b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope_milli, d1, d2) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS np FROM p)
+        |SELECT m.event_type, nd.n_days, CAST(np AS BIGINT) AS n_pairs,
+        |  slope_milli AS sen_slope_milli
+        |FROM m JOIN nd USING (event_type)
+        |WHERE rn = (np + 1) // 2 ORDER BY event_type""".stripMargin) +
+    ("q_psi" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    least(CAST(floor(value * 1000) AS BIGINT) // 25000, 9)
+        |      AS bucket
+        |  FROM events),
+        |sp AS (SELECT event_type, (min(day) + max(day)) // 2 AS mid
+        |  FROM e GROUP BY 1),
+        |tg AS (SELECT e.event_type, e.bucket, e.day <= sp.mid AS is_ref
+        |  FROM e JOIN sp USING (event_type)),
+        |cnt AS (SELECT event_type, bucket,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |  FROM tg GROUP BY 1, 2),
+        |tot AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM tg GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(0, 10)) AS bucket
+        |  FROM tot),
+        |f AS (SELECT g.event_type, g.bucket,
+        |    COALESCE(c.cr, 0) AS cr, COALESCE(c.cc, 0) AS cc,
+        |    t.n_ref, t.n_cur
+        |  FROM grid g LEFT JOIN cnt c USING (event_type, bucket)
+        |  JOIN tot t USING (event_type)),
+        |p AS (SELECT *,
+        |    greatest(cr, 1) * 1000000 // greatest(n_ref, 1) AS p_ppm,
+        |    greatest(cc, 1) * 1000000 // greatest(n_cur, 1) AS q_ppm
+        |  FROM f),
+        |sm AS (SELECT event_type, n_ref, n_cur,
+        |    CAST(sum((p_ppm - q_ppm)
+        |      * CAST(floor(ln(CAST(p_ppm AS DOUBLE) / q_ppm) * 10000)
+        |        AS BIGINT)) // 1000000 AS BIGINT) AS psi_e4
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT event_type, n_ref, n_cur, psi_e4,
+        |  CASE WHEN psi_e4 < 1000 THEN 'stable'
+        |       WHEN psi_e4 < 2000 THEN 'minor_shift'
+        |       ELSE 'shifted' END AS verdict
+        |FROM sm ORDER BY event_type""".stripMargin) +
+    ("q_js_div" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM toks
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cg FROM tc GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+        |    CAST(count(*) AS BIGINT) AS v_src FROM tc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS nn FROM g),
+        |f AS (SELECT ns.source, g.cg, ns.ns, ns.v_src,
+        |    tot.nn - ns.ns AS nr, COALESCE(tc.c, 0) AS c
+        |  FROM g CROSS JOIN ns CROSS JOIN tot
+        |  LEFT JOIN tc ON tc.source = ns.source AND tc.tok = g.tok),
+        |t AS (SELECT source, ns, v_src,
+        |    CAST(sum(
+        |      CASE WHEN c > 0 AND nr > 0 THEN (c * 1000000 // ns)
+        |        * CAST(floor(ln(CAST(2 * c * nr AS DOUBLE)
+        |          / (c * nr + (cg - c) * ns)) * 10000) AS BIGINT)
+        |      ELSE 0 END
+        |      + CASE WHEN cg - c > 0 THEN ((cg - c) * 1000000 // nr)
+        |        * CAST(floor(ln(CAST(2 * (cg - c) * ns AS DOUBLE)
+        |          / (c * nr + (cg - c) * ns)) * 10000) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS tot_e10
+        |  FROM f GROUP BY 1, 2, 3)
+        |SELECT source, ns AS n_tokens, v_src AS n_vocab_src,
+        |  CAST(CASE WHEN tot_e10 >= 0 THEN tot_e10 // 2000000
+        |       ELSE -((-tot_e10) // 2000000) END AS BIGINT) AS jsd_e4
+        |FROM t ORDER BY source""".stripMargin) +
+    ("q_kappa" ->
+      """WITH r AS (SELECT source,
+        |    n_chars >= 150 AND n_chars <= 1500 AS ra,
+        |    len(list_distinct(string_split(text, ' '))) * 2
+        |      >= len(string_split(text, ' ')) AS rb
+        |  FROM documents),
+        |gby AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(sum(CASE WHEN rb THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM r GROUP BY 1),
+        |p AS (SELECT *, agree * 1000000 // n_docs AS po_ppm,
+        |    CAST((CAST(a1 AS HUGEINT) * b1
+        |      + CAST(n_docs - a1 AS HUGEINT) * (n_docs - b1)) * 1000000
+        |      // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS pe_ppm
+        |  FROM gby),
+        |k AS (SELECT *,
+        |    CASE WHEN po_ppm >= pe_ppm
+        |      THEN (po_ppm - pe_ppm) * 1000
+        |        // greatest(1000000 - pe_ppm, 1)
+        |      ELSE -((pe_ppm - po_ppm) * 1000
+        |        // greatest(1000000 - pe_ppm, 1))
+        |    END AS kappa_milli FROM p)
+        |SELECT source, n_docs, a1, b1, po_ppm, pe_ppm,
+        |  CAST(kappa_milli AS BIGINT) AS kappa_milli,
+        |  CASE WHEN kappa_milli < 0 THEN 'poor'
+        |       WHEN kappa_milli < 200 THEN 'slight'
+        |       WHEN kappa_milli < 400 THEN 'fair'
+        |       WHEN kappa_milli < 600 THEN 'moderate'
+        |       WHEN kappa_milli < 800 THEN 'substantial'
+        |       ELSE 'almost_perfect' END AS band
+        |FROM k ORDER BY source""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     "q_readability" ->
@@ -9377,6 +9836,9 @@ object ExtensionQueries {
     "q_mann_whitney"    -> (mannWhitneyQ _),
     "q_balance"         -> (balanceQ _),
     "q_quantile_norm"   -> (quantileNormQ _),
-    "q_eb_shrink"       -> (ebShrinkQ _)
+    "q_eb_shrink"       -> (ebShrinkQ _),
+    "q_page_hinkley"    -> (pageHinkleyQ _),
+    "q_changepoint"     -> (changepointQ _),
+    "q_theil_sen"       -> (theilSenQ _)
   )
 }
