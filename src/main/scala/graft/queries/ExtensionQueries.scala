@@ -9839,6 +9839,9 @@ object ExtensionQueries {
     "q_eb_shrink"       -> (ebShrinkQ _),
     "q_page_hinkley"    -> (pageHinkleyQ _),
     "q_changepoint"     -> (changepointQ _),
-    "q_theil_sen"       -> (theilSenQ _)
+    "q_theil_sen"       -> (theilSenQ _),
+    "q_psi"             -> (psiQ _),
+    "q_js_div"          -> (jsDivQ _),
+    "q_kappa"           -> (kappaQ _)
   )
 }
