@@ -4956,6 +4956,148 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Benjamini–Hochberg FDR control (Benjamini & Hochberg, JRSS-B
+    * 1995) across the per-event-type chi-square battery: the
+    * experiment platform's answer to "we test every metric every day
+    * — which alarms survive multiplicity?". Per-test p-values come
+    * from the SAME gated [[chisq]] statistic via a pinned χ²₍₁₎
+    * quantile ladder (each z²-milli mapped to the CONSERVATIVE upper
+    * p of its bracket — 455/1642/2706/3841/5412/6635/7879/10828 milli
+    * are the public .5/.2/.1/.05/.02/.01/.005/.001 critical values),
+    * then the step-up rule `max k : p_(k)·m ≤ k·α` runs as exact
+    * integer comparisons on the m-row test frame (m = #event types,
+    * bounded; the global rank window is K-row-bounded by
+    * construction, the waterfill precedent). α = 5%.
+    */
+  def bhFdrQ(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val p = chisq(Tables.events(s, d)).select("event_type", "z2_milli")
+      .withColumn("p_ppm", expr(
+        "CASE WHEN z2_milli >= 10828 THEN 1000" +
+          " WHEN z2_milli >= 7879 THEN 5000" +
+          " WHEN z2_milli >= 6635 THEN 10000" +
+          " WHEN z2_milli >= 5412 THEN 20000" +
+          " WHEN z2_milli >= 3841 THEN 50000" +
+          " WHEN z2_milli >= 2706 THEN 100000" +
+          " WHEN z2_milli >= 1642 THEN 200000" +
+          " WHEN z2_milli >= 455 THEN 500000" +
+          " ELSE 1000000 END"))
+    val ranked = p
+      .withColumn("rank",
+        row_number().over(W.orderBy("p_ppm", "event_type")).cast("long"))
+      .withColumn("m", count(lit(1)).over(W.partitionBy()))
+      .withColumn("ok", expr("p_ppm * m <= rank * 50000"))
+    val kmax = ranked
+      .agg(max(when(col("ok"), col("rank")).otherwise(0L)).as("kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .withColumn("rejected", col("rank") <= col("kmax"))
+      .select("event_type", "z2_milli", "p_ppm", "rank", "m", "rejected")
+      .orderBy("event_type")
+  }
+
+  /** Deterministic-hash permutation test (Fisher's exact-randomization
+    * logic, Design of Experiments 1935; Monte-Carlo form per Dwass,
+    * Ann. Math. Stat. 1957) for the between-arm difference in mean
+    * event value: 64 replicas each re-assign WHOLE USERS to arms by
+    * md5 parity (user-level re-randomization — resampling events
+    * would break within-user correlation, the same reason the
+    * bootstrap CIs resample days, not events), and the p-value is the
+    * add-one-smoothed fraction of replicas at least as extreme as the
+    * observed split, `(1 + #{|d_b| ≥ |d_obs|}) / (B + 1)` — the
+    * standard unbiased Monte-Carlo estimator. The model-free
+    * cross-check on `q_chisq`/`q_balance`'s normal approximations:
+    * no variance formula, no distributional assumption, same verdict
+    * scale. Work: one user-level partial agg, then B×users bounded
+    * re-weighting of per-user sufficient statistics (the Poisson-
+    * bootstrap discipline), exact-milli means via truncating div.
+    */
+  def permutationQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val u = ev.select(col("event_type"), col("user_id"),
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+      .groupBy("event_type", "user_id", "ga")
+      .agg(count(lit(1)).as("nu"), sum(col("v")).as("su"))
+    def armAgg(df: DataFrame, arm: Column, extra: Seq[String]): DataFrame =
+      df.groupBy("event_type", extra: _*)
+        .agg(sum(when(arm === 1L, col("su")).otherwise(0L)).as("sa"),
+          sum(when(arm === 1L, col("nu")).otherwise(0L)).as("ca"),
+          sum(when(arm =!= 1L, col("su")).otherwise(0L)).as("sb"),
+          sum(when(arm =!= 1L, col("nu")).otherwise(0L)).as("cb"))
+        .withColumn("d_milli", expr(
+          "abs(sa div greatest(ca, 1) - sb div greatest(cb, 1))"))
+    val obs = armAgg(u, col("ga"), Nil)
+      .select(col("event_type"), col("d_milli").as("d_obs_milli"))
+    val reps = armAgg(
+      u.select(col("event_type"), col("user_id"), col("nu"), col("su"),
+          explode(sequence(lit(0L), lit(63L))).as("b"))
+        .withColumn("gb", pmod(conv(substring(md5(concat_ws(":",
+          lit("perm"), col("event_type"), col("b"), col("user_id"))),
+          1, 6), 16, 10).cast("long"), lit(2))),
+      col("gb"), Seq("b"))
+    reps.join(broadcast(obs), "event_type")
+      .groupBy("event_type", "d_obs_milli")
+      .agg(sum(when(col("d_milli") >= col("d_obs_milli"), 1L)
+        .otherwise(0L)).as("n_ge"))
+      .withColumn("p_ppm", expr("(n_ge + 1) * 1000000 div 65"))
+      .withColumn("significant", col("p_ppm") <= 50000L)
+      .select("event_type", "d_obs_milli", "n_ge", "p_ppm", "significant")
+      .orderBy("event_type")
+  }
+
+  /** Difference-in-differences (the Card & Krueger AER 1994 design)
+    * on the recorded stream: arms = the even/odd user split, periods
+    * = first/second half of each type's day span, outcome = mean
+    * event value in exact milli. `DiD = (T_post − T_pre) −
+    * (C_post − C_pre)` nets out both the arm-level baseline gap and
+    * the common time trend — the readout that says "the treated arm
+    * moved MORE than the control's own drift explains", which a naive
+    * post-period comparison (q_balance's territory) cannot
+    * distinguish from seasonality. On the null even/odd fixture DiD
+    * should hover near zero — a large value here would be the
+    * parallel-trends red flag. One grouped 8-cell aggregate per type;
+    * all means truncating-div milli, mirrored exactly.
+    */
+  def didQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val e = ev.select(col("event_type"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day"),
+      when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+    val sp = e.groupBy("event_type")
+      .agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    e.join(broadcast(sp), "event_type")
+      .withColumn("post", col("day") > col("mid"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("ga") === 1L && !col("post"), 1L).otherwise(0L))
+          .as("c_t_pre"),
+        sum(when(col("ga") === 1L && !col("post"), col("v")).otherwise(0L))
+          .as("s_t_pre"),
+        sum(when(col("ga") === 1L && col("post"), 1L).otherwise(0L))
+          .as("c_t_post"),
+        sum(when(col("ga") === 1L && col("post"), col("v")).otherwise(0L))
+          .as("s_t_post"),
+        sum(when(col("ga") === 0L && !col("post"), 1L).otherwise(0L))
+          .as("c_c_pre"),
+        sum(when(col("ga") === 0L && !col("post"), col("v")).otherwise(0L))
+          .as("s_c_pre"),
+        sum(when(col("ga") === 0L && col("post"), 1L).otherwise(0L))
+          .as("c_c_post"),
+        sum(when(col("ga") === 0L && col("post"), col("v")).otherwise(0L))
+          .as("s_c_post"))
+      .withColumn("m_t_pre", expr("s_t_pre div greatest(c_t_pre, 1)"))
+      .withColumn("m_t_post", expr("s_t_post div greatest(c_t_post, 1)"))
+      .withColumn("m_c_pre", expr("s_c_pre div greatest(c_c_pre, 1)"))
+      .withColumn("m_c_post", expr("s_c_post div greatest(c_c_post, 1)"))
+      .withColumn("did_milli", expr(
+        "(m_t_post - m_t_pre) - (m_c_post - m_c_pre)"))
+      .select("event_type", "c_t_pre", "c_t_post", "c_c_pre", "c_c_post",
+        "m_t_pre", "m_t_post", "m_c_pre", "m_c_post", "did_milli")
+      .orderBy("event_type")
+  }
+
   // lazy: oracleBase is declared below (keeping the giant literal at the
   // end of the file); by first access it is initialized
   lazy val oracle: Map[String, String] = oracleBase +
@@ -6561,7 +6703,132 @@ object ExtensionQueries {
         |       WHEN kappa_milli < 600 THEN 'moderate'
         |       WHEN kappa_milli < 800 THEN 'substantial'
         |       ELSE 'almost_perfect' END AS band
-        |FROM k ORDER BY source""".stripMargin)
+        |FROM k ORDER BY source""".stripMargin) +
+    // the FDR pass wraps the same z² CTE the q_chisq gate pins — the
+    // ladder maps each statistic to its bracket's conservative upper p
+    ("q_bh_fdr" ->
+      """WITH b AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+        |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS hit
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(sum(ga) AS BIGINT) AS n_a,
+        |    CAST(sum(ga * hit) AS BIGINT) AS hits_a,
+        |    CAST(sum(1 - ga) AS BIGINT) AS n_b,
+        |    CAST(sum((1 - ga) * hit) AS BIGINT) AS hits_b
+        |  FROM b GROUP BY 1),
+        |p AS (SELECT *,
+        |    CAST(hits_a * 1000000 // greatest(n_a, 1) AS BIGINT) AS pa_ppm,
+        |    CAST(hits_b * 1000000 // greatest(n_b, 1) AS BIGINT) AS pb_ppm,
+        |    CAST((hits_a + hits_b) * 1000000 // greatest(n_a + n_b, 1)
+        |      AS BIGINT) AS pool_ppm
+        |  FROM g),
+        |z AS (SELECT event_type,
+        |    CAST(CAST(pa_ppm - pb_ppm AS HUGEINT) * (pa_ppm - pb_ppm)
+        |      * (CAST(n_a AS HUGEINT) * n_b // greatest(n_a + n_b, 1))
+        |      * 1000
+        |      // greatest(pool_ppm * (1000000 - pool_ppm), 1) AS BIGINT)
+        |      AS z2_milli
+        |  FROM p),
+        |pv AS (SELECT event_type, z2_milli,
+        |    CASE WHEN z2_milli >= 10828 THEN 1000
+        |         WHEN z2_milli >= 7879 THEN 5000
+        |         WHEN z2_milli >= 6635 THEN 10000
+        |         WHEN z2_milli >= 5412 THEN 20000
+        |         WHEN z2_milli >= 3841 THEN 50000
+        |         WHEN z2_milli >= 2706 THEN 100000
+        |         WHEN z2_milli >= 1642 THEN 200000
+        |         WHEN z2_milli >= 455 THEN 500000
+        |         ELSE 1000000 END AS p_ppm FROM z),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_ppm, event_type)
+        |      AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m FROM pv),
+        |k AS (SELECT CAST(COALESCE(max(CASE WHEN p_ppm * m <= rank * 50000
+        |      THEN rank END), 0) AS BIGINT) AS kmax FROM r)
+        |SELECT event_type, z2_milli, CAST(p_ppm AS BIGINT) AS p_ppm,
+        |  rank, m, rank <= kmax AS rejected
+        |FROM r, k ORDER BY event_type""".stripMargin) +
+    ("q_permutation" -> {
+      val hex = "(" + (0 until 6).map(i =>
+        s"(strpos('0123456789abcdef', substr(hh,${1 + i},1))-1)*${BigInt(16).pow(5 - i)}")
+        .mkString(" + ") + ")"
+      s"""WITH u AS (SELECT event_type, user_id,
+         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+         |    CAST(count(*) AS BIGINT) AS nu,
+         |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS su
+         |  FROM events GROUP BY 1, 2, 3),
+         |obs AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN ga = 1 THEN su ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN ga = 1 THEN nu ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN ga = 0 THEN su ELSE 0 END) AS BIGINT) AS sb,
+         |    CAST(sum(CASE WHEN ga = 0 THEN nu ELSE 0 END) AS BIGINT) AS cb
+         |  FROM u GROUP BY 1),
+         |od AS (SELECT event_type,
+         |    abs(sa // greatest(ca, 1) - sb // greatest(cb, 1))
+         |      AS d_obs_milli FROM obs),
+         |rep0 AS (SELECT u.event_type, u.nu, u.su, ub.b,
+         |    substr(md5('perm:' || u.event_type || ':' || ub.b || ':'
+         |      || u.user_id), 1, 6) AS hh
+         |  FROM u, unnest(range(0, 64)) AS ub(b)),
+         |rep AS (SELECT event_type, b, ($hex) % 2 AS gb, nu, su FROM rep0),
+         |ra AS (SELECT event_type, b,
+         |    CAST(sum(CASE WHEN gb = 1 THEN su ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN gb = 1 THEN nu ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN gb = 0 THEN su ELSE 0 END) AS BIGINT) AS sb,
+         |    CAST(sum(CASE WHEN gb = 0 THEN nu ELSE 0 END) AS BIGINT) AS cb
+         |  FROM rep GROUP BY 1, 2),
+         |rd AS (SELECT event_type,
+         |    abs(sa // greatest(ca, 1) - sb // greatest(cb, 1)) AS d_milli
+         |  FROM ra),
+         |fin AS (SELECT rd.event_type, od.d_obs_milli,
+         |    CAST(sum(CASE WHEN d_milli >= d_obs_milli THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_ge
+         |  FROM rd JOIN od USING (event_type) GROUP BY 1, 2)
+         |SELECT event_type, d_obs_milli, n_ge,
+         |  CAST((n_ge + 1) * 1000000 // 65 AS BIGINT) AS p_ppm,
+         |  (n_ge + 1) * 1000000 // 65 <= 50000 AS significant
+         |FROM fin ORDER BY event_type""".stripMargin }) +
+    ("q_did" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |sp AS (SELECT event_type, (min(day) + max(day)) // 2 AS mid
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT e.event_type, e.ga, e.day > sp.mid AS post, e.v
+        |  FROM e JOIN sp USING (event_type)),
+        |c AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN ga = 1 AND NOT post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_t_pre,
+        |    CAST(sum(CASE WHEN ga = 1 AND NOT post THEN v ELSE 0 END)
+        |      AS BIGINT) AS s_t_pre,
+        |    CAST(sum(CASE WHEN ga = 1 AND post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_t_post,
+        |    CAST(sum(CASE WHEN ga = 1 AND post THEN v ELSE 0 END)
+        |      AS BIGINT) AS s_t_post,
+        |    CAST(sum(CASE WHEN ga = 0 AND NOT post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_c_pre,
+        |    CAST(sum(CASE WHEN ga = 0 AND NOT post THEN v ELSE 0 END)
+        |      AS BIGINT) AS s_c_pre,
+        |    CAST(sum(CASE WHEN ga = 0 AND post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_c_post,
+        |    CAST(sum(CASE WHEN ga = 0 AND post THEN v ELSE 0 END)
+        |      AS BIGINT) AS s_c_post
+        |  FROM t GROUP BY 1),
+        |m AS (SELECT *,
+        |    s_t_pre // greatest(c_t_pre, 1) AS m_t_pre,
+        |    s_t_post // greatest(c_t_post, 1) AS m_t_post,
+        |    s_c_pre // greatest(c_c_pre, 1) AS m_c_pre,
+        |    s_c_post // greatest(c_c_post, 1) AS m_c_post
+        |  FROM c)
+        |SELECT event_type, c_t_pre, c_t_post, c_c_pre, c_c_post,
+        |  CAST(m_t_pre AS BIGINT) AS m_t_pre,
+        |  CAST(m_t_post AS BIGINT) AS m_t_post,
+        |  CAST(m_c_pre AS BIGINT) AS m_c_pre,
+        |  CAST(m_c_post AS BIGINT) AS m_c_post,
+        |  CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT)
+        |    AS did_milli
+        |FROM m ORDER BY event_type""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     "q_readability" ->
@@ -9842,6 +10109,9 @@ object ExtensionQueries {
     "q_theil_sen"       -> (theilSenQ _),
     "q_psi"             -> (psiQ _),
     "q_js_div"          -> (jsDivQ _),
-    "q_kappa"           -> (kappaQ _)
+    "q_kappa"           -> (kappaQ _),
+    "q_bh_fdr"          -> (bhFdrQ _),
+    "q_permutation"     -> (permutationQ _),
+    "q_did"             -> (didQ _)
   )
 }
