@@ -4731,9 +4731,13 @@ object ExtensionQueries {
     */
   def changepointQ(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
+    changepoint(Monitor.dailyGrid(ev, "event_type",
+      AnalyticsQueries.epochUs(ev, "ts")))
+  }
+
+  /** Core over a (key, day, n) day-grid frame. */
+  private[graft] def changepoint(g: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val g = Monitor.dailyGrid(ev, "event_type",
-      AnalyticsQueries.epochUs(ev, "ts"))
     val byDay = W.partitionBy("key").orderBy("day")
     val c = g.withColumn("i", row_number().over(byDay).cast("long"))
       .withColumn("cum",
@@ -4772,9 +4776,13 @@ object ExtensionQueries {
     */
   def theilSenQ(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
+    theilSen(Monitor.dailyGrid(ev, "event_type",
+      AnalyticsQueries.epochUs(ev, "ts")))
+  }
+
+  /** Core over a (key, day, n) day-grid frame. */
+  private[graft] def theilSen(g: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val g = Monitor.dailyGrid(ev, "event_type",
-      AnalyticsQueries.epochUs(ev, "ts"))
     val nd = g.groupBy("key").agg(count(lit(1)).as("n_days"))
     val a = g.select(col("key"), col("day").as("d1"), col("n").as("n1"))
     val b = g.select(col("key"), col("day").as("d2"), col("n").as("n2"))
@@ -4969,9 +4977,13 @@ object ExtensionQueries {
     * bounded; the global rank window is K-row-bounded by
     * construction, the waterfill precedent). α = 5%.
     */
-  def bhFdrQ(s: SparkSession, d: String): DataFrame = {
+  def bhFdrQ(s: SparkSession, d: String): DataFrame =
+    bhFdr(chisq(Tables.events(s, d)).select("event_type", "z2_milli"))
+
+  /** Core over a per-test (event_type, z2_milli) frame. */
+  private[graft] def bhFdr(z2: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val p = chisq(Tables.events(s, d)).select("event_type", "z2_milli")
+    val p = z2
       .withColumn("p_ppm", expr(
         "CASE WHEN z2_milli >= 10828 THEN 1000" +
           " WHEN z2_milli >= 7879 THEN 5000" +
@@ -5013,11 +5025,16 @@ object ExtensionQueries {
     */
   def permutationQ(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val u = ev.select(col("event_type"), col("user_id"),
+    permutation(ev.select(col("event_type"), col("user_id"),
         when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
         expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
       .groupBy("event_type", "user_id", "ga")
-      .agg(count(lit(1)).as("nu"), sum(col("v")).as("su"))
+      .agg(count(lit(1)).as("nu"), sum(col("v")).as("su")))
+  }
+
+  /** Core over a per-user sufficient-statistics frame
+    * (event_type, user_id, ga, nu, su). */
+  private[graft] def permutation(u: DataFrame): DataFrame = {
     def armAgg(df: DataFrame, arm: Column, extra: Seq[String]): DataFrame =
       df.groupBy("event_type", extra: _*)
         .agg(sum(when(arm === 1L, col("su")).otherwise(0L)).as("sa"),
@@ -5060,11 +5077,15 @@ object ExtensionQueries {
     */
   def didQ(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val e = ev.select(col("event_type"),
+    did(ev.select(col("event_type"),
       floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
         .cast("long").as("day"),
       when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
-      expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("v")))
+  }
+
+  /** Core over a pre-projected (event_type, day, ga, v) frame. */
+  private[graft] def did(e: DataFrame): DataFrame = {
     val sp = e.groupBy("event_type")
       .agg(expr("(min(day) + max(day)) div 2").as("mid"))
     e.join(broadcast(sp), "event_type")

@@ -353,6 +353,68 @@ object EventStreamOps {
       }
   }
 
+  case class PhState(lastDay: Long, i: Long, cum: Long,
+                     mu: Long, minu: Long, md: Long, mind: Long)
+  case class PhOut(key: String, day: Long, n: Long,
+                   phUpMilli: Long, phDownMilli: Long,
+                   alarmUp: Boolean, alarmDown: Boolean)
+
+  /** Live two-sided Page–Hinkley — the streaming twin of
+    * [[graft.ops.Monitor.pageHinkleyDaily]], same rollup-feed
+    * contract as [[streamingCusum]] (per-(key, day) counts,
+    * append-only days, silent days synthesized with n = 0). Where the
+    * live CUSUM accumulates against a FIXED calibrated target, this
+    * one anchors on the RUNNING mean it carries in state (i, cum) —
+    * so after a permanent level change it alarms once and re-calms as
+    * the anchor absorbs the new level. δ/λ arrive as parameters (the
+    * batch chart's self-calibration, applied online — control-chart
+    * practice); state per key is SEVEN longs; after any batch the
+    * emitted trajectory equals the batch fold's over the same prefix
+    * (spec-pinned). The running-mean division is Long arithmetic over
+    * non-negative operands — identical to the batch `div`.
+    */
+  def streamingPageHinkley(days: Dataset[CcEv], deltaMilli: Long,
+                           lambdaMilli: Long): Dataset[PhOut] = {
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PhState, PhOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[CcEv], state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(
+            PhState(Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PhOut]
+          def step(day: Long, n: Long): Unit = {
+            st = if (st.lastDay == Long.MinValue) {
+              val m0 = 0L - deltaMilli
+              PhState(day, 1L, n, m0, math.min(0L, m0), m0, math.min(0L, m0))
+            } else {
+              val i = st.i + 1L
+              val cum = st.cum + n
+              val mean = cum * 1000L / i
+              val mu = st.mu + n * 1000L - mean - deltaMilli
+              val md = st.md + mean - n * 1000L - deltaMilli
+              PhState(day, i, cum, mu, math.min(st.minu, mu),
+                md, math.min(st.mind, md))
+            }
+            val phu = st.mu - st.minu
+            val phd = st.md - st.mind
+            out += PhOut(key, day, n, phu, phd,
+              phu > lambdaMilli, phd > lambdaMilli)
+          }
+          evs.toSeq.sortBy(_.day).foreach { e =>
+            if (st.lastDay == Long.MinValue) step(e.day, e.n)
+            else if (e.day > st.lastDay) {
+              var d = st.lastDay + 1
+              while (d < e.day) { step(d, 0L); d += 1 }
+              step(e.day, e.n)
+            } // e.day <= lastDay: duplicate/late — append-only contract
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class EwState(lastDay: Long, ewmaMilli: Long)
   case class EwOut(key: String, day: Long, n: Long, ewmaMilli: Long,
                    devPpm: Long, flagged: Boolean)

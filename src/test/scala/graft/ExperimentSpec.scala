@@ -472,4 +472,119 @@ class ExperimentSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(out === ((4L, 900000L, 2L)))
   }
+
+  test("psi: identical halves read 0/'stable'; a total bucket " +
+    "migration reads the hand-computed 20793/'shifted'") {
+    // type s: day 0 and day 1 hold the same 4-bucket histogram
+    val same = (0L to 1L).flatMap(d => (0L to 3L).map(b => ("s", d, b)))
+    // type t: all mass in bucket 0 before, bucket 9 after
+    val moved = (1 to 4).map(_ => ("t", 0L, 0L)) ++
+      (1 to 4).map(_ => ("t", 1L, 9L))
+    val out = ExtensionQueries.psi((same ++ moved)
+        .toDF("event_type", "day", "bucket"))
+      .select("event_type", "n_ref", "n_cur", "psi_e4", "verdict")
+      .as[(String, Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    // t: bucket0 (1e6-250000)*floor(ln4*1e4) + bucket9 mirrors with
+    // floor(-13862.94) = -13863 -> 750000*(13862+13863) div 1e6 = 20793
+    assert(out === Seq(("s", 4L, 4L, 0L, "stable"),
+      ("t", 4L, 4L, 20793L, "shifted")))
+  }
+
+  test("jsDiv: identical token distributions read 0; disjoint " +
+    "vocabularies read the ln-2 ceiling 6931") {
+    def toks(src: String, ts: String*) = ts.map(t => (src, t))
+    val same = toks("a1", "x", "x", "y", "y") ++
+      toks("b1", "x", "x", "y", "y")
+    val disj = toks("a2", "x", "x", "y", "y") ++
+      toks("b2", "z", "z", "w", "w")
+    val o1 = ExtensionQueries.jsDiv(same.toDF("source", "tok"))
+      .select("source", "jsd_e4").as[(String, Long)].collect().toSeq.sorted
+    assert(o1 === Seq(("a1", 0L), ("b1", 0L)))
+    val o2 = ExtensionQueries.jsDiv(disj.toDF("source", "tok"))
+      .select("source", "n_tokens", "n_vocab_src", "jsd_e4")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(o2 === Seq(("a2", 4L, 2L, 6931L), ("b2", 4L, 2L, 6931L)))
+  }
+
+  test("kappa: perfect agreement reads 1000; a hand-checked 6/10 " +
+    "overlap reads 166/'slight'; systematic disagreement reads -1000") {
+    def docs(src: String, pat: Seq[(Boolean, Boolean)]) =
+      pat.map { case (a, b) => (src, a, b) }
+    val perfect = docs("p", (1 to 5).map(_ => (true, true)) ++
+      (1 to 5).map(_ => (false, false)))
+    // a1=6, b1=6, agree=6: po=600000, pe=(36+16)*1e4=520000,
+    // kappa = 80000*1000 div 480000 = 166
+    val partial = docs("q", Seq((true, true), (true, true), (true, true),
+      (true, true), (true, false), (true, false), (false, true),
+      (false, true), (false, false), (false, false)))
+    val opposite = docs("r", (1 to 5).map(_ => (true, false)) ++
+      (1 to 5).map(_ => (false, true)))
+    val out = ExtensionQueries.kappa((perfect ++ partial ++ opposite)
+        .toDF("source", "ra", "rb"))
+      .select("source", "po_ppm", "pe_ppm", "kappa_milli", "band")
+      .as[(String, Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out === Seq(
+      ("p", 1000000L, 500000L, 1000L, "almost_perfect"),
+      ("q", 600000L, 520000L, 166L, "slight"),
+      ("r", 0L, 500000L, -1000L, "poor")))
+  }
+
+  test("bhFdr: the step-up rule rescues borderline tests behind a " +
+    "strong leader, and rejects only the leader when the rest fail") {
+    // p ladder: 11000->1000ppm, 5500->20000, 100->1000000
+    val rescue = Seq(("a", 11000L), ("b", 5500L), ("c", 5500L),
+      ("d", 100L)).toDF("event_type", "z2_milli")
+    val o1 = ExtensionQueries.bhFdr(rescue)
+      .select("event_type", "rank", "rejected")
+      .as[(String, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // ranks 1..3: 4000<=50000, 80000<=100000, 80000<=150000 -> kmax=3
+    assert(o1 === Seq(("a", 1L, true), ("b", 2L, true),
+      ("c", 3L, true), ("d", 4L, false)))
+    val lonely = Seq(("a", 11000L), ("b", 4000L), ("c", 2000L),
+      ("d", 100L)).toDF("event_type", "z2_milli")
+    val o2 = ExtensionQueries.bhFdr(lonely)
+      .select("event_type", "rejected")
+      .as[(String, Boolean)].collect().toSeq.sortBy(_._1)
+    // 50000*4 > 2*50000 and 100000*4 > 3*50000: only the leader stands
+    assert(o2 === Seq(("a", true), ("b", false), ("c", false),
+      ("d", false)))
+  }
+
+  test("permutation: an all-identical null reads p = 1e6 (every " +
+    "replica ties the observed 0); a planted total separation is " +
+    "significant") {
+    val nullU = (0L until 20L).map(u =>
+      ("t", u, u % 2, 1L, 5000L))
+    val o1 = ExtensionQueries.permutation(
+        nullU.toDF("event_type", "user_id", "ga", "nu", "su"))
+      .select("d_obs_milli", "n_ge", "p_ppm", "significant")
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(o1 === ((0L, 64L, 1000000L, false)))
+    val planted = (0L until 20L).map(u =>
+      ("t", u, u % 2, 1L, if (u % 2 == 1) 0L else 1000000L))
+    val o2 = ExtensionQueries.permutation(
+        planted.toDF("event_type", "user_id", "ga", "nu", "su"))
+      .select("d_obs_milli", "significant")
+      .as[(Long, Boolean)].head()
+    // only a replica reproducing the exact even/odd split ties 1e6
+    assert(o2 === ((1000000L, true)))
+  }
+
+  test("did: parallel trends net to zero; a planted post-period " +
+    "treated lift reads exactly as the DiD") {
+    def rows(t: String, tPost: Long) = Seq(
+      (t, 0L, 0L, 10000L), (t, 1L, 0L, 10000L),
+      (t, 2L, 0L, 20000L), (t, 3L, 0L, 20000L),
+      (t, 0L, 1L, 110000L), (t, 1L, 1L, 110000L),
+      (t, 2L, 1L, tPost), (t, 3L, 1L, tPost))
+    val out = ExtensionQueries.did(
+        (rows("t", 120000L) ++ rows("u", 135000L))
+          .toDF("event_type", "day", "ga", "v"))
+      .select("event_type", "m_t_pre", "m_t_post", "m_c_pre",
+        "m_c_post", "did_milli")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out === Seq(
+      ("t", 110000L, 120000L, 10000L, 20000L, 0L),
+      ("u", 110000L, 135000L, 10000L, 20000L, 15000L)))
+  }
 }

@@ -88,6 +88,95 @@ class MonitorSpec extends SparkSpec {
     assert(sp.forall(!_), "one spike must not trip the cumulative alarm")
   }
 
+  test("pageHinkleyDaily: hand-checked running-mean recurrence — the " +
+    "historical minimum anchors the gap, a jump opens ph_up only") {
+    // 10, 10, 22 on consecutive days: target = 42000/3 = 14000,
+    // delta = 700, lambda = 56000
+    val ev = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (1 to 10).map(i => ("a", day + i)) ++
+      (1 to 22).map(i => ("a", 2 * day + i))).toDF("k", "tus")
+    val out = Monitor.pageHinkleyDaily(ev, "k", col("tus"))
+      .orderBy("day")
+      .select("day", "n", "ph_up_milli", "ph_down_milli",
+        "alarm_up", "alarm_down")
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    // d0: mu = md = -700, both mins -700 -> ph 0/0
+    // d1: mean = 20000/2 = 10000; mu = -700 + 10000-10000-700 = -1400
+    //     (new min) -> ph_up 0; md symmetric -> ph_down 0
+    // d2: mean = 42000/3 = 14000; mu = -1400 + 22000-14000-700 = 5900,
+    //     min stays -1400 -> ph_up 7300; md = -1400 + 14000-22000-700
+    //     = -10100 (new min) -> ph_down 0
+    assert(out === Seq(
+      (0L, 10L, 0L, 0L, false, false),
+      (1L, 10L, 0L, 0L, false, false),
+      (2L, 22L, 7300L, 0L, false, false)))
+  }
+
+  test("pageHinkleyDaily: a sustained level shift trips ph_up; a " +
+    "sustained drop trips ph_down, never ph_up") {
+    // 20 quiet days of 2, then 6 shifted days of 50 (the cusum fixture)
+    val rows = (0 until 20).flatMap(d => (1 to 2).map(i => ("s", d * day + i))) ++
+      (20 until 26).flatMap(d => (1 to 50).map(i => ("s", d * day + i)))
+    val ev = rows.map { case (k, t) => (k, t.toLong) }.toDF("k", "tus")
+    val out = Monitor.pageHinkleyDaily(ev, "k", col("tus"))
+      .orderBy("day")
+      .select("day", "alarm_up", "alarm_down")
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    assert(out.take(20).forall(r => !r._2), "quiet prefix must not alarm")
+    assert(out.last._2, s"expected an UP alarm by the last shifted day: $out")
+    // the mirror: 10 days of 40 then 6 silent days — a feed death
+    val drop = (0 until 10)
+      .flatMap(d => (1 to 40).map(i => ("p", d * day + i)))
+      .map { case (k, t) => (k, t.toLong) } :+ (("p", 15 * day + 1L))
+    val dv = drop.toDF("k", "tus")
+    val o2 = Monitor.pageHinkleyDaily(dv, "k", col("tus"))
+      .orderBy("day")
+      .select("day", "alarm_up", "alarm_down")
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    assert(o2.forall(r => !r._2), "a drop must never trip the UP side")
+    assert(o2.exists(_._3), s"the silent run must trip ph_down: $o2")
+  }
+
+  test("streamingPageHinkley == batch pageHinkleyDaily trajectory over " +
+    "the same prefix, across batches, with silent days zero-filled live") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    implicit val sc = spark.sqlContext
+    val ns = Seq(4L, 4L, 0L, 9L, 9L, 9L) // silent day 2 inside the span
+    val ev = ns.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n.toInt).map(i => ("m", d * day + i.toLong))
+    }.toDF("k", "tus")
+    val ref = Monitor.pageHinkleyDaily(ev, "k", col("tus"))
+      .orderBy("day")
+      .select("day", "n", "ph_up_milli", "ph_down_milli",
+        "alarm_up", "alarm_down")
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    // offline calibration: target = lambda/4 (the batch chart's own),
+    // delta = target/20 — exactly the batch constants
+    val lambda = Monitor.pageHinkleyDaily(ev, "k", col("tus"))
+      .select("lambda_milli").as[Long].head()
+    val mem = MemoryStream[EventStreamOps.CcEv]
+    val q = EventStreamOps.streamingPageHinkley(mem.toDS(),
+        deltaMilli = lambda / 4 / 20, lambdaMilli = lambda)
+      .writeStream.format("memory").queryName("phlive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      import EventStreamOps.CcEv
+      mem.addData(CcEv("m", 0L, 4L), CcEv("m", 1L, 4L))
+      q.processAllAvailable()
+      mem.addData(CcEv("m", 3L, 9L), CcEv("m", 4L, 9L))
+      mem.addData(CcEv("m", 5L, 9L), CcEv("m", 4L, 9L)) // dup day ignored
+      q.processAllAvailable()
+      val live = spark.table("phlive")
+        .as[EventStreamOps.PhOut].collect().toSeq
+        .groupBy(_.day).map { case (_, v) => v.last }.toSeq.sortBy(_.day)
+        .map(o => (o.day, o.n, o.phUpMilli, o.phDownMilli,
+          o.alarmUp, o.alarmDown))
+      assert(live === ref)
+    } finally q.stop()
+  }
+
   test("streamingCusum == batch cusumDaily trajectory over the same " +
     "prefix, across batches, with silent days zero-filled live") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -491,5 +580,35 @@ class MonitorSpec extends SparkSpec {
       }
     }.map(r => (r._1, r._2)).toSet
     assert(frontier === expected)
+  }
+
+  test("changepoint: hand-checked best split on a 2,2,10,10 grid — " +
+    "the level break wins over both off-center splits; a single-day " +
+    "key has no split and is absent") {
+    val g = Seq(("a", 0L, 2L), ("a", 1L, 2L), ("a", 2L, 10L),
+      ("a", 3L, 10L), ("b", 0L, 7L)).toDF("key", "day", "n")
+    val out = graft.queries.ExtensionQueries.changepoint(g)
+      .select("event_type", "n_days", "split_day", "gain_milli",
+        "mean_left_milli", "mean_right_milli")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // s=24, nd=4, baseline 576000/4 = 144000; splits after day 0/1/2:
+    //   i=1: 4000 + 484000 div 3 - 144000 = 21333
+    //   i=2: 8000 + 200000   - 144000     = 64000   <- the break
+    //   i=3: 196000 div 3 + 100000 - 144000 = 21333
+    assert(out === Seq(("a", 4L, 1L, 64000L, 2000L, 10000L)))
+  }
+
+  test("theilSen: a clean ramp reads its exact slope and one wild " +
+    "outlier day cannot drag the median pairwise slope") {
+    val ramp = (0L to 4L).map(d => ("a", d, d * 10L))
+    val dirty = Seq(("o", 0L, 0L), ("o", 1L, 10L), ("o", 2L, 20L),
+      ("o", 3L, 30L), ("o", 4L, 1000L))
+    val out = graft.queries.ExtensionQueries
+      .theilSen((ramp ++ dirty).toDF("key", "day", "n"))
+      .select("event_type", "n_days", "n_pairs", "sen_slope_milli")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // 10 pairwise slopes each; the dirty key's four outlier-touching
+    // slopes (250000..970000) sit above the lower median (rank 5)
+    assert(out === Seq(("a", 5L, 10L, 10000L), ("o", 5L, 10L, 10000L)))
   }
 }
