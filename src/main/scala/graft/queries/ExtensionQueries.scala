@@ -5119,6 +5119,142 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Mantel–Haenszel common odds ratio (Mantel & Haenszel, JNCI 1959;
+    * Cochran, Biometrics 1954) across day strata — the Simpson's-
+    * paradox guard on the A/B readout: when arm allocation shifts
+    * over time (a ramp-up, a holdback change) the CRUDE pooled odds
+    * ratio mixes the arm effect with the calendar trend, and can even
+    * reverse sign; the MH estimator pools the per-stratum ratios
+    * `Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)` with each stratum judged against only
+    * its own contemporaneous traffic. The classic epidemiology
+    * confounder control, here with days as strata (span-bounded, the
+    * same stratification the DiD uses as periods). Exact integers:
+    * each per-stratum term quantized once to e-6 via DECIMAL(38,0)
+    * cross-products (aᵢdᵢ ≤ stratum² wraps BIGINT at scale — the
+    * chi-square lesson applied from day one), ratio in milli, and the
+    * `confounded` verdict (crude vs MH differing by >10%) an integer
+    * comparison. One (type, day) grouped aggregate, then a per-type
+    * rollup — no windows, no joins.
+    */
+  def mantelHaenszelQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    mantelHaenszel(ev.select(col("event_type"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("stratum"),
+      when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("ga"),
+      when(col("value") > 200.0, 1L).otherwise(0L).as("hit")))
+  }
+
+  /** Core over a pre-projected (event_type, stratum, ga, hit) frame. */
+  private[graft] def mantelHaenszel(e: DataFrame): DataFrame = {
+    val cells = e.groupBy("event_type", "stratum")
+      .agg(sum(when(col("ga") === 1L, col("hit")).otherwise(0L)).as("a"),
+        sum(when(col("ga") === 1L, lit(1L) - col("hit")).otherwise(0L))
+          .as("bm"),
+        sum(when(col("ga") === 0L, col("hit")).otherwise(0L)).as("c"),
+        sum(when(col("ga") === 0L, lit(1L) - col("hit")).otherwise(0L))
+          .as("dm"))
+      .withColumn("n", expr("a + bm + c + dm"))
+    cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_strata"),
+        sum(expr("CAST(CAST(a AS DECIMAL(38,0)) * dm * 1000000 div n" +
+          " AS BIGINT)")).as("num_e6"),
+        sum(expr("CAST(CAST(bm AS DECIMAL(38,0)) * c * 1000000 div n" +
+          " AS BIGINT)")).as("den_e6"),
+        sum(col("a")).as("ha"), sum(col("bm")).as("ma"),
+        sum(col("c")).as("hb"), sum(col("dm")).as("mb"))
+      .withColumn("crude_or_milli",
+        expr("CAST(CAST(ha AS DECIMAL(38,0)) * mb * 1000" +
+          " div greatest(CAST(ma AS DECIMAL(38,0)) * hb, 1) AS BIGINT)"))
+      .withColumn("mh_or_milli",
+        expr("num_e6 * 1000 div greatest(den_e6, 1)"))
+      .withColumn("confounded",
+        expr("abs(crude_or_milli - mh_or_milli) * 1000" +
+          " div greatest(mh_or_milli, 1) > 100"))
+      .select("event_type", "n_strata", "crude_or_milli", "mh_or_milli",
+        "confounded")
+      .orderBy("event_type")
+  }
+
+  /** Stationary distribution of the user-journey Markov chain — the
+    * long-run occupancy the transition matrix (`q_transitions`)
+    * implies: where sessions SETTLE, not just where they step next;
+    * the PageRank idea specialized to the behavioral chain (power
+    * iteration, von Mises–Pollaczek 1929). The matrix is densified
+    * over the full observed state set (types with no outgoing
+    * transition get the standard self-loop absorbing patch, stated
+    * loudly) and 20 power-iteration steps run as ONE array fold on a
+    * single collected K×K frame — K = |event types|, bounded by
+    * nature, the suite's K-row-frame precedent (waterfill, rebalance)
+    * — never a driver loop over 20 Spark jobs. Exact integers
+    * end-to-end: v₀ splits 1e6 with the remainder pinned to the
+    * lexicographically first state, each step's terms truncate at
+    * `v_i·p_ij div 1e6` (mirrored per-term by the oracle's recursive
+    * CTE), and the small truncation mass leak is deterministic on
+    * both engines. The heavy lift remains the per-user lead window
+    * (high-cardinality key, parallel by construction).
+    */
+  def markovStationaryQ(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val w = W.partitionBy("user_id").orderBy("event_id")
+    val pairs = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    markovStationary(pairs,
+      ev.select(col("event_type").as("state")).distinct())
+  }
+
+  /** Core over a (from_type, to_type, n) count frame and a (state)
+    * state-set frame; both K-bounded.
+    */
+  private[graft] def markovStationary(pairs: DataFrame,
+                                      states: DataFrame): DataFrame = {
+    val tot = pairs.groupBy("from_type").agg(sum(col("n")).as("ft"))
+    val dense = states.select(col("state").as("f"))
+      .crossJoin(broadcast(states.select(col("state").as("t"))))
+      .join(pairs.withColumnRenamed("from_type", "f")
+        .withColumnRenamed("to_type", "t"), Seq("f", "t"), "left")
+      .na.fill(0L, Seq("n"))
+      .join(broadcast(tot.withColumnRenamed("from_type", "f")),
+        Seq("f"), "left")
+      .withColumn("p_ppm", expr(
+        "CASE WHEN ft IS NULL OR ft = 0 THEN" +
+          " IF(f = t, 1000000L, 0L)" +
+          " ELSE n * 1000000 div ft END"))
+      .select("f", "t", "p_ppm")
+    val folded = dense
+      .groupBy(lit(1).as("g"))
+      .agg(sort_array(collect_list(struct(col("f"), col("t"),
+          col("p_ppm")))).as("m"),
+        sort_array(collect_set(col("f"))).as("sts"))
+      .withColumn("v0", expr(
+        """transform(sts, (st, ix) -> named_struct('s', st, 'w',
+          |  CASE WHEN ix = 0 THEN
+          |    1000000L - (1000000L div size(sts)) * (size(sts) - 1)
+          |  ELSE 1000000L div size(sts) END))""".stripMargin))
+      .withColumn("vn", expr(
+        """aggregate(sequence(1, 20), v0,
+          |  (v, it) -> transform(v, sj -> named_struct('s', sj.s, 'w',
+          |    aggregate(filter(m, e -> e.t = sj.s), 0L,
+          |      (a, e) -> a + element_at(
+          |        map_from_entries(transform(v, x -> struct(x.s, x.w))),
+          |        e.f) * e.p_ppm div 1000000))))""".stripMargin))
+    folded.select(explode(col("vn")).as("x"))
+      .select(col("x.s").as("event_type"),
+        col("x.w").as("stationary_ppm"))
+      .join(tot.withColumnRenamed("from_type", "event_type"),
+        Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("ft"), lit(0L)).as("out_total"),
+        col("stationary_ppm"))
+      .orderBy("event_type")
+  }
+
   // lazy: oracleBase is declared below (keeping the giant literal at the
   // end of the file); by first access it is initialized
   lazy val oracle: Map[String, String] = oracleBase +
@@ -6849,7 +6985,78 @@ object ExtensionQueries {
         |  CAST(m_c_post AS BIGINT) AS m_c_post,
         |  CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT)
         |    AS did_milli
-        |FROM m ORDER BY event_type""".stripMargin)
+        |FROM m ORDER BY event_type""".stripMargin) +
+    ("q_mantel_haenszel" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS stratum,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+        |    CASE WHEN value > 200.0 THEN 1 ELSE 0 END AS hit FROM events),
+        |cells AS (SELECT event_type, stratum,
+        |    CAST(sum(CASE WHEN ga = 1 THEN hit ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN ga = 1 THEN 1 - hit ELSE 0 END) AS BIGINT)
+        |      AS bm,
+        |    CAST(sum(CASE WHEN ga = 0 THEN hit ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN ga = 0 THEN 1 - hit ELSE 0 END) AS BIGINT)
+        |      AS dm
+        |  FROM e GROUP BY 1, 2),
+        |agg AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(CAST(a AS HUGEINT) * dm * 1000000
+        |      // (a + bm + c + dm)) AS BIGINT) AS num_e6,
+        |    CAST(sum(CAST(bm AS HUGEINT) * c * 1000000
+        |      // (a + bm + c + dm)) AS BIGINT) AS den_e6,
+        |    CAST(sum(a) AS BIGINT) AS ha, CAST(sum(bm) AS BIGINT) AS ma,
+        |    CAST(sum(c) AS BIGINT) AS hb, CAST(sum(dm) AS BIGINT) AS mb
+        |  FROM cells GROUP BY 1),
+        |r AS (SELECT event_type, n_strata,
+        |    CAST(CAST(ha AS HUGEINT) * mb * 1000
+        |      // greatest(CAST(ma AS HUGEINT) * hb, 1) AS BIGINT)
+        |      AS crude_or_milli,
+        |    CAST(num_e6 * 1000 // greatest(den_e6, 1) AS BIGINT)
+        |      AS mh_or_milli
+        |  FROM agg)
+        |SELECT event_type, n_strata, crude_or_milli, mh_or_milli,
+        |  abs(crude_or_milli - mh_or_milli) * 1000
+        |    // greatest(mh_or_milli, 1) > 100 AS confounded
+        |FROM r ORDER BY event_type""".stripMargin) +
+    ("q_markov_stationary" ->
+      """WITH RECURSIVE pr AS (SELECT event_type AS f,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS t
+        |  FROM events),
+        |pairs AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pr
+        |  WHERE t IS NOT NULL GROUP BY 1, 2),
+        |sts AS (SELECT DISTINCT event_type AS state FROM events),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM sts),
+        |tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS ft FROM pairs
+        |  GROUP BY 1),
+        |m AS (SELECT i.state AS f, j.state AS t,
+        |    CAST(CASE WHEN tot.ft IS NULL OR tot.ft = 0 THEN
+        |        CASE WHEN i.state = j.state THEN 1000000 ELSE 0 END
+        |      ELSE COALESCE(p.n, 0) * 1000000 // tot.ft END AS BIGINT)
+        |      AS p_ppm
+        |  FROM sts i CROSS JOIN sts j
+        |  LEFT JOIN pairs p ON p.f = i.state AND p.t = j.state
+        |  LEFT JOIN tot ON tot.f = i.state),
+        |v0 AS (SELECT state,
+        |    CAST(CASE WHEN state = (SELECT min(state) FROM sts)
+        |      THEN 1000000 - (1000000 // kk) * (kk - 1)
+        |      ELSE 1000000 // kk END AS BIGINT) AS w
+        |  FROM sts, k),
+        |it AS (
+        |  SELECT 0 AS step, state, w FROM v0
+        |  UNION ALL
+        |  SELECT it.step + 1, m.t AS state,
+        |    CAST(sum(it.w * m.p_ppm // 1000000) AS BIGINT) AS w
+        |  FROM it JOIN m ON m.f = it.state
+        |  WHERE it.step < 20
+        |  GROUP BY 1, 2)
+        |SELECT s.state AS event_type,
+        |  CAST(COALESCE(tot.ft, 0) AS BIGINT) AS out_total,
+        |  it.w AS stationary_ppm
+        |FROM it JOIN sts s ON s.state = it.state
+        |LEFT JOIN tot ON tot.f = s.state
+        |WHERE it.step = 20 ORDER BY 1""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     "q_readability" ->
@@ -10133,6 +10340,8 @@ object ExtensionQueries {
     "q_kappa"           -> (kappaQ _),
     "q_bh_fdr"          -> (bhFdrQ _),
     "q_permutation"     -> (permutationQ _),
-    "q_did"             -> (didQ _)
+    "q_did"             -> (didQ _),
+    "q_mantel_haenszel" -> (mantelHaenszelQ _),
+    "q_markov_stationary" -> (markovStationaryQ _)
   )
 }

@@ -587,4 +587,51 @@ class ExperimentSpec extends SparkSpec {
       ("t", 110000L, 120000L, 10000L, 20000L, 0L),
       ("u", 110000L, 135000L, 10000L, 20000L, 15000L)))
   }
+
+  test("mantelHaenszel: the textbook Simpson fixture — within-stratum " +
+    "rates identical (MH = 1000) while the crude pooled OR reads 23x; " +
+    "a single balanced stratum is unconfounded") {
+    // stratum 0: arm A 90/100 hits vs B 9/10; stratum 1: A 1/10 vs
+    // B 10/100 — same rate per stratum, opposite allocation
+    def cell(t: String, st: Long, ga: Long, hits: Int, miss: Int) =
+      (0 until hits).map(_ => (t, st, ga, 1L)) ++
+        (0 until miss).map(_ => (t, st, ga, 0L))
+    val simpson = cell("s", 0L, 1L, 90, 10) ++ cell("s", 0L, 0L, 9, 1) ++
+      cell("s", 1L, 1L, 1, 9) ++ cell("s", 1L, 0L, 10, 90)
+    val plain = cell("p", 0L, 1L, 5, 5) ++ cell("p", 0L, 0L, 5, 5)
+    val out = ExtensionQueries.mantelHaenszel((simpson ++ plain)
+        .toDF("event_type", "stratum", "ga", "hit"))
+      .select("event_type", "n_strata", "crude_or_milli", "mh_or_milli",
+        "confounded")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // crude: 91*91*1000 div (19*19) = 22939; MH: both sums 1636362
+    assert(out === Seq(("p", 1L, 1000L, 1000L, false),
+      ("s", 2L, 22939L, 1000L, true)))
+  }
+
+  test("markovStationary: a 2-state chain lands on the integer-fold " +
+    "2/3-1/3 fixed point; an absorbing state takes all mass exactly") {
+    val states = Seq("A", "B").toDF("state")
+    val out = ExtensionQueries.markovStationary(
+        Seq(("A", "A", 1L), ("A", "B", 1L), ("B", "A", 2L))
+          .toDF("from_type", "to_type", "n"), states)
+      .select("event_type", "out_total", "stationary_ppm")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // replicate the exact per-term-truncating recurrence:
+    // vA' = vA*0.5 + vB, vB' = vA*0.5
+    var vA = 500000L; var vB = 500000L
+    (1 to 20).foreach { _ =>
+      val nA = vA * 500000L / 1000000L + vB
+      val nB = vA * 500000L / 1000000L
+      vA = nA; vB = nB
+    }
+    assert(out === Seq(("A", 2L, vA), ("B", 2L, vB)))
+    assert(math.abs(vA - 666666L) < 10 && math.abs(vB - 333333L) < 10)
+    // absorbing: A only feeds B; B has no outgoing row -> self-loop patch
+    val absd = ExtensionQueries.markovStationary(
+        Seq(("A", "B", 5L)).toDF("from_type", "to_type", "n"), states)
+      .select("event_type", "out_total", "stationary_ppm")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(absd === Seq(("A", 5L, 0L), ("B", 0L, 1000000L)))
+  }
 }
