@@ -140,6 +140,79 @@ object Monitor {
       .withColumn("forecast_milli", col("level_milli") + col("trend_milli"))
   }
 
+  /** Holt–Winters additive seasonal smoothing (Winters, Mgmt. Sci.
+    * 1960; the full triple of which [[holtDaily]] is the de-seasoned
+    * half): per key and day, exact-milli level + trend + a 7-slot
+    * weekly seasonal, with the one-step-ahead forecast
+    * `l + b + s_{t−7}` — the smoother that stops flagging every
+    * weekend as an anomaly. The seasonal state is carried as a FIFO
+    * list (head = the component about to be consumed, 7 days old),
+    * so NO index arithmetic exists to drift between engines: read
+    * `s[1]`, emit, push the refreshed value at the tail —
+    *   `l_t = (α·(x_t·1000 − s_head) + (1−α)·(l+b)) div 1000`
+    *   `b_t = (β·(l_t − l_{t−1}) + (1−β)·b) div 1000`
+    *   `s'  = (γ·(x_t·1000 − l_t) + (1−γ)·s_head) div 1000`
+    * Initialization is the textbook simple start: week 1's mean is
+    * the level, zero trend, week 1's deviations the seasonal; output
+    * starts at day 8 (keys with ≤ 7 observed days emit nothing, on
+    * both engines by construction). Same span-bounded array fold +
+    * recursive-CTE oracle pairing and the same documented Long bound
+    * as the rest of the sequential family.
+    */
+  def holtWintersDaily(events: DataFrame, keyCol: String, tsUs: Column,
+                       alphaMilli: Int = 300, betaMilli: Int = 100,
+                       gammaMilli: Int = 200): DataFrame = {
+    require(alphaMilli > 0 && alphaMilli <= 1000,
+      s"alphaMilli must be in (0, 1000], got $alphaMilli")
+    require(betaMilli > 0 && betaMilli <= 1000,
+      s"betaMilli must be in (0, 1000], got $betaMilli")
+    require(gammaMilli > 0 && gammaMilli <= 1000,
+      s"gammaMilli must be in (0, 1000], got $gammaMilli")
+    val a = alphaMilli; val b = betaMilli; val g = gammaMilli
+    val grid = dailyGrid(events, keyCol, tsUs)
+    val series = grid.groupBy("key")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("dn"))
+      .withColumn("l0",
+        expr("aggregate(slice(dn, 1, 7), 0L, (p, x) -> p + x.n)" +
+          " * 1000 div 7"))
+      .withColumn("s0", expr("transform(slice(dn, 1, 7)," +
+        " x -> x.n * 1000L - l0)"))
+    // no let-binding in the lambda: the new level (and inside the
+    // seasonal, again) is inlined — identical integer expression,
+    // identical value, the holtDaily/CTE-oracle discipline
+    val newLvl =
+      s"""(($a * (x.n * 1000L - element_at(acc.s, 1)) +
+         |  ${1000 - a} * (acc.lvl + acc.b)) div 1000)""".stripMargin
+    val newTrend =
+      s"""(($b * ($newLvl - acc.lvl) + ${1000 - b} * acc.b) div 1000)"""
+    val newSeas =
+      s"""(($g * (x.n * 1000L - $newLvl) +
+         |  ${1000 - g} * element_at(acc.s, 1)) div 1000)""".stripMargin
+    val fold = series.withColumn("emit", expr(
+      s"""aggregate(
+         |  slice(dn, 8, greatest(size(dn) - 7, 0)),
+         |  named_struct('lvl', l0, 'b', 0L, 's', s0,
+         |    'emit', CAST(array() AS ARRAY<STRUCT<day: BIGINT,
+         |      n: BIGINT, forecast_milli: BIGINT, level_milli: BIGINT,
+         |      trend_milli: BIGINT, seas_milli: BIGINT>>)),
+         |  (acc, x) -> named_struct(
+         |    'lvl', $newLvl,
+         |    'b', $newTrend,
+         |    's', slice(acc.s, 2, 6) || array($newSeas),
+         |    'emit', acc.emit || array(named_struct(
+         |      'day', x.day, 'n', x.n,
+         |      'forecast_milli', acc.lvl + acc.b + element_at(acc.s, 1),
+         |      'level_milli', $newLvl,
+         |      'trend_milli', $newTrend,
+         |      'seas_milli', $newSeas)))).emit""".stripMargin))
+    fold.select(col("key"), explode(col("emit")).as("t"))
+      .select(col("key"), col("t.day").as("day"), col("t.n").as("n"),
+        col("t.forecast_milli").as("forecast_milli"),
+        col("t.level_milli").as("level_milli"),
+        col("t.trend_milli").as("trend_milli"),
+        col("t.seas_milli").as("seas_milli"))
+  }
+
   /** Ingest backlog under finite capacity — Lindley's recursion
     * (Lindley 1952): `backlog_t = max(0, backlog_{t−1} + arrivals_t −
     * capacity)` with capacity provisioned at `capPctOfMean`% of the

@@ -5255,6 +5255,25 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Holt–Winters weekly-seasonal forecast ledger
+    * ([[graft.ops.Monitor.holtWintersDaily]], Winters 1960): level +
+    * trend + 7-slot additive seasonal per event type — the smoother
+    * that stops calling every weekend an anomaly, and the triple of
+    * which `q_holt` is the de-seasoned half. On perfectly periodic
+    * traffic the one-step forecast is EXACT (spec-pinned), where
+    * plain Holt lags every weekly swing; `q_mase` is the referee for
+    * which forecast a capacity planner should trust. Emission starts
+    * at day 8 — the first week is the textbook simple initialization
+    * (week-1 mean level, zero trend, week-1 deviations seasonal).
+    */
+  def holtWintersQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Monitor.holtWintersDaily(ev, "event_type",
+        AnalyticsQueries.epochUs(ev, "ts"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "day")
+  }
+
   // lazy: oracleBase is declared below (keeping the giant literal at the
   // end of the file); by first access it is initialized
   lazy val oracle: Map[String, String] = oracleBase +
@@ -7056,7 +7075,49 @@ object ExtensionQueries {
         |  it.w AS stationary_ppm
         |FROM it JOIN sts s ON s.state = it.state
         |LEFT JOIN tot ON tot.f = s.state
-        |WHERE it.step = 20 ORDER BY 1""".stripMargin)
+        |WHERE it.step = 20 ORDER BY 1""".stripMargin) +
+    ("q_holt_winters" -> {
+      val nl = "(300 * (x.n * 1000 - r.s[1]) + 700 * (r.lvl + r.b)) // 1000"
+      val ns = s"(200 * (x.n * 1000 - ($nl)) + 800 * r.s[1]) // 1000"
+      s"""WITH RECURSIVE byday AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+         |  FROM byday GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+         |  FROM sp),
+         |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n,
+         |    row_number() OVER (PARTITION BY gr.event_type
+         |      ORDER BY gr.day) AS i
+         |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+         |l0 AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN i <= 7 THEN n ELSE 0 END) * 1000 // 7
+         |      AS BIGINT) AS l0
+         |  FROM g GROUP BY 1),
+         |s0 AS (SELECT g.event_type,
+         |    list(g.n * 1000 - l0.l0 ORDER BY g.day) AS s
+         |  FROM g JOIN l0 ON l0.event_type = g.event_type
+         |  WHERE g.i <= 7 GROUP BY 1),
+         |rec AS (
+         |  SELECT l0.event_type, CAST(7 AS BIGINT) AS i, l0.l0 AS lvl,
+         |    CAST(0 AS BIGINT) AS b, s0.s AS s,
+         |    CAST(NULL AS BIGINT) AS day, CAST(NULL AS BIGINT) AS n,
+         |    CAST(NULL AS BIGINT) AS forecast, CAST(NULL AS BIGINT) AS seas
+         |  FROM l0 JOIN s0 USING (event_type)
+         |  UNION ALL
+         |  SELECT r.event_type, x.i,
+         |    CAST($nl AS BIGINT),
+         |    CAST((100 * (($nl) - r.lvl) + 900 * r.b) // 1000 AS BIGINT),
+         |    r.s[2:7] || [CAST($ns AS BIGINT)],
+         |    x.day, x.n,
+         |    CAST(r.lvl + r.b + r.s[1] AS BIGINT),
+         |    CAST($ns AS BIGINT)
+         |  FROM g x JOIN rec r
+         |    ON x.event_type = r.event_type AND x.i = r.i + 1)
+         |SELECT event_type, day, n, forecast AS forecast_milli,
+         |  lvl AS level_milli, b AS trend_milli, seas AS seas_milli
+         |FROM rec WHERE i >= 8 ORDER BY event_type, day""".stripMargin })
 
   private val oracleBase: Map[String, String] = Map(
     "q_readability" ->
@@ -10342,6 +10403,7 @@ object ExtensionQueries {
     "q_permutation"     -> (permutationQ _),
     "q_did"             -> (didQ _),
     "q_mantel_haenszel" -> (mantelHaenszelQ _),
-    "q_markov_stationary" -> (markovStationaryQ _)
+    "q_markov_stationary" -> (markovStationaryQ _),
+    "q_holt_winters"    -> (holtWintersQ _)
   )
 }

@@ -611,4 +611,48 @@ class MonitorSpec extends SparkSpec {
     // slopes (250000..970000) sit above the lower median (rank 5)
     assert(out === Seq(("a", 5L, 10L, 10000L), ("o", 5L, 10L, 10000L)))
   }
+
+  test("holtWintersDaily: a perfectly periodic week is a fixed point — " +
+    "every forecast exact, level flat, trend zero; a 7-day key emits " +
+    "nothing; a declining series matches the integer hand fold") {
+    val pattern = Seq(2, 2, 2, 2, 2, 2, 9)
+    val ev = (0 until 21).flatMap { dd =>
+      (1 to pattern(dd % 7)).map(i => ("w", dd * day + i.toLong))
+    } ++ (0 until 7).flatMap { dd =>
+      (1 to 3).map(i => ("short", dd * day + i.toLong))
+    }
+    val out = Monitor.holtWintersDaily(ev.toDF("k", "tus"), "k", col("tus"))
+      .orderBy("key", "day")
+      .select("key", "day", "n", "forecast_milli", "level_milli",
+        "trend_milli", "seas_milli")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.forall(_._1 == "w"), "a 7-day key must emit nothing")
+    assert(out.size === 14)
+    // l0 = 21000 div 7 = 3000; s0 = six -1000s then 6000: on periodic
+    // data the recurrence reproduces itself and forecast == n*1000
+    assert(out.forall(r => r._4 === r._3 * 1000), s"forecasts: $out")
+    assert(out.forall(r => r._5 === 3000L && r._6 === 0L))
+    // a steady decline: week one 10/day, week two 8/day -> the hand
+    // fold with truncating integer division, trend goes negative
+    val dec = (0 until 14).flatMap { dd =>
+      (1 to (if (dd < 7) 10 else 8)).map(i => ("d", dd * day + i.toLong))
+    }
+    val got = Monitor.holtWintersDaily(dec.toDF("k", "tus"), "k", col("tus"))
+      .orderBy("day")
+      .select("forecast_milli", "level_milli", "trend_milli", "seas_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    var lvl = 10000L; var tr = 0L
+    var s = Seq.fill(7)(0L)
+    val exp = (0 until 7).map { _ =>
+      val x = 8000L
+      val nl = (300L * (x - s.head) + 700L * (lvl + tr)) / 1000L
+      val nt = (100L * (nl - lvl) + 900L * tr) / 1000L
+      val nsv = (200L * (x - nl) + 800L * s.head) / 1000L
+      val fc = lvl + tr + s.head
+      lvl = nl; tr = nt; s = s.tail :+ nsv
+      (fc, nl, nt, nsv)
+    }
+    assert(got === exp)
+    assert(got.last._3 < 0L, "a sustained decline must read a negative trend")
+  }
 }
