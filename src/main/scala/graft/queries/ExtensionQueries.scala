@@ -5274,6 +5274,60 @@ object ExtensionQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Expected Calibration Error (Naeini et al., AAAI 2015; the
+    * reliability-diagram summary of DeGroot–Fienberg 1983) of the
+    * "past predicts future" baseline: each user's FIRST-half-span hit
+    * rate is the predicted probability for their SECOND-half events,
+    * and ECE asks whether those probabilities mean what they say —
+    * the calibration half of the filter audit whose discrimination
+    * half is `q_filter_auc` (AUC rewards ranking; a model can rank
+    * perfectly and still lie about its confidence, which is what a
+    * sampling/curation pipeline that THRESHOLDS on scores actually
+    * consumes). Standard 10-bin form: `ECE = Σ n_b·|obs_b − pred_b|
+    * / N` in exact ppm (per-bin truncating divisions mirrored), plus
+    * the worst bin — the reliability diagram's tallest gap — via a
+    * (gap, bin) struct-max. Users with no first-half history are
+    * unscored by construction (no prediction exists), stated here.
+    * One user-level agg + one broadcast-span join + a 10-row-per-type
+    * bin rollup; no windows.
+    */
+  def eceQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ece(ev.select(col("event_type"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day"),
+      col("user_id"),
+      when(col("value") > 200.0, 1L).otherwise(0L).as("hit")))
+  }
+
+  /** Core over a pre-projected (event_type, day, user_id, hit) frame. */
+  private[graft] def ece(e: DataFrame): DataFrame = {
+    val sp = e.groupBy("event_type")
+      .agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val t = e.join(broadcast(sp), "event_type")
+    val rate = t.filter(col("day") <= col("mid"))
+      .groupBy("event_type", "user_id")
+      .agg(expr("sum(hit) * 1000000 div count(1)").as("r_ppm"))
+    val bins = t.filter(col("day") > col("mid"))
+      .join(rate, Seq("event_type", "user_id"))
+      .withColumn("bin", expr("least(r_ppm div 100000, 9L)"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n_b"), sum(col("hit")).as("h_b"),
+        sum(col("r_ppm")).as("p_b"))
+      .withColumn("obs_ppm", expr("h_b * 1000000 div n_b"))
+      .withColumn("pred_ppm", expr("p_b div n_b"))
+      .withColumn("gap_ppm", expr("abs(obs_ppm - pred_ppm)"))
+    bins.groupBy("event_type")
+      .agg(sum(col("n_b")).as("n_scored"),
+        sum(expr("n_b * gap_ppm")).as("w"),
+        max(struct(col("gap_ppm"), col("bin"))).as("wb"))
+      .select(col("event_type"), col("n_scored"),
+        expr("w div n_scored").as("ece_ppm"),
+        col("wb.bin").as("worst_bin"),
+        col("wb.gap_ppm").as("worst_gap_ppm"))
+      .orderBy("event_type")
+  }
+
   // lazy: oracleBase is declared below (keeping the giant literal at the
   // end of the file); by first access it is initialized
   lazy val oracle: Map[String, String] = oracleBase +
@@ -7117,7 +7171,40 @@ object ExtensionQueries {
          |    ON x.event_type = r.event_type AND x.i = r.i + 1)
          |SELECT event_type, day, n, forecast AS forecast_milli,
          |  lvl AS level_milli, b AS trend_milli, seas AS seas_milli
-         |FROM rec WHERE i >= 8 ORDER BY event_type, day""".stripMargin })
+         |FROM rec WHERE i >= 8 ORDER BY event_type, day""".stripMargin }) +
+    ("q_ece" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, user_id,
+        |    CASE WHEN value > 200.0 THEN 1 ELSE 0 END AS hit FROM events),
+        |sp AS (SELECT event_type, (min(day) + max(day)) // 2 AS mid
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT e.*, sp.mid FROM e JOIN sp USING (event_type)),
+        |rate AS (SELECT event_type, user_id,
+        |    CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS r_ppm
+        |  FROM t WHERE day <= mid GROUP BY 1, 2),
+        |bins AS (SELECT t.event_type,
+        |    CAST(least(r.r_ppm // 100000, 9) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(t.hit) AS BIGINT) AS h_b,
+        |    CAST(sum(r.r_ppm) AS BIGINT) AS p_b
+        |  FROM t JOIN rate r USING (event_type, user_id)
+        |  WHERE t.day > t.mid GROUP BY 1, 2),
+        |gaps AS (SELECT event_type, bin, n_b,
+        |    abs(h_b * 1000000 // n_b - p_b // n_b) AS gap_ppm
+        |  FROM bins),
+        |agg AS (SELECT event_type,
+        |    CAST(sum(n_b) AS BIGINT) AS n_scored,
+        |    CAST(sum(n_b * gap_ppm) // sum(n_b) AS BIGINT) AS ece_ppm
+        |  FROM gaps GROUP BY 1),
+        |worst AS (SELECT event_type, bin AS worst_bin,
+        |    CAST(gap_ppm AS BIGINT) AS worst_gap_ppm
+        |  FROM gaps
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gap_ppm DESC, bin DESC) = 1)
+        |SELECT a.event_type, a.n_scored, a.ece_ppm, w.worst_bin,
+        |  w.worst_gap_ppm
+        |FROM agg a JOIN worst w USING (event_type)
+        |ORDER BY a.event_type""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     "q_readability" ->
@@ -10404,6 +10491,7 @@ object ExtensionQueries {
     "q_did"             -> (didQ _),
     "q_mantel_haenszel" -> (mantelHaenszelQ _),
     "q_markov_stationary" -> (markovStationaryQ _),
-    "q_holt_winters"    -> (holtWintersQ _)
+    "q_holt_winters"    -> (holtWintersQ _),
+    "q_ece"             -> (eceQ _)
   )
 }

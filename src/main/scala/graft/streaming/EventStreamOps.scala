@@ -1278,6 +1278,78 @@ object EventStreamOps {
     * growth path. Live == batch is structural: the same anti-join defines
     * the audit's scrubbed artifacts.
     */
+  case class PbEv(key: String, day: Long, bucket: Long, n: Long)
+  case class PsState(lastDay: Long, counts: Seq[Long])
+  case class PsOut(key: String, day: Long, nDay: Long, psiE4: Long,
+                   verdict: String)
+
+  /** Live PSI drift monitor — the streaming companion of
+    * [[graft.queries.ExtensionQueries.psi]] with the production
+    * contract the batch form cannot have: the batch score compares
+    * the two HALVES of a recorded span, the live monitor scores each
+    * CLOSED day against an OFFLINE-CALIBRATED reference histogram
+    * (`refPpm`, the 10 smoothed per-bucket ppm the batch job's
+    * reference half emits) — the same calibrate-offline/apply-online
+    * split as the live CUSUM's fixed target. Feed: per-(key, day,
+    * bucket) rollup counts, each cell at most once, bucket rows of
+    * one day free to arrive across batches; a day EMITS when a
+    * strictly later day first arrives for the key (the day-close
+    * contract), so partially-arrived histograms are never scored.
+    * Silent days synthesize the all-zero histogram, whose smoothed
+    * q reads 1e6 per bucket — a dead feed scores as maximal drift,
+    * loudly, exactly like the batch formula would. State per key:
+    * last day + ten counts. The per-bucket contribution mirrors the
+    * batch expression bit-for-bit: `(p − q)·floor(ln(p/q)·1e4)`,
+    * every term ≥ 0, integer sum, `div 1e6` rescale, same
+    * 0.1/0.2 verdict bands.
+    */
+  def streamingPsi(rows: Dataset[PbEv], refPpm: Seq[Long]): Dataset[PsOut] = {
+    require(refPpm.size == 10 && refPpm.forall(_ > 0),
+      s"refPpm must be 10 positive smoothed ppm values, got $refPpm")
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PsState, PsOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[PbEv], state: GroupState[PsState]) =>
+          var st = state.getOption.getOrElse(
+            PsState(Long.MinValue, Seq.fill(10)(0L)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PsOut]
+          def close(day: Long, counts: Seq[Long]): Unit = {
+            val nCur = counts.sum
+            val tot = (0 until 10).map { b =>
+              val p = refPpm(b)
+              val q = math.max(counts(b), 1L) * 1000000L /
+                math.max(nCur, 1L)
+              (p - q) *
+                math.floor(math.log(p.toDouble / q) * 10000d).toLong
+            }.sum
+            val psi = tot / 1000000L
+            val verdict = if (psi < 1000L) "stable"
+              else if (psi < 2000L) "minor_shift" else "shifted"
+            out += PsOut(key, day, nCur, psi, verdict)
+          }
+          def add(counts: Seq[Long], bucket: Long, n: Long): Seq[Long] = {
+            val b = math.min(math.max(bucket, 0L), 9L).toInt
+            counts.updated(b, counts(b) + n)
+          }
+          evs.toSeq.sortBy(e => (e.day, e.bucket)).foreach { e =>
+            if (st.lastDay == Long.MinValue)
+              st = PsState(e.day, add(Seq.fill(10)(0L), e.bucket, e.n))
+            else if (e.day == st.lastDay)
+              st = st.copy(counts = add(st.counts, e.bucket, e.n))
+            else if (e.day > st.lastDay) {
+              close(st.lastDay, st.counts)
+              var d = st.lastDay + 1
+              while (d < e.day) { close(d, Seq.fill(10)(0L)); d += 1 }
+              st = PsState(e.day, add(Seq.fill(10)(0L), e.bucket, e.n))
+            } // e.day < lastDay: late day — append-only contract
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def tombstoneGate(docs: DataFrame, tombstones: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
     require(!docs.columns.contains("__tomb") &&

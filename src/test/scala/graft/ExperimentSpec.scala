@@ -634,4 +634,26 @@ class ExperimentSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(absd === Seq(("A", 5L, 0L), ("B", 0L, 1000000L)))
   }
+
+  test("ece: a user whose past rate exactly repeats reads 0; a " +
+    "confident-but-wrong user drives the hand-computed half-mass gap") {
+    // calibrated: users 0..9, first half u hits of 10, second half the
+    // same -> every bin's prediction equals its observed rate
+    def half(t: String, u: Long, d0: Long, hits: Int) =
+      (0 until 10).map(i => (t, d0, u, if (i < hits) 1L else 0L))
+    val cal = (0 until 10).flatMap { u =>
+      half("c", u.toLong, 0L, u) ++ half("c", u.toLong, 9L, u)
+    }
+    // miscalibrated: user A 10/10 then 0/10 (bin 9, gap 1e6), user B
+    // 0/10 then 0/10 (bin 0, gap 0) -> ece = 10*1e6 div 20 = 500000
+    val mis = half("m", 1L, 0L, 10) ++ half("m", 1L, 9L, 0) ++
+      half("m", 2L, 0L, 0) ++ half("m", 2L, 9L, 0)
+    val out = ExtensionQueries.ece((cal ++ mis)
+        .toDF("event_type", "day", "user_id", "hit"))
+      .select("event_type", "n_scored", "ece_ppm", "worst_bin",
+        "worst_gap_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out(0)._1 === "c" && out(0)._2 === 100L && out(0)._3 === 0L)
+    assert(out(1) === (("m", 20L, 500000L, 9L, 1000000L)))
+  }
 }

@@ -655,4 +655,46 @@ class MonitorSpec extends SparkSpec {
     assert(got === exp)
     assert(got.last._3 < 0L, "a sustained decline must read a negative trend")
   }
+
+  test("streamingPsi: a day matching the calibrated reference reads 0, " +
+    "a migrated day reads the batch fixture's 20793, a silent day " +
+    "reads maximal drift — days close only when a later day arrives, " +
+    "even split across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    import graft.streaming.EventStreamOps.{PbEv, PsOut}
+    implicit val sc = spark.sqlContext
+    // reference = 4 docs all in bucket 0, smoothed exactly as the
+    // batch formula: b0 -> 1e6, others greatest(0,1)*1e6 div 4
+    val ref = 1000000L +: Seq.fill(9)(250000L)
+    val mem = MemoryStream[PbEv]
+    val q = EventStreamOps.streamingPsi(mem.toDS(), ref)
+      .writeStream.format("memory").queryName("psilive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def rows = spark.table("psilive").as[PsOut].collect().toSeq
+        .groupBy(_.day).map { case (_, v) => v.last }.toSeq.sortBy(_.day)
+      // day 0 mirrors the reference; its bucket rows arrive across
+      // TWO batches and must not close until day 1 shows up
+      mem.addData(PbEv("m", 0L, 0L, 3L))
+      q.processAllAvailable()
+      assert(rows.isEmpty, "an open day must not emit")
+      mem.addData(PbEv("m", 0L, 0L, 1L), PbEv("m", 1L, 9L, 4L))
+      q.processAllAvailable()
+      assert(rows.map(o => (o.day, o.nDay, o.psiE4, o.verdict)) ===
+        Seq((0L, 4L, 0L, "stable")))
+      // day 2 closes day 1 (the total b0 -> b9 migration = the batch
+      // ExperimentSpec fixture's 20793); day 4 closes day 2 and
+      // synthesizes silent day 3 = all-zero histogram, q = 1e6 apiece
+      mem.addData(PbEv("m", 2L, 0L, 4L), PbEv("m", 4L, 0L, 1L))
+      q.processAllAvailable()
+      val got = rows.map(o => (o.day, o.nDay, o.psiE4, o.verdict))
+      // silent day: 9 buckets at (250000-1e6)*floor(ln(.25)*1e4)
+      //   = 9 * 750000 * 13863 div 1e6 = 93575
+      assert(got === Seq((0L, 4L, 0L, "stable"),
+        (1L, 4L, 20793L, "shifted"), (2L, 4L, 0L, "stable"),
+        (3L, 0L, 93575L, "shifted")))
+    } finally q.stop()
+  }
 }
