@@ -5212,10 +5212,12 @@ object ExtensionQueries {
   /** Core over a (from_type, to_type, n) count frame and a (state)
     * state-set frame; both K-bounded.
     */
-  private[graft] def markovStationary(pairs: DataFrame,
-                                      states: DataFrame): DataFrame = {
+  /** Row-stochastic densified transition matrix (f, t, p_ppm) over
+    * the full state set; terminal states carry the self-loop patch.
+    */
+  private def markovDense(pairs: DataFrame, states: DataFrame): DataFrame = {
     val tot = pairs.groupBy("from_type").agg(sum(col("n")).as("ft"))
-    val dense = states.select(col("state").as("f"))
+    states.select(col("state").as("f"))
       .crossJoin(broadcast(states.select(col("state").as("t"))))
       .join(pairs.withColumnRenamed("from_type", "f")
         .withColumnRenamed("to_type", "t"), Seq("f", "t"), "left")
@@ -5227,6 +5229,12 @@ object ExtensionQueries {
           " IF(f = t, 1000000L, 0L)" +
           " ELSE n * 1000000 div ft END"))
       .select("f", "t", "p_ppm")
+  }
+
+  private[graft] def markovStationary(pairs: DataFrame,
+                                      states: DataFrame): DataFrame = {
+    val tot = pairs.groupBy("from_type").agg(sum(col("n")).as("ft"))
+    val dense = markovDense(pairs, states)
     val folded = dense
       .groupBy(lit(1).as("g"))
       .agg(sort_array(collect_list(struct(col("f"), col("t"),
@@ -5272,6 +5280,53 @@ object ExtensionQueries {
         AnalyticsQueries.epochUs(ev, "ts"))
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type", "day")
+  }
+
+  /** Entropy rate of the user-journey chain (Shannon 1948,
+    * `H = Σᵢ πᵢ Σⱼ pᵢⱼ ln(1/pᵢⱼ)`) — how PREDICTABLE the next step is
+    * once the chain has settled: the one-number companion to
+    * `q_markov_stationary`'s WHERE (low H = railroaded funnels, high
+    * H = genuinely exploratory sessions; an absorbing state
+    * contributes zero by construction, ln 1 = 0, visible in the
+    * output). Per state: its stationary weight, its conditional
+    * next-step entropy, and the π-weighted contribution — the total
+    * rate is the contribution column's sum. The suite's e-4 log
+    * discipline: each `ln(1e6/p)` quantized once on its exact
+    * rational argument, weighted in ppm, one `div 1e6` rescale;
+    * π comes from the same 20-step integer power iteration the
+    * stationary query pins. K²-bounded after the per-user lead
+    * window.
+    */
+  def entropyRateQ(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val w = W.partitionBy("user_id").orderBy("event_id")
+    val pairs = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    entropyRate(pairs, ev.select(col("event_type").as("state")).distinct())
+  }
+
+  /** Core over the same (from_type, to_type, n) + (state) frames as
+    * [[markovStationary]].
+    */
+  private[graft] def entropyRate(pairs: DataFrame,
+                                 states: DataFrame): DataFrame = {
+    val hCond = markovDense(pairs, states)
+      .filter(col("p_ppm") > 0L)
+      .groupBy(col("f").as("event_type"))
+      .agg(expr("sum(p_ppm * CAST(floor(ln(CAST(1000000 AS DOUBLE)" +
+        " / p_ppm) * 10000) AS BIGINT)) div 1000000").as("h_cond_e4"))
+    markovStationary(pairs, states)
+      .join(hCond, Seq("event_type"))
+      .withColumn("contrib_e4",
+        expr("stationary_ppm * h_cond_e4 div 1000000"))
+      .select("event_type", "stationary_ppm", "h_cond_e4", "contrib_e4")
+      .orderBy("event_type")
   }
 
   /** Expected Calibration Error (Naeini et al., AAAI 2015; the
@@ -7093,43 +7148,26 @@ object ExtensionQueries {
         |    // greatest(mh_or_milli, 1) > 100 AS confounded
         |FROM r ORDER BY event_type""".stripMargin) +
     ("q_markov_stationary" ->
-      """WITH RECURSIVE pr AS (SELECT event_type AS f,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
-        |      AS t
-        |  FROM events),
-        |pairs AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pr
-        |  WHERE t IS NOT NULL GROUP BY 1, 2),
-        |sts AS (SELECT DISTINCT event_type AS state FROM events),
-        |k AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM sts),
-        |tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS ft FROM pairs
-        |  GROUP BY 1),
-        |m AS (SELECT i.state AS f, j.state AS t,
-        |    CAST(CASE WHEN tot.ft IS NULL OR tot.ft = 0 THEN
-        |        CASE WHEN i.state = j.state THEN 1000000 ELSE 0 END
-        |      ELSE COALESCE(p.n, 0) * 1000000 // tot.ft END AS BIGINT)
-        |      AS p_ppm
-        |  FROM sts i CROSS JOIN sts j
-        |  LEFT JOIN pairs p ON p.f = i.state AND p.t = j.state
-        |  LEFT JOIN tot ON tot.f = i.state),
-        |v0 AS (SELECT state,
-        |    CAST(CASE WHEN state = (SELECT min(state) FROM sts)
-        |      THEN 1000000 - (1000000 // kk) * (kk - 1)
-        |      ELSE 1000000 // kk END AS BIGINT) AS w
-        |  FROM sts, k),
-        |it AS (
-        |  SELECT 0 AS step, state, w FROM v0
-        |  UNION ALL
-        |  SELECT it.step + 1, m.t AS state,
-        |    CAST(sum(it.w * m.p_ppm // 1000000) AS BIGINT) AS w
-        |  FROM it JOIN m ON m.f = it.state
-        |  WHERE it.step < 20
-        |  GROUP BY 1, 2)
-        |SELECT s.state AS event_type,
-        |  CAST(COALESCE(tot.ft, 0) AS BIGINT) AS out_total,
-        |  it.w AS stationary_ppm
-        |FROM it JOIN sts s ON s.state = it.state
-        |LEFT JOIN tot ON tot.f = s.state
-        |WHERE it.step = 20 ORDER BY 1""".stripMargin) +
+      s"""$markovCte
+         |SELECT s.state AS event_type,
+         |  CAST(COALESCE(tot.ft, 0) AS BIGINT) AS out_total,
+         |  it.w AS stationary_ppm
+         |FROM it JOIN sts s ON s.state = it.state
+         |LEFT JOIN tot ON tot.f = s.state
+         |WHERE it.step = 20 ORDER BY 1""".stripMargin) +
+    ("q_entropy_rate" ->
+      s"""$markovCte,
+         |h AS (SELECT f AS event_type,
+         |    CAST(sum(p_ppm * CAST(floor(ln(CAST(1000000 AS DOUBLE)
+         |      / p_ppm) * 10000) AS BIGINT)) // 1000000 AS BIGINT)
+         |      AS h_cond_e4
+         |  FROM m WHERE p_ppm > 0 GROUP BY 1)
+         |SELECT s.state AS event_type, it.w AS stationary_ppm,
+         |  h.h_cond_e4,
+         |  CAST(it.w * h.h_cond_e4 // 1000000 AS BIGINT) AS contrib_e4
+         |FROM it JOIN sts s ON s.state = it.state
+         |JOIN h ON h.event_type = s.state
+         |WHERE it.step = 20 ORDER BY 1""".stripMargin) +
     ("q_holt_winters" -> {
       val nl = "(300 * (x.n * 1000 - r.s[1]) + 700 * (r.lvl + r.b)) // 1000"
       val ns = s"(200 * (x.n * 1000 - ($nl)) + 800 * r.s[1]) // 1000"
@@ -7205,6 +7243,45 @@ object ExtensionQueries {
         |  w.worst_gap_ppm
         |FROM agg a JOIN worst w USING (event_type)
         |ORDER BY a.event_type""".stripMargin)
+
+  /** Shared recursive-CTE prefix of the Markov-chain oracles: the
+    * per-user lead pairs, the densified row-stochastic matrix with
+    * the self-loop patch, and the 20-step integer power iteration —
+    * one definition, two gates (`q_markov_stationary`,
+    * `q_entropy_rate`), no drift between them.
+    */
+  private val markovCte: String =
+    """WITH RECURSIVE pr AS (SELECT event_type AS f,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS t
+      |  FROM events),
+      |pairs AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pr
+      |  WHERE t IS NOT NULL GROUP BY 1, 2),
+      |sts AS (SELECT DISTINCT event_type AS state FROM events),
+      |k AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM sts),
+      |tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS ft FROM pairs
+      |  GROUP BY 1),
+      |m AS (SELECT i.state AS f, j.state AS t,
+      |    CAST(CASE WHEN tot.ft IS NULL OR tot.ft = 0 THEN
+      |        CASE WHEN i.state = j.state THEN 1000000 ELSE 0 END
+      |      ELSE COALESCE(p.n, 0) * 1000000 // tot.ft END AS BIGINT)
+      |      AS p_ppm
+      |  FROM sts i CROSS JOIN sts j
+      |  LEFT JOIN pairs p ON p.f = i.state AND p.t = j.state
+      |  LEFT JOIN tot ON tot.f = i.state),
+      |v0 AS (SELECT state,
+      |    CAST(CASE WHEN state = (SELECT min(state) FROM sts)
+      |      THEN 1000000 - (1000000 // kk) * (kk - 1)
+      |      ELSE 1000000 // kk END AS BIGINT) AS w
+      |  FROM sts, k),
+      |it AS (
+      |  SELECT 0 AS step, state, w FROM v0
+      |  UNION ALL
+      |  SELECT it.step + 1, m.t AS state,
+      |    CAST(sum(it.w * m.p_ppm // 1000000) AS BIGINT) AS w
+      |  FROM it JOIN m ON m.f = it.state
+      |  WHERE it.step < 20
+      |  GROUP BY 1, 2)""".stripMargin
 
   private val oracleBase: Map[String, String] = Map(
     "q_readability" ->
@@ -10492,6 +10569,7 @@ object ExtensionQueries {
     "q_mantel_haenszel" -> (mantelHaenszelQ _),
     "q_markov_stationary" -> (markovStationaryQ _),
     "q_holt_winters"    -> (holtWintersQ _),
-    "q_ece"             -> (eceQ _)
+    "q_ece"             -> (eceQ _),
+    "q_entropy_rate"    -> (entropyRateQ _)
   )
 }

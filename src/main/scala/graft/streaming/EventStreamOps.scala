@@ -526,6 +526,74 @@ object EventStreamOps {
       }
   }
 
+  case class HwState(lastDay: Long, warm: Seq[Long], lvl: Long,
+                     trend: Long, s: Seq[Long])
+  case class HwOut(key: String, day: Long, n: Long, forecastMilli: Long,
+                   levelMilli: Long, trendMilli: Long, seasMilli: Long)
+
+  /** Live Holt–Winters — the streaming twin of
+    * [[graft.ops.Monitor.holtWintersDaily]], same rollup feed and
+    * zero-fill contract as [[streamingHolt]]. The batch operator's
+    * week-1 simple initialization becomes an explicit WARM-UP phase:
+    * the first seven applied days (zero-filled like any other)
+    * accumulate in state; the seventh completes the textbook init
+    * (week-mean level, zero trend, deviation seasonal) and emission
+    * starts with day 8 — so after any batch the emitted trajectory
+    * equals the batch fold's over the same prefix, including the
+    * silent-emission warm-up (spec-pinned). State per key: last day,
+    * ≤7 warm-up counts, level, trend, and the 7-slot seasonal FIFO —
+    * ten longs once warm.
+    */
+  def streamingHoltWinters(days: Dataset[CcEv], alphaMilli: Int = 300,
+                           betaMilli: Int = 100,
+                           gammaMilli: Int = 200): Dataset[HwOut] = {
+    require(alphaMilli > 0 && alphaMilli <= 1000,
+      s"alphaMilli must be in (0, 1000], got $alphaMilli")
+    require(betaMilli > 0 && betaMilli <= 1000,
+      s"betaMilli must be in (0, 1000], got $betaMilli")
+    require(gammaMilli > 0 && gammaMilli <= 1000,
+      s"gammaMilli must be in (0, 1000], got $gammaMilli")
+    import days.sparkSession.implicits._
+    val a = alphaMilli; val b = betaMilli; val g = gammaMilli
+    days
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HwState, HwOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[CcEv], state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(Long.MinValue, Seq.empty, 0L, 0L, Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HwOut]
+          def step(day: Long, n: Long): Unit = {
+            if (st.warm.size < 7) {
+              val w = st.warm :+ n
+              if (w.size == 7) {
+                val l0 = w.sum * 1000L / 7L
+                st = HwState(day, w, l0, 0L, w.map(_ * 1000L - l0))
+              } else st = st.copy(lastDay = day, warm = w)
+            } else {
+              val sHead = st.s.head
+              val fc = st.lvl + st.trend + sHead
+              val nl = (a * (n * 1000L - sHead) +
+                (1000L - a) * (st.lvl + st.trend)) / 1000L
+              val nt = (b * (nl - st.lvl) + (1000L - b) * st.trend) / 1000L
+              val nsv = (g * (n * 1000L - nl) + (1000L - g) * sHead) / 1000L
+              st = HwState(day, st.warm, nl, nt, st.s.tail :+ nsv)
+              out += HwOut(key, day, n, fc, nl, nt, nsv)
+            }
+          }
+          evs.toSeq.sortBy(_.day).foreach { e =>
+            if (st.lastDay == Long.MinValue) step(e.day, e.n)
+            else if (e.day > st.lastDay) {
+              var d = st.lastDay + 1
+              while (d < e.day) { step(d, 0L); d += 1 }
+              step(e.day, e.n)
+            } // duplicate/late day: append-only contract
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One observation entering the live experiment monitor. */
   case class SprtEv(key: String, seq: Long, hit: Boolean)
   case class SprtState(llrMicro: Long, nObs: Long, decided: String)

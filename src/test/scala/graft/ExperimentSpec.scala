@@ -656,4 +656,24 @@ class ExperimentSpec extends SparkSpec {
     assert(out(0)._1 === "c" && out(0)._2 === 100L && out(0)._3 === 0L)
     assert(out(1) === (("m", 20L, 500000L, 9L, 1000000L)))
   }
+
+  test("entropyRate: a 50/50 branch reads ln 2 conditional entropy, a " +
+    "deterministic state reads 0, contributions weight by the " +
+    "stationary mass") {
+    val states = Seq("A", "B").toDF("state")
+    val pairs = Seq(("A", "A", 1L), ("A", "B", 1L), ("B", "A", 2L))
+      .toDF("from_type", "to_type", "n")
+    val out = ExtensionQueries.entropyRate(pairs, states)
+      .select("event_type", "stationary_ppm", "h_cond_e4", "contrib_e4")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // A: 2 * (500000 * floor(ln2*1e4)) div 1e6 = 6931; B: ln 1 = 0
+    var vA = 500000L; var vB = 500000L
+    (1 to 20).foreach { _ =>
+      val nA = vA * 500000L / 1000000L + vB
+      val nB = vA * 500000L / 1000000L
+      vA = nA; vB = nB
+    }
+    assert(out === Seq(("A", vA, 6931L, vA * 6931L / 1000000L),
+      ("B", vB, 0L, 0L)))
+  }
 }

@@ -697,4 +697,43 @@ class MonitorSpec extends SparkSpec {
         (3L, 0L, 93575L, "shifted")))
     } finally q.stop()
   }
+
+  test("streamingHoltWinters == batch holtWintersDaily trajectory over " +
+    "the same prefix, across batches, warm-up silent, in-span silent " +
+    "day zero-filled live") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    import graft.streaming.EventStreamOps.{CcEv, HwOut}
+    implicit val sc = spark.sqlContext
+    // 12 days, weekly-ish pattern with a silent day 9 inside the span
+    val ns = Seq(5L, 2L, 3L, 2L, 2L, 2L, 8L, 5L, 2L, 0L, 2L, 2L)
+    val ev = ns.zipWithIndex.flatMap { case (n, dd) =>
+      (1 to n.toInt).map(i => ("w", dd * day + i.toLong))
+    }.toDF("k", "tus")
+    val ref = Monitor.holtWintersDaily(ev, "k", col("tus"))
+      .orderBy("day")
+      .select("day", "n", "forecast_milli", "level_milli", "trend_milli",
+        "seas_milli")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val mem = MemoryStream[CcEv]
+    val q = EventStreamOps.streamingHoltWinters(mem.toDS())
+      .writeStream.format("memory").queryName("hwlive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1 ends mid-warm-up; batch 2 crosses the init boundary;
+      // batch 3 jumps over the silent day 9
+      mem.addData((0 to 4).map(dd => CcEv("w", dd.toLong, ns(dd))): _*)
+      q.processAllAvailable()
+      assert(spark.table("hwlive").isEmpty, "warm-up must emit nothing")
+      mem.addData((5 to 8).map(dd => CcEv("w", dd.toLong, ns(dd))): _*)
+      mem.addData(CcEv("w", 10L, ns(10)), CcEv("w", 11L, ns(11)))
+      q.processAllAvailable()
+      val live = spark.table("hwlive").as[HwOut].collect().toSeq
+        .groupBy(_.day).map { case (_, v) => v.last }.toSeq.sortBy(_.day)
+        .map(o => (o.day, o.n, o.forecastMilli, o.levelMilli,
+          o.trendMilli, o.seasMilli))
+      assert(live === ref)
+    } finally q.stop()
+  }
 }
