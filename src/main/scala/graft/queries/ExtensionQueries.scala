@@ -5329,6 +5329,55 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Peak-over-threshold mean-excess census (the POT half of extreme-
+    * value practice, Davison & Smith JRSS-B 1990; Pickands 1975): per
+    * event type, the EXACT p95 value threshold, how often it is
+    * exceeded, and the mean exceedance — the mean-excess-plot point a
+    * capacity planner reads before trusting any tail extrapolation
+    * (rising mean excess = heavy tail, the "plan for the p95 and add
+    * headroom" rule quantified). The threshold is a true order
+    * statistic (`k = ceil(0.95·N)`), NOT an approximate percentile,
+    * and it is found WITHOUT a per-type window: the SEVENTH
+    * [[graft.ops.KeyedPrefix.cumsum]] ride (count lane) ranks events
+    * in global (type, value, id) order — event types are few and
+    * huge, exactly the straggler shape the two-pass prefix scan
+    * exists for. Second pass: one broadcast-threshold grouped
+    * aggregate. Unique (value, event_id) ordering makes the k-th row
+    * identical on both engines; ties above the threshold stay strict
+    * (`v > u`) on both.
+    */
+  def meanExcessQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    meanExcess(ev.select(col("event_type"), col("event_id"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("v")))
+  }
+
+  /** Core over a pre-projected (event_type, event_id, v) frame. */
+  private[graft] def meanExcess(e: DataFrame): DataFrame = {
+    val ranked = graft.ops.KeyedPrefix.cumsum(e,
+      keys = Seq("event_type"), order = Seq("v", "event_id"),
+      sums = Nil, countName = "rk")
+    val tot = e.groupBy("event_type").agg(count(lit(1)).as("n_total"))
+      .withColumn("k95", expr("(95 * n_total + 99) div 100"))
+    val thr = ranked.join(broadcast(tot), "event_type")
+      .filter(col("rk") === col("k95"))
+      .select(col("event_type"), col("v").as("u_milli"))
+    e.join(broadcast(thr), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        max(col("u_milli")).as("u_milli"),
+        sum(when(col("v") > col("u_milli"), 1L).otherwise(0L))
+          .as("n_exceed"),
+        sum(when(col("v") > col("u_milli"), col("v") - col("u_milli"))
+          .otherwise(0L)).as("sum_excess"))
+      .withColumn("exceed_ppm", expr("n_exceed * 1000000 div n_total"))
+      .withColumn("mean_excess_milli",
+        expr("sum_excess div greatest(n_exceed, 1)"))
+      .select("event_type", "n_total", "u_milli", "n_exceed",
+        "exceed_ppm", "mean_excess_milli")
+      .orderBy("event_type")
+  }
+
   /** Expected Calibration Error (Naeini et al., AAAI 2015; the
     * reliability-diagram summary of DeGroot–Fienberg 1983) of the
     * "past predicts future" baseline: each user's FIRST-half-span hit
@@ -7242,7 +7291,30 @@ object ExtensionQueries {
         |SELECT a.event_type, a.n_scored, a.ece_ppm, w.worst_bin,
         |  w.worst_gap_ppm
         |FROM agg a JOIN worst w USING (event_type)
-        |ORDER BY a.event_type""".stripMargin)
+        |ORDER BY a.event_type""".stripMargin) +
+    ("q_mean_excess" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS rk
+        |  FROM e),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+        |  FROM e GROUP BY 1),
+        |thr AS (SELECT r.event_type, r.v AS u_milli
+        |  FROM r JOIN tot USING (event_type)
+        |  WHERE r.rk = (95 * tot.n_total + 99) // 100)
+        |SELECT e.event_type, tot.n_total, thr.u_milli,
+        |  CAST(sum(CASE WHEN e.v > thr.u_milli THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_exceed,
+        |  CAST(sum(CASE WHEN e.v > thr.u_milli THEN 1 ELSE 0 END)
+        |    * 1000000 // tot.n_total AS BIGINT) AS exceed_ppm,
+        |  CAST(sum(CASE WHEN e.v > thr.u_milli
+        |      THEN e.v - thr.u_milli ELSE 0 END)
+        |    // greatest(sum(CASE WHEN e.v > thr.u_milli THEN 1 ELSE 0
+        |      END), 1) AS BIGINT) AS mean_excess_milli
+        |FROM e JOIN thr USING (event_type) JOIN tot USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)
 
   /** Shared recursive-CTE prefix of the Markov-chain oracles: the
     * per-user lead pairs, the densified row-stochastic matrix with
@@ -10570,6 +10642,7 @@ object ExtensionQueries {
     "q_markov_stationary" -> (markovStationaryQ _),
     "q_holt_winters"    -> (holtWintersQ _),
     "q_ece"             -> (eceQ _),
-    "q_entropy_rate"    -> (entropyRateQ _)
+    "q_entropy_rate"    -> (entropyRateQ _),
+    "q_mean_excess"     -> (meanExcessQ _)
   )
 }

@@ -676,4 +676,20 @@ class ExperimentSpec extends SparkSpec {
     assert(out === Seq(("A", vA, 6931L, vA * 6931L / 1000000L),
       ("B", vB, 0L, 0L)))
   }
+
+  test("meanExcess: 1..100 puts the exact p95 at 95 with the " +
+    "hand-computed mean excess 3; a tiny type's threshold is its max " +
+    "and nothing exceeds") {
+    val big = (1 to 100).map(i => ("x", i.toLong, i.toLong))
+    val tiny = Seq(("y", 1L, 10L), ("y", 2L, 20L), ("y", 3L, 30L))
+    val out = ExtensionQueries.meanExcess((big ++ tiny)
+        .toDF("event_type", "event_id", "v"))
+      .select("event_type", "n_total", "u_milli", "n_exceed",
+        "exceed_ppm", "mean_excess_milli")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    // k = ceil(95) = 95 -> u = 95; excesses 1..5 mean exactly 3
+    assert(out === Seq(("x", 100L, 95L, 5L, 50000L, 3L),
+      ("y", 3L, 30L, 0L, 0L, 0L)))
+  }
 }

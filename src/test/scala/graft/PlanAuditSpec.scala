@@ -77,6 +77,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
+  test("q_mean_excess finds the exact p95 order statistic through " +
+    "KeyedPrefix, not a per-type window sort: no Window operator, " +
+    "ExistingRDD leaf") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(
+      graft.queries.ExtensionQueries.queries("q_mean_excess")(spark, d))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
   test("q_ks rides KeyedPrefix for the per-arm CDF counts: no Window " +
     "operator, ExistingRDD leaf") {
     val d = "/root/testdata/sf0.001"
