@@ -1261,7 +1261,15 @@ object ExtensionQueries {
     * Work: the day grid (one exchange) + a lag join per k on the
     * span-bounded day table.
     */
-  def acfQ(s: SparkSession, d: String): DataFrame = {
+  def acfQ(s: SparkSession, d: String): DataFrame =
+    acfFrame(s, d).select("event_type", "lag_k", "acf_milli")
+      .orderBy("event_type", "lag_k")
+
+  /** The ACF grid with the day count carried alongside — shared by
+    * `q_acf` (which drops `nd` for its gated shape) and the
+    * Ljung–Box portmanteau built on top of it.
+    */
+  private def acfFrame(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val W = org.apache.spark.sql.expressions.Window
     val g = Monitor.dailyGrid(ev, "event_type",
@@ -1282,14 +1290,41 @@ object ExtensionQueries {
         .withColumn("lag_k", lit(k.toLong))
     }.reduce(_ unionByName _)
     val denom = c.groupBy("key")
-      .agg(sum(expr("CAST(dev AS DECIMAL(38,0)) * dev")).as("den"))
+      .agg(sum(expr("CAST(dev AS DECIMAL(38,0)) * dev")).as("den"),
+        max(col("nd")).as("nd"))
     lags.join(denom, "key")
-      .select(col("key").as("event_type"), col("lag_k"),
+      .select(col("key").as("event_type"), col("lag_k"), col("nd"),
         expr("CAST(CASE WHEN num >= 0" +
           " THEN num * 1000 div greatest(den, 1)" +
           " ELSE -((-num) * 1000 div greatest(den, 1)) END AS BIGINT)")
           .as("acf_milli"))
-      .orderBy("event_type", "lag_k")
+  }
+
+  /** Ljung–Box portmanteau whiteness test (Ljung & Box, Biometrika
+    * 1978) over the same seven gated autocorrelations `q_acf` emits:
+    * `Q = n(n+2) Σ ρ̂²_k/(n−k)` against the χ²_m 5% ladder — the
+    * FORMAL "is the daily series white noise" verdict the per-lag
+    * ACF eyeball lacks (seven individually-small correlations can
+    * jointly be overwhelming evidence of structure, which is the
+    * whole point of the portmanteau). Exact integers on the e-3 ACF
+    * grid: per-lag `ρ²`-milli² div (n−k), the n(n+2) blow-up, one
+    * div-1000 rescale; m adapts to short spans (a key with nd ≤ 7
+    * has fewer testable lags) with the matching pinned χ² critical
+    * value (3841…14067 milli for m = 1…7). K-row frame throughout.
+    */
+  def ljungBoxQ(s: SparkSession, d: String): DataFrame = {
+    acfFrame(s, d)
+      .groupBy("event_type")
+      .agg(max(col("nd")).as("nd"), count(lit(1)).as("m"),
+        sum(expr("acf_milli * acf_milli div (nd - lag_k)")).as("sacc"))
+      .withColumn("q_milli", expr("nd * (nd + 2) * sacc div 1000"))
+      .withColumn("crit_milli", expr("CAST(CASE m WHEN 1 THEN 3841" +
+        " WHEN 2 THEN 5991 WHEN 3 THEN 7815 WHEN 4 THEN 9488" +
+        " WHEN 5 THEN 11070 WHEN 6 THEN 12592 ELSE 14067 END AS BIGINT)"))
+      .withColumn("significant", col("q_milli") > col("crit_milli"))
+      .select("event_type", "nd", "m", "q_milli", "crit_milli",
+        "significant")
+      .orderBy("event_type")
   }
 
   /** Shard rebalance move-plan over the gated shard order: the
@@ -5329,6 +5364,60 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Wald–Wolfowitz runs test (Ann. Math. Stat. 1940) on the daily
+    * grid: are above-median and below-median days RANDOMLY
+    * interleaved, or do they cluster (too few runs — regime-y
+    * traffic) or alternate (too many — load-balancer flapping,
+    * batch-cadence artifacts)? Completes the randomness trio: Mann–
+    * Kendall asks "does it trend", Ljung–Box asks "is it white",
+    * this asks "does the SIGN sequence look drawn at random" — and
+    * it is the only one of the three that is distribution-free on
+    * the level itself. Median = the lower order statistic on the
+    * span-bounded sorted day array (robust-mean discipline);
+    * median-equal days drop per the classic recipe (a key whose days
+    * all tie the median is absent, both engines); the run count is a
+    * fold over the day-ordered sign array; `z² = (RN−N−2n₁n₂)²(N−1)
+    * / (2n₁n₂(2n₁n₂−N))` exact via DECIMAL(38,0), continuity left
+    * out on both sides by the same pinned definition.
+    */
+  def runsTestQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    runsTest(Monitor.dailyGrid(ev, "event_type",
+      AnalyticsQueries.epochUs(ev, "ts")))
+  }
+
+  /** Core over a (key, day, n) day-grid frame. */
+  private[graft] def runsTest(g: DataFrame): DataFrame = {
+    val med = g.groupBy("key")
+      .agg(sort_array(collect_list(col("n"))).as("xs"))
+      .withColumn("med",
+        expr("element_at(xs, CAST((size(xs) + 1) div 2 AS INT))"))
+      .select("key", "med")
+    g.join(broadcast(med), "key")
+      .filter(col("n") =!= col("med"))
+      .withColumn("sgn", when(col("n") > col("med"), 1L).otherwise(0L))
+      .groupBy("key")
+      .agg(sort_array(collect_list(struct(col("day"), col("sgn"))))
+          .as("sq"),
+        sum(col("sgn")).as("n1"),
+        sum(lit(1L) - col("sgn")).as("n2"))
+      .withColumn("runs", expr(
+        "CAST(1 + size(filter(zip_with(" +
+          "slice(sq, 1, size(sq) - 1), slice(sq, 2, size(sq) - 1)," +
+          " (a, b) -> a.sgn != b.sgn), x -> x)) AS BIGINT)"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("z2_milli", expr(
+        "CAST(CASE WHEN n1 = 0 OR n2 = 0 OR 2 * n1 * n2 <= nn THEN 0" +
+          " ELSE CAST(runs * nn - nn - 2 * n1 * n2 AS DECIMAL(38,0))" +
+          " * (runs * nn - nn - 2 * n1 * n2) * (nn - 1) * 1000" +
+          " div (CAST(2 AS DECIMAL(38,0)) * n1 * n2" +
+          " * (2 * n1 * n2 - nn)) END AS BIGINT)"))
+      .withColumn("significant", col("z2_milli") > 3841L)
+      .select(col("key").as("event_type"), col("n1"), col("n2"),
+        col("runs"), col("z2_milli"), col("significant"))
+      .orderBy("event_type")
+  }
+
   /** Peak-over-threshold mean-excess census (the POT half of extreme-
     * value practice, Davison & Smith JRSS-B 1990; Pickands 1975): per
     * event type, the EXACT p95 value threshold, how often it is
@@ -6392,40 +6481,27 @@ object ExtensionQueries {
          |    AS BIGINT) AS n_moves
          |FROM d JOIN r ON d.hi - d.surplus < r.hi AND r.hi - r.need < d.hi
          |ORDER BY 1, 2""".stripMargin) +
-    ("q_acf" -> {
-      val arms = (1 to 7).map { k =>
-        s"""SELECT event_type, $k AS lag_k,
-           |    sum(CAST(dev AS HUGEINT) * d$k) AS num
-           |  FROM l WHERE d$k IS NOT NULL GROUP BY 1""".stripMargin
-      }.mkString("\n  UNION ALL ")
-      val leads = (1 to 7).map(k => s"lead(dev, $k) OVER w AS d$k").mkString(",\n    ")
-      s"""WITH byday AS (
-         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM events GROUP BY 1, 2),
-         |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
-         |  FROM byday GROUP BY 1),
-         |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
-         |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n
-         |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
-         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
-         |    CAST(sum(n) AS BIGINT) AS s FROM g GROUP BY 1),
-         |c AS (SELECT g.event_type, g.day, st.nd * g.n - st.s AS dev
-         |  FROM g JOIN st USING (event_type)),
-         |l AS (SELECT event_type, day, dev,
-         |    $leads
-         |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day)),
-         |num AS (
-         |  $arms),
-         |den AS (SELECT event_type, sum(CAST(dev AS HUGEINT) * dev) AS den
-         |  FROM c GROUP BY 1)
-         |SELECT n.event_type, CAST(n.lag_k AS BIGINT) AS lag_k,
-         |  CAST(CASE WHEN n.num >= 0
-         |    THEN n.num * 1000 // greatest(d.den, 1)
-         |    ELSE -((-n.num) * 1000 // greatest(d.den, 1)) END AS BIGINT)
-         |    AS acf_milli
-         |FROM num n JOIN den d USING (event_type)
-         |ORDER BY n.event_type, n.lag_k""".stripMargin }) +
+    ("q_acf" -> acfSql) +
+    ("q_ljung_box" ->
+      s"""WITH a AS ($acfSql),
+         |nd AS (SELECT event_type,
+         |    CAST(max(epoch_us(ts) // 86400000000)
+         |      - min(epoch_us(ts) // 86400000000) + 1 AS BIGINT) AS nd
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT a.event_type, nd.nd, CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(a.acf_milli * a.acf_milli // (nd.nd - a.lag_k))
+         |      AS BIGINT) AS sacc
+         |  FROM a JOIN nd USING (event_type) GROUP BY 1, 2)
+         |SELECT event_type, nd, m,
+         |  CAST(nd * (nd + 2) * sacc // 1000 AS BIGINT) AS q_milli,
+         |  CAST(CASE m WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815
+         |    WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592
+         |    ELSE 14067 END AS BIGINT) AS crit_milli,
+         |  nd * (nd + 2) * sacc // 1000 > CASE m WHEN 1 THEN 3841
+         |    WHEN 2 THEN 5991 WHEN 3 THEN 7815 WHEN 4 THEN 9488
+         |    WHEN 5 THEN 11070 WHEN 6 THEN 12592 ELSE 14067 END
+         |    AS significant
+         |FROM t ORDER BY event_type""".stripMargin) +
     ("q_chisq" ->
       """WITH b AS (SELECT event_type,
         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
@@ -7314,7 +7390,51 @@ object ExtensionQueries {
         |    // greatest(sum(CASE WHEN e.v > thr.u_milli THEN 1 ELSE 0
         |      END), 1) AS BIGINT) AS mean_excess_milli
         |FROM e JOIN thr USING (event_type) JOIN tot USING (event_type)
-        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) +
+    ("q_runs" ->
+      """WITH byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+        |  FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+        |  FROM g GROUP BY 1),
+        |rk AS (SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n) AS r
+        |  FROM g),
+        |med AS (SELECT rk.event_type, rk.n AS med
+        |  FROM rk JOIN st USING (event_type)
+        |  WHERE rk.r = (st.nd + 1) // 2),
+        |sg AS (SELECT g.event_type, g.day,
+        |    CASE WHEN g.n > med.med THEN 1 ELSE 0 END AS sgn
+        |  FROM g JOIN med USING (event_type) WHERE g.n <> med.med),
+        |lg AS (SELECT event_type, sgn,
+        |    lag(sgn) OVER (PARTITION BY event_type ORDER BY day) AS p
+        |  FROM sg),
+        |agg AS (SELECT event_type,
+        |    CAST(1 + sum(CASE WHEN p IS NOT NULL AND p <> sgn THEN 1
+        |      ELSE 0 END) AS BIGINT) AS runs,
+        |    CAST(sum(sgn) AS BIGINT) AS n1,
+        |    CAST(sum(1 - sgn) AS BIGINT) AS n2
+        |  FROM lg GROUP BY 1),
+        |z AS (SELECT event_type, n1, n2, runs, n1 + n2 AS nn FROM agg)
+        |SELECT event_type, n1, n2, runs,
+        |  CAST(CASE WHEN n1 = 0 OR n2 = 0 OR 2 * n1 * n2 <= nn THEN 0
+        |    ELSE CAST(runs * nn - nn - 2 * n1 * n2 AS HUGEINT)
+        |    * (runs * nn - nn - 2 * n1 * n2) * (nn - 1) * 1000
+        |    // (CAST(2 AS HUGEINT) * n1 * n2 * (2 * n1 * n2 - nn)) END
+        |    AS BIGINT) AS z2_milli,
+        |  CASE WHEN n1 = 0 OR n2 = 0 OR 2 * n1 * n2 <= nn THEN FALSE
+        |    ELSE CAST(runs * nn - nn - 2 * n1 * n2 AS HUGEINT)
+        |    * (runs * nn - nn - 2 * n1 * n2) * (nn - 1) * 1000
+        |    // (CAST(2 AS HUGEINT) * n1 * n2 * (2 * n1 * n2 - nn))
+        |    > 3841 END AS significant
+        |FROM z ORDER BY event_type""".stripMargin)
 
   /** Shared recursive-CTE prefix of the Markov-chain oracles: the
     * per-user lead pairs, the densified row-stochastic matrix with
@@ -7354,6 +7474,46 @@ object ExtensionQueries {
       |  FROM it JOIN m ON m.f = it.state
       |  WHERE it.step < 20
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The ACF oracle body — shared verbatim by `q_acf` and (as a CTE)
+    * the Ljung–Box portmanteau built on the same seven lags.
+    */
+  private val acfSql: String = {
+    val arms = (1 to 7).map { k =>
+      s"""SELECT event_type, $k AS lag_k,
+         |    sum(CAST(dev AS HUGEINT) * d$k) AS num
+         |  FROM l WHERE d$k IS NOT NULL GROUP BY 1""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val leads = (1 to 7).map(k => s"lead(dev, $k) OVER w AS d$k")
+      .mkString(",\n    ")
+    s"""WITH byday AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+       |  FROM byday GROUP BY 1),
+       |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM sp),
+       |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n
+       |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+       |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(n) AS BIGINT) AS s FROM g GROUP BY 1),
+       |c AS (SELECT g.event_type, g.day, st.nd * g.n - st.s AS dev
+       |  FROM g JOIN st USING (event_type)),
+       |l AS (SELECT event_type, day, dev,
+       |    $leads
+       |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |num AS (
+       |  $arms),
+       |den AS (SELECT event_type, sum(CAST(dev AS HUGEINT) * dev) AS den
+       |  FROM c GROUP BY 1)
+       |SELECT n.event_type, CAST(n.lag_k AS BIGINT) AS lag_k,
+       |  CAST(CASE WHEN n.num >= 0
+       |    THEN n.num * 1000 // greatest(d.den, 1)
+       |    ELSE -((-n.num) * 1000 // greatest(d.den, 1)) END AS BIGINT)
+       |    AS acf_milli
+       |FROM num n JOIN den d USING (event_type)
+       |ORDER BY n.event_type, n.lag_k""".stripMargin
+  }
 
   private val oracleBase: Map[String, String] = Map(
     "q_readability" ->
@@ -10643,6 +10803,8 @@ object ExtensionQueries {
     "q_holt_winters"    -> (holtWintersQ _),
     "q_ece"             -> (eceQ _),
     "q_entropy_rate"    -> (entropyRateQ _),
-    "q_mean_excess"     -> (meanExcessQ _)
+    "q_mean_excess"     -> (meanExcessQ _),
+    "q_ljung_box"       -> (ljungBoxQ _),
+    "q_runs"            -> (runsTestQ _)
   )
 }

@@ -692,4 +692,26 @@ class ExperimentSpec extends SparkSpec {
     assert(out === Seq(("x", 100L, 95L, 5L, 50000L, 3L),
       ("y", 3L, 30L, 0L, 0L, 0L)))
   }
+
+  test("runsTest: strict alternation and full clustering both sit 3 " +
+    "runs from the expectation and fire symmetrically; R = E reads " +
+    "exactly zero; median-tied days drop") {
+    // 9 days each; the lower median is the lone 5, which drops,
+    // leaving 4 highs and 4 lows (E[R] = 5)
+    def key(k: String, ns: Seq[Long]) =
+      ns.zipWithIndex.map { case (n, dd) => (k, dd.toLong, n) }
+    val alt = key("a", Seq(1L, 9L, 1L, 9L, 1L, 9L, 1L, 9L, 5L)) // R = 8
+    val clu = key("c", Seq(1L, 1L, 1L, 1L, 9L, 9L, 9L, 9L, 5L)) // R = 2
+    val mid = key("m", Seq(1L, 9L, 9L, 1L, 1L, 9L, 9L, 1L, 5L)) // R = 5
+    val out = ExtensionQueries.runsTest((alt ++ clu ++ mid)
+        .toDF("key", "day", "n"))
+      .select("event_type", "n1", "n2", "runs", "z2_milli", "significant")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+      .sortBy(_._1)
+    // (RN-N-2n1n2)^2 (N-1) 1000 div (2n1n2(2n1n2-N))
+    //   = 24^2 * 7000 div 768 = 5250 for both extremes
+    assert(out === Seq(("a", 4L, 4L, 8L, 5250L, true),
+      ("c", 4L, 4L, 2L, 5250L, true),
+      ("m", 4L, 4L, 5L, 0L, false)))
+  }
 }
