@@ -5364,6 +5364,52 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Gumbel return level from daily maxima (Gumbel 1958, the
+    * block-maxima half of extreme-value theory; method-of-moments
+    * fit) — "what daily peak should capacity absorb once a month?":
+    * per type, the Gumbel location/scale from the mean and variance
+    * of the DAILY MAXIMA (`β = s·√6/π`, `μ = m̄ − 0.5772·β`), and the
+    * 30-day return level `μ + β·(−ln(−ln(29/30)))` — the planning
+    * number the raw p95 (`q_mean_excess`'s threshold) understates
+    * because peaks, not typical values, break capacity. Exact
+    * integers to the last step: `n²·Var = n·Σm² − (Σm)²` in
+    * DECIMAL(38,0), then ONE sqrt and ONE floor (the single-
+    * quantization ln discipline, applied to the only irrational
+    * step); √6/π, Euler–Mascheroni, and the T=30 Gumbel quantile are
+    * pinned public constants (0.779696801, 0.5772, 3.3843). The
+    * `exceeded` flag — observed max above the fitted monthly level —
+    * is the one-glance "this tail is heavier than Gumbel" warning.
+    */
+  def returnLevelQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    returnLevel(ev.select(col("event_type"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("v")))
+  }
+
+  /** Core over a pre-projected (event_type, day, v) frame. */
+  private[graft] def returnLevel(e: DataFrame): DataFrame = {
+    val dm = e.groupBy("event_type", "day").agg(max(col("v")).as("m"))
+    dm.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), max(col("m")).as("max_obs_milli"),
+        sum(col("m")).as("sm"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("sm2"))
+      .withColumn("mean_max_milli", expr("sm div nd"))
+      .withColumn("beta_milli", expr(
+        "CAST(floor(sqrt(CAST(nd * sm2" +
+          " - CAST(sm AS DECIMAL(38,0)) * sm AS DOUBLE))" +
+          " / nd * 0.779696801) AS BIGINT)"))
+      .withColumn("mu_milli",
+        expr("mean_max_milli - beta_milli * 5772 div 10000"))
+      .withColumn("ret30_milli",
+        expr("mu_milli + beta_milli * 33843 div 10000"))
+      .withColumn("exceeded", col("max_obs_milli") > col("ret30_milli"))
+      .select("event_type", "nd", "max_obs_milli", "mean_max_milli",
+        "beta_milli", "mu_milli", "ret30_milli", "exceeded")
+      .orderBy("event_type")
+  }
+
   /** Wald–Wolfowitz runs test (Ann. Math. Stat. 1940) on the daily
     * grid: are above-median and below-median days RANDOMLY
     * interleaved, or do they cluster (too few runs — regime-y
@@ -7434,7 +7480,34 @@ object ExtensionQueries {
         |    * (runs * nn - nn - 2 * n1 * n2) * (nn - 1) * 1000
         |    // (CAST(2 AS HUGEINT) * n1 * n2 * (2 * n1 * n2 - nn))
         |    > 3841 END AS significant
-        |FROM z ORDER BY event_type""".stripMargin)
+        |FROM z ORDER BY event_type""".stripMargin) +
+    ("q_return_level" ->
+      """WITH dm AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(max(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(max(m) AS BIGINT) AS max_obs_milli,
+        |    CAST(sum(m) AS BIGINT) AS sm,
+        |    CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS sm2
+        |  FROM dm GROUP BY 1),
+        |b AS (SELECT event_type, nd, max_obs_milli,
+        |    CAST(sm // nd AS BIGINT) AS mean_max_milli,
+        |    CAST(floor(sqrt(CAST(nd * sm2 - CAST(sm AS HUGEINT) * sm
+        |      AS DOUBLE)) / nd * 0.779696801) AS BIGINT) AS beta_milli
+        |  FROM a),
+        |c AS (SELECT *,
+        |    CAST(mean_max_milli - beta_milli * 5772 // 10000 AS BIGINT)
+        |      AS mu_milli
+        |  FROM b),
+        |r AS (SELECT *,
+        |    CAST(mu_milli + beta_milli * 33843 // 10000 AS BIGINT)
+        |      AS ret30_milli
+        |  FROM c)
+        |SELECT event_type, nd, max_obs_milli, mean_max_milli,
+        |  beta_milli, mu_milli, ret30_milli,
+        |  max_obs_milli > ret30_milli AS exceeded
+        |FROM r ORDER BY event_type""".stripMargin)
 
   /** Shared recursive-CTE prefix of the Markov-chain oracles: the
     * per-user lead pairs, the densified row-stochastic matrix with
@@ -10805,6 +10878,7 @@ object ExtensionQueries {
     "q_entropy_rate"    -> (entropyRateQ _),
     "q_mean_excess"     -> (meanExcessQ _),
     "q_ljung_box"       -> (ljungBoxQ _),
-    "q_runs"            -> (runsTestQ _)
+    "q_runs"            -> (runsTestQ _),
+    "q_return_level"    -> (returnLevelQ _)
   )
 }

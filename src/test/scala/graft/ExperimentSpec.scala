@@ -714,4 +714,23 @@ class ExperimentSpec extends SparkSpec {
       ("c", 4L, 4L, 2L, 5250L, true),
       ("m", 4L, 4L, 5L, 0L, false)))
   }
+
+  test("returnLevel: hand-checked Gumbel MoM on maxima 1000/2000/3000; " +
+    "a constant series reads beta 0 and never exceeds") {
+    // daily maxima picked out of multi-row days
+    val e = Seq(("g", 0L, 500L), ("g", 0L, 1000L), ("g", 1L, 2000L),
+      ("g", 2L, 3000L), ("g", 2L, 100L),
+      ("k", 0L, 700L), ("k", 1L, 700L))
+    val out = ExtensionQueries.returnLevel(
+        e.toDF("event_type", "day", "v"))
+      .select("event_type", "nd", "max_obs_milli", "mean_max_milli",
+        "beta_milli", "mu_milli", "ret30_milli", "exceeded")
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    // n2var = 3*14e6 - 36e6 = 6e6; sqrt/3*0.7797 -> beta = 636;
+    // mu = 2000 - 367 = 1633; ret30 = 1633 + 2152 = 3785; 3000 stays in
+    assert(out === Seq(
+      ("g", 3L, 3000L, 2000L, 636L, 1633L, 3785L, false),
+      ("k", 2L, 700L, 700L, 0L, 700L, 700L, false)))
+  }
 }
