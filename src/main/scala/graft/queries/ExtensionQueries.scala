@@ -5364,6 +5364,72 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Kruskal–Wallis rank test (JASA 1952) across ALL event types at
+    * once — does ANY type draw its values from a different
+    * distribution? The k-group generalization completing the
+    * two-sample pair (KS: any-shape; Mann–Whitney: dominance): one
+    * omnibus answer before k·(k−1)/2 pairwise tests spend the FDR
+    * budget. Exactness without a global sort of raw events: ranks
+    * collapse onto DISTINCT values (tie-averaged, carried DOUBLED so
+    * halves stay integer — `r₂ = 2·C_v + c_v + 1`), and the
+    * distinct-value prefix counts are the EIGHTH
+    * [[graft.ops.KeyedPrefix.cumsum]] ride (single logical key =
+    * one global value order; the range sort spreads it across
+    * partitions, which is the entire point). `H = [3000·Σ R₂ⱼ²/nⱼ
+    * / (N(N+1)) − 3000(N+1)]·(N³−N)/(N³−N−ΣT)` — the tie-corrected
+    * form in exact milli via DECIMAL(38,0); the all-tied degenerate
+    * corpus reads H = 0 (guarded, both engines). Verdict against the
+    * pinned χ²₍ₖ₋₁₎ 5% ladder.
+    */
+  def kruskalQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    kruskal(ev.select(col("event_type"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("v")))
+  }
+
+  /** Core over a pre-projected (event_type, v) frame. */
+  private[graft] def kruskal(e: DataFrame): DataFrame = {
+    val dv = e.groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("g", lit(0L))
+    val ranked = graft.ops.KeyedPrefix.cumsum(dv,
+        keys = Seq("g"), order = Seq("v"),
+        sums = Seq("c" -> "cum"), countName = "rn")
+      .withColumn("r2", expr("2 * cum - c + 1"))
+      .select("v", "r2", "c")
+    val groups = e.join(ranked.select("v", "r2"), "v")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_j"), sum(col("r2")).as("r2_j"))
+    val ties = ranked.agg(
+      sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("t_sum"))
+    val tot = groups.agg(sum(col("n_j")).as("nn"),
+      count(lit(1)).as("k"),
+      sum(expr("CAST(r2_j AS DECIMAL(38,0)) * r2_j div n_j")).as("s"))
+    val h = tot.crossJoin(broadcast(ties))
+      // H >= 0 mathematically; greatest() pins the truncation dust so
+      // the corrected division below never sees a negative dividend
+      // (where div/floor semantics could diverge across engines)
+      .withColumn("h0_milli", expr(
+        "greatest(CAST(3000 * s div (CAST(nn AS DECIMAL(38,0))" +
+          " * (nn + 1)) - 3000 * (nn + 1) AS BIGINT), 0L)"))
+      .withColumn("h_milli", expr(
+        "CAST(CASE WHEN CAST(nn AS DECIMAL(38,0)) * nn * nn - nn" +
+          " - t_sum <= 0 THEN 0" +
+          " ELSE h0_milli * (CAST(nn AS DECIMAL(38,0)) * nn * nn - nn)" +
+          " div (CAST(nn AS DECIMAL(38,0)) * nn * nn - nn - t_sum)" +
+          " END AS BIGINT)"))
+      .withColumn("crit_milli", expr("CAST(CASE k - 1 WHEN 1 THEN 3841" +
+        " WHEN 2 THEN 5991 WHEN 3 THEN 7815 WHEN 4 THEN 9488" +
+        " WHEN 5 THEN 11070 WHEN 6 THEN 12592 ELSE 14067 END AS BIGINT)"))
+      .withColumn("significant", col("h_milli") > col("crit_milli"))
+      .select("k", "nn", "h_milli", "crit_milli", "significant")
+    groups.crossJoin(broadcast(h))
+      .withColumn("mean_rank_milli", expr("r2_j * 500 div n_j"))
+      .select(col("event_type"), col("n_j"), col("mean_rank_milli"),
+        col("k").as("n_groups"), col("nn").as("n_total"),
+        col("h_milli"), col("crit_milli"), col("significant"))
+      .orderBy("event_type")
+  }
+
   /** Gumbel return level from daily maxima (Gumbel 1958, the
     * block-maxima half of extreme-value theory; method-of-moments
     * fit) — "what daily peak should capacity absorb once a month?":
@@ -7507,7 +7573,43 @@ object ExtensionQueries {
         |SELECT event_type, nd, max_obs_milli, mean_max_milli,
         |  beta_milli, mu_milli, ret30_milli,
         |  max_obs_milli > ret30_milli AS exceeded
-        |FROM r ORDER BY event_type""".stripMargin)
+        |FROM r ORDER BY event_type""".stripMargin) +
+    ("q_kruskal" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |dv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+        |rk AS (SELECT v, c,
+        |    CAST(2 * sum(c) OVER (ORDER BY v) - c + 1 AS BIGINT) AS r2
+        |  FROM dv),
+        |grp AS (SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(sum(rk.r2) AS BIGINT) AS r2_j
+        |  FROM e JOIN rk USING (v) GROUP BY 1),
+        |tie AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c)
+        |    AS HUGEINT) AS t_sum FROM dv),
+        |tot AS (SELECT CAST(sum(n_j) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(CAST(r2_j AS HUGEINT) * r2_j // n_j) AS HUGEINT) AS s
+        |  FROM grp),
+        |h0 AS (SELECT k, nn, t_sum,
+        |    greatest(CAST(3000 * s // (CAST(nn AS HUGEINT) * (nn + 1))
+        |      - 3000 * (nn + 1) AS BIGINT), 0) AS h0_milli
+        |  FROM tot, tie),
+        |h2 AS (SELECT k, nn,
+        |    CAST(CASE WHEN CAST(nn AS HUGEINT) * nn * nn - nn - t_sum
+        |        <= 0 THEN 0
+        |      ELSE h0_milli * (CAST(nn AS HUGEINT) * nn * nn - nn)
+        |        // (CAST(nn AS HUGEINT) * nn * nn - nn - t_sum) END
+        |      AS BIGINT) AS h_milli
+        |  FROM h0),
+        |hc AS (SELECT *, CAST(CASE k - 1 WHEN 1 THEN 3841
+        |    WHEN 2 THEN 5991 WHEN 3 THEN 7815 WHEN 4 THEN 9488
+        |    WHEN 5 THEN 11070 WHEN 6 THEN 12592 ELSE 14067 END
+        |    AS BIGINT) AS crit_milli FROM h2)
+        |SELECT g.event_type, g.n_j,
+        |  CAST(g.r2_j * 500 // g.n_j AS BIGINT) AS mean_rank_milli,
+        |  hc.k AS n_groups, hc.nn AS n_total, hc.h_milli, hc.crit_milli,
+        |  hc.h_milli > hc.crit_milli AS significant
+        |FROM grp g, hc ORDER BY g.event_type""".stripMargin)
 
   /** Shared recursive-CTE prefix of the Markov-chain oracles: the
     * per-user lead pairs, the densified row-stochastic matrix with
@@ -10879,6 +10981,7 @@ object ExtensionQueries {
     "q_mean_excess"     -> (meanExcessQ _),
     "q_ljung_box"       -> (ljungBoxQ _),
     "q_runs"            -> (runsTestQ _),
-    "q_return_level"    -> (returnLevelQ _)
+    "q_return_level"    -> (returnLevelQ _),
+    "q_kruskal"         -> (kruskalQ _)
   )
 }

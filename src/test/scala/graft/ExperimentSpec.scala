@@ -733,4 +733,28 @@ class ExperimentSpec extends SparkSpec {
       ("g", 3L, 3000L, 2000L, 636L, 1633L, 3785L, false),
       ("k", 2L, 700L, 700L, 0L, 700L, 700L, false)))
   }
+
+  test("kruskal: three fully separated groups read the textbook " +
+    "H = 7.2 and fire; an all-tied corpus reads H = 0 via the " +
+    "degenerate-correction guard") {
+    val sep = Seq("A" -> 1L, "A" -> 2L, "A" -> 3L, "B" -> 4L,
+      "B" -> 5L, "B" -> 6L, "C" -> 7L, "C" -> 8L, "C" -> 9L)
+    val o1 = ExtensionQueries.kruskal(sep.toDF("event_type", "v"))
+      .select("event_type", "n_j", "mean_rank_milli", "n_groups",
+        "n_total", "h_milli", "crit_milli", "significant")
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    // R = 6/15/24 -> mean ranks 2/5/8; H = 12/90*279 - 30 = 7.2
+    assert(o1 === Seq(
+      ("A", 3L, 2000L, 3L, 9L, 7200L, 5991L, true),
+      ("B", 3L, 5000L, 3L, 9L, 7200L, 5991L, true),
+      ("C", 3L, 8000L, 3L, 9L, 7200L, 5991L, true)))
+    val tied = Seq("A" -> 7L, "A" -> 7L, "A" -> 7L, "B" -> 7L,
+      "B" -> 7L, "B" -> 7L, "C" -> 7L, "C" -> 7L, "C" -> 7L)
+    val o2 = ExtensionQueries.kruskal(tied.toDF("event_type", "v"))
+      .select("mean_rank_milli", "h_milli", "significant")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // single tied value: everyone's doubled rank is 10 -> mean 5
+    assert(o2.forall(_ === ((5000L, 0L, false))))
+  }
 }
