@@ -5364,6 +5364,57 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Seasonal Mann–Kendall (Hirsch & Slack, Water Resources Research
+    * 1984): the trend verdict `q_mann_kendall` gives, computed the
+    * way a weekly-rhythmed feed NEEDS it — sign pairs form only
+    * WITHIN the same weekday class (day mod 7), so the weekend dip
+    * stops masquerading as ±trend evidence and a real drift must
+    * show up consistently across all seven seasons. `S = Σ_season
+    * S_s`, `Var = Σ_season Var_s` (the Hirsch–Slack independence
+    * form, serial-correlation caveat theirs), same tie-corrected 18·
+    * variance and continuity-corrected integer z² as the flat test —
+    * on a strongly weekly series the flat MK and this one DISAGREE
+    * by design, which is the point. Pair join stays days²-bounded
+    * (now ÷7 per class).
+    */
+  def seasonalMkQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    seasonalMk(Monitor.dailyGrid(ev, "event_type",
+      AnalyticsQueries.epochUs(ev, "ts")))
+  }
+
+  /** Core over a (key, day, n) day-grid frame. */
+  private[graft] def seasonalMk(g0: DataFrame): DataFrame = {
+    val g = g0.withColumn("wd", pmod(col("day"), lit(7L)))
+    val a = g.select(col("key"), col("wd"), col("day").as("d1"),
+      col("n").as("x1"))
+    val b = g.select(col("key"), col("wd"), col("day").as("d2"),
+      col("n").as("x2"))
+    val sStat = a.join(b, Seq("key", "wd"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("key")
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"))
+    val ties = g.groupBy("key", "wd", "n").agg(count(lit(1)).as("t"))
+      .groupBy("key", "wd")
+      .agg(sum(col("t")).as("nd"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)"))
+          .as("tc"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_seasons"), sum(col("nd")).as("nd_total"),
+        sum(expr("CAST(nd AS DECIMAL(38,0)) * (nd - 1) * (2 * nd + 5)" +
+          " - tc")).as("var18"))
+    sStat.join(ties, "key")
+      .withColumn("z2_milli",
+        expr("CAST(CASE WHEN var18 <= 0 THEN 0 ELSE" +
+          " CAST(greatest(abs(s_stat) - 1, 0) AS DECIMAL(38,0))" +
+          " * greatest(abs(s_stat) - 1, 0) * 18 * 1000 div var18" +
+          " END AS BIGINT)"))
+      .select(col("key").as("event_type"), col("n_seasons"),
+        col("nd_total"), col("s_stat"), col("z2_milli"),
+        (col("z2_milli") > 3841L).as("significant"))
+      .orderBy("event_type")
+  }
+
   /** Kruskal–Wallis rank test (JASA 1952) across ALL event types at
     * once — does ANY type draw its values from a different
     * distribution? The k-group generalization completing the
@@ -7609,7 +7660,47 @@ object ExtensionQueries {
         |  CAST(g.r2_j * 500 // g.n_j AS BIGINT) AS mean_rank_milli,
         |  hc.k AS n_groups, hc.nn AS n_total, hc.h_milli, hc.crit_milli,
         |  hc.h_milli > hc.crit_milli AS significant
-        |FROM grp g, hc ORDER BY g.event_type""".stripMargin)
+        |FROM grp g, hc ORDER BY g.event_type""".stripMargin) +
+    ("q_seasonal_mk" ->
+      """WITH byday AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM byday GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+        |  FROM sp),
+        |g AS (SELECT gr.event_type, gr.day, gr.day % 7 AS wd,
+        |    COALESCE(b.n, 0) AS n
+        |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+        |p AS (SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM g a JOIN g b ON a.event_type = b.event_type
+        |    AND a.wd = b.wd AND a.day < b.day
+        |  GROUP BY 1),
+        |tw AS (SELECT event_type, wd, CAST(sum(t) AS BIGINT) AS nd,
+        |    sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tc
+        |  FROM (SELECT event_type, wd, n, CAST(count(*) AS BIGINT) AS t
+        |        FROM g GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |ties AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_seasons,
+        |    CAST(sum(nd) AS BIGINT) AS nd_total,
+        |    sum(CAST(nd AS HUGEINT) * (nd - 1) * (2 * nd + 5) - tc)
+        |      AS var18
+        |  FROM tw GROUP BY 1)
+        |SELECT p.event_type, ties.n_seasons, ties.nd_total, p.s_stat,
+        |  CAST(CASE WHEN ties.var18 <= 0 THEN 0
+        |    ELSE CAST(greatest(abs(p.s_stat) - 1, 0) AS HUGEINT)
+        |      * greatest(abs(p.s_stat) - 1, 0) * 18 * 1000 // ties.var18
+        |    END AS BIGINT) AS z2_milli,
+        |  CAST(CASE WHEN ties.var18 <= 0 THEN 0
+        |    ELSE CAST(greatest(abs(p.s_stat) - 1, 0) AS HUGEINT)
+        |      * greatest(abs(p.s_stat) - 1, 0) * 18 * 1000 // ties.var18
+        |    END AS BIGINT) > 3841 AS significant
+        |FROM p JOIN ties USING (event_type)
+        |ORDER BY p.event_type""".stripMargin)
 
   /** Shared recursive-CTE prefix of the Markov-chain oracles: the
     * per-user lead pairs, the densified row-stochastic matrix with
@@ -10982,6 +11073,7 @@ object ExtensionQueries {
     "q_ljung_box"       -> (ljungBoxQ _),
     "q_runs"            -> (runsTestQ _),
     "q_return_level"    -> (returnLevelQ _),
-    "q_kruskal"         -> (kruskalQ _)
+    "q_kruskal"         -> (kruskalQ _),
+    "q_seasonal_mk"     -> (seasonalMkQ _)
   )
 }

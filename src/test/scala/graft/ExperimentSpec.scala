@@ -757,4 +757,22 @@ class ExperimentSpec extends SparkSpec {
     // single tied value: everyone's doubled rank is 10 -> mean 5
     assert(o2.forall(_ === ((5000L, 0L, false))))
   }
+
+  test("seasonalMk: a pure weekly rhythm reads no trend at all (every " +
+    "within-season pair ties); a cross-week ramp fires at the " +
+    "hand-computed z2") {
+    val weekly = (0 until 21).map(dd =>
+      ("w", dd.toLong, if (dd % 7 >= 5) 9L else 2L))
+    val ramp = (0 until 21).map(dd => ("r", dd.toLong, dd.toLong))
+    val out = ExtensionQueries.seasonalMk((weekly ++ ramp)
+        .toDF("key", "day", "n"))
+      .select("event_type", "n_seasons", "nd_total", "s_stat",
+        "z2_milli", "significant")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+      .sortBy(_._1)
+    // ramp: S = 3 per season * 7 = 21; var18 = 7 * 3*2*11 = 462;
+    //   z2 = 400 * 18000 div 462 = 15584
+    assert(out === Seq(("r", 7L, 21L, 21L, 15584L, true),
+      ("w", 7L, 21L, 0L, 0L, false)))
+  }
 }

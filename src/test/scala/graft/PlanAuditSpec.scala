@@ -87,6 +87,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
+  test("q_kruskal ranks distinct values through KeyedPrefix (single " +
+    "logical key spread by the range sort): no Window operator, " +
+    "ExistingRDD leaf") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(
+      graft.queries.ExtensionQueries.queries("q_kruskal")(spark, d))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
   test("q_ks rides KeyedPrefix for the per-arm CDF counts: no Window " +
     "operator, ExistingRDD leaf") {
     val d = "/root/testdata/sf0.001"
