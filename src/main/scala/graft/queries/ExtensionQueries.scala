@@ -5364,6 +5364,68 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Lead–lag cross-correlation census (the CCF of Box–Jenkins
+    * practice, lags 0–3) between every ordered pair of event types on
+    * the COMMON zero-filled day axis: does type A's volume today
+    * predict type B's tomorrow — the "which feed leads which"
+    * dependency map an ops team reads before blaming the downstream
+    * for the upstream's burst (and the cross-series sibling of
+    * `q_acf`'s self view). Exactness with NO irrational step at all:
+    * the statistic is the SIGNED r² in milli —
+    * `sign(num)·num²·1000 / (denx·deny)` with `num = nΣxy−ΣxΣy`,
+    * `den = nΣx²−(Σx)²` — so perfect lead reads exactly ±1000 and no
+    * sqrt exists to quantize (DECIMAL(38,0) cross-products; the
+    * den·den product bounds Long-safe far past any daily-count scale
+    * the day grid itself survives, same envelope note as
+    * Mann–Kendall). Constant series carry zero variance and read 0
+    * by the guard on both engines. Work: one global-span grid
+    * (types × days, both bounded) + one lag-shifted self-join on the
+    * day axis + a K²·4-row rollup.
+    */
+  def ccfQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ccf(ev.groupBy(col("event_type"),
+        floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** Core over a per-(event_type, day) count frame; the common axis
+    * spans the min..max day over ALL types, zero-filled.
+    */
+  private[graft] def ccf(byday: DataFrame): DataFrame = {
+    val span = byday.agg(min(col("day")).as("g0"), max(col("day")).as("g1"))
+    val types = byday.select("event_type").distinct()
+    val grid = types.crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("g0"), col("g1"))).as("day"))
+      .join(byday, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+    val a = grid.select(col("event_type").as("ta"), col("day"),
+        col("n").as("x"))
+      .withColumn("k", explode(expr("sequence(0L, 3L)")))
+    val b = grid.select(col("event_type").as("tb"),
+      col("day").as("dayb"), col("n").as("y"))
+    a.join(b, col("dayb") === col("day") + col("k") &&
+        col("ta") =!= col("tb"))
+      .groupBy("ta", "tb", "k")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("num", expr("n_days * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("denx", expr("n_days * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("deny", expr("n_days * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("ccf_r2_milli", expr(
+        "CAST(CASE WHEN denx <= 0 OR deny <= 0 THEN 0" +
+          " WHEN num >= 0 THEN num * num * 1000 div (denx * deny)" +
+          " ELSE -(num * num * 1000 div (denx * deny)) END AS BIGINT)"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("k").as("lag_k"), col("n_days"), col("ccf_r2_milli"))
+      .orderBy("type_a", "type_b", "lag_k")
+  }
+
   /** Seasonal Mann–Kendall (Hirsch & Slack, Water Resources Research
     * 1984): the trend verdict `q_mann_kendall` gives, computed the
     * way a weekly-rhythmed feed NEEDS it — sign pairs form only
@@ -7700,7 +7762,42 @@ object ExtensionQueries {
         |      * greatest(abs(p.s_stat) - 1, 0) * 18 * 1000 // ties.var18
         |    END AS BIGINT) > 3841 AS significant
         |FROM p JOIN ties USING (event_type)
-        |ORDER BY p.event_type""".stripMargin)
+        |ORDER BY p.event_type""".stripMargin) +
+    ("q_ccf" ->
+      """WITH byday AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT min(day) AS g0, max(day) AS g1 FROM byday),
+        |ty AS (SELECT DISTINCT event_type FROM byday),
+        |days AS (SELECT unnest(range(g0, g1 + 1)) AS day FROM sp),
+        |cells AS (SELECT ty.event_type, days.day FROM ty CROSS JOIN days),
+        |grid AS (SELECT c.event_type, c.day, COALESCE(b.n, 0) AS n
+        |  FROM cells c LEFT JOIN byday b USING (event_type, day)),
+        |lg AS (SELECT a.event_type AS ta, b.event_type AS tb, k.k,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(a.n) AS BIGINT) AS sx,
+        |    CAST(sum(b.n) AS BIGINT) AS sy,
+        |    sum(CAST(a.n AS HUGEINT) * b.n) AS sxy,
+        |    sum(CAST(a.n AS HUGEINT) * a.n) AS sxx,
+        |    sum(CAST(b.n AS HUGEINT) * b.n) AS syy
+        |  FROM grid a
+        |  JOIN (SELECT unnest(range(0, 4)) AS k) k ON true
+        |  JOIN grid b ON b.event_type <> a.event_type
+        |    AND b.day = a.day + k.k
+        |  GROUP BY 1, 2, 3),
+        |c AS (SELECT ta, tb, k, n_days,
+        |    n_days * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |    n_days * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+        |    n_days * syy - CAST(sy AS HUGEINT) * sy AS deny
+        |  FROM lg)
+        |SELECT ta AS type_a, tb AS type_b, CAST(k AS BIGINT) AS lag_k,
+        |  n_days,
+        |  CAST(CASE WHEN denx <= 0 OR deny <= 0 THEN 0
+        |    WHEN num >= 0 THEN num * num * 1000 // (denx * deny)
+        |    ELSE -(num * num * 1000 // (denx * deny)) END AS BIGINT)
+        |    AS ccf_r2_milli
+        |FROM c ORDER BY type_a, type_b, lag_k""".stripMargin)
 
   /** Shared recursive-CTE prefix of the Markov-chain oracles: the
     * per-user lead pairs, the densified row-stochastic matrix with
@@ -11074,6 +11171,7 @@ object ExtensionQueries {
     "q_runs"            -> (runsTestQ _),
     "q_return_level"    -> (returnLevelQ _),
     "q_kruskal"         -> (kruskalQ _),
-    "q_seasonal_mk"     -> (seasonalMkQ _)
+    "q_seasonal_mk"     -> (seasonalMkQ _),
+    "q_ccf"             -> (ccfQ _)
   )
 }

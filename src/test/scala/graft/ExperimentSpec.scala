@@ -775,4 +775,24 @@ class ExperimentSpec extends SparkSpec {
     assert(out === Seq(("r", 7L, 21L, 21L, 15584L, true),
       ("w", 7L, 21L, 0L, 0L, false)))
   }
+
+  test("ccf: a one-day-shifted copy reads exactly +1000 at lag 1 and " +
+    "-1000 at lag 0; a constant series reads 0 by the variance guard") {
+    // A alternates 1,2 over days 0..9; B is A delayed one day;
+    // C constant
+    val byday = (0 until 10).flatMap { dd =>
+      Seq(("A", dd.toLong, (1 + dd % 2).toLong),
+        ("B", dd.toLong, (1 + (dd + 1) % 2).toLong),
+        ("C", dd.toLong, 7L))
+    }
+    val out = ExtensionQueries.ccf(byday.toDF("event_type", "day", "n"))
+      .select("type_a", "type_b", "lag_k", "n_days", "ccf_r2_milli")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val m = out.map(r => ((r._1, r._2, r._3), (r._4, r._5))).toMap
+    assert(m(("A", "B", 1L)) === ((9L, 1000L)))
+    assert(m(("A", "B", 0L)) === ((10L, -1000L)))
+    assert(out.filter(r => r._2 == "C" || r._1 == "C")
+      .forall(_._5 === 0L), "constant series must read 0")
+    assert(out.size === 3 * 2 * 4)
+  }
 }
