@@ -562,4 +562,78 @@ class PropertySpec extends SparkSpec {
       assert(out.head._2 === all.map(_._1).distinct.size.toLong)
     }
   }
+
+  test("property: holtWintersDaily is an EXACT fixed point on any " +
+    "integer period-7 pattern — forecast == n*1000, trend 0, level " +
+    "pinned at the (truncated) week-one mean, for random patterns") {
+    val day = 86400000000L
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      // every slot >= 1 so the span anchors at day 0 and the pattern
+      // itself is what the grid sees
+      val pattern = Seq.fill(7)(1L + rnd.nextInt(49).toLong)
+      val weeks = 3 + rnd.nextInt(2)
+      val ev = (0 until 7 * weeks).flatMap { dd =>
+        (1 to pattern(dd % 7).toInt).map(i => ("k", dd * day + i.toLong))
+      }
+      val out = graft.ops.Monitor
+        .holtWintersDaily(ev.toDF("k", "tus"), "k", col("tus"))
+        .select("day", "n", "forecast_milli", "level_milli", "trend_milli")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val l0 = pattern.sum * 1000L / 7L
+      out.foreach { r =>
+        assert(r._3 === r._2 * 1000L, s"seed=$seed forecast at day ${r._1}")
+        assert(r._5 === 0L, s"seed=$seed trend")
+        assert(r._4 === l0, s"seed=$seed level ${r._4} != $l0")
+      }
+    }
+  }
+
+  test("property: markovStationary conserves mass up to the documented " +
+    "truncation dust (>= 1e6 - 20K^2, <= 1e6), never goes negative, and " +
+    "is deterministic, on random dense chains") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(4)
+      val states = (0 until k).map(i => s"s$i")
+      val pairs = for {
+        f <- states; t <- states
+        c = rnd.nextInt(5) if c > 0
+      } yield (f, t, c.toLong)
+      val st = states.toDF("state")
+      def run() = graft.queries.ExtensionQueries
+        .markovStationary(pairs.toDF("from_type", "to_type", "n"), st)
+        .select("event_type", "stationary_ppm")
+        .as[(String, Long)].collect().toSeq.sortBy(_._1)
+      val a = run(); val b = run()
+      assert(a === b, s"seed=$seed determinism")
+      assert(a.forall(_._2 >= 0L), s"seed=$seed non-negative")
+      val mass = a.map(_._2).sum
+      assert(mass <= 1000000L && mass >= 1000000L - 20L * k * k,
+        s"seed=$seed mass=$mass K=$k")
+    }
+  }
+
+  test("property: meanExcess's threshold is the true ceil(0.95N) order " +
+    "statistic on random value sets (driver-side sort cross-check)") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(200)
+      val vs = Seq.fill(n)(rnd.nextInt(1000).toLong)
+      val e = vs.zipWithIndex.map { case (v, i) => ("t", i.toLong, v) }
+      val out = graft.queries.ExtensionQueries
+        .meanExcess(e.toDF("event_type", "event_id", "v"))
+        .select("n_total", "u_milli", "n_exceed", "mean_excess_milli")
+        .as[(Long, Long, Long, Long)].head()
+      val sorted = vs.sorted
+      val u = sorted((95 * n + 99) / 100 - 1)
+      val exc = vs.filter(_ > u)
+      assert(out._1 === n.toLong, s"seed=$seed")
+      assert(out._2 === u, s"seed=$seed threshold")
+      assert(out._3 === exc.size.toLong, s"seed=$seed exceed count")
+      assert(out._4 ===
+        (if (exc.isEmpty) 0L else exc.map(_ - u).sum / exc.size),
+        s"seed=$seed mean excess")
+    }
+  }
 }
