@@ -1267,9 +1267,15 @@ object ExtensionQueries {
 
   /** The ACF grid with the day count carried alongside — shared by
     * `q_acf` (which drops `nd` for its gated shape) and the
-    * Ljung–Box portmanteau built on top of it.
+    * Ljung–Box portmanteau built on top of it; materialized once per
+    * (session, dataset) through [[FrameMemo]] so the two consumers
+    * pay one build (the mh_pairs/lm_scores discipline — the lag
+    * branches and localCheckpoint are the expensive part).
     */
-  private def acfFrame(s: SparkSession, d: String): DataFrame = {
+  private def acfFrame(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "acf_grid")(acfFrameBuild(s, d))
+
+  private def acfFrameBuild(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val W = org.apache.spark.sql.expressions.Window
     val g = Monitor.dailyGrid(ev, "event_type",
