@@ -5370,6 +5370,55 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Cochran–Armitage trend-in-proportions test (Cochran, Biometrics
+    * 1954; Armitage 1955) over the day-ordered hit RATE: Mann–Kendall
+    * asks whether VOLUME trends; this asks whether the RATE does —
+    * the pair separates "more traffic" from "different traffic", and
+    * the spec pins the separating fixture (volume doubling at a
+    * constant rate reads exactly T = 0 here while MK fires).
+    * Day-offset scores, `T·N = N·Σwh − H·Σwn`, `z² = (NΣwh−HΣwn)²·N
+    * / (H(N−H)·(NΣnw²−(Σnw)²))` — all integer via DECIMAL(38,0)
+    * cross-products with the same large-N envelope note as
+    * Mann–Kendall; degenerate all-hit/no-hit/one-day frames read 0
+    * by the guard on both engines. One (type, day) partial agg + a
+    * per-type rollup; direction is the sign of the exact numerator.
+    */
+  def cochranArmitageQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    cochranArmitage(ev.select(col("event_type"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day"),
+      when(col("value") > 200.0, 1L).otherwise(0L).as("hit")))
+  }
+
+  /** Core over a pre-projected (event_type, day, hit) frame. */
+  private[graft] def cochranArmitage(e: DataFrame): DataFrame = {
+    val byday = e.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("h"))
+    val d0 = byday.groupBy("event_type").agg(min(col("day")).as("dmin"))
+    byday.join(broadcast(d0), "event_type")
+      .withColumn("w", col("day") - col("dmin"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("nn"), sum(col("h")).as("hh"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * h")).as("swh"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * n")).as("swn"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * w * n")).as("snw2"))
+      .withColumn("tnum", expr("nn * swh - hh * swn"))
+      .withColumn("den", expr(
+        "CAST(hh AS DECIMAL(38,0)) * (nn - hh)" +
+          " * (nn * snw2 - swn * swn)"))
+      .withColumn("z2_milli", expr(
+        "CAST(CASE WHEN den <= 0 THEN 0" +
+          " ELSE tnum * tnum * nn * 1000 div den END AS BIGINT)"))
+      .withColumn("direction", expr(
+        "CASE WHEN tnum > 0 THEN 'up' WHEN tnum < 0 THEN 'down'" +
+          " ELSE 'flat' END"))
+      .select(col("event_type"), col("nn").as("n_total"),
+        col("hh").as("hits"), col("z2_milli"), col("direction"),
+        (col("z2_milli") > 3841L).as("significant"))
+      .orderBy("event_type")
+  }
+
   /** Lead–lag cross-correlation census (the CCF of Box–Jenkins
     * practice, lags 0–3) between every ordered pair of event types on
     * the COMMON zero-filled day axis: does type A's volume today
@@ -7803,7 +7852,37 @@ object ExtensionQueries {
         |    WHEN num >= 0 THEN num * num * 1000 // (denx * deny)
         |    ELSE -(num * num * 1000 // (denx * deny)) END AS BIGINT)
         |    AS ccf_r2_milli
-        |FROM c ORDER BY type_a, type_b, lag_k""".stripMargin)
+        |FROM c ORDER BY type_a, type_b, lag_k""".stripMargin) +
+    ("q_cochran_armitage" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN value > 200.0 THEN 1 ELSE 0 END AS hit FROM events),
+        |byday AS (SELECT event_type, day,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(hit) AS BIGINT) AS h
+        |  FROM e GROUP BY 1, 2),
+        |d0 AS (SELECT event_type, min(day) AS dmin FROM byday GROUP BY 1),
+        |agg AS (SELECT b.event_type,
+        |    CAST(sum(b.n) AS BIGINT) AS nn, CAST(sum(b.h) AS BIGINT) AS hh,
+        |    sum(CAST(b.day - d0.dmin AS HUGEINT) * b.h) AS swh,
+        |    sum(CAST(b.day - d0.dmin AS HUGEINT) * b.n) AS swn,
+        |    sum(CAST(b.day - d0.dmin AS HUGEINT) * (b.day - d0.dmin)
+        |      * b.n) AS snw2
+        |  FROM byday b JOIN d0 USING (event_type) GROUP BY 1),
+        |t AS (SELECT event_type, nn, hh,
+        |    nn * swh - hh * swn AS tnum,
+        |    CAST(hh AS HUGEINT) * (nn - hh)
+        |      * (nn * snw2 - swn * swn) AS den
+        |  FROM agg)
+        |SELECT event_type, nn AS n_total, hh AS hits,
+        |  CAST(CASE WHEN den <= 0 THEN 0
+        |    ELSE tnum * tnum * nn * 1000 // den END AS BIGINT)
+        |    AS z2_milli,
+        |  CASE WHEN tnum > 0 THEN 'up' WHEN tnum < 0 THEN 'down'
+        |    ELSE 'flat' END AS direction,
+        |  CAST(CASE WHEN den <= 0 THEN 0
+        |    ELSE tnum * tnum * nn * 1000 // den END AS BIGINT) > 3841
+        |    AS significant
+        |FROM t ORDER BY event_type""".stripMargin)
 
   /** Shared recursive-CTE prefix of the Markov-chain oracles: the
     * per-user lead pairs, the densified row-stochastic matrix with
@@ -11178,6 +11257,7 @@ object ExtensionQueries {
     "q_return_level"    -> (returnLevelQ _),
     "q_kruskal"         -> (kruskalQ _),
     "q_seasonal_mk"     -> (seasonalMkQ _),
-    "q_ccf"             -> (ccfQ _)
+    "q_ccf"             -> (ccfQ _),
+    "q_cochran_armitage" -> (cochranArmitageQ _)
   )
 }

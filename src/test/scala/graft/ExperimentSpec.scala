@@ -795,4 +795,27 @@ class ExperimentSpec extends SparkSpec {
       .forall(_._5 === 0L), "constant series must read 0")
     assert(out.size === 3 * 2 * 4)
   }
+
+  test("cochranArmitage: a rate ramp reads the hand-computed 33333 and " +
+    "fires UP; volume doubling at a constant rate reads exactly T = 0 " +
+    "(the separating fixture against Mann-Kendall)") {
+    // ramp: 10 days, 10 events/day, hits = day index (0..9)
+    val ramp = (0 until 10).flatMap { dd =>
+      (0 until 10).map(i => ("r", dd.toLong, if (i < dd) 1L else 0L))
+    }
+    // volume trend at a constant 50% rate: n_d = 2*(10+d), half hit
+    val vol = (0 until 10).flatMap { dd =>
+      (0 until 2 * (10 + dd)).map(i => ("v", dd.toLong, (i % 2).toLong))
+    }
+    val out = ExtensionQueries.cochranArmitage((ramp ++ vol)
+        .toDF("event_type", "day", "hit"))
+      .select("event_type", "n_total", "hits", "z2_milli", "direction",
+        "significant")
+      .as[(String, Long, Long, Long, String, Boolean)].collect().toSeq
+      .sortBy(_._1)
+    // ramp: (100*285 - 45*450)^2 * 100 * 1000 div (45*55*82500) = 33333
+    assert(out === Seq(
+      ("r", 100L, 45L, 33333L, "up", true),
+      ("v", 290L, 145L, 0L, "flat", false)))
+  }
 }
