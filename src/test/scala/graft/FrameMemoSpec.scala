@@ -113,6 +113,26 @@ class FrameMemoSpec extends SparkSpec {
       "the estimator must reuse the memoized signature + pair indexes")
   }
 
+  test("q_acf and q_ljung_box share ONE ACF-grid build (the lag " +
+    "branches and checkpoint are paid once; the portmanteau reads the " +
+    "memoized grid)") {
+    import graft.queries.ExtensionQueries
+    val dir = java.nio.file.Files.createTempDirectory("acfshare").toString
+    (0 until 200).map { i =>
+      (s"t${i % 2}", i.toLong, (i % 7).toLong,
+        new java.sql.Timestamp(i.toLong * 3600L * 1000L),
+        (i % 5) * 100.0)
+    }.toDF("event_type", "event_id", "user_id", "ts", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val c0 = ExtensionQueries.sharedBuildCount
+    ExtensionQueries.queries("q_acf")(spark, dir).count()
+    val c1 = ExtensionQueries.sharedBuildCount
+    assert(c1 - c0 === 1, "expected exactly the acf_grid build")
+    ExtensionQueries.queries("q_ljung_box")(spark, dir).count()
+    assert(ExtensionQueries.sharedBuildCount === c1,
+      "the portmanteau must reuse the memoized ACF grid")
+  }
+
   test("q_dsir and q_dsir_sample share ONE importance-weight build " +
     "(the corpus is scored once; the resample reads the scores)") {
     import graft.queries.ExtensionQueries
