@@ -5598,6 +5598,57 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Hill tail-index estimator (Hill, Ann. Stat. 1975) over the top
+    * `k = clamp(N/20, 2, 100)` order statistics per type —
+    * `α̂ = k / Σ ln(x₍ₙ₋ᵢ₎/x₍ₙ₋ₖ₎)` — the third extremes reading
+    * beside the POT mean excess (is the tail heavy AT ALL) and the
+    * Gumbel return level (what peak to plan for): α below ~2 means
+    * infinite variance — averages and z-tests on that metric are
+    * lies, the robust/rank battery is the only honest one, which is
+    * exactly the routing decision this number drives. Rides the SAME
+    * KeyedPrefix global ranking as the mean excess (ninth consumer);
+    * each log quantized once on its exact rational argument (e-4,
+    * the suite discipline), k·1e7 over the integer log-sum. Zero or
+    * negative thresholds make the tail unusable and read α = 0 /
+    * `tail_usable = false`, loudly, on both engines.
+    */
+  def hillQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    hill(ev.select(col("event_type"), col("event_id"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("v")))
+  }
+
+  /** Core over a pre-projected (event_type, event_id, v) frame. */
+  private[graft] def hill(e: DataFrame): DataFrame = {
+    val ranked = graft.ops.KeyedPrefix.cumsum(e,
+      keys = Seq("event_type"), order = Seq("v", "event_id"),
+      sums = Nil, countName = "rk")
+    val tot = e.groupBy("event_type").agg(count(lit(1)).as("n_total"))
+      .withColumn("k_used",
+        expr("greatest(least(100L, n_total div 20), 2L)"))
+    val withK = ranked.join(broadcast(tot), "event_type")
+    val thr = withK.filter(col("rk") === col("n_total") - col("k_used"))
+      .select(col("event_type"), col("v").as("v_thr"))
+    withK.join(broadcast(thr), "event_type")
+      .filter(col("rk") > col("n_total") - col("k_used"))
+      .groupBy("event_type")
+      .agg(max(col("n_total")).as("n_total"),
+        max(col("k_used")).as("k_used"),
+        max(col("v_thr")).as("u_milli"),
+        sum(expr("CASE WHEN v_thr > 0 AND v > 0 THEN" +
+          " CAST(floor(ln(CAST(v AS DOUBLE) / v_thr) * 10000)" +
+          " AS BIGINT) ELSE 0L END")).as("lnsum_e4"))
+      .withColumn("tail_usable", expr("u_milli > 0 AND lnsum_e4 > 0"))
+      .withColumn("hill_alpha_milli", expr(
+        "CASE WHEN u_milli > 0 AND lnsum_e4 > 0" +
+          " THEN k_used * 10000000 div lnsum_e4 ELSE 0L END"))
+      .withColumn("heavy_tail",
+        col("tail_usable") && col("hill_alpha_milli") < 2000L)
+      .select("event_type", "n_total", "k_used", "u_milli",
+        "hill_alpha_milli", "tail_usable", "heavy_tail")
+      .orderBy("event_type")
+  }
+
   /** Gumbel return level from daily maxima (Gumbel 1958, the
     * block-maxima half of extreme-value theory; method-of-moments
     * fit) — "what daily peak should capacity absorb once a month?":
@@ -7715,6 +7766,39 @@ object ExtensionQueries {
         |    // (CAST(2 AS HUGEINT) * n1 * n2 * (2 * n1 * n2 - nn))
         |    > 3841 END AS significant
         |FROM z ORDER BY event_type""".stripMargin) +
+    ("q_hill" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS rk
+        |  FROM e),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(greatest(least(100, count(*) // 20), 2) AS BIGINT)
+        |      AS k_used
+        |  FROM e GROUP BY 1),
+        |thr AS (SELECT r.event_type, r.v AS v_thr
+        |  FROM r JOIN tot USING (event_type)
+        |  WHERE r.rk = tot.n_total - tot.k_used),
+        |agg AS (SELECT r.event_type, tot.n_total, tot.k_used,
+        |    thr.v_thr AS u_milli,
+        |    CAST(sum(CASE WHEN thr.v_thr > 0 AND r.v > 0 THEN
+        |      CAST(floor(ln(CAST(r.v AS DOUBLE) / thr.v_thr) * 10000)
+        |        AS BIGINT) ELSE 0 END) AS BIGINT) AS lnsum_e4
+        |  FROM r JOIN tot USING (event_type)
+        |  JOIN thr USING (event_type)
+        |  WHERE r.rk > tot.n_total - tot.k_used
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, n_total, k_used, u_milli,
+        |  CAST(CASE WHEN u_milli > 0 AND lnsum_e4 > 0
+        |    THEN k_used * 10000000 // lnsum_e4 ELSE 0 END AS BIGINT)
+        |    AS hill_alpha_milli,
+        |  u_milli > 0 AND lnsum_e4 > 0 AS tail_usable,
+        |  (u_milli > 0 AND lnsum_e4 > 0) AND
+        |    CAST(CASE WHEN u_milli > 0 AND lnsum_e4 > 0
+        |      THEN k_used * 10000000 // lnsum_e4 ELSE 0 END AS BIGINT)
+        |      < 2000 AS heavy_tail
+        |FROM agg ORDER BY event_type""".stripMargin) +
     ("q_return_level" ->
       """WITH dm AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day,
@@ -11258,6 +11342,7 @@ object ExtensionQueries {
     "q_kruskal"         -> (kruskalQ _),
     "q_seasonal_mk"     -> (seasonalMkQ _),
     "q_ccf"             -> (ccfQ _),
-    "q_cochran_armitage" -> (cochranArmitageQ _)
+    "q_cochran_armitage" -> (cochranArmitageQ _),
+    "q_hill"            -> (hillQ _)
   )
 }

@@ -818,4 +818,30 @@ class ExperimentSpec extends SparkSpec {
       ("r", 100L, 45L, 33333L, "up", true),
       ("v", 290L, 145L, 0L, "flat", false)))
   }
+
+  test("hill: exact-ratio top-3 fixtures — a 4x/2x tail reads the " +
+    "hand-computed 961 (heavy), a 1.1x/1.05x tail reads 13888 " +
+    "(light); an all-zero type is unusable") {
+    // N = 40 each -> k = 2, threshold = 3rd largest
+    def typ(t: String, top3: Seq[Long]) =
+      (top3 ++ Seq.fill(37)(1L)).zipWithIndex
+        .map { case (v, i) => (t, i.toLong, v) }
+    val zeros = (0 until 40).map(i => ("z", i.toLong, 0L))
+    val out = ExtensionQueries.hill(
+        (typ("h", Seq(4000L, 2000L, 1000L)) ++
+          typ("l", Seq(1100L, 1050L, 1000L)) ++ zeros)
+          .toDF("event_type", "event_id", "v"))
+      .select("event_type", "n_total", "k_used", "u_milli",
+        "hill_alpha_milli", "tail_usable", "heavy_tail")
+      .as[(String, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    // h: floor(ln4*1e4) + floor(ln2*1e4) = 13862 + 6931 = 20793
+    //    -> 2e7 div 20793 = 961
+    // l: floor(ln1.1*1e4) + floor(ln1.05*1e4) = 953 + 487 = 1440
+    //    -> 2e7 div 1440 = 13888
+    assert(out === Seq(
+      ("h", 40L, 2L, 1000L, 961L, true, true),
+      ("l", 40L, 2L, 1000L, 13888L, true, false),
+      ("z", 40L, 2L, 0L, 0L, false, false)))
+  }
 }
