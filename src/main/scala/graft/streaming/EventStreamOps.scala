@@ -1418,6 +1418,130 @@ object EventStreamOps {
       }
   }
 
+  case class CaEv(key: String, day: Long, n: Long, h: Long)
+  case class CaState(dmin: Long, lastDay: Long, nn: Long, hh: Long,
+                     swh: Long, swn: Long, snw2: Long)
+  case class CaOut(key: String, day: Long, nTotal: Long, hits: Long,
+                   z2Milli: Long, direction: String, significant: Boolean)
+
+  /** Live Cochran–Armitage rate-trend monitor — the streaming twin of
+    * [[graft.queries.ExtensionQueries.cochranArmitage]], fed by the
+    * per-(key, day) rollup (events and hits). Every CA sufficient
+    * statistic is a running sum over day scores anchored at the
+    * key's FIRST day, so state is SEVEN longs and silent days are a
+    * genuine no-op (n = 0 contributes zero to every sum — the one
+    * chart in the family where zero-fill synthesizes nothing).
+    * After any batch the emitted verdict equals the batch operator's
+    * over the same prefix (spec-pinned). Long envelope: `swh/snw2`
+    * grow as day-span²·volume — the same documented bound class as
+    * the batch form's DECIMAL narration, hit only past ~9e18.
+    */
+  def streamingCochranArmitage(days: Dataset[CaEv]): Dataset[CaOut] = {
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CaState, CaOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[CaEv], state: GroupState[CaState]) =>
+          var st = state.getOption.getOrElse(
+            CaState(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CaOut]
+          def emit(day: Long): Unit = {
+            val tnum = BigInt(st.nn) * st.swh - BigInt(st.hh) * st.swn
+            val den = BigInt(st.hh) * (st.nn - st.hh) *
+              (BigInt(st.nn) * st.snw2 - BigInt(st.swn) * st.swn)
+            val z2 =
+              if (den <= 0) 0L
+              else (tnum * tnum * st.nn * 1000 / den).toLong
+            val dir = if (tnum > 0) "up"
+              else if (tnum < 0) "down" else "flat"
+            out += CaOut(key, day, st.nn, st.hh, z2, dir, z2 > 3841L)
+          }
+          evs.toSeq.sortBy(_.day).foreach { e =>
+            if (st.lastDay == Long.MinValue) {
+              st = CaState(e.day, e.day, e.n, e.h, 0L, 0L, 0L)
+              emit(e.day)
+            } else if (e.day > st.lastDay) {
+              val w = e.day - st.dmin
+              st = CaState(st.dmin, e.day, st.nn + e.n, st.hh + e.h,
+                st.swh + w * e.h, st.swn + w * e.n,
+                st.snw2 + w * w * e.n)
+              emit(e.day)
+            } // duplicate/late day: append-only contract
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  case class MhEv(key: String, day: Long, ga: Long, n: Long, h: Long)
+  case class MhState(lastDay: Long, ca: Long, cbm: Long, cc: Long,
+                     cdm: Long, nStrata: Long, numE6: Long, denE6: Long,
+                     ha: Long, ma: Long, hb: Long, mb: Long)
+  case class MhOut(key: String, day: Long, nStrata: Long,
+                   crudeOrMilli: Long, mhOrMilli: Long,
+                   confounded: Boolean)
+
+  /** Live Mantel–Haenszel — the streaming Simpson's-paradox guard,
+    * twin of [[graft.queries.ExtensionQueries.mantelHaenszel]] with
+    * days as strata. A stratum's e-6 term needs its COMPLETE 2×2
+    * table, so the feed contract is [[streamingPsi]]'s day-close: per
+    * (key, day, arm) rollup cells accumulate in state (four longs),
+    * the day folds into the running `Σaᵢdᵢ·1e6/nᵢ / Σbᵢcᵢ·1e6/nᵢ`
+    * when a strictly later day first arrives, and each close emits
+    * the updated crude vs MH verdict. Empty strata cannot exist by
+    * construction (a day closes only because SOME row arrived in a
+    * later day; a day with no rows at all is simply not a stratum —
+    * exactly the batch grouping's semantics). State: twelve longs.
+    */
+  def streamingMantelHaenszel(rows: Dataset[MhEv]): Dataset[MhOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[MhState, MhOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[MhEv], state: GroupState[MhState]) =>
+          var st = state.getOption.getOrElse(
+            MhState(Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+              0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[MhOut]
+          def closeDay(day: Long): Unit = {
+            val n = st.ca + st.cbm + st.cc + st.cdm
+            if (n > 0) {
+              val num = st.numE6 +
+                (BigInt(st.ca) * st.cdm * 1000000 / n).toLong
+              val den = st.denE6 +
+                (BigInt(st.cbm) * st.cc * 1000000 / n).toLong
+              st = st.copy(ca = 0L, cbm = 0L, cc = 0L, cdm = 0L,
+                nStrata = st.nStrata + 1, numE6 = num, denE6 = den)
+              val crude = (BigInt(st.ha) * st.mb * 1000 /
+                (BigInt(st.ma) * st.hb).max(BigInt(1))).toLong
+              val mh = st.numE6 * 1000 / math.max(st.denE6, 1L)
+              val conf = math.abs(crude - mh) * 1000 /
+                math.max(mh, 1L) > 100
+              out += MhOut(key, day, st.nStrata, crude, mh, conf)
+            }
+          }
+          evs.toSeq.sortBy(e => (e.day, e.ga)).foreach { e =>
+            if (st.lastDay != Long.MinValue && e.day > st.lastDay)
+              closeDay(st.lastDay)
+            if (st.lastDay == Long.MinValue || e.day >= st.lastDay) {
+              st = st.copy(lastDay = e.day,
+                ca = st.ca + (if (e.ga == 1L) e.h else 0L),
+                cbm = st.cbm + (if (e.ga == 1L) e.n - e.h else 0L),
+                cc = st.cc + (if (e.ga == 0L) e.h else 0L),
+                cdm = st.cdm + (if (e.ga == 0L) e.n - e.h else 0L),
+                ha = st.ha + (if (e.ga == 1L) e.h else 0L),
+                ma = st.ma + (if (e.ga == 1L) e.n - e.h else 0L),
+                hb = st.hb + (if (e.ga == 0L) e.h else 0L),
+                mb = st.mb + (if (e.ga == 0L) e.n - e.h else 0L))
+            } // e.day < lastDay: late stratum row — append-only contract
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def tombstoneGate(docs: DataFrame, tombstones: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
     require(!docs.columns.contains("__tomb") &&

@@ -844,4 +844,80 @@ class ExperimentSpec extends SparkSpec {
       ("l", 40L, 2L, 1000L, 13888L, true, false),
       ("z", 40L, 2L, 0L, 0L, false, false)))
   }
+
+  test("streamingCochranArmitage == batch cochranArmitage verdict " +
+    "over the same day prefix, across batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    import graft.streaming.EventStreamOps.{CaEv, CaOut}
+    implicit val sc = spark.sqlContext
+    def batchOver(days: Int) = ExtensionQueries.cochranArmitage(
+        (0 until days).flatMap { dd =>
+          (0 until 10).map(i => ("t", dd.toLong,
+            if (i < dd) 1L else 0L))
+        }.toDF("event_type", "day", "hit"))
+      .select("n_total", "hits", "z2_milli", "direction", "significant")
+      .as[(Long, Long, Long, String, Boolean)].head()
+    val mem = MemoryStream[CaEv]
+    val q = EventStreamOps.streamingCochranArmitage(mem.toDS())
+      .writeStream.format("memory").queryName("calive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest = spark.table("calive").as[CaOut].collect()
+        .maxBy(_.day)
+      mem.addData((0 until 5).map(dd =>
+        CaEv("t", dd.toLong, 10L, dd.toLong)): _*)
+      q.processAllAvailable()
+      val mid = latest
+      assert((mid.nTotal, mid.hits, mid.z2Milli, mid.direction,
+        mid.significant) === batchOver(5))
+      mem.addData((5 until 10).map(dd =>
+        CaEv("t", dd.toLong, 10L, dd.toLong)): _*)
+      q.processAllAvailable()
+      val fin = latest
+      assert((fin.nTotal, fin.hits, fin.z2Milli, fin.direction,
+        fin.significant) === batchOver(10))
+      assert(fin.z2Milli === 33333L && fin.direction === "up")
+    } finally q.stop()
+  }
+
+  test("streamingMantelHaenszel == batch over closed-day strata: the " +
+    "single-stratum prefix is unconfounded, the full Simpson pair " +
+    "fires, day-close honored across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    import graft.streaming.EventStreamOps.{MhEv, MhOut}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[MhEv]
+    val q = EventStreamOps.streamingMantelHaenszel(mem.toDS())
+      .writeStream.format("memory").queryName("mhlive")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def rows = spark.table("mhlive").as[MhOut].collect().toSeq
+        .groupBy(_.day).map { case (_, v) => v.last }.toSeq.sortBy(_.day)
+      // stratum day 0: A 90/100, B 9/10 — arm cells split across
+      // batches; nothing may emit until day 1 arrives
+      mem.addData(MhEv("s", 0L, 1L, 100L, 90L))
+      q.processAllAvailable()
+      assert(rows.isEmpty, "an open stratum must not emit")
+      mem.addData(MhEv("s", 0L, 0L, 10L, 9L),
+        MhEv("s", 1L, 1L, 10L, 1L))
+      q.processAllAvailable()
+      val d0 = rows
+      assert(d0.map(o => (o.day, o.nStrata, o.crudeOrMilli,
+        o.mhOrMilli, o.confounded)) ===
+        Seq((0L, 1L, 1000L, 1000L, false)))
+      // complete stratum day 1 (A 1/10, B 10/100), then a day-2 tick
+      // closes it: the full Simpson verdict
+      mem.addData(MhEv("s", 1L, 0L, 100L, 10L),
+        MhEv("s", 2L, 1L, 1L, 0L))
+      q.processAllAvailable()
+      val all = rows.map(o => (o.day, o.nStrata, o.crudeOrMilli,
+        o.mhOrMilli, o.confounded))
+      assert(all === Seq((0L, 1L, 1000L, 1000L, false),
+        (1L, 2L, 22939L, 1000L, true)))
+    } finally q.stop()
+  }
 }
