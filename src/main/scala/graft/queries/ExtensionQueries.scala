@@ -5598,6 +5598,61 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** McNemar's paired-proportion test (Psychometrika 1947) on each
+    * user's OWN before/after: among users active in both half-spans,
+    * only the DISCORDANT ones — hit-before-but-not-after vs
+    * after-but-not-before — carry information, and
+    * `z² = (|b−c|−1)²/(b+c)` (continuity-corrected) asks whether the
+    * flips are one-sided. The within-user companion the unpaired
+    * chi-square cannot be: `q_chisq` compares two user POPULATIONS,
+    * this detects the same users CHANGING — a cohort-wide behavior
+    * shift reads here while leaving the cross-arm comparison silent.
+    * Exact integers (the squared discordant margin through
+    * DECIMAL(38,0), the chi-square overflow lesson); zero-discordant
+    * frames read 0 by the guard on both engines; users active in
+    * only one half pair with nobody and drop, stated.
+    */
+  def mcnemarQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    mcnemar(ev.select(col("event_type"),
+      floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
+        .cast("long").as("day"),
+      col("user_id"),
+      when(col("value") > 200.0, 1L).otherwise(0L).as("hit")))
+  }
+
+  /** Core over a pre-projected (event_type, day, user_id, hit) frame. */
+  private[graft] def mcnemar(e: DataFrame): DataFrame = {
+    val sp = e.groupBy("event_type")
+      .agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val u = e.join(broadcast(sp), "event_type")
+      .groupBy("event_type", "user_id")
+      .agg(max(when(col("day") <= col("mid"), col("hit")).otherwise(0L))
+          .as("pre_hit"),
+        max(when(col("day") > col("mid"), col("hit")).otherwise(0L))
+          .as("post_hit"),
+        max(when(col("day") <= col("mid"), 1L).otherwise(0L))
+          .as("has_pre"),
+        max(when(col("day") > col("mid"), 1L).otherwise(0L))
+          .as("has_post"))
+      .filter(col("has_pre") === 1L && col("has_post") === 1L)
+    u.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("pre_hit") === 0L && col("post_hit") === 1L, 1L)
+          .otherwise(0L)).as("n_01"),
+        sum(when(col("pre_hit") === 1L && col("post_hit") === 0L, 1L)
+          .otherwise(0L)).as("n_10"))
+      .withColumn("z2_milli", expr(
+        "CAST(CASE WHEN n_01 + n_10 = 0 THEN 0 ELSE" +
+          " CAST(greatest(abs(n_01 - n_10) - 1, 0) AS DECIMAL(38,0))" +
+          " * greatest(abs(n_01 - n_10) - 1, 0) * 1000" +
+          " div (n_01 + n_10) END AS BIGINT)"))
+      .withColumn("significant", col("z2_milli") > 3841L)
+      .select("event_type", "n_pairs", "n_01", "n_10", "z2_milli",
+        "significant")
+      .orderBy("event_type")
+  }
+
   /** Hill tail-index estimator (Hill, Ann. Stat. 1975) over the top
     * `k = clamp(N/20, 2, 100)` order statistics per type —
     * `α̂ = k / Σ ln(x₍ₙ₋ᵢ₎/x₍ₙ₋ₖ₎)` — the third extremes reading
@@ -7799,6 +7854,37 @@ object ExtensionQueries {
         |      THEN k_used * 10000000 // lnsum_e4 ELSE 0 END AS BIGINT)
         |      < 2000 AS heavy_tail
         |FROM agg ORDER BY event_type""".stripMargin) +
+    ("q_mcnemar" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, user_id,
+        |    CASE WHEN value > 200.0 THEN 1 ELSE 0 END AS hit FROM events),
+        |sp AS (SELECT event_type, (min(day) + max(day)) // 2 AS mid
+        |  FROM e GROUP BY 1),
+        |u AS (SELECT e.event_type, e.user_id,
+        |    CAST(max(CASE WHEN e.day <= sp.mid THEN e.hit ELSE 0 END)
+        |      AS BIGINT) AS pre_hit,
+        |    CAST(max(CASE WHEN e.day > sp.mid THEN e.hit ELSE 0 END)
+        |      AS BIGINT) AS post_hit,
+        |    max(CASE WHEN e.day <= sp.mid THEN 1 ELSE 0 END) AS has_pre,
+        |    max(CASE WHEN e.day > sp.mid THEN 1 ELSE 0 END) AS has_post
+        |  FROM e JOIN sp USING (event_type) GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN pre_hit = 0 AND post_hit = 1 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_01,
+        |    CAST(sum(CASE WHEN pre_hit = 1 AND post_hit = 0 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_10
+        |  FROM u WHERE has_pre = 1 AND has_post = 1 GROUP BY 1)
+        |SELECT event_type, n_pairs, n_01, n_10,
+        |  CAST(CASE WHEN n_01 + n_10 = 0 THEN 0 ELSE
+        |    CAST(greatest(abs(n_01 - n_10) - 1, 0) AS HUGEINT)
+        |    * greatest(abs(n_01 - n_10) - 1, 0) * 1000
+        |    // (n_01 + n_10) END AS BIGINT) AS z2_milli,
+        |  CAST(CASE WHEN n_01 + n_10 = 0 THEN 0 ELSE
+        |    CAST(greatest(abs(n_01 - n_10) - 1, 0) AS HUGEINT)
+        |    * greatest(abs(n_01 - n_10) - 1, 0) * 1000
+        |    // (n_01 + n_10) END AS BIGINT) > 3841 AS significant
+        |FROM c ORDER BY event_type""".stripMargin) +
     ("q_return_level" ->
       """WITH dm AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day,
@@ -11343,6 +11429,7 @@ object ExtensionQueries {
     "q_seasonal_mk"     -> (seasonalMkQ _),
     "q_ccf"             -> (ccfQ _),
     "q_cochran_armitage" -> (cochranArmitageQ _),
-    "q_hill"            -> (hillQ _)
+    "q_hill"            -> (hillQ _),
+    "q_mcnemar"         -> (mcnemarQ _)
   )
 }

@@ -845,6 +845,30 @@ class ExperimentSpec extends SparkSpec {
       ("z", 40L, 2L, 0L, 0L, false, false)))
   }
 
+  test("mcnemar: one-sided flips fire at the hand-computed 13136; " +
+    "balanced flips stay silent; one-half-only users drop from the " +
+    "pair set") {
+    // users 0..21 strong type: 20 flip 0->1, 2 flip 1->0
+    def user(t: String, u: Long, pre: Long, post: Long) = Seq(
+      (t, 0L, u, pre), (t, 9L, u, post))
+    val strong = (0L until 20L).flatMap(u => user("s", u, 0L, 1L)) ++
+      (20L until 22L).flatMap(u => user("s", u, 1L, 0L))
+    // balanced: 3 flips each way + 4 stable + one pre-only user
+    val base = (0L until 3L).flatMap(u => user("b", u, 0L, 1L)) ++
+      (3L until 6L).flatMap(u => user("b", u, 1L, 0L)) ++
+      (6L until 10L).flatMap(u => user("b", u, 1L, 1L)) :+
+      (("b", 0L, 99L, 1L))
+    val out = ExtensionQueries.mcnemar((strong ++ base)
+        .toDF("event_type", "day", "user_id", "hit"))
+      .select("event_type", "n_pairs", "n_01", "n_10", "z2_milli",
+        "significant")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+      .sortBy(_._1)
+    // b: (|3-3|-1 -> 0)^2 = 0; s: (|20-2|-1)^2*1000 div 22 = 13136
+    assert(out === Seq(("b", 10L, 3L, 3L, 0L, false),
+      ("s", 22L, 20L, 2L, 13136L, true)))
+  }
+
   test("streamingCochranArmitage == batch cochranArmitage verdict " +
     "over the same day prefix, across batch boundaries") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
