@@ -5598,6 +5598,39 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Holt–Winters forecast skill vs the lag-1 naive (the MAE-ratio
+    * referee, Hyndman–Koehler 2006 shape, applied to the seasonal
+    * smoother the way `q_mase` referees the seasonal-naive): over the
+    * smoother's own emitted days, `Σ|n − ŷ| / Σ|n − n_prev|` in exact
+    * milli — below 1000 means the seasonal model earns its state over
+    * just carrying yesterday forward; on perfectly periodic traffic
+    * it reads EXACTLY 0 (the fixed-point property, spec-pinned),
+    * which no naive can match across a weekly swing. Same emitted-day
+    * frame as `q_holt_winters` (shared oracle body), one lag window
+    * on the span-bounded emission, one rollup.
+    */
+  def hwSkillQ(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val h = Monitor.holtWintersDaily(ev, "event_type",
+        AnalyticsQueries.epochUs(ev, "ts"))
+      .withColumnRenamed("key", "event_type")
+    h.withColumn("pn",
+        lag(col("n"), 1).over(W.partitionBy("event_type").orderBy("day")))
+      .filter(col("pn").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") * 1000L - col("forecast_milli")))
+          .as("hw_err_milli"),
+        sum(abs(col("n") * 1000L - col("pn") * 1000L))
+          .as("naive_err_milli"))
+      .withColumn("skill_milli",
+        expr("hw_err_milli * 1000 div greatest(naive_err_milli, 1)"))
+      .select("event_type", "n_days", "hw_err_milli", "naive_err_milli",
+        "skill_milli")
+      .orderBy("event_type")
+  }
+
   /** McNemar's paired-proportion test (Psychometrika 1947) on each
     * user's OWN before/after: among users active in both half-spans,
     * only the DISCORDANT ones — hit-before-but-not-after vs
@@ -7679,48 +7712,22 @@ object ExtensionQueries {
          |FROM it JOIN sts s ON s.state = it.state
          |JOIN h ON h.event_type = s.state
          |WHERE it.step = 20 ORDER BY 1""".stripMargin) +
-    ("q_holt_winters" -> {
-      val nl = "(300 * (x.n * 1000 - r.s[1]) + 700 * (r.lvl + r.b)) // 1000"
-      val ns = s"(200 * (x.n * 1000 - ($nl)) + 800 * r.s[1]) // 1000"
-      s"""WITH RECURSIVE byday AS (
-         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM events GROUP BY 1, 2),
-         |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
-         |  FROM byday GROUP BY 1),
-         |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
-         |  FROM sp),
-         |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n,
-         |    row_number() OVER (PARTITION BY gr.event_type
-         |      ORDER BY gr.day) AS i
-         |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
-         |l0 AS (SELECT event_type,
-         |    CAST(sum(CASE WHEN i <= 7 THEN n ELSE 0 END) * 1000 // 7
-         |      AS BIGINT) AS l0
-         |  FROM g GROUP BY 1),
-         |s0 AS (SELECT g.event_type,
-         |    list(g.n * 1000 - l0.l0 ORDER BY g.day) AS s
-         |  FROM g JOIN l0 ON l0.event_type = g.event_type
-         |  WHERE g.i <= 7 GROUP BY 1),
-         |rec AS (
-         |  SELECT l0.event_type, CAST(7 AS BIGINT) AS i, l0.l0 AS lvl,
-         |    CAST(0 AS BIGINT) AS b, s0.s AS s,
-         |    CAST(NULL AS BIGINT) AS day, CAST(NULL AS BIGINT) AS n,
-         |    CAST(NULL AS BIGINT) AS forecast, CAST(NULL AS BIGINT) AS seas
-         |  FROM l0 JOIN s0 USING (event_type)
-         |  UNION ALL
-         |  SELECT r.event_type, x.i,
-         |    CAST($nl AS BIGINT),
-         |    CAST((100 * (($nl) - r.lvl) + 900 * r.b) // 1000 AS BIGINT),
-         |    r.s[2:7] || [CAST($ns AS BIGINT)],
-         |    x.day, x.n,
-         |    CAST(r.lvl + r.b + r.s[1] AS BIGINT),
-         |    CAST($ns AS BIGINT)
-         |  FROM g x JOIN rec r
-         |    ON x.event_type = r.event_type AND x.i = r.i + 1)
-         |SELECT event_type, day, n, forecast AS forecast_milli,
-         |  lvl AS level_milli, b AS trend_milli, seas AS seas_milli
-         |FROM rec WHERE i >= 8 ORDER BY event_type, day""".stripMargin }) +
+    ("q_holt_winters" -> hwSql) +
+    ("q_hw_skill" ->
+      s"""WITH h AS ($hwSql),
+         |l AS (SELECT event_type, day, n, forecast_milli,
+         |    lag(n) OVER (PARTITION BY event_type ORDER BY day) AS pn
+         |  FROM h)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(abs(n * 1000 - forecast_milli)) AS BIGINT)
+         |    AS hw_err_milli,
+         |  CAST(sum(abs(n * 1000 - pn * 1000)) AS BIGINT)
+         |    AS naive_err_milli,
+         |  CAST(sum(abs(n * 1000 - forecast_milli)) * 1000
+         |    // greatest(sum(abs(n * 1000 - pn * 1000)), 1) AS BIGINT)
+         |    AS skill_milli
+         |FROM l WHERE pn IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin) +
     ("q_ece" ->
       """WITH e AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day, user_id,
@@ -8131,6 +8138,54 @@ object ExtensionQueries {
        |    AS acf_milli
        |FROM num n JOIN den d USING (event_type)
        |ORDER BY n.event_type, n.lag_k""".stripMargin
+  }
+
+  /** The Holt-Winters oracle body - shared verbatim by
+    * `q_holt_winters` and (as a CTE) the forecast-skill referee
+    * built on its emitted rows.
+    */
+  private val hwSql: String = {
+      val nl = "(300 * (x.n * 1000 - r.s[1]) + 700 * (r.lvl + r.b)) // 1000"
+      val ns = s"(200 * (x.n * 1000 - ($nl)) + 800 * r.s[1]) // 1000"
+      s"""WITH RECURSIVE byday AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+         |  FROM byday GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+         |  FROM sp),
+         |g AS (SELECT gr.event_type, gr.day, COALESCE(b.n, 0) AS n,
+         |    row_number() OVER (PARTITION BY gr.event_type
+         |      ORDER BY gr.day) AS i
+         |  FROM grid gr LEFT JOIN byday b USING (event_type, day)),
+         |l0 AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN i <= 7 THEN n ELSE 0 END) * 1000 // 7
+         |      AS BIGINT) AS l0
+         |  FROM g GROUP BY 1),
+         |s0 AS (SELECT g.event_type,
+         |    list(g.n * 1000 - l0.l0 ORDER BY g.day) AS s
+         |  FROM g JOIN l0 ON l0.event_type = g.event_type
+         |  WHERE g.i <= 7 GROUP BY 1),
+         |rec AS (
+         |  SELECT l0.event_type, CAST(7 AS BIGINT) AS i, l0.l0 AS lvl,
+         |    CAST(0 AS BIGINT) AS b, s0.s AS s,
+         |    CAST(NULL AS BIGINT) AS day, CAST(NULL AS BIGINT) AS n,
+         |    CAST(NULL AS BIGINT) AS forecast, CAST(NULL AS BIGINT) AS seas
+         |  FROM l0 JOIN s0 USING (event_type)
+         |  UNION ALL
+         |  SELECT r.event_type, x.i,
+         |    CAST($nl AS BIGINT),
+         |    CAST((100 * (($nl) - r.lvl) + 900 * r.b) // 1000 AS BIGINT),
+         |    r.s[2:7] || [CAST($ns AS BIGINT)],
+         |    x.day, x.n,
+         |    CAST(r.lvl + r.b + r.s[1] AS BIGINT),
+         |    CAST($ns AS BIGINT)
+         |  FROM g x JOIN rec r
+         |    ON x.event_type = r.event_type AND x.i = r.i + 1)
+         |SELECT event_type, day, n, forecast AS forecast_milli,
+         |  lvl AS level_milli, b AS trend_milli, seas AS seas_milli
+         |FROM rec WHERE i >= 8 ORDER BY event_type, day""".stripMargin
   }
 
   private val oracleBase: Map[String, String] = Map(
@@ -11430,6 +11485,7 @@ object ExtensionQueries {
     "q_ccf"             -> (ccfQ _),
     "q_cochran_armitage" -> (cochranArmitageQ _),
     "q_hill"            -> (hillQ _),
-    "q_mcnemar"         -> (mcnemarQ _)
+    "q_mcnemar"         -> (mcnemarQ _),
+    "q_hw_skill"        -> (hwSkillQ _)
   )
 }
