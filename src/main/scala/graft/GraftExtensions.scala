@@ -260,9 +260,25 @@ object GraftExtensions {
     val head = s.takeWhile(!_.isWhitespace).toUpperCase
     val isQuery = s.startsWith("(") || head == "SELECT" || head == "WITH"
     if (isQuery) {
-      val inner =
-        if (s.startsWith("(") && s.endsWith(")")) s.substring(1, s.length - 1)
-        else s
+      // strip outer parens ONLY when the opening paren closes at the
+      // final character — '(SELECT ...) UNION ALL (SELECT ...)' is one
+      // spec whose first paren closes mid-string, and stripping its
+      // ends would mangle it into invalid SQL
+      def outerParens: Boolean = {
+        if (!(s.startsWith("(") && s.endsWith(")"))) return false
+        var depth = 0
+        var i = 0
+        while (i < s.length - 1) {
+          // depth scan only — quoted parens inside string literals can
+          // miscount, but then depth hits 0 early and we fall back to
+          // passing the spec through unmodified, which still parses
+          if (s.charAt(i) == '(') depth += 1
+          else if (s.charAt(i) == ')') { depth -= 1; if (depth == 0) return false }
+          i += 1
+        }
+        depth == 1
+      }
+      val inner = if (outerParens) s.substring(1, s.length - 1) else s
       try spark.sql(s"SELECT * FROM ( $inner ) __graft_sub")
       catch {
         case e: Exception => throw new IllegalArgumentException(

@@ -55,9 +55,12 @@ object KeyedPrefix {
   def cumsum(df: DataFrame, keys: Seq[String], order: Seq[String],
              sums: Seq[(String, String)],
              countName: String = "n",
-             maxes: Seq[(String, String)] = Nil): DataFrame = {
+             maxes: Seq[(String, String)] = Nil,
+             maxCarryTuples: Int = 1 << 22): DataFrame = {
     require(keys.nonEmpty, "cumsum needs at least one key column")
     require(order.nonEmpty, "cumsum needs at least one order column")
+    require(maxCarryTuples >= 1,
+      s"maxCarryTuples must be >= 1, got $maxCarryTuples")
     val sorted = df.orderBy((keys ++ order).map(col): _*)
     val schema = sorted.schema
     (sums ++ maxes).foreach { case (in, _) =>
@@ -96,7 +99,19 @@ object KeyedPrefix {
     }
 
     // pass 1: per-(partition, key) totals; keys arrive in contiguous
-    // runs because the data is sorted by (keys ++ order)
+    // runs because the data is sorted by (keys ++ order). The "keys
+    // are few" premise is ENFORCED, not just documented (the public
+    // graft_cumsum TVF exposes this path to SQL users who can pass a
+    // high-cardinality key): each task fails fast past the tuple
+    // bound — before shipping anything to the driver — and the driver
+    // re-checks the cross-partition total before building the carry
+    // maps, so a bad key errors loudly instead of OOMing the driver.
+    def tooMany(n: Long): Nothing = throw new IllegalArgumentException(
+      s"cumsum pass 1 produced $n partition-x-key carry tuples " +
+        s"(bound $maxCarryTuples): the keyed-prefix scan is designed " +
+        "for FEW keys with long timelines — for a high-cardinality " +
+        "key use Window.partitionBy (each key fits one task there), " +
+        "or raise maxCarryTuples if the driver can hold the carries")
     val partials: Array[(Int, Array[(Seq[Any], Long, Array[Long])])] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
         val runs = scala.collection.mutable.ArrayBuffer
@@ -104,7 +119,10 @@ object KeyedPrefix {
         var curKey: Seq[Any] = null
         var cnt = 0L
         var acc: Array[Long] = null
-        def flush(): Unit = if (curKey != null) runs += ((curKey, cnt, acc))
+        def flush(): Unit = if (curKey != null) {
+          if (runs.length >= maxCarryTuples) tooMany(runs.length + 1L)
+          runs += ((curKey, cnt, acc))
+        }
         it.foreach { row =>
           val k = keyIdx.map(row.get(_)).toSeq
           if (k != curKey) {
@@ -116,6 +134,8 @@ object KeyedPrefix {
         flush()
         Iterator.single((pid, runs.toArray))
       }.collect()
+    val totalTuples = partials.map(_._2.length.toLong).sum
+    if (totalTuples > maxCarryTuples) tooMany(totalTuples)
 
     // driver: carry-in per (partition, key) = the same key's totals
     // over all EARLIER partitions

@@ -107,12 +107,31 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * bounds are fingerprinted by output ORDINAL, so re-running the
     * same query text (fresh exprIds each run) hits the cache.
     */
-  private val widthMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, LogicalPlan, Expression, Expression), Option[Double]]()
   private val WidthMemoCap = 256
+  // true LRU (access-ordered, evicts ONLY the eldest entry): the memo
+  // strongly retains canonicalized plan trees, so a long-lived
+  // multi-session driver must age cold entries out one at a time —
+  // the previous clear-all-at-cap both kept up to cap dead-session
+  // plans pinned and dumped hot entries with them
+  private val widthMemo = new java.util.LinkedHashMap[
+      (String, LogicalPlan, Expression, Expression), Option[Double]](
+      WidthMemoCap * 2, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, LogicalPlan, Expression, Expression),
+                               Option[Double]]): Boolean =
+      size() > WidthMemoCap
+  }
+  private def memoGet(k: (String, LogicalPlan, Expression, Expression))
+      : Option[Option[Double]] =
+    widthMemo.synchronized(Option(widthMemo.get(k)))
+  private def memoPut(k: (String, LogicalPlan, Expression, Expression),
+                      v: Option[Double]): Unit =
+    widthMemo.synchronized(widthMemo.put(k, v))
 
-  private[graft] def widthMemoSize: Int = widthMemo.size
-  private[graft] def clearWidthMemoForTest(): Unit = widthMemo.clear()
+  private[graft] def widthMemoSize: Int =
+    widthMemo.synchronized(widthMemo.size)
+  private[graft] def clearWidthMemoForTest(): Unit =
+    widthMemo.synchronized(widthMemo.clear())
 
   /** Exprid-free fingerprint of a bound expression: attributes become
     * their ordinal in the interval plan's output (equality-only
@@ -185,16 +204,15 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val keyed = sides.map { case s @ (p, lo, hi) =>
             (memoKey(spark, p, lo, hi), s)
           }
-          val misses = keyed.filter { case (k, _) => !widthMemo.containsKey(k) }
+          val misses = keyed.filter { case (k, _) => memoGet(k).isEmpty }
           if (misses.nonEmpty) {
-            if (widthMemo.size > WidthMemoCap) widthMemo.clear()
             val sampled = sampleWidths(spark, misses.map(_._2))
             misses.map(_._1).zip(sampled).foreach { case (k, w) =>
-              widthMemo.put(k, w)
+              memoPut(k, w)
             }
           }
           val ws = keyed.flatMap { case (k, _) =>
-            Option(widthMemo.get(k)).flatten
+            memoGet(k).flatten
           }
           if (ws.isEmpty) None else Some(ws.max)
         }

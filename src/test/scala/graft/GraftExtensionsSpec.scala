@@ -313,6 +313,28 @@ class GraftExtensionsSpec extends SparkSpec {
         |                'sid,tag', 'backward', 'false', 'sid')
         |ORDER BY eid""".stripMargin).collect().toSeq
     assert(bare === viaViews)
+    // a set-op spec wrapped in parens on BOTH sides: the first paren
+    // closes mid-string, so the outer pair must NOT be stripped (a
+    // naive strip would mangle it into ' SELECT...) UNION ALL (SELECT '
+    // and fail with a confusing parse error)
+    val viaUnion = spark.sql(
+      """SELECT eid, sid, tag FROM
+        |graft_asof_join('(SELECT * FROM tvf_left WHERE eid % 2 = 0)
+        |                 UNION ALL
+        |                 (SELECT * FROM tvf_left WHERE eid % 2 = 1)',
+        |                'tvf_right', 'uid', 't', 'st',
+        |                'sid,tag', 'backward', 'false', 'sid')
+        |ORDER BY eid""".stripMargin).collect().toSeq
+    assert(viaUnion === viaViews)
+    // quoted parens inside string literals fall back to pass-through
+    // (never a mangled strip)
+    val quoted = spark.sql(
+      """SELECT eid, sid, tag FROM
+        |graft_asof_join('(SELECT eid, uid, t, '')'' AS junk FROM tvf_left)',
+        |                'tvf_right', 'uid', 't', 'st',
+        |                'sid,tag', 'backward', 'false', 'sid')
+        |ORDER BY eid""".stripMargin).collect().toSeq
+    assert(quoted === viaViews)
     val err = intercept[Exception](spark.sql(
       "SELECT * FROM graft_asof_join('no_such_table_xyz', 'tvf_right', " +
         "'uid', 't', 'st', 'sid')").collect()).getMessage

@@ -119,6 +119,25 @@ class KeyedPrefixSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("cumsum")))
   }
 
+  test("high-cardinality keys fail fast at the carry-tuple bound " +
+    "(executor-side, before the driver collect) with a message naming " +
+    "the Window.partitionBy alternative") {
+    import spark.implicits._
+    val wide = (1 to 200).map(i => (s"k$i", 1L, 1L)).toDF("k", "ord", "v")
+    val ex = intercept[Exception] {
+      KeyedPrefix.cumsum(wide, Seq("k"), Seq("ord"), Seq("v" -> "cv"),
+        maxCarryTuples = 50).collect()
+    }
+    val msg = ex.getMessage +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("carry tuples") && msg.contains("Window.partitionBy"),
+      msg)
+    // under the bound the same frame passes (the guard is a bound,
+    // not a behavior change)
+    assert(KeyedPrefix.cumsum(wide, Seq("k"), Seq("ord"),
+      Seq("v" -> "cv"), maxCarryTuples = 4096).count() === 200L)
+  }
+
   test("output-name collision and non-Long sum column are rejected") {
     intercept[IllegalArgumentException] {
       KeyedPrefix.cumsum(df, Seq("k"), Seq("ord"), Seq("v" -> "ord"))
