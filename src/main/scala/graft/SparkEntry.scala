@@ -23,4 +23,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracle ++ AnalyticsQueries.oracle ++ ExtensionQueries.oracle
+
+  /** Oracles whose SQL embeds artifacts the run itself trains (the BPE
+    * merge table): not expressible as static strings, so Verify builds
+    * them against the dump-time session + dataset and overlays them on
+    * [[oracleSql]] when writing oracle_sql.json.
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    ExtensionQueries.dynamicOracle(spark, sfDir)
 }

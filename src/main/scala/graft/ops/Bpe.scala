@@ -233,6 +233,66 @@ object Bpe {
     merges.result()
   }
 
+  /** Whether a RANKED merge list admits the sequential-replace oracle
+    * form: applying each merge once, in rank order, as a replace-all
+    * over the delimiter-wrapped symbol string of a whole document is
+    * then bit-identical to the kernel's greedy-by-rank loop. Returns
+    * `None` when safe, `Some(reason)` naming the first violated
+    * condition otherwise.
+    *
+    * The argument (extends [[graft.queries.ExtensionQueries]]'s
+    * BpeFixedMerges proof from 3 pinned merges to any trained list):
+    * each symbol is rendered `\u0002 sym \u0003`, so a pair pattern
+    * `\u0002 l \u0003 \u0002 r \u0003` can only match two whole adjacent
+    * symbols — never across symbol boundaries (the open/close
+    * delimiters are distinct, so adjacent matches share no characters
+    * and leftmost non-overlapping replace-all equals the kernel's
+    * leftmost non-overlapping merge sweep, including the l == r case).
+    * One replace-all pass per merge reaches that merge's fixpoint: a
+    * replacement only creates adjacencies (x, lr) and (lr, y), and
+    * lr is strictly longer than l and r, so the SAME pair never
+    * reappears. Greedy-by-rank then equals rank-order sequential
+    * passes iff no LATER merge can create an adjacency an EARLIER pair
+    * matches — i.e. no later product equals an earlier pair's
+    * component (condition 1 below). Whole-document (rather than
+    * per-word) replacement is safe iff no left component can be a
+    * word-terminal symbol — terminal symbols always carry `endMark` as
+    * a suffix and nothing else does (condition 2; training on per-word
+    * sequences can never emit such a pair, because a terminal symbol
+    * has no right neighbor). Components that are NOT single characters
+    * or earlier products are harmless: their delimited pattern simply
+    * never matches on either side. Conditions 3-4 are representation
+    * guards for the delimiters and the pair keys.
+    */
+  def sequentialReplaceUnsafe(merges: Seq[(String, String)],
+                              endMark: String = "</w>"): Option[String] = {
+    var i = 0
+    while (i < merges.length) {
+      val (l, r) = merges(i)
+      if (l.isEmpty || r.isEmpty)
+        return Some(s"merge $i has an empty component")
+      if (Seq(l, r).exists(_.exists(ch =>
+            ch == ' ' || ch == '\u0002' || ch == '\u0003')))
+        return Some(s"merge $i component contains a space or a " +
+          "\\u0002/\\u0003 delimiter character")
+      if (l.endsWith(endMark))
+        return Some(s"merge $i left component ends with the end mark " +
+          s"'$endMark' — whole-document replace could merge across words")
+      val prod = l + r
+      var j = 0
+      while (j < i) {
+        val (lj, rj) = merges(j)
+        if (prod == lj || prod == rj)
+          return Some(s"merge $i product '$prod' equals a component of " +
+            s"earlier merge $j — sequential replace diverges from " +
+            "greedy-by-rank")
+        j += 1
+      }
+      i += 1
+    }
+    None
+  }
+
   /** Encode a corpus with a FROZEN merge list: (id, bpe_tokens,
     * n_bpe_tokens) — per word, the ranked-merge loop runs in the
     * native kernel; per document, the word encodings flatten in order.

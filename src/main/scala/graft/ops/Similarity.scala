@@ -266,6 +266,87 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_q")
   }
 
+  /** The nprobe SWEEP as one probe: [[ivfTopK]] results for EVERY
+    * width in `sweeps` (output gains a leading `nprobe` column),
+    * derived from a single scoring pass at the WIDEST width. An arm's
+    * candidate set is exactly "lists ranked ≤ np for the query", so
+    * the widest probe's scored candidates — kept with their list rank
+    * `c_rn` — contain every narrower arm, and an arm's top-k rank is
+    * the running count of better-scoring candidates from lists ranked
+    * ≤ np: ONE window sort per query (the unique (cos, id) order
+    * row_number uses), one running sum per arm, no re-probe and no
+    * re-score per width. Bit-identical to calling [[ivfTopK]] once per
+    * width (OpsSpec pins arm-for-arm equality); cost of ~one widest
+    * probe instead of Σ arms — the shape a recall-tuning sweep should
+    * have at any corpus size.
+    */
+  def ivfTopKSweep(queries: DataFrame, corpus: DataFrame, k: Int,
+                   sweeps: Seq[Int],
+                   centroidStride: Int = 37, dim: Int = 64,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   centroids: Option[DataFrame] = None,
+                   corpusAssigned: Option[DataFrame] = None): DataFrame = {
+    require(sweeps.nonEmpty && sweeps.forall(_ >= 1),
+      s"sweeps must be >= 1, got $sweeps")
+    require(sweeps == sweeps.sorted && sweeps.distinct == sweeps,
+      s"sweeps must be strictly increasing, got $sweeps")
+    val npMax = sweeps.last
+    val cent = centroids
+      .map(_.select(col("centroid_id"), col("centv"))
+        .withColumn("centn", norm(col("centv"), dim)))
+      .getOrElse(corpus.filter(col(idCol) % centroidStride === 0)
+        .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv"))
+        .withColumn("centn", norm(col("centv"), dim)))
+    val c = corpusAssigned
+      .map(_.select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("cv"), col("cn")))
+      .getOrElse(throw new IllegalArgumentException(
+        "ivfTopKSweep needs corpusAssigned (the shared posting-list " +
+          "index) — a sweep re-building the index per call would hide " +
+          "the build cost the sweep exists to compare against"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv"), dim))
+      .crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosQ(col("qv"), col("centv"), col("qn"), col("centn"), dim))
+      .withColumn("c_rn", row_number().over(wc))
+      .filter(col("c_rn") <= npMax)
+      .select(col("centroid_id"), col("query_id"), col("qv"), col("qn"),
+        col("c_rn"))
+    val scored = c.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_q", cosQ(col("qv"), col("cv"), col("qn"), col("cn"), dim))
+    // the ONE per-query sort all arms share; (cos_q desc, neighbor_id)
+    // is a total order, so the running count over rows ranked at-or-
+    // before equals row_number over the arm's filtered candidate set
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cums = scored.select(
+      (Seq(col("query_id"), col("neighbor_id"), col("cos_q"), col("c_rn")) ++
+        sweeps.map(np =>
+          sum(when(col("c_rn") <= np, 1L).otherwise(0L)).over(w)
+            .as(s"rk_$np"))): _*)
+    // arms come out of ONE pass via a 3-literal explode — a union of
+    // per-arm filters would fan the window subtree out once per arm
+    // and re-run the probe per branch
+    val armStructs = array(sweeps.map(np =>
+      struct(lit(np).as("nprobe"), col(s"rk_$np").as("rank"))): _*)
+    cums
+      .select(col("query_id"), col("neighbor_id"), col("cos_q"),
+        col("c_rn"), explode(armStructs).as("arm"))
+      .filter(col("c_rn") <= col("arm.nprobe") && col("arm.rank") <= k)
+      .select(col("arm.nprobe").as("nprobe"), col("query_id"),
+        col("neighbor_id"), col("arm.rank").cast("int").as("rank"),
+        col("cos_q"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
     * of two retrieval rankings — the standard hybrid-search combiner
     * (lexical + dense, the shape every RAG stack ships): per
@@ -1226,5 +1307,70 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos_q")
+  }
+
+  /** ANN serving ADVISOR — closes the loop the recall audits open: the
+    * audit says "recall@k is 0.28 at nprobe=2" and the curve sweeps
+    * the knob, but a user still hand-picks nprobe. This picks it: per
+    * recall target, the SMALLEST nprobe whose sampled recall meets the
+    * target (the curve is monotone in nprobe, so smallest-meeting is
+    * cheapest-meeting), with `met_target = false` and the widest swept
+    * probe when no arm reaches it — an honest "the index itself needs
+    * work" row, which is when the `rebuild_any` flag (any skewed
+    * posting list, the [[Profile.indexHealth]] criterion) points at
+    * the fix. Cost columns make the recall/latency trade explicit:
+    * `cost_rows_mean` = nprobe × mean list size (expected vectors
+    * scanned per query under balanced probing) and `cost_rows_worst`
+    * = the nprobe LARGEST lists' total (the adversarial query that
+    * probes every hot list).
+    *
+    * Inputs are the two frames the audits already build — the
+    * nprobe→recall curve (`nprobe`, `recall_ppm`) and the posting-list
+    * health table (`list_key`, `n_items`, `n_lists`, `total_items`,
+    * `skewed`) — so advising adds NO probe work on top of the audits.
+    * Every join here is a broadcast against frames bounded by index
+    * GEOMETRY (swept arms × targets, posting-list count), never by
+    * corpus size; the one Window ranks the lists-sized health frame
+    * (single partition of ≤ lists rows — geometry again, the place a
+    * window is the right tool). Exact integer math throughout.
+    */
+  def servingAdvisor(curve: DataFrame, health: DataFrame,
+                     targetsPpm: Seq[Long]): DataFrame = {
+    require(targetsPpm.nonEmpty, "servingAdvisor needs >= 1 recall target")
+    require(targetsPpm == targetsPpm.sorted && targetsPpm.distinct == targetsPpm,
+      s"targets must be strictly increasing, got $targetsPpm")
+    val spark = curve.sparkSession
+    import spark.implicits._
+    val t = targetsPpm.toDF("target_ppm")
+    val c = curve.select(col("nprobe").cast("long").as("nprobe"),
+      col("recall_ppm").cast("long").as("recall_ppm"))
+    val widest = c.agg(max(col("nprobe")).as("np_max"))
+    val pick = t.crossJoin(broadcast(c))
+      .groupBy("target_ppm")
+      .agg(min(when(col("recall_ppm") >= col("target_ppm"), col("nprobe")))
+        .as("np_met"))
+      .crossJoin(broadcast(widest))
+      .select(col("target_ppm"),
+        coalesce(col("np_met"), col("np_max")).as("nprobe"))
+    val g = health.agg(
+      max(col("n_lists")).cast("long").as("n_lists"),
+      max(col("total_items")).cast("long").as("total_items"),
+      expr("bool_or(skewed)").as("rebuild_any"))
+    val rk = health.select(col("n_items").cast("long").as("n_items"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_items").desc, col("list_key"))).as("rk"))
+    val worst = pick.join(broadcast(rk), col("rk") <= col("nprobe"))
+      .groupBy("target_ppm", "nprobe")
+      .agg(sum(col("n_items")).as("cost_rows_worst"))
+    pick
+      .join(broadcast(c), Seq("nprobe"))
+      .join(broadcast(worst), Seq("target_ppm", "nprobe"))
+      .crossJoin(broadcast(g))
+      .select(col("target_ppm"), col("nprobe"), col("recall_ppm"),
+        (col("recall_ppm") >= col("target_ppm")).as("met_target"),
+        (col("nprobe") * expr("total_items div n_lists"))
+          .as("cost_rows_mean"),
+        col("cost_rows_worst"), col("rebuild_any"))
+      .orderBy("target_ppm")
   }
 }

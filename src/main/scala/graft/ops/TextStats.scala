@@ -664,19 +664,32 @@ object TextStats {
     * boilerplate CARDINALITY (high-frequency, low-cardinality — that
     * is what makes it boilerplate), the same smallness argument the
     * batch op's broadcast rests on; refresh offline, ship to the
-    * stream as a literal.
+    * stream as a literal. The smallness premise is ENFORCED, not just
+    * argued (the [[Dedup]] union-find discipline): the collect is
+    * capped at `maxHashes + 1` rows plan-side, and overflow throws
+    * with the remediation instead of flooding the driver.
     */
   def commonLineHashes(docs: DataFrame, minDocs: Int = 2,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): Array[String] = {
+                       textCol: String = "text",
+                       maxHashes: Int = 1 << 20): Array[String] = {
     require(minDocs >= 2, "minDocs must be >= 2")
-    commonFromExploded(
+    require(maxHashes >= 1, s"maxHashes must be >= 1, got $maxHashes")
+    val got = commonFromExploded(
       docs.filter(col(textCol).isNotNull)
         .select(col(idCol).as("doc_id"),
           posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
         .select(col("doc_id"), md5(col("line")).as("h")),
       minDocs)
-      .orderBy("h").collect().map(_.getString(0))
+      .orderBy("h").limit(maxHashes + 1).collect().map(_.getString(0))
+    if (got.length > maxHashes)
+      throw new IllegalArgumentException(
+        s"commonLineHashes: more than $maxHashes distinct common lines " +
+          s"at minDocs=$minDocs — this corpus's repeated lines are not " +
+          "low-cardinality boilerplate; raise minDocs (a higher bar IS " +
+          "the boilerplate definition), or raise maxHashes if the " +
+          "driver and the streaming broadcast can hold the set")
+    got
   }
 
   /** Exact duplicated-span REMOVAL — the cleanup step behind the
@@ -1496,8 +1509,51 @@ object TextStats {
     def grams(df: DataFrame, keep: Seq[String]): DataFrame =
       df.select(keep.map(col) :+
         explode(gramBuckets(textCol, buckets)).as("b"): _*)
-    val rawB = grams(raw, Nil).groupBy("b").agg(count(lit(1)).as("cr"))
+    val dg = grams(raw, Seq(idCol))
+      .select(col(idCol).as("doc_id"), col("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
     val tgtB = grams(target, Nil).groupBy("b").agg(count(lit(1)).as("ct"))
+    weightsFromCounts(dg, tgtB, buckets)
+  }
+
+  /** [[importanceWeights]] when the target IS a row-subset of the raw
+    * corpus (the overwhelmingly common DSIR deployment: "weight the
+    * crawl toward its own high-quality slice"): the gram-hash scan —
+    * the expensive part, two md5s per token — runs over the raw corpus
+    * EXACTLY ONCE, carrying a per-doc target flag; the raw and target
+    * bucket distributions and the per-doc scores all derive from that
+    * one (doc, bucket, count) frame. Bit-identical to
+    * `importanceWeights(raw, raw.filter(targetCond))` (same counts,
+    * same quantized log-ratio, same per-doc sums) at ~half the scan
+    * cost. `targetCond` must be deterministic per row.
+    */
+  def importanceWeightsWithin(raw: DataFrame, targetCond: Column,
+                              buckets: Int = 1024,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    // ONE gram-hash scan, materialized skinny (doc, flag, bucket,
+    // count) — the three consumers below (raw distribution, target
+    // distribution, per-doc scores) re-read blocks instead of
+    // re-hashing the corpus (the lmScore `bg` discipline; leaving it
+    // to exchange reuse measurably re-ran the scan per branch)
+    val dgt = raw
+      .select(col(idCol).as("doc_id"), targetCond.as("_t"),
+        explode(gramBuckets(textCol, buckets)).as("b"))
+      .groupBy("doc_id", "_t", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tgtB = dgt.filter(col("_t")).groupBy("b")
+      .agg(sum(col("c")).as("ct"))
+    weightsFromCounts(dgt.select("doc_id", "b", "c"), tgtB, buckets)
+  }
+
+  /** Shared tail of the two weight entry points: distributions,
+    * quantized log-ratio table, per-doc integer sums — from the
+    * per-(doc, bucket) count frame `dg` and the target bucket counts.
+    */
+  private def weightsFromCounts(dg: DataFrame, tgtB: DataFrame,
+                                buckets: Int): DataFrame = {
+    val rawB = dg.groupBy("b").agg(sum(col("c")).as("cr"))
     val totR = rawB.agg(coalesce(sum(col("cr")), lit(0L)).as("tot_r"))
     val totT = tgtB.agg(coalesce(sum(col("ct")), lit(0L)).as("tot_t"))
     val lr = rawB.join(tgtB, Seq("b"), "left")
@@ -1508,10 +1564,7 @@ object TextStats {
           ((col("cr") + 1) * (col("tot_t") + buckets)).cast("double"))
         * 10000).cast("long"))
       .select("b", "lrq")
-    grams(raw, Seq(idCol))
-      .select(col(idCol).as("doc_id"), col("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .join(broadcast(lr), Seq("b"))
+    dg.join(broadcast(lr), Seq("b"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_grams"),
         sum(col("c") * col("lrq")).as("sum_lrq"))

@@ -510,8 +510,11 @@ object ExtensionQueries {
     */
   private def dsirWeights(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "dsir_w")(
-      TextStats.importanceWeights(docs(s, d),
-        docs(s, d).filter(col("lang") === "en")))
+      // target ⊆ raw (the English slice of the same corpus), so the
+      // single-scan path applies — bit-identical to the two-corpus
+      // form, one gram-hash scan instead of two (TextStatsSpec pins
+      // the equality)
+      TextStats.importanceWeightsWithin(docs(s, d), col("lang") === "en"))
 
   /** DSIR importance weights over the full corpus, with the English
     * documents as the target distribution — the score a weighted
@@ -3178,15 +3181,63 @@ object ExtensionQueries {
   /** BPE tokenizer: train 24 merges on the corpus word-frequency
     * table (vocab-sized driver loop — [[Bpe.train]]), encode every
     * document with the frozen merges (pure projection, native
-    * kernel), emit per-doc BPE token counts. NO oracle by design: the
-    * greedy-by-rank merge loop is iterative and not SQL-expressible —
-    * the driver records the rows-only check; semantics are pinned by
-    * BpeSpec (hand-computed traces + the classic worked example + the
-    * lossless round-trip on this very corpus).
+    * kernel), emit per-doc BPE token counts. Oracle-gated via the
+    * DYNAMIC oracle path: the trained merges aren't static SQL (the
+    * greedy merge loop is iterative), so Verify builds the oracle at
+    * dump time — [[bpeEncodeOracleSql]] embeds the trained merge list
+    * as literals in the same delimiter-wrapped sequential-replace form
+    * the fixed twin proves exact ([[Bpe.sequentialReplaceUnsafe]]
+    * carries the proof obligations), and DuckDB independently re-runs
+    * char split → 24 replaces → token count. Trainer semantics stay
+    * pinned by BpeSpec (hand-computed traces + the classic worked
+    * example + the lossless round-trip on this very corpus).
     */
   def bpeEncodeQ(s: SparkSession, d: String): DataFrame =
     Bpe.encode(docs(s, d), bpeMerges(s, d))
       .select("doc_id", "n_bpe_tokens").orderBy("doc_id")
+
+  /** The q_bpe_encode oracle, parameterized by a trained merge list:
+    * each word renders as -char- delimited symbols plus the
+    * delimited end mark, the document's words concatenate, and each
+    * merge applies once in rank order as a whole-string replace-all —
+    * bit-identical to the kernel's greedy-by-rank loop whenever
+    * [[Bpe.sequentialReplaceUnsafe]] returns None (see its scaladoc for
+    * the four conditions and the proof; trained lists satisfy them by
+    * construction except for astronomically unlikely textual product/
+    * component collisions, where this returns None and the driver falls
+    * back to the rows-only check it recorded before round 11).
+    */
+  def bpeEncodeOracleSql(merges: Seq[(String, String)]): Option[String] =
+    Bpe.sequentialReplaceUnsafe(merges) match {
+      case Some(_) => None
+      case None =>
+        def lit(v: String) = "'" + v.replace("'", "''") + "'"
+        def sym(v: String) = s"chr(2) || ${lit(v)} || chr(3)"
+        val folded = merges.foldLeft("s") { case (acc, (l, r)) =>
+          s"replace($acc, ${sym(l)} || ${sym(r)}, ${sym(l + r)})"
+        }
+        Some(
+          s"""WITH sym AS (SELECT doc_id,
+             |    array_to_string(list_transform(
+             |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+             |      w -> regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')
+             |           || chr(2) || '</w>' || chr(3)), '') AS s
+             |  FROM documents),
+             |enc AS (SELECT doc_id, $folded AS s FROM sym)
+             |SELECT doc_id,
+             |  CAST(len(s) - len(replace(s, chr(2), '')) AS BIGINT)
+             |    AS n_bpe_tokens
+             |FROM enc ORDER BY doc_id""".stripMargin)
+    }
+
+  /** Oracles that depend on run-trained artifacts (today: the BPE merge
+    * table) — Verify overlays these on the static map when dumping
+    * oracle_sql.json, so the driver's DuckDB compare gates the trained
+    * encode too.
+    */
+  def dynamicOracle(s: SparkSession, d: String): Map[String, String] =
+    bpeEncodeOracleSql(bpeMerges(s, d))
+      .map("q_bpe_encode" -> _).toMap
 
   /** Pinned WELL-FORMED merge list for the oracle-checkable encode
     * path: components are single characters or products of EARLIER
@@ -3913,23 +3964,53 @@ object ExtensionQueries {
     * nprobe at linearly growing probe cost; the index itself never
     * changes). Exact integer mean: sum(hits)·10⁶ div sum(truth).
     */
-  def recallCurve(s: SparkSession, d: String): DataFrame = {
-    val e = embs(s, d)
-    val q = e.filter(col("vec_id") % 50 === 0)
-    val exact = Similarity.bruteForceTopK(q, e, k = 5)
-      .select(col("query_id"), col("neighbor_id"))
-    Seq(1, 2, 4).map { np =>
-      val approx = Similarity.ivfTopK(q, e, k = 5, nprobe = np,
+  def recallCurve(s: SparkSession, d: String): DataFrame =
+    sharedRecallCurve(s, d).orderBy("nprobe")
+
+  /** The swept curve as a SHARED frame: q_recall_curve reports it and
+    * [[annAdvisorQ]] argmins over it — advising must read the same
+    * measurement the audit published, and the sweep (3 probes + the
+    * ground-truth join) is the expensive part, so it materializes
+    * once.
+    */
+  private def sharedRecallCurve(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "recall_curve") {
+      import s.implicits._
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity.bruteForceTopK(q, e, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val arms = Seq(1, 2, 4)
+      // ONE probe at the widest width; every arm derives from it
+      // ([[Similarity.ivfTopKSweep]], arm-for-arm identical to the
+      // per-width probes this replaced — OpsSpec pins it)
+      val approx = Similarity.ivfTopKSweep(q, e, k = 5, sweeps = arms,
           corpusAssigned = Some(ivfAssignment(s, d)),
           centroids = ivfCentroidsOpt(s, d))
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("_h"))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+          lit(1L).as("_h"))
+      exact.crossJoin(broadcast(arms.toDF("nprobe")))
+        .join(approx, Seq("nprobe", "query_id", "neighbor_id"), "left")
+        .groupBy("nprobe")
         .agg(count(lit(1)).as("n_truth"),
           sum(coalesce(col("_h"), lit(0L))).as("n_hits"))
-        .select(lit(np).as("nprobe"), col("n_truth"), col("n_hits"),
+        .select(col("nprobe"), col("n_truth"), col("n_hits"),
           expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
-    }.reduce(_.unionByName(_)).orderBy("nprobe")
-  }
+    }
+
+  /** ANN serving advisor ([[Similarity.servingAdvisor]]) — the row a
+    * service reads instead of eyeballing q_recall_curve: per recall
+    * target, the smallest swept nprobe that meets it on the sampled
+    * ground truth, the expected and worst-case probe cost in scanned
+    * vectors, and the rebuild flag from the same posting-list health
+    * the q_ivf_health audit publishes. Shares the curve and health
+    * frames with the audits (zero extra probe work); targets bracket
+    * the fixture's measured 0.18/0.28/0.44 recall arms so every
+    * outcome shape (met at 1, met at 2, met at 4, unmet) appears.
+    */
+  def annAdvisorQ(s: SparkSession, d: String): DataFrame =
+    Similarity.servingAdvisor(sharedRecallCurve(s, d), ivfHealth(s, d),
+      Seq(150000L, 250000L, 400000L, 600000L))
 
   /** Matryoshka truncation-recall audit (Kusupati et al., NeurIPS
     * 2022 "Matryoshka Representation Learning"): recall@5 of
@@ -4864,7 +4945,10 @@ object ExtensionQueries {
     psi(ev.select(col("event_type"),
       floor(AnalyticsQueries.epochUs(ev, "ts") / lit(86400000000L))
         .cast("long").as("day"),
-      expr("least(CAST(floor(value * 1000) AS BIGINT) div 25000, 9L)")
+      // clamped at BOTH ends: a negative value must land in bucket 0
+      // (the streaming twin's rule), not fall out of the 0..9 grid
+      // join while still counting in n_ref/n_cur
+      expr("greatest(least(CAST(floor(value * 1000) AS BIGINT) div 25000, 9L), 0L)")
         .as("bucket")))
   }
 
@@ -5943,6 +6027,34 @@ object ExtensionQueries {
   // lazy: oracleBase is declared below (keeping the giant literal at the
   // end of the file); by first access it is initialized
   lazy val oracle: Map[String, String] = oracleBase +
+    // advisor over the (already hash-gated) curve + health chains —
+    // one definition per input, two gates, no drift between them
+    ("q_ann_advisor" ->
+      s"""WITH c AS (SELECT * FROM ($recallCurveOracleSql)),
+         |h AS (SELECT * FROM (${oracleBase("q_ivf_health")})),
+         |t AS (SELECT CAST(unnest([150000, 250000, 400000, 600000])
+         |    AS BIGINT) AS target_ppm),
+         |pick AS (SELECT t.target_ppm,
+         |    CAST(COALESCE(min(CASE WHEN c.recall_ppm >= t.target_ppm
+         |        THEN c.nprobe END), (SELECT max(nprobe) FROM c)) AS BIGINT)
+         |      AS nprobe
+         |  FROM t CROSS JOIN c GROUP BY 1),
+         |hr AS (SELECT n_items,
+         |    row_number() OVER (ORDER BY n_items DESC, list_key) AS rk
+         |  FROM h),
+         |g AS (SELECT CAST(max(n_lists) AS BIGINT) AS n_lists,
+         |    CAST(max(total_items) AS BIGINT) AS total_items,
+         |    bool_or(skewed) AS rebuild_any FROM h)
+         |SELECT p.target_ppm, p.nprobe,
+         |  CAST(c.recall_ppm AS BIGINT) AS recall_ppm,
+         |  c.recall_ppm >= p.target_ppm AS met_target,
+         |  CAST(p.nprobe * (g.total_items // g.n_lists) AS BIGINT)
+         |    AS cost_rows_mean,
+         |  (SELECT CAST(sum(n_items) AS BIGINT) FROM hr
+         |   WHERE rk <= p.nprobe) AS cost_rows_worst,
+         |  g.rebuild_any
+         |FROM pick p JOIN c ON c.nprobe = p.nprobe CROSS JOIN g
+         |ORDER BY p.target_ppm""".stripMargin) +
     // the histogram oracle wraps the (already hash-gated) cluster
     // chain — one definition, two gates, no drift between them
     ("q_cluster_sizes" ->
@@ -7434,7 +7546,7 @@ object ExtensionQueries {
         |WHERE rn = (np + 1) // 2 ORDER BY event_type""".stripMargin) +
     ("q_psi" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |    least(CAST(floor(value * 1000) AS BIGINT) // 25000, 9)
+        |    greatest(least(CAST(floor(value * 1000) AS BIGINT) // 25000, 9), 0)
         |      AS bucket
         |  FROM events),
         |sp AS (SELECT event_type, (min(day) + max(day)) // 2 AS mid
@@ -8186,6 +8298,58 @@ object ExtensionQueries {
          |SELECT event_type, day, n, forecast AS forecast_milli,
          |  lvl AS level_milli, b AS trend_milli, seas AS seas_milli
          |FROM rec WHERE i >= 8 ORDER BY event_type, day""".stripMargin
+  }
+
+  /** The q_recall_curve oracle text, extracted so the q_ann_advisor
+    * oracle can embed the SAME curve definition as a CTE — one
+    * definition, two gates, no drift (the q_cluster_sizes discipline).
+    */
+  private val recallCurveOracleSql: String = {
+    val arms = Seq(1, 2, 4).map { np =>
+      s"""SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  (CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // count(*) AS recall_ppm
+         |FROM exact x LEFT JOIN (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        CAST(floor(10000 * (
+         |          list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+         |          (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+         |           sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+         |      FROM (SELECT vec_id, v, centroid_id FROM ranked
+         |            WHERE rn <= $np AND vec_id % 50 = 0) q
+         |      JOIN cassign c ON q.centroid_id = c.centroid_id
+         |      WHERE q.vec_id <> c.vec_id)) WHERE rank <= 5) a
+         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+       |ranked AS (
+       |    SELECT a.vec_id, a.v, c.centroid_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(floor(10000 * (
+       |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+       |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+       |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+       |        c.centroid_id) AS rn
+       |    FROM e a CROSS JOIN cent c),
+       |cassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1),
+       |escored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  CAST(floor(10000 * (
+       |    list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+       |    (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+       |     sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+       |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+       |er AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+       |  FROM escored),
+       |exact AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 5)
+       |${arms.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY nprobe""".stripMargin
   }
 
   private val oracleBase: Map[String, String] = Map(
@@ -10572,53 +10736,7 @@ object ExtensionQueries {
         |  (CAST(r.round AS BIGINT) - 1) * (SELECT n_src FROM ns) + idx.src_idx
         |    AS global_pos
         |FROM r JOIN idx USING (source) ORDER BY global_pos""".stripMargin,
-    "q_recall_curve" -> {
-      val arms = Seq(1, 2, 4).map { np =>
-        s"""SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS n_truth,
-           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-           |  (CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-           |    * 1000000) // count(*) AS recall_ppm
-           |FROM exact x LEFT JOIN (
-           |  SELECT query_id, neighbor_id FROM (
-           |    SELECT query_id, neighbor_id,
-           |      row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
-           |    FROM (
-           |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |        CAST(floor(10000 * (
-           |          list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
-           |          (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
-           |           sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
-           |      FROM (SELECT vec_id, v, centroid_id FROM ranked
-           |            WHERE rn <= $np AND vec_id % 50 = 0) q
-           |      JOIN cassign c ON q.centroid_id = c.centroid_id
-           |      WHERE q.vec_id <> c.vec_id)) WHERE rank <= 5) a
-           |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin
-      }
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
-         |ranked AS (
-         |    SELECT a.vec_id, a.v, c.centroid_id,
-         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-         |        CAST(floor(10000 * (
-         |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
-         |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
-         |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
-         |        c.centroid_id) AS rn
-         |    FROM e a CROSS JOIN cent c),
-         |cassign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1),
-         |escored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |  CAST(floor(10000 * (
-         |    list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
-         |    (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
-         |     sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
-         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
-         |er AS (SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
-         |  FROM escored),
-         |exact AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 5)
-         |${arms.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY nprobe""".stripMargin
-    },
+    "q_recall_curve" -> recallCurveOracleSql,
     "q_ann_recall" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -11362,6 +11480,7 @@ object ExtensionQueries {
     "q_data_card"       -> (dataCard _),
     "q_quality_ensemble" -> (qualityEnsemble _),
     "q_recall_curve"    -> (recallCurve _),
+    "q_ann_advisor"     -> (annAdvisorQ _),
     "q_train_probe"     -> (trainProbe _),
     "q_mix_weights"     -> (mixWeights _),
     "q_shard"           -> (shard _),

@@ -172,6 +172,77 @@ class BpeSpec extends SparkSpec {
       assert(applyMerges(w, fixed) === oracle(w), s"word=$w")
   }
 
+  /** The q_bpe_encode DYNAMIC oracle's semantics, mirrored in Scala:
+    * delimiter-wrapped symbols over the whole document, one literal
+    * replace-all per merge in rank order (java.lang.String.replace is
+    * leftmost non-overlapping — the same contract as DuckDB replace),
+    * token count = open-delimiter count.
+    */
+  private def delimitedOracleCount(text: String,
+                                   merges: Seq[(String, String)]): Long = {
+    def sym(s: String) = "\u0002" + s + "\u0003"
+    val s0 = text.split(" ").filter(_.nonEmpty).map { w =>
+      val cps = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      cps.map(sym).mkString + sym("</w>")
+    }.mkString
+    val s = merges.foldLeft(s0) { case (acc, (l, r)) =>
+      acc.replace(sym(l) + sym(r), sym(l + r))
+    }
+    s.count(_ == '\u0002')
+  }
+
+  test("sequentialReplaceUnsafe accepts trained lists and rejects each " +
+    "documented hazard by name") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 24)
+    assert(Bpe.sequentialReplaceUnsafe(merges) === None)
+    // later product equals an earlier pair's component: with
+    // [(ab,c), (a,b)] greedy encodes "abc" as [abc] (rank-1 creates
+    // the adjacency rank-0 then consumes) but sequential passes stop
+    // at [ab, c] — exactly the divergence the check guards
+    assert(Bpe.sequentialReplaceUnsafe(
+      Seq("ab" -> "c", "a" -> "b")).exists(_.contains("earlier merge")))
+    // left component carrying the end mark (cross-word replace hazard)
+    assert(Bpe.sequentialReplaceUnsafe(
+      Seq("t</w>" -> "x")).exists(_.contains("end mark")))
+    // representation guards
+    assert(Bpe.sequentialReplaceUnsafe(
+      Seq("a b" -> "c")).exists(_.contains("space")))
+    assert(Bpe.sequentialReplaceUnsafe(
+      Seq("" -> "c")).exists(_.contains("empty")))
+  }
+
+  test("delimited sequential-replace oracle equals the greedy kernel " +
+    "on the TRAINED sf0.001 merges (whole corpus) and on the boundary " +
+    "trap a space-joined replace gets wrong") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 24)
+    assert(Bpe.sequentialReplaceUnsafe(merges) === None)
+    val kernel = Bpe.encode(docs, merges)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    val texts = docs.as[(Long, String)].collect()
+    assert(texts.nonEmpty)
+    for ((id, text) <- texts)
+      assert(delimitedOracleCount(Option(text).getOrElse(""), merges)
+        === kernel(id), s"doc_id=$id")
+    // merges (a,b) then (b,c) on "abc": greedy yields [ab, c, </w>]
+    // (b,c never becomes adjacent) = 3 tokens; a space-joined oracle
+    // would falsely match "b c" inside "ab c" and claim 2 — the
+    // delimiter wrapping is what makes the trained oracle exact
+    val trap = Seq("a" -> "b", "b" -> "c")
+    assert(Bpe.sequentialReplaceUnsafe(trap) === None)
+    assert(applyMerges("abc", trap) === Seq("ab", "c", "</w>"))
+    assert(delimitedOracleCount("abc", trap) === 3L)
+    // and the oracle builder refuses exactly when the checker does
+    import graft.queries.ExtensionQueries
+    assert(ExtensionQueries.bpeEncodeOracleSql(merges).isDefined)
+    assert(ExtensionQueries.bpeEncodeOracleSql(
+      Seq("ab" -> "c", "a" -> "b")).isEmpty)
+  }
+
   test("fertilityByGroup aggregates hand-computed words/tokens/chars " +
     "per language, counting null text as empty") {
     // merges: a+b. Per doc ([sym]</w> per word):

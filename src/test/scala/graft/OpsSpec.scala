@@ -914,6 +914,14 @@ class OpsSpec extends SparkSpec {
     // logw is exactly the quantized long sum / 10000
     assert(rows.values.forall(r =>
       r.getAs[Double]("logw") === r.getAs[Long]("sum_lrq").toDouble / 10000))
+    // the single-scan subset path is BIT-IDENTICAL to the two-corpus
+    // form whenever target = raw.filter(cond) — same counts, same
+    // quantized ratios, same sums (this equality is what lets q_dsir
+    // halve its gram-hash scans)
+    val within = TextStats.importanceWeightsWithin(raw, col("lang") === "en")
+    assert(within.orderBy("doc_id").collect().toSeq ===
+      out.orderBy("doc_id").collect().toSeq)
+    assert(within.columns.toSeq === out.columns.toSeq)
   }
 
   test("trainLinearProbe: the all-integer LMS actually LEARNS (squared " +
@@ -2276,5 +2284,71 @@ class OpsSpec extends SparkSpec {
     assert(viaKernel(1L) === Seq(3L, 0L, 0L, 0L, 1L))
     assert(viaKernel(2L) === Seq(0L, 1L, 1L, 0L, 0L))
     assert(viaKernel(3L) === Seq(0L, 0L, 0L, 3L, 1L))
+  }
+
+  test("ivfTopKSweep: every arm is bit-identical to the per-width " +
+    "ivfTopK probe it replaces (same candidates, same ranks, same " +
+    "quantized scores) on the real embedding fixture") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val assigned = Similarity.assignToCentroids(e)
+    val sweeps = Seq(1, 2, 4)
+    val sweep = Similarity.ivfTopKSweep(q, e, k = 5, sweeps = sweeps,
+        corpusAssigned = Some(assigned))
+      .select("nprobe", "query_id", "neighbor_id", "rank", "cos_q")
+      .collect().map(_.toString).sorted.toSeq
+    val perWidth = sweeps.flatMap { np =>
+      Similarity.ivfTopK(q, e, k = 5, nprobe = np,
+          corpusAssigned = Some(assigned))
+        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"),
+          col("rank"), col("cos_q"))
+        .collect().map(_.toString)
+    }.sorted
+    assert(sweep.nonEmpty)
+    assert(sweep === perWidth)
+    // contract guards: unsorted sweeps and a missing shared index fail
+    intercept[IllegalArgumentException](
+      Similarity.ivfTopKSweep(q, e, k = 5, sweeps = Seq(2, 1),
+        corpusAssigned = Some(assigned)))
+    intercept[IllegalArgumentException](
+      Similarity.ivfTopKSweep(q, e, k = 5, sweeps = Seq(1)))
+  }
+
+  test("servingAdvisor: smallest nprobe meeting each target; RAISING " +
+    "the target provably raises (never lowers) the chosen nprobe; " +
+    "unmet targets keep the widest arm with met_target=false; costs " +
+    "and rebuild flag come from the health table") {
+    import graft.ops.Similarity
+    // monotone curve 20%/50%/80% over nprobe 1/2/4
+    val curve = Seq((1, 200000L), (2, 500000L), (4, 800000L))
+      .toDF("nprobe", "recall_ppm")
+    // 4 lists of 40/30/20/10 items, the hot one skewed
+    val health = Seq(
+      ("a", 40L, 4L, 100L, true), ("b", 30L, 4L, 100L, false),
+      ("c", 20L, 4L, 100L, false), ("d", 10L, 4L, 100L, false))
+      .toDF("list_key", "n_items", "n_lists", "total_items", "skewed")
+    val out = Similarity.servingAdvisor(curve, health,
+        Seq(100000L, 300000L, 600000L, 900000L))
+      .as[(Long, Long, Long, Boolean, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(out === Seq(
+      //  target    np  recall   met   mean  worst rebuild
+      (100000L, 1L, 200000L, true,  25L,  40L, true),
+      (300000L, 2L, 500000L, true,  50L,  70L, true),
+      (600000L, 4L, 800000L, true, 100L, 100L, true),
+      (900000L, 4L, 800000L, false, 100L, 100L, true)))
+    // monotonicity is structural: chosen nprobe never decreases as the
+    // target rises (smallest-meeting over a monotone curve)
+    assert(out.map(_._2) === out.map(_._2).sorted)
+    // a healthy index reports rebuild_any = false
+    val healthy = health.withColumn("skewed", lit(false))
+    assert(Similarity.servingAdvisor(curve, healthy, Seq(300000L))
+      .select("rebuild_any").as[Boolean].head() === false)
+    // contract guards
+    intercept[IllegalArgumentException](
+      Similarity.servingAdvisor(curve, health, Nil))
+    intercept[IllegalArgumentException](
+      Similarity.servingAdvisor(curve, health, Seq(2L, 1L)))
   }
 }

@@ -769,6 +769,14 @@ class StreamingOpsSpec extends SparkSpec {
     val static = corpus.toDF("doc_id", "text")
     val frozen = graft.ops.TextStats.commonLineHashes(static, minDocs = 2)
     assert(frozen.length === 2) // banner + footer
+    // the smallness premise is enforced, not argued: past maxHashes
+    // the collect throws with the remediation instead of flooding the
+    // driver (the collect itself is limit-capped plan-side)
+    val overflow = intercept[IllegalArgumentException] {
+      graft.ops.TextStats.commonLineHashes(static, minDocs = 2,
+        maxHashes = 1)
+    }.getMessage
+    assert(overflow.contains("raise minDocs"), overflow)
     val batch = graft.ops.TextStats.removeBoilerplateLines(static, minDocs = 2)
       .as[(Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
     val mem = MemoryStream[(Long, String)]
