@@ -14,6 +14,80 @@ class MonitorSpec extends SparkSpec {
 
   private val day = 86400000000L
 
+  test("out-of-order replay property: any delivery respecting the " +
+    "append-only day contract (arbitrary in-batch order, any per-key " +
+    "monotone batch split) replays the CUSUM / Page-Hinkley / " +
+    "Holt-Winters twins bit-identically; a day arriving after a LATER " +
+    "day was already applied is dropped, never re-opened") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreamOps
+    import graft.streaming.EventStreamOps.CcEv
+    import org.apache.spark.sql.{Dataset, Encoder}
+    implicit val sc = spark.sqlContext
+    var qn = 0
+    // run one twin over a delivery schedule; normalized emitted rows
+    def run[O: Encoder](mk: Dataset[CcEv] => Dataset[O],
+                        batches: Seq[Seq[CcEv]]): Seq[String] = {
+      qn += 1
+      val name = s"oooprop$qn"
+      val mem = MemoryStream[CcEv]
+      val q = mk(mem.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { mem.addData(b: _*); q.processAllAvailable() }
+        }
+        spark.table(name).collect().map(_.toString).sorted.toSeq
+      } finally q.stop()
+    }
+    for (seed <- Seq(7, 41); twin <- 0 until 3) {
+      val rnd = new scala.util.Random(seed * 10 + twin)
+      // random per-key day series with gaps (the zero-fill path stays
+      // exercised); days delivered at most once per key
+      val series: Map[String, Seq[CcEv]] = Seq("a", "b").map { k =>
+        k -> (0 to 8).flatMap { d =>
+          if (rnd.nextInt(4) == 0) None
+          else Some(CcEv(k, d.toLong, rnd.nextInt(10).toLong))
+        }
+      }.toMap
+      val inOrder = Seq(series.values.flatten.toSeq.sortBy(e => (e.key, e.day)))
+      // per-key contiguous chunks in day order -> chunk i lands in
+      // batch i (monotone per key); batches internally shuffled
+      val chunked: Map[String, Seq[Seq[CcEv]]] = series.map { case (k, es) =>
+        k -> {
+          val cuts = es.indices.drop(1).filter(_ => rnd.nextBoolean())
+          val bounds = (0 +: cuts) :+ es.length
+          bounds.sliding(2).map { case Seq(a, b) => es.slice(a, b) }.toSeq
+        }
+      }
+      val nB = chunked.values.map(_.length).max
+      val shuffled = (0 until nB).map { i =>
+        rnd.shuffle(chunked.values.flatMap(c =>
+          if (i < c.length) c(i) else Nil).toSeq)
+      }
+      def exec(i: Int, sched: Seq[Seq[CcEv]]): Seq[String] = i match {
+        case 0 => run(ds => EventStreamOps.streamingCusum(ds,
+          targetMilli = 5000L, slackMilli = 1000L, hMilli = 8000L), sched)
+        case 1 => run(ds => EventStreamOps.streamingPageHinkley(ds,
+          deltaMilli = 500L, lambdaMilli = 6000L), sched)
+        case _ => run(ds => EventStreamOps.streamingHoltWinters(ds), sched)
+      }
+      assert(exec(twin, inOrder) === exec(twin, shuffled),
+        s"seed=$seed twin=$twin series=$series shuffled=$shuffled")
+    }
+    // past the watermark: once day 5 is APPLIED (zero-filling 3..4),
+    // a real day-3 row arriving later emits nothing and leaves the
+    // zero-filled trajectory in place — the documented append-only
+    // drop, NOT a re-open
+    def exec2(sched: Seq[Seq[CcEv]]): Seq[String] =
+      run(ds => EventStreamOps.streamingCusum(ds, targetMilli = 5000L,
+        slackMilli = 1000L, hMilli = 8000L), sched)
+    val early = Seq(Seq(CcEv("m", 0L, 4L), CcEv("m", 5L, 4L)))
+    val late = early :+ Seq(CcEv("m", 3L, 9L))
+    assert(exec2(early) === exec2(late))
+  }
+
   test("ewmaDaily: hand-checked recurrence with a silent-day zero fill " +
     "and a spike flag judged against the PRIOR baseline") {
     // key a: day 0 -> 2 events, day 1 silent, day 2 -> 12 events
