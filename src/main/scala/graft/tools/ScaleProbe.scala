@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ×N scale probe — turns SCALING.md's 100 TB arguments into measured
+  * ratios (round-11 item: "every measured ratio ≤ ~10, or the offender
+  * gets a plan fix"). Builds a stressed ×`factor` copy of an sf dir
+  * under /tmp, then times the suite's most expensive queries at 1× and
+  * at ×N, reporting t(N×)/t(1×) per query as one JSON line.
+  *
+  * The stressed copy models GROWTH, not duplication: each of the N
+  * copies occupies a DISJOINT region of every join/similarity key
+  * space, so outputs scale ~linearly the way "more distinct entities
+  * over more time" does in production — a naive ×N duplication would
+  * instead measure the ×N² blowup of every pair-emitting operator on a
+  * corpus that is 87% exact duplicates, which is a data property, not
+  * a plan property. Concretely:
+  *   - `documents`: ids shift by 1e8 per copy; every 4th token
+  *     (including the first, so no doc is ever copy-identical) gains a
+  *     copy-distinct 8-char suffix — cross-copy token Jaccard falls
+  *     under every dedup threshold and cross-copy edit distance
+  *     exceeds q_edit_pairs' maxDist, while WITHIN-copy similarity
+  *     structure (what the operators chew on) is preserved;
+  *   - `embeddings`: ids shift by 100000001 (≡ 1 mod 50, so the
+  *     %50-sampled ANN query set stays 1× — a service's query volume
+  *     does not grow with its corpus — while the corpus and its
+  *     stride-derived centroid set grow ×N);
+  *   - `events`: ids shift by 34e6 (multiple of 34 — the %17/%2
+  *     interval-join side densities are preserved) and `value` shifts
+  *     into disjoint per-copy bands, so interval overlaps stay linear;
+  *   - `lineitem`: order keys shift by 1e8 — the synthetic file layout
+  *     of the storage audits gains ×N files, which is exactly how a
+  *     lake grows.
+  *
+  * Each dir is timed with FRESH session memos for that dir (FrameMemo
+  * keys on the dir), so t(N×) includes the ×N index builds — the
+  * honest end-to-end cost. One pass per dir, 1× first (JIT warm-up
+  * lands on the small data).
+  */
+object ScaleProbe {
+
+  /** The suite's most expensive queries (bench_full.json pass-2), plus
+    * one dedup end-to-end and one ANN end-to-end, per the round-11
+    * plan.
+    */
+  private val Probes = Seq(
+    "q_edit_pairs", "q_encoding_advisor", "q_bloom_skip", "q_minhash_est",
+    "q_interval_join", "q_dedup_minhash", "q_dedup_clusters", "q_ann_ivf")
+
+  def buildStressed(spark: SparkSession, sfDir: String, outDir: String,
+                    factor: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_DONE_x$factor")
+    if (done.exists()) return
+    val copies = spark.range(factor).toDF("_i")
+    def stress(name: String)(f: (DataFrame, Column) => DataFrame): Unit =
+      f(spark.read.parquet(s"$sfDir/$name.parquet").crossJoin(copies),
+          col("_i"))
+        .drop("_i")
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    stress("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + i * 100000000L)
+        .withColumn("text",
+          concat_ws(" ", transform(split(coalesce(col("text"), lit("")), " "),
+            (t, j) => when(j % 4 === 0,
+              concat(t, lit("zq"), repeat(i.cast("string"), 6)))
+              .otherwise(t))))
+    }
+    stress("embeddings") { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + i * 100000001L)
+    }
+    val vspan = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg((max(col("value")) - min(col("value")) + 10.0).as("s"))
+      .head().getDouble(0)
+    stress("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + i * 34000000L)
+        .withColumn("value", col("value") + i.cast("double") * vspan)
+    }
+    stress("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + i * 100000000L)
+    }
+    done.createNewFile()
+    ()
+  }
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale8"
+    val factor = if (args.length > 2) args(2).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildStressed(spark, sfDir, outDir, factor)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val fns = graft.SparkEntry.queries
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fns(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val t1 = Probes.map(n => n -> time(n, sfDir))
+    val tN = Probes.map(n => n -> time(n, outDir))
+    val entries = Probes.map { n =>
+      val a = t1.toMap.apply(n)
+      val b = tN.toMap.apply(n)
+      s""""$n":{"t1":${fmt(a)},"t$factor":${fmt(b)},"ratio":${fmt(b / a)}}"""
+    }
+    println(s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","queries":{${entries.mkString(",")}}}""")
+    spark.stop()
+  }
+}
