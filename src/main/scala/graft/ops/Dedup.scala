@@ -239,21 +239,38 @@ object Dedup {
         slice(col("ts"), lit(1),
           (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")))
 
-    // Candidates carry each side's length so the PPJoin LENGTH filter
-    // prunes inside the join: J(a,b) >= t forces
-    // t*max(n_a,n_b) <= min(n_a,n_b), so pairs failing it can never
-    // verify — dropping them here changes nothing downstream but cuts
-    // the candidate shuffle and the array_intersect work.
-    val pa = toks.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok"))
+    // Candidates carry each side's length AND the shared token's
+    // position, so two PPJoin filters prune inside the join:
+    //  - LENGTH: J(a,b) >= t forces t*max(n_a,n_b) <= min(n_a,n_b);
+    //  - POSITIONAL (Xiao et al. WWW'08): tokens are sorted by ONE
+    //    global order, so a shared token at 0-based positions (i, j)
+    //    bounds the achievable overlap by 1 + min(n_a-i-1, n_b-j-1),
+    //    and J >= t needs overlap >= t/(1+t)*(n_a+n_b). For a TRUE
+    //    pair with overlap o, its FIRST shared token sits at position
+    //    <= n-o on both sides, so that occurrence always passes —
+    //    completeness holds per pair even though later occurrences
+    //    may prune. The comparison is EXACT integer cross-
+    //    multiplication with tppm = floor(t*1e6) <= t (never stricter
+    //    than the jaccard gate below, so pruning can only drop pairs
+    //    the gate would drop anyway).
+    // Pairs failing either can never verify — dropping them here
+    // changes nothing downstream but cuts the candidate shuffle, the
+    // distinct, and the array_intersect work.
+    val tppm = math.floor(threshold * 1e6).toLong
+    val pa = toks.select(col("doc_id"), col("n"),
+      posexplode(col("prefix")).as(Seq("pos", "tok")))
     // fresh alias on the join key too: reusing `tok` would resolve both
     // sides of the equi-join to the same attribute (trivially true),
     // degrading the prefix equi-join to a length-filtered cross product
     val pb = pa.select(col("doc_id").as("doc_b_"), col("n").as("n_b_"),
-      col("tok").as("tok_b_"))
+      col("pos").as("pos_b_"), col("tok").as("tok_b_"))
     val cand = pa.join(pb,
         pa("tok") === pb("tok_b_") && pa("doc_id") < pb("doc_b_") &&
           pa("n") >= lit(threshold) * pb("n_b_") &&
-          pb("n_b_") >= lit(threshold) * pa("n"))
+          pb("n_b_") >= lit(threshold) * pa("n") &&
+          (lit(1L) + least(pa("n") - pa("pos") - 1,
+              pb("n_b_") - pb("pos_b_") - 1)) * lit(1000000L + tppm) >=
+            lit(tppm) * (pa("n") + pb("n_b_")))
       .select(pa("doc_id").as("doc_a"), pb("doc_b_").as("doc_b"))
       .distinct()
 
@@ -865,6 +882,49 @@ object Dedup {
     spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType),
       org.apache.spark.sql.types.StructField("label", idType))))
+  }
+
+  /** Near-dup CLUSTERS on the general-vocab path WITHOUT the expanded
+    * pair list — the distinct-mask move ([[maskClusters]]) generalized
+    * past 64 tokens: documents with an IDENTICAL token set are
+    * Jaccard-1 by definition, so contract each set to its lowest-id
+    * representative first (one hash-aggregate on the sorted-set
+    * digest), run the prefix-filter pair join over REPRESENTATIVES
+    * only, and hand components the linear star edges (doc → its rep)
+    * plus the rep-level verified pairs. Components — and therefore the
+    * min-reachable-id labels — are EXACTLY those of the full verified
+    * pair graph: an edge (a,b) exists iff J(S_a,S_b) ≥ t, which
+    * depends only on the token SETS, so same-set docs connect through
+    * their rep and cross-set edges survive verbatim at rep granularity
+    * (spec-pinned equality). Null-text docs carry no token set and
+    * stay singletons, exactly as the pair path leaves them.
+    *
+    * Why it matters at scale: a near-dup corpus is mostly exact-set
+    * duplicates (the ×8 probe corpus: 5000 docs → ~600 distinct sets),
+    * and the clique pair list is quadratic PER CLIQUE while the
+    * contracted input is one row per distinct set — measured on the
+    * ×8 stress this replaces a 23.7M-pair generation+verification
+    * (the 100 TB killer q_dedup_ngram must still pay, because its
+    * OUTPUT is the pair list) with a rep join orders of magnitude
+    * smaller. Digest = md5 over the sorted set with an out-of-alphabet
+    * separator, set size alongside ([[exact]]'s md5 discipline).
+    */
+  def ngramClustersPrefix(docs: DataFrame, threshold: Double,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc_id"),
+        size(tokenSet(col(textCol))).as("sn"),
+        md5(concat_ws("\u0001", array_sort(tokenSet(col(textCol))))).as("sh"))
+      .filter(col("sh").isNotNull)
+      .localCheckpoint() // two consumers: reps + star edges
+    val reps = sets.groupBy("sn", "sh").agg(min(col("doc_id")).as("rep"))
+    val star = sets.join(reps, Seq("sn", "sh"))
+      .filter(col("rep") =!= col("doc_id"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val repDocs = docs.join(reps.select(col("rep").as(idCol)), Seq(idCol))
+    val repPairs = ngramJaccardPrefix(repDocs, threshold, idCol, textCol)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(star.unionByName(repPairs), docs, idCol)
   }
 
   def connectedComponents(pairs: DataFrame, docs: DataFrame,

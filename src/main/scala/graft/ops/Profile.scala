@@ -480,6 +480,75 @@ object Profile {
       .withColumn("l_diverse", col("n_distinct_sensitive") >= l)
   }
 
+  /** t-closeness + ENTROPY l-diversity audit (Li, Li & Venkatasubramanian
+    * ICDE'07; Machanavajjhala et al. TKDD'07 §3's entropy form) — the
+    * two release gates [[kAnonymity]]'s count forms cannot express:
+    * a group can hold ≥ l distinct sensitive values yet be 99%
+    * one value (count-l passes, entropy-l catches it), and a group's
+    * sensitive DISTRIBUTION can still leak against the global one
+    * (the skewness attack t-closeness exists for). Per quasi-group:
+    *
+    *  - `ent_e4` = e4-quantized Shannon entropy of the sensitive
+    *    distribution, in the raw-count form `(n·lnq(n) − Σ c·lnq(c))
+    *    div n` with `lnq(x) = floor(ln(x)·10⁴)` — each log quantized
+    *    ONCE (the q_psi / q_js_div discipline), every product an
+    *    exact BIGINT (c·lnq ≤ n·3e5: no overflow below n ≈ 3e13).
+    *    Verdict `entropy_l_diverse`: ent_e4 ≥ floor(ln(l)·10⁴).
+    *  - `emd_ppm` = earth-mover's distance between the group's and the
+    *    GLOBAL sensitive distribution over the ORDERED bucket domain —
+    *    for 1-D ordered buckets EMD is the mean |cumulative
+    *    difference|: Σ_i |Σ_{j≤i} (q_j − p_j)| div (m−1), with q/p in
+    *    exact integer ppm. Verdict `t_close`: emd_ppm ≤ tPpm.
+    *
+    * Null sensitive values drop (closeness of an unknown value is
+    * undefined; mirrored by the oracle's IS NOT NULL).
+    *
+    * Shape for scale: two hash-aggregates (group×bucket, bucket) plus
+    * a grid join against the BROADCAST global bucket domain (m is the
+    * sensitive domain size — bounded by construction, or the audit is
+    * asked on an unbucketed column, which is the caller's modeling
+    * error); the cumulative window partitions by the quasi-group
+    * (group-bounded, the [[madOutliers]] precedent — never a global
+    * window).
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitive: Column,
+                 tPpm: Long, lMin: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(tPpm >= 0 && lMin >= 1, "tPpm must be >= 0 and lMin >= 1")
+    val qs = quasiCols.map(col)
+    def lnq(x: Column): Column =
+      floor(log(x.cast("double")) * 10000).cast("long")
+    val base = df.select(qs :+ sensitive.as("sv"): _*)
+      .filter(col("sv").isNotNull)
+    val gb = base.groupBy(qs :+ col("sv"): _*).agg(count(lit(1)).as("c"))
+    val gn = gb.groupBy(qs: _*).agg(sum(col("c")).as("n"))
+    val glob = base.groupBy(col("sv")).agg(count(lit(1)).as("gc"))
+      .crossJoin(broadcast(
+        base.agg(count(lit(1)).as("nt"),
+          countDistinct(col("sv")).as("m"))))
+    val grid = gn.crossJoin(broadcast(glob))
+    val j = grid.join(gb, quasiCols :+ "sv", "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("dppm", expr("c * 1000000 div n - gc * 1000000 div nt"))
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy(qs: _*).orderBy(col("sv"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val emd = j.withColumn("cs", sum(col("dppm")).over(gw))
+      .groupBy(qs: _*)
+      .agg(max(col("n")).as("n"),
+        expr("sum(abs(cs)) div greatest(max(m) - 1, 1)").as("emd_ppm"))
+    val ent = gb.groupBy(qs: _*)
+      .agg(sum(col("c")).as("n2"),
+        sum(col("c") * lnq(col("c"))).as("s_clnc"))
+      .withColumn("ln_n", lnq(col("n2")))
+      .withColumn("ent_e4", expr("(n2 * ln_n - s_clnc) div n2"))
+    val lThresh = math.floor(math.log(lMin.toDouble) * 10000).toLong
+    emd.join(ent.select(qs :+ col("ent_e4"): _*), quasiCols)
+      .select(qs ++ Seq(col("n"), col("ent_e4"),
+        (col("ent_e4") >= lThresh).as("entropy_l_diverse"),
+        col("emd_ppm"), (col("emd_ppm") <= tPpm).as("t_close")): _*)
+  }
+
   /** Robust per-group outlier census by median / median-absolute-
     * deviation (Hampel's robust z-score; Leys et al. JESP 2013 for
     * the 1.4826 consistency constant): a value is an outlier when

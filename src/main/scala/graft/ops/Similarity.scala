@@ -795,6 +795,88 @@ object Similarity {
     }
   }
 
+  /** Exact-integer Lloyd k-means — the ORACLE-PORTABLE trainer beside
+    * [[kmeans]]. Same dataflow (per round: one broadcast-cross
+    * assignment reduced map-side + one hash-agg update; k×dim longs of
+    * state), but every number an engine could disagree on is an
+    * integer: vectors quantize ONCE to micro-longs (`floor(x·1e6)`),
+    * assignment cosines are computed over integer-VALUED doubles
+    * (components ≤ ~1e6, so products ≤ ~1e12 and 64-term sums ≤
+    * ~6.4e13 — all < 2^53, every intermediate exact in IEEE double;
+    * the final `sqrt`/`÷`/`floor(·1e4)` are single correctly-rounded
+    * ops any engine reproduces), and the centroid update is the
+    * per-dimension `floor(sum/count)` over those integers (exact sum,
+    * one correctly-rounded division, one floor). Determinism therefore
+    * does not depend on partitioning or fold order — the float-mean
+    * caveat that keeps [[kmeans]] out of the oracle gate does not
+    * apply, and a DuckDB oracle unrolls the training loop verbatim
+    * (`q_kmeans` gates the full centroid table element by element).
+    *
+    * init = the k lowest-id vectors' micro arrays ([[kmeans]]'s seed
+    * rule); assignment ties break to the lowest centroid id; empty
+    * clusters drop out (standard Lloyd). `n_members` counts the LAST
+    * assignment round — the membership the returned centroids were
+    * computed from (0 when `iters == 0`: no assignment ran).
+    *
+    * Returns (centroid_id, n_members, cm: array<long> micro centroid,
+    * centv: array<double> = the same values as doubles — cosine is
+    * scale-invariant, so centv plugs straight into [[ivfTopK]] /
+    * [[assignToCentroids]]'s `centroids` parameter unscaled).
+    */
+  def kmeansExact(corpus: DataFrame, k: Int, iters: Int = 2, dim: Int = 64,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 0, "k must be >= 1 and iters >= 0")
+    val micro = transform(asDouble(col(vecCol)),
+      x => floor(x * lit(1000000.0)).cast("long"))
+    val vecs = corpus.select(col(idCol).as("vid"), micro.as("mv"))
+      .withColumn("v", transform(col("mv"), x => x.cast("double")))
+      .withColumn("vn", norm(col("v"), dim))
+      .persist()
+    var cent: DataFrame = null
+    try {
+      cent = vecs.orderBy(col("vid")).limit(k)
+        .select(col("vid").as("centroid_id"), lit(0L).as("n_members"),
+          col("mv").as("cm"), col("v").as("centv"), col("vn").as("centn"))
+        .persist()
+      cent.count()
+      for (_ <- 1 to iters) {
+        val assigned = vecs
+          .crossJoin(broadcast(cent.select("centroid_id", "centv", "centn")))
+          .withColumn("c_cos",
+            cosQ(col("v"), col("centv"), col("vn"), col("centn"), dim))
+          .groupBy(col("vid"))
+          // null-safe tie-break (see assignToCentroids): highest cos,
+          // lowest centroid id, a null score always losing
+          .agg(min_by(col("centroid_id"),
+              struct(col("c_cos").isNull.cast("int").as("nf"),
+                (-col("c_cos")).as("ns"), col("centroid_id"))).as("centroid_id"),
+            first(col("mv")).as("mv"))
+        // floor(sum/count) per dimension: the sum is exact (bounded
+        // integers), `/` on longs is Spark's double division — one
+        // correctly-rounded op, mirrored by the oracle's
+        // CAST(floor(CAST(sum AS DOUBLE)/count) AS BIGINT)
+        val next = assigned.groupBy("centroid_id")
+          .agg(count(lit(1)).as("n_members"),
+            (1 to dim).map(i =>
+              sum(element_at(col("mv"), i)).as(s"_s$i")): _*)
+          .select(col("centroid_id"), col("n_members"),
+            array((1 to dim).map(i =>
+              floor(col(s"_s$i") / col("n_members")).cast("long")): _*).as("cm"))
+          .withColumn("centv", transform(col("cm"), x => x.cast("double")))
+          .withColumn("centn", norm(col("centv"), dim))
+          .persist()
+        next.count()
+        cent.unpersist()
+        cent = next
+      }
+      cent.select("centroid_id", "n_members", "cm", "centv").localCheckpoint()
+    } finally {
+      vecs.unpersist()
+      if (cent != null) cent.unpersist()
+    }
+  }
+
   /** Swap-in of a [[splitHotLists]] result: members of every split
     * list re-assign to the nearest replacement sub-centroid (their new
     * list key is `"<list>:<sub>"`), members of untouched lists keep

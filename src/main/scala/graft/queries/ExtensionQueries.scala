@@ -80,6 +80,38 @@ object ExtensionQueries {
   private def ivfCentroidsOpt(s: SparkSession, d: String): Option[DataFrame] =
     shared.peek((s, d, "ivf_cent"))
 
+  /** TRAINED coarse quantizer + its posting-list assignment — the
+    * [[Similarity.kmeansExact]] index artifacts, memoized with the
+    * same build-once discipline as the stride index: q_kmeans gates
+    * the centroid table element by element, q_ivf_trained serves from
+    * it, q_trained_recall reads both indexes against the shared ground
+    * truth. k = 16 ≈ the sf0.01 stride-37 list count, so the verify-
+    * gate comparison holds probe cost (~N/k scanned vectors) fixed
+    * while swapping quantizer quality — the honest trained-vs-stride
+    * frame.
+    */
+  private def kmeansCentroids(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "kmeans_cent")(
+      Similarity.kmeansExact(embs(s, d), k = 16, iters = 2))
+  private def kmeansAssignment(s: SparkSession, d: String): DataFrame = {
+    val cents = kmeansCentroids(s, d) // resolve first (memo LRU order)
+    sharedFrame(s, d, "kmeans_assign")(
+      Similarity.assignToCentroids(embs(s, d),
+        centroids = Some(cents.select(col("centroid_id"), col("centv")))))
+  }
+
+  /** Brute-force top-5 ground truth over the %50 query sample — ONE
+    * exact pass that every recall consumer (q_ann_recall, the
+    * q_recall_curve/advisor sweep, q_trained_recall) reads, instead of
+    * one brute-force corpus scan each.
+    */
+  private def annTruth(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "ann_truth") {
+      val e = embs(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+
   /** The swap-in, wired into the serving path: replace the SHARED
     * posting-list index (`ivf_assign`) with the post-split assignment
     * and install the matching post-split centroid table (`ivf_cent`),
@@ -191,9 +223,11 @@ object ExtensionQueries {
         val mp = maskPairs(s, d, v)
         sharedFrame(s, d, "clusters")(Dedup.maskClusters(mk, mp))
       case None =>
-        val pairs = jaccardPairs(s, d)
+        // identical-set contraction instead of the expanded pair list
+        // (bit-identical labels, spec-pinned): clustering never pays
+        // the per-clique quadratic that q_dedup_ngram's OUTPUT is
         sharedFrame(s, d, "clusters")(
-          Dedup.connectedComponents(pairs, docs(s, d)))
+          Dedup.ngramClustersPrefix(docs(s, d), 0.8))
     }
 
   def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -409,6 +443,67 @@ object ExtensionQueries {
         corpusAssigned = Some(ivfAssignment(s, d)),
         centroids = ivfCentroidsOpt(s, d))
       .orderBy("query_id", "rank")
+  }
+
+  /** The trained centroid table itself, element by element — every
+    * (centroid, dimension) micro value plus the membership count of
+    * the final Lloyd round, hash-gated against a DuckDB oracle that
+    * re-runs the training loop verbatim (exact-integer arithmetic end
+    * to end makes the TRAINER itself cross-engine reproducible — see
+    * [[Similarity.kmeansExact]]).
+    */
+  def kmeansQ(s: SparkSession, d: String): DataFrame =
+    kmeansCentroids(s, d)
+      .select(col("centroid_id"), col("n_members"),
+        posexplode(col("cm")).as(Seq("pos", "c_micro")))
+      .select(col("centroid_id"), col("pos").cast("long").as("pos"),
+        col("c_micro"), col("n_members"))
+      .orderBy("centroid_id", "pos")
+
+  /** IVF-Flat over the TRAINED quantizer ([[Similarity.kmeansExact]]
+    * k=16 centroids + their posting lists) — the production index
+    * shape: centroid count fixed by the operator, NOT growing with
+    * the corpus like the stride rule (the ×8 scale probe measured the
+    * stride index's assignment cost growing ~quadratically because
+    * corpus AND centroid count both scale; a trained k holds the
+    * broadcast side constant).
+    */
+  def annIvfTrained(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5,
+        centroids = Some(kmeansCentroids(s, d)
+          .select(col("centroid_id"), col("centv"))),
+        corpusAssigned = Some(kmeansAssignment(s, d)))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Trained-vs-stride index quality at FIXED probe budget (nprobe=1,
+    * k=16 ≈ the sf0.01 stride list count): recall@5 of each index
+    * against the shared brute-force ground truth — the measurement
+    * that justifies paying for Lloyd training at all. One row per
+    * variant.
+    */
+  def trainedRecallQ(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = annTruth(s, d)
+    def arm(tag: String, approx: DataFrame): DataFrame =
+      exact.join(approx.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("_h")),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("_h"), lit(0L))).as("n_hits"))
+        .select(lit(tag).as("variant"), col("n_truth"), col("n_hits"),
+          expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+    val stride = Similarity.ivfTopK(q, e, k = 5,
+      corpusAssigned = Some(ivfAssignment(s, d)),
+      centroids = ivfCentroidsOpt(s, d))
+    val trained = Similarity.ivfTopK(q, e, k = 5,
+      centroids = Some(kmeansCentroids(s, d)
+        .select(col("centroid_id"), col("centv"))),
+      corpusAssigned = Some(kmeansAssignment(s, d)))
+    arm("stride", stride).unionByName(arm("trained", trained))
+      .orderBy("variant")
   }
 
   /** Deterministic stratified downsampling: cap every event_type at
@@ -2552,6 +2647,21 @@ object ExtensionQueries {
         floor(col("c_acctbal") / 1000).cast("long"), k = 10L, l = 3L)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** t-closeness / entropy-l-diversity audit ([[Profile.tCloseness]])
+    * over the same quasi-identifier + bucketed-balance frame as
+    * q_k_anonymity — the distributional release gates the count forms
+    * miss (skewed-but-l-distinct groups; groups whose balance profile
+    * deviates from the global one by more than t). Completes the
+    * privacy battery: k (size), count-l (distinct), entropy-l
+    * (skew-proof diversity), t (closeness to the global distribution).
+    */
+  def tClosenessQ(s: SparkSession, d: String): DataFrame =
+    Profile.tCloseness(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"),
+        tPpm = 100000L, lMin = 5L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   /** Robust per-type outlier census ([[Profile.madOutliers]]) over the
     * event value feed: median/MAD z-score at the standard 3σ-equivalent
     * cut — the numeric-feed anomaly table that the mean/stddev rule
@@ -3942,8 +4052,7 @@ object ExtensionQueries {
   def annRecall(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     val q = e.filter(col("vec_id") % 50 === 0)
-    val exact = Similarity.bruteForceTopK(q, e, k = 5)
-      .select(col("query_id"), col("neighbor_id"))
+    val exact = annTruth(s, d)
     val approx = Similarity.ivfTopK(q, e, k = 5, nprobe = 2,
         corpusAssigned = Some(ivfAssignment(s, d)),
         centroids = ivfCentroidsOpt(s, d))
@@ -3978,8 +4087,7 @@ object ExtensionQueries {
       import s.implicits._
       val e = embs(s, d)
       val q = e.filter(col("vec_id") % 50 === 0)
-      val exact = Similarity.bruteForceTopK(q, e, k = 5)
-        .select(col("query_id"), col("neighbor_id"))
+      val exact = annTruth(s, d)
       val arms = Seq(1, 2, 4)
       // ONE probe at the widest width; every arm derives from it
       // ([[Similarity.ivfTopKSweep]], arm-for-arm identical to the
@@ -8352,7 +8460,162 @@ object ExtensionQueries {
        |${arms.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY nprobe""".stripMargin
   }
 
+  /** One unrolled Lloyd round of the exact-integer k-means oracle
+    * ([[Similarity.kmeansExact]] k=16, dim=64): assignment by the
+    * quantized cosine over integer-valued doubles (rank DESC, lowest
+    * centroid id on ties — the min_by struct's order), then the
+    * per-dimension floor(sum/count) update. `km` (vec_id, mv BIGINT
+    * list, dv = mv as doubles) and `kc0` (init = 16 lowest ids) are
+    * defined by [[kmeansOracleCtes]].
+    */
+  private def kmLloydRound(t: Int): String = {
+    val prev = s"kc${t - 1}"
+    s"""ka$t AS (
+       |  SELECT vec_id, mv, centroid_id FROM (
+       |    SELECT x.vec_id, x.mv, c.centroid_id,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        CAST(floor(10000 * (
+       |          list_reduce(list_transform(range(1,65), i -> x.dv[i]*c.cd[i]), (p,q)->p+q) /
+       |          (sqrt(list_reduce(list_transform(range(1,65), i -> x.dv[i]*x.dv[i]), (p,q)->p+q)) *
+       |           sqrt(list_reduce(list_transform(range(1,65), i -> c.cd[i]*c.cd[i]), (p,q)->p+q))))) AS BIGINT) DESC,
+       |        c.centroid_id) AS rn
+       |    FROM km x CROSS JOIN $prev c) z$t WHERE rn = 1),
+       |ks$t AS (
+       |  SELECT centroid_id, i,
+       |    CAST(floor(CAST(sum(mv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cmi,
+       |    count(*) AS nm
+       |  FROM ka$t CROSS JOIN range(1,65) r(i) GROUP BY centroid_id, i),
+       |kc$t AS (
+       |  SELECT centroid_id, max(nm) AS n_members,
+       |    list(cmi ORDER BY i) AS cm,
+       |    list(CAST(cmi AS DOUBLE) ORDER BY i) AS cd
+       |  FROM ks$t GROUP BY centroid_id)""".stripMargin
+  }
+
+  /** The full trained-quantizer CTE chain shared by the q_kmeans /
+    * q_ivf_trained / q_trained_recall oracles: micro-quantize, seed
+    * with the 16 lowest-id vectors, run 2 exact Lloyd rounds → kc2.
+    */
+  private def kmeansOracleCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |km AS (
+       |  SELECT vec_id, mv, list_transform(mv, y -> CAST(y AS DOUBLE)) AS dv
+       |  FROM (SELECT vec_id,
+       |      list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS mv
+       |    FROM e) mq),
+       |kc0 AS (SELECT vec_id AS centroid_id, mv AS cm, dv AS cd
+       |  FROM km ORDER BY vec_id LIMIT 16),
+       |${kmLloydRound(1)},
+       |${kmLloydRound(2)}""".stripMargin
+
   private val oracleBase: Map[String, String] = Map(
+    "q_kmeans" ->
+      s"""WITH $kmeansOracleCtes
+         |SELECT centroid_id, CAST(i - 1 AS BIGINT) AS pos,
+         |  cm[i] AS c_micro, n_members
+         |FROM kc2 CROSS JOIN range(1,65) r(i)
+         |ORDER BY centroid_id, pos""".stripMargin,
+    "q_ivf_trained" ->
+      s"""WITH $kmeansOracleCtes,
+         |cent AS (SELECT centroid_id, cd AS centv FROM kc2),
+         |assign AS (
+         |  SELECT vec_id, v, centroid_id FROM (
+         |    SELECT a.vec_id, a.v, c.centroid_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(floor(10000 * (
+         |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+         |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+         |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+         |        c.centroid_id) AS rn
+         |    FROM e a CROSS JOIN cent c) za WHERE rn = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(floor(10000 * (
+         |      list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+         |      (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+         |       sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+         |  FROM assign q JOIN assign c ON q.centroid_id = c.centroid_id
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos_q,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, cos_q FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_trained_recall" ->
+      s"""WITH $kmeansOracleCtes,
+         |scent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+         |sassign AS (
+         |  SELECT vec_id, v, centroid_id FROM (
+         |    SELECT a.vec_id, a.v, c.centroid_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(floor(10000 * (
+         |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+         |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+         |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+         |        c.centroid_id) AS rn
+         |    FROM e a CROSS JOIN scent c) zs WHERE rn = 1),
+         |tcent AS (SELECT centroid_id, cd AS centv FROM kc2),
+         |tassign AS (
+         |  SELECT vec_id, v, centroid_id FROM (
+         |    SELECT a.vec_id, a.v, c.centroid_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(floor(10000 * (
+         |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+         |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+         |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+         |        c.centroid_id) AS rn
+         |    FROM e a CROSS JOIN tcent c) zt WHERE rn = 1),
+         |sscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(floor(10000 * (
+         |      list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+         |      (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+         |       sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+         |  FROM sassign q JOIN sassign c ON q.centroid_id = c.centroid_id
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |sapprox AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+         |  FROM sscored) zz WHERE rank <= 5),
+         |tscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(floor(10000 * (
+         |      list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+         |      (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+         |       sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+         |  FROM tassign q JOIN tassign c ON q.centroid_id = c.centroid_id
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |tapprox AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+         |  FROM tscored) zz WHERE rank <= 5),
+         |escored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  CAST(floor(10000 * (
+         |    list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+         |    (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+         |     sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+         |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+         |  FROM escored) zz WHERE rank <= 5)
+         |SELECT 'stride' AS variant,
+         |  CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  (CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // count(*) AS recall_ppm
+         |FROM exact x LEFT JOIN sapprox a
+         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+         |UNION ALL
+         |SELECT 'trained' AS variant,
+         |  CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  (CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // count(*) AS recall_ppm
+         |FROM exact x LEFT JOIN tapprox a
+         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+         |ORDER BY variant""".stripMargin,
     "q_readability" ->
       """WITH p AS (SELECT source,
         |    CAST(coalesce(len(regexp_extract_all(text, '[A-Za-z]+')), 0) AS BIGINT) AS w,
@@ -8885,6 +9148,47 @@ object ExtensionQueries {
         |WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
         |  AND levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY a.block, id_a, id_b""".stripMargin,
+    "q_t_closeness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS sv
+        |  FROM customer WHERE CAST(floor(c_acctbal / 1000) AS BIGINT) IS NOT NULL),
+        |gb AS (SELECT c_nationkey, c_mktsegment, sv,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |gn AS (SELECT c_nationkey, c_mktsegment, CAST(sum(c) AS BIGINT) AS n
+        |  FROM gb GROUP BY 1, 2),
+        |gsv AS (SELECT sv, CAST(count(*) AS BIGINT) AS gc FROM b GROUP BY 1),
+        |tots AS (SELECT CAST(sum(gc) AS BIGINT) AS nt,
+        |    CAST(count(*) AS BIGINT) AS m FROM gsv),
+        |grid AS (SELECT gn.c_nationkey, gn.c_mktsegment, gn.n,
+        |    gsv.sv, gsv.gc, tots.nt, tots.m
+        |  FROM gn CROSS JOIN gsv CROSS JOIN tots),
+        |j AS (SELECT grid.*, COALESCE(gb.c, 0) AS c
+        |  FROM grid LEFT JOIN gb ON gb.c_nationkey = grid.c_nationkey
+        |    AND gb.c_mktsegment = grid.c_mktsegment AND gb.sv = grid.sv),
+        |cum AS (SELECT c_nationkey, c_mktsegment, n, m,
+        |    sum(c * 1000000 // n - gc * 1000000 // nt)
+        |      OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY sv
+        |            ROWS UNBOUNDED PRECEDING) AS cs
+        |  FROM j),
+        |emd AS (SELECT c_nationkey, c_mktsegment, max(n) AS n,
+        |    CAST(CAST(sum(abs(cs)) AS BIGINT)
+        |      // greatest(max(m) - 1, 1) AS BIGINT) AS emd_ppm
+        |  FROM cum GROUP BY 1, 2),
+        |ent AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST((max(n2) * CAST(floor(ln(CAST(max(n2) AS DOUBLE)) * 10000) AS BIGINT)
+        |      - CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 10000) AS BIGINT)) AS BIGINT))
+        |      // max(n2) AS BIGINT) AS ent_e4
+        |  FROM (SELECT gb.c_nationkey, gb.c_mktsegment, gb.c, gn.n AS n2
+        |    FROM gb JOIN gn ON gb.c_nationkey = gn.c_nationkey
+        |      AND gb.c_mktsegment = gn.c_mktsegment) z
+        |  GROUP BY 1, 2)
+        |SELECT emd.c_nationkey, emd.c_mktsegment, emd.n, ent.ent_e4,
+        |  ent.ent_e4 >= 16094 AS entropy_l_diverse,
+        |  emd.emd_ppm, emd.emd_ppm <= 100000 AS t_close
+        |FROM emd JOIN ent ON emd.c_nationkey = ent.c_nationkey
+        |  AND emd.c_mktsegment = ent.c_mktsegment
+        |ORDER BY emd.c_nationkey, emd.c_mktsegment""".stripMargin,
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
@@ -11388,6 +11692,9 @@ object ExtensionQueries {
     "q_ann_lsh"         -> (annLsh _),
     "q_ann_multiprobe"  -> (annLshMultiProbe _),
     "q_ann_ivf"         -> (annIvf _),
+    "q_kmeans"          -> (kmeansQ _),
+    "q_ivf_trained"     -> (annIvfTrained _),
+    "q_trained_recall"  -> (trainedRecallQ _),
     "q_ann_pq"          -> (annPq _),
     "q_ann_rerank"      -> (annRerank _),
     "q_ann_ivfpq"       -> (annIvfPq _),
@@ -11448,6 +11755,7 @@ object ExtensionQueries {
     "q_outliers"        -> (madOutliersQ _),
     "q_record_linkage"  -> (recordLinkageQ _),
     "q_k_anonymity"     -> (kAnonymityQ _),
+    "q_t_closeness"     -> (tClosenessQ _),
     "q_cluster_sizes"   -> (clusterSizes _),
     "q_pad_waste"       -> (padWaste _),
     "q_bpe_sweep"       -> (bpeSweep _),

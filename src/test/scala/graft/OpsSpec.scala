@@ -259,6 +259,86 @@ class OpsSpec extends SparkSpec {
     assert(out.forall { case (q, n) => q % 3 === n % 3 }) // cluster purity
   }
 
+  test("kmeansExact: hand-computed micro centroids, partitioning-" +
+    "independent output, planted-cluster purity") {
+    // hand case (dim 2, float-exact components so floor(x*1e6) is
+    // unambiguous): init = ids 1,2; one Lloyd round assigns v1->c1,
+    // {v2,v3,v4}->c2; means: c1=(1000000,0) n=1, c2=(250000,750000) n=3
+    val hand = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.25f, 0.75f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansExact(hand, k = 2, iters = 1, dim = 2)
+      .select("centroid_id", "n_members", "cm")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 1L, Seq(1000000L, 0L)),
+      (2L, 3L, Seq(250000L, 750000L))))
+    // determinism: the exact-integer mean makes the output a pure
+    // function of the DATA — any partitioning yields identical longs
+    // (the property the float-mean kmeans cannot promise, and the one
+    // that lets q_kmeans sit under the DuckDB hash gate)
+    val out7 = Similarity.kmeansExact(hand.repartition(7), k = 2,
+        iters = 1, dim = 2)
+      .select("centroid_id", "n_members", "cm")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    assert(out7.toSeq === out.toSeq)
+    // planted clusters (the float-kmeans fixture): one trained
+    // centroid per orthogonal axis, and the trained index serves
+    // cluster-pure neighbors through ivfTopK's centroids hook
+    val base = Map(0 -> Array(10f, 0f, 0f, 0f), 1 -> Array(0f, 10f, 0f, 0f),
+      2 -> Array(0f, 0f, 10f, 0f))
+    val vecs = (0 until 90).map { i =>
+      val jit = Array.tabulate(4)(d => ((i * 7 + d * 3) % 5) * 0.1f)
+      (i.toLong, base(i % 3).zip(jit).map { case (b, j) => b + j })
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansExact(vecs, k = 3, iters = 3, dim = 4)
+    val axes = cents.select("centroid_id", "centv").collect()
+      .map(_.getSeq[Double](1)).map(v => v.indexOf(v.max)).sorted
+    assert(axes.toSeq === Seq(0, 1, 2))
+    assert(cents.select(sum("n_members")).as[Long].head() === 90L)
+    val out3 = Similarity.ivfTopK(vecs.filter(col("vec_id") < 3), vecs,
+        k = 5, dim = 4,
+        centroids = Some(cents.select("centroid_id", "centv")))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out3.nonEmpty)
+    assert(out3.forall { case (q, n) => q % 3 === n % 3 })
+  }
+
+  test("ngramClustersPrefix == connectedComponents over the full " +
+    "verified pair list on a >64-vocab fixture with set-dups, " +
+    "null text, and empty-token docs") {
+    // vocab > 64 so this is the path the adaptive router would take;
+    // cliques + exact-set duplicates (different order/multiplicity) +
+    // a joining superset + singletons + null + empty-text twins
+    def t(i: Int) = s"t$i"
+    val docsRows: Seq[(Long, String)] =
+      (1 to 5).map { i =>   // 10-token clique, doc i drops token i-1
+        (i.toLong, (0 until 10).filter(_ != i - 1).map(t).mkString(" "))
+      } ++ Seq(
+        (6L, "t20 t21 t22 t23 t24 t25"),
+        (7L, "t25 t24 t23 t22 t21 t20"),          // same set, reversed
+        (8L, "t20 t20 t21 t22 t23 t24 t25 t20"),  // same set, multiset
+        (9L, (40 to 50).map(t).mkString(" ")),    // singleton
+        (10L, null),                              // null text: singleton
+        (11L, (55 to 68).map(t).mkString(" ")),   // singleton, pads vocab>64
+        (12L, "t20 t21 t22 t23 t24 t25 t26"),     // J=6/7 joins the dup set
+        (13L, ""), (14L, ""))                     // empty-token twins
+    val docs = docsRows.toDF("doc_id", "text")
+    val full = Dedup.connectedComponents(
+        Dedup.ngramJaccardPrefix(docs, 0.8, "doc_id", "text")
+          .select("doc_a", "doc_b"), docs)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val contracted = Dedup.ngramClustersPrefix(docs, 0.8)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(contracted.toSeq === full.toSeq)
+    val lbl = contracted.toMap
+    assert(Set(1L, 2L, 3L, 4L, 5L).map(lbl) === Set(1L))  // clique
+    assert(Set(6L, 7L, 8L, 12L).map(lbl) === Set(6L))     // set-dups+superset
+    assert(lbl(9L) === 9L && lbl(10L) === 10L && lbl(11L) === 11L)
+    assert(lbl(13L) === 13L && lbl(14L) === 13L)          // empty twins join
+  }
+
   test("quantizeInt8: values in [-127,127], dequantization error " +
     "bounded by scale/127, zero and non-finite vectors dropped") {
     val emb = Seq(

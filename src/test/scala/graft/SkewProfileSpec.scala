@@ -259,4 +259,30 @@ class SkewProfileSpec extends SparkSpec {
     assert(!out("g3").getAs[Boolean]("k_anonymous"))
     assert(out("g1").getAs[Long]("n_distinct_sensitive") === 4L)
   }
+
+  test("tCloseness: hand-computed EMD and entropy; the homogeneous " +
+    "group fails both gates; null sensitive rows drop") {
+    // global: sv=1 ×8, sv=2 ×4 -> p = (666666, 333333) ppm, m=2
+    // gA balanced (4,4): ent_e4 = 6932 (~ln 2), emd = 166667
+    // gB homogeneous (4,0): ent_e4 = 0, emd = 333335
+    val d = (1 to 4).map(_ => ("gA", "s", Option(1))) ++
+      (1 to 4).map(_ => ("gA", "s", Option(2))) ++
+      (1 to 4).map(_ => ("gB", "s", Option(1))) ++
+      Seq(("gA", "s", Option.empty[Int]))   // dropped, not counted
+    val out = Profile.tCloseness(d.toDF("q1", "q2", "sv"),
+        Seq("q1", "q2"), col("sv"), tPpm = 200000L, lMin = 2L)
+      .collect().map(r => r.getAs[String]("q1") -> r).toMap
+    val a = out("gA")
+    assert(a.getAs[Long]("n") === 8L)
+    assert(a.getAs[Long]("ent_e4") === 6932L)
+    assert(a.getAs[Boolean]("entropy_l_diverse")) // 6932 >= floor(ln2*1e4)
+    assert(a.getAs[Long]("emd_ppm") === 166667L)
+    assert(a.getAs[Boolean]("t_close"))
+    val b = out("gB")
+    assert(b.getAs[Long]("n") === 4L)
+    assert(b.getAs[Long]("ent_e4") === 0L)
+    assert(!b.getAs[Boolean]("entropy_l_diverse"))
+    assert(b.getAs[Long]("emd_ppm") === 333335L)
+    assert(!b.getAs[Boolean]("t_close"))
+  }
 }
