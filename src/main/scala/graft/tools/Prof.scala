@@ -3,14 +3,20 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage profiler — round 8 edition: measures the two new
-  * plan-tier operators against the composed/naive forms they replace,
-  * so SCALING.md cites local numbers instead of theory. Not part of
-  * the driver contract.
+/** Dev-only stage profiler — round 11 edition: decomposes the scale
+  * probe's q_dedup_clusters headline into stages on the SAME plan at
+  * three scales. The 1× vs 8× prefix-path ratio (~17) straddles the
+  * DESIGNED broadcast→shuffle transition of the verify rejoins (5k
+  * docs' token arrays broadcast; 40k docs' don't — the scaladoc's
+  * stated at-scale behavior), so the ×2 leg sits PAST the step and
+  * the ×2→×8 ratio reads the true curve. Not part of the driver
+  * contract.
   */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val d1 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val d2 = if (args.length > 1) args(1) else "/tmp/graft_scale2"
+    val d8 = if (args.length > 2) args(2) else "/tmp/graft_scale8"
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-prof")
@@ -21,84 +27,30 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftExtensions.register(spark)
-    import spark.implicits._
+    ScaleProbe.buildStressed(spark, d1, d2, 2)
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[prof] $label%-48s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"[prof] $label%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
 
-    // --- BinnedRangeJoinRule: plain theta join vs auto-binned ---
-    // many intervals is where the nested loop melts: every probe row
-    // tests every interval
-    val ev = graft.Tables.events(spark, dir).select("event_id", "value")
-    ev.persist().count()
-    val nBands = 5000
-    val bands = (0 until nBands).map { i =>
-      val lo = (i % 1000) * 1.0
-      (s"b$i", lo, lo + 25.0)
-    }.toDF("band", "lo", "hi")
-    def thetaAgg = ev
-      .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
-      .groupBy("band").agg(count(lit(1)).as("n"))
-    time(s"range join BNLJ ($nBands intervals)")(noop(thetaAgg))
-    org.apache.spark.sql.GraftSqlShim.withConfString(spark,
-      "spark.graft.rangeJoin.binWidth", "25.0") {
-      time(s"range join auto-binned ($nBands intervals)")(noop(thetaAgg))
-    }
-
-    // --- AsofJoinExec vs composed union+window as-of ---
-    // all events probe the view/click state feed: both sides corpus-
-    // sized, wide left payload (the union form pads every right row
-    // to the full left schema)
-    val evFull = graft.Tables.events(spark, dir)
-    val tUs = graft.queries.AnalyticsQueries.epochUs(evFull, "ts")
-    val probes = evFull.select(col("event_id"), col("user_id"),
-      tUs.as("ts_us"), col("event_type"), col("value"), col("props"))
-    val state = evFull.filter(col("event_type").isin("view", "click"))
-      .select(col("user_id"), col("event_id").as("src_id"),
-        col("event_type").as("src_type"), tUs.as("src_ts_us"))
-    probes.persist().count(); state.persist().count()
-    val cols = Seq("src_id", "src_type", "src_ts_us")
-    for (i <- 1 to 2) {
-      time(s"asof composed union+window (pass $i)")(noop(
-        graft.ops.TemporalJoins.asOfJoin(probes, state, Seq("user_id"),
-          "ts_us", "src_ts_us", cols, rightTiebreak = Some("src_id"))))
-      time(s"asof native exec (pass $i)")(noop(
-        graft.ops.TemporalJoins.asOfJoinNative(probes, state, Seq("user_id"),
-          "ts_us", "src_ts_us", cols, rightTiebreak = Some("src_id"))))
-    }
-
-    // --- KeyedPrefix two-pass cumsum vs per-key ordered window ---
-    // few huge keys (5 event types over the full feed): the shape
-    // where Window.partitionBy(key) serializes each key on one task
-    // while the range-sorted two-pass scan keeps all cores busy.
-    // HONEST READING at sf0.1: the window WINS here (~20k rows/key
-    // sorts in-memory in one task; the two-pass form pays two jobs +
-    // Row serialization). The two-pass form's claim is the BOUND, not
-    // small-scale throughput — per-task work stays O(partition) as a
-    // key's volume grows arbitrarily, where the window's single task
-    // grows (and spills) with the key. The crossover sits where a
-    // key's rows stop fitting one task's sort budget.
-    val seqBase = probes.select(col("event_type"), col("event_id"),
-      col("ts_us"),
-      when(col("value") > 200.0, 1L).otherwise(0L).as("hit"))
-    seqBase.persist().count()
-    for (i <- 1 to 2) {
-      time(s"cumsum per-key window (pass $i)") {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        noop(seqBase.withColumn("n", count(lit(1)).over(w))
-          .withColumn("cumh", sum(col("hit")).over(w)))
+    for (dir <- Seq(d1, d2, d8)) {
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      docs.persist().count()
+      val pairs = time(s"$dir prefix jaccard pairs") {
+        val p = graft.ops.Dedup
+          .ngramJaccardPrefix(docs, 0.8, "doc_id", "text")
+          .localCheckpoint()
+        println(s"[prof]   pairs = ${p.count()}")
+        p
       }
-      time(s"cumsum KeyedPrefix two-pass (pass $i)")(noop(
-        graft.ops.KeyedPrefix.cumsum(seqBase, Seq("event_type"),
-          Seq("ts_us", "event_id"), Seq("hit" -> "cumh"))))
+      time(s"$dir connected components") {
+        val c = graft.ops.Dedup.connectedComponents(pairs, docs)
+        println(s"[prof]   clusters rows = ${c.count()}")
+      }
+      docs.unpersist()
     }
     spark.stop()
   }

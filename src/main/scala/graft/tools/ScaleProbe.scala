@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
   * instead measure the ×N² blowup of every pair-emitting operator on a
   * corpus that is 87% exact duplicates, which is a data property, not
   * a plan property. Concretely:
-  *   - `documents`: ids shift by 1e8 per copy; every 4th token
-  *     (including the first, so no doc is ever copy-identical) gains a
-  *     copy-distinct 8-char suffix — cross-copy token Jaccard falls
-  *     under every dedup threshold and cross-copy edit distance
-  *     exceeds q_edit_pairs' maxDist, while WITHIN-copy similarity
-  *     structure (what the operators chew on) is preserved;
+  *   - `documents`: ids shift by 1e8 per copy; EVERY token gains a
+  *     copy-distinct 8-char suffix — a BIJECTIVE per-copy token
+  *     rename, so within-copy token-set relationships (Jaccard,
+  *     containment, shingle co-occurrence) are EXACTLY the 1×
+  *     corpus's while cross-copy vocabularies are disjoint (zero
+  *     cross-copy candidates). The first cut of this transform
+  *     suffixed only every 4th POSITION; measured result: within-copy
+  *     pairs collapsed 2.97M → 6.5k (two near-dups tokenize the same
+  *     word at different positions, so positional tagging breaks
+  *     their set equality) and the probe spent 225 s verifying
+  *     candidates that all failed — a stress of the verifier, not of
+  *     growth. Uniform tagging is the rename that provably preserves
+  *     the within-copy structure;
   *   - `embeddings`: ids shift by 100000001 (≡ 1 mod 50, so the
   *     %50-sampled ANN query set stays 1× — a service's query volume
   *     does not grow with its corpus — while the corpus and its
@@ -62,7 +69,7 @@ object ScaleProbe {
       df.withColumn("doc_id", col("doc_id") + i * 100000000L)
         .withColumn("text",
           concat_ws(" ", transform(split(coalesce(col("text"), lit("")), " "),
-            (t, j) => when(j % 4 === 0,
+            t => when(length(t) > 0,
               concat(t, lit("zq"), repeat(i.cast("string"), 6)))
               .otherwise(t))))
     }
@@ -102,17 +109,26 @@ object ScaleProbe {
     buildStressed(spark, sfDir, outDir, factor)
     spark.range(1000).selectExpr("sum(id)").collect()
     val fns = graft.SparkEntry.queries
-    def time(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      fns(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+    // Two passes per (query, dir): pass 1 is COLD (fresh per-dir
+    // memos, so index builds are included — the honest end-to-end
+    // cost) and pass 2 is WARM (indexes built, the steady-state
+    // serving cost). Both are reported; this box hosts other loads
+    // and single-shot numbers showed 2-3x run-to-run swings, so the
+    // warm pass doubles as the noise floor for the cold one.
+    def time(name: String, dir: String): (Double, Double) = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fns(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (once(), once())
     }
-    val t1 = Probes.map(n => n -> time(n, sfDir))
-    val tN = Probes.map(n => n -> time(n, outDir))
+    val t1 = Probes.map(n => n -> time(n, sfDir)).toMap
+    val tN = Probes.map(n => n -> time(n, outDir)).toMap
     val entries = Probes.map { n =>
-      val a = t1.toMap.apply(n)
-      val b = tN.toMap.apply(n)
-      s""""$n":{"t1":${fmt(a)},"t$factor":${fmt(b)},"ratio":${fmt(b / a)}}"""
+      val (ac, aw) = t1(n)
+      val (bc, bw) = tN(n)
+      s""""$n":{"t1":${fmt(ac)},"t1_warm":${fmt(aw)},"t$factor":${fmt(bc)},"t${factor}_warm":${fmt(bw)},"ratio":${fmt(bc / ac)},"ratio_warm":${fmt(bw / aw)}}"""
     }
     println(s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","queries":{${entries.mkString(",")}}}""")
     spark.stop()
