@@ -877,6 +877,28 @@ object Similarity {
     }
   }
 
+  /** Quantized-cosine inertia of a centroid set over a corpus — the
+    * single-row quality readout the k-chooser (q_kmeans_elbow) plots:
+    * per vector, the max quantized cosine to ANY centroid (the value
+    * is tie-independent even where the assignment id is not), then
+    * `mean_dist_e4 = Σ(10⁴ − max_cos) div n` — exact integers end to
+    * end, so the elbow curve hash-gates. Same broadcast-cross +
+    * hash-agg dataflow as the trainer; one row out.
+    */
+  def kmeansInertia(corpus: DataFrame, centroids: DataFrame, dim: Int = 64,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cent = centroids.select(col("centroid_id"), col("centv"))
+      .withColumn("centn", norm(col("centv"), dim))
+    corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", norm(col("v"), dim))
+      .crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosQ(col("v"), col("centv"), col("vn"), col("centn"), dim))
+      .groupBy("vid").agg(max(col("c_cos")).as("mc"))
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("sum(10000 - mc) div count(1)").as("mean_dist_e4"))
+  }
+
   /** Swap-in of a [[splitHotLists]] result: members of every split
     * list re-assign to the nearest replacement sub-centroid (their new
     * list key is `"<list>:<sub>"`), members of untouched lists keep

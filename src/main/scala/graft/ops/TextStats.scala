@@ -1579,7 +1579,15 @@ object TextStats {
     * `buckets` slots. One definition, so a scorer can never hash
     * differently from the table it scores against.
     */
-  private[graft] def gramBuckets(textCol: String, buckets: Int): Column = {
+  private[graft] def gramBuckets(textCol: String, buckets: Int): Column =
+    graft.functions.GramBucketIds(tokens(col(textCol)), buckets)
+
+  /** The pre-kernel lambda-chain form of [[gramBuckets]] — kept ONLY
+    * as the parity oracle for the native [[graft.functions.GramBucketIds]]
+    * kernel (spec-pinned bit-equality; the kernel replaced it because
+    * two md5-hex round-trips per token dominated the q_dsir memo).
+    */
+  private[graft] def gramBucketsChain(textCol: String, buckets: Int): Column = {
     val ts = filter(tokens(col(textCol)), t => length(t) > 0)
     val bi = when(size(ts) >= 2,
       transform(sequence(lit(1), size(ts) - 1),

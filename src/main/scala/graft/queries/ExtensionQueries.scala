@@ -265,6 +265,23 @@ object ExtensionQueries {
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     mhPairs(s, d).orderBy("doc_a", "doc_b")
 
+  /** Components over the BANDED MinHash pair graph — the at-scale
+    * near-dup clustering route (the exact-Jaccard cluster query is
+    * output-bound on its verified pair list; the banded index's pair
+    * volume is tunable by band geometry, and the ×8 scale probe holds
+    * it to single-digit ratios). Reads the SAME shared mh_pairs index
+    * as q_dedup_minhash / q_minhash_est; components ride the star
+    * contraction. Semantics differ from q_dedup_clusters on purpose:
+    * banding is the candidate policy HERE (collision-clustered), the
+    * exact verified graph THERE — both first-class, both gated.
+    */
+  def minhashClustersQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = mhPairs(s, d) // resolve first (memo LRU order)
+    sharedFrame(s, d, "mh_clusters")(
+        Dedup.connectedComponents(pairs.select("doc_a", "doc_b"), docs(s, d)))
+      .orderBy("doc_id")
+  }
+
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d)).orderBy("doc_id")
 
@@ -475,6 +492,30 @@ object ExtensionQueries {
           .select(col("centroid_id"), col("centv"))),
         corpusAssigned = Some(kmeansAssignment(s, d)))
       .orderBy("query_id", "rank")
+  }
+
+  /** The k-chooser elbow curve: quantized-cosine inertia
+    * ([[Similarity.kmeansInertia]]) of the exact-Lloyd quantizer at
+    * k ∈ {4, 8, 16} — mean distance falls as k grows and the ELBOW
+    * (where the marginal drop flattens) is where an operator stops
+    * paying for lists. Completes the trained-index decision loop:
+    * q_kmeans_elbow picks k, q_trained_recall referees the pick
+    * against the stride rule, q_ann_advisor picks nprobe. The k=16
+    * arm reads the SAME memoized centroids the serving queries use;
+    * the smaller arms train here (one broadcast-cross + hash-agg per
+    * round each) and the whole 3-row curve memoizes.
+    */
+  def kmeansElbowQ(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val c16 = kmeansCentroids(s, d) // resolve first (memo LRU order)
+    sharedFrame(s, d, "kmeans_elbow") {
+      Seq(4, 8).map { k =>
+        Similarity.kmeansInertia(e, Similarity.kmeansExact(e, k = k, iters = 2))
+          .select(lit(k.toLong).as("k"), col("n_vectors"), col("mean_dist_e4"))
+      }.reduce(_ unionByName _)
+        .unionByName(Similarity.kmeansInertia(e, c16)
+          .select(lit(16L).as("k"), col("n_vectors"), col("mean_dist_e4")))
+    }.orderBy("k")
   }
 
   /** Trained-vs-stride index quality at FIXED probe budget (nprobe=1,
@@ -6163,6 +6204,19 @@ object ExtensionQueries {
          |  g.rebuild_any
          |FROM pick p JOIN c ON c.nprobe = p.nprobe CROSS JOIN g
          |ORDER BY p.target_ppm""".stripMargin) +
+    // the at-scale clustering route: components over the BANDED pair
+    // graph, wrapping the already-gated minhash pair SQL verbatim
+    ("q_minhash_clusters" ->
+      s"""WITH RECURSIVE mh AS (
+         |  SELECT doc_a, doc_b FROM (${oracleBase("q_dedup_minhash")}) zmh),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh
+         |  UNION ALL SELECT doc_b, doc_a FROM mh),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) +
     // the histogram oracle wraps the (already hash-gated) cluster
     // chain — one definition, two gates, no drift between them
     ("q_cluster_sizes" ->
@@ -8468,9 +8522,9 @@ object ExtensionQueries {
     * list, dv = mv as doubles) and `kc0` (init = 16 lowest ids) are
     * defined by [[kmeansOracleCtes]].
     */
-  private def kmLloydRound(t: Int): String = {
-    val prev = s"kc${t - 1}"
-    s"""ka$t AS (
+  private def kmLloydRound(t: Int, tag: String): String = {
+    val prev = s"${tag}c${t - 1}"
+    s"""${tag}a$t AS (
        |  SELECT vec_id, mv, centroid_id FROM (
        |    SELECT x.vec_id, x.mv, c.centroid_id,
        |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
@@ -8479,37 +8533,78 @@ object ExtensionQueries {
        |          (sqrt(list_reduce(list_transform(range(1,65), i -> x.dv[i]*x.dv[i]), (p,q)->p+q)) *
        |           sqrt(list_reduce(list_transform(range(1,65), i -> c.cd[i]*c.cd[i]), (p,q)->p+q))))) AS BIGINT) DESC,
        |        c.centroid_id) AS rn
-       |    FROM km x CROSS JOIN $prev c) z$t WHERE rn = 1),
-       |ks$t AS (
+       |    FROM km x CROSS JOIN $prev c) ${tag}z$t WHERE rn = 1),
+       |${tag}s$t AS (
        |  SELECT centroid_id, i,
        |    CAST(floor(CAST(sum(mv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cmi,
        |    count(*) AS nm
-       |  FROM ka$t CROSS JOIN range(1,65) r(i) GROUP BY centroid_id, i),
-       |kc$t AS (
+       |  FROM ${tag}a$t CROSS JOIN range(1,65) r(i) GROUP BY centroid_id, i),
+       |${tag}c$t AS (
        |  SELECT centroid_id, max(nm) AS n_members,
        |    list(cmi ORDER BY i) AS cm,
        |    list(CAST(cmi AS DOUBLE) ORDER BY i) AS cd
-       |  FROM ks$t GROUP BY centroid_id)""".stripMargin
+       |  FROM ${tag}s$t GROUP BY centroid_id)""".stripMargin
   }
 
-  /** The full trained-quantizer CTE chain shared by the q_kmeans /
-    * q_ivf_trained / q_trained_recall oracles: micro-quantize, seed
-    * with the 16 lowest-id vectors, run 2 exact Lloyd rounds → kc2.
+  /** Shared base CTEs (raw doubles + micro-quantized forms) for every
+    * trained-quantizer oracle.
     */
-  private def kmeansOracleCtes: String =
+  private def kmeansBaseCtes: String =
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |km AS (
        |  SELECT vec_id, mv, list_transform(mv, y -> CAST(y AS DOUBLE)) AS dv
        |  FROM (SELECT vec_id,
        |      list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS mv
-       |    FROM e) mq),
-       |kc0 AS (SELECT vec_id AS centroid_id, mv AS cm, dv AS cd
-       |  FROM km ORDER BY vec_id LIMIT 16),
-       |${kmLloydRound(1)},
-       |${kmLloydRound(2)}""".stripMargin
+       |    FROM e) mq)""".stripMargin
+
+  /** One k-chain: seed with the k lowest-id vectors, run 2 exact Lloyd
+    * rounds → `${tag}c2`.
+    */
+  private def kmeansChainCtes(k: Int, tag: String): String =
+    s"""${tag}c0 AS (SELECT vec_id AS centroid_id, mv AS cm, dv AS cd
+       |  FROM km ORDER BY vec_id LIMIT $k),
+       |${kmLloydRound(1, tag)},
+       |${kmLloydRound(2, tag)}""".stripMargin
+
+  /** The full trained-quantizer CTE chain shared by the q_kmeans /
+    * q_ivf_trained / q_trained_recall oracles: base + the k=16 chain
+    * (tag "k" → kc0..kc2, the production index's config).
+    */
+  private def kmeansOracleCtes: String =
+    s"""$kmeansBaseCtes,
+       |${kmeansChainCtes(16, "k")}""".stripMargin
+
+  /** Per-tag inertia CTEs for the elbow oracle: max quantized cosine
+    * per vector over the tag's final centroids, then the exact-integer
+    * mean distance.
+    */
+  private def kmeansInertiaCte(tag: String): String =
+    s"""${tag}mx AS (
+       |  SELECT x.vec_id, max(CAST(floor(10000 * (
+       |    list_reduce(list_transform(range(1,65), i -> x.v[i]*c.cd[i]), (p,q)->p+q) /
+       |    (sqrt(list_reduce(list_transform(range(1,65), i -> x.v[i]*x.v[i]), (p,q)->p+q)) *
+       |     sqrt(list_reduce(list_transform(range(1,65), i -> c.cd[i]*c.cd[i]), (p,q)->p+q))))) AS BIGINT)) AS mc
+       |  FROM e x CROSS JOIN ${tag}c2 c GROUP BY x.vec_id),
+       |${tag}ine AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(CAST(sum(10000 - mc) AS BIGINT) // count(*) AS BIGINT) AS mean_dist_e4
+       |  FROM ${tag}mx)""".stripMargin
 
   private val oracleBase: Map[String, String] = Map(
+    "q_kmeans_elbow" ->
+      s"""WITH $kmeansBaseCtes,
+         |${kmeansChainCtes(4, "u")},
+         |${kmeansChainCtes(8, "w")},
+         |${kmeansChainCtes(16, "k")},
+         |${kmeansInertiaCte("u")},
+         |${kmeansInertiaCte("w")},
+         |${kmeansInertiaCte("k")}
+         |SELECT CAST(4 AS BIGINT) AS k, n_vectors, mean_dist_e4 FROM uine
+         |UNION ALL
+         |SELECT CAST(8 AS BIGINT) AS k, n_vectors, mean_dist_e4 FROM wine
+         |UNION ALL
+         |SELECT CAST(16 AS BIGINT) AS k, n_vectors, mean_dist_e4 FROM kine
+         |ORDER BY k""".stripMargin,
     "q_kmeans" ->
       s"""WITH $kmeansOracleCtes
          |SELECT centroid_id, CAST(i - 1 AS BIGINT) AS pos,
@@ -11756,6 +11851,8 @@ object ExtensionQueries {
     "q_record_linkage"  -> (recordLinkageQ _),
     "q_k_anonymity"     -> (kAnonymityQ _),
     "q_t_closeness"     -> (tClosenessQ _),
+    "q_minhash_clusters" -> (minhashClustersQ _),
+    "q_kmeans_elbow"    -> (kmeansElbowQ _),
     "q_cluster_sizes"   -> (clusterSizes _),
     "q_pad_waste"       -> (padWaste _),
     "q_bpe_sweep"       -> (bpeSweep _),

@@ -359,6 +359,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("native GramBucketIds == chain-form gramBuckets: values, order, " +
+    "null text, empty text, unicode, multi-space") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "single"),
+      (3L, ""),                     // no surviving tokens
+      (4L, null),                   // null text
+      (5L, "héllo wörld ünïcode"),
+      (6L, "a  b   c")              // empty tokens filtered before bigrams
+    ).toDF("doc_id", "text")
+    def rows(c: org.apache.spark.sql.Column) = docs
+      .select(col("doc_id"), c.as("g"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      .toMap
+    val native = rows(TextStats.gramBuckets("text", 1024))
+    val chain = rows(TextStats.gramBucketsChain("text", 1024))
+    assert(native === chain)
+    // sanity: doc 1 has 4 unigrams + 3 bigrams, in that order
+    assert(native(1L).length === 7)
+    // repeated token buckets identically
+    assert(native(1L)(0) === native(1L)(3))
+  }
+
   test("native HyperplaneBuckets == chain-form lshBucket per table on " +
     "random vectors") {
     val vecs = (1 to 60).map { i =>
