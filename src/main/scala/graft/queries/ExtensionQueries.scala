@@ -4081,6 +4081,29 @@ object ExtensionQueries {
       .select(col("node").as("vec_id"), col("pr"))
   }
 
+  /** Seed-trust propagation ([[Graph.personalizedPageRank]]) over the
+    * shared k-NN graph: a small audited "trusted" subset (label-0
+    * vectors at a 1-in-5 stride — the hand-reviewed seed list a
+    * curation pipeline actually has) teleports all rank mass, and
+    * every other document scores by how reachable it is from trust
+    * through the similarity structure — the seed-expanded quality
+    * filter (TrustRank applied to corpus curation). Top-50 with the
+    * seed flag carried so the interesting rows — HIGH-trust NON-seeds,
+    * the expansion candidates — read directly.
+    */
+  def trustRankQ(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val seeds = e.filter(col("label") === 0 && col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("node"))
+    Graph.personalizedPageRank(knnEdges(s, d).select("src", "dst"),
+        e.select(col("vec_id").as("node")), seeds, iterations = 3)
+      .join(seeds.withColumn("_s", lit(true)), Seq("node"), "left")
+      .select(col("node").as("vec_id"),
+        coalesce(col("_s"), lit(false)).as("is_seed"), col("pr"))
+      .orderBy(col("pr").desc, col("vec_id"))
+      .limit(50)
+  }
+
   /** ANN recall@k audit — the standard index-quality metric (recall
     * of the approximate top-k against brute-force ground truth, the
     * number every ANN paper reports): per query, how many of the true
@@ -4147,6 +4170,74 @@ object ExtensionQueries {
           expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
     }
 
+  /** The TRAINED index's nprobe→recall curve — the same one-probe
+    * sweep as [[sharedRecallCurve]] over the kmeansExact quantizer's
+    * posting lists, so the two indexes publish comparable tuning
+    * tables against the SAME shared ground truth.
+    */
+  private def sharedTrainedCurve(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "trained_curve") {
+      import s.implicits._
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val exact = annTruth(s, d)
+      val arms = Seq(1, 2, 4)
+      val approx = Similarity.ivfTopKSweep(q, e, k = 5, sweeps = arms,
+          corpusAssigned = Some(kmeansAssignment(s, d)),
+          centroids = Some(kmeansCentroids(s, d)
+            .select(col("centroid_id"), col("centv"))))
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+          lit(1L).as("_h"))
+      exact.crossJoin(broadcast(arms.toDF("nprobe")))
+        .join(approx, Seq("nprobe", "query_id", "neighbor_id"), "left")
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("_h"), lit(0L))).as("n_hits"))
+        .select(col("nprobe"), col("n_truth"), col("n_hits"),
+          expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+    }
+
+  def trainedCurveQ(s: SparkSession, d: String): DataFrame =
+    sharedTrainedCurve(s, d).orderBy("nprobe")
+
+  /** CROSS-INDEX serving advisor — the decision the per-index tools
+    * leave to the operator: given BOTH gated tuning curves (stride +
+    * trained) and each index's real posting-list geometry, pick per
+    * recall target the (index, nprobe) pair that meets it at the
+    * LOWEST expected probe cost; when no arm meets a target, the
+    * best-recall arm is returned flagged `met_target = false` (the
+    * q_ann_advisor honesty rule). Deterministic tie order: cost, then
+    * variant, then nprobe. A tiny frame end to end — two 3-row curves
+    * × 4 targets — every expensive input already memoized.
+    */
+  def indexAdvisorQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val targets = Seq(150000L, 250000L, 400000L, 600000L)
+    def costed(tag: String, curve: DataFrame, assign: DataFrame): DataFrame = {
+      val stats = assign.agg(count(lit(1)).as("n_items"),
+        countDistinct(col("centroid_id")).as("n_lists"))
+      curve.crossJoin(broadcast(stats))
+        .select(lit(tag).as("variant"), col("nprobe"), col("recall_ppm"),
+          expr("nprobe * (n_items div n_lists)").as("cost_rows_mean"))
+    }
+    val arms = costed("stride", sharedRecallCurve(s, d), ivfAssignment(s, d))
+      .unionByName(
+        costed("trained", sharedTrainedCurve(s, d), kmeansAssignment(s, d)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("target_ppm")
+      .orderBy(col("met_target").desc,
+        when(col("met_target"), col("cost_rows_mean"))
+          .otherwise(-col("recall_ppm")),
+        col("cost_rows_mean"), col("variant"), col("nprobe"))
+    arms.crossJoin(broadcast(targets.toDF("target_ppm")))
+      .withColumn("met_target", col("recall_ppm") >= col("target_ppm"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("target_ppm", "variant", "nprobe", "recall_ppm",
+        "cost_rows_mean", "met_target")
+      .orderBy("target_ppm")
+  }
+
   /** ANN serving advisor ([[Similarity.servingAdvisor]]) — the row a
     * service reads instead of eyeballing q_recall_curve: per recall
     * target, the smallest swept nprobe that meets it on the sampled
@@ -4171,9 +4262,7 @@ object ExtensionQueries {
     */
   def mrlRecall(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
-    val q = e.filter(col("vec_id") % 50 === 0)
-    val truth = Similarity.bruteForceTopK(q, e, k = 5, dim = 64)
-      .select("query_id", "neighbor_id")
+    val truth = annTruth(s, d) // the shared ground-truth memo
     Seq(16, 32, 64).map { dm =>
       // the truncation is REAL: slice the stored vectors to the first
       // dm dims (the native dot kernel always consumes whole arrays)
@@ -6204,6 +6293,66 @@ object ExtensionQueries {
          |  g.rebuild_any
          |FROM pick p JOIN c ON c.nprobe = p.nprobe CROSS JOIN g
          |ORDER BY p.target_ppm""".stripMargin) +
+    // cross-index advisor: wraps BOTH gated curves; index geometry
+    // (items, occupied lists) re-stated in the same assignment form
+    // the per-index oracles use
+    ("q_index_advisor" ->
+      s"""WITH sc AS (SELECT nprobe, recall_ppm FROM ($recallCurveOracleSql) zsc),
+         |tc AS (SELECT nprobe, recall_ppm FROM ($trainedCurveOracleSql) ztc),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |scent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+         |sranked AS (
+         |    SELECT a.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(floor(10000 * (
+         |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+         |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+         |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+         |        c.centroid_id) AS rn
+         |    FROM e a CROSS JOIN scent c),
+         |sstats AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |    CAST(count(DISTINCT centroid_id) AS BIGINT) AS n_lists
+         |  FROM sranked WHERE rn = 1),
+         |km AS (
+         |  SELECT vec_id, mv, list_transform(mv, y -> CAST(y AS DOUBLE)) AS dv
+         |  FROM (SELECT vec_id,
+         |      list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS mv
+         |    FROM e) mq),
+         |${kmeansChainCtes(16, "k")},
+         |tcent AS (SELECT centroid_id, cd AS centv FROM kc2),
+         |tranked AS (
+         |    SELECT a.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(floor(10000 * (
+         |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+         |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+         |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+         |        c.centroid_id) AS rn
+         |    FROM e a CROSS JOIN tcent c),
+         |tstats AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |    CAST(count(DISTINCT centroid_id) AS BIGINT) AS n_lists
+         |  FROM tranked WHERE rn = 1),
+         |allarms AS (
+         |  SELECT 'stride' AS variant, sc.nprobe, sc.recall_ppm,
+         |    CAST(sc.nprobe * (s.n_items // s.n_lists) AS BIGINT) AS cost_rows_mean
+         |  FROM sc CROSS JOIN sstats s
+         |  UNION ALL
+         |  SELECT 'trained' AS variant, tc.nprobe, tc.recall_ppm,
+         |    CAST(tc.nprobe * (t.n_items // t.n_lists) AS BIGINT) AS cost_rows_mean
+         |  FROM tc CROSS JOIN tstats t),
+         |tg AS (SELECT CAST(unnest([150000, 250000, 400000, 600000]) AS BIGINT) AS target_ppm),
+         |rkd AS (SELECT tg.target_ppm, a.variant, a.nprobe, a.recall_ppm,
+         |    a.cost_rows_mean,
+         |    a.recall_ppm >= tg.target_ppm AS met_target,
+         |    row_number() OVER (PARTITION BY tg.target_ppm ORDER BY
+         |      (a.recall_ppm >= tg.target_ppm) DESC,
+         |      CASE WHEN a.recall_ppm >= tg.target_ppm
+         |        THEN a.cost_rows_mean ELSE -a.recall_ppm END,
+         |      a.cost_rows_mean, a.variant, a.nprobe) AS rn
+         |  FROM allarms a CROSS JOIN tg)
+         |SELECT target_ppm, variant, CAST(nprobe AS BIGINT) AS nprobe,
+         |  recall_ppm, cost_rows_mean, met_target
+         |FROM rkd WHERE rn = 1 ORDER BY target_ppm""".stripMargin) +
     // the at-scale clustering route: components over the BANDED pair
     // graph, wrapping the already-gated minhash pair SQL verbatim
     ("q_minhash_clusters" ->
@@ -8514,6 +8663,57 @@ object ExtensionQueries {
        |${arms.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY nprobe""".stripMargin
   }
 
+  /** The trained index's nprobe sweep oracle — [[recallCurveOracleSql]]
+    * with the coarse quantizer swapped for the kc2 Lloyd centroids.
+    */
+  private lazy val trainedCurveOracleSql: String = {
+    val arms = Seq(1, 2, 4).map { np =>
+      s"""SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  (CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // count(*) AS recall_ppm
+         |FROM exact x LEFT JOIN (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        CAST(floor(10000 * (
+         |          list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+         |          (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+         |           sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+         |      FROM (SELECT vec_id, v, centroid_id FROM tranked
+         |            WHERE rn <= $np AND vec_id % 50 = 0) q
+         |      JOIN tassign c ON q.centroid_id = c.centroid_id
+         |      WHERE q.vec_id <> c.vec_id)) WHERE rank <= 5) a
+         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin
+    }
+    s"""WITH $kmeansBaseCtes,
+       |${kmeansChainCtes(16, "k")},
+       |tcent AS (SELECT centroid_id, cd AS centv FROM kc2),
+       |tranked AS (
+       |    SELECT a.vec_id, a.v, c.centroid_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(floor(10000 * (
+       |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+       |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+       |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+       |        c.centroid_id) AS rn
+       |    FROM e a CROSS JOIN tcent c),
+       |tassign AS (SELECT vec_id, v, centroid_id FROM tranked WHERE rn = 1),
+       |escored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  CAST(floor(10000 * (
+       |    list_reduce(list_transform(range(1,65), i -> q.v[i]*c.v[i]), (x,y)->x+y) /
+       |    (sqrt(list_reduce(list_transform(range(1,65), i -> q.v[i]*q.v[i]), (x,y)->x+y)) *
+       |     sqrt(list_reduce(list_transform(range(1,65), i -> c.v[i]*c.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+       |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+       |er AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank
+       |  FROM escored),
+       |exact AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 5)
+       |${arms.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY nprobe""".stripMargin
+  }
+
   /** One unrolled Lloyd round of the exact-integer k-means oracle
     * ([[Similarity.kmeansExact]] k=16, dim=64): assignment by the
     * quantized cosine over integer-valued doubles (rank DESC, lowest
@@ -10685,6 +10885,36 @@ object ExtensionQueries {
         |  e2.src IS NOT NULL AS mutual
         |FROM edges e1 LEFT JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
         |ORDER BY e1.src, e1.rank""".stripMargin),
+    "q_trustrank" -> {
+      // personalized teleport: base mass lands ONLY on the seed set
+      // (mirror of Graph.personalizedPageRank's integer fixed point)
+      val iters = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"it${i - 1}"
+        s"""it$i AS (SELECT n.node, n.is_seed,
+           |    n.is_seed * ((1000000000000 * 15 // 100) // (SELECT s FROM ns))
+           |      + 85 * COALESCE(c.c, 0) // 100 AS pr
+           |  FROM sn n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(r.pr // o.outd) AS BIGINT) AS c
+           |    FROM edges e JOIN $prev r ON e.src = r.node
+           |    JOIN outd o ON e.src = o.src
+           |    GROUP BY 1) c ON n.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      knnEdgesCte + ",\n" +
+        s"""nodes AS (SELECT vec_id AS node FROM embeddings),
+           |sd AS (SELECT vec_id AS node FROM embeddings
+           |  WHERE label = 0 AND vec_id % 5 = 0),
+           |sn AS (SELECT n.node,
+           |    CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+           |  FROM nodes n LEFT JOIN sd ON n.node = sd.node),
+           |ns AS (SELECT CAST(sum(is_seed) AS BIGINT) AS s FROM sn),
+           |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outd FROM edges GROUP BY 1),
+           |r0 AS (SELECT node, is_seed,
+           |  is_seed * (1000000000000 // (SELECT s FROM ns)) AS pr FROM sn),
+           |$iters
+           |SELECT node AS vec_id, is_seed = 1 AS is_seed,
+           |  CAST(pr AS BIGINT) AS pr FROM it3
+           |ORDER BY pr DESC, vec_id LIMIT 50""".stripMargin
+    },
     "q_pagerank" -> {
       // 3 unrolled integer fixed-point iterations (mirror of
       // Graph.pageRank: share = pr div outd, update = base + 85c div 100)
@@ -11136,6 +11366,7 @@ object ExtensionQueries {
         |    AS global_pos
         |FROM r JOIN idx USING (source) ORDER BY global_pos""".stripMargin,
     "q_recall_curve" -> recallCurveOracleSql,
+    "q_trained_curve" -> trainedCurveOracleSql,
     "q_ann_recall" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -11853,6 +12084,8 @@ object ExtensionQueries {
     "q_t_closeness"     -> (tClosenessQ _),
     "q_minhash_clusters" -> (minhashClustersQ _),
     "q_kmeans_elbow"    -> (kmeansElbowQ _),
+    "q_trained_curve"   -> (trainedCurveQ _),
+    "q_index_advisor"   -> (indexAdvisorQ _),
     "q_cluster_sizes"   -> (clusterSizes _),
     "q_pad_waste"       -> (padWaste _),
     "q_bpe_sweep"       -> (bpeSweep _),
@@ -11865,6 +12098,7 @@ object ExtensionQueries {
     "q_vocab_growth"    -> (vocabGrowthQ _),
     "q_interval_join"   -> (intervalJoin _),
     "q_pagerank"        -> (pageRankQ _),
+    "q_trustrank"       -> (trustRankQ _),
     "q_hybrid_rrf"      -> (hybridRrf _),
     "q_cluster_terms"   -> (clusterTerms _),
     "q_communities"     -> (communitiesQ _),

@@ -305,6 +305,24 @@ class OpsSpec extends SparkSpec {
     assert(out3.forall { case (q, n) => q % 3 === n % 3 })
   }
 
+  test("kmeansExact edges: iters=0 returns the seed table with zero " +
+    "memberships, k > N degrades to N seeds, identical vectors " +
+    "collapse to one surviving centroid") {
+    val dup = Seq((1L, Array(0.5f, 0.5f)), (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val init = Similarity.kmeansExact(dup, k = 5, iters = 0, dim = 2)
+      .select("centroid_id", "n_members", "cm")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    assert(init.toSeq === (1L to 3L).map(i =>
+      (i, 0L, Seq(500000L, 500000L))))
+    // one Lloyd round: all ties break to the lowest centroid id, the
+    // other seeds lose every member and drop (standard Lloyd)
+    val one = Similarity.kmeansExact(dup, k = 5, iters = 2, dim = 2)
+      .select("centroid_id", "n_members", "cm")
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(one.toSeq === Seq((1L, 3L, Seq(500000L, 500000L))))
+  }
+
   test("ngramClustersPrefix == connectedComponents over the full " +
     "verified pair list on a >64-vocab fixture with set-dups, " +
     "null text, and empty-token docs") {

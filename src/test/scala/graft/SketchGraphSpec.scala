@@ -108,6 +108,31 @@ class SketchGraphSpec extends SparkSpec {
       3L -> (50000L + 85L * 499999L / 100L)))
   }
 
+  test("personalizedPageRank: hand-computed seed-teleport iteration; " +
+    "off-node-set seeds ignored; empty effective seed set fails loudly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val seeds = Seq(1L).toDF("node")
+    // nS=1: r0 = (1e6, 0, 0, 0); baseS = 150000 lands ONLY on the seed;
+    // iter1 shares: 1 -> 2 carries the full 1e6
+    val out = Graph.personalizedPageRank(edges, nodes, seeds,
+        iterations = 1, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(
+      1L -> 150000L,
+      2L -> (85L * 1000000L / 100L),
+      3L -> 0L, 4L -> 0L))
+    // a seed id outside the node set contributes nothing (nS stays 1)
+    val out2 = Graph.personalizedPageRank(edges, nodes,
+        Seq(1L, 99L).toDF("node"), iterations = 1, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(out2 === out)
+    // all seeds off the node set = ranking against nothing: loud fail
+    assertThrows[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, nodes, Seq(99L).toDF("node"))
+    }
+  }
+
   test("pageRank: hub of a star graph wins; isolated node sits at the " +
     "teleport floor") {
     // 2..6 all point at 1; 7 is isolated (no edges at all)
