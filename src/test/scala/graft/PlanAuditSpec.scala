@@ -636,4 +636,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("kmeansExact training: the k x dim centroid side BROADCASTS " +
+    "against the corpus (the only join in the loop), and the returned " +
+    "frame is a checkpointed leaf — no replay of the training lineage " +
+    "at serve time") {
+    val cents = Similarity.kmeansExact(embs, k = 3, iters = 1, dim = 8)
+    // returned frame: ExistingRDD leaf (localCheckpoint), no joins left
+    val served = plan(cents)
+    assert(served.contains("ExistingRDD"), served)
+    assert(!served.contains("Join"), served)
+    // the training loop's assignment plan (re-built here un-checkpointed
+    // to inspect it): broadcast the centroids, never a shuffle cross
+    val vecs = embs.select(col("vec_id").as("vid"),
+      transform(col("embedding"), (x: org.apache.spark.sql.Column) =>
+        floor(x.cast("double") * 1000000.0).cast("long")).as("mv"))
+    val assignShape = vecs
+      .crossJoin(broadcast(cents.select("centroid_id", "centv")))
+      .groupBy("vid").agg(count(lit(1)).as("n"))
+    val p = plan(assignShape)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("personalizedPageRank result is a checkpointed leaf, and each " +
+    "contribution round is hash-partitioned on the node key (no " +
+    "SinglePartition exchange, no cartesian)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val out = graft.ops.Graph.personalizedPageRank(edges, nodes,
+      Seq(1L).toDF("node"), iterations = 2, scale = 1000000L)
+    val p = plan(out)
+    assert(p.contains("ExistingRDD"), p)
+    // the NEXT round built on the leaf: shuffles hash on src/node only
+    val contrib = edges.join(out.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("dst").as("node"), col("pr"))
+      .groupBy("node").agg(sum(col("pr")).as("c"))
+    val p2 = plan(contrib)
+    assert(!p2.contains("SinglePartition"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
+  test("ngramClustersPrefix candidate stage: the set-contraction star " +
+    "join and the rep prefix join are equi-joins (no nested loop, no " +
+    "cartesian) and the positional-PPJoin filter sits INSIDE the " +
+    "candidate join condition") {
+    val manyTok = (1 to 120)
+      .map(i => (i.toLong, (0 to 9).map(j => s"w${(i * 3 + j) % 80}")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = plan(Dedup.ngramClustersPrefix(manyTok, 0.8))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
