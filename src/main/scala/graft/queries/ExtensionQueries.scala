@@ -3295,6 +3295,32 @@ object ExtensionQueries {
     Profile.indexHealth(ivfAssignment(s, d), "centroid_id")
       .orderBy("list_key")
 
+  /** The trained index's posting-list health — the same audit
+    * q_ivf_health publishes for the stride index, over the Lloyd
+    * quantizer's lists: the lifecycle symmetry that lets the rebuild/
+    * split machinery watch WHICHEVER index serves. Balanced lists are
+    * the point of training (the stride index's skew is accidental);
+    * the skew flag here fires only when the data actually moved.
+    */
+  def trainedHealthQ(s: SparkSession, d: String): DataFrame =
+    Profile.indexHealth(kmeansAssignment(s, d), "centroid_id")
+      .orderBy("list_key")
+
+  /** Incremental ingest into the TRAINED index: "new" vectors (the
+    * %7 stride stand-in for an arriving batch) assign against the
+    * FROZEN Lloyd centroids — bit-equal rows of the full assignment's
+    * subset (the [[Similarity.assignToCentroids]] `centroids`
+    * contract: growing the corpus is O(new vectors), never a
+    * re-index).
+    */
+  def trainedIncrQ(s: SparkSession, d: String): DataFrame =
+    Similarity.assignToCentroids(
+        embs(s, d).filter(col("vec_id") % 7 === 0),
+        centroids = Some(kmeansCentroids(s, d)
+          .select(col("centroid_id"), col("centv"))))
+      .select("vec_id", "centroid_id")
+      .orderBy("vec_id")
+
   /** The re-train recommendation that closes the ANN lifecycle loop:
     * [[Profile.rebuildDecision]] over the SAME shared assignment the
     * q_ann_ivf* queries and q_ivf_health read — size skew from the
@@ -11913,6 +11939,43 @@ object ExtensionQueries {
         |  CAST(sum(n_occ) OVER (ORDER BY rank) AS BIGINT) AS cum_occ,
         |  CAST(sum(n_occ) OVER (ORDER BY rank) * 1000000 // total AS BIGINT) AS cum_ppm
         |FROM top, tot ORDER BY rank""".stripMargin,
+    "q_trained_health" ->
+      s"""WITH $kmeansBaseCtes,
+         |${kmeansChainCtes(16, "k")},
+         |tcent AS (SELECT centroid_id, cd AS centv FROM kc2),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT a.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(floor(10000 * (
+         |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+         |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+         |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+         |        c.centroid_id) AS rn
+         |    FROM e a CROSS JOIN tcent c) t
+         |  WHERE rn = 1),
+         |sizes AS (SELECT CAST(centroid_id AS VARCHAR) AS list_key, count(*) AS n_items
+         |  FROM assign GROUP BY 1),
+         |g AS (SELECT count(*) AS n_lists, CAST(sum(n_items) AS BIGINT) AS total_items FROM sizes)
+         |SELECT list_key, n_items, n_lists, total_items,
+         |  CAST(n_items * 1000000 // total_items AS BIGINT) AS share_ppm,
+         |  n_items * n_lists * 1000 > 2000 * total_items AS skewed
+         |FROM sizes, g ORDER BY list_key""".stripMargin,
+    "q_trained_incr" ->
+      s"""WITH $kmeansBaseCtes,
+         |${kmeansChainCtes(16, "k")},
+         |tcent AS (SELECT centroid_id, cd AS centv FROM kc2)
+         |SELECT vec_id, centroid_id FROM (
+         |  SELECT a.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      CAST(floor(10000 * (
+         |        list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+         |        (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+         |         sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+         |      c.centroid_id) AS rn
+         |  FROM e a CROSS JOIN tcent c
+         |  WHERE a.vec_id % 7 = 0) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_ivf_health" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -12086,6 +12149,8 @@ object ExtensionQueries {
     "q_kmeans_elbow"    -> (kmeansElbowQ _),
     "q_trained_curve"   -> (trainedCurveQ _),
     "q_index_advisor"   -> (indexAdvisorQ _),
+    "q_trained_health"  -> (trainedHealthQ _),
+    "q_trained_incr"    -> (trainedIncrQ _),
     "q_cluster_sizes"   -> (clusterSizes _),
     "q_pad_waste"       -> (padWaste _),
     "q_bpe_sweep"       -> (bpeSweep _),
