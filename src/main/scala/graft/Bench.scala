@@ -53,6 +53,27 @@ object Bench {
                   "orders", "lineitem", "events", "documents", "embeddings"))
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
+    // SPARK_GRAFT_ARTIFACT_DIR=<dir>: warm-artifact mode. If the dir
+    // holds saved index artifacts for this corpus (ArtifactStore
+    // manifests validate), they install into the session memos and the
+    // run measures pure SERVING cost — memo_sec then reports parquet
+    // installs instead of index builds (the build-once/serve-many
+    // deployment shape). An empty dir stays a cold run and the built
+    // artifacts are saved at the end, so the NEXT run is warm. A stale
+    // dir (fingerprint mismatch) fails the load loudly and the run
+    // proceeds cold — never serving a stale index silently. The driver
+    // never sets this env; per-round bench semantics are unchanged.
+    val artifactDir = sys.env.get("SPARK_GRAFT_ARTIFACT_DIR")
+    val loadedArtifacts = artifactDir.map { dirPath =>
+      try {
+        val n = graft.queries.ExtensionQueries.loadArtifacts(spark, sfDir, dirPath)
+        System.err.println(s"[bench] loaded $n artifacts from $dirPath")
+        n
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] artifact load failed, running cold: ${e.getMessage}")
+        0
+      }
+    }.getOrElse(0)
     // SPARK_GRAFT_ONLY=q_a,q_b runs a subset — local profiling aid
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -191,6 +212,18 @@ object Bench {
         finally r.close()
       }
     } catch { case scala.util.control.NonFatal(_) => () }
+
+    // cold warm-artifact run: persist what this run built so the next
+    // run with the same dir serves without rebuilding (full runs only —
+    // a subset run hasn't built the whole catalog)
+    if (loadedArtifacts == 0 && only.isEmpty) artifactDir.foreach { dirPath =>
+      try {
+        val n = graft.queries.ExtensionQueries.saveArtifacts(spark, sfDir, dirPath)
+        System.err.println(s"[bench] saved $n artifacts to $dirPath")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] artifact save failed: ${e.getMessage}")
+      }
+    }
 
     // Slowest-first so that, if truncation is ever needed, the queries that
     // matter for performance analysis are the ones that survive.

@@ -186,6 +186,134 @@ object ExtensionQueries {
   private def bpeMerges(s: SparkSession, d: String): Seq[(String, String)] =
     bpeMemo.computeIfAbsent((s, d), _ => Bpe.train(docs(s, d), numMerges = 24))
 
+  // ---------------------------------------------------------------------
+  // Artifact persistence (graft.ops.ArtifactStore): the session memos
+  // above, as a build-once / serve-many index library on disk.
+  // ---------------------------------------------------------------------
+
+  /** Memoized corpus fingerprint per (session, dataset, table) — one
+    * scan, reused by every save/load validation in the session.
+    */
+  private val fpMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), String]()
+  private def corpusFp(s: SparkSession, d: String, table: String): String =
+    fpMemo.computeIfAbsent((s, d, table), _ => table match {
+      case "documents" =>
+        ArtifactStore.fingerprint(docs(s, d),
+          Seq("doc_id", "text", "lang", "source"))
+      case "embeddings" =>
+        ArtifactStore.fingerprint(embs(s, d), Seq("vec_id", "embedding"))
+      case "events" =>
+        val ev = Tables.events(s, d)
+        ArtifactStore.fingerprint(ev, ev.columns.toSeq)
+      case t => throw new IllegalArgumentException(s"no fingerprint for $t")
+    })
+
+  /** The PERSISTABLE artifact catalog: every deterministic, index-sized
+    * shared memo, with the build params its manifest records and the
+    * source table whose fingerprint gates staleness. Excluded on
+    * purpose: `grams5` (a pure explode whose parquet form is larger
+    * than its 0.2 s rebuild — persisting it is a net loss) and
+    * `probe_max_orderkey` (a one-row probe cheaper than validating it).
+    * `masks`/`mask_pairs` exist only on small-vocab corpora (the
+    * resolver returns None otherwise and save skips them); `ivf_cent`
+    * is a post-refresh serving override, not a base artifact.
+    *
+    * Entries resolve through the SAME accessors the queries use, so a
+    * save builds exactly what serving would have built, and a load
+    * installs under exactly the keys serving reads.
+    */
+  private def artifactCatalog(s: SparkSession, d: String)
+      : Seq[(String, String, Map[String, String], () => Option[DataFrame])] = {
+    def some(f: => DataFrame): () => Option[DataFrame] = () => Some(f)
+    val km = Map("k" -> "16", "iters" -> "2", "dim" -> "64")
+    val mh = Map("numHashes" -> "16", "bands" -> "2")
+    Seq(
+      ("kmeans_cent", "embeddings", km, some(kmeansCentroids(s, d))),
+      ("kmeans_assign", "embeddings", km, some(kmeansAssignment(s, d))),
+      ("kmeans_elbow", "embeddings", Map("ks" -> "4,8,16", "iters" -> "2"),
+        some(kmeansElbowFrame(s, d))),
+      ("ivf_assign", "embeddings", Map("stride" -> "37", "dim" -> "64"),
+        some(ivfAssignment(s, d))),
+      ("ann_truth", "embeddings", Map("k" -> "5", "sample" -> "50"),
+        some(annTruth(s, d))),
+      ("knn_edges", "embeddings", Map("k" -> "5", "nprobe" -> "2"),
+        some(knnEdges(s, d))),
+      ("pq_cb", "embeddings", Map("m" -> "8", "dim" -> "64"), some(pqCb(s, d))),
+      ("pq_enc", "embeddings", Map("m" -> "8", "dim" -> "64"), some(pqEnc(s, d))),
+      ("gram_emb", "embeddings", Map("dim" -> "64"), some(gramFrame(s, d))),
+      ("recall_curve", "embeddings", Map("arms" -> "1,2,4", "k" -> "5"),
+        some(sharedRecallCurve(s, d))),
+      ("trained_curve", "embeddings", Map("arms" -> "1,2,4", "k" -> "5"),
+        some(sharedTrainedCurve(s, d))),
+      ("mh_sigs", "documents", Map("numHashes" -> "16"), some(mhSigs(s, d))),
+      ("mh_bands", "documents", mh, some(mhBands(s, d))),
+      ("mh_pairs", "documents", mh, some(mhPairs(s, d))),
+      ("mh_clusters", "documents", mh, some(mhClusters(s, d))),
+      ("masks", "documents", Map("vocab" -> "auto"),
+        () => docVocab(s, d).map(v => maskFrame(s, d, v))),
+      ("mask_pairs", "documents", Map("t" -> "0.8"),
+        () => docVocab(s, d).map(v => maskPairs(s, d, v))),
+      ("pairs", "documents", Map("t" -> "0.8"), some(jaccardPairs(s, d))),
+      ("clusters", "documents", Map("t" -> "0.8"), some(docClusters(s, d))),
+      ("lm_scores", "documents", Map("split" -> "even/odd"),
+        some(lmScores(s, d))),
+      ("dsir_w", "documents", Map("target" -> "lang=en"),
+        some(dsirWeights(s, d))),
+      ("acf_grid", "events", Map("lags" -> "1-7"), some(acfFrame(s, d))))
+  }
+  private val bpeParams = Map("numMerges" -> "24")
+
+  /** Build (if not yet built) and persist every catalog artifact plus
+    * the BPE merge table under `dir` — the corpus-version index-build
+    * job a deployment runs once. Returns the number saved.
+    */
+  private[graft] def saveArtifacts(s: SparkSession, d: String,
+                                   dir: String): Int = {
+    import s.implicits._
+    var n = 0
+    artifactCatalog(s, d).foreach { case (key, src, params, resolve) =>
+      resolve().foreach { f =>
+        ArtifactStore.save(f, dir, key, params, corpusFp(s, d, src)); n += 1
+      }
+    }
+    val merges = bpeMerges(s, d).zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+    ArtifactStore.save(merges, dir, "bpe_merges", bpeParams,
+      corpusFp(s, d, "documents"))
+    n + 1
+  }
+
+  /** Load every artifact present under `dir` into this session's
+    * serving memos. Two phases: ALL manifests validate first (any
+    * fingerprint/param mismatch throws before anything is installed —
+    * never a half-swapped registry), then each frame installs via
+    * [[FrameMemo.replace]] (the eager localCheckpoint is a parquet
+    * read, not a rebuild). Artifacts absent from `dir` are skipped —
+    * they rebuild on demand as usual; only PRESENT-but-stale is an
+    * error. Returns the number installed.
+    */
+  private[graft] def loadArtifacts(s: SparkSession, d: String,
+                                   dir: String): Int = {
+    val frames = artifactCatalog(s, d).collect {
+      case (key, src, params, _) if ArtifactStore.exists(dir, key) =>
+        key -> ArtifactStore.load(s, dir, key, params, corpusFp(s, d, src))
+    }
+    val bpe =
+      if (ArtifactStore.exists(dir, "bpe_merges"))
+        Some(ArtifactStore.load(s, dir, "bpe_merges", bpeParams,
+          corpusFp(s, d, "documents")))
+      else None
+    frames.foreach { case (key, f) => shared.replace((s, d, key))(f) }
+    bpe.foreach { mdf =>
+      val seq = mdf.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeMemo.put((s, d), seq)
+    }
+    frames.size + bpe.size
+  }
+
   /** Small-vocab dedup-graph intermediates, each memoized at its own
     * granularity: the (doc, mask) frame, the verified DISTINCT-mask
     * pair list (corpus-size-independent), and only then the doc-level
@@ -275,11 +403,13 @@ object ExtensionQueries {
     * banding is the candidate policy HERE (collision-clustered), the
     * exact verified graph THERE — both first-class, both gated.
     */
-  def minhashClustersQ(s: SparkSession, d: String): DataFrame = {
+  def minhashClustersQ(s: SparkSession, d: String): DataFrame =
+    mhClusters(s, d).orderBy("doc_id")
+
+  private def mhClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = mhPairs(s, d) // resolve first (memo LRU order)
     sharedFrame(s, d, "mh_clusters")(
-        Dedup.connectedComponents(pairs.select("doc_a", "doc_b"), docs(s, d)))
-      .orderBy("doc_id")
+      Dedup.connectedComponents(pairs.select("doc_a", "doc_b"), docs(s, d)))
   }
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
@@ -494,6 +624,33 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The trained index's PERSISTENCE round-trip, oracle-gated: save
+    * the Lloyd centroids + posting-list assignment through
+    * [[graft.ops.ArtifactStore]] (parquet + params/fingerprint
+    * manifest), load them back through the manifest gate, and serve
+    * `q_ivf_trained`'s exact search FROM THE LOADED FRAMES. Same
+    * DuckDB oracle as `q_ivf_trained` — the hash gate therefore proves
+    * the round trip bit-exact (parquet preserves longs/doubles/arrays
+    * byte-for-byte), which is the property that lets a fresh session
+    * serve a saved index without retraining (ArtifactStoreSpec pins
+    * the fresh-session form; bench pins the memo_sec drop).
+    */
+  def trainedPersistQ(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_persist_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    val km = Map("k" -> "16", "iters" -> "2", "dim" -> "64")
+    val fp = corpusFp(s, d, "embeddings")
+    ArtifactStore.save(kmeansCentroids(s, d), dir, "kmeans_cent", km, fp)
+    ArtifactStore.save(kmeansAssignment(s, d), dir, "kmeans_assign", km, fp)
+    val cent = ArtifactStore.load(s, dir, "kmeans_cent", km, fp)
+    val assign = ArtifactStore.load(s, dir, "kmeans_assign", km, fp)
+    val e = embs(s, d)
+    Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5,
+        centroids = Some(cent.select(col("centroid_id"), col("centv"))),
+        corpusAssigned = Some(assign))
+      .orderBy("query_id", "rank")
+  }
+
   /** The k-chooser elbow curve: quantized-cosine inertia
     * ([[Similarity.kmeansInertia]]) of the exact-Lloyd quantizer at
     * k ∈ {4, 8, 16} — mean distance falls as k grows and the ELBOW
@@ -505,7 +662,10 @@ object ExtensionQueries {
     * the smaller arms train here (one broadcast-cross + hash-agg per
     * round each) and the whole 3-row curve memoizes.
     */
-  def kmeansElbowQ(s: SparkSession, d: String): DataFrame = {
+  def kmeansElbowQ(s: SparkSession, d: String): DataFrame =
+    kmeansElbowFrame(s, d).orderBy("k")
+
+  private def kmeansElbowFrame(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     val c16 = kmeansCentroids(s, d) // resolve first (memo LRU order)
     sharedFrame(s, d, "kmeans_elbow") {
@@ -515,7 +675,7 @@ object ExtensionQueries {
       }.reduce(_ unionByName _)
         .unionByName(Similarity.kmeansInertia(e, c16)
           .select(lit(16L).as("k"), col("n_vectors"), col("mean_dist_e4")))
-    }.orderBy("k")
+    }
   }
 
   /** Trained-vs-stride index quality at FIXED probe budget (nprobe=1,
@@ -4236,31 +4396,56 @@ object ExtensionQueries {
     * variant, then nprobe. A tiny frame end to end — two 3-row curves
     * × 4 targets — every expensive input already memoized.
     */
-  def indexAdvisorQ(s: SparkSession, d: String): DataFrame = {
+  def indexAdvisorQ(s: SparkSession, d: String): DataFrame =
+    indexAdvisorFrom(s,
+      Seq(("stride", sharedRecallCurve(s, d), ivfAssignment(s, d)),
+        ("trained", sharedTrainedCurve(s, d), kmeansAssignment(s, d))),
+      Seq(150000L, 250000L, 400000L, 600000L))
+
+  /** The advisor core over explicit (variant, curve, assignment) arms —
+    * [[indexAdvisorQ]] feeds the two shared indexes; a spec feeds a
+    * synthetic skewed assignment to pin the flip. `index_action` is the
+    * round-12 wiring of the health audit into the serving decision:
+    * the chosen arm carries `rebuild` when ANY of its posting lists
+    * trips [[Profile.indexHealth]]'s skew rule (the same flag
+    * q_trained_health / q_ivf_health publish), `serve` otherwise — so
+    * one row now answers both "which index at what nprobe" and "is
+    * that index still healthy enough to serve as-is".
+    */
+  private[graft] def indexAdvisorFrom(s: SparkSession,
+      arms: Seq[(String, DataFrame, DataFrame)],
+      targets: Seq[Long]): DataFrame = {
     import s.implicits._
-    val targets = Seq(150000L, 250000L, 400000L, 600000L)
     def costed(tag: String, curve: DataFrame, assign: DataFrame): DataFrame = {
-      val stats = assign.agg(count(lit(1)).as("n_items"),
-        countDistinct(col("centroid_id")).as("n_lists"))
+      // ONE health aggregation supplies geometry (items, lists) AND
+      // the skew verdict — the advisor reads the audit, not a second
+      // opinion (max over the constant n_lists/total_items columns;
+      // max(skewed int) = bool_or, exact-integer like the audit)
+      val stats = Profile.indexHealth(assign, "centroid_id")
+        .agg(max(col("n_lists")).as("n_lists"),
+          max(col("total_items")).as("n_items"),
+          (max(col("skewed").cast("int")) === 1).as("rebuild_any"))
       curve.crossJoin(broadcast(stats))
         .select(lit(tag).as("variant"), col("nprobe"), col("recall_ppm"),
-          expr("nprobe * (n_items div n_lists)").as("cost_rows_mean"))
+          expr("nprobe * (n_items div n_lists)").as("cost_rows_mean"),
+          when(col("rebuild_any"), "rebuild").otherwise("serve")
+            .as("index_action"))
     }
-    val arms = costed("stride", sharedRecallCurve(s, d), ivfAssignment(s, d))
-      .unionByName(
-        costed("trained", sharedTrainedCurve(s, d), kmeansAssignment(s, d)))
+    val armsDf = arms.map { case (tag, curve, assign) =>
+      costed(tag, curve, assign)
+    }.reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("target_ppm")
       .orderBy(col("met_target").desc,
         when(col("met_target"), col("cost_rows_mean"))
           .otherwise(-col("recall_ppm")),
         col("cost_rows_mean"), col("variant"), col("nprobe"))
-    arms.crossJoin(broadcast(targets.toDF("target_ppm")))
+    armsDf.crossJoin(broadcast(targets.toDF("target_ppm")))
       .withColumn("met_target", col("recall_ppm") >= col("target_ppm"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("target_ppm", "variant", "nprobe", "recall_ppm",
-        "cost_rows_mean", "met_target")
+        "cost_rows_mean", "met_target", "index_action")
       .orderBy("target_ppm")
   }
 
@@ -6291,6 +6476,11 @@ object ExtensionQueries {
   // lazy: oracleBase is declared below (keeping the giant literal at the
   // end of the file); by first access it is initialized
   lazy val oracle: Map[String, String] = oracleBase +
+    // the persistence round-trip serves from LOADED frames; its gate is
+    // bit-identity with the live trained index, so the oracle IS
+    // q_ivf_trained's — one definition, two gates, any round-trip
+    // divergence hash-mismatches exactly one of them
+    ("q_trained_persist" -> oracleBase("q_ivf_trained")) +
     // advisor over the (already hash-gated) curve + health chains —
     // one definition per input, two gates, no drift between them
     ("q_ann_advisor" ->
@@ -6358,17 +6548,33 @@ object ExtensionQueries {
          |tstats AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
          |    CAST(count(DISTINCT centroid_id) AS BIGINT) AS n_lists
          |  FROM tranked WHERE rn = 1),
+         |shl AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS li
+         |  FROM sranked WHERE rn = 1 GROUP BY 1),
+         |sskew AS (SELECT coalesce(bool_or(
+         |    li * (SELECT count(*) FROM shl) * 1000 >
+         |      2000 * (SELECT sum(li) FROM shl)), false) AS rebuild_any
+         |  FROM shl),
+         |thl AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS li
+         |  FROM tranked WHERE rn = 1 GROUP BY 1),
+         |tskew AS (SELECT coalesce(bool_or(
+         |    li * (SELECT count(*) FROM thl) * 1000 >
+         |      2000 * (SELECT sum(li) FROM thl)), false) AS rebuild_any
+         |  FROM thl),
          |allarms AS (
          |  SELECT 'stride' AS variant, sc.nprobe, sc.recall_ppm,
-         |    CAST(sc.nprobe * (s.n_items // s.n_lists) AS BIGINT) AS cost_rows_mean
+         |    CAST(sc.nprobe * (s.n_items // s.n_lists) AS BIGINT) AS cost_rows_mean,
+         |    CASE WHEN (SELECT rebuild_any FROM sskew)
+         |      THEN 'rebuild' ELSE 'serve' END AS index_action
          |  FROM sc CROSS JOIN sstats s
          |  UNION ALL
          |  SELECT 'trained' AS variant, tc.nprobe, tc.recall_ppm,
-         |    CAST(tc.nprobe * (t.n_items // t.n_lists) AS BIGINT) AS cost_rows_mean
+         |    CAST(tc.nprobe * (t.n_items // t.n_lists) AS BIGINT) AS cost_rows_mean,
+         |    CASE WHEN (SELECT rebuild_any FROM tskew)
+         |      THEN 'rebuild' ELSE 'serve' END AS index_action
          |  FROM tc CROSS JOIN tstats t),
          |tg AS (SELECT CAST(unnest([150000, 250000, 400000, 600000]) AS BIGINT) AS target_ppm),
          |rkd AS (SELECT tg.target_ppm, a.variant, a.nprobe, a.recall_ppm,
-         |    a.cost_rows_mean,
+         |    a.cost_rows_mean, a.index_action,
          |    a.recall_ppm >= tg.target_ppm AS met_target,
          |    row_number() OVER (PARTITION BY tg.target_ppm ORDER BY
          |      (a.recall_ppm >= tg.target_ppm) DESC,
@@ -6377,7 +6583,7 @@ object ExtensionQueries {
          |      a.cost_rows_mean, a.variant, a.nprobe) AS rn
          |  FROM allarms a CROSS JOIN tg)
          |SELECT target_ppm, variant, CAST(nprobe AS BIGINT) AS nprobe,
-         |  recall_ppm, cost_rows_mean, met_target
+         |  recall_ppm, cost_rows_mean, met_target, index_action
          |FROM rkd WHERE rn = 1 ORDER BY target_ppm""".stripMargin) +
     // the at-scale clustering route: components over the BANDED pair
     // graph, wrapping the already-gated minhash pair SQL verbatim
@@ -12083,6 +12289,7 @@ object ExtensionQueries {
     "q_ann_ivf"         -> (annIvf _),
     "q_kmeans"          -> (kmeansQ _),
     "q_ivf_trained"     -> (annIvfTrained _),
+    "q_trained_persist" -> (trainedPersistQ _),
     "q_trained_recall"  -> (trainedRecallQ _),
     "q_ann_pq"          -> (annPq _),
     "q_ann_rerank"      -> (annRerank _),

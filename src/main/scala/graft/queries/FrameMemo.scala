@@ -48,6 +48,9 @@ object FrameMemo {
   private val log =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, String)]
 
+  private[queries] val logger =
+    org.slf4j.LoggerFactory.getLogger(classOf[FrameMemo[_]])
+
   private[queries] def record(key: String, secs: Double): Unit =
     log.add((key, secs, Option(currentConsumer.get).getOrElse("")))
 
@@ -108,6 +111,14 @@ final class FrameMemo[K](bound: Int) {
         // inside one build; accepted and documented.)
         val f = e.getValue.peek
         if (f != null) GraftSqlShim.unpersistCheckpoint(f)
+        // loud by design: an eviction on a healthy session means the
+        // registry crossed its bound and the coldest index will
+        // rebuild on next touch — the operator signal to either raise
+        // the bound or persist the artifact (graft.ops.ArtifactStore)
+        FrameMemo.logger.warn(
+          s"FrameMemo evicting LRU entry '${e.getKey}' (bound=$bound " +
+            s"crossed); its checkpoint blocks are freed and the next " +
+            s"access rebuilds it")
         true
       }
       else false

@@ -48,16 +48,21 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   /** The suite's most expensive queries (bench_full.json pass-2), plus
-    * one dedup end-to-end and one ANN end-to-end, per the round-11
-    * plan.
+    * one dedup end-to-end and one ANN end-to-end (round-11 plan), plus
+    * the CDC CORE — capture → sync → retention, the nominal mission —
+    * per the round-12 plan ("the mission workload deserves the same
+    * evidence the extensions got").
     */
   private val Probes = Seq(
     "q_edit_pairs", "q_encoding_advisor", "q_bloom_skip", "q_minhash_est",
-    "q_interval_join", "q_dedup_minhash", "q_dedup_clusters", "q_ann_ivf")
+    "q_interval_join", "q_dedup_minhash", "q_dedup_clusters", "q_ann_ivf",
+    "q_capture_diff", "q_sync_watermark", "q_retention_wipe")
 
   def buildStressed(spark: SparkSession, sfDir: String, outDir: String,
                     factor: Int): Unit = {
-    val done = new java.io.File(s"$outDir/_DONE_x$factor")
+    // v2 marker: round 12 added the stressed `orders` table; a dir
+    // built by the round-11 probe must rebuild, not silently miss it
+    val done = new java.io.File(s"$outDir/_DONE2_x$factor")
     if (done.exists()) return
     val copies = spark.range(factor).toDF("_i")
     def stress(name: String)(f: (DataFrame, Column) => DataFrame): Unit =
@@ -85,6 +90,16 @@ object ScaleProbe {
     }
     stress("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + i * 100000000L)
+    }
+    // orders: the CDC capture fixture derives its snapshot pair and its
+    // update/delete sets from modulus filters on o_orderkey (%97, %89,
+    // %7 — and the evolve/merge variants use %5/%11/%13/%41/%43), so
+    // the per-copy shift is the LCM of all of them: every copy keeps
+    // exactly the 1× fixture's I/U/D densities, and the capture output
+    // scales linearly the way a lake's churn does.
+    stress("orders") { (df, i) =>
+      df.withColumn("o_orderkey",
+        col("o_orderkey") + i * 76175994895L) // 5·7·11·13·41·43·89·97
     }
     done.createNewFile()
     ()

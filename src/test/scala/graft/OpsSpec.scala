@@ -2474,4 +2474,31 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.servingAdvisor(curve, health, Seq(2L, 1L)))
   }
+
+  test("indexAdvisorFrom: index_action flips serve -> rebuild when the " +
+    "winning index's posting lists are artificially skewed") {
+    import spark.implicits._
+    // synthetic gated curves; trained dominates, so it wins the target
+    val strideCurve = Seq((1L, 100000L), (2L, 200000L), (4L, 400000L))
+      .toDF("nprobe", "recall_ppm")
+    val trainedCurve = Seq((1L, 300000L), (2L, 500000L), (4L, 700000L))
+      .toDF("nprobe", "recall_ppm")
+    // balanced: 4 lists x 10 items — skew test 10*4*1000 = 40k vs
+    // 2000*40 = 80k -> healthy. Skewed: one list holds 37 of 40 —
+    // 37*4*1000 = 148k > 80k -> rebuild (Profile.indexHealth's rule).
+    val balanced = (0L until 40L).map(i => (i, i % 4))
+      .toDF("vec_id", "centroid_id")
+    val skewed = (0L until 40L)
+      .map(i => (i, if (i < 37) 0L else i % 3 + 1))
+      .toDF("vec_id", "centroid_id")
+    def advise(trainedAssign: org.apache.spark.sql.DataFrame) =
+      graft.queries.ExtensionQueries.indexAdvisorFrom(spark,
+          Seq(("stride", strideCurve, balanced),
+            ("trained", trainedCurve, trainedAssign)),
+          Seq(300000L))
+        .select("variant", "index_action")
+        .as[(String, String)].collect().toSeq
+    assert(advise(balanced) === Seq(("trained", "serve")))
+    assert(advise(skewed) === Seq(("trained", "rebuild")))
+  }
 }

@@ -365,6 +365,53 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest into the PERSISTED trained index: arrivals " +
+    "assign against the ArtifactStore-loaded Lloyd centroids bit-equal " +
+    "to the batch incremental path (the q_trained_incr contract, live)") {
+    import graft.ops.{ArtifactStore, Similarity}
+    import graft.streaming.VectorStreamOps
+    val sf = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // train -> save -> load: the centroids any fresh serving replica
+    // (batch or streaming) starts from
+    val dir = tmpDir("graft-trained-stream")
+    val km = Map("k" -> "16", "iters" -> "2")
+    val fp = ArtifactStore.fingerprint(e, Seq("vec_id", "embedding"))
+    ArtifactStore.save(Similarity.kmeansExact(e, k = 16, iters = 2),
+      dir, "kmeans_cent", km, fp)
+    val loaded = ArtifactStore.load(spark, dir, "kmeans_cent", km, fp)
+    val frozen = loaded.select("centroid_id", "centv")
+      .as[(Long, Seq[Double])].collect().toSeq
+    // the arriving batch: the %7 stride stand-in q_trained_incr uses
+    val arriving = e.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val expected = Similarity.assignToCentroids(
+        e.filter(col("vec_id") % 7 === 0),
+        centroids = Some(loaded.select("centroid_id", "centv")))
+      .select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val assigned = VectorStreamOps.streamingIvfAssign(
+      mem.toDF().toDF("vec_id", "embedding"), frozen)
+    val q = assigned.writeStream.format("memory").queryName("trainedstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches: parity must not depend on arrival batching
+      val (b1, b2) = arriving.splitAt(arriving.size / 2)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("trainedstream").select("vec_id", "centroid_id")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === expected)
+      assert(got.map(_._2).toSet.size > 1, "degenerate: all one list")
+    } finally q.stop()
+  }
+
   test("streamingListLoads: windowed per-list counts with the hot flag " +
     "at the calibrated threshold") {
     import graft.streaming.VectorStreamOps
