@@ -153,7 +153,9 @@ object Bench {
       // this run (per-build detail in bench_full.json "memo_builds")
       val memoSec = graft.queries.FrameMemo.buildLog.map(_._2).sum
       val fullRef =
-        if (only.isEmpty) "bench_full.json" else "bench_full_subset.json"
+        if (only.nonEmpty) "bench_full_subset.json"
+        else if (loadedArtifacts == 0) "bench_full.json"
+        else "bench_full_warm.json"
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$tail,"regressed":$reg,"memo_sec":${fmt(memoSec)},"full":"$fullRef","sf":"$sfDir"}"""
     }
 
@@ -178,12 +180,18 @@ object Bench {
       case (key, secs, consumer) =>
         s"""{"key":${jstr(key)},"sec":${fmt(secs)},"consumer":${jstr(consumer)}}"""
     }.mkString("[", ",", "]")
+    // a WARM-artifact run's per-query times exclude the index builds a
+    // cold run pays, so it must never become the cold regression
+    // reference or rotate the cold ring (a later cold run would flag
+    // every first-consumer query as "regressed" against build-free
+    // numbers) — warm full runs land in bench_full_warm.json instead
+    val coldFull = loadedArtifacts == 0
     try {
       // keep a 3-generation ring of full artifacts (bench_full_r1 =
       // previous run, r2/r3 older) so multi-round drift trajectories
       // are diagnosable without git archaeology; the regression
       // reference (refPath) still tracks only the newest full run
-      if (only.isEmpty) {
+      if (only.isEmpty && coldFull) {
         val dir = java.nio.file.Paths.get(".")
         def p(n: String) = dir.resolve(n)
         import java.nio.file.{Files, StandardCopyOption}
@@ -200,13 +208,15 @@ object Bench {
       // subset (SPARK_GRAFT_ONLY) profiling runs must not clobber the
       // full-suite artifact the ring and the guard read
       val fullName =
-        if (only.isEmpty) "bench_full.json" else "bench_full_subset.json"
+        if (only.nonEmpty) "bench_full_subset.json"
+        else if (coldFull) "bench_full.json"
+        else "bench_full_warm.json"
       val w = new java.io.PrintWriter(fullName, "UTF-8")
       try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"passes":$passesJson,"memo_builds":$memoJson,"sf":"$sfDir"}""")
       finally w.close()
-      // a FULL run becomes the next run's per-sf regression reference;
-      // subset (SPARK_GRAFT_ONLY) profiling runs never touch it
-      if (only.isEmpty) {
+      // a FULL COLD run becomes the next run's per-sf regression
+      // reference; subset and warm-artifact runs never touch it
+      if (only.isEmpty && coldFull) {
         val r = new java.io.PrintWriter(refPath, "UTF-8")
         try r.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
         finally r.close()

@@ -127,6 +127,41 @@ object GenTool {
   }
 }
 
+/** Build/validate the persisted index library
+  * ([[graft.ops.ArtifactStore]]) — the operational entry point of the
+  * build-once/serve-many lifecycle. Usage:
+  * `runMain graft.tools.IndexTool --data <sfDir> --out <artifactDir>
+  *  [--check] [-v 0..3] [--log FILE]`
+  * Default mode BUILDS every catalog artifact (trained quantizer,
+  * MinHash index, ANN ground truth, BPE merges, ...) and saves it with
+  * its params+fingerprint manifest. `--check` instead validates the
+  * saved library against the CURRENT corpus and installs it into the
+  * session — exiting nonzero (loudly) if any artifact is stale, which
+  * makes it the pre-serve gate a deployment runs after an ingest.
+  */
+object IndexTool {
+  def main(args: Array[String]): Unit = {
+    val opts = Cli.parse(args)
+    val data = opts("--data")
+    val out = opts("--out")
+    val check = opts.get("--check").exists(_.toBoolean)
+    val log = Cli.logger(opts)
+    val (spark, owned) = Cli.session()
+    try {
+      if (check) {
+        val n = graft.queries.ExtensionQueries.loadArtifacts(spark, data, out)
+        log.warn(s"[index] OK: $n artifacts at $out valid for $data, installed")
+      } else {
+        val n = graft.queries.ExtensionQueries.saveArtifacts(spark, data, out)
+        log.warn(s"[index] built and saved $n artifacts to $out")
+      }
+    } finally {
+      if (owned) spark.stop()
+      log.close()
+    }
+  }
+}
+
 /** Incrementally sync parquet audit-log directories to CSV sinks.
   * Usage:
   * `runMain graft.tools.SyncTool --logs <root> --sink <root>

@@ -1,6 +1,6 @@
 package graft
 
-import graft.tools.{Cli, GenTool, SyncTool}
+import graft.tools.{Cli, GenTool, IndexTool, SyncTool}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
@@ -70,5 +70,20 @@ class CliSpec extends SparkSpec {
     // all rows in the sink, log compacted to one row
     assert(graft.core.SyncJob.watermark(spark, s"$sink/t1_audit") === 12L)
     assert(spark.read.parquet(s"$logs/t1_audit").count() === 1L)
+  }
+
+  test("IndexTool builds the artifact library; --check validates it and " +
+    "loud-fails against a different corpus") {
+    val out = tmpDir("indexlib")
+    val sf = "/root/testdata/sf0.001"
+    IndexTool.main(Array("--data", sf, "--out", out))
+    // the saved library passes the pre-serve gate on the SAME corpus
+    IndexTool.main(Array("--data", sf, "--out", out, "--check"))
+    assert(Files.exists(Paths.get(out, "kmeans_cent", "_graft_manifest.json")))
+    assert(Files.exists(Paths.get(out, "bpe_merges", "_graft_manifest.json")))
+    // and loud-fails when the corpus under it changed
+    val e = intercept[IllegalStateException](IndexTool.main(
+      Array("--data", "/root/testdata/sf0.01", "--out", out, "--check")))
+    assert(e.getMessage.contains("STALE"))
   }
 }
