@@ -144,4 +144,169 @@ object ArtifactStore {
     val df = spark.read.parquet(s"$dir/$artifact")
     if (cols.nonEmpty) df.select(cols.map(col): _*) else df
   }
+
+  /** The saved corpus fingerprint from an artifact's manifest — what
+    * the library was BUILT from (vs [[fingerprint]] of what exists
+    * now). Refresh paths read it to gate against silent mutation.
+    */
+  def manifestFingerprint(dir: String, artifact: String): String = {
+    val mf = manifestPath(dir, artifact)
+    if (!Files.exists(mf))
+      throw new IllegalStateException(
+        s"artifact '$artifact': no manifest at $mf")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(Files.readString(mf)) \ "fingerprint" match {
+      case JString(s) => s
+      case _ => throw new IllegalStateException(
+        s"artifact '$artifact': manifest missing 'fingerprint'")
+    }
+  }
+
+  /** Manifest marker distinguishing an INCREMENTALLY-GROWN library
+    * from a trained-on-this-corpus build. The distinction is
+    * load-bearing: a refreshed index keeps its FROZEN centroids, so
+    * its search results differ from a retrain on the grown corpus —
+    * valid to serve, but NOT interchangeable where a consumer (the
+    * oracle-gated query surface) expects the retrained artifact. The
+    * extra param makes a plain [[load]] with build params loud-fail on
+    * a refreshed library; consumers opt in by expecting the marker.
+    */
+  val LineageKey = "lineage"
+  val LineageIncremental = "incremental"
+
+  /** Load for a REFRESH: params still validate (a k=16 library must
+    * not grow under k=32 expectations) but the corpus fingerprint is
+    * deliberately NOT checked — the corpus has grown, that is the
+    * point. Accepts both fresh-built and previously-refreshed
+    * libraries (the lineage marker rides along on re-refresh). Callers
+    * MUST apply their own already-indexed-rows gate (see
+    * [[incrementalIvfRefresh]]); serving paths use [[load]].
+    */
+  private def loadForRefresh(spark: SparkSession, dir: String,
+      artifact: String, expectedParams: Map[String, String]): DataFrame = {
+    val fp = manifestFingerprint(dir, artifact)
+    try load(spark, dir, artifact, expectedParams, fp)
+    catch {
+      case _: IllegalStateException =>
+        // the core params still fully validate on this path — only the
+        // lineage marker from an earlier refresh is additionally allowed
+        load(spark, dir, artifact,
+          expectedParams + (LineageKey -> LineageIncremental), fp)
+    }
+  }
+
+  /** Grow a PERSISTED trained-IVF library by O(new vectors), without
+    * retraining and without re-scoring anything already indexed — the
+    * storage half of the frozen-centroid contract
+    * ([[Similarity.assignToCentroids]]'s `centroids` path /
+    * `q_trained_incr`): new rows (present in `corpus`, absent from the
+    * saved assignment) score against the FROZEN saved centroids and
+    * append; both manifests re-stamp to the grown corpus's
+    * fingerprint so subsequent [[load]]s validate against what now
+    * exists.
+    *
+    * SAFETY GATE — the property that keeps "incremental" from meaning
+    * "silently stale": growth must be APPEND-ONLY over the indexed
+    * rows. The gate re-fingerprints `corpus` RESTRICTED to the
+    * already-indexed ids and compares it to the fingerprint the
+    * library was built from (XOR-fold over per-row hashes = set
+    * equality); any mutated or dropped indexed row loud-fails the
+    * refresh, because its saved assignment would no longer describe
+    * the corpus. Cost: one scan-level semi join — no re-scoring.
+    *
+    * Work: O(corpus scan) for the gate + anti join, O(new · k) for
+    * scoring — vs the full rebuild's O(corpus · k · (iters+1)).
+    * Returns (rows already indexed, new rows appended).
+    */
+  def incrementalIvfRefresh(spark: SparkSession, dir: String,
+      corpus: DataFrame, params: Map[String, String], newFp: String,
+      dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (Long, Long) = {
+    // eager checkpoint: the re-stamp save() below overwrites the very
+    // directory this frame reads (k rows — trivial to materialize)
+    val cent = loadForRefresh(spark, dir, "kmeans_cent", params)
+      .localCheckpoint()
+    val oldAssign = loadForRefresh(spark, dir, "kmeans_assign", params)
+    val oldFp = manifestFingerprint(dir, "kmeans_assign")
+    // skinny id column only; no broadcast hint — the indexed set is
+    // corpus-sized at scale, these are shuffle semi/anti joins by design
+    val indexedIds = oldAssign.select(col("vec_id"))
+    val indexedNow = corpus
+      .join(indexedIds, corpus(idCol) === indexedIds("vec_id"), "left_semi")
+    val fpIndexed = fingerprint(indexedNow, Seq(idCol, vecCol))
+    if (fpIndexed != oldFp)
+      throw new IllegalStateException(
+        s"incremental refresh at $dir refused: the already-indexed rows " +
+          s"are not byte-identical in the grown corpus (indexed-subset " +
+          s"fingerprint '$fpIndexed' != library's '$oldFp') — a mutated " +
+          "or dropped indexed row needs a REBUILD, not an append")
+    val newRows = corpus
+      .join(indexedIds, corpus(idCol) === indexedIds("vec_id"), "left_anti")
+    val newAssign = Similarity.assignToCentroids(newRows, dim = dim,
+        idCol = idCol, vecCol = vecCol,
+        centroids = Some(cent.select(col("centroid_id"), col("centv"))))
+      .select(oldAssign.columns.map(col): _*)
+    // eager checkpoint BEFORE the overwrite: `grown` reads the very
+    // parquet files save() is about to delete
+    val grown = oldAssign.unionByName(newAssign).localCheckpoint()
+    val nOld = oldAssign.count()
+    val nAll = grown.count()
+    val stamped = params + (LineageKey -> LineageIncremental)
+    save(grown, dir, "kmeans_assign", stamped, newFp)
+    save(cent, dir, "kmeans_cent", stamped, newFp)
+    log.info(s"incremental IVF refresh at $dir: $nOld indexed, " +
+      s"${nAll - nOld} appended")
+    (nOld, nAll - nOld)
+  }
+
+  /** The MinHash twin of [[incrementalIvfRefresh]]: grow a persisted
+    * signature + band library by O(new documents). Signatures and band
+    * keys are PER-ROW pure functions of the text (the property the
+    * operator-level `minhashLshIncremental` already leans on), so new
+    * docs' rows append and indexed docs' rows are untouched — same
+    * append-only safety gate, same manifest re-stamp. `fpCols` names
+    * the document columns the library's fingerprints were computed
+    * over. Returns (docs already indexed, new docs appended).
+    */
+  def incrementalMinhashRefresh(spark: SparkSession, dir: String,
+      docs: DataFrame, params: Map[String, String], newFp: String,
+      fpCols: Seq[String], numHashes: Int = 16, bands: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): (Long, Long) = {
+    val oldSigs = loadForRefresh(spark, dir, "mh_sigs",
+      Map("numHashes" -> numHashes.toString))
+    val oldBands = loadForRefresh(spark, dir, "mh_bands", params)
+    val oldFp = manifestFingerprint(dir, "mh_sigs")
+    val indexedIds = oldSigs.select(col("doc_id"))
+    val indexedNow = docs
+      .join(indexedIds, docs(idCol) === indexedIds("doc_id"), "left_semi")
+    val fpIndexed = fingerprint(indexedNow, fpCols)
+    if (fpIndexed != oldFp)
+      throw new IllegalStateException(
+        s"incremental MinHash refresh at $dir refused: the already-" +
+          s"indexed documents are not byte-identical in the grown corpus " +
+          s"(indexed-subset fingerprint '$fpIndexed' != library's " +
+          s"'$oldFp') — a mutated or dropped indexed document needs a " +
+          "REBUILD, not an append")
+    val newDocs = docs
+      .join(indexedIds, docs(idCol) === indexedIds("doc_id"), "left_anti")
+    val newSigs = Dedup.minhashSignatureFrame(newDocs, numHashes,
+        idCol, textCol)
+      .select(oldSigs.columns.map(col): _*)
+    val newBands = Dedup.minhashBandsWithKeys(newDocs, numHashes, bands,
+        idCol, textCol, sigIndex = Some(newSigs))
+      .select(oldBands.columns.map(col): _*)
+    val grownSigs = oldSigs.unionByName(newSigs).localCheckpoint()
+    val grownBands = oldBands.unionByName(newBands).localCheckpoint()
+    val nOld = oldSigs.count()
+    val nAll = grownSigs.count()
+    save(grownSigs, dir, "mh_sigs",
+      Map("numHashes" -> numHashes.toString,
+        LineageKey -> LineageIncremental), newFp)
+    save(grownBands, dir, "mh_bands",
+      params + (LineageKey -> LineageIncremental), newFp)
+    log.info(s"incremental MinHash refresh at $dir: $nOld indexed, " +
+      s"${nAll - nOld} appended")
+    (nOld, nAll - nOld)
+  }
 }

@@ -93,6 +93,112 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("fingerprint"))
   }
 
+  test("incrementalIvfRefresh grows the persisted index O(new): frozen " +
+    "centroids, appended assignment bit-equal to a full re-assign, " +
+    "manifests re-stamped to the grown corpus; a mutated indexed row " +
+    "refuses the append and demands a rebuild") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft-incr-lib")
+    val km = Map("k" -> "16", "iters" -> "2")
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val c0 = all.filter(col("vec_id") % 3 =!= 0) // bootstrap corpus
+    val fp0 = ArtifactStore.fingerprint(c0, Seq("vec_id", "embedding"))
+    val cent = Similarity.kmeansExact(c0, k = 16, iters = 2)
+    val assign0 = Similarity.assignToCentroids(c0,
+      centroids = Some(cent.select("centroid_id", "centv")))
+    ArtifactStore.save(cent, dir, "kmeans_cent", km, fp0)
+    ArtifactStore.save(assign0, dir, "kmeans_assign", km, fp0)
+
+    // grow: the %3 slice arrives; refresh appends WITHOUT retraining
+    val fp1 = ArtifactStore.fingerprint(all, Seq("vec_id", "embedding"))
+    val (nOld, nNew) = ArtifactStore.incrementalIvfRefresh(
+      spark, dir, all, km, fp1)
+    assert(nOld === c0.count())
+    assert(nNew === all.count() - c0.count())
+    assert(nNew > 0)
+
+    // a refreshed library is NOT interchangeable with a trained-on-
+    // this-corpus build (frozen centroids != a retrain): plain build
+    // params loud-fail on the lineage marker, consumers opt in
+    val eLineage = intercept[IllegalStateException](
+      ArtifactStore.load(spark, dir, "kmeans_cent", km, fp1))
+    assert(eLineage.getMessage.contains("lineage"))
+    val kmI = km + (ArtifactStore.LineageKey -> ArtifactStore.LineageIncremental)
+
+    // the grown library validates against the GROWN corpus and its
+    // assignment is bit-equal to a from-scratch assign against the
+    // same frozen centroids (per-row purity of the quantizer)
+    val loadedCent = ArtifactStore.load(spark, dir, "kmeans_cent", kmI, fp1)
+    val loaded = ArtifactStore.load(spark, dir, "kmeans_assign", kmI, fp1)
+    assert(loadedCent.orderBy("centroid_id").collect().toSeq ===
+      cent.orderBy("centroid_id").collect().toSeq)
+    val expected = Similarity.assignToCentroids(all,
+        centroids = Some(cent.select("centroid_id", "centv")))
+      .select("vec_id", "centroid_id").orderBy("vec_id").collect().toSeq
+    assert(loaded.select("vec_id", "centroid_id").orderBy("vec_id")
+      .collect().toSeq === expected)
+
+    // mutation guard: one already-indexed vector changes -> loud refusal
+    val mutated = all.withColumn("embedding",
+      when(col("vec_id") % 3 === 1,
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")))
+        .otherwise(col("embedding")))
+    val e = intercept[IllegalStateException](
+      ArtifactStore.incrementalIvfRefresh(spark, dir, mutated, km,
+        ArtifactStore.fingerprint(mutated, Seq("vec_id", "embedding"))))
+    assert(e.getMessage.contains("REBUILD"))
+  }
+
+  test("incrementalMinhashRefresh appends new docs' signatures and band " +
+    "rows bit-equal to a full rebuild over the grown corpus") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft-mh-incr")
+    val mh = Map("numHashes" -> "16", "bands" -> "2")
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val c0 = all.filter(col("doc_id") % 4 =!= 0)
+    val fpCols = Seq("doc_id", "text")
+    val fp0 = ArtifactStore.fingerprint(c0, fpCols)
+    val sigs0 = Dedup.minhashSignatureFrame(c0, 16)
+    val bands0 = Dedup.minhashBandsWithKeys(c0, 16, 2,
+      sigIndex = Some(sigs0))
+    ArtifactStore.save(sigs0, dir, "mh_sigs", Map("numHashes" -> "16"), fp0)
+    ArtifactStore.save(bands0, dir, "mh_bands", mh, fp0)
+
+    val fp1 = ArtifactStore.fingerprint(all, fpCols)
+    val (nOld, nNew) = ArtifactStore.incrementalMinhashRefresh(
+      spark, dir, all, mh, fp1, fpCols)
+    assert(nOld === c0.count() && nNew === all.count() - c0.count())
+    assert(nNew > 0)
+
+    // grown library == full rebuild over the grown corpus, row for row
+    // (signatures/bands are per-row pure, so unlike the IVF case the
+    // content is rebuild-identical — the lineage marker still records
+    // how the library was produced)
+    val inc = Map(ArtifactStore.LineageKey -> ArtifactStore.LineageIncremental)
+    val sigsAll = Dedup.minhashSignatureFrame(all, 16)
+    val loadedSigs = ArtifactStore.load(spark, dir, "mh_sigs",
+      Map("numHashes" -> "16") ++ inc, fp1)
+    assert(loadedSigs.orderBy("doc_id").collect().toSeq ===
+      sigsAll.orderBy("doc_id").collect().toSeq)
+    val bandsAll = Dedup.minhashBandsWithKeys(all, 16, 2,
+      sigIndex = Some(sigsAll))
+    val loadedBands = ArtifactStore.load(spark, dir, "mh_bands", mh ++ inc, fp1)
+    assert(loadedBands.orderBy("doc_id", "b").collect().toSeq ===
+      bandsAll.orderBy("doc_id", "b").collect().toSeq)
+
+    // mutated indexed doc -> loud refusal
+    val mutated = all.withColumn("text",
+      when(col("doc_id") % 4 === 1, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+    val e = intercept[IllegalStateException](
+      ArtifactStore.incrementalMinhashRefresh(spark, dir, mutated, mh,
+        ArtifactStore.fingerprint(mutated, fpCols), fpCols))
+    assert(e.getMessage.contains("REBUILD"))
+  }
+
   test("q_trained_persist serves from the loaded frames and matches the " +
     "live trained index row for row") {
     val live = ExtensionQueries.queries("q_ivf_trained")(spark, sf)
