@@ -65,14 +65,20 @@ object Bench {
     // never sets this env; per-round bench semantics are unchanged.
     val artifactDir = sys.env.get("SPARK_GRAFT_ARTIFACT_DIR")
     val loadedArtifacts = artifactDir.map { dirPath =>
+      // label the install-time checkpoint materializations in the memo
+      // ledger so a warm run's memo_sec is auditable as installs, not
+      // mistaken for index builds
+      graft.queries.FrameMemo.currentConsumer.set("(artifact-install)")
       try {
-        val n = graft.queries.ExtensionQueries.loadArtifacts(spark, sfDir, dirPath)
-        System.err.println(s"[bench] loaded $n artifacts from $dirPath")
+        // accept both a flat save dir and a versioned publish root
+        val resolved = graft.ops.ArtifactStore.latestDir(dirPath).getOrElse(dirPath)
+        val n = graft.queries.ExtensionQueries.loadArtifacts(spark, sfDir, resolved)
+        System.err.println(s"[bench] loaded $n artifacts from $resolved")
         n
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] artifact load failed, running cold: ${e.getMessage}")
         0
-      }
+      } finally graft.queries.FrameMemo.currentConsumer.remove()
     }.getOrElse(0)
     // SPARK_GRAFT_ONLY=q_a,q_b runs a subset — local profiling aid
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -51,9 +51,10 @@ object ArtifactStore {
     */
   def fingerprint(df: DataFrame, cols: Seq[String]): String = {
     require(cols.nonEmpty, "fingerprint needs at least one column")
+    val quoted = cols.map(c => "`" + c.replace("`", "``") + "`")
     val r = df.agg(
       count(lit(1)).as("n"),
-      expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))").as("x")).head()
+      expr(s"bit_xor(xxhash64(${quoted.mkString(", ")}))").as("x")).head()
     val n = r.getLong(0)
     val x = if (r.isNullAt(1)) 0L else r.getLong(1)
     f"$n%d-$x%016x"
@@ -61,6 +62,53 @@ object ArtifactStore {
 
   private def manifestPath(dir: String, artifact: String) =
     Paths.get(dir, artifact, "_graft_manifest.json")
+
+  // ---------------------------------------------------------------------
+  // Versioned publish: the multi-reader swap discipline. A single local
+  // writer may save in place; a SERVED library writes each build into
+  // its own vN directory and atomically repoints _LATEST afterwards, so
+  // a reader resolving through latestDir never observes a half-written
+  // library — per-artifact torn writes are already covered by the
+  // manifest-last rule, _LATEST-last covers the library as a whole.
+  // ---------------------------------------------------------------------
+
+  private val LatestFile = "_LATEST"
+
+  /** Directory of the most recently COMMITTED library version under
+    * `root`, or None if nothing was ever published.
+    */
+  def latestDir(root: String): Option[String] = {
+    val p = Paths.get(root, LatestFile)
+    if (!Files.exists(p)) None
+    else Some(Paths.get(root, Files.readString(p).trim).toString)
+  }
+
+  /** Allocate the next version directory (v1, v2, ...) under `root` —
+    * write the library there, then [[commitVersion]] it. Uncommitted
+    * versions are invisible to [[latestDir]] readers.
+    */
+  def newVersionDir(root: String): String = {
+    Files.createDirectories(Paths.get(root))
+    val vs = Option(new java.io.File(root).list()).getOrElse(Array.empty)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toInt }
+    s"$root/v${if (vs.isEmpty) 1 else vs.max + 1}"
+  }
+
+  /** Atomically repoint `root`'s readers at `versionName` (e.g. "v2"):
+    * the pointer writes to a temp file and MOVEs into place, so a
+    * concurrent [[latestDir]] sees either the old or the new version,
+    * never a torn pointer.
+    */
+  def commitVersion(root: String, versionName: String): Unit = {
+    require(versionName.matches("v\\d+"),
+      s"versionName must look like v<N>, got '$versionName'")
+    val tmp = Paths.get(root, s".$LatestFile.tmp")
+    Files.writeString(tmp, versionName)
+    Files.move(tmp, Paths.get(root, LatestFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
   def exists(dir: String, artifact: String): Boolean =
     Files.exists(manifestPath(dir, artifact))

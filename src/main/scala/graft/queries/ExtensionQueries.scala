@@ -592,6 +592,28 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF search served from the POSTING-LIST-PARTITIONED on-disk index
+    * ([[graft.ops.IndexStore]]): the shared assignment saves
+    * Hive-partitioned by centroid_id (one directory per posting list),
+    * loads back, and the probe runs against the LOADED layout — the
+    * file-skipping serving shape where a probe of nprobe lists reads
+    * exactly nprobe directories (PartitionFilters, plan-pinned in
+    * SketchGraphSpec) and on-disk search cost stays independent of
+    * corpus size. Same DuckDB oracle as q_ann_ivf: the hash gate
+    * proves the partitioned round trip bit-exact.
+    */
+  def annIvfPruned(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfstore_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    IndexStore.saveIvf(ivfAssignment(s, d), dir)
+    val loaded = IndexStore.loadIvf(s, dir)
+    val e = embs(s, d)
+    Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5,
+        corpusAssigned = Some(loaded),
+        centroids = ivfCentroidsOpt(s, d))
+      .orderBy("query_id", "rank")
+  }
+
   /** The trained centroid table itself, element by element — every
     * (centroid, dimension) micro value plus the membership count of
     * the final Lloyd round, hash-gated against a DuckDB oracle that
@@ -6481,6 +6503,10 @@ object ExtensionQueries {
     // q_ivf_trained's — one definition, two gates, any round-trip
     // divergence hash-mismatches exactly one of them
     ("q_trained_persist" -> oracleBase("q_ivf_trained")) +
+    // the partitioned on-disk IVF serving path: same oracle as the
+    // in-memory index — the gate proves the Hive-partitioned round
+    // trip (and its pruned probe) bit-exact
+    ("q_ivf_pruned" -> oracleBase("q_ann_ivf")) +
     // advisor over the (already hash-gated) curve + health chains —
     // one definition per input, two gates, no drift between them
     ("q_ann_advisor" ->
@@ -12287,6 +12313,7 @@ object ExtensionQueries {
     "q_ann_lsh"         -> (annLsh _),
     "q_ann_multiprobe"  -> (annLshMultiProbe _),
     "q_ann_ivf"         -> (annIvf _),
+    "q_ivf_pruned"      -> (annIvfPruned _),
     "q_kmeans"          -> (kmeansQ _),
     "q_ivf_trained"     -> (annIvfTrained _),
     "q_trained_persist" -> (trainedPersistQ _),

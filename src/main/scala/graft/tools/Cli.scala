@@ -149,11 +149,19 @@ object IndexTool {
     val (spark, owned) = Cli.session()
     try {
       if (check) {
-        val n = graft.queries.ExtensionQueries.loadArtifacts(spark, data, out)
-        log.warn(s"[index] OK: $n artifacts at $out valid for $data, installed")
+        // resolve the committed version (flat layouts still accepted)
+        val dir = graft.ops.ArtifactStore.latestDir(out).getOrElse(out)
+        val n = graft.queries.ExtensionQueries.loadArtifacts(spark, data, dir)
+        log.warn(s"[index] OK: $n artifacts at $dir valid for $data, installed")
       } else {
-        val n = graft.queries.ExtensionQueries.saveArtifacts(spark, data, out)
-        log.warn(s"[index] built and saved $n artifacts to $out")
+        // versioned publish: build into vN+1, repoint _LATEST only
+        // after every artifact landed — readers never see a half-
+        // written library
+        val vdir = graft.ops.ArtifactStore.newVersionDir(out)
+        val n = graft.queries.ExtensionQueries.saveArtifacts(spark, data, vdir)
+        val vname = vdir.substring(vdir.lastIndexOf('/') + 1)
+        graft.ops.ArtifactStore.commitVersion(out, vname)
+        log.warn(s"[index] built and published $n artifacts as $out/$vname")
       }
     } finally {
       if (owned) spark.stop()

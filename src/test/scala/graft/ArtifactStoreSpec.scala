@@ -199,6 +199,38 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("REBUILD"))
   }
 
+  test("versioned publish: readers resolve _LATEST atomically; an " +
+    "uncommitted build is invisible; commit swaps in one step") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-publish")
+    assert(ArtifactStore.latestDir(root).isEmpty)
+    val frame = spark.range(10).select(col("id"))
+    val fp = ArtifactStore.fingerprint(frame, Seq("id"))
+
+    val v1 = ArtifactStore.newVersionDir(root)
+    assert(v1.endsWith("/v1"))
+    ArtifactStore.save(frame, v1, "a", Map("p" -> "1"), fp)
+    // not yet committed: readers still see nothing
+    assert(ArtifactStore.latestDir(root).isEmpty)
+    ArtifactStore.commitVersion(root, "v1")
+    assert(ArtifactStore.latestDir(root).contains(v1))
+
+    // a second build lands in v2 and becomes visible only on commit
+    val v2 = ArtifactStore.newVersionDir(root)
+    assert(v2.endsWith("/v2"))
+    ArtifactStore.save(frame.withColumn("id", col("id") + 100), v2, "a",
+      Map("p" -> "2"), fp)
+    assert(ArtifactStore.latestDir(root).contains(v1))
+    ArtifactStore.commitVersion(root, "v2")
+    assert(ArtifactStore.latestDir(root).contains(v2))
+    val served = ArtifactStore.load(spark, ArtifactStore.latestDir(root).get,
+      "a", Map("p" -> "2"), fp)
+    assert(served.agg(min(col("id"))).head().getLong(0) === 100L)
+
+    intercept[IllegalArgumentException](
+      ArtifactStore.commitVersion(root, "not-a-version"))
+  }
+
   test("q_trained_persist serves from the loaded frames and matches the " +
     "live trained index row for row") {
     val live = ExtensionQueries.queries("q_ivf_trained")(spark, sf)

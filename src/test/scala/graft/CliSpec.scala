@@ -77,10 +77,14 @@ class CliSpec extends SparkSpec {
     val out = tmpDir("indexlib")
     val sf = "/root/testdata/sf0.001"
     IndexTool.main(Array("--data", sf, "--out", out))
-    // the saved library passes the pre-serve gate on the SAME corpus
+    // the published library passes the pre-serve gate on the SAME corpus
     IndexTool.main(Array("--data", sf, "--out", out, "--check"))
-    assert(Files.exists(Paths.get(out, "kmeans_cent", "_graft_manifest.json")))
-    assert(Files.exists(Paths.get(out, "bpe_merges", "_graft_manifest.json")))
+    // build is a versioned publish: v1 committed via _LATEST
+    assert(graft.ops.ArtifactStore.latestDir(out).exists(_.endsWith("/v1")))
+    assert(Files.exists(
+      Paths.get(out, "v1", "kmeans_cent", "_graft_manifest.json")))
+    assert(Files.exists(
+      Paths.get(out, "v1", "bpe_merges", "_graft_manifest.json")))
     // and loud-fails when the corpus under it changed
     val e = intercept[IllegalStateException](IndexTool.main(
       Array("--data", "/root/testdata/sf0.01", "--out", out, "--check")))

@@ -412,6 +412,61 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed arrivals APPEND into the persisted posting-list layout " +
+    "(foreachBatch -> partitionBy(centroid_id) into the IndexStore dir) " +
+    "and the searcher over the loaded layout serves old+new bit-equal " +
+    "to the in-memory index") {
+    import graft.ops.{IndexStore, Similarity}
+    import org.apache.spark.sql.DataFrame
+    val sf = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val c0 = all.filter(col("vec_id") % 3 =!= 0)
+    val arrivals = all.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    // frozen quantizer trained on the bootstrap corpus; the index dir
+    // starts as the bootstrap assignment's partitioned layout
+    val cent = Similarity.kmeansExact(c0, k = 16, iters = 2)
+      .select(col("centroid_id"), col("centv")).localCheckpoint()
+    val dir = tmpDir("ivf-stream-append")
+    IndexStore.saveIvf(
+      Similarity.assignToCentroids(c0, centroids = Some(cent)), dir)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the same frozen-centroid assignment the batch path runs,
+        // landing each arrival directly in its posting list's directory
+        Similarity.assignToCentroids(batch, centroids = Some(cent))
+          .select("vec_id", "centroid_id", "cv", "cn")
+          .write.mode("append").partitionBy("centroid_id").parquet(dir)
+      }
+      .start()
+    try {
+      val (b1, b2) = arrivals.splitAt(arrivals.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // the on-disk layout now holds exactly the full corpus's assignment
+    val loaded = IndexStore.loadIvf(spark, dir)
+    val expectedAssign = Similarity
+      .assignToCentroids(all, centroids = Some(cent))
+    assert(loaded.select("vec_id", "centroid_id")
+        .as[(Long, Long)].collect().sorted.toSeq ===
+      expectedAssign.select("vec_id", "centroid_id")
+        .as[(Long, Long)].collect().sorted.toSeq)
+    // and the searcher over the LOADED layout == the in-memory index
+    val queries = all.filter(col("vec_id") % 50 === 0)
+    def topk(assign: DataFrame) =
+      Similarity.ivfTopK(queries, all, k = 5,
+          corpusAssigned = Some(assign), centroids = Some(cent))
+        .select("query_id", "neighbor_id", "rank", "cos_q")
+        .as[(Long, Long, Int, Long)].collect().sorted.toSeq
+    assert(topk(loaded) === topk(expectedAssign))
+  }
+
   test("streamingListLoads: windowed per-list counts with the hot flag " +
     "at the calibrated threshold") {
     import graft.streaming.VectorStreamOps
