@@ -193,6 +193,77 @@ object ArtifactStore {
     if (cols.nonEmpty) df.select(cols.map(col): _*) else df
   }
 
+  /** Delete old library versions, keeping the newest `keep` plus —
+    * always — the committed one (readers mid-scan on _LATEST must
+    * never lose their files, so the pointer's target survives even
+    * when older than the keep window). Returns the deleted version
+    * names. The GC a long-lived publish root needs: without it every
+    * corpus version accumulates a full library copy forever (the
+    * FrameMemo LRU bound's on-disk sibling).
+    */
+  def pruneVersions(root: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val committed = latestDir(root).map(d => Paths.get(d).getFileName.toString)
+    val all = Option(new java.io.File(root).list()).getOrElse(Array.empty)
+      .collect { case n if n.matches("v\\d+") => n }
+      .sortBy(-_.drop(1).toInt)
+    val doomed = all.drop(keep).filterNot(committed.contains).toSeq
+    doomed.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$root/$v"))
+      log.warn(s"pruned library version $root/$v")
+    }
+    doomed
+  }
+
+  /** Names of all artifacts saved under `dir` (subdirectories holding
+    * a committed manifest), sorted — the library's table of contents.
+    */
+  def artifacts(dir: String): Seq[String] =
+    Option(new java.io.File(dir).list()).getOrElse(Array.empty)
+      .filter(n => exists(dir, n)).sorted.toSeq
+
+  private def manifestColumns(dir: String, artifact: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(
+      Files.readString(manifestPath(dir, artifact))) \ "columns" match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case _          => Seq.empty
+    }
+  }
+
+  /** Right-to-be-forgotten audit over a PERSISTED library
+    * ([[Profile.erasureAudit]] extended to the on-disk index): every
+    * saved artifact whose manifest columns include one of `refCols` is
+    * scanned for references to the `deleted` keys — a forgotten
+    * document's MinHash signature living in a saved band index is
+    * still that document's data, and an erasure pass that only scrubs
+    * the corpus ships it anyway. Artifacts carrying none of the ref
+    * columns hold aggregates (curves, centroids, gram cells), not row
+    * references, and are skipped. One row per scanned artifact:
+    * (artifact, n_rows, n_refs_deleted) — any nonzero count means the
+    * library needs a rebuild from the scrubbed corpus (the
+    * append-only refresh gate would refuse the drop anyway; this is
+    * the audit that says WHY).
+    */
+  def erasureScan(spark: SparkSession, dir: String, deleted: DataFrame,
+                  delKey: String, refCols: Seq[String]): DataFrame = {
+    require(refCols.nonEmpty, "erasureScan needs at least one ref column")
+    val scannable = artifacts(dir).flatMap { a =>
+      val cols = manifestColumns(dir, a)
+      val refs = refCols.filter(cols.contains)
+      if (refs.isEmpty) None
+      else Some((a, spark.read.parquet(s"$dir/$a"), refs))
+    }
+    require(scannable.nonEmpty,
+      s"no artifact under $dir carries any of $refCols — nothing to scan")
+    Profile.erasureAudit(deleted, delKey, scannable)
+  }
+
   /** The saved corpus fingerprint from an artifact's manifest — what
     * the library was BUILT from (vs [[fingerprint]] of what exists
     * now). Refresh paths read it to gate against silent mutation.

@@ -229,6 +229,53 @@ class ArtifactStoreSpec extends SparkSpec {
 
     intercept[IllegalArgumentException](
       ArtifactStore.commitVersion(root, "not-a-version"))
+
+    // GC: publish v3 and v4, point _LATEST at v3, prune keep=1 —
+    // the newest (v4) and the COMMITTED (v3) both survive; v1/v2 go
+    for (v <- Seq("v3", "v4")) {
+      ArtifactStore.save(frame, s"$root/$v", "a", Map("p" -> "1"), fp)
+    }
+    ArtifactStore.commitVersion(root, "v3")
+    val pruned = ArtifactStore.pruneVersions(root, keep = 1)
+    assert(pruned.toSet === Set("v1", "v2"))
+    assert(new java.io.File(s"$root/v4").exists())
+    assert(new java.io.File(s"$root/v3").exists(), "committed must survive")
+    assert(!new java.io.File(s"$root/v1").exists())
+    assert(ArtifactStore.load(spark, ArtifactStore.latestDir(root).get,
+      "a", Map("p" -> "1"), fp).count() === 10L)
+    intercept[IllegalArgumentException](
+      ArtifactStore.pruneVersions(root, keep = 0))
+  }
+
+  test("erasureScan finds forgotten ids inside the persisted library " +
+    "(signatures, bands, pair/cluster rows) and reports clean for " +
+    "ids the library never indexed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("graft-erasure-lib")
+    ExtensionQueries.saveArtifacts(spark, sf, dir)
+    val names = ArtifactStore.artifacts(dir)
+    assert(names.contains("mh_sigs") && names.contains("bpe_merges"))
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val forgotten = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"))
+    val report = ArtifactStore.erasureScan(spark, dir, forgotten,
+        "doc_id", Seq("doc_id", "doc_a", "doc_b", "src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // the per-doc index artifacts must surface the forgotten rows
+    assert(report("mh_sigs") > 0L)
+    assert(report("mh_bands") > 0L)
+    assert(report("mh_clusters") > 0L)
+    // aggregate-only artifacts (curves, centroids) are correctly absent
+    assert(!report.contains("kmeans_cent") && !report.contains("ann_truth"))
+
+    // ids never indexed -> every scanned artifact reports zero
+    val ghost = Seq(999999901L, 999999902L).toDF("doc_id")
+    val clean = ArtifactStore.erasureScan(spark, dir, ghost,
+        "doc_id", Seq("doc_id", "doc_a", "doc_b", "src", "dst"))
+      .agg(sum(col("n_refs_deleted"))).head().getLong(0)
+    assert(clean === 0L)
   }
 
   test("q_trained_persist serves from the loaded frames and matches the " +
