@@ -64,6 +64,9 @@ object Bench {
     // proceeds cold — never serving a stale index silently. The driver
     // never sets this env; per-round bench semantics are unchanged.
     val artifactDir = sys.env.get("SPARK_GRAFT_ARTIFACT_DIR")
+    val expectedArtifacts = artifactDir.map(_ =>
+      graft.queries.ExtensionQueries.expectedArtifactCount(spark, sfDir))
+      .getOrElse(0)
     val loadedArtifacts = artifactDir.map { dirPath =>
       // label the install-time checkpoint materializations in the memo
       // ledger so a warm run's memo_sec is auditable as installs, not
@@ -73,7 +76,7 @@ object Bench {
         // accept both a flat save dir and a versioned publish root
         val resolved = graft.ops.ArtifactStore.latestDir(dirPath).getOrElse(dirPath)
         val n = graft.queries.ExtensionQueries.loadArtifacts(spark, sfDir, resolved)
-        System.err.println(s"[bench] loaded $n artifacts from $resolved")
+        System.err.println(s"[bench] loaded $n of $expectedArtifacts artifacts from $resolved")
         n
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] artifact load failed, running cold: ${e.getMessage}")
@@ -229,17 +232,26 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
-    // cold warm-artifact run: persist what this run built so the next
-    // run with the same dir serves without rebuilding (full runs only —
-    // a subset run hasn't built the whole catalog)
-    if (loadedArtifacts == 0 && only.isEmpty) artifactDir.foreach { dirPath =>
-      try {
-        val n = graft.queries.ExtensionQueries.saveArtifacts(spark, sfDir, dirPath)
-        System.err.println(s"[bench] saved $n artifacts to $dirPath")
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] artifact save failed: ${e.getMessage}")
+    // incomplete library (cold run, OR a partial/torn earlier save):
+    // persist the full catalog so the next run is warm — the library
+    // SELF-HEALS instead of serving a partial subset forever. Full
+    // runs only (a subset run hasn't built the whole catalog), and
+    // never into a VERSIONED publish root: that layout is owned by
+    // IndexTool's publish flow, and flat saves beside vN dirs would
+    // leave a mixed layout the next resolve can't reason about.
+    if (loadedArtifacts < expectedArtifacts && only.isEmpty)
+      artifactDir.foreach { dirPath =>
+        if (graft.ops.ArtifactStore.latestDir(dirPath).isDefined)
+          System.err.println(s"[bench] $dirPath is a versioned publish " +
+            "root with a stale/partial committed version — repair it " +
+            "with IndexTool, not an in-place bench save")
+        else try {
+          val n = graft.queries.ExtensionQueries.saveArtifacts(spark, sfDir, dirPath)
+          System.err.println(s"[bench] saved $n artifacts to $dirPath")
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] artifact save failed: ${e.getMessage}")
+        }
       }
-    }
 
     // Slowest-first so that, if truncation is ever needed, the queries that
     // matter for performance analysis are the ones that survive.

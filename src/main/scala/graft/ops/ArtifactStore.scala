@@ -41,23 +41,30 @@ object ArtifactStore {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Order-free corpus fingerprint: `<rowcount>-<hex64>` where the hex
-    * is the bit-XOR fold of per-row xxhash64 over `cols`. XOR is
-    * commutative (partitioning/order independent) and never overflows,
-    * so the same corpus fingerprints identically on any cluster
-    * layout; any row edit, insert, or delete moves it. One scan, one
-    * tiny agg — the cheapest integrity check that still catches "the
-    * corpus changed under the index".
+  /** Order-free corpus fingerprint: `<rowcount>-<hex>` where the hex
+    * is the exact DECIMAL(38,0) SUM of per-row xxhash64 over `cols`.
+    * Addition is commutative (partitioning/order independent) and the
+    * decimal sum is exact at any corpus size, so the same corpus
+    * fingerprints identically on any cluster layout; any row edit,
+    * insert, or delete moves it. A sum — not a bit-XOR — on purpose:
+    * XOR cancels rows with even multiplicity (a double-loaded corpus
+    * folds every pair to zero, and edits become invisible whenever the
+    * row count is preserved), while the sum is MULTISET-sensitive —
+    * duplicated rows contribute per copy. One scan, one tiny agg — the
+    * cheapest integrity check that still catches "the corpus changed
+    * under the index".
     */
   def fingerprint(df: DataFrame, cols: Seq[String]): String = {
     require(cols.nonEmpty, "fingerprint needs at least one column")
     val quoted = cols.map(c => "`" + c.replace("`", "``") + "`")
     val r = df.agg(
       count(lit(1)).as("n"),
-      expr(s"bit_xor(xxhash64(${quoted.mkString(", ")}))").as("x")).head()
+      sum(expr(s"xxhash64(${quoted.mkString(", ")})")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("x")).head()
     val n = r.getLong(0)
-    val x = if (r.isNullAt(1)) 0L else r.getLong(1)
-    f"$n%d-$x%016x"
+    val x = if (r.isNullAt(1)) "0"
+      else r.getDecimal(1).toBigInteger.toString(16)
+    s"$n-$x"
   }
 
   private def manifestPath(dir: String, artifact: String) =
@@ -102,6 +109,9 @@ object ArtifactStore {
   def commitVersion(root: String, versionName: String): Unit = {
     require(versionName.matches("v\\d+"),
       s"versionName must look like v<N>, got '$versionName'")
+    require(Files.isDirectory(Paths.get(root, versionName)),
+      s"cannot commit $versionName: $root/$versionName does not exist — " +
+        "write the library there first (newVersionDir)")
     val tmp = Paths.get(root, s".$LatestFile.tmp")
     Files.writeString(tmp, versionName)
     Files.move(tmp, Paths.get(root, LatestFile),
@@ -259,9 +269,20 @@ object ArtifactStore {
       if (refs.isEmpty) None
       else Some((a, spark.read.parquet(s"$dir/$a"), refs))
     }
-    require(scannable.nonEmpty,
-      s"no artifact under $dir carries any of $refCols — nothing to scan")
-    Profile.erasureAudit(deleted, delKey, scannable)
+    // a library of aggregate-only artifacts legitimately holds no row
+    // references: that is a CLEAN audit (zero rows reported), not an
+    // error — an automated sweep over many libraries must not die here
+    if (scannable.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("artifact",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_refs_deleted",
+            org.apache.spark.sql.types.LongType))))
+    else Profile.erasureAudit(deleted, delKey, scannable)
   }
 
   /** The saved corpus fingerprint from an artifact's manifest — what
@@ -338,6 +359,36 @@ object ArtifactStore {
     * scoring — vs the full rebuild's O(corpus · k · (iters+1)).
     * Returns (rows already indexed, new rows appended).
     */
+  /** The shared APPEND-ONLY GATE of the incremental refreshers: load
+    * the library's per-row gate artifact, verify the grown corpus
+    * restricted to the already-indexed ids still fingerprints to what
+    * the library was built from (XOR-free multiset sum = set equality
+    * on the indexed rows), and split out the new rows. One definition
+    * of the safety rule, used by every refresh family. Skinny id
+    * columns only; no broadcast hint — the indexed set is corpus-sized
+    * at scale, these are shuffle semi/anti joins by design.
+    */
+  private def appendOnlyGate(spark: SparkSession, dir: String,
+      gateArtifact: String, gateParams: Map[String, String],
+      corpus: DataFrame, idCol: String, libIdCol: String,
+      fpCols: Seq[String]): (DataFrame, DataFrame) = {
+    val old = loadForRefresh(spark, dir, gateArtifact, gateParams)
+    val oldFp = manifestFingerprint(dir, gateArtifact)
+    val indexedIds = old.select(col(libIdCol))
+    val indexedNow = corpus
+      .join(indexedIds, corpus(idCol) === indexedIds(libIdCol), "left_semi")
+    val fpIndexed = fingerprint(indexedNow, fpCols)
+    if (fpIndexed != oldFp)
+      throw new IllegalStateException(
+        s"incremental refresh at $dir refused: the already-indexed rows " +
+          s"are not byte-identical in the grown corpus (indexed-subset " +
+          s"fingerprint '$fpIndexed' != library's '$oldFp') — a mutated " +
+          "or dropped indexed row needs a REBUILD, not an append")
+    val newRows = corpus
+      .join(indexedIds, corpus(idCol) === indexedIds(libIdCol), "left_anti")
+    (old, newRows)
+  }
+
   def incrementalIvfRefresh(spark: SparkSession, dir: String,
       corpus: DataFrame, params: Map[String, String], newFp: String,
       dim: Int = 64, idCol: String = "vec_id",
@@ -346,22 +397,8 @@ object ArtifactStore {
     // directory this frame reads (k rows — trivial to materialize)
     val cent = loadForRefresh(spark, dir, "kmeans_cent", params)
       .localCheckpoint()
-    val oldAssign = loadForRefresh(spark, dir, "kmeans_assign", params)
-    val oldFp = manifestFingerprint(dir, "kmeans_assign")
-    // skinny id column only; no broadcast hint — the indexed set is
-    // corpus-sized at scale, these are shuffle semi/anti joins by design
-    val indexedIds = oldAssign.select(col("vec_id"))
-    val indexedNow = corpus
-      .join(indexedIds, corpus(idCol) === indexedIds("vec_id"), "left_semi")
-    val fpIndexed = fingerprint(indexedNow, Seq(idCol, vecCol))
-    if (fpIndexed != oldFp)
-      throw new IllegalStateException(
-        s"incremental refresh at $dir refused: the already-indexed rows " +
-          s"are not byte-identical in the grown corpus (indexed-subset " +
-          s"fingerprint '$fpIndexed' != library's '$oldFp') — a mutated " +
-          "or dropped indexed row needs a REBUILD, not an append")
-    val newRows = corpus
-      .join(indexedIds, corpus(idCol) === indexedIds("vec_id"), "left_anti")
+    val (oldAssign, newRows) = appendOnlyGate(spark, dir, "kmeans_assign",
+      params, corpus, idCol, "vec_id", Seq(idCol, vecCol))
     val newAssign = Similarity.assignToCentroids(newRows, dim = dim,
         idCol = idCol, vecCol = vecCol,
         centroids = Some(cent.select(col("centroid_id"), col("centv"))))
@@ -392,23 +429,10 @@ object ArtifactStore {
       docs: DataFrame, params: Map[String, String], newFp: String,
       fpCols: Seq[String], numHashes: Int = 16, bands: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): (Long, Long) = {
-    val oldSigs = loadForRefresh(spark, dir, "mh_sigs",
-      Map("numHashes" -> numHashes.toString))
     val oldBands = loadForRefresh(spark, dir, "mh_bands", params)
-    val oldFp = manifestFingerprint(dir, "mh_sigs")
-    val indexedIds = oldSigs.select(col("doc_id"))
-    val indexedNow = docs
-      .join(indexedIds, docs(idCol) === indexedIds("doc_id"), "left_semi")
-    val fpIndexed = fingerprint(indexedNow, fpCols)
-    if (fpIndexed != oldFp)
-      throw new IllegalStateException(
-        s"incremental MinHash refresh at $dir refused: the already-" +
-          s"indexed documents are not byte-identical in the grown corpus " +
-          s"(indexed-subset fingerprint '$fpIndexed' != library's " +
-          s"'$oldFp') — a mutated or dropped indexed document needs a " +
-          "REBUILD, not an append")
-    val newDocs = docs
-      .join(indexedIds, docs(idCol) === indexedIds("doc_id"), "left_anti")
+    // one safety rule, one definition: the same gate the IVF family runs
+    val (oldSigs, newDocs) = appendOnlyGate(spark, dir, "mh_sigs",
+      Map("numHashes" -> numHashes.toString), docs, idCol, "doc_id", fpCols)
     val newSigs = Dedup.minhashSignatureFrame(newDocs, numHashes,
         idCol, textCol)
       .select(oldSigs.columns.map(col): _*)

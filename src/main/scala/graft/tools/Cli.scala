@@ -152,6 +152,13 @@ object IndexTool {
         // resolve the committed version (flat layouts still accepted)
         val dir = graft.ops.ArtifactStore.latestDir(out).getOrElse(out)
         val n = graft.queries.ExtensionQueries.loadArtifacts(spark, data, dir)
+        // an empty/absent library passing the PRE-SERVE gate would be
+        // the exact condition the gate exists to stop (typoed path,
+        // never-written version): absence fails as loudly as staleness
+        if (n == 0)
+          throw new IllegalStateException(
+            s"[index] no artifacts found at $dir — nothing to serve " +
+              "(wrong --out path, or the library was never built?)")
         log.warn(s"[index] OK: $n artifacts at $dir valid for $data, installed")
       } else {
         // versioned publish: build into vN+1, repoint _LATEST only

@@ -28,6 +28,15 @@ class ArtifactStoreSpec extends SparkSpec {
     val fpA = ArtifactStore.fingerprint(a, Seq("id", "t"))
     for (other <- Seq(edited, dropped, grown))
       assert(ArtifactStore.fingerprint(other, Seq("id", "t")) != fpA)
+    // MULTISET sensitivity (the reason the fold is a sum, not a XOR):
+    // a double-loaded corpus and a double-loaded EDITED corpus have the
+    // same row count, and a XOR fold would cancel both to zero — the
+    // sum tells them apart, and tells single from double apart too
+    val doubled = a.unionAll(a)
+    val doubledEdited = edited.unionAll(edited)
+    val fpD = ArtifactStore.fingerprint(doubled, Seq("id", "t"))
+    assert(fpD != ArtifactStore.fingerprint(doubledEdited, Seq("id", "t")))
+    assert(fpD != fpA)
   }
 
   test("save/load round-trips rows and column order; mismatches " +
@@ -229,6 +238,9 @@ class ArtifactStoreSpec extends SparkSpec {
 
     intercept[IllegalArgumentException](
       ArtifactStore.commitVersion(root, "not-a-version"))
+    // committing a version that was never written is a bug, not a swap
+    intercept[IllegalArgumentException](
+      ArtifactStore.commitVersion(root, "v99"))
 
     // GC: publish v3 and v4, point _LATEST at v3, prune keep=1 —
     // the newest (v4) and the COMMITTED (v3) both survive; v1/v2 go
@@ -276,6 +288,14 @@ class ArtifactStoreSpec extends SparkSpec {
         "doc_id", Seq("doc_id", "doc_a", "doc_b", "src", "dst"))
       .agg(sum(col("n_refs_deleted"))).head().getLong(0)
     assert(clean === 0L)
+
+    // a library with no row-reference artifacts is a CLEAN audit (zero
+    // rows), never a crash — automated sweeps must keep going
+    val noneScannable = ArtifactStore.erasureScan(spark, dir, forgotten,
+      "doc_id", Seq("no_such_column"))
+    assert(noneScannable.columns.toSeq ===
+      Seq("artifact", "n_rows", "n_refs_deleted"))
+    assert(noneScannable.count() === 0L)
   }
 
   test("q_trained_persist serves from the loaded frames and matches the " +

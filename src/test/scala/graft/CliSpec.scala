@@ -89,5 +89,10 @@ class CliSpec extends SparkSpec {
     val e = intercept[IllegalStateException](IndexTool.main(
       Array("--data", "/root/testdata/sf0.01", "--out", out, "--check")))
     assert(e.getMessage.contains("STALE"))
+    // an EMPTY/absent library fails the gate too (typoed path must not
+    // read as "OK: 0 artifacts installed")
+    val eEmpty = intercept[IllegalStateException](IndexTool.main(
+      Array("--data", sf, "--out", tmpDir("empty-lib"), "--check")))
+    assert(eEmpty.getMessage.contains("no artifacts"))
   }
 }

@@ -678,6 +678,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct"), p2)
   }
 
+  test("q_ivf_pruned probes the partitioned on-disk posting lists with " +
+    "DYNAMIC PARTITION PRUNING: the store scan's PartitionFilters carry " +
+    "a dynamicpruning expression fed by the query-side centroid choice") {
+    val p = plan(graft.queries.ExtensionQueries
+      .queries("q_ivf_pruned")(spark, "/root/testdata/sf0.001"))
+    // the partitioned index scan is pruned by the probe's centroid ids
+    // at runtime — Catalyst derives the file-skipping IVF probe from
+    // the equi-join on the partition column (nprobe directories read,
+    // corpus size irrelevant to probe IO)
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("graft_ivfstore"), p)
+  }
+
   test("ngramClustersPrefix candidate stage: the set-contraction star " +
     "join and the rep prefix join are equi-joins (no nested loop, no " +
     "cartesian) and the positional-PPJoin filter sits INSIDE the " +
