@@ -133,11 +133,14 @@ object GenTool {
   * `runMain graft.tools.IndexTool --data <sfDir> --out <artifactDir>
   *  [--check] [-v 0..3] [--log FILE]`
   * Default mode BUILDS every catalog artifact (trained quantizer,
-  * MinHash index, ANN ground truth, BPE merges, ...) and saves it with
-  * its params+fingerprint manifest. `--check` instead validates the
-  * saved library against the CURRENT corpus and installs it into the
-  * session — exiting nonzero (loudly) if any artifact is stale, which
-  * makes it the pre-serve gate a deployment runs after an ingest.
+  * MinHash index, ANN ground truth, BPE merges, ...) into the next
+  * version directory and atomically publishes it. `--check` instead
+  * validates the committed library against the CURRENT corpus and
+  * installs it into the session — exiting nonzero (loudly) if any
+  * artifact is stale or the library is absent, which makes it the
+  * pre-serve gate a deployment runs after an ingest. `--prune N`
+  * (with either mode, applied after it) GCs old versions keeping the
+  * newest N plus the committed one.
   */
 object IndexTool {
   def main(args: Array[String]): Unit = {
@@ -169,6 +172,11 @@ object IndexTool {
         val vname = vdir.substring(vdir.lastIndexOf('/') + 1)
         graft.ops.ArtifactStore.commitVersion(out, vname)
         log.warn(s"[index] built and published $n artifacts as $out/$vname")
+      }
+      opts.get("--prune").filter(_ != "true").map(_.toInt).foreach { keep =>
+        val gone = graft.ops.ArtifactStore.pruneVersions(out, keep)
+        log.warn(s"[index] pruned ${gone.size} old version(s): " +
+          gone.mkString(", "))
       }
     } finally {
       if (owned) spark.stop()

@@ -94,5 +94,10 @@ class CliSpec extends SparkSpec {
     val eEmpty = intercept[IllegalStateException](IndexTool.main(
       Array("--data", sf, "--out", tmpDir("empty-lib"), "--check")))
     assert(eEmpty.getMessage.contains("no artifacts"))
+    // --prune keeps the committed version (v1 is both newest and
+    // committed here — nothing to delete, and the gate still passes)
+    IndexTool.main(Array("--data", sf, "--out", out, "--check",
+      "--prune", "1"))
+    assert(graft.ops.ArtifactStore.latestDir(out).exists(_.endsWith("/v1")))
   }
 }
