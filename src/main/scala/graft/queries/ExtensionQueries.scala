@@ -274,6 +274,8 @@ object ExtensionQueries {
     (SparkSession, String), String]()
   private val persistStoreMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
+  private val mhStoreMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
 
   /** Number of artifacts [[saveArtifacts]] writes for this corpus —
     * the full catalog plus the BPE merge table, minus the two
@@ -432,6 +434,31 @@ object ExtensionQueries {
     val pairs = mhPairs(s, d) // resolve first (memo LRU order)
     sharedFrame(s, d, "mh_clusters")(
       Dedup.connectedComponents(pairs.select("doc_a", "doc_b"), docs(s, d)))
+  }
+
+  /** MinHash near-dup served from the PERSISTED band/signature library
+    * — the second index family's round-trip under the DuckDB gate
+    * (q_trained_persist covers the trained IVF): the shared band index
+    * saves through [[graft.ops.ArtifactStore]] ONCE per session
+    * (unique temp dir — same discipline as q_ivf_pruned), loads back
+    * through the manifest gate, and the banded LSH candidate join runs
+    * against the LOADED index. Same oracle as q_dedup_minhash: the
+    * hash gate proves the persisted band index serves bit-identical
+    * candidates.
+    */
+  def dedupMinhashPersist(s: SparkSession, d: String): DataFrame = {
+    val mh = Map("numHashes" -> "16", "bands" -> "2")
+    val fp = corpusFp(s, d, "documents")
+    val dir = mhStoreMemo.computeIfAbsent((s, d), _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_mhstore_").toString
+      ArtifactStore.save(mhBands(s, d), p, "mh_bands", mh, fp)
+      p
+    })
+    val bands = ArtifactStore.load(s, dir, "mh_bands", mh, fp)
+    Dedup.minhashLsh(docs(s, d), numHashes = 16, bands = 2,
+        bandIndex = Some(bands))
+      .orderBy("doc_a", "doc_b")
   }
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
@@ -6541,6 +6568,9 @@ object ExtensionQueries {
     // in-memory index — the gate proves the Hive-partitioned round
     // trip (and its pruned probe) bit-exact
     ("q_ivf_pruned" -> oracleBase("q_ann_ivf")) +
+    // the persisted MinHash band index serving the banded candidate
+    // join — same oracle as the live index, round-trip proven by hash
+    ("q_minhash_persist" -> oracleBase("q_dedup_minhash")) +
     // advisor over the (already hash-gated) curve + health chains —
     // one definition per input, two gates, no drift between them
     ("q_ann_advisor" ->
@@ -12334,6 +12364,7 @@ object ExtensionQueries {
     "q_dedup_exact"     -> (dedupExact _),
     "q_dedup_ngram"     -> (dedupNgram _),
     "q_dedup_minhash"   -> (dedupMinhash _),
+    "q_minhash_persist" -> (dedupMinhashPersist _),
     "q_dedup_simhash"   -> (dedupSimhash _),
     "q_dedup_clusters"  -> (dedupClusters _),
     "q_dedup_against"   -> (dedupAgainst _),
