@@ -875,6 +875,38 @@ object ExtensionQueries {
     * Sub-2-token docs score nothing and are out of scope by the
     * lmScore contract.
     */
+  /** Quality-filter YIELD curve: per candidate perplexity-proxy
+    * threshold (the integer mean bigram log-prob the AUC audit already
+    * scores on), how many scored docs survive and the exact ppm kept —
+    * the calibration table an operator reads BEFORE deploying the
+    * filter (q_filter_auc says the score discriminates; this says what
+    * each cutoff costs in data). Shares the lm_scores memo; exact
+    * integers end to end (floor of one correctly-rounded double
+    * division, then integer ppm).
+    */
+  def filterYieldQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = lmScores(s, d)
+      .select(floor(col("sum_lpq").cast("double") / col("n_bigrams"))
+        .cast("long").as("score"), col("n_bigrams"))
+    val thresholds = Seq(-90000L, -70000L, -50000L, -30000L)
+    scored.crossJoin(broadcast(thresholds.toDF("threshold")))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        // token-volume yield: training budgets are set in tokens, not
+        // documents, and long docs survive filters differently
+        sum(col("n_bigrams")).as("vol_total"),
+        sum(when(col("score") >= col("threshold"), col("n_bigrams"))
+          .otherwise(0L)).as("vol_kept"))
+      .select(col("threshold"), col("n_docs"), col("n_kept"),
+        expr("n_kept * 1000000 div n_docs").as("kept_ppm"),
+        col("vol_total"), col("vol_kept"),
+        expr("vol_kept * 1000000 div vol_total").as("vol_kept_ppm"))
+      .orderBy("threshold")
+  }
+
   def filterAucQ(s: SparkSession, d: String): DataFrame =
     Profile.rankAuc(
       lmScores(s, d).join(docs(s, d).select("doc_id", "lang"), Seq("doc_id")),
@@ -6571,6 +6603,26 @@ object ExtensionQueries {
     // the persisted MinHash band index serving the banded candidate
     // join — same oracle as the live index, round-trip proven by hash
     ("q_minhash_persist" -> oracleBase("q_dedup_minhash")) +
+    // the filter yield curve wraps the (already hash-gated) bigram-LM
+    // score chain — one definition, two gates, no drift between them
+    ("q_filter_yield" ->
+      s"""WITH sc AS (SELECT CAST(floor(CAST(sum_lpq AS DOUBLE) / n_bigrams)
+         |    AS BIGINT) AS score, n_bigrams
+         |  FROM (${oracleBase("q_lm_score")}) zlm),
+         |t AS (SELECT CAST(unnest([-90000, -70000, -50000, -30000])
+         |    AS BIGINT) AS threshold)
+         |SELECT t.threshold, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN sc.score >= t.threshold THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN sc.score >= t.threshold THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS kept_ppm,
+         |  CAST(sum(sc.n_bigrams) AS BIGINT) AS vol_total,
+         |  CAST(sum(CASE WHEN sc.score >= t.threshold
+         |    THEN sc.n_bigrams ELSE 0 END) AS BIGINT) AS vol_kept,
+         |  CAST(sum(CASE WHEN sc.score >= t.threshold
+         |      THEN sc.n_bigrams ELSE 0 END)
+         |    * 1000000 // sum(sc.n_bigrams) AS BIGINT) AS vol_kept_ppm
+         |FROM t CROSS JOIN sc GROUP BY 1 ORDER BY 1""".stripMargin) +
     // advisor over the (already hash-gated) curve + health chains —
     // one definition per input, two gates, no drift between them
     ("q_ann_advisor" ->
@@ -12412,6 +12464,7 @@ object ExtensionQueries {
     "q_token_drift"     -> (tokenDrift _),
     "q_bm25"            -> (bm25 _),
     "q_lm_score"        -> (lmScore _),
+    "q_filter_yield"    -> (filterYieldQ _),
     "q_dsir"            -> (dsir _),
     "q_dsir_sample"     -> (dsirSample _),
     "q_audio_stats"     -> (audioStats _),
