@@ -47,4 +47,101 @@ object IndexStore {
   def loadPq(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/codebooks"),
       spark.read.parquet(s"$dir/codes"))
+
+  /** File census of a saved posting-list store: rows and ACTUAL file
+    * count per centroid directory. Streaming ingest
+    * (`foreachBatch` → partitioned append, the stream-to-lake path)
+    * writes one file per (micro-batch, posting list) — after a day of
+    * 30 s triggers a list holds ~2,880 shards and every probe pays
+    * 2,880 footer reads for one list's worth of rows. This audit is
+    * the signal; [[compact]] is the response. One column-pruned scan
+    * (centroid_id + file name), partial-agged map-side.
+    */
+  def fileAudit(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        input_file_name().as("f"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("f")).as("n_files"))
+
+  /** The compaction PLAN: per posting list, the file count the store
+    * SHOULD have at `targetRowsPerFile` — exact integer ceiling, no
+    * filesystem access (computable from the assignment alone, which
+    * is what makes it oracle-checkable and lets a scheduler plan
+    * compaction for an index it has not mounted).
+    */
+  def compactionPlan(assignment: DataFrame,
+                     targetRowsPerFile: Long): DataFrame = {
+    require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
+    assignment
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("files_target",
+        expr(s"(n_rows + ${targetRowsPerFile - 1L}) DIV $targetRowsPerFile"))
+  }
+
+  /** Compact ONLY the fragmented posting lists of a saved store —
+    * the OPTIMIZE pass the streaming-append layout needs. A list is
+    * fragmented when its actual file count exceeds the
+    * [[compactionPlan]] target; those lists (and only those) are
+    * read back (partition-pruned scan), clustered one-task-per-list
+    * (`repartition` on the partition column — every row of a list
+    * lands in one task, so the rewrite emits exactly
+    * ceil(rows/target) files via `maxRecordsPerFile`), and swapped in
+    * with DYNAMIC partition overwrite: untouched directories keep
+    * their files byte-for-byte, so compaction cost is
+    * O(fragmented lists), never O(index). The rewrite set is
+    * materialized before the overwrite (same read-then-replace
+    * discipline as the FrameMemo checkpoints) because Spark refuses
+    * to overwrite a path it is still lazily reading.
+    *
+    * Returns the per-list summary (centroid_id, n_rows, files_before,
+    * files_after) of what was rewritten — empty means the store
+    * already met the target.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetRowsPerFile: Long): DataFrame = {
+    require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
+    val audit = fileAudit(spark, dir)
+      .withColumn("files_target",
+        expr(s"(n_rows + ${targetRowsPerFile - 1L}) DIV $targetRowsPerFile"))
+    // posting-list ids are bounded by the quantizer's k (trained) or
+    // the stride rule — the same broadcast-side bound every IVF
+    // consumer relies on, so the driver-side collect is safe
+    val frag = audit.filter(col("n_files") > col("files_target"))
+      .select("centroid_id", "n_rows", "n_files", "files_target")
+      .collect()
+    if (frag.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("centroid_id", "long").add("n_rows", "long")
+          .add("files_before", "long").add("files_after", "long"))
+    }
+    val fragIds = frag.map(_.getLong(0))
+    val rewrite = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(fragIds.toIndexedSeq: _*))
+      .select("vec_id", "centroid_id", "cv", "cn")
+      .localCheckpoint()
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      rewrite.repartition(fragIds.length, col("centroid_id"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRowsPerFile)
+        .partitionBy("centroid_id")
+        .parquet(dir)
+    } finally {
+      prevMode match {
+        case Some(m) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    import spark.implicits._
+    frag.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toDF("centroid_id", "n_rows", "files_before", "files_after")
+  }
 }

@@ -670,6 +670,22 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Compaction PLAN for the posting-list lake layout
+    * ([[graft.ops.IndexStore.compactionPlan]]): per posting list, the
+    * exact file count the store should hold at 8 rows/file — the
+    * maintenance schedule the stream-to-lake append path needs
+    * (every micro-batch appends one file per touched list; without
+    * OPTIMIZE the probe cost grows with ingest time, not data size).
+    * Pure integer arithmetic over the SHARED assignment, so the plan
+    * is oracle-checkable without a filesystem; the REWRITE the plan
+    * drives is spec-pinned separately (SketchGraphSpec: fragmented
+    * lists collapse to exactly the planned file counts, bit-equal
+    * data, untouched directories byte-identical).
+    */
+  def compactionPlanQ(s: SparkSession, d: String): DataFrame =
+    IndexStore.compactionPlan(ivfAssignment(s, d), targetRowsPerFile = 8L)
+      .orderBy("centroid_id")
+
   /** The trained centroid table itself, element by element — every
     * (centroid, dimension) micro value plus the membership count of
     * the final Lloyd round, hash-gated against a DuckDB oracle that
@@ -2631,6 +2647,94 @@ object ExtensionQueries {
       .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3)
       .select("doc_id", "n_tokens", "n_distinct")
       .orderBy("doc_id")
+  }
+
+  /** Per-document PROVENANCE ledger — the governance answer to "why
+    * is my document (not) in the training set": EVERY doc gets a row
+    * with the FIRST curation stage that dropped it (or `kept`). The
+    * stage order is the pipeline order a corpus build runs —
+    * unreadable(0) → heldout_benchmark(1) → too_short(2) →
+    * low_diversity(3) → duplicate(4) → contaminated(5) → kept(6) —
+    * and each gate reuses the exact rule an existing oracle-gated
+    * query pins (q_curation's length/diversity thresholds and
+    * min-doc_id-per-md5 canonical, q_contamination's >=2-shared-
+    * distinct-trigram screen, the %100 benchmark split), so the
+    * ledger can never drift from the gates it explains.
+    *
+    * Plan shape at 100 TB: text is dropped in the FIRST projection
+    * (only ids, counts, and the md5 shuffle downstream); the
+    * canonical id is one window over the content hash (single
+    * shuffle, no self-join); the contamination flag is the existing
+    * bucketed trigram join reduced to a distinct id set; verdict
+    * assembly is two left joins on doc_id that AQE broadcasts when
+    * the flagged sets are small (they are — flags, not corpora).
+    * Integer cross-multiplication for the diversity rule keeps both
+    * engines bit-agreed (no float ratio).
+    */
+  def provenance(s: SparkSession, d: String): DataFrame =
+    provenanceLedger(docs(s, d)).orderBy("doc_id")
+
+  /** The ledger composition itself, corpus injected — one definition
+    * serving the oracle-gated query (above), the funnel, and the spec.
+    */
+  def provenanceLedger(all: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val t = TextStats.tokens(col("text"))
+    val base = all.select(
+      col("doc_id"),
+      col("text").isNull.as("unreadable"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      md5(col("text")).as("h"))
+    // canonical = min doc_id per content hash (null texts carry a
+    // null hash and never form a group: they already died at stage 0)
+    val withCanon = base.withColumn("canonical_id",
+      when(col("h").isNotNull,
+        min(col("doc_id")).over(W.partitionBy(col("h")))))
+    val contamIds = TextStats.contamination(
+        all.filter(col("doc_id") % 100 =!= 0),
+        all.filter(col("doc_id") % 100 === 0),
+        n = 3, minShared = 2)
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val verdict =
+      when(col("unreadable"), lit("unreadable"))
+        .when(col("doc_id") % 100 === 0, lit("heldout_benchmark"))
+        .when(col("n_tokens") < 20, lit("too_short"))
+        .when(col("n_distinct") * 10 < col("n_tokens") * 3,
+          lit("low_diversity"))
+        .when(col("doc_id") =!= col("canonical_id"), lit("duplicate"))
+        .when(coalesce(col("contaminated"), lit(false)),
+          lit("contaminated"))
+        .otherwise(lit("kept"))
+    val stageOf = Seq("unreadable", "heldout_benchmark", "too_short",
+      "low_diversity", "duplicate", "contaminated", "kept")
+    withCanon.join(contamIds, Seq("doc_id"), "left")
+      .withColumn("verdict", verdict)
+      .withColumn("stage",
+        stageOf.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (v, i)) =>
+          when(col("verdict") === v, lit(i.toLong)).otherwise(acc)
+        })
+      .select(col("doc_id"), col("stage"), col("verdict"))
+  }
+
+  /** The curation FUNNEL over the provenance ledger: per stage, how
+    * many docs and how much token volume the gate removed (kept = the
+    * surviving training set) — the one-page dashboard a corpus owner
+    * reads before spending GPU-hours. Pure aggregation over
+    * [[provenance]] joined back to per-doc token counts; inherits the
+    * ledger's plan (the join adds one map-side-pruned pass over
+    * documents for the token counts).
+    */
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    provenance(s, d).join(toks, Seq("doc_id"))
+      .groupBy("stage", "verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "unreadable", lit(0L))
+          .otherwise(col("n_tokens"))).as("n_tokens"))
+      .orderBy("stage")
   }
 
   def langId(s: SparkSession, d: String): DataFrame =
@@ -6603,6 +6707,17 @@ object ExtensionQueries {
     // the persisted MinHash band index serving the banded candidate
     // join — same oracle as the live index, round-trip proven by hash
     ("q_minhash_persist" -> oracleBase("q_dedup_minhash")) +
+    // the funnel aggregates the (already hash-gated) provenance
+    // ledger — one verdict definition, two gates, no drift
+    ("q_curation_funnel" ->
+      s"""WITH prov AS (SELECT * FROM (${oracleBase("q_provenance")}) zp),
+         |toks AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens
+         |  FROM documents)
+         |SELECT stage, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN verdict = 'unreadable' THEN 0
+         |    ELSE t.n_tokens END) AS BIGINT) AS n_tokens
+         |FROM prov JOIN toks t USING (doc_id)
+         |GROUP BY stage, verdict ORDER BY stage""".stripMargin) +
     // the filter yield curve wraps the (already hash-gated) bigram-LM
     // score chain — one definition, two gates, no drift between them
     ("q_filter_yield" ->
@@ -9467,6 +9582,59 @@ object ExtensionQueries {
         |  AND CAST(len(list_distinct(string_split(d.text,' '))) AS DOUBLE)
         |      / len(string_split(d.text,' ')) >= 0.3
         |ORDER BY doc_id""".stripMargin,
+    "q_provenance" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    len(string_split(text,' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text,' '))) AS n_distinct,
+        |    md5(text) AS h FROM documents),
+        |c AS (SELECT *, CASE WHEN h IS NOT NULL
+        |    THEN min(doc_id) OVER (PARTITION BY h) END AS canonical_id
+        |  FROM d),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(ts)-1),
+        |      i -> array_to_string(ts[i:i+2], ' ')))) AS ngram
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents)
+        |  WHERE len(ts) >= 3),
+        |cont AS (SELECT DISTINCT doc_id, true AS contaminated FROM (
+        |  SELECT cg.doc_id FROM
+        |    (SELECT doc_id, ngram FROM g WHERE doc_id % 100 <> 0) cg
+        |    JOIN (SELECT doc_id AS bench_id, ngram FROM g
+        |          WHERE doc_id % 100 = 0) b USING (ngram)
+        |  GROUP BY cg.doc_id, b.bench_id HAVING count(*) >= 2)),
+        |v AS (SELECT c.doc_id,
+        |    CASE WHEN c.text IS NULL THEN 'unreadable'
+        |         WHEN c.doc_id % 100 = 0 THEN 'heldout_benchmark'
+        |         WHEN c.n_tokens < 20 THEN 'too_short'
+        |         WHEN c.n_distinct * 10 < c.n_tokens * 3 THEN 'low_diversity'
+        |         WHEN c.doc_id <> c.canonical_id THEN 'duplicate'
+        |         WHEN COALESCE(cont.contaminated, false) THEN 'contaminated'
+        |         ELSE 'kept' END AS verdict
+        |  FROM c LEFT JOIN cont USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(CASE verdict WHEN 'unreadable' THEN 0
+        |    WHEN 'heldout_benchmark' THEN 1 WHEN 'too_short' THEN 2
+        |    WHEN 'low_diversity' THEN 3 WHEN 'duplicate' THEN 4
+        |    WHEN 'contaminated' THEN 5 ELSE 6 END AS BIGINT) AS stage,
+        |  verdict
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "q_compaction_plan" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 37 = 0),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(floor(10000 * (
+        |          list_reduce(list_transform(range(1,65), i -> a.v[i]*c.centv[i]), (x,y)->x+y) /
+        |          (sqrt(list_reduce(list_transform(range(1,65), i -> a.v[i]*a.v[i]), (x,y)->x+y)) *
+        |           sqrt(list_reduce(list_transform(range(1,65), i -> c.centv[i]*c.centv[i]), (x,y)->x+y))))) AS BIGINT) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM e a CROSS JOIN cent c) t
+        |  WHERE rn = 1)
+        |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST((count(*) + 7) // 8 AS BIGINT) AS files_target
+        |FROM assign GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_split_groups" ->
       """SELECT event_id, user_id,
         |  CASE WHEN
@@ -12544,6 +12712,9 @@ object ExtensionQueries {
     "q_tfidf"           -> (tfidf _),
     "q_contamination"   -> (contamination _),
     "q_curation"        -> (curation _),
+    "q_provenance"      -> (provenance _),
+    "q_curation_funnel" -> (curationFunnel _),
+    "q_compaction_plan" -> (compactionPlanQ _),
     "q_range_join"      -> (rangeJoin _),
     "q_dedup_bloom"     -> (dedupBloom _),
     "q_dup_spans"       -> (dupSpans _),

@@ -87,4 +87,37 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(packed.forall(r => r._6 < budget && r._6 === r._4 % budget))
     assert(packed.last._4 + packed.last._3 === docTokens)
   }
+
+  test("provenance ledger: every doc gets its FIRST drop stage in " +
+    "pipeline order, and the funnel conserves docs and tokens") {
+    val kept = (0 until 25).map(k => s"k$k").mkString(" ")      // 25 distinct
+    val bench = (0 until 25).map(k => s"b$k").mkString(" ")     // the heldout doc
+    val contam = "b0 b1 b2 b3 " +                               // 2 shared trigrams
+      (0 until 21).map(k => s"c$k").mkString(" ")
+    val shortT = "s1 s2 s3"
+    val lowDiv = Seq.fill(30)("x").mkString(" ")                // 1/30 < 0.3
+    val df = Seq(
+      1L -> kept, 2L -> kept,          // 2 duplicates of 1 -> 1 kept, 2 dup
+      3L -> shortT, 4L -> lowDiv,
+      5L -> contam, 8L -> contam,      // 8 is a dup of 5 -> duplicate BEFORE contaminated
+      6L -> shortT, 7L -> shortT,      // short dups -> too_short BEFORE duplicate
+      100L -> bench                    // %100==0 -> heldout benchmark
+    ).toDF("doc_id", "text")
+    val ledger = graft.queries.ExtensionQueries.provenanceLedger(df)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(ledger.map(r => r._1 -> r._3).toMap === Map(
+      1L -> "kept", 2L -> "duplicate", 3L -> "too_short",
+      4L -> "low_diversity", 5L -> "contaminated", 6L -> "too_short",
+      7L -> "too_short", 8L -> "duplicate", 100L -> "heldout_benchmark"))
+    // stage index mirrors the verdict order
+    assert(ledger.collect { case (_, st, "kept") => st }.toSet === Set(6L))
+    assert(ledger.collect { case (_, st, "duplicate") => st }.toSet === Set(4L))
+    assert(ledger.collect { case (_, st, "heldout_benchmark") => st }.toSet === Set(1L))
+
+    // a null text dies at stage 0, and nothing downstream NPEs on it
+    val withNull = df.union(Seq((9L, null: String)).toDF("doc_id", "text"))
+    val nullRow = graft.queries.ExtensionQueries.provenanceLedger(withNull)
+      .filter(col("doc_id") === 9L).as[(Long, Long, String)].head()
+    assert(nullRow === ((9L, 0L, "unreadable")))
+  }
 }

@@ -315,6 +315,63 @@ class SketchGraphSpec extends SparkSpec {
     assert(!probePlan.contains("PartitionFilters: []"), probePlan)
   }
 
+  test("IndexStore compaction: fragmented posting lists collapse to " +
+    "exactly the plan's file counts, untouched lists keep their files " +
+    "byte-for-byte, data bit-equal, second pass a no-op") {
+    import graft.ops.IndexStore
+    val dir = tmpDir("ivf-compact")
+    val asg = (0 until 25).map { i =>
+      (i.toLong, if (i < 20) 0L else 1L,
+        Array.tabulate(4)(d => (i * 4 + d).toDouble), 1.0)
+    }.toDF("vec_id", "centroid_id", "cv", "cn")
+    // list 0 arrives in four micro-batch appends (the stream-to-lake
+    // fragmentation shape); list 1 lands whole in one
+    Seq(0 until 5, 5 until 10, 10 until 15, 15 until 20).zipWithIndex
+      .foreach { case (r, i) =>
+        asg.filter($"vec_id" >= r.start && $"vec_id" < r.end).coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append")
+          .partitionBy("centroid_id").parquet(dir)
+      }
+    asg.filter($"centroid_id" === 1L).coalesce(1)
+      .write.mode("append").partitionBy("centroid_id").parquet(dir)
+
+    val before = IndexStore.fileAudit(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(before === Map(0L -> ((20L, 4L)), 1L -> ((5L, 1L))))
+
+    val plan = IndexStore.compactionPlan(asg, targetRowsPerFile = 8L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(plan === Map(0L -> 3L, 1L -> 1L)) // ceil(20/8)=3, ceil(5/8)=1
+
+    val list1Dir = new java.io.File(s"$dir/centroid_id=1")
+    val list1Before = list1Dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+    val dataBefore = spark.read.parquet(dir)
+      .select("vec_id", "cv").as[(Long, Array[Double])]
+      .collect().sortBy(_._1).map(t => (t._1, t._2.toSeq))
+
+    val summary = IndexStore.compact(spark, dir, targetRowsPerFile = 8L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(summary.toSeq === Seq((0L, 20L, 4L, 3L)),
+      "only the fragmented list is rewritten")
+
+    val after = IndexStore.fileAudit(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(after === Map(0L -> ((20L, 3L)), 1L -> ((5L, 1L))),
+      "actual post-compaction file counts match the plan exactly")
+    assert(list1Dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+      === list1Before, "untouched list's files are not rewritten")
+
+    val dataAfter = spark.read.parquet(dir)
+      .select("vec_id", "cv").as[(Long, Array[Double])]
+      .collect().sortBy(_._1).map(t => (t._1, t._2.toSeq))
+    assert(dataAfter.toSeq === dataBefore.toSeq, "compaction moves bytes, not data")
+
+    assert(IndexStore.compact(spark, dir, targetRowsPerFile = 8L).isEmpty,
+      "a compact store compacts to a no-op")
+  }
+
   test("IndexStore: PQ codebooks and codes round-trip unchanged") {
     import graft.ops.{IndexStore, Similarity}
     val embs = (0 until 60)
