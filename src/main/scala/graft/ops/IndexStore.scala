@@ -96,6 +96,14 @@ object IndexStore {
     * discipline as the FrameMemo checkpoints) because Spark refuses
     * to overwrite a path it is still lazily reading.
     *
+    * Concurrency contract: the in-place rewrite is for the
+    * SINGLE-WRITER loop (same stance as the flat artifact dirs) — a
+    * reader scanning a list mid-swap could see its files vanish. A
+    * multi-reader deployment runs compaction under the same versioned
+    * publish discipline as the library ([[ArtifactStore.commitVersion]]):
+    * compact into v(N+1) and repoint `_LATEST`, readers never observe
+    * a half-state.
+    *
     * Returns the per-list summary (centroid_id, n_rows, files_before,
     * files_after) of what was rewritten — empty means the store
     * already met the target.

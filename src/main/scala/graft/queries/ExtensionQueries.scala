@@ -2718,6 +2718,79 @@ object ExtensionQueries {
       .select(col("doc_id"), col("stage"), col("verdict"))
   }
 
+  /** INCREMENTAL provenance — the ledger for an ARRIVING batch judged
+    * against the corpus already curated, in O(new) work: per-row gates
+    * evaluate over the new docs only; the duplicate gate is
+    * arrival-order semantics (a new doc whose content hash exists
+    * ANYWHERE in the base is the duplicate, regardless of id — the
+    * [[graft.ops.Dedup.exactAgainst]] contract — plus min-doc_id
+    * canonical WITHIN the batch), so re-judging the base is never
+    * needed; the contamination screen probes the GLOBAL benchmark set
+    * (base + new), broadcast like the batch form. This is how the
+    * batch ledger stays true under continuous ingest — the provenance
+    * twin of the index library's incremental refresh.
+    *
+    * Plan shape: base contributes one skinny DISTINCT-md5 column scan
+    * (no text crosses the join); the new side carries flags + hash
+    * through one window shuffle; everything else rides the batch
+    * ledger's shape.
+    */
+  def provenanceIncrLedger(newDocs: DataFrame,
+                           base: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val t = TextStats.tokens(col("text"))
+    val nb = newDocs.select(
+      col("doc_id"),
+      col("text").isNull.as("unreadable"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      md5(col("text")).as("h"))
+    val baseH = base.filter(col("text").isNotNull)
+      .select(md5(col("text")).as("h")).distinct()
+      .withColumn("in_base", lit(true))
+    val withDup = nb.join(baseH, Seq("h"), "left")
+      .withColumn("batch_canonical",
+        when(col("h").isNotNull,
+          min(col("doc_id")).over(W.partitionBy(col("h")))))
+    val contamIds = TextStats.contamination(
+        newDocs.filter(col("doc_id") % 100 =!= 0),
+        base.unionByName(newDocs).filter(col("doc_id") % 100 === 0),
+        n = 3, minShared = 2)
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val verdict =
+      when(col("unreadable"), lit("unreadable"))
+        .when(col("doc_id") % 100 === 0, lit("heldout_benchmark"))
+        .when(col("n_tokens") < 20, lit("too_short"))
+        .when(col("n_distinct") * 10 < col("n_tokens") * 3,
+          lit("low_diversity"))
+        .when(coalesce(col("in_base"), lit(false)) ||
+          col("doc_id") =!= col("batch_canonical"), lit("duplicate"))
+        .when(coalesce(col("contaminated"), lit(false)),
+          lit("contaminated"))
+        .otherwise(lit("kept"))
+    val stageOf = Seq("unreadable", "heldout_benchmark", "too_short",
+      "low_diversity", "duplicate", "contaminated", "kept")
+    withDup.join(contamIds, Seq("doc_id"), "left")
+      .withColumn("verdict", verdict)
+      .withColumn("stage",
+        stageOf.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (v, i)) =>
+          when(col("verdict") === v, lit(i.toLong)).otherwise(acc)
+        })
+      .select(col("doc_id"), col("stage"), col("verdict"))
+  }
+
+  /** [[provenanceIncrLedger]] on the lake's 1/3–2/3 arrival split
+    * (doc_id % 3 = 1 plays the arriving batch).
+    */
+  def provenanceIncr(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    provenanceIncrLedger(
+        all.filter(col("doc_id") % 3 === 1),
+        all.filter(col("doc_id") % 3 =!= 1))
+      .orderBy("doc_id")
+  }
+
   /** The curation FUNNEL over the provenance ledger: per stage, how
     * many docs and how much token volume the gate removed (kept = the
     * surviving training set) — the one-page dashboard a corpus owner
@@ -2735,6 +2808,26 @@ object ExtensionQueries {
         sum(when(col("verdict") === "unreadable", lit(0L))
           .otherwise(col("n_tokens"))).as("n_tokens"))
       .orderBy("stage")
+  }
+
+  /** The funnel CUT BY SOURCE — which feed loses how many docs and
+    * tokens at which gate: the dashboard that reallocates the
+    * curation budget (a source bleeding at the quality gate needs a
+    * cleaner upstream; one bleeding at contamination needs its
+    * crawler's benchmark filter fixed). Same one-definition ledger,
+    * one more grouping key; the source column joins in on doc_id
+    * alongside the token counts (one extra pruned pass, no new
+    * shuffle shape).
+    */
+  def funnelBySource(s: SparkSession, d: String): DataFrame = {
+    val meta = docs(s, d).select(col("doc_id"), col("source"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    provenance(s, d).join(meta, Seq("doc_id"))
+      .groupBy("source", "stage", "verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "unreadable", lit(0L))
+          .otherwise(col("n_tokens"))).as("n_tokens"))
+      .orderBy("source", "stage")
   }
 
   def langId(s: SparkSession, d: String): DataFrame =
@@ -6707,8 +6800,8 @@ object ExtensionQueries {
     // the persisted MinHash band index serving the banded candidate
     // join — same oracle as the live index, round-trip proven by hash
     ("q_minhash_persist" -> oracleBase("q_dedup_minhash")) +
-    // the funnel aggregates the (already hash-gated) provenance
-    // ledger — one verdict definition, two gates, no drift
+    // the funnels aggregate the (already hash-gated) provenance
+    // ledger — one verdict definition, multiple gates, no drift
     ("q_curation_funnel" ->
       s"""WITH prov AS (SELECT * FROM (${oracleBase("q_provenance")}) zp),
          |toks AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens
@@ -6718,6 +6811,17 @@ object ExtensionQueries {
          |    ELSE t.n_tokens END) AS BIGINT) AS n_tokens
          |FROM prov JOIN toks t USING (doc_id)
          |GROUP BY stage, verdict ORDER BY stage""".stripMargin) +
+    ("q_funnel_by_source" ->
+      s"""WITH prov AS (SELECT * FROM (${oracleBase("q_provenance")}) zp),
+         |meta AS (SELECT doc_id, source,
+         |    len(string_split(text,' ')) AS n_tokens FROM documents)
+         |SELECT m.source, stage, verdict,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN verdict = 'unreadable' THEN 0
+         |    ELSE m.n_tokens END) AS BIGINT) AS n_tokens
+         |FROM prov JOIN meta m USING (doc_id)
+         |GROUP BY m.source, stage, verdict
+         |ORDER BY m.source, stage""".stripMargin) +
     // the filter yield curve wraps the (already hash-gated) bigram-LM
     // score chain — one definition, two gates, no drift between them
     ("q_filter_yield" ->
@@ -9607,6 +9711,48 @@ object ExtensionQueries {
         |         WHEN c.n_tokens < 20 THEN 'too_short'
         |         WHEN c.n_distinct * 10 < c.n_tokens * 3 THEN 'low_diversity'
         |         WHEN c.doc_id <> c.canonical_id THEN 'duplicate'
+        |         WHEN COALESCE(cont.contaminated, false) THEN 'contaminated'
+        |         ELSE 'kept' END AS verdict
+        |  FROM c LEFT JOIN cont USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(CASE verdict WHEN 'unreadable' THEN 0
+        |    WHEN 'heldout_benchmark' THEN 1 WHEN 'too_short' THEN 2
+        |    WHEN 'low_diversity' THEN 3 WHEN 'duplicate' THEN 4
+        |    WHEN 'contaminated' THEN 5 ELSE 6 END AS BIGINT) AS stage,
+        |  verdict
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "q_provenance_incr" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    len(string_split(text,' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text,' '))) AS n_distinct,
+        |    md5(text) AS h FROM documents),
+        |nd AS (SELECT * FROM d WHERE doc_id % 3 = 1),
+        |baseh AS (SELECT DISTINCT h FROM d
+        |  WHERE doc_id % 3 <> 1 AND text IS NOT NULL),
+        |c AS (SELECT nd.*, (b.h IS NOT NULL) AS in_base,
+        |    CASE WHEN nd.h IS NOT NULL
+        |      THEN min(nd.doc_id) OVER (PARTITION BY nd.h)
+        |    END AS batch_canonical
+        |  FROM nd LEFT JOIN baseh b ON nd.h = b.h),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(ts)-1),
+        |      i -> array_to_string(ts[i:i+2], ' ')))) AS ngram
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents)
+        |  WHERE len(ts) >= 3),
+        |cont AS (SELECT DISTINCT doc_id, true AS contaminated FROM (
+        |  SELECT cg.doc_id FROM
+        |    (SELECT doc_id, ngram FROM g
+        |     WHERE doc_id % 3 = 1 AND doc_id % 100 <> 0) cg
+        |    JOIN (SELECT doc_id AS bench_id, ngram FROM g
+        |          WHERE doc_id % 100 = 0) b USING (ngram)
+        |  GROUP BY cg.doc_id, b.bench_id HAVING count(*) >= 2)),
+        |v AS (SELECT c.doc_id,
+        |    CASE WHEN c.text IS NULL THEN 'unreadable'
+        |         WHEN c.doc_id % 100 = 0 THEN 'heldout_benchmark'
+        |         WHEN c.n_tokens < 20 THEN 'too_short'
+        |         WHEN c.n_distinct * 10 < c.n_tokens * 3 THEN 'low_diversity'
+        |         WHEN c.in_base OR c.doc_id <> c.batch_canonical
+        |           THEN 'duplicate'
         |         WHEN COALESCE(cont.contaminated, false) THEN 'contaminated'
         |         ELSE 'kept' END AS verdict
         |  FROM c LEFT JOIN cont USING (doc_id))
@@ -12713,7 +12859,9 @@ object ExtensionQueries {
     "q_contamination"   -> (contamination _),
     "q_curation"        -> (curation _),
     "q_provenance"      -> (provenance _),
+    "q_provenance_incr" -> (provenanceIncr _),
     "q_curation_funnel" -> (curationFunnel _),
+    "q_funnel_by_source" -> (funnelBySource _),
     "q_compaction_plan" -> (compactionPlanQ _),
     "q_range_join"      -> (rangeJoin _),
     "q_dedup_bloom"     -> (dedupBloom _),

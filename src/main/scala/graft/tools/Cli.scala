@@ -131,7 +131,9 @@ object GenTool {
   * ([[graft.ops.ArtifactStore]]) — the operational entry point of the
   * build-once/serve-many lifecycle. Usage:
   * `runMain graft.tools.IndexTool --data <sfDir> --out <artifactDir>
-  *  [--check] [-v 0..3] [--log FILE]`
+  *  [--check] [-v 0..3] [--log FILE]`, or
+  * `runMain graft.tools.IndexTool --compact-store <storeDir>
+  *  [--target-rows N]`
   * Default mode BUILDS every catalog artifact (trained quantizer,
   * MinHash index, ANN ground truth, BPE merges, ...) into the next
   * version directory and atomically publishes it. `--check` instead
@@ -140,18 +142,35 @@ object GenTool {
   * artifact is stale or the library is absent, which makes it the
   * pre-serve gate a deployment runs after an ingest. `--prune N`
   * (with either mode, applied after it) GCs old versions keeping the
-  * newest N plus the committed one.
+  * newest N plus the committed one. `--compact-store <dir>
+  * [--target-rows N]` instead runs the OPTIMIZE pass over a
+  * posting-list lake layout ([[graft.ops.IndexStore.compact]]):
+  * rewrites only the lists fragmented past N rows/file (default 1M)
+  * — the maintenance job a stream-to-lake deployment schedules.
   */
 object IndexTool {
   def main(args: Array[String]): Unit = {
     val opts = Cli.parse(args)
-    val data = opts("--data")
-    val out = opts("--out")
     val check = opts.get("--check").exists(_.toBoolean)
+    val compactStore = opts.get("--compact-store").filter(_ != "true")
     val log = Cli.logger(opts)
     val (spark, owned) = Cli.session()
     try {
-      if (check) {
+      if (compactStore.isDefined) {
+        val storeDir = compactStore.get
+        val target = opts.get("--target-rows").filter(_ != "true")
+          .map(_.toLong).getOrElse(1000000L)
+        val done = graft.ops.IndexStore.compact(spark, storeDir, target)
+          .orderBy("centroid_id").collect()
+        if (done.isEmpty)
+          log.warn(s"[index] store $storeDir already compact " +
+            s"at <= $target rows/file")
+        else done.foreach(r => log.warn(s"[index] compacted list " +
+          s"${r.getLong(0)}: ${r.getLong(2)} -> ${r.getLong(3)} " +
+          s"files (${r.getLong(1)} rows)"))
+      } else if (check) {
+        val data = opts("--data")
+        val out = opts("--out")
         // resolve the committed version (flat layouts still accepted)
         val dir = graft.ops.ArtifactStore.latestDir(out).getOrElse(out)
         val n = graft.queries.ExtensionQueries.loadArtifacts(spark, data, dir)
@@ -164,6 +183,8 @@ object IndexTool {
               "(wrong --out path, or the library was never built?)")
         log.warn(s"[index] OK: $n artifacts at $dir valid for $data, installed")
       } else {
+        val data = opts("--data")
+        val out = opts("--out")
         // versioned publish: build into vN+1, repoint _LATEST only
         // after every artifact landed — readers never see a half-
         // written library
@@ -174,7 +195,7 @@ object IndexTool {
         log.warn(s"[index] built and published $n artifacts as $out/$vname")
       }
       opts.get("--prune").filter(_ != "true").map(_.toInt).foreach { keep =>
-        val gone = graft.ops.ArtifactStore.pruneVersions(out, keep)
+        val gone = graft.ops.ArtifactStore.pruneVersions(opts("--out"), keep)
         log.warn(s"[index] pruned ${gone.size} old version(s): " +
           gone.mkString(", "))
       }

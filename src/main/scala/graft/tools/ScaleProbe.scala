@@ -56,7 +56,8 @@ object ScaleProbe {
   private val Probes = Seq(
     "q_edit_pairs", "q_encoding_advisor", "q_bloom_skip", "q_minhash_est",
     "q_interval_join", "q_dedup_minhash", "q_dedup_clusters", "q_ann_ivf",
-    "q_capture_diff", "q_sync_watermark", "q_retention_wipe")
+    "q_capture_diff", "q_sync_watermark", "q_retention_wipe",
+    "q_provenance")
 
   def buildStressed(spark: SparkSession, sfDir: String, outDir: String,
                     factor: Int): Unit = {

@@ -100,4 +100,28 @@ class CliSpec extends SparkSpec {
       "--prune", "1"))
     assert(graft.ops.ArtifactStore.latestDir(out).exists(_.endsWith("/v1")))
   }
+
+  test("IndexTool --compact-store runs the OPTIMIZE pass over a " +
+    "posting-list layout and leaves a compact store a no-op") {
+    import spark.implicits._
+    val store = tmpDir("cli-store")
+    val asg = (0 until 12).map(i =>
+        (i.toLong, 0L, Array.fill(2)(1.0), 1.0))
+      .toDF("vec_id", "centroid_id", "cv", "cn")
+    // two appends fragment list 0
+    asg.filter($"vec_id" < 6).coalesce(1).write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(store)
+    asg.filter($"vec_id" >= 6).coalesce(1).write.mode("append")
+      .partitionBy("centroid_id").parquet(store)
+    assert(graft.ops.IndexStore.fileAudit(spark, store)
+      .as[(Long, Long, Long)].head()._3 === 2L)
+    IndexTool.main(Array("--compact-store", store, "--target-rows", "12"))
+    assert(graft.ops.IndexStore.fileAudit(spark, store)
+      .as[(Long, Long, Long)].head() === ((0L, 12L, 1L)))
+    assert(spark.read.parquet(store).count() === 12L)
+    // second pass: already compact, nothing rewritten
+    IndexTool.main(Array("--compact-store", store, "--target-rows", "12"))
+    assert(graft.ops.IndexStore.fileAudit(spark, store)
+      .as[(Long, Long, Long)].head() === ((0L, 12L, 1L)))
+  }
 }

@@ -120,4 +120,44 @@ class CorpusPipelineSpec extends SparkSpec {
       .filter(col("doc_id") === 9L).as[(Long, Long, String)].head()
     assert(nullRow === ((9L, 0L, "unreadable")))
   }
+
+  test("incremental provenance: arrival beats id for base duplicates, " +
+    "batch canonical within the batch, and judging batch-by-batch " +
+    "composes to the whole-batch ledger") {
+    import graft.queries.ExtensionQueries.provenanceIncrLedger
+    val longText = (c: Char) => (0 until 25).map(k => s"$c$k").mkString(" ")
+    val bench = longText('b')
+    val base = Seq(
+      50L -> longText('x'),            // content X curated long ago
+      51L -> longText('z'),
+      200L -> bench                     // the heldout benchmark doc
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      // same content as base doc 50 but a SMALLER id: arrival-order
+      // semantics must call the NEW doc the duplicate
+      10L -> longText('x'),
+      // brand-new content arriving twice in one batch: min-id canonical
+      20L -> longText('y'), 30L -> longText('y'),
+      // shares 2 distinct trigrams with the base bench doc
+      11L -> ("b0 b1 b2 b3 " + (0 until 21).map(k => s"c$k").mkString(" ")),
+      12L -> longText('w')              // clean -> kept
+    ).toDF("doc_id", "text")
+    val got = provenanceIncrLedger(incoming, base)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.map(r => r._1 -> r._3).toMap === Map(
+      10L -> "duplicate", 11L -> "contaminated", 12L -> "kept",
+      20L -> "kept", 30L -> "duplicate"))
+
+    // composition: judging [batch1; batch2] one at a time against the
+    // growing base equals the one-shot ledger over the union (arrival
+    // order = id order, all bench docs already in base)
+    val batch1 = incoming.filter($"doc_id" <= 12L)
+    val batch2 = incoming.filter($"doc_id" > 12L)
+    val stepwise =
+      provenanceIncrLedger(batch1, base).unionByName(
+        provenanceIncrLedger(batch2, base.unionByName(batch1)))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(stepwise.toSeq === got.toSeq,
+      "batch-at-a-time judging must compose to the whole-batch ledger")
+  }
 }

@@ -188,6 +188,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("provenance ledger: text never crosses the canonical-id " +
+    "shuffle (the window reads a hash-and-counts projection), and " +
+    "there is no cartesian or nested-loop stage") {
+    val df = graft.queries.ExtensionQueries.provenanceLedger(docs)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the window's input exchange carries (doc_id, flags, counts, h) —
+    // never the text column itself: at 100 TB the shuffle payload is
+    // tens of bytes/row, not the corpus
+    val winExchanges = p.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning(h#"))
+    assert(winExchanges.nonEmpty, p)
+    assert(!p.contains("text#") ||
+      !winExchanges.exists(_.contains("text#")),
+      s"text column must be pruned before the canonical shuffle:\n$p")
+  }
+
   test("brute-force ANN broadcasts the query side; the corpus side " +
     "has no Exchange (corpus never shuffles)") {
     val q = embs.filter(col("vec_id") % 50 === 0)

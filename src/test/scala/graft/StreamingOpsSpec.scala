@@ -467,6 +467,52 @@ class StreamingOpsSpec extends SparkSpec {
     assert(topk(loaded) === topk(expectedAssign))
   }
 
+  test("streaming provenance twin: arriving docs are judged per " +
+    "micro-batch against the GROWING curated lake (judge first, then " +
+    "append — the arrival-order duplicate contract live), and the " +
+    "accumulated ledger equals the one-shot incremental ledger") {
+    import graft.queries.ExtensionQueries.provenanceIncrLedger
+    import org.apache.spark.sql.DataFrame
+    val longText = (c: Char) => (0 until 25).map(k => s"$c$k").mkString(" ")
+    val base = Seq(50L -> longText('x'), 200L -> longText('b'))
+      .toDF("doc_id", "text")
+    val lakeDir = tmpDir("prov-lake")
+    val ledgerDir = tmpDir("prov-ledger")
+    base.write.mode("overwrite").parquet(lakeDir)
+    val arrivals: Seq[Seq[(Long, String)]] = Seq(
+      Seq(10L -> longText('x'),                 // dup of curated content
+        11L -> ("b0 b1 b2 b3 " +                // contaminated vs lake bench
+          (0 until 21).map(k => s"c$k").mkString(" "))),
+      Seq(20L -> longText('y')),                // fresh -> kept
+      Seq(30L -> longText('y'),                 // dup of 20 ACROSS batches
+        31L -> "s1 s2 s3"))                     // too_short
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val curated = spark.read.parquet(lakeDir)
+        // judge against what was curated BEFORE this batch, then admit
+        provenanceIncrLedger(batch, curated)
+          .write.mode("append").parquet(ledgerDir)
+        batch.write.mode("append").parquet(lakeDir)
+      }
+      .start()
+    try arrivals.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    val got = spark.read.parquet(ledgerDir)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => r._1 -> r._3).toMap === Map(
+      10L -> "duplicate", 11L -> "contaminated", 20L -> "kept",
+      30L -> "duplicate", 31L -> "too_short"))
+    val oneShot = provenanceIncrLedger(
+        arrivals.flatten.toDF("doc_id", "text"), base)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === oneShot, "live ledger == one-shot incremental ledger")
+    // the lake ends holding base + every arrival exactly once
+    assert(spark.read.parquet(lakeDir).count() === 7L)
+  }
+
   test("streamingListLoads: windowed per-list counts with the hot flag " +
     "at the calibrated threshold") {
     import graft.streaming.VectorStreamOps
