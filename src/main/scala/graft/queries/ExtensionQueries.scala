@@ -260,6 +260,8 @@ object ExtensionQueries {
         some(lmScores(s, d))),
       ("dsir_w", "documents", Map("target" -> "lang=en"),
         some(dsirWeights(s, d))),
+      ("prov_ledger", "documents", Map("rules" -> "v1"),
+        some(provLedgerFrame(s, d))),
       ("acf_grid", "events", Map("lags" -> "1-7"), some(acfFrame(s, d))))
   }
   private val bpeParams = Map("numMerges" -> "24")
@@ -2672,7 +2674,17 @@ object ExtensionQueries {
     * engines bit-agreed (no float ratio).
     */
   def provenance(s: SparkSession, d: String): DataFrame =
-    provenanceLedger(docs(s, d)).orderBy("doc_id")
+    provLedgerFrame(s, d).orderBy("doc_id")
+
+  /** The ledger as a SHARED MEMO (and artifact-catalog entry): three
+    * gated consumers (the ledger itself and both funnels) read one
+    * materialization instead of re-running the trigram screen each,
+    * and the library persists it — a provenance record is precisely
+    * the artifact a deployment keeps, and because its rows carry
+    * doc_id the erasure scan covers it automatically.
+    */
+  private def provLedgerFrame(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "prov_ledger")(provenanceLedger(docs(s, d)))
 
   /** The ledger composition itself, corpus injected — one definition
     * serving the oracle-gated query (above), the funnel, and the spec.
@@ -2802,7 +2814,7 @@ object ExtensionQueries {
   def curationFunnel(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d).select(col("doc_id"),
       size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
-    provenance(s, d).join(toks, Seq("doc_id"))
+    provLedgerFrame(s, d).join(toks, Seq("doc_id"))
       .groupBy("stage", "verdict")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("verdict") === "unreadable", lit(0L))
@@ -2822,7 +2834,7 @@ object ExtensionQueries {
   def funnelBySource(s: SparkSession, d: String): DataFrame = {
     val meta = docs(s, d).select(col("doc_id"), col("source"),
       size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
-    provenance(s, d).join(meta, Seq("doc_id"))
+    provLedgerFrame(s, d).join(meta, Seq("doc_id"))
       .groupBy("source", "stage", "verdict")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("verdict") === "unreadable", lit(0L))

@@ -279,6 +279,9 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(report("mh_sigs") > 0L)
     assert(report("mh_bands") > 0L)
     assert(report("mh_clusters") > 0L)
+    // the persisted provenance ledger is itself per-doc data — the
+    // forgotten doc's verdict row must surface in the audit too
+    assert(report("prov_ledger") > 0L)
     // aggregate-only artifacts (curves, centroids) are correctly absent
     assert(!report.contains("kmeans_cent") && !report.contains("ann_truth"))
 
