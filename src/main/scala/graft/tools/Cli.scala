@@ -206,6 +206,57 @@ object IndexTool {
   }
 }
 
+/** The nightly curation job: judge an arriving document batch against
+  * the curated lake and admit it — the batch CLI of the streaming
+  * provenance twin (judge FIRST against what was curated before this
+  * batch, then append; the arrival-order duplicate contract). Usage:
+  * `runMain graft.tools.CurateTool --batch <docsParquet>
+  *  --lake <curatedLakeDir> --ledger <ledgerDir> [--bootstrap]
+  *  [-v 0..3] [--log FILE]`
+  * `--bootstrap` permits an ABSENT lake on the first run (judged
+  * against an empty corpus); without it a missing lake loud-fails so
+  * a typoed path can never silently re-judge from scratch.
+  * The lake is the SEEN corpus (every judged doc is admitted so later
+  * duplicates resolve against it); the training set is the ledger
+  * filtered to verdict = 'kept'. Appends are per-batch atomic only in
+  * the single-writer loop — concurrent curators serialize upstream.
+  */
+object CurateTool {
+  def main(args: Array[String]): Unit = {
+    val opts = Cli.parse(args)
+    val batchDir = opts("--batch")
+    val lakeDir = opts("--lake")
+    val ledgerDir = opts("--ledger")
+    val log = Cli.logger(opts)
+    val (spark, owned) = Cli.session()
+    try {
+      val batch = spark.read.parquet(batchDir)
+      // an absent lake is only legal when the caller SAYS this is the
+      // bootstrap run (--bootstrap) — a typoed --lake must not silently
+      // judge everything against an empty corpus
+      val lake =
+        if (new java.io.File(lakeDir).exists()) spark.read.parquet(lakeDir)
+        else if (opts.get("--bootstrap").exists(_.toBoolean)) batch.limit(0)
+        else throw new IllegalStateException(
+          s"[curate] lake $lakeDir does not exist — pass --bootstrap " +
+            "for the first run, or fix the path")
+      val ledger = graft.queries.ExtensionQueries
+        .provenanceIncrLedger(batch, lake)
+        .localCheckpoint() // judge fully BEFORE the lake grows
+      ledger.write.mode("append").parquet(ledgerDir)
+      batch.write.mode("append").parquet(lakeDir)
+      val byVerdict = ledger.groupBy("verdict").count()
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        .sorted.mkString(", ")
+      log.warn(s"[curate] judged ${ledger.count()} docs ($byVerdict), " +
+        s"ledger -> $ledgerDir, admitted -> $lakeDir")
+    } finally {
+      if (owned) spark.stop()
+      log.close()
+    }
+  }
+}
+
 /** Incrementally sync parquet audit-log directories to CSV sinks.
   * Usage:
   * `runMain graft.tools.SyncTool --logs <root> --sink <root>

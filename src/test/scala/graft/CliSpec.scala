@@ -1,6 +1,6 @@
 package graft
 
-import graft.tools.{Cli, GenTool, IndexTool, SyncTool}
+import graft.tools.{Cli, CurateTool, GenTool, IndexTool, SyncTool}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
@@ -99,6 +99,35 @@ class CliSpec extends SparkSpec {
     IndexTool.main(Array("--data", sf, "--out", out, "--check",
       "--prune", "1"))
     assert(graft.ops.ArtifactStore.latestDir(out).exists(_.endsWith("/v1")))
+  }
+
+  test("CurateTool: --bootstrap opens the lake, later batches judge " +
+    "against it (arrival-order duplicates), a missing lake without " +
+    "--bootstrap loud-fails") {
+    import spark.implicits._
+    val longText = (c: Char) => (0 until 25).map(k => s"$c$k").mkString(" ")
+    val b1Dir = tmpDir("cur-b1"); val b2Dir = tmpDir("cur-b2")
+    val lake = tmpDir("cur-lake") + "/lake"   // does not exist yet
+    val ledger = tmpDir("cur-ledger")
+    Seq(1L -> longText('x'), 2L -> "s1 s2 s3").toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(b1Dir)
+    Seq(3L -> longText('x'), 4L -> longText('y')).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(b2Dir)
+    // missing lake without --bootstrap: loud refusal, nothing written
+    val e = intercept[IllegalStateException](CurateTool.main(
+      Array("--batch", b1Dir, "--lake", lake, "--ledger", ledger)))
+    assert(e.getMessage.contains("--bootstrap"))
+    CurateTool.main(Array("--batch", b1Dir, "--lake", lake,
+      "--ledger", ledger, "--bootstrap"))
+    CurateTool.main(Array("--batch", b2Dir, "--lake", lake,
+      "--ledger", ledger))
+    val got = spark.read.parquet(ledger)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.map(r => r._1 -> r._3).toMap === Map(
+      1L -> "kept", 2L -> "too_short",
+      3L -> "duplicate",   // content curated in batch 1 — arrival wins
+      4L -> "kept"))
+    assert(spark.read.parquet(lake).count() === 4L)
   }
 
   test("IndexTool --compact-store runs the OPTIMIZE pass over a " +

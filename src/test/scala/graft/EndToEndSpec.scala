@@ -82,6 +82,46 @@ class EndToEndSpec extends SparkSpec {
     assert(replayed.subsetOf(full))
   }
 
+  test("CDC feeds curation end-to-end: a captured documents diff " +
+    "routes inserts/updates through the incremental provenance judge " +
+    "and deletes through the ledger erasure audit — the mission " +
+    "workload driving the extension surface") {
+    import graft.queries.ExtensionQueries.provenanceIncrLedger
+    val longText = (c: Char) => (0 until 25).map(k => s"$c$k").mkString(" ")
+    // yesterday's snapshot IS the curated lake
+    val oldSnap = Seq(
+      1L -> longText('x'), 2L -> longText('z'), 3L -> longText('w'))
+      .toDF("doc_id", "text")
+    // today's: doc 2 edited, doc 3 deleted, docs 4 (dup of 1) and 5 new
+    val newSnap = Seq(
+      1L -> longText('x'), 2L -> (longText('z') + " edited"),
+      4L -> longText('x'), 5L -> longText('q'))
+      .toDF("doc_id", "text")
+    val diff = CaptureDiff.classify(oldSnap, newSnap, Seq("doc_id"))
+    val ev = col(AuditSchema.EventCol)
+
+    // inserts + updates carry post-images: exactly what the judge reads
+    val arriving = diff.filter(ev =!= "delete").select("doc_id", "text")
+    val ledger = provenanceIncrLedger(arriving, oldSnap)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(ledger.map(r => r._1 -> r._3).toMap === Map(
+      2L -> "kept",        // edited content is genuinely new — re-judged
+      4L -> "duplicate",   // content of curated doc 1 under a new id
+      5L -> "kept"))
+
+    // the delete's pre-image drives the forget pass: its ledger row
+    // (and any persisted per-doc artifact) must surface in the audit
+    val forgotten = diff.filter(ev === "delete").select("doc_id")
+    assert(forgotten.as[Long].collect().toSeq === Seq(3L))
+    val oldLedger = graft.queries.ExtensionQueries
+      .provenanceLedger(oldSnap)
+    val hits = graft.ops.Profile.erasureAudit(forgotten, "doc_id",
+        Seq(("ledger", oldLedger, Seq("doc_id"))))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(hits("ledger") === 1L,
+      "the deleted doc's verdict row must be flagged for erasure")
+  }
+
   test("ANN index lifecycle composes end-to-end on the real fixture: " +
     "assignment -> health -> decision -> split -> swap-in, conserving " +
     "membership and touching only the flagged list") {
