@@ -109,7 +109,20 @@ object IndexStore {
     * already met the target.
     */
   def compact(spark: SparkSession, dir: String,
-              targetRowsPerFile: Long): DataFrame = {
+              targetRowsPerFile: Long): DataFrame =
+    compact(spark, dir, targetRowsPerFile, clusterBy = None)
+
+  /** [[compact]] with an optional CLUSTERING column: rows inside each
+    * rewritten posting list are sorted by `clusterBy` before the
+    * `maxRecordsPerFile` split, so consecutive files carry DISJOINT
+    * min/max ranges of that column and a point lookup (`vec_id = ?`
+    * inside a probed list) skips every file but one on parquet
+    * footer stats — the OPTIMIZE-and-cluster maintenance shape.
+    * Sorting is per-list and within one task (the list already fits a
+    * task by the posting-list size bound); no extra shuffle.
+    */
+  def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
+              clusterBy: Option[String]): DataFrame = {
     require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
     val audit = fileAudit(spark, dir)
       .withColumn("files_target",
@@ -135,7 +148,10 @@ object IndexStore {
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      rewrite.repartition(fragIds.length, col("centroid_id"))
+      val clustered = rewrite.repartition(fragIds.length, col("centroid_id"))
+      clusterBy.fold(clustered) { c =>
+          clustered.sortWithinPartitions(col("centroid_id"), col(c))
+        }
         .write.mode("overwrite")
         .option("maxRecordsPerFile", targetRowsPerFile)
         .partitionBy("centroid_id")

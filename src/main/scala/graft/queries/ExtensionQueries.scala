@@ -2742,6 +2742,15 @@ object ExtensionQueries {
     * batch ledger stays true under continuous ingest — the provenance
     * twin of the index library's incremental refresh.
     *
+    * Honest limitation (by construction, not accident): the
+    * contamination gate probes the benchmark set as known AT JUDGING
+    * TIME — a benchmark doc arriving later does NOT retroactively
+    * flag documents already judged kept. A benchmark refresh
+    * therefore requires a decontamination RE-SCAN of the kept set
+    * (the batch `q_contamination` over the lake), exactly as a
+    * centroid retrain requires an index rebuild; the composition law
+    * below holds when benchmark docs precede the corpus they screen.
+    *
     * Plan shape: base contributes one skinny DISTINCT-md5 column scan
     * (no text crosses the join); the new side carries flags + hash
     * through one window shuffle; everything else rides the batch

@@ -133,7 +133,7 @@ object GenTool {
   * `runMain graft.tools.IndexTool --data <sfDir> --out <artifactDir>
   *  [--check] [-v 0..3] [--log FILE]`, or
   * `runMain graft.tools.IndexTool --compact-store <storeDir>
-  *  [--target-rows N]`
+  *  [--target-rows N] [--cluster-by col]`
   * Default mode BUILDS every catalog artifact (trained quantizer,
   * MinHash index, ANN ground truth, BPE merges, ...) into the next
   * version directory and atomically publishes it. `--check` instead
@@ -160,7 +160,9 @@ object IndexTool {
         val storeDir = compactStore.get
         val target = opts.get("--target-rows").filter(_ != "true")
           .map(_.toLong).getOrElse(1000000L)
-        val done = graft.ops.IndexStore.compact(spark, storeDir, target)
+        val cluster = opts.get("--cluster-by").filter(_ != "true")
+        val done = graft.ops.IndexStore
+          .compact(spark, storeDir, target, cluster)
           .orderBy("centroid_id").collect()
         if (done.isEmpty)
           log.warn(s"[index] store $storeDir already compact " +

@@ -372,6 +372,45 @@ class SketchGraphSpec extends SparkSpec {
       "a compact store compacts to a no-op")
   }
 
+  test("IndexStore compaction with clusterBy: rewritten files carry " +
+    "DISJOINT vec_id ranges (point lookups skip all but one file on " +
+    "footer stats), where the raw appends interleaved them") {
+    import graft.ops.IndexStore
+    val dir = tmpDir("ivf-compact-cluster")
+    val asg = (0 until 24).map(i =>
+        (i.toLong, 0L, Array.fill(2)(1.0), 1.0))
+      .toDF("vec_id", "centroid_id", "cv", "cn")
+    // four appends that INTERLEAVE the id space (append k holds
+    // id % 4 == k) — every file's (min,max) spans ~the whole range,
+    // so footer stats skip nothing, AND the list is fragmented past
+    // the 3-file target, so compaction fires
+    (0 until 4).foreach { k =>
+      asg.filter($"vec_id" % 4 === k).coalesce(1)
+        .write.mode(if (k == 0) "overwrite" else "append")
+        .partitionBy("centroid_id").parquet(dir)
+    }
+    def fileRanges() = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"vec_id").as("lo"), max($"vec_id").as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val rawRanges = fileRanges()
+    assert(rawRanges.size === 4 &&
+      rawRanges.forall { case (lo, hi) => lo <= 3 && hi >= 20 },
+      s"precondition: interleaved appends overlap fully, got $rawRanges")
+
+    IndexStore.compact(spark, dir, targetRowsPerFile = 8L,
+      clusterBy = Some("vec_id"))
+    val ranges = fileRanges()
+    assert(ranges.size === 3, s"ceil(24/8) files, got $ranges")
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi1), (lo2, _)) => hi1 < lo2
+      case _                       => true
+    }, s"clustered files must have disjoint id ranges: $ranges")
+    // data conserved
+    assert(spark.read.parquet(dir).select("vec_id").as[Long]
+      .collect().sorted.toSeq === (0L until 24L))
+  }
+
   test("IndexStore: PQ codebooks and codes round-trip unchanged") {
     import graft.ops.{IndexStore, Similarity}
     val embs = (0 until 60)
