@@ -81,6 +81,71 @@ object IndexStore {
         expr(s"(n_rows + ${targetRowsPerFile - 1L}) DIV $targetRowsPerFile"))
   }
 
+  /** Surgical right-to-be-forgotten on a saved posting-list store:
+    * REMOVE the given vectors by rewriting only the lists that contain
+    * them — the execution half of the erasure story
+    * ([[ArtifactStore.erasureScan]] is the audit half; a derived
+    * LIBRARY rebuilds from the scrubbed corpus, but the lake store is
+    * per-row pure, so it can forget in place at O(affected lists)).
+    * One column-pruned scan locates the affected lists; survivors
+    * rewrite under dynamic partition overwrite (untouched directories
+    * keep their files byte-for-byte, same discipline as [[compact]]);
+    * a list whose every row is forgotten gets its DIRECTORY removed —
+    * dynamic overwrite only replaces partitions present in the
+    * written data, and an emptied list writes nothing, so without the
+    * explicit delete its stale files would silently survive (the
+    * exact failure an erasure pass exists to prevent). Same
+    * single-writer contract as [[compact]].
+    *
+    * Returns (centroid_id, n_forgotten, n_left) per affected list.
+    */
+  def forget(spark: SparkSession, dir: String,
+             deleted: Seq[Long]): DataFrame = {
+    require(deleted.nonEmpty, "forget needs at least one id")
+    import spark.implicits._
+    val hits = spark.read.parquet(dir)
+      .filter(col("vec_id").isin(deleted: _*))
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n_forgotten"))
+      .as[(Long, Long)].collect()
+    if (hits.isEmpty)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("centroid_id", "n_forgotten", "n_left")
+    val lists = hits.map(_._1)
+    val keep = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(lists.toIndexedSeq: _*) &&
+        !col("vec_id").isin(deleted: _*))
+      .select("vec_id", "centroid_id", "cv", "cn")
+      .localCheckpoint()
+    val left = keep.groupBy(col("centroid_id").cast("long"))
+      .count().as[(Long, Long)].collect().toMap
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      keep.repartition(lists.length, col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    } finally {
+      prevMode match {
+        case Some(m) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // fully-forgotten lists wrote no replacement partition: their old
+    // directories must go explicitly or the forgotten rows survive
+    lists.filterNot(left.contains).foreach { id =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$dir/centroid_id=$id"))
+    }
+    hits.toSeq
+      .map { case (id, n) => (id, n, left.getOrElse(id, 0L)) }
+      .toDF("centroid_id", "n_forgotten", "n_left")
+  }
+
   /** Compact ONLY the fragmented posting lists of a saved store —
     * the OPTIMIZE pass the streaming-append layout needs. A list is
     * fragmented when its actual file count exceeds the

@@ -133,7 +133,9 @@ object GenTool {
   * `runMain graft.tools.IndexTool --data <sfDir> --out <artifactDir>
   *  [--check] [-v 0..3] [--log FILE]`, or
   * `runMain graft.tools.IndexTool --compact-store <storeDir>
-  *  [--target-rows N] [--cluster-by col]`
+  *  [--target-rows N] [--cluster-by col]`, or
+  * `runMain graft.tools.IndexTool --forget-store <storeDir>
+  *  --ids <id,id,...>`
   * Default mode BUILDS every catalog artifact (trained quantizer,
   * MinHash index, ANN ground truth, BPE merges, ...) into the next
   * version directory and atomically publishes it. `--check` instead
@@ -147,16 +149,36 @@ object GenTool {
   * posting-list lake layout ([[graft.ops.IndexStore.compact]]):
   * rewrites only the lists fragmented past N rows/file (default 1M)
   * — the maintenance job a stream-to-lake deployment schedules.
+  * `--forget-store <dir> --ids <list>` runs the surgical erasure pass
+  * ([[graft.ops.IndexStore.forget]]): removes the vectors by
+  * rewriting only the affected lists (the execution half of the
+  * right-to-be-forgotten story; `--check`'s library counterpart is
+  * the erasure SCAN + rebuild).
   */
 object IndexTool {
   def main(args: Array[String]): Unit = {
     val opts = Cli.parse(args)
     val check = opts.get("--check").exists(_.toBoolean)
     val compactStore = opts.get("--compact-store").filter(_ != "true")
+    val forgetStore = opts.get("--forget-store").filter(_ != "true")
     val log = Cli.logger(opts)
     val (spark, owned) = Cli.session()
     try {
-      if (compactStore.isDefined) {
+      if (forgetStore.isDefined) {
+        val ids = opts.getOrElse("--ids",
+            throw new IllegalArgumentException(
+              "[index] --forget-store needs --ids <id,id,...>"))
+          .split(",").map(_.trim.toLong).toSeq
+        val done = graft.ops.IndexStore
+          .forget(spark, forgetStore.get, ids)
+          .orderBy("centroid_id").collect()
+        if (done.isEmpty)
+          log.warn(s"[index] none of the ${ids.size} id(s) were in " +
+            s"${forgetStore.get} — nothing rewritten")
+        else done.foreach(r => log.warn(s"[index] forgot " +
+          s"${r.getLong(1)} row(s) from list ${r.getLong(0)} " +
+          s"(${r.getLong(2)} left)"))
+      } else if (compactStore.isDefined) {
         val storeDir = compactStore.get
         val target = opts.get("--target-rows").filter(_ != "true")
           .map(_.toLong).getOrElse(1000000L)

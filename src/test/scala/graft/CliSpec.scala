@@ -130,6 +130,21 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(lake).count() === 4L)
   }
 
+  test("IndexTool --forget-store surgically erases ids from the " +
+    "posting-list layout and requires --ids") {
+    import spark.implicits._
+    val store = tmpDir("cli-forget")
+    (0 until 10).map(i => (i.toLong, (i / 5).toLong,
+        Array.fill(2)(1.0), 1.0))
+      .toDF("vec_id", "centroid_id", "cv", "cn")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(store)
+    intercept[IllegalArgumentException](
+      IndexTool.main(Array("--forget-store", store)))
+    IndexTool.main(Array("--forget-store", store, "--ids", "1, 7"))
+    assert(spark.read.parquet(store).select("vec_id").as[Long]
+      .collect().sorted.toSeq === Seq(0L, 2L, 3L, 4L, 5L, 6L, 8L, 9L))
+  }
+
   test("IndexTool --compact-store runs the OPTIMIZE pass over a " +
     "posting-list layout and leaves a compact store a no-op") {
     import spark.implicits._

@@ -372,6 +372,45 @@ class SketchGraphSpec extends SparkSpec {
       "a compact store compacts to a no-op")
   }
 
+  test("IndexStore.forget: surgical erasure rewrites only the lists " +
+    "holding forgotten vectors, untouched lists keep their files, a " +
+    "fully-forgotten list's directory disappears, unknown ids no-op") {
+    import graft.ops.IndexStore
+    val dir = tmpDir("ivf-forget")
+    val asg = (0 until 30).map { i =>
+      (i.toLong, (i / 10).toLong,   // lists 0,1,2 with 10 rows each
+        Array.fill(2)(1.0), 1.0)
+    }.toDF("vec_id", "centroid_id", "cv", "cn")
+    IndexStore.saveIvf(asg, dir)
+    val list2Dir = new java.io.File(s"$dir/centroid_id=2")
+    val list2Files = list2Dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+
+    // forget one id from list 0 and two from list 1
+    val s1 = IndexStore.forget(spark, dir, Seq(3L, 12L, 17L))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(s1.toSeq === Seq((0L, 1L, 9L), (1L, 2L, 8L)))
+    assert(spark.read.parquet(dir).select("vec_id").as[Long]
+      .collect().sorted.toSeq ===
+      (0L until 30L).filterNot(Set(3L, 12L, 17L)))
+    assert(list2Dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+      === list2Files, "untouched list's files must not be rewritten")
+
+    // forget the REST of list 1: its directory must vanish entirely
+    val s2 = IndexStore.forget(spark, dir,
+        (10L until 20L).filterNot(Set(12L, 17L)))
+      .as[(Long, Long, Long)].collect()
+    assert(s2.toSeq === Seq((1L, 8L, 0L)))
+    assert(!new java.io.File(s"$dir/centroid_id=1").exists(),
+      "an emptied list's stale files must not survive the forget pass")
+    assert(spark.read.parquet(dir)
+      .select(col("centroid_id").cast("long")).distinct()
+      .as[Long].collect().sorted.toSeq === Seq(0L, 2L))
+
+    // ids the store never held: empty summary, data unchanged
+    assert(IndexStore.forget(spark, dir, Seq(999L)).isEmpty)
+    assert(spark.read.parquet(dir).count() === 19L)
+  }
+
   test("IndexStore compaction with clusterBy: rewritten files carry " +
     "DISJOINT vec_id ranges (point lookups skip all but one file on " +
     "footer stats), where the raw appends interleaved them") {
