@@ -636,4 +636,88 @@ class PropertySpec extends SparkSpec {
         s"seed=$seed mean excess")
     }
   }
+
+  test("property: provenance ledger (batch AND incremental) is total " +
+    "and every verdict matches an independent driver-side " +
+    "re-derivation of the stage rules on random collision-rich corpora") {
+    import graft.queries.ExtensionQueries
+    val stageOf = Map("unreadable" -> 0L, "heldout_benchmark" -> 1L,
+      "too_short" -> 2L, "low_diversity" -> 3L, "duplicate" -> 4L,
+      "contaminated" -> 5L, "kept" -> 6L)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(s: String): Seq[String] = s.split(" ", -1).toSeq
+    def trigrams(s: String): Set[String] =
+      toks(s).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      def freshText(): String = {
+        val n = 1 + rnd.nextInt(40)
+        (0 until n).map(_ => s"w${rnd.nextInt(12)}").mkString(" ")
+      }
+      // build ids 0..119 where ~20% copy an EARLIER doc's text verbatim
+      val corpus = (0 until 120).foldLeft(Vector.empty[(Long, String)]) {
+        case (acc, i) =>
+          val t = if (i > 0 && rnd.nextDouble() < 0.2)
+            acc(rnd.nextInt(i))._2 else freshText()
+          acc :+ (i.toLong, t)
+      }
+      val byId = corpus.toMap
+      val bench = corpus.collect { case (id, t) if id % 100 == 0 => (id, t) }
+      def contaminatedDriver(id: Long, t: String): Boolean =
+        id % 100 != 0 && bench.exists { case (_, bt) =>
+          (trigrams(t) intersect trigrams(bt)).size >= 2
+        }
+      def gatesDriver(id: Long, t: String,
+                      isDup: Boolean): String = {
+        val tk = toks(t)
+        if (t == null) "unreadable"
+        else if (id % 100 == 0) "heldout_benchmark"
+        else if (tk.size < 20) "too_short"
+        else if (tk.distinct.size * 10 < tk.size * 3) "low_diversity"
+        else if (isDup) "duplicate"
+        else if (contaminatedDriver(id, t)) "contaminated"
+        else "kept"
+      }
+
+      // batch form: duplicate = not the min-id holder of the content
+      val canon = corpus.groupBy(c => md5hex(c._2))
+        .view.mapValues(_.map(_._1).min).toMap
+      val expected = corpus.map { case (id, t) =>
+        id -> gatesDriver(id, t, isDup = canon(md5hex(t)) != id)
+      }.toMap
+      val got = ExtensionQueries.provenanceLedger(corpus.toDF("doc_id", "text"))
+        .as[(Long, Long, String)].collect()
+      assert(got.map(_._1).sorted.toSeq === (0L until 120L), s"seed=$seed total")
+      assert(got.forall { case (_, st, v) => stageOf(v) == st },
+        s"seed=$seed stage<->verdict")
+      got.foreach { case (id, _, v) =>
+        assert(v === expected(id), s"seed=$seed doc=$id text='${byId(id)}'")
+      }
+
+      // incremental form on a random split: arrival beats id — content
+      // hashed anywhere in base makes the new doc the duplicate; else
+      // min-id within the batch
+      val cut = 40 + rnd.nextInt(40)
+      val (base, incoming) = corpus.partition(_._1 < cut)
+      val baseH = base.map(c => md5hex(c._2)).toSet
+      val batchCanon = incoming.groupBy(c => md5hex(c._2))
+        .view.mapValues(_.map(_._1).min).toMap
+      val expIncr = incoming.map { case (id, t) =>
+        val h = md5hex(t)
+        id -> gatesDriver(id, t,
+          isDup = baseH.contains(h) || batchCanon(h) != id)
+      }.toMap
+      val gotIncr = ExtensionQueries.provenanceIncrLedger(
+          incoming.toDF("doc_id", "text"), base.toDF("doc_id", "text"))
+        .as[(Long, Long, String)].collect()
+      assert(gotIncr.map(_._1).sorted.toSeq ===
+        incoming.map(_._1).sorted, s"seed=$seed incr total")
+      gotIncr.foreach { case (id, _, v) =>
+        assert(v === expIncr(id), s"seed=$seed cut=$cut doc=$id")
+      }
+    }
+  }
 }
