@@ -278,6 +278,8 @@ object ExtensionQueries {
     (SparkSession, String), String]()
   private val mhStoreMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
+  private val provStoreMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
 
   /** Number of artifacts [[saveArtifacts]] writes for this corpus —
     * the full catalog plus the BPE merge table, minus the two
@@ -461,6 +463,27 @@ object ExtensionQueries {
     Dedup.minhashLsh(docs(s, d), numHashes = 16, bands = 2,
         bandIndex = Some(bands))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The provenance ledger served from STORAGE through the manifest
+    * gate ([[graft.ops.ArtifactStore]]) under q_provenance's own
+    * oracle — closing the persistence symmetry: every persisted
+    * artifact family (trained index, MinHash bands, partitioned IVF
+    * store, and now the ledger) has an oracle-gated round trip, so a
+    * silent save/load divergence in ANY of them hash-mismatches a
+    * driver gate instead of shipping.
+    */
+  def provPersistQ(s: SparkSession, d: String): DataFrame = {
+    val params = Map("rules" -> "v1")
+    val fp = corpusFp(s, d, "documents")
+    val dir = provStoreMemo.computeIfAbsent((s, d), _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_provstore_").toString
+      ArtifactStore.save(provLedgerFrame(s, d), p, "prov_ledger", params, fp)
+      p
+    })
+    ArtifactStore.load(s, dir, "prov_ledger", params, fp)
+      .orderBy("doc_id")
   }
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
@@ -6821,6 +6844,9 @@ object ExtensionQueries {
     // the persisted MinHash band index serving the banded candidate
     // join — same oracle as the live index, round-trip proven by hash
     ("q_minhash_persist" -> oracleBase("q_dedup_minhash")) +
+    // the persisted provenance ledger served through the manifest
+    // gate — same oracle as the live ledger, round-trip proven by hash
+    ("q_prov_persist" -> oracleBase("q_provenance")) +
     // the funnels aggregate the (already hash-gated) provenance
     // ledger — one verdict definition, multiple gates, no drift
     ("q_curation_funnel" ->
@@ -12880,6 +12906,7 @@ object ExtensionQueries {
     "q_contamination"   -> (contamination _),
     "q_curation"        -> (curation _),
     "q_provenance"      -> (provenance _),
+    "q_prov_persist"    -> (provPersistQ _),
     "q_provenance_incr" -> (provenanceIncr _),
     "q_curation_funnel" -> (curationFunnel _),
     "q_funnel_by_source" -> (funnelBySource _),
