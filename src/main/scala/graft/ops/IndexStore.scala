@@ -81,6 +81,26 @@ object IndexStore {
         expr(s"(n_rows + ${targetRowsPerFile - 1L}) DIV $targetRowsPerFile"))
   }
 
+  /** The maintenance DECISION surface: actual file census joined with
+    * the compaction plan, one row per list with the action a
+    * scheduler takes — `compact` when the list holds more files than
+    * the plan allows, `ok` otherwise. This is the same predicate
+    * [[compact]] applies internally, exposed so an operator can see
+    * (and a spec can pin) WHAT a maintenance run would rewrite before
+    * running it — the store-side sibling of the index advisor's
+    * `index_action` column.
+    */
+  def maintenanceReport(spark: SparkSession, dir: String,
+                        targetRowsPerFile: Long): DataFrame = {
+    require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
+    fileAudit(spark, dir)
+      .withColumn("files_target",
+        expr(s"(n_rows + ${targetRowsPerFile - 1L}) DIV $targetRowsPerFile"))
+      .withColumn("action",
+        when(col("n_files") > col("files_target"), lit("compact"))
+          .otherwise(lit("ok")))
+  }
+
   /** Surgical right-to-be-forgotten on a saved posting-list store:
     * REMOVE the given vectors by rewriting only the lists that contain
     * them — the execution half of the erasure story
@@ -189,13 +209,11 @@ object IndexStore {
   def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
               clusterBy: Option[String]): DataFrame = {
     require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
-    val audit = fileAudit(spark, dir)
-      .withColumn("files_target",
-        expr(s"(n_rows + ${targetRowsPerFile - 1L}) DIV $targetRowsPerFile"))
     // posting-list ids are bounded by the quantizer's k (trained) or
     // the stride rule — the same broadcast-side bound every IVF
     // consumer relies on, so the driver-side collect is safe
-    val frag = audit.filter(col("n_files") > col("files_target"))
+    val frag = maintenanceReport(spark, dir, targetRowsPerFile)
+      .filter(col("action") === "compact")
       .select("centroid_id", "n_rows", "n_files", "files_target")
       .collect()
     if (frag.isEmpty) {

@@ -344,6 +344,13 @@ class SketchGraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(plan === Map(0L -> 3L, 1L -> 1L)) // ceil(20/8)=3, ceil(5/8)=1
 
+    // the decision surface agrees with what compact will do: list 0
+    // (4 files > 3 target) -> compact, list 1 (1 <= 1) -> ok
+    val report = IndexStore.maintenanceReport(spark, dir, 8L)
+      .select("centroid_id", "action").as[(Long, String)]
+      .collect().toMap
+    assert(report === Map(0L -> "compact", 1L -> "ok"))
+
     val list1Dir = new java.io.File(s"$dir/centroid_id=1")
     val list1Before = list1Dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
     val dataBefore = spark.read.parquet(dir)
