@@ -23,7 +23,13 @@ object Bench {
     * in the line's `regressed` map (name -> ratio) so per-query plan
     * regressions stay visible as the suite grows.
     */
-  private val MaxLineChars = 1900
+  // The harness window is ~2 KiB of stdout TAIL and sbt both prefixes
+  // our line with "[info] " and appends a "[success] Total time: ..."
+  // trailer — so the budget for the JSON line itself is well under the
+  // window. 1200 chars leaves >600 for prefix+trailer+newlines: the
+  // whole object always survives in the tail (r12's 1.9 KB line parsed
+  // as null driver-side). Per-query detail lives in bench_full.json.
+  private val MaxLineChars = 1200
 
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma-decimal locale (de_DE...) would corrupt the JSON line
@@ -259,7 +265,11 @@ object Bench {
     var keep = bySlow.length
     while (keep > 1 && line(bySlow.take(keep), bySlow.length - keep).length > MaxLineChars)
       keep -= 1
-    println(line(bySlow.take(keep), bySlow.length - keep))
+    // stop() BEFORE the result line: Spark shutdown can log to stdout,
+    // and anything printed after the JSON eats into the tail window the
+    // driver parses — the line must be the program's last stdout write
     spark.stop()
+    println(line(bySlow.take(keep), bySlow.length - keep))
+    System.out.flush()
   }
 }

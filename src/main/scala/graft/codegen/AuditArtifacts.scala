@@ -68,9 +68,26 @@ object AuditArtifacts {
                   tables: Map[String, Seq[ColumnMeta]],
                   include: Option[Set[String]] = None,
                   prefix: String = ""): Seq[Path] = {
+    generateAllWithTriggers(outDir,
+      tables.map { case (t, cols) => t -> (cols, Seq.empty[TriggerMeta]) },
+      include, prefix)
+  }
+
+  /** [[generateAll]] for a live-catalog run ([[JdbcCatalog.introspect]]):
+    * each table carries its pre-existing AFTER triggers, whose bodies
+    * are spliced into the regenerated ones (gen:443-475 semantics via
+    * [[TriggerDdl.spliceBody]]) and whose names get DROP IF EXISTS.
+    */
+  def generateAllWithTriggers(outDir: String,
+                  tables: Map[String, (Seq[ColumnMeta], Seq[TriggerMeta])],
+                  include: Option[Set[String]] = None,
+                  prefix: String = ""): Seq[Path] = {
     ensureDir(outDir)
     cleanStale(outDir, include, prefix)
     val selected = TriggerDdl.selectSourceTables(tables.keys.toSeq.sorted, include)
-    selected.map(t => writeTable(outDir, t, tables(t), Nil, prefix))
+    selected.map { t =>
+      val (cols, trigs) = tables(t)
+      writeTable(outDir, t, cols, trigs, prefix)
+    }
   }
 }

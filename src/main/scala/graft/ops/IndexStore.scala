@@ -153,13 +153,19 @@ object IndexStore {
       }
     }
     // fully-forgotten lists wrote no replacement partition: their old
-    // directories must go explicitly or the forgotten rows survive
+    // directories must go explicitly or the forgotten rows survive.
+    // Delete through the Hadoop FileSystem (resolved from the path, so
+    // hdfs:// and s3a:// stores work, matching how spark.read resolves
+    // it) and FAIL LOUDLY on a false return — a silently-failed delete
+    // here means the forgotten rows come back on the next scan, the
+    // exact outcome an erasure pass must never report as success.
     lists.filterNot(left.contains).foreach { id =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(s"$dir/centroid_id=$id"))
+      val p = new org.apache.hadoop.fs.Path(s"$dir/centroid_id=$id")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && !fs.delete(p, true))
+        throw new java.io.IOException(
+          s"forget: failed to remove emptied posting list $p — " +
+            "forgotten rows would survive; aborting so the failure is visible")
     }
     hits.toSeq
       .map { case (id, n) => (id, n, left.getOrElse(id, 0L)) }
@@ -248,7 +254,18 @@ object IndexStore {
       }
     }
     import spark.implicits._
-    frag.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // files_after is RE-MEASURED from the rewritten store, not echoed
+    // from the plan: if a writer config ever made maxRecordsPerFile
+    // ineffective, the summary must report the real file count, not
+    // claim the plan succeeded (the spec pins measured == plan today,
+    // which is exactly what makes a future divergence loud). Bounded:
+    // fragIds is posting-list-bounded, the audit scan partition-prunes.
+    val after = fileAudit(spark, dir)
+      .filter(col("centroid_id").isin(fragIds.toIndexedSeq: _*))
+      .select("centroid_id", "n_files")
+      .as[(Long, Long)].collect().toMap
+    frag.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        after.getOrElse(r.getLong(0), 0L)))
       .toDF("centroid_id", "n_rows", "files_before", "files_after")
   }
 }

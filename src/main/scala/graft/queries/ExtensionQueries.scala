@@ -3096,15 +3096,12 @@ object ExtensionQueries {
     * oracle computing the expectation analytically from the same
     * token hashes. A BMP-layout or pixel-read bug breaks the hash.
     */
-  def imageStats(s: SparkSession, d: String): DataFrame = {
-    val pixels = transform(
-      filter(TextStats.tokens(col("text")), t => length(t) > 0),
-      t => conv(substring(md5(t), 1, 6), 16, 10).cast("long").cast("int"))
+  def imageStats(s: SparkSession, d: String): DataFrame =
     Multimodal.synthBmpStats(
-        docs(s, d).select(col("doc_id"), pixels.as("pixels")), "pixels")
+        docs(s, d).select(col("doc_id"),
+          graft.functions.TokenPixels(col("text")).as("pixels")), "pixels")
       .drop("pixels")
       .orderBy("doc_id")
-  }
 
   /** Collocations ([[TextStats.collocations]]): top-20 bigrams by the
     * exact integer PMI lift at min count 5 — the association table a
@@ -3753,11 +3750,9 @@ object ExtensionQueries {
     * a BMP-layout, pixel-read, sampling, or band bug breaks the hash.
     */
   def imageDHash(s: SparkSession, d: String): DataFrame = {
-    val pixels = transform(
-      filter(TextStats.tokens(col("text")), t => length(t) > 0),
-      t => conv(substring(md5(t), 1, 6), 16, 10).cast("long").cast("int"))
     val hashed = Multimodal.synthBmpDHash(
-        docs(s, d).select(col("doc_id"), pixels.as("pixels")), "pixels")
+        docs(s, d).select(col("doc_id"),
+          graft.functions.TokenPixels(col("text")).as("pixels")), "pixels")
       .select(col("doc_id"), col("dhash"))
     Dedup.hammingPairs(hashed, maxDist = 6).orderBy("doc_a", "doc_b")
   }

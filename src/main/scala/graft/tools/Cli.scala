@@ -1,9 +1,10 @@
 package graft.tools
 
-import graft.codegen.{AuditArtifacts, TriggerDdl}
+import graft.codegen.{AuditArtifacts, JdbcCatalog, TriggerDdl}
 import graft.core.SyncJob
 import graft.sources.AuditSource
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** CLI twins of the reference's two entry points (SURVEY.md §2.11):
   * `cdc_audit_gen_mysql.php` -> [[GenTool]],
@@ -92,38 +93,74 @@ object Cli {
     opts.get("-t").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 }
 
-/** Generate per-table audit DDL + trigger SQL artifacts from parquet
-  * schemas. Usage:
+/** Generate per-table audit DDL + trigger SQL artifacts — from parquet
+  * schemas, or (`--jdbc`) from a LIVE database catalog like the
+  * reference generator's MySQL session (cdc_audit_gen_mysql.php:195-235).
+  * Usage:
   * `runMain graft.tools.GenTool --data <dir-of-parquet> -m <outDir>
+  *  [-t tbl1,tbl2] [--prefix p_] [-v 0..3] [--log FILE]`, or
+  * `runMain graft.tools.GenTool --jdbc <url> -m <outDir>
+  *  [--jdbc-user u] [--jdbc-pass p] [--jdbc-schema s]
   *  [-t tbl1,tbl2] [--prefix p_] [-v 0..3] [--log FILE]`
   * (`-o <outDir>` is accepted as an alias of `-m` for compatibility.)
+  *
+  * JDBC mode enumerates base tables and column/PK/comment metadata via
+  * the portable [[java.sql.DatabaseMetaData]] API and fetches
+  * pre-existing AFTER trigger bodies where the dialect exposes them
+  * (MySQL/MariaDB/Postgres information_schema, Derby SYS.SYSTRIGGERS —
+  * [[graft.codegen.JdbcCatalog]]), so regeneration preserves user
+  * trigger logic exactly like the reference (gen:443-475). It is
+  * driver-side catalog work: no Spark session is started.
   */
 object GenTool {
   def main(args: Array[String]): Unit = {
     val opts = Cli.parse(args)
-    val data = opts("--data")
     val out  = opts.getOrElse("-m", opts("-o"))
     val prefix = opts.getOrElse("--prefix", "")
+    val jdbcUrl = opts.get("--jdbc").filter(_ != "true")
     val log = Cli.logger(opts)
-    val (spark, owned) = Cli.session()
     try {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      log.debug(s"listing parquet tables under $data")
-      val tables = fs.listStatus(new org.apache.hadoop.fs.Path(data))
-        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-        .map(_.stripSuffix(".parquet")).sorted
-      val metas = tables.map { t =>
-        log.info(s"[gen] reading schema of $t")
-        val schema = spark.read.parquet(s"$data/$t.parquet").schema
-        t -> TriggerDdl.fromStructType(schema)
-      }.toMap
-      val written = AuditArtifacts.generateAll(out, metas, Cli.include(opts), prefix)
-      written.foreach(p => log.warn(s"[gen] wrote $p"))
-    } finally {
-      if (owned) spark.stop()
-      log.close()
-    }
+      if (jdbcUrl.isDefined) {
+        log.debug(s"connecting to ${jdbcUrl.get}")
+        val conn = (opts.get("--jdbc-user"), opts.get("--jdbc-pass")) match {
+          case (Some(u), p) => java.sql.DriverManager
+            .getConnection(jdbcUrl.get, u, p.getOrElse(""))
+          case _ => java.sql.DriverManager.getConnection(jdbcUrl.get)
+        }
+        try {
+          val schema = opts.get("--jdbc-schema").filter(_ != "true")
+          log.info(s"[gen] introspecting live catalog at ${jdbcUrl.get}")
+          val metas = JdbcCatalog.introspect(conn, schema, Cli.include(opts))
+          metas.toSeq.sortBy(_._1).foreach { case (t, (cols, trigs)) =>
+            log.info(s"[gen] table $t: ${cols.size} column(s), " +
+              s"${trigs.size} existing AFTER trigger(s)")
+          }
+          val written = AuditArtifacts.generateAllWithTriggers(
+            out, metas, Cli.include(opts), prefix)
+          written.foreach(p => log.warn(s"[gen] wrote $p"))
+        } finally conn.close()
+      } else {
+        val data = opts("--data")
+        val (spark, owned) = Cli.session()
+        try {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          log.debug(s"listing parquet tables under $data")
+          val tables = fs.listStatus(new org.apache.hadoop.fs.Path(data))
+            .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+            .map(_.stripSuffix(".parquet")).sorted
+          val metas = tables.map { t =>
+            log.info(s"[gen] reading schema of $t")
+            val schema = spark.read.parquet(s"$data/$t.parquet").schema
+            t -> TriggerDdl.fromStructType(schema)
+          }.toMap
+          val written = AuditArtifacts.generateAll(out, metas, Cli.include(opts), prefix)
+          written.foreach(p => log.warn(s"[gen] wrote $p"))
+        } finally {
+          if (owned) spark.stop()
+        }
+      }
+    } finally log.close()
   }
 }
 
@@ -161,6 +198,17 @@ object IndexTool {
     val check = opts.get("--check").exists(_.toBoolean)
     val compactStore = opts.get("--compact-store").filter(_ != "true")
     val forgetStore = opts.get("--forget-store").filter(_ != "true")
+    val prune = opts.get("--prune").filter(_ != "true").map(_.toInt)
+    // --prune GCs versions of a LIBRARY root (--out); the store
+    // maintenance modes carry no --out, so the combination must fail
+    // BEFORE any work runs — not as a bare NoSuchElementException after
+    // the maintenance pass already rewrote the store
+    if (prune.isDefined && (compactStore.isDefined || forgetStore.isDefined))
+      throw new IllegalArgumentException(
+        "[index] --prune applies to the versioned library (--out) and " +
+          "cannot be combined with --compact-store/--forget-store")
+    if (prune.isDefined && !opts.contains("--out"))
+      throw new IllegalArgumentException("[index] --prune requires --out")
     val log = Cli.logger(opts)
     val (spark, owned) = Cli.session()
     try {
@@ -218,7 +266,7 @@ object IndexTool {
         graft.ops.ArtifactStore.commitVersion(out, vname)
         log.warn(s"[index] built and published $n artifacts as $out/$vname")
       }
-      opts.get("--prune").filter(_ != "true").map(_.toInt).foreach { keep =>
+      prune.foreach { keep =>
         val gone = graft.ops.ArtifactStore.pruneVersions(opts("--out"), keep)
         log.warn(s"[index] pruned ${gone.size} old version(s): " +
           gone.mkString(", "))
@@ -244,6 +292,13 @@ object IndexTool {
   * duplicates resolve against it); the training set is the ledger
   * filtered to verdict = 'kept'. Appends are per-batch atomic only in
   * the single-writer loop — concurrent curators serialize upstream.
+  *
+  * Crash-retry contract: every ledger row carries a deterministic
+  * `batch_id` (order-independent content hash of the batch). A retry
+  * of an already-ledgered batch never re-judges or double-writes — it
+  * either no-ops (lake has the docs too) or REPAIRS the lake-append
+  * half that a mid-batch crash lost. This is what makes the
+  * ledger-then-lake two-step safe to re-run blindly from a scheduler.
   */
 object CurateTool {
   def main(args: Array[String]): Unit = {
@@ -255,25 +310,68 @@ object CurateTool {
     val (spark, owned) = Cli.session()
     try {
       val batch = spark.read.parquet(batchDir)
-      // an absent lake is only legal when the caller SAYS this is the
-      // bootstrap run (--bootstrap) — a typoed --lake must not silently
-      // judge everything against an empty corpus
-      val lake =
-        if (new java.io.File(lakeDir).exists()) spark.read.parquet(lakeDir)
-        else if (opts.get("--bootstrap").exists(_.toBoolean)) batch.limit(0)
-        else throw new IllegalStateException(
-          s"[curate] lake $lakeDir does not exist — pass --bootstrap " +
-            "for the first run, or fix the path")
-      val ledger = graft.queries.ExtensionQueries
-        .provenanceIncrLedger(batch, lake)
-        .localCheckpoint() // judge fully BEFORE the lake grows
-      ledger.write.mode("append").parquet(ledgerDir)
-      batch.write.mode("append").parquet(lakeDir)
-      val byVerdict = ledger.groupBy("verdict").count()
-        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
-        .sorted.mkString(", ")
-      log.warn(s"[curate] judged ${ledger.count()} docs ($byVerdict), " +
-        s"ledger -> $ledgerDir, admitted -> $lakeDir")
+      // existence through the Hadoop FileSystem RESOLVED FROM THE PATH
+      // — java.io.File is always false for hdfs://, s3a://, ... and an
+      // existing remote lake would then be silently re-judged against
+      // an empty corpus under --bootstrap, the exact failure the
+      // bootstrap guard exists to prevent
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def dirExists(p: String): Boolean = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).exists(hp)
+      }
+      // deterministic batch identity: order-independent content hash
+      // (XOR of per-row hashes — one map-side-combined agg, no sort,
+      // no driver materialization of the batch)
+      val batchId = batch.agg(format_string("%016x",
+          expr("bit_xor(xxhash64(doc_id, coalesce(text, '')))")))
+        .first().getString(0)
+      val lakeExists = dirExists(lakeDir)
+      // retry detection: was this exact batch already ledgered? (a
+      // legacy ledger without the batch_id column reads as not-applied)
+      val alreadyLedgered = dirExists(ledgerDir) &&
+        scala.util.Try(spark.read.parquet(ledgerDir)
+          .filter(col("batch_id") === batchId).limit(1).count() > 0)
+          .getOrElse(false)
+      if (alreadyLedgered) {
+        val missing =
+          if (!lakeExists) batch.count()
+          else batch.select("doc_id").join(
+            spark.read.parquet(lakeDir).select("doc_id"),
+            Seq("doc_id"), "left_anti").count()
+        if (missing == 0)
+          log.warn(s"[curate] batch $batchId already applied — no-op")
+        else {
+          // the crash landed between the two writes: the judgments are
+          // durable but the admission isn't — repair the lake half
+          // without re-judging (re-judging against the grown lake
+          // would flip this batch's verdicts to duplicates)
+          batch.write.mode("append").parquet(lakeDir)
+          log.warn(s"[curate] batch $batchId was ledgered but $missing " +
+            s"doc(s) missed the lake (mid-batch crash) — lake repaired")
+        }
+      } else {
+        // an absent lake is only legal when the caller SAYS this is the
+        // bootstrap run (--bootstrap) — a typoed --lake must not
+        // silently judge everything against an empty corpus
+        val lake =
+          if (lakeExists) spark.read.parquet(lakeDir)
+          else if (opts.get("--bootstrap").exists(_.toBoolean)) batch.limit(0)
+          else throw new IllegalStateException(
+            s"[curate] lake $lakeDir does not exist — pass --bootstrap " +
+              "for the first run, or fix the path")
+        val ledger = graft.queries.ExtensionQueries
+          .provenanceIncrLedger(batch, lake)
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint() // judge fully BEFORE the lake grows
+        ledger.write.mode("append").parquet(ledgerDir)
+        batch.write.mode("append").parquet(lakeDir)
+        val byVerdict = ledger.groupBy("verdict").count()
+          .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+          .sorted.mkString(", ")
+        log.warn(s"[curate] judged ${ledger.count()} docs ($byVerdict) " +
+          s"as batch $batchId, ledger -> $ledgerDir, admitted -> $lakeDir")
+      }
     } finally {
       if (owned) spark.stop()
       log.close()

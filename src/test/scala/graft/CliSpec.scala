@@ -121,13 +121,39 @@ class CliSpec extends SparkSpec {
       "--ledger", ledger, "--bootstrap"))
     CurateTool.main(Array("--batch", b2Dir, "--lake", lake,
       "--ledger", ledger))
-    val got = spark.read.parquet(ledger)
-      .as[(Long, Long, String)].collect().sortBy(_._1)
-    assert(got.map(r => r._1 -> r._3).toMap === Map(
+    val got = spark.read.parquet(ledger).select("doc_id", "verdict")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toMap === Map(
       1L -> "kept", 2L -> "too_short",
       3L -> "duplicate",   // content curated in batch 1 — arrival wins
       4L -> "kept"))
     assert(spark.read.parquet(lake).count() === 4L)
+    // retry of an already-applied batch: idempotent no-op — no
+    // duplicate ledger rows, no re-judging against the grown lake
+    // (which would flip batch 2's kept docs to duplicates), no
+    // double-admission
+    CurateTool.main(Array("--batch", b2Dir, "--lake", lake,
+      "--ledger", ledger))
+    assert(spark.read.parquet(ledger).count() === 4L)
+    assert(spark.read.parquet(lake).count() === 4L)
+    // mid-batch crash repair: ledger rows exist but the lake append
+    // was lost — a retry must restore the lake half WITHOUT re-judging
+    val b3Dir = tmpDir("cur-b3")
+    Seq(5L -> longText('z')).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(b3Dir)
+    CurateTool.main(Array("--batch", b3Dir, "--lake", lake,
+      "--ledger", ledger))
+    // simulate the crash: surgically remove batch 3 from the lake
+    val keep = spark.read.parquet(lake).filter($"doc_id" =!= 5L)
+      .localCheckpoint()
+    keep.write.mode("overwrite").parquet(lake)
+    assert(spark.read.parquet(lake).count() === 4L)
+    CurateTool.main(Array("--batch", b3Dir, "--lake", lake,
+      "--ledger", ledger))
+    assert(spark.read.parquet(lake).count() === 5L)   // repaired
+    assert(spark.read.parquet(ledger).count() === 5L) // not re-judged
+    assert(spark.read.parquet(ledger)
+      .filter($"doc_id" === 5L && $"verdict" === "kept").count() === 1L)
   }
 
   test("IndexTool --forget-store surgically erases ids from the " +

@@ -44,6 +44,32 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.toSeq === viaCols.toSeq)
   }
 
+  test("graft_token_pixels == the interpreted md5/conv lambda chain " +
+    "it replaces, from SQL and Column forms") {
+    val d = Seq((1L, "the cat  sat on the mat"),   // double space: empty token
+                (2L, " leading and trailing "),
+                (3L, "unicode żółć 北京 mixed"),
+                (4L, ""),                          // no tokens -> empty array
+                (5L, null.asInstanceOf[String]))   // null propagates
+      .toDF("doc_id", "text")
+    d.createOrReplaceTempView("ext_pix")
+    val interpreted = d.select(col("doc_id"), transform(
+        filter(split(col("text"), " "), t => length(t) > 0),
+        t => conv(substring(md5(t), 1, 6), 16, 10).cast("long").cast("int"))
+        .as("px"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val native = d.select(col("doc_id"),
+        graft.functions.TokenPixels(col("text")).as("px"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_token_pixels(text) AS px FROM ext_pix")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(native === interpreted)
+    assert(viaSql === interpreted)
+    assert(native(4L) === Seq.empty)
+    assert(native(5L) === null)
+  }
+
   test("graft_hyperplane_buckets from SQL == HyperplaneBuckets Column form") {
     val vecs = (1 to 10).map { i =>
       (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 9 - 4) * 0.5))
