@@ -218,6 +218,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.subsetOf(Set("query_id")), s"unexpected exchanges $exchanges\n$p")
   }
 
+  test("persist-family serve plans: ArtifactStore-loaded centroids/" +
+    "assignment keep the trained-IVF shape (broadcast + equi-join on " +
+    "centroid_id, no cartesian), a loaded band index keeps the banded " +
+    "equi-join — persistence must not cost the plan its scale shape") {
+    import graft.ops.ArtifactStore
+    val dir = tmpDir("plan-persist")
+    val km = Map("k" -> "4")
+    val cent = Similarity.kmeansExact(embs, k = 4, iters = 1, dim = 8)
+    ArtifactStore.save(cent, dir, "cent", km, "fp1")
+    ArtifactStore.save(
+      Similarity.assignToCentroids(embs, dim = 8,
+        centroids = Some(cent.select(col("centroid_id"), col("centv")))),
+      dir, "assign", km, "fp1")
+    val lc = ArtifactStore.load(spark, dir, "cent", km, "fp1")
+    val la = ArtifactStore.load(spark, dir, "assign", km, "fp1")
+    val served = plan(Similarity.ivfTopK(
+      embs.filter(col("vec_id") % 50 === 0), embs, k = 3, dim = 8,
+      centroids = Some(lc.select(col("centroid_id"), col("centv"))),
+      corpusAssigned = Some(la)))
+    assert(!served.contains("CartesianProduct"), served)
+    assert(served.contains("BroadcastHashJoin") ||
+      served.contains("BroadcastNestedLoopJoin"), served)
+    // the posting-list probe stays an equi-join keyed by centroid_id:
+    // the loaded assignment exchanges on centroid_id only (query_id is
+    // the window's partitioning of already-reduced candidates)
+    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(served).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("centroid_id", "query_id")),
+      s"unexpected exchanges $exchanges\n$served")
+
+    val mh = Map("numHashes" -> "4", "bands" -> "2")
+    ArtifactStore.save(
+      Dedup.minhashBandsWithKeys(docs, numHashes = 4, bands = 2),
+      dir, "bands", mh, "fp1")
+    val lb = ArtifactStore.load(spark, dir, "bands", mh, "fp1")
+    val banded = plan(Dedup.minhashLsh(docs, numHashes = 4, bands = 2,
+      bandIndex = Some(lb)))
+    assert(!banded.contains("CartesianProduct"), banded)
+    // candidate generation joins band rows on the band key, never
+    // all-pairs: a SortMergeJoin/ShuffledHashJoin keyed by band_key
+    // (or a broadcast on this tiny fixture) is the accepted shape
+    assert(banded.contains("band_key"), banded)
+  }
+
   test("topNgrams sorts only the aggregated n-gram set (TakeOrdered " +
     "over the aggregate, not a global sort of raw grams)") {
     val p = plan(TextStats.topNgrams(docs, n = 2, k = 10))
