@@ -191,18 +191,58 @@ object SyncJob {
     * set to audit tables (substring match, P4) and an optional include
     * list (P5), sync each, optionally wipe (keep-last retention).
     * Per-table work is independent — at scale each table is its own
-    * Spark job and they parallelize trivially (the reference processed
-    * tables serially in one PHP process, SURVEY.md §4 last row).
+    * Spark job (the reference processed tables serially in one PHP
+    * process, SURVEY.md §4 last row) — and `parallelism > 1` makes
+    * that concrete: tables submit CONCURRENTLY from a scoped
+    * fixed-size pool, so a cluster with idle executors overlaps the
+    * per-table scan/write jobs instead of draining them one at a time
+    * (Spark's scheduler is thread-safe for concurrent job submission;
+    * each table's watermark sidecar is its own directory, so no state
+    * is shared between threads). Every table runs to completion even
+    * when another fails — partial progress is per-table durable,
+    * exactly like separate cron invocations — and the FIRST failure is
+    * rethrown after the pool drains. `onTable` is a test seam fired as
+    * each table's job starts in its worker thread.
     */
   def syncAll(spark: SparkSession,
               logs: Map[String, DataFrame],
               sinkRoot: String,
-              include: Option[Set[String]] = None): Map[String, Long] = {
+              include: Option[Set[String]] = None,
+              parallelism: Int = 1,
+              onTable: String => Unit = _ => ()): Map[String, Long] = {
+    require(parallelism >= 1, "parallelism must be >= 1")
     val selected = logs.filter { case (name, _) =>
       AuditSchema.isAuditTable(name) && include.forall(_.contains(name))
     }
-    selected.map { case (name, log) =>
-      name -> syncTable(spark, log, s"$sinkRoot/$name")
+    def one(name: String, log: DataFrame): Long = {
+      onTable(name)
+      spark.sparkContext.setJobDescription(s"syncTable($name)")
+      try syncTable(spark, log, s"$sinkRoot/$name")
+      finally spark.sparkContext.setJobDescription(null)
+    }
+    if (parallelism == 1 || selected.size <= 1)
+      selected.map { case (name, log) => name -> one(name, log) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, selected.size))
+      try {
+        val futs = selected.toSeq.map { case (name, log) =>
+          name -> pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = one(name, log)
+          })
+        }
+        // drain EVERY table before surfacing a failure: a broken table
+        // must not abandon its siblings mid-write
+        val results = futs.map { case (name, f) =>
+          name -> scala.util.Try(f.get())
+        }
+        results.collectFirst {
+          case (_, scala.util.Failure(e: java.util.concurrent.ExecutionException)) =>
+            throw e.getCause
+          case (_, scala.util.Failure(e)) => throw e
+        }
+        results.map { case (name, r) => name -> r.get }.toMap
+      } finally pool.shutdown()
     }
   }
 

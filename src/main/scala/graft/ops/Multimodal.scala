@@ -878,9 +878,97 @@ object Multimodal {
 
   /** Attach decoded-media metadata to a DataFrame with a binary
     * column. Batched per partition; output schema = input ++ meta.
+    * STUB-tier ([[decodeStub]]) on purpose: this is the
+    * oracle-reproducible plumbing query's codec; [[sniffMeta]] is the
+    * REAL-decoder entry point a pipeline uses on actual media.
     */
   def decodeMeta(df: DataFrame, binCol: String): DataFrame =
     attachMeta(df, binCol, mediaMetaSchema, decodeStub)
+
+  /** Declared schema of the sniffed-media dispatch ([[sniffMedia]]):
+    * per-kind fields null where not applicable; a null payload leaves
+    * every field (kind included) null.
+    */
+  val sniffMetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)
+  ))
+
+  /** REAL-decoder media dispatch — the single entry point a mixed
+    * corpus runs: magic-byte sniff, then the matching REAL parser
+    * (RIFF/WAVE → [[decodeWav]], ISO-BMFF → [[decodeMp4]], anything an
+    * installed ImageIO reader recognizes → [[decodeImage]]); payloads
+    * nothing recognizes surface as `kind = 'unknown'` with their byte
+    * length — never a crash, never the stub's fake dimensions (the
+    * stub remains only for the oracle-plumbing query). One common
+    * schema so the dispatch composes with groupBy("kind") routing.
+    */
+  def sniffMedia(bytes: Array[Byte]): Row = {
+    if (bytes == null) return Row(null, null, null, null, null, null, null)
+    val n = bytes.length.toLong
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (n >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+      val w = decodeWav(bytes) // (n_bytes, fmt, ch, rate, bits, n_samples, dur, container)
+      Row("audio", n, null, null, w.get(3), w.get(5), w.get(6))
+    } else if (n >= 12 && tag(4) == "ftyp") {
+      val v = decodeMp4(bytes) // (n_bytes, brand, timescale, dur, n_tracks, w, h, container)
+      Row("video", n, v.get(5), v.get(6), null, null, v.get(3))
+    } else {
+      val im = decodeImage(bytes) // (n_bytes, width, height, channels, format)
+      if (im.get(1) != null) Row("image", n, im.get(1), im.get(2), null, null, null)
+      else Row("unknown", n, null, null, null, null, null)
+    }
+  }
+
+  /** Attach [[sniffMedia]] dispatch metadata — same Iterator→Iterator
+    * per-partition contract as the single-codec attachers; output
+    * schema = input ++ [[sniffMetaSchema]].
+    */
+  def sniffMeta(df: DataFrame, binCol: String): DataFrame =
+    attachMeta(df, binCol, sniffMetaSchema, sniffMedia)
+
+  /** Mixed-payload synthesis for the sniff audit: per row, `selCol`
+    * picks the container — 0 writes the samples column into a REAL
+    * 16-bit WAV ([[wavBytes]]), 1 writes the pixels column into a REAL
+    * 24-bpp BMP ([[bmpBytes]]), anything else emits the raw UTF-8 text
+    * bytes (no container — the unknown-payload arm). A null text (or,
+    * for the BMP arm, an empty pixel array — a 0-width BMP cannot
+    * exist) yields a null payload. Adds a `payload` binary column.
+    */
+  def synthMedia(df: DataFrame, selCol: String, samplesCol: String,
+                 pixelsCol: String, textCol: String,
+                 sampleRate: Int = 8000): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType, nullable = true))
+    val selIdx = df.schema.fieldIndex(selCol)
+    val samIdx = df.schema.fieldIndex(samplesCol)
+    val pixIdx = df.schema.fieldIndex(pixelsCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload: Array[Byte] =
+          if (r.isNullAt(txtIdx)) null
+          else r.getInt(selIdx) match {
+            case 0 =>
+              val s = r.getAs[scala.collection.Seq[Int]](samIdx)
+              wavBytes(if (s == null) Array.empty else s.toArray, sampleRate)
+            case 1 =>
+              val p = r.getAs[scala.collection.Seq[Int]](pixIdx)
+              if (p == null || p.isEmpty) null
+              else bmpBytes(p.toArray, p.length)
+            case _ => r.getString(txtIdx).getBytes("UTF-8")
+          }
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
 
   /** Pure-expression twin of [[decodeMeta]]'s stub — same fake
     * features computed in codegen'd SQL expressions, used by the

@@ -3088,6 +3088,32 @@ object ExtensionQueries {
       .drop("samples")
       .orderBy("doc_id")
 
+  /** Mixed-corpus REAL-decoder dispatch under the hash gate: each doc
+    * becomes one of three payloads by `doc_id % 3` — a genuine RIFF/
+    * WAVE (token samples), a genuine 24-bpp BMP (token pixels), or raw
+    * UTF-8 text — and [[Multimodal.sniffMedia]] must route each to the
+    * matching REAL parser by magic bytes alone (no sel column reaches
+    * the decoder). The oracle recomputes kind, exact container byte
+    * length (44+2n WAV; 54+padded-stride BMP; octet length raw), and
+    * the per-kind fields analytically, so a sniff misroute, container
+    * layout drift, or header-parse bug all hash-mismatch. This is the
+    * entry-point audit for the "media lake with mixed junk" shape —
+    * unknowns surface as rows, never crashes.
+    */
+  def mediaSniff(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"),
+      (col("doc_id") % 3).cast("int").as("sel"),
+      tokenSamples.as("samples"),
+      graft.functions.TokenPixels(col("text")).as("pixels"),
+      col("text"))
+    Multimodal.sniffMeta(
+        Multimodal.synthMedia(base, "sel", "samples", "pixels", "text"),
+        "payload")
+      .select("doc_id", "kind", "n_bytes", "width", "height",
+        "sample_rate", "n_samples", "duration_ms")
+      .orderBy("doc_id")
+  }
+
   /** REAL-codec image audit under the hash gate ([[audioStats]]'s
     * image twin): token-derived `0xRRGGBB` pixels become a genuine
     * 24-bpp BMP and are REALLY pixel-decoded back through `ImageIO`
@@ -10008,6 +10034,32 @@ object ExtensionQueries {
         |  CAST(sil AS DOUBLE) / n AS silence_ratio
         |FROM t LEFT JOIN s ON t.doc_id = s.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "q_media_sniff" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS ntok,
+        |    CAST(doc_id % 3 AS INT) AS sel
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN sel = 0 THEN 'audio'
+        |       WHEN sel = 1 THEN (CASE WHEN ntok = 0 THEN NULL ELSE 'image' END)
+        |       ELSE 'unknown' END AS kind,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN sel = 0 THEN CAST(44 + 2*ntok AS BIGINT)
+        |       WHEN sel = 1 THEN (CASE WHEN ntok = 0 THEN NULL
+        |         ELSE CAST(54 + ((3*ntok + 3)//4)*4 AS BIGINT) END)
+        |       ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+        |  CASE WHEN text IS NOT NULL AND sel = 1 AND ntok > 0
+        |       THEN CAST(ntok AS INT) ELSE NULL END AS width,
+        |  CASE WHEN text IS NOT NULL AND sel = 1 AND ntok > 0
+        |       THEN CAST(1 AS INT) ELSE NULL END AS height,
+        |  CASE WHEN text IS NOT NULL AND sel = 0
+        |       THEN CAST(8000 AS INT) ELSE NULL END AS sample_rate,
+        |  CASE WHEN text IS NOT NULL AND sel = 0
+        |       THEN CAST(ntok AS BIGINT) ELSE NULL END AS n_samples,
+        |  CASE WHEN text IS NOT NULL AND sel = 0
+        |       THEN CAST(ntok * 1000 // 8000 AS BIGINT) ELSE NULL END AS duration_ms
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_audio_vad" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
@@ -12825,6 +12877,7 @@ object ExtensionQueries {
     "q_dsir_sample"     -> (dsirSample _),
     "q_audio_stats"     -> (audioStats _),
     "q_audio_vad"       -> (audioVad _),
+    "q_media_sniff"     -> (mediaSniff _),
     "q_image_stats"     -> (imageStats _),
     "q_image_dhash"     -> (imageDHash _),
     "q_zorder"          -> (zorder _),

@@ -56,6 +56,45 @@ object AuditSource {
         connectionProperties = props)
       .filter(col(AuditSchema.PkCol) > lit(wm))
 
+  /** Live-database audit-table discovery: base tables whose names pass
+    * the `_audit` substring rule (P4) — the sync side of the
+    * generator's catalog scan, over [[graft.codegen.JdbcCatalog]]'s
+    * portable `DatabaseMetaData` enumeration (the reference's
+    * `SHOW TABLES` + substring filter, cdc_audit_sync_mysql.php).
+    */
+  def discoverJdbcAuditTables(conn: java.sql.Connection,
+                              schema: Option[String] = None): Seq[String] =
+    graft.codegen.JdbcCatalog.baseTables(conn, schema)
+      .filter(AuditSchema.isAuditTable)
+
+  /** The reference's audit-table wipe on the LIVE database
+    * (cdc_audit_sync_mysql.php:267-283, W1 keep-last semantics):
+    * delete every row strictly below the max `audit_pk` probed FIRST —
+    * the bound is read before the delete, so rows a concurrent trigger
+    * writes after the probe always survive, exactly the reference's
+    * concurrent-writer contract (it deletes only at-or-below its
+    * probed max; its 100-row incremental batching is MySQL-politeness,
+    * not semantics). Returns rows deleted; an empty table no-ops.
+    */
+  def wipeJdbcAudit(conn: java.sql.Connection, quotedTable: String,
+                    pkCol: String = AuditSchema.PkCol): Long = {
+    // identifier quoting is dialect-owned (` for MySQL, " for Derby/
+    // Postgres) — ask the driver, don't guess
+    val rawQ = conn.getMetaData.getIdentifierQuoteString
+    // JDBC: a single space means "identifiers not quotable"
+    val q = if (rawQ == null || rawQ.trim.isEmpty) "" else rawQ.trim
+    val pk = s"$q$pkCol$q"
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(s"SELECT MAX($pk) FROM $quotedTable")
+      val maxPk = try { rs.next(); (rs.getLong(1), rs.wasNull()) }
+        finally rs.close()
+      if (maxPk._2) 0L
+      else st.executeUpdate(
+        s"DELETE FROM $quotedTable WHERE $pk < ${maxPk._1}").toLong
+    } finally st.close()
+  }
+
   /** Table-set discovery over a directory of per-table logs: the
     * sync-side catalog scan + audit filter (S2/P4) for the lake layout
     * `<root>/<table>_audit/...`.

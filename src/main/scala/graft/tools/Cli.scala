@@ -379,37 +379,120 @@ object CurateTool {
   }
 }
 
-/** Incrementally sync parquet audit-log directories to CSV sinks.
-  * Usage:
+/** Incrementally sync audit logs to CSV sinks — from parquet log
+  * directories, or (`--jdbc`) from a LIVE database's trigger-filled
+  * audit tables, the reference sync's actual deployment shape
+  * (cdc_audit_sync_mysql.php:195-265). Usage:
   * `runMain graft.tools.SyncTool --logs <root> --sink <root>
-  *  [-t tbl1,tbl2] [-w] [-v 0..3] [--log FILE]`
-  * Log layout: parquet files under `<logs>/<table>_audit/`
-  * (discovered by the `_audit` substring rule, P4).
+  *  [-t tbl1,tbl2] [-w] [--par N] [-v 0..3] [--log FILE]`, or
+  * `runMain graft.tools.SyncTool --jdbc <url> --sink <root>
+  *  [--jdbc-user u] [--jdbc-pass p] [--jdbc-schema s] [--jdbc-driver c]
+  *  [-t tbl1,tbl2] [-w] [--par N] [-v 0..3] [--log FILE]`
+  * Parquet layout: files under `<logs>/<table>_audit/`; JDBC mode
+  * discovers `*_audit` base tables from the live catalog
+  * ([[AuditSource.discoverJdbcAuditTables]]) — both through the
+  * `_audit` substring rule (P4). Incremental either way: rows above
+  * the sink's watermark sidecar; in JDBC mode the predicate pushes
+  * into the remote WHERE ([[AuditSource.jdbcAbove]]), the reference's
+  * exact `audit_pk > :wm` range scan. `-w` wipes the source to its
+  * newest row — parquet log compaction, or the reference's bounded
+  * concurrent-writer-safe DELETE on the live table
+  * ([[AuditSource.wipeJdbcAudit]]).
+  * `--par N` submits up to N tables' Spark jobs CONCURRENTLY (the
+  * [[graft.core.SyncJob.syncAll]] pool) — per-table work shares no
+  * state (own sink dir, own watermark sidecar), so a cluster with
+  * idle executors overlaps the scans instead of draining them one at
+  * a time. Every table runs to completion even when a sibling fails;
+  * the first failure is rethrown after the pool drains.
   */
 object SyncTool {
   def main(args: Array[String]): Unit = {
     val opts = Cli.parse(args)
-    val logsRoot = opts("--logs")
+    val jdbcUrl = opts.get("--jdbc").filter(_ != "true")
     val sinkRoot = opts("--sink")
     val wipe = opts.get("-w").exists(_.toBoolean)
+    val par = opts.get("--par").filter(_ != "true").map(_.toInt).getOrElse(1)
     val inc = Cli.include(opts)
     val log = Cli.logger(opts)
     val (spark, owned) = Cli.session()
     try {
-      val tables = AuditSource.discoverAuditDirs(spark, logsRoot)
-        .filter(t => inc.forall(_.contains(t)))
-      log.info(s"[sync] syncing ${tables.size} audit table(s)")
-      tables.foreach { t =>
-        val logDir = s"$logsRoot/$t"
-        val sink   = s"$sinkRoot/$t"
-        log.debug(s"log dir $logDir -> sink $sink")
-        if (wipe) {
-          val (d, r) = SyncJob.syncAndWipe(spark, logDir, sink)
-          log.warn(s"[sync] $t: delivered $d rows, wiped to $r")
-        } else {
-          val d = SyncJob.syncTable(spark, spark.read.parquet(logDir), sink)
-          log.warn(s"[sync] $t: delivered $d rows")
+      val schema = opts.get("--jdbc-schema").filter(_ != "true")
+      val props = {
+        val p = new java.util.Properties
+        opts.get("--jdbc-user").foreach(p.setProperty("user", _))
+        opts.get("--jdbc-pass").foreach(p.setProperty("password", _))
+        opts.get("--jdbc-driver").foreach(p.setProperty("driver", _))
+        p
+      }
+      def withConn[T](f: java.sql.Connection => T): T = {
+        val c = (opts.get("--jdbc-user"), opts.get("--jdbc-pass")) match {
+          case (Some(u), pw) => java.sql.DriverManager
+            .getConnection(jdbcUrl.get, u, pw.getOrElse(""))
+          case _ => java.sql.DriverManager.getConnection(jdbcUrl.get)
         }
+        try f(c) finally c.close()
+      }
+      // one catalog connection up front: table list + the dialect's
+      // identifier quote (needed to address quoted-lowercase tables)
+      val (tables, quote) = jdbcUrl match {
+        case Some(_) => withConn { c =>
+          val raw = c.getMetaData.getIdentifierQuoteString
+          val q = if (raw == null || raw.trim.isEmpty) "" else raw.trim
+          (AuditSource.discoverJdbcAuditTables(c, schema)
+            .filter(t => inc.forall(_.contains(t))), q)
+        }
+        case None =>
+          (AuditSource.discoverAuditDirs(spark, opts("--logs"))
+            .filter(t => inc.forall(_.contains(t))), "")
+      }
+      log.info(s"[sync] syncing ${tables.size} audit table(s)" +
+        (if (par > 1) s", $par-way concurrent" else "") +
+        jdbcUrl.map(u => s" from $u").getOrElse(""))
+      def one(t: String): Unit = jdbcUrl match {
+        case Some(url) =>
+          val sink = s"$sinkRoot/$t"
+          val quoted = schema.map(s => s"$quote$s$quote.").getOrElse("") +
+            s"$quote$t$quote"
+          // syncTable reads the O(1) sidecar watermark and filters the
+          // frame itself; over a JDBC scan that filter lands in the
+          // remote WHERE — the reference's exact `audit_pk > :wm`
+          // range scan (pushdown pinned by JdbcCaptureSpec)
+          val d = SyncJob.syncTable(spark,
+            spark.read.jdbc(url, quoted, props), sink)
+          if (wipe) {
+            val gone = withConn(AuditSource.wipeJdbcAudit(_, quoted))
+            log.warn(s"[sync] $t: delivered $d rows, " +
+              s"wiped $gone delivered row(s) from the live table")
+          } else log.warn(s"[sync] $t: delivered $d rows")
+        case None =>
+          val logDir = s"${opts("--logs")}/$t"
+          val sink   = s"$sinkRoot/$t"
+          log.debug(s"log dir $logDir -> sink $sink")
+          if (wipe) {
+            val (d, r) = SyncJob.syncAndWipe(spark, logDir, sink)
+            log.warn(s"[sync] $t: delivered $d rows, wiped to $r")
+          } else {
+            val d = SyncJob.syncTable(spark, spark.read.parquet(logDir), sink)
+            log.warn(s"[sync] $t: delivered $d rows")
+          }
+      }
+      if (par <= 1 || tables.size <= 1) tables.foreach(one)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(par, tables.size))
+        try {
+          val futs = tables.map(t => pool.submit(
+            new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = one(t)
+            }))
+          val results = futs.map(f => scala.util.Try(f.get()))
+          results.collectFirst {
+            case scala.util.Failure(e: java.util.concurrent.ExecutionException) =>
+              throw e.getCause
+            case scala.util.Failure(e) => throw e
+          }
+          ()
+        } finally pool.shutdown()
       }
     } finally {
       if (owned) spark.stop()

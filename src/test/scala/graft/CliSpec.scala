@@ -70,6 +70,19 @@ class CliSpec extends SparkSpec {
     // all rows in the sink, log compacted to one row
     assert(graft.core.SyncJob.watermark(spark, s"$sink/t1_audit") === 12L)
     assert(spark.read.parquet(s"$logs/t1_audit").count() === 1L)
+    // --par N: concurrent fan-out delivers every table with intact
+    // per-table sidecars (the overlap itself is latch-pinned in
+    // SyncJobSpec; here the CLI wiring)
+    val logs2 = tmpDir("logs-par"); val sink2 = tmpDir("sinks-par")
+    for (t <- Seq("a_audit", "b_audit", "c_audit"))
+      (1 to 6).map(i => (i, s"r$i", "insert")).toDF("id", "x", "audit_event")
+        .withColumn("audit_timestamp",
+          lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .withColumn("audit_pk", col("id").cast("long"))
+        .write.mode("overwrite").parquet(s"$logs2/$t")
+    SyncTool.main(Array("--logs", logs2, "--sink", sink2, "--par", "3"))
+    for (t <- Seq("a_audit", "b_audit", "c_audit"))
+      assert(graft.core.SyncJob.watermark(spark, s"$sink2/$t") === 6L)
   }
 
   test("IndexTool builds the artifact library; --check validates it and " +

@@ -1177,6 +1177,65 @@ class OpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(1).isNullAt(3))
   }
 
+  test("sniffMedia routes by magic bytes alone: WAV -> real audio " +
+    "parse, BMP/PNG -> real image parse, ISO-BMFF -> real video " +
+    "parse, anything else -> kind 'unknown' with its byte length; " +
+    "null payload -> all nulls; synthMedia builds the containers") {
+    // audio: a wavBytes container (also exercised javax.sound-side in
+    // the decodeWav test — the two writers agree on layout)
+    val wav = Multimodal.wavBytes(Array(100, -200, 300, 0), sampleRate = 8000)
+    val a = Multimodal.sniffMedia(wav)
+    assert(a.getString(0) === "audio" && a.getLong(1) === wav.length.toLong)
+    assert(a.getInt(4) === 8000 && a.getLong(5) === 4L)
+    assert(a.isNullAt(2) && a.isNullAt(3))
+    // image via our own BMP writer AND a foreign encoder (PNG through
+    // ImageIO) — the sniff must not depend on the container being ours
+    val bmp = Multimodal.bmpBytes(Array(0xff0000, 0x00ff00, 0x0000ff), 3)
+    val b = Multimodal.sniffMedia(bmp)
+    assert(b.getString(0) === "image" && b.getInt(2) === 3 && b.getInt(3) === 1)
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val pngBuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngBuf)
+    val p = Multimodal.sniffMedia(pngBuf.toByteArray)
+    assert(p.getString(0) === "image" && p.getInt(2) === 5 && p.getInt(3) === 4)
+    // video: minimal spec-conformant ftyp+moov tree
+    def be(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def u32v(v: Long) = java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    def boxOf(typ: String, body: Array[Byte]) =
+      be(u32v(8L + body.length), fourcc(typ), body)
+    val mp4 = be(boxOf("ftyp", be(fourcc("isom"), u32v(0x200))),
+      boxOf("moov", boxOf("mvhd",
+        be(u32v(0), u32v(0), u32v(0), u32v(600), u32v(1800),
+          new Array[Byte](80)))))
+    val v = Multimodal.sniffMedia(mp4)
+    assert(v.getString(0) === "video" && v.getLong(6) === 3000L)
+    // unknown + null tiers
+    val u = Multimodal.sniffMedia("just some words".getBytes)
+    assert(u.getString(0) === "unknown" && u.getLong(1) === 15L &&
+      (2 to 6).forall(u.isNullAt))
+    assert((0 to 6).forall(Multimodal.sniffMedia(null).isNullAt))
+    // synthMedia -> sniffMeta end-to-end: sel routes, magic decides
+    val base = Seq(
+        (0L, 0, Seq(1, 2, 3), Seq(0x102030), "ignored"),
+        (1L, 1, Seq(1), Seq(0x102030, 0x405060), "ignored"),
+        (2L, 2, Seq(1), Seq(0x102030), "raw text"),
+        (3L, 1, Seq(1), Seq.empty[Int], "empty pixels"),
+        (4L, 0, Seq(1), Seq(0x102030), null: String))
+      .toDF("doc_id", "sel", "samples", "pixels", "text")
+    val out = Multimodal.sniffMeta(
+        Multimodal.synthMedia(base, "sel", "samples", "pixels", "text"),
+        "payload")
+      .select("doc_id", "kind", "n_bytes", "width", "n_samples")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(1) === "audio" && out(0L).getLong(4) === 3L)
+    assert(out(1L).getString(1) === "image" && out(1L).getInt(3) === 2)
+    assert(out(2L).getString(1) === "unknown" && out(2L).getLong(2) === 8L)
+    assert(out(3L).isNullAt(1)) // 0-width BMP cannot exist -> null payload
+    assert(out(4L).isNullAt(1)) // null text -> null payload
+  }
+
   test("weightedTopK: integer-weight max-hash priorities match a " +
     "driver-side reference exactly; zero weights drop; the cap bounds " +
     "tickets") {

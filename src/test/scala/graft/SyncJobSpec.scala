@@ -80,4 +80,43 @@ class SyncJobSpec extends SparkSpec {
       include = Some(Set("orders_audit")))
     assert(only.keySet === Set("orders_audit"))
   }
+
+  test("syncAll parallelism: tables submit CONCURRENTLY (all in flight " +
+    "at once), results and per-table sidecars match the sequential " +
+    "run, and one table's failure drains the others before rethrow") {
+    val logs = (1 to 4).map(i => s"t${i}_audit" -> mkLog(1 to (i * 3))).toMap
+    val seqRoot = tmpDir("syncpar-seq")
+    val parRoot = tmpDir("syncpar-par")
+    val sequential = SyncJob.syncAll(spark, logs, seqRoot)
+    // the latch proves true overlap: every table must be in flight
+    // before ANY can proceed — a sequential dispatcher deadlocks here
+    // and fails the await instead
+    val latch = new java.util.concurrent.CountDownLatch(4)
+    val parallel = SyncJob.syncAll(spark, logs, parRoot, parallelism = 4,
+      onTable = { _ =>
+        latch.countDown()
+        assert(latch.await(30, java.util.concurrent.TimeUnit.SECONDS),
+          "tables were not all in flight concurrently")
+      })
+    assert(parallel === sequential)
+    for ((name, n) <- sequential) {
+      assert(SyncJob.watermark(spark, s"$parRoot/$name") === n,
+        s"sidecar for $name")
+      assert(spark.read.options(SyncJob.CsvOptions).option("header", "true")
+        .csv(s"$parRoot/$name").count() === n)
+    }
+    // failure containment: poison one table, the rest still deliver
+    val poisoned = logs + ("bad_audit" ->
+      mkLog(1 to 2).withColumn("audit_pk",
+        org.apache.spark.sql.functions.expr(
+          "CAST(raise_error('boom') AS BIGINT)")))
+    val failRoot = tmpDir("syncpar-fail")
+    val e = intercept[Exception](
+      SyncJob.syncAll(spark, poisoned, failRoot, parallelism = 4))
+    assert(e.getMessage != null)
+    for ((name, n) <- sequential)
+      assert(spark.read.options(SyncJob.CsvOptions).option("header", "true")
+        .csv(s"$failRoot/$name").count() === n,
+        s"$name must complete despite the poisoned sibling")
+  }
 }
