@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, HilbertKey, HyperplaneBuckets, MinHashHex, MultiCountLiterals, NfcNormalize, ShingleMinHash, SimHash32, TokenPixels, WindowHashes, WinnowFingerprints, WordNgrams}
+import graft.functions.{DotProduct, HilbertKey, HyperplaneBuckets, MinHashHex, MultiCountLiterals, NfcNormalize, ShingleMinHash, SimHash32, SniffKind, TokenPixels, WindowHashes, WinnowFingerprints, WordNgrams}
 
 /** SQL surface for the native graft expressions: registered through
   * `SparkSessionExtensions`, so a pure-SQL user gets the same codegen'd
@@ -141,6 +141,10 @@ object GraftExtensions {
       info("graft_token_pixels",
         "graft_token_pixels(text) - per-token 0xRRGGBB pixels (md5 top 3 bytes) in one pass"),
       args => { arity("graft_token_pixels", args, 1); TokenPixels(args(0)) }),
+    ("graft_sniff_kind",
+      info("graft_sniff_kind",
+        "graft_sniff_kind(binary) - header-magic media kind (audio/video/image/unknown)"),
+      args => { arity("graft_sniff_kind", args, 1); SniffKind(args(0)) }),
     ("graft_minhash",
       info("graft_minhash",
         "graft_minhash(tokens, numHashes) - one-pass MinHash signature (md5 hex minima)"),

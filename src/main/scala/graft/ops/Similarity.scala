@@ -143,6 +143,45 @@ object Similarity {
   def cosQ(a: Column, b: Column, na: Column, nb: Column, dim: Int): Column =
     floor(dotD(a, b, dim) / (na * nb) * 10000).cast("long")
 
+  /** Embedding-space decontamination screen — the SEMANTIC twin of the
+    * n-gram contamination audit ([[TextStats.contamination]] catches
+    * verbatim leakage; paraphrased benchmark items share no n-grams
+    * but still sit next to the benchmark in embedding space, the case
+    * the big-model eval-hygiene pipelines screen for). For every
+    * corpus vector whose quantized cosine against ANY benchmark vector
+    * reaches `thresholdQ`, emit the flagged vector with its best
+    * benchmark match (cos desc, id desc — deterministic) and the
+    * total match count — the review queue a training set is scrubbed
+    * from.
+    *
+    * Scale shape: the benchmark side is CONSTANT-sized (benchmarks do
+    * not grow with the corpus), so it broadcasts with hoisted norms
+    * and the corpus side is one shuffle-free scan — the exact-scoring
+    * cost is O(corpus × benchmark) flops with benchmark a constant,
+    * i.e. linear in the data, and the one exchange is the per-flagged-
+    * vector argmax aggregation (map-side partial, flagged rows only).
+    */
+  def embedContamination(corpus: DataFrame, benchmark: DataFrame,
+                         thresholdQ: Long,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         dim: Int = 64): DataFrame = {
+    val b = benchmark.select(col(idCol).as("bench_id"),
+        asDouble(col(vecCol)).as("bv"))
+      .withColumn("bn", norm(col("bv"), dim))
+    val c = corpus.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv"), dim))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos_q", cosQ(col("cv"), col("bv"), col("cn"), col("bn"), dim))
+      .filter(col("cos_q") >= thresholdQ)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("cos_q"), col("bench_id"))).as("m"))
+      .select(col("vec_id"), col("m.bench_id").as("bench_id"),
+        col("m.cos_q").as("cos_q"), col("n_matches"))
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ranked by (cos desc, id asc). The query
     * side is broadcast — corpus never shuffles.

@@ -561,6 +561,26 @@ object ExtensionQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Embedding-space decontamination screen
+    * ([[Similarity.embedContamination]]): the benchmark split is the
+    * `vec_id % 100 == 0` convention (the same held-out rule the
+    * provenance ledger uses for docs), the threshold 0.30 is this
+    * fixture's established near-dup band (q_embed_neardup; the
+    * synthetic embeddings top out near cos 0.45 — real corpora run
+    * 0.9+). Flags every train vector semantically adjacent to a
+    * benchmark item with its best match and match count — the
+    * paraphrase-leakage review queue the n-gram contamination audit
+    * cannot see.
+    */
+  def embedContam(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.embedContamination(
+        e.filter(col("vec_id") % 100 =!= 0),
+        e.filter(col("vec_id") % 100 === 0),
+        thresholdQ = 3000L)
+      .orderBy("vec_id")
+  }
+
   /** Int8 quantization, flattened to (vec_id, dim_idx, q) rows so the
     * hash gate pins every quantized element exactly.
     */
@@ -11385,6 +11405,23 @@ object ExtensionQueries {
         |FROM m, unnest(range(1, 65)) AS u(d)
         |WHERE mx > 0 AND isfinite(mx)
         |ORDER BY vec_id, dim_idx""".stripMargin,
+    "q_embed_contam" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT t.vec_id, b.vec_id AS bench_id,
+        |  CAST(floor(10000 * (
+        |    list_reduce(list_transform(range(1,65), i -> t.v[i]*b.v[i]), (x,y)->x+y) /
+        |    (sqrt(list_reduce(list_transform(range(1,65), i -> t.v[i]*t.v[i]), (x,y)->x+y)) *
+        |     sqrt(list_reduce(list_transform(range(1,65), i -> b.v[i]*b.v[i]), (x,y)->x+y))))) AS BIGINT) AS cos_q
+        |  FROM e t JOIN e b ON b.vec_id % 100 = 0 AND t.vec_id % 100 <> 0),
+        |f AS (SELECT * FROM s WHERE cos_q >= 3000),
+        |r AS (SELECT vec_id, bench_id, cos_q,
+        |    CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_matches,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_q DESC, bench_id DESC) AS rn
+        |  FROM f)
+        |SELECT vec_id, bench_id, cos_q, n_matches FROM r WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -12834,6 +12871,7 @@ object ExtensionQueries {
     "q_embed_neardup"   -> (embedNearDup _),
     "q_embed_neardup_incr" -> (embedNearDupIncr _),
     "q_embed_quantize"  -> (embedQuantize _),
+    "q_embed_contam"    -> (embedContam _),
     "q_ann_topk"        -> (annTopK _),
     "q_ann_lsh"         -> (annLsh _),
     "q_ann_multiprobe"  -> (annLshMultiProbe _),

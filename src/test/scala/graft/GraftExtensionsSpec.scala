@@ -70,6 +70,53 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(native(5L) === null)
   }
 
+  test("graft_sniff_kind: header-magic routing tier agrees with the " +
+    "decode tier (sniffMedia) on every container this library writes, " +
+    "and names JPEG/GIF/TIFF magics the ImageIO tier would also take") {
+    import graft.ops.Multimodal
+    val wav = Multimodal.wavBytes(Array(1, 2, 3))
+    val bmp = Multimodal.bmpBytes(Array(0x112233), 1)
+    val pngBuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB), "png", pngBuf)
+    val mp4 = {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0x200)
+      b.array()
+    }
+    val rows = Seq(
+      (1L, wav, "audio"), (2L, bmp, "image"),
+      (3L, pngBuf.toByteArray, "image"), (4L, mp4, "video"),
+      (5L, "plain words".getBytes, "unknown"),
+      (6L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte), "image"), // JPEG
+      (7L, "GIF89a tail".getBytes, "image"),
+      (8L, Array[Byte]('I', 'I', 42, 0, 9), "image"),            // TIFF LE
+      (9L, Array.empty[Byte], "unknown"),
+      (10L, null: Array[Byte], null))
+    val df = rows.map { case (id, bin, _) => (id, bin) }
+      .toDF("doc_id", "payload")
+    df.createOrReplaceTempView("ext_sniff")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_sniff_kind(payload) FROM ext_sniff")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val viaCol = df.select(col("doc_id"),
+        graft.functions.SniffKind(col("payload")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    for ((id, _, want) <- rows) {
+      assert(viaSql(id) === want, s"sql kind for $id")
+      assert(viaCol(id) === want, s"column kind for $id")
+    }
+    // routing/decoding agreement on the self-written containers
+    for ((id, bin, want) <- rows.take(5)) {
+      val decoded = Multimodal.sniffMedia(bin)
+      val kind = if (decoded.isNullAt(0)) null else decoded.getString(0)
+      assert(kind === want, s"decode-tier kind for $id")
+    }
+  }
+
   test("graft_hyperplane_buckets from SQL == HyperplaneBuckets Column form") {
     val vecs = (1 to 10).map { i =>
       (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 9 - 4) * 0.5))

@@ -206,6 +206,21 @@ class PlanAuditSpec extends SparkSpec {
       s"text column must be pruned before the canonical shuffle:\n$p")
   }
 
+  test("embedContamination broadcasts the constant-sized benchmark " +
+    "side; the only exchange is the flagged-row argmax on vec_id " +
+    "(corpus scan is shuffle-free)") {
+    val p = plan(Similarity.embedContamination(
+      embs.filter(col("vec_id") % 100 =!= 0),
+      embs.filter(col("vec_id") % 100 === 0), thresholdQ = 3000L, dim = 8))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("vec_id")),
+      s"unexpected exchanges $exchanges\n$p")
+  }
+
   test("brute-force ANN broadcasts the query side; the corpus side " +
     "has no Exchange (corpus never shuffles)") {
     val q = embs.filter(col("vec_id") % 50 === 0)
