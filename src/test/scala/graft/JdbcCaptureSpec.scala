@@ -114,6 +114,42 @@ class JdbcCaptureSpec extends SparkSpec {
     assert(sinkPks(sink) === (1L to 20L))
   }
 
+  test("trigger-free change capture against a LIVE database: snapshot " +
+    "diff over two JDBC reads classifies I/U/D with post-images — the " +
+    "capture mode the reference cannot offer (it requires triggers)") {
+    // the capture operator is frame-agnostic: a JDBC scan is just
+    // another DataFrame, so snapshot-diff CDC works on databases where
+    // trigger DDL is forbidden (managed instances, read replicas)
+    val db3 = tmpDir("derby-snap") + "/db"
+    val url3 = s"jdbc:derby:$db3;create=true"
+    def withC[T](f: java.sql.Connection => T): T = {
+      val c = DriverManager.getConnection(url3)
+      try f(c) finally c.close()
+    }
+    withC { c =>
+      val st = c.createStatement()
+      st.execute("""CREATE TABLE "acct" ("id" INT, "bal" INT)""")
+      st.execute("""INSERT INTO "acct" VALUES (1, 10), (2, 20), (3, 30)""")
+    }
+    // snapshot v1 must MATERIALIZE before the source mutates — a lazy
+    // JDBC frame would re-read post-mutation state into both sides
+    val v1 = spark.read.jdbc(url3, "\"acct\"", props).localCheckpoint()
+    withC { c =>
+      val st = c.createStatement()
+      st.execute("""UPDATE "acct" SET "bal" = 25 WHERE "id" = 2""")
+      st.execute("""DELETE FROM "acct" WHERE "id" = 3""")
+      st.execute("""INSERT INTO "acct" VALUES (4, 40)""")
+    }
+    val v2 = spark.read.jdbc(url3, "\"acct\"", props)
+    val events = graft.core.CaptureDiff.classify(v1, v2, Seq("id"))
+      .select("id", "audit_event", "bal")
+      .as[(Int, String, Integer)].collect().sortBy(_._1).toSeq
+    assert(events === Seq(
+      (2, "update", Int.box(25)),   // post-image
+      (3, "delete", Int.box(30)),   // pre-image on delete, like the triggers
+      (4, "insert", Int.box(40))))
+  }
+
   test("SyncTool --jdbc: discovers live *_audit tables from the " +
     "catalog, syncs incrementally with the pushed-down range scan, " +
     "and -w wipes the live table to its newest row (bounded delete)") {
