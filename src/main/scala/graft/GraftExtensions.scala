@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, HilbertKey, HyperplaneBuckets, MinHashHex, MultiCountLiterals, NfcNormalize, ShingleMinHash, SimHash32, SniffKind, TokenPixels, WindowHashes, WinnowFingerprints, WordNgrams}
+import graft.functions.{DotProduct, HilbertKey, HyperplaneBuckets, MinHashHex, MultiCountLiterals, NfcNormalize, ShingleMinHash, SimHash32, SniffKind, TokenPixels, TokenSamples, WindowHashes, WinnowFingerprints, WordNgrams}
 
 /** SQL surface for the native graft expressions: registered through
   * `SparkSessionExtensions`, so a pure-SQL user gets the same codegen'd
@@ -141,6 +141,10 @@ object GraftExtensions {
       info("graft_token_pixels",
         "graft_token_pixels(text) - per-token 0xRRGGBB pixels (md5 top 3 bytes) in one pass"),
       args => { arity("graft_token_pixels", args, 1); TokenPixels(args(0)) }),
+    ("graft_token_samples",
+      info("graft_token_samples",
+        "graft_token_samples(text) - per-token signed 16-bit PCM samples (md5 top 2 bytes - 32768) in one pass"),
+      args => { arity("graft_token_samples", args, 1); TokenSamples(args(0)) }),
     ("graft_sniff_kind",
       info("graft_sniff_kind",
         "graft_sniff_kind(binary) - header-magic media kind (audio/video/image/unknown)"),

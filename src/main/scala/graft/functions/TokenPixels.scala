@@ -46,15 +46,65 @@ case class TokenPixels(child: Expression)
 }
 
 object TokenPixels {
+  /** Static kernel shared by eval and generated code. */
+  def compute(text: UTF8String): GenericArrayData =
+    TokenMd5Ints.compute(text, d =>
+      ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff))
+
+  /** Column-level entry point. */
+  def apply(text: Column): Column =
+    GraftSqlShim.column(TokenPixels(GraftSqlShim.expression(text)))
+}
+
+/** [[TokenPixels]]'s audio sibling: one pass producing the signed
+  * 16-bit PCM sample per non-empty token — replacing the interpreted
+  * `transform(filter(split(text,' '), t -> length(t)>0),
+  *            t -> cast(cast(conv(substring(md5(t),1,4),16,10) as bigint)
+  *                      - 32768 as int))`
+  * chain the audio queries fed [[graft.ops.Multimodal.synthWavStats]]
+  * with. The first 4 hex chars of the digest ARE its first 2 bytes, so
+  * the sample is `((d0 << 8) | d1) - 32768` — always in
+  * [-32768, 32767], the full 16-bit range, no clamp cases.
+  */
+case class TokenSamples(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenSamples.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TokenSamples.compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSamples =
+    copy(child = newChild)
+}
+
+object TokenSamples {
+  /** Static kernel shared by eval and generated code. */
+  def compute(text: UTF8String): GenericArrayData =
+    TokenMd5Ints.compute(text, d =>
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) - 32768)
+
+  /** Column-level entry point. */
+  def apply(text: Column): Column =
+    GraftSqlShim.column(TokenSamples(GraftSqlShim.expression(text)))
+}
+
+/** Shared one-pass walk for the token→md5→int family: split the raw
+  * UTF-8 bytes on 0x20 (a space byte never occurs inside a multi-byte
+  * UTF-8 sequence, so byte splitting equals character splitting on
+  * ' '), drop empty tokens (the `length(t) > 0` filter), md5 each
+  * token's bytes, and map the digest through `pick`.
+  */
+private[functions] object TokenMd5Ints {
   private val digestTL: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** Static kernel shared by eval and generated code. Walks the UTF-8
-    * bytes directly: a space byte (0x20) never occurs inside a
-    * multi-byte UTF-8 sequence, so byte-level splitting equals
-    * character-level splitting on ' '.
-    */
-  def compute(text: UTF8String): GenericArrayData = {
+  def compute(text: UTF8String, pick: Array[Byte] => Int): GenericArrayData = {
     val bytes = text.getBytes
     val md = digestTL.get()
     val out = new java.util.ArrayList[Integer](16)
@@ -66,8 +116,7 @@ object TokenPixels {
         if (i > start) { // non-empty token
           md.reset()
           md.update(bytes, start, i - start)
-          val d = md.digest()
-          out.add(((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff))
+          out.add(pick(md.digest()))
         }
         start = i + 1
       }
@@ -78,8 +127,4 @@ object TokenPixels {
     while (j < arr.length) { arr(j) = out.get(j).intValue(); j += 1 }
     new GenericArrayData(arr)
   }
-
-  /** Column-level entry point. */
-  def apply(text: Column): Column =
-    GraftSqlShim.column(TokenPixels(GraftSqlShim.expression(text)))
 }

@@ -3081,10 +3081,7 @@ object ExtensionQueries {
     * waveform both audio queries synthesize before the REAL
     * write→parse round-trip.
     */
-  private def tokenSamples = transform(
-    filter(TextStats.tokens(col("text")), t => length(t) > 0),
-    t => (conv(substring(md5(t), 1, 4), 16, 10).cast("long") - 32768L)
-      .cast("int"))
+  private def tokenSamples = graft.functions.TokenSamples(col("text"))
 
   def audioStats(s: SparkSession, d: String): DataFrame =
     Multimodal.synthWavStats(

@@ -68,6 +68,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql === interpreted)
     assert(native(4L) === Seq.empty)
     assert(native(5L) === null)
+    // the audio sibling: signed 16-bit samples, same walk, full range
+    val sInterpreted = d.select(col("doc_id"), transform(
+        filter(split(col("text"), " "), t => length(t) > 0),
+        t => (conv(substring(md5(t), 1, 4), 16, 10).cast("long") - 32768L)
+          .cast("int")).as("sm"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val sNative = d.select(col("doc_id"),
+        graft.functions.TokenSamples(col("text")).as("sm"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val sViaSql = spark.sql(
+      "SELECT doc_id, graft_token_samples(text) AS sm FROM ext_pix")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(sNative === sInterpreted)
+    assert(sViaSql === sInterpreted)
   }
 
   test("graft_sniff_kind: header-magic routing tier agrees with the " +
