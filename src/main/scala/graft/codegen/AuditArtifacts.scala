@@ -47,16 +47,38 @@ object AuditArtifacts {
     deleted.map(_.getFileName.toString)
   }
 
+  /** Artifact renderer for a target dialect — what `--dialect` selects.
+    * MySQL is the reference dialect and the only one whose triggers
+    * carry a pre-existing-body SPLICE (the reference semantic is
+    * MySQL's INFORMATION_SCHEMA shape); the Postgres/SQLite generators
+    * emit their native trigger forms and a caller holding live trigger
+    * bodies is warned they do not transfer (the renderer ignores them).
+    */
+  def rendererFor(dialect: String)
+      : (String, Seq[ColumnMeta], Seq[TriggerMeta], String) => String =
+    dialect.toLowerCase match {
+      case "mysql" =>
+        (t, c, ex, p) => TriggerDdl.generate(t, c, ex, p)
+      case "postgres" | "postgresql" =>
+        (t, c, _, p) => PostgresDdl.generate(t, c, p)
+      case "sqlite" =>
+        (t, c, _, p) => SqliteDdl.generate(t, c, p)
+      case other => sys.error(
+        s"unknown --dialect '$other' (mysql, postgres, sqlite)")
+    }
+
   /** Write one table's full artifact (DDL + triggers), returning the
     * file path. Overwrites: regeneration is idempotent by construction
     * (the output is a pure function of the schema).
     */
   def writeTable(outDir: String, table: String, cols: Seq[ColumnMeta],
                  existing: Seq[TriggerMeta] = Nil,
-                 prefix: String = ""): Path = {
+                 prefix: String = "",
+                 render: (String, Seq[ColumnMeta], Seq[TriggerMeta], String) => String =
+                   (t, c, ex, p) => TriggerDdl.generate(t, c, ex, p)): Path = {
     ensureDir(outDir)
     val file = Paths.get(outDir, TriggerDdl.auditSqlFileName(table, prefix))
-    Files.writeString(file, TriggerDdl.generate(table, cols, existing, prefix))
+    Files.writeString(file, render(table, cols, existing, prefix))
     file
   }
 
@@ -67,10 +89,11 @@ object AuditArtifacts {
   def generateAll(outDir: String,
                   tables: Map[String, Seq[ColumnMeta]],
                   include: Option[Set[String]] = None,
-                  prefix: String = ""): Seq[Path] = {
+                  prefix: String = "",
+                  dialect: String = "mysql"): Seq[Path] = {
     generateAllWithTriggers(outDir,
       tables.map { case (t, cols) => t -> (cols, Seq.empty[TriggerMeta]) },
-      include, prefix)
+      include, prefix, dialect)
   }
 
   /** [[generateAll]] for a live-catalog run ([[JdbcCatalog.introspect]]):
@@ -81,13 +104,15 @@ object AuditArtifacts {
   def generateAllWithTriggers(outDir: String,
                   tables: Map[String, (Seq[ColumnMeta], Seq[TriggerMeta])],
                   include: Option[Set[String]] = None,
-                  prefix: String = ""): Seq[Path] = {
+                  prefix: String = "",
+                  dialect: String = "mysql"): Seq[Path] = {
     ensureDir(outDir)
     cleanStale(outDir, include, prefix)
+    val render = rendererFor(dialect)
     val selected = TriggerDdl.selectSourceTables(tables.keys.toSeq.sorted, include)
     selected.map { t =>
       val (cols, trigs) = tables(t)
-      writeTable(outDir, t, cols, trigs, prefix)
+      writeTable(outDir, t, cols, trigs, prefix, render)
     }
   }
 }

@@ -101,7 +101,8 @@ object Cli {
   *  [-t tbl1,tbl2] [--prefix p_] [-v 0..3] [--log FILE]`, or
   * `runMain graft.tools.GenTool --jdbc <url> -m <outDir>
   *  [--jdbc-user u] [--jdbc-pass p] [--jdbc-schema s]
-  *  [-t tbl1,tbl2] [--prefix p_] [-v 0..3] [--log FILE]`
+  *  [-t tbl1,tbl2] [--prefix p_] [--dialect mysql|postgres|sqlite]
+  *  [-v 0..3] [--log FILE]`
   * (`-o <outDir>` is accepted as an alias of `-m` for compatibility.)
   *
   * JDBC mode enumerates base tables and column/PK/comment metadata via
@@ -118,6 +119,7 @@ object GenTool {
     val out  = opts.getOrElse("-m", opts("-o"))
     val prefix = opts.getOrElse("--prefix", "")
     val jdbcUrl = opts.get("--jdbc").filter(_ != "true")
+    val dialect = opts.getOrElse("--dialect", "mysql")
     val log = Cli.logger(opts)
     try {
       if (jdbcUrl.isDefined) {
@@ -135,8 +137,14 @@ object GenTool {
             log.info(s"[gen] table $t: ${cols.size} column(s), " +
               s"${trigs.size} existing AFTER trigger(s)")
           }
+          // pre-existing trigger bodies only transfer into the MySQL
+          // dialect (the reference's splice semantic); warn, don't drop
+          // silently, when another target would lose them
+          if (dialect != "mysql" && metas.values.exists(_._2.nonEmpty))
+            log.warn(s"[gen] existing trigger bodies found but --dialect " +
+              s"$dialect does not splice them — port them manually")
           val written = AuditArtifacts.generateAllWithTriggers(
-            out, metas, Cli.include(opts), prefix)
+            out, metas, Cli.include(opts), prefix, dialect)
           written.foreach(p => log.warn(s"[gen] wrote $p"))
         } finally conn.close()
       } else {
@@ -154,7 +162,8 @@ object GenTool {
             val schema = spark.read.parquet(s"$data/$t.parquet").schema
             t -> TriggerDdl.fromStructType(schema)
           }.toMap
-          val written = AuditArtifacts.generateAll(out, metas, Cli.include(opts), prefix)
+          val written = AuditArtifacts.generateAll(out, metas,
+            Cli.include(opts), prefix, dialect)
           written.foreach(p => log.warn(s"[gen] wrote $p"))
         } finally {
           if (owned) spark.stop()

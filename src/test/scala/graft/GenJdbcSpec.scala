@@ -139,4 +139,26 @@ class GenJdbcSpec extends SparkSpec {
     assert(!pet.contains("DROP TRIGGER"))
     assert(pet.contains("create table if not exists `pet_audit`"))
   }
+
+  test("GenTool --jdbc --dialect postgres targets the PG generator " +
+    "from the same live catalog (cross-dialect: introspect Derby, " +
+    "emit plpgsql)") {
+    val out = tmpDir("gen-jdbc-pg")
+    GenTool.main(Array("--jdbc", url, "-m", out,
+      "--jdbc-schema", "APP", "-t", "pet", "--dialect", "postgres", "-v", "0"))
+    val pet = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "pet.audit.sql"))
+    // PG forms, not MySQL: quoted idents, plpgsql capture function,
+    // TG_OP dispatch, bigserial/ enum-free types
+    assert(pet.contains("\"pet_audit\""))
+    assert(pet.toLowerCase.contains("language plpgsql"))
+    assert(pet.contains("TG_OP"))
+    assert(!pet.contains("`"), "MySQL backticks must not leak into PG DDL")
+    // the live-catalog types survived the dialect mapping
+    assert(pet.toLowerCase.contains("bigint"))
+    // unknown dialect fails fast
+    val e = intercept[RuntimeException](GenTool.main(Array("--jdbc", url,
+      "-m", out, "--jdbc-schema", "APP", "--dialect", "oracle", "-v", "0")))
+    assert(e.getMessage.contains("unknown --dialect"))
+  }
 }
