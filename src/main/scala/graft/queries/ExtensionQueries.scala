@@ -3117,19 +3117,43 @@ object ExtensionQueries {
     * entry-point audit for the "media lake with mixed junk" shape —
     * unknowns surface as rows, never crashes.
     */
-  def mediaSniff(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(col("doc_id"),
-      (col("doc_id") % 3).cast("int").as("sel"),
-      tokenSamples.as("samples"),
-      graft.functions.TokenPixels(col("text")).as("pixels"),
-      col("text"))
-    Multimodal.sniffMeta(
-        Multimodal.synthMedia(base, "sel", "samples", "pixels", "text"),
-        "payload")
+  /** The mixed synthetic media lake (doc_id, payload) both sniff
+    * queries read — one container-write materialization per session,
+    * the same memo discipline as the dedup/ANN indexes (a real lake is
+    * written once too).
+    */
+  private def mediaPayloads(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "media_payloads") {
+      val base = docs(s, d).select(col("doc_id"),
+        (col("doc_id") % 3).cast("int").as("sel"),
+        tokenSamples.as("samples"),
+        graft.functions.TokenPixels(col("text")).as("pixels"),
+        col("text"))
+      Multimodal.synthMedia(base, "sel", "samples", "pixels", "text")
+        .select("doc_id", "payload")
+        .localCheckpoint()
+    }
+
+  def mediaSniff(s: SparkSession, d: String): DataFrame =
+    Multimodal.sniffMeta(mediaPayloads(s, d), "payload")
       .select("doc_id", "kind", "n_bytes", "width", "height",
         "sample_rate", "n_samples", "duration_ms")
       .orderBy("doc_id")
-  }
+
+  /** Routing census over the mixed lake through the CODEGEN'D tier
+    * ([[graft.functions.SniffKind]] — header magic only, no parse):
+    * per kind, payload count and total bytes — the split a pipeline
+    * plans its modality-specific passes from, and the expression's own
+    * oracle gate (q_media_sniff gates the decode tier; THIS gates the
+    * router, including its null propagation, against the analytically
+    * recomputed kinds and container sizes).
+    */
+  def mediaRoute(s: SparkSession, d: String): DataFrame =
+    mediaPayloads(s, d)
+      .groupBy(graft.functions.SniffKind(col("payload")).as("kind"))
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(length(col("payload")).cast("long")).as("total_bytes"))
+      .orderBy("kind")
 
   /** REAL-codec image audit under the hash gate ([[audioStats]]'s
     * image twin): token-derived `0xRRGGBB` pixels become a genuine
@@ -10051,6 +10075,25 @@ object ExtensionQueries {
         |  CAST(sil AS DOUBLE) / n AS silence_ratio
         |FROM t LEFT JOIN s ON t.doc_id = s.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "q_media_route" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS ntok,
+        |    CAST(doc_id % 3 AS INT) AS sel
+        |  FROM documents),
+        |k AS (SELECT
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN sel = 0 THEN 'audio'
+        |       WHEN sel = 1 THEN (CASE WHEN ntok = 0 THEN NULL ELSE 'image' END)
+        |       ELSE 'unknown' END AS kind,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN sel = 0 THEN CAST(44 + 2*ntok AS BIGINT)
+        |       WHEN sel = 1 THEN (CASE WHEN ntok = 0 THEN NULL
+        |         ELSE CAST(54 + ((3*ntok + 3)//4)*4 AS BIGINT) END)
+        |       ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS nb
+        |  FROM t)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_payloads,
+        |  CAST(sum(nb) AS BIGINT) AS total_bytes
+        |FROM k GROUP BY kind ORDER BY kind""".stripMargin,
     "q_media_sniff" ->
       """WITH t AS (SELECT doc_id, text,
         |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS ntok,
@@ -12913,6 +12956,7 @@ object ExtensionQueries {
     "q_audio_stats"     -> (audioStats _),
     "q_audio_vad"       -> (audioVad _),
     "q_media_sniff"     -> (mediaSniff _),
+    "q_media_route"     -> (mediaRoute _),
     "q_image_stats"     -> (imageStats _),
     "q_image_dhash"     -> (imageDHash _),
     "q_zorder"          -> (zorder _),
