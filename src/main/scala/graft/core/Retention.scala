@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,6 +47,32 @@ object Retention {
       .select(keys.map(col) ++ others.map(c => col(s"__row.$c")): _*)
       // restore contract column order: source cols ..., audit cols last
       .select(log.schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  /** Age-based wipe — the reference wipe's own @TODO
+    * (cdc_audit_sync_mysql.php:289 "add option to wipe only older than
+    * a specific age"), implemented: keep every row whose `tsCol` is
+    * within `maxAge` of the LOG'S OWN newest timestamp — the log
+    * clock, not the wall clock, so the retained set is deterministic
+    * and replayable — plus the max-`pkCol` row unconditionally (the
+    * reference wipe's invariant: the log never loses its newest row,
+    * sync:304-308, even when every row is stale). `maxAge` is a
+    * Column so both timestamp logs (`expr("INTERVAL 7 DAYS")`) and
+    * long-nanos logs (`lit(7*86400*1000000000L)`) subtract natively.
+    *
+    * Same scale shape as [[keepLastGlobal]]: one partial-aggregated
+    * bounds probe (answerable from parquet footers), broadcast back
+    * over one pruned scan — no shuffle of the log itself.
+    */
+  def keepYoungerThan(log: DataFrame, maxAge: Column,
+                      pkCol: String = AuditSchema.PkCol,
+                      tsCol: String = AuditSchema.TimestampCol): DataFrame = {
+    val bounds = log.agg(max(col(pkCol)).as("__max_pk"),
+      max(col(tsCol)).as("__max_ts"))
+    log.crossJoin(broadcast(bounds))
+      .filter(col(tsCol) >= col("__max_ts") - maxAge ||
+        col(pkCol) === col("__max_pk"))
+      .drop("__max_pk", "__max_ts")
   }
 
   /** Window-based per-key keep-last, kept for parity testing against

@@ -268,7 +268,8 @@ object SyncJob {
     * and the deletes (to exercise a concurrent append).
     */
   def wipeLogDir(spark: SparkSession, logDir: String,
-                 afterSnapshot: () => Unit = () => ()): Long = {
+                 afterSnapshot: () => Unit = () => (),
+                 maxAge: Option[org.apache.spark.sql.Column] = None): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(logDir)
@@ -277,7 +278,10 @@ object SyncJob {
       f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getPath)
     if (snapshot.isEmpty) return 0L
     val log  = spark.read.parquet(snapshot.toIndexedSeq.map(_.toString): _*)
-    val kept = Retention.keepLastGlobal(log)
+    // default = the reference wipe (keep only the newest row); maxAge =
+    // its @TODO form (keep the trailing age window + the newest row)
+    val kept = maxAge.fold(Retention.keepLastGlobal(log))(a =>
+      Retention.keepYoungerThan(log, a))
     val tmp  = new org.apache.hadoop.fs.Path(logDir + ".wipe.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -307,9 +311,10 @@ object SyncJob {
     * :262-264).
     */
   def syncAndWipe(spark: SparkSession, logDir: String, sinkDir: String,
-                  singleFile: Boolean = false): (Long, Long) = {
+                  singleFile: Boolean = false,
+                  maxAge: Option[org.apache.spark.sql.Column] = None): (Long, Long) = {
     val delivered = syncTable(spark, spark.read.parquet(logDir), sinkDir, singleFile)
-    val retained  = wipeLogDir(spark, logDir)
+    val retained  = wipeLogDir(spark, logDir, maxAge = maxAge)
     (delivered, retained)
   }
 }

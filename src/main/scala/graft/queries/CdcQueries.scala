@@ -248,6 +248,22 @@ object CdcQueries {
       .agg((count(lit(1)) - 1).as("n_wiped"), max(col("event_id")).as("kept_pk"))
       .orderBy("user_id")
 
+  /** Age-based retention ([[Retention.keepYoungerThan]] — the
+    * reference wipe's own @TODO, sync:289): keep the trailing 7 days
+    * of the log BY ITS OWN newest timestamp (deterministic, no wall
+    * clock) plus the max-pk row. The fixture's ts values carry exactly
+    * microsecond precision, so the 7-day interval subtracts to the
+    * same instant on both engines; the retained set is the whole
+    * gated output (ts itself stays out of it — §7.4.5).
+    */
+  def retentionAge(s: SparkSession, dir: String): DataFrame =
+    Retention.keepYoungerThan(
+        Tables.events(s, dir).select((eventCols :+ "ts").map(col): _*),
+        maxAge = expr("INTERVAL 7 DAYS"),
+        pkCol = "event_id", tsCol = "ts")
+      .select(eventCols.map(col): _*)
+      .orderBy("event_id")
+
   val oracle: Map[String, String] = Map(
     "q_audit_log" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
@@ -305,6 +321,11 @@ object CdcQueries {
     "q_retention_wipe" ->
       """SELECT user_id, count(*) - 1 AS n_wiped, max(event_id) AS kept_pk
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_retention_age" ->
+      """WITH b AS (SELECT max(event_id) AS mpk, max(ts) AS mts FROM events)
+        |SELECT event_id, user_id, event_type, value, props FROM events, b
+        |WHERE ts >= mts - INTERVAL 7 DAY OR event_id = mpk
+        |ORDER BY event_id""".stripMargin,
     "q_log_integrity" ->
       """WITH lg AS (
         |  SELECT event_id FROM events WHERE event_id % 103 <> 0
@@ -493,6 +514,7 @@ object CdcQueries {
     "q_latest_state"   -> (latestState _),
     "q_replay"         -> (replay _),
     "q_retention_wipe" -> (retentionWipe _),
+    "q_retention_age"  -> (retentionAge _),
     "q_state_asof"     -> (stateAsOf _)
   )
 }

@@ -393,7 +393,8 @@ object CurateTool {
   * audit tables, the reference sync's actual deployment shape
   * (cdc_audit_sync_mysql.php:195-265). Usage:
   * `runMain graft.tools.SyncTool --logs <root> --sink <root>
-  *  [-t tbl1,tbl2] [-w] [--par N] [-v 0..3] [--log FILE]`, or
+  *  [-t tbl1,tbl2] [-w [--wipe-age-sec N]] [--par N] [-v 0..3]
+  *  [--log FILE]`, or
   * `runMain graft.tools.SyncTool --jdbc <url> --sink <root>
   *  [--jdbc-user u] [--jdbc-pass p] [--jdbc-schema s] [--jdbc-driver c]
   *  [-t tbl1,tbl2] [-w] [--par N] [-v 0..3] [--log FILE]`
@@ -420,6 +421,11 @@ object SyncTool {
     val jdbcUrl = opts.get("--jdbc").filter(_ != "true")
     val sinkRoot = opts("--sink")
     val wipe = opts.get("-w").exists(_.toBoolean)
+    // the reference wipe's @TODO (sync:289), as a flag: -w with
+    // --wipe-age-sec N keeps the trailing N seconds of the log (by the
+    // log's own newest audit_timestamp) instead of only the newest row
+    val wipeAge = opts.get("--wipe-age-sec").filter(_ != "true").map(_.toLong)
+      .map(n => expr(s"INTERVAL $n SECONDS"))
     val par = opts.get("--par").filter(_ != "true").map(_.toInt).getOrElse(1)
     val inc = Cli.include(opts)
     val log = Cli.logger(opts)
@@ -478,7 +484,8 @@ object SyncTool {
           val sink   = s"$sinkRoot/$t"
           log.debug(s"log dir $logDir -> sink $sink")
           if (wipe) {
-            val (d, r) = SyncJob.syncAndWipe(spark, logDir, sink)
+            val (d, r) = SyncJob.syncAndWipe(spark, logDir, sink,
+              maxAge = wipeAge)
             log.warn(s"[sync] $t: delivered $d rows, wiped to $r")
           } else {
             val d = SyncJob.syncTable(spark, spark.read.parquet(logDir), sink)

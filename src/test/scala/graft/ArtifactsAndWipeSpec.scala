@@ -75,6 +75,38 @@ class ArtifactsAndWipeSpec extends SparkSpec {
     assert(after.toSeq === Seq(30L, 99L))
   }
 
+  test("wipeLogDir with maxAge keeps the trailing age window by the " +
+    "LOG'S OWN clock plus the newest row (the reference wipe's @TODO, " +
+    "sync:289), and Retention.keepYoungerThan never drops the max row") {
+    // rows at one-hour spacing: pk i sits i-1 hours after midnight
+    val hourly = (1 to 48).map(i => (i, s"row$i", "insert"))
+      .toDF("id", "x", "audit_event")
+      .withColumn("audit_timestamp",
+        expr("timestamp'2020-01-01 00:00:00' + make_interval(0,0,0,0,id-1,0,0)"))
+      .withColumn("audit_pk", col("id").cast("long"))
+    val dir = tmpDir("log-age")
+    hourly.write.mode("overwrite").parquet(dir)
+    // keep the trailing 5 hours of a 48-hour log: newest ts is hour 47,
+    // cutoff hour 42 -> pks 43..48 survive
+    val n = SyncJob.wipeLogDir(spark, dir,
+      maxAge = Some(expr("INTERVAL 5 HOURS")))
+    assert(n === 6L)
+    assert(spark.read.parquet(dir).select("audit_pk").as[Long]
+      .collect().sorted.toSeq === (43L to 48L))
+    // every row stale: the max-pk row STILL survives (wipe invariant)
+    val dir2 = mkLogDir(1 to 10) // all at the same fixed timestamp
+    val kept = graft.core.Retention.keepYoungerThan(
+      spark.read.parquet(dir2).filter($"audit_pk" <= 5L),
+      expr("INTERVAL 0 SECONDS"))
+    // cutoff == max ts and every row carries it -> all 5 pass the age
+    // test here; the invariant matters when ages differ:
+    val onlyMax = graft.core.Retention.keepYoungerThan(
+      hourly.filter($"audit_pk" <= 40L), expr("INTERVAL 0 SECONDS"))
+      .select("audit_pk").as[Long].collect().sorted
+    assert(onlyMax.contains(40L), "max-pk row must always survive")
+    assert(kept.count() === 5L)
+  }
+
   test("watermark is answered from the _watermark sidecar without " +
     "re-reading the delivered CSV; count mismatch falls back to a scan") {
     val dir = mkLogDir(1 to 15)
