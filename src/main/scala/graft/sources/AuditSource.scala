@@ -77,7 +77,9 @@ object AuditSource {
     * not semantics). Returns rows deleted; an empty table no-ops.
     */
   def wipeJdbcAudit(conn: java.sql.Connection, quotedTable: String,
-                    pkCol: String = AuditSchema.PkCol): Long = {
+                    pkCol: String = AuditSchema.PkCol,
+                    maxAgeSec: Option[Long] = None,
+                    tsCol: String = AuditSchema.TimestampCol): Long = {
     // identifier quoting is dialect-owned (` for MySQL, " for Derby/
     // Postgres) — ask the driver, don't guess
     val rawQ = conn.getMetaData.getIdentifierQuoteString
@@ -86,12 +88,29 @@ object AuditSource {
     val pk = s"$q$pkCol$q"
     val st = conn.createStatement()
     try {
-      val rs = st.executeQuery(s"SELECT MAX($pk) FROM $quotedTable")
-      val maxPk = try { rs.next(); (rs.getLong(1), rs.wasNull()) }
-        finally rs.close()
-      if (maxPk._2) 0L
-      else st.executeUpdate(
-        s"DELETE FROM $quotedTable WHERE $pk < ${maxPk._1}").toLong
+      val rs = st.executeQuery(
+        s"SELECT MAX($pk), MAX($q$tsCol$q) FROM $quotedTable")
+      val (maxPk, pkNull, maxTs) = try {
+        rs.next()
+        (rs.getLong(1), rs.wasNull(), rs.getTimestamp(2))
+      } finally rs.close()
+      if (pkNull) 0L
+      else maxAgeSec match {
+        case None =>
+          st.executeUpdate(
+            s"DELETE FROM $quotedTable WHERE $pk < $maxPk").toLong
+        case Some(age) =>
+          // the @TODO form (sync:289) on the live table: cutoff =
+          // the TABLE'S OWN newest timestamp minus the age, computed
+          // JVM-side and bound as a parameter — portable across
+          // dialects (no per-dialect interval arithmetic), and still
+          // the bounded probe-then-delete (concurrent writes survive)
+          val cutoff = new java.sql.Timestamp(maxTs.getTime - age * 1000L)
+          val ps = conn.prepareStatement(
+            s"DELETE FROM $quotedTable WHERE $pk < $maxPk AND $q$tsCol$q < ?")
+          try { ps.setTimestamp(1, cutoff); ps.executeUpdate().toLong }
+          finally ps.close()
+      }
     } finally st.close()
   }
 

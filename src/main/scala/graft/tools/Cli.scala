@@ -475,7 +475,10 @@ object SyncTool {
           val d = SyncJob.syncTable(spark,
             spark.read.jdbc(url, quoted, props), sink)
           if (wipe) {
-            val gone = withConn(AuditSource.wipeJdbcAudit(_, quoted))
+            val ageSec = opts.get("--wipe-age-sec").filter(_ != "true")
+              .map(_.toLong)
+            val gone = withConn(
+              AuditSource.wipeJdbcAudit(_, quoted, maxAgeSec = ageSec))
             log.warn(s"[sync] $t: delivered $d rows, " +
               s"wiped $gone delivered row(s) from the live table")
           } else log.warn(s"[sync] $t: delivered $d rows")

@@ -207,5 +207,34 @@ class JdbcCaptureSpec extends SparkSpec {
     // the surviving row — nothing re-delivers
     run()
     assert(sinkPks(s"$sink/orders_audit") === (1L to 9L))
+    // age-bounded live wipe (the reference's sync:289 @TODO on the
+    // JDBC backend): hourly-spaced rows, keep the trailing 2 hours by
+    // the TABLE'S OWN newest timestamp plus the newest row
+    withC { c =>
+      c.createStatement().execute(
+        """CREATE TABLE "aged_audit" (
+          |  "id" INT, "name" VARCHAR(64),
+          |  "audit_event" VARCHAR(16), "audit_timestamp" TIMESTAMP,
+          |  "audit_pk" BIGINT)""".stripMargin)
+      val ps = c.prepareStatement(
+        """INSERT INTO "aged_audit" VALUES (?, 'x', 'insert', ?, ?)""")
+      (1 to 6).foreach { i =>
+        ps.setInt(1, i)
+        ps.setTimestamp(2, java.sql.Timestamp.valueOf(
+          s"2020-01-01 0$i:00:00")) // hours 1..6
+        ps.setLong(3, i.toLong)
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      // newest ts = 06:00; 2h window keeps >= 04:00 -> pks 4,5,6
+      val gone = AuditSource.wipeJdbcAudit(c, "\"aged_audit\"",
+        maxAgeSec = Some(2L * 3600L))
+      assert(gone === 3L)
+      val rs = c.createStatement().executeQuery(
+        """SELECT "audit_pk" FROM "aged_audit" ORDER BY "audit_pk"""")
+      val left = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getLong(1)).toSeq
+      assert(left === Seq(4L, 5L, 6L))
+    }
   }
 }
