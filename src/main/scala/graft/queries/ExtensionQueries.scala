@@ -262,6 +262,11 @@ object ExtensionQueries {
         some(dsirWeights(s, d))),
       ("prov_ledger", "documents", Map("rules" -> "v1"),
         some(provLedgerFrame(s, d))),
+      // the mixed media lake: written once per corpus like a real lake;
+      // a warm loader serves both sniff queries without re-encoding a
+      // single container
+      ("media_payloads", "documents", Map("sel" -> "doc_id%3"),
+        some(mediaPayloads(s, d))),
       ("acf_grid", "events", Map("lags" -> "1-7"), some(acfFrame(s, d))))
   }
   private val bpeParams = Map("numMerges" -> "24")
