@@ -57,7 +57,14 @@ object ScaleProbe {
     "q_edit_pairs", "q_encoding_advisor", "q_bloom_skip", "q_minhash_est",
     "q_interval_join", "q_dedup_minhash", "q_dedup_clusters", "q_ann_ivf",
     "q_capture_diff", "q_sync_watermark", "q_retention_wipe",
-    "q_provenance")
+    "q_provenance",
+    // round-13 families: the media lake (container write + real parse,
+    // expected ~linear — mapPartitions, no shuffle) and age retention
+    // (bounds probe + pruned scan, expected ~flat). q_embed_contam is
+    // deliberately NOT probed: the stressed copy grows the BENCHMARK
+    // side ×N too (ids %100 land in every copy), measuring an ×N²
+    // flop growth no deployment pays — benchmarks are constant-sized.
+    "q_media_sniff", "q_retention_age")
 
   def buildStressed(spark: SparkSession, sfDir: String, outDir: String,
                     factor: Int): Unit = {

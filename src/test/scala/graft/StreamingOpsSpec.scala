@@ -684,6 +684,48 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingContamGate: the live embedding-decontamination screen " +
+    "rejects exactly the vectors the batch screen flags, with " +
+    "bit-identical best-match scoring (cos_q, bench_id, n_matches)") {
+    import graft.ops.Similarity
+    import graft.streaming.EmbedStreamOps
+    implicit val sc = spark.sqlContext
+    // deterministic 8-dim fixture: ids %100==0 play the benchmark
+    val all = (1 to 240).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 13 + d * 7) % 19 - 9).toDouble))
+    }
+    val bench = all.filter(_._1 % 100 == 0)
+    val corpus = all.filterNot(_._1 % 100 == 0)
+    val batch = Similarity.embedContamination(
+        corpus.toDF("vec_id", "embedding"),
+        bench.toDF("vec_id", "embedding"),
+        thresholdQ = 8000L, dim = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(batch.nonEmpty, "fixture must flag something at 0.8")
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$min%02d:00")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Array[Double])]
+    val q = EmbedStreamOps.streamingContamGate(mem.toDS(),
+        bench.toArray, thresholdQ = 8000L)
+      .writeStream.format("memory").queryName("cgate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(corpus.map { case (id, v) => (t((id % 50).toInt), id, v) })
+      q.processAllAvailable() // stateless: same-batch emission
+      val live = spark.table("cgate")
+        .select("vec_id", "best_bench", "cos_q", "n_matches", "pass")
+        .as[(Long, Option[Long], Option[Long], Long, Boolean)].collect()
+      assert(live.length === corpus.length, "every arrival is audited")
+      val flagged = live.filter(!_._5)
+        .map(r => r._1 -> (r._2.get, r._3.get, r._4)).toMap
+      assert(flagged === batch,
+        "live gate and batch screen must flag the same vectors with " +
+          "identical best matches")
+      // clear vectors pass with no match carried
+      assert(live.filter(_._5).forall(r => r._2.isEmpty && r._4 === 0L))
+    } finally q.stop()
+  }
+
   test("streamingAudioGate / streamingImageGate: the REAL decoders gate " +
     "a live media feed statelessly (same-batch emission); undecodable, " +
     "clipped, silent, and degenerate payloads fail closed") {
