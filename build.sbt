@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as JSON. Two sbt
+// behaviors break that: the "[success] Total time..." trailer printed
+// after the program exits, and the "[info] " prefix the default logger
+// puts on forked-process stdout. Kill both: no success banner, and
+// route forked stdout/stderr straight through un-prefixed.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+// showSuccess is read by the command engine, not a task — lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,6 +47,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // silence WindowExec's single-partition WARN spam: every firing in
+    // this suite is an adjudicated bounded frame (aggregated K-row
+    // inputs — see SCALING.md), and the repeated lines flood the ~2 KiB
+    // stdout tail the driver keeps, crowding out the JSON result line
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // session warmup so the first timed query doesn't absorb executor/
     // codegen/file-index startup (~3-4 s of one-time JVM cost). Every
     // table is counted once: filesystem init, FileIndex listing, and

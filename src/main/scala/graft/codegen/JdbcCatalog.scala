@@ -22,6 +22,25 @@ import java.sql.{Connection, DatabaseMetaData, Types}
   */
 object JdbcCatalog {
 
+  /** The MySQL/MariaDB AFTER-trigger catalog query, verbatim — the
+    * one live-catalog statement no embedded database can execute in
+    * tests (Derby exercises its own branch), so it is pinned as a
+    * GOLDEN STRING in `JdbcCatalogSpec` against drift. Clause map to
+    * the reference (cdc_audit_gen_mysql.php:230-235):
+    *   - `TRIGGER_NAME, EVENT_MANIPULATION, ACTION_STATEMENT` — the
+    *     reference SELECTs exactly these three (:231);
+    *   - `from INFORMATION_SCHEMA.TRIGGERS` — same catalog view (:230);
+    *   - `EVENT_OBJECT_TABLE = ?` — the reference's per-table bind
+    *     (:232, its `:table` parameter);
+    *   - `ACTION_TIMING = 'AFTER'` — the reference captures and
+    *     re-splices AFTER triggers only (:233); BEFORE triggers are
+    *     left untouched by regeneration.
+    */
+  val MySqlTriggerSql: String =
+    "select TRIGGER_NAME, EVENT_MANIPULATION, ACTION_STATEMENT " +
+      "from INFORMATION_SCHEMA.TRIGGERS " +
+      "where EVENT_OBJECT_TABLE = ? and ACTION_TIMING = 'AFTER'"
+
   /** Base tables of the connection's current catalog/schema —
     * `getTables(..., types = TABLE)` is the portable form of the
     * reference's `SHOW FULL TABLES WHERE Table_type = 'BASE TABLE'`
@@ -115,11 +134,7 @@ object JdbcCatalog {
                     schema: Option[String] = None): Seq[TriggerMeta] = {
     val product = conn.getMetaData.getDatabaseProductName.toLowerCase
     if (product.contains("mysql") || product.contains("mariadb"))
-      queryTriggers(conn,
-        "select TRIGGER_NAME, EVENT_MANIPULATION, ACTION_STATEMENT " +
-          "from INFORMATION_SCHEMA.TRIGGERS " +
-          "where EVENT_OBJECT_TABLE = ? and ACTION_TIMING = 'AFTER'",
-        table, identity)
+      queryTriggers(conn, JdbcCatalog.MySqlTriggerSql, table, identity)
     else if (product.contains("derby"))
       // Derby: SYS.SYSTRIGGERS joined to SYSTABLES; FIRINGTIME 'A' =
       // AFTER, EVENT is one of I/U/D; TRIGGERDEFINITION holds the

@@ -284,7 +284,15 @@ object SyncJob {
       Retention.keepYoungerThan(log, a))
     val tmp  = new org.apache.hadoop.fs.Path(logDir + ".wipe.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // keep-last retains ONE row — a single part file is right. The age
+    // window can retain nearly the whole log, so funneling it through
+    // one task/one file would bottleneck the exact feature being used;
+    // size the rewrite to the snapshot instead (≤ one output file per
+    // source file — compaction never inflates the file count).
+    val rewritten =
+      if (maxAge.isEmpty) kept.coalesce(1)
+      else kept.coalesce(math.max(1, snapshot.length))
+    rewritten.write.mode("overwrite").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
     afterSnapshot()
     // move the kept row in BEFORE deleting its sources: the log is

@@ -876,6 +876,93 @@ object Multimodal {
   def decodeVideoMeta(df: DataFrame, binCol: String): DataFrame =
     attachMeta(df, binCol, videoMetaSchema, decodeMp4)
 
+  /** Canonical ISO-BMFF writer — [[decodeMp4]]'s byte-level twin and
+    * the video leg of the synth→decode round-trip ([[wavBytes]] /
+    * [[bmpBytes]] are the audio/image legs). Emits a spec-conformant
+    * v0 box tree: `ftyp` (16 B: size, tag, major brand, minor 0), then
+    * `moov` containing one `mvhd` (108 B: timescale, duration, unity
+    * rate/volume, identity matrix) and one `trak`/`tkhd` (100 B each)
+    * per entry of `dims` — a `(0,0)` entry is a sound track (tkhd
+    * carries zero display dims, the real-file convention), a nonzero
+    * entry a video track with 16.16 fixed-point width/height. Total
+    * size is therefore exactly `132 + 100 * dims.length` — the
+    * analytic handle the oracle recomputes. Duration is written as the
+    * v0 u32 field (callers keep it below 2^32; the PARSER additionally
+    * handles v1/64-bit files this writer never produces).
+    */
+  def mp4Bytes(timescale: Int, durationUnits: Long,
+               dims: Array[(Int, Int)], brand: String = "isom"): Array[Byte] = {
+    require(brand.length == 4, s"major brand must be 4 ASCII chars: $brand")
+    val b = java.nio.ByteBuffer.allocate(132 + 100 * dims.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN) // ISO-BMFF is big-endian
+    def ascii(s: String): Unit = { b.put(s.getBytes("US-ASCII")); () }
+    // identity transform matrix: 16.16 units on the diagonal, 2.30 'w'
+    def matrix(): Unit = {
+      b.putInt(0x00010000).putInt(0).putInt(0)
+      b.putInt(0).putInt(0x00010000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000); ()
+    }
+    b.putInt(16); ascii("ftyp"); ascii(brand); b.putInt(0)
+    b.putInt(8 + 108 + 100 * dims.length); ascii("moov")
+    b.putInt(108); ascii("mvhd"); b.putInt(0) // version 0, flags 0
+    b.putInt(0).putInt(0)                     // creation, modification
+    b.putInt(timescale).putInt(durationUnits.toInt)
+    b.putInt(0x00010000)                      // rate 1.0
+    b.putShort(0x0100.toShort).putShort(0)    // volume 1.0, reserved
+    b.putLong(0L)                             // reserved
+    matrix()
+    (0 until 6).foreach(_ => b.putInt(0))     // pre_defined
+    b.putInt(dims.length + 1)                 // next_track_ID
+    dims.zipWithIndex.foreach { case ((w, h), i) =>
+      b.putInt(100); ascii("trak")
+      b.putInt(92); ascii("tkhd"); b.putInt(7) // v0, enabled|in-movie|preview
+      b.putInt(0).putInt(0)                    // creation, modification
+      b.putInt(i + 1).putInt(0)                // track_ID, reserved
+      b.putInt(durationUnits.toInt)            // duration (movie units)
+      b.putLong(0L)                            // reserved
+      b.putShort(0).putShort(0)                // layer, alternate_group
+      b.putShort(if (w > 0) 0 else 0x0100.toShort) // volume: audio 1.0
+      b.putShort(0)                            // reserved
+      matrix()
+      b.putInt(w << 16).putInt(h << 16)        // 16.16 display dims
+    }
+    b.array()
+  }
+
+  /** Synth→decode video round-trip: write each row's expression-level
+    * container parameters into a REAL ISO-BMFF file ([[mp4Bytes]]) and
+    * REALLY box-walk it back ([[decodeMp4]]) — output schema = input ++
+    * [[videoMetaSchema]], the same prove-the-codec-under-the-hash-gate
+    * shape as [[synthWavStats]]/[[synthBmpStats]]. Track layout: the
+    * first `nTracks - 1` tracks are SOUND tracks (zero tkhd dims), the
+    * video track is written LAST — so the parser's zero-dim skip sits
+    * under the gate, not just the happy path. A null brand (the null
+    * fixture arm) yields a null payload → all-null meta.
+    */
+  def synthMp4Meta(df: DataFrame, tsCol: String, durCol: String,
+                   nTracksCol: String, wCol: String, hCol: String,
+                   brandCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ videoMetaSchema.fields)
+    val (tsI, durI, ntI, wI, hI, brI) =
+      (df.schema.fieldIndex(tsCol), df.schema.fieldIndex(durCol),
+        df.schema.fieldIndex(nTracksCol), df.schema.fieldIndex(wCol),
+        df.schema.fieldIndex(hCol), df.schema.fieldIndex(brandCol))
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload: Array[Byte] =
+          if (r.isNullAt(brI)) null
+          else {
+            val nt = r.getInt(ntI)
+            val dims = Array.fill(math.max(0, nt - 1))((0, 0)) :+
+              (r.getInt(wI), r.getInt(hI))
+            mp4Bytes(r.getInt(tsI), r.getLong(durI), dims, r.getString(brI))
+          }
+        Row.fromSeq(r.toSeq ++ decodeMp4(payload).toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Attach decoded-media metadata to a DataFrame with a binary
     * column. Batched per partition; output schema = input ++ meta.
     * STUB-tier ([[decodeStub]]) on purpose: this is the

@@ -139,9 +139,15 @@ object Similarity {
     */
   def norm(v: Column, dim: Int): Column = sqrt(dotD(v, v, dim))
 
-  /** Quantized cosine from precomputed norms. */
+  /** Quantized cosine from precomputed norms. A zero-norm vector has
+    * no defined cosine: the guarded denominator nulls it (ANSI mode
+    * would otherwise THROW on the division, killing the whole scan for
+    * one degenerate row) and the null then falls out of any threshold
+    * filter or ranking — degrade-the-row, never fail-the-job.
+    */
   def cosQ(a: Column, b: Column, na: Column, nb: Column, dim: Int): Column =
-    floor(dotD(a, b, dim) / (na * nb) * 10000).cast("long")
+    floor(dotD(a, b, dim) / when(na * nb =!= 0d, na * nb) * 10000)
+      .cast("long")
 
   /** Embedding-space decontamination screen — the SEMANTIC twin of the
     * n-gram contamination audit ([[TextStats.contamination]] catches

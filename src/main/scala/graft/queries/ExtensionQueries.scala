@@ -3160,6 +3160,40 @@ object ExtensionQueries {
         sum(length(col("payload")).cast("long")).as("total_bytes"))
       .orderBy("kind")
 
+  /** REAL-codec video-container audit under the hash gate —
+    * [[audioStats]]/[[imageStats]]'s video twin, closing the last
+    * synthetic data path in the multimodal surface: expression-level
+    * container parameters (timescale, duration, track count, display
+    * dims, major brand — all doc_id/token-derived so DuckDB can
+    * recompute them) are written into a genuine ISO-BMFF box tree
+    * ([[Multimodal.mp4Bytes]]) and REALLY box-walked back
+    * ([[Multimodal.decodeMp4]]). The sound tracks are written BEFORE
+    * the video track with zero tkhd dims, so the parser's
+    * skip-zero-dim-tracks rule is itself gated. The oracle recomputes
+    * the exact container byte length (132 + 100·tracks), the
+    * floor-divided duration_ms, and every surfaced field analytically
+    * — a box-layout or fixed-point bug in writer OR parser breaks the
+    * hash.
+    */
+  def videoMeta(s: SparkSession, d: String): DataFrame = {
+    val ntok = size(filter(split(col("text"), " "),
+      t => length(t) > lit(0)))
+    val base = docs(s, d).select(col("doc_id"),
+      (lit(600) * (lit(1) + col("doc_id") % 4)).cast("int").as("ts"),
+      (ntok * 400).cast("long").as("dur"),
+      (lit(1) + col("doc_id") % 3).cast("int").as("ntr"),
+      (lit(16) * (lit(1) + col("doc_id") % 40)).cast("int").as("w"),
+      (lit(16) * (lit(1) + col("doc_id") % 30)).cast("int").as("h"),
+      when(col("text").isNull, lit(null).cast("string"))
+        .otherwise(element_at(
+          array(lit("isom"), lit("mp42"), lit("avc1")),
+          (col("doc_id") % 3 + 1).cast("int"))).as("brand"))
+    Multimodal.synthMp4Meta(base, "ts", "dur", "ntr", "w", "h", "brand")
+      .select("doc_id", "n_bytes", "major_brand", "timescale",
+        "duration_ms", "n_tracks", "width", "height", "container")
+      .orderBy("doc_id")
+  }
+
   /** REAL-codec image audit under the hash gate ([[audioStats]]'s
     * image twin): token-derived `0xRRGGBB` pixels become a genuine
     * 24-bpp BMP and are REALLY pixel-decoded back through `ImageIO`
@@ -10083,12 +10117,27 @@ object ExtensionQueries {
     "q_media_route" ->
       """WITH t AS (SELECT doc_id, text,
         |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS ntok,
-        |    CAST(doc_id % 3 AS INT) AS sel
+        |    CAST(doc_id % 3 AS INT) AS sel,
+        |    hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nbr
         |  FROM documents),
         |k AS (SELECT
         |  CASE WHEN text IS NULL THEN NULL
         |       WHEN sel = 0 THEN 'audio'
         |       WHEN sel = 1 THEN (CASE WHEN ntok = 0 THEN NULL ELSE 'image' END)
+        |       -- raw-text arm mirrors the ROUTER's byte-magic rules
+        |       -- (graft_sniff_kind routes on header magic alone, so a
+        |       -- fixture text that happens to start with a container
+        |       -- signature legitimately routes as that container)
+        |       WHEN nbr >= 12 AND substr(h,1,8) = '52494646'
+        |            AND substr(h,17,8) = '57415645' THEN 'audio'
+        |       WHEN nbr >= 12 AND substr(h,9,8) = '66747970' THEN 'video'
+        |       WHEN substr(h,1,4) = '424D' THEN 'image'
+        |       WHEN substr(h,1,16) = '89504E470D0A1A0A' THEN 'image'
+        |       WHEN substr(h,1,6) = 'FFD8FF' THEN 'image'
+        |       WHEN substr(h,1,12) IN ('474946383761','474946383961')
+        |            THEN 'image'
+        |       WHEN substr(h,1,8) IN ('49492A00','4D4D002A') THEN 'image'
         |       ELSE 'unknown' END AS kind,
         |  CASE WHEN text IS NULL THEN NULL
         |       WHEN sel = 0 THEN CAST(44 + 2*ntok AS BIGINT)
@@ -10125,6 +10174,31 @@ object ExtensionQueries {
         |  CASE WHEN text IS NOT NULL AND sel = 0
         |       THEN CAST(ntok * 1000 // 8000 AS BIGINT) ELSE NULL END AS duration_ms
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_video_meta" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS ntok
+        |  FROM documents),
+        |p AS (SELECT doc_id, text IS NULL AS nul,
+        |    CAST(600*(1 + doc_id % 4) AS INT) AS ts,
+        |    CAST(ntok*400 AS BIGINT) AS dur,
+        |    CAST(1 + doc_id % 3 AS INT) AS ntr,
+        |    CAST(16*(1 + doc_id % 40) AS INT) AS w,
+        |    CAST(16*(1 + doc_id % 30) AS INT) AS h,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'isom'
+        |         WHEN 1 THEN 'mp42' ELSE 'avc1' END AS brand
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN nul THEN NULL
+        |       ELSE CAST(132 + 100*ntr AS BIGINT) END AS n_bytes,
+        |  CASE WHEN nul THEN NULL ELSE brand END AS major_brand,
+        |  CASE WHEN nul THEN NULL ELSE ts END AS timescale,
+        |  CASE WHEN nul THEN NULL
+        |       ELSE CAST(dur*1000 // ts AS BIGINT) END AS duration_ms,
+        |  CASE WHEN nul THEN NULL ELSE ntr END AS n_tracks,
+        |  CASE WHEN nul THEN NULL ELSE w END AS width,
+        |  CASE WHEN nul THEN NULL ELSE h END AS height,
+        |  CASE WHEN nul THEN NULL ELSE 'mp4' END AS container
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_audio_vad" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
@@ -12962,6 +13036,7 @@ object ExtensionQueries {
     "q_audio_vad"       -> (audioVad _),
     "q_media_sniff"     -> (mediaSniff _),
     "q_media_route"     -> (mediaRoute _),
+    "q_video_meta"      -> (videoMeta _),
     "q_image_stats"     -> (imageStats _),
     "q_image_dhash"     -> (imageDHash _),
     "q_zorder"          -> (zorder _),

@@ -88,15 +88,27 @@ object AuditSource {
     val pk = s"$q$pkCol$q"
     val st = conn.createStatement()
     try {
-      val rs = st.executeQuery(
-        s"SELECT MAX($pk), MAX($q$tsCol$q) FROM $quotedTable")
+      // probe ONLY what this wipe mode needs: the keep-last wipe reads
+      // just MAX(pk) — the reference's audit tables need nothing else,
+      // and a table without the timestamp column must still wipe
+      val probeTs = maxAgeSec.isDefined
+      val probe = if (probeTs)
+        s"SELECT MAX($pk), MAX($q$tsCol$q) FROM $quotedTable"
+      else s"SELECT MAX($pk) FROM $quotedTable"
+      val rs = st.executeQuery(probe)
       val (maxPk, pkNull, maxTs) = try {
         rs.next()
-        (rs.getLong(1), rs.wasNull(), rs.getTimestamp(2))
+        (rs.getLong(1), rs.wasNull(),
+          if (probeTs) rs.getTimestamp(2) else null)
       } finally rs.close()
       if (pkNull) 0L
       else maxAgeSec match {
+        // all-null timestamps (maxTs == null) leave no age bound to
+        // compute — fall back to the keep-last delete rather than NPE
         case None =>
+          st.executeUpdate(
+            s"DELETE FROM $quotedTable WHERE $pk < $maxPk").toLong
+        case Some(_) if maxTs == null =>
           st.executeUpdate(
             s"DELETE FROM $quotedTable WHERE $pk < $maxPk").toLong
         case Some(age) =>

@@ -58,7 +58,12 @@ object EmbedStreamOps {
         var i = 0
         while (i < bench.length) {
           val (bid, bv, bn) = bench(i)
-          val cos = math.floor(dot(v, bv) / (nv * bn) * 10000).toLong
+          // zero-norm guard: the batch form's SQL division yields null
+          // for a zero vector and the row drops out of the match set —
+          // mirror that as "no match" instead of letting NaN floor to 0
+          // (which a threshold <= 0 would spuriously flag)
+          val cos = if (nv == 0.0 || bn == 0.0) Long.MinValue
+                    else math.floor(dot(v, bv) / (nv * bn) * 10000).toLong
           if (cos >= thresholdQ) {
             matches += 1
             if (cos > bestCos || (cos == bestCos && bid > bestId)) {

@@ -343,11 +343,17 @@ object CurateTool {
           .filter(col("batch_id") === batchId).limit(1).count() > 0)
           .getOrElse(false)
       if (alreadyLedgered) {
-        val missing =
-          if (!lakeExists) batch.count()
-          else batch.select("doc_id").join(
+        // repair set = ONLY the batch rows the lake is missing. A
+        // mid-job-commit crash can leave a PARTIAL append visible
+        // (some part-files landed), so re-appending the whole batch
+        // would duplicate every doc that already made it — the exact
+        // corruption the idempotency contract promises to prevent.
+        val missingRows =
+          if (!lakeExists) batch
+          else batch.join(
             spark.read.parquet(lakeDir).select("doc_id"),
-            Seq("doc_id"), "left_anti").count()
+            Seq("doc_id"), "left_anti")
+        val missing = missingRows.count()
         if (missing == 0)
           log.warn(s"[curate] batch $batchId already applied — no-op")
         else {
@@ -355,7 +361,7 @@ object CurateTool {
           // durable but the admission isn't — repair the lake half
           // without re-judging (re-judging against the grown lake
           // would flip this batch's verdicts to duplicates)
-          batch.write.mode("append").parquet(lakeDir)
+          missingRows.write.mode("append").parquet(lakeDir)
           log.warn(s"[curate] batch $batchId was ledgered but $missing " +
             s"doc(s) missed the lake (mid-batch crash) — lake repaired")
         }

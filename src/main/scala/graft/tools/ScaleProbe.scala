@@ -64,7 +64,12 @@ object ScaleProbe {
     // deliberately NOT probed: the stressed copy grows the BENCHMARK
     // side ×N too (ids %100 land in every copy), measuring an ×N²
     // flop growth no deployment pays — benchmarks are constant-sized.
-    "q_media_sniff", "q_retention_age")
+    "q_media_sniff", "q_retention_age",
+    // round-14: the persisted-serve families — the newest scale claims
+    // without a measured exponent row. Each run saves into its OWN
+    // session-unique temp store and serves back from it, so the probe
+    // times the full save→resolve→serve round-trip at both scales.
+    "q_trained_persist", "q_minhash_persist")
 
   def buildStressed(spark: SparkSession, sfDir: String, outDir: String,
                     factor: Int): Unit = {

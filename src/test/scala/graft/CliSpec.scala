@@ -167,6 +167,24 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(ledger).count() === 5L) // not re-judged
     assert(spark.read.parquet(ledger)
       .filter($"doc_id" === 5L && $"verdict" === "kept").count() === 1L)
+    // PARTIAL mid-job-commit crash: some of the batch's part files
+    // landed before the crash — the repair must append ONLY the
+    // missing rows; re-appending the whole batch would silently
+    // duplicate every doc that already made it into the lake
+    val b4Dir = tmpDir("cur-b4")
+    Seq(6L -> longText('q'), 7L -> longText('r')).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(b4Dir)
+    CurateTool.main(Array("--batch", b4Dir, "--lake", lake,
+      "--ledger", ledger))
+    assert(spark.read.parquet(lake).count() === 7L)
+    val keep2 = spark.read.parquet(lake).filter($"doc_id" =!= 7L)
+      .localCheckpoint()
+    keep2.write.mode("overwrite").parquet(lake)
+    CurateTool.main(Array("--batch", b4Dir, "--lake", lake,
+      "--ledger", ledger))
+    assert(spark.read.parquet(lake).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(spark.read.parquet(ledger).count() === 7L) // not re-judged
   }
 
   test("IndexTool --forget-store surgically erases ids from the " +

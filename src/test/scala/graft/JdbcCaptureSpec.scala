@@ -236,5 +236,41 @@ class JdbcCaptureSpec extends SparkSpec {
         .map(_.getLong(1)).toSeq
       assert(left === Seq(4L, 5L, 6L))
     }
+    // keep-last wipe on a table WITHOUT the timestamp column: the
+    // default mode must probe only MAX(audit_pk) (the reference's
+    // audit tables need nothing else) — a ts-column probe would throw
+    withC { c =>
+      c.createStatement().execute(
+        """CREATE TABLE "nots_audit" ("id" INT, "audit_pk" BIGINT)""")
+      val ps = c.prepareStatement("""INSERT INTO "nots_audit" VALUES (?, ?)""")
+      (1 to 4).foreach { i =>
+        ps.setInt(1, i); ps.setLong(2, i.toLong); ps.addBatch()
+      }
+      ps.executeBatch()
+      assert(AuditSource.wipeJdbcAudit(c, "\"nots_audit\"") === 3L)
+      val rs = c.createStatement().executeQuery(
+        """SELECT "audit_pk" FROM "nots_audit"""")
+      val left = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getLong(1)).toSeq
+      assert(left === Seq(4L))
+    }
+    // age-bounded wipe over ALL-NULL timestamps: no age bound exists —
+    // fall back to the keep-last delete instead of an NPE
+    withC { c =>
+      c.createStatement().execute(
+        """CREATE TABLE "nullts_audit" (
+          |  "id" INT, "audit_timestamp" TIMESTAMP, "audit_pk" BIGINT)"""
+          .stripMargin)
+      c.createStatement().executeUpdate(
+        """INSERT INTO "nullts_audit" VALUES
+          | (1, NULL, 1), (2, NULL, 2), (3, NULL, 3)""".stripMargin)
+      assert(AuditSource.wipeJdbcAudit(c, "\"nullts_audit\"",
+        maxAgeSec = Some(3600L)) === 2L)
+      val rs = c.createStatement().executeQuery(
+        """SELECT "audit_pk" FROM "nullts_audit"""")
+      val left = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getLong(1)).toSeq
+      assert(left === Seq(3L))
+    }
   }
 }

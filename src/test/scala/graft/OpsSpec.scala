@@ -1177,6 +1177,45 @@ class OpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(1).isNullAt(3))
   }
 
+  test("mp4Bytes <-> decodeMp4 round-trip: exact container size " +
+    "(132 + 100*tracks), zero-dim sound tracks written FIRST are " +
+    "counted but skipped for display dims, floor-divided duration_ms; " +
+    "router (SniffKind) and decode (sniffMedia) tiers agree on every " +
+    "written MP4 — the video leg of the writer/parser agreement " +
+    "contract") {
+    val mp4 = Multimodal.mp4Bytes(1200, 4800L,
+      Array((0, 0), (0, 0), (320, 240)), "mp42")
+    assert(mp4.length === 132 + 300)
+    val m = Multimodal.decodeMp4(mp4)
+    assert(m.getLong(0) === mp4.length.toLong)
+    assert(m.getString(1) === "mp42")
+    assert(m.getInt(2) === 1200)
+    assert(m.getLong(3) === 4000L) // 4800 units / 1200 ts = 4 s
+    assert(m.getInt(4) === 3)      // sound tracks counted...
+    assert(m.getInt(5) === 320 && m.getInt(6) === 240) // ...dims skipped
+    assert(m.getString(7) === "mp4")
+    // duration_ms floors: 500 units at timescale 600 -> 833 ms
+    assert(Multimodal.decodeMp4(
+      Multimodal.mp4Bytes(600, 500L, Array((16, 16)))).getLong(3) === 833L)
+    // two-tier agreement on the written container
+    assert(graft.functions.SniffKind.compute(mp4).toString === "video")
+    val s = Multimodal.sniffMedia(mp4)
+    assert(s.getString(0) === "video" && s.getInt(2) === 320 &&
+      s.getInt(3) === 240 && s.getLong(6) === 4000L)
+    // synthMp4Meta: per-partition synth->decode; null brand -> null meta
+    val df = Seq((1L, 600, 1800L, 2, 640, 360, "isom"),
+        (2L, 600, 0L, 1, 16, 16, null: String))
+      .toDF("doc_id", "ts", "dur", "ntr", "w", "h", "brand")
+    val out = Multimodal.synthMp4Meta(df, "ts", "dur", "ntr", "w", "h", "brand")
+      .select("doc_id", "n_bytes", "major_brand", "duration_ms",
+        "n_tracks", "width")
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getLong(1) === 332L && out(0).getString(2) === "isom" &&
+      out(0).getLong(3) === 3000L && out(0).getInt(4) === 2 &&
+      out(0).getInt(5) === 640)
+    assert((1 to 5).forall(out(1).isNullAt))
+  }
+
   test("sniffMedia routes by magic bytes alone: WAV -> real audio " +
     "parse, BMP/PNG -> real image parse, ISO-BMFF -> real video " +
     "parse, anything else -> kind 'unknown' with its byte length; " +

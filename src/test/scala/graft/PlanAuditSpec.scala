@@ -780,4 +780,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_media_route routes through the NATIVE SniffKind expression — " +
+    "the kernel stays in the plan as an expression (no Scala-UDF " +
+    "fallback), the only exchange is the kind aggregation, and the " +
+    "payload column is never joined") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.ExtensionQueries.queries("q_media_route")(spark, d))
+    assert(p.toLowerCase.contains("sniffkind"), p)
+    assert(!p.contains("UDF"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_embed_contam: the benchmark side is BROADCAST against a " +
+    "shuffle-free corpus scan (constant-size small side), never a " +
+    "shuffled or unbroadcast cartesian join") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.ExtensionQueries.queries("q_embed_contam")(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_retention_age: the age bound rides a broadcast 1-row bounds " +
+    "probe over the log scan — no sort-merge join, no cartesian, no " +
+    "data-sized shuffle for the filter itself") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.CdcQueries.queries("q_retention_age")(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_media_sniff decodes via the per-partition mapPartitions " +
+    "contract (ExistingRDD leaf over the checkpointed payload memo) — " +
+    "the binary payload column is never shuffled or joined: the only " +
+    "exchange is the presentation sort") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.ExtensionQueries.queries("q_media_sniff")(spark, d))
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
 }

@@ -724,6 +724,32 @@ class StreamingOpsSpec extends SparkSpec {
       // clear vectors pass with no match carried
       assert(live.filter(_._5).forall(r => r._2.isEmpty && r._4 === 0L))
     } finally q.stop()
+    // zero-norm parity: the batch screen's SQL division nulls a zero
+    // vector out of the match set; the live gate must treat it as "no
+    // match" too — even at a threshold every finite cosine clears
+    // (floor(NaN).toLong is 0, which a threshold <= 0 would flag)
+    val zeroId = 7000L
+    val probe = Seq((zeroId, Array.fill(8)(0.0)),
+      (7001L, Array.tabulate(8)(_.toDouble + 1)))
+    val batchLow = Similarity.embedContamination(
+        probe.toDF("vec_id", "embedding"),
+        bench.toDF("vec_id", "embedding"),
+        thresholdQ = -20000L, dim = 8)
+      .as[(Long, Long, Long, Long)].collect().map(_._1).toSet
+    assert(batchLow === Set(7001L), "batch drops the zero vector")
+    val mem2 = MemoryStream[(java.sql.Timestamp, Long, Array[Double])]
+    val q2 = EmbedStreamOps.streamingContamGate(mem2.toDS(),
+        bench.toArray, thresholdQ = -20000L)
+      .writeStream.format("memory").queryName("cgate0")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem2.addData(probe.map { case (id, v) => (t(1), id, v) })
+      q2.processAllAvailable()
+      val live0 = spark.table("cgate0").select("vec_id", "pass")
+        .as[(Long, Boolean)].collect().toMap
+      assert(live0(zeroId), "zero vector must pass (no match)")
+      assert(!live0(7001L), "finite vector still flags at floor threshold")
+    } finally q2.stop()
   }
 
   test("streamingAudioGate / streamingImageGate: the REAL decoders gate " +

@@ -93,4 +93,71 @@ class TriggerDdlSpec extends AnyFunSuite {
     assert(TriggerDdl.auditSqlFileName("person") === "person.audit.sql")
     assert(TriggerDdl.auditSqlFileName("person", "pfx_") === "pfx_person.audit.sql")
   }
+
+  test("GOLDEN: the MySQL AFTER-trigger catalog query is pinned " +
+    "verbatim — the one live-catalog statement no embedded database " +
+    "executes in tests (clause map: SELECT list = " +
+    "cdc_audit_gen_mysql.php:231, INFORMATION_SCHEMA.TRIGGERS = :230, " +
+    "EVENT_OBJECT_TABLE bind = :232, ACTION_TIMING = 'AFTER' = :233)") {
+    assert(graft.codegen.JdbcCatalog.MySqlTriggerSql ===
+      "select TRIGGER_NAME, EVENT_MANIPULATION, ACTION_STATEMENT " +
+        "from INFORMATION_SCHEMA.TRIGGERS " +
+        "where EVENT_OBJECT_TABLE = ? and ACTION_TIMING = 'AFTER'")
+  }
+
+  test("GOLDEN: the complete MySQL-dialect artifact GenTool writes for " +
+    "a two-column table, byte-for-byte — DDL header comment " +
+    "(gen:314-326), audit-column block + indexes (gen:331-343), and " +
+    "the three DELIMITER-wrapped AFTER triggers (gen:403-439)") {
+    val golden =
+      """/**
+        | * Audit table for table (person).
+        | *
+        | * !!! DO NOT MODIFY THIS FILE MANUALLY !!!
+        | * Auto-generated by graft.codegen.TriggerDdl.
+        | */
+        |create table if not exists `person_audit` (
+        |  `id` int(11) not null comment 'Primary key in source table person',
+        |  `name` varchar(64) null comment 'person''s name',
+        |  `audit_event` enum('insert','update','delete') not null comment 'Indicates event that occurred in source table',
+        |  `audit_timestamp` timestamp not null comment 'Updated when record is inserted, updated or deleted in source table',
+        |  `audit_pk` int(11) not null primary key auto_increment comment 'Audit table primary key, useful for sorting since mysql time data types are only granular to second level.',
+        |   index (`id`),
+        |   index (`audit_timestamp`)
+        |);
+        |
+        |/**
+        | * Audit triggers for table (person).
+        | * Auto-generated by graft.codegen.TriggerDdl.
+        | */
+        |
+        |-- person after INSERT trigger.
+        |DELIMITER @@
+        |CREATE TRIGGER `person_after_insert` AFTER INSERT ON `person`
+        | FOR EACH ROW BEGIN
+        |  insert into `person_audit` (`id`, `name`, `audit_event`, `audit_timestamp`) values(NEW.`id`, NEW.`name`, 'insert', CURRENT_TIMESTAMP);
+        |
+        | END;
+        |@@
+        |
+        |-- person after UPDATE trigger.
+        |DELIMITER @@
+        |CREATE TRIGGER `person_after_update` AFTER UPDATE ON `person`
+        | FOR EACH ROW BEGIN
+        |  insert into `person_audit` (`id`, `name`, `audit_event`, `audit_timestamp`) values(NEW.`id`, NEW.`name`, 'update', CURRENT_TIMESTAMP);
+        |
+        | END;
+        |@@
+        |
+        |-- person after DELETE trigger.
+        |DELIMITER @@
+        |CREATE TRIGGER `person_after_delete` AFTER DELETE ON `person`
+        | FOR EACH ROW BEGIN
+        |  insert into `person_audit` (`id`, `name`, `audit_event`, `audit_timestamp`) values(OLD.`id`, OLD.`name`, 'delete', CURRENT_TIMESTAMP);
+        |
+        | END;
+        |@@
+        |""".stripMargin
+    assert(TriggerDdl.generate("person", cols) === golden)
+  }
 }
