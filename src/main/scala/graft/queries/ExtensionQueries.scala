@@ -1001,6 +1001,26 @@ object ExtensionQueries {
   def dsir(s: SparkSession, d: String): DataFrame =
     dsirWeights(s, d).orderBy("doc_id")
 
+  /** Batched model serving under the hash gate
+    * ([[graft.ops.Inference.inferBatched]]): hashed bag-of-tokens
+    * features through a quantized linear head, served in the
+    * GPU-session shape — fixed-size batches packed per partition, ONE
+    * forward per batch, row-aligned unpack, final-partial-batch flush,
+    * nulls bypassing the session. The model is integer-deterministic
+    * (W derived arithmetically from (bucket, class)), so DuckDB
+    * replays the exact logits and argmax: a packing, alignment, or
+    * flush bug in the serving plumbing changes real outputs and
+    * breaks the hash. The spec additionally pins batch-boundary
+    * invariance and the forward-call count; swapping a real ONNX/GPU
+    * session into [[graft.ops.Inference.forward]] keeps every
+    * contract here.
+    */
+  def inferBatch(s: SparkSession, d: String): DataFrame =
+    graft.ops.Inference.inferBatched(
+        docs(s, d).select("doc_id", "text"), "text")
+      .select("doc_id", "pred_class", "logit_q")
+      .orderBy("doc_id")
+
   /** The DSIR paper's actual selection step: Gumbel-top-k resampling
     * over the importance weights — ranking by `logw + Gumbel(0,1)`
     * draws k docs WITHOUT replacement with probability proportional
@@ -10014,6 +10034,36 @@ object ExtensionQueries {
         |  CAST(sum(lpq) AS BIGINT) AS sum_lpq,
         |  CAST(sum(lpq) AS DOUBLE) / count(*) AS avg_lpq
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_infer_batch" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, u.tok FROM t, unnest(ts) AS u(tok)),
+        |feat AS (SELECT doc_id, CAST((
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),1,1))-1)*65536 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),2,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),3,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),4,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),5,1))-1)
+        |  ) % 64 AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS x
+        |  FROM tok GROUP BY 1, 2),
+        |cls AS (SELECT unnest(range(4)) AS c),
+        |lg AS (SELECT f.doc_id, cls.c,
+        |    sum(f.x * (((f.b*2654435761 + (cls.c+1)*40503) % 1999) - 999)) AS logit
+        |  FROM feat f CROSS JOIN cls GROUP BY 1, 2),
+        |base AS (SELECT t.doc_id, cls.c,
+        |    COALESCE(lg.logit, 0) AS logit
+        |  FROM t CROSS JOIN cls
+        |  LEFT JOIN lg ON lg.doc_id = t.doc_id AND lg.c = cls.c),
+        |sel AS (SELECT doc_id, c, logit,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY logit DESC, c ASC) AS rn
+        |  FROM base)
+        |SELECT d.doc_id, CAST(s.c AS INT) AS pred_class,
+        |  CAST(s.logit AS BIGINT) AS logit_q
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM sel WHERE rn = 1) s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dsir" ->
       """WITH t AS (SELECT doc_id, lang,
         |    list_filter(string_split(text,' '), t -> len(t) > 0) AS ts
@@ -13032,6 +13082,7 @@ object ExtensionQueries {
     "q_filter_yield"    -> (filterYieldQ _),
     "q_dsir"            -> (dsir _),
     "q_dsir_sample"     -> (dsirSample _),
+    "q_infer_batch"     -> (inferBatch _),
     "q_audio_stats"     -> (audioStats _),
     "q_audio_vad"       -> (audioVad _),
     "q_media_sniff"     -> (mediaSniff _),

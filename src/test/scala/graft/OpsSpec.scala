@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** North-star ops: semantic unit tests against hand-computed expected
   * values (the sf0.01 oracle compare covers scale; this covers edges).
@@ -1175,6 +1176,46 @@ class OpsSpec extends SparkSpec {
     assert(out(0).getLong(1) === 3000L && out(0).getInt(2) === 640 &&
       out(0).getString(3) === "mp4")
     assert(out(1).isNullAt(1) && out(1).isNullAt(3))
+  }
+
+  test("inferBatched serves the GPU-session contract: results are " +
+    "batch-boundary INVARIANT, forwards see exactly the packed batch " +
+    "sizes (full batches + one final partial flush), and null texts " +
+    "bypass the session in input order") {
+    import graft.ops.Inference
+    val docs = (1 to 23)
+      .map(i => (i.toLong, if (i % 9 == 0) null else s"w${i % 5} w${i % 3} x$i"))
+      .toDF("doc_id", "text")
+    def serve(b: Int, onF: Int => Unit = _ => ()) =
+      Inference.inferBatched(docs.coalesce(1), "text", dim = 16,
+          classes = 3, batchSize = b, onForward = onF)
+        .select("doc_id", "pred_class", "logit_q")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getInt(1),
+          if (r.isNullAt(2)) null else r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val ref = serve(1000)
+    // a model whose output depends on its batch neighbors cannot be
+    // served from a repartitionable corpus — every batch size agrees
+    for (b <- Seq(1, 4, 7)) assert(serve(b) === ref, s"batchSize=$b")
+    // nulls (doc 9, 18) ride through as null predictions, in order
+    assert(ref.count(_._2 == null) === 2)
+    assert(ref.filter(_._2 == null).map(_._1) === Seq(9L, 18L))
+    // forward-call accounting at B=4 on one ordered partition:
+    // 1-8 -> 4+4, null 9 (pending empty), 10-17 -> 4+4, null 18,
+    // 19-22 -> 4, end-flush 23 -> 1
+    val sizes = spark.sparkContext.collectionAccumulator[Int]("fwd")
+    serve(4, n => sizes.add(n))
+    val got = sizes.value
+    assert(got.size === 6 && got.asScala.sum === 21, got.toString)
+    assert(got.asScala.count(_ == 4) === 5 && got.asScala.count(_ == 1) === 1)
+    // the hash convention matches the engine-portable md5-prefix form
+    // Spark and DuckDB both compute (first 5 md5 hex digits) % dim
+    val tok = "w2"
+    val sparkB = spark.sql(
+      s"SELECT CAST(conv(substring(md5('bkt:$tok'), 1, 5), 16, 10) % 16 AS INT)")
+      .head().getInt(0)
+    assert(Inference.bucketOf(tok, 16) === sparkB)
   }
 
   test("mp4Bytes <-> decodeMp4 round-trip: exact container size " +

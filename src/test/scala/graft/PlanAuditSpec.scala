@@ -812,6 +812,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_infer_batch serves per-partition (ExistingRDD leaf over the " +
+    "mapPartitions session) — no exchange but the presentation sort, " +
+    "no join, no UDF: the model rides the closure, rows never shuffle " +
+    "to reach it") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.ExtensionQueries.queries("q_infer_batch")(spark, d))
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("UDF"), p)
+  }
+
   test("q_media_sniff decodes via the per-partition mapPartitions " +
     "contract (ExistingRDD leaf over the checkpointed payload memo) — " +
     "the binary payload column is never shuffled or joined: the only " +

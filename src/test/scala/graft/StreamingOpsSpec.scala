@@ -752,6 +752,46 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streamingInferGate: the live batched classifier admits exactly " +
+    "the docs the batch server scores into keepClass, with " +
+    "bit-identical predictions and logits; null text fails closed") {
+    import graft.ops.Inference
+    import graft.streaming.InferStreamOps
+    implicit val sc = spark.sqlContext
+    val fixture = (1 to 57)
+      .map(i => (i.toLong, if (i % 19 == 0) null else s"w${i % 7} w${i % 5} y$i"))
+    val batch = Inference.inferBatched(
+        fixture.toDF("doc_id", "text"), "text",
+        dim = 16, classes = 3, batchSize = 8)
+      .select("doc_id", "pred_class", "logit_q")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getLong(2)))))
+      .toMap
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 11:$min%02d:00")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = InferStreamOps.streamingInferGate(mem.toDS(), keepClass = 1,
+        dim = 16, classes = 3, batchSize = 8)
+      .writeStream.format("memory").queryName("igate2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(fixture.map { case (id, tx) => (t((id % 50).toInt), id, tx) })
+      q.processAllAvailable() // stateless: same-batch emission
+      val live = spark.table("igate2")
+        .select("doc_id", "pred_class", "logit_q", "pass")
+        .as[(Long, Option[Int], Option[Long], Boolean)].collect()
+      assert(live.length === fixture.length, "every arrival is audited")
+      live.foreach { case (id, pc, lq, pass) =>
+        assert(pc.map(p => (p, lq.get)) === batch(id),
+          s"doc $id: live and batch must score identically")
+        assert(pass === pc.contains(1), s"doc $id: admit iff keepClass")
+      }
+      // the null docs (19, 38, 57) failed closed
+      assert(live.filter(_._2.isEmpty).map(_._1).sorted.toSeq ===
+        Seq(19L, 38L, 57L))
+      assert(live.filter(_._2.isEmpty).forall(!_._4))
+    } finally q.stop()
+  }
+
   test("streamingAudioGate / streamingImageGate: the REAL decoders gate " +
     "a live media feed statelessly (same-batch emission); undecodable, " +
     "clipped, silent, and degenerate payloads fail closed") {
