@@ -1015,11 +1015,44 @@ object ExtensionQueries {
     * session into [[graft.ops.Inference.forward]] keeps every
     * contract here.
     */
+  /** The served corpus both infer queries read — one batched scoring
+    * pass per session (the memo discipline of the media lake: a real
+    * pipeline scores once and fans out too).
+    */
+  private def inferScored(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "infer_scored")(
+      graft.ops.Inference.inferBatched(
+          docs(s, d).select(col("doc_id"), col("text")), "text")
+        .localCheckpoint())
+
   def inferBatch(s: SparkSession, d: String): DataFrame =
-    graft.ops.Inference.inferBatched(
-        docs(s, d).select("doc_id", "text"), "text")
+    inferScored(s, d)
       .select("doc_id", "pred_class", "logit_q")
       .orderBy("doc_id")
+
+  /** Routing census over the served predictions — the split a
+    * pipeline plans its per-class passes from (how many docs each
+    * class routes, their total token volume, the share in ppm): the
+    * [[mediaRoute]] of the model-serving tier, and the aggregate
+    * cross-check that the batched session's outputs distribute the
+    * way the replayed model says they must. Unrouted (null-text) docs
+    * surface as a NULL class row — bypasses are visible, not lost.
+    */
+  def inferRoute(s: SparkSession, d: String): DataFrame = {
+    val scored = inferScored(s, d)
+    val ntok = size(filter(split(col("text"), " "),
+      t => length(t) > lit(0)))
+    val total = scored.agg(count(lit(1)).as("__n"))
+    scored
+      .withColumn("__tok", coalesce(ntok.cast("long"), lit(0L)))
+      .groupBy("pred_class")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("total_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n_docs * 1000000 DIV __n"))
+      .select("pred_class", "n_docs", "total_tokens", "share_ppm")
+      .orderBy(col("pred_class").asc_nulls_last)
+  }
 
   /** The DSIR paper's actual selection step: Gumbel-top-k resampling
     * over the importance weights — ranking by `logw + Gumbel(0,1)`
@@ -10064,6 +10097,42 @@ object ExtensionQueries {
         |FROM documents d
         |LEFT JOIN (SELECT * FROM sel WHERE rn = 1) s ON s.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_infer_route" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, u.tok FROM t, unnest(ts) AS u(tok)),
+        |feat AS (SELECT doc_id, CAST((
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),1,1))-1)*65536 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),2,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),3,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),4,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),5,1))-1)
+        |  ) % 64 AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS x
+        |  FROM tok GROUP BY 1, 2),
+        |cls AS (SELECT unnest(range(4)) AS c),
+        |lg AS (SELECT f.doc_id, cls.c,
+        |    sum(f.x * (((f.b*2654435761 + (cls.c+1)*40503) % 1999) - 999)) AS logit
+        |  FROM feat f CROSS JOIN cls GROUP BY 1, 2),
+        |base AS (SELECT t.doc_id, cls.c,
+        |    COALESCE(lg.logit, 0) AS logit
+        |  FROM t CROSS JOIN cls
+        |  LEFT JOIN lg ON lg.doc_id = t.doc_id AND lg.c = cls.c),
+        |sel AS (SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY logit DESC, c ASC) AS rn
+        |  FROM base),
+        |scored AS (SELECT d.doc_id, s.c AS pred_class,
+        |    COALESCE(len(list_filter(string_split(d.text,' '),
+        |      x -> len(x) > 0)), 0) AS ntok
+        |  FROM documents d
+        |  LEFT JOIN (SELECT * FROM sel WHERE rn = 1) s ON s.doc_id = d.doc_id),
+        |tot AS (SELECT count(*) AS n FROM scored)
+        |SELECT CAST(pred_class AS INT) AS pred_class,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) * 1000000 // tot.n AS BIGINT) AS share_ppm
+        |FROM scored, tot GROUP BY pred_class, tot.n
+        |ORDER BY pred_class ASC NULLS LAST""".stripMargin,
     "q_dsir" ->
       """WITH t AS (SELECT doc_id, lang,
         |    list_filter(string_split(text,' '), t -> len(t) > 0) AS ts
@@ -13083,6 +13152,7 @@ object ExtensionQueries {
     "q_dsir"            -> (dsir _),
     "q_dsir_sample"     -> (dsirSample _),
     "q_infer_batch"     -> (inferBatch _),
+    "q_infer_route"     -> (inferRoute _),
     "q_audio_stats"     -> (audioStats _),
     "q_audio_vad"       -> (audioVad _),
     "q_media_sniff"     -> (mediaSniff _),

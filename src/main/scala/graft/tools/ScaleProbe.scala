@@ -69,7 +69,10 @@ object ScaleProbe {
     // without a measured exponent row. Each run saves into its OWN
     // session-unique temp store and serves back from it, so the probe
     // times the full save→resolve→serve round-trip at both scales.
-    "q_trained_persist", "q_minhash_persist")
+    "q_trained_persist", "q_minhash_persist",
+    // round-14 second wave: the new serving + video families — both
+    // pure per-partition projections, expected ~linear in rows
+    "q_infer_batch", "q_video_meta")
 
   def buildStressed(spark: SparkSession, sfDir: String, outDir: String,
                     factor: Int): Unit = {
