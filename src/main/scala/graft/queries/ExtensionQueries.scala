@@ -267,6 +267,11 @@ object ExtensionQueries {
       // single container
       ("media_payloads", "documents", Map("sel" -> "doc_id%3"),
         some(mediaPayloads(s, d))),
+      // the served predictions: a real pipeline scores a corpus
+      // version ONCE and every downstream pass (routing, filtering,
+      // evaluation) reads the scored table — same lake discipline
+      ("infer_scored", "documents", Map("dim" -> "64", "classes" -> "4"),
+        some(inferScored(s, d))),
       ("acf_grid", "events", Map("lags" -> "1-7"), some(acfFrame(s, d))))
   }
   private val bpeParams = Map("numMerges" -> "24")
