@@ -70,7 +70,12 @@ object Retention {
     val bounds = log.agg(max(col(pkCol)).as("__max_pk"),
       max(col(tsCol)).as("__max_ts"))
     log.crossJoin(broadcast(bounds))
-      .filter(col(tsCol) >= col("__max_ts") - maxAge ||
+      // fail-safe arm: ALL-NULL timestamps leave no age bound to
+      // compute (__max_ts IS NULL) — keep every row rather than
+      // silently degrading an age policy to keep-newest-only (the
+      // same conservative contract as AuditSource.wipeJdbcAudit)
+      .filter(col("__max_ts").isNull ||
+        col(tsCol) >= col("__max_ts") - maxAge ||
         col(pkCol) === col("__max_pk"))
       .drop("__max_pk", "__max_ts")
   }

@@ -17,10 +17,13 @@ import org.apache.spark.sql.types._
   *    thumbnail re-encode need zero external dependencies. Dimensions
   *    come from the format HEADER via `ImageReader.getWidth/getHeight`
   *    — no full pixel decode on the metadata path.
-  *  - **Stub** ([[decodeStub]]): deterministic fake features used as
-  *    the no-codec fallback for formats ImageIO cannot read
-  *    (audio/video need ffmpeg-class libs this container lacks) and as
-  *    the expression twin the DuckDB oracle can reproduce.
+  *  - **Real container parse** ([[decodeWav]], [[decodeMp4]],
+  *    [[sniffMedia]], [[decodeMedia]]): RIFF/WAVE chunk walk and
+  *    ISO-BMFF box walk, JDK-only — header-tier metadata without codec
+  *    libraries. FRAME/SAMPLE decode beyond raw PCM genuinely needs
+  *    ffmpeg-class libs this container lacks and stays out of scope
+  *    (documented at the call sites); every metadata path runs on real
+  *    written containers.
   *
   * Scale design: decode runs as an Iterator→Iterator `mapPartitions`
   * (the Scala analog of `mapInPandas` batching) so one task holds one
@@ -30,8 +33,10 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Declared schema of decoded media metadata (nullable: a null
-    * payload decodes to null meta, matching the expression twin).
+  /** Declared schema of the compact decoded-media metadata
+    * ([[decodeMedia]]): nullable throughout — a null payload decodes
+    * to all-null meta, and each modality fills only the fields it
+    * really has (see [[decodeMedia]]).
     */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = true),
@@ -39,19 +44,6 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("n_frames", IntegerType, nullable = true)
   ))
-
-  /** STUB decode: deterministic fake features of a media payload —
-    * the no-codec fallback ([[decodeImage]] is the real JDK-ImageIO
-    * image path; audio/video would need an ffmpeg-class lib this
-    * container lacks). The fake keeps the oracle comparable: DuckDB
-    * reproduces it in SQL via [[metaColumns]]. Null payloads yield
-    * null meta — same null semantics as [[metaColumns]].
-    */
-  def decodeStub(bytes: Array[Byte]): Row = {
-    if (bytes == null) return Row(null, null, null, null)
-    val n = bytes.length.toLong
-    Row(n, (n % 640).toInt, ((n * 31) % 480).toInt, (n % 30 + 1).toInt)
-  }
 
   /** Declared schema of REAL image metadata ([[decodeImage]]):
     * unrecognized formats leave width/height/channels/format null
@@ -69,8 +61,8 @@ object Multimodal {
     * header (no pixel decode), channels from the reader's raster type,
     * format name from the matched reader. Null payloads yield all-null
     * meta; payloads no installed reader recognizes yield (n_bytes,
-    * null, null, null, null) — the caller decides whether to fall back
-    * to [[decodeStub]] semantics or filter.
+    * null, null, null, null) — the caller decides whether to surface
+    * or filter the unreadables.
     */
   def decodeImage(bytes: Array[Byte]): Row = {
     if (bytes == null) return Row(null, null, null, null, null)
@@ -197,10 +189,10 @@ object Multimodal {
     * needs (duration, channel layout, PCM-ness) WITHOUT a codec, the
     * same header-only discipline as [[decodeImage]]. Chunk walk honors
     * the RIFF even-byte padding rule and bounds-checks every read;
-    * truncated/foreign payloads degrade to (n_bytes, null…) — the
-    * [[decodeStub]]-tier fallback contract. Sample decode (the part
-    * that DOES need codec libs for anything beyond raw PCM) stays
-    * stubbed, documented at the call sites.
+    * truncated/foreign payloads degrade to (n_bytes, null…) — never a
+    * crash. Sample decode (the part that DOES need codec libs for
+    * anything beyond raw PCM) stays out of scope, documented at the
+    * call sites.
     */
   def decodeWav(bytes: Array[Byte]): Row = {
     if (bytes == null)
@@ -887,12 +879,17 @@ object Multimodal {
     * entry a video track with 16.16 fixed-point width/height. Total
     * size is therefore exactly `132 + 100 * dims.length` — the
     * analytic handle the oracle recomputes. Duration is written as the
-    * v0 u32 field (callers keep it below 2^32; the PARSER additionally
-    * handles v1/64-bit files this writer never produces).
+    * v0 u32 field (ENFORCED below 2^32 — out-of-range fails loudly
+    * rather than silently wrapping; the PARSER additionally handles
+    * v1/64-bit files this writer never produces).
     */
   def mp4Bytes(timescale: Int, durationUnits: Long,
                dims: Array[(Int, Int)], brand: String = "isom"): Array[Byte] = {
     require(brand.length == 4, s"major brand must be 4 ASCII chars: $brand")
+    // the v0 u32 duration field cannot hold more — fail loudly instead
+    // of writing wrapped bits the oracle's untruncated BIGINT never sees
+    require(durationUnits >= 0 && durationUnits < (1L << 32),
+      s"durationUnits must fit the v0 u32 field: $durationUnits")
     val b = java.nio.ByteBuffer.allocate(132 + 100 * dims.length)
       .order(java.nio.ByteOrder.BIG_ENDIAN) // ISO-BMFF is big-endian
     def ascii(s: String): Unit = { b.put(s.getBytes("US-ASCII")); () }
@@ -963,14 +960,39 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
-  /** Attach decoded-media metadata to a DataFrame with a binary
-    * column. Batched per partition; output schema = input ++ meta.
-    * STUB-tier ([[decodeStub]]) on purpose: this is the
-    * oracle-reproducible plumbing query's codec; [[sniffMeta]] is the
-    * REAL-decoder entry point a pipeline uses on actual media.
+  /** REAL generic decode to the compact media-meta shape
+    * ([[mediaMetaSchema]]) a mixed lake routes on — the [[sniffMedia]]
+    * dispatch folded to four columns. `n_bytes` always fills (no codec
+    * needed). `n_frames` is real per modality: a still image IS one
+    * frame (its header dims fill width/height); an audio clip's frames
+    * are its PCM sample frames (javax.sound's frame = one sample
+    * across all channels, so a mono WAV has n_frames = n_samples); a
+    * video container surfaces its real display dims but — our writer
+    * emits no sample tables — an honestly-null frame count; unknown
+    * payloads leave everything but n_bytes null; null payloads stay
+    * all-null. Replaced the retired stub tier: every container this
+    * engine sniffs it also writes for real, so the compact decode runs
+    * on genuine bytes end to end.
+    */
+  def decodeMedia(bytes: Array[Byte]): Row = {
+    if (bytes == null) return Row(null, null, null, null)
+    val s = sniffMedia(bytes)
+    s.getString(0) match {
+      case "audio" =>
+        val nf = if (s.isNullAt(5)) null else Int.box(s.getLong(5).toInt)
+        Row(s.get(1), null, null, nf)
+      case "image" => Row(s.get(1), s.get(2), s.get(3), Int.box(1))
+      case "video" => Row(s.get(1), s.get(2), s.get(3), null)
+      case _       => Row(s.get(1), null, null, null)
+    }
+  }
+
+  /** Attach [[decodeMedia]] metadata to a DataFrame with a binary
+    * column. Batched per partition; output schema = input ++
+    * [[mediaMetaSchema]].
     */
   def decodeMeta(df: DataFrame, binCol: String): DataFrame =
-    attachMeta(df, binCol, mediaMetaSchema, decodeStub)
+    attachMeta(df, binCol, mediaMetaSchema, decodeMedia)
 
   /** Declared schema of the sniffed-media dispatch ([[sniffMedia]]):
     * per-kind fields null where not applicable; a null payload leaves
@@ -1057,9 +1079,12 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
-  /** Pure-expression twin of [[decodeMeta]]'s stub — same fake
-    * features computed in codegen'd SQL expressions, used by the
-    * DuckDB-oracle query to validate the plumbing end-to-end.
+  /** Synthetic frame-geometry columns for the row-explosion demo
+    * ([[sampleFrames]]): deterministic length-derived dimensions and
+    * frame count, computed in codegen'd SQL expressions so the DuckDB
+    * oracle reproduces the explosion exactly. This is declared
+    * plumbing (REAL frame decode needs codec libraries this container
+    * lacks); the real metadata paths are [[decodeMedia]]/[[sniffMedia]].
     */
   def metaColumns(bin: Column): Seq[Column] = {
     val n = length(bin).cast("long")

@@ -352,6 +352,63 @@ object ExtensionQueries {
     frames.size + bpe.size
   }
 
+  /** Pre-builds the session's shared index/lake memos CONCURRENTLY —
+    * the cold-run memo-tax killer. Every entry here otherwise builds
+    * serially inside the wall-clock of its first consumer query (the
+    * per-query MIN the bench reports is pass-2 warm either way, so
+    * the build cost is pure serial wall time on the run). None of
+    * these builds saturates the 32-core box alone — their stages are
+    * small and scheduling-bound — so running `par` at a time overlaps
+    * the idle portions. Safe by construction: [[FrameMemo]]'s
+    * per-holder build lock means a consumer racing a prewarm simply
+    * waits for the one build (never two), shared inner deps (mh_pairs
+    * under mh_clusters, masks under clusters) resolve through the
+    * same locks, and a failed thunk logs and leaves its memo to build
+    * lazily as before. Returns (thunks completed, wall seconds).
+    * Ordered most-expensive-first so the pool's tail is short.
+    */
+  def prewarmSharedFrames(s: SparkSession, d: String,
+                          par: Int = 6): (Int, Double) = {
+    val thunks: Seq[(String, () => Any)] = Seq(
+      "pq_enc"        -> (() => pqEnc(s, d)),
+      "kmeans_elbow"  -> (() => kmeansElbowFrame(s, d)),
+      "kmeans_assign" -> (() => kmeansAssignment(s, d)),
+      "lm_scores"     -> (() => lmScores(s, d)),
+      "mh_clusters"   -> (() => mhClusters(s, d)),
+      "recall_curve"  -> (() => sharedRecallCurve(s, d)),
+      "grams5"        -> (() => grams5(s, d)),
+      "clusters"      -> (() => docClusters(s, d)),
+      "acf_grid"      -> (() => acfFrame(s, d)),
+      "dsir_w"        -> (() => dsirWeights(s, d)),
+      "knn_edges"     -> (() => knnEdges(s, d)),
+      "trained_curve" -> (() => sharedTrainedCurve(s, d)),
+      "pairs"         -> (() => jaccardPairs(s, d)),
+      "gram_emb"      -> (() => gramFrame(s, d)),
+      "media_payloads" -> (() => mediaPayloads(s, d)),
+      "prov_ledger"   -> (() => provLedgerFrame(s, d)),
+      "infer_scored"  -> (() => inferScored(s, d)),
+      "bpe_merges"    -> (() => bpeMerges(s, d)))
+    val t0 = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val done = new java.util.concurrent.atomic.AtomicInteger
+    try {
+      thunks.map { case (label, f) =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            FrameMemo.currentConsumer.set(s"(prewarm:$label)")
+            try { f(); done.incrementAndGet(); () }
+            catch { case scala.util.control.NonFatal(e) =>
+              FrameMemo.logger.warn(
+                s"prewarm $label failed (will build lazily): " +
+                  e.getMessage)
+            } finally FrameMemo.currentConsumer.remove()
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    (done.get(), (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Small-vocab dedup-graph intermediates, each memoized at its own
     * granularity: the (doc, mask) frame, the verified DISTINCT-mask
     * pair list (corpus-size-independent), and only then the doc-level
@@ -1025,10 +1082,17 @@ object ExtensionQueries {
     * pipeline scores once and fans out too).
     */
   private def inferScored(s: SparkSession, d: String): DataFrame =
-    sharedFrame(s, d, "infer_scored")(
-      graft.ops.Inference.inferBatched(
-          docs(s, d).select(col("doc_id"), col("text")), "text")
-        .localCheckpoint())
+    sharedFrame(s, d, "infer_scored") {
+      // the REAL-model deployment shape serves the gate: weights built
+      // once on the driver and shipped via broadcast (bit-identical to
+      // the arithmetic head by construction — spec-pinned too), so the
+      // oracle hash covers the broadcast path end-to-end
+      val w = s.sparkContext.broadcast(
+        graft.ops.Inference.denseWeights(dim = 64, classes = 4))
+      graft.ops.Inference.inferBatchedBroadcast(
+          docs(s, d).select(col("doc_id"), col("text")), "text", w)
+        .localCheckpoint()
+    }
 
   def inferBatch(s: SparkSession, d: String): DataFrame =
     inferScored(s, d)
@@ -1057,6 +1121,57 @@ object ExtensionQueries {
       .withColumn("share_ppm", expr("n_docs * 1000000 DIV __n"))
       .select("pred_class", "n_docs", "total_tokens", "share_ppm")
       .orderBy(col("pred_class").asc_nulls_last)
+  }
+
+  /** The LIVE serving gate under the hash gate — the first streaming
+    * path with its own oracle row: the documents corpus replays
+    * through a genuine file micro-batch source (`readStream.parquet`,
+    * one file per trigger — no driver-side collect, the replay shape
+    * a 100 TB backfill uses), is scored live by
+    * [[graft.streaming.InferStreamOps.streamingInferGate]] (the
+    * batch server's twin — both delegate to the ONE
+    * [[graft.ops.Inference.batchedServe]] loop), and every per-doc
+    * audit row lands via `foreachBatch` in a run-local table the
+    * query returns. DuckDB recomputes prediction, quantized logit,
+    * and the keep-class verdict analytically, so a drift anywhere in
+    * the LIVE path — source replay, micro-batch packing, the gate's
+    * verdict rule, the foreachBatch landing — breaks the hash, not
+    * just a spec's bit-identity claim.
+    */
+  def inferStreamQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keepClass = 2
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_inferstream_").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_inferstream_ck_").toString
+    // the file source streams a DIRECTORY; the fixture is a single
+    // parquet file, so stage a zero-copy symlink (a real lake already
+    // IS a directory of files — nothing here copies data)
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_inferstream_src_")
+    java.nio.file.Files.createSymbolicLink(
+      src.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$d/documents.parquet"))
+    val live = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // real micro-batches
+      .parquet(src.toString)
+      .select(expr("timestamp_micros(doc_id)").as("ts"),
+        col("doc_id"), col("text"))
+      .as[(java.sql.Timestamp, Long, String)]
+    val audited = graft.streaming.InferStreamOps
+      .streamingInferGate(live, keepClass = keepClass)
+      .toDF()
+      .select("doc_id", "pred_class", "logit_q", "pass")
+    val q = audited.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    s.read.parquet(out).orderBy("doc_id")
   }
 
   /** The DSIR paper's actual selection step: Gumbel-top-k resampling
@@ -3112,15 +3227,20 @@ object ExtensionQueries {
           col("clean_text").contains("<PHONE>") && col("clean_text").contains("<ID>"))
       .orderBy("doc_id")
 
-  /** Binary-column decode plumbing (stub codec, real mapPartitions
-    * path): text bytes as the opaque payload.
+  /** Compact media-meta decode over the REAL mixed container lake
+    * ([[Multimodal.decodeMedia]] over the shared `media_payloads`
+    * write — genuine RIFF/WAVE, genuine 24-bpp BMP, raw text): the
+    * four-column (n_bytes, width, height, n_frames) shape a routing
+    * pass keeps per payload. The oracle recomputes each analytically —
+    * an image is 1 frame with its real header dims, an audio clip's
+    * frames are its PCM sample frames, raw text is bytes-only — so the
+    * dispatcher's modality folding sits under the hash gate on real
+    * containers (the stub codec this query once rode is deleted).
     */
-  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
-    val withBin = docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
-    Multimodal.decodeMeta(withBin, "payload")
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeMeta(mediaPayloads(s, d), "payload")
       .select("doc_id", "n_bytes", "width", "height", "n_frames")
       .orderBy("doc_id")
-  }
 
   /** Frame-sampling plumbing: every 7th (stub) frame of each payload. */
   def frameSample(s: SparkSession, d: String): DataFrame = {
@@ -10138,6 +10258,37 @@ object ExtensionQueries {
         |  CAST(count(*) * 1000000 // tot.n AS BIGINT) AS share_ppm
         |FROM scored, tot GROUP BY pred_class, tot.n
         |ORDER BY pred_class ASC NULLS LAST""".stripMargin,
+    "q_infer_stream" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, u.tok FROM t, unnest(ts) AS u(tok)),
+        |feat AS (SELECT doc_id, CAST((
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),1,1))-1)*65536 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),2,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),3,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),4,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),5,1))-1)
+        |  ) % 64 AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS x
+        |  FROM tok GROUP BY 1, 2),
+        |cls AS (SELECT unnest(range(4)) AS c),
+        |lg AS (SELECT f.doc_id, cls.c,
+        |    sum(f.x * (((f.b*2654435761 + (cls.c+1)*40503) % 1999) - 999)) AS logit
+        |  FROM feat f CROSS JOIN cls GROUP BY 1, 2),
+        |base AS (SELECT t.doc_id, cls.c,
+        |    COALESCE(lg.logit, 0) AS logit
+        |  FROM t CROSS JOIN cls
+        |  LEFT JOIN lg ON lg.doc_id = t.doc_id AND lg.c = cls.c),
+        |sel AS (SELECT doc_id, c, logit,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY logit DESC, c ASC) AS rn
+        |  FROM base)
+        |SELECT d.doc_id, CAST(s.c AS INT) AS pred_class,
+        |  CAST(s.logit AS BIGINT) AS logit_q,
+        |  CASE WHEN s.c IS NULL THEN FALSE ELSE s.c = 2 END AS pass
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM sel WHERE rn = 1) s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dsir" ->
       """WITH t AS (SELECT doc_id, lang,
         |    list_filter(string_split(text,' '), t -> len(t) > 0) AS ts
@@ -12825,12 +12976,26 @@ object ExtensionQueries {
         |    i -> md5(array_to_string(ts[i:i+2], ' '))), 'min') AS shingle_fp
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST((octet_length(encode(text)) * 31) % 480 AS INT) AS height,
-        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, text,
+        |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS ntok,
+        |    CAST(doc_id % 3 AS INT) AS sel
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN sel = 0 THEN CAST(44 + 2*ntok AS BIGINT)
+        |       WHEN sel = 1 THEN (CASE WHEN ntok = 0 THEN NULL
+        |         ELSE CAST(54 + ((3*ntok + 3)//4)*4 AS BIGINT) END)
+        |       ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+        |  CASE WHEN text IS NOT NULL AND sel = 1 AND ntok > 0
+        |       THEN CAST(ntok AS INT) ELSE NULL END AS width,
+        |  CASE WHEN text IS NOT NULL AND sel = 1 AND ntok > 0
+        |       THEN CAST(1 AS INT) ELSE NULL END AS height,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN sel = 0 THEN CAST(ntok AS INT)
+        |       WHEN sel = 1 THEN (CASE WHEN ntok = 0 THEN NULL
+        |         ELSE CAST(1 AS INT) END)
+        |       ELSE NULL END AS n_frames
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, text,
         |    octet_length(encode(text)) % 30 + 1 AS n_frames FROM documents)
@@ -13158,6 +13323,7 @@ object ExtensionQueries {
     "q_dsir_sample"     -> (dsirSample _),
     "q_infer_batch"     -> (inferBatch _),
     "q_infer_route"     -> (inferRoute _),
+    "q_infer_stream"    -> (inferStreamQ _),
     "q_audio_stats"     -> (audioStats _),
     "q_audio_vad"       -> (audioVad _),
     "q_media_sniff"     -> (mediaSniff _),

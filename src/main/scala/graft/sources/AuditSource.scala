@@ -103,14 +103,16 @@ object AuditSource {
       } finally rs.close()
       if (pkNull) 0L
       else maxAgeSec match {
-        // all-null timestamps (maxTs == null) leave no age bound to
-        // compute — fall back to the keep-last delete rather than NPE
         case None =>
           st.executeUpdate(
             s"DELETE FROM $quotedTable WHERE $pk < $maxPk").toLong
-        case Some(_) if maxTs == null =>
-          st.executeUpdate(
-            s"DELETE FROM $quotedTable WHERE $pk < $maxPk").toLong
+        // all-null timestamps (maxTs == null) leave no age bound to
+        // compute. FAIL SAFE: delete nothing. The normal age branch
+        // preserves NULL-ts rows (ts < cutoff is UNKNOWN), so one
+        // non-null timestamp keeps every NULL-ts row alive — silently
+        // degrading the zero-non-null case to keep-last would delete
+        // everything below max pk, the opposite of an age policy.
+        case Some(_) if maxTs == null => 0L
         case Some(age) =>
           // the @TODO form (sync:289) on the live table: cutoff =
           // the TABLE'S OWN newest timestamp minus the age, computed

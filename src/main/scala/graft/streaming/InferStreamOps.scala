@@ -36,57 +36,16 @@ object InferStreamOps {
       batchSize: Int = 32): Dataset[InferAudit] = {
     import docs.sparkSession.implicits._
     docs.mapPartitions { it =>
-      // the same pack/forward/unpack loop as the batch server, over
-      // the typed iterator: buffer up to batchSize rows, one forward
-      // per flush, nulls bypass (order preserved by flushing first)
-      new Iterator[InferAudit] {
-        private val out = new java.util.ArrayDeque[InferAudit]()
-        private val pending =
-          new java.util.ArrayList[((java.sql.Timestamp, Long), Array[Int])]()
-        private def featurize(text: String): Array[Int] = {
-          val x = new Array[Int](dim)
-          val toks = text.split(" ")
-          var i = 0
-          while (i < toks.length) {
-            if (toks(i).nonEmpty) x(Inference.bucketOf(toks(i), dim)) += 1
-            i += 1
-          }
-          x
-        }
-        private def runBatch(): Unit = {
-          if (pending.isEmpty) return
-          val xs = new Array[Array[Int]](pending.size)
-          var i = 0
-          while (i < pending.size) { xs(i) = pending.get(i)._2; i += 1 }
-          val logits = Inference.forward(xs, dim, classes)
-          i = 0
-          while (i < pending.size) {
-            val ((ts, id), _) = pending.get(i)
-            val l = logits(i)
-            var best = 0; var c = 1
-            while (c < classes) { if (l(c) > l(best)) best = c; c += 1 }
-            out.add(InferAudit(ts, id, Some(best), Some(l(best)),
-              pass = best == keepClass))
-            i += 1
-          }
-          pending.clear()
-        }
-        private def fill(): Unit = {
-          while (out.isEmpty && it.hasNext) {
-            val (ts, id, text) = it.next()
-            if (text == null) {
-              runBatch() // preserve input order around the bypass
-              out.add(InferAudit(ts, id, None, None, pass = false))
-            } else {
-              pending.add(((ts, id), featurize(text)))
-              if (pending.size >= batchSize) runBatch()
-            }
-          }
-          if (out.isEmpty && !it.hasNext) runBatch()
-        }
-        override def hasNext: Boolean = { fill(); !out.isEmpty }
-        override def next(): InferAudit = { fill(); out.poll() }
-      }
+      // the ONE serving loop ([[Inference.batchedServe]]) over the
+      // typed iterator — the DataFrame server delegates to the same
+      // code, so the batching contract cannot drift between paths
+      Inference.batchedServe[(java.sql.Timestamp, Long, String), InferAudit](
+        it, batchSize,
+        t => if (t._3 == null) null else Inference.featuresOf(t._3, dim),
+        xs => Inference.forward(xs, dim, classes),
+        (t, best, logit) => InferAudit(t._1, t._2, Some(best),
+          Some(logit), pass = best == keepClass),
+        t => InferAudit(t._1, t._2, None, None, pass = false))
     }
   }
 }

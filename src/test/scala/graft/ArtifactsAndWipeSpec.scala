@@ -105,6 +105,17 @@ class ArtifactsAndWipeSpec extends SparkSpec {
       .select("audit_pk").as[Long].collect().sorted
     assert(onlyMax.contains(40L), "max-pk row must always survive")
     assert(kept.count() === 5L)
+    // ALL-NULL timestamps: no age bound computes — fail safe and keep
+    // EVERYTHING (same conservative contract as wipeJdbcAudit; the
+    // alternative silently degrades an age policy to keep-newest-only)
+    val nullTs = (1 to 4).map(i => (i, s"r$i", "insert"))
+      .toDF("id", "x", "audit_event")
+      .withColumn("audit_timestamp", lit(null).cast("timestamp"))
+      .withColumn("audit_pk", col("id").cast("long"))
+    val keptNull = graft.core.Retention.keepYoungerThan(
+      nullTs, expr("INTERVAL 1 HOURS"))
+    assert(keptNull.count() === 4L,
+      "age retention with no computable bound must keep all rows")
   }
 
   test("watermark is answered from the _watermark sidecar without " +

@@ -255,7 +255,10 @@ class JdbcCaptureSpec extends SparkSpec {
       assert(left === Seq(4L))
     }
     // age-bounded wipe over ALL-NULL timestamps: no age bound exists —
-    // fall back to the keep-last delete instead of an NPE
+    // FAIL SAFE and delete NOTHING. The normal age branch preserves
+    // NULL-ts rows (ts < cutoff is UNKNOWN), so degrading to keep-last
+    // here would be maximal deletion exactly when the policy can't be
+    // evaluated — a retention-safety hazard the engine refuses.
     withC { c =>
       c.createStatement().execute(
         """CREATE TABLE "nullts_audit" (
@@ -265,12 +268,21 @@ class JdbcCaptureSpec extends SparkSpec {
         """INSERT INTO "nullts_audit" VALUES
           | (1, NULL, 1), (2, NULL, 2), (3, NULL, 3)""".stripMargin)
       assert(AuditSource.wipeJdbcAudit(c, "\"nullts_audit\"",
-        maxAgeSec = Some(3600L)) === 2L)
+        maxAgeSec = Some(3600L)) === 0L)
       val rs = c.createStatement().executeQuery(
         """SELECT "audit_pk" FROM "nullts_audit"""")
       val left = Iterator.continually(rs).takeWhile(_.next())
         .map(_.getLong(1)).toSeq
-      assert(left === Seq(3L))
+      assert(left === Seq(1L, 2L, 3L),
+        "age policy with no computable bound must delete nothing")
+      // one non-null timestamp restores the normal age branch: the
+      // bound computes, NULL-ts rows still survive (UNKNOWN predicate)
+      c.createStatement().executeUpdate(
+        """INSERT INTO "nullts_audit" VALUES
+          | (4, TIMESTAMP('2020-01-01 06:00:00'), 4)""".stripMargin)
+      assert(AuditSource.wipeJdbcAudit(c, "\"nullts_audit\"",
+        maxAgeSec = Some(3600L)) === 0L,
+        "NULL-ts rows survive the age predicate (UNKNOWN)")
     }
   }
 }

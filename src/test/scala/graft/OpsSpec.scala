@@ -679,21 +679,34 @@ class OpsSpec extends SparkSpec {
     assert(fp(0)._2 !== fp(2)._2)
   }
 
-  test("multimodal: RDD decode path agrees with the expression twin " +
-    "(same stub math, two execution paths), null payloads included") {
-    val d = Seq((1L, Some("abc")), (2L, Some("a longer payload here")),
-      (3L, Option.empty[String]))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val viaRdd = Multimodal.decodeMeta(d, "payload")
-      .select("doc_id", "n_bytes", "width", "height", "n_frames")
-      .as[(Long, Option[Long], Option[Int], Option[Int], Option[Int])]
-      .collect().sortBy(_._1)
-    val viaExpr = d.select(col("doc_id") +: Multimodal.metaColumns(col("payload")): _*)
-      .as[(Long, Option[Long], Option[Int], Option[Int], Option[Int])]
-      .collect().sortBy(_._1)
-    assert(viaRdd.toSeq === viaExpr.toSeq)
-    assert(viaRdd.find(_._1 == 3L).get._2 === None) // null payload -> null meta
+  test("decodeMedia folds the real sniff dispatch to the compact " +
+    "media-meta shape: image = 1 frame with real header dims, audio " +
+    "frames = PCM sample frames, video = real dims + null frame " +
+    "count, unknown = bytes only, null payload = all null") {
+    val wav = Multimodal.wavBytes(Array(10, -20, 30, 40, -50), 8000)
+    val a = Multimodal.decodeMedia(wav)
+    assert(a.getLong(0) === wav.length.toLong &&
+      a.isNullAt(1) && a.isNullAt(2) && a.getInt(3) === 5)
+    val bmp = Multimodal.bmpBytes(Array(0x112233, 0x445566, 0x778899), 3)
+    val b = Multimodal.decodeMedia(bmp)
+    assert(b.getLong(0) === bmp.length.toLong &&
+      b.getInt(1) === 3 && b.getInt(2) === 1 && b.getInt(3) === 1)
+    val mp4 = Multimodal.mp4Bytes(600, 1800L, Array((320, 240)))
+    val v = Multimodal.decodeMedia(mp4)
+    assert(v.getLong(0) === mp4.length.toLong &&
+      v.getInt(1) === 320 && v.getInt(2) === 240 && v.isNullAt(3))
+    val u = Multimodal.decodeMedia("plain old words".getBytes("UTF-8"))
+    assert(u.getLong(0) === 15L && (1 to 3).forall(u.isNullAt))
+    assert((0 to 3).forall(Multimodal.decodeMedia(null).isNullAt))
+    // and through the per-partition frame contract, nulls included
+    val d = Seq((1L, bmp), (2L, wav), (3L, null))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeMeta(d, "payload")
+      .select("doc_id", "n_bytes", "width", "n_frames")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) === 3 && out(1L).getInt(3) === 1)
+    assert(out(2L).isNullAt(2) && out(2L).getInt(3) === 5)
+    assert((1 to 3).forall(out(3L).isNullAt))
   }
 
   test("multimodal REAL decode: ImageIO extracts true width/height/" +
@@ -1218,6 +1231,58 @@ class OpsSpec extends SparkSpec {
     assert(Inference.bucketOf(tok, 16) === sparkB)
   }
 
+  test("inferBatchedBroadcast is the real-model deployment shape: " +
+    "bit-identical to the arithmetic head when the broadcast carries " +
+    "denseWeights, the weights ride the BROADCAST not the closure " +
+    "(the serialized handle is orders of magnitude smaller than the " +
+    "model), and the wrong-shape model fails on the driver") {
+    import graft.ops.Inference
+    val docs = (1 to 40)
+      .map(i => (i.toLong, if (i % 9 == 0) null else s"w${i % 7} w${i % 4} y$i"))
+      .toDF("doc_id", "text")
+    // a deliberately NON-trivial shape so the size contrast is real
+    val dim = 512; val classes = 8
+    val w = Inference.denseWeights(dim, classes)
+    // forwardDense over denseWeights == forward, row for row
+    val xs = Array(Array.tabulate(dim)(b => if (b % 37 == 0) 2 else 0),
+      Array.tabulate(dim)(b => b % 3))
+    assert(Inference.forwardDense(xs, w, dim, classes).map(_.toSeq).toSeq ===
+      Inference.forward(xs, dim, classes).map(_.toSeq).toSeq)
+    // end-to-end: broadcast path == arithmetic path on every row
+    val bc = spark.sparkContext.broadcast(w)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "pred_class", "logit_q").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getInt(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).sortBy(_._1).toSeq
+    val viaBc = rows(Inference.inferBatchedBroadcast(
+      docs, "text", bc, dim = dim, classes = classes, batchSize = 6))
+    val viaArith = rows(Inference.inferBatched(
+      docs, "text", dim = dim, classes = classes, batchSize = 6))
+    assert(viaBc === viaArith)
+    // the deployment claim, measured: serializing the broadcast HANDLE
+    // (what each task closure carries) costs a few hundred bytes;
+    // serializing the MODEL (what a closure-captured array would cost
+    // per task) is 8*dim*classes = 32 KiB+. Model >> handle.
+    def serSize(o: AnyRef): Int = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val os = new java.io.ObjectOutputStream(buf)
+      os.writeObject(o); os.close(); buf.size()
+    }
+    val handleBytes = serSize(bc)
+    val modelBytes = serSize(w)
+    assert(modelBytes > 8 * dim * classes, s"model $modelBytes")
+    assert(handleBytes * 10 < modelBytes,
+      s"broadcast handle ($handleBytes B) must be far smaller than " +
+        s"the model ($modelBytes B) — weights must not ride the closure")
+    // wrong-shape model: fails on the DRIVER, before any task launches
+    intercept[IllegalArgumentException] {
+      Inference.inferBatchedBroadcast(docs, "text",
+        spark.sparkContext.broadcast(Array(1L, 2L, 3L)),
+        dim = dim, classes = classes)
+    }
+  }
+
   test("mp4Bytes <-> decodeMp4 round-trip: exact container size " +
     "(132 + 100*tracks), zero-dim sound tracks written FIRST are " +
     "counted but skipped for display dims, floor-divided duration_ms; " +
@@ -1314,6 +1379,36 @@ class OpsSpec extends SparkSpec {
     assert(out(2L).getString(1) === "unknown" && out(2L).getLong(2) === 8L)
     assert(out(3L).isNullAt(1)) // 0-width BMP cannot exist -> null payload
     assert(out(4L).isNullAt(1)) // null text -> null payload
+  }
+
+  test("no gated fixture text routes as a container: q_media_sniff's " +
+    "oracle hardcodes kind='unknown' for sel=2 while the Spark side " +
+    "routes by magic — this pin proves the two agree on every raw-text " +
+    "payload at BOTH gated scales (sf0.001 and sf0.01), router tier " +
+    "(SniffKind) and full decode tier (sniffMedia, incl. ImageIO " +
+    "content probing) alike") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val texts = spark.read
+        .parquet(s"/root/testdata/$sf/documents.parquet")
+        .filter(col("doc_id") % 3 === 2 && col("text").isNotNull)
+        .select("text").as[String].collect()
+      assert(texts.nonEmpty)
+      // router tier: header magic only — cheap enough to run both scales
+      val magicHit = texts.find(t => graft.functions.SniffKind
+        .compute(t.getBytes("UTF-8")).toString != "unknown")
+      assert(magicHit.isEmpty,
+        s"$sf raw-text payload matches a container magic: " +
+          magicHit.map(_.take(40)).getOrElse(""))
+      // decode tier: the full dispatcher (ImageIO probes content, not
+      // just magic) must also surface every raw text as 'unknown'
+      if (sf == "sf0.001") {
+        val probe = texts.find(t =>
+          Multimodal.sniffMedia(t.getBytes("UTF-8")).getString(0) != "unknown")
+        assert(probe.isEmpty,
+          s"sniffMedia routed a raw text as a container: " +
+            probe.map(_.take(40)).getOrElse(""))
+      }
+    }
   }
 
   test("weightedTopK: integer-weight max-hash priorities match a " +
