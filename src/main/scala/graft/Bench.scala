@@ -99,6 +99,21 @@ object Bench {
     // SPARK_GRAFT_ONLY=q_a,q_b runs a subset — local profiling aid
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // CONCURRENT memo prewarm (SPARK_GRAFT_PREWARM=0 disables): the
+    // shared index/lake builds otherwise run serially inside their
+    // first consumers' wall-clock — pure cold-run tax, since the
+    // reported per-query MIN is the warm pass either way. Overlapping
+    // them on the 32-core box cuts the tax to the longest chain. In
+    // warm-artifact mode the installed memos make these thunks no-ops.
+    // Subset runs skip it (a 2-query profile must not build 18 memos).
+    val prewarmWall: Double =
+      if (only.isEmpty && sys.env.get("SPARK_GRAFT_PREWARM").forall(_ != "0")) {
+        val (n, secs) =
+          graft.queries.ExtensionQueries.prewarmSharedFrames(spark, sfDir)
+        System.err.println(
+          f"[bench] prewarmed $n shared-frame groups in $secs%.1f s")
+        secs
+      } else 0.0
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
@@ -158,10 +173,31 @@ object Bench {
       selected.keys.map { n => n -> runs.map(_(n)).min }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
-    // >1.5x vs prior min AND at least 150 ms absolute (a 20 ms query
-    // tripling is noise, not a plan change), worst first
+    // EPOCH-LOAD FACTOR: the median per-query ratio vs the prior
+    // reference. Host-load epochs inflate EVERY query by a uniform
+    // 1.1-1.5x (three rounds of close-time flags adjudicated to
+    // exactly this class — see SCALING.md "Flag adjudication"), and
+    // the median over 300+ queries is a robust estimator of that
+    // uniform term: a real plan regression moves one query, not the
+    // median. Subset runs / first runs (too few paired queries) pin
+    // the factor at 1.0. Never deflates (min 1.0): a faster-than-ref
+    // epoch must not hide real regressions.
+    val pairedRatios = results.toSeq
+      .flatMap { case (n, v) => prior.get(n).filter(_ > 0).map(v / _) }
+      .sorted
+    val epochFactor: Double =
+      if (pairedRatios.size < 20) 1.0
+      else math.max(1.0, pairedRatios(pairedRatios.size / 2))
+
+    // >1.5x vs the EPOCH-ADJUSTED prior min AND at least 150 ms over
+    // it (a 20 ms query tripling is noise, not a plan change), worst
+    // first. The raw ratio is still what's reported — the adjustment
+    // gates the FLAG, not the record — so the map is auto-adjudicated:
+    // an entry means "slower than this epoch's uniform load explains".
     val regressed: Seq[String] = results.toSeq.collect {
-      case (n, v) if prior.get(n).exists(p => v > p * 1.5 && v - p > 0.15) => n -> (v / prior(n))
+      case (n, v) if prior.get(n).exists(p =>
+        v > p * epochFactor * 1.5 && v - p * epochFactor > 0.15) =>
+        n -> (v / prior(n))
     }.sortBy { case (_, ratio) => -ratio }.take(10).map {
       case (n, ratio) => "\"" + n + "\":" + fmt(ratio)
     }
@@ -171,14 +207,21 @@ object Bench {
         .mkString("{", ",", "}")
       val tail = if (dropped > 0) s""","dropped":$dropped""" else ""
       val reg = regressed.mkString("{", ",", "}")
-      // total seconds of shared-memo builds absorbed into query times
-      // this run (per-build detail in bench_full.json "memo_builds")
-      val memoSec = graft.queries.FrameMemo.buildLog.map(_._2).sum
+      // the memo TAX this run actually paid in wall-clock: the
+      // concurrent-prewarm phase (overlapped builds count once, as
+      // elapsed time) plus any stragglers that still built inside a
+      // timed query window. Per-build detail (including per-thunk
+      // prewarm attribution) stays in bench_full.json "memo_builds" —
+      // under overlap the ledger SUM intentionally exceeds this wall
+      // figure; the sum double-counts concurrent seconds.
+      val memoSec = prewarmWall + graft.queries.FrameMemo.buildLog
+        .collect { case (_, secs, c) if !c.startsWith("(prewarm") => secs }
+        .sum
       val fullRef =
         if (only.nonEmpty) "bench_full_subset.json"
         else if (loadedArtifacts == 0) "bench_full.json"
         else "bench_full_warm.json"
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$tail,"regressed":$reg,"memo_sec":${fmt(memoSec)},"full":"$fullRef","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$tail,"regressed":$reg,"epoch":${fmt(epochFactor)},"memo_sec":${fmt(memoSec)},"full":"$fullRef","sf":"$sfDir"}"""
     }
 
     // Full-precision record to disk (survives any stdout truncation).
@@ -234,7 +277,7 @@ object Bench {
         else if (coldFull) "bench_full.json"
         else "bench_full_warm.json"
       val w = new java.io.PrintWriter(fullName, "UTF-8")
-      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"passes":$passesJson,"memo_builds":$memoJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"passes":$passesJson,"memo_builds":$memoJson,"prewarm_wall":$prewarmWall,"epoch":$epochFactor,"sf":"$sfDir"}""")
       finally w.close()
       // a FULL COLD run becomes the next run's per-sf regression
       // reference; subset and warm-artifact runs never touch it

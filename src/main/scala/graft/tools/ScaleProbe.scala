@@ -140,6 +140,12 @@ object ScaleProbe {
     buildStressed(spark, sfDir, outDir, factor)
     spark.range(1000).selectExpr("sum(id)").collect()
     val fns = graft.SparkEntry.queries
+    // SPARK_GRAFT_PROBES=q_a,q_b probes a subset — the re-measurement
+    // aid (a clean-epoch re-probe of one flagged row, or a second
+    // decade at ×64 for one family, must not pay the full list)
+    val probes = sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Probes)
     // Two passes per (query, dir): pass 1 is COLD (fresh per-dir
     // memos, so index builds are included — the honest end-to-end
     // cost) and pass 2 is WARM (indexes built, the steady-state
@@ -154,9 +160,9 @@ object ScaleProbe {
       }
       (once(), once())
     }
-    val t1 = Probes.map(n => n -> time(n, sfDir)).toMap
-    val tN = Probes.map(n => n -> time(n, outDir)).toMap
-    val entries = Probes.map { n =>
+    val t1 = probes.map(n => n -> time(n, sfDir)).toMap
+    val tN = probes.map(n => n -> time(n, outDir)).toMap
+    val entries = probes.map { n =>
       val (ac, aw) = t1(n)
       val (bc, bw) = tN(n)
       s""""$n":{"t1":${fmt(ac)},"t1_warm":${fmt(aw)},"t$factor":${fmt(bc)},"t${factor}_warm":${fmt(bw)},"ratio":${fmt(bc / ac)},"ratio_warm":${fmt(bw / aw)}}"""
