@@ -129,9 +129,14 @@ object ScaleProbe {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale8"
     val factor = if (args.length > 2) args(2).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE overrides the shuffle-partition count — the
+    // knob a real cluster sizes with the data (at ×N the per-partition
+    // row count grows ×N on a fixed count; sort/spill costs then grow
+    // superlinearly — this lets the probe MEASURE that attribution)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
