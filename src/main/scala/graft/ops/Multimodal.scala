@@ -1079,27 +1079,13 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
-  /** Synthetic frame-geometry columns for the row-explosion demo
-    * ([[sampleFrames]]): deterministic length-derived dimensions and
-    * frame count, computed in codegen'd SQL expressions so the DuckDB
-    * oracle reproduces the explosion exactly. This is declared
-    * plumbing (REAL frame decode needs codec libraries this container
-    * lacks); the real metadata paths are [[decodeMedia]]/[[sniffMedia]].
-    */
-  def metaColumns(bin: Column): Seq[Column] = {
-    val n = length(bin).cast("long")
-    Seq(
-      n.as("n_bytes"),
-      (n % 640).cast("int").as("width"),
-      ((n * 31) % 480).cast("int").as("height"),
-      (n % 30 + 1).cast("int").as("n_frames"))
-  }
-
-  /** Resize plumbing: a metadata-level resize-to-fit (max edge) that
-    * preserves the stubbed aspect ratio with integer arithmetic —
-    * deterministic in any engine. A real implementation would resize
-    * pixels in the per-partition decode pass; the dimension math here
-    * is the part the pipeline schema depends on.
+  /** Metadata-level resize-to-fit (max edge), aspect preserved with
+    * integer arithmetic — deterministic in any engine. The dimension
+    * CONTRACT of the real pixel resize ([[thumbnailPng]] /
+    * [[decodeThumbnails]] use the same math on actual images); on a
+    * catalog this computes target dims without touching payloads,
+    * composing with the real header decode ([[decodeImageMeta]]'s
+    * width/height columns).
     */
   def resizeMeta(df: DataFrame, maxEdge: Int): DataFrame = {
     val longest = greatest(col("width"), col("height"))
@@ -1112,39 +1098,68 @@ object Multimodal {
           .otherwise((col("height") * scaleNum / longest).cast("int")))
   }
 
-  /** STUB feature extraction: a deterministic 4-dim feature vector
-    * from the payload bytes (prime-modular arithmetic on the length —
-    * a real extractor would run the model in the mapPartitions pass).
-    * Expression form, so it composes with [[metaColumns]].
+  /** Declared schema of REAL sampled PCM frames
+    * ([[synthWavSampleFrames]]): one row per KEPT frame, every field
+    * computed from the actual container bytes.
     */
-  def featureColumns(bin: Column, dims: Int = 4): Seq[Column] = {
-    val primes = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
-    val n = length(bin).cast("long")
-    (0 until dims).map(d =>
-      (((n * primes(d % primes.length)) % 1000L).cast("double") / 1000.0)
-        .as(s"f$d"))
-  }
+  val wavFrameSampleSchema: StructType = StructType(Seq(
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("frame_n", IntegerType, nullable = false),
+    StructField("frame_energy", LongType, nullable = false),
+    StructField("frame_peak", LongType, nullable = false)
+  ))
 
-  /** RDD twin of [[featureColumns]] — same math in the per-partition
-    * decode pass (where a real model would batch-infer).
+  /** REAL frame sampling — the row-explosion path over genuine PCM
+    * frames (replaces the retired synthetic-geometry explosion): each
+    * samples column becomes a REAL 16-bit WAV ([[wavBytes]]), the
+    * decoder walks its `frameLen`-sample frames from the parsed
+    * layout, keeps every `everyK`-th frame, and emits one row per
+    * kept frame with measurements computed from the ACTUAL bytes —
+    * sample count, exact integer energy (Σv², 64-bit-safe for
+    * frameLen ≤ 2^20), peak |v|. A null samples column or a 0-sample
+    * clip contributes no rows: this is the corpus FRAME table a
+    * sampled featurization pass feeds from (the per-doc report shape
+    * is [[synthWavFrames]]). Same Iterator→Iterator per-partition
+    * contract as every decoder here; frames of one clip never span
+    * tasks.
     */
-  def featureStub(bytes: Array[Byte], dims: Int = 4): Seq[Double] = {
-    val primes = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
-    val n = bytes.length.toLong
-    (0 until dims).map(d => ((n * primes(d % primes.length)) % 1000L).toDouble / 1000.0)
-  }
-
-  /** Frame-sampling plumbing: explode a video-ish payload into
-    * `n_frames` (stubbed) frame descriptors — demonstrates the
-    * row-explosion path (sample every k-th frame) without a codec.
-    */
-  def sampleFrames(df: DataFrame, binCol: String, everyK: Int): DataFrame = {
-    val withMeta = df.select(
-      (df.columns.toIndexedSeq.map(col) ++ metaColumns(col(binCol))): _*)
-    withMeta
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))
-      .withColumn("frame_hash",
-        md5(concat(col(binCol).cast("string"), lit(":"), col("frame_idx"))))
+  def synthWavSampleFrames(df: DataFrame, samplesCol: String,
+                           frameLen: Int, everyK: Int,
+                           sampleRate: Int = 8000): DataFrame = {
+    require(frameLen >= 1 && frameLen <= (1 << 20),
+      s"frameLen must be in [1, 2^20], got $frameLen")
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    val outSchema = StructType(df.schema.fields ++ wavFrameSampleSchema.fields)
+    val idx = df.schema.fieldIndex(samplesCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val s = r.getAs[scala.collection.Seq[Int]](idx)
+        if (s == null) Iterator.empty
+        else {
+          val bytes = wavBytes(s.toArray, sampleRate)
+          val layout = pcmLayout(bytes)
+          if (layout == null) Iterator.empty // our writer always parses
+          else {
+            val (bits, dataOff, n) = layout
+            val nFrames = if (n == 0) 0L else (n + frameLen - 1) / frameLen
+            (0L until nFrames by everyK.toLong).iterator.map { f =>
+              val start = f * frameLen
+              val end = math.min(start + frameLen, n)
+              var ss = 0L; var peak = 0L
+              var j = start
+              while (j < end) {
+                val v = pcmSample(bytes, bits, dataOff, j)
+                ss += v * v
+                val a = math.abs(v); if (a > peak) peak = a
+                j += 1
+              }
+              Row.fromSeq(r.toSeq ++ Seq(Long.box(f),
+                Int.box((end - start).toInt), Long.box(ss), Long.box(peak)))
+            }
+          }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
   }
 }

@@ -1123,6 +1123,61 @@ object ExtensionQueries {
       .orderBy(col("pred_class").asc_nulls_last)
   }
 
+  /** Evaluation harness over the served predictions — the confusion
+    * matrix a model-quality gate reads before a serving config ships.
+    * Ground truth is the deterministic stand-in label `doc_id % 4`
+    * (the fixture has no human labels; the OPERATOR — one groupBy
+    * over (truth, prediction) at corpus scale — is the deliverable,
+    * and the stand-in keeps the whole harness under the DuckDB hash
+    * gate). Universe = scored docs (non-null text); the bypass row
+    * count is q_infer_route's job.
+    */
+  def evalConfusion(s: SparkSession, d: String): DataFrame =
+    inferScored(s, d)
+      .filter(col("text").isNotNull)
+      .select((col("doc_id") % 4).cast("int").as("label"),
+        col("pred_class"))
+      .groupBy("label", "pred_class")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred_class")
+
+  /** Per-class precision / recall / F1 from the same confusion counts,
+    * in EXACT integer ppm (truncating `DIV`, so both engines agree bit
+    * for bit): `f1 = 2·tp/(n_pred + n_true)` needs no floating point
+    * at all. The classes frame is a 4-row literal joined broadcast;
+    * a class the model never predicts surfaces with n_pred = 0 and
+    * null precision rather than vanishing.
+    */
+  def evalPrf(s: SparkSession, d: String): DataFrame = {
+    val scored = inferScored(s, d).filter(col("text").isNotNull)
+      .select((col("doc_id") % 4).cast("int").as("label"),
+        col("pred_class"))
+    val classes = s.range(4).select(col("id").cast("int").as("cls"))
+    val truth = scored.groupBy(col("label").as("cls"))
+      .agg(count(lit(1)).as("n_true"))
+    val pred = scored.groupBy(col("pred_class").as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tp = scored.filter(col("label") === col("pred_class"))
+      .groupBy(col("label").as("cls"))
+      .agg(count(lit(1)).as("tp"))
+    classes
+      .join(broadcast(truth), Seq("cls"), "left")
+      .join(broadcast(pred), Seq("cls"), "left")
+      .join(broadcast(tp), Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_ppm",
+        expr("CASE WHEN n_pred = 0 THEN NULL ELSE tp * 1000000 DIV n_pred END"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN n_true = 0 THEN NULL ELSE tp * 1000000 DIV n_true END"))
+      .withColumn("f1_ppm",
+        expr("CASE WHEN n_pred + n_true = 0 THEN NULL " +
+          "ELSE 2 * tp * 1000000 DIV (n_pred + n_true) END"))
+      .orderBy("cls")
+  }
+
   /** The LIVE serving gate under the hash gate — the first streaming
     * path with its own oracle row: the documents corpus replays
     * through a genuine file micro-batch source (`readStream.parquet`,
@@ -3242,13 +3297,24 @@ object ExtensionQueries {
       .select("doc_id", "n_bytes", "width", "height", "n_frames")
       .orderBy("doc_id")
 
-  /** Frame-sampling plumbing: every 7th (stub) frame of each payload. */
-  def frameSample(s: SparkSession, d: String): DataFrame = {
-    val withBin = docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
-    Multimodal.sampleFrames(withBin, "payload", everyK = 7)
-      .select("doc_id", "frame_idx", "frame_hash")
+  /** REAL frame sampling under the hash gate (the sampled-featurization
+    * input shape: decode every k-th frame of every clip, skip the
+    * rest): token-derived samples become a genuine 16-bit WAV, the
+    * decoder walks its REAL 16-sample frames and keeps every 7th with
+    * exact integer energy and peak computed from the container bytes
+    * ([[Multimodal.synthWavSampleFrames]]). The oracle recomputes every
+    * kept frame's measurements from the same token hashes, so a frame
+    * boundary, sampling stride, or sample-decode bug breaks the hash —
+    * the row-explosion path runs on real bytes end to end (the
+    * synthetic-geometry explosion it replaces is deleted).
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.synthWavSampleFrames(
+        docs(s, d).select(col("doc_id"), tokenSamples.as("samples")),
+        "samples", frameLen = 16, everyK = 7)
+      .select("doc_id", "frame_idx", "frame_n", "frame_energy",
+        "frame_peak")
       .orderBy("doc_id", "frame_idx")
-  }
 
   /** REAL-codec audio audit under the hash gate: token-derived 16-bit
     * samples (expression-level, so the oracle can reproduce them) are
@@ -10258,6 +10324,91 @@ object ExtensionQueries {
         |  CAST(count(*) * 1000000 // tot.n AS BIGINT) AS share_ppm
         |FROM scored, tot GROUP BY pred_class, tot.n
         |ORDER BY pred_class ASC NULLS LAST""".stripMargin,
+    "q_eval_confusion" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, u.tok FROM t, unnest(ts) AS u(tok)),
+        |feat AS (SELECT doc_id, CAST((
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),1,1))-1)*65536 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),2,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),3,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),4,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),5,1))-1)
+        |  ) % 64 AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS x
+        |  FROM tok GROUP BY 1, 2),
+        |cls AS (SELECT unnest(range(4)) AS c),
+        |lg AS (SELECT f.doc_id, cls.c,
+        |    sum(f.x * (((f.b*2654435761 + (cls.c+1)*40503) % 1999) - 999)) AS logit
+        |  FROM feat f CROSS JOIN cls GROUP BY 1, 2),
+        |base AS (SELECT t.doc_id, cls.c,
+        |    COALESCE(lg.logit, 0) AS logit
+        |  FROM t CROSS JOIN cls
+        |  LEFT JOIN lg ON lg.doc_id = t.doc_id AND lg.c = cls.c),
+        |sel AS (SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY logit DESC, c ASC) AS rn
+        |  FROM base),
+        |scored AS (SELECT CAST(t.doc_id % 4 AS INT) AS label,
+        |    CAST(s.c AS INT) AS pred_class
+        |  FROM t JOIN (SELECT * FROM sel WHERE rn = 1) s
+        |    ON s.doc_id = t.doc_id)
+        |SELECT label, pred_class, CAST(count(*) AS BIGINT) AS n
+        |FROM scored GROUP BY label, pred_class
+        |ORDER BY label, pred_class""".stripMargin,
+    "q_eval_prf" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, u.tok FROM t, unnest(ts) AS u(tok)),
+        |feat AS (SELECT doc_id, CAST((
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),1,1))-1)*65536 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),2,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),3,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),4,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5('bkt:'||tok),5,1))-1)
+        |  ) % 64 AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS x
+        |  FROM tok GROUP BY 1, 2),
+        |cls0 AS (SELECT unnest(range(4)) AS c),
+        |lg AS (SELECT f.doc_id, cls0.c,
+        |    sum(f.x * (((f.b*2654435761 + (cls0.c+1)*40503) % 1999) - 999)) AS logit
+        |  FROM feat f CROSS JOIN cls0 GROUP BY 1, 2),
+        |base AS (SELECT t.doc_id, cls0.c,
+        |    COALESCE(lg.logit, 0) AS logit
+        |  FROM t CROSS JOIN cls0
+        |  LEFT JOIN lg ON lg.doc_id = t.doc_id AND lg.c = cls0.c),
+        |sel AS (SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY logit DESC, c ASC) AS rn
+        |  FROM base),
+        |scored AS (SELECT CAST(t.doc_id % 4 AS INT) AS label,
+        |    CAST(s.c AS INT) AS pred_class
+        |  FROM t JOIN (SELECT * FROM sel WHERE rn = 1) s
+        |    ON s.doc_id = t.doc_id),
+        |classes AS (SELECT CAST(unnest(range(4)) AS INT) AS cls),
+        |tr AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM scored GROUP BY label),
+        |pr AS (SELECT pred_class AS cls, CAST(count(*) AS BIGINT) AS n_pred
+        |  FROM scored GROUP BY pred_class),
+        |tpc AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS tp
+        |  FROM scored WHERE label = pred_class GROUP BY label)
+        |SELECT classes.cls,
+        |  CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+        |  CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+        |  CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+        |  CASE WHEN COALESCE(n_pred, 0) = 0 THEN NULL
+        |       ELSE CAST(COALESCE(tp, 0) * 1000000 // n_pred AS BIGINT)
+        |       END AS precision_ppm,
+        |  CASE WHEN COALESCE(n_true, 0) = 0 THEN NULL
+        |       ELSE CAST(COALESCE(tp, 0) * 1000000 // n_true AS BIGINT)
+        |       END AS recall_ppm,
+        |  CASE WHEN COALESCE(n_pred, 0) + COALESCE(n_true, 0) = 0 THEN NULL
+        |       ELSE CAST(2 * COALESCE(tp, 0) * 1000000
+        |            // (COALESCE(n_pred, 0) + COALESCE(n_true, 0)) AS BIGINT)
+        |       END AS f1_ppm
+        |FROM classes
+        |LEFT JOIN tr ON tr.cls = classes.cls
+        |LEFT JOIN pr ON pr.cls = classes.cls
+        |LEFT JOIN tpc ON tpc.cls = classes.cls
+        |ORDER BY classes.cls""".stripMargin,
     "q_infer_stream" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
@@ -12997,11 +13148,23 @@ object ExtensionQueries {
         |       ELSE NULL END AS n_frames
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
-      """WITH m AS (SELECT doc_id, text,
-        |    octet_length(encode(text)) % 30 + 1 AS n_frames FROM documents)
-        |SELECT doc_id, frame_idx,
-        |  md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
-        |FROM m, unnest(range(0, n_frames, 7)) AS u(frame_idx)
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |v AS (SELECT doc_id, i,
+        |    (strpos('0123456789abcdef', substr(md5(ts[i]),1,1))-1)*4096 +
+        |    (strpos('0123456789abcdef', substr(md5(ts[i]),2,1))-1)*256 +
+        |    (strpos('0123456789abcdef', substr(md5(ts[i]),3,1))-1)*16 +
+        |    (strpos('0123456789abcdef', substr(md5(ts[i]),4,1))-1) - 32768 AS v
+        |  FROM t, unnest(range(1, len(ts)+1)) AS u(i)),
+        |fr AS (SELECT doc_id, (i-1)//16 AS f,
+        |    CAST(count(*) AS INT) AS frame_n,
+        |    CAST(sum(v*v) AS BIGINT) AS frame_energy,
+        |    CAST(max(abs(v)) AS BIGINT) AS frame_peak
+        |  FROM v GROUP BY doc_id, ((i-1)//16))
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  frame_n, frame_energy, frame_peak
+        |FROM fr WHERE f % 7 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_dedup_bloom" ->
       """WITH base AS (SELECT DISTINCT md5(text) AS text_hash FROM documents
@@ -13324,6 +13487,8 @@ object ExtensionQueries {
     "q_infer_batch"     -> (inferBatch _),
     "q_infer_route"     -> (inferRoute _),
     "q_infer_stream"    -> (inferStreamQ _),
+    "q_eval_confusion"  -> (evalConfusion _),
+    "q_eval_prf"        -> (evalPrf _),
     "q_audio_stats"     -> (audioStats _),
     "q_audio_vad"       -> (audioVad _),
     "q_media_sniff"     -> (mediaSniff _),

@@ -72,7 +72,15 @@ object ScaleProbe {
     "q_trained_persist", "q_minhash_persist",
     // round-14 second wave: the new serving + video families — both
     // pure per-partition projections, expected ~linear in rows
-    "q_infer_batch", "q_video_meta")
+    "q_infer_batch", "q_video_meta",
+    // round-15: the REAL PCM frame explosion (mapPartitions flatMap,
+    // ~linear in kept frames) and the eval harness (groupBy to a
+    // 4-row frame, ~linear scan). q_infer_stream is NOT probed: its
+    // builder symlinks the fixture's single documents.parquet FILE
+    // into the stream source dir, and the stressed copy is a parquet
+    // DIRECTORY — the replay-at-scale story is q_infer_batch's (same
+    // batchedServe loop, same per-partition cost)
+    "q_frame_sample", "q_eval_prf")
 
   def buildStressed(spark: SparkSession, sfDir: String, outDir: String,
                     factor: Int): Unit = {

@@ -1509,21 +1509,29 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 320, 240), (2L, 640, 240)))
   }
 
-  test("featureColumns and featureStub agree (expression vs decode-pass math)") {
-    val d = Seq((1L, "abcdef")).toDF("doc_id", "text")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val viaExpr = d.select(Multimodal.featureColumns(col("payload")): _*)
-      .as[(Double, Double, Double, Double)].head()
-    val viaStub = Multimodal.featureStub("abcdef".getBytes)
-    assert(Seq(viaExpr._1, viaExpr._2, viaExpr._3, viaExpr._4) === viaStub)
-  }
-
-  test("sampleFrames explodes every k-th frame with deterministic hashes") {
-    val d = Seq((1L, "0123456789")).toDF("doc_id", "text") // 10 bytes -> 11 frames
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val frames = Multimodal.sampleFrames(d, "payload", everyK = 5)
-      .select("frame_idx").as[Int].collect().sorted
-    assert(frames.toSeq === Seq(0, 5, 10))
+  test("synthWavSampleFrames samples REAL PCM frames: every k-th frame " +
+    "of the written container with exact energy/peak from the bytes, " +
+    "a ragged final frame kept short, null/empty clips emit no rows") {
+    // 11 samples at frameLen 4 -> frames [0..3][4..7][8..10]; keep 0, 2
+    val samples = Seq(100, -200, 300, 0, 5, 5, 5, 5, -7, 7, 32767)
+    val d = Seq((1L, Some(samples)), (2L, Some(Seq.empty[Int])),
+        (3L, Option.empty[Seq[Int]]))
+      .toDF("doc_id", "samples")
+    val out = Multimodal.synthWavSampleFrames(d, "samples",
+        frameLen = 4, everyK = 2)
+      .select("doc_id", "frame_idx", "frame_n", "frame_energy", "frame_peak")
+      .as[(Long, Long, Int, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(out.map(_._1).distinct === Seq(1L), "empty/null clips: no rows")
+    assert(out === Seq(
+      (1L, 0L, 4, 100L*100 + 200L*200 + 300L*300, 300L),
+      (1L, 2L, 3, 49L + 49L + 32767L*32767, 32767L)))
+    // stride 1 keeps every frame — the middle frame's numbers are real
+    val all = Multimodal.synthWavSampleFrames(
+        Seq((1L, samples)).toDF("doc_id", "samples"), "samples",
+        frameLen = 4, everyK = 1)
+      .select("frame_idx", "frame_n", "frame_energy")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(all === Seq((0L, 4, 140000L), (1L, 4, 100L), (2L, 3, 1073676387L)))
   }
 
   test("bm25TopDocs: hand-computed Okapi scores, rank by quantized " +
