@@ -1201,17 +1201,22 @@ object ExtensionQueries {
       .createTempDirectory("graft_inferstream_").toString
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_inferstream_ck_").toString
-    // the file source streams a DIRECTORY; the fixture is a single
-    // parquet file, so stage a zero-copy symlink (a real lake already
-    // IS a directory of files — nothing here copies data)
-    val src = java.nio.file.Files
-      .createTempDirectory("graft_inferstream_src_")
-    java.nio.file.Files.createSymbolicLink(
-      src.resolve("documents.parquet"),
-      java.nio.file.Paths.get(s"$d/documents.parquet"))
+    // the file source streams a DIRECTORY. A real lake already is one
+    // (stream it directly); this fixture is a single parquet FILE, so
+    // stage a zero-copy symlink into a temp dir — nothing copies data
+    val docsPath = java.nio.file.Paths.get(s"$d/documents.parquet")
+    val srcDir =
+      if (java.nio.file.Files.isDirectory(docsPath)) docsPath.toString
+      else {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft_inferstream_src_")
+        java.nio.file.Files.createSymbolicLink(
+          t.resolve("documents.parquet"), docsPath)
+        t.toString
+      }
     val live = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // real micro-batches
-      .parquet(src.toString)
+      .parquet(srcDir)
       .select(expr("timestamp_micros(doc_id)").as("ts"),
         col("doc_id"), col("text"))
       .as[(java.sql.Timestamp, Long, String)]

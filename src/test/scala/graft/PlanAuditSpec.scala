@@ -814,14 +814,36 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_infer_batch serves per-partition (ExistingRDD leaf over the " +
     "mapPartitions session) — no exchange but the presentation sort, " +
-    "no join, no UDF: the model rides the closure, rows never shuffle " +
-    "to reach it") {
+    "no join, no UDF: the model rides a BROADCAST (the task closure " +
+    "carries only the handle), rows never shuffle to reach it") {
     val d = "/root/testdata/sf0.001"
     val p = plan(graft.queries.ExtensionQueries.queries("q_infer_batch")(spark, d))
     assert(p.contains("ExistingRDD"), p)
     assert(!p.contains("Join"), p)
     assert(!p.contains("hashpartitioning"), p)
     assert(!p.contains("UDF"), p)
+  }
+
+  test("q_eval_prf joins its 4-row class/count frames BROADCAST — no " +
+    "sort-merge join, no cartesian: the only data-sized work is the " +
+    "partial aggregation of the scored memo, which shuffles 4-key " +
+    "partials, not rows") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.ExtensionQueries.queries("q_eval_prf")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_frame_sample explodes frames per-partition (ExistingRDD leaf " +
+    "over the synth->decode pass) — no join, no data shuffle but the " +
+    "presentation sort: a clip's frames are emitted where its bytes " +
+    "live") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.ExtensionQueries.queries("q_frame_sample")(spark, d))
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), p)
   }
 
   test("q_media_sniff decodes via the per-partition mapPartitions " +
