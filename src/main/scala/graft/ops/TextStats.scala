@@ -1413,6 +1413,131 @@ object TextStats {
       .select("term", "doc_id", "rank", "score_q", "score")
   }
 
+  /** Multi-term BM25 top-k with EXACT impact-ordered pruning — the
+    * scale path for text retrieval, the same brute-vs-pruned split the
+    * ANN family draws (brute cosine vs IVF): the naive plan fully
+    * scores every document matching ANY query term; this one reads
+    * only a PREFIX of each term's impact-ordered posting list and
+    * certifies the result exact with the threshold-algorithm bound
+    * (Fagin et al., PODS '01; WAND's ancestor), batch-adapted.
+    *
+    * Queries are derived deterministically from the corpus (the
+    * q_bm25 convention): the `nQueryTerms` highest-df terms, dealt
+    * round-robin into `nQueries` bags of terms (rank r → query
+    * (r-1) % nQueries), scored disjunctively (a doc's score = sum of
+    * its per-term quantized BM25 contributions over the bag).
+    *
+    * The pruning loop: postings for the query terms only, each list
+    * ranked by impact (score_q desc, doc_id). At prefix depth D the
+    * candidates are the union of the per-list top-D; candidates are
+    * fully scored (ALL their postings, not just prefix rows — a
+    * candidate-keyed semi-join; at scale the candidate set is tiny
+    * and broadcast). Certificate: any NON-candidate ranks > D in
+    * every list, so its score is at most the sum of each list's
+    * rank-(D+1) impact; if that bound is STRICTLY below the k-th
+    * candidate score (strict, so the doc_id tiebreak can never be
+    * reached by an unseen doc), the top-k is provably the true
+    * top-k. Not certified → D doubles (a bounded driver loop, 3-row
+    * probe per round — the vocab-probe pattern); a list that runs out
+    * contributes 0 to the bound, so exhaustion certifies trivially.
+    *
+    * Determinism across engines: per-term scores quantize to
+    * floor(score*10000) BEFORE the sum (longs add order-free);
+    * ranking by (score_q desc, doc_id).
+    *
+    * Shape for scale: ONE exploded tf feeds df/dl/postings (the
+    * bm25TopDocs materialization discipline); the query-term map is
+    * a bounded driver probe broadcast into the postings join; the
+    * loop re-reads the CHECKPOINTED postings frame (query terms
+    * only — corpus-sized work happens once), and every loop-round
+    * aggregate is per-(qid,doc) partial-agged before its shuffle.
+    */
+  def bm25WandTopDocs(docs: DataFrame, nQueryTerms: Int = 9,
+                      nQueries: Int = 3, k: Int = 10,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      d0: Int = 64,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(nQueryTerms >= 1 && nQueries >= 1 && k >= 1 && d0 >= 1,
+      "nQueryTerms, nQueries, k, d0 must be >= 1")
+    val s = docs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val probe = docs.filter(col(textCol).isNotNull)
+      .select(count(lit(1)), sum(size(tokens(col(textCol)))).cast("long"))
+      .head()
+    val n = probe.getLong(0)
+    require(n > 0, "corpus is empty")
+    val avgdl = probe.getLong(1).toDouble / n
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum(col("c")).as("dl"))
+    // bounded probe: the query-term list (nQueryTerms rows) with its
+    // df, dealt round-robin into query bags
+    val qtRows = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(nQueryTerms)
+      .collect()
+    val qterms = s.createDataFrame(
+      qtRows.zipWithIndex.map { case (r, i) =>
+        Row(r.getString(0), r.getLong(1), Integer.valueOf(i % nQueries))
+      }.toSeq.asJava,
+      StructType(Seq(StructField("term", StringType),
+        StructField("df", LongType), StructField("qid", IntegerType))))
+    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val score = idf * (col("c") * (k1 + 1)) /
+      (col("c") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    // postings: query terms only, impact-ranked within each list —
+    // this is the frame the loop prefixes, so materialize it once
+    val postings = tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("score_q", floor(score * 10000).cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("term").orderBy(col("score_q").desc, col("doc_id"))))
+      .select("qid", "term", "doc_id", "score_q", "rnk")
+      .localCheckpoint()
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("score_q").desc, col("doc_id"))
+    var d = d0
+    var result: DataFrame = null
+    while (result == null) {
+      val cand = postings.filter(col("rnk") <= d)
+        .select("qid", "doc_id").distinct()
+      // the checkpointed postings frame has no stats Spark could use,
+      // so hint the join side: candidates are ≤ nQueryTerms·D rows —
+      // broadcast while that bound is small, shuffle once it isn't
+      val candSide = if (nQueryTerms.toLong * d <= 1000000L)
+        broadcast(cand) else cand
+      val ranked = postings.join(candSide, Seq("qid", "doc_id"))
+        .groupBy("qid", "doc_id")
+        .agg(sum(col("score_q")).as("score_q"),
+          count(lit(1)).as("n_terms"))
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= k)
+      // certificate probe: nQueries rows — (k-th candidate score,
+      // sum of rank-(D+1) impacts, open-list count)
+      val kth = ranked.groupBy("qid")
+        .agg(min(col("score_q")).as("kth"), count(lit(1)).as("nc"))
+      val ub = postings.filter(col("rnk") === d + 1)
+        .groupBy("qid")
+        .agg(sum(col("score_q")).as("bound"), count(lit(1)).as("n_open"))
+      val cert = kth.join(ub, Seq("qid"), "left").collect()
+      val allCertified = cert.forall { r =>
+        val exhausted = r.isNullAt(r.fieldIndex("bound"))
+        exhausted ||
+          (r.getLong(r.fieldIndex("nc")) >= k &&
+            r.getLong(r.fieldIndex("bound")) < r.getLong(r.fieldIndex("kth")))
+      }
+      if (allCertified)
+        result = ranked
+          .select(col("qid"), col("doc_id"), col("rank"),
+            col("score_q"), col("n_terms"))
+          .orderBy("qid", "rank")
+      else d = d * 2
+    }
+    result
+  }
+
   /** Bigram language-model scoring — the cheap perplexity proxy a
     * corpus pipeline uses to flag out-of-distribution or garbled text
     * (a KenLM stand-in with the same dataflow). Train side: bigram

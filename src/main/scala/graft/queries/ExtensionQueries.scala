@@ -975,6 +975,18 @@ object ExtensionQueries {
     TextStats.bm25TopDocs(docs(s, d), nQueryTerms = 10, k = 5)
       .orderBy("term", "rank")
 
+  /** Multi-term BM25 top-k via EXACT impact-ordered pruning
+    * ([[TextStats.bm25WandTopDocs]] — the threshold-algorithm bound,
+    * WAND's ancestor): three 3-term queries dealt from the 9
+    * highest-df terms, k=10 each. The oracle fully scores every
+    * matching document; the engine reads only certified prefixes of
+    * the impact-ordered posting lists — the hash gate proves the
+    * pruned plan returns the EXACT brute-force top-k, the same
+    * brute-vs-pruned contract the ANN family carries.
+    */
+  def bm25Wand(s: SparkSession, d: String): DataFrame =
+    TextStats.bm25WandTopDocs(docs(s, d))
+
   /** Shared bigram-LM score frame (train on even docs, score odd docs)
     * — materialized once and read by the score report AND the
     * filter-AUC audit, the dsirWeights memo discipline.
@@ -1193,6 +1205,85 @@ object ExtensionQueries {
     * verdict rule, the foreachBatch landing — breaks the hash, not
     * just a spec's bit-identity claim.
     */
+  /** The file source streams a DIRECTORY. A real lake already is one
+    * (stream it directly); a single-parquet-FILE fixture is staged as
+    * a zero-copy symlink into a temp dir — nothing copies data.
+    */
+  private def stageStreamDir(path: String, tmpPrefix: String,
+                             linkName: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) p.toString
+    else {
+      val t = java.nio.file.Files.createTempDirectory(tmpPrefix)
+      java.nio.file.Files.createSymbolicLink(t.resolve(linkName), p)
+      t.toString
+    }
+  }
+
+  /** Last-touch attribution computed by the LIVE stream-stream
+    * interval join — the watermarked two-source join under the hash
+    * gate (q_infer_stream gates a stateless per-row server; THIS
+    * gates Spark's stream-stream state machinery): clicks and views
+    * replay through two independent file micro-batch sources, the
+    * inner event-time-bounded join (same-user views inside the
+    * preceding 24 h, watermark 1 h on both sides — the bound that
+    * makes join state finite and evictable) emits every qualifying
+    * pair, pairs land via `foreachBatch`, and the last-touch winner
+    * per click is picked over the LANDED table. DuckDB recomputes the
+    * whole thing analytically — the batch q_attribution oracle
+    * verbatim — so a drift anywhere in the live path (replay, state
+    * store, join emission, landing) breaks the hash. Inner join on
+    * purpose: matched pairs emit eagerly and deterministically,
+    * where outer-side nulls would wait on a watermark advance that a
+    * finite replay never delivers.
+    */
+  def attrStream(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_attrstream_").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_attrstream_ck_").toString
+    val batch = Tables.events(s, d)
+    val srcDir = stageStreamDir(s"$d/events.parquet",
+      "graft_attrstream_src_", "events.parquet")
+    // one live source per join side: clicks and views are separate
+    // streams (a real pipeline's impression and conversion topics)
+    def side(eventType: String, idAs: String, usAs: String,
+             tsAs: String, userAs: String): DataFrame = {
+      val raw = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val us = AnalyticsQueries.epochUs(raw, "ts")
+      raw.filter(col("event_type") === eventType)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          us.as(usAs))
+        .withColumn(tsAs, expr(s"timestamp_micros($usAs)"))
+        .withWatermark(tsAs, "1 hour")
+    }
+    val clicks = side("click", "click_id", "click_us", "cts", "user_id")
+    val views = side("view", "view_id", "view_us", "vts", "v_user")
+    val pairs = clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("vts") <= col("cts") &&
+        col("cts") <= col("vts") + expr("INTERVAL 24 HOURS"))
+      .select("click_id", "user_id", "click_us", "view_id", "view_us")
+    val q = pairs.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("click_id")
+      .orderBy(col("view_us").desc, col("view_id").desc)
+    s.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("click_id"), col("user_id"), col("click_us"),
+        col("view_id"), col("view_us"),
+        (col("click_us") - col("view_us")).as("gap_us"))
+      .orderBy("click_id")
+  }
+
   def inferStreamQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val keepClass = 2
@@ -1201,19 +1292,8 @@ object ExtensionQueries {
       .createTempDirectory("graft_inferstream_").toString
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_inferstream_ck_").toString
-    // the file source streams a DIRECTORY. A real lake already is one
-    // (stream it directly); this fixture is a single parquet FILE, so
-    // stage a zero-copy symlink into a temp dir — nothing copies data
-    val docsPath = java.nio.file.Paths.get(s"$d/documents.parquet")
-    val srcDir =
-      if (java.nio.file.Files.isDirectory(docsPath)) docsPath.toString
-      else {
-        val t = java.nio.file.Files
-          .createTempDirectory("graft_inferstream_src_")
-        java.nio.file.Files.createSymbolicLink(
-          t.resolve("documents.parquet"), docsPath)
-        t.toString
-      }
+    val srcDir = stageStreamDir(s"$d/documents.parquet",
+      "graft_inferstream_src_", "documents.parquet")
     val live = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // real micro-batches
       .parquet(srcDir)
@@ -10239,6 +10319,30 @@ object ExtensionQueries {
         |  FROM sq)
         |SELECT term, doc_id, rank, score_q, score FROM r
         |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
+    "q_bm25_wand" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |topq AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r
+        |  FROM dfreq ORDER BY df DESC, term LIMIT 9),
+        |q AS (SELECT term, df, CAST((r - 1) % 3 AS INT) AS qid FROM topq),
+        |n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |tot AS (SELECT CAST(sum(dl) AS DOUBLE) AS t FROM dl),
+        |s AS (SELECT q.qid, tf.doc_id,
+        |    CAST(floor((ln((CAST((SELECT n FROM n) AS DOUBLE) - q.df + 0.5) / (q.df + 0.5) + 1) *
+        |    (tf.c * 2.2) /
+        |    (tf.c + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+        |      ((SELECT t FROM tot) / (SELECT n FROM n))))) * 10000) AS BIGINT) AS sc
+        |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)),
+        |agg AS (SELECT qid, doc_id, CAST(sum(sc) AS BIGINT) AS score_q,
+        |    count(*) AS n_terms FROM s GROUP BY 1, 2),
+        |r2 AS (SELECT qid, doc_id, score_q, n_terms,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_q DESC, doc_id) AS INT) AS rank
+        |  FROM agg)
+        |SELECT qid, doc_id, rank, score_q, n_terms FROM r2
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_lm_score" ->
       """WITH tr AS (SELECT string_split(text,' ') AS ts
         |  FROM documents WHERE doc_id % 2 = 0),
@@ -10414,6 +10518,24 @@ object ExtensionQueries {
         |LEFT JOIN pr ON pr.cls = classes.cls
         |LEFT JOIN tpc ON tpc.cls = classes.cls
         |ORDER BY classes.cls""".stripMargin,
+    "q_attr_stream" ->
+      // the LIVE stream-stream join must land exactly what the batch
+      // attribution computes — the q_attribution oracle, verbatim
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |v AS (SELECT user_id, us AS view_us, event_id AS view_id
+        |  FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us AS click_us, event_id AS click_id
+        |  FROM e WHERE event_type = 'click'),
+        |p AS (SELECT c.click_id, c.user_id, c.click_us, v.view_us, v.view_id,
+        |    row_number() OVER (PARTITION BY c.click_id
+        |      ORDER BY v.view_us DESC, v.view_id DESC) AS rn
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |  WHERE v.view_us <= c.click_us
+        |    AND c.click_us <= v.view_us + 86400000000)
+        |SELECT click_id, user_id, click_us, view_id, view_us,
+        |  click_us - view_us AS gap_us
+        |FROM p WHERE rn = 1 ORDER BY click_id""".stripMargin,
     "q_infer_stream" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text,' '), x -> len(x) > 0) AS ts
@@ -13485,6 +13607,7 @@ object ExtensionQueries {
     "q_source_mix"      -> (sourceMix _),
     "q_token_drift"     -> (tokenDrift _),
     "q_bm25"            -> (bm25 _),
+    "q_bm25_wand"       -> (bm25Wand _),
     "q_lm_score"        -> (lmScore _),
     "q_filter_yield"    -> (filterYieldQ _),
     "q_dsir"            -> (dsir _),
@@ -13492,6 +13615,7 @@ object ExtensionQueries {
     "q_infer_batch"     -> (inferBatch _),
     "q_infer_route"     -> (inferRoute _),
     "q_infer_stream"    -> (inferStreamQ _),
+    "q_attr_stream"     -> (attrStream _),
     "q_eval_confusion"  -> (evalConfusion _),
     "q_eval_prf"        -> (evalPrf _),
     "q_audio_stats"     -> (audioStats _),

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextStats}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
@@ -1551,6 +1552,43 @@ class OpsSpec extends SparkSpec {
       Seq(("x", 1L, 1), ("x", 2L, 2), ("y", 3L, 1), ("y", 1L, 2)))
     assert(out.map(_._4).toSeq ===
       Seq(q(score(2, 3)), q(score(1, 2)), q(score(3, 4)), q(score(1, 3))))
+  }
+
+  test("bm25WandTopDocs: the certified pruned top-k EQUALS brute-force " +
+    "full scoring on the real corpus, at the default prefix depth AND " +
+    "at d0=1 (forcing the threshold-algorithm doubling loop through " +
+    "its uncertified rounds)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // brute force: fully score every doc matching any query term
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val probe = docs.filter(col("text").isNotNull)
+      .select(count(lit(1)), sum(size(split(col("text"), " "))).cast("long"))
+      .head()
+    val n = probe.getLong(0); val avgdl = probe.getLong(1).toDouble / n
+    val dl = tf.groupBy("doc_id").agg(sum("c").as("dl"))
+    val qt = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(9).collect()
+      .zipWithIndex.map { case (r, i) => (r.getString(0), r.getLong(1), i % 3) }
+    val qdf = qt.toSeq.toDF("term", "df", "qid")
+    val sc = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+      (col("c") * 2.2) /
+      (col("c") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val brute = tf.join(qdf, Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("sq", floor(sc * 10000).cast("long"))
+      .groupBy("qid", "doc_id")
+      .agg(sum("sq").as("score_q"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score_q").desc, col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .select("qid", "doc_id", "rank", "score_q", "n_terms")
+      .as[(Int, Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    for (d0 <- Seq(64, 1)) {
+      val pruned = TextStats.bm25WandTopDocs(docs, d0 = d0)
+        .as[(Int, Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._3))
+      assert(pruned.toSeq === brute.toSeq, s"d0=$d0")
+    }
   }
 
   test("lmScore: add-one-smoothed bigram log probs, quantized before " +
