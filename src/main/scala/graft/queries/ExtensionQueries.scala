@@ -6289,6 +6289,83 @@ object ExtensionQueries {
     * disagreement, a real finding), Landis–Koch (Biometrics 1977)
     * verdict bands. One grouped aggregate over the corpus.
     */
+  /** Bradley–Terry pairwise-preference ranking (the MM algorithm,
+    * Hunter, Ann. Stat. 2004) — the RLHF-data QC op: given pairwise
+    * comparisons, fit a strength per item so annotator/system/source
+    * quality can be ranked from preferences alone. Comparisons derive
+    * deterministically from the events stream: each user's
+    * consecutive event pair (by event_id) is a duel between the two
+    * event types, won by the one carrying the higher `value` (ties,
+    * self-pairs, and null values drop).
+    *
+    * The MM update `w_i ← W_i / Σ_j N_ij/(w_i+w_j)` runs THREE fixed
+    * iterations in pure integer fixed-point: weights live in micros,
+    * each denominator term quantizes to `N_ij·10¹² div (w_i+w_j)`
+    * BEFORE the per-item sum (longs add order-free — the lmScore
+    * discipline), and the update is one long division, so DuckDB
+    * replays the whole optimization bit-exactly (the q_train_probe
+    * precedent: gate the learned weights, not just a score).
+    * Never-winning items floor at weight 1 (greatest guard), keeping
+    * every denominator positive.
+    *
+    * Shape for scale: one shuffle on user_id for the lag window; the
+    * comparison counts partial-agg before their (i,j)-keyed shuffle;
+    * each MM iteration joins the pair-count frame against the
+    * BROADCAST current weights twice and re-aggregates per item —
+    * at millions of items the pair frame shuffles on i while weights
+    * stay the map-side build.
+    */
+  def btRankQ(s: SparkSession, d: String): DataFrame =
+    bradleyTerry(Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value")))
+
+  /** Core over a (user_id, event_id, event_type, value) frame. */
+  private[graft] def bradleyTerry(ev: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byUser = W.partitionBy("user_id").orderBy("event_id")
+    val lagged = ev
+      .withColumn("a", lag(col("event_type"), 1).over(byUser))
+      .withColumn("va", lag(col("value"), 1).over(byUser))
+      .filter(col("a").isNotNull && col("va").isNotNull &&
+        col("value").isNotNull &&
+        col("va") =!= col("value") && col("a") =!= col("event_type"))
+    val n = lagged
+      .select(when(col("va") > col("value"), col("a"))
+          .otherwise(col("event_type")).as("i"),
+        when(col("va") > col("value"), col("event_type"))
+          .otherwise(col("a")).as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    val nt = n.select(col("i"), col("j"), col("c"))
+      .unionByName(n.select(col("j").as("i"), col("i").as("j"), col("c")))
+      .groupBy("i", "j").agg(sum(col("c")).as("c"))
+      .localCheckpoint() // read 3× by the MM loop + twice for the report
+    val wins = n.groupBy("i").agg(sum(col("c")).as("n_wins"))
+    var w = nt.select("i").distinct()
+      .withColumn("wq", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val sI = nt
+        .join(broadcast(w.select(col("i"), col("wq").as("wi"))), Seq("i"))
+        .join(broadcast(w.select(col("i").as("j"), col("wq").as("wj"))),
+          Seq("j"))
+        .withColumn("t", expr("c * 1000000000000 div (wi + wj)"))
+        .groupBy("i").agg(sum(col("t")).as("s"))
+      w = sI.join(broadcast(wins), Seq("i"), "left")
+        .select(col("i"),
+          greatest(expr("coalesce(n_wins, 0) * 1000000000000 div s"),
+            lit(1L)).as("wq"))
+    }
+    val nComps = nt.groupBy("i").agg(sum(col("c")).as("n_comps"))
+    w.join(broadcast(wins), Seq("i"), "left")
+      .join(broadcast(nComps), Seq("i"))
+      .select(col("i").as("event_type"),
+        coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+        col("n_comps"), col("wq").as("w_q"))
+      .withColumn("rank", row_number().over(
+        W.orderBy(col("w_q").desc, col("event_type"))))
+      .orderBy("event_type")
+  }
+
   def kappaQ(s: SparkSession, d: String): DataFrame =
     kappa(docs(s, d).select(col("source"),
       (col("n_chars") >= 150 && col("n_chars") <= 1500).as("ra"),
@@ -8993,6 +9070,46 @@ object ExtensionQueries {
         |  CAST(CASE WHEN tot_e10 >= 0 THEN tot_e10 // 2000000
         |       ELSE -((-tot_e10) // 2000000) END AS BIGINT) AS jsd_e4
         |FROM t ORDER BY source""".stripMargin) +
+    ("q_bt_rank" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, value FROM events),
+        |lagd AS (SELECT
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS a,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS va,
+        |    event_type AS b, value AS vb
+        |  FROM ev),
+        |comp AS (SELECT
+        |    CASE WHEN va > vb THEN a ELSE b END AS i,
+        |    CASE WHEN va > vb THEN b ELSE a END AS j
+        |  FROM lagd
+        |  WHERE a IS NOT NULL AND va IS NOT NULL AND vb IS NOT NULL
+        |    AND va <> vb AND a <> b),
+        |n AS (SELECT i, j, CAST(count(*) AS BIGINT) AS c FROM comp GROUP BY 1, 2),
+        |nt AS (SELECT i, j, CAST(sum(c) AS BIGINT) AS c FROM (
+        |    SELECT i, j, c FROM n
+        |    UNION ALL SELECT j AS i, i AS j, c FROM n) GROUP BY 1, 2),
+        |wins AS (SELECT i, CAST(sum(c) AS BIGINT) AS n_wins FROM n GROUP BY 1),
+        |w0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS wq FROM nt),
+        |s1 AS (SELECT nt.i, CAST(sum(nt.c * 1000000000000 // (wa.wq + wb.wq)) AS BIGINT) AS s
+        |  FROM nt JOIN w0 wa ON nt.i = wa.i JOIN w0 wb ON nt.j = wb.i GROUP BY nt.i),
+        |w1 AS (SELECT s1.i,
+        |    greatest(COALESCE(wins.n_wins, 0) * 1000000000000 // s1.s, 1) AS wq
+        |  FROM s1 LEFT JOIN wins ON s1.i = wins.i),
+        |s2 AS (SELECT nt.i, CAST(sum(nt.c * 1000000000000 // (wa.wq + wb.wq)) AS BIGINT) AS s
+        |  FROM nt JOIN w1 wa ON nt.i = wa.i JOIN w1 wb ON nt.j = wb.i GROUP BY nt.i),
+        |w2 AS (SELECT s2.i,
+        |    greatest(COALESCE(wins.n_wins, 0) * 1000000000000 // s2.s, 1) AS wq
+        |  FROM s2 LEFT JOIN wins ON s2.i = wins.i),
+        |s3 AS (SELECT nt.i, CAST(sum(nt.c * 1000000000000 // (wa.wq + wb.wq)) AS BIGINT) AS s
+        |  FROM nt JOIN w2 wa ON nt.i = wa.i JOIN w2 wb ON nt.j = wb.i GROUP BY nt.i),
+        |w3 AS (SELECT s3.i,
+        |    CAST(greatest(COALESCE(wins.n_wins, 0) * 1000000000000 // s3.s, 1) AS BIGINT) AS wq
+        |  FROM s3 LEFT JOIN wins ON s3.i = wins.i),
+        |nc AS (SELECT i, CAST(sum(c) AS BIGINT) AS n_comps FROM nt GROUP BY 1)
+        |SELECT w3.i AS event_type, COALESCE(wins.n_wins, 0) AS n_wins,
+        |  nc.n_comps, w3.wq AS w_q,
+        |  CAST(row_number() OVER (ORDER BY w3.wq DESC, w3.i) AS INT) AS rank
+        |FROM w3 LEFT JOIN wins ON w3.i = wins.i JOIN nc ON w3.i = nc.i
+        |ORDER BY event_type""".stripMargin) +
     ("q_kappa" ->
       """WITH r AS (SELECT source,
         |    n_chars >= 150 AND n_chars <= 1500 AS ra,
@@ -13803,6 +13920,7 @@ object ExtensionQueries {
     "q_psi"             -> (psiQ _),
     "q_js_div"          -> (jsDivQ _),
     "q_kappa"           -> (kappaQ _),
+    "q_bt_rank"         -> (btRankQ _),
     "q_bh_fdr"          -> (bhFdrQ _),
     "q_permutation"     -> (permutationQ _),
     "q_did"             -> (didQ _),

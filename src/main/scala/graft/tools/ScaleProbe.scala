@@ -80,7 +80,18 @@ object ScaleProbe {
     // into the stream source dir, and the stressed copy is a parquet
     // DIRECTORY — the replay-at-scale story is q_infer_batch's (same
     // batchedServe loop, same per-partition cost)
-    "q_frame_sample", "q_eval_prf")
+    "q_frame_sample", "q_eval_prf",
+    // round-15 second wave: certified-pruned retrieval. The stressed
+    // rename keeps each copy's posting lists exactly 1×-sized while
+    // the corpus grows ×N, so the probe separates the linear tf/df
+    // build from the (prefix-bounded) scoring loop — the split the
+    // pruning exists to create. q_attr_stream is NOT probed: the
+    // stressed events copy shifts event_id but SHARES user_id across
+    // copies, so a click would join views of every copy (×N² pair
+    // fan-in — a fixture property, not a plan property); its at-scale
+    // story is the batch q_attribution shape (one shuffle on user_id)
+    // plus a state store bounded by the 24 h watermark eviction.
+    "q_bm25_wand")
 
   def buildStressed(spark: SparkSession, sfDir: String, outDir: String,
                     factor: Int): Unit = {

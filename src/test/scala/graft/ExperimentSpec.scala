@@ -15,6 +15,29 @@ import org.apache.spark.sql.functions._
 class ExperimentSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bradleyTerry: hand-computed MM fixed point — A beats B 2 of 3, " +
+    "strengths land at the exact integer fixed-point values whose " +
+    "ratio is the 2:1 odds, ties and self-pairs drop") {
+    // user 1's consecutive duels: (A,5)->(B,3): A wins; (B,3)->(A,4):
+    // A wins; (A,4)->(B,9): B wins. Plus a tie (dropped) and a
+    // self-pair (dropped) on user 2.
+    val ev = Seq(
+      (1L, 1L, "A", 5.0), (1L, 2L, "B", 3.0), (1L, 3L, "A", 4.0),
+      (1L, 4L, "B", 9.0),
+      (2L, 5L, "A", 7.0), (2L, 6L, "B", 7.0), (2L, 7L, "B", 2.0)
+    ).toDF("user_id", "event_id", "event_type", "value")
+    val out = ExtensionQueries.bradleyTerry(ev)
+      .select("event_type", "n_wins", "n_comps", "w_q", "rank")
+      .as[(String, Long, Long, Long, Int)].collect().sortBy(_._1)
+    // N(A,B)=3; iter1: t = 3e12 div 2e6 = 1.5e6 each side;
+    // wA = 2e12 div 1.5e6 = 1333333, wB = 1e12 div 1.5e6 = 666666;
+    // iter2: wA+wB = 1999999, t = 3e12 div 1999999 = 1500000 ->
+    // same quotients: the integer fixed point. p(A>B) = 2/3.
+    assert(out.toSeq === Seq(
+      ("A", 2L, 3L, 1333333L, 1),
+      ("B", 1L, 3L, 666666L, 2)))
+  }
+
   test("srm: a 600/400 user imbalance fires, a 500/500 split is silent") {
     def ev(nEven: Int, nOdd: Int) =
       ((0 until nEven).map(i => ("t", 2L * i)) ++
