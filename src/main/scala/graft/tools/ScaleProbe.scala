@@ -91,7 +91,13 @@ object ScaleProbe {
     // fan-in — a fixture property, not a plan property); its at-scale
     // story is the batch q_attribution shape (one shuffle on user_id)
     // plus a state store bounded by the 24 h watermark eviction.
-    "q_bm25_wand")
+    "q_bm25_wand",
+    // round-15 third wave: preference ranking — the stressed events
+    // copy grows each user's duel sequence ×N (copy-shared user_id is
+    // exactly right here: more comparisons per rater), so the probe
+    // times the lag window + pair-count shuffle at honest growth
+    // while the item set stays fixed
+    "q_bt_rank")
 
   def buildStressed(spark: SparkSession, sfDir: String, outDir: String,
                     factor: Int): Unit = {

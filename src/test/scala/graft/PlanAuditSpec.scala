@@ -824,6 +824,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("UDF"), p)
   }
 
+  test("q_bm25_wand's certified final plan reads the checkpointed " +
+    "impact-ordered postings (ExistingRDD leaf) and joins the " +
+    "candidate set BROADCAST — no cartesian, no sort-merge join: the " +
+    "corpus-sized explode happened once, before the checkpoint") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.ExtensionQueries.queries("q_bm25_wand")(spark, d))
+    assert(p.contains("ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_bt_rank's MM iterations join the pair-count frame against " +
+    "BROADCAST weights (three unrolled rounds, all broadcast-hash) — " +
+    "no sort-merge join, no cartesian: at millions of items the pair " +
+    "frame shuffles on its key while weights stay the map-side build") {
+    val d = "/root/testdata/sf0.001"
+    val p = plan(graft.queries.ExtensionQueries.queries("q_bt_rank")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_eval_prf joins its 4-row class/count frames BROADCAST — no " +
     "sort-merge join, no cartesian: the only data-sized work is the " +
     "partial aggregation of the scored memo, which shuffles 4-key " +
