@@ -6366,6 +6366,92 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Dawid–Skene label aggregation (Dawid & Skene, JRSS-C 1979) — the
+    * crowdsourced-label QC op: three deterministic raters vote a
+    * binary quality label per document (length rule, vocab-diversity
+    * rule, and an md5-bit noise rater), and two EM rounds jointly
+    * estimate per-rater confusion matrices and per-doc posteriors —
+    * each rater scored by its agreement with the latent consensus
+    * (α+β ≈ 1 signals a chance-level rater), the label-quality
+    * signal a training-data pipeline uses to weight annotators. On
+    * this corpus the three synthetic raters all sit near chance
+    * against each other's consensus — the gated value is the exact
+    * EM arithmetic, not a planted separation.
+    *
+    * EM in pure integer fixed-point (the q_train_probe / q_bt_rank
+    * discipline — gate the learned parameters themselves): posteriors
+    * live in ppm; every M-step sum is a long; confusion entries get
+    * one pseudo-doc of Laplace smoothing and quantize via long
+    * division; the E-step odds are exact DECIMAL(38,0) products
+    * (≤10³⁰, no doubles anywhere), so DuckDB replays both rounds
+    * bit-exactly with HUGEINT CTEs.
+    *
+    * Shape for scale: votes are three codegen'd projections of one
+    * corpus scan; each M-step is ONE single-pass aggregate whose
+    * result is a bounded driver probe (2 numbers per rater + 2 — at
+    * thousands of raters keep it a frame and broadcast it back);
+    * each E-step is a literal-only projection. No join touches
+    * corpus-sized data.
+    */
+  def dawidSkeneQ(s: SparkSession, d: String): DataFrame =
+    dawidSkene(docs(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        (col("n_chars") >= 300).cast("int").as("vl"),
+        expr("CAST(size(array_distinct(split(text, ' '))) * 2" +
+          " >= size(split(text, ' ')) AS INT)").as("vv"),
+        (conv(substring(md5(concat(lit("ds:"), col("doc_id").cast("string"))),
+          1, 1), 16, 10).cast("long") % 2).cast("int").as("vh")))
+
+  /** Core over a (doc_id, vl, vv, vh) 0/1 votes frame; annotator
+    * output names stay the l/v/h trio ("len"/"vocab"/"hash").
+    */
+  private[graft] def dawidSkene(votes: DataFrame): DataFrame = {
+    val s = votes.sparkSession
+    val v0 = votes
+      .withColumn("p", expr("(vl + vv + vh) * 1000000 div 3"))
+      .localCheckpoint() // scanned by two M-step aggregates + E-steps
+    final case class Conf(al: Long, bl: Long, av: Long, bv: Long,
+                          ah: Long, bh: Long, rho: Long)
+    def mStep(cur: DataFrame): Conf = {
+      def a1(v: String) =
+        sum(when(col(v) === 1, col("p")).otherwise(0L))
+      def b0(v: String) =
+        sum(when(col(v) === 0, lit(1000000L) - col("p")).otherwise(0L))
+      val r = cur.agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+        a1("vl"), b0("vl"), a1("vv"), b0("vv"), a1("vh"), b0("vh")).head()
+      val n = r.getLong(0); val sp = r.getLong(1)
+      val sn = n * 1000000L - sp
+      def alpha(i: Int) = (1000000L + r.getLong(i)) * 1000000L /
+        (2000000L + sp)
+      def beta(i: Int) = (1000000L + r.getLong(i)) * 1000000L /
+        (2000000L + sn)
+      Conf(alpha(2), beta(3), alpha(4), beta(5), alpha(6), beta(7),
+        (1000000L + sp) / (n + 2))
+    }
+    def eStep(cur: DataFrame, c: Conf): DataFrame = {
+      def pos(v: String, a: Long) = // P(vote | true=1) in ppm
+        when(col(v) === 1, lit(a)).otherwise(lit(1000000L - a))
+      def neg(v: String, b: Long) = // P(vote | true=0) in ppm
+        when(col(v) === 1, lit(1000000L - b)).otherwise(lit(b))
+      cur.withColumn("nn", expr(s"CAST(${c.rho} AS DECIMAL(38,0))") *
+          pos("vl", c.al) * pos("vv", c.av) * pos("vh", c.ah))
+        .withColumn("dd", expr(s"CAST(${1000000L - c.rho} AS DECIMAL(38,0))") *
+          neg("vl", c.bl) * neg("vv", c.bv) * neg("vh", c.bh))
+        .withColumn("p", expr("CAST(nn * 1000000 div (nn + dd) AS BIGINT)"))
+        .drop("nn", "dd")
+    }
+    val c2 = mStep(eStep(v0, mStep(v0)))
+    val rows = Seq(("hash", c2.ah, c2.bh), ("len", c2.al, c2.bl),
+      ("vocab", c2.av, c2.bv))
+    import s.implicits._
+    rows.toDF("annotator", "alpha_ppm", "beta_ppm")
+      .withColumn("acc_ppm", expr("(alpha_ppm + beta_ppm) div 2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("acc_ppm").desc, col("annotator"))))
+      .orderBy("annotator")
+  }
+
   def kappaQ(s: SparkSession, d: String): DataFrame =
     kappa(docs(s, d).select(col("source"),
       (col("n_chars") >= 150 && col("n_chars") <= 1500).as("ra"),
@@ -9110,6 +9196,70 @@ object ExtensionQueries {
         |  CAST(row_number() OVER (ORDER BY w3.wq DESC, w3.i) AS INT) AS rank
         |FROM w3 LEFT JOIN wins ON w3.i = wins.i JOIN nc ON w3.i = nc.i
         |ORDER BY event_type""".stripMargin) +
+    ("q_dawid_skene" ->
+      """WITH v AS (SELECT doc_id,
+        |    CAST(n_chars >= 300 AS INT) AS vl,
+        |    CAST(len(list_distinct(string_split(text,' '))) * 2
+        |      >= len(string_split(text,' ')) AS INT) AS vv,
+        |    CAST((strpos('0123456789abcdef',
+        |      substr(md5('ds:'||doc_id),1,1))-1) % 2 AS INT) AS vh
+        |  FROM documents WHERE text IS NOT NULL),
+        |p0 AS (SELECT doc_id, vl, vv, vh,
+        |    CAST((vl+vv+vh) * 1000000 // 3 AS BIGINT) AS p FROM v),
+        |m1 AS (SELECT count(*) AS n, CAST(sum(p) AS BIGINT) AS sp,
+        |    CAST(sum(CASE WHEN vl=1 THEN p ELSE 0 END) AS BIGINT) AS s_al,
+        |    CAST(sum(CASE WHEN vl=0 THEN 1000000-p ELSE 0 END) AS BIGINT) AS s_bl,
+        |    CAST(sum(CASE WHEN vv=1 THEN p ELSE 0 END) AS BIGINT) AS s_av,
+        |    CAST(sum(CASE WHEN vv=0 THEN 1000000-p ELSE 0 END) AS BIGINT) AS s_bv,
+        |    CAST(sum(CASE WHEN vh=1 THEN p ELSE 0 END) AS BIGINT) AS s_ah,
+        |    CAST(sum(CASE WHEN vh=0 THEN 1000000-p ELSE 0 END) AS BIGINT) AS s_bh
+        |  FROM p0),
+        |c1 AS (SELECT
+        |    (1000000 + s_al) * 1000000 // (2000000 + sp) AS al,
+        |    (1000000 + s_bl) * 1000000 // (2000000 + (n*1000000 - sp)) AS bl,
+        |    (1000000 + s_av) * 1000000 // (2000000 + sp) AS av,
+        |    (1000000 + s_bv) * 1000000 // (2000000 + (n*1000000 - sp)) AS bv,
+        |    (1000000 + s_ah) * 1000000 // (2000000 + sp) AS ah,
+        |    (1000000 + s_bh) * 1000000 // (2000000 + (n*1000000 - sp)) AS bh,
+        |    (1000000 + sp) // (n + 2) AS rho
+        |  FROM m1),
+        |e1 AS (SELECT doc_id, vl, vv, vh,
+        |    CAST(rho AS HUGEINT)
+        |      * (CASE WHEN vl=1 THEN al ELSE 1000000-al END)
+        |      * (CASE WHEN vv=1 THEN av ELSE 1000000-av END)
+        |      * (CASE WHEN vh=1 THEN ah ELSE 1000000-ah END) AS nn,
+        |    CAST(1000000 - rho AS HUGEINT)
+        |      * (CASE WHEN vl=1 THEN 1000000-bl ELSE bl END)
+        |      * (CASE WHEN vv=1 THEN 1000000-bv ELSE bv END)
+        |      * (CASE WHEN vh=1 THEN 1000000-bh ELSE bh END) AS dd
+        |  FROM p0, c1),
+        |p1 AS (SELECT doc_id, vl, vv, vh,
+        |    CAST(nn * 1000000 // (nn + dd) AS BIGINT) AS p FROM e1),
+        |m2 AS (SELECT count(*) AS n, CAST(sum(p) AS BIGINT) AS sp,
+        |    CAST(sum(CASE WHEN vl=1 THEN p ELSE 0 END) AS BIGINT) AS s_al,
+        |    CAST(sum(CASE WHEN vl=0 THEN 1000000-p ELSE 0 END) AS BIGINT) AS s_bl,
+        |    CAST(sum(CASE WHEN vv=1 THEN p ELSE 0 END) AS BIGINT) AS s_av,
+        |    CAST(sum(CASE WHEN vv=0 THEN 1000000-p ELSE 0 END) AS BIGINT) AS s_bv,
+        |    CAST(sum(CASE WHEN vh=1 THEN p ELSE 0 END) AS BIGINT) AS s_ah,
+        |    CAST(sum(CASE WHEN vh=0 THEN 1000000-p ELSE 0 END) AS BIGINT) AS s_bh
+        |  FROM p1),
+        |c2 AS (SELECT
+        |    (1000000 + s_al) * 1000000 // (2000000 + sp) AS al,
+        |    (1000000 + s_bl) * 1000000 // (2000000 + (n*1000000 - sp)) AS bl,
+        |    (1000000 + s_av) * 1000000 // (2000000 + sp) AS av,
+        |    (1000000 + s_bv) * 1000000 // (2000000 + (n*1000000 - sp)) AS bv,
+        |    (1000000 + s_ah) * 1000000 // (2000000 + sp) AS ah,
+        |    (1000000 + s_bh) * 1000000 // (2000000 + (n*1000000 - sp)) AS bh
+        |  FROM m2),
+        |r AS (SELECT 'hash' AS annotator, ah AS alpha_ppm, bh AS beta_ppm FROM c2
+        |  UNION ALL SELECT 'len', al, bl FROM c2
+        |  UNION ALL SELECT 'vocab', av, bv FROM c2)
+        |SELECT annotator, CAST(alpha_ppm AS BIGINT) AS alpha_ppm,
+        |  CAST(beta_ppm AS BIGINT) AS beta_ppm,
+        |  CAST((alpha_ppm + beta_ppm) // 2 AS BIGINT) AS acc_ppm,
+        |  CAST(row_number() OVER (ORDER BY (alpha_ppm + beta_ppm) // 2 DESC,
+        |    annotator) AS INT) AS rank
+        |FROM r ORDER BY annotator""".stripMargin) +
     ("q_kappa" ->
       """WITH r AS (SELECT source,
         |    n_chars >= 150 AND n_chars <= 1500 AS ra,
@@ -13921,6 +14071,7 @@ object ExtensionQueries {
     "q_js_div"          -> (jsDivQ _),
     "q_kappa"           -> (kappaQ _),
     "q_bt_rank"         -> (btRankQ _),
+    "q_dawid_skene"     -> (dawidSkeneQ _),
     "q_bh_fdr"          -> (bhFdrQ _),
     "q_permutation"     -> (permutationQ _),
     "q_did"             -> (didQ _),

@@ -38,6 +38,34 @@ class ExperimentSpec extends SparkSpec {
       ("B", 1L, 3L, 666666L, 2)))
   }
 
+  test("dawidSkene: planted rater qualities separate — a perfect " +
+    "rater's confusion estimate dominates a 20%-flipped one, which " +
+    "dominates an alternating coin; the coin lands at chance " +
+    "(alpha+beta near 1e6)") {
+    // 200 docs, truth = doc_id % 2. Rater l = truth; rater v = truth
+    // with ONE-SIDED errors (flips only truth-1 docs, every 5th id) —
+    // one-sided on purpose: symmetric flips make the (l,v,h) vote
+    // distribution invariant under swapping l and v, and no estimator
+    // can separate what the likelihood cannot see; rater h =
+    // alternating pairs (doc_id/2 % 2), uncorrelated with truth.
+    val votes = (0L until 200L).map { id =>
+      val truth = (id % 2).toInt
+      val vv = if (id % 5 == 0 && truth == 1) 0 else truth
+      val vh = ((id / 2) % 2).toInt
+      (id, truth, vv, vh)
+    }.toDF("doc_id", "vl", "vv", "vh")
+    val out = ExtensionQueries.dawidSkene(votes)
+      .select("annotator", "acc_ppm", "rank")
+      .as[(String, Long, Int)].collect().map(r => r._1 -> r).toMap
+    // integer-EM hand replica (simulated step for step): len 880381,
+    // vocab 871062, hash 552357
+    assert(out("len")._3 === 1 && out("vocab")._3 === 2 &&
+      out("hash")._3 === 3, out.toString)
+    assert(out("len")._2 === 880381L, out.toString)
+    assert(out("vocab")._2 === 871062L, out.toString)
+    assert(out("hash")._2 === 552357L, out.toString)
+  }
+
   test("srm: a 600/400 user imbalance fires, a 500/500 split is silent") {
     def ev(nEven: Int, nOdd: Int) =
       ((0 until nEven).map(i => ("t", 2L * i)) ++
