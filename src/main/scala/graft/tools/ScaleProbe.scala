@@ -97,7 +97,11 @@ object ScaleProbe {
     // exactly right here: more comparisons per rater), so the probe
     // times the lag window + pair-count shuffle at honest growth
     // while the item set stays fixed
-    "q_bt_rank")
+    "q_bt_rank",
+    // label-aggregation EM: two single-pass M-step aggregates over
+    // the votes projection + literal-only E-steps — expected ~linear
+    // in docs with a small fixed loop cost
+    "q_dawid_skene")
 
   def buildStressed(spark: SparkSession, sfDir: String, outDir: String,
                     factor: Int): Unit = {

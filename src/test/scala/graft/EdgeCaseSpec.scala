@@ -218,6 +218,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(best === "aa")
   }
 
+  test("bm25WandTopDocs: a vocabulary smaller than nQueryTerms still " +
+    "certifies (every list exhausts), a single-doc corpus returns " +
+    "rank-1 rows, and an empty corpus fails loudly") {
+    val tiny = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextStats.bm25WandTopDocs(tiny, nQueryTerms = 9,
+      nQueries = 3, k = 10, d0 = 1)
+    // 3 terms, dealt into bags 0/1/2 — every matching doc ranks
+    assert(out.count() === 4L) // x:{1}, y:{1,2}, z:{2}
+    val one = TextStats.bm25WandTopDocs(
+      Seq((5L, "a b")).toDF("doc_id", "text"), d0 = 1)
+    assert(one.select("rank").as[Int].collect().forall(_ === 1))
+    intercept[IllegalArgumentException] {
+      TextStats.bm25WandTopDocs(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    }
+  }
+
+  test("bradleyTerry with no decidable duels (all ties/self-pairs) " +
+    "returns an empty frame, not a crash; dawidSkene on a one-doc " +
+    "frame stays inside [1, 1e6-1] ppm everywhere") {
+    val ev = Seq((1L, 1L, "A", 2.0), (1L, 2L, "A", 3.0),
+      (1L, 3L, "B", 3.0)).toDF("user_id", "event_id", "event_type", "value")
+    // (A,A) self-pair drops, (A,B) ties at 3.0 and drops
+    assert(graft.queries.ExtensionQueries.bradleyTerry(ev).count() === 0L)
+    val ds = graft.queries.ExtensionQueries.dawidSkene(
+      Seq((1L, 1, 0, 1)).toDF("doc_id", "vl", "vv", "vh"))
+      .select("alpha_ppm", "beta_ppm").as[(Long, Long)].collect()
+    assert(ds.forall { case (a, b) =>
+      a >= 1 && a < 1000000 && b >= 1 && b < 1000000 })
+  }
+
   test("knnGraph with k exceeding the corpus emits all neighbors; " +
     "clusterReport on a single-member cluster reclaims nothing") {
     val rnd = new scala.util.Random(3)
