@@ -1284,6 +1284,104 @@ object ExtensionQueries {
       .orderBy("click_id")
   }
 
+  /** LIVE session-window aggregation — Spark's native
+    * `session_window` state machine under the hash gate (the one
+    * streaming aggregation shape the oracle rows did not yet cover):
+    * the events replay streams through a file micro-batch source,
+    * per-user 30-minute-gap sessions build in the streaming state
+    * store (merging windows as events arrive), and Update-mode
+    * emissions land via `foreachBatch`. DuckDB recomputes gap
+    * sessionization analytically (lag → gap-flag → running sum →
+    * group), with the SAME boundary rule Spark's window-merge uses
+    * (a new session starts when the gap is ≥ 30 min — windows merge
+    * only on strict overlap), so the session assignment itself is
+    * what the hash checks.
+    *
+    * Emission contract: session windows only support APPEND mode,
+    * which emits a session exactly once — when the watermark passes
+    * its end — so a finite replay would leave every tail session
+    * stuck in the state store forever. The replay therefore stages
+    * two far-future SENTINEL files (user_id −1, +10y/+20y) after the
+    * real data: sentinel 1 advances the watermark past every real
+    * session, sentinel 2's micro-batch is where the append fires
+    * (watermarks advance at batch BOUNDARIES — emission is always
+    * one batch behind the data that caused it). The sentinels model
+    * exactly what closes sessions in a production stream: later
+    * traffic. Sentinel 1's own session is finalized by sentinel 2
+    * and filtered by user_id; sentinel 2's never closes and stays
+    * in state. Works unchanged for a directory lake (each file
+    * symlinked, sessions merge across micro-batches before
+    * finalization).
+    */
+  def sessStream(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sessstream_").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sessstream_ck_").toString
+    val batch = Tables.events(s, d)
+    val tsIsLong = batch.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val maxUs = batch.filter(col("ts").isNotNull)
+      .select(max(AnalyticsQueries.epochUs(batch, "ts"))).head().getLong(0)
+    // stage: symlink the real file(s), then write the two sentinel
+    // files with now-mtimes so the file source replays them LAST
+    val src = java.nio.file.Files.createTempDirectory("graft_sessstream_src_")
+    val evPath = java.nio.file.Paths.get(s"$d/events.parquet")
+    val realFiles =
+      if (java.nio.file.Files.isDirectory(evPath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(evPath).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+      } else Seq(evPath)
+    realFiles.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.createSymbolicLink(
+        src.resolve(f"ev_$i%05d.parquet"), p)
+    }
+    val tenYearsUs = 315360000000000L
+    Seq(1, 2).foreach { i =>
+      val sentUs = maxUs + i * tenYearsUs
+      val tsCol = if (tsIsLong) lit(sentUs * 1000L).as("ts")
+        else expr(s"timestamp_micros(${sentUs}L)").as("ts")
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_sess_sent$i").toString + "/p"
+      s.range(1).select(lit(-i.toLong).as("event_id"), tsCol,
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(null).cast("double").as("value"),
+          lit(null).cast("string").as("props"))
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dest = src.resolve(s"zz_sentinel$i.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + i * 1000L))
+    }
+    val raw = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val us = AnalyticsQueries.epochUs(raw, "ts")
+    val live = raw.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), us.as("us"))
+      .withColumn("ets", expr("timestamp_micros(us)"))
+      .withWatermark("ets", "1 hour")
+    val sess = live
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_us", "end_us", "n_events")
+    val q = sess.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    s.read.parquet(out).filter(col("user_id") >= 0)
+      .orderBy("user_id", "start_us")
+  }
+
   def inferStreamQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val keepClass = 2
@@ -10785,6 +10883,27 @@ object ExtensionQueries {
         |LEFT JOIN pr ON pr.cls = classes.cls
         |LEFT JOIN tpc ON tpc.cls = classes.cls
         |ORDER BY classes.cls""".stripMargin,
+    "q_sess_stream" ->
+      // gap sessionization recomputed analytically; >= at the gap
+      // boundary mirrors Spark's strict-overlap window merge
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT user_id, us, event_id,
+        |    lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |f AS (SELECT user_id, us, event_id,
+        |    CASE WHEN prev IS NULL OR us - prev >= 1800000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM g),
+        |s AS (SELECT user_id, us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(max(us) AS BIGINT) AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
     "q_attr_stream" ->
       // the LIVE stream-stream join must land exactly what the batch
       // attribution computes — the q_attribution oracle, verbatim
@@ -13883,6 +14002,7 @@ object ExtensionQueries {
     "q_infer_route"     -> (inferRoute _),
     "q_infer_stream"    -> (inferStreamQ _),
     "q_attr_stream"     -> (attrStream _),
+    "q_sess_stream"     -> (sessStream _),
     "q_eval_confusion"  -> (evalConfusion _),
     "q_eval_prf"        -> (evalPrf _),
     "q_audio_stats"     -> (audioStats _),

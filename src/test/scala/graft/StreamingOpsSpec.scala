@@ -1222,4 +1222,44 @@ class StreamingOpsSpec extends SparkSpec {
       assert(live === expected)
     } finally q.stop()
   }
+
+  test("q_sess_stream cross-batch session MERGE: a session whose " +
+    "events arrive in two separate lake files (two micro-batches) " +
+    "emits ONCE with the merged bounds — the session-window state " +
+    "store extends open sessions across batches before the sentinel " +
+    "watermark finalizes them") {
+    // a directory lake: file 1 has user 9's events at t0 and t0+10min,
+    // file 2 (newer mtime -> later micro-batch) adds t0+20min — all
+    // within the 30min gap, so ONE 3-event session must come back
+    val fix = java.nio.file.Files.createTempDirectory("graft_sessfix_")
+    val lake = fix.resolve("events.parquet")
+    val t0 = 1700000000000000L // us
+    def write(name: String, rows: Seq[(Long, Long, Long)],
+              mtimePlus: Long): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sessfix_w_").toString + "/p"
+      rows.toDF("event_id", "tsUs", "user_id")
+        .select(col("event_id"), (col("tsUs") * 1000L).as("ts"),
+          col("user_id"), lit("view").as("event_type"),
+          lit(null).cast("double").as("value"),
+          lit(null).cast("string").as("props"))
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dest = lake.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + mtimePlus))
+    }
+    java.nio.file.Files.createDirectory(lake)
+    write("a.parquet",
+      Seq((1L, t0, 9L), (2L, t0 + 600000000L, 9L)), 0L)
+    write("b.parquet", Seq((3L, t0 + 1200000000L, 9L)), 1000L)
+    val out = graft.queries.ExtensionQueries
+      .queries("q_sess_stream")(spark, fix.toString)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((9L, t0, t0 + 1200000000L, 3L)), out.toString)
+  }
 }
