@@ -1013,18 +1013,20 @@ object TextStats {
   def tfidfTopTerms(docs: DataFrame, k: Int,
                     idCol: String = "doc_id",
                     textCol: String = "text",
-                    corpusSize: Option[Long] = None): DataFrame = {
+                    corpusSize: Option[Long] = None,
+                    sharedTf: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     // pass corpusSize when the caller already knows it (or the input is
     // expensive to scan) — the default probe is one count job over docs
     val n = corpusSize.getOrElse(docs.filter(col(textCol).isNotNull).count())
     // tf feeds BOTH the per-doc length window and the document
     // frequencies; localCheckpoint (bm25's tf-reuse move) materializes
-    // the explode + hash-agg once instead of per consumer
-    val tf = docs
+    // the explode + hash-agg once instead of per consumer; callers
+    // holding the corpus-level shared memo pass it in
+    val tf = sharedTf.getOrElse(docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint())
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // join df on BEFORE either window: both windows partition by
     // doc_id, so they share one exchange + sort (the len window is
@@ -1380,7 +1382,8 @@ object TextStats {
   def bm25TopDocs(docs: DataFrame, nQueryTerms: Int, k: Int,
                   k1: Double = 1.2, b: Double = 0.75,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  sharedTf: Option[DataFrame] = None): DataFrame = {
     require(nQueryTerms >= 1 && k >= 1, "nQueryTerms and k must be >= 1")
     val probe = docs.filter(col(textCol).isNotNull)
       .select(count(lit(1)), sum(size(tokens(col(textCol)))).cast("long"))
@@ -1391,11 +1394,12 @@ object TextStats {
     // tf feeds THREE consumers (doc lengths, document frequencies, the
     // final scoring join) and identical subtrees get no automatic
     // exchange reuse here (plan shows 3 Generate explode branches) —
-    // materialize the (doc, term) counts once
-    val tf = docs
+    // materialize the (doc, term) counts once; callers holding the
+    // corpus-level shared memo pass it in and skip the build entirely
+    val tf = sharedTf.getOrElse(docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint())
     val dl = tf.groupBy("doc_id").agg(sum(col("c")).as("dl"))
     val top = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(nQueryTerms)
@@ -1457,7 +1461,8 @@ object TextStats {
                       k1: Double = 1.2, b: Double = 0.75,
                       d0: Int = 64,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      sharedTf: Option[DataFrame] = None): DataFrame = {
     require(nQueryTerms >= 1 && nQueries >= 1 && k >= 1 && d0 >= 1,
       "nQueryTerms, nQueries, k, d0 must be >= 1")
     val s = docs.sparkSession
@@ -1468,10 +1473,10 @@ object TextStats {
     val n = probe.getLong(0)
     require(n > 0, "corpus is empty")
     val avgdl = probe.getLong(1).toDouble / n
-    val tf = docs
+    val tf = sharedTf.getOrElse(docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint())
     val dl = tf.groupBy("doc_id").agg(sum(col("c")).as("dl"))
     // bounded probe: the query-term list (nQueryTerms rows) with its
     // df, dealt round-robin into query bags

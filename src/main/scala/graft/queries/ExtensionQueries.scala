@@ -971,8 +971,22 @@ object ExtensionQueries {
     * query terms — keyword search over the corpus (quality-filter
     * tooling and eval-set mining both lean on it).
     */
+  /** Shared (doc_id, term, c) term-frequency frame — the corpus-level
+    * inverted-index precursor that q_bm25, q_bm25_wand, and q_tfidf
+    * each re-exploded from scratch (three identical corpus-sized
+    * explode+agg jobs); one materialization, priced once in the memo
+    * ledger, three readers.
+    */
+  private def docTf(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "doc_tf")(
+      docs(s, d)
+        .select(col("doc_id"),
+          explode(TextStats.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c")))
+
   def bm25(s: SparkSession, d: String): DataFrame =
-    TextStats.bm25TopDocs(docs(s, d), nQueryTerms = 10, k = 5)
+    TextStats.bm25TopDocs(docs(s, d), nQueryTerms = 10, k = 5,
+        sharedTf = Some(docTf(s, d)))
       .orderBy("term", "rank")
 
   /** Multi-term BM25 top-k via EXACT impact-ordered pruning
@@ -985,7 +999,7 @@ object ExtensionQueries {
     * brute-vs-pruned contract the ANN family carries.
     */
   def bm25Wand(s: SparkSession, d: String): DataFrame =
-    TextStats.bm25WandTopDocs(docs(s, d))
+    TextStats.bm25WandTopDocs(docs(s, d), sharedTf = Some(docTf(s, d)))
 
   /** Shared bigram-LM score frame (train on even docs, score odd docs)
     * — materialized once and read by the score report AND the
@@ -3080,7 +3094,8 @@ object ExtensionQueries {
 
   /** Top-3 TF-IDF keywords per document. */
   def tfidf(s: SparkSession, d: String): DataFrame =
-    TextStats.tfidfTopTerms(docs(s, d), k = 3).orderBy("doc_id", "rank")
+    TextStats.tfidfTopTerms(docs(s, d), k = 3,
+      sharedTf = Some(docTf(s, d))).orderBy("doc_id", "rank")
 
   /** Decontamination screen: every 100th doc plays the benchmark set;
     * corpus docs sharing >= 2 distinct trigrams with a benchmark doc
