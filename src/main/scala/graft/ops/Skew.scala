@@ -88,14 +88,21 @@ object Skew {
     // exact floor division (pmod keeps it right for negative bounds)
     def fdiv(c: Column): Column =
       ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
-    val lb = left.withColumn("__bin",
-      explode(sequence(fdiv(col(lLo)), fdiv(col(lHi)))))
-    val rb = right.withColumn("__bin",
-      explode(sequence(fdiv(col(rLo)), fdiv(col(rHi)))))
+    // each side's START bin is computed once per ROW and carried as a
+    // column: the first-shared-bin dedup predicate then compares
+    // attributes instead of re-running two pmod+divide+cast chains per
+    // candidate PAIR (the join condition evaluates once per bin-mate,
+    // which is the hot count here)
+    val lb = left.withColumn("__bin0l", fdiv(col(lLo)))
+      .withColumn("__bin",
+        explode(sequence(col("__bin0l"), fdiv(col(lHi)))))
+    val rb = right.withColumn("__bin0r", fdiv(col(rLo)))
+      .withColumn("__bin",
+        explode(sequence(col("__bin0r"), fdiv(col(rHi)))))
     lb.join(rb, Seq("__bin"))
       .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
-      .filter(col("__bin") === greatest(fdiv(col(lLo)), fdiv(col(rLo))))
-      .drop("__bin")
+      .filter(col("__bin") === greatest(col("__bin0l"), col("__bin0r")))
+      .drop("__bin", "__bin0l", "__bin0r")
   }
 
   /** Salted equi-join for a skewed LEFT side against a small RIGHT

@@ -378,14 +378,22 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         val tz = Some(conf.sessionLocalTimeZone)
         val lBin = AttributeReference("__graft_bin_l", LongType, nullable = true)()
         val rBin = AttributeReference("__graft_bin_r", LongType, nullable = true)()
+        // START bins are aliased once per ROW below each explode; the
+        // first-shared-bin predicate then references the attributes, so
+        // the per-PAIR join condition stops re-deriving two
+        // pmod+divide chains per bin-mate candidate
+        val lBin0 = Alias(binOf(lLo, width), "__graft_bin0_l")()
+        val rBin0 = Alias(binOf(rLo, width), "__graft_bin0_r")()
         val leftG = Generate(
-          Explode(Sequence(binOf(lLo, width), binOf(lHi, width), None, tz)),
-          Nil, outer = false, None, Seq(lBin), left)
+          Explode(Sequence(lBin0.toAttribute, binOf(lHi, width), None, tz)),
+          Nil, outer = false, None, Seq(lBin),
+          Project(left.output :+ lBin0, left))
         val rightG = Generate(
-          Explode(Sequence(binOf(rLo, width), binOf(rHi, width), None, tz)),
-          Nil, outer = false, None, Seq(rBin), right)
+          Explode(Sequence(rBin0.toAttribute, binOf(rHi, width), None, tz)),
+          Nil, outer = false, None, Seq(rBin),
+          Project(right.output :+ rBin0, right))
         val firstSharedBin =
-          EqualTo(lBin, Greatest(Seq(binOf(lLo, width), binOf(rLo, width))))
+          EqualTo(lBin, Greatest(Seq(lBin0.toAttribute, rBin0.toAttribute)))
         val newCond = And(And(EqualTo(lBin, rBin), firstSharedBin), cond)
         Project(j.output, Join(leftG, rightG, Inner, Some(newCond), hint))
       }

@@ -1223,6 +1223,29 @@ object ExtensionQueries {
     * (stream it directly); a single-parquet-FILE fixture is staged as
     * a zero-copy symlink into a temp dir — nothing copies data.
     */
+  /** Session for the LIVE streaming replays, cloned with a bounded
+    * state-partition count. Stateful micro-batch operators pay a FIXED
+    * per-partition-per-batch cost (one state-store open → commit →
+    * delta-file write each), so running a replay of a few thousand keys
+    * per batch under the session's core-count-sized shuffle partitions
+    * (32 here) multiplies pure state-store I/O: the stream-stream join
+    * holds FOUR stores per partition (128 commits/batch at 32
+    * partitions vs 32 at 8). Guide §2: partition by data volume, not by
+    * core count. Parameterised — `spark.graft.stream.statePartitions`
+    * conf or SPARK_GRAFT_STREAM_PARTITIONS env — because the right
+    * production value tracks per-trigger key volume; the default 8 is
+    * sized for these replays (state partitioning never changes emitted
+    * rows, only where keys live). Batch-side plans (the landed-table
+    * read-back) stay on the caller's session and are untouched.
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val n = s.conf.getOption("spark.graft.stream.statePartitions")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS"))
+      .map(_.toInt).getOrElse(8)
+    org.apache.spark.sql.GraftSqlShim.cloneWithConf(s,
+      "spark.sql.shuffle.partitions" -> n.toString)
+  }
+
   private def stageStreamDir(path: String, tmpPrefix: String,
                              linkName: String): String = {
     val p = java.nio.file.Paths.get(path)
@@ -1259,11 +1282,12 @@ object ExtensionQueries {
     val batch = Tables.events(s, d)
     val srcDir = stageStreamDir(s"$d/events.parquet",
       "graft_attrstream_src_", "events.parquet")
+    val ss = streamSession(s)
     // one live source per join side: clicks and views are separate
     // streams (a real pipeline's impression and conversion topics)
     def side(eventType: String, idAs: String, usAs: String,
              tsAs: String, userAs: String): DataFrame = {
-      val raw = s.readStream.schema(batch.schema)
+      val raw = ss.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
       val us = AnalyticsQueries.epochUs(raw, "ts")
@@ -1371,7 +1395,7 @@ object ExtensionQueries {
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() + i * 1000L))
     }
-    val raw = s.readStream.schema(batch.schema)
+    val raw = streamSession(s).readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(src.toString)
     val us = AnalyticsQueries.epochUs(raw, "ts")
@@ -3995,32 +4019,44 @@ object ExtensionQueries {
       "l_partkey" -> col("l_partkey").cast("string"),
       "l_suppkey" -> col("l_suppkey").cast("string"),
       "l_quantity" -> col("l_quantity").cast("long").cast("string"))
+    // the unpivoted stream carries a TINYINT column index, not the
+    // column-name string: the name was both the leading sort key and
+    // ~20 bytes of every one of the 5N exchanged rows (guide §2.3 —
+    // narrower types, project before the exchange); the index maps
+    // back to the name on the 5-row aggregate, and partitioning /
+    // grouping by index is the same grouping (bijective)
     val withVals = li.select(
       (Seq(fileOf.as("file_id"), col("l_orderkey"), col("l_linenumber")) ++
         audited.zipWithIndex.map { case ((_, c), i) => c.as(s"c_$i") }): _*)
       .select(col("file_id"), col("l_orderkey"), col("l_linenumber"),
         expr("stack(" + audited.size + ", " +
-          audited.zipWithIndex.map { case ((n, _), i) => s"'$n', c_$i" }
-            .mkString(", ") + ") AS (colname, val)"))
+          audited.zipWithIndex.map { case (_, i) => s"${i}Y, c_$i" }
+            .mkString(", ") + ") AS (cidx, val)"))
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic lake —
     // ties order by the value itself, which is deterministic per
     // column and matches how a writer lays out equal-key rows
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("colname", "file_id")
+      .partitionBy("cidx", "file_id")
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("val"))
+    val nameOf = audited.map(_._1).zipWithIndex
+      .map { case (n, i) => (i, n) }.toMap
     withVals
       .withColumn("chg",
         when(lag(col("val"), 1).over(w).isNull ||
           lag(col("val"), 1).over(w) =!= col("val"), 1L).otherwise(0L))
-      .groupBy("colname")
+      .groupBy("cidx")
       .agg(count(lit(1)).as("n"),
         countDistinct(col("val")).as("n_distinct"),
         sum(col("chg")).as("n_runs"))
+      .withColumn("colname",
+        element_at(typedlit(nameOf), col("cidx").cast("int")))
       .withColumn("avg_run_micro", expr("n * 1000000 div n_runs"))
       .withColumn("encoding",
         when(col("n_distinct") * 20 <= col("n"), lit("dictionary"))
           .when(col("avg_run_micro") >= 4000000L, lit("rle"))
           .otherwise(lit("plain")))
+      .select("colname", "n", "n_distinct", "n_runs", "avg_run_micro",
+        "encoding")
       .orderBy("colname")
   }
 
@@ -4124,12 +4160,34 @@ object ExtensionQueries {
     val fileBits = rows.select(col("file_id"),
         explode(array((0 until k).map(j => bit(j, col("v"))): _*)).as("bit"))
       .distinct()
-    val dom = li.agg(min(col("v")).as("amin"), max(col("v")).as("amax"))
-    val probes = Seq((0, 0, 4), (1, 1, 4), (2, 2, 4), (3, 3, 4), (4, 41, 100))
-      .toDF("probe_id", "num", "den")
-      .crossJoin(broadcast(dom))
-      .select(col("probe_id"),
-        expr("amin + (amax - amin) * num div den").as("pv"))
+    // ONE zone pass, collected (bounded: ≤64 files by construction —
+    // this is footer-statistics metadata, not data), then served to the
+    // THREE consumers that each used to re-scan lineitem: the probe
+    // domain (min vmin / max vmax ≡ min/max of v), the file count
+    // (was a separate count() job), and the envelope test (64×5
+    // comparisons, driver-side exactly like a scan planner pruning
+    // against footer stats). Guide §1.2: 5 full scans + a count job →
+    // 3 scans (bits, zones, actuals).
+    val zonesLocal = rows.groupBy("file_id")
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .select(col("file_id").cast("long"), col("vmin").cast("long"),
+        col("vmax").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nFiles = zonesLocal.length.toLong
+    val amin = zonesLocal.map(_._2).min
+    val amax = zonesLocal.map(_._3).max
+    // pv = amin + (amax - amin) * num div den, exact integer arithmetic
+    // (both operands non-negative, so Long / matches SQL div); the
+    // envelope count per probe is computed here against the collected
+    // zone table
+    val probesLocal = Seq((0, 0L, 4L), (1, 1L, 4L), (2, 2L, 4L),
+        (3, 3L, 4L), (4, 41L, 100L))
+      .map { case (id, num, den) =>
+        val pv = amin + (amax - amin) * num / den
+        val zoneHit = zonesLocal.count(z => pv >= z._2 && pv <= z._3).toLong
+        (id, pv, zoneHit)
+      }
+    val probes = probesLocal.toDF("probe_id", "pv", "files_zone_hit")
     val probeBits = probes.select(col("probe_id"), col("pv"),
         explode(array((0 until k).map(j => bit(j, col("pv"))): _*)).as("bit"))
       .distinct()
@@ -4140,23 +4198,17 @@ object ExtensionQueries {
       .join(broadcast(kd), Seq("probe_id", "pv"))
       .filter(col("nb") === col("k_bits"))
       .groupBy("probe_id", "pv").agg(count(lit(1)).as("files_bloom_hit"))
-    val zones = rows.groupBy("file_id")
-      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
-    val nFiles = zones.count()
-    val zoneHits = zones.join(broadcast(probes),
-        col("pv") >= col("vmin") && col("pv") <= col("vmax"))
-      .groupBy("probe_id", "pv").agg(count(lit(1)).as("files_zone_hit"))
-    val actual = rows.join(broadcast(probes), col("v") === col("pv"))
+    val actual = rows.join(broadcast(probes.select("probe_id", "pv")),
+        col("v") === col("pv"))
       .groupBy("probe_id", "pv")
       .agg(countDistinct(col("file_id")).as("files_actual"))
     probes
       .join(actual, Seq("probe_id", "pv"), "left")
       .join(bloomHits, Seq("probe_id", "pv"), "left")
-      .join(zoneHits, Seq("probe_id", "pv"), "left")
       .select(col("probe_id"), col("pv"), lit(nFiles).as("n_files"),
         coalesce(col("files_actual"), lit(0L)).as("files_actual"),
         coalesce(col("files_bloom_hit"), lit(0L)).as("files_bloom_hit"),
-        coalesce(col("files_zone_hit"), lit(0L)).as("files_zone_hit"))
+        col("files_zone_hit"))
       .withColumn("bloom_fp_ppm",
         when(col("n_files") > col("files_actual"),
           expr("(files_bloom_hit - files_actual) * 1000000 " +

@@ -35,6 +35,21 @@ object GraftSqlShim {
     internal.SQLConf.withExistingConf(cloned)(f)
   }
 
+  /** Session clone (shared context, independent SQLConf) with the
+    * given conf overrides — the race-free way to run a STREAMING query
+    * under its own `spark.sql.shuffle.partitions`: a stream's
+    * incremental planner reads the conf of the session that starts it,
+    * so a thread-local [[withConfString]] (which only covers plan-time
+    * `SQLConf.get` reads on the calling thread) cannot reach the
+    * stream-execution thread. `cloneSession()` is `private[sql]` in
+    * Spark 4's classic session, hence this shim.
+    */
+  def cloneWithConf(spark: SparkSession, kvs: (String, String)*): SparkSession = {
+    val c = spark.asInstanceOf[classic.SparkSession].cloneSession()
+    kvs.foreach { case (k, v) => c.conf.set(k, v) }
+    c
+  }
+
   /** Run `f` while counting Spark JOBS started on this context —
     * test-only observability for "this plan-time step launched no new
     * job" pins (e.g. the range-join width memo). Drains the listener

@@ -66,6 +66,27 @@ class GraftSqlShimCanarySpec extends SparkSpec {
       .getConfString(key, "unset") === "unset")
   }
 
+  test("cloneWithConf yields an independent session conf sharing the " +
+    "context (classic.SparkSession.cloneSession) — the streaming " +
+    "replays size their state partitions through it") {
+    val key = "spark.sql.shuffle.partitions"
+    val ambient = spark.conf.get(key)
+    val cloned = canary("cloneWithConf")(
+      GraftSqlShim.cloneWithConf(spark, key -> "7",
+        // AQE would coalesce the tiny probe shuffle below back to 1
+        // partition — disable it on the CLONE only, which is itself
+        // more evidence the clone's conf is independent
+        "spark.sql.adaptive.enabled" -> "false"))
+    assert(cloned.conf.get(key) === "7")
+    assert(spark.conf.get(key) === ambient,
+      "cloneWithConf leaked its override into the parent session")
+    assert(cloned.sparkContext eq spark.sparkContext)
+    // the override steers real plans on the clone (state partitioning
+    // in the live replays rides exactly this conf)
+    val shuffled = cloned.range(100).groupBy(col("id") % 3).count()
+    assert(shuffled.rdd.getNumPartitions === 7)
+  }
+
   test("countJobs listener plumbing (scheduler listener bus)") {
     val (n, jobs) = canary("countJobs")(
       GraftSqlShim.countJobs(spark)(spark.range(10).count()))
