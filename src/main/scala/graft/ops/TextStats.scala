@@ -562,16 +562,27 @@ object TextStats {
     */
   def vocabGrowth(docs: DataFrame, buckets: Int = 10,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  sharedTf: Option[DataFrame] = None): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
     val maxId = docs.agg(max(col(idCol)).cast("long")).head().getLong(0)
     val b = expr(s"CAST($idCol AS BIGINT) * $buckets div ${maxId + 1}")
     // scan 1: per-(bucket, term) counts -> bucket token volume + each
-    // term's first bucket
-    val tf = docs.select(b.as("bucket"),
-        explode(tokens(col(textCol))).as("term"))
-      .groupBy("bucket", "term").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // term's first bucket. A caller holding the corpus-level (doc_id,
+    // term, c) memo passes it in: bucketing is a function of doc_id, so
+    // the per-bucket counts fold FROM the memo (sum of per-doc counts)
+    // without re-tokenizing the corpus — the explode is this query's
+    // dominant cost, and it is the same explode the retrieval trio
+    // already materialized once.
+    val tf = sharedTf.map(stf =>
+        stf.groupBy(
+            expr(s"CAST($idCol AS BIGINT) * $buckets div ${maxId + 1}")
+              .as("bucket"), col("term"))
+          .agg(sum(col("c")).as("c")))
+      .getOrElse(docs.select(b.as("bucket"),
+          explode(tokens(col(textCol))).as("term"))
+        .groupBy("bucket", "term").agg(count(lit(1)).as("c"))
+        .localCheckpoint())
     val vol = tf.groupBy("bucket").agg(sum(col("c")).as("n_tokens"))
     val news = tf.groupBy("term").agg(min(col("bucket")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("new_types"))
@@ -1802,21 +1813,27 @@ object TextStats {
       (conv(substring(md5(t), 1, 4), 16, 10).cast("long") % buckets)
         .cast("int")
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    // tokenize AND hash once: the checkpoint stores each token's md5
+    // BUCKET (int array), not the token strings — every iteration used
+    // to re-run md5+conv per token twice (prediction fold + gradient
+    // explode), putting 2·iters full hash passes in the loop; now the
+    // loop is pure array lookups over a smaller cached frame
     val base = docs.select(toks.as("ts"),
         (label.cast("boolean").cast("long") * (1L << 20)).as("y_q"))
       .filter(size(col("ts")) > 0)
-      .localCheckpoint() // one tokenize; reread every iteration
+      .select(transform(col("ts"), t => slot(t)).as("ss"), col("y_q"))
+      .localCheckpoint() // one tokenize+hash; reread every iteration
     val n = base.count()
     var w = Array.fill(buckets)(0L)
     if (n > 0) for (_ <- 0 until iters) {
       val wl = typedLit(w.toSeq)
-      val pred = aggregate(transform(col("ts"),
-        t => element_at(wl, slot(t) + 1)), lit(0L), (a, x) => a + x)
+      val pred = aggregate(transform(col("ss"),
+        b => element_at(wl, b + 1)), lit(0L), (a, x) => a + x)
       val g = base
         .select((pred - col("y_q")).cast(DecimalType(38, 0)).as("r_q"),
-          col("ts"))
-        .select(col("r_q"), explode(col("ts")).as("t"))
-        .groupBy(slot(col("t")).as("b"))
+          col("ss"))
+        .select(col("r_q"), explode(col("ss")).as("b"))
+        .groupBy(col("b"))
         .agg(sum(col("r_q")).as("g_raw"))
         .select(col("b"), expr(s"CAST(g_raw DIV $n AS BIGINT)").as("g"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

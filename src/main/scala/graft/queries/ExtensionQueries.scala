@@ -3847,12 +3847,27 @@ object ExtensionQueries {
     */
   def kmvOverlap(s: SparkSession, d: String): DataFrame = {
     val grams = grams5(s, d) // shared memo: sketch build + exact audit
+    // the sketch table is sources × (k+1) longs; checkpoint it so the
+    // triangular pair join reads the materialized rows instead of each
+    // side re-running the BottomK aggregation over the whole gram memo
+    // (the before-plan showed two full md5+BottomK passes)
     val sk = Sketch.kmvSketch(grams, "g", k = 64, Seq("source"))
+      .localCheckpoint()
     val est = Sketch.kmvPairOverlap(sk, "source", k = 64)
-    val dg = grams.dropDuplicates("source", "g")
-    val ex = dg.select(col("source").as("src_a"), col("g"))
-      .join(dg.select(col("source").as("src_b"), col("g")), Seq("g"))
-      .filter(col("src_a") < col("src_b"))
+    // exact intersections in ONE gram pass (was: the distinct (source,
+    // gram) frame computed twice and self-joined on the gram): per
+    // gram, the sorted DISTINCT source set (collect_set dedups and the
+    // source count is tiny), exploded into its a<b pairs — each
+    // co-occurring gram contributes exactly the pairs the old join
+    // emitted, with no second distinct pass and no sort-merge join
+    val ex = grams.filter(col("g").isNotNull && col("source").isNotNull)
+      .groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+          transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+            y => struct(x.as("src_a"), y.as("src_b"))))))
+        .as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_inter_exact"))
     est.join(ex, Seq("src_a", "src_b"), "left")
@@ -3911,7 +3926,8 @@ object ExtensionQueries {
     * tokens?
     */
   def vocabGrowthQ(s: SparkSession, d: String): DataFrame =
-    TextStats.vocabGrowth(docs(s, d), buckets = 10)
+    TextStats.vocabGrowth(docs(s, d), buckets = 10,
+      sharedTf = Some(docTf(s, d)))
 
   /** Interval-interval overlap join ([[Skew.binnedIntervalJoin]]):
     * two large interval sets derived from the event stream (3 s
