@@ -484,8 +484,15 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("r"), col("p")))).as("keyed"))
       .select(col("doc_id"), col("l"),
         slice(col("keyed"), 1, prefLen).as("prefix"))
+    // materialize the prefix elements ONCE: both sides of the
+    // candidate self-join below read `pa`, and without the checkpoint
+    // each side re-ran the rank join + collect_list + sort + slice +
+    // explode chain (the before-plan carried the ObjectHashAggregate
+    // branch twice). Skinny by construction: ≤ prefLen int-pair rows
+    // per doc.
     val pa = pref.select(col("doc_id"), col("l"), explode(col("prefix")).as("x"))
       .select(col("doc_id"), col("l"), col("x.r").as("r"), col("x.p").as("p"))
+      .localCheckpoint()
     // fresh aliases on EVERY pb column: reusing `r` would resolve both
     // sides of the equi-join to the same attribute (trivially true)
     val pb = pa.select(col("doc_id").as("doc_b_"), col("l").as("l_b_"),
