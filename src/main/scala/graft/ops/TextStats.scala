@@ -498,22 +498,29 @@ object TextStats {
                          textCol: String = "text"): DataFrame = {
     require(maxN >= 1, "maxN must be >= 1")
     val t = tokens(col(textCol))
-    (1 to maxN).map { n =>
-      docs.select(col(idCol).as("doc_id"),
-          explode(graft.functions.WordNgrams(t, n)).as("g"))
-        .groupBy("g", "doc_id").agg(count(lit(1)).as("c"))
-        .groupBy("g").agg(sum(col("c")).as("occ"), count(lit(1)).as("nd"))
-        .agg(
-          sum(col("occ")).as("total_ngrams"),
-          count(lit(1)).as("distinct_ngrams"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("shared_ngrams"))
-        .select(lit(n).as("n"), col("total_ngrams"), col("distinct_ngrams"),
-          col("shared_ngrams"),
-          expr("distinct_ngrams * 1000000 div nullif(total_ngrams, 0)")
-            .as("distinct_ppm"),
-          expr("shared_ngrams * 1000000 div nullif(distinct_ngrams, 0)")
-            .as("shared_ppm"))
-    }.reduce(_.unionByName(_))
+    // ONE corpus scan for every n: each doc emits its 1..maxN gram
+    // streams tagged with n in a single explode (the per-n loop used to
+    // tokenize and scan the corpus maxN times); the aggregation tree is
+    // unchanged, just keyed by (n, g) instead of run per n. Same rows,
+    // same values — n is part of the key everywhere.
+    val tagged = docs.select(col(idCol).as("doc_id"),
+        explode(concat((1 to maxN).map(n =>
+          transform(graft.functions.WordNgrams(t, n),
+            g => struct(lit(n).as("n"), g.as("g")))): _*)).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+    tagged
+      .groupBy("n", "g", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("n", "g").agg(sum(col("c")).as("occ"), count(lit(1)).as("nd"))
+      .groupBy("n").agg(
+        sum(col("occ")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("shared_ngrams"))
+      .select(col("n"), col("total_ngrams"), col("distinct_ngrams"),
+        col("shared_ngrams"),
+        expr("distinct_ngrams * 1000000 div nullif(total_ngrams, 0)")
+          .as("distinct_ppm"),
+        expr("shared_ngrams * 1000000 div nullif(distinct_ngrams, 0)")
+          .as("shared_ppm"))
   }
 
   /** Lexical retrieval by distinct-token overlap: for each query
