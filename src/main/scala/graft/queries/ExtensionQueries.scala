@@ -387,6 +387,8 @@ object ExtensionQueries {
       "media_payloads" -> (() => mediaPayloads(s, d)),
       "prov_ledger"   -> (() => provLedgerFrame(s, d)),
       "infer_scored"  -> (() => inferScored(s, d)),
+      "doc_tf"        -> (() => docTf(s, d)),
+      "lex_top5"      -> (() => lexTop5(s, d)),
       "bpe_merges"    -> (() => bpeMerges(s, d)))
     val t0 = System.nanoTime()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
@@ -5072,12 +5074,21 @@ object ExtensionQueries {
     * floor(10⁶/log₂(i+1)), DCG/IDCG are long sums, and nDCG is exact
     * ppm — an IR metric under the hash gate.
     */
+  /** Shared lexical top-5 (every 50th doc querying the corpus by
+    * distinct-token overlap) — the retrieval run q_ndcg scores and
+    * q_hybrid_rrf fuses; one materialization, two readers (each used
+    * to re-run the corpus-wide overlap join).
+    */
+  private def lexTop5(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "lex_top5")(
+      TextStats.tokenOverlapTopK(
+          docs(s, d).filter(col("doc_id") % 50 === 0), docs(s, d), k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank")))
+
   def ndcgQ(s: SparkSession, d: String): DataFrame = {
     val disc = Map(1 -> 1000000L, 2 -> 630929L, 3 -> 500000L,
       4 -> 430676L, 5 -> 386852L)
-    val lex = TextStats.tokenOverlapTopK(
-        docs(s, d).filter(col("doc_id") % 50 === 0), docs(s, d), k = 5)
-      .select(col("query_id"), col("cand_id"), col("rank"))
+    val lex = lexTop5(s, d)
     val vv = embs(s, d).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nv", Similarity.norm(col("v"), 64))
@@ -5204,9 +5215,7 @@ object ExtensionQueries {
     * audits it).
     */
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
-    val lex = TextStats.tokenOverlapTopK(
-        docs(s, d).filter(col("doc_id") % 50 === 0), docs(s, d), k = 5)
-      .select(col("query_id"), col("cand_id"), col("rank"))
+    val lex = lexTop5(s, d)
     // the dense ranking IS the edge list restricted to the query
     // subset (same k/nprobe/index — per-query results are independent),
     // so it reads the shared graph instead of re-probing
