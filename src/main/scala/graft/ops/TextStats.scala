@@ -1403,12 +1403,22 @@ object TextStats {
                   textCol: String = "text",
                   sharedTf: Option[DataFrame] = None): DataFrame = {
     require(nQueryTerms >= 1 && k >= 1, "nQueryTerms and k must be >= 1")
-    val probe = docs.filter(col(textCol).isNotNull)
-      .select(count(lit(1)), sum(size(tokens(col(textCol)))).cast("long"))
-      .head()
-    val n = probe.getLong(0)
+    // with the shared tf in hand the corpus probe needs no tokenize
+    // pass: total tokens ≡ Σc over the memo (explode drops the same
+    // null/empty-token docs both ways), and the doc count is a plain
+    // pruned-scan count
+    val (n, totToks) = sharedTf match {
+      case Some(stf) =>
+        (docs.filter(col(textCol).isNotNull).count(),
+          stf.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0))
+      case None =>
+        val probe = docs.filter(col(textCol).isNotNull)
+          .select(count(lit(1)), sum(size(tokens(col(textCol)))).cast("long"))
+          .head()
+        (probe.getLong(0), if (probe.isNullAt(1)) 0L else probe.getLong(1))
+    }
     require(n > 0, "corpus is empty")
-    val avgdl = probe.getLong(1).toDouble / n
+    val avgdl = totToks.toDouble / n
     // tf feeds THREE consumers (doc lengths, document frequencies, the
     // final scoring join) and identical subtrees get no automatic
     // exchange reuse here (plan shows 3 Generate explode branches) —
@@ -1485,12 +1495,22 @@ object TextStats {
       "nQueryTerms, nQueries, k, d0 must be >= 1")
     val s = docs.sparkSession
     import scala.jdk.CollectionConverters._
-    val probe = docs.filter(col(textCol).isNotNull)
-      .select(count(lit(1)), sum(size(tokens(col(textCol)))).cast("long"))
-      .head()
-    val n = probe.getLong(0)
+    // with the shared tf in hand the corpus probe needs no tokenize
+    // pass: total tokens ≡ Σc over the memo (explode drops the same
+    // null/empty-token docs both ways), and the doc count is a plain
+    // pruned-scan count
+    val (n, totToks) = sharedTf match {
+      case Some(stf) =>
+        (docs.filter(col(textCol).isNotNull).count(),
+          stf.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0))
+      case None =>
+        val probe = docs.filter(col(textCol).isNotNull)
+          .select(count(lit(1)), sum(size(tokens(col(textCol)))).cast("long"))
+          .head()
+        (probe.getLong(0), if (probe.isNullAt(1)) 0L else probe.getLong(1))
+    }
     require(n > 0, "corpus is empty")
-    val avgdl = probe.getLong(1).toDouble / n
+    val avgdl = totToks.toDouble / n
     val tf = sharedTf.getOrElse(docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))

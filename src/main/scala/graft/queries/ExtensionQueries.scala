@@ -368,7 +368,12 @@ object ExtensionQueries {
     * Ordered most-expensive-first so the pool's tail is short.
     */
   def prewarmSharedFrames(s: SparkSession, d: String,
-                          par: Int = 6): (Int, Double) = {
+                          par: Int = 10): (Int, Double) = {
+    // par 6 → 10 (r15): the ledger's build-time sum overlaps to a wall
+    // of ~max-chain only when enough thunks run at once; at 6 the 20
+    // thunks queued in waves and the wall read ~1.7× the longest chain.
+    // Each thunk is itself a parallel Spark job, so the pool size is
+    // about overlap, not about saturating cores 1:1.
     val thunks: Seq[(String, () => Any)] = Seq(
       "pq_enc"        -> (() => pqEnc(s, d)),
       "kmeans_elbow"  -> (() => kmeansElbowFrame(s, d)),
