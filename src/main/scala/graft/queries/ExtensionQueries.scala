@@ -368,12 +368,12 @@ object ExtensionQueries {
     * Ordered most-expensive-first so the pool's tail is short.
     */
   def prewarmSharedFrames(s: SparkSession, d: String,
-                          par: Int = 10): (Int, Double) = {
-    // par 6 → 10 (r15): the ledger's build-time sum overlaps to a wall
-    // of ~max-chain only when enough thunks run at once; at 6 the 20
-    // thunks queued in waves and the wall read ~1.7× the longest chain.
-    // Each thunk is itself a parallel Spark job, so the pool size is
-    // about overlap, not about saturating cores 1:1.
+                          par: Int = 6): (Int, Double) = {
+    // par stays 6 (r15 measured): widening to 10 read 13.6 s once and
+    // 35.1 s once (thunk contention early in the session is spiky),
+    // while 6 read a stable ~13 s twice — no reliable win, one bad
+    // tail. Each thunk is itself a parallel Spark job, so the pool is
+    // about overlap, not core saturation.
     val thunks: Seq[(String, () => Any)] = Seq(
       "pq_enc"        -> (() => pqEnc(s, d)),
       "kmeans_elbow"  -> (() => kmeansElbowFrame(s, d)),
