@@ -659,7 +659,15 @@ object ExtensionQueries {
     * hash gate pins every quantized element exactly.
     */
   def embedQuantize(s: SparkSession, d: String): DataFrame =
-    Similarity.quantizeInt8(embs(s, d))
+    // localCheckpoint BEFORE the explode: posexplode's implicit
+    // isnotnull/size constraints and the scale filter otherwise push
+    // below the projections and re-inline the whole interpreted-HOF
+    // quantize chain ~7x per row inside one Filter (measured 7.4 s vs
+    // 1.3 s at sf0.1; plan diff in plans/r15). The barrier pins ONE
+    // evaluation per vector; the checkpoint is a distributed
+    // materialization of the quantized frame (one pass, executor-
+    // local), not a driver collect.
+    Similarity.quantizeInt8(embs(s, d)).localCheckpoint()
       .select(col("vec_id"), posexplode(col("qvec")).as(Seq("dim_idx", "q")))
       .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"), col("q"))
       .orderBy("vec_id", "dim_idx")
@@ -5910,19 +5918,23 @@ object ExtensionQueries {
 
   /** Core over a pre-projected (event_type, event_id, ga, v) frame. */
   private[graft] def ks(e: DataFrame): DataFrame = {
-    val withB = e.withColumn("gb", lit(1L) - col("ga"))
-    val t = graft.ops.KeyedPrefix.cumsum(withB,
-      keys = Seq("event_type"), order = Seq("v", "event_id"),
-      sums = Seq("ga" -> "ca", "gb" -> "cb"), countName = "cn")
-    val tot = withB.groupBy("event_type")
-      .agg(sum(col("ga")).as("na"), sum(col("gb")).as("nb"))
-    // the empirical CDFs step only at COMPLETED values: a mid-tie
-    // prefix (both arms tied at v, one arm's rows first) would
-    // over-read the gap, so each (type, v) group collapses to its
-    // final cumulatives (max within the group — cums are
-    // nondecreasing) before the sup
-    val steps = t.groupBy("event_type", "v")
-      .agg(max(col("ca")).as("ca"), max(col("cb")).as("cb"))
+    // The empirical CDFs step only at COMPLETED values, so the prefix
+    // scan needs only the (type, v)-grouped per-arm counts, not the
+    // row stream: aggregate FIRST (map-side partial agg, §2.3 of the
+    // optimization guide), then run the same two-pass KeyedPrefix
+    // scan over the grouped distribution — the cumulative (ca, cb)
+    // at a group is exactly the row-level scan's final cumulative
+    // within that tie-group, so `steps` is unchanged by construction
+    // and the full-stream range sort is gone.
+    val g = e.select(col("event_type"), col("v"), col("ga"),
+        (lit(1L) - col("ga")).as("gb"))
+      .groupBy("event_type", "v")
+      .agg(sum(col("ga")).as("an"), sum(col("gb")).as("bn"))
+    val tot = g.groupBy("event_type")
+      .agg(sum(col("an")).as("na"), sum(col("bn")).as("nb"))
+    val steps = graft.ops.KeyedPrefix.cumsum(g,
+      keys = Seq("event_type"), order = Seq("v"),
+      sums = Seq("an" -> "ca", "bn" -> "cb"), countName = "cn")
     steps.join(broadcast(tot), Seq("event_type"))
       .withColumn("gap", expr(
         "abs(CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na)"))
@@ -5965,25 +5977,36 @@ object ExtensionQueries {
 
   /** Core over a pre-projected (event_type, event_id, ga, v) frame. */
   private[graft] def mannWhitney(e: DataFrame): DataFrame = {
-    val withB = e.withColumn("gb", lit(1L) - col("ga"))
-    def scan(order2: String) = graft.ops.KeyedPrefix.cumsum(withB,
-      keys = Seq("event_type"), order = Seq("v", order2, "event_id"),
-      sums = Seq("gb" -> "cb"), countName = "cn")
-    // b-ties BEFORE a rows: cb at an a row = B_<= ; b-ties AFTER:
-    // cb at an a row = B_<
-    val le = scan("ga").filter(col("ga") === 1L)
-      .groupBy("event_type").agg(sum(col("cb")).as("s_le"))
-    val lt = scan("gb").filter(col("ga") === 1L)
-      .groupBy("event_type").agg(sum(col("cb")).as("s_lt"))
-    val tot = withB.groupBy("event_type")
-      .agg(sum(col("ga")).as("na"), sum(col("gb")).as("nb"))
-    val ties = withB.groupBy("event_type", "v")
-      .agg(count(lit(1)).as("t"))
+    // `2U = Σ_A (B_< + B_≤)` depends only on the (type, v)-grouped
+    // arm counts: with cble = B_≤ from ONE prefix scan over the
+    // grouped distribution, every a-row at v contributes
+    // (cble − bn) + cble, so u2 = Σ_v an·(2·cble − bn) — identical
+    // term-by-term to the old two row-level scans (b-ties-before
+    // gave B_≤, b-ties-after gave B_<). Aggregating first (map-side
+    // partial agg, guide §2.3) removes both full-stream range sorts;
+    // the tie term reuses the same grouped counts (t = an + bn).
+    val g = e.select(col("event_type"), col("v"), col("ga"),
+        (lit(1L) - col("ga")).as("gb"))
+      .groupBy("event_type", "v")
+      .agg(sum(col("ga")).as("an"), sum(col("gb")).as("bn"))
+    val c = graft.ops.KeyedPrefix.cumsum(g,
+      keys = Seq("event_type"), order = Seq("v"),
+      sums = Seq("bn" -> "cble"), countName = "cn")
+    // per-term product an·(2·cble − bn) ≤ 2·na·nb — the same Long
+    // envelope the old per-row running sums carried
+    val s = c.groupBy("event_type")
+      .agg(sum(expr("an * (2 * cble - bn)")).as("u2s"))
+    val tot = g.groupBy("event_type")
+      .agg(sum(col("an")).as("na"), sum(col("bn")).as("nb"))
+    val ties = g.select(col("event_type"), (col("an") + col("bn")).as("t"))
       .groupBy("event_type")
       .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tsum"))
-    le.join(lt, Seq("event_type")).join(broadcast(tot), Seq("event_type"))
+    s.join(broadcast(tot), Seq("event_type"))
       .join(broadcast(ties), Seq("event_type"))
-      .withColumn("u2", col("s_le") + col("s_lt"))
+      // the row-level scans dropped a type with no a-rows (the sum
+      // over the filtered empty group produced no row); mirror that
+      .filter(col("na") > 0L)
+      .withColumn("u2", col("u2s"))
       .withColumn("nn", col("na") + col("nb"))
       .withColumn("z2_milli", expr(
         "CAST(3000 * CAST(nn AS DECIMAL(38,0)) * (nn - 1)" +
@@ -7385,23 +7408,38 @@ object ExtensionQueries {
 
   /** Core over a pre-projected (event_type, event_id, v) frame. */
   private[graft] def hill(e: DataFrame): DataFrame = {
-    val ranked = graft.ops.KeyedPrefix.cumsum(e,
-      keys = Seq("event_type"), order = Seq("v", "event_id"),
-      sums = Nil, countName = "rk")
-    val tot = e.groupBy("event_type").agg(count(lit(1)).as("n_total"))
+    // Rank-threshold and tail ln-sum both depend only on the
+    // (type, v)-grouped counts: the threshold value is the group
+    // whose cumulative count spans rank r0 = n_total − k_used, and a
+    // tail tie at v_thr contributes floor(ln(1)·1e4) = 0, so the ln
+    // sum needs only the groups strictly above it. Aggregating first
+    // (guide §2.3) removes the full-stream range sort; the grouped
+    // prefix scan keeps the same two-pass KeyedPrefix shape.
+    val g = e.groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+    val c = graft.ops.KeyedPrefix.cumsum(g,
+      keys = Seq("event_type"), order = Seq("v"),
+      sums = Seq("cnt" -> "cum"), countName = "gn")
+    val tot = g.groupBy("event_type").agg(sum(col("cnt")).as("n_total"))
       .withColumn("k_used",
         expr("greatest(least(100L, n_total div 20), 2L)"))
-    val withK = ranked.join(broadcast(tot), "event_type")
-    val thr = withK.filter(col("rk") === col("n_total") - col("k_used"))
+      .withColumn("r0", col("n_total") - col("k_used"))
+    // the row-level rk === r0 filter found no row when r0 = 0 and the
+    // inner join dropped the type; the r0 >= 1 guard mirrors that
+    val thr = c.join(broadcast(tot), "event_type")
+      .filter(col("r0") >= 1L && col("cum") >= col("r0") &&
+        col("cum") - col("cnt") < col("r0"))
       .select(col("event_type"), col("v").as("v_thr"))
-    withK.join(broadcast(thr), "event_type")
-      .filter(col("rk") > col("n_total") - col("k_used"))
+    // no pre-filter on v > v_thr: an all-ties tail must still emit its
+    // type's row (lnsum 0, tail_usable false), exactly as the row-level
+    // groupBy over the nonempty rank tail did — the CASE guards instead
+    c.join(broadcast(thr), "event_type")
+      .join(broadcast(tot.drop("r0")), "event_type")
       .groupBy("event_type")
       .agg(max(col("n_total")).as("n_total"),
         max(col("k_used")).as("k_used"),
         max(col("v_thr")).as("u_milli"),
-        sum(expr("CASE WHEN v_thr > 0 AND v > 0 THEN" +
-          " CAST(floor(ln(CAST(v AS DOUBLE) / v_thr) * 10000)" +
+        sum(expr("CASE WHEN v > v_thr AND v_thr > 0 AND v > 0 THEN" +
+          " cnt * CAST(floor(ln(CAST(v AS DOUBLE) / v_thr) * 10000)" +
           " AS BIGINT) ELSE 0L END")).as("lnsum_e4"))
       .withColumn("tail_usable", expr("u_milli > 0 AND lnsum_e4 > 0"))
       .withColumn("hill_alpha_milli", expr(
@@ -7539,21 +7577,31 @@ object ExtensionQueries {
 
   /** Core over a pre-projected (event_type, event_id, v) frame. */
   private[graft] def meanExcess(e: DataFrame): DataFrame = {
-    val ranked = graft.ops.KeyedPrefix.cumsum(e,
-      keys = Seq("event_type"), order = Seq("v", "event_id"),
-      sums = Nil, countName = "rk")
-    val tot = e.groupBy("event_type").agg(count(lit(1)).as("n_total"))
+    // The p95 order statistic and the excess sums depend only on the
+    // (type, v)-grouped counts: u is the v of the group whose
+    // cumulative count spans rank k95, and the tail sums fold
+    // cnt-weighted over groups. Aggregating first (guide §2.3)
+    // removes the full-stream range sort; the grouped prefix scan
+    // keeps the same two-pass KeyedPrefix shape. k95 ∈ [1, n_total]
+    // whenever the type has rows, so the spanning group always exists.
+    val g = e.groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+    val c = graft.ops.KeyedPrefix.cumsum(g,
+      keys = Seq("event_type"), order = Seq("v"),
+      sums = Seq("cnt" -> "cum"), countName = "gn")
+    val tot = g.groupBy("event_type").agg(sum(col("cnt")).as("n_total"))
       .withColumn("k95", expr("(95 * n_total + 99) div 100"))
-    val thr = ranked.join(broadcast(tot), "event_type")
-      .filter(col("rk") === col("k95"))
+    val thr = c.join(broadcast(tot), "event_type")
+      .filter(col("cum") >= col("k95") &&
+        col("cum") - col("cnt") < col("k95"))
       .select(col("event_type"), col("v").as("u_milli"))
-    e.join(broadcast(thr), "event_type")
+    c.join(broadcast(thr), "event_type")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_total"),
+      .agg(sum(col("cnt")).as("n_total"),
         max(col("u_milli")).as("u_milli"),
-        sum(when(col("v") > col("u_milli"), 1L).otherwise(0L))
+        sum(when(col("v") > col("u_milli"), col("cnt")).otherwise(0L))
           .as("n_exceed"),
-        sum(when(col("v") > col("u_milli"), col("v") - col("u_milli"))
+        sum(when(col("v") > col("u_milli"),
+            col("cnt") * (col("v") - col("u_milli")))
           .otherwise(0L)).as("sum_excess"))
       .withColumn("exceed_ppm", expr("n_exceed * 1000000 div n_total"))
       .withColumn("mean_excess_milli",
