@@ -140,7 +140,13 @@ object CdcQueries {
     val view = oldSnap.groupBy("o_custkey").agg(
       count(lit(1)).as("n_orders"),
       sum(col("o_totalprice").cast("decimal(12,2)")).as("sum_price"))
+    // maintain() consumes delta TWICE (broadcast semi probe + the
+    // full-outer merge), and delta's lineage carries the full-outer
+    // snapshot-classify join — without a barrier that join ran twice
+    // (5 orders scans in the before-plan, see plans/r15). The delta
+    // is touched-keys-sized, so the checkpoint is small by design.
     val delta = Ivm.viewDelta(events, "o_custkey", "o_totalprice")
+      .localCheckpoint()
     Ivm.maintain(view, delta, "o_custkey", sumCol = "sum_price",
         cntCol = "n_orders")
       // exact decimal all the way; DOUBLE only at the output edge

@@ -6940,14 +6940,18 @@ object ExtensionQueries {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"))
     val w = W.partitionBy("user_id").orderBy("event_id")
+    // same barrier as entropyRateQ: the core reads `pairs` in both
+    // the tot and dense subtrees and `states` twice; checkpoint the
+    // K-bounded frames so the per-user lead window runs once
     val pairs = ev
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"),
         col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     markovStationary(pairs,
-      ev.select(col("event_type").as("state")).distinct())
+      ev.select(col("event_type").as("state")).distinct().localCheckpoint())
   }
 
   /** Core over a (from_type, to_type, n) count frame and a (state)
@@ -7043,13 +7047,22 @@ object ExtensionQueries {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"))
     val w = W.partitionBy("user_id").orderBy("event_id")
+    // localCheckpoint both K-bounded frames: the core reads `pairs`
+    // in FOUR subtrees (hCond's dense, stationary's dense, and a tot
+    // branch in each) and `states` in two crossJoin sides — without
+    // the barrier each re-runs the per-user lead window over the full
+    // event stream (8 parquet scans in the before-plan, see
+    // plans/r15). Both frames are K²-/K-sized (transition counts over
+    // the event-type alphabet), so the materialization is trivial.
     val pairs = ev
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"),
         col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    entropyRate(pairs, ev.select(col("event_type").as("state")).distinct())
+      .localCheckpoint()
+    entropyRate(pairs,
+      ev.select(col("event_type").as("state")).distinct().localCheckpoint())
   }
 
   /** Core over the same (from_type, to_type, n) + (state) frames as
