@@ -367,7 +367,8 @@ object TextStats {
     */
   def duplicateSpans(docs: DataFrame, windowLen: Int = 8, minDocs: Int = 2,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     winIndex: Option[DataFrame] = None): DataFrame = {
     require(windowLen >= 1, "windowLen must be >= 1")
     require(minDocs >= 2, "minDocs must be >= 2")
     val t = tokens(col(textCol))
@@ -375,10 +376,15 @@ object TextStats {
     // interpreted chain form lives in [[windowHashChain]] for the spec.
     // Materialized once (the bm25 tf-reuse move): both the duplicated-
     // hash aggregate and the per-doc dup-count join consume it, and
-    // without the checkpoint the tokenize+hash+explode scan runs twice
-    val w = docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.WindowHashes(t, windowLen)).as("h"))
-      .localCheckpoint()
+    // without the checkpoint the tokenize+hash+explode scan runs twice.
+    // `winIndex` = a pre-materialized positional (doc_id, i, h) index
+    // from the SAME (windowLen, tokenizer) config — the shared-memo
+    // seam (doc_tf discipline): this op and [[removeDuplicateSpans]]
+    // hash identical windows, so a session running both tokenizes once.
+    val w = winIndex.map(_.select(col("doc_id"), col("h"))).getOrElse(
+      docs.select(col(idCol).as("doc_id"),
+          explode(graft.functions.WindowHashes(t, windowLen)).as("h"))
+        .localCheckpoint())
     // hashes seen in >= minDocs distinct docs: distinct pairs first,
     // then a plain count — two cascading hash-aggs, no Expand
     val dup = w.distinct()
@@ -735,14 +741,18 @@ object TextStats {
   def removeDuplicateSpans(docs: DataFrame, windowLen: Int = 8,
                            minDocs: Int = 2,
                            idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
+                           textCol: String = "text",
+                           winIndex: Option[DataFrame] = None): DataFrame = {
     require(windowLen >= 1, "windowLen must be >= 1")
     require(minDocs >= 2, "minDocs must be >= 2")
     val t = tokens(col(textCol))
-    val w = docs.select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.WindowHashes(t, windowLen)))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
-      .localCheckpoint()
+    // `winIndex`: see [[duplicateSpans]] — the shared positional
+    // (doc_id, i, h) window index both span ops read when memoized
+    val w = winIndex.getOrElse(
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(graft.functions.WindowHashes(t, windowLen)))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+        .localCheckpoint())
     val dup = w.select("doc_id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)

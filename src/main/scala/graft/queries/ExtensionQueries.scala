@@ -394,6 +394,7 @@ object ExtensionQueries {
       "infer_scored"  -> (() => inferScored(s, d)),
       "doc_tf"        -> (() => docTf(s, d)),
       "lex_top5"      -> (() => lexTop5(s, d)),
+      "win8"          -> (() => win8(s, d)),
       "bpe_merges"    -> (() => bpeMerges(s, d)))
     val t0 = System.nanoTime()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
@@ -3048,15 +3049,31 @@ object ExtensionQueries {
     Dedup.corpusDiff(all, cur).orderBy("doc_id", "status")
   }
 
+  /** Shared positional 8-token window-hash index (doc_id, i, h) —
+    * materialized once per (session, dataset) and read by BOTH span
+    * ops (q_dup_spans' census and q_dup_remove's cleanup hash the
+    * SAME windows; the doc_tf memo discipline applied to spans).
+    */
+  private def win8(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "win8")(
+      docs(s, d).select(col("doc_id"),
+          posexplode(graft.functions.WindowHashes(
+            TextStats.tokens(col("text")), 8)))
+        .select(col("doc_id"), (col("pos") + 1).as("i"),
+          col("col").as("h")))
+
   def dupSpans(s: SparkSession, d: String): DataFrame =
-    TextStats.duplicateSpans(docs(s, d), windowLen = 8).orderBy("doc_id")
+    TextStats.duplicateSpans(docs(s, d), windowLen = 8,
+        winIndex = Some(win8(s, d)))
+      .orderBy("doc_id")
 
   /** Exact duplicated-span removal (Lee et al. ACL'22 shape) — the
     * cleanup twin of q_dup_spans: every 8-token window shared by >= 2
     * docs is deleted from all of them, and the cleaned text is emitted.
     */
   def dupRemove(s: SparkSession, d: String): DataFrame =
-    TextStats.removeDuplicateSpans(docs(s, d), windowLen = 8)
+    TextStats.removeDuplicateSpans(docs(s, d), windowLen = 8,
+        winIndex = Some(win8(s, d)))
       .orderBy("doc_id")
 
   /** The positional-inverted-index phrase probe set — pinned so the
