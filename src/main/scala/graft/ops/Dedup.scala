@@ -1345,12 +1345,17 @@ object Dedup {
   def winnowNearDup(docs: DataFrame, k: Int = 3, w: Int = 4,
                     minShared: Int = 2,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    fpIndex: Option[DataFrame] = None): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     // materialized once: both self-join sides read the sketch instead
-    // of re-running gram hashing + winnowing (the band-index move)
-    val fps = graft.ops.TextStats.winnow(docs, k, w, idCol, textCol)
-      .localCheckpoint()
+    // of re-running gram hashing + winnowing (the band-index move).
+    // `fpIndex` = a pre-materialized (doc_id, fingerprint) sketch from
+    // the SAME (k, w) config — the shared-memo seam, so a session that
+    // also serves the fingerprint census (q_winnow) winnows once.
+    val fps = fpIndex.getOrElse(
+      graft.ops.TextStats.winnow(docs, k, w, idCol, textCol)
+        .localCheckpoint())
     val l = fps.alias("l")
     val r = fps.withColumnRenamed("doc_id", "doc_b_").alias("r")
     l.join(r, col("l.fingerprint") === col("r.fingerprint") &&

@@ -395,6 +395,7 @@ object ExtensionQueries {
       "doc_tf"        -> (() => docTf(s, d)),
       "lex_top5"      -> (() => lexTop5(s, d)),
       "win8"          -> (() => win8(s, d)),
+      "winnow34"      -> (() => winnow34(s, d)),
       "bpe_merges"    -> (() => bpeMerges(s, d)))
     val t0 = System.nanoTime()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
@@ -3088,12 +3089,19 @@ object ExtensionQueries {
     TextStats.phraseSearch(docs(s, d), SearchPhrases)
       .orderBy("phrase", "doc_id")
 
+  /** Shared winnow fingerprint sketch (k=3, w=4) — one gram-hash +
+    * winnow pass serves both the census (q_winnow) and the near-dup
+    * self-join (q_winnow_pairs).
+    */
+  private def winnow34(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "winnow34")(TextStats.winnow(docs(s, d), k = 3, w = 4))
+
   def winnowFp(s: SparkSession, d: String): DataFrame =
-    TextStats.winnow(docs(s, d), k = 3, w = 4)
-      .orderBy("doc_id", "fingerprint")
+    winnow34(s, d).orderBy("doc_id", "fingerprint")
 
   def winnowPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.winnowNearDup(docs(s, d), k = 3, w = 4, minShared = 2)
+    Dedup.winnowNearDup(docs(s, d), k = 3, w = 4, minShared = 2,
+        fpIndex = Some(winnow34(s, d)))
       .orderBy("doc_a", "doc_b")
 
   def embedProject(s: SparkSession, d: String): DataFrame =
