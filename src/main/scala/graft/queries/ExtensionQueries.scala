@@ -3437,23 +3437,29 @@ object ExtensionQueries {
     * memoized candidate pairs; the source lookup is two skinny
     * id→source joins and one tiny matrix aggregation.
     */
+  /** The (src_lo, src_hi, n_pairs) overlap matrix — grouped to the
+    * tiny K²-bounded matrix FIRST (Spark gives no exchange reuse
+    * across subtrees, the minhashEstimate lesson), and memoized: BOTH
+    * q_source_overlap and q_source_lift label the same near-dup pair
+    * list with sources, so the two id->source joins over the pair
+    * list run once per session.
+    */
+  private def srcOverlapMatrix(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "src_matrix") {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      mhPairs(s, d)
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("source_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("source_b")), "doc_b")
+        .select(least(col("source_a"), col("source_b")).as("src_lo"),
+          greatest(col("source_a"), col("source_b")).as("src_hi"))
+        .groupBy("src_lo", "src_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+    }
+
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val src = docs(s, d).select(col("doc_id"), col("source"))
-    val labeled = mhPairs(s, d)
-      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")),
-        "doc_a")
-      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")),
-        "doc_b")
-      .select(least(col("source_a"), col("source_b")).as("src_lo"),
-        greatest(col("source_a"), col("source_b")).as("src_hi"))
-    // group to the tiny matrix FIRST, then checkpoint it so the total
-    // reads the materialized matrix — Spark gives no exchange reuse
-    // across subtrees (the minhashEstimate lesson), and a separate
-    // count over `labeled` would re-run both id->source joins over
-    // the multi-million-row pair list
-    val matrix = labeled.groupBy("src_lo", "src_hi")
-      .agg(count(lit(1)).as("n_pairs"))
-      .localCheckpoint()
+    val matrix = srcOverlapMatrix(s, d)
     val total = broadcast(
       matrix.agg(coalesce(sum(col("n_pairs")), lit(0L)).as("total_pairs")))
     matrix
