@@ -396,6 +396,7 @@ object ExtensionQueries {
       "lex_top5"      -> (() => lexTop5(s, d)),
       "win8"          -> (() => win8(s, d)),
       "winnow34"      -> (() => winnow34(s, d)),
+      "packed32"      -> (() => packedSeqs(s, d)),
       "bpe_merges"    -> (() => bpeMerges(s, d)))
     val t0 = System.nanoTime()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
@@ -2588,7 +2589,11 @@ object ExtensionQueries {
 
   /** Core over a pre-projected (event_type, user_id, day) frame. */
   private[graft] def stickiness(activity: DataFrame): DataFrame = {
-    val act = activity.distinct()
+    // localCheckpoint: act feeds dau, spans AND the wau fan-out — three
+    // consumers, each re-running the events scan + distinct exchange
+    // without a barrier. The checkpointed frame is the (type, user,
+    // day) activity set — users x days bounded, far below the stream.
+    val act = activity.distinct().localCheckpoint()
     val dau = act.groupBy("event_type", "day").agg(count(lit(1)).as("dau"))
     val spans = act.groupBy("event_type")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
@@ -3513,12 +3518,23 @@ object ExtensionQueries {
     * attention-contamination exposure), plus the used span (straddling
     * chunks run past the budget by design — start-offset semantics).
     */
-  def packMix(s: SparkSession, d: String): DataFrame =
-    Pack.packSequences(
+  /** The (chunkSize 32, stride 24, budget 512) packed-sequence frame
+    * BOTH q_pack and q_pack_mix read — identical chunk + prefix-sum
+    * packing config, so the chunk explode and the two-job packing
+    * scan run once per session (FrameMemo discipline), not once per
+    * consumer.
+    */
+  private def packedSeqs(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "packed32") {
+      Pack.packSequences(
         TextStats.chunk(docs(s, d), chunkSize = 32, stride = 24)
           .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
             col("n_tokens").cast("long").as("n_tokens")),
         budget = 512L)
+    }
+
+  def packMix(s: SparkSession, d: String): DataFrame =
+    packedSeqs(s, d)
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -3527,11 +3543,7 @@ object ExtensionQueries {
       .orderBy("seq_id")
 
   def pack(s: SparkSession, d: String): DataFrame =
-    Pack.packSequences(
-        TextStats.chunk(docs(s, d), chunkSize = 32, stride = 24)
-          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-            col("n_tokens").cast("long").as("n_tokens")),
-        budget = 512L)
+    packedSeqs(s, d)
       .select("doc_id", "chunk_idx", "n_tokens", "tok_start", "seq_id", "seq_offset")
       .orderBy("doc_id", "chunk_idx")
 
@@ -5957,10 +5969,18 @@ object ExtensionQueries {
     // at a group is exactly the row-level scan's final cumulative
     // within that tie-group, so `steps` is unchanged by construction
     // and the full-stream range sort is gone.
+    // localCheckpoint: g feeds tot AND both KeyedPrefix passes (the
+    // two-pass scan re-evaluates its input lineage once per pass), so
+    // without a barrier the events scan + group agg ran 3x — measured
+    // SLOWER than the row-level scan this rewrite replaced (isolated
+    // paired A/B at sf0.1: old 1.51 s, unbarriered rewrite 2.11 s).
+    // The barrier pins ONE scan; the checkpointed frame is bounded by
+    // distinct (type, v) — footer-stats-sized, not stream-sized.
     val g = e.select(col("event_type"), col("v"), col("ga"),
         (lit(1L) - col("ga")).as("gb"))
       .groupBy("event_type", "v")
       .agg(sum(col("ga")).as("an"), sum(col("gb")).as("bn"))
+      .localCheckpoint()
     val tot = g.groupBy("event_type")
       .agg(sum(col("an")).as("na"), sum(col("bn")).as("nb"))
     val steps = graft.ops.KeyedPrefix.cumsum(g,
@@ -6016,10 +6036,15 @@ object ExtensionQueries {
     // gave B_≤, b-ties-after gave B_<). Aggregating first (map-side
     // partial agg, guide §2.3) removes both full-stream range sorts;
     // the tie term reuses the same grouped counts (t = an + bn).
+    // localCheckpoint: g feeds the prefix scan (2 passes), tot AND
+    // ties — 4 re-evaluations of the events scan + group agg without
+    // a barrier (see ks above; same paired-A/B evidence). Bounded by
+    // distinct (type, v).
     val g = e.select(col("event_type"), col("v"), col("ga"),
         (lit(1L) - col("ga")).as("gb"))
       .groupBy("event_type", "v")
       .agg(sum(col("ga")).as("an"), sum(col("gb")).as("bn"))
+      .localCheckpoint()
     val c = graft.ops.KeyedPrefix.cumsum(g,
       keys = Seq("event_type"), order = Seq("v"),
       sums = Seq("bn" -> "cble"), countName = "cn")
@@ -7459,10 +7484,17 @@ object ExtensionQueries {
     // sum needs only the groups strictly above it. Aggregating first
     // (guide §2.3) removes the full-stream range sort; the grouped
     // prefix scan keeps the same two-pass KeyedPrefix shape.
+    // localCheckpoint on g AND on the scan output c: g feeds the two
+    // prefix passes + tot, and c is consumed by BOTH the threshold
+    // pick and the final rollup — each consumer re-sorts and re-runs
+    // pass 2 without a barrier (see ks; paired A/B pinned the
+    // unbarriered shape slower than the row-level scan it replaced).
     val g = e.groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val c = graft.ops.KeyedPrefix.cumsum(g,
       keys = Seq("event_type"), order = Seq("v"),
       sums = Seq("cnt" -> "cum"), countName = "gn")
+      .localCheckpoint()
     val tot = g.groupBy("event_type").agg(sum(col("cnt")).as("n_total"))
       .withColumn("k_used",
         expr("greatest(least(100L, n_total div 20), 2L)"))
@@ -7628,10 +7660,14 @@ object ExtensionQueries {
     // removes the full-stream range sort; the grouped prefix scan
     // keeps the same two-pass KeyedPrefix shape. k95 ∈ [1, n_total]
     // whenever the type has rows, so the spanning group always exists.
+    // Same barrier discipline as hill: g feeds two prefix passes +
+    // tot; c is consumed by the threshold pick AND the final rollup.
     val g = e.groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val c = graft.ops.KeyedPrefix.cumsum(g,
       keys = Seq("event_type"), order = Seq("v"),
       sums = Seq("cnt" -> "cum"), countName = "gn")
+      .localCheckpoint()
     val tot = g.groupBy("event_type").agg(sum(col("cnt")).as("n_total"))
       .withColumn("k95", expr("(95 * n_total + 99) div 100"))
     val thr = c.join(broadcast(tot), "event_type")
