@@ -45,6 +45,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the generated-code cache defaults to 100 entries; this session
+      // plans 320 queries x several WholeStageCodegen units each, so
+      // at the default every pass re-pays janino compilation for code
+      // it compiled minutes ago (pure fixed cost, any data scale — the
+      // same knob a long-lived multi-query service sets). Static conf:
+      // must be set before the session exists. Sized to hold the whole
+      // suite's units; generated classes are KBs (code cache is 1g).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // silence WindowExec's single-partition WARN spam: every firing in
@@ -54,6 +63,14 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // the per-query block-hygiene sweep (timeOne) unpersists
+    // invocation-local localCheckpoint RDDs; each unpersist logs a
+    // "lineage has been truncated" WARN that is benign BY CONSTRUCTION
+    // here (the frame's consumer has already fully materialized) and,
+    // at one line per checkpoint per pass, would crowd the ~2 KiB
+    // stdout tail the driver parses
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // session warmup so the first timed query doesn't absorb executor/
     // codegen/file-index startup (~3-4 s of one-time JVM cost). Every
     // table is counted once: filesystem init, FileIndex listing, and
@@ -133,6 +150,7 @@ object Bench {
       // the drift forensics that tells "plan got slower" apart from
       // "memo build cost moved to a different first consumer"
       graft.queries.FrameMemo.currentConsumer.set(name)
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       // noop-format write forces full evaluation of every output column
       // (count() lets Catalyst prune unused projections, under-measuring
@@ -140,7 +158,23 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
       finally graft.queries.FrameMemo.currentConsumer.remove()
-      (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Block hygiene (guide §5, ADVICE r15): per-invocation
+      // localCheckpoint blocks (query-local shared subtrees) are only
+      // reachable through the DataFrame just consumed — left persisted,
+      // 320 queries x 2 passes of them pile up in the block manager and
+      // the heap until a full GC lands a multi-second pause on whatever
+      // memory-heavy query runs next (the driver-run r15 regressed map:
+      // q_bootstrap 0.5s ref -> 9.0s, q_embed_quantize 0.36 -> 3.5s on
+      // a clean 1.00 epoch). Free every persistent RDD this window
+      // created EXCEPT frames the shared memos own; the sweep runs
+      // OUTSIDE the timed region and each invocation rebuilds its own
+      // checkpoints, so measured work is unchanged.
+      val owned = graft.queries.FrameMemo.ownedRddIds
+      for ((id, rdd) <- spark.sparkContext.getPersistentRDDs
+           if !persistedBefore.contains(id) && !owned.contains(id))
+        rdd.unpersist(blocking = false)
+      elapsed
     }
     // PRIOR-round per-query reference, keyed BY SCALE FACTOR
     // (bench_ref_<sf>.json — ratios across sfs are meaningless, and a

@@ -15,8 +15,16 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long (we never
       // select ts for oracle outputs — ns precision exceeds TimestampType)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Bench: 320 plans overflow the default 100-entry generated-
+      // code cache, re-paying janino per dump
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // benign-by-construction WARN from the per-query checkpoint sweep
+    // below (see Bench) — silenced so real failures stay visible
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q_a,q_b dumps a subset — local profiling aid
     // (the driver never sets it; oracle_sql.json always stays complete)
@@ -27,11 +35,20 @@ object Verify {
       case None        => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // block hygiene, same sweep as Bench: free this query's
+      // invocation-local checkpoint blocks (shared-memo frames are
+      // owned and skipped) so 320 sequential dumps don't accumulate
+      // heap pressure into GC pauses
+      val owned = graft.queries.FrameMemo.ownedRddIds
+      for ((id, rdd) <- spark.sparkContext.getPersistentRDDs
+           if !persistedBefore.contains(id) && !owned.contains(id))
+        rdd.unpersist(blocking = false)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

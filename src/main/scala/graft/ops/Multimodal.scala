@@ -33,6 +33,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream factory (useCache=true) backs EVERY
+  // read/write with a temp FILE in java.io.tmpdir — one create+delete
+  // syscall pair per image, serialized by the filesystem. At 32
+  // concurrent decode tasks that lock convoy inverts scaling (the r15
+  // driver probe read q_image_dhash 3.1x FASTER at 8 cores than 32).
+  // Payloads here are in-memory byte arrays already, so the disk cache
+  // buys nothing: use MemoryCacheImageInputStream. Object-init runs
+  // once per JVM before any decode; decode results are unchanged.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Declared schema of the compact decoded-media metadata
     * ([[decodeMedia]]): nullable throughout — a null payload decodes
     * to all-null meta, and each modality fills only the fields it
@@ -554,11 +564,17 @@ object Multimodal {
       if (n == 0) return Row(w, h, 0L, null, null, null, null)
       if (n > (1L << 33)) return none // exact-sum bound, same as PCM
       var sr = 0L; var sg = 0L; var sb = 0L; var dark = 0L
+      // bulk row reads: one getRGB(row) call converts a whole scanline
+      // through the ColorModel instead of a per-pixel virtual call +
+      // bounds check (identical ARGB values; the full-scan stats path
+      // is the only decoder that touches every pixel)
+      val rowBuf = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
         var x = 0
         while (x < w) {
-          val p = img.getRGB(x, y)
+          val p = rowBuf(x)
           val r = (p >> 16) & 0xff
           val g = (p >> 8) & 0xff
           val b = p & 0xff

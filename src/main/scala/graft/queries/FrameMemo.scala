@@ -54,6 +54,31 @@ object FrameMemo {
   private[queries] def record(key: String, secs: Double): Unit =
     log.add((key, secs, Option(currentConsumer.get).getOrElse("")))
 
+  // Registry of checkpoint-RDD ids the memos own — the harness's
+  // block-hygiene sweep (Bench/Verify free invocation-local checkpoint
+  // blocks after each query window) consults it so a memo built INSIDE
+  // a timed window (straggler past the prewarm) is never unpersisted
+  // out from under its later consumers.
+  private val owned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  private[queries] def registerOwned(df: DataFrame): Unit =
+    GraftSqlShim.checkpointRddId(df).foreach(id => owned.add(id))
+
+  /** Unpersist a memo frame's checkpoint AND drop it from the owned
+    * registry — every memo release path funnels through here.
+    */
+  private[queries] def releaseFrame(df: DataFrame): Unit = {
+    GraftSqlShim.checkpointRddId(df).foreach(id => owned.remove(id))
+    GraftSqlShim.unpersistCheckpoint(df)
+  }
+
+  /** Checkpoint-RDD ids currently owned by live memo entries. */
+  def ownedRddIds: Set[Int] = {
+    val b = Set.newBuilder[Int]
+    owned.forEach(id => b += id)
+    b.result()
+  }
+
   /** (memo key, build seconds, consumer query) per ACTUAL build, in
     * build order, across every FrameMemo instance in the session.
     */
@@ -89,6 +114,7 @@ final class FrameMemo[K](bound: Int) {
         if (built == null) {
           val t0 = System.nanoTime()
           built = build().localCheckpoint()
+          FrameMemo.registerOwned(built)
           builds.incrementAndGet()
           FrameMemo.record(keyLabel, (System.nanoTime() - t0) / 1e9)
         }
@@ -110,7 +136,7 @@ final class FrameMemo[K](bound: Int) {
         // just accessed, so the race needs bound concurrent inserts
         // inside one build; accepted and documented.)
         val f = e.getValue.peek
-        if (f != null) GraftSqlShim.unpersistCheckpoint(f)
+        if (f != null) FrameMemo.releaseFrame(f)
         // loud by design: an eviction on a healthy session means the
         // registry crossed its bound and the coldest index will
         // rebuild on next touch — the operator signal to either raise
@@ -161,7 +187,7 @@ final class FrameMemo[K](bound: Int) {
       val old = map.remove(k)
       if (old != null) {
         val f = old.peek
-        if (f != null) GraftSqlShim.unpersistCheckpoint(f)
+        if (f != null) FrameMemo.releaseFrame(f)
       }
       val nh = new Holder(k.toString, () => build)
       map.put(k, nh)
@@ -177,7 +203,7 @@ final class FrameMemo[K](bound: Int) {
     val old = map.remove(k)
     if (old != null) {
       val f = old.peek
-      if (f != null) GraftSqlShim.unpersistCheckpoint(f)
+      if (f != null) FrameMemo.releaseFrame(f)
     }
   }
 
@@ -185,7 +211,7 @@ final class FrameMemo[K](bound: Int) {
   def clear(): Unit = map.synchronized {
     map.values().forEach { h =>
       val f = h.peek
-      if (f != null) GraftSqlShim.unpersistCheckpoint(f)
+      if (f != null) FrameMemo.releaseFrame(f)
     }
     map.clear()
   }

@@ -83,4 +83,15 @@ object GraftSqlShim {
       case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Id of the persisted RDD behind a `localCheckpoint()`'d frame —
+    * what a block-hygiene sweep needs to tell session-owned memo
+    * blocks apart from invocation-local ones. None for plans that are
+    * not checkpoint leaves.
+    */
+  def checkpointRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.logical match {
+      case l: execution.LogicalRDD => Some(l.rdd.id)
+      case _ => None
+    }
 }
