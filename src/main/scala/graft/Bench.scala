@@ -176,21 +176,30 @@ object Bench {
         rdd.unpersist(blocking = false)
       elapsed
     }
-    // PRIOR-round per-query reference, keyed BY SCALE FACTOR
-    // (bench_ref_<sf>.json — ratios across sfs are meaningless, and a
-    // local profiling run at another sf must never become the file the
-    // next driver run compares against). Queries slower than 1.5x
-    // their prior min are flagged in the emitted `regressed` list so a
-    // plan regression surfaces in the artifact instead of hiding
-    // inside a growing suite total. New queries have no reference and
-    // never flag. Only FULL runs update the reference (below); subset
-    // runs read it but leave it untouched.
-    val refPath = "bench_ref_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".json"
+    // PRIOR-round per-query reference, keyed BY SCALE FACTOR AND CORE
+    // COUNT (bench_ref_<sf>_c<cpus>.json — ratios across sfs are
+    // meaningless, and as of r16 cross-CPU ratios are excluded too:
+    // the driver benches the same sf at 32 AND 8 cores, and with an
+    // sf-only key each run overwrote the other's reference, so r15's
+    // 32-core flags were computed against 8-core priors). Queries
+    // slower than 1.5x their prior min are flagged in the emitted
+    // `regressed` list so a plan regression surfaces in the artifact
+    // instead of hiding inside a growing suite total. New queries
+    // have no reference and never flag. Only FULL runs update the
+    // reference (below); subset runs read it but leave it untouched.
+    // Migration: when no cpu-keyed ref exists yet, the old sf-only
+    // file seeds the prior (scaling is ~flat at these fixture sizes,
+    // so a one-round cross-cpu seed beats an empty guard).
+    val refBase = "bench_ref_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val refPath = refBase + s"_c$cpus.json"
+    val refReadPath =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(refPath))) refPath
+      else refBase + ".json"
     val prior: Map[String, Double] =
       try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
-        val f = java.nio.file.Paths.get(refPath)
+        val f = java.nio.file.Paths.get(refReadPath)
         if (!java.nio.file.Files.exists(f)) Map.empty
         else JsonMethods.parse(java.nio.file.Files.readString(f)) \ "queries" match {
           case JObject(fields) => fields.collect {

@@ -3512,17 +3512,14 @@ object ExtensionQueries {
       .orderBy("src_lo", "src_hi")
   }
 
-  /** Per-sequence packing mix over the SAME chunk/pack config as
-    * [[pack]]: how many chunks and how many DISTINCT documents blend
-    * into each fixed-budget training sequence (the cross-document
-    * attention-contamination exposure), plus the used span (straddling
-    * chunks run past the budget by design — start-offset semantics).
-    */
   /** The (chunkSize 32, stride 24, budget 512) packed-sequence frame
     * BOTH q_pack and q_pack_mix read — identical chunk + prefix-sum
     * packing config, so the chunk explode and the two-job packing
     * scan run once per session (FrameMemo discipline), not once per
-    * consumer.
+    * consumer. Footprint: chunk-level (one row per ~24 tokens, six
+    * long columns — the largest resident shared frame; a long-lived
+    * deployment would persist it via ArtifactStore instead of holding
+    * it hot).
     */
   private def packedSeqs(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "packed32") {
@@ -3533,6 +3530,12 @@ object ExtensionQueries {
         budget = 512L)
     }
 
+  /** Per-sequence packing mix over the SAME chunk/pack config as
+    * [[pack]]: how many chunks and how many DISTINCT documents blend
+    * into each fixed-budget training sequence (the cross-document
+    * attention-contamination exposure), plus the used span (straddling
+    * chunks run past the budget by design — start-offset semantics).
+    */
   def packMix(s: SparkSession, d: String): DataFrame =
     packedSeqs(s, d)
       .groupBy("seq_id")
