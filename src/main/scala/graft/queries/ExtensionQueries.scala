@@ -397,6 +397,9 @@ object ExtensionQueries {
       "win8"          -> (() => win8(s, d)),
       "winnow34"      -> (() => winnow34(s, d)),
       "packed32"      -> (() => packedSeqs(s, d)),
+      // r16: the one memo the ledger still showed building inside a
+      // timed window (0.77 s charged to q_source_overlap)
+      "src_matrix"    -> (() => srcOverlapMatrix(s, d)),
       "bpe_merges"    -> (() => bpeMerges(s, d)))
     val t0 = System.nanoTime()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
